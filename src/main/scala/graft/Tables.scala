@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test tables (`TESTDATA.md`).
+  *
+  * All tables are plain parquet scans — Catalyst pushes filters/projections
+  * into the scan, so callers should never cache or materialize here. The one
+  * normalization: `events.ts` is physically parquet TIMESTAMP(NANOS), which
+  * Spark only reads via the `nanosAsLong` legacy knob; we convert to a
+  * microsecond timestamp (truncating, exactly like DuckDB's ns→µs read) so
+  * downstream operators and the DuckDB oracle see identical values.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)   = table(s, d, "region")
+  def nation(s: SparkSession, d: String)   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String) = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String) = table(s, d, "supplier")
+  def part(s: SparkSession, d: String)     = table(s, d, "part")
+  def orders(s: SparkSession, d: String)   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String) = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String)  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** `ts` arrives as LongType (ns since epoch) under nanosAsLong; truncate
+    * to µs — same floor division DuckDB applies when reading ns parquet.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Exact
+import graft.functions.Exact.Sql
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Window functions (ranking, analytic, row/range frames), top-k, per-group
+  * top-k, set operations, distinct, and the as-of join (the one operator
+  * composed from primitives Spark lacks as a single node — union + window,
+  * which is shuffle-equivalent to a sort-merge as-of and scales linearly).
+  */
+object Analytic {
+
+  def all: Seq[Q] = Seq(
+    q13WindowRank,
+    q14WindowAnalytic,
+    q15WindowRange,
+    q16TopK,
+    q17GroupTopK,
+    q18SetOps,
+    q19Distinct,
+    q09AsOfJoin,
+  )
+
+  /** Ranking trio per partition. rank/dense_rank order only by the (possibly
+    * tied) measure — their outputs are tie-invariant; row_number adds a
+    * unique tiebreak so it is deterministic too.
+    */
+  val q13WindowRank = Q(
+    "q13_window_rank",
+    """SELECT * FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST) AS rnk,
+      |    dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST) AS drnk,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC NULLS LAST, c_custkey NULLS FIRST) AS rn
+      |  FROM customer)
+      |WHERE rn <= 5
+      |ORDER BY c_nationkey NULLS FIRST, rn NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val byBal = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    val byBalKey = Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables
+      .customer(s, d)
+      .select(
+        col("c_nationkey"),
+        col("c_custkey"),
+        col("c_acctbal"),
+        rank().over(byBal).as("rnk"),
+        dense_rank().over(byBal).as("drnk"),
+        row_number().over(byBalKey).as("rn"),
+      )
+      .filter(col("rn") <= 5)
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** lag/lead/first_value + running sum over a ROWS frame (decimal-exact so
+    * the accumulation order can't produce engine-dependent doubles).
+    */
+  val q14WindowAnalytic = Q(
+    "q14_window_analytic",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(l_shipdate AS DATE) AS ship_day, l_quantity,
+      |  lag(l_quantity, 1) OVER w AS prev_qty,
+      |  lead(l_quantity, 1) OVER w AS next_qty,
+      |  first_value(l_orderkey) OVER w AS first_order,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 3
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST)
+      |ORDER BY l_suppkey NULLS FIRST, ship_day NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables
+      .lineitem(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_day"),
+        col("l_quantity"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"),
+        first(col("l_orderkey")).over(w).as("first_order"),
+        sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType)
+          .as("running_qty"),
+      )
+      .orderBy(col("l_suppkey"), col("ship_day"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  /** RANGE frame over a numeric day offset: trailing-7-day quantity. */
+  val q15WindowRange = Q(
+    "q15_window_range",
+    """SELECT l_suppkey, l_orderkey, l_linenumber, day_no,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY day_no NULLS FIRST
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+      |FROM (SELECT *, date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_no
+      |      FROM lineitem WHERE l_suppkey <= 3)
+      |ORDER BY l_suppkey NULLS FIRST, day_no NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("day_no"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables
+      .lineitem(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("day_no",
+        datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date")))
+      .select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("day_no"),
+        sum(col("l_quantity").cast(DecimalType(18, 4)))
+          .over(w)
+          .cast(DoubleType)
+          .as("qty_7d"),
+      )
+      .orderBy(col("l_suppkey"), col("day_no"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
+  /** Global top-k: Catalyst plans TakeOrderedAndProject (no full sort at
+    * scale — per-partition heaps + driver merge of k rows).
+    */
+  val q16TopK = Q(
+    "q16_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
+      |LIMIT 10""".stripMargin,
+  ) { (s, d) =>
+    Tables
+      .orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Per-group top-k via row_number — the scalable per-key top-k idiom. */
+  val q17GroupTopK = Q(
+    "q17_group_topk",
+    """SELECT * FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3
+      |ORDER BY l_suppkey NULLS FIRST, rn NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val w = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    Tables
+      .lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** INTERSECT / EXCEPT / UNION ALL in one relation: customer activity in
+    * 1995 vs 1996.
+    */
+  val q18SetOps = Q(
+    "q18_setops",
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+      |     b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+      |SELECT 'both' AS tag, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'only95' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'only96' AS tag, k FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+      |ORDER BY tag NULLS FIRST, k NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def custsIn(year: String, next: String) =
+      o.filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"$next-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("k"))
+        .distinct()
+    val a = custsIn("1995", "1996")
+    val b = custsIn("1996", "1997")
+    a.intersect(b)
+      .select(lit("both").as("tag"), col("k"))
+      .unionAll(a.except(b).select(lit("only95").as("tag"), col("k")))
+      .unionAll(b.except(a).select(lit("only96").as("tag"), col("k")))
+      .orderBy(col("tag"), col("k"))
+  }
+
+  /** DISTINCT projection. */
+  val q19Distinct = Q(
+    "q19_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables
+      .lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** As-of join: each purchase event matched to the same user's most recent
+    * view at-or-before it. Spark has no asof node; the scalable composition
+    * is a tagged union + one window pass (single shuffle on user_id, sorted
+    * once — equivalent work to a sort-merge as-of join). Oracle: DuckDB's
+    * native ASOF LEFT JOIN.
+    */
+  val q09AsOfJoin = Q(
+    "q09_asof_join",
+    """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+      |  epoch_us(v.ts) AS view_us, p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        col("value"))
+    // views sort before purchases at equal ts (kind 0 < 1) => "at-or-before"
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views
+      .unionByName(purchases)
+      .withColumn("view_ts", when(col("kind") === 0, col("ts")))
+      .withColumn("matched_view", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("matched_view")).as("view_us"),
+        col("value").as("purchase_value"),
+      )
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Local dev-loop replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Runs nothing itself — expects `sbt "runMain graft.Verify <sfDir> <outDir>"`
+to have produced <outDir>/<query>/ parquet dumps + oracle_sql.json. For each
+query: registers every testdata parquet as a DuckDB view, runs the oracle
+SQL, loads the Spark result, sorts columns by name, and compares cell
+values exactly (strict row order AND as multisets, so we can see which
+discipline a mismatch violates).
+
+This is dev tooling only (driver-side python deps); the engine itself is
+pure Scala/Spark.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def frame_rows(df: pd.DataFrame):
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for t in df.itertuples(index=False):
+        rows.append(tuple(canon(x) for x in t))
+    return list(df.columns), rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        qdir = out_dir / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        got = pd.read_parquet(qdir)
+        wcols, wrows = frame_rows(want)
+        gcols, grows = frame_rows(got)
+        if wcols != gcols:
+            print(f"FAIL {name}: columns want={wcols} got={gcols}")
+            n_fail += 1
+            continue
+        if wrows == grows:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+            continue
+        n_fail += 1
+        if sorted(map(repr, wrows)) == sorted(map(repr, grows)):
+            print(f"FAIL {name}: values match as multiset but ROW ORDER differs")
+            continue
+        print(f"FAIL {name}: values differ (want {len(wrows)} rows, got {len(grows)})")
+        wset, gset = set(map(repr, wrows)), set(map(repr, grows))
+        for r in list(wset - gset)[:3]:
+            print(f"  want-only: {r[:200]}")
+        for r in list(gset - wset)[:3]:
+            print(f"  got-only:  {r[:200]}")
+        for i, (a, b) in enumerate(zip(wrows, grows)):
+            if repr(a) != repr(b):
+                print(f"  first diff row {i}:\n    want {a}\n    got  {b}")
+                break
+
+    print(f"\n{n_pass} passed, {n_fail} failed / {len(oracle)} total")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
