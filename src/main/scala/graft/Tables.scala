@@ -27,13 +27,16 @@ object Tables {
   def documents(s: SparkSession, d: String)  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
-  /** `ts` arrives as LongType (ns since epoch) under nanosAsLong; truncate
-    * to µs — same floor division DuckDB applies when reading ns parquet.
+  /** `ts` arrives as LongType (ns since epoch) under the nanosAsLong knob
+    * (set at session build by [[Engine]]/[[Verify]]/[[Bench]]; the set here
+    * is an idempotent fallback for foreign sessions). ns→µs uses FLOOR
+    * division — `div` truncates toward zero, which diverges from DuckDB's
+    * floor for pre-epoch (negative) timestamps.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
   }
 }

@@ -174,7 +174,10 @@ object Analytic {
   }
 
   /** INTERSECT / EXCEPT / UNION ALL in one relation: customer activity in
-    * 1995 vs 1996.
+    * 1995 vs 1996. The naive form (two distinct CTEs + intersect + 2×except)
+    * scans orders 4× and shuffles 6×; this plan computes both year-flags in
+    * ONE scan and ONE shuffle (`groupBy(o_custkey).agg(max(in95), max(in96))`)
+    * and derives both/only95/only96 from the flags — identical output.
     */
   val q18SetOps = Q(
     "q18_setops",
@@ -189,18 +192,24 @@ object Analytic {
       |SELECT 'only96' AS tag, k FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
       |ORDER BY tag NULLS FIRST, k NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val o = Tables.orders(s, d)
-    def custsIn(year: String, next: String) =
-      o.filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit(s"$next-01-01").cast("timestamp"))
-        .select(col("o_custkey").as("k"))
-        .distinct()
-    val a = custsIn("1995", "1996")
-    val b = custsIn("1996", "1997")
-    a.intersect(b)
-      .select(lit("both").as("tag"), col("k"))
-      .unionAll(a.except(b).select(lit("only95").as("tag"), col("k")))
-      .unionAll(b.except(a).select(lit("only96").as("tag"), col("k")))
+    def inYear(year: String, next: String) =
+      col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"$next-01-01").cast("timestamp")
+    Tables
+      .orders(s, d)
+      .filter(inYear("1995", "1996") || inYear("1996", "1997"))
+      .groupBy(col("o_custkey").as("k"))
+      .agg(
+        max(inYear("1995", "1996")).as("in95"),
+        max(inYear("1996", "1997")).as("in96"),
+      )
+      .select(
+        when(col("in95") && col("in96"), "both")
+          .when(col("in95"), "only95")
+          .otherwise("only96")
+          .as("tag"),
+        col("k"),
+      )
       .orderBy(col("tag"), col("k"))
   }
 

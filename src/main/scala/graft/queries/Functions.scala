@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * higher-order functions, and generators (explode). All built-in Spark
   * `functions._` — everything stays inside whole-stage codegen; no UDFs.
   *
-  * Oracle-parity notes: libm-backed functions (ln/exp) are rounded to 6
-  * decimals (both engines are within 1 ulp of true); everything else is
-  * exact (integer arithmetic, IEEE-identical expression trees, or string
-  * ops with identical semantics in both engines).
+  * Oracle-parity notes: libm-backed functions (ln/exp) are cast to float32
+  * (both engines are within 1 ulp of true in double, which float rounding
+  * absorbs); everything else is exact (integer arithmetic, IEEE-identical
+  * expression trees, or string ops with identical semantics in both engines).
   */
 object Functions {
 
@@ -107,9 +107,9 @@ object Functions {
       |  l_orderkey % 7 AS key_mod,
       |  greatest(l_discount, l_tax) AS max_rate,
       |  least(l_discount, l_tax) AS min_rate,
-      |  sign(l_discount - l_tax) AS rate_sign,
-      |  round(ln(1.0 + l_quantity), 6) AS qty_ln,
-      |  round(exp(l_discount), 6) AS disc_exp
+      |  CAST(sign(l_discount - l_tax) AS INTEGER) AS rate_sign,
+      |  CAST(ln(1.0 + l_quantity) AS REAL) AS qty_ln,
+      |  CAST(exp(l_discount) AS REAL) AS disc_exp
       |FROM lineitem
       |WHERE l_orderkey < 500
       |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
@@ -129,9 +129,16 @@ object Functions {
         (col("l_orderkey") % 7).as("key_mod"),
         greatest(col("l_discount"), col("l_tax")).as("max_rate"),
         least(col("l_discount"), col("l_tax")).as("min_rate"),
-        signum(col("l_discount") - col("l_tax")).as("rate_sign"),
-        round(log(lit(1.0) + col("l_quantity")), 6).as("qty_ln"),
-        round(exp(col("l_discount")), 6).as("disc_exp"),
+        // sign: cast to int on both sides (engine return types differ, and
+        // int kills any -0.0 representation risk in the hash compare).
+        signum(col("l_discount") - col("l_tax")).cast("int").as("rate_sign"),
+        // ln/exp are libm-backed and NOT correctly rounded — JVM Math.log
+        // and DuckDB's libm can differ by 1 ulp, and round(x, 6) does not
+        // neutralize that near a rounding boundary. Casting the double to
+        // float32 absorbs a 1-ulp double wobble (float rounding boundaries
+        // are ~1e8 double-ulps wide), so both engines emit identical bits.
+        log(lit(1.0) + col("l_quantity")).cast("float").as("qty_ln"),
+        exp(col("l_discount")).cast("float").as("disc_exp"),
       )
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
@@ -140,7 +147,7 @@ object Functions {
   val q23JsonFuncs = Q(
     "q23_json_funcs",
     """SELECT event_type,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
       |  COUNT(*) AS n

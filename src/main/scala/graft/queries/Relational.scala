@@ -19,9 +19,12 @@ import org.apache.spark.sql.expressions.Window
   *  - timestamps leave the engine as DATE or epoch BIGINT, never raw
   *    timestamps (ns/µs/tz representation differences).
   *
-  * Scale notes: all plans here are shuffle-minimal — dims are broadcast,
-  * aggregations are partial+final hash aggregates, and no operator ever
-  * collects to the driver. They survive a 1000-executor 100 TB run as-is.
+  * Scale notes: all plans here are shuffle-minimal — only BOUNDED dims
+  * (region/nation/literal bands) carry broadcast hints; scale-proportional
+  * tables (customer/orders/lineitem) always join by shuffle or whatever AQE
+  * picks at runtime. Aggregations are partial+final hash aggregates, and no
+  * operator ever collects to the driver. They survive a 1000-executor
+  * 100 TB run as-is.
   */
 object Relational {
 
@@ -47,8 +50,8 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${Sql.dsum("l_quantity")} AS sum_qty,
        |  ${Sql.dsum("l_extendedprice")} AS sum_base_price,
-       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
-       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
        |  ${Sql.davg("l_quantity")} AS avg_qty,
        |  ${Sql.davg("l_extendedprice")} AS avg_price,
        |  ${Sql.davg("l_discount")} AS avg_disc,
@@ -64,12 +67,16 @@ object Relational {
       .agg(
         Exact.dsum(col("l_quantity")).as("sum_qty"),
         Exact.dsum(col("l_extendedprice")).as("sum_base_price"),
+        // scale 6: the 2dp×2dp(×2dp) products have up to 6 true decimals, so
+        // a scale-4 cast sits ON a rounding tie (x.xxxx50) where Spark's
+        // string-based and DuckDB's binary-based double→decimal casts can
+        // disagree; at scale 6 the true value is exact and both recover it.
         Exact
-          .dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .as("sum_disc_price"),
         Exact
           .dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-            (lit(1.0) + col("l_tax")))
+            (lit(1.0) + col("l_tax")), 6)
           .as("sum_charge"),
         Exact.davg(col("l_quantity")).as("avg_qty"),
         Exact.davg(col("l_extendedprice")).as("avg_price"),
@@ -104,7 +111,11 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
-  /** 3-way join (fact-fact-dim) + aggregation; customer is broadcast. */
+  /** 3-way join (fact-fact-dim) + aggregation. `customer` is NOT broadcast:
+    * it is scale-proportional (~1.5B rows on the 100 TB posture), so the
+    * join strategy is left to AQE/statistics — broadcast when it actually
+    * fits, shuffle-hash/sort-merge otherwise.
+    */
   val q03JoinAgg = Q(
     "q03_join_agg",
     s"""SELECT c_mktsegment,
@@ -121,8 +132,7 @@ object Relational {
     val o = Tables.orders(s, d)
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(s, d)
-    broadcast(c)
-      .join(o, col("c_custkey") === col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
@@ -134,7 +144,10 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** TPC-H Q5-style star join: two broadcast dims chained into the facts. */
+  /** TPC-H Q5-style star join. Only the BOUNDED dims (region×nation, ≤25
+    * rows at any scale) are broadcast; `customer` grows with the data and
+    * joins by shuffle — broadcasting it would OOM executors at 100 TB.
+    */
   val q04StarBroadcast = Q(
     "q04_star_broadcast",
     s"""SELECT n_name,
@@ -149,12 +162,12 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY n_name NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val dims = broadcast(
+    val regions = broadcast(
       Tables.region(s, d)
         .filter(col("r_name") === "ASIA")
-        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
-        .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey")))
-    dims
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey")))
+    Tables.customer(s, d)
+      .join(regions, col("c_nationkey") === col("n_nationkey"))
       .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
       .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
@@ -206,7 +219,12 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** TPC-H Q13-style: left outer join preserved-side histogram. */
+  /** TPC-H Q13-style: left outer join preserved-side histogram. The probe
+    * side is pre-aggregated to one row per o_custkey BEFORE the join
+    * (classic Q13 rewrite) — the join then moves ~10× fewer rows, and
+    * COUNT(o_orderkey) over the raw join equals COALESCE(pre-agg count, 0)
+    * because o_orderkey is never null in orders.
+    */
   val q07OuterJoinHistogram = Q(
     "q07_outer_join_histogram",
     """SELECT c_count, COUNT(*) AS n_customers FROM (
@@ -216,11 +234,14 @@ object Relational {
       |) GROUP BY c_count
       |ORDER BY c_count NULLS FIRST""".stripMargin,
   ) { (s, d) =>
+    val perCust = Tables
+      .orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
     Tables
       .customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("c_count"))
