@@ -27,16 +27,13 @@ object Tables {
   def documents(s: SparkSession, d: String)  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
-  /** `ts` arrives as LongType (ns since epoch) under the nanosAsLong knob
-    * (set at session build by [[Engine]]/[[Verify]]/[[Bench]]; the set here
-    * is an idempotent fallback for foreign sessions). ns→µs uses FLOOR
-    * division — `div` truncates toward zero, which diverges from DuckDB's
-    * floor for pre-epoch (negative) timestamps.
+  /** `ts` arrives as LongType (ns since epoch) under the nanosAsLong knob,
+    * which every session builder ([[Engine]]/[[Verify]]/[[Bench]]) sets at
+    * build time. ns→µs uses floor division (`(ts - pmod(ts,1000)) div 1000`
+    * floors even for pre-epoch negatives), matching DuckDB's ns→µs read.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-  }
 }

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Oracle-parity notes: libm-backed functions (ln/exp) are cast to float32
   * (both engines are within 1 ulp of true in double, which float rounding
-  * absorbs); everything else is exact (integer arithmetic, IEEE-identical
-  * expression trees, or string ops with identical semantics in both engines).
+  * almost always absorbs); floor/ceil are BIGINT-cast on the DuckDB side
+  * (DuckDB returns DOUBLE, Spark LONG — numerically equal but the driver's
+  * hash is type-sensitive); everything else is exact (integer arithmetic,
+  * IEEE-identical expression trees, or identical string-op semantics).
   */
 object Functions {
 
@@ -100,8 +102,8 @@ object Functions {
     """SELECT l_orderkey, l_linenumber,
       |  sqrt(l_quantity) AS qty_sqrt,
       |  abs(l_discount - 0.05) AS disc_dev,
-      |  floor(l_extendedprice / 1000.0) AS price_k_floor,
-      |  ceil(l_extendedprice / 1000.0) AS price_k_ceil,
+      |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+      |  CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
       |  round(l_tax * 100.0, 1) AS tax_pct,
       |  l_quantity * l_quantity AS qty_sq,
       |  l_orderkey % 7 AS key_mod,
@@ -133,10 +135,10 @@ object Functions {
         // int kills any -0.0 representation risk in the hash compare).
         signum(col("l_discount") - col("l_tax")).cast("int").as("rate_sign"),
         // ln/exp are libm-backed and NOT correctly rounded — JVM Math.log
-        // and DuckDB's libm can differ by 1 ulp, and round(x, 6) does not
-        // neutralize that near a rounding boundary. Casting the double to
-        // float32 absorbs a 1-ulp double wobble (float rounding boundaries
-        // are ~1e8 double-ulps wide), so both engines emit identical bits.
+        // and DuckDB's libm can differ by 1 ulp. Casting the double to
+        // float32 almost always absorbs a 1-ulp double wobble (float
+        // rounding boundaries are ~1e8 double-ulps apart), though a value
+        // sitting within 1 double-ulp of a float boundary could still split.
         log(lit(1.0) + col("l_quantity")).cast("float").as("qty_ln"),
         exp(col("l_discount")).cast("float").as("disc_exp"),
       )

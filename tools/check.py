@@ -6,19 +6,26 @@ Usage: python3 tools/check.py [sfDir] [outDir]
 Runs nothing itself — expects `sbt "runMain graft.Verify <sfDir> <outDir>"`
 to have produced <outDir>/<query>/ parquet dumps + oracle_sql.json. For each
 query: registers every testdata parquet as a DuckDB view, runs the oracle
-SQL, loads the Spark result, sorts columns by name, and compares cell
-values exactly (strict row order AND as multisets, so we can see which
-discipline a mismatch violates).
+SQL, loads the Spark result, sorts columns by name, and compares rows via a
+DTYPE-AWARE canonical string per cell (the driver's hash is type-sensitive:
+7 vs 7.0 must FAIL here too, which plain tuple == would hide). Known
+driver-equivalences are canonicalized the same way the driver does:
+DATE == midnight TIMESTAMP (pandas reads date32 as date objects while
+DuckDB hands back datetime64 — the driver passes those), and DECIMAL
+compares numerically against DuckDB's float64 conversion.
 
 This is dev tooling only (driver-side python deps); the engine itself is
 pure Scala/Spark.
 """
+import datetime
+import decimal
 import json
 import math
 import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -28,20 +35,37 @@ TABLES = [
 
 
 def canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+    """Dtype-aware canonical string: int '7' != float '7.0', but
+    date == midnight-timestamp and Decimal == its float value."""
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, decimal.Decimal):
+        return repr(float(v))  # DuckDB .df() yields float64 for DECIMAL
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return "0x" + bytes(v).hex()
+    return str(v)
 
 
 def frame_rows(df: pd.DataFrame):
     df = df.reindex(sorted(df.columns), axis=1)
-    rows = []
-    for t in df.itertuples(index=False):
-        rows.append(tuple(canon(x) for x in t))
+    rows = [tuple(canon(x) for x in t) for t in df.itertuples(index=False)]
     return list(df.columns), rows
 
 
@@ -81,17 +105,17 @@ def main():
             n_pass += 1
             continue
         n_fail += 1
-        if sorted(map(repr, wrows)) == sorted(map(repr, grows)):
+        if sorted(wrows) == sorted(grows):
             print(f"FAIL {name}: values match as multiset but ROW ORDER differs")
             continue
         print(f"FAIL {name}: values differ (want {len(wrows)} rows, got {len(grows)})")
-        wset, gset = set(map(repr, wrows)), set(map(repr, grows))
+        wset, gset = set(wrows), set(grows)
         for r in list(wset - gset)[:3]:
-            print(f"  want-only: {r[:200]}")
+            print(f"  want-only: {str(r)[:200]}")
         for r in list(gset - wset)[:3]:
-            print(f"  got-only:  {r[:200]}")
+            print(f"  got-only:  {str(r)[:200]}")
         for i, (a, b) in enumerate(zip(wrows, grows)):
-            if repr(a) != repr(b):
+            if a != b:
                 print(f"  first diff row {i}:\n    want {a}\n    got  {b}")
                 break
 
