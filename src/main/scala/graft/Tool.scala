@@ -2,25 +2,52 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Ad-hoc debugging entry point (not part of the driver contract). */
+/** Ad-hoc debugging entry point (not part of the driver contract).
+  * `runMain graft.Tool envprobe` drives the env-driven export job
+  * ([[graft.vera.Export.runFromEnv]]) against a synthetic VerA-shaped
+  * `contracts` table.
+  */
 object Tool {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(8, "graft-tool")
-    val d = "/root/testdata/sf0.01"
-    val prod = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    Tables
-      .lineitem(spark, d)
-      .select(
-        col("l_orderkey"),
-        col("l_linenumber"),
-        format_string("%.17e", prod).as("p17"),
-        prod.cast("decimal(18,4)").cast("string").as("dec"),
-      )
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet("/tmp/dbg_prod")
+    args.headOption match {
+      case Some("envprobe") =>
+        import graft.vera._
+        val df = spark.range(0, 5000).selectExpr(
+          "cast(id as string) AS id",
+          "sha2(cast(id as string), 256) AS creation_code_hash",
+          "sha2(cast(id + 1 as string), 256) AS runtime_code_hash",
+          "timestamp_micros(1700000000000000 + id * 1000000) AS created_at",
+          "timestamp_micros(1700000000000000 + id * 2000000) AS updated_at",
+          "'alice' AS created_by", "'bob' AS updated_by")
+        val m = Export.runFromEnv(
+          source = _ => df,
+          orderBy = _ => Seq("id"),
+          outDir = "/tmp/graft_probe_env",
+          env = Map("DEBUG_TABLE" -> "contracts", "DEBUG" -> "1",
+            "DEBUG_OFFSET" -> "100"))
+        println("MANIFEST=" + m.files)
+        val back = spark.read.parquet("/tmp/graft_probe_env/contracts_*.parquet")
+        println("ROWS=" + back.count() + " SCHEMA=" +
+          back.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+        println("MIN_ID=" + back.agg(min(col("id").cast("long"))).head.getLong(0))
+      case _ =>
+        val d = "/root/testdata/sf0.01"
+        val prod = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        Tables
+          .lineitem(spark, d)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            format_string("%.17e", prod).as("p17"),
+            prod.cast("decimal(18,4)").cast("string").as("dec"),
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .coalesce(1)
+          .write
+          .mode("overwrite")
+          .parquet("/tmp/dbg_prod")
+    }
     spark.stop()
   }
 }

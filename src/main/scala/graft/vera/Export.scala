@@ -1,0 +1,230 @@
+package graft.vera
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.time.Instant
+
+/** Size-rotated, row-range-named Parquet export sink + manifest — the
+  * reference's core job (`fetch_and_write`, main.py:178-263) re-expressed
+  * for a distributed engine.
+  *
+  * The reference rotates a single sequential writer every
+  * `chunk_size × num_chunks_per_file` rows and names each file by its
+  * nominal row range (`{table}_{i*rpf}_{(i+1)*rpf}[_{codec}].parquet`,
+  * main.py:94-98,222). Reproducing those DETERMINISTIC range names on Spark
+  * needs a stable global row index, which we compute scale-safely:
+  *
+  *  1. `repartitionByRange` + `sortWithinPartitions` on the caller's stable
+  *     key — one range shuffle, fully parallel;
+  *  2. per-partition row counts (one lightweight job whose result is one row
+  *     PER PARTITION on the driver — bounded like AQE stats, never per-row);
+  *  3. global index = per-partition `row_number()` (window partitioned by
+  *     `spark_partition_id`, so every partition ranks independently in
+  *     parallel — no single-partition window) + broadcast cumulative offset;
+  *  4. bucket = gidx / rowsPerFile; hash-repartition on bucket co-locates
+  *     each file's rows in one task → `partitionBy("__bucket")` emits exactly
+  *     one parquet file per bucket; a driver rename pass applies the
+  *     reference's names. The last short file keeps the nominal full-range
+  *     name, exactly like the reference (main.py:222,252-254).
+  *
+  * At 100 TB this is two shuffles of the exported table (range + bucket) and
+  * O(#partitions + #files) driver state — no collect of data rows anywhere.
+  *
+  * Manifest (`write_manifest`, main.py:103-113): same shape
+  * (`timestamp` epoch-ms, `dateStr`, `files: {table: [objectKey]}`), with one
+  * documented divergence: the reference stamps LOCAL time with a hard-coded
+  * "Z" suffix (main.py:105) — we emit true UTC.
+  */
+object Export {
+
+  final case class ExportedFile(
+      table: String,
+      fileNo: Long,
+      fileName: String,
+      objectName: String, // "{table}/{fileName}" — the S3 key shape (main.py:237)
+      rows: Long,
+      nominalLo: Long,
+      nominalHi: Long,
+  )
+
+  final case class Manifest(
+      timestamp: Long,
+      dateStr: String,
+      files: Seq[(String, Seq[String])], // insertion-ordered: table → object keys
+  )
+
+  /** Reference file naming (`get_output_file`, main.py:94-98). */
+  def fileName(table: String, fileNo: Long, rowsPerFile: Long,
+               compression: Option[String]): String = {
+    val base = s"${table}_${fileNo * rowsPerFile}_${(fileNo + 1) * rowsPerFile}"
+    compression match {
+      case Some(c) => s"${base}_$c.parquet"
+      case None    => s"$base.parquet"
+    }
+  }
+
+  /** Add a 0-based deterministic global row index `__gidx` ordered by
+    * `orderBy`, without ever sorting through a single partition.
+    *
+    * Implementation note: this is the one place the engine drops to the RDD
+    * layer. `zipWithIndex` is the canonical deterministic global index: the
+    * sorted RDD lineage is created ONCE, so its range-partitioner bounds are
+    * computed once and shared by zipWithIndex's internal count job and the
+    * downstream write (a pure-DataFrame two-action version is subtly
+    * nondeterministic — the range exchange re-samples with a seed derived
+    * from the fresh `rdd.id` on every action, so two actions can see
+    * different partition boundaries). The sort's shuffle files are reused
+    * across the two jobs, so the input is scanned once.
+    */
+  private[vera] def withGlobalIndex(
+      df: DataFrame, orderBy: Seq[String], numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val keys = orderBy.map(col)
+    val sorted = df
+      .repartitionByRange(numPartitions, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val schema = sorted.schema
+    val zipped = sorted.rdd
+      .zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(zipped,
+      org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField(
+          "__gidx", org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** Normalize + export one table (S4/S5/S7 write-side): size-rotated files
+    * with row-range names under `outDir/`. Returns the per-file inventory in
+    * file order (the manifest rows).
+    *
+    * @param orderBy stable total-order key (the reference's "order" is the
+    *                Postgres cursor order; a distributed engine must name one
+    *                explicitly — primary key columns).
+    */
+  def exportTable(
+      df: DataFrame,
+      cfg: TableConfig,
+      orderBy: Seq[String],
+      outDir: String,
+      numPartitions: Int = 0,
+  ): Seq[ExportedFile] = {
+    val spark = df.sparkSession
+    val nParts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val rpf = cfg.rowsPerFile
+
+    val indexed = withGlobalIndex(Normalize(df, cfg), orderBy, nParts)
+    val staging = s"$outDir/.staging_${cfg.name}"
+    indexed
+      .withColumn("__bucket", (col("__gidx") / rpf).cast("long"))
+      .drop("__gidx")
+      .repartition(col("__bucket")) // all rows of a bucket → one task → one file
+      .sortWithinPartitions(("__bucket" +: orderBy).map(col): _*)
+      .write.mode("overwrite")
+      .option("compression", cfg.compression.getOrElse("none"))
+      .partitionBy("__bucket")
+      .parquet(staging)
+
+    // Driver rename pass: .staging/__bucket=N/part-*.parquet →
+    // outDir/{table}_{lo}_{hi}[_{codec}].parquet  (O(#files) driver work).
+    val fs = FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val bucketNos = fs.listStatus(new Path(staging)).map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toLong)
+      .sorted
+    require(bucketNos.zipWithIndex.forall { case (b, i) => b == i },
+      s"${cfg.name}: non-contiguous bucket set ${bucketNos.mkString(",")}")
+    val renamed = bucketNos.map { fileNo =>
+      val bucketDir = new Path(s"$staging/__bucket=$fileNo")
+      val parts = fs.listStatus(bucketDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"bucket $fileNo of ${cfg.name}: expected exactly 1 file, got ${parts.length}")
+      val name = fileName(cfg.name, fileNo, rpf, cfg.compression)
+      val dest = new Path(s"$outDir/$name")
+      fs.delete(dest, false)
+      fs.rename(parts.head, dest)
+      fileNo -> name
+    }
+    fs.delete(new Path(staging), true)
+    // Tail-file row count from its parquet footer (metadata-only job on one
+    // file); every earlier file holds exactly rowsPerFile rows by law.
+    val lastRows = renamed.lastOption.map { case (_, name) =>
+      spark.read.parquet(s"$outDir/$name").count()
+    }.getOrElse(0L)
+    renamed.map { case (fileNo, name) =>
+      val rows = if (fileNo == renamed.last._1) lastRows else rpf
+      ExportedFile(cfg.name, fileNo, name, s"${cfg.name}/$name", rows,
+        fileNo * rpf, (fileNo + 1) * rpf)
+    }.toSeq
+  }
+
+  /** O1 table-loop driver (main.py:278-280): export every table sequentially
+    * (each export is internally fully parallel), then write the manifest.
+    */
+  def exportAll(
+      tables: Seq[(DataFrame, TableConfig, Seq[String])],
+      outDir: String,
+      nowMillis: Long = System.currentTimeMillis(),
+  ): Manifest = {
+    val entries = tables.map { case (df, cfg, orderBy) =>
+      cfg.name -> exportTable(df, cfg, orderBy, outDir).map(_.objectName)
+    }
+    val manifest = Manifest(nowMillis, Instant.ofEpochMilli(nowMillis).toString, entries)
+    val spark = tables.head._1.sparkSession
+    writeManifest(manifest, outDir, spark)
+    manifest
+  }
+
+  /** S7 manifest sink (`write_manifest`, main.py:103-113). */
+  def writeManifest(m: Manifest, outDir: String, spark: SparkSession): Unit = {
+    def esc(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+    val files = m.files
+      .map { case (t, keys) =>
+        s""""${esc(t)}": [${keys.map(k => s""""${esc(k)}"""").mkString(", ")}]"""
+      }
+      .mkString("{", ", ", "}")
+    val json =
+      s"""{"timestamp": ${m.timestamp}, "dateStr": "${esc(m.dateStr)}", "files": $files}"""
+    val fs = FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$outDir/manifest.json"), true)
+    try out.write(json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Env-driven export job (O2/O3, main.py:266-282): `DEBUG_TABLE` exports a
+    * single table (main.py:270-276), `DEBUG` shrinks rotation 100× and stops
+    * after one file (main.py:184-186,208-210), `DEBUG_OFFSET` skips leading
+    * rows (S2, main.py:201-202). `source` maps a table config to its input
+    * DataFrame (parquet fixture or [[Jdbc.scan]]).
+    */
+  def runFromEnv(
+      source: TableConfig => DataFrame,
+      orderBy: TableConfig => Seq[String],
+      outDir: String,
+      env: Map[String, String] = sys.env,
+  ): Manifest = {
+    val selected = env.get("DEBUG_TABLE") match {
+      case Some(t) => Seq(Schemas.byName(t))
+      case None    => Schemas.tables
+    }
+    val debug = env.get("DEBUG").exists(_.nonEmpty)
+    val offset = env.get("DEBUG_OFFSET").map(_.toLong)
+    val jobs = selected.map { cfg0 =>
+      val cfg = if (debug) cfg0.copy(chunkSize = math.max(1, cfg0.chunkSize / 100)) else cfg0
+      var df = source(cfg)
+      offset.foreach { n => df = df.orderBy(orderBy(cfg).map(col): _*).offset(n.toInt) }
+      if (debug) df = df.limit(cfg.rowsPerFile.toInt) // stop after first file
+      (df, cfg, orderBy(cfg))
+    }
+    exportAll(jobs, outDir)
+  }
+}
