@@ -11,6 +11,11 @@ object Tool {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(8, "graft-tool")
     args.headOption match {
+      case Some("explain") =>
+        // Plan audit: `runMain graft.Tool explain <query> [sfDir]`
+        val name = args(1)
+        val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
+        SparkEntry.queries(name)(spark, dir).explain("formatted")
       case Some("envprobe") =>
         import graft.vera._
         val df = spark.range(0, 5000).selectExpr(

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family over `documents` (the LLM-training-data
+  * pipeline slice; SURVEY.md §2 [EXT], BASELINE.json north star).
+  *
+  * All hash primitives are md5/sha2 (bit-identical in Spark and DuckDB), so
+  * every stage — including the MinHash signatures — is oracle-checkable.
+  * Everything is built from codegen'd built-ins; the only shuffles are the
+  * hash-group / bucket-join shuffles that are inherent to the algorithms.
+  *
+  * 100 TB notes per operator:
+  *  - exact dedup: one hash-partition shuffle on the content hash; map-side
+  *    partial aggregation keeps the exchange small.
+  *  - MinHash LSH: candidates come ONLY from equi-joins on (band, signature)
+  *    buckets — never an all-pairs product. Band count/rows-per-band (B=8,
+  *    r=2) bound the false-positive mass; the final exact-Jaccard filter is
+  *    computed per candidate pair only.
+  *  - SimHash: embarrassingly parallel fingerprinting (no shuffle until the
+  *    fingerprint group-count).
+  */
+object Dedup {
+
+  def all: Seq[Q] = Seq(q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint)
+
+  /** Word-3-gram shingle set (order-free, distinct). */
+  private def shingles(text: Column): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(1), size(words) - 2), i =>
+        concat_ws(" ",
+          element_at(words, i),
+          element_at(words, i + 1),
+          element_at(words, i + 2))))
+  }
+
+  /** Exact content-hash dedup with keep-first semantics: canonicalize
+    * (lowercase, 50-char prefix — standing in for whitespace/punctuation
+    * normalization), sha2-256, keep the smallest doc_id per group. One
+    * shuffle on the 32-byte hash; survivors + duplicate counts out.
+    */
+  val q31ExactDedup = Q(
+    "q31_exact_dedup",
+    """SELECT sha256(lower(substr(text, 1, 50))) AS h,
+      |  min(doc_id) AS keep_id,
+      |  count(*) AS n_dups
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(lower(substring(col("text"), 1, 50)), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** MinHash + banded LSH near-duplicate detection, end to end:
+    * shingle → per-band MinHash signature (B=8 bands × r=2 md5-minima) →
+    * bucket self-join on (band, sig) → DISTINCT candidate pairs → exact
+    * word-3-gram Jaccard ≥ 0.5 verification. The bucket join is the ONLY
+    * pair generator — the plan contains no cartesian product.
+    */
+  val q32MinhashNeardup = Q(
+    "q32_minhash_neardup",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 2 + 1),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |        || ' ' || string_split(text,' ')[i+2])) AS shingles
+      |  FROM documents
+      |),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    list_min(list_transform(shingles, s -> md5(b*2   || '|' || s))) ||
+      |    list_min(list_transform(shingles, s -> md5(b*2+1 || '|' || s))) AS sig
+      |  FROM sh, (SELECT unnest(range(0,8)) AS b)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id
+      |)
+      |SELECT cand.doc_a, cand.doc_b,
+      |  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+      |FROM cand
+      |JOIN sh x ON cand.doc_a = x.doc_id
+      |JOIN sh y ON cand.doc_b = y.doc_id
+      |WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+      |    / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) >= 0.5
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("shingles"))
+    val bands = sh
+      .select(col("doc_id"), col("shingles"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .select(col("doc_id"), col("b"),
+        concat(
+          array_min(transform(col("shingles"), s =>
+            md5(concat((col("b") * 2).cast("string"), lit("|"), s)))),
+          array_min(transform(col("shingles"), s =>
+            md5(concat((col("b") * 2 + 1).cast("string"), lit("|"), s))))
+        ).as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("c"),
+        col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+    val jaccard = round(
+      size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
+        size(array_distinct(concat(col("x.shingles"), col("y.shingles")))), 6)
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash document fingerprinting: 16-bit signature where bit j is the
+    * sign of Σ over tokens of ±1 (md5-derived pseudo-random bit per
+    * (token, j)). Near-identical token multisets collapse to the same
+    * fingerprint; the group count surfaces collisions. Fully parallel scan —
+    * the only shuffle is the fingerprint window count.
+    */
+  val q33SimhashFingerprint = Q(
+    "q33_simhash_fingerprint",
+    """SELECT doc_id,
+      |  array_to_string(list_transform(range(0, 16), j ->
+      |    CASE WHEN list_sum(list_transform(string_split(text, ' '),
+      |        w -> CASE WHEN substr(md5(w || '|' || j), 1, 1) >= '8'
+      |             THEN 1 ELSE -1 END)) >= 0
+      |      THEN '1' ELSE '0' END), '') AS simhash,
+      |  CAST(count(*) OVER (PARTITION BY array_to_string(list_transform(range(0, 16), j ->
+      |    CASE WHEN list_sum(list_transform(string_split(text, ' '),
+      |        w -> CASE WHEN substr(md5(w || '|' || j), 1, 1) >= '8'
+      |             THEN 1 ELSE -1 END)) >= 0
+      |      THEN '1' ELSE '0' END), '')) AS BIGINT) AS n_same
+      |FROM documents
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val tokens = split(col("text"), " ")
+    val simhash = array_join(
+      transform(sequence(lit(0), lit(15)), j =>
+        when(
+          aggregate(tokens, lit(0), (acc, w) =>
+            acc + when(
+              substring(md5(concat(w, lit("|"), j.cast("string"))), 1, 1) >= "8",
+              1).otherwise(-1)) >= 0,
+          "1").otherwise("0")),
+      "")
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhash.as("simhash"))
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .orderBy(col("doc_id"))
+  }
+}

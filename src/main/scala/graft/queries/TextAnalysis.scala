@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family over `documents`: token counting
+  * (whitespace + BPE-ish regex), lexical-quality scoring, document
+  * fingerprinting, and n-gram-heuristic language ID. All pure scans —
+  * embarrassingly parallel, no shuffle except the final presentation sort;
+  * every expression is a codegen'd built-in (no UDFs).
+  */
+object TextAnalysis {
+
+  def all: Seq[Q] = Seq(q37TextStats, q38LangId)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document lexical statistics and a composite quality score:
+    * whitespace tokens, regex (BPE-ish) tokens, type-token ratio, stopword
+    * ratio, punctuation ratio, average token length, quality =
+    * min(n/100, 1) × (1 − stop_ratio) × ttr, plus a 64-bit content
+    * fingerprint (minimum md5 over word-3-gram shingles — the shingle-min
+    * idiom used by winnowing-style fingerprinters).
+    */
+  val q37TextStats = Q(
+    "q37_text_stats",
+    s"""SELECT doc_id, n_tokens, n_regex_tokens, ttr, stop_ratio, punct_ratio,
+       |  avg_token_len,
+       |  round(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr, 6) AS quality,
+       |  fingerprint
+       |FROM (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,
+       |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 6) AS ttr,
+       |    round(CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 6) AS stop_ratio,
+       |    round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |      / length(text), 6) AS punct_ratio,
+       |    round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 6) AS avg_token_len,
+       |    substr(list_min(list_transform(range(1, len(string_split(text, ' ')) - 2 + 1),
+       |      i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+       |        || ' ' || string_split(text, ' ')[i + 2]))), 1, 16) AS fingerprint
+       |  FROM documents) t
+       |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val tokens = split(col("text"), " ")
+    val nTokens = size(tokens)
+    val ttr = round(size(array_distinct(tokens)).cast("double") / nTokens, 6)
+    val stopRatio = round(
+      size(filter(tokens, t => t.isin(stopwords: _*))).cast("double") / nTokens, 6)
+    val punctRatio = round(
+      (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
+        .cast("double") / length(col("text")), 6)
+    val avgTokenLen = round(
+      aggregate(tokens, lit(0), (acc, w) => acc + length(w)).cast("double") / nTokens, 6)
+    val fingerprint = substring(
+      array_min(transform(sequence(lit(1), nTokens - 2), i =>
+        md5(concat_ws(" ",
+          element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))),
+      1, 16)
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("n_regex_tokens"),
+        ttr.as("ttr"),
+        stopRatio.as("stop_ratio"),
+        punctRatio.as("punct_ratio"),
+        avgTokenLen.as("avg_token_len"),
+        fingerprint.as("fingerprint"))
+      .withColumn("quality",
+        round(least(col("n_tokens") / 100.0, lit(1.0))
+          * (lit(1.0) - col("stop_ratio")) * col("ttr"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("n_regex_tokens"), col("ttr"),
+        col("stop_ratio"), col("punct_ratio"), col("avg_token_len"),
+        col("quality"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-profile language ID: score each candidate language by its
+    * function-word hit count in the token stream; argmax with a fixed
+    * preference order on ties. Reported next to the labeled `lang` column as
+    * an accuracy flag.
+    */
+  val q38LangId = Q(
+    "q38_langid",
+    """SELECT doc_id, lang,
+      |  CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang,
+      |  (CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |        WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS is_match
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'is', 'of', 'and'))) AS s_en,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('le', 'la', 'et', 'de', 'un'))) AS s_fr,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('der', 'die', 'und', 'das', 'ein'))) AS s_de
+      |  FROM documents) t
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val tokens = split(col("text"), " ")
+    def score(ws: Seq[String]): Column =
+      size(filter(tokens, t => t.isin(ws: _*)))
+    val pred = when(
+      col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+      .when(col("s_fr") >= col("s_de"), "fr")
+      .otherwise("de")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"), col("lang"),
+        score(Seq("the", "a", "is", "of", "and")).as("s_en"),
+        score(Seq("le", "la", "et", "de", "un")).as("s_fr"),
+        score(Seq("der", "die", "und", "das", "ein")).as("s_de"))
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+        (pred === col("lang")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+}
