@@ -7,10 +7,16 @@ import java.nio.file.{Files, Paths}
   * emits one JSON line (stdout + ./bench_last.json so the result survives
   * sbt log noise).
   *
-  * Each query is forced through a `noop`-format write, NOT `count()` —
-  * count() lets Catalyst prune every unused column expression, so pure
-  * projection queries would be mostly unmeasured; the noop sink evaluates
-  * every output column and discards the rows (no disk, no collect).
+  * Methodology:
+  *  - each query is forced through a `noop`-format write, NOT `count()` —
+  *    count() lets Catalyst prune every unused column expression, so pure
+  *    projection queries would be mostly unmeasured; the noop sink evaluates
+  *    every output column and discards the rows (no disk, no collect).
+  *  - one full UNTIMED warmup pass first: single-shot timings on local[N]
+  *    are dominated by JIT/codegen/session warmup (the first query used to
+  *    absorb ~10 s of it); the timed pass then measures steady state.
+  *  - a query that throws is reported in "failed": [...] and its slot in
+  *    "queries" is -1, never a normal-looking tiny time.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,19 +31,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // warmup (untimed): JIT, codegen caches, parquet footer caches
+    queries.foreach { case (name, fn) => runOne(name, fn) }
+
+    val results = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = runOne(name, fn)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failed = results.collect { case (n, _, false) => n }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_last.json"), json + "\n")
     spark.stop()

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The remaining small SURVEY.md §2 operator families, one green query each:
+  * right/full outer joins, ntile + distribution window functions, map
+  * functions, approx_count_distinct (HLL), and OFFSET pagination.
+  */
+object Gaps {
+
+  def all: Seq[Q] = Seq(
+    q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
+    q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate)
+
+  /** FULL OUTER: per-nation customer counts vs supplier counts — each side
+    * has nations the other lacks, so both null directions are exercised.
+    */
+  val q39FullOuterJoin = Q(
+    "q39_full_outer_join",
+    """SELECT coalesce(a.nk, b.nk) AS nationkey, a.n_cust, b.n_supp
+      |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+      |      WHERE c_nationkey < 12 GROUP BY 1) a
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) b
+      |ON a.nk = b.nk
+      |ORDER BY nationkey NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val cust = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 12)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(s, d)
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.as("a")
+      .join(supp.as("b"), col("a.nk") === col("b.nk"), "full_outer")
+      .select(coalesce(col("a.nk"), col("b.nk")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** RIGHT OUTER: every customer keeps a row even with zero orders. */
+  val q40RightOuterJoin = Q(
+    "q40_right_outer_join",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ntile + the distribution window functions (percent_rank, cume_dist)
+    * over account balances within market segment.
+    */
+  val q41NtileQuartiles = Q(
+    "q41_ntile_quartiles",
+    """SELECT c_custkey, c_mktsegment,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Map functions: build a map per event, read it back (keys, lookup,
+    * size, concat). The oracle predicts the outputs from the map-free
+    * equivalents — insertion order of map_keys is part of the contract.
+    */
+  val q42MapFuncs = Q(
+    "q42_map_funcs",
+    """SELECT event_id,
+      |  'et,k' AS keys_csv,
+      |  event_type AS et_val,
+      |  json_extract_string(props, '$.k') AS k_val,
+      |  2 AS m_size,
+      |  3 AS m_size_concat
+      |FROM events
+      |ORDER BY event_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val m = map(
+      lit("et"), col("event_type"),
+      lit("k"), get_json_object(col("props"), "$.k"))
+    Tables.events(s, d)
+      .select(col("event_id"), m.as("m"))
+      .select(
+        col("event_id"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        element_at(col("m"), "et").as("et_val"),
+        element_at(col("m"), "k").as("k_val"),
+        size(col("m")).as("m_size"),
+        size(map_concat(col("m"), map(lit("src"), lit("events"))))
+          .as("m_size_concat"))
+      .orderBy(col("event_id"))
+  }
+
+  /** approx_count_distinct (HLL sketch) next to the exact count. No oracle:
+    * sketch estimates are engine-specific by construction — the driver
+    * records the weaker rows-present check. The relative-error contract is
+    * asserted in the ScalaTest suite instead.
+    */
+  val q43ApproxDistinct = Q.noOracle("q43_approx_distinct") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        count_distinct(col("o_custkey")).as("exact_cust"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** OFFSET pagination (S2's engine-side twin): page 3 of the order book.
+    * Catalyst folds orderBy+offset+limit into one GlobalLimit/Offset plan.
+    */
+  val q44OffsetPaginate = Q(
+    "q44_offset_paginate",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_orderkey NULLS FIRST
+      |LIMIT 50 OFFSET 100""".stripMargin,
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .offset(100)
+      .limit(50)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Exact
+import graft.streaming.Windows
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the Structured Streaming slice (SURVEY.md §2.9): the same
+  * [[graft.streaming.Windows]] logic run in batch mode so the driver's
+  * DuckDB oracle can check the window semantics; the streaming execution
+  * path of the identical plans is exercised by the ScalaTest suite
+  * (file source → watermark → memory sink).
+  */
+object StreamingQ {
+
+  def all: Seq[Q] = Seq(q45TumblingWindow, q46SessionWindow, q47SlidingWindow)
+
+  /** Tumbling 1h event-time windows: window start == date_trunc('hour'). */
+  val q45TumblingWindow = Q(
+    "q45_tumbling_window",
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+       |  event_type, count(*) AS n,
+       |  ${Exact.Sql.dsum("value")} AS sum_value,
+       |  min(value) AS min_value, max(value) AS max_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY win_start NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Windows.tumbling(Tables.events(s, d))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Session windows (30-min gap) via gaps-and-islands in the oracle: a new
+    * session starts when the inter-event gap is ≥ 30 minutes; session end =
+    * last event + gap (Spark session_window semantics).
+    */
+  val q46SessionWindow = Q(
+    "q46_session_window",
+    """WITH t AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |f AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM t),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT min(ts) AS sess_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS sess_end,
+      |  user_id, count(*) AS n_events
+      |FROM g
+      |GROUP BY user_id, sid
+      |ORDER BY user_id NULLS FIRST, sess_start NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Windows.session(Tables.events(s, d))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  /** Sliding windows (1h every 30min): each event contributes to exactly two
+    * windows — the oracle unions the two half-hour-aligned window starts.
+    */
+  val q47SlidingWindow = Q(
+    "q47_sliding_window",
+    """WITH t AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |w AS (
+      |  SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800)
+      |    * 1000000 AS BIGINT)) AS win_start, event_type FROM t
+      |  UNION ALL
+      |  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+      |    * 1000000 AS BIGINT)) AS win_start, event_type FROM t)
+      |SELECT win_start, event_type, count(*) AS n
+      |FROM w
+      |GROUP BY 1, 2
+      |ORDER BY win_start NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Windows.sliding(Tables.events(s, d))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.vera._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Chunking/rotation invariants of the export sink (SURVEY.md §5 property
+  * list): Σ file rows = table rows, every file ≤ rows_per_file, ranges
+  * contiguous and in key order, tail file short but nominally named; plus
+  * the closed dtype vocabulary and normalize semantics.
+  */
+class ExportSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_export_spec").toString
+
+  test("rotation invariants hold for a non-dense shuffled key") {
+    val n = 5432
+    val rpf = 1000L
+    // bijective scramble: input arrives in neither key nor index order
+    val df = spark.range(n).select(
+      expr("id ^ 10922").as("k"), // bitwise XOR: bijective key scramble
+      concat(lit("v"), col("id")).as("payload"))
+    val cfg = TableConfig("scrambled",
+      StructType(Seq(
+        StructField("k", LongType), StructField("payload", StringType))),
+      chunkSize = 100, numChunksPerFile = 10, compression = None)
+    val out = tmpDir()
+    val files = Export.exportTable(df, cfg, Seq("k"), out)
+
+    assert(files.length === math.ceil(n.toDouble / rpf).toInt)
+    assert(files.map(_.rows).sum === n)
+    assert(files.forall(_.rows <= rpf))
+    // tail file short, but nominally named with the full range (main.py:222)
+    assert(files.last.rows === n % rpf)
+    assert(files.last.fileName === s"scrambled_${5 * rpf}_${6 * rpf}.parquet")
+    // contiguity: concatenating files in fileNo order yields the global sort
+    val keysInFileOrder = files.flatMap { f =>
+      spark.read.parquet(s"$out/${f.fileName}")
+        .orderBy(col("k")).select(col("k")).collect().map(_.getLong(0))
+    }
+    assert(keysInFileOrder === keysInFileOrder.sorted)
+    assert(keysInFileOrder.distinct.length === n)
+  }
+
+  test("export is deterministic: two runs produce identical file contents") {
+    val df = spark.range(3333).select(col("id").as("k"), md5(col("id").cast("string")).as("v"))
+    val cfg = TableConfig("det",
+      StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+      chunkSize = 50, numChunksPerFile = 10, compression = None)
+    val (o1, o2) = (tmpDir(), tmpDir())
+    Export.exportTable(df, cfg, Seq("k"), o1)
+    Export.exportTable(df, cfg, Seq("k"), o2)
+    val a = spark.read.parquet(s"$o1/det_1000_1500.parquet").orderBy(col("k")).collect()
+    val b = spark.read.parquet(s"$o2/det_1000_1500.parquet").orderBy(col("k")).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("manifest lists every file in file order under the table key") {
+    val df = spark.range(250).select(col("id").as("k"))
+    val cfg = TableConfig("m",
+      StructType(Seq(StructField("k", LongType))),
+      chunkSize = 10, numChunksPerFile = 10)
+    val out = tmpDir()
+    val manifest = Export.exportAll(Seq((df, cfg, Seq("k"))), out, nowMillis = 1234L)
+    assert(manifest.timestamp === 1234L)
+    assert(manifest.files.map(_._1) === Seq("m"))
+    assert(manifest.files.head._2 === Seq(
+      "m/m_0_100_zstd.parquet", "m/m_100_200_zstd.parquet", "m/m_200_300_zstd.parquet"))
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/manifest.json")), "UTF-8")
+    assert(json.contains("\"timestamp\": 1234"))
+    assert(json.contains("\"m/m_200_300_zstd.parquet\""))
+  }
+
+  test("dtype vocabulary is closed: unsupported types are rejected") {
+    // the reference raises ValueError("Type not supported") (main.py:150);
+    // its dead UInt16 branch (main.py:130) is deliberately NOT carried over
+    for (bad <- Seq("UInt16", "float64", "category", ""))
+      intercept[IllegalArgumentException](Schemas.sparkType(bad))
+    assert(Schemas.fromDtypes(Seq("a" -> "Int64", "b" -> "json")).fieldNames
+      === Array("a", "b"))
+  }
+
+  test("normalize: JSON literal passthrough is bit-identical; tz strip to UTC") {
+    import spark.implicits._
+    val weird = """{"b":  true, "a": 1e3,"z": "Ü\n"}"""
+    val cfg = TableConfig("j",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "payload" -> "json",
+        "created_at" -> "datetime64[ns]")),
+      chunkSize = 10, numChunksPerFile = 1, jsonCols = Set("payload"))
+    val in = Seq((1L, weird, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-06-01T12:34:56.789Z"))))
+      .toDF("id", "payload", "created_at")
+    val row = Normalize(in, cfg).head
+    assert(row.getString(1) === weird) // byte-for-byte, true stays true
+    assert(row.get(2).toString === "2024-06-01T12:34:56.789") // UTC-naive
+  }
+
+  test("normalize fails fast on a missing declared column") {
+    import spark.implicits._
+    val cfg = TableConfig("x",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "nope" -> "string")),
+      chunkSize = 1, numChunksPerFile = 1)
+    val in = Seq(1L).toDF("id")
+    intercept[org.apache.spark.sql.AnalysisException](Normalize(in, cfg))
+  }
+
+  test("vera catalog matches the reference's 7 tables") {
+    assert(Schemas.tables.map(_.name) === Seq(
+      "code", "contracts", "contract_deployments", "compiled_contracts",
+      "compiled_contracts_sources", "sources", "verified_contracts"))
+    assert(Schemas.byName("sources").rowsPerFile === 10000L)
+    assert(Schemas.byName("contracts").rowsPerFile === 1000000L)
+    intercept[IllegalArgumentException](Schemas.byName("nope"))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.streaming.Windows
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming execution of the shared window logic: the streaming
+  * plans must produce exactly what their batch twins (q45 etc., oracle-
+  * checked by the driver) produce on the same input.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling windows equal the batch twin") {
+    val q = Windows.streamTumbling(spark, sf, "stream_tumbling")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_tumbling")
+        .orderBy(col("win_start"), col("event_type")).collect()
+      val batch = Windows.tumbling(Tables.events(spark, sf))
+        .orderBy(col("win_start"), col("event_type")).collect()
+      assert(streamed.length > 0)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups to the exact distinct key count") {
+    val q = Windows.streamDedup(spark, sf, "stream_dedup")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dedup").count()
+      val exact = Tables.events(spark, sf)
+        .select(col("user_id"), col("event_type")).distinct().count()
+      assert(streamed === exact)
+    } finally q.stop()
+  }
+}
