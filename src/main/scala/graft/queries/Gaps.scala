@@ -12,7 +12,7 @@ object Gaps {
 
   def all: Seq[Q] = Seq(
     q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
-    q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate)
+    q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral)
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
     * has nations the other lacks, so both null directions are exercised.
@@ -123,6 +123,37 @@ object Gaps {
         approx_count_distinct(col("o_custkey")).as("approx_cust"),
         count_distinct(col("o_custkey")).as("exact_cust"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** The literal set-operation OPERATORS — `intersect`/`except`/`union` as
+    * Spark plan nodes. q18 keeps its faster single-scan flag-aggregation
+    * rewrite of the same semantics; this query exists so the actual
+    * operators execute and stay covered (they plan as aggregate-rewritten
+    * joins in Catalyst).
+    */
+  val q49SetopsLiteral = Q(
+    "q49_setops_literal",
+    """WITH a AS (SELECT o_custkey AS k FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |             AND o_orderdate <  TIMESTAMP '1996-01-01'),
+      |     b AS (SELECT o_custkey AS k FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |             AND o_orderdate <  TIMESTAMP '1997-01-01')
+      |SELECT 'both' AS tag, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b) t1
+      |UNION ALL
+      |SELECT 'only95' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b) t2
+      |ORDER BY tag NULLS FIRST, k NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    def side(year: Int) =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("k"))
+    val a = side(1995)
+    val b = side(1996)
+    a.intersect(b).select(lit("both").as("tag"), col("k"))
+      .union(a.except(b).select(lit("only95").as("tag"), col("k")))
+      .orderBy(col("tag"), col("k"))
   }
 
   /** OFFSET pagination (S2's engine-side twin): page 3 of the order book.

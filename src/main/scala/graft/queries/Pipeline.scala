@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   */
 object Pipeline {
 
-  def all: Seq[Q] = Seq(q28ExportRoundtrip, q29ExportManifest, q30NormalizeCast)
+  def all: Seq[Q] = Seq(q28ExportRoundtrip, q29ExportManifest, q30NormalizeCast,
+    q50FormatSources)
 
   /** rows-per-file for the export queries: 200×10 = 2000 (a scaled-down
     * mirror of the reference's chunk_size × num_chunks_per_file law,
@@ -112,6 +113,37 @@ object Pipeline {
       .flatMap { case (t, keys) => keys.zipWithIndex.map { case (k, i) => (t, i.toLong, k) } }
       .toDF("table_name", "file_no", "object_name")
       .orderBy(col("table_name"), col("file_no"))
+  }
+
+  /** S8: non-parquet sources (CSV + JSON), read back with DECLARED schemas —
+    * never inference (the engine's schema-is-declared rule, SURVEY §1.2,
+    * applies to every source format). Round-trips `nation` through both
+    * formats and aggregates the union; the oracle sees each row exactly
+    * twice.
+    */
+  val q50FormatSources = Q(
+    "q50_format_sources",
+    """SELECT n_regionkey, 2 * count(*) AS n_rows,
+      |  CAST(2 * sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val out = scratch("q50", d)
+    val nationSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val nation = Tables.nation(s, d)
+    nation.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    nation.write.mode("overwrite").json(s"$out/json")
+    val fromCsv = s.read.schema(nationSchema).option("header", "true").csv(s"$out/csv")
+    val fromJson = s.read.schema(nationSchema).json(s"$out/json")
+    fromCsv.unionByName(fromJson)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_nationkey")).cast("long").as("sum_key"))
+      .orderBy(col("n_regionkey"))
   }
 
   /** P2: the declared-schema cast/normalize pipeline over `events` — tz-aware

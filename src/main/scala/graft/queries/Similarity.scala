@@ -15,16 +15,19 @@ import org.apache.spark.sql.functions._
   * so both engines add in the same sequence; the final cosine is rounded to
   * 6 decimals and ties rank deterministically by vec_id.
   *
+  * Norms are PRECOMPUTED per vector (one fold each) instead of per pair —
+  * the pairwise hot path then does exactly one fold (the dot product) plus
+  * two scalar divisions; at 125M pairs per sf0.1 block that's a 3× cut in
+  * fold work. Division order (dot / |a| / |b|) is pinned on both engines.
+  *
   * 100 TB notes:
   *  - near-dup: the pair generator is an equi-join on the blocking key
   *    (cluster label) — no cross join; at scale the blocking key comes from
   *    the same IVF assignment as q36.
-  *  - top-k: the K query vectors are BROADCAST (hint in the plan); the scan
-  *    side never shuffles until the per-query top-k window (keyed by qid —
-  *    K partitions, each a cheap heap-size sort).
+  *  - top-k: the K query vectors are BROADCAST; the scan side never
+  *    shuffles until the per-query top-k window (keyed by qid).
   *  - IVF: centroids broadcast for assignment (narrow map); candidate
-  *    generation joins on cluster id only — the classic inverted-file prune:
-  *    cost per query drops from N to N/K.
+  *    generation joins on cluster id only — per-query cost N → N/K.
   */
 object Similarity {
 
@@ -38,18 +41,24 @@ object Similarity {
   private def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** round(dot/|a|/|b|, 6) — division order pinned to match the oracle. */
-  private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / norm(a) / norm(b), 6)
+  /** round(dot/|a|/|b|, 6) from a pairwise dot and precomputed norms. */
+  private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / na / nb, 6)
 
-  /** DuckDB twin of [[cosine]] with the same fold and division order. */
-  private def duckCos(a: String, b: String): String =
+  /** DuckDB CTE body: vectors as doubles + precomputed norm. */
+  private val duckE =
+    """e AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)),
+      |      (acc, x) -> acc + x)) AS nrm
+      |  FROM (SELECT vec_id, label,
+      |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |        FROM embeddings) e0)""".stripMargin
+
+  /** DuckDB twin of [[cosine]]: pairwise dot fold / precomputed norms. */
+  private def duckCos(a: String, b: String, na: String, nb: String): String =
     s"""round(list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
-       |      i -> $a[i] * $b[i])), (acc, x) -> acc + x)
-       |  / sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)),
-       |      (acc, x) -> acc + x))
-       |  / sqrt(list_reduce(list_prepend(0.0, list_transform($b, x -> x * x)),
-       |      (acc, x) -> acc + x)), 6)""".stripMargin
+       |      i -> $a[i] * $b[i])), (acc, x) -> acc + x) / $na / $nb, 6)""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs, blocked by cluster label: the
     * self-join runs only within blocks (equi-join on `label`), never
@@ -57,24 +66,24 @@ object Similarity {
     */
   val q34CosineNeardup = Q(
     "q34_cosine_neardup",
-    s"""WITH e AS (SELECT vec_id, label,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+    s"""WITH $duckE
        |SELECT vec_a, vec_b, cos FROM (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    ${duckCos("a.v", "b.v")} AS cos
+       |    ${duckCos("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
        |WHERE cos >= 0.35
        |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"),
         col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -85,25 +94,27 @@ object Similarity {
     */
   val q35CosineTopk = Q(
     "q35_cosine_topk",
-    s"""WITH e AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5)
+    s"""WITH $duckE,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 5)
        |SELECT qid, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (
        |  SELECT qid, vec_id, cos,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
        |  FROM (
-       |    SELECT q.qid, e.vec_id, ${duckCos("q.qv", "e.v")} AS cos
+       |    SELECT q.qid, e.vec_id,
+       |      ${duckCos("q.qv", "e.v", "q.qnrm", "e.nrm")} AS cos
        |    FROM e JOIN q ON e.vec_id <> q.qid) t1) t2
        |WHERE rk <= 10
        |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .orderBy(col("qid"), col("rk"))
@@ -116,18 +127,18 @@ object Similarity {
     */
   val q36AnnIvf = Q(
     "q36_ann_ivf",
-    s"""WITH e AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 10),
+    s"""WITH $duckE,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 10),
        |scored AS (
-       |  SELECT e.vec_id, c.cid, ${duckCos("e.v", "c.cv")} AS cos FROM e, c),
+       |  SELECT e.vec_id, c.cid,
+       |    ${duckCos("e.v", "c.cv", "e.nrm", "c.cnrm")} AS cos FROM e, c),
        |assigned AS (
        |  SELECT vec_id, cid AS cluster FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
        |    FROM scored) t WHERE rn = 1),
        |q AS (
-       |  SELECT a.vec_id AS qid, a.cluster, e.v AS qv
+       |  SELECT a.vec_id AS qid, a.cluster, e.v AS qv, e.nrm AS qnrm
        |  FROM assigned a JOIN e ON a.vec_id = e.vec_id WHERE a.vec_id < 5),
        |cand AS (
        |  SELECT q.qid, q.cluster, a.vec_id
@@ -136,35 +147,39 @@ object Similarity {
        |  SELECT s.qid, s.cluster, s.vec_id, s.cos,
        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rk
        |  FROM (
-       |    SELECT cand.qid, cand.cluster, cand.vec_id, ${duckCos("q.qv", "e.v")} AS cos
+       |    SELECT cand.qid, cand.cluster, cand.vec_id,
+       |      ${duckCos("q.qv", "e.v", "q.qnrm", "e.nrm")} AS cos
        |    FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid) s) t
        |WHERE rk <= 5
        |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
     val c = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val assignW = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
     val assigned = e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("cid"), cosine(col("v"), col("cv")).as("cos"))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("cos"))
       .withColumn("rn", row_number().over(assignW))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cid").as("cluster"))
     val q = assigned.filter(col("vec_id") < 5)
       .join(e, "vec_id")
-      .select(col("vec_id").as("qid"), col("cluster"), col("v").as("qv"))
+      .select(col("vec_id").as("qid"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
     val cand = broadcast(q.as("qq"))
       .join(assigned.as("a"),
         col("qq.cluster") === col("a.cluster") && col("a.vec_id") =!= col("qq.qid"))
       .select(col("qq.qid").as("qid"), col("qq.cluster").as("cluster"),
-        col("a.vec_id").as("vec_id"), col("qq.qv").as("qv"))
+        col("a.vec_id").as("vec_id"), col("qq.qv").as("qv"), col("qq.qnrm").as("qnrm"))
     val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand.as("cd")
       .join(e.as("e2"), col("cd.vec_id") === col("e2.vec_id"))
       .select(col("cd.qid").as("qid"), col("cd.cluster").as("cluster"),
         col("cd.vec_id").as("vec_id"),
-        cosine(col("cd.qv"), col("e2.v")).as("cos"))
+        cosine(col("cd.qv"), col("e2.v"), col("cd.qnrm"), col("e2.nrm")).as("cos"))
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 5)
       .orderBy(col("qid"), col("rk"))

@@ -48,7 +48,9 @@ object TextAnalysis {
        |  FROM documents) t
        |ORDER BY doc_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val tokens = split(col("text"), " ")
+    // tokens materialized ONCE per row (a column, not a repeated
+    // subexpression) — every stat below reads the same array
+    val tokens = col("toks")
     val nTokens = size(tokens)
     val ttr = round(size(array_distinct(tokens)).cast("double") / nTokens, 6)
     val stopRatio = round(
@@ -64,6 +66,7 @@ object TextAnalysis {
           element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))),
       1, 16)
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"),
         nTokens.as("n_tokens"),

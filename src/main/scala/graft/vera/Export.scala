@@ -36,6 +36,14 @@ import java.time.Instant
   * (`timestamp` epoch-ms, `dateStr`, `files: {table: [objectKey]}`), with one
   * documented divergence: the reference stamps LOCAL time with a hard-coded
   * "Z" suffix (main.py:105) — we emit true UTC.
+  *
+  * Object-store sink (S6, `upload_to_s3` main.py:155-176): `outDir` is a
+  * Hadoop FileSystem URI, so `s3a://bucket/prefix` IS the S3 sink — the
+  * write, rename pass, and manifest all go through `FileSystem.get(uri)`;
+  * no local staging file survives (the reference's upload-then-delete,
+  * main.py:169-170, collapses into writing to the destination directly).
+  * The `objectName` field reproduces the reference's `{table}/{file}` key
+  * shape (main.py:237).
   */
 object Export {
 
