@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // G1 keeps pauses bounded on the large single-JVM heap; the default
+  // parallel collector showed 20s+ full-GC stalls inside allocation-heavy
+  // queries late in a 50-query bench session
+  "-XX:+UseG1GC",
 )

@@ -11,6 +11,9 @@ object Tool {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(8, "graft-tool")
     args.headOption match {
+      case Some("sql") =>
+        // Ad-hoc SQL against the session (extensions loaded): Tool sql "<q>"
+        spark.sql(args(1)).show(20, truncate = false)
       case Some("explain") =>
         // Plan audit: `runMain graft.Tool explain <query> [sfDir]`
         val name = args(1)

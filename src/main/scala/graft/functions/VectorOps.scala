@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector hot path (SURVEY.md §2.10
+  * policy: built-ins first; a custom `Expression` with `doGenCode` only
+  * where the built-ins measurably can't keep up).
+  *
+  * Why these exist: the similarity operators' inner loop is a dot product
+  * over ARRAY<DOUBLE>. The built-in formulation
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` allocates an intermediate
+  * array per pair and evaluates the fold through interpreted lambda calls —
+  * measured on this repo's bench, a fused fold variant of the same shape ran
+  * 10× slower than flat passes, and the pairwise path (125M pairs at sf0.1)
+  * is the single hottest loop in the engine. These expressions generate a
+  * tight scalar Java loop inside whole-stage codegen: no allocation, no
+  * virtual calls.
+  *
+  * SEMANTICS ARE PINNED to the built-in formulation they replace: ascending
+  * index order, `acc + a(i)*b(i)` left fold from 0.0 — bit-identical to
+  * `aggregate(zip_with(...))` and to the DuckDB oracle's
+  * `list_reduce(list_prepend(0.0, list_transform(...)))`, so swapping them
+  * in changes nothing in any hash compare. Null array elements are not
+  * supported (inputs come from a cast `transform`, which never produces
+  * them here); a null array yields null.
+  */
+object VectorOps {
+
+  /** Shared scalar loop: Σ a(i)·b(i) over the common prefix length. */
+  private[functions] def dotLoop(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
+/** `graft_dot(a, b)` — fused dot product over two ARRAY<DOUBLE> columns. */
+case class DotF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_dot expects (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLoop(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_norm(a)` — fused L2 norm: sqrt(Σ a(i)²), same fold discipline. */
+case class NormF64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_norm expects array<double>, got $t")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    math.sqrt(VectorOps.dotLoop(arr, arr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |final int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = $a.getDouble($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NormF64 =
+    copy(child = newChild)
+}

@@ -35,11 +35,16 @@ object Similarity {
 
   private def vec(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Fused native dot product ([[graft.functions.DotF64]], registered by
+    * GraftExtensions) — bit-identical to the built-in
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` fold it replaces, but a tight
+    * codegen'd loop with no per-pair array allocation.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   private def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    call_function("graft_norm", a)
 
   /** round(dot/|a|/|b|, 6) from a pairwise dot and precomputed norms. */
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
