@@ -19,6 +19,21 @@ object Tool {
         val name = args(1)
         val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
         SparkEntry.queries(name)(spark, dir).explain("formatted")
+      case Some("verify1") =>
+        // Single-query correctness dump: `runMain graft.Tool verify1 <query> [sfDir] [outDir]`
+        // then `python3 tools/check.py <sfDir> <outDir>`.
+        val name = args(1)
+        val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+        val out = if (args.length > 3) args(3) else "/tmp/verify_one"
+        new java.io.File(out).mkdirs()
+        SparkEntry.queries(name)(spark, dir).coalesce(1).write
+          .mode("overwrite").parquet(s"$out/$name")
+        val sql = SparkEntry.oracleSql(name)
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\t", "\\t")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+          s"""{"$name": "$sql"}""")
       case Some("envprobe") =>
         import graft.vera._
         val df = spark.range(0, 5000).selectExpr(
