@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.Exact
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,7 +13,8 @@ object Gaps {
 
   def all: Seq[Q] = Seq(
     q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
-    q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral)
+    q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
+    q53Pivot, q54Percentiles, q55SaltedAgg)
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
     * has nations the other lacks, so both null directions are exercised.
@@ -154,6 +156,87 @@ object Gaps {
     a.intersect(b).select(lit("both").as("tag"), col("k"))
       .union(a.except(b).select(lit("only95").as("tag"), col("k")))
       .orderBy(col("tag"), col("k"))
+  }
+
+  /** PIVOT: return-flag × line-status quantity matrix via Spark's
+    * `groupBy.pivot` with an explicit value list (explicit values keep the
+    * plan a single pass — no extra distinct-values job — and fix the output
+    * schema, which is what you want at 100 TB). Sums route through
+    * [[graft.functions.Exact.dsum]] for order-independence.
+    */
+  val q53Pivot = Q(
+    "q53_pivot",
+    s"""SELECT l_returnflag,
+       |  ${Exact.Sql.dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F",
+       |  ${Exact.Sql.dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O"
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Exact.dsum(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles (quantile_cont semantics) per group.
+    * l_quantity is integer-valued and the fractions are powers of two, so
+    * the lower + f·(upper−lower) interpolation is exact in IEEE double in
+    * both engines — no rounding needed. Spark plans this as a sort-based
+    * aggregate per group; at scale the per-group sort is the cost, which is
+    * why q43's sketch twin (approx_percentile ≈ KLL/GK) exists for the
+    * 100 TB path.
+    */
+  val q54Percentiles = Q(
+    "q54_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.50) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  max(l_quantity) AS qmax
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.50)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        max(col("l_quantity")).as("qmax"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Salted two-stage aggregation — the skew-mitigation idiom for a
+    * hot-key groupBy at 100 TB: stage 1 fans each key across 16 salt
+    * buckets (hash of the row id, NOT the key) so one hot event_type
+    * spreads over 16 reducers; stage 2 merges the per-salt partials. The
+    * result is provably salt-invariant, which the plain-GROUP-BY oracle
+    * checks. Counts add; double sums ride decimal partials so the extra
+    * merge level stays exact.
+    */
+  val q55SaltedAgg = Q(
+    "q55_salted_agg",
+    s"""SELECT event_type, count(*) AS n_events,
+       |  ${Exact.Sql.dsum("value")} AS sum_value
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val salted = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        pmod(hash(col("event_id")), lit(16)).as("salt"))
+      .agg(
+        count(lit(1)).as("c"),
+        sum(col("value").cast("decimal(18,4)")).as("sd"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        sum(col("sd")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
   }
 
   /** OFFSET pagination (S2's engine-side twin): page 3 of the order book.

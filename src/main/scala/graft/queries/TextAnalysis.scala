@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def all: Seq[Q] = Seq(q37TextStats, q38LangId)
+  def all: Seq[Q] = Seq(q37TextStats, q38LangId, q52Tfidf)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
@@ -84,6 +84,66 @@ object TextAnalysis {
         col("stop_ratio"), col("punct_ratio"), col("avg_token_len"),
         col("quality"), col("fingerprint"))
       .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * (tf / doc_len) × ln(N / df). Two hash-aggregates (doc×term tf, then
+    * term df) plus one broadcast of the tiny df/N sides — the per-doc top-k
+    * is a window over the doc_id shuffle already paid for by the tf agg. At
+    * 100 TB the df table is ~vocabulary-sized (millions of rows, still
+    * broadcastable or a cheap shuffle join on term); nothing is quadratic.
+    * Parity: ln() carries libm 1-ulp wobble → cast the ln to float32 before
+    * the multiply, then round(,6) and rank on the rounded score with a term
+    * tiebreak (house rule, see q34/q22).
+    */
+  val q52Tfidf = Q(
+    "q52_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |tf AS (
+      |  SELECT doc_id, n_tokens, term, count(*) AS tf FROM (
+      |    SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM tok) u
+      |  GROUP BY doc_id, n_tokens, term
+      |),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round((CAST(tf.tf AS DOUBLE) / tf.n_tokens)
+      |      * CAST(ln(CAST(n.n_docs AS DOUBLE) / df.df) AS FLOAT), 6) AS tfidf
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |)
+      |SELECT doc_id, term, tfidf, rk FROM (
+      |  SELECT doc_id, term, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 3
+      |ORDER BY doc_id NULLS FIRST, rk""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round((col("tf").cast("double") / col("n_tokens"))
+          * log(col("n_docs").cast("double") / col("df")).cast("float"), 6)
+          .as("tfidf"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
   }
 
   /** Stopword-profile language ID: score each candidate language by its
