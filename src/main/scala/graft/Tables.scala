@@ -27,6 +27,19 @@ object Tables {
   def documents(s: SparkSession, d: String)  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 
+  /** `documents` fanned out across the cluster for CPU-dense per-row work
+    * (shingling, per-gram digests, tokenization). The text table is tiny on
+    * disk — often a single parquet row group, i.e. a single input split —
+    * but explodes 100–1000× in compute, so without an explicit round-robin
+    * repartition the whole corpus would be processed by one task while the
+    * other N−1 cores idle. The shuffled bytes are just the raw text
+    * (negligible next to the per-gram hashing it unlocks); at 100 TB the
+    * same holds per-file, and the repartition additionally heals small-file
+    * / skewed-file-size imbalance.
+    */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** `ts` arrives as LongType (ns since epoch) under the nanosAsLong knob,
     * which every session builder ([[Engine]]/[[Verify]]/[[Bench]]) sets at
     * build time. ns→µs uses floor division (`(ts - pmod(ts,1000)) div 1000`

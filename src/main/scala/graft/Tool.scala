@@ -14,6 +14,14 @@ object Tool {
       case Some("sql") =>
         // Ad-hoc SQL against the session (extensions loaded): Tool sql "<q>"
         spark.sql(args(1)).show(20, truncate = false)
+      case Some("timesql") =>
+        // Hot-loop timing: `Tool timesql "<sql>"` — noop-writes the query
+        // 3× and prints each wall time (first run includes codegen warmup).
+        for (i <- 1 to 3) {
+          val t0 = System.nanoTime()
+          spark.sql(args(1)).write.format("noop").mode("overwrite").save()
+          println(f"RUN$i=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       case Some("explain") =>
         // Plan audit: `runMain graft.Tool explain <query> [sfDir]`
         val name = args(1)

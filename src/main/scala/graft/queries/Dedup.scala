@@ -53,7 +53,7 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY keep_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d)
       .groupBy(sha2(lower(substring(col("text"), 1, 50)), 256).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("keep_id"))
@@ -114,7 +114,7 @@ object Dedup {
   ) { (s, d) =>
     val B = 5 // bands
     val R = 3 // 32-bit slices per band
-    val sh = Tables.documents(s, d)
+    val sh = Tables.documentsWide(s, d)
       .select(col("doc_id"), shingles(col("text")).as("shingles"))
     // digs materialized once (4 md5s per shingle); each of the 15 minhash
     // components is then a cheap substring scan over the digest array.
@@ -177,8 +177,8 @@ object Dedup {
       |),
       |k AS (
       |  SELECT doc_id, grams,
-      |    list_min(list_transform(grams, x -> md5('0|' || x))) ||
-      |    list_min(list_transform(grams, x -> md5('1|' || x))) AS bk
+      |    coalesce(list_min(list_transform(grams, x -> md5('0|' || x))) ||
+      |      list_min(list_transform(grams, x -> md5('1|' || x))), '') AS bk
       |  FROM g
       |)
       |SELECT doc_a, doc_b, jaccard FROM (
@@ -194,9 +194,15 @@ object Dedup {
         col("text").substr(i, lit(5))))
     def minDigest(prefix: String): Column =
       array_min(transform(col("grams"), g => md5(concat(lit(prefix), g))))
-    val keyed = Tables.documents(s, d)
+    // coalesce makes bk non-nullable: otherwise InferFiltersFromConstraints
+    // derives isnotnull(bk) from the join key and pushes it BELOW the
+    // projection, re-evaluating the whole gram+md5 pipeline a second time
+    // per side (measured 2× on this query). The '' key only ever groups
+    // sub-5-char docs, whose empty gram sets can't pass the jaccard filter.
+    val keyed = Tables.documentsWide(s, d)
       .select(col("doc_id"), grams.as("grams"))
-      .withColumn("bk", concat(minDigest("0|"), minDigest("1|")))
+      .withColumn("bk",
+        coalesce(concat(minDigest("0|"), minDigest("1|")), lit("")))
     val jaccard = round(
       size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
         size(array_distinct(concat(col("a.grams"), col("b.grams")))), 6)
@@ -241,7 +247,7 @@ object Dedup {
             acc + when(h.substr(j + 1, lit(1)) >= "8", 1).otherwise(-1)) >= 0,
           "1").otherwise("0")),
       "")
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d)
       .select(col("doc_id"),
         transform(split(col("text"), " "), w => md5(w)).as("digs"))
       .select(col("doc_id"), simhash.as("simhash"))

@@ -14,7 +14,7 @@ object Gaps {
   def all: Seq[Q] = Seq(
     q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
-    q53Pivot, q54Percentiles, q55SaltedAgg)
+    q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets)
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
     * has nations the other lacks, so both null directions are exercised.
@@ -237,6 +237,68 @@ object Gaps {
         sum(col("c")).as("n_events"),
         sum(col("sd")).cast("double").as("sum_value"))
       .orderBy(col("event_type"))
+  }
+
+  /** UNPIVOT (melt) — q53's inverse: wide per-flag metric columns back to
+    * long (flag, metric, val) rows via the native `Dataset.unpivot`
+    * operator (plans as Expand: one pass, rows×metrics output, no shuffle
+    * beyond the agg already paid). Oracle spells it UNION ALL, the
+    * portable equivalent.
+    */
+  val q56Unpivot = Q(
+    "q56_unpivot",
+    s"""WITH a AS (
+       |  SELECT l_returnflag,
+       |    ${Exact.Sql.dsum("l_extendedprice")} AS sum_price,
+       |    ${Exact.Sql.dsum("l_discount")} AS sum_disc,
+       |    ${Exact.Sql.dsum("l_tax")} AS sum_tax
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, metric, val FROM (
+       |  SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM a
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS val FROM a
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_tax' AS metric, sum_tax AS val FROM a) t
+       |ORDER BY l_returnflag NULLS FIRST, metric NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        Exact.dsum(col("l_extendedprice")).as("sum_price"),
+        Exact.dsum(col("l_discount")).as("sum_disc"),
+        Exact.dsum(col("l_tax")).as("sum_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_price"), col("sum_disc"), col("sum_tax")),
+        "metric", "val")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  /** Explicit GROUPING SETS — the general form behind q11's ROLLUP and
+    * q12's CUBE: two independent one-dimension marginals plus the grand
+    * total in a single pass (Expand → one hash aggregate), instead of
+    * three scans unioned.
+    */
+  val q57GroupingSets = Q(
+    "q57_grouping_sets",
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+       |  COALESCE(o_orderpriority, 'ALL') AS pri,
+       |  count(*) AS n, ${Exact.Sql.dsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY st NULLS FIRST, pri NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+        col("n"), col("sum_price"))
+      .orderBy(col("st"), col("pri"))
   }
 
   /** OFFSET pagination (S2's engine-side twin): page 3 of the order book.

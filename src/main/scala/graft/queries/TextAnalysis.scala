@@ -65,7 +65,7 @@ object TextAnalysis {
         md5(concat_ws(" ",
           element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))),
       1, 16)
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"),
@@ -89,9 +89,16 @@ object TextAnalysis {
   /** TF-IDF keyword extraction: top-3 terms per document by
     * (tf / doc_len) × ln(N / df). Two hash-aggregates (doc×term tf, then
     * term df) plus one broadcast of the tiny df/N sides — the per-doc top-k
-    * is a window over the doc_id shuffle already paid for by the tf agg. At
+    * is a window over the doc_id shuffle already paid for by the tf agg,
+    * and Spark pushes the k≤3 limit into the sort (WindowGroupLimit). At
     * 100 TB the df table is ~vocabulary-sized (millions of rows, still
     * broadcastable or a cheap shuffle join on term); nothing is quadratic.
+    * The df side re-derives tf from the source (the plan scans documents
+    * twice) — deliberate: the single-scan alternative, a count() window
+    * partitioned by term, would pin every row of a hot term ("the") on one
+    * task, while the re-aggregation is map-side-combined and skew-free; on
+    * a cluster, persist the tf stage to trade storage for the second
+    * tokenization pass.
     * Parity: ln() carries libm 1-ulp wobble → cast the ln to float32 before
     * the multiply, then round(,6) and rank on the rounded score with a term
     * tiebreak (house rule, see q34/q22).
@@ -122,7 +129,7 @@ object TextAnalysis {
       |ORDER BY doc_id NULLS FIRST, rk""".stripMargin,
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsWide(s, d)
     val tf = docs
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
         explode(split(col("text"), " ")).as("term"))
@@ -176,7 +183,7 @@ object TextAnalysis {
       col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
       .when(col("s_fr") >= col("s_de"), "fr")
       .otherwise("de")
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d)
       .select(
         col("doc_id"), col("lang"),
         score(Seq("the", "a", "is", "of", "and")).as("s_en"),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 
 import graft.functions.Exact
 
@@ -74,6 +74,53 @@ object Windows {
       .format("memory")
       .queryName(tableName)
       .outputMode("complete")
+      .start()
+  }
+
+  /** Custom keyed state via `mapGroupsWithState` (SURVEY.md §2.9): a running
+    * per-user event counter, the minimal shape of any bespoke stateful
+    * operator (sessionization, CDC merge, enrichment caches). Each
+    * micro-batch folds its events into the user's persisted count and emits
+    * the new total (update mode). State is bounded by an EVENT-TIME timeout
+    * one hour past the watermark — on an unbounded stream every idle key is
+    * evicted, which is what keeps the state store from growing without
+    * bound at scale; the timeout branch emits a tombstone row (`closed =
+    * true`) with the final count.
+    */
+  def streamRunningCount(
+      spark: SparkSession, sfDir: String, tableName: String): StreamingQuery = {
+    import spark.implicits._
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long, Boolean)](
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val total = state.get
+            state.remove()
+            (user, total, true)
+          } else {
+            val total = state.getOption.getOrElse(0L) + events.size
+            state.update(total)
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + 60L * 60 * 1000)
+            (user, total, false)
+          }
+      }
+      .toDF("user_id", "n_events", "closed")
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("update")
       .start()
   }
 

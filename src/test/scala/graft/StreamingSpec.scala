@@ -22,6 +22,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running count converges to the batch group count") {
+    val q = Windows.streamRunningCount(spark, sf, "stream_state")
+    try {
+      q.processAllAvailable()
+      // update-mode memory sink holds one row per (user, batch) emission,
+      // plus possible timeout tombstones — the per-user max is the final
+      // running total either way
+      val streamed = spark.table("stream_state")
+        .groupBy(col("user_id")).agg(max(col("n_events")).as("n"))
+        .orderBy(col("user_id")).collect()
+      val batch = Tables.events(spark, sf)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id")).collect()
+      assert(streamed.length > 0)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups to the exact distinct key count") {
     val q = Windows.streamDedup(spark, sf, "stream_dedup")
     try {
