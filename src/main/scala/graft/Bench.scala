@@ -50,11 +50,22 @@ object Bench {
     // warmup (untimed): JIT, codegen caches, parquet footer caches
     queries.foreach { case (name, fn) => runOne(name, fn) }
 
-    val results = queries.map { case (name, fn) =>
+    // Two timed passes, min per query: single-shot numbers swing wildly
+    // (q01 measured 1.2s ↔ 15.5s run-to-run) depending on where G1 mixed
+    // cycles happen to land — min-of-2 reports the steady-state cost a
+    // pause didn't land on. Explicit System.gc() barriers were tried and
+    // are WORSE: a full GC tears down JIT state for the Janino-generated
+    // codegen classes, and codegen-heavy queries then rerun cold (q32
+    // measured 5s → 48s with a gc() before each query).
+    def timedPass() = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = runOne(name, fn)
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0, ok)
+    }
+    val (p1, p2) = (timedPass(), timedPass())
+    val results = p1.zip(p2).map { case ((n, s1, ok1), (_, s2, ok2)) =>
+      (n, if (ok1 && ok2) math.min(s1, s2) else -1.0, ok1 && ok2)
     }
     val failed = results.collect { case (n, _, false) => n }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

@@ -221,9 +221,9 @@ object Dedup {
     * parallel scan — the only shuffle is the fingerprint window count.
     *
     * ONE md5 per token: bit j's ±1 comes from hex nibble j of the token's
-    * digest (each nibble's top bit is an independent unbiased coin). The
-    * digest array is materialized once per row, so the 16 bit-sums share it
-    * — measured 6.6s → the md5 budget drops 16× vs hashing per (token, j).
+    * digest (each nibble's top bit is an independent unbiased coin), so the
+    * 16 bit-sums share a single digest — 16× less hashing than a
+    * per-(token, j) hash.
     */
   val q33SimhashFingerprint = Q(
     "q33_simhash_fingerprint",
@@ -240,16 +240,27 @@ object Dedup {
       |    FROM documents) dg) t
       |ORDER BY doc_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val simhash = array_join(
-      transform(sequence(lit(0), lit(15)), j =>
-        when(
-          aggregate(col("digs"), lit(0), (acc, h) =>
-            acc + when(h.substr(j + 1, lit(1)) >= "8", 1).otherwise(-1)) >= 0,
-          "1").otherwise("0")),
-      "")
-    Tables.documentsWide(s, d)
-      .select(col("doc_id"),
-        transform(split(col("text"), " "), w => md5(w)).as("digs"))
+    // explode + 16 conditional SUMs in one hash aggregate, NOT 16
+    // aggregate() lambda folds over a digest array: higher-order-function
+    // folds run interpreted per element, and in a long session their
+    // Expression.eval call sites go megamorphic — this query benched 2s
+    // isolated but 23s inside the full suite. The exploded form is plain
+    // whole-stage-codegen'd sum(CASE WHEN ...) all the way down, immune to
+    // profile pollution, and map-side-combines to one row per doc before
+    // the shuffle.
+    val toks = Tables.documentsWide(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val bitSums = (0 to 15).map { j =>
+      sum(when(substring(col("h"), j + 1, 1) >= "8", 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val simhash = concat((0 to 15).map { j =>
+      when(col(s"b$j") >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+    toks
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), simhash.as("simhash"))
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy(col("simhash"))))

@@ -14,7 +14,8 @@ object Gaps {
   def all: Seq[Q] = Seq(
     q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
-    q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets)
+    q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
+    q58ApproxPercentile)
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
     * has nations the other lacks, so both null directions are exercised.
@@ -185,8 +186,8 @@ object Gaps {
     * the lower + f·(upper−lower) interpolation is exact in IEEE double in
     * both engines — no rounding needed. Spark plans this as a sort-based
     * aggregate per group; at scale the per-group sort is the cost, which is
-    * why q43's sketch twin (approx_percentile ≈ KLL/GK) exists for the
-    * 100 TB path.
+    * why the sketch twin q58 (approx_percentile, a mergeable GK-style
+    * summary) is the 100 TB path.
     */
   val q54Percentiles = Q(
     "q54_percentiles",
@@ -206,6 +207,23 @@ object Gaps {
         expr("percentile(l_quantity, 0.50)").as("p50"),
         expr("percentile(l_quantity, 0.75)").as("p75"),
         max(col("l_quantity")).as("qmax"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** approx_percentile — q54's sketch twin: a mergeable quantile summary
+    * (partial sketches combine associatively, so the agg stays map-side
+    * partial + small exchange instead of a per-group sort). No oracle:
+    * sketch outputs are engine-specific by construction — the driver
+    * records rows-present; the accuracy contract (exact match on this
+    * integer-valued column at accuracy 10000) is asserted in the ScalaTest
+    * suite against q54's exact percentiles.
+    */
+  val q58ApproxPercentile = Q.noOracle("q58_approx_percentile") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+          .as("approx_pcts"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -21,6 +21,21 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q58 approx_percentile tracks q54 exact percentiles within 1 unit") {
+    import org.apache.spark.sql.Row
+    val exact = queries.Gaps.q54Percentiles.fn(spark, sf).collect()
+      .map { case Row(f: String, p25: Double, p50: Double, p75: Double, _) =>
+        f -> Seq(p25, p50, p75) }.toMap
+    val approx = queries.Gaps.q58ApproxPercentile.fn(spark, sf).collect()
+      .map { case Row(f: String, ps: scala.collection.Seq[_]) =>
+        f -> ps.toSeq.map(_.asInstanceOf[Double]) }.toMap
+    assert(approx.keySet === exact.keySet)
+    for ((f, ps) <- approx; (a, e) <- ps.zip(exact(f)))
+      // approx returns an actual data value; exact interpolates — on this
+      // integer-valued column they differ by at most one quantity unit
+      assert(math.abs(a - e) <= 1.0, s"flag $f: approx $a vs exact $e")
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} runs on sf0.001 with distinct non-empty column names") {
       val df = q.fn(spark, sf)
