@@ -45,8 +45,17 @@ object Tables {
     * build time. ns→µs uses floor division (`(ts - pmod(ts,1000)) div 1000`
     * floors even for pre-epoch negatives), matching DuckDB's ns→µs read.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // fail fast with guidance on foreign sessions: without the knob the
+    // scan dies later with a cryptic "Illegal Parquet type: INT64
+    // (TIMESTAMP(NANOS,...))". Deliberately NOT conf.set here — a table
+    // loader must not mutate session state behind the caller's back.
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS); build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (Engine.session does)")
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+  }
 }

@@ -36,12 +36,18 @@ object Tool {
         new java.io.File(out).mkdirs()
         SparkEntry.queries(name)(spark, dir).coalesce(1).write
           .mode("overwrite").parquet(s"$out/$name")
-        val sql = SparkEntry.oracleSql(name)
-          .replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", "\\n").replace("\t", "\\t")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(s"$out/oracle_sql.json"),
-          s"""{"$name": "$sql"}""")
+        SparkEntry.oracleSql.get(name) match {
+          case Some(o) =>
+            val sql = o.replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\t", "\\t")
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+              s"""{"$name": "$sql"}""")
+          case None =>
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$out/oracle_sql.json"), "{}")
+            println(s"[verify1] $name has no oracle (rows-only check); dump written")
+        }
       case Some("envprobe") =>
         import graft.vera._
         val df = spark.range(0, 5000).selectExpr(

@@ -22,6 +22,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any previous dump: in a REUSED outDir (the local dev loop)
+        // a stale result would silently stand in for the failed query and
+        // the compare would grade the wrong code
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -24,18 +24,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * index order, `acc + a(i)*b(i)` left fold from 0.0 — bit-identical to
   * `aggregate(zip_with(...))` and to the DuckDB oracle's
   * `list_reduce(list_prepend(0.0, list_transform(...)))`, so swapping them
-  * in changes nothing in any hash compare. Null array elements are not
-  * supported (inputs come from a cast `transform`, which never produces
-  * them here); a null array yields null.
+  * in changes nothing in any hash compare. The null cases are pinned too:
+  * a null array, arrays of UNEQUAL length (zip_with pads the short side
+  * with null), or any null element all yield NULL — a corrupt/short vector
+  * diverges loudly, exactly like the built-ins, instead of silently
+  * contributing a prefix dot product.
   */
 object VectorOps {
 
-  /** Shared scalar loop: Σ a(i)·b(i) over the common prefix length. */
-  private[functions] def dotLoop(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Shared scalar fold: Σ a(i)·b(i), or null on length mismatch / null
+    * element (boxed so the null can flow through eval).
+    */
+  private[functions] def dotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 }
@@ -53,10 +62,11 @@ case class DotF64(left: Expression, right: Expression)
           s"graft_dot expects (array<double>, array<double>), got ($l, $r)")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch / null elem
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dotLoop(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorOps.dotOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -64,12 +74,17 @@ case class DotF64(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -78,7 +93,9 @@ case class DotF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `graft_norm(a)` — fused L2 norm: sqrt(Σ a(i)²), same fold discipline. */
+/** `graft_norm(a)` — fused L2 norm: sqrt(Σ a(i)²), same fold discipline
+  * (null elements → NULL).
+  */
 case class NormF64(child: Expression)
     extends UnaryExpression {
 
@@ -89,11 +106,13 @@ case class NormF64(child: Expression)
         s"graft_norm expects array<double>, got $t")
     }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on null element
   override def prettyName: String = "graft_norm"
 
   override protected def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
-    math.sqrt(VectorOps.dotLoop(arr, arr))
+    val d = VectorOps.dotOrNull(arr, arr)
+    if (d == null) null else math.sqrt(d.doubleValue())
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -106,10 +125,11 @@ case class NormF64(child: Expression)
          |final int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $x = $a.getDouble($i);
          |  $acc += $x * $x;
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
+         |if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
     })
 

@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   *  - exact dedup: one hash-partition shuffle on the content hash; map-side
   *    partial aggregation keeps the exchange small.
   *  - MinHash LSH: candidates come ONLY from equi-joins on (band, signature)
-  *    buckets — never an all-pairs product. Band count/rows-per-band (B=8,
-  *    r=2) bound the false-positive mass; the final exact-Jaccard filter is
+  *    buckets — never an all-pairs product. Band count/rows-per-band (B=5,
+  *    r=3) bound the false-positive mass; the final exact-Jaccard filter is
   *    computed per candidate pair only.
   *  - SimHash: embarrassingly parallel fingerprinting (no shuffle until the
   *    fingerprint group-count).
@@ -28,15 +28,22 @@ object Dedup {
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard)
 
-  /** Word-3-gram shingle set (order-free, distinct). */
+  /** Word-3-gram shingle set (order-free, distinct). Docs with <3 tokens
+    * yield an EMPTY set: Spark's sequence(1, n) DESCENDS when n < 1
+    * ([1, 0], default step -1) and element_at(words, 0) then throws —
+    * unlike DuckDB's range(), which is empty. The guard keeps both engines
+    * (and short-doc corpora) on the empty-set semantics.
+    */
   private def shingles(text: Column): Column = {
     val words = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(1), size(words) - 2), i =>
-        concat_ws(" ",
-          element_at(words, i),
-          element_at(words, i + 1),
-          element_at(words, i + 2))))
+    val n = size(words) - 2
+    when(n < 1, typedLit(Seq.empty[String])).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), n), i =>
+          concat_ws(" ",
+            element_at(words, i),
+            element_at(words, i + 1),
+            element_at(words, i + 2)))))
   }
 
   /** Exact content-hash dedup with keep-first semantics: canonicalize
@@ -67,8 +74,9 @@ object Dedup {
     *
     * Hashing layout (the hot path at scale): only FOUR md5 calls per
     * shingle; each 128-bit digest is sliced into four 32-bit (8-hex-char)
-    * values, giving 16 independent minhash components consumed as B=5 bands
-    * × r=3 rows. r=3 makes a background-similarity pair ~j³ likely per band
+    * values, giving 16 independent minhash components of which B×r = 15
+    * are consumed as B=5 bands × r=3 rows (one slice spare). r=3 makes a
+    * background-similarity pair ~j³ likely per band
     * (steep candidate cutoff) while j≈0.97 true near-dups are certain;
     * slicing instead of hashing per component is a 4× md5 reduction —
     * measured 21.5s → the md5 budget drops from 16 to 4 per shingle.
@@ -179,7 +187,7 @@ object Dedup {
       |  SELECT doc_id, grams,
       |    coalesce(list_min(list_transform(grams, x -> md5('0|' || x))) ||
       |      list_min(list_transform(grams, x -> md5('1|' || x))), '') AS bk
-      |  FROM g
+      |  FROM g WHERE len(grams) > 0
       |)
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -189,18 +197,26 @@ object Dedup {
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val grams = array_distinct(
-      transform(sequence(lit(1), length(col("text")) - 4), i =>
-        col("text").substr(i, lit(5))))
+    // same short-input guard as shingles(): sequence(1, n<1) descends and
+    // substr(text, 0, 5) wraps to position 1 — Spark would fabricate a
+    // gram for sub-5-char docs where DuckDB's range() yields none
+    val nGrams = length(col("text")) - 4
+    val grams = when(nGrams < 1, typedLit(Seq.empty[String])).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), nGrams), i =>
+          col("text").substr(i, lit(5)))))
     def minDigest(prefix: String): Column =
       array_min(transform(col("grams"), g => md5(concat(lit(prefix), g))))
-    // coalesce makes bk non-nullable: otherwise InferFiltersFromConstraints
+    // empty-gram (sub-5-char) docs are excluded BEFORE keying: they can't
+    // be near-dups, and under ANSI mode their 0-gram union would make the
+    // jaccard division throw. The coalesce makes bk non-nullable (it can't
+    // actually be null post-filter): otherwise InferFiltersFromConstraints
     // derives isnotnull(bk) from the join key and pushes it BELOW the
     // projection, re-evaluating the whole gram+md5 pipeline a second time
-    // per side (measured 2× on this query). The '' key only ever groups
-    // sub-5-char docs, whose empty gram sets can't pass the jaccard filter.
+    // per side (measured 2× on this query).
     val keyed = Tables.documentsWide(s, d)
       .select(col("doc_id"), grams.as("grams"))
+      .filter(size(col("grams")) > 0)
       .withColumn("bk",
         coalesce(concat(minDigest("0|"), minDigest("1|")), lit("")))
     val jaccard = round(

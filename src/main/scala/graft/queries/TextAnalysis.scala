@@ -60,11 +60,15 @@ object TextAnalysis {
         .cast("double") / length(col("text")), 6)
     val avgTokenLen = round(
       aggregate(tokens, lit(0), (acc, w) => acc + length(w)).cast("double") / nTokens, 6)
-    val fingerprint = substring(
-      array_min(transform(sequence(lit(1), nTokens - 2), i =>
-        md5(concat_ws(" ",
-          element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))),
-      1, 16)
+    // <3-token docs: NULL fingerprint (mirrors DuckDB's list_min([]) →
+    // NULL); without the guard Spark's sequence(1, n<1) descends through
+    // index 0 and element_at throws
+    val fingerprint = when(nTokens - 2 < 1, lit(null).cast("string")).otherwise(
+      substring(
+        array_min(transform(sequence(lit(1), nTokens - 2), i =>
+          md5(concat_ws(" ",
+            element_at(tokens, i), element_at(tokens, i + 1), element_at(tokens, i + 2))))),
+        1, 16))
     Tables.documentsWide(s, d)
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(

@@ -230,7 +230,13 @@ object Export {
       val cfg = if (debug) cfg0.copy(chunkSize = math.max(1, cfg0.chunkSize / 100)) else cfg0
       var df = source(cfg)
       offset.foreach { n => df = df.orderBy(orderBy(cfg).map(col): _*).offset(n.toInt) }
-      if (debug) df = df.limit(cfg.rowsPerFile.toInt) // stop after first file
+      if (debug) {
+        // order BEFORE limiting: limit on an unordered frame takes
+        // whichever rows get scanned first, so two debug runs could export
+        // different subsets (the reference's cursor order is deterministic)
+        if (offset.isEmpty) df = df.orderBy(orderBy(cfg).map(col): _*)
+        df = df.limit(cfg.rowsPerFile.toInt) // stop after first file
+      }
       (df, cfg, orderBy(cfg))
     }
     exportAll(jobs, outDir)

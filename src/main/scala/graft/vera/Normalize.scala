@@ -33,22 +33,18 @@ object Normalize {
     */
   def apply(df: DataFrame, cfg: TableConfig): DataFrame = {
     val cols = cfg.schema.fields.map { field =>
-      val in = col(field.name)
-      val out = field.dataType match {
-        // created_at/updated_at: tz-aware instant → UTC-naive wall clock.
-        case TimestampNTZType if Normalize.tzStripCols(field.name) =>
-          in.cast(TimestampNTZType)
-        case StringType if cfg.jsonCols(field.name) =>
-          // literal JSON passthrough: cast only (a no-op for string input);
-          // deliberately NOT to_json(from_json(...)).
-          in.cast(StringType)
-        case dt => in.cast(dt)
-      }
-      out.as(field.name)
+      // the declared-type cast IS each normalization here: tz-aware →
+      // NTZ under the pinned-UTC session is the tz-strip; string → string
+      // is the literal JSON passthrough (deliberately NOT
+      // to_json(from_json(...))); bytea arrives as native BinaryType.
+      // Deliberate generalization vs the reference: main.py:117-119
+      // name-gates the tz-strip to created_at/updated_at because pandas
+      // can't see declared types — here the schema declares which columns
+      // are NTZ (in the VerA catalog that is exactly those two names,
+      // Schemas.scala), so the gate is the type declaration itself and
+      // already-naive inputs pass through the same cast as a no-op.
+      col(field.name).cast(field.dataType).as(field.name)
     }
     df.select(cols.toIndexedSeq: _*)
   }
-
-  /** Only these names are tz-normalized (main.py:117). */
-  val tzStripCols: Set[String] = Set("created_at", "updated_at")
 }

@@ -60,6 +60,10 @@ def canon(v):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (bytes, bytearray, memoryview)):
         return "0x" + bytes(v).hex()
+    if isinstance(v, str):
+        # tag strings so '7' != int 7, 'NULL' != SQL NULL, 'true' != bool
+        # true — the driver's hash is type-sensitive for exactly these
+        return "s:" + v
     return str(v)
 
 
