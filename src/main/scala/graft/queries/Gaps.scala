@@ -15,7 +15,7 @@ object Gaps {
     q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
-    q58ApproxPercentile)
+    q58ApproxPercentile, q59CollectAgg)
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
     * has nations the other lacks, so both null directions are exercised.
@@ -225,6 +225,32 @@ object Gaps {
         expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
           .as("approx_pcts"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** collect_set list-fold — the manifest-fold idiom (SURVEY §2.4: the
+    * reference's one real aggregation groups uploaded file keys into
+    * per-table lists, main.py:240-243). collect_set's order is
+    * partition-dependent, so array_sort pins it for the oracle; at scale
+    * the collected list must be BOUNDED per group (here ≤3 statuses) —
+    * unbounded collect_list of a hot group is a driver/executor OOM, which
+    * is why the engine's exports accumulate file keys per table (small)
+    * and never collect row-level data.
+    */
+  val q59CollectAgg = Q(
+    "q59_collect_agg",
+    """SELECT o_orderpriority,
+      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** Salted two-stage aggregation — the skew-mitigation idiom for a
