@@ -13,7 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQ {
 
-  def all: Seq[Q] = Seq(q45TumblingWindow, q46SessionWindow, q47SlidingWindow)
+  def all: Seq[Q] = Seq(
+    q45TumblingWindow, q46SessionWindow, q47SlidingWindow, q60StreamJoinTwin)
+
+  /** Batch twin of the stream-stream interval join
+    * ([[Windows.streamViewPurchase]], equality asserted in StreamingSpec):
+    * view→purchase attribution pairs within 30 minutes per user.
+    */
+  val q60StreamJoinTwin = Q(
+    "q60_stream_join_twin",
+    """SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id
+      |FROM events v JOIN events b
+      |  ON v.user_id = b.user_id
+      | AND v.event_type = 'view' AND b.event_type = 'purchase'
+      | AND CAST(b.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+      | AND CAST(b.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+      |ORDER BY v.user_id NULLS FIRST, view_id NULLS FIRST, buy_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Windows.viewPurchasePairs(Tables.events(s, d))
+      .orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
 
   /** Tumbling 1h event-time windows: window start == date_trunc('hour'). */
   val q45TumblingWindow = Q(

@@ -124,6 +124,62 @@ object Windows {
       .start()
   }
 
+  /** Batch twin of [[streamViewPurchase]]: every (view, purchase) pair for
+    * a user where the purchase follows the view by 0–30 minutes. In batch
+    * this is a plain interval join; both sides come from one `events`
+    * relation.
+    */
+  def viewPurchasePairs(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val buys = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("b_ts"))
+    views.join(buys,
+      col("v_user") === col("b_user") &&
+        col("b_ts") >= col("v_ts") &&
+        col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("buy_id"))
+  }
+
+  /** STREAM-STREAM inner join — the attribution shape (impressions ×
+    * conversions) that dominates real event pipelines: views join purchases
+    * by user within a 0–30-minute event-time interval. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, which is what lets Spark evict join state — without the
+    * time bound each side's state would grow with the whole stream. The
+    * same condition at 100 TB: state ≈ one watermark-window of the smaller
+    * side per user, shuffled by user_id.
+    */
+  def streamViewPurchase(
+      spark: SparkSession, sfDir: String, tableName: String): StreamingQuery = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def side() = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    val views = side().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val buys = side().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    views.join(buys,
+      col("v_user") === col("b_user") &&
+        col("b_ts") >= col("v_ts") &&
+        col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("buy_id"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming stateful dedup: drop duplicate (user_id, event_type) pairs
     * arriving within the watermark — `dropDuplicatesWithinWatermark` keeps
     * the dedup state bounded (keys expire with the watermark) where plain

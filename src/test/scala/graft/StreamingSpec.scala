@@ -40,6 +40,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val q = Windows.streamViewPurchase(spark, sf, "stream_vp")
+    try {
+      q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val streamed = spark.table("stream_vp").collect().map(key).toSet
+      val batch = Windows.viewPurchasePairs(Tables.events(spark, sf))
+        .collect().map(key).toSet
+      assert(batch.nonEmpty, "fixture must contain view→purchase pairs")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups to the exact distinct key count") {
     val q = Windows.streamDedup(spark, sf, "stream_dedup")
     try {
