@@ -15,7 +15,7 @@ object Gaps {
     q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
-    q58ApproxPercentile, q59CollectAgg)
+    q58ApproxPercentile, q59CollectAgg, q61StatsMoments)
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
     * has nations the other lacks, so both null directions are exercised.
@@ -343,6 +343,45 @@ object Gaps {
         coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
         col("n"), col("sum_price"))
       .orderBy(col("st"), col("pri"))
+  }
+
+  /** Variance / stddev via decimal-exact moment sums. The built-in
+    * stddev_samp is merge-order-sensitive in its last ulps (Welford partial
+    * merges happen in partition order), so the oracle-checked columns
+    * compute sample variance from EXACT Σx and Σx² (decimal partials,
+    * associative) divided out in double — bit-identical in both engines,
+    * any partitioning. The built-in is asserted against this formula (1e-6
+    * relative) in the ScalaTest suite. Same single hash-agg shape at any
+    * scale; the moment sums are just two more map-side-combined columns.
+    */
+  val q61StatsMoments = Q(
+    "q61_stats_moments",
+    """SELECT l_returnflag, n, mean,
+      |  (sx2 - sx * sx / n) / (n - 1) AS var_samp,
+      |  sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_samp
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx2,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean
+      |  FROM lineitem GROUP BY l_returnflag) t
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sx"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)"))
+          .cast("double").as("sx2"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_samp"),
+        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("stddev_samp"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** OFFSET pagination (S2's engine-side twin): page 3 of the order book.

@@ -36,6 +36,21 @@ class RegistrySpec extends SparkSpec {
       assert(math.abs(a - e) <= 1.0, s"flag $f: approx $a vs exact $e")
   }
 
+  test("q61 exact-moment stddev matches the built-in stddev_samp to 1e-6") {
+    import org.apache.spark.sql.functions._
+    val exact = queries.Gaps.q61StatsMoments.fn(spark, sf)
+      .select(col("l_returnflag"), col("stddev_samp")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(stddev_samp(col("l_quantity")).as("sd")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet === builtin.keySet)
+    for ((f, e) <- exact)
+      assert(math.abs(e - builtin(f)) <= 1e-6 * math.max(1.0, e),
+        s"flag $f: exact $e vs builtin ${builtin(f)}")
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} runs on sf0.001 with distinct non-empty column names") {
       val df = q.fn(spark, sf)
