@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def all: Seq[Q] = Seq(q37TextStats, q38LangId, q52Tfidf)
+  def all: Seq[Q] = Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
@@ -155,6 +155,65 @@ object TextAnalysis {
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
       .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** The composed training-data pipeline — the engine's north-star use in
+    * ONE query: exact dedup (keep-first per content hash) → quality filter
+    * (q37's score ≥ 0.2) → per-language corpus accounting. Shape at scale:
+    * one shuffle on the content hash (window row_number, the single-pass
+    * dedup idiom), then a pure scan for quality, then one map-side-combined
+    * aggregation by language — no joins, nothing quadratic, the corpus
+    * streams through. avg quality rides decimal partials (order-free).
+    */
+  val q62TrainPipeline = Q(
+    "q62_train_pipeline",
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang, text,
+       |    row_number() OVER (
+       |      PARTITION BY sha256(lower(substr(text, 1, 50)))
+       |      ORDER BY doc_id) AS rn
+       |  FROM documents
+       |),
+       |scored AS (
+       |  SELECT lang, len(string_split(text, ' ')) AS n_tokens,
+       |    round(least(len(string_split(text, ' ')) / 100.0, 1.0)
+       |      * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+       |          t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+       |        / len(string_split(text, ' ')))
+       |      * CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |        / len(string_split(text, ' ')), 6) AS quality
+       |  FROM ranked WHERE rn = 1
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_quality
+       |FROM scored WHERE quality >= 0.2
+       |GROUP BY lang
+       |ORDER BY lang NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tokens = col("toks")
+    val nTokens = size(tokens)
+    val quality = round(
+      least(nTokens / 100.0, lit(1.0))
+        * (lit(1.0) -
+          size(filter(tokens, t => t.isin(stopwords: _*))).cast("double") / nTokens)
+        * size(array_distinct(tokens)).cast("double") / nTokens, 6)
+    Tables.documentsWide(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(lower(substring(col("text"), 1, 50)), 256))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("lang"), nTokens.as("n_tokens"), quality.as("quality"))
+      .filter(col("quality") >= 0.2)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        (sum(col("quality").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_quality"))
+      .orderBy(col("lang"))
   }
 
   /** Stopword-profile language ID: score each candidate language by its
