@@ -15,7 +15,7 @@ object Gaps {
     q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
-    q58ApproxPercentile, q59CollectAgg, q61StatsMoments)
+    q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated)
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
     * has nations the other lacks, so both null directions are exercised.
@@ -382,6 +382,37 @@ object Gaps {
         sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
           .as("stddev_samp"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** The spark.sql PARSER path — every other query enters through the
+    * DataFrame API; this one goes SQL-text → Catalyst, with a correlated
+    * EXISTS (decorrelated by Catalyst into a left-semi join) and a
+    * correlated scalar subquery (decorrelated into an aggregate + left
+    * outer join). Same physical plans as the API twins q05/q26 — the point
+    * is that the SQL surface is a first-class entry into the same engine.
+    */
+  val q63SqlCorrelated = Q(
+    "q63_sql_correlated",
+    """SELECT c_custkey,
+      |  (SELECT max(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 150000)
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin)
   }
 
   /** OFFSET pagination (S2's engine-side twin): page 3 of the order book.
