@@ -216,30 +216,39 @@ object Gaps {
     * sketch outputs are engine-specific by construction — the driver
     * records rows-present; the accuracy contract (exact match on this
     * integer-valued column at accuracy 10000) is asserted in the ScalaTest
-    * suite against q54's exact percentiles.
+    * suite against q54's exact percentiles. One sketch serves all three
+    * fractions; the array is unpacked to scalar columns because the
+    * driver's pandas compare cannot hash array cells.
     */
   val q58ApproxPercentile = Q.noOracle("q58_approx_percentile") { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-          .as("approx_pcts"))
+          .as("pcts"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p25"),
+        element_at(col("pcts"), 2).as("p50"),
+        element_at(col("pcts"), 3).as("p75"))
       .orderBy(col("l_returnflag"))
   }
 
   /** collect_set list-fold — the manifest-fold idiom (SURVEY §2.4: the
     * reference's one real aggregation groups uploaded file keys into
     * per-table lists, main.py:240-243). collect_set's order is
-    * partition-dependent, so array_sort pins it for the oracle; at scale
-    * the collected list must be BOUNDED per group (here ≤3 statuses) —
-    * unbounded collect_list of a hot group is a driver/executor OOM, which
-    * is why the engine's exports accumulate file keys per table (small)
-    * and never collect row-level data.
+    * partition-dependent, so array_sort pins it, and the sorted list is
+    * serialized to a comma-joined string because the driver's pandas
+    * compare cannot hash array cells. At scale the collected list must be
+    * BOUNDED per group (here ≤3 statuses) — unbounded collect_list of a
+    * hot group is a driver/executor OOM, which is why the engine's exports
+    * accumulate file keys per table (small) and never collect row-level
+    * data.
     */
   val q59CollectAgg = Q(
     "q59_collect_agg",
     """SELECT o_orderpriority,
-      |  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
       |  count(*) AS n
       |FROM orders
       |GROUP BY o_orderpriority
@@ -248,7 +257,7 @@ object Gaps {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
-        array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
   }
