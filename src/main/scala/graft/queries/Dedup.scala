@@ -122,28 +122,38 @@ object Dedup {
   ) { (s, d) =>
     val B = 5 // bands
     val R = 3 // 32-bit slices per band
-    val sh = Tables.documentsWide(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("shingles"))
-    // digs materialized once (4 md5s per shingle); each of the 15 minhash
-    // components is then a cheap substring scan over the digest array.
-    // (A "clever" single-pass variant folding a 15-wide running-minimum
-    // accumulator via aggregate+zip_with benched 10× SLOWER — Spark
-    // evaluates higher-order-function folds interpreted, per element, and
-    // duplicates the input expression tree; 15 flat array_min passes stay
-    // in the vectorized path.)
-    val dig = sh.withColumn("digs",
-      transform(col("shingles"), sCol =>
-        array((0 to 3).map(k => md5(concat(lit(s"$k|"), sCol))): _*)))
-    def slice(digsOfShingle: Column, k: Int): Column =
-      substring(element_at(digsOfShingle, k / 4 + 1), (k % 4) * 8 + 1, 8)
+    val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
+    // Hot path = the q33 rewrite: shingles become ROWS (explode of an index
+    // sequence, whole-stage codegen), the 4 md5s per shingle are plain
+    // projected columns, and the 15 minhash components are min() hash
+    // aggregates with map-side combine — no interpreted higher-order-function
+    // folds anywhere near the md5 loop (those run per element, interpreted,
+    // and their call sites go megamorphic in a long session; this query
+    // benched 4.9s→22s across rounds from exactly that). Duplicate shingles
+    // need no dedup: min over duplicates equals min over the distinct set.
+    // The exchange carries only (doc_id, 15×8-hex) per doc.
+    val words = split(col("text"), " ")
+    val tok = docs
+      .filter(size(words) >= 3)
+      .select(col("doc_id"), words.as("ws"),
+        explode(sequence(lit(1), size(words) - 2)).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2)).as("sh"))
+    val dig = tok.select(col("doc_id") +:
+      (0 to 3).map(k => md5(concat(lit(s"$k|"), col("sh"))).as(s"d$k")): _*)
+    def slice(k: Int): Column =
+      substring(col(s"d${k / 4}"), (k % 4) * 8 + 1, 8)
+    val mins = (0 until B * R).map(k => min(slice(k)).as(s"m$k"))
+    val sigd = dig.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val sigs = array((0 until B).map { b =>
       struct(
         lit(b).as("b"),
-        concat((0 until R).map { r =>
-          array_min(transform(col("digs"), a => slice(a, b * R + r)))
-        }: _*).as("sig"))
+        concat((0 until R).map(r => col(s"m${b * R + r}")): _*).as("sig"))
     }: _*)
-    val bands = dig
+    val bands = sigd
       .select(col("doc_id"), explode(sigs).as("bs"))
       .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
     val cand = bands.as("a")
@@ -152,12 +162,17 @@ object Dedup {
           col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
+    // Exact-Jaccard verify joins carry TEXT, not 3-gram arrays (≈3× smaller
+    // shuffle), and build the shingle sets per surviving candidate pair only
+    // — the array HOF runs on O(candidates), never on the corpus.
+    val sx = shingles(col("x.text"))
+    val sy = shingles(col("y.text"))
     val jaccard = round(
-      size(array_intersect(col("x.shingles"), col("y.shingles"))).cast("double") /
-        size(array_distinct(concat(col("x.shingles"), col("y.shingles")))), 6)
+      size(array_intersect(sx, sy)).cast("double") /
+        size(array_distinct(concat(sx, sy))), 6)
     cand
-      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(sh.as("y"), col("doc_b") === col("y.doc_id"))
+      .join(docs.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(docs.as("y"), col("doc_b") === col("y.doc_id"))
       .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -197,31 +212,35 @@ object Dedup {
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    // same short-input guard as shingles(): sequence(1, n<1) descends and
-    // substr(text, 0, 5) wraps to position 1 — Spark would fabricate a
-    // gram for sub-5-char docs where DuckDB's range() yields none
-    val nGrams = length(col("text")) - 4
-    val grams = when(nGrams < 1, typedLit(Seq.empty[String])).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), nGrams), i =>
-          col("text").substr(i, lit(5)))))
-    def minDigest(prefix: String): Column =
-      array_min(transform(col("grams"), g => md5(concat(lit(prefix), g))))
-    // empty-gram (sub-5-char) docs are excluded BEFORE keying: they can't
-    // be near-dups, and under ANSI mode their 0-gram union would make the
-    // jaccard division throw. The coalesce makes bk non-nullable (it can't
-    // actually be null post-filter): otherwise InferFiltersFromConstraints
-    // derives isnotnull(bk) from the join key and pushes it BELOW the
-    // projection, re-evaluating the whole gram+md5 pipeline a second time
-    // per side (measured 2× on this query).
-    val keyed = Tables.documentsWide(s, d)
-      .select(col("doc_id"), grams.as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("bk",
-        coalesce(concat(minDigest("0|"), minDigest("1|")), lit("")))
+    val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
+    // Hot path = the q33 rewrite (see q32): gram positions explode to rows
+    // (whole-stage codegen; the length>=5 filter keeps sequence() ascending
+    // AND excludes sub-5-char docs — they can't be near-dups, matching the
+    // oracle's len(grams)>0 filter via the inner join below), the two
+    // min-digests are codegen'd min(md5(...)) hash aggregates with map-side
+    // combine — no interpreted HOF md5 folds (this query benched 3.7s→55s
+    // across rounds from megamorphic interpreted-lambda call sites).
+    // Duplicate grams need no dedup: min over dups = min over distinct.
+    val minAgg = docs
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(concat(lit("0|"), col("g")))).as("m0"),
+        min(md5(concat(lit("1|"), col("g")))).as("m1"))
+    // The self-join carries TEXT, not the 5×-inflated gram arrays; the
+    // exact-Jaccard gram sets are built per surviving candidate pair only.
+    val keyed = docs.join(minAgg.select(col("doc_id"),
+        concat(col("m0"), col("m1")).as("bk")), Seq("doc_id"))
+    def gramsOf(t: Column): Column = // every keyed row has length(t) >= 5
+      array_distinct(transform(
+        sequence(lit(1), length(t) - 4), i => t.substr(i, lit(5))))
+    val ga = gramsOf(col("a.text"))
+    val gb = gramsOf(col("b.text"))
     val jaccard = round(
-      size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-        size(array_distinct(concat(col("a.grams"), col("b.grams")))), 6)
+      size(array_intersect(ga, gb)).cast("double") /
+        size(array_distinct(concat(ga, gb))), 6)
     keyed.as("a")
       .join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

@@ -27,8 +27,8 @@ class RegistrySpec extends SparkSpec {
       .map { case Row(f: String, p25: Double, p50: Double, p75: Double, _) =>
         f -> Seq(p25, p50, p75) }.toMap
     val approx = queries.Gaps.q58ApproxPercentile.fn(spark, sf).collect()
-      .map { case Row(f: String, ps: scala.collection.Seq[_]) =>
-        f -> ps.toSeq.map(_.asInstanceOf[Double]) }.toMap
+      .map { case Row(f: String, p25: Double, p50: Double, p75: Double) =>
+        f -> Seq(p25, p50, p75) }.toMap
     assert(approx.keySet === exact.keySet)
     for ((f, ps) <- approx; (a, e) <- ps.zip(exact(f)))
       // approx returns an actual data value; exact interpolates — on this

@@ -34,13 +34,19 @@ TABLES = [
 ]
 
 
+class ArrayCellError(Exception):
+    """An array/list-typed result cell: the REAL driver's pandas compare
+    crashes on these (sort_values: unhashable numpy.ndarray) — reject them
+    here so the dev loop predicts the gate instead of masking it."""
+
+
 def canon(v):
     """Dtype-aware canonical string: int '7' != float '7.0', but
     date == midnight-timestamp and Decimal == its float value."""
-    if isinstance(v, np.ndarray):
-        return "[" + ",".join(canon(x) for x in v.tolist()) + "]"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (np.ndarray, list, tuple)):
+        raise ArrayCellError(
+            f"array-typed cell {str(v)[:60]!r} — serialize to a scalar "
+            "(concat_ws / element_at) on BOTH Spark and oracle sides")
     if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
@@ -98,8 +104,13 @@ def main():
             n_fail += 1
             continue
         got = pd.read_parquet(qdir)
-        wcols, wrows = frame_rows(want)
-        gcols, grows = frame_rows(got)
+        try:
+            wcols, wrows = frame_rows(want)
+            gcols, grows = frame_rows(got)
+        except ArrayCellError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if wcols != gcols:
             print(f"FAIL {name}: columns want={wcols} got={gcols}")
             n_fail += 1
