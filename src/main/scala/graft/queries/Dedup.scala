@@ -200,8 +200,8 @@ object Dedup {
       |),
       |k AS (
       |  SELECT doc_id, grams,
-      |    coalesce(list_min(list_transform(grams, x -> md5('0|' || x))) ||
-      |      list_min(list_transform(grams, x -> md5('1|' || x))), '') AS bk
+      |    list_min(list_transform(grams, x -> md5('0|' || x))) ||
+      |      list_min(list_transform(grams, x -> md5('1|' || x))) AS bk
       |  FROM g WHERE len(grams) > 0
       |)
       |SELECT doc_a, doc_b, jaccard FROM (
@@ -213,39 +213,43 @@ object Dedup {
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
-    // Hot path = the q33 rewrite (see q32): gram positions explode to rows
-    // (whole-stage codegen; the length>=5 filter keeps sequence() ascending
-    // AND excludes sub-5-char docs — they can't be near-dups, matching the
-    // oracle's len(grams)>0 filter via the inner join below), the two
-    // min-digests are codegen'd min(md5(...)) hash aggregates with map-side
-    // combine — no interpreted HOF md5 folds (this query benched 3.7s→55s
-    // across rounds from megamorphic interpreted-lambda call sites).
-    // Duplicate grams need no dedup: min over dups = min over distinct.
-    val minAgg = docs
+    // Fully RELATIONAL form — no array columns, no higher-order-function
+    // lambdas anywhere (interpreted HOF md5 folds benched 3.7s→55s across
+    // rounds from megamorphic call sites; per-PAIR array Jaccard benched
+    // 48s on this corpus's 246-doc near-dup blocks). One codegen'd pass:
+    //  1. distinct (doc_id, gram) rows via explode (map-side-combined);
+    //  2. bk + gram count in ONE hash aggregate (min over distinct grams
+    //     equals min over all — dedup only tightens the count);
+    //  3. candidate pairs from the bk equi self-join (tiny rows: id+bk+n);
+    //  4. |A∩B| by joining the pair list back to the gram rows on
+    //     (doc_id, gram) and counting — |A∪B| = ng_a + ng_b − |A∩B|.
+    // Every step is a hash join / hash aggregate over scalar columns, so
+    // the same plan holds at 100 TB: no per-pair recompute, shuffles carry
+    // (id, 5-char gram) rows, and candidate mass is bounded by the banding.
+    val dg = docs
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
       .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("g"))
-      .groupBy(col("doc_id"))
-      .agg(min(md5(concat(lit("0|"), col("g")))).as("m0"),
-        min(md5(concat(lit("1|"), col("g")))).as("m1"))
-    // The self-join carries TEXT, not the 5×-inflated gram arrays; the
-    // exact-Jaccard gram sets are built per surviving candidate pair only.
-    val keyed = docs.join(minAgg.select(col("doc_id"),
-        concat(col("m0"), col("m1")).as("bk")), Seq("doc_id"))
-    def gramsOf(t: Column): Column = // every keyed row has length(t) >= 5
-      array_distinct(transform(
-        sequence(lit(1), length(t) - 4), i => t.substr(i, lit(5))))
-    val ga = gramsOf(col("a.text"))
-    val gb = gramsOf(col("b.text"))
-    val jaccard = round(
-      size(array_intersect(ga, gb)).cast("double") /
-        size(array_distinct(concat(ga, gb))), 6)
-    keyed.as("a")
+      .distinct()
+    val keyed = dg.groupBy(col("doc_id")).agg(
+      concat(min(md5(concat(lit("0|"), col("g")))),
+        min(md5(concat(lit("1|"), col("g"))))).as("bk"),
+      count(lit(1)).as("ng"))
+    val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard.as("jaccard"))
+        col("a.ng").as("ng_a"), col("b.ng").as("ng_b"))
+    cand
+      .join(dg.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(dg.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
+      .groupBy(col("doc_a"), col("doc_b"), col("ng_a"), col("ng_b"))
+      .agg(count(lit(1)).as("ni"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") /
+          (col("ng_a") + col("ng_b") - col("ni")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
