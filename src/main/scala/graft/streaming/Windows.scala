@@ -54,10 +54,13 @@ object Windows {
 
   /** Structured Streaming variant of [[tumbling]]: parquet file source →
     * 10-minute watermark → windowed aggregation → in-memory sink (named
-    * `tableName`). Late data beyond the watermark is dropped; `complete`
-    * mode because the memory sink is the test observer. The watermark bounds
-    * aggregation state at scale — state eviction is what makes this runnable
-    * forever on an unbounded stream.
+    * `tableName`). APPEND mode: a window is emitted exactly once, when the
+    * watermark passes its end — which is also what makes the watermark's
+    * scale claims real: late rows beyond the watermark are dropped and the
+    * evicted window's state is freed, so the query runs forever on an
+    * unbounded stream with bounded state. (Complete mode would retain every
+    * window and never drop late data.) The cost of append for the observer
+    * is that windows still inside the watermark horizon are not yet visible.
     */
   def streamTumbling(
       spark: SparkSession, sfDir: String, tableName: String): StreamingQuery = {
@@ -68,14 +71,20 @@ object Windows {
       .parquet(sfDir)
       // same ns→µs normalization as graft.Tables.events
       .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
-      .withWatermark("ts", "10 minutes")
-    tumbling(raw)
+    runTumbling(raw, tableName)
+  }
+
+  /** Watermark + tumbling + append-mode memory sink over any ts-bearing
+    * source — shared by [[streamTumbling]] and the suite's MemoryStream
+    * late-data test.
+    */
+  def runTumbling(raw: DataFrame, tableName: String): StreamingQuery =
+    tumbling(raw.withWatermark("ts", "10 minutes"))
       .writeStream
       .format("memory")
       .queryName(tableName)
-      .outputMode("complete")
+      .outputMode("append")
       .start()
-  }
 
   /** Custom keyed state via `mapGroupsWithState` (SURVEY.md §2.9): a running
     * per-user event counter, the minimal shape of any bespoke stateful

@@ -154,7 +154,10 @@ object Export {
       val name = fileName(cfg.name, fileNo, rpf, cfg.compression)
       val dest = new Path(s"$outDir/$name")
       fs.delete(dest, false)
-      fs.rename(parts.head, dest)
+      // rename failure is a BOOLEAN on HDFS/S3A, not an exception — unchecked
+      // it would leave a manifest entry pointing at a missing file
+      require(fs.rename(parts.head, dest),
+        s"${cfg.name}: rename ${parts.head} -> $dest failed")
       fileNo -> name
     }
     fs.delete(new Path(staging), true)

@@ -73,6 +73,11 @@ class ExportSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$out/manifest.json")), "UTF-8")
     assert(json.contains("\"timestamp\": 1234"))
     assert(json.contains("\"m/m_200_300_zstd.parquet\""))
+    // every manifest entry points at a file that actually exists (a failed
+    // rename aborts the export instead of corrupting the inventory)
+    for ((_, keys) <- manifest.files; k <- keys)
+      assert(Files.exists(java.nio.file.Paths.get(
+        s"$out/${k.stripPrefix("m/")}")), s"manifest lists missing file $k")
   }
 
   test("dtype vocabulary is closed: unsupported types are rejected") {

@@ -9,16 +9,58 @@ import org.apache.spark.sql.functions._
   */
 class StreamingSpec extends SparkSpec {
 
-  test("streaming tumbling windows equal the batch twin") {
+  test("streaming tumbling windows equal the batch twin's finalized windows") {
     val q = Windows.streamTumbling(spark, sf, "stream_tumbling")
     try {
       q.processAllAvailable()
       val streamed = spark.table("stream_tumbling")
         .orderBy(col("win_start"), col("event_type")).collect()
+      // append mode emits a window once its end is past the watermark
+      // (max event time − 10 min); the final open windows stay in state
+      val wmMs = Tables.events(spark, sf)
+        .agg(max(col("ts"))).head.getAs[java.sql.Timestamp](0).getTime -
+        10L * 60 * 1000
       val batch = Windows.tumbling(Tables.events(spark, sf))
         .orderBy(col("win_start"), col("event_type")).collect()
+        .filter(_.getAs[java.sql.Timestamp]("win_start").getTime +
+          3600L * 1000 <= wmMs)
       assert(streamed.length > 0)
+      assert(streamed.length < batch.length + 2) // sanity: horizon actually cut
       assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("append-mode watermark drops a late event and frees the window's state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Windows.runTumbling(
+      src.toDF.toDF("ts", "event_type", "value"), "late_drop")
+    try {
+      src.addData(
+        (t("2024-01-01 10:00:00"), "a", 1.0),
+        (t("2024-01-01 10:30:00"), "a", 2.0),
+        (t("2024-01-01 12:00:00"), "a", 3.0)) // advances watermark to 11:50
+      q.processAllAvailable()
+      // window [10:00, 11:00) is finalized (end 11:00 ≤ wm 11:50) → emitted
+      val first = spark.table("late_drop").collect()
+      assert(first.map(_.getAs[java.sql.Timestamp]("win_start")).toSeq ===
+        Seq(t("2024-01-01 10:00:00")))
+      assert(first.head.getAs[Long]("n") === 2L)
+      // a LATE row for the evicted window + a fresh row closing 12:00's window
+      src.addData(
+        (t("2024-01-01 10:15:00"), "a", 99.0), // beyond watermark: dropped
+        (t("2024-01-01 13:30:00"), "a", 4.0))  // watermark → 13:20 > 13:00
+      q.processAllAvailable()
+      val rows = spark.table("late_drop")
+        .orderBy(col("win_start")).collect()
+      // the 10:00 window was NOT re-opened or re-emitted — the late row is
+      // gone; the 12:00 window arrived once its end passed the watermark
+      assert(rows.map(r => (r.getAs[java.sql.Timestamp]("win_start"),
+        r.getAs[Long]("n"))).toSeq ===
+        Seq((t("2024-01-01 10:00:00"), 2L), (t("2024-01-01 12:00:00"), 1L)))
     } finally q.stop()
   }
 
