@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   *    computed per candidate pair only.
   *  - SimHash: embarrassingly parallel fingerprinting (no shuffle until the
   *    fingerprint group-count).
+  *  - Hot-bucket residual (q32/q51): a degenerate corpus — millions of
+  *    IDENTICAL documents — collapses into one LSH bucket, and no salting
+  *    can help because the true OUTPUT is quadratic (every pair really is a
+  *    near-dup; see the identical-corpus test in ShortDocSpec). The
+  *    engine-level mitigation is pipeline order: run exact dedup (q31)
+  *    first so identical docs enter LSH as one representative; q55's
+  *    pmod-salt idiom remains the tool for skewed AGGREGATES (the minhash
+  *    min() stages here are already salt-free map-side combines).
   */
 object Dedup {
 

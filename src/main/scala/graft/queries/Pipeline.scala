@@ -123,8 +123,8 @@ object Pipeline {
     */
   val q50FormatSources = Q(
     "q50_format_sources",
-    """SELECT n_regionkey, 2 * count(*) AS n_rows,
-      |  CAST(2 * sum(n_nationkey) AS BIGINT) AS sum_key
+    """SELECT n_regionkey, 3 * count(*) AS n_rows,
+      |  CAST(3 * sum(n_nationkey) AS BIGINT) AS sum_key
       |FROM nation
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey NULLS FIRST""".stripMargin,
@@ -137,9 +137,15 @@ object Pipeline {
     val nation = Tables.nation(s, d)
     nation.write.mode("overwrite").option("header", "true").csv(s"$out/csv")
     nation.write.mode("overwrite").json(s"$out/json")
+    nation.write.mode("overwrite").orc(s"$out/orc")
     val fromCsv = s.read.schema(nationSchema).option("header", "true").csv(s"$out/csv")
     val fromJson = s.read.schema(nationSchema).json(s"$out/json")
-    fromCsv.unionByName(fromJson)
+    // ORC is the third built-in columnar source (SURVEY §2.1 S8). Avro is
+    // NOT exercised: `format("avro")` lives in the external spark-avro
+    // module, which is not on this classpath — it would be one more
+    // write/read pair here, with zero engine code.
+    val fromOrc = s.read.schema(nationSchema).orc(s"$out/orc")
+    fromCsv.unionByName(fromJson).unionByName(fromOrc)
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_nationkey")).cast("long").as("sum_key"))

@@ -46,6 +46,30 @@ class ShortDocSpec extends SparkSpec {
     }
   }
 
+  test("identical-doc corpus: LSH buckets go hot but pairs stay exact") {
+    // Pathological corpus: 30 byte-identical docs land in ONE bucket per
+    // band. The true answer is all C(30,2) pairs at jaccard 1.0 — output
+    // is inherently quadratic, which is why the 100 TB pipeline runs exact
+    // dedup (q31) BEFORE LSH (Dedup.scala header note); this test pins the
+    // engine to completing the hot bucket and emitting exactly those pairs.
+    val d = "/tmp/graft_identdocs"
+    import spark.implicits._
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    ((1L to 30L).map(i => (i, same, "en", "unit", same.length.toLong)) :+
+      (98L, "completely unrelated text about parquet row groups", "en", "unit", 50L) :+
+      (99L, "yet another unique document mentioning catalyst rules", "en", "unit", 53L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    for (name <- Seq("q32_minhash_neardup", "q51_ngram_jaccard")) {
+      val rows = SparkEntry.queries(name)(spark, d)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+      assert(rows.length === 30 * 29 / 2, s"$name pair count")
+      assert(rows.forall(_.getDouble(2) === 1.0), s"$name jaccard != 1.0")
+      assert(rows.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(1) <= 30L),
+        s"$name paired a unique doc")
+    }
+  }
+
   test("q37 fingerprint is NULL for docs below the shingle window") {
     val fp = SparkEntry.queries("q37_text_stats")(spark, dir)
       .select(col("doc_id"), col("fingerprint")).collect()
