@@ -14,9 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference this engine makes on the scan side). Projection, filters,
   * LIMIT and OFFSET all push down to Postgres via the V2 JDBC connector.
   *
-  * Not exercised by the test harness (the container has no Postgres; the
-  * parquet fixtures stand in as the source — SURVEY.md §2.1 S8′), but this
-  * is the production entry point a reference user would switch to.
+  * Executed in CI against an embedded Derby database (`JdbcSpec`: scan →
+  * normalize → export, 4 range-partition connections); Postgres is the
+  * production target a reference user would point `url` at. The parquet
+  * fixtures remain the source for the query corpus (SURVEY.md §2.1 S8′).
   */
 object Jdbc {
 
