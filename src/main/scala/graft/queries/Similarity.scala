@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def all: Seq[Q] = Seq(q34CosineNeardup, q35CosineTopk, q36AnnIvf)
+  def all: Seq[Q] = Seq(q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp)
 
   private def vec(c: Column): Column = transform(c, _.cast("double"))
 
@@ -185,6 +185,92 @@ object Similarity {
       .select(col("cd.qid").as("qid"), col("cd.cluster").as("cluster"),
         col("cd.vec_id").as("vec_id"),
         cosine(col("cd.qv"), col("e2.v"), col("cd.qnrm"), col("e2.nrm")).as("cos"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 5)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** SRP-LSH bucketed ANN — the second scale path beside IVF (q36): 8
+    * signed-random-projection hyperplanes hash every vector to an 8-bit
+    * bucket, and each query searches ONLY its own bucket (N → N/2^H on
+    * spread data; buckets align with clusters on clustered data).
+    *
+    * The hyperplane components are ±1 coins derived from md5(p|i), so both
+    * engines build bit-identical hyperplanes from nothing but the (plane,
+    * dim) index — no RNG, no shipped model. Cross-engine float safety:
+    * unlike the cosine folds (which pin addition order), the projection
+    * Σ sgn(p,i)·v[i] is a plain SUM whose order may differ between engines
+    * — but only its SIGN is consumed (the bucket bit), and a sign flip
+    * needs |pr| below addition-reorder noise (~1e-15 relative), which a
+    * continuous-valued projection never sits at. The ranked cosine reuses
+    * the pinned-fold helpers.
+    *
+    * 100 TB shape: the sign table is 8×64 rows (broadcast); projections are
+    * a posexplode + one map-side-combined hash aggregate (no per-vector
+    * lambda folds); queries are broadcast; the only data shuffle is the
+    * bucket hash aggregate.
+    */
+  val q64AnnSrp = Q(
+    "q64_ann_srp",
+    s"""WITH $duckE,
+       |planes AS (SELECT unnest(range(0, 8)) AS p),
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |sg AS (SELECT p, i,
+       |  CASE WHEN substr(md5(p || '|' || i), 1, 1) >= '8'
+       |    THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM planes, dims),
+       |proj AS (
+       |  SELECT e.vec_id, sg.p, sum(sg.sgn * e.v[sg.i]) AS pr
+       |  FROM e, sg GROUP BY 1, 2),
+       |b AS (
+       |  SELECT vec_id,
+       |    string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+       |      AS bucket
+       |  FROM proj GROUP BY 1),
+       |eb AS (SELECT e.vec_id, e.v, e.nrm, b.bucket
+       |       FROM e JOIN b ON e.vec_id = b.vec_id),
+       |q AS (SELECT vec_id AS qid, bucket AS qbucket, v AS qv, nrm AS qnrm
+       |      FROM eb WHERE vec_id < 5)
+       |SELECT qid, bucket, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT qid, bucket, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM (
+       |    SELECT q.qid, eb.bucket, eb.vec_id,
+       |      ${duckCos("q.qv", "eb.v", "q.qnrm", "eb.nrm")} AS cos
+       |    FROM eb JOIN q ON eb.bucket = q.qbucket AND eb.vec_id <> q.qid) t1) t2
+       |WHERE rk <= 5
+       |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val signs = s.range(0, 8).select(col("id").as("p"))
+      .crossJoin(s.range(1, 65).select(col("id").as("i")))
+      .select(col("p"), col("i"),
+        when(substring(md5(concat(col("p").cast("string"), lit("|"),
+          col("i").cast("string"))), 1, 1) >= "8", 1.0)
+          .otherwise(-1.0).as("sgn"))
+    val proj = e
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("x"))
+      .join(broadcast(signs), "i")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("sgn") * col("x")).as("pr"))
+    val bits = (0 until 8).map(k =>
+      max(when(col("p") === k,
+        when(col("pr") >= 0, "1").otherwise("0"))).as(s"b$k"))
+    val buckets = proj.groupBy(col("vec_id")).agg(bits.head, bits.tail: _*)
+      .select(col("vec_id"),
+        concat((0 until 8).map(k => col(s"b$k")): _*).as("bucket"))
+    val eb = e.join(buckets, "vec_id")
+    val q = eb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    eb.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("bucket"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 5)
       .orderBy(col("qid"), col("rk"))
