@@ -208,15 +208,16 @@ object Dedup {
       |),
       |k AS (
       |  SELECT doc_id, grams,
-      |    list_min(list_transform(grams, x -> md5('0|' || x))) ||
-      |      list_min(list_transform(grams, x -> md5('1|' || x))) AS bk
+      |    list_min(list_transform(grams, x -> substr(md5('0|' || x), 1, 15))) AS bk0,
+      |    list_min(list_transform(grams, x -> substr(md5('1|' || x), 1, 15))) AS bk1
       |  FROM g WHERE len(grams) > 0
       |)
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
       |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-      |  FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id) t
+      |  FROM k a JOIN k b
+      |  ON a.bk0 = b.bk0 AND a.bk1 = b.bk1 AND a.doc_id < b.doc_id) t
       |WHERE jaccard >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -240,13 +241,22 @@ object Dedup {
         explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
       .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("g"))
       .distinct()
+    // Band components are NUMERIC (first 15 hex chars → long): min over a
+    // primitive buffer stays in codegen'd HashAggregate, where min over the
+    // digest STRING falls back to SortAggregate (two extra sorts of the
+    // gram rows). Fixed-width lowercase hex is order-isomorphic to its
+    // numeric value, so the oracle's lexicographic list_min over the same
+    // 15-char prefixes selects identical band keys.
+    def bandMin(prefix: String): Column =
+      min(conv(substring(md5(concat(lit(prefix), col("g"))), 1, 15), 16, 10)
+        .cast("long"))
     val keyed = dg.groupBy(col("doc_id")).agg(
-      concat(min(md5(concat(lit("0|"), col("g")))),
-        min(md5(concat(lit("1|"), col("g"))))).as("bk"),
+      bandMin("0|").as("bk0"), bandMin("1|").as("bk1"),
       count(lit(1)).as("ng"))
     val cand = keyed.as("a")
       .join(keyed.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bk0") === col("b.bk0") && col("a.bk1") === col("b.bk1") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.ng").as("ng_a"), col("b.ng").as("ng_b"))
     cand
