@@ -107,16 +107,18 @@ object Dedup {
       |bands AS (
       |  SELECT doc_id, b,
       |    list_min(list_transform(digs, a ->
-      |      substr(a[(b*3 + 0) // 4 + 1], ((b*3 + 0) % 4) * 8 + 1, 8))) ||
+      |      substr(a[(b*3 + 0) // 4 + 1], ((b*3 + 0) % 4) * 8 + 1, 8))) AS s0,
       |    list_min(list_transform(digs, a ->
-      |      substr(a[(b*3 + 1) // 4 + 1], ((b*3 + 1) % 4) * 8 + 1, 8))) ||
+      |      substr(a[(b*3 + 1) // 4 + 1], ((b*3 + 1) % 4) * 8 + 1, 8))) AS s1,
       |    list_min(list_transform(digs, a ->
-      |      substr(a[(b*3 + 2) // 4 + 1], ((b*3 + 2) % 4) * 8 + 1, 8))) AS sig
+      |      substr(a[(b*3 + 2) // 4 + 1], ((b*3 + 2) % 4) * 8 + 1, 8))) AS s2
       |  FROM dig, (SELECT unnest(range(0,5)) AS b)
       |),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-      |  FROM bands a JOIN bands c ON a.b = c.b AND a.sig = c.sig AND a.doc_id < c.doc_id
+      |  FROM bands a JOIN bands c ON a.b = c.b
+      |    AND a.s0 = c.s0 AND a.s1 = c.s1 AND a.s2 = c.s2
+      |    AND a.doc_id < c.doc_id
       |)
       |SELECT cand.doc_a, cand.doc_b,
       |  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
@@ -152,21 +154,32 @@ object Dedup {
           element_at(col("ws"), col("i") + 2)).as("sh"))
     val dig = tok.select(col("doc_id") +:
       (0 to 3).map(k => md5(concat(lit(s"$k|"), col("sh"))).as(s"d$k")): _*)
+    // slices are NUMERIC (8 hex chars → long) so the 15 min() aggregates
+    // keep a primitive buffer and stay in codegen'd HashAggregate — min
+    // over the hex STRING falls back to SortAggregate (see q51; fixed-width
+    // hex ordering is value ordering, so the oracle's lexicographic
+    // list_min selects the same components, compared componentwise)
     def slice(k: Int): Column =
-      substring(col(s"d${k / 4}"), (k % 4) * 8 + 1, 8)
+      conv(substring(col(s"d${k / 4}"), (k % 4) * 8 + 1, 8), 16, 10)
+        .cast("long")
     val mins = (0 until B * R).map(k => min(slice(k)).as(s"m$k"))
     val sigd = dig.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val sigs = array((0 until B).map { b =>
       struct(
         lit(b).as("b"),
-        concat((0 until R).map(r => col(s"m${b * R + r}")): _*).as("sig"))
+        col(s"m${b * R}").as("s0"),
+        col(s"m${b * R + 1}").as("s1"),
+        col(s"m${b * R + 2}").as("s2"))
     }: _*)
     val bands = sigd
       .select(col("doc_id"), explode(sigs).as("bs"))
-      .select(col("doc_id"), col("bs.b").as("b"), col("bs.sig").as("sig"))
+      .select(col("doc_id"), col("bs.b").as("b"),
+        col("bs.s0").as("s0"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
     val cand = bands.as("a")
       .join(bands.as("c"),
-        col("a.b") === col("c.b") && col("a.sig") === col("c.sig") &&
+        col("a.b") === col("c.b") &&
+          col("a.s0") === col("c.s0") && col("a.s1") === col("c.s1") &&
+          col("a.s2") === col("c.s2") &&
           col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
