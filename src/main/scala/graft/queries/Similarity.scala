@@ -244,8 +244,9 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val signs = s.range(0, 8).select(col("id").as("p"))
-      .crossJoin(s.range(1, 65).select(col("id").as("i")))
+    val signs = s.range(0, 8 * 64)
+      .select((col("id") / 64).cast("long").as("p"),
+        (col("id") % 64 + 1).as("i"))
       .select(col("p"), col("i"),
         when(substring(md5(concat(col("p").cast("string"), lit("|"),
           col("i").cast("string"))), 1, 1) >= "8", 1.0)

@@ -79,4 +79,20 @@ class ScaleSpec extends SparkSpec {
     assert(nPruned ===
       events.filter(col("day") === lit(oneDay)).count())
   }
+
+  test("candidate generators never plan a cartesian or nested-loop join") {
+    // the near-dup / ANN pair sources must stay banded EQUI-joins at any
+    // scale — a cartesian/BNLJ here is the difference between O(n) and
+    // O(n²) at 100 TB. q36's centroid assignment crossJoins a BROADCAST
+    // 10-row centroid table by design (bounded side), so broadcast NLJ is
+    // asserted absent only for the corpus-sized pair generators.
+    for (name <- Seq("q32_minhash_neardup", "q51_ngram_jaccard", "q64_ann_srp")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested-loop join:\n$plan")
+    }
+  }
 }
