@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def all: Seq[Q] = Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline)
+  def all: Seq[Q] =
+    Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
@@ -255,5 +256,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
         (pred === col("lang")).as("is_match"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hash-based train/val/test split — how holdout sets are
+    * carved at 100 TB: the assignment is a pure function of the stable key
+    * (first hex byte of md5("split|" + doc_id): < 0x0a → val ~3.9%,
+    * < 0x14 → test ~3.9%, else train), so there is no sampling state, no
+    * global pass, and no reshuffling of old docs when new data arrives —
+    * every engine, every run, every increment agrees on every doc's split.
+    * Pure narrow map + one tiny aggregate; md5 keeps the oracle bit-exact.
+    */
+  val q65HashSplit = Q(
+    "q65_hash_split",
+    """SELECT split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN h < '0a' THEN 'val'
+      |         WHEN h < '14' THEN 'test'
+      |         ELSE 'train' END AS split
+      |  FROM (
+      |    SELECT doc_id, n_chars,
+      |      substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      |    FROM documents) t0) t
+      |GROUP BY split
+      |ORDER BY split NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val h = substring(
+      md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        when(h < "0a", "val").when(h < "14", "test")
+          .otherwise("train").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
   }
 }
