@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM-default zone pinned too: JDBC drivers and Timestamp.valueOf
+  // interpret wall-clock values in user.timezone, so an unpinned host
+  // zone would shift round-tripped timestamps (JdbcSpec, StreamingSpec)
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // G1 keeps pauses bounded on the large single-JVM heap; the default
   // parallel collector showed 20s+ full-GC stalls inside allocation-heavy

@@ -36,24 +36,6 @@ object Dedup {
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard)
 
-  /** Word-3-gram shingle set (order-free, distinct). Docs with <3 tokens
-    * yield an EMPTY set: Spark's sequence(1, n) DESCENDS when n < 1
-    * ([1, 0], default step -1) and element_at(words, 0) then throws —
-    * unlike DuckDB's range(), which is empty. The guard keeps both engines
-    * (and short-doc corpora) on the empty-set semantics.
-    */
-  private def shingles(text: Column): Column = {
-    val words = split(text, " ")
-    val n = size(words) - 2
-    when(n < 1, typedLit(Seq.empty[String])).otherwise(
-      array_distinct(
-        transform(sequence(lit(1), n), i =>
-          concat_ws(" ",
-            element_at(words, i),
-            element_at(words, i + 1),
-            element_at(words, i + 2)))))
-  }
-
   /** Exact content-hash dedup with keep-first semantics: canonicalize
     * (lowercase, 50-char prefix — standing in for whitespace/punctuation
     * normalization), sha2-256, keep the smallest doc_id per group. One
@@ -144,6 +126,9 @@ object Dedup {
     // The exchange carries only (doc_id, 15×8-hex) per doc.
     val words = split(col("text"), " ")
     val tok = docs
+      // the filter both excludes sub-window docs (DuckDB's range() yields
+      // no shingles for them) and keeps sequence() ascending — Spark's
+      // sequence(1, n) DESCENDS for n < 1 and would fabricate indices
       .filter(size(words) >= 3)
       .select(col("doc_id"), words.as("ws"),
         explode(sequence(lit(1), size(words) - 2)).as("i"))
@@ -152,7 +137,11 @@ object Dedup {
           element_at(col("ws"), col("i")),
           element_at(col("ws"), col("i") + 1),
           element_at(col("ws"), col("i") + 2)).as("sh"))
-    val dig = tok.select(col("doc_id") +:
+    // distinct (doc_id, shingle) rows feed BOTH the signature aggregate
+    // (md5 once per distinct shingle) and the relational exact-Jaccard
+    // verify below — same design as q51
+    val dsh = tok.distinct()
+    val dig = dsh.select(col("doc_id") +:
       (0 to 3).map(k => md5(concat(lit(s"$k|"), col("sh"))).as(s"d$k")): _*)
     // slices are NUMERIC (8 hex chars → long) so the 15 min() aggregates
     // keep a primitive buffer and stay in codegen'd HashAggregate — min
@@ -163,7 +152,8 @@ object Dedup {
       conv(substring(col(s"d${k / 4}"), (k % 4) * 8 + 1, 8), 16, 10)
         .cast("long")
     val mins = (0 until B * R).map(k => min(slice(k)).as(s"m$k"))
-    val sigd = dig.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sigd = dig.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail :+ count(lit(1)).as("ns"): _*)
     val sigs = array((0 until B).map { b =>
       struct(
         lit(b).as("b"),
@@ -172,8 +162,8 @@ object Dedup {
         col(s"m${b * R + 2}").as("s2"))
     }: _*)
     val bands = sigd
-      .select(col("doc_id"), explode(sigs).as("bs"))
-      .select(col("doc_id"), col("bs.b").as("b"),
+      .select(col("doc_id"), col("ns"), explode(sigs).as("bs"))
+      .select(col("doc_id"), col("ns"), col("bs.b").as("b"),
         col("bs.s0").as("s0"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
     val cand = bands.as("a")
       .join(bands.as("c"),
@@ -181,20 +171,22 @@ object Dedup {
           col("a.s0") === col("c.s0") && col("a.s1") === col("c.s1") &&
           col("a.s2") === col("c.s2") &&
           col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-      .distinct()
-    // Exact-Jaccard verify joins carry TEXT, not 3-gram arrays (≈3× smaller
-    // shuffle), and build the shingle sets per surviving candidate pair only
-    // — the array HOF runs on O(candidates), never on the corpus.
-    val sx = shingles(col("x.text"))
-    val sy = shingles(col("y.text"))
-    val jaccard = round(
-      size(array_intersect(sx, sy)).cast("double") /
-        size(array_distinct(concat(sx, sy))), 6)
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        col("a.ns").as("ns_a"), col("c.ns").as("ns_b"))
+      .distinct() // ns is functionally dependent on doc_id — pairs stay unique
+    // RELATIONAL exact-Jaccard verify (same as q51): |A∩B| by joining the
+    // pair list to the distinct shingle rows and counting — per-PAIR array
+    // rebuilds would re-shingle every doc once per candidate (O(k²) work
+    // inside a k-doc near-dup block; q51 measured 48s from that shape).
     cand
-      .join(docs.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(docs.as("y"), col("doc_b") === col("y.doc_id"))
-      .select(col("doc_a"), col("doc_b"), jaccard.as("jaccard"))
+      .join(dsh.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(dsh.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.sh") === col("gb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("ns_a"), col("ns_b"))
+      .agg(count(lit(1)).as("ni"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast("double") /
+          (col("ns_a") + col("ns_b") - col("ni")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }

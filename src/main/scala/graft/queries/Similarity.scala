@@ -197,13 +197,14 @@ object Similarity {
     *
     * The hyperplane components are ±1 coins derived from md5(p|i), so both
     * engines build bit-identical hyperplanes from nothing but the (plane,
-    * dim) index — no RNG, no shipped model. Cross-engine float safety:
-    * unlike the cosine folds (which pin addition order), the projection
-    * Σ sgn(p,i)·v[i] is a plain SUM whose order may differ between engines
-    * — but only its SIGN is consumed (the bucket bit), and a sign flip
-    * needs |pr| below addition-reorder noise (~1e-15 relative), which a
-    * continuous-valued projection never sits at. The ranked cosine reuses
-    * the pinned-fold helpers.
+    * dim) index — no RNG, no shipped model. Cross-engine float safety: the
+    * projection Σ sgn(p,i)·v[i] is summed over INTEGERS — each component
+    * quantized to 1e-6 (round(x·1e6) as long, identical half-away-from-zero
+    * rounding in both engines) — so the sum is exact and order-independent
+    * and the bucket bit (its sign) cannot be flipped by float addition
+    * reorder, upholding the repo's pinned-reduction rule for every value
+    * an oracle compare consumes. The ranked cosine reuses the pinned-fold
+    * helpers.
     *
     * 100 TB shape: the sign table is 8×64 rows (broadcast); projections are
     * a posexplode + one map-side-combined hash aggregate (no per-vector
@@ -217,10 +218,11 @@ object Similarity {
        |dims AS (SELECT unnest(range(1, 65)) AS i),
        |sg AS (SELECT p, i,
        |  CASE WHEN substr(md5(p || '|' || i), 1, 1) >= '8'
-       |    THEN 1.0 ELSE -1.0 END AS sgn
+       |    THEN 1 ELSE -1 END AS sgn
        |  FROM planes, dims),
        |proj AS (
-       |  SELECT e.vec_id, sg.p, sum(sg.sgn * e.v[sg.i]) AS pr
+       |  SELECT e.vec_id, sg.p,
+       |    sum(sg.sgn * CAST(round(e.v[sg.i] * 1000000) AS BIGINT)) AS pr
        |  FROM e, sg GROUP BY 1, 2),
        |b AS (
        |  SELECT vec_id,
@@ -249,14 +251,15 @@ object Similarity {
         (col("id") % 64 + 1).as("i"))
       .select(col("p"), col("i"),
         when(substring(md5(concat(col("p").cast("string"), lit("|"),
-          col("i").cast("string"))), 1, 1) >= "8", 1.0)
-          .otherwise(-1.0).as("sgn"))
+          col("i").cast("string"))), 1, 1) >= "8", 1L)
+          .otherwise(-1L).as("sgn"))
     val proj = e
       .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .select(col("vec_id"), (col("pos") + 1).as("i"), col("x"))
+      .select(col("vec_id"), (col("pos") + 1).as("i"),
+        round(col("x") * 1e6).cast("long").as("xq"))
       .join(broadcast(signs), "i")
       .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("sgn") * col("x")).as("pr"))
+      .agg(sum(col("sgn") * col("xq")).as("pr"))
     val bits = (0 until 8).map(k =>
       max(when(col("p") === k,
         when(col("pr") >= 0, "1").otherwise("0"))).as(s"b$k"))
