@@ -14,6 +14,15 @@ import graft.functions.Exact
   */
 object Windows {
 
+  /** Tumbling window length — single source of truth for [[tumbling]] and
+    * for the suite's horizon arithmetic (StreamingSpec), so the two can't
+    * silently drift apart.
+    */
+  val TumblingWindowMs: Long = 3600L * 1000
+
+  /** Watermark delay used by every streaming runner here. */
+  val WatermarkDelayMs: Long = 10L * 60 * 1000
+
   /** Tumbling 1-hour windows per event type: count + order-independent
     * decimal-exact sum ([[Exact.dsum]]) + min/max.
     */

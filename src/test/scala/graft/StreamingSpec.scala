@@ -16,16 +16,19 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("stream_tumbling")
         .orderBy(col("win_start"), col("event_type")).collect()
       // append mode emits a window once its end is past the watermark
-      // (max event time − 10 min); the final open windows stay in state
+      // (max event time − delay); the final open windows stay in state
       val wmMs = Tables.events(spark, sf)
         .agg(max(col("ts"))).head.getAs[java.sql.Timestamp](0).getTime -
-        10L * 60 * 1000
-      val batch = Windows.tumbling(Tables.events(spark, sf))
+        Windows.WatermarkDelayMs
+      val unfiltered = Windows.tumbling(Tables.events(spark, sf))
         .orderBy(col("win_start"), col("event_type")).collect()
-        .filter(_.getAs[java.sql.Timestamp]("win_start").getTime +
-          3600L * 1000 <= wmMs)
+      val batch = unfiltered.filter(
+        _.getAs[java.sql.Timestamp]("win_start").getTime +
+          Windows.TumblingWindowMs <= wmMs)
       assert(streamed.length > 0)
-      assert(streamed.length < batch.length + 2) // sanity: horizon actually cut
+      // the horizon actually cut something: at least the windows still open
+      // at the watermark are absent from the append-mode output
+      assert(batch.length < unfiltered.length)
       assert(streamed.toSeq === batch.toSeq)
     } finally q.stop()
   }
