@@ -9,8 +9,8 @@ object SparkEntry {
   /** Full operator registry (SURVEY.md §2 coverage). */
   def registry: Seq[Q] =
     Relational.all ++ Analytic.all ++ Functions.all ++ Pipeline.all ++
-      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Gaps.all ++
-      StreamingQ.all ++ MultimodalQ.all
+      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Curation.all ++
+      Gaps.all ++ StreamingQ.all ++ MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

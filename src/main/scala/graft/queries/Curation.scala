@@ -1,0 +1,262 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operator family over `documents` — the pipeline
+  * stages that sit between raw dedup (Dedup.scala) and a training run:
+  * benchmark decontamination, sequence packing, repetition filtering,
+  * domain-mixture reweighting, and stratified held-out sampling. All are
+  * [EXT] operators (beyond the reference's export surface, mandated by
+  * SURVEY.md §2's LLM-pipeline slice); every hash primitive is md5
+  * (bit-identical in Spark and DuckDB) so each stage is oracle-checkable.
+  *
+  * 100 TB notes per operator:
+  *  - decontamination: the eval/benchmark side is SMALL by construction
+  *    (benchmarks are thousands of docs, not billions) → its distinct
+  *    n-gram set broadcasts; the corpus side streams past it with no
+  *    corpus-wide shuffle except the per-doc hit aggregation.
+  *  - packing: the running-total window is partitioned by a shard key, so
+  *    each task packs its own shard independently — no global sort, and
+  *    shard count scales with the cluster, not the corpus.
+  *  - repetition / mixture / sampling: pure scans + one map-side-combined
+  *    aggregation; nothing quadratic, no joins on the corpus spine.
+  */
+object Curation {
+
+  def all: Seq[Q] = Seq(
+    q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
+    q70StratifiedSample)
+
+  /** Benchmark decontamination via word-5-gram collision (the n-gram-overlap
+    * rule used to scrub eval sets out of training corpora): a deterministic
+    * slice of the corpus (doc_id % 7 == 0) stands in for the held-out
+    * benchmark; any TRAINING doc sharing at least one 5-gram with it is
+    * flagged with its overlap count. Grams become ROWS (explode of an index
+    * sequence; the md5 is a plain projected column — whole-stage codegen,
+    * not an interpreted lambda), per-doc duplicates collapse in the same
+    * DISTINCT, and the benchmark's gram set is DISTINCT'd then BROADCAST:
+    * the corpus side never shuffles on content, only the flagged remnant
+    * aggregates. Joining on the 32-hex md5 instead of the raw 5-gram keeps
+    * the broadcast rows fixed-width.
+    */
+  val q66Decontaminate = Q(
+    "q66_decontaminate",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, doc_id % 7 = 0 AS is_eval,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id, lang, is_eval,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+      |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |        || ' ' || toks[i+3] || ' ' || toks[i+4])))) AS gram
+      |  FROM tok
+      |),
+      |eval_grams AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+      |SELECT g.doc_id, g.lang, count(*) AS n_hit_grams
+      |FROM g JOIN eval_grams e ON g.gram = e.gram
+      |WHERE NOT g.is_eval
+      |GROUP BY g.doc_id, g.lang
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val n = 5
+    val base = Tables.documentsWide(s, d)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 7 === 0).as("is_eval"),
+        split(col("text"), " ").as("toks"))
+      // <n-token docs yield no grams on either engine; the filter also keeps
+      // Spark's sequence() ascending (sequence(1, k<1) would DESCEND)
+      .filter(size(col("toks")) >= n)
+    val grams = base
+      .select(col("doc_id"), col("lang"), col("is_eval"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
+      .select(col("doc_id"), col("lang"), col("is_eval"),
+        md5(concat_ws(" ",
+          (0 until n).map(k => element_at(col("toks"), col("i") + k)): _*))
+          .as("gram"))
+      .distinct()
+    val evalGrams = grams.filter(col("is_eval")).select(col("gram")).distinct()
+    grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .select(col("doc_id"), col("lang"), col("n_hit_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence packing for a fixed token budget (512): docs are packed
+    * greedily in doc_id order into consecutive bins, a doc landing in the
+    * bin where its running total starts (straddlers spill — the standard
+    * pack-then-truncate accounting). The running total is a window cumsum
+    * PARTITIONED BY a shard key (doc_id % 8): each shard packs
+    * independently in one task, which is exactly how packing parallelizes
+    * at 100 TB — the order inside a shard is deterministic, shards never
+    * coordinate, and shard count is a free dial (cluster width, not corpus
+    * size). Output is per-bin occupancy accounting.
+    */
+  val q67SeqPacking = Q(
+    "q67_seq_packing",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT shard, doc_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t
+      |)
+      |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2
+      |ORDER BY shard NULLS FIRST, bin NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val cumW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(cumW))
+      .groupBy(col("shard"),
+        expr("(cum - n_tokens) div 512").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  /** Within-document repetition detection (the duplicate-n-gram filters of
+    * large-corpus quality pipelines): duplicate word-3-gram fraction
+    * (1 − distinct/total) plus the count of immediately repeated tokens.
+    * Pure scan — the per-row arrays are bounded by document length, the
+    * lambdas are cheap string/compare ops (no hashes; the md5-in-lambda
+    * megamorphic hazard documented at Dedup.scala does not apply), and the
+    * only shuffle is the presentation sort.
+    */
+  val q68Repetition = Q(
+    "q68_repetition",
+    """SELECT doc_id, n3 AS n_3grams, nd3 AS n_distinct_3grams,
+      |  round(1.0 - CAST(nd3 AS DOUBLE) / n3, 6) AS dup_3gram_frac,
+      |  n_adj AS n_adjacent_dups
+      |FROM (
+      |  SELECT doc_id, len(toks) - 2 AS n3,
+      |    len(list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS nd3,
+      |    len(list_filter(range(1, len(toks)), i -> toks[i] = toks[i+1])) AS n_adj
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+      |  WHERE len(toks) >= 3) s
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val toks = col("toks")
+    val nToks = size(toks)
+    Tables.documentsWide(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(nToks >= 3)
+      .select(col("doc_id"),
+        (nToks - 2).as("n3"),
+        size(array_distinct(transform(sequence(lit(1), nToks - 2), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))).as("nd3"),
+        size(filter(sequence(lit(1), nToks - 1), i =>
+          element_at(toks, i) === element_at(toks, i + 1))).as("n_adj"))
+      .select(col("doc_id"),
+        col("n3").as("n_3grams"),
+        col("nd3").as("n_distinct_3grams"),
+        round(lit(1.0) - col("nd3").cast("double") / col("n3"), 6)
+          .as("dup_3gram_frac"),
+        col("n_adj").as("n_adjacent_dups"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Domain-mixture reweighting (the DoReMi-shaped accounting step): each
+    * source's token share vs a uniform target share becomes a sampling
+    * weight (target/actual, clipped at 5× so starved domains don't explode).
+    * One map-side-combined aggregation by source; the totals side is a
+    * 1-row broadcast. At 100 TB the per-source table is domain-count-sized
+    * (dozens to thousands of rows) — trivially broadcastable.
+    */
+  val q69DomainMixture = Q(
+    "q69_domain_mixture",
+    """WITH per_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    count(*) AS n_sources
+      |  FROM per_src
+      |)
+      |SELECT s.source, s.n_docs, s.n_tokens,
+      |  round(CAST(s.n_tokens AS DOUBLE) / t.total_tokens, 6) AS token_share,
+      |  round(least((1.0 / t.n_sources)
+      |    / (CAST(s.n_tokens AS DOUBLE) / t.total_tokens), 5.0), 6) AS sample_weight
+      |FROM per_src s CROSS JOIN tot t
+      |ORDER BY source NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val perSrc = Tables.documentsWide(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    val tot = perSrc.agg(
+      sum(col("n_tokens")).cast("long").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val share = col("n_tokens").cast("double") / col("total_tokens")
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 6).as("token_share"),
+        round(least((lit(1.0) / col("n_sources")) / share, lit(5.0)), 6)
+          .as("sample_weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Stratified deterministic sampling: per-language sampling rates
+    * (en 0x1a/256 ≈ 10%, fr 50%, de ≈ 80%, others ≈ 30%) applied through
+    * the q65 hash-threshold idiom — membership is a pure function of
+    * md5("sample|" + doc_id), so every engine, run, and data increment
+    * agrees on every doc with no sampling state and no global pass. Output
+    * is the per-stratum realized accounting. The rebalancing companion to
+    * q69: q69 computes the weights, this executes a stratified cut.
+    */
+  val q70StratifiedSample = Q(
+    "q70_stratified_sample",
+    """WITH s AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+      |    CASE lang WHEN 'en' THEN '1a' WHEN 'fr' THEN '80'
+      |      WHEN 'de' THEN 'cc' ELSE '4d' END AS thresh
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_total,
+      |  count(*) FILTER (h < thresh) AS n_sampled,
+      |  CAST(sum(n_chars) FILTER (h < thresh) AS BIGINT) AS sampled_chars,
+      |  round(CAST(count(*) FILTER (h < thresh) AS DOUBLE) / count(*), 6)
+      |    AS realized_rate
+      |FROM s GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val h = substring(
+      md5(concat(lit("sample|"), col("doc_id").cast("string"))), 1, 2)
+    val thresh = when(col("lang") === "en", "1a")
+      .when(col("lang") === "fr", "80")
+      .when(col("lang") === "de", "cc")
+      .otherwise("4d")
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), (h < thresh).as("sampled"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("sampled"), lit(1))).as("n_sampled"),
+        sum(when(col("sampled"), col("n_chars"))).cast("long")
+          .as("sampled_chars"),
+        round(count(when(col("sampled"), lit(1))).cast("double")
+          / count(lit(1)), 6).as("realized_rate"))
+      .orderBy(col("lang"))
+  }
+}
