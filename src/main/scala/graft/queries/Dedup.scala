@@ -125,22 +125,26 @@ object Dedup {
     // need no dedup: min over duplicates equals min over the distinct set.
     // The exchange carries only (doc_id, 15×8-hex) per doc.
     val words = split(col("text"), " ")
-    val tok = docs
+    // distinct (doc_id, shingle) rows feed BOTH the signature aggregate
+    // (md5 once per distinct shingle) and the relational exact-Jaccard
+    // verify below — same design as q51. Distinctness is PER-DOC, so it
+    // runs as a per-row array_distinct BEFORE the explode (cheap concat
+    // lambda; the md5s stay relational): zero shuffle where
+    // explode→DISTINCT paid an exchange + 3 hash aggregates, and this
+    // subtree appears 3× in the plan (signatures + two verify sides).
+    val dsh = docs
       // the filter both excludes sub-window docs (DuckDB's range() yields
       // no shingles for them) and keeps sequence() ascending — Spark's
       // sequence(1, n) DESCENDS for n < 1 and would fabricate indices
       .filter(size(words) >= 3)
-      .select(col("doc_id"), words.as("ws"),
-        explode(sequence(lit(1), size(words) - 2)).as("i"))
+      .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"),
-        concat_ws(" ",
-          element_at(col("ws"), col("i")),
-          element_at(col("ws"), col("i") + 1),
-          element_at(col("ws"), col("i") + 2)).as("sh"))
-    // distinct (doc_id, shingle) rows feed BOTH the signature aggregate
-    // (md5 once per distinct shingle) and the relational exact-Jaccard
-    // verify below — same design as q51
-    val dsh = tok.distinct()
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("ws")) - 2), i =>
+            concat_ws(" ",
+              element_at(col("ws"), i),
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2))))).as("sh"))
     val dig = dsh.select(col("doc_id") +:
       (0 to 3).map(k => md5(concat(lit(s"$k|"), col("sh"))).as(s"d$k")): _*)
     // slices are NUMERIC (8 hex chars → long) so the 15 min() aggregates
@@ -227,11 +231,16 @@ object Dedup {
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
-    // Fully RELATIONAL form — no array columns, no higher-order-function
-    // lambdas anywhere (interpreted HOF md5 folds benched 3.7s→55s across
-    // rounds from megamorphic call sites; per-PAIR array Jaccard benched
-    // 48s on this corpus's 246-doc near-dup blocks). One codegen'd pass:
-    //  1. distinct (doc_id, gram) rows via explode (map-side-combined);
+    // RELATIONAL form with all EXPENSIVE work out of lambdas (interpreted
+    // HOF md5 folds benched 3.7s→55s across rounds from megamorphic call
+    // sites; per-PAIR array Jaccard benched 48s on this corpus's 246-doc
+    // near-dup blocks). One codegen'd pass:
+    //  1. distinct (doc_id, gram) rows — dedup is PER-DOC, so it runs as a
+    //     per-row array_distinct BEFORE the explode (the substr lambda is
+    //     trivially cheap; the md5s stay relational): zero shuffle, where
+    //     explode→DISTINCT paid an exchange + 3 hash aggregates, and this
+    //     subtree is instantiated 4× in the plan (two keyed sides, two
+    //     verify sides) — measured 0.97s→0.40s per instance at sf0.1;
     //  2. bk + gram count in ONE hash aggregate (min over distinct grams
     //     equals min over all — dedup only tightens the count);
     //  3. candidate pairs from the bk equi self-join (tiny rows: id+bk+n);
@@ -242,10 +251,10 @@ object Dedup {
     // (id, 5-char gram) rows, and candidate mass is bounded by the banding.
     val dg = docs
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
-      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("g"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 4),
+          i => col("text").substr(i, lit(5))))).as("g"))
     // Band components are NUMERIC (first 15 hex chars → long): min over a
     // primitive buffer stays in codegen'd HashAggregate, where min over the
     // digest STRING falls back to SortAggregate (two extra sorts of the
