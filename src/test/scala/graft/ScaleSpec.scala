@@ -86,7 +86,8 @@ class ScaleSpec extends SparkSpec {
     // O(n²) at 100 TB. q36's centroid assignment crossJoins a BROADCAST
     // 10-row centroid table by design (bounded side), so broadcast NLJ is
     // asserted absent only for the corpus-sized pair generators.
-    for (name <- Seq("q32_minhash_neardup", "q51_ngram_jaccard", "q64_ann_srp")) {
+    for (name <- Seq("q32_minhash_neardup", "q51_ngram_jaccard", "q64_ann_srp",
+      "q66_decontaminate")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -26,7 +26,9 @@ class ShortDocSpec extends SparkSpec {
 
   private val docQueries =
     Seq("q31_exact_dedup", "q32_minhash_neardup", "q33_simhash_fingerprint",
-      "q37_text_stats", "q38_langid", "q51_ngram_jaccard", "q52_tfidf")
+      "q37_text_stats", "q38_langid", "q51_ngram_jaccard", "q52_tfidf",
+      "q67_seq_packing", "q68_repetition", "q69_domain_mixture",
+      "q70_stratified_sample")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
@@ -68,6 +70,30 @@ class ShortDocSpec extends SparkSpec {
       assert(rows.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(1) <= 30L),
         s"$name paired a unique doc")
     }
+  }
+
+  test("q66 handles an empty eval set and flags a duplicated eval doc") {
+    // `dir`'s ids (1-4) contain no doc_id % 7 == 0 → the benchmark side is
+    // EMPTY: decontamination must return zero flagged docs, not crash on
+    // the empty broadcast
+    assert(SparkEntry.queries("q66_decontaminate")(spark, dir).collect().isEmpty)
+    // a corpus where doc 7 IS the benchmark and doc 8 duplicates it: doc 8
+    // must be flagged with every one of its distinct 5-grams overlapping;
+    // sub-window docs (id 9) and unrelated docs (id 10) stay clean
+    val d = "/tmp/graft_contam"
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (7L, shared, "en", "unit", shared.length.toLong),
+      (8L, shared, "en", "unit", shared.length.toLong),
+      (9L, "tiny doc", "en", "unit", 8L),
+      (10L, "completely different words nothing shared here at all", "en", "unit", 53L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val flagged = SparkEntry.queries("q66_decontaminate")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flagged.keySet === Set(8L), s"flagged: $flagged")
+    assert(flagged(8L) === 4L, "8 tokens -> 4 distinct 5-grams, all shared")
   }
 
   test("q37 fingerprint is NULL for docs below the shingle window") {
