@@ -23,7 +23,52 @@ object Analytic {
     q18SetOps,
     q19Distinct,
     q09AsOfJoin,
+    q71Scd2Compact,
   )
+
+  /** CDC change-log → SCD2 dimension compaction: per user, drop rows whose
+    * value repeats the previous version (lag over the event order), then
+    * derive each surviving version's validity interval [valid_from,
+    * valid_to) with lead — the open interval marks the current row. The
+    * warehouse-side twin of the streaming state ops (§2.9): how a mutable
+    * source table (the reference exports seven of them, each carrying
+    * created_at/updated_at audit columns — config.py:11-12) becomes a
+    * queryable history. ONE shuffle at scale: both windows and the final
+    * projection share the user_id partitioning and (ts, event_id) sort, so
+    * the change filter and interval builder run in the same stage with no
+    * second exchange; ties on ts are broken by event_id to keep the
+    * version order deterministic across engines.
+    */
+  val q71Scd2Compact = Q(
+    "q71_scd2_compact",
+    """WITH chg AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    lag(value) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_val
+      |  FROM events
+      |),
+      |v AS (
+      |  SELECT user_id, event_id, ts, value FROM chg
+      |  WHERE prev_val IS NULL OR value <> prev_val
+      |)
+      |SELECT user_id, event_id, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current,
+      |  value
+      |FROM v
+      |ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST, event_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_val", lag(col("value"), 1).over(w))
+      .filter(col("prev_val").isNull || col("value") =!= col("prev_val"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"), col("value"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
 
   /** Ranking trio per partition. rank/dense_rank order only by the (possibly
     * tied) measure — their outputs are tie-invariant; row_number adds a

@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def all: Seq[Q] = Seq(q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp)
+  def all: Seq[Q] = Seq(
+    q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant)
 
   private def vec(c: Column): Column = transform(c, _.cast("double"))
 
@@ -278,5 +279,66 @@ object Similarity {
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 5)
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Int8 embedding quantization accounting — the compression step a
+    * 100 TB vector corpus takes before ANN serving (4× smaller than f32,
+    * SIMD-friendly dot products). Symmetric absmax scheme per vector:
+    * q_i = round(127·x_i / absmax). ALL math runs in the integer domain
+    * (components are first fixed-pointed to 1e-6 via the q64-proven
+    * `round(x·1e6)::long` idiom, and the reconstruction error
+    * |127·x_i − q_i·absmax| is an exact integer) so the oracle comparison
+    * is bit-exact — no float-fold ordering anywhere; the only doubles are
+    * one final division per vector, identically associated in both
+    * engines. Shape at scale: posexplode → ONE shuffle on vec_id; the
+    * absmax window and the final aggregate share that partitioning, so
+    * the whole query is a single exchange + two pipelined stages.
+    */
+  val q72Int8Quant = Q(
+    "q72_int8_quant",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xq
+      |  FROM embeddings
+      |),
+      |a AS (
+      |  SELECT vec_id, xq, len(xq) AS n_dims,
+      |    list_max(list_transform(xq, v -> abs(v))) AS amax
+      |  FROM e
+      |),
+      |q AS (
+      |  SELECT vec_id, n_dims, amax, xq,
+      |    list_transform(xq, v -> CAST(round(127 * v / amax) AS BIGINT)) AS qs
+      |  FROM a WHERE amax > 0
+      |)
+      |SELECT vec_id, n_dims, amax,
+      |  CAST(list_sum(qs) AS BIGINT) AS sum_q,
+      |  len(list_filter(qs, v -> abs(v) = 127)) AS n_sat,
+      |  round(CAST(list_sum(list_transform(range(1, n_dims + 1),
+      |    i -> abs(127 * xq[i] - qs[i] * amax))) AS DOUBLE)
+      |    / (127.0 * amax * n_dims), 6) AS rel_err
+      |FROM q
+      |ORDER BY vec_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val byVec = Window.partitionBy(col("vec_id"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xq"))
+      .withColumn("amax", max(abs(col("xq"))).over(byVec))
+      .withColumn("n_dims", count(lit(1)).over(byVec))
+      .filter(col("amax") > 0)
+      .withColumn("qv", round(lit(127) * col("xq") / col("amax")).cast("long"))
+      .groupBy(col("vec_id"), col("n_dims"), col("amax"))
+      .agg(
+        sum(col("qv")).cast("long").as("sum_q"),
+        count(when(abs(col("qv")) === 127, lit(1))).as("n_sat"),
+        round(sum(abs(lit(127) * col("xq") - col("qv") * col("amax")))
+          .cast("double")
+          / (lit(127.0) * col("amax") * col("n_dims")), 6).as("rel_err"))
+      .select(col("vec_id"), col("n_dims"), col("amax"), col("sum_q"),
+        col("n_sat"), col("rel_err"))
+      .orderBy(col("vec_id"))
   }
 }
