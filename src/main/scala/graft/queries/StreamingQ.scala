@@ -14,7 +14,26 @@ import org.apache.spark.sql.functions._
 object StreamingQ {
 
   def all: Seq[Q] = Seq(
-    q45TumblingWindow, q46SessionWindow, q47SlidingWindow, q60StreamJoinTwin)
+    q45TumblingWindow, q46SessionWindow, q47SlidingWindow, q60StreamJoinTwin,
+    q73StreamEnrichTwin)
+
+  /** Batch twin of the STREAM-STATIC enrichment join
+    * ([[Windows.streamEnrich]], equality asserted in StreamingSpec): every
+    * event decorated with its customer dimension row. The dim side is
+    * broadcast — stateless, the §2.9 join shape that needs no watermark.
+    */
+  val q73StreamEnrichTwin = Q(
+    "q73_stream_enrich_twin",
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_nationkey
+      |FROM events e JOIN customer c ON e.user_id + 1 = c.c_custkey
+      |ORDER BY e.event_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Windows.enriched(
+      Tables.events(s, d),
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+      .orderBy(col("event_id"))
+  }
 
   /** Batch twin of the stream-stream interval join
     * ([[Windows.streamViewPurchase]], equality asserted in StreamingSpec):

@@ -198,6 +198,41 @@ object Windows {
       .start()
   }
 
+  /** Shared enrichment logic for the STREAM-STATIC join pair: events
+    * decorated with the customer dimension (user_id+1 keys into
+    * c_custkey on the driver fixtures). The dim side is explicitly
+    * broadcast: stateless per micro-batch, no streaming state at all —
+    * the standard shape for decorating an unbounded stream with a
+    * bounded dimension. At 100 TB the dimension either stays broadcastable
+    * (most dims) or the join falls back to a per-batch shuffle; either
+    * way no state store is involved, unlike the stream-stream join above.
+    */
+  def enriched(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), col("user_id") + 1 === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_name"), col("c_nationkey"))
+
+  /** Structured Streaming execution of [[enriched]]: parquet events stream
+    * joined to the static customer dimension, append-mode memory sink.
+    */
+  def streamEnrich(
+      spark: SparkSession, sfDir: String, tableName: String): StreamingQuery = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    enriched(raw, dim)
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Streaming stateful dedup: drop duplicate (user_id, event_type) pairs
     * arriving within the watermark — `dropDuplicatesWithinWatermark` keeps
     * the dedup state bounded (keys expire with the watermark) where plain

@@ -99,6 +99,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch twin") {
+    val q = Windows.streamEnrich(spark, sf, "stream_enrich")
+    try {
+      q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+      val streamed = spark.table("stream_enrich").collect().map(key).toSet
+      val batch = Windows.enriched(
+        Tables.events(spark, sf),
+        spark.read.parquet(s"$sf/customer.parquet")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+        .collect().map(key).toSet
+      assert(batch.nonEmpty, "fixture users must hit the customer dim")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups to the exact distinct key count") {
     val q = Windows.streamDedup(spark, sf, "stream_dedup")
     try {
