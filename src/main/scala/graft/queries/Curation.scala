@@ -71,14 +71,20 @@ object Curation {
       // <n-token docs yield no grams on either engine; the filter also keeps
       // Spark's sequence() ascending (sequence(1, k<1) would DESCEND)
       .filter(size(col("toks")) >= n)
+    // per-doc distinctness happens as a per-row array_distinct on the RAW
+    // grams BEFORE the explode (cheap concat lambda — the md5 stays a
+    // relational projected column, see Dedup.scala's hazard note), so no
+    // corpus-wide DISTINCT shuffle exists anywhere in the plan; distinct
+    // raw grams map 1:1 to distinct digests
     val grams = base
-      .select(col("doc_id"), col("lang"), col("is_eval"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("i"))
       .select(col("doc_id"), col("lang"), col("is_eval"),
-        md5(concat_ws(" ",
-          (0 until n).map(k => element_at(col("toks"), col("i") + k)): _*))
-          .as("gram"))
-      .distinct()
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
+          .as("raw"))
+      .select(col("doc_id"), col("lang"), col("is_eval"),
+        md5(col("raw")).as("gram"))
     val evalGrams = grams.filter(col("is_eval")).select(col("gram")).distinct()
     grams.filter(!col("is_eval"))
       .join(broadcast(evalGrams), "gram")
