@@ -34,7 +34,8 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def all: Seq[Q] = Seq(
-    q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard)
+    q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
+    q74DedupClusters)
 
   /** Exact content-hash dedup with keep-first semantics: canonicalize
     * (lowercase, 50-char prefix — standing in for whitespace/punctuation
@@ -336,5 +337,96 @@ object Dedup {
       .withColumn("n_same",
         count(lit(1)).over(Window.partitionBy(col("simhash"))))
       .orderBy(col("doc_id"))
+  }
+
+  /** Dedup-cluster resolution: the step AFTER pair generation — candidate
+    * pairs from multi-key blocking (prefix-hash OR suffix-hash equality,
+    * the union-of-blocking-keys idiom) form chains (a~b on one key, b~c on
+    * the other), and keeping one canonical doc per NEAR-DUP GROUP requires
+    * the connected components of that pair graph, not the pair list.
+    * Components are computed by iterative min-label propagation — each
+    * round a label shuffle-joins to the symmetric edge list and takes the
+    * neighborhood minimum, exactly the Pregel/large-star step — with a
+    * driver-side convergence probe (the only driver action is an isEmpty
+    * on the changed-label set; labels themselves never leave the cluster)
+    * and `localCheckpoint` truncating the growing lineage each round. The
+    * iteration count is bounded by the component diameter, which for dedup
+    * clusters is small by construction (blocking keys bound block size);
+    * min-label CC is order-independent, so the fixpoint is deterministic
+    * and matches the oracle's recursive-CTE transitive closure. At 100 TB:
+    * same loop with reliable `checkpoint()` instead of local, and the
+    * alternating large-star/small-star variant if diameters ever grow.
+    */
+  val q74DedupClusters = Q(
+    "q74_dedup_clusters",
+    """WITH RECURSIVE n AS (
+      |  SELECT doc_id,
+      |    sha256(substr(text, 1, 50)) AS hp,
+      |    sha256(substr(text, greatest(length(text) - 49, 1), 50)) AS hs
+      |  FROM documents
+      |),
+      |e0 AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM n a JOIN n b ON a.hp = b.hp AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM n a JOIN n b ON a.hs = b.hs AND a.doc_id < b.doc_id
+      |),
+      |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS r FROM nodes
+      |  UNION
+      |  SELECT e.a AS doc_id, reach.r FROM edges e
+      |  JOIN reach ON reach.doc_id = e.b
+      |),
+      |comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id),
+      |sz AS (SELECT component, count(*) AS cluster_size FROM comp
+      |       GROUP BY component)
+      |SELECT c.doc_id, c.component, c.doc_id = c.component AS is_canonical,
+      |  s.cluster_size
+      |FROM comp c JOIN sz s ON c.component = s.component
+      |ORDER BY c.component NULLS FIRST, c.doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val n = Tables.documentsWide(s, d).select(
+      col("doc_id"),
+      sha2(substring(col("text"), 1, 50), 256).as("hp"),
+      sha2(col("text").substr(
+        greatest(length(col("text")) - 49, lit(1)), lit(50)), 256).as("hs"))
+    def pairsOn(k: String) = n.as("x")
+      .join(n.as("y"),
+        col(s"x.$k") === col(s"y.$k") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val e0 = pairsOn("hp").union(pairsOn("hs")).distinct()
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges.join(labels, col("b") === col("doc_id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, col("doc_id") === col("a"), "left")
+        .select(col("doc_id"),
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      converged = updated.as("u")
+        .join(labels.as("l"), "doc_id")
+        .filter(col("u.component") =!= col("l.component"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "component")
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_canonical"),
+        col("cluster_size"))
+      .orderBy(col("component"), col("doc_id"))
   }
 }

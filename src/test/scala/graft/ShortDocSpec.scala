@@ -28,7 +28,7 @@ class ShortDocSpec extends SparkSpec {
     Seq("q31_exact_dedup", "q32_minhash_neardup", "q33_simhash_fingerprint",
       "q37_text_stats", "q38_langid", "q51_ngram_jaccard", "q52_tfidf",
       "q67_seq_packing", "q68_repetition", "q69_domain_mixture",
-      "q70_stratified_sample")
+      "q70_stratified_sample", "q74_dedup_clusters")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
@@ -94,6 +94,26 @@ class ShortDocSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(flagged.keySet === Set(8L), s"flagged: $flagged")
     assert(flagged(8L) === 4L, "8 tokens -> 4 distinct 5-grams, all shared")
+  }
+
+  test("q74 merges chained blocking keys into one component") {
+    // a~b share the 50-char PREFIX key, b~c share the SUFFIX key, a and c
+    // share nothing directly — only transitive closure puts all three in
+    // one component, so this pins the label propagation, not just the join
+    val d = "/tmp/graft_cc_chain"
+    import spark.implicits._
+    val (x, y, z, w) = ("x" * 50, "y" * 50, "z" * 50, "w" * 50)
+    Seq(
+      (1L, x + y, "en", "unit", 100L),
+      (2L, x + z, "en", "unit", 100L),
+      (3L, w + z, "en", "unit", 100L),
+      (4L, "unrelated island document", "en", "unit", 25L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("q74_dedup_clusters")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1L, 1L, true, 3L), (2L, 1L, false, 3L), (3L, 1L, false, 3L)))
   }
 
   test("q37 fingerprint is NULL for docs below the shingle window") {
