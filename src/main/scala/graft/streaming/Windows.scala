@@ -198,6 +198,76 @@ object Windows {
       .start()
   }
 
+  /** Custom sessionization via `flatMapGroupsWithState` — the MULTI-emit
+    * stateful API (mapGroupsWithState above returns exactly one row per
+    * group per batch; a sessionizer must emit ZERO OR MANY completed
+    * sessions and hold the open one). Per user the state is the open
+    * session (start, last, count) in MICROSECONDS — the event timestamps
+    * carry sub-ms precision, so `Timestamp.getTime` (ms) would corrupt
+    * gap arithmetic; each batch folds its events in ts order, closing a
+    * session whenever the next event arrives ≥ gap after the last
+    * ([[session]]'s semantics: interval = [start, last+gap)). Completed
+    * sessions flush immediately; the open session is emitted by the
+    * EVENT-TIME timeout once the watermark passes last+gap — which also
+    * bounds the state store to one open session per active user at 100 TB.
+    */
+  def streamSessionize(
+      spark: SparkSession, sfDir: String, tableName: String): StreamingQuery = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .withWatermark("ts", "10 minutes")
+      // the watermarked ts column must stay in the grouped Dataset for the
+      // event-time timeout to be allowed; the µs twin does the exact math
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s0, l0, n0) = state.get
+            state.remove()
+            Iterator((user, s0, l0 + gapUs, n0))
+          } else {
+            val ts = events.map(_._3).toArray.sorted
+            var completed = List.empty[(Long, Long, Long)]
+            var cur = state.getOption
+            for (t <- ts) cur match {
+              case None => cur = Some((t, t, 1L))
+              case Some((s0, l0, n0)) =>
+                if (t - l0 >= gapUs) {
+                  completed ::= ((s0, l0, n0)); cur = Some((t, t, 1L))
+                } else cur = Some((s0, t, n0 + 1))
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // timeout once the watermark passes the session's close edge
+              state.setTimeoutTimestamp((c._2 + gapUs) / 1000)
+            }
+            completed.reverseIterator
+              .map { case (s0, l0, n0) => (user, s0, l0 + gapUs, n0) }
+          }
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").as("sess_start"),
+        expr("timestamp_micros(end_us)").as("sess_end"),
+        col("n_events"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Shared enrichment logic for the STREAM-STATIC join pair: events
     * decorated with the customer dimension (user_id+1 keys into
     * c_custkey on the driver fixtures). The dim side is explicitly

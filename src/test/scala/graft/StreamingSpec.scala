@@ -99,6 +99,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer emits the batch session windows") {
+    val q = Windows.streamSessionize(spark, sf, "stream_sess")
+    try {
+      q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))
+      val streamed = spark.table("stream_sess").collect().map(key).toSet
+      // every session except each user's LAST completes in-batch; the last
+      // stays open in state and is flushed by the EVENT-TIME TIMEOUT in the
+      // follow-up batch iff the watermark (max event time − delay) passed
+      // its close edge — both groups must appear in the sink
+      val batchAll = Windows.session(Tables.events(spark, sf))
+        .select(col("user_id"), col("sess_start"), col("sess_end"),
+          col("n_events")).collect().map(key)
+      val wmMs = Tables.events(spark, sf)
+        .agg(max(col("ts"))).head.getAs[java.sql.Timestamp](0).getTime -
+        Windows.WatermarkDelayMs
+      val lastStart = batchAll.groupBy(_._1)
+        .map { case (u, rs) => u -> rs.map(_._2.getTime).max }
+      val expected = batchAll.filter(r =>
+        r._2.getTime != lastStart(r._1) || r._3.getTime < wmMs).toSet
+      assert(expected.nonEmpty, "fixture must contain multi-session users")
+      assert(expected.size < batchAll.length,
+        "some final session must still be open (else the timeout is untested)")
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join equals the batch twin") {
     val q = Windows.streamEnrich(spark, sf, "stream_enrich")
     try {
