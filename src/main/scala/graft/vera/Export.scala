@@ -61,6 +61,9 @@ object Export {
       timestamp: Long,
       dateStr: String,
       files: Seq[(String, Seq[String])], // insertion-ordered: table → object keys
+      // delta-chain high-water mark (epoch MICROS of the largest exported
+      // `updated_at`); present only on incremental-run manifests
+      watermarkMicros: Option[Long] = None,
   )
 
   /** Reference file naming (`get_output_file`, main.py:94-98). */
@@ -180,14 +183,96 @@ object Export {
       tables: Seq[(DataFrame, TableConfig, Seq[String])],
       outDir: String,
       nowMillis: Long = System.currentTimeMillis(),
+      watermarkMicros: Option[Long] = None,
   ): Manifest = {
     val entries = tables.map { case (df, cfg, orderBy) =>
       cfg.name -> exportTable(df, cfg, orderBy, outDir).map(_.objectName)
     }
-    val manifest = Manifest(nowMillis, Instant.ofEpochMilli(nowMillis).toString, entries)
+    val manifest = Manifest(nowMillis, Instant.ofEpochMilli(nowMillis).toString,
+      entries, watermarkMicros)
     val spark = tables.head._1.sparkSession
     writeManifest(manifest, outDir, spark)
     manifest
+  }
+
+  /** Recover the delta chain's high-water mark from the sink itself: the
+    * `watermarkMicros` of the newest (`timestamp`-ordered) `run_*` manifest
+    * under `outDir`. No side state — a new orchestrator host resumes the
+    * chain from what the object store already says was exported.
+    */
+  def latestWatermark(outDir: String, spark: SparkSession): Option[Long] = {
+    val fs = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(outDir)
+    if (!fs.exists(root)) return None
+    val tsRe = """"timestamp":\s*(\d+)""".r
+    val wmRe = """"watermarkMicros":\s*(\d+)""".r
+    val parsed = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run_"))
+      .map(s => new Path(s.getPath, "manifest.json"))
+      .filter(fs.exists)
+      .flatMap { p =>
+        val in = fs.open(p)
+        val txt =
+          try new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        for (t <- tsRe.findFirstMatchIn(txt).map(_.group(1).toLong))
+          yield (t, wmRe.findFirstMatchIn(txt).map(_.group(1).toLong))
+      }
+    parsed.sortBy(_._1).lastOption.flatMap(_._2)
+  }
+
+  /** Incremental (delta) export — the capability a 100 TB deployment needs
+    * that the reference lacks (main.py:266-282 re-exports every table in
+    * full on every run): each run exports ONLY rows whose `updated_at`
+    * (the audit column every VerA table carries, config.py:11-12) is
+    * strictly after the previous run's high-water mark, into its own
+    * `run_<ts>/` directory with its own manifest — a base + delta chain
+    * the consumer replays in timestamp order.
+    *
+    * Scale mechanics:
+    *  - the watermark comes from [[latestWatermark]] (the sink is the only
+    *    state); the first run has no mark and exports everything;
+    *  - `updated_at > hwm` is a plain comparison filter — parquet
+    *    row-group stats or a JDBC pushed WHERE prune the unchanged mass at
+    *    the source, so a delta run costs O(changed rows), not O(table);
+    *  - the new mark is max(exported `updated_at`) in MICROS (not the run
+    *    wall clock — DB time and orchestrator clocks need not agree), so a
+    *    row versioned between scan and manifest lands in the next delta:
+    *    at-least-once per version, never lost;
+    *  - an empty delta writes an empty-file-list manifest and carries the
+    *    mark forward unchanged.
+    */
+  def exportIncremental(
+      tables: Seq[(DataFrame, TableConfig, Seq[String])],
+      outDir: String,
+      nowMillis: Long = System.currentTimeMillis(),
+  ): Manifest = {
+    val spark = tables.head._1.sparkSession
+    val hwm = latestWatermark(outDir, spark)
+    val hwmLdt = hwm.map(us => java.time.LocalDateTime.ofEpochSecond(
+      math.floorDiv(us, 1000000L), (math.floorMod(us, 1000000L) * 1000).toInt,
+      java.time.ZoneOffset.UTC))
+    val ntz = org.apache.spark.sql.types.TimestampNTZType
+    val deltas = tables.map { case (df, cfg, ob) =>
+      // cast is a no-op on already-NTZ sources, so pushdown survives;
+      // tz-carrying JDBC sources normalize through the same cast
+      val filtered = hwmLdt.fold(df)(w =>
+        df.filter(col("updated_at").cast(ntz) > lit(w)))
+      (filtered, cfg, ob)
+    }
+    val maxes = deltas.flatMap { case (df, _, _) =>
+      val r = df.agg(max(col("updated_at").cast(ntz))).head
+      if (r.isNullAt(0)) None
+      else {
+        val m = r.getAs[java.time.LocalDateTime](0)
+        Some(m.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          m.getNano / 1000L)
+      }
+    }
+    val newWm = (maxes ++ hwm).reduceOption(_ max _)
+    exportAll(deltas, s"$outDir/run_$nowMillis", nowMillis, newWm)
   }
 
   /** S7 manifest sink (`write_manifest`, main.py:103-113). */
@@ -203,8 +288,10 @@ object Export {
         s""""${esc(t)}": [${keys.map(k => s""""${esc(k)}"""").mkString(", ")}]"""
       }
       .mkString("{", ", ", "}")
+    val wm = m.watermarkMicros
+      .map(w => s""", "watermarkMicros": $w""").getOrElse("")
     val json =
-      s"""{"timestamp": ${m.timestamp}, "dateStr": "${esc(m.dateStr)}", "files": $files}"""
+      s"""{"timestamp": ${m.timestamp}, "dateStr": "${esc(m.dateStr)}"$wm, "files": $files}"""
     val fs = FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$outDir/manifest.json"), true)
     try out.write(json.getBytes("UTF-8"))
@@ -215,7 +302,9 @@ object Export {
     * single table (main.py:270-276), `DEBUG` shrinks rotation 100× and stops
     * after one file (main.py:184-186,208-210), `DEBUG_OFFSET` skips leading
     * rows (S2, main.py:201-202). `source` maps a table config to its input
-    * DataFrame (parquet fixture or [[Jdbc.scan]]).
+    * DataFrame (parquet fixture or [[Jdbc.scan]]). [EXT] `INCREMENTAL`
+    * non-empty routes the job through [[exportIncremental]]'s delta chain
+    * instead of the reference's full snapshot.
     */
   def runFromEnv(
       source: TableConfig => DataFrame,
@@ -242,6 +331,7 @@ object Export {
       }
       (df, cfg, orderBy(cfg))
     }
-    exportAll(jobs, outDir)
+    if (env.get("INCREMENTAL").exists(_.nonEmpty)) exportIncremental(jobs, outDir)
+    else exportAll(jobs, outDir)
   }
 }

@@ -101,6 +101,50 @@ class ExportSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("incremental export chains base + delta runs off the manifest watermark") {
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("inc",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val base = (0L until 50L)
+      .map(i => (i, t(f"2024-01-01T00:00:${i % 60}%02d.500001"), s"v$i"))
+      .toDF("id", "updated_at", "v")
+    val out = tmpDir()
+
+    val m1 = Export.exportIncremental(Seq((base, cfg, Seq("id"))), out, 1000L)
+    assert(spark.read.parquet(s"$out/run_1000/inc_0_100.parquet").count() === 50)
+    // watermark = max updated_at in MICROS (sub-ms survives)
+    assert(m1.watermarkMicros.contains(
+      t("2024-01-01T00:00:49.500001").toEpochSecond(java.time.ZoneOffset.UTC)
+        * 1000000L + 500001L))
+    assert(Export.latestWatermark(out, spark) === m1.watermarkMicros)
+
+    // 5 rows re-versioned later + 3 brand-new ids: the delta is exactly 8
+    val changed = (0L until 5L)
+      .map(i => (i, t(s"2024-02-01T00:00:0$i"), s"v$i-2"))
+    val fresh = (50L until 53L).map(i => (i, t("2024-02-02T00:00:00"), s"v$i"))
+    val second = (base.as[(Long, java.time.LocalDateTime, String)].collect()
+      .filterNot(r => changed.map(_._1).contains(r._1)) ++ changed ++ fresh)
+      .toSeq.toDF("id", "updated_at", "v")
+    val m2 = Export.exportIncremental(Seq((second, cfg, Seq("id"))), out, 2000L)
+    val delta = spark.read.parquet(s"$out/run_2000/inc_0_100.parquet")
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(delta === ((0L until 5L) ++ (50L until 53L)).toArray)
+    assert(m2.watermarkMicros.contains(
+      t("2024-02-02T00:00:00").toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
+
+    // nothing changed: empty delta manifest, watermark carried forward
+    val m3 = Export.exportIncremental(Seq((second, cfg, Seq("id"))), out, 3000L)
+    assert(m3.files === Seq("inc" -> Seq()))
+    assert(m3.watermarkMicros === m2.watermarkMicros)
+    assert(Export.latestWatermark(out, spark) === m2.watermarkMicros)
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/run_3000/manifest.json")), "UTF-8")
+    assert(json.contains("\"watermarkMicros\": " + m2.watermarkMicros.get))
+  }
+
   test("dtype vocabulary is closed: unsupported types are rejected") {
     // the reference raises ValueError("Type not supported") (main.py:150);
     // its dead UInt16 branch (main.py:130) is deliberately NOT carried over
