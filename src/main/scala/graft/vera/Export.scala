@@ -275,6 +275,52 @@ object Export {
     exportAll(deltas, s"$outDir/run_$nowMillis", nowMillis, newWm)
   }
 
+  /** Consumer side of the delta chain: materialize the CURRENT snapshot of
+    * one table from a base + delta export tree — union every run's files
+    * for the table (newest runs carry re-versioned rows) and keep the
+    * latest version per key, where "latest" is the run timestamp embedded
+    * in the directory name (a row exported by run 2000 supersedes the same
+    * key from run 1000). One window shuffle on the key — the standard
+    * log-structured replay; on a cluster the same plan serves as the
+    * compaction job that periodically folds deltas into a new base.
+    * Delta-less layouts (no run with this table's files) yield an empty
+    * frame of the declared schema rather than failing.
+    */
+  def readSnapshot(
+      outDir: String,
+      cfg: TableConfig,
+      keyCols: Seq[String],
+      spark: SparkSession,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fs = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    val runs =
+      if (!fs.exists(new Path(outDir))) Seq.empty
+      else fs.listStatus(new Path(outDir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("run_"))
+        .map(s => s.getPath.getName.stripPrefix("run_").toLong).sorted.toSeq
+    val perRun = runs.flatMap { ts =>
+      val dir = s"$outDir/run_$ts"
+      val files = fs.listStatus(new Path(dir)).map(_.getPath)
+        .filter(_.getName.startsWith(s"${cfg.name}_"))
+        .map(_.toString)
+      if (files.isEmpty) None
+      else Some(spark.read.schema(cfg.schema).parquet(files: _*)
+        .withColumn("__run", lit(ts)))
+    }
+    if (perRun.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cfg.schema)
+    val all = perRun.reduce(_ unionByName _)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__run").desc)
+    all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__run")
+  }
+
   /** S7 manifest sink (`write_manifest`, main.py:103-113). */
   def writeManifest(m: Manifest, outDir: String, spark: SparkSession): Unit = {
     def esc(s: String): String = s.flatMap {

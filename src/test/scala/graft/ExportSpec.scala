@@ -143,6 +143,15 @@ class ExportSpec extends SparkSpec {
     val json = new String(Files.readAllBytes(
       java.nio.file.Paths.get(s"$out/run_3000/manifest.json")), "UTF-8")
     assert(json.contains("\"watermarkMicros\": " + m2.watermarkMicros.get))
+
+    // consumer replay: the snapshot equals the second dataset exactly —
+    // re-versioned keys resolve to the delta run's rows, not the base's
+    val snap = Export.readSnapshot(out, cfg, Seq("id"), spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap.size === 53)
+    assert((0L until 5L).forall(i => snap(i) === s"v$i-2"), "delta must win")
+    assert((5L until 53L).forall(i => snap(i) === s"v$i"))
   }
 
   test("dtype vocabulary is closed: unsupported types are rejected") {
