@@ -188,6 +188,12 @@ object Curation {
     * 1-row broadcast. At 100 TB the per-source table is domain-count-sized
     * (dozens to thousands of rows) — trivially broadcastable.
     */
+  // (plan note) totals come from an UNPARTITIONED window over the per-source
+  // aggregate — normally a scale smell, but the frame is domain-count-sized
+  // (dozens to thousands of rows) and the alternative (a separate totals
+  // aggregate crossJoined back) re-scans and re-tokenizes the whole corpus a
+  // second time: audited plan showed the full scan subtree twice. One tiny
+  // exchange beats a second 100 TB pass.
   val q69DomainMixture = Q(
     "q69_domain_mixture",
     """WITH per_src AS (
@@ -211,11 +217,11 @@ object Curation {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
-    val tot = perSrc.agg(
-      sum(col("n_tokens")).cast("long").as("total_tokens"),
-      count(lit(1)).as("n_sources"))
+    val all = Window.partitionBy()
     val share = col("n_tokens").cast("double") / col("total_tokens")
-    perSrc.crossJoin(broadcast(tot))
+    perSrc
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all).cast("long"))
+      .withColumn("n_sources", count(lit(1)).over(all))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(share, 6).as("token_share"),
         round(least((lit(1.0) / col("n_sources")) / share, lit(5.0)), 6)
