@@ -80,6 +80,20 @@ class ScaleSpec extends SparkSpec {
       events.filter(col("day") === lit(oneDay)).count())
   }
 
+  test("single-pass operators scan their source exactly once") {
+    // these queries are documented as one-scan plans (window/aggregate
+    // stages sharing a partitioning); a second Scan leaf means someone
+    // reintroduced a recompute-the-subtree shape (q69 once scanned and
+    // re-tokenized the whole corpus twice for its 1-row totals side)
+    for (name <- Seq("q67_seq_packing", "q69_domain_mixture",
+      "q71_scd2_compact", "q72_int8_quant")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans === 1, s"$name plans $scans scans:\n$plan")
+    }
+  }
+
   test("candidate generators never plan a cartesian or nested-loop join") {
     // the near-dup / ANN pair sources must stay banded EQUI-joins at any
     // scale — a cartesian/BNLJ here is the difference between O(n) and
