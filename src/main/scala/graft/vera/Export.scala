@@ -256,13 +256,31 @@ object Export {
       java.time.ZoneOffset.UTC))
     val ntz = org.apache.spark.sql.types.TimestampNTZType
     val deltas = tables.map { case (df, cfg, ob) =>
-      // cast is a no-op on already-NTZ sources, so pushdown survives;
-      // tz-carrying JDBC sources normalize through the same cast
-      val filtered = hwmLdt.fold(df)(w =>
-        df.filter(col("updated_at").cast(ntz) > lit(w)))
+      // the literal is typed to MATCH the source column — a cast wrapped
+      // around the column would block predicate pushdown, and the pushed
+      // WHERE is the whole point on a JDBC source (parquet row-group
+      // pruning on NTZ sources likewise). For tz-carrying sources the
+      // wall-clock literal is the same instant because the JVM/session
+      // zone is pinned UTC (build.sbt).
+      // field lookup is case-INsensitive like the analyzer's resolver —
+      // JDBC catalogs (Derby, Postgres fold direction aside) often report
+      // upper/lower-cased column names
+      val updatedAtType = df.schema.fields
+        .find(_.name.equalsIgnoreCase("updated_at"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"${cfg.name}: incremental export needs an updated_at column"))
+        .dataType
+      val filtered = hwmLdt.fold(df) { w =>
+        updatedAtType match {
+          case `ntz` => df.filter(col("updated_at") > lit(w))
+          case _ =>
+            df.filter(col("updated_at") > lit(java.sql.Timestamp.valueOf(w)))
+        }
+      }
       (filtered, cfg, ob)
     }
     val maxes = deltas.flatMap { case (df, _, _) =>
+      // the cast here is on the AGGREGATE side, after the scan — harmless
       val r = df.agg(max(col("updated_at").cast(ntz))).head
       if (r.isNullAt(0)) None
       else {

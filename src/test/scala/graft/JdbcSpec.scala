@@ -81,4 +81,72 @@ class JdbcSpec extends SparkSpec {
     assert(r7.getAs[java.time.LocalDateTime]("created_at").toString ===
       "2024-06-01T12:00:07")
   }
+
+  test("incremental delta over JDBC pushes the watermark predicate to the source") {
+    val dbDir = Files.createTempDirectory("graft_derby_inc").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val n = 40
+
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA vera")
+      st.execute(
+        """CREATE TABLE vera.versions(
+          |  id BIGINT NOT NULL, updated_at TIMESTAMP, v VARCHAR(32))""".stripMargin)
+      val ps = conn.prepareStatement("INSERT INTO vera.versions VALUES (?,?,?)")
+      for (i <- 0 until n) {
+        ps.setLong(1, i.toLong)
+        ps.setTimestamp(2, java.sql.Timestamp.valueOf(s"2024-06-01 12:00:${i % 60}"))
+        ps.setString(3, s"v$i")
+        ps.addBatch()
+      }
+      ps.executeBatch(); ps.close(); st.close()
+    } finally conn.close()
+
+    val cfg = TableConfig("versions",
+      Schemas.fromDtypes(Seq(
+        "id" -> "Int64", "updated_at" -> "datetime64[ns]", "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    def src = Jdbc.scan(spark, url, "vera", cfg, user = "app", password = "",
+      partitionColumn = Some("id"), lowerBound = 0L, upperBound = n.toLong,
+      numPartitions = 2)
+
+    val out = Files.createTempDirectory("graft_jdbc_inc_out").toString
+    val m1 = Export.exportIncremental(Seq((src, cfg, Seq("id"))), out, 1000L)
+    assert(spark.read.parquet(s"$out/run_1000/versions_0_100.parquet")
+      .count() === n.toLong)
+
+    // re-version 6 rows in the database, then run the next delta
+    val c2 = DriverManager.getConnection(url)
+    try {
+      val up = c2.prepareStatement(
+        "UPDATE vera.versions SET updated_at = ?, v = ? WHERE id < 6")
+      up.setTimestamp(1, java.sql.Timestamp.valueOf("2024-07-01 00:00:00"))
+      up.setString(2, "renewed")
+      up.executeUpdate(); up.close()
+    } finally c2.close()
+    val m2 = Export.exportIncremental(Seq((src, cfg, Seq("id"))), out, 2000L)
+    val delta = spark.read.parquet(s"$out/run_2000/versions_0_100.parquet")
+    assert(delta.count() === 6)
+    assert(delta.select(col("v")).distinct().head.getString(0) === "renewed")
+
+    // the watermark predicate reaches the JDBC scan as a pushed filter —
+    // the delta read is O(changed rows) AT THE SOURCE, not a full scan
+    val w = java.time.LocalDateTime.ofEpochSecond(
+      m1.watermarkMicros.get / 1000000L, 0, java.time.ZoneOffset.UTC)
+    val plan = src.filter(col("updated_at") > lit(java.sql.Timestamp.valueOf(w)))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("pushedfilters") &&
+      plan.toLowerCase.contains("greaterthan(updated_at"),
+      s"watermark predicate not pushed:\n$plan")
+
+    // snapshot replay over the JDBC-fed chain
+    val snap = Export.readSnapshot(out, cfg, Seq("id"), spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap.size === n)
+    assert((0L until 6L).forall(i => snap(i) === "renewed"))
+    assert(snap(7L) === "v7")
+  }
 }
