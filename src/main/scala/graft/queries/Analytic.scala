@@ -24,7 +24,79 @@ object Analytic {
     q19Distinct,
     q09AsOfJoin,
     q71Scd2Compact,
+    q75FunnelStages,
   )
+
+  /** Ordered funnel analysis (view → click → purchase within 24 h of the
+    * entry view, strictly sequenced) — the MATCH_RECOGNIZE-shaped pattern
+    * op Spark lacks as a single node, composed from per-stage first-event
+    * aggregates: stage N's candidate events must follow the user's stage
+    * N−1 timestamp inside the horizon. Every stage table is
+    * user-count-sized and every join/aggregate is keyed on user_id, so the
+    * whole funnel re-uses one partitioning; the final 3-row union takes an
+    * unpartitioned window for the conversion denominator (bounded — one
+    * row per stage). At 100 TB the event scan happens once per stage
+    * filtered by type — a pushed IN-list scan — and nothing is ever wider
+    * than the user dimension.
+    */
+  val q75FunnelStages = Q(
+    "q75_funnel_stages",
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+      |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id
+      |),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM e
+      |  JOIN c ON e.user_id = c.user_id
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      |    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id
+      |),
+      |stages AS (
+      |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p
+      |)
+      |SELECT stage, n_users,
+      |  round(CAST(n_users AS DOUBLE) / max(n_users) OVER (), 6)
+      |    AS conv_from_start
+      |FROM stages ORDER BY stage NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val horizon = expr("INTERVAL 24 HOURS")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").join(v, "user_id")
+      .filter(col("ts") > col("t_click") &&
+        col("ts") <= col("t_view") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val stages = v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"))
+      .unionByName(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+      .unionByName(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+    stages
+      .withColumn("conv_from_start",
+        round(col("n_users").cast("double")
+          / max(col("n_users")).over(Window.partitionBy()), 6))
+      .orderBy(col("stage"))
+  }
 
   /** CDC change-log → SCD2 dimension compaction: per user, drop rows whose
     * value repeats the previous version (lag over the event order), then
