@@ -25,7 +25,57 @@ object Analytic {
     q09AsOfJoin,
     q71Scd2Compact,
     q75FunnelStages,
+    q76WindowAnomaly,
   )
+
+  /** Windowed anomaly flagging — the batch form of a streaming alerting
+    * pipeline: hourly event counts per type, z-scored against the type's
+    * own distribution, |z| > 2 flagged. The variance comes from EXACT
+    * integer moment sums (Σn, Σn² — the q61 idiom), so the score is
+    * bit-reproducible across engines; the per-type stats table is
+    * type-count-sized and broadcasts. Two map-side-combined aggregations
+    * + one broadcast join — nothing scales with more than the window
+    * count.
+    */
+  val q76WindowAnomaly = Q(
+    "q76_window_anomaly",
+    """WITH w AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |st AS (
+      |  SELECT event_type, count(*) AS n_windows,
+      |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM w GROUP BY event_type
+      |),
+      |z AS (
+      |  SELECT w.h, w.event_type, w.n,
+      |    round((w.n - CAST(st.s1 AS DOUBLE) / st.n_windows)
+      |      / sqrt((st.s2 - CAST(st.s1 AS DOUBLE) * st.s1 / st.n_windows)
+      |             / (st.n_windows - 1)), 6) AS zscore
+      |  FROM w JOIN st ON w.event_type = st.event_type
+      |)
+      |SELECT h, event_type, n, zscore FROM z
+      |WHERE abs(zscore) > 2.0
+      |ORDER BY h NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val w = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val st = w.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_windows"),
+      sum(col("n")).cast("long").as("s1"),
+      sum(col("n") * col("n")).cast("long").as("s2"))
+    val mean = col("s1").cast("double") / col("n_windows")
+    val varSamp = (col("s2") - col("s1").cast("double") * col("s1")
+      / col("n_windows")) / (col("n_windows") - 1)
+    w.join(broadcast(st), "event_type")
+      .select(col("h"), col("event_type"), col("n"),
+        round((col("n") - mean) / sqrt(varSamp), 6).as("zscore"))
+      .filter(abs(col("zscore")) > 2.0)
+      .orderBy(col("h"), col("event_type"))
+  }
 
   /** Ordered funnel analysis (view → click → purchase within 24 h of the
     * entry view, strictly sequenced) — the MATCH_RECOGNIZE-shaped pattern
