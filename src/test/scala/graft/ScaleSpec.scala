@@ -80,6 +80,81 @@ class ScaleSpec extends SparkSpec {
       events.filter(col("day") === lit(oneDay)).count())
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime half of the skew story: q55's salting is the MANUAL tool
+    // for skewed AGGREGATES; for skewed JOINS the engine leans on AQE,
+    // which detects the oversized partition post-shuffle and splits it
+    // across tasks. Thresholds are lowered so local-scale data trips the
+    // same code path a hot key would at 100 TB.
+    val dir = "/tmp/graft_skew"
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    ).map(k => k -> conf.get(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 95% of the fact rows share one key — one shuffle partition gets
+      // nearly everything
+      spark.range(200000).selectExpr(
+        "CASE WHEN id % 20 = 0 THEN id % 50 ELSE 0L END AS k",
+        "repeat('x', 64) AS pad")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      spark.range(50).selectExpr("id AS k", "concat('d', id) AS dv")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val joined = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), "k")
+      // execute THIS QueryExecution (a write/count would spawn a fresh one
+      // whose finalized AQE plan this instance never sees)
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // semi-join reduction at runtime: a selective filter on the build side
+    // becomes a bloom filter applied to the probe side BEFORE its shuffle,
+    // so the exchange carries only rows that can possibly match — at
+    // 100 TB this is the difference between shuffling the whole fact table
+    // and shuffling the matching sliver. Thresholds lowered to trip the
+    // injection on local-scale data.
+    val dir = "/tmp/graft_bloom"
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+    )
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      spark.range(100000).selectExpr("id AS k", "md5(cast(id AS string)) AS v")
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      spark.range(10000).selectExpr("id AS k", "id % 100 AS cat")
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val joined = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim").filter(col("cat") === 7), "k")
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter on the probe side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("single-pass operators scan their source exactly once") {
     // these queries are documented as one-scan plans (window/aggregate
     // stages sharing a partitioning); a second Scan leaf means someone
