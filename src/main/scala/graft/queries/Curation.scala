@@ -28,7 +28,30 @@ object Curation {
 
   def all: Seq[Q] = Seq(
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
-    q70StratifiedSample)
+    q70StratifiedSample, q77MixtureResample)
+
+  /** Per-source corpus stats + mixture totals, shared by q69 (weight
+    * accounting) and q77 (weight execution): one map-side-combined
+    * aggregate, totals via an unpartitioned window over the
+    * domain-count-sized frame (see the q69 plan note).
+    */
+  private def sourceStats(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val all = Window.partitionBy()
+    Tables.documentsWide(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all).cast("long"))
+      .withColumn("n_sources", count(lit(1)).over(all))
+  }
+
+  /** target/actual token-share ratio, clipped at 5×, rounded — the
+    * sampling weight both q69 reports and q77 executes.
+    */
+  private val sampleWeight: Column =
+    round(least((lit(1.0) / col("n_sources"))
+      / (col("n_tokens").cast("double") / col("total_tokens")), lit(5.0)), 6)
 
   /** Benchmark decontamination via word-5-gram collision (the n-gram-overlap
     * rule used to scrub eval sets out of training corpora): a deterministic
@@ -213,19 +236,69 @@ object Curation {
       |FROM per_src s CROSS JOIN tot t
       |ORDER BY source NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val perSrc = Tables.documentsWide(s, d)
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
-    val all = Window.partitionBy()
-    val share = col("n_tokens").cast("double") / col("total_tokens")
-    perSrc
-      .withColumn("total_tokens", sum(col("n_tokens")).over(all).cast("long"))
-      .withColumn("n_sources", count(lit(1)).over(all))
+    sourceStats(s, d)
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(share, 6).as("token_share"),
-        round(least((lit(1.0) / col("n_sources")) / share, lit(5.0)), 6)
-          .as("sample_weight"))
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+          .as("token_share"),
+        sampleWeight.as("sample_weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Mixture resampling — EXECUTING q69's weights rather than reporting
+    * them: every doc is replicated floor(w) times plus one more copy with
+    * probability frac(w), decided by a deterministic integer hash of the
+    * doc_id (Knuth multiplicative, pure BIGINT arithmetic — identical in
+    * every engine with no hex conversion), so the resampled corpus is
+    * reproducible across engines, runs, and data increments. The Spark
+    * side MATERIALIZES the epochs (explode of a per-doc copy sequence —
+    * the real training-corpus expansion, embarrassingly parallel) and
+    * counts them; the oracle folds the same per-doc copy count
+    * arithmetically. Output: per-source realized vs target epochs.
+    */
+  val q77MixtureResample = Q(
+    "q77_mixture_resample",
+    """WITH per_src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source
+      |),
+      |wts AS (
+      |  SELECT source, n_docs,
+      |    round(least((1.0 / (count(*) OVER ()))
+      |      / (CAST(n_tokens AS DOUBLE) / (sum(n_tokens) OVER ())), 5.0), 6) AS w
+      |  FROM per_src
+      |),
+      |perdoc AS (
+      |  SELECT d.source AS src, wts.w, wts.n_docs,
+      |    CAST(floor(wts.w) AS BIGINT)
+      |      + CASE WHEN CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+      |          / 4294967296.0 < wts.w - floor(wts.w) THEN 1 ELSE 0 END
+      |      AS n_copies
+      |  FROM documents d JOIN wts ON d.source = wts.source
+      |)
+      |SELECT src AS source, n_docs, CAST(sum(n_copies) AS BIGINT) AS n_copies,
+      |  w AS target_epochs,
+      |  round(CAST(sum(n_copies) AS DOUBLE) / n_docs, 6) AS realized_epochs
+      |FROM perdoc GROUP BY src, n_docs, w
+      |ORDER BY source NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val wts = sourceStats(s, d)
+      .select(col("source"), col("n_docs"), sampleWeight.as("w"))
+    val u = ((col("doc_id") * 2654435761L) % 4294967296L).cast("double") /
+      4294967296.0
+    Tables.documentsWide(s, d)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(wts), "source")
+      .select(col("source"), col("n_docs"), col("w"), u.as("u"),
+        explode(sequence(lit(0L), floor(col("w")).cast("long"))).as("c"))
+      .filter(col("c") < floor(col("w")) ||
+        col("u") < col("w") - floor(col("w")))
+      .groupBy(col("source"), col("n_docs"), col("w"))
+      .agg(count(lit(1)).as("n_copies"))
+      .select(col("source"), col("n_docs"), col("n_copies"),
+        col("w").as("target_epochs"),
+        round(col("n_copies").cast("double") / col("n_docs"), 6)
+          .as("realized_epochs"))
       .orderBy(col("source"))
   }
 
