@@ -46,6 +46,17 @@ object Multimodal {
         col("n_chars").as("n_chars"),
         col("source").as("source")).as("meta"))
 
+  /** Frame sampling over decoded features: every k-th frame index of each
+    * asset as ROWS (the video analog of n-gram explode — downstream
+    * per-frame work then parallelizes over frames, not assets, which is
+    * what keeps one long video from pinning a task). Pure relational
+    * explode of a stepped sequence; composes with [[decodeFeatures]].
+    */
+  def sampleFrames(features: DataFrame, everyK: Int): DataFrame =
+    features.select(col("asset_id"), col("frames"),
+      explode(sequence(lit(0), col("frames") - 1, lit(everyK)))
+        .as("frame_idx"))
+
   /** STUB decode: a real implementation would parse the payload with an
     * image/audio codec here; this fake derives deterministic "dimensions"
     * and "frame count" from a CRC32 of the bytes so tests have stable
