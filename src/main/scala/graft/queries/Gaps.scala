@@ -15,7 +15,59 @@ object Gaps {
     q39FullOuterJoin, q40RightOuterJoin, q41NtileQuartiles,
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
-    q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated)
+    q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
+    q79TableProfile)
+
+  /** Table profiling (the ANALYZE-shaped operator every engine needs for
+    * stats-driven planning and data-quality checks): per-column row count,
+    * null count, exact distinct count, and min/max, over every lineitem
+    * column IN ONE PASS — the 11 count-distincts share a single
+    * Expand-based aggregate, and the per-column rows come from `stack`
+    * over the ONE-row aggregate result (a union of per-column selects
+    * would instantiate the aggregate subtree once per column: 11 scans).
+    * min/max are cast to string AFTER aggregating so the profile has a
+    * uniform schema without corrupting numeric ordering.
+    */
+  val q79TableProfile = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+    val duckAggs = cols.map(c =>
+      s"""count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c,
+         |    CAST(min($c) AS VARCHAR) AS mn_$c,
+         |    CAST(max($c) AS VARCHAR) AS mx_$c""".stripMargin).mkString(",\n  ")
+    val duckRows = cols.map(c =>
+      s"""SELECT '$c' AS column_name, n_rows, n_rows - nn_$c AS n_nulls,
+         |  nd_$c AS n_distinct, mn_$c AS min_value, mx_$c AS max_value FROM a"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    Q(
+      "q79_table_profile",
+      s"""WITH a AS (
+         |  SELECT count(*) AS n_rows,
+         |  $duckAggs
+         |  FROM lineitem
+         |)
+         |$duckRows
+         |ORDER BY column_name NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c")))
+      val one = Tables.lineitem(s, d)
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      one.selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_value, max_value)")
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+        .orderBy(col("column_name"))
+    }
+  }
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
     * has nations the other lacks, so both null directions are exercised.
