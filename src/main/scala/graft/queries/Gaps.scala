@@ -16,7 +16,58 @@ object Gaps {
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
-    q79TableProfile)
+    q79TableProfile, q80GapFill)
+
+  /** Time-series gap filling: a complete (event_type × hour) date spine —
+    * exploded from one sequence over the observed bounds, crossed with the
+    * tiny type dimension — left-joined to the observed hourly counts, with
+    * zero-fill, a gap flag, and last-observation-carried-forward
+    * imputation (`last(_, ignoreNulls)` over the spine order). The spine
+    * side scales with TIME RANGE × cardinality, not with data volume, so
+    * at 100 TB the only corpus-sized work is the first aggregate; the
+    * LOCF window rides the same (type, hour) partitioning as the join.
+    */
+  val q80GapFill = Q(
+    "q80_gap_fill",
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |),
+      |bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+      |hours AS (
+      |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |spine AS (SELECT t.event_type, hrs.h FROM types t CROSS JOIN hours hrs)
+      |SELECT s.event_type, s.h,
+      |  coalesce(b.n, 0) AS n,
+      |  b.n IS NULL AS is_gap,
+      |  last_value(b.n IGNORE NULLS) OVER (
+      |    PARTITION BY s.event_type ORDER BY s.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf
+      |FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h
+      |ORDER BY s.event_type NULLS FIRST, s.h NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val hours = b.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = Tables.events(s, d).select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(hours))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n_filled"),
+        col("n").isNull.as("is_gap"),
+        last(col("n"), ignoreNulls = true).over(w).as("n_locf"))
+      .withColumnRenamed("n_filled", "n")
+      .orderBy(col("event_type"), col("h"))
+  }
 
   /** Table profiling (the ANALYZE-shaped operator every engine needs for
     * stats-driven planning and data-quality checks): per-column row count,
