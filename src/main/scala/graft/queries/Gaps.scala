@@ -16,7 +16,7 @@ object Gaps {
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
-    q79TableProfile, q80GapFill)
+    q79TableProfile, q80GapFill, q81ProfileJoin)
 
   /** Time-series gap filling: a complete (event_type × hour) date spine —
     * exploded from one sequence over the observed bounds, crossed with the
@@ -69,27 +69,30 @@ object Gaps {
       .orderBy(col("event_type"), col("h"))
   }
 
+  private[graft] val profileCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
   /** Table profiling (the ANALYZE-shaped operator every engine needs for
-    * stats-driven planning and data-quality checks): per-column row count,
-    * null count, exact distinct count, and min/max, over every lineitem
-    * column IN ONE PASS — the 11 count-distincts share a single
-    * Expand-based aggregate, and the per-column rows come from `stack`
-    * over the ONE-row aggregate result (a union of per-column selects
-    * would instantiate the aggregate subtree once per column: 11 scans).
-    * min/max are cast to string AFTER aggregating so the profile has a
-    * uniform schema without corrupting numeric ordering.
+    * stats-driven planning and data-quality checks), via
+    * [[graft.operators.Profile]]. The oracle checks the EXACT part (row
+    * count, null count, min/max — one scan, one HashAggregate, NO Expand);
+    * NDV rides an HLL++ sketch whose ≤10% accuracy ProfileSpec asserts
+    * against the exact count. Round 6's version put 11 exact
+    * `count(DISTINCT)` in one aggregate — an Expand ×11 of lineitem into a
+    * corpus-wide shuffle (1.1 PB at 100 TB) and 19% of the whole bench;
+    * sketch NDV is what real ANALYZE implementations ship.
     */
   val q79TableProfile = {
-    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-      "l_returnflag", "l_linestatus", "l_shipdate")
+    val cols = profileCols
     val duckAggs = cols.map(c =>
-      s"""count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c,
+      s"""count($c) AS nn_$c,
          |    CAST(min($c) AS VARCHAR) AS mn_$c,
          |    CAST(max($c) AS VARCHAR) AS mx_$c""".stripMargin).mkString(",\n  ")
     val duckRows = cols.map(c =>
       s"""SELECT '$c' AS column_name, n_rows, n_rows - nn_$c AS n_nulls,
-         |  nd_$c AS n_distinct, mn_$c AS min_value, mx_$c AS max_value FROM a"""
+         |  mn_$c AS min_value, mx_$c AS max_value FROM a"""
         .stripMargin).mkString("\nUNION ALL\n")
     Q(
       "q79_table_profile",
@@ -101,23 +104,39 @@ object Gaps {
          |$duckRows
          |ORDER BY column_name NULLS FIRST""".stripMargin,
     ) { (s, d) =>
-      import org.apache.spark.sql.functions._
-      val aggs = cols.flatMap(c => Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c")))
-      val one = Tables.lineitem(s, d)
-        .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      val stackArgs = cols.map(c =>
-        s"'$c', n_rows - nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-      one.selectExpr("n_rows",
-        s"stack(${cols.length}, $stackArgs) AS " +
-          "(column_name, n_nulls, n_distinct, min_value, max_value)")
-        .select(col("column_name"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_value"), col("max_value"))
+      graft.operators.Profile
+        .profile(Tables.lineitem(s, d), cols, withNdv = false)
         .orderBy(col("column_name"))
     }
+  }
+
+  /** The profile CONSUMED: stats-driven join planning. A profile pass over
+    * each join side (bounded 1-row driver action per side — the shape of
+    * AQE's query-stage stats, not a data-path collect) decides which side
+    * to broadcast; with `autoBroadcastJoinThreshold=-1` ProfileSpec proves
+    * the profile decision alone produces the BroadcastHashJoin. The query
+    * result is plan-independent, so the oracle stays a plain join-agg; sums
+    * ride [[Exact]] decimals (order-free across engines).
+    */
+  val q81ProfileJoin = Q(
+    "q81_profile_join",
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  ${Exact.Sql.dsum("o_totalprice")} AS sum_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import graft.operators.Profile
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val joined = Profile.joinWithProfiledBroadcast(
+      cust, Profile.profile(cust, Seq("c_custkey")),
+      ord, Profile.profile(ord, Seq("o_custkey")),
+      col("o_custkey") === col("c_custkey"))
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** FULL OUTER: per-nation customer counts vs supplier counts — each side
