@@ -242,12 +242,25 @@ object Export {
     *    row versioned between scan and manifest lands in the next delta:
     *    at-least-once per version, never lost;
     *  - an empty delta writes an empty-file-list manifest and carries the
-    *    mark forward unchanged.
+    *    mark forward unchanged;
+    *  - source-side DELETES ride `deletes`: per-table key frames written as
+    *    tombstone files under `run_<ts>/_tombstones/` (a parquet file, not
+    *    a manifest JSON field — delete sets can be millions of keys, and
+    *    an underscore-prefixed dir is invisible to plain Spark/Hive
+    *    listings of the run). [[readSnapshot]] replays them: a tombstone
+    *    deletes every version of its key from runs ≤ its own (including
+    *    same-run data — delete-after-update within one extract), and a
+    *    LATER run re-inserting the key resurrects it. Without `deletes`
+    *    the chain is upsert-only, exactly the reference's blind spot
+    *    (main.py re-exports full tables, so a vanished row simply persists
+    *    in old exports); CDC sources that emit delete events feed them
+    *    here.
     */
   def exportIncremental(
       tables: Seq[(DataFrame, TableConfig, Seq[String])],
       outDir: String,
       nowMillis: Long = System.currentTimeMillis(),
+      deletes: Map[String, DataFrame] = Map.empty,
   ): Manifest = {
     val spark = tables.head._1.sparkSession
     val hwm = latestWatermark(outDir, spark)
@@ -290,17 +303,26 @@ object Export {
       }
     }
     val newWm = (maxes ++ hwm).reduceOption(_ max _)
-    exportAll(deltas, s"$outDir/run_$nowMillis", nowMillis, newWm)
+    val runDir = s"$outDir/run_$nowMillis"
+    val manifest = exportAll(deltas, runDir, nowMillis, newWm)
+    deletes.foreach { case (table, keys) =>
+      keys.coalesce(1).write.mode("overwrite")
+        .parquet(s"$runDir/_tombstones/$table.parquet")
+    }
+    manifest
   }
 
   /** Consumer side of the delta chain: materialize the CURRENT snapshot of
     * one table from a base + delta export tree — union every run's files
-    * for the table (newest runs carry re-versioned rows) and keep the
-    * latest version per key, where "latest" is the run timestamp embedded
-    * in the directory name (a row exported by run 2000 supersedes the same
-    * key from run 1000). One window shuffle on the key — the standard
-    * log-structured replay; on a cluster the same plan serves as the
-    * compaction job that periodically folds deltas into a new base.
+    * for the table (newest runs carry re-versioned rows) plus every run's
+    * tombstone keys, and keep the latest version per key, where "latest"
+    * is the run timestamp embedded in the directory name (a row exported
+    * by run 2000 supersedes the same key from run 1000; a tombstone in run
+    * 2000 beats run-2000 data for the same key — delete-after-update — and
+    * loses to a run-3000 re-insert). If the winning version is a tombstone
+    * the key is gone from the snapshot. One window shuffle on the key —
+    * the standard log-structured replay; on a cluster the same plan serves
+    * as the compaction job that periodically folds deltas into a new base.
     * Delta-less layouts (no run with this table's files) yield an empty
     * frame of the declared schema rather than failing.
     */
@@ -325,18 +347,30 @@ object Export {
         .map(_.toString)
       if (files.isEmpty) None
       else Some(spark.read.schema(cfg.schema).parquet(files: _*)
-        .withColumn("__run", lit(ts)))
+        .withColumn("__run", lit(ts))
+        .withColumn("__del", lit(false)))
+    }
+    val tombstones = runs.flatMap { ts =>
+      val p = new Path(s"$outDir/run_$ts/_tombstones/${cfg.name}.parquet")
+      if (!fs.exists(p)) None
+      else Some(spark.read.parquet(p.toString)
+        .select(keyCols.map(col): _*)
+        .withColumn("__run", lit(ts))
+        .withColumn("__del", lit(true)))
     }
     if (perRun.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cfg.schema)
-    val all = perRun.reduce(_ unionByName _)
+    // tombstone frames carry only the key columns; the data columns they
+    // lack fill with null and never surface (deleted winners are filtered)
+    val all = (perRun ++ tombstones)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__run").desc)
+      .orderBy(col("__run").desc, col("__del").desc)
     all
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__run")
+      .filter(col("__rn") === 1 && !col("__del"))
+      .drop("__rn", "__run", "__del")
   }
 
   /** S7 manifest sink (`write_manifest`, main.py:103-113). */

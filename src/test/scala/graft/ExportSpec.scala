@@ -154,6 +154,60 @@ class ExportSpec extends SparkSpec {
     assert((5L until 53L).forall(i => snap(i) === s"v$i"))
   }
 
+  test("S6 guard: a false-returning rename aborts before any manifest exists") {
+    // the object-store failure mode ExportSpec can't hit with file://:
+    // S3A/HDFS rename reports failure as a BOOLEAN, and an unchecked one
+    // would leave a manifest entry pointing at a missing object
+    // (Export.scala's require at the driver rename pass). The flaky://
+    // scheme fails exactly the final-name renames and nothing else.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFileSystem].getName)
+    val df = spark.range(100).select(col("id").as("k"))
+    val cfg = TableConfig("flk",
+      StructType(Seq(StructField("k", LongType))),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val local = tmpDir()
+    val e = intercept[IllegalArgumentException] {
+      Export.exportAll(Seq((df, cfg, Seq("k"))), "flaky://" + local)
+    }
+    assert(e.getMessage.contains("rename"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$local/manifest.json")),
+      "a failed rename must abort the export before the manifest is written")
+  }
+
+  test("delta-chain tombstones delete keys; a later re-insert resurrects") {
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("del",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val out = tmpDir()
+    val base = (0L until 10L).map(i => (i, t("2024-01-01T00:00:00"), s"v$i"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((base, cfg, Seq("id"))), out, 1000L)
+
+    // run 2: id 4 re-versioned AND ids 3,4 deleted — the tombstone must
+    // beat same-run data (delete-after-update within one extract)
+    val upd = Seq((4L, t("2024-02-01T00:00:00"), "v4-2"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((upd, cfg, Seq("id"))), out, 2000L,
+      deletes = Map("del" -> Seq(3L, 4L).toDF("id")))
+    val snap2 = Export.readSnapshot(out, cfg, Seq("id"), spark)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(snap2 === (0L until 10L).filterNot(Set(3L, 4L)).toArray)
+
+    // run 3: id 3 re-inserted — resurrects; id 4 stays dead
+    val back = Seq((3L, t("2024-03-01T00:00:00"), "v3-3"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((back, cfg, Seq("id"))), out, 3000L)
+    val snap3 = Export.readSnapshot(out, cfg, Seq("id"), spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap3.keySet === (0L until 10L).toSet - 4L)
+    assert(snap3(3L) === "v3-3")
+  }
+
   test("dtype vocabulary is closed: unsupported types are rejected") {
     // the reference raises ValueError("Type not supported") (main.py:150);
     // its dead UInt16 branch (main.py:130) is deliberately NOT carried over
