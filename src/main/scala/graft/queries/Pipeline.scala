@@ -143,7 +143,11 @@ object Pipeline {
     // ORC is the third built-in columnar source (SURVEY §2.1 S8). Avro is
     // NOT exercised: `format("avro")` lives in the external spark-avro
     // module, which is not on this classpath — it would be one more
-    // write/read pair here, with zero engine code.
+    // write/read pair here, with zero engine code. Resolution attempted
+    // round 7: the offline coursier cache has no org.apache.spark:
+    // spark-avro artifact and /opt/spark/jars carries only the avro-core
+    // libs (avro/avro-ipc/avro-mapred 1.12.1), not the datasource jar —
+    // a networked build adds it as one libraryDependencies line.
     val fromOrc = s.read.schema(nationSchema).orc(s"$out/orc")
     fromCsv.unionByName(fromJson).unionByName(fromOrc)
       .groupBy(col("n_regionkey"))

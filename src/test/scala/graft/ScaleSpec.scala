@@ -185,4 +185,23 @@ class ScaleSpec extends SparkSpec {
         s"$name planned a nested-loop join:\n$plan")
     }
   }
+
+  test("q52's vocabulary join survives a disabled broadcast threshold") {
+    // the df (document-frequency) side is vocabulary-sized at 100 TB, so
+    // q52 must not FORCE it broadcast: with size-based broadcasts disabled
+    // the term join has to degrade to a shuffle join and still execute —
+    // only the 1-row n_docs frame may keep an explicit broadcast hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q52 = graft.queries.TextAnalysis.q52Tfidf.fn(spark, sf)
+      q52.write.format("noop").mode("overwrite").save()
+      val plan = q52.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected the term join to shuffle under threshold=-1:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"a BroadcastHashJoin under threshold=-1 means a forced hint on a " +
+          s"data-sized side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
