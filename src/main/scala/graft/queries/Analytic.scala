@@ -26,7 +26,59 @@ object Analytic {
     q71Scd2Compact,
     q75FunnelStages,
     q76WindowAnomaly,
+    q84CohortRetention,
   )
+
+  /** Cohort retention — the product-analytics staple: users are cohorted by
+    * their first active day, then each (cohort, day-offset) cell counts how
+    * many of them were active that many days later, with retention as the
+    * share of the cohort's day-0 size. Plan shape: one distinct (user, day)
+    * dedup shuffle; first-day per user is a map-side-combined min over the
+    * SAME user key; activity joins back on user_id (AQE picks the
+    * strategy); the final cells aggregate on (cohort_day, offset) and the
+    * day-0 sizes — date-cardinality, provably bounded — broadcast back.
+    * Nothing scales with more than distinct user-days.
+    */
+  val q84CohortRetention = Q(
+    "q84_cohort_retention",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events
+      |),
+      |coh AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+      |act AS (
+      |  SELECT u.user_id, c.cohort_day,
+      |    date_diff('day', c.cohort_day, u.day) AS day_offset
+      |  FROM ud u JOIN coh c ON u.user_id = c.user_id
+      |),
+      |ret AS (
+      |  SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_active
+      |  FROM act GROUP BY cohort_day, day_offset
+      |),
+      |base AS (SELECT cohort_day, n_active AS cohort_size FROM ret
+      |         WHERE day_offset = 0)
+      |SELECT r.cohort_day, r.day_offset, r.n_active,
+      |  round(CAST(r.n_active AS DOUBLE) / b.cohort_size, 6) AS retention
+      |FROM ret r JOIN base b ON r.cohort_day = b.cohort_day
+      |ORDER BY r.cohort_day NULLS FIRST, r.day_offset NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val coh = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val act = ud.join(coh, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+    val ret = act.groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val base = ret.filter(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("cohort_size"))
+    ret.join(broadcast(base), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 
   /** Windowed anomaly flagging — the batch form of a streaming alerting
     * pipeline: hourly event counts per type, z-scored against the type's

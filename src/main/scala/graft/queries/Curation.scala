@@ -28,7 +28,116 @@ object Curation {
 
   def all: Seq[Q] = Seq(
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
-    q70StratifiedSample, q77MixtureResample)
+    q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks)
+
+  /** PII detection + redaction (the scrub pass every shipped training
+    * corpus runs): regex-match emails, US-shaped phone numbers, and IPv4
+    * addresses, count each class, and replace them with typed placeholder
+    * tags. The corpus fixtures carry no PII, so each doc is first augmented
+    * with DETERMINISTIC synthetic PII derived from its doc_id (same
+    * expression on both engines) — every row then exercises true positives
+    * while the original text exercises false-positive-freedom (it must
+    * survive redaction byte-identical inside the md5). Patterns stay in
+    * the RE2 ∩ java.util.regex common dialect (character classes, bounded
+    * repeats, \b — no lookaround/backrefs), so Spark and DuckDB match
+    * identically. Shape at 100 TB: a pure scan — three codegen'd
+    * regexp_replace + three regexp_extract_all per row, no shuffle, no
+    * join; the aggregate-free plan streams.
+    */
+  val q82PiiRedact = {
+    val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phone = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"""
+    val ip = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+    Q(
+      "q82_pii_redact",
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id
+         |      || '@example.com or 555-867-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+         |      AS t
+         |  FROM documents
+         |),
+         |red AS (
+         |  SELECT doc_id, t,
+         |    regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$email', '[EMAIL]', 'g'),
+         |      '$phone', '[PHONE]', 'g'),
+         |      '$ip', '[IP]', 'g') AS redacted
+         |  FROM aug
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$email')) AS n_emails,
+         |  len(regexp_extract_all(t, '$phone')) AS n_phones,
+         |  len(regexp_extract_all(t, '$ip')) AS n_ips,
+         |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+         |  md5(redacted) AS redacted_md5
+         |FROM red
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      val aug = Tables.documentsWide(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10.2."), (col("doc_id") % 256).cast("string"),
+          lit(".77")).as("t"))
+      val red = aug.withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "[EMAIL]"),
+          phone, "[PHONE]"),
+          ip, "[IP]"))
+      red.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(ip), lit(0)))
+          .cast("long").as("n_ips"),
+        length(col("redacted")).cast("long").as("redacted_len"),
+        md5(col("redacted")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Document chunking for retrieval/context windows (the RAG prep stage):
+    * fixed 200-char chunks on a 150-char stride (50-char overlap so no
+    * boundary content is lost to retrieval), one output row per chunk with
+    * its offset and content digest. The chunk starts are a per-row
+    * `sequence` explode — generation is embarrassingly parallel, output
+    * size is len/stride × corpus (the explode is the operator; there is no
+    * shuffle at all), and the md5 rides the projection under whole-stage
+    * codegen. Tail chunks shorter than 200 chars are kept (standard RAG
+    * behavior — truncating would drop document tails).
+    */
+  val q83DocChunks = Q(
+    "q83_doc_chunks",
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0, length(text) - 1, 150)) AS chunk_start
+      |  FROM documents
+      |)
+      |SELECT doc_id, chunk_start // 150 AS chunk_id, chunk_start,
+      |  CAST(length(substr(text, CAST(chunk_start + 1 AS INTEGER), 200)) AS BIGINT)
+      |    AS chunk_len,
+      |  md5(substr(text, CAST(chunk_start + 1 AS INTEGER), 200)) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.documentsWide(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("chunk_start"))
+      .select(col("doc_id"),
+        (col("chunk_start") / 150).cast("long").as("chunk_id"),
+        col("chunk_start"),
+        expr("substring(text, CAST(chunk_start + 1 AS INT), 200)").as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 
   /** Per-source corpus stats + mixture totals, shared by q69 (weight
     * accounting) and q77 (weight execution): one map-side-combined

@@ -35,7 +35,65 @@ object Dedup {
 
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
-    q74DedupClusters)
+    q74DedupClusters, q86DupNgrams)
+
+  /** Cross-document duplicate-n-gram accounting (the C4/RefinedWeb-style
+    * contamination signal, complementary to q68's WITHIN-doc repetition):
+    * for each doc, the fraction of its distinct word-8-grams that occur in
+    * at least one OTHER document — high fractions mark boilerplate and
+    * template content that survives exact and near dedup. Mechanics reuse
+    * the q66 idiom: per-row `array_distinct` on raw grams BEFORE the
+    * explode (no corpus-wide DISTINCT shuffle), md5 digests as fixed-width
+    * join keys projected relationally (codegen, not lambdas). The gram
+    * document-frequency table is re-joined WITHOUT a broadcast hint — it
+    * is vocabulary-sized at scale, Catalyst/AQE picks the strategy (the
+    * q52 rule). df counts are map-side-combined; a gram seen in k docs
+    * costs k join rows, never k² pairs.
+    */
+  val q86DupNgrams = Q(
+    "q86_dup_ngrams",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+      |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |        || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+      |        || toks[i+6] || ' ' || toks[i+7])))) AS gram
+      |  FROM tok WHERE len(toks) >= 8
+      |),
+      |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  count(*) FILTER (WHERE df.df > 1) AS n_shared,
+      |  round(CAST(count(*) FILTER (WHERE df.df > 1) AS DOUBLE) / count(*), 6)
+      |    AS shared_frac
+      |FROM g JOIN df ON g.gram = df.gram
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val n = 8
+    val base = Tables.documentsWide(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = base
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
+          .as("raw"))
+      .select(col("doc_id"), md5(col("raw")).as("gram"))
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") > 1, lit(1))).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 6)
+          .as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Exact content-hash dedup with keep-first semantics: canonicalize
     * (lowercase, 50-char prefix — standing in for whitespace/punctuation

@@ -16,7 +16,40 @@ object Gaps {
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
-    q79TableProfile, q80GapFill, q81ProfileJoin)
+    q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram)
+
+  /** Fixed-width histogram binning (the data-distribution profile q79's
+    * min/max can't give): order totals bucketed into 20 static-width bins
+    * with the top bin clamping the tail, per-bin count and exact decimal
+    * sum. Static bounds make it ONE map-side-combined aggregate over a
+    * pure scan — the data-driven alternative (min/max first) costs an
+    * extra tiny pass but the same shuffle; at 100 TB the bin table is 20
+    * rows regardless of volume.
+    */
+  val q85Histogram = Q(
+    "q85_histogram",
+    s"""WITH b AS (
+       |  SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS bin,
+       |    o_totalprice
+       |  FROM orders
+       |)
+       |SELECT bin, bin * 25000 AS bin_lo, (bin + 1) * 25000 AS bin_hi,
+       |  count(*) AS n_orders,
+       |  ${Exact.Sql.dsum("o_totalprice")} AS sum_price
+       |FROM b GROUP BY bin
+       |ORDER BY bin NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.orders(s, d)
+      .select(least(floor(col("o_totalprice") / 25000).cast("long"), lit(19L))
+        .as("bin"), col("o_totalprice"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("bin"), (col("bin") * 25000).as("bin_lo"),
+        ((col("bin") + 1) * 25000).as("bin_hi"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("bin"))
+  }
 
   /** Time-series gap filling: a complete (event_type × hour) date spine —
     * exploded from one sequence over the observed bounds, crossed with the

@@ -13,7 +13,59 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   def all: Seq[Q] =
-    Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit)
+    Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
+      q87TokenEntropy)
+
+  /** Token-distribution Shannon entropy per document — the information-
+    * density quality signal (low entropy = repetitive/templated text,
+    * complementary to q68's positional repetition): H = ln(n) − Σc·ln(c)/n
+    * over per-doc term counts. Plan: one explode + (doc,term) hash
+    * aggregate, then a map-side-combined per-doc rollup — the same
+    * two-aggregate spine as TF-IDF, nothing quadratic. Cross-engine
+    * exactness: each term's c·ln(c) contribution is cast to float (kills
+    * libm's 1-ulp ln wobble, the q52 house rule) then summed as a
+    * fixed-scale DECIMAL — decimal addition is associative, so Spark's
+    * partial-merge order and DuckDB's sequential order give the SAME sum
+    * and the rounded entropy hash-matches. The c×lnf multiply is forced to
+    * DOUBLE on both engines (DuckDB types BIGINT×FLOAT as FLOAT; Spark
+    * widens to double — left unforced they disagree in the 7th decimal).
+    */
+  val q87TokenEntropy = Q(
+    "q87_token_entropy",
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) u
+      |  GROUP BY doc_id, term
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_unique,
+      |    CAST(sum(CAST(CAST(c AS DOUBLE) * CAST(ln(CAST(c AS DOUBLE)) AS FLOAT)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS s
+      |  FROM tf GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_unique,
+      |  round(CAST(ln(CAST(n_tokens AS DOUBLE)) AS FLOAT) - s / n_tokens, 6)
+      |    AS entropy
+      |FROM agg
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val tf = Tables.documentsWide(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        sum((col("c").cast("double") * log(col("c").cast("double")).cast("float"))
+          .cast(DecimalType(18, 9))).cast("double").as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+        round(log(col("n_tokens").cast("double")).cast("float")
+          - col("s") / col("n_tokens"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
