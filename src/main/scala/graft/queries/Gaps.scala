@@ -16,7 +16,120 @@ object Gaps {
     q42MapFuncs, q43ApproxDistinct, q44OffsetPaginate, q49SetopsLiteral,
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
-    q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram)
+    q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
+    q88SaltedJoin, q89PartialMerge, q90IqrOutliers)
+
+  /** Salted SKEW JOIN — the manual counterpart of the AQE skew split
+    * ScaleSpec demonstrates: when one join key is so hot that a single
+    * key's rows exceed an executor's partition (AQE splits oversized
+    * PARTITIONS, but all rows of one key still hash to one of them), the
+    * fact side salts each row deterministically (hash of its unique id,
+    * mod R) and the dimension side replicates ×R with one row per salt —
+    * the join key becomes (key, salt), spreading each hot key over R
+    * tasks. R scales with observed skew, replication cost is R×|dim|
+    * (tiny), and the result is provably identical to the unsalted join —
+    * which is exactly what the oracle checks.
+    */
+  val q88SaltedJoin = Q(
+    "q88_salted_join",
+    s"""SELECT event_type, upper(event_type) AS type_label,
+       |  count(*) AS n_events, ${Exact.Sql.dsum("value")} AS sum_value
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val r = 8
+    val facts = Tables.events(s, d)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(r)))
+    val dim = Tables.events(s, d).select(col("event_type")).distinct()
+      .withColumn("type_label", upper(col("event_type")))
+      .withColumn("salt", explode(sequence(lit(0), lit(r - 1))))
+    facts.join(dim, Seq("event_type", "salt"))
+      .groupBy(col("event_type"), col("type_label"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum(col("value")).as("sum_value"))
+      .select(col("event_type"), col("type_label"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Partial-aggregate MERGE — the algebraic-decomposition architecture
+    * behind every incremental rollup: two independently-aggregated batches
+    * (here a deterministic hash split standing in for "yesterday's rollup"
+    * and "today's delta") merge into the exact full aggregate by combining
+    * their algebraic parts (Σc, Σsum, min, max — avg derives as Σsum/Σc at
+    * the end, never merged directly). This is what lets a 100 TB pipeline
+    * maintain daily cubes by aggregating ONLY the new partition and
+    * merging: the oracle proves merge(partials) ≡ aggregate(all). Decimal
+    * partial sums keep the merge order-free.
+    */
+  val q89PartialMerge = Q(
+    "q89_partial_merge",
+    s"""SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       |  count(*) AS n_events, ${Exact.Sql.dsum("value")} AS sum_value,
+       |  min(value) AS min_value, max(value) AS max_value,
+       |  ${Exact.Sql.davg("value")} AS avg_value
+       |FROM events
+       |GROUP BY event_type, day
+       |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"),
+        pmod(hash(col("event_id")), lit(2)).as("batch"))
+    def partial(batch: Int): DataFrame = ev
+      .filter(col("batch") === batch)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"),
+        sum(col("value").cast("decimal(18,4)")).as("sd"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    partial(0).unionByName(partial(1))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(col("sd")).cast("double").as("sum_value"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"),
+        (sum(col("sd")).cast("double") / sum(col("c"))).as("avg_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** IQR outlier fencing (the standard distribution-based data-cleaning
+    * rule): per-group exact q1/q3 → Tukey fences at 1.5×IQR → per-group
+    * outlier accounting. The stats table is group-cardinality-sized and
+    * broadcasts back onto a second scan; the fence comparison is exact
+    * cross-engine because interpolated percentiles are bit-identical
+    * (q54). At 100 TB the exact percentile sort-agg is the cost center —
+    * swap in approx_percentile (q58) for the same plan minus the sort.
+    */
+  val q90IqrOutliers = Q(
+    "q90_iqr_outliers",
+    """WITH st AS (
+      |  SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.25) AS q1,
+      |    quantile_cont(o_totalprice, 0.75) AS q3
+      |  FROM orders GROUP BY o_orderpriority
+      |)
+      |SELECT o.o_orderpriority, count(*) AS n_orders,
+      |  count(*) FILTER (WHERE o.o_totalprice
+      |    > st.q3 + 1.5 * (st.q3 - st.q1)) AS n_high,
+      |  count(*) FILTER (WHERE o.o_totalprice
+      |    < st.q1 - 1.5 * (st.q3 - st.q1)) AS n_low
+      |FROM orders o JOIN st ON o.o_orderpriority = st.o_orderpriority
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val st = orders.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
+        expr("percentile(o_totalprice, 0.75)").as("q3"))
+    orders.join(broadcast(st), "o_orderpriority")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("o_totalprice")
+          > col("q3") + lit(1.5) * (col("q3") - col("q1")), lit(1))).as("n_high"),
+        count(when(col("o_totalprice")
+          < col("q1") - lit(1.5) * (col("q3") - col("q1")), lit(1))).as("n_low"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** Fixed-width histogram binning (the data-distribution profile q79's
     * min/max can't give): order totals bucketed into 20 static-width bins
