@@ -27,7 +27,64 @@ object Analytic {
     q75FunnelStages,
     q76WindowAnomaly,
     q84CohortRetention,
+    q92SessionsBatch,
   )
+
+  /** Gaps-and-islands sessionization — the pure-SQL idiom behind q46's
+    * native session_window, here as an explicit operator because real
+    * pipelines need the session ID on every EVENT (for attribution joins),
+    * not just the collapsed window: a 30-min-gap flag via lag(), then a
+    * running sum turns flags into per-user session numbers, then per-
+    * session accounting. Both windows ride ONE (user_id) partitioning —
+    * a single shuffle, each user's timeline processed within one task,
+    * which is the correct scale unit (no global order anywhere). Gap
+    * arithmetic runs on epoch-µs integers on both engines, and ties
+    * break on event_id so the running sum is deterministic.
+    */
+  val q92SessionsBatch = Q(
+    "q92_sessions_batch",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      |  FROM events
+      |),
+      |f AS (
+      |  SELECT user_id, event_id, tus,
+      |    CASE WHEN lag(tus) OVER w IS NULL THEN 1
+      |         WHEN tus - lag(tus) OVER w > 1800000000 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |),
+      |s AS (
+      |  SELECT user_id, tus,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_no
+      |  FROM f
+      |)
+      |SELECT user_id, session_no, count(*) AS n_events,
+      |  min(tus) AS start_us, max(tus) - min(tus) AS duration_us
+      |FROM s GROUP BY user_id, session_no
+      |ORDER BY user_id NULLS FIRST, session_no NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val gapUs = 1800000000L // 30 minutes
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+    e.withColumn("is_new",
+      when(lag(col("tus"), 1).over(w).isNull
+        || col("tus") - lag(col("tus"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tus")).as("start_us"),
+        (max(col("tus")) - min(col("tus"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
 
   /** Cohort retention — the product-analytics staple: users are cohorted by
     * their first active day, then each (cohort, day-offset) cell counts how

@@ -308,6 +308,12 @@ object Dedup {
     // Every step is a hash join / hash aggregate over scalar columns, so
     // the same plan holds at 100 TB: no per-pair recompute, shuffles carry
     // (id, 5-char gram) rows, and candidate mass is bounded by the banding.
+    // The gram rows feed THREE plan sites (the band-key aggregate and both
+    // verify-join sides). Materializing them once via localCheckpoint was
+    // MEASURED WORSE at sf0.1 (5.7s → 8.6s): row serialization plus the
+    // lost whole-stage pipelining costs more than two extra codegen'd
+    // tokenization passes. Recompute stays; a cluster run where the corpus
+    // scan dominates can still persist this stage explicitly.
     val dg = docs
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"),

@@ -17,7 +17,51 @@ object Gaps {
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
-    q88SaltedJoin, q89PartialMerge, q90IqrOutliers)
+    q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist)
+
+  /** EQUI-DEPTH histogram (the planner-stats twin of q85's equi-width
+    * bins): decile edges from ONE exact-percentile aggregate, broadcast
+    * back onto a second scan, bucket = 1 + #edges below the value. The
+    * deliberate non-shape: `ntile(10) OVER (ORDER BY …)` — a GLOBAL-order
+    * window that funnels the corpus through one task; edge-binning gives
+    * the same distribution sketch from a broadcast of 9 doubles and two
+    * scans, and the per-row edge comparison is a 9-element codegen'd
+    * lambda. Value-tied rows land in the same bucket on both engines
+    * (exact interpolated percentiles are bit-identical, q54), so counts
+    * hash-match. At 100 TB swap the exact percentile for
+    * approx_percentile (q58) — same plan minus its sort.
+    */
+  val q91EquidepthHist = Q(
+    "q91_equidepth_hist",
+    s"""WITH e AS (
+       |  SELECT quantile_cont(o_totalprice,
+       |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+       |  FROM orders
+       |)
+       |SELECT bucket, count(*) AS n_orders,
+       |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+       |  ${Exact.Sql.dsum("o_totalprice")} AS sum_price
+       |FROM (
+       |  SELECT o.o_totalprice,
+       |    1 + len(list_filter(e.edges, x -> o.o_totalprice > x)) AS bucket
+       |  FROM orders o CROSS JOIN e) t
+       |GROUP BY bucket
+       |ORDER BY bucket NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val orders = Tables.orders(s, d)
+    val edges = orders.agg(
+      expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("edges"))
+    orders.crossJoin(broadcast(edges))
+      .select(col("o_totalprice"),
+        (lit(1) + size(filter(col("edges"),
+          x => col("o_totalprice") > x))).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
 
   /** Salted SKEW JOIN — the manual counterpart of the AQE skew split
     * ScaleSpec demonstrates: when one join key is so hot that a single

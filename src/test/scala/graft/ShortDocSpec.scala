@@ -28,7 +28,8 @@ class ShortDocSpec extends SparkSpec {
     Seq("q31_exact_dedup", "q32_minhash_neardup", "q33_simhash_fingerprint",
       "q37_text_stats", "q38_langid", "q51_ngram_jaccard", "q52_tfidf",
       "q67_seq_packing", "q68_repetition", "q69_domain_mixture",
-      "q70_stratified_sample", "q74_dedup_clusters")
+      "q70_stratified_sample", "q74_dedup_clusters", "q82_pii_redact",
+      "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
@@ -114,6 +115,25 @@ class ShortDocSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
     assert(rows.toSeq === Seq(
       (1L, 1L, true, 3L), (2L, 1L, false, 3L), (3L, 1L, false, 3L)))
+  }
+
+  test("q86: identical docs share all grams; sub-window docs are excluded") {
+    val rows = SparkEntry.queries("q86_dup_ngrams")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // docs 1-2 are below the 8-token window → no gram rows at all;
+    // docs 3-4 are byte-identical → every gram shared
+    assert(rows.keySet === Set(3L, 4L), s"rows: $rows")
+    assert(rows(3L) === 1.0 && rows(4L) === 1.0)
+  }
+
+  test("q87: all-distinct tokens give exactly ln(n) entropy") {
+    val rows = SparkEntry.queries("q87_token_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // "hello world": two distinct tokens, c=1 each → Σc·ln(c)=0,
+    // H = ln(2) through the float-cast house rule
+    val expected = BigDecimal(math.log(2.0).toFloat.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(2L) === expected)
   }
 
   test("q37 fingerprint is NULL for docs below the shingle window") {
