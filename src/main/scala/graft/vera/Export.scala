@@ -373,6 +373,39 @@ object Export {
       .drop("__rn", "__run", "__del")
   }
 
+  /** Streaming → export bridge [EXT]: drain a stream into the SAME
+    * base+delta chain [[readSnapshot]] replays, one run per microbatch via
+    * `foreachBatch` — what the reference's one-shot batch job (main.py:266)
+    * becomes when the source is continuous. Exactly-once effect without a
+    * transactional sink: the run directory is keyed by `batchId`, which
+    * Structured Streaming REUSES when it replays a failed batch, so a
+    * retry overwrites its own run (and the run's manifest is rewritten
+    * last, same ordering guarantee as the batch path) instead of
+    * duplicating rows — the standard idempotent-foreachBatch pattern. The
+    * manifest timestamp is the batchId too, keeping replay deterministic;
+    * empty batches write nothing, like empty deltas. Inside the batch
+    * function the microbatch is a plain DataFrame, so the full
+    * normalize → size-rotate → range-name → manifest pipeline runs
+    * unchanged and distributed.
+    */
+  def exportStream(
+      stream: DataFrame,
+      cfg: TableConfig,
+      orderBy: Seq[String],
+      outDir: String,
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          exportAll(Seq((batch, cfg, orderBy)), s"$outDir/run_$batchId",
+            nowMillis = batchId)
+          ()
+        }
+      }
+      .start()
+
   /** S7 manifest sink (`write_manifest`, main.py:103-113). */
   def writeManifest(m: Manifest, outDir: String, spark: SparkSession): Unit = {
     def esc(s: String): String = s.flatMap {

@@ -67,6 +67,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch drains a stream into the incremental export chain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.vera.{Export, Schemas, TableConfig}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val cfg = TableConfig("sexp",
+      Schemas.fromDtypes(Seq("id" -> "Int64",
+        "updated_at" -> "datetime64[ns]", "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_export").toString
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Export.exportStream(
+      src.toDF.toDF("id", "updated_at", "v"), cfg, Seq("id"), out)
+    try {
+      src.addData((1L, t("2024-01-01 00:00:00"), "a1"),
+        (2L, t("2024-01-01 00:00:00"), "b1"))
+      q.processAllAvailable()
+      src.addData((1L, t("2024-01-02 00:00:00"), "a2"),
+        (3L, t("2024-01-02 00:00:00"), "c1"))
+      q.processAllAvailable()
+      // each microbatch became a run with range-named files + manifest
+      for (b <- Seq(0, 1))
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          s"$out/run_$b/manifest.json")), s"missing manifest for batch $b")
+      // the chain replays to the latest version per key — the same
+      // readSnapshot the batch-mode delta chain uses
+      val snap = Export.readSnapshot(out, cfg, Seq("id"), spark)
+        .select(col("id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snap === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running count converges to the batch group count") {
     val q = Windows.streamRunningCount(spark, sf, "stream_state")
     try {
