@@ -32,7 +32,77 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   def all: Seq[Q] = Seq(
-    q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant)
+    q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
+    q93LabelCentroids)
+
+  /** Per-label centroid + dispersion accounting — the k-means M-step (and
+    * the cluster-quality report an embedding pipeline runs after
+    * assignment): mean vector per label, its L1 norm, and the average
+    * per-coordinate deviation of members from their centroid. Exactness
+    * rides the q72 fixed-point idiom: coordinates become micro-unit
+    * BIGINTs, the centroid stays an exact (Σx, n) integer pair, and the
+    * deviation |x − mean| is computed SCALED BY n as |n·x − Σx| — integer
+    * arithmetic end to end, one final exact-integer→double division per
+    * label before rounding, so both engines hash-match. Plan: posexplode →
+    * (label, dim) map-side-combined sum/count [the only corpus shuffle] →
+    * centroids (K×D rows, provably bounded) BROADCAST back onto the
+    * exploded scan → per-label rollup. The same plan at 100 TB is the
+    * canonical distributed k-means iteration.
+    */
+  val q93LabelCentroids = Q(
+    "q93_label_centroids",
+    """WITH x AS (
+      |  SELECT label,
+      |    unnest(list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS xq,
+      |    unnest(range(1, len(embedding) + 1)) AS pos
+      |  FROM embeddings
+      |),
+      |c AS (
+      |  SELECT label, pos, CAST(sum(xq) AS BIGINT) AS sq, count(*) AS n
+      |  FROM x GROUP BY label, pos
+      |),
+      |cs AS (
+      |  SELECT label, max(n) AS n_vecs, count(*) AS n_dims,
+      |    CAST(sum(abs(sq)) AS BIGINT) AS l1_scaled
+      |  FROM c GROUP BY label
+      |),
+      |dev AS (
+      |  SELECT x.label, CAST(sum(abs(c.n * x.xq - c.sq)) AS BIGINT) AS sum_dev
+      |  FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+      |  GROUP BY x.label
+      |)
+      |SELECT cs.label, cs.n_vecs, cs.n_dims,
+      |  round(CAST(cs.l1_scaled AS DOUBLE) / (cs.n_vecs * 1000000.0), 6)
+      |    AS centroid_l1,
+      |  round(CAST(dev.sum_dev AS DOUBLE)
+      |    / (CAST(cs.n_vecs AS DOUBLE) * cs.n_vecs * cs.n_dims * 1000000.0), 6)
+      |    AS avg_dev
+      |FROM cs JOIN dev ON cs.label = dev.label
+      |ORDER BY cs.label NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val x = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("label"), (col("pos0") + 1).as("pos"),
+        round(col("v").cast("double") * 1e6).cast("long").as("xq"))
+    val c = x.groupBy(col("label"), col("pos"))
+      .agg(sum(col("xq")).cast("long").as("sq"), count(lit(1)).as("n"))
+    val cs = c.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), count(lit(1)).as("n_dims"),
+        sum(abs(col("sq"))).cast("long").as("l1_scaled"))
+    val dev = x.join(broadcast(c), Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(sum(abs(col("n") * col("xq") - col("sq"))).cast("long")
+        .as("sum_dev"))
+    cs.join(dev, "label")
+      .select(col("label"), col("n_vecs"), col("n_dims"),
+        round(col("l1_scaled").cast("double")
+          / (col("n_vecs") * lit(1000000.0)), 6).as("centroid_l1"),
+        round(col("sum_dev").cast("double")
+          / (col("n_vecs").cast("double") * col("n_vecs") * col("n_dims")
+            * lit(1000000.0)), 6).as("avg_dev"))
+      .orderBy(col("label"))
+  }
 
   private def vec(c: Column): Column = transform(c, _.cast("double"))
 
