@@ -161,12 +161,25 @@ class ScaleSpec extends SparkSpec {
     // reintroduced a recompute-the-subtree shape (q69 once scanned and
     // re-tokenized the whole corpus twice for its 1-row totals side)
     for (name <- Seq("q67_seq_packing", "q69_domain_mixture",
-      "q71_scd2_compact", "q72_int8_quant")) {
+      "q71_scd2_compact", "q72_int8_quant", "q82_pii_redact",
+      "q83_doc_chunks")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       val scans = "Scan parquet".r.findAllIn(plan).length
       assert(scans === 1, s"$name plans $scans scans:\n$plan")
     }
+  }
+
+  test("q92's windows and session rollup share ONE user_id exchange") {
+    // both lag/cumsum windows and the per-session aggregate are declared on
+    // user_id(+) keys; Catalyst must satisfy all three from a single hash
+    // exchange — a second shuffle would mean the window partitionings
+    // stopped aligning (the q71 shared-partitioning discipline)
+    val q92 = graft.queries.Analytic.q92SessionsBatch.fn(spark, sf)
+    q92.write.format("noop").mode("overwrite").save()
+    val plan = q92.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"q92 plans $exchanges hash exchanges:\n$plan")
   }
 
   test("candidate generators never plan a cartesian or nested-loop join") {
