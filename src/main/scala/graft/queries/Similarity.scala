@@ -35,6 +35,94 @@ object Similarity {
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
     q93LabelCentroids)
 
+  /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
+    * cluster, dist2); `wss` is the within-cluster sum of squares after each
+    * iteration (Lloyd's is monotonically non-increasing on it — asserted
+    * in KmeansSpec).
+    */
+  final case class KmeansResult(
+      assignments: org.apache.spark.sql.DataFrame,
+      wss: Seq[Double],
+      iters: Int,
+  )
+
+  /** Full iterative Lloyd's k-means over an embedding column — the loop
+    * q93's M-step accounting belongs to, as an engine operator (iterative
+    * SQL can't express it; KmeansSpec proves convergence, monotone WSS
+    * descent, nearest-centroid consistency, and determinism instead of a
+    * DuckDB twin). Distributed shape per round, the canonical one:
+    *  - centroids are a K-row DataFrame BROADCAST to the assignment
+    *    crossJoin (bounded side, the q36 pattern) — dist² = |x|² − 2x·c +
+    *    |c|² rides the codegen'd `graft_dot`, norms precomputed once;
+    *  - argmin per vector is min(struct(dist2, cluster)) — one map-side-
+    *    combined aggregate, ties broken by cluster id (deterministic);
+    *  - the M-step is one (cluster, dim) shuffle, then arrays rebuilt
+    *    relationally (sorted collect_list of K×D rows, never corpus data);
+    *  - empty clusters keep their previous centroid (no respawn jitter —
+    *    determinism over clustering quality);
+    *  - per-round driver state: a K×D centroid frame localCheckpoint and
+    *    one scalar WSS — never corpus rows; convergence = assignment
+    *    fixpoint via an isEmpty probe, non-convergence within `maxIter`
+    *    fails loudly (the q74 discipline).
+    * Init is the K smallest vec_ids (deterministic; k-means++ would be a
+    * weighted-sample init swap, same loop).
+    */
+  private[graft] def kmeans(
+      emb: org.apache.spark.sql.DataFrame, k: Int, maxIter: Int = 20)
+    : KmeansResult = {
+    import org.apache.spark.sql.DataFrame
+    val vecs = emb
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .localCheckpoint(true) // scanned every round: pin it once
+    var cent: DataFrame = vecs.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").cast("int").as("cluster0"), col("v").as("cv"))
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col("cluster0"))) - 1)
+      .select(col("cluster"), col("cv"), dot(col("cv"), col("cv")).as("cn2"))
+      .localCheckpoint(true)
+    var assigned: DataFrame = null
+    var wss = List.empty[Double]
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val scored = vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          (col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+            .as("dist2"), col("cluster"))
+      val newAssigned = scored.groupBy(col("vec_id"))
+        .agg(min(struct(col("dist2"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.dist2").as("dist2"))
+        .localCheckpoint(true)
+      wss ::= newAssigned.agg(sum(col("dist2"))).head.getDouble(0)
+      val recomputed = newAssigned
+        .join(vecs, "vec_id")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("sorted"))
+        .select(col("cluster"),
+          transform(col("sorted"), s => s.getField("m")).as("ncv"))
+      cent = cent.join(recomputed, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .withColumn("cn2", dot(col("cv"), col("cv")))
+        .localCheckpoint(true)
+      converged = assigned != null && newAssigned.as("n")
+        .join(assigned.as("p"), "vec_id")
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .isEmpty
+      assigned = newAssigned
+      iter += 1
+    }
+    require(converged,
+      s"k-means did not converge within $maxIter rounds — raise maxIter " +
+        "rather than consuming a mid-descent assignment")
+    KmeansResult(assigned, wss.reverse, iter)
+  }
+
   /** Per-label centroid + dispersion accounting — the k-means M-step (and
     * the cluster-quality report an embedding pipeline runs after
     * assignment): mean vector per label, its L1 norm, and the average

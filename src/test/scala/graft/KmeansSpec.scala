@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+/** The iterative Lloyd's loop (Similarity.kmeans) — not SQL-expressible, so
+  * correctness is pinned by its mathematical invariants instead of a DuckDB
+  * twin: convergence within the cap (loudly failing otherwise, like the CC
+  * loop), monotonically non-increasing within-cluster sum of squares,
+  * final-assignment nearest-centroid consistency, and bitwise determinism
+  * across runs.
+  */
+class KmeansSpec extends SparkSpec {
+
+  private lazy val result =
+    Similarity.kmeans(Tables.embeddings(spark, sf), k = 5)
+
+  test("converges to an assignment fixpoint within the iteration cap") {
+    assert(result.iters <= 20)
+    assert(result.assignments.count() ===
+      Tables.embeddings(spark, sf).count())
+    // every cluster id is within range
+    val clusters = result.assignments.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(clusters.subsetOf((0 until 5).toSet) && clusters.nonEmpty)
+  }
+
+  test("within-cluster sum of squares never increases across iterations") {
+    val w = result.wss
+    assert(w.nonEmpty)
+    w.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6 * math.abs(a), s"WSS rose: $w")
+      case _         =>
+    }
+  }
+
+  test("every vector sits in its nearest final centroid's cluster") {
+    // rebuild centroids from the final assignment and re-score: the
+    // assigned cluster must be the argmin (ties by cluster id) — the
+    // fixpoint property that defines Lloyd's convergence
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cent = result.assignments.join(emb, "vec_id")
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("s"))
+      .select(col("cluster").as("c2"),
+        expr("transform(s, p -> p.m)").as("cv"))
+    val rescored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c2"),
+        call_function("graft_dot",
+          expr("zip_with(v, cv, (a, b) -> a - b)"),
+          expr("zip_with(v, cv, (a, b) -> a - b)")).as("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("c2"))).as("m"))
+      .select(col("vec_id"), col("m.c2").as("nearest"))
+    val disagree = result.assignments.join(rescored, "vec_id")
+      .filter(col("cluster") =!= col("nearest"))
+    assert(disagree.isEmpty, disagree.collect().mkString(", "))
+  }
+
+  test("two runs produce identical assignments (deterministic)") {
+    val again = Similarity.kmeans(Tables.embeddings(spark, sf), k = 5)
+    val diff = result.assignments.as("a")
+      .join(again.assignments.as("b"), "vec_id")
+      .filter(col("a.cluster") =!= col("b.cluster"))
+    assert(diff.isEmpty)
+    assert(again.wss === result.wss)
+  }
+
+  test("an exhausted iteration cap fails loudly, never a partial clustering") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeans(Tables.embeddings(spark, sf), k = 5, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
