@@ -28,7 +28,65 @@ object Analytic {
     q76WindowAnomaly,
     q84CohortRetention,
     q92SessionsBatch,
+    q94TrendSlope,
   )
+
+  /** Per-group linear trend detection: the least-squares slope of hourly
+    * event counts against the hour index, per event type — "is this stream
+    * growing or decaying" as a single statistic (the regr_slope analytics
+    * idiom, computed from moment sums so it distributes). Exactness: x is
+    * an hour index and y a count — both integers — so Σx, Σy, Σxy, Σx² are
+    * EXACT integer aggregates; slope and intercept are one double division
+    * of identical integers on both engines, then round. Plan: one hourly
+    * pre-aggregate (map-side combined) + one tiny per-type moment
+    * aggregate — nothing scales past the window count.
+    */
+  val q94TrendSlope = Q(
+    "q94_trend_slope",
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+      |      date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS x,
+      |    count(*) AS y
+      |  FROM events GROUP BY event_type, x
+      |),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM h GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (n * sxx - sx * sx), 6) AS slope,
+      |  round((CAST(sy AS DOUBLE)
+      |    - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * sx)
+      |    / n, 6) AS intercept
+      |FROM m
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val h = Tables.events(s, d)
+      .select(col("event_type"),
+        ((unix_micros(date_trunc("hour", col("ts")))
+          - unix_micros(to_timestamp(lit("2024-01-01 00:00:00"))))
+          / lit(3600000000L)).cast("long").as("x"))
+      .groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("y"))
+    val m = h.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    m.select(col("event_type"), col("n"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx")) / col("n"), 6)
+        .as("intercept"))
+      .orderBy(col("event_type"))
+  }
 
   /** Gaps-and-islands sessionization — the pure-SQL idiom behind q46's
     * native session_window, here as an explicit operator because real

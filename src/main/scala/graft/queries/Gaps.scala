@@ -17,7 +17,55 @@ object Gaps {
     q53Pivot, q54Percentiles, q55SaltedAgg, q56Unpivot, q57GroupingSets,
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
-    q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist)
+    q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
+    q95SkewDiagnose)
+
+  /** Join-key skew diagnostics — the measurement that decides WHEN to
+    * reach for q88's salting or AQE's skew split: per-key frequencies
+    * (one map-side-combined aggregate), rolled into per-column skew
+    * statistics — max/mean frequency ratio (the skew factor), the top
+    * key's share, and the p99 frequency — for each candidate join key.
+    * The heavy-key list any real diagnosis also wants is q16/q17's top-k;
+    * here the output is the bounded per-column summary a planner or an
+    * operator-selection heuristic consumes. Two keys profiled in one
+    * query via a union of two independent aggregates (each shuffles only
+    * its own key's frequency table, which is key-cardinality-sized).
+    */
+  val q95SkewDiagnose = Q(
+    "q95_skew_diagnose",
+    """WITH f1 AS (SELECT l_suppkey AS k, count(*) AS c FROM lineitem
+      |            GROUP BY l_suppkey),
+      |f2 AS (SELECT l_returnflag AS k, count(*) AS c FROM lineitem
+      |       GROUP BY l_returnflag)
+      |SELECT 'l_suppkey' AS key_col, count(*) AS n_keys,
+      |  CAST(max(c) AS BIGINT) AS max_freq,
+      |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6) AS skew_factor,
+      |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+      |  CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_freq
+      |FROM f1
+      |UNION ALL
+      |SELECT 'l_returnflag', count(*), CAST(max(c) AS BIGINT),
+      |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6),
+      |  round(CAST(max(c) AS DOUBLE) / sum(c), 6),
+      |  CAST(quantile_cont(c, 0.99) AS DOUBLE)
+      |FROM f2
+      |ORDER BY key_col NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    def profileKey(key: String) =
+      Tables.lineitem(s, d)
+        .groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_freq"),
+          round(max(col("c")).cast("double") * count(lit(1)) / sum(col("c")), 6)
+            .as("skew_factor"),
+          round(max(col("c")).cast("double") / sum(col("c")), 6)
+            .as("top_share"),
+          expr("percentile(c, 0.99)").as("p99_freq"))
+        .select(lit(key).as("key_col"), col("n_keys"), col("max_freq"),
+          col("skew_factor"), col("top_share"), col("p99_freq"))
+    profileKey("l_suppkey").unionByName(profileKey("l_returnflag"))
+      .orderBy(col("key_col"))
+  }
 
   /** EQUI-DEPTH histogram (the planner-stats twin of q85's equi-width
     * bins): decile edges from ONE exact-percentile aggregate, broadcast
