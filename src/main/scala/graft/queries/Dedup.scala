@@ -35,7 +35,53 @@ object Dedup {
 
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
-    q74DedupClusters, q86DupNgrams)
+    q74DedupClusters, q86DupNgrams, q96FuzzyLinkage)
+
+  /** Fuzzy record linkage (entity resolution on IDENTIFIER strings, the
+    * complement of the document-content families above): supplier-name
+    * pairs within edit distance 1, with candidates from MULTI-KEY
+    * BLOCKING — two overlapping digit-substring keys, unioned and
+    * distinct'd, exactly q74's prefix/suffix idiom — so no all-pairs
+    * product ever exists. Like any blocking scheme this has LSH-style
+    * coverage, not certainty (a pair edited in both key regions is
+    * missed); two overlapping keys make a single edit always recoverable.
+    * levenshtein runs codegen'd only on the banded candidates; both
+    * engines implement the same unit-cost DP, so distances match exactly.
+    */
+  val q96FuzzyLinkage = Q(
+    "q96_fuzzy_linkage",
+    """WITH k AS (
+      |  SELECT s_suppkey, s_name,
+      |    substr(s_name, 10, 7) AS b1, substr(s_name, 12, 7) AS b2
+      |  FROM supplier
+      |),
+      |cand AS (
+      |  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+      |    a.s_name AS name_a, b.s_name AS name_b
+      |  FROM k a JOIN k b ON a.b1 = b.b1 AND a.s_suppkey < b.s_suppkey
+      |  UNION
+      |  SELECT a.s_suppkey, b.s_suppkey, a.s_name, b.s_name
+      |  FROM k a JOIN k b ON a.b2 = b.b2 AND a.s_suppkey < b.s_suppkey
+      |)
+      |SELECT id_a, id_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      |FROM cand
+      |WHERE levenshtein(name_a, name_b) <= 1
+      |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val k = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"),
+      substring(col("s_name"), 10, 7).as("b1"),
+      substring(col("s_name"), 12, 7).as("b2"))
+    def pairsOn(b: String) = k.as("x")
+      .join(k.as("y"),
+        col(s"x.$b") === col(s"y.$b") && col("x.s_suppkey") < col("y.s_suppkey"))
+      .select(col("x.s_suppkey").as("id_a"), col("y.s_suppkey").as("id_b"),
+        col("x.s_name").as("name_a"), col("y.s_name").as("name_b"))
+    pairsOn("b1").union(pairsOn("b2")).distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Cross-document duplicate-n-gram accounting (the C4/RefinedWeb-style
     * contamination signal, complementary to q68's WITHIN-doc repetition):
