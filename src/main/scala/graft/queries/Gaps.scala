@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Exact
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,7 +19,74 @@ object Gaps {
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
-    q95SkewDiagnose)
+    q95SkewDiagnose, q97DataQuality)
+
+  /** Declarative data-quality constraint validation (the Deequ-shaped
+    * expectation suite a production pipeline gates ingests on): primary-key
+    * uniqueness, referential integrity, domain ranges, and non-null
+    * checks, each evaluated as ONE bounded aggregate (uniqueness = count
+    * vs distinct over the key, integrity = anti-join count, ranges/nulls =
+    * conditional counts in a shared scan) and folded into a uniform
+    * violations report. Each rule's cost is the cheapest plan for that
+    * rule class — nothing quadratic, the FK check is the only join and it
+    * broadcasts its dimension side. A failed run is data, not an
+    * exception: the report is the gate's input.
+    */
+  val q97DataQuality = Q(
+    "q97_data_quality",
+    """SELECT 'customer_name_notnull' AS rule, count(*) AS n_checked,
+      |  count(*) - count(c_name) AS n_violations,
+      |  count(*) - count(c_name) = 0 AS pass
+      |FROM customer
+      |UNION ALL
+      |SELECT 'lineitem_discount_range', count(*),
+      |  count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END),
+      |  count(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_quantity_range', count(*),
+      |  count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END),
+      |  count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders_custkey_fk', count(*),
+      |  count(CASE WHEN c_custkey IS NULL THEN 1 END),
+      |  count(CASE WHEN c_custkey IS NULL THEN 1 END) = 0
+      |FROM (SELECT o.o_custkey, c.c_custkey FROM orders o
+      |      LEFT JOIN customer c ON o.o_custkey = c.c_custkey) j
+      |UNION ALL
+      |SELECT 'orders_pk_unique', count(*),
+      |  count(*) - count(DISTINCT o_orderkey),
+      |  count(*) - count(DISTINCT o_orderkey) = 0
+      |FROM orders
+      |ORDER BY rule NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.DataFrame
+    val cust = Tables.customer(s, d)
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    def report(rule: String, checked: Column, viol: Column)(df: DataFrame) =
+      df.agg(checked.as("n_checked"), viol.as("n_violations"))
+        .select(lit(rule).as("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+    def rangeViol(c: Column, lo: Double, hi: Double): Column =
+      count(when(c < lo || c > hi, lit(1)))
+    val rules: Seq[DataFrame] = Seq(
+      report("customer_name_notnull",
+        count(lit(1)), count(lit(1)) - count(col("c_name")))(cust),
+      report("lineitem_discount_range",
+        count(lit(1)), rangeViol(col("l_discount"), 0, 0.1))(li),
+      report("lineitem_quantity_range",
+        count(lit(1)), rangeViol(col("l_quantity"), 1, 50))(li),
+      report("orders_custkey_fk",
+        count(lit(1)), count(when(col("c_custkey").isNull, lit(1))))(
+        ord.join(broadcast(cust.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left")),
+      report("orders_pk_unique",
+        count(lit(1)), count(lit(1)) - countDistinct(col("o_orderkey")))(ord),
+    )
+    rules.reduce(_ unionByName _).orderBy(col("rule"))
+  }
 
   /** Join-key skew diagnostics — the measurement that decides WHEN to
     * reach for q88's salting or AQE's skew split: per-key frequencies
