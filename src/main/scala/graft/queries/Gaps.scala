@@ -19,7 +19,33 @@ object Gaps {
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
-    q95SkewDiagnose, q97DataQuality)
+    q95SkewDiagnose, q97DataQuality, q98SketchRollup)
+
+  /** Mergeable-sketch distinct rollup — the companion to q89's algebraic
+    * partial merge for the one aggregate that ISN'T algebraic: per-day
+    * DataSketches HLL sketches of the user set, merged upward to a total
+    * without ever re-touching the rows. count(DISTINCT) cannot be
+    * maintained incrementally (yesterday's count + today's count
+    * double-counts returning users); a stored sketch per partition can be
+    * unioned with any later partition's sketch, which is how a 100 TB
+    * pipeline serves "uniques this month" from daily rollups. Sketch
+    * binaries are engine-specific, so there is no DuckDB twin (rows-only
+    * by design, the q43 pattern); SketchRollupSpec asserts every estimate
+    * within 5% of exact and that the merged estimate equals re-sketching
+    * from scratch.
+    */
+  val q98SketchRollup = Q.noOracle("q98_sketch_rollup") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    val perDay = daily.select(col("day").cast("string").as("grain"),
+      col("n_events"), hll_sketch_estimate(col("sk")).as("approx_users"))
+    val total = daily.agg(sum(col("n_events")).as("n_events"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .select(lit("TOTAL").as("grain"), col("n_events"), col("approx_users"))
+    perDay.unionByName(total).orderBy(col("grain"))
+  }
 
   /** Declarative data-quality constraint validation (the Deequ-shaped
     * expectation suite a production pipeline gates ingests on): primary-key
