@@ -45,6 +45,36 @@ class ExportSpec extends SparkSpec {
     assert(keysInFileOrder.distinct.length === n)
   }
 
+  test("rotation invariants hold across randomized sizes (property loop)") {
+    // SURVEY §5's property list as a seeded loop (house style, see
+    // ExactSpec): for arbitrary (rows, chunkSize, chunksPerFile) — tails,
+    // exact multiples, single-file tables — Σ file rows = n, every file
+    // ≤ rpf, non-tail files exactly rpf, names are the contiguous nominal
+    // ranges with the short tail keeping the full-range name
+    val rng = new scala.util.Random(1234)
+    for (round <- 1 to 5) {
+      val n = 1 + rng.nextInt(4000)
+      val chunk = 1 + rng.nextInt(60)
+      val ncpf = 1 + rng.nextInt(5)
+      val rpf = chunk.toLong * ncpf
+      val df = spark.range(n)
+        .select(expr(s"id ^ ${rng.nextInt(1 << 20)}").as("k"))
+      val cfg = TableConfig(s"prop$round",
+        StructType(Seq(StructField("k", LongType))),
+        chunkSize = chunk, numChunksPerFile = ncpf, compression = None)
+      val files = Export.exportTable(df, cfg, Seq("k"), tmpDir())
+      val label = s"round $round: n=$n rpf=$rpf"
+      assert(files.map(_.rows).sum === n, label)
+      assert(files.length === math.ceil(n.toDouble / rpf).toInt, label)
+      assert(files.dropRight(1).forall(_.rows === rpf), label)
+      assert(files.last.rows === (if (n % rpf == 0) rpf else n % rpf), label)
+      files.zipWithIndex.foreach { case (f, i) =>
+        assert(f.fileName === s"prop${round}_${i * rpf}_${(i + 1) * rpf}.parquet",
+          label)
+      }
+    }
+  }
+
   test("export is deterministic: two runs produce identical file contents") {
     val df = spark.range(3333).select(col("id").as("k"), md5(col("id").cast("string")).as("v"))
     val cfg = TableConfig("det",

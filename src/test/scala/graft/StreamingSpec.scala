@@ -102,6 +102,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("export stream restarts from checkpoint without re-exporting batches") {
+    // the recovery claim behind the bridge's batchId keying: a STOPPED
+    // query restarted on the same checkpoint must pick up only unseen
+    // input (file-source log) and continue the batchId sequence — no
+    // duplicated runs, no re-exported rows. File source (replayable)
+    // instead of MemoryStream (which dies with the query object).
+    import graft.vera.{Export, Schemas, TableConfig}
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("rst",
+      Schemas.fromDtypes(Seq("id" -> "Int64",
+        "updated_at" -> "datetime64[ns]", "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_restart").toString
+    Seq((1L, t("2024-01-01T00:00:00"), "a1"),
+      (2L, t("2024-01-01T00:00:00"), "b1"))
+      .toDF("id", "updated_at", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = Export.exportStream(
+      spark.readStream.schema(cfg.schema).parquet(srcDir),
+      cfg, Seq("id"), out)
+    try { q1.processAllAvailable() } finally q1.stop()
+    // new input lands while nothing is running
+    Seq((1L, t("2024-01-02T00:00:00"), "a2"),
+      (3L, t("2024-01-02T00:00:00"), "c1"))
+      .toDF("id", "updated_at", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = Export.exportStream(
+      spark.readStream.schema(cfg.schema).parquet(srcDir),
+      cfg, Seq("id"), out)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val runs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("run_"))
+      .map(_.getName).sorted
+    assert(runs.toSeq === Seq("run_0", "run_1"),
+      s"restart must continue the batch sequence, got ${runs.toSeq}")
+    // batch 0's rows were NOT re-exported by the restarted query
+    assert(spark.read.schema(cfg.schema)
+      .parquet(s"$out/run_1/rst_0_100.parquet").count() === 2)
+    val snap = Export.readSnapshot(out, cfg, Seq("id"), spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap === Map(1L -> "a2", 2L -> "b1", 3L -> "c1"))
+  }
+
   test("mapGroupsWithState running count converges to the batch group count") {
     val q = Windows.streamRunningCount(spark, sf, "stream_state")
     try {
