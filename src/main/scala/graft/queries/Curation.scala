@@ -126,6 +126,10 @@ object Curation {
       |ORDER BY doc_id NULLS FIRST, chunk_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     Tables.documentsWide(s, d)
+      // empty docs chunk to NOTHING on both engines: DuckDB's
+      // generate_series(0, -1, 150) is empty, but Spark's sequence()
+      // throws on start > stop with a positive step — guard it out
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
           lit(150L))).as("chunk_start"))

@@ -108,9 +108,13 @@ object TextAnalysis {
     val ttr = round(size(array_distinct(tokens)).cast("double") / nTokens, 6)
     val stopRatio = round(
       size(filter(tokens, t => t.isin(stopwords: _*))).cast("double") / nTokens, 6)
+    // try_divide, not `/`: an EMPTY doc has length 0, and ANSI Spark throws
+    // on divide-by-zero where DuckDB yields NULL — try_divide matches the
+    // oracle's NULL exactly (and is identical on every non-zero divisor)
     val punctRatio = round(
-      (length(col("text")) - length(regexp_replace(col("text"), "[^a-z0-9 ]", "")))
-        .cast("double") / length(col("text")), 6)
+      try_divide((length(col("text"))
+        - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("double"),
+        length(col("text"))), 6)
     val avgTokenLen = round(
       aggregate(tokens, lit(0), (acc, w) => acc + length(w)).cast("double") / nTokens, 6)
     // <3-token docs: NULL fingerprint (mirrors DuckDB's list_min([]) →

@@ -19,6 +19,7 @@ class ShortDocSpec extends SparkSpec {
       (2L, "hello world", "en", "unit", 11L),             // < one 3-shingle
       (3L, "the quick brown fox jumps over the lazy dog", "en", "unit", 43L),
       (4L, "the quick brown fox jumps over the lazy dog", "en", "unit", 43L),
+      (5L, "", "en", "unit", 0L),                         // EMPTY text
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
