@@ -360,6 +360,11 @@ object Dedup {
     // lost whole-stage pipelining costs more than two extra codegen'd
     // tokenization passes. Recompute stays; a cluster run where the corpus
     // scan dominates can still persist this stage explicitly.
+    // Also measured worse: q32-style digest slicing (both band keys from
+    // windows of ONE md5 per gram) — isolated 6.5s → 13.4s. Halving the
+    // hash work changed the band-key distribution to hotter buckets whose
+    // quadratic verify mass dwarfed the saved md5s; the two independent
+    // prefixed digests stay.
     val dg = docs
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"),
