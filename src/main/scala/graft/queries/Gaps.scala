@@ -19,7 +19,26 @@ object Gaps {
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
-    q95SkewDiagnose, q97DataQuality, q98SketchRollup)
+    q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters)
+
+  /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
+    * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
+    * bounded-memory sketch aggregate — the q95 skew diagnosis's companion
+    * when the heavy keys themselves are wanted and the key space is too
+    * large for an exact count table (a 100 TB corpus vocabulary). The
+    * sketch state is fixed-size regardless of cardinality and merges
+    * map-side like any aggregate. Sketch output has no DuckDB twin
+    * (rows-only by design); SketchRollupSpec asserts the returned set is a
+    * valid top-k under ties and every estimate equals the exact count.
+    */
+  val q99HeavyHitters = Q.noOracle("q99_heavy_hitters") { (s, d) =>
+    Tables.documentsWide(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(expr("approx_top_k(term, 10)").as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item").as("term"), col("hh.count").as("est_count"))
+      .orderBy(col("est_count").desc, col("term"))
+  }
 
   /** Mergeable-sketch distinct rollup — the companion to q89's algebraic
     * partial merge for the one aggregate that ISN'T algebraic: per-day

@@ -30,6 +30,26 @@ class SketchRollupSpec extends SparkSpec {
     assert(rows("TOTAL") < exactPerDay.values.sum)
   }
 
+  test("q99 heavy hitters: a valid top-10 under ties, counts exact") {
+    val hh = SparkEntry.queries("q99_heavy_hitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hh.length === 10)
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every estimate is the true count (the sketch tracks this vocabulary
+    // exactly), and the returned set is a legitimate top-10: nothing
+    // outside it has a strictly larger count than anything inside it
+    hh.foreach { case (term, est) =>
+      assert(est === exact(term), s"$term: est $est vs exact ${exact(term)}")
+    }
+    val minReturned = hh.map(_._2).min
+    val outside = exact -- hh.map(_._1)
+    assert(outside.values.forall(_ <= minReturned),
+      s"a term outside the top-10 beats minReturned=$minReturned")
+  }
+
   test("merging stored daily sketches equals sketching from scratch") {
     val ev = Tables.events(spark, sf)
     val merged = ev
