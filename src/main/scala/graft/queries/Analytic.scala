@@ -79,8 +79,13 @@ object Analytic {
         sum(col("y")).cast("long").as("sy"),
         sum(col("x") * col("y")).cast("long").as("sxy"),
         sum(col("x") * col("x")).cast("long").as("sxx"))
-    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (col("n") * col("sxx") - col("sx") * col("sx"))
+    // try_divide, not `/`: a type with ONE hour bucket has zero variance in
+    // x (n·Σx² = (Σx)²) — ANSI Spark throws on the zero denominator where
+    // DuckDB yields NULL; try_divide matches the oracle's NULL slope and is
+    // identical whenever ≥2 buckets exist
+    val slope = try_divide(
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"),
+      col("n") * col("sxx") - col("sx") * col("sx"))
     m.select(col("event_type"), col("n"),
       round(slope, 6).as("slope"),
       round((col("sy").cast("double") - slope * col("sx")) / col("n"), 6)
@@ -235,11 +240,16 @@ object Analytic {
       sum(col("n")).cast("long").as("s1"),
       sum(col("n") * col("n")).cast("long").as("s2"))
     val mean = col("s1").cast("double") / col("n_windows")
-    val varSamp = (col("s2") - col("s1").cast("double") * col("s1")
-      / col("n_windows")) / (col("n_windows") - 1)
+    // try_divide twice (NULL, not ANSI throw, matching DuckDB): a type
+    // with ONE window has no sample variance (n_windows−1 = 0), and a type
+    // with UNIFORM counts has stddev 0 — both give NULL z-scores that the
+    // |z| > 2 filter then drops on both engines
+    val varSamp = try_divide(
+      col("s2") - col("s1").cast("double") * col("s1") / col("n_windows"),
+      col("n_windows") - 1)
     w.join(broadcast(st), "event_type")
       .select(col("h"), col("event_type"), col("n"),
-        round((col("n") - mean) / sqrt(varSamp), 6).as("zscore"))
+        round(try_divide(col("n") - mean, sqrt(varSamp)), 6).as("zscore"))
       .filter(abs(col("zscore")) > 2.0)
       .orderBy(col("h"), col("event_type"))
   }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate EVENTS inputs (the ShortDocSpec discipline for the other
+  * fact table): operators must survive shapes the driver fixtures never
+  * contain. The found-in-review case: a type whose activity all lands in
+  * ONE hour bucket gives q94 a zero-variance x — the slope must be NULL
+  * (DuckDB's division semantics), never an ANSI divide-by-zero crash.
+  */
+class EdgeEventsSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = "/tmp/graft_edge_events"
+    import spark.implicits._
+    def ns(hour: Int, min: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1, hour, min)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    // "solo": three events in one hour bucket; "multi": one per hour
+    val rows = Seq(
+      (1L, ns(10, 0), 1L, "solo", 1.0, "{}"),
+      (2L, ns(10, 20), 1L, "solo", 2.0, "{}"),
+      (3L, ns(10, 40), 2L, "solo", 3.0, "{}"),
+      (4L, ns(8, 0), 3L, "multi", 1.0, "{}"),
+      (5L, ns(9, 0), 3L, "multi", 2.0, "{}"),
+      (6L, ns(10, 0), 4L, "multi", 6.0, "{}"),
+    )
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q94: a single-hour event type yields NULL slope, not a crash") {
+    val rows = SparkEntry.queries("q94_trend_slope")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("solo").isNullAt(2), "zero x-variance must give NULL slope")
+    assert(rows("solo").isNullAt(3), "NULL slope propagates to intercept")
+    // sanity on the regular case: one event per hour → flat counts,
+    // slope 0, intercept 1
+    assert(rows("multi").getDouble(2) === 0.0)
+    assert(rows("multi").getDouble(3) === 1.0)
+  }
+
+  test("events operators survive the tiny degenerate fixture") {
+    for (name <- Seq("q84_cohort_retention", "q92_sessions_batch",
+      "q80_gap_fill", "q89_partial_merge"))
+      assert(SparkEntry.queries(name)(spark, dir).collect().nonEmpty,
+        s"$name returned no rows")
+    // q76: every z-score is NULL here (one window per (type,hour) family
+    // has zero variance) — the correct result is an EMPTY alert set, the
+    // broken one an ANSI divide-by-zero crash
+    assert(SparkEntry.queries("q76_window_anomaly")(spark, dir)
+      .collect().isEmpty)
+  }
+}
