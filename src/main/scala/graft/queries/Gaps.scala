@@ -859,10 +859,12 @@ object Gaps {
       .select(
         col("l_returnflag"), col("n"),
         (col("sx") / col("n")).as("mean"),
-        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("var_samp"),
-        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("stddev_samp"))
+        // try_divide: a single-row group has no sample variance (n−1 = 0);
+        // DuckDB's division yields NULL there where ANSI Spark throws
+        try_divide(col("sx2") - col("sx") * col("sx") / col("n"),
+          col("n") - 1).as("var_samp"),
+        sqrt(try_divide(col("sx2") - col("sx") * col("sx") / col("n"),
+          col("n") - 1)).as("stddev_samp"))
       .orderBy(col("l_returnflag"))
   }
 

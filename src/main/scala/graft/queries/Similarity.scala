@@ -205,9 +205,13 @@ object Similarity {
   private def norm(a: Column): Column =
     call_function("graft_norm", a)
 
-  /** round(dot/|a|/|b|, 6) from a pairwise dot and precomputed norms. */
+  /** round(dot/|a|/|b|, 6) from a pairwise dot and precomputed norms.
+    * try_divide: a ZERO vector has norm 0 — its cosine is NULL (DuckDB's
+    * division semantics, and every threshold/rank filter then drops it) —
+    * where plain `/` crashes under ANSI. Identical for nonzero norms.
+    */
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    round(dot(a, b) / na / nb, 6)
+    round(try_divide(try_divide(dot(a, b), na), nb), 6)
 
   /** DuckDB CTE body: vectors as doubles + precomputed norm. */
   private val duckE =
@@ -266,7 +270,8 @@ object Similarity {
        |  FROM (
        |    SELECT q.qid, e.vec_id,
        |      ${duckCos("q.qv", "e.v", "q.qnrm", "e.nrm")} AS cos
-       |    FROM e JOIN q ON e.vec_id <> q.qid) t1) t2
+       |    FROM e JOIN q ON e.vec_id <> q.qid) t1
+       |  WHERE cos IS NOT NULL) t2
        |WHERE rk <= 10
        |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -279,6 +284,9 @@ object Similarity {
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"))
+      // a NULL cos (zero-norm vector) is not a neighbor — drop BEFORE
+      // ranking so it can't consume a top-k slot
+      .filter(col("cos").isNotNull)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .orderBy(col("qid"), col("rk"))
@@ -313,7 +321,8 @@ object Similarity {
        |  FROM (
        |    SELECT cand.qid, cand.cluster, cand.vec_id,
        |      ${duckCos("q.qv", "e.v", "q.qnrm", "e.nrm")} AS cos
-       |    FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid) s) t
+       |    FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid) s
+       |  WHERE s.cos IS NOT NULL) t
        |WHERE rk <= 5
        |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -344,6 +353,8 @@ object Similarity {
       .select(col("cd.qid").as("qid"), col("cd.cluster").as("cluster"),
         col("cd.vec_id").as("vec_id"),
         cosine(col("cd.qv"), col("e2.v"), col("cd.qnrm"), col("e2.nrm")).as("cos"))
+      // NULL cos (zero-norm member) is not a neighbor (see q35)
+      .filter(col("cos").isNotNull)
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 5)
       .orderBy(col("qid"), col("rk"))

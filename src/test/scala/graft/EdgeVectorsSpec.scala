@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate EMBEDDINGS inputs: a zero vector has norm 0, so its cosine
+  * against anything is undefined — the operators must yield NULL there
+  * (DuckDB's division semantics; every threshold/rank filter then drops
+  * the pair) instead of an ANSI divide-by-zero crash.
+  */
+class EdgeVectorsSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = "/tmp/graft_edge_vectors"
+    import spark.implicits._
+    val dims = 8
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(dims)(i => ((seed * 31 + i * 7) % 13 - 6).toFloat / 4f)
+    val rows =
+      (0L until 20L).map(i => (i, v(i.toInt), (i % 3).toInt)) :+
+        (99L, Array.fill(dims)(0f), 0) // the ZERO vector
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("cosine operators survive a zero vector (NULL cos, filtered out)") {
+    for (name <- Seq("q34_cosine_neardup", "q35_cosine_topk", "q36_ann_ivf"))
+    {
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      // the zero vector never appears in any scored pair output
+      assert(rows.forall(r => !r.toSeq.contains(99L)),
+        s"$name surfaced the zero vector: ${rows.mkString(", ")}")
+    }
+  }
+
+  test("q93 centroids tolerate the zero vector as an ordinary member") {
+    val rows = SparkEntry.queries("q93_label_centroids")(spark, dir)
+      .collect()
+    assert(rows.length === 3) // labels 0,1,2
+  }
+}
