@@ -64,6 +64,10 @@ object Export {
       // delta-chain high-water mark (epoch MICROS of the largest exported
       // `updated_at`); present only on incremental-run manifests
       watermarkMicros: Option[Long] = None,
+      // tombstone object keys (table → key-frame parquet dir), so a
+      // manifest-driven consumer/mirror learns deletes exist; present only
+      // on incremental runs that carried deletes
+      tombstones: Seq[(String, String)] = Nil,
   )
 
   /** Reference file naming (`get_output_file`, main.py:94-98). */
@@ -184,12 +188,13 @@ object Export {
       outDir: String,
       nowMillis: Long = System.currentTimeMillis(),
       watermarkMicros: Option[Long] = None,
+      tombstoneKeys: Seq[(String, String)] = Nil,
   ): Manifest = {
     val entries = tables.map { case (df, cfg, orderBy) =>
       cfg.name -> exportTable(df, cfg, orderBy, outDir).map(_.objectName)
     }
     val manifest = Manifest(nowMillis, Instant.ofEpochMilli(nowMillis).toString,
-      entries, watermarkMicros)
+      entries, watermarkMicros, tombstoneKeys)
     val spark = tables.head._1.sparkSession
     writeManifest(manifest, outDir, spark)
     manifest
@@ -221,6 +226,20 @@ object Export {
           yield (t, wmRe.findFirstMatchIn(txt).map(_.group(1).toLong))
       }
     parsed.sortBy(_._1).lastOption.flatMap(_._2)
+  }
+
+  /** Committed (= manifest-bearing) `run_*` timestamps under `outDir`, sorted
+    * ascending. A run directory without `manifest.json` is a crashed or
+    * in-flight export and is invisible to every consumer-side reader.
+    */
+  private[graft] def committedRuns(outDir: String, spark: SparkSession): Seq[Long] = {
+    val fs = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(outDir))) Seq.empty
+    else fs.listStatus(new Path(outDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run_"))
+      .filter(s => fs.exists(new Path(s.getPath, "manifest.json")))
+      .map(s => s.getPath.getName.stripPrefix("run_").toLong).sorted.toSeq
   }
 
   /** Incremental (delta) export — the capability a 100 TB deployment needs
@@ -304,12 +323,18 @@ object Export {
     }
     val newWm = (maxes ++ hwm).reduceOption(_ max _)
     val runDir = s"$outDir/run_$nowMillis"
-    val manifest = exportAll(deltas, runDir, nowMillis, newWm)
-    deletes.foreach { case (table, keys) =>
+    // Tombstones are written FIRST so the manifest stays the run's LAST
+    // artifact: a crash anywhere before the manifest leaves a run with no
+    // manifest, which [[latestWatermark]] and [[readSnapshot]] both ignore
+    // (the manifest is the commit marker) — deletes are never silently
+    // dropped from a run that looks complete. The manifest also LISTS the
+    // tombstone keys so a manifest-driven mirror replicates them.
+    val tombKeys = deletes.toSeq.sortBy(_._1).map { case (table, keys) =>
       keys.coalesce(1).write.mode("overwrite")
         .parquet(s"$runDir/_tombstones/$table.parquet")
+      table -> s"_tombstones/$table.parquet"
     }
-    manifest
+    exportAll(deltas, runDir, nowMillis, newWm, tombKeys)
   }
 
   /** Consumer side of the delta chain: materialize the CURRENT snapshot of
@@ -321,10 +346,15 @@ object Export {
     * 2000 beats run-2000 data for the same key — delete-after-update — and
     * loses to a run-3000 re-insert). If the winning version is a tombstone
     * the key is gone from the snapshot. One window shuffle on the key —
-    * the standard log-structured replay; on a cluster the same plan serves
-    * as the compaction job that periodically folds deltas into a new base.
+    * the standard log-structured replay; see [[compact]] for the job that
+    * periodically folds deltas into a new base.
     * Delta-less layouts (no run with this table's files) yield an empty
     * frame of the declared schema rather than failing.
+    *
+    * Only runs whose `manifest.json` exists are replayed: the manifest is
+    * the run's LAST artifact (data and tombstones are written before it),
+    * so it is the COMMIT MARKER — a crashed half-written run is invisible
+    * to consumers exactly as it is to [[latestWatermark]].
     */
   def readSnapshot(
       outDir: String,
@@ -335,11 +365,7 @@ object Export {
     import org.apache.spark.sql.expressions.Window
     val fs = FileSystem.get(new java.net.URI(outDir),
       spark.sparkContext.hadoopConfiguration)
-    val runs =
-      if (!fs.exists(new Path(outDir))) Seq.empty
-      else fs.listStatus(new Path(outDir))
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("run_"))
-        .map(s => s.getPath.getName.stripPrefix("run_").toLong).sorted.toSeq
+    val runs = committedRuns(outDir, spark)
     val perRun = runs.flatMap { ts =>
       val dir = s"$outDir/run_$ts"
       val files = fs.listStatus(new Path(dir)).map(_.getPath)
@@ -373,6 +399,59 @@ object Export {
       .drop("__rn", "__run", "__del")
   }
 
+  /** Delta-chain compaction [EXT]: rewrite base + N deltas + tombstones into
+    * a single fresh base run, so consumer-side [[readSnapshot]] replay cost
+    * stops growing with chain length. The reference has no such notion (it
+    * re-exports full tables every run, main.py:266-282); this is the
+    * operator a long-lived incremental chain needs.
+    *
+    * Semantics: `readSnapshot(compacted chain) ≡ readSnapshot(old chain)`
+    * for every table, including tombstone-then-resurrect histories — the
+    * snapshot IS the fold, so the new base simply materializes it. The
+    * chain's watermark is carried into the new base's manifest unchanged,
+    * so the next [[exportIncremental]] resumes exactly where it would have.
+    *
+    * Crash safety, in write order:
+    *  1. the new base is written as `run_<nowMillis>` (nowMillis must beat
+    *     every existing run — enforced) with its manifest LAST, like any
+    *     run. A crash before that manifest leaves the old chain untouched
+    *     and the half-run invisible (manifest = commit marker).
+    *  2. old runs are deleted only after the new manifest exists. A crash
+    *     mid-delete leaves old runs coexisting with the new base — still
+    *     CORRECT for [[readSnapshot]]: the new base is the newest run, so
+    *     its rows win every key it carries, and a key absent from the new
+    *     base is absent precisely because an old tombstone beat it, which
+    *     still wins over that key's old data rows. Re-running compact
+    *     finishes the cleanup.
+    *
+    * At 100 TB: one [[readSnapshot]] window shuffle + the export's two
+    * shuffles per table — the same cost as the original base export, run at
+    * a cadence chosen by chain length (e.g. every N deltas).
+    */
+  def compact(
+      outDir: String,
+      tables: Seq[(TableConfig, Seq[String], Seq[String])], // (cfg, keyCols, orderBy)
+      spark: SparkSession,
+      nowMillis: Long = System.currentTimeMillis(),
+  ): Manifest = {
+    val old = committedRuns(outDir, spark)
+    require(old.nonEmpty, s"compact: no committed runs under $outDir")
+    require(nowMillis > old.last,
+      s"compact: new base timestamp $nowMillis must exceed newest run ${old.last}")
+    val wm = latestWatermark(outDir, spark)
+    // Lazy frames: the run listing inside readSnapshot is resolved NOW
+    // (driver-side), the data is read during the export write below, while
+    // every old run still exists.
+    val snapshots = tables.map { case (cfg, keyCols, orderBy) =>
+      (readSnapshot(outDir, cfg, keyCols, spark), cfg, orderBy)
+    }
+    val manifest = exportAll(snapshots, s"$outDir/run_$nowMillis", nowMillis, wm)
+    val fs = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    old.foreach(ts => fs.delete(new Path(s"$outDir/run_$ts"), true))
+    manifest
+  }
+
   /** Streaming → export bridge [EXT]: drain a stream into the SAME
     * base+delta chain [[readSnapshot]] replays, one run per microbatch via
     * `foreachBatch` — what the reference's one-shot batch job (main.py:266)
@@ -387,6 +466,15 @@ object Export {
     * function the microbatch is a plain DataFrame, so the full
     * normalize → size-rotate → range-name → manifest pipeline runs
     * unchanged and distributed.
+    *
+    * SINGLE-PRODUCER CONSTRAINT: an outDir belongs to ONE producer, stream
+    * XOR batch. Stream runs are keyed by batchId (0,1,2,…) while batch
+    * [[exportIncremental]] keys runs by epoch millis — the two clocks are
+    * incomparable, so mixing producers in one directory would make every
+    * stream run "older" than any batch run in [[readSnapshot]]'s replay
+    * order and interleave [[latestWatermark]]'s timestamp sort. (The
+    * checkpoint directory already makes sharing impractical; this makes
+    * the rule explicit.)
     */
   def exportStream(
       stream: DataFrame,
@@ -421,8 +509,13 @@ object Export {
       .mkString("{", ", ", "}")
     val wm = m.watermarkMicros
       .map(w => s""", "watermarkMicros": $w""").getOrElse("")
+    val tomb =
+      if (m.tombstones.isEmpty) ""
+      else m.tombstones
+        .map { case (t, k) => s""""${esc(t)}": "${esc(k)}"""" }
+        .mkString(""", "tombstones": {""", ", ", "}")
     val json =
-      s"""{"timestamp": ${m.timestamp}, "dateStr": "${esc(m.dateStr)}"$wm, "files": $files}"""
+      s"""{"timestamp": ${m.timestamp}, "dateStr": "${esc(m.dateStr)}"$wm$tomb, "files": $files}"""
     val fs = FileSystem.get(new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$outDir/manifest.json"), true)
     try out.write(json.getBytes("UTF-8"))

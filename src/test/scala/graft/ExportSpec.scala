@@ -221,8 +221,15 @@ class ExportSpec extends SparkSpec {
     // beat same-run data (delete-after-update within one extract)
     val upd = Seq((4L, t("2024-02-01T00:00:00"), "v4-2"))
       .toDF("id", "updated_at", "v")
-    Export.exportIncremental(Seq((upd, cfg, Seq("id"))), out, 2000L,
+    val m2 = Export.exportIncremental(Seq((upd, cfg, Seq("id"))), out, 2000L,
       deletes = Map("del" -> Seq(3L, 4L).toDF("id")))
+    // the manifest LISTS the tombstone key (a manifest-driven mirror must
+    // learn deletes exist) — and it was written BEFORE the manifest, so the
+    // manifest-last commit-marker guarantee covers deletes too
+    assert(m2.tombstones === Seq("del" -> "_tombstones/del.parquet"))
+    val m2json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/run_2000/manifest.json")), "UTF-8")
+    assert(m2json.contains(""""tombstones": {"del": "_tombstones/del.parquet"}"""))
     val snap2 = Export.readSnapshot(out, cfg, Seq("id"), spark)
       .select(col("id")).collect().map(_.getLong(0)).sorted
     assert(snap2 === (0L until 10L).filterNot(Set(3L, 4L)).toArray)
@@ -236,6 +243,112 @@ class ExportSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(snap3.keySet === (0L until 10L).toSet - 4L)
     assert(snap3(3L) === "v3-3")
+  }
+
+  test("a crashed run (no manifest) is invisible: tombstones never half-applied") {
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("crsh",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val local = tmpDir()
+    val base = (0L until 10L).map(i => (i, t("2024-01-01T00:00:00"), s"v$i"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((base, cfg, Seq("id"))), local, 1000L)
+
+    // run 2 dies AFTER its tombstones are on disk but BEFORE its manifest:
+    // flaky:// fails the driver rename of every final export file, so the
+    // table export aborts; the tombstone write (no range-named files)
+    // succeeded earlier by construction of the write order
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flaky.impl", classOf[FlakyRenameFileSystem].getName)
+    val upd = Seq((5L, t("2024-02-01T00:00:00"), "v5-2"))
+      .toDF("id", "updated_at", "v")
+    intercept[IllegalArgumentException] {
+      Export.exportIncremental(Seq((upd, cfg, Seq("id"))), "flaky://" + local,
+        2000L, deletes = Map("crsh" -> Seq(3L).toDF("id")))
+    }
+    // the half-run is on disk with its tombstone but no manifest…
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$local/run_2000/_tombstones/crsh.parquet")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$local/run_2000/manifest.json")))
+    // …and every consumer ignores it: id 3 survives, the watermark holds
+    val snap = Export.readSnapshot(local, cfg, Seq("id"), spark)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(snap === (0L until 10L).toArray,
+      "a tombstone from an uncommitted run must not delete")
+    assert(Export.latestWatermark(local, spark) ===
+      Some(t("2024-01-01T00:00:00").toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L))
+  }
+
+  test("compact folds base+deltas+tombstones into one run; snapshot unchanged") {
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("cmp",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val out = tmpDir()
+    // the full history shape: update, delete-after-update, resurrect
+    val base = (0L until 10L).map(i => (i, t("2024-01-01T00:00:00"), s"v$i"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((base, cfg, Seq("id"))), out, 1000L)
+    val upd = Seq((4L, t("2024-02-01T00:00:00"), "v4-2"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((upd, cfg, Seq("id"))), out, 2000L,
+      deletes = Map("cmp" -> Seq(3L, 4L).toDF("id")))
+    val back = Seq((3L, t("2024-03-01T00:00:00"), "v3-3"))
+      .toDF("id", "updated_at", "v")
+    val m3 = Export.exportIncremental(Seq((back, cfg, Seq("id"))), out, 3000L)
+
+    def snapOf(dir: String) = Export.readSnapshot(dir, cfg, Seq("id"), spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val before = snapOf(out)
+
+    // mid-crash coexistence first: old chain + new base, old runs not yet
+    // deleted (compact's documented step-2 crash window) must already read
+    // identically — build that state in a copy of the chain
+    val coexist = tmpDir()
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+        val q = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(q)
+        else Files.copy(p, q,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(java.nio.file.Paths.get(out), java.nio.file.Paths.get(coexist))
+
+    val mc = Export.compact(out, Seq((cfg, Seq("id"), Seq("id"))), spark, 9000L)
+    // chain length reset to exactly 1; watermark carried forward unchanged
+    assert(Export.committedRuns(out, spark) === Seq(9000L))
+    assert(mc.watermarkMicros === m3.watermarkMicros)
+    assert(snapOf(out) === before)
+
+    copyTree(java.nio.file.Paths.get(s"$out/run_9000"),
+      Files.createDirectories(java.nio.file.Paths.get(s"$coexist/run_9000")))
+    assert(snapOf(coexist) === before,
+      "old runs coexisting with the compacted base (crash mid-delete) must read identically")
+
+    // the chain continues: the next delta resumes off the carried watermark
+    val upd2 = Seq((5L, t("2024-04-01T00:00:00"), "v5-2"))
+      .toDF("id", "updated_at", "v")
+    val all2 = (before.filterNot(_._1 == 5L).map { case (i, v) =>
+      (i, t("2024-01-01T00:00:00"), v) } :+ ((5L, t("2024-04-01T00:00:00"), "v5-2")))
+      .toSeq.toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((all2, cfg, Seq("id"))), out, 9500L)
+    val delta = spark.read.parquet(s"$out/run_9500/cmp_0_100.parquet")
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(delta === Array(5L), "post-compaction delta must be watermark-scoped")
+    assert(snapOf(out).toMap.apply(5L) === "v5-2")
+
+    // guards: a compaction keyed no newer than the newest run is refused
+    intercept[IllegalArgumentException] {
+      Export.compact(out, Seq((cfg, Seq("id"), Seq("id"))), spark, 9500L)
+    }
   }
 
   test("dtype vocabulary is closed: unsupported types are rejected") {
