@@ -123,6 +123,46 @@ object Similarity {
     KmeansResult(assigned, wss.reverse, iter)
   }
 
+  /** IVF ANN on LEARNED centroids — [[kmeans]] wired into q36's
+    * inverted-file search, the real ANN build path (q36 keeps fixed
+    * first-N "centroids" only because its DuckDB twin must replay the
+    * assignment bit-for-bit; recall quality at scale needs trained ones).
+    * Build = one kmeans run (assignments are the inverted file); search =
+    * q36's plan unchanged: queries BROADCAST, candidates from an equi-join
+    * on the cluster id (per-query cost N → N/K, no cartesian — the
+    * kmeans loop itself is checkpoint-severed, so the search plan is just
+    * two broadcast hash joins and the per-query top-k window). Recall vs
+    * the brute-force q35 baseline is asserted in KmeansSpec.
+    */
+  private[graft] def annIvfKmeans(
+      emb: org.apache.spark.sql.DataFrame,
+      k: Int,
+      numQueries: Int,
+      topK: Int,
+      maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+    val assigned = kmeans(emb, k, maxIter).assignments
+      .select(col("vec_id"), col("cluster"))
+    val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .join(e, "vec_id")
+      .select(col("vec_id").as("qid"), col("cluster"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(q.as("qq"))
+      .join(assigned.as("a"),
+        col("qq.cluster") === col("a.cluster") && col("a.vec_id") =!= col("qq.qid"))
+      .select(col("qq.qid").as("qid"), col("a.vec_id").as("vec_id"),
+        col("qq.qv").as("qv"), col("qq.qnrm").as("qnrm"))
+      .as("cd")
+      .join(e.as("e2"), col("cd.vec_id") === col("e2.vec_id"))
+      .select(col("cd.qid").as("qid"), col("cd.vec_id").as("vec_id"),
+        cosine(col("cd.qv"), col("e2.v"), col("cd.qnrm"), col("e2.nrm")).as("cos"))
+      .filter(col("cos").isNotNull) // zero-norm members are not neighbors (q35)
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= topK)
+  }
+
   /** Per-label centroid + dispersion accounting — the k-means M-step (and
     * the cluster-quality report an embedding pipeline runs after
     * assignment): mean vector per label, its L1 norm, and the average
@@ -296,6 +336,9 @@ object Similarity {
     * vector is assigned to its nearest centroid (narrow map + per-vector
     * argmin window), and each query searches ONLY its own cluster — the
     * inverted-file prune that turns per-query cost from N into N/K.
+    * Fixed centroids keep the DuckDB twin bit-replayable; the production
+    * build path with TRAINED centroids is [[annIvfKmeans]] (same search
+    * plan, kmeans assignments, recall-floor-asserted in KmeansSpec).
     */
   val q36AnnIvf = Q(
     "q36_ann_ivf",
