@@ -37,23 +37,69 @@ object Dedup {
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage)
 
+  /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
+    * blocking (no positional fixture knowledge): normalize the name
+    * (lowercase), take its DISCRIMINATIVE CORE — the concatenated digit
+    * run when the name carries one (serial-numbered identifiers, the
+    * common ER case), else the alphanumeric residue — and block on the
+    * md5 of EACH HALF of that core (q74's prefix/suffix-hash idiom,
+    * fixed-width codegen'd join keys).
+    *
+    * Recovery guarantee (FuzzyLinkageSpec): a single SUBSTITUTION touches
+    * exactly one core position, so the untouched half's key still matches
+    * — and an edit outside the core (template punctuation/casing) leaves
+    * both keys equal. An insert/delete shifts core positions, so like any
+    * blocking scheme coverage there is LSH-style, not certain. Blocking
+    * QUALITY is data-dependent: leading-zero identifier runs collapse the
+    * prefix block (every sf0.01 supplier shares first-half "0000"), the
+    * suffix block stays discriminative — candidates are bounded by the
+    * largest block, never the corpus square.
+    */
+  private[graft] def linkageCandidates(
+      rows: DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val k = rows
+      .select(col(idCol).as("__id"), col(nameCol).as("__name"))
+      .withColumn("__core", {
+        val norm = lower(col("__name"))
+        val digits = regexp_replace(norm, "[^0-9]", "")
+        when(length(digits) >= 2, digits)
+          .otherwise(regexp_replace(norm, "[^a-z0-9]", ""))
+      })
+      .withColumn("__half", (length(col("__core")) / 2).cast("int"))
+      .select(col("__id"), col("__name"),
+        md5(col("__core").substr(lit(1), col("__half"))).as("b1"),
+        md5(col("__core").substr(col("__half") + 1, length(col("__core"))))
+          .as("b2"))
+    def pairsOn(b: String) = k.as("x")
+      .join(k.as("y"),
+        col(s"x.$b") === col(s"y.$b") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        col("x.__name").as("name_a"), col("y.__name").as("name_b"))
+    pairsOn("b1").union(pairsOn("b2")).distinct()
+  }
+
   /** Fuzzy record linkage (entity resolution on IDENTIFIER strings, the
     * complement of the document-content families above): supplier-name
-    * pairs within edit distance 1, with candidates from MULTI-KEY
-    * BLOCKING — two overlapping digit-substring keys, unioned and
-    * distinct'd, exactly q74's prefix/suffix idiom — so no all-pairs
-    * product ever exists. Like any blocking scheme this has LSH-style
-    * coverage, not certainty (a pair edited in both key regions is
-    * missed); two overlapping keys make a single edit always recoverable.
-    * levenshtein runs codegen'd only on the banded candidates; both
-    * engines implement the same unit-cost DP, so distances match exactly.
+    * pairs within edit distance 1, candidates from [[linkageCandidates]]'
+    * content-derived multi-key blocking — so no all-pairs product ever
+    * exists and no key encodes the fixture's name layout. levenshtein
+    * runs codegen'd only on the banded candidates; both engines implement
+    * the same unit-cost DP, so distances match exactly.
     */
   val q96FuzzyLinkage = Q(
     "q96_fuzzy_linkage",
-    """WITH k AS (
+    """WITH c AS (
       |  SELECT s_suppkey, s_name,
-      |    substr(s_name, 10, 7) AS b1, substr(s_name, 12, 7) AS b2
+      |    CASE WHEN length(regexp_replace(lower(s_name), '[^0-9]', '', 'g')) >= 2
+      |      THEN regexp_replace(lower(s_name), '[^0-9]', '', 'g')
+      |      ELSE regexp_replace(lower(s_name), '[^a-z0-9]', '', 'g') END AS core
       |  FROM supplier
+      |),
+      |k AS (
+      |  SELECT s_suppkey, s_name,
+      |    md5(substr(core, 1, length(core) // 2)) AS b1,
+      |    md5(substr(core, length(core) // 2 + 1)) AS b2
+      |  FROM c
       |),
       |cand AS (
       |  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
@@ -68,15 +114,7 @@ object Dedup {
       |WHERE levenshtein(name_a, name_b) <= 1
       |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val k = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"),
-      substring(col("s_name"), 10, 7).as("b1"),
-      substring(col("s_name"), 12, 7).as("b2"))
-    def pairsOn(b: String) = k.as("x")
-      .join(k.as("y"),
-        col(s"x.$b") === col(s"y.$b") && col("x.s_suppkey") < col("y.s_suppkey"))
-      .select(col("x.s_suppkey").as("id_a"), col("y.s_suppkey").as("id_b"),
-        col("x.s_name").as("name_a"), col("y.s_name").as("name_b"))
-    pairsOn("b1").union(pairsOn("b2")).distinct()
+    linkageCandidates(Tables.supplier(s, d), "s_suppkey", "s_name")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
