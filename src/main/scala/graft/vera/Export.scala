@@ -132,6 +132,15 @@ object Export {
     val rpf = cfg.rowsPerFile
 
     val indexed = withGlobalIndex(Normalize(df, cfg), orderBy, nParts)
+    // Expected file count derived from the DATA (max global index), not
+    // from the post-write listing: an object store's eventually-consistent
+    // LISTING can come up short, and a listing that hides the TAIL bucket
+    // would pass a contiguity-only check and silently export one file too
+    // few. One narrow extra job (project __gidx, reuse the range shuffle
+    // zipWithIndex already materialized) buys the loud abort instead.
+    val headRow = indexed.agg(max(col("__gidx"))).head
+    val expectedBuckets =
+      if (headRow.isNullAt(0)) 0L else headRow.getLong(0) / cfg.rowsPerFile + 1
     val staging = s"$outDir/.staging_${cfg.name}"
     indexed
       .withColumn("__bucket", (col("__gidx") / rpf).cast("long"))
@@ -150,8 +159,11 @@ object Export {
       .filter(_.startsWith("__bucket="))
       .map(_.stripPrefix("__bucket=").toLong)
       .sorted
-    require(bucketNos.zipWithIndex.forall { case (b, i) => b == i },
-      s"${cfg.name}: non-contiguous bucket set ${bucketNos.mkString(",")}")
+    require(bucketNos.length == expectedBuckets &&
+        bucketNos.zipWithIndex.forall { case (b, i) => b == i },
+      s"${cfg.name}: expected buckets 0..${expectedBuckets - 1}, " +
+        s"listed {${bucketNos.mkString(",")}} — short or non-contiguous " +
+        "staging listing (object-store listing inconsistency?)")
     val renamed = bucketNos.map { fileNo =>
       val bucketDir = new Path(s"$staging/__bucket=$fileNo")
       val parts = fs.listStatus(bucketDir).map(_.getPath)

@@ -205,6 +205,54 @@ class ExportSpec extends SparkSpec {
       "a failed rename must abort the export before the manifest is written")
   }
 
+  test("S6: s3like:// happy path matches file://; each S3 anomaly aborts manifest-less") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3like.impl", classOf[S3LikeFileSystem].getName)
+    val cfg = TableConfig("s3l",
+      StructType(Seq(StructField("k", LongType))),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    def df = spark.range(250).select(col("id").as("k"))
+
+    // no injections: the scheme swap exports identically
+    val clean = tmpDir()
+    val files = Export.exportTable(df, cfg, Seq("k"), "s3like://" + clean)
+    assert(files.map(_.fileName) ===
+      Seq("s3l_0_100.parquet", "s3l_100_200.parquet", "s3l_200_300.parquet"))
+    assert(spark.read.parquet(s"$clean/s3l_0_100.parquet").count() === 100)
+
+    // anomaly 1 — eventually-consistent listing hides the TAIL bucket:
+    // contiguity alone would pass (0,1 is contiguous) and silently export
+    // 2 of 3 files; the data-derived expected count aborts loudly instead,
+    // BEFORE any rename — no manifest, no final file, nothing partial
+    val short = tmpDir()
+    S3LikeFileSystem.delayedListings.set(1)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Export.exportAll(Seq((df, cfg, Seq("k"))), "s3like://" + short)
+      }
+      assert(e.getMessage.contains("expected buckets 0..2"), e.getMessage)
+    } finally S3LikeFileSystem.delayedListings.set(0)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$short/manifest.json")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$short/s3l_0_100.parquet")),
+      "listing-inconsistency abort must precede every rename")
+
+    // anomaly 2 — a committer directory rename copies half its children
+    // then reports failure: the Spark write itself fails, residue stays in
+    // the temporary tree, and again no manifest / no final artifact exists
+    val torn = tmpDir()
+    S3LikeFileSystem.nonAtomicDirRenames.set(1)
+    try {
+      intercept[Exception] {
+        Export.exportAll(Seq((df, cfg, Seq("k"))), "s3like://" + torn)
+      }
+    } finally S3LikeFileSystem.nonAtomicDirRenames.set(0)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$torn/manifest.json")))
+    assert(!Files.list(java.nio.file.Paths.get(torn)).iterator().hasNext ||
+      Files.list(java.nio.file.Paths.get(torn)).iterator().next().getFileName
+        .toString.startsWith(".staging_"),
+      "a torn committer rename must leave no final-named artifact")
+  }
+
   test("delta-chain tombstones delete keys; a later re-insert resurrects") {
     import spark.implicits._
     def t(s: String) = java.time.LocalDateTime.parse(s)
