@@ -505,6 +505,18 @@ object Dedup {
     * (`require`): wrong-but-plausible labels from a silently exhausted cap
     * are worse than an exception (round-6 verdict item 2; DedupCcSpec pins
     * both the deep-chain convergence and the loud failure).
+    *
+    * CROSSOVER NOTE — do not "optimize" this at toy scale: pointer
+    * jumping adds a second join + localCheckpoint per round, so each
+    * round costs ~2× plain propagation while the ROUND COUNT drops from
+    * O(diameter) to O(log diameter). On sf0.1's 47-edge graph (diameter
+    * ~3) the fixed per-round Spark overhead dominates and the jump
+    * measurably LOSES (q74 2.42 s plain → 3.52 s jumped, r6→r7 bench);
+    * the jump pays once diameter exceeds ~8 (2× per-round cost < 8/log₂8
+    * round savings) — i.e. on exactly the long chains a 100 TB near-dup
+    * graph contains and the 30-deep DedupCcSpec case pins (~5 rounds,
+    * not 30). Removing the jump would trade a scale property for ~1 s on
+    * a fixture.
     */
   private[graft] def connectedComponents(
       edges: DataFrame, maxIter: Int = 25): DataFrame = {

@@ -233,7 +233,11 @@ object Gaps {
     * the join key becomes (key, salt), spreading each hot key over R
     * tasks. R scales with observed skew, replication cost is R×|dim|
     * (tiny), and the result is provably identical to the unsalted join —
-    * which is exactly what the oracle checks.
+    * which is exactly what the oracle checks. Identical INCLUDING a NULL
+    * key: the oracle's GROUP BY keeps a NULL group, so the salted join
+    * must too — dim's distinct() already carries the NULL row, and the
+    * join key uses null-safe equality (`<=>`, still a hash-joinable
+    * equi-key) so NULL-keyed facts meet it (EdgeEventsSpec).
     */
   val q88SaltedJoin = Q(
     "q88_salted_join",
@@ -249,8 +253,10 @@ object Gaps {
     val dim = Tables.events(s, d).select(col("event_type")).distinct()
       .withColumn("type_label", upper(col("event_type")))
       .withColumn("salt", explode(sequence(lit(0), lit(r - 1))))
-    facts.join(dim, Seq("event_type", "salt"))
-      .groupBy(col("event_type"), col("type_label"))
+    facts.as("f").join(dim.as("dm"),
+      col("f.event_type") <=> col("dm.event_type") &&
+        col("f.salt") === col("dm.salt"))
+      .groupBy(col("f.event_type").as("event_type"), col("dm.type_label"))
       .agg(count(lit(1)).as("n_events"),
         Exact.dsum(col("value")).as("sum_value"))
       .select(col("event_type"), col("type_label"), col("n_events"),

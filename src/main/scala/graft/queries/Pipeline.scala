@@ -144,10 +144,11 @@ object Pipeline {
     // NOT exercised: `format("avro")` lives in the external spark-avro
     // module, which is not on this classpath — it would be one more
     // write/read pair here, with zero engine code. Resolution attempted
-    // round 7: the offline coursier cache has no org.apache.spark:
-    // spark-avro artifact and /opt/spark/jars carries only the avro-core
-    // libs (avro/avro-ipc/avro-mapred 1.12.1), not the datasource jar —
-    // a networked build adds it as one libraryDependencies line.
+    // rounds 7 AND 8 (full-filesystem + coursier-mirror search): no
+    // org.apache.spark:spark-avro artifact exists offline; /opt/spark/jars
+    // carries only the avro-core libs (avro/avro-ipc/avro-mapred 1.12.1),
+    // not the datasource jar — a networked build adds it as one
+    // libraryDependencies line.
     val fromOrc = s.read.schema(nationSchema).orc(s"$out/orc")
     fromCsv.unionByName(fromJson).unionByName(fromOrc)
       .groupBy(col("n_regionkey"))

@@ -41,6 +41,24 @@ class EdgeEventsSpec extends SparkSpec {
     assert(rows("multi").getDouble(3) === 1.0)
   }
 
+  test("q88: a NULL join key survives salting — the NULL group is kept") {
+    // the salted join must stay provably identical to the unsalted
+    // GROUP BY, which RETAINS a NULL key group; a null-unsafe equi-join
+    // would silently drop these rows
+    val d = "/tmp/graft_edge_events_nullkey"
+    import spark.implicits._
+    Seq(
+      (1L, 1000000000L, 1L, Option("a"), 1.0, "{}"),
+      (2L, 1000000000L, 1L, Option.empty[String], 2.0, "{}"),
+      (3L, 1000000000L, 2L, Option.empty[String], 3.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q88_salted_join")(spark, d).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(Option("a") -> ((1L, 1.0)), None -> ((2L, 5.0))))
+  }
+
   test("events operators survive the tiny degenerate fixture") {
     for (name <- Seq("q84_cohort_retention", "q92_sessions_batch",
       "q80_gap_fill", "q89_partial_merge"))
