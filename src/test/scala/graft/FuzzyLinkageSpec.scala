@@ -21,12 +21,12 @@ class FuzzyLinkageSpec extends SparkSpec {
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("free-form digitless names: a substitution in either half is recovered") {
-    // alphanumeric-core fallback; one edit placed in EACH half
+  test("free-form digitless names: a substitution in either parity class is recovered") {
+    // alphanumeric-core fallback; one edit placed in EACH parity class
     val pairs = matched(Seq(
       1L -> "Acme Corporation",
-      2L -> "Acmf Corporation", // prefix-half edit → suffix key recovers
-      3L -> "Acme Corporatjon", // suffix-half edit → prefix key recovers
+      2L -> "Acmf Corporation", // odd-position edit → even-class key recovers
+      3L -> "Acme Corporatjon", // even-position edit → odd-class key recovers
       4L -> "Globex Industries",
     ))
     assert(pairs.contains((1L, 2L)), pairs)
@@ -37,8 +37,8 @@ class FuzzyLinkageSpec extends SparkSpec {
   test("digit-bearing names: the digit run is the core, template is ignored") {
     val names = Seq(
       1L -> "invoice 10023",
-      2L -> "invoice 10024", // suffix-half digit edit → prefix key recovers
-      3L -> "invoice 20023", // prefix-half digit edit → suffix key recovers
+      2L -> "invoice 10024", // even-position digit edit → odd-class key recovers
+      3L -> "invoice 20023", // even-position digit edit → odd-class key recovers
       4L -> "INVOICE-10023", // same core under a different template
     )
     val pairs = matched(names)
@@ -51,10 +51,10 @@ class FuzzyLinkageSpec extends SparkSpec {
     assert(cand.contains((1L, 4L)), cand)
   }
 
-  test("an indel that shifts both halves is the documented coverage miss") {
-    // deleting the leading character shifts every core position: the
-    // prefix halves differ AND the right-aligned suffix halves differ —
-    // blocking is LSH-style coverage, not certainty (operator scaladoc)
+  test("an indel that shifts every position is the documented coverage miss") {
+    // deleting the leading character flips every later position's parity,
+    // so BOTH class keys differ — blocking is LSH-style coverage, not
+    // certainty (operator scaladoc)
     assert(matched(Seq(1L -> "Acme Corporation", 2L -> "cme Corporation"))
       .isEmpty)
   }
