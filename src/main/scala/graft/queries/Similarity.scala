@@ -33,7 +33,7 @@ object Similarity {
 
   def all: Seq[Q] = Seq(
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
-    q93LabelCentroids)
+    q93LabelCentroids, q100AnnIvfNprobe)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -44,6 +44,7 @@ object Similarity {
       assignments: org.apache.spark.sql.DataFrame,
       wss: Seq[Double],
       iters: Int,
+      centroids: org.apache.spark.sql.DataFrame, // (cluster, cv, cn2) — K rows
   )
 
   /** Full iterative Lloyd's k-means over an embedding column — the loop
@@ -120,7 +121,7 @@ object Similarity {
     require(converged,
       s"k-means did not converge within $maxIter rounds — raise maxIter " +
         "rather than consuming a mid-descent assignment")
-    KmeansResult(assigned, wss.reverse, iter)
+    KmeansResult(assigned, wss.reverse, iter, cent)
   }
 
   /** IVF ANN on LEARNED centroids — [[kmeans]] wired into q36's
@@ -139,17 +140,37 @@ object Similarity {
       k: Int,
       numQueries: Int,
       topK: Int,
-      maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
-    val assigned = kmeans(emb, k, maxIter).assignments
-      .select(col("vec_id"), col("cluster"))
+      maxIter: Int = 20,
+      nprobe: Int = 1): org.apache.spark.sql.DataFrame = {
+    val km = kmeans(emb, k, maxIter)
+    val assigned = km.assignments.select(col("vec_id"), col("cluster"))
     val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val q = assigned.filter(col("vec_id") < numQueries)
-      .join(e, "vec_id")
-      .select(col("vec_id").as("qid"), col("cluster"),
-        col("v").as("qv"), col("nrm").as("qnrm"))
+    val qvec = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // the nprobe recall knob: each query searches its `nprobe` NEAREST
+    // clusters (same dist² metric as assignment; |q|² dropped — constant
+    // per query). nprobe=1 is the classic inverted-file prune, and its
+    // probe set IS the kmeans assignment — no centroid re-scoring, the
+    // search plan stays pure broadcast hash joins (KmeansSpec-asserted).
+    // nprobe>1 re-scores queries against the K-row broadcast centroids to
+    // rank clusters — the one bounded nested-loop this path adds.
+    val probes =
+      if (nprobe == 1)
+        assigned.filter(col("vec_id") < numQueries)
+          .select(col("vec_id").as("qid"), col("cluster"))
+      else {
+        val probeW = Window.partitionBy(col("qid"))
+          .orderBy(col("score").asc, col("cluster"))
+        qvec.crossJoin(broadcast(km.centroids))
+          .select(col("qid"), col("cluster"),
+            (col("cn2") - lit(2.0) * dot(col("qv"), col("cv"))).as("score"))
+          .withColumn("rn", row_number().over(probeW))
+          .filter(col("rn") <= nprobe)
+          .select(col("qid"), col("cluster"))
+      }
     val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    broadcast(q.as("qq"))
+    broadcast(probes.join(qvec, "qid").as("qq"))
       .join(assigned.as("a"),
         col("qq.cluster") === col("a.cluster") && col("a.vec_id") =!= col("qq.qid"))
       .select(col("qq.qid").as("qid"), col("a.vec_id").as("vec_id"),
@@ -398,6 +419,82 @@ object Similarity {
         cosine(col("cd.qv"), col("e2.v"), col("cd.qnrm"), col("e2.nrm")).as("cos"))
       // NULL cos (zero-norm member) is not a neighbor (see q35)
       .filter(col("cos").isNotNull)
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 5)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Multi-probe IVF ANN — q36 with the standard `nprobe` recall dial:
+    * each query searches its TWO nearest clusters instead of one, so a
+    * neighbor that fell just across the Voronoi boundary (the dominant
+    * IVF miss mode) is back in the candidate set at 2×N/K per-query cost.
+    * Same fixed replayable centroids as q36 so the DuckDB twin verifies
+    * probe selection, candidate generation, and ranking bit-for-bit; the
+    * trained-centroid production path takes the same dial via
+    * [[annIvfKmeans]]'s `nprobe` (recall monotonicity asserted in
+    * KmeansSpec). Plan shape is unchanged — probes stay a broadcast-sized
+    * (queries × nprobe) frame, candidates come only from the cluster
+    * equi-join, never a corpus product.
+    */
+  val q100AnnIvfNprobe = Q(
+    "q100_ann_ivf_nprobe",
+    s"""WITH $duckE,
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${duckCos("e.v", "c.cv", "e.nrm", "c.cnrm")} AS cos FROM e, c),
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |  FROM scored),
+       |assigned AS (SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid AS cluster FROM ranked
+       |  WHERE rn <= 2 AND vec_id < 5),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT p.qid, p.cluster, a.vec_id
+       |  FROM probes p JOIN assigned a
+       |    ON p.cluster = a.cluster AND a.vec_id <> p.qid)
+       |SELECT qid, cluster, vec_id, cos, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT s.qid, s.cluster, s.vec_id, s.cos,
+       |    row_number() OVER (PARTITION BY s.qid ORDER BY s.cos DESC, s.vec_id) AS rk
+       |  FROM (
+       |    SELECT cand.qid, cand.cluster, cand.vec_id,
+       |      ${duckCos("q.qv", "e.v", "q.qnrm", "e.nrm")} AS cos
+       |    FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN q ON cand.qid = q.qid) s
+       |  WHERE s.cos IS NOT NULL) t
+       |WHERE rk <= 5
+       |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val c = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val rnW = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+    val ranked = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("v"), col("cv"), col("nrm"), col("cnrm")).as("cos"))
+      .withColumn("rn", row_number().over(rnW))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"))
+    val probes = ranked.filter(col("rn") <= 2 && col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("cid").as("cluster"))
+    val qvec = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes.join(qvec, "qid").as("qq"))
+      .join(assigned.as("a"),
+        col("qq.cluster") === col("a.cluster") && col("a.vec_id") =!= col("qq.qid"))
+      .select(col("qq.qid").as("qid"), col("qq.cluster").as("cluster"),
+        col("a.vec_id").as("vec_id"), col("qq.qv").as("qv"), col("qq.qnrm").as("qnrm"))
+      .as("cd")
+      .join(e.as("e2"), col("cd.vec_id") === col("e2.vec_id"))
+      .select(col("cd.qid").as("qid"), col("cd.cluster").as("cluster"),
+        col("cd.vec_id").as("vec_id"),
+        cosine(col("cd.qv"), col("e2.v"), col("cd.qnrm"), col("e2.nrm")).as("cos"))
+      .filter(col("cos").isNotNull) // zero-norm members are not neighbors (q35)
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 5)
       .orderBy(col("qid"), col("rk"))

@@ -91,6 +91,16 @@ class KmeansSpec extends SparkSpec {
     // toward 1/k), not against noise — the pipeline is deterministic
     assert(recall >= 0.6, s"recall@5 = $recall")
 
+    // the nprobe dial: probing the 2 nearest clusters recovers neighbors
+    // across the Voronoi boundary — recall is monotone in nprobe and the
+    // whole pipeline stays deterministic
+    val got2 = Similarity.annIvfKmeans(
+      Tables.embeddings(spark, sf), k = 5, numQueries = 5, topK = 5, nprobe = 2)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = got2.intersect(truth).size.toDouble / truth.size
+    assert(recall2 >= recall, s"nprobe=2 recall $recall2 < nprobe=1 $recall")
+
     // search-plan posture: the kmeans loop is checkpoint-severed, so the
     // executed search must be pure broadcast HASH joins — the equi-join on
     // cluster id is the whole point of the inverted file
