@@ -197,6 +197,18 @@ class ScaleSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name planned a nested-loop join:\n$plan")
     }
+    // the IVF queries keep their DESIGNED bounded exception (the 10-row
+    // broadcast centroid crossJoin for assignment/probing); an unbounded
+    // cartesian is still forbidden, and their member-candidate joins must
+    // hash on the cluster key
+    for (name <- Seq("q36_ann_ivf", "q100_ann_ivf_nprobe")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name candidate join must be a broadcast hash join:\n$plan")
+    }
   }
 
   test("q52's vocabulary join survives a disabled broadcast threshold") {
