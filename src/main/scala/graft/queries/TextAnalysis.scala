@@ -14,7 +14,7 @@ object TextAnalysis {
 
   def all: Seq[Q] =
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
-      q87TokenEntropy)
+      q87TokenEntropy, q101Bm25)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -217,6 +217,104 @@ object TextAnalysis {
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
       .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** BM25 retrieval scoring — the ranking function a RAG/eval pipeline
+    * runs over chunked corpora (complement of q52's TF-IDF and q83's
+    * chunker): score every document against a query and return the top-10.
+    * The query is DERIVED deterministically (the 3 highest-df terms,
+    * ties by term) so the operator is self-contained on any corpus; a real
+    * deployment parameterizes the term list. k1=1.2, b=0.75 (the standard
+    * Robertson constants), idf = ln(1 + (N−df+½)/(df+½)) — the
+    * positive-safe BM25+ idf form.
+    *
+    * Plan: the q52 two-aggregate spine (tf, df) + a 1-row corpus-stats
+    * frame; the 3 query terms come from orderBy+limit(3)
+    * (TakeOrderedAndProject, never a vocabulary-wide window) and join
+    * BROADCAST onto tf, so per-doc work is O(matched terms); the final
+    * top-10 is again TakeOrderedAndProject with the rank window running
+    * over only the surviving 10 rows. Nothing quadratic, no global
+    * shuffle beyond the two hash aggregates.
+    *
+    * Parity (house rules): ln cast to float before the multiply; every
+    * integer operand in a float expression cast to DOUBLE explicitly on
+    * BOTH engines (DuckDB would type BIGINT+0.5 as DECIMAL); per-term
+    * scores rounded then summed as DECIMAL(18,6) so the 3-term sum is
+    * order-free.
+    */
+  val q101Bm25 = Q(
+    "q101_bm25",
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |tf AS (
+      |  SELECT doc_id, n_tokens, term, count(*) AS tf FROM (
+      |    SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM tok) u
+      |  GROUP BY doc_id, n_tokens, term
+      |),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (
+      |  SELECT count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+      |  FROM documents
+      |),
+      |qterms AS (
+      |  SELECT term, df FROM (
+      |    SELECT term, df,
+      |      row_number() OVER (ORDER BY df DESC, term) AS qrk FROM df) t
+      |  WHERE qrk <= 3
+      |),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      CAST(ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+      |                     / (CAST(q.df AS DOUBLE) + 0.5)) AS FLOAT)
+      |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+      |         / (CAST(tf.tf AS DOUBLE)
+      |            + 1.2 * (0.25 + 0.75 * (CAST(tf.n_tokens AS DOUBLE) / n.avgdl)))),
+      |      6) AS DECIMAL(18,6)) AS s
+      |  FROM tf JOIN qterms q ON tf.term = q.term CROSS JOIN n
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25 FROM scored GROUP BY doc_id
+      |)
+      |SELECT doc_id, bm25, CAST(rk AS INTEGER) AS rk FROM (
+      |  SELECT doc_id, bm25,
+      |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM agg) t
+      |WHERE rk <= 10
+      |ORDER BY rk""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsWide(s, d)
+    val tf = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(split(col("text"), " "))).cast("double") / count(lit(1)))
+        .as("avgdl"))
+    val qterms = df.orderBy(col("df").desc, col("term")).limit(3)
+      .withColumnRenamed("df", "qdf")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("qdf").cast("double") + lit(0.5))
+        / (col("qdf").cast("double") + lit(0.5))).cast("float")
+    val termScore = idf * ((col("tf").cast("double") * lit(2.2))
+      / (col("tf").cast("double")
+         + lit(1.2) * (lit(0.25) + lit(0.75)
+           * (col("n_tokens").cast("double") / col("avgdl")))))
+    val agg = tf
+      .join(broadcast(qterms), tf("term") === qterms("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(termScore, 6).cast("decimal(18,6)").as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).cast("double").as("bm25"))
+    agg.orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("bm25"), col("rk"))
+      .orderBy(col("rk"))
   }
 
   /** The composed training-data pipeline — the engine's north-star use in
