@@ -30,7 +30,7 @@ class ShortDocSpec extends SparkSpec {
       "q37_text_stats", "q38_langid", "q51_ngram_jaccard", "q52_tfidf",
       "q67_seq_packing", "q68_repetition", "q69_domain_mixture",
       "q70_stratified_sample", "q74_dedup_clusters", "q82_pii_redact",
-      "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy")
+      "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy", "q101_bm25")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
