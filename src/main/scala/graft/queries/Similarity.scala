@@ -65,18 +65,65 @@ object Similarity {
     *    one scalar WSS — never corpus rows; convergence = assignment
     *    fixpoint via an isEmpty probe, non-convergence within `maxIter`
     *    fails loudly (the q74 discipline).
-    * Init is the K smallest vec_ids (deterministic; k-means++ would be a
-    * weighted-sample init swap, same loop).
+    * Default init is the K smallest vec_ids; `init = "maxmin"` swaps in
+    * deterministic farthest-point (Gonzalez) seeding — anchor at the
+    * smallest vec_id, then K−1 rounds each adding the vector FARTHEST
+    * from its nearest chosen seed (argmax via max(struct), ties by
+    * smaller vec_id via negated id). Same loop after seeding; K−1 extra
+    * narrow passes (running min-distance column + 1-row broadcast seed),
+    * no RNG, no shipped state. Spread seeds guard the converged QUALITY
+    * (WSS ≤ first-k, asserted in KmeansSpec; fixture: 473.2 vs 473.6 —
+    * near-parity because the fixture's labels are well separated, the gap
+    * widens when first-K ids happen to share a cluster) at the cost of
+    * MORE Lloyd's rounds here (15 vs 11: outlier seeds start far from
+    * the final means).
     */
   private[graft] def kmeans(
-      emb: org.apache.spark.sql.DataFrame, k: Int, maxIter: Int = 20)
+      emb: org.apache.spark.sql.DataFrame, k: Int, maxIter: Int = 20,
+      init: String = "first")
     : KmeansResult = {
     import org.apache.spark.sql.DataFrame
     val vecs = emb
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
       .localCheckpoint(true) // scanned every round: pin it once
-    var cent: DataFrame = vecs.orderBy(col("vec_id")).limit(k)
+    val seeds: DataFrame = init match {
+      case "first" => vecs.orderBy(col("vec_id")).limit(k)
+      case "maxmin" =>
+        // incremental farthest-point: each vector keeps its distance to
+        // its NEAREST chosen seed as a running column, so adding a seed is
+        // one narrow least() update against the 1-row broadcast newest
+        // seed plus one narrow max-struct aggregate (ties prefer the
+        // smaller vec_id via the negated id) — NO corpus shuffle in any
+        // seeding round
+        var newest = vecs.orderBy(col("vec_id")).limit(1)
+          .select(col("vec_id"), col("v"), col("n2"))
+          .localCheckpoint(true)
+        var chosen = newest
+        var pool = vecs.select(col("vec_id"), col("v"), col("n2"),
+          lit(Double.PositiveInfinity).as("mind2"))
+        for (_ <- 1 until k) {
+          pool = pool
+            .crossJoin(broadcast(newest
+              .select(col("v").as("sv"), col("n2").as("sn2"))))
+            .select(col("vec_id"), col("v"), col("n2"),
+              least(col("mind2"),
+                col("n2") - lit(2.0) * dot(col("v"), col("sv")) + col("sn2"))
+                .as("mind2"))
+            .localCheckpoint(true)
+          newest = pool
+            .agg(max(struct(col("mind2"), (-col("vec_id")).as("nid"),
+              col("v"), col("n2"))).as("m"))
+            .select((-col("m.nid")).as("vec_id"), col("m.v").as("v"),
+              col("m.n2").as("n2"))
+            .localCheckpoint(true)
+          chosen = chosen.unionByName(newest)
+        }
+        chosen
+      case other => throw new IllegalArgumentException(
+        s"unknown kmeans init '$other' (first | maxmin)")
+    }
+    var cent: DataFrame = seeds
       .select(col("vec_id").cast("int").as("cluster0"), col("v").as("cv"))
       .withColumn("cluster",
         row_number().over(Window.orderBy(col("cluster0"))) - 1)

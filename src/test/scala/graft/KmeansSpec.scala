@@ -110,6 +110,31 @@ class KmeansSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("maxmin (farthest-point) init: same invariants, better converged WSS") {
+    val mm = Similarity.kmeans(Tables.embeddings(spark, sf), k = 5,
+      init = "maxmin")
+    // the full invariant set still holds on the swapped init
+    assert(mm.iters <= 20)
+    mm.wss.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6 * math.abs(a), s"WSS rose: ${mm.wss}")
+      case _         =>
+    }
+    val again = Similarity.kmeans(Tables.embeddings(spark, sf), k = 5,
+      init = "maxmin")
+    assert(again.wss === mm.wss, "maxmin seeding must be deterministic")
+    // spread seeds beat the first-K init on converged QUALITY (lower or
+    // equal WSS — the reason the knob exists); they do NOT promise fewer
+    // rounds (fixture-measured: maxmin converges in MORE rounds here,
+    // outlier seeds start far from the final means)
+    assert(mm.wss.last <= result.wss.last * 1.0001,
+      s"maxmin ${mm.wss.last} vs first-k ${result.wss.last}")
+    info(f"maxmin WSS ${mm.wss.last}%.1f in ${mm.iters} rounds; " +
+      f"first-k ${result.wss.last}%.1f in ${result.iters}")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeans(Tables.embeddings(spark, sf), k = 5, init = "bogus")
+    }
+  }
+
   test("an exhausted iteration cap fails loudly, never a partial clustering") {
     val e = intercept[IllegalArgumentException] {
       Similarity.kmeans(Tables.embeddings(spark, sf), k = 5, maxIter = 1)
