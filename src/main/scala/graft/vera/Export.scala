@@ -132,25 +132,32 @@ object Export {
     val rpf = cfg.rowsPerFile
 
     val indexed = withGlobalIndex(Normalize(df, cfg), orderBy, nParts)
-    // Expected file count derived from the DATA (max global index), not
+    val staging = s"$outDir/.staging_${cfg.name}"
+    // Expected file count derived from the DATA (max bucket number), not
     // from the post-write listing: an object store's eventually-consistent
     // LISTING can come up short, and a listing that hides the TAIL bucket
     // would pass a contiguity-only check and silently export one file too
-    // few. One narrow extra job (project __gidx, reuse the range shuffle
-    // zipWithIndex already materialized) buys the loud abort instead.
-    val headRow = indexed.agg(max(col("__gidx"))).head
-    val expectedBuckets =
-      if (headRow.isNullAt(0)) 0L else headRow.getLong(0) / cfg.rowsPerFile + 1
-    val staging = s"$outDir/.staging_${cfg.name}"
+    // few. The observation RIDES the write job itself (no extra pass);
+    // `obs.get` blocks until the write action completes.
+    val obs = org.apache.spark.sql.Observation()
     indexed
       .withColumn("__bucket", (col("__gidx") / rpf).cast("long"))
       .drop("__gidx")
+      // metrics collected PRE-shuffle so the node can't perturb the
+      // write-side partitioning/ordering
+      .observe(obs, max(col("__bucket")).as("max_bucket"))
       .repartition(col("__bucket")) // all rows of a bucket → one task → one file
       .sortWithinPartitions(("__bucket" +: orderBy).map(col): _*)
       .write.mode("overwrite")
       .option("compression", cfg.compression.getOrElse("none"))
       .partitionBy("__bucket")
       .parquet(staging)
+    // an EMPTY input runs zero write tasks, so the metrics map can come
+    // back without the key at all (and a null max means the same thing)
+    val expectedBuckets = obs.get.getOrElse("max_bucket", null) match {
+      case b: java.lang.Long => b.longValue + 1
+      case _                 => 0L
+    }
 
     // Driver rename pass: .staging/__bucket=N/part-*.parquet →
     // outDir/{table}_{lo}_{hi}[_{codec}].parquet  (O(#files) driver work).
