@@ -547,7 +547,11 @@ object Export {
     * rows (S2, main.py:201-202). `source` maps a table config to its input
     * DataFrame (parquet fixture or [[Jdbc.scan]]). [EXT] `INCREMENTAL`
     * non-empty routes the job through [[exportIncremental]]'s delta chain
-    * instead of the reference's full snapshot.
+    * instead of the reference's full snapshot; [EXT] `COMPACT` non-empty
+    * runs [[compact]] over the selected tables' existing chain INSTEAD of
+    * exporting (the periodic maintenance job an orchestrator schedules
+    * between delta runs; key columns = the same stable order key the
+    * export names files by).
     */
   def runFromEnv(
       source: TableConfig => DataFrame,
@@ -558,6 +562,11 @@ object Export {
     val selected = env.get("DEBUG_TABLE") match {
       case Some(t) => Seq(Schemas.byName(t))
       case None    => Schemas.tables
+    }
+    if (env.get("COMPACT").exists(_.nonEmpty)) {
+      val spark = source(selected.head).sparkSession
+      return compact(outDir,
+        selected.map(cfg => (cfg, orderBy(cfg), orderBy(cfg))), spark)
     }
     val debug = env.get("DEBUG").exists(_.nonEmpty)
     val offset = env.get("DEBUG_OFFSET").map(_.toLong)

@@ -399,6 +399,35 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("COMPACT env routes the O-layer job through chain compaction") {
+    // the maintenance job an orchestrator schedules between delta runs,
+    // reachable through the same env surface as INCREMENTAL
+    def src(n: Int) = spark.range(n).selectExpr(
+      "id",
+      "sha2(cast(id as string), 256) AS creation_code_hash",
+      "sha2(cast(id + 1 as string), 256) AS runtime_code_hash",
+      "timestamp_micros(1700000000000000 + id * 1000000) AS created_at",
+      "timestamp_micros(1700000000000000 + id * 2000000) AS updated_at",
+      "'alice' AS created_by", "'bob' AS updated_by")
+    val out = tmpDir()
+    val base = Map("DEBUG_TABLE" -> "contracts")
+    Export.runFromEnv(_ => src(50), _ => Seq("id"), out,
+      base + ("INCREMENTAL" -> "1"))
+    Thread.sleep(5) // distinct epoch-millis run ids
+    Export.runFromEnv(_ => src(52), _ => Seq("id"), out,
+      base + ("INCREMENTAL" -> "1"))
+    assert(Export.committedRuns(out, spark).length === 2)
+    val cfg = Schemas.byName("contracts")
+    val before = Export.readSnapshot(out, cfg, Seq("id"), spark).count()
+    assert(before === 52)
+
+    val m = Export.runFromEnv(_ => src(52), _ => Seq("id"), out,
+      base + ("COMPACT" -> "1"))
+    assert(Export.committedRuns(out, spark).length === 1)
+    assert(Export.readSnapshot(out, cfg, Seq("id"), spark).count() === 52)
+    assert(m.watermarkMicros.nonEmpty, "compaction must carry the watermark")
+  }
+
   test("dtype vocabulary is closed: unsupported types are rejected") {
     // the reference raises ValueError("Type not supported") (main.py:150);
     // its dead UInt16 branch (main.py:130) is deliberately NOT carried over
