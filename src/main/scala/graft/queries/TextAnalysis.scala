@@ -69,32 +69,58 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Integer half-up rounding of `num/den` to 6 decimals, computed
+    * entirely in BIGINT: `(2·num·10⁶ + den) div (2·den)`, then one exact
+    * double division by 10⁶. Both engines evaluate the identical integer
+    * arithmetic (`div` / `//`), so the result is bit-equal EVEN on exact
+    * half-1e-6 boundaries — where `round()` of a double rational
+    * diverges: Spark rounds the double's exact decimal expansion
+    * (BigDecimal HALF_UP) while DuckDB rounds the ×10⁶-scaled double,
+    * and ratios of small integer counts (q37/q62's quality has
+    * denominator 100n²) LAND on those boundaries — 2 of 5000 sf0.1 docs
+    * did. Non-negative operands only; `num·2·10⁶` must stay within
+    * BIGINT (num < 4.6e12 — quality's 100n² bound allows ~200k-token
+    * docs). A zero denominator yields NULL (`nullif`), matching DuckDB's
+    * division semantics under ANSI Spark.
+    */
+  private def ratio6(num: String, den: String): Column = expr(
+    s"CAST(((2 * CAST($num AS BIGINT) * 1000000 + CAST($den AS BIGINT))" +
+      s" div nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0")
+
+  private def duckRatio6(num: String, den: String): String =
+    s"CAST(((2 * CAST($num AS BIGINT) * 1000000 + CAST($den AS BIGINT))" +
+      s" // nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0"
+
   /** Per-document lexical statistics and a composite quality score:
     * whitespace tokens, regex (BPE-ish) tokens, type-token ratio, stopword
     * ratio, punctuation ratio, average token length, quality =
-    * min(n/100, 1) × (1 − stop_ratio) × ttr, plus a 64-bit content
+    * min(n/100, 1) × (1 − stop_ratio) × ttr — every rounded ratio derived
+    * from the raw integer counts via [[ratio6]]'s exact BIGINT half-up
+    * arithmetic (quality's single fraction is
+    * min(n,100)·(n−n_stop)·n_dist / 100n²) — plus a 64-bit content
     * fingerprint (minimum md5 over word-3-gram shingles — the shingle-min
     * idiom used by winnowing-style fingerprinters).
     */
   val q37TextStats = Q(
     "q37_text_stats",
-    s"""SELECT doc_id, n_tokens, n_regex_tokens, ttr, stop_ratio, punct_ratio,
-       |  avg_token_len,
-       |  round(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr, 6) AS quality,
+    s"""SELECT doc_id, n AS n_tokens, n_regex_tokens,
+       |  ${duckRatio6("n_dist", "n")} AS ttr,
+       |  ${duckRatio6("n_stop", "n")} AS stop_ratio,
+       |  ${duckRatio6("n_punct", "text_len")} AS punct_ratio,
+       |  ${duckRatio6("sum_len", "n")} AS avg_token_len,
+       |  ${duckRatio6("CAST(least(n, 100) AS BIGINT) * (n - n_stop) * n_dist",
+         "100 * CAST(n AS BIGINT) * n")} AS quality,
        |  fingerprint
        |FROM (
        |  SELECT doc_id,
-       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(string_split(text, ' ')) AS n,
        |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_regex_tokens,
-       |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |      / len(string_split(text, ' ')), 6) AS ttr,
-       |    round(CAST(len(list_filter(string_split(text, ' '),
-       |        t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
-       |      / len(string_split(text, ' ')), 6) AS stop_ratio,
-       |    round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-       |      / length(text), 6) AS punct_ratio,
-       |    round(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
-       |      / len(string_split(text, ' ')), 6) AS avg_token_len,
+       |    len(list_distinct(string_split(text, ' '))) AS n_dist,
+       |    len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+       |    length(text) AS text_len,
+       |    length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS sum_len,
        |    substr(list_min(list_transform(range(1, len(string_split(text, ' ')) - 2 + 1),
        |      i -> md5(string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
        |        || ' ' || string_split(text, ' ')[i + 2]))), 1, 16) AS fingerprint
@@ -102,21 +128,10 @@ object TextAnalysis {
        |ORDER BY doc_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     // tokens materialized ONCE per row (a column, not a repeated
-    // subexpression) — every stat below reads the same array
+    // subexpression); all integer counts in one pass, every rounded stat
+    // derived from them in ratio6's exact BIGINT arithmetic
     val tokens = col("toks")
     val nTokens = size(tokens)
-    val ttr = round(size(array_distinct(tokens)).cast("double") / nTokens, 6)
-    val stopRatio = round(
-      size(filter(tokens, t => t.isin(stopwords: _*))).cast("double") / nTokens, 6)
-    // try_divide, not `/`: an EMPTY doc has length 0, and ANSI Spark throws
-    // on divide-by-zero where DuckDB yields NULL — try_divide matches the
-    // oracle's NULL exactly (and is identical on every non-zero divisor)
-    val punctRatio = round(
-      try_divide((length(col("text"))
-        - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).cast("double"),
-        length(col("text"))), 6)
-    val avgTokenLen = round(
-      aggregate(tokens, lit(0), (acc, w) => acc + length(w)).cast("double") / nTokens, 6)
     // <3-token docs: NULL fingerprint (mirrors DuckDB's list_min([]) →
     // NULL); without the guard Spark's sequence(1, n<1) descends through
     // index 0 and element_at throws
@@ -130,17 +145,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"),
-        nTokens.as("n_tokens"),
+        nTokens.as("n"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
           .as("n_regex_tokens"),
-        ttr.as("ttr"),
-        stopRatio.as("stop_ratio"),
-        punctRatio.as("punct_ratio"),
-        avgTokenLen.as("avg_token_len"),
+        size(array_distinct(tokens)).as("n_dist"),
+        size(filter(tokens, t => t.isin(stopwords: _*))).as("n_stop"),
+        length(col("text")).as("text_len"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))).as("n_punct"),
+        aggregate(tokens, lit(0), (acc, w) => acc + length(w)).as("sum_len"),
         fingerprint.as("fingerprint"))
-      .withColumn("quality",
-        round(least(col("n_tokens") / 100.0, lit(1.0))
-          * (lit(1.0) - col("stop_ratio")) * col("ttr"), 6))
+      .select(
+        col("n").as("n_tokens"),
+        col("doc_id"),
+        col("n_regex_tokens"),
+        ratio6("n_dist", "n").as("ttr"),
+        ratio6("n_stop", "n").as("stop_ratio"),
+        ratio6("n_punct", "text_len").as("punct_ratio"),
+        ratio6("sum_len", "n").as("avg_token_len"),
+        ratio6("CAST(least(n, 100) AS BIGINT) * (n - n_stop) * n_dist",
+          "100 * CAST(n AS BIGINT) * n").as("quality"),
+        col("fingerprint"))
       .select(col("doc_id"), col("n_tokens"), col("n_regex_tokens"), col("ttr"),
         col("stop_ratio"), col("punct_ratio"), col("avg_token_len"),
         col("quality"), col("fingerprint"))
@@ -334,15 +359,18 @@ object TextAnalysis {
        |      ORDER BY doc_id) AS rn
        |  FROM documents
        |),
-       |scored AS (
-       |  SELECT lang, len(string_split(text, ' ')) AS n_tokens,
-       |    round(least(len(string_split(text, ' ')) / 100.0, 1.0)
-       |      * (1.0 - CAST(len(list_filter(string_split(text, ' '),
-       |          t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
-       |        / len(string_split(text, ' ')))
-       |      * CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |        / len(string_split(text, ' ')), 6) AS quality
+       |counted AS (
+       |  SELECT lang, len(string_split(text, ' ')) AS n,
+       |    len(list_filter(string_split(text, ' '),
+       |      t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+       |    len(list_distinct(string_split(text, ' '))) AS n_dist
        |  FROM ranked WHERE rn = 1
+       |),
+       |scored AS (
+       |  SELECT lang, n AS n_tokens,
+       |    ${duckRatio6("CAST(least(n, 100) AS BIGINT) * (n - n_stop) * n_dist",
+         "100 * CAST(n AS BIGINT) * n")} AS quality
+       |  FROM counted
        |)
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -354,18 +382,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val tokens = col("toks")
     val nTokens = size(tokens)
-    val quality = round(
-      least(nTokens / 100.0, lit(1.0))
-        * (lit(1.0) -
-          size(filter(tokens, t => t.isin(stopwords: _*))).cast("double") / nTokens)
-        * size(array_distinct(tokens)).cast("double") / nTokens, 6)
     Tables.documentsWide(s, d)
       .withColumn("rn", row_number().over(
         Window.partitionBy(sha2(lower(substring(col("text"), 1, 50)), 256))
           .orderBy(col("doc_id"))))
       .filter(col("rn") === 1)
       .select(col("lang"), split(col("text"), " ").as("toks"))
-      .select(col("lang"), nTokens.as("n_tokens"), quality.as("quality"))
+      .select(col("lang"), nTokens.as("n"),
+        size(filter(tokens, t => t.isin(stopwords: _*))).as("n_stop"),
+        size(array_distinct(tokens)).as("n_dist"))
+      .select(col("lang"), col("n").as("n_tokens"),
+        ratio6("CAST(least(n, 100) AS BIGINT) * (n - n_stop) * n_dist",
+          "100 * CAST(n AS BIGINT) * n").as("quality"))
       .filter(col("quality") >= 0.2)
       .groupBy(col("lang"))
       .agg(
