@@ -31,11 +31,35 @@ object Exact {
   def davg(c: Column, scale: Int = Scale): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)
 
+  /** Integer half-up rounding of `num/den` to 6 decimals for NON-NEGATIVE
+    * integer operands, computed entirely in BIGINT:
+    * `(2·num·10⁶ + den) div (2·den)`, then one exact double division by
+    * 10⁶. Both engines evaluate identical integer arithmetic, so the
+    * result is bit-equal EVEN on exact half-1e-6 boundaries — where
+    * `round()` of a double rational diverges: Spark rounds the double's
+    * exact decimal expansion (BigDecimal HALF_UP) while DuckDB rounds the
+    * ×10⁶-scaled double, and ratios of small integer counts land on those
+    * boundaries (2 of 5000 sf0.1 docs did for q37's quality).
+    *
+    * Constraints: operands NON-NEGATIVE (Spark `div` truncates toward
+    * zero, DuckDB `//` floors — they agree only on non-negatives) and
+    * `num·2·10⁶` within BIGINT (num < 4.6e12). A zero denominator yields
+    * NULL (`nullif`), matching DuckDB division under ANSI Spark.
+    * `num`/`den` are SQL expression strings valid in BOTH dialects over
+    * the enclosing relation's columns.
+    */
+  def ratio6(num: String, den: String): Column = expr(
+    s"CAST(((2 * CAST($num AS BIGINT) * 1000000 + CAST($den AS BIGINT))" +
+      s" div nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0")
+
   /** DuckDB SQL twins — keep in lockstep with the Column versions. */
   object Sql {
     def dsum(e: String, scale: Int = Scale): String =
       s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE)"
     def davg(e: String, scale: Int = Scale): String =
       s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($e)"
+    def ratio6(num: String, den: String): String =
+      s"CAST(((2 * CAST($num AS BIGINT) * 1000000 + CAST($den AS BIGINT))" +
+        s" // nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0"
   }
 }

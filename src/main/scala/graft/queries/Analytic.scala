@@ -161,7 +161,7 @@ object Analytic {
     */
   val q84CohortRetention = Q(
     "q84_cohort_retention",
-    """WITH ud AS (
+    s"""WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
       |  FROM events
       |),
@@ -178,7 +178,7 @@ object Analytic {
       |base AS (SELECT cohort_day, n_active AS cohort_size FROM ret
       |         WHERE day_offset = 0)
       |SELECT r.cohort_day, r.day_offset, r.n_active,
-      |  round(CAST(r.n_active AS DOUBLE) / b.cohort_size, 6) AS retention
+      |  ${Sql.ratio6("r.n_active", "b.cohort_size")} AS retention
       |FROM ret r JOIN base b ON r.cohort_day = b.cohort_day
       |ORDER BY r.cohort_day NULLS FIRST, r.day_offset NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -195,8 +195,7 @@ object Analytic {
       .select(col("cohort_day"), col("n_active").as("cohort_size"))
     ret.join(broadcast(base), "cohort_day")
       .select(col("cohort_day"), col("day_offset"), col("n_active"),
-        round(col("n_active").cast("double") / col("cohort_size"), 6)
-          .as("retention"))
+        Exact.ratio6("n_active", "cohort_size").as("retention"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
@@ -268,7 +267,7 @@ object Analytic {
     */
   val q75FunnelStages = Q(
     "q75_funnel_stages",
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
       |v AS (SELECT user_id, min(ts) AS t_view FROM e
       |      WHERE event_type = 'view' GROUP BY user_id),
@@ -294,8 +293,7 @@ object Analytic {
       |  UNION ALL SELECT '3_purchase', count(*) FROM p
       |)
       |SELECT stage, n_users,
-      |  round(CAST(n_users AS DOUBLE) / max(n_users) OVER (), 6)
-      |    AS conv_from_start
+      |  ${Sql.ratio6("n_users", "max(n_users) OVER ()")} AS conv_from_start
       |FROM stages ORDER BY stage NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val e = Tables.events(s, d)
@@ -319,9 +317,9 @@ object Analytic {
       .unionByName(c.agg(count(lit(1)).as("n_users"))
         .select(lit("2_click").as("stage"), col("n_users")))
     stages
-      .withColumn("conv_from_start",
-        round(col("n_users").cast("double")
-          / max(col("n_users")).over(Window.partitionBy()), 6))
+      .withColumn("max_users", max(col("n_users")).over(Window.partitionBy()))
+      .withColumn("conv_from_start", Exact.ratio6("n_users", "max_users"))
+      .drop("max_users")
       .orderBy(col("stage"))
   }
 

@@ -163,8 +163,8 @@ object Curation {
     * sampling weight both q69 reports and q77 executes.
     */
   private val sampleWeight: Column =
-    round(least((lit(1.0) / col("n_sources"))
-      / (col("n_tokens").cast("double") / col("total_tokens")), lit(5.0)), 6)
+    least(graft.functions.Exact.ratio6(
+      "total_tokens", "n_sources * n_tokens"), lit(5.0))
 
   /** Benchmark decontamination via word-5-gram collision (the n-gram-overlap
     * rule used to scrub eval sets out of training corpora): a deterministic
@@ -284,8 +284,8 @@ object Curation {
     */
   val q68Repetition = Q(
     "q68_repetition",
-    """SELECT doc_id, n3 AS n_3grams, nd3 AS n_distinct_3grams,
-      |  round(1.0 - CAST(nd3 AS DOUBLE) / n3, 6) AS dup_3gram_frac,
+    s"""SELECT doc_id, n3 AS n_3grams, nd3 AS n_distinct_3grams,
+      |  ${graft.functions.Exact.Sql.ratio6("n3 - nd3", "n3")} AS dup_3gram_frac,
       |  n_adj AS n_adjacent_dups
       |FROM (
       |  SELECT doc_id, len(toks) - 2 AS n3,
@@ -311,8 +311,7 @@ object Curation {
       .select(col("doc_id"),
         col("n3").as("n_3grams"),
         col("nd3").as("n_distinct_3grams"),
-        round(lit(1.0) - col("nd3").cast("double") / col("n3"), 6)
-          .as("dup_3gram_frac"),
+        graft.functions.Exact.ratio6("n3 - nd3", "n3").as("dup_3gram_frac"),
         col("n_adj").as("n_adjacent_dups"))
       .orderBy(col("doc_id"))
   }
@@ -332,7 +331,7 @@ object Curation {
   // exchange beats a second 100 TB pass.
   val q69DomainMixture = Q(
     "q69_domain_mixture",
-    """WITH per_src AS (
+    s"""WITH per_src AS (
       |  SELECT source, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source
@@ -343,15 +342,15 @@ object Curation {
       |  FROM per_src
       |)
       |SELECT s.source, s.n_docs, s.n_tokens,
-      |  round(CAST(s.n_tokens AS DOUBLE) / t.total_tokens, 6) AS token_share,
-      |  round(least((1.0 / t.n_sources)
-      |    / (CAST(s.n_tokens AS DOUBLE) / t.total_tokens), 5.0), 6) AS sample_weight
+      |  ${graft.functions.Exact.Sql.ratio6("s.n_tokens", "t.total_tokens")} AS token_share,
+      |  least(${graft.functions.Exact.Sql.ratio6(
+          "t.total_tokens", "t.n_sources * s.n_tokens")}, 5.0) AS sample_weight
       |FROM per_src s CROSS JOIN tot t
       |ORDER BY source NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     sourceStats(s, d)
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+        graft.functions.Exact.ratio6("n_tokens", "total_tokens")
           .as("token_share"),
         sampleWeight.as("sample_weight"))
       .orderBy(col("source"))
@@ -370,15 +369,15 @@ object Curation {
     */
   val q77MixtureResample = Q(
     "q77_mixture_resample",
-    """WITH per_src AS (
+    s"""WITH per_src AS (
       |  SELECT source, count(*) AS n_docs,
       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY source
       |),
       |wts AS (
       |  SELECT source, n_docs,
-      |    round(least((1.0 / (count(*) OVER ()))
-      |      / (CAST(n_tokens AS DOUBLE) / (sum(n_tokens) OVER ())), 5.0), 6) AS w
+      |    least(${graft.functions.Exact.Sql.ratio6(
+          "sum(n_tokens) OVER ()", "(count(*) OVER ()) * n_tokens")}, 5.0) AS w
       |  FROM per_src
       |),
       |perdoc AS (
@@ -391,7 +390,7 @@ object Curation {
       |)
       |SELECT src AS source, n_docs, CAST(sum(n_copies) AS BIGINT) AS n_copies,
       |  w AS target_epochs,
-      |  round(CAST(sum(n_copies) AS DOUBLE) / n_docs, 6) AS realized_epochs
+      |  ${graft.functions.Exact.Sql.ratio6("sum(n_copies)", "n_docs")} AS realized_epochs
       |FROM perdoc GROUP BY src, n_docs, w
       |ORDER BY source NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -410,7 +409,7 @@ object Curation {
       .agg(count(lit(1)).as("n_copies"))
       .select(col("source"), col("n_docs"), col("n_copies"),
         col("w").as("target_epochs"),
-        round(col("n_copies").cast("double") / col("n_docs"), 6)
+        graft.functions.Exact.ratio6("n_copies", "n_docs")
           .as("realized_epochs"))
       .orderBy(col("source"))
   }
@@ -425,7 +424,7 @@ object Curation {
     */
   val q70StratifiedSample = Q(
     "q70_stratified_sample",
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT doc_id, lang, n_chars,
       |    substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h,
       |    CASE lang WHEN 'en' THEN '1a' WHEN 'fr' THEN '80'
@@ -435,8 +434,8 @@ object Curation {
       |SELECT lang, count(*) AS n_total,
       |  count(*) FILTER (h < thresh) AS n_sampled,
       |  CAST(sum(n_chars) FILTER (h < thresh) AS BIGINT) AS sampled_chars,
-      |  round(CAST(count(*) FILTER (h < thresh) AS DOUBLE) / count(*), 6)
-      |    AS realized_rate
+      |  ${graft.functions.Exact.Sql.ratio6(
+          "count(*) FILTER (h < thresh)", "count(*)")} AS realized_rate
       |FROM s GROUP BY lang
       |ORDER BY lang NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -452,9 +451,11 @@ object Curation {
       .agg(count(lit(1)).as("n_total"),
         count(when(col("sampled"), lit(1))).as("n_sampled"),
         sum(when(col("sampled"), col("n_chars"))).cast("long")
-          .as("sampled_chars"),
-        round(count(when(col("sampled"), lit(1))).cast("double")
-          / count(lit(1)), 6).as("realized_rate"))
+          .as("sampled_chars"))
+      .select(col("lang"), col("n_total"), col("n_sampled"),
+        col("sampled_chars"),
+        graft.functions.Exact.ratio6("n_sampled", "n_total")
+          .as("realized_rate"))
       .orderBy(col("lang"))
   }
 }

@@ -141,7 +141,7 @@ object Dedup {
     */
   val q86DupNgrams = Q(
     "q86_dup_ngrams",
-    """WITH tok AS (
+    s"""WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |),
       |g AS (
@@ -155,8 +155,8 @@ object Dedup {
       |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
       |SELECT g.doc_id, count(*) AS n_grams,
       |  count(*) FILTER (WHERE df.df > 1) AS n_shared,
-      |  round(CAST(count(*) FILTER (WHERE df.df > 1) AS DOUBLE) / count(*), 6)
-      |    AS shared_frac
+      |  ${graft.functions.Exact.Sql.ratio6(
+          "count(*) FILTER (WHERE df.df > 1)", "count(*)")} AS shared_frac
       |FROM g JOIN df ON g.gram = df.gram
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id NULLS FIRST""".stripMargin,
@@ -179,8 +179,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df") > 1, lit(1))).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
-        round(col("n_shared").cast("double") / col("n_grams"), 6)
-          .as("shared_frac"))
+        graft.functions.Exact.ratio6("n_shared", "n_grams").as("shared_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -221,7 +220,7 @@ object Dedup {
     */
   val q32MinhashNeardup = Q(
     "q32_minhash_neardup",
-    """WITH sh AS (
+    s"""WITH sh AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 2 + 1),
       |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
@@ -251,13 +250,13 @@ object Dedup {
       |    AND a.doc_id < c.doc_id
       |)
       |SELECT cand.doc_a, cand.doc_b,
-      |  round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) AS jaccard
+      |  ${graft.functions.Exact.Sql.ratio6("len(list_intersect(x.shingles, y.shingles))",
+          "len(list_distinct(list_concat(x.shingles, y.shingles)))")} AS jaccard
       |FROM cand
       |JOIN sh x ON cand.doc_a = x.doc_id
       |JOIN sh y ON cand.doc_b = y.doc_id
-      |WHERE round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(x.shingles, y.shingles))), 6) >= 0.5
+      |WHERE ${graft.functions.Exact.Sql.ratio6("len(list_intersect(x.shingles, y.shingles))",
+          "len(list_distinct(list_concat(x.shingles, y.shingles)))")} >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val B = 5 // bands
@@ -337,8 +336,7 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"), col("ns_a"), col("ns_b"))
       .agg(count(lit(1)).as("ni"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("ni").cast("double") /
-          (col("ns_a") + col("ns_b") - col("ni")), 6).as("jaccard"))
+        graft.functions.Exact.ratio6("ni", "ns_a + ns_b - ni").as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -357,7 +355,7 @@ object Dedup {
     */
   val q51NgramJaccard = Q(
     "q51_ngram_jaccard",
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, length(text) - 4 + 1),
       |      i -> substr(text, i, 5))) AS grams
@@ -371,8 +369,8 @@ object Dedup {
       |)
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+      |    ${graft.functions.Exact.Sql.ratio6("len(list_intersect(a.grams, b.grams))",
+          "len(list_distinct(list_concat(a.grams, b.grams)))")} AS jaccard
       |  FROM k a JOIN k b
       |  ON a.bk0 = b.bk0 AND a.bk1 = b.bk1 AND a.doc_id < b.doc_id) t
       |WHERE jaccard >= 0.5
@@ -439,8 +437,7 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"), col("ng_a"), col("ng_b"))
       .agg(count(lit(1)).as("ni"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("ni").cast("double") /
-          (col("ng_a") + col("ng_b") - col("ni")), 6).as("jaccard"))
+        graft.functions.Exact.ratio6("ni", "ng_a + ng_b - ni").as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -69,27 +69,12 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Integer half-up rounding of `num/den` to 6 decimals, computed
-    * entirely in BIGINT: `(2·num·10⁶ + den) div (2·den)`, then one exact
-    * double division by 10⁶. Both engines evaluate the identical integer
-    * arithmetic (`div` / `//`), so the result is bit-equal EVEN on exact
-    * half-1e-6 boundaries — where `round()` of a double rational
-    * diverges: Spark rounds the double's exact decimal expansion
-    * (BigDecimal HALF_UP) while DuckDB rounds the ×10⁶-scaled double,
-    * and ratios of small integer counts (q37/q62's quality has
-    * denominator 100n²) LAND on those boundaries — 2 of 5000 sf0.1 docs
-    * did. Non-negative operands only; `num·2·10⁶` must stay within
-    * BIGINT (num < 4.6e12 — quality's 100n² bound allows ~200k-token
-    * docs). A zero denominator yields NULL (`nullif`), matching DuckDB's
-    * division semantics under ANSI Spark.
-    */
-  private def ratio6(num: String, den: String): Column = expr(
-    s"CAST(((2 * CAST($num AS BIGINT) * 1000000 + CAST($den AS BIGINT))" +
-      s" div nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0")
+  // boundary-exact 6-decimal ratios of integer counts — see Exact.ratio6
+  private def ratio6(num: String, den: String): Column =
+    graft.functions.Exact.ratio6(num, den)
 
   private def duckRatio6(num: String, den: String): String =
-    s"CAST(((2 * CAST($num AS BIGINT) * 1000000 + CAST($den AS BIGINT))" +
-      s" // nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0"
+    graft.functions.Exact.Sql.ratio6(num, den)
 
   /** Per-document lexical statistics and a composite quality score:
     * whitespace tokens, regex (BPE-ish) tokens, type-token ratio, stopword
