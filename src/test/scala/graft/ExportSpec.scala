@@ -236,6 +236,23 @@ class ExportSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$short/s3l_0_100.parquet")),
       "listing-inconsistency abort must precede every rename")
 
+    // anomaly 1b — the listing hides a MIDDLE bucket: the contiguity half
+    // of the guard fires (bucket set has a hole), same loud manifest-less
+    // abort
+    val holed = tmpDir()
+    S3LikeFileSystem.delayedListings.set(1)
+    S3LikeFileSystem.hideMiddle.set(true)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Export.exportAll(Seq((df, cfg, Seq("k"))), "s3like://" + holed)
+      }
+      assert(e.getMessage.contains("short or non-contiguous"), e.getMessage)
+    } finally {
+      S3LikeFileSystem.delayedListings.set(0)
+      S3LikeFileSystem.hideMiddle.set(false)
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(s"$holed/manifest.json")))
+
     // anomaly 2 — a committer directory rename copies half its children
     // then reports failure: the Spark write itself fails, residue stays in
     // the temporary tree, and again no manifest / no final artifact exists

@@ -36,8 +36,11 @@ class S3LikeFileSystem extends RawLocalFileSystem {
     val buckets = full.filter(_.getPath.getName.startsWith("__bucket="))
     if (p.getName.startsWith(".staging_") && buckets.nonEmpty &&
         S3LikeFileSystem.delayedListings.getAndUpdate(n => math.max(0, n - 1)) > 0) {
-      val hidden = buckets
-        .maxBy(_.getPath.getName.stripPrefix("__bucket=").toLong)
+      val byNo = buckets.sortBy(_.getPath.getName.stripPrefix("__bucket=").toLong)
+      // hide the tail bucket (the contiguity-evading case) or a middle one
+      val hidden =
+        if (S3LikeFileSystem.hideMiddle.get() && byNo.length > 2) byNo(byNo.length / 2)
+        else byNo.last
       full.filterNot(_ eq hidden)
     } else full
   }
@@ -59,4 +62,5 @@ class S3LikeFileSystem extends RawLocalFileSystem {
 object S3LikeFileSystem {
   val delayedListings = new AtomicInteger(0)
   val nonAtomicDirRenames = new AtomicInteger(0)
+  val hideMiddle = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
