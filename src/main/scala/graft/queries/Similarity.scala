@@ -33,7 +33,8 @@ object Similarity {
 
   def all: Seq[Q] = Seq(
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
-    q93LabelCentroids, q100AnnIvfNprobe)
+    q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
+    q104PqAdcTopk)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -696,5 +697,225 @@ object Similarity {
       .select(col("vec_id"), col("n_dims"), col("amax"), col("sum_q"),
         col("n_sat"), col("rel_err"))
       .orderBy(col("vec_id"))
+  }
+
+  /** SemDeDup-style semantic deduplication: prune a vector when a
+    * LOWER-id vector in the same cluster block is cosine-similar above
+    * the threshold (Abbas et al. 2023 keep one representative per
+    * semantic near-dup group; lowest-id is the deterministic stand-in
+    * for their "keep the medoid" choice). The rule is dominance by ANY
+    * lower-id block-mate — a kept doc may itself dominate several others,
+    * and a dominated doc still dominates nothing it wasn't already paired
+    * with, so the output is order-free and replayable.
+    *
+    * Shape at scale = q34's: pair generation is an equi-join on the
+    * blocking key (label here; the IVF/k-means assignment in production),
+    * never all-pairs, and the prune itself is a LEFT ANTI join against
+    * the distinct dominated set — both hash joins on scalar keys. The
+    * survivor-count window shares the anti-join's label partitioning.
+    */
+  val q102SemanticDedup = Q(
+    "q102_semantic_dedup",
+    s"""WITH $duckE,
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE ${duckCos("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.35)
+       |SELECT e.vec_id, e.label,
+       |  CAST(count(*) OVER (PARTITION BY e.label) AS BIGINT) AS n_kept_in_label
+       |FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+       |WHERE d.vec_id IS NULL
+       |ORDER BY e.vec_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val dropped = e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= 0.35)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    e.join(dropped, Seq("vec_id"), "left_anti")
+      .withColumn("n_kept_in_label",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .select(col("vec_id"), col("label"), col("n_kept_in_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 32 codes per subspace
+    * (codebook = the first 32 vectors' slices — fixed, like q36's
+    * centroids, so the oracle replays bit-for-bit; a trained build would
+    * run [[kmeans]] per subspace on the same plan). 8×log2(32) = 40 bits
+    * per vector — finer than the first-cut 4×16 geometry, whose ADC
+    * recall@5 on the 500-vector fixture was 0.24; this one clears 0.5
+    * (PqSpec) at a codebook of 32×8 = 256 rows, still broadcast-trivial.
+    */
+  private[graft] val PqSubs = 8
+  private[graft] val PqDim = 8
+  private[graft] val PqCodes = 32
+
+  /** Fixed-point subvector rows: one (vec_id, sub, sv: ARRAY<BIGINT>) row
+    * per vector per subspace, components scaled by 1e6 (the q72 idiom) so
+    * every distance downstream is an exact integer.
+    */
+  private def pqSubvectors(e: org.apache.spark.sql.DataFrame) =
+    e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqSubs - 1))).as("sub"),
+        col("xq"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("xq"), col("sub") * PqDim + 1, lit(PqDim)).as("sv"))
+
+  /** Exact integer squared L2 between two fixed-point subvectors: a left
+    * fold over zip_with, all BIGINT ((2·10^6)²·16 ≈ 6·10^13 « 2^63).
+    */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** DuckDB twin of [[pqSubvectors]]: CTE yielding (vec_id, sub, sv). */
+  private val duckPqSv =
+    s"""sv AS (
+       |  SELECT vec_id, s.sub,
+       |    list_transform(range($PqDim * s.sub + 1, $PqDim * s.sub + $PqDim + 1),
+       |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+       |  FROM embeddings, (SELECT unnest(range(0, $PqSubs)) AS sub) s)""".stripMargin
+
+  /** DuckDB twin of [[dist2]]. */
+  private def duckDist2(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, $PqDim + 1),
+       |        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)""".stripMargin
+
+  /** Product-quantization encoding + distortion accounting — the
+    * compression step between q72's scalar int8 and a full ANN index: each
+    * vector becomes [[PqSubs]] 4-bit code ids (here one byte each), a
+    * 64× byte-shrink of the f32 vector, and `dist2_total` is the exact
+    * integer quantization distortion the codebook must answer for.
+    *
+    * Everything after the 1e-6 fixed-pointing is INTEGER math (squared L2
+    * over BIGINT components), so argmin needs no float-tolerance anywhere
+    * and the oracle hash-matches exactly; ties break to the lowest code id.
+    *
+    * Shape at scale: the codebook is [[PqCodes]]×[[PqSubs]] = 64 tiny rows
+    * — broadcast; assignment is a narrow map over (vec_id, sub) rows (one
+    * explode, no shuffle), and the per-vector re-pivot is ONE hash
+    * aggregate keyed by vec_id. No all-pairs anything; at 100 TB the scan
+    * dominates, exactly as a FAISS PQ build does.
+    */
+  val q103PqEncode = Q(
+    "q103_pq_encode",
+    s"""WITH $duckPqSv,
+       |cb AS (SELECT vec_id AS code_id, sub, sv AS cv FROM sv WHERE vec_id < $PqCodes),
+       |scored AS (
+       |  SELECT sv.vec_id, sv.sub, cb.code_id,
+       |    ${duckDist2("sv.sv", "cb.cv")} AS d2
+       |  FROM sv JOIN cb ON sv.sub = cb.sub),
+       |assigned AS (
+       |  SELECT vec_id, sub, code_id, d2 FROM (
+       |    SELECT vec_id, sub, code_id, d2,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
+       |    FROM scored) t WHERE rn = 1)
+       |SELECT vec_id,
+       |${(0 until PqSubs).map(i =>
+          s"  CAST(max(CASE WHEN sub = $i THEN code_id END) AS BIGINT) AS c$i,")
+          .mkString("\n")}
+       |  CAST(sum(d2) AS BIGINT) AS dist2_total
+       |FROM assigned GROUP BY vec_id
+       |ORDER BY vec_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val sv = pqSubvectors(Tables.embeddings(s, d))
+    val cb = sv.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code_id"))
+    val assigned = sv.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code_id"),
+        dist2(col("sv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val codeCols = (0 until PqSubs).map(i =>
+      max(when(col("sub") === i, col("code_id"))).cast("long").as(s"c$i"))
+    val aggs = codeCols :+ sum(col("d2")).cast("long").as("dist2_total")
+    assigned
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k — how a PQ index is actually
+    * searched: the query stays EXACT while every database vector is
+    * replaced by its [[q103PqEncode]] codes, so one query precomputes a
+    * [[PqSubs]]×[[PqCodes]] table of exact subspace distances and each
+    * candidate's approximate distance is just [[PqSubs]] table lookups —
+    * no per-candidate vector math at all.
+    *
+    * All distances are exact integers (fixed-point squared L2), so the
+    * ADC sum, ranking, and oracle hash are deterministic end to end.
+    *
+    * Shape at scale: the distance table is 5 queries × 64 cells —
+    * broadcast; code assignments are the q103 narrow map; the lookup is a
+    * broadcast hash join on (qid-independent) (sub, code_id) followed by
+    * ONE hash aggregate keyed (qid, vec_id) and a per-qid top-k window.
+    * Scan-bound, shuffle-light — the same reason FAISS serves billions of
+    * vectors from PQ codes. Recall vs the exact scan is asserted in
+    * `PqSpec` (ADC is approximate; the driver check pins its exact rows).
+    */
+  val q104PqAdcTopk = Q(
+    "q104_pq_adc_topk",
+    s"""WITH $duckPqSv,
+       |cb AS (SELECT vec_id AS code_id, sub, sv AS cv FROM sv WHERE vec_id < $PqCodes),
+       |scored AS (
+       |  SELECT sv.vec_id, sv.sub, cb.code_id,
+       |    ${duckDist2("sv.sv", "cb.cv")} AS d2
+       |  FROM sv JOIN cb ON sv.sub = cb.sub),
+       |assigned AS (
+       |  SELECT vec_id, sub, code_id FROM (
+       |    SELECT vec_id, sub, code_id,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code_id) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS qid, cb.sub, cb.code_id,
+       |    ${duckDist2("q.sv", "cb.cv")} AS pd2
+       |  FROM sv q JOIN cb ON q.sub = cb.sub WHERE q.vec_id < 5),
+       |adist AS (
+       |  SELECT dt.qid, a.vec_id, CAST(sum(dt.pd2) AS BIGINT) AS adist
+       |  FROM assigned a JOIN dt ON a.sub = dt.sub AND a.code_id = dt.code_id
+       |  WHERE a.vec_id <> dt.qid
+       |  GROUP BY dt.qid, a.vec_id)
+       |SELECT qid, vec_id, adist, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk
+       |  FROM adist) t
+       |WHERE rk <= 5
+       |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val sv = pqSubvectors(Tables.embeddings(s, d))
+    val cb = sv.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+    val assignW = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code_id"))
+    val assigned = sv.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code_id"),
+        dist2(col("sv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code_id"))
+    val dt = sv.filter(col("vec_id") < 5).as("q")
+      .join(broadcast(cb).as("cb"), col("q.sub") === col("cb.sub"))
+      .select(col("q.vec_id").as("qid"), col("cb.sub").as("sub"),
+        col("cb.code_id").as("code_id"),
+        dist2(col("q.sv"), col("cb.cv")).as("pd2"))
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    assigned.as("a")
+      .join(broadcast(dt).as("dt"),
+        col("a.sub") === col("dt.sub") && col("a.code_id") === col("dt.code_id") &&
+          col("a.vec_id") =!= col("dt.qid"))
+      .groupBy(col("dt.qid").as("qid"), col("a.vec_id").as("vec_id"))
+      .agg(sum(col("dt.pd2")).cast("long").as("adist"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 5)
+      .orderBy(col("qid"), col("rk"))
   }
 }
