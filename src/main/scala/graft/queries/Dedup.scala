@@ -384,57 +384,68 @@ object Dedup {
     //  1. distinct (doc_id, gram) rows — dedup is PER-DOC, so it runs as a
     //     per-row array_distinct BEFORE the explode (the substr lambda is
     //     trivially cheap; the md5s stay relational): zero shuffle, where
-    //     explode→DISTINCT paid an exchange + 3 hash aggregates, and this
-    //     subtree is instantiated 4× in the plan (two keyed sides, two
-    //     verify sides) — measured 0.97s→0.40s per instance at sf0.1;
+    //     explode→DISTINCT paid an exchange + 3 hash aggregates;
     //  2. bk + gram count in ONE hash aggregate (min over distinct grams
     //     equals min over all — dedup only tightens the count);
-    //  3. candidate pairs from the bk equi self-join (tiny rows: id+bk+n);
-    //  4. |A∩B| by joining the pair list back to the gram rows on
-    //     (doc_id, gram) and counting — |A∪B| = ng_a + ng_b − |A∩B|.
-    // Every step is a hash join / hash aggregate over scalar columns, so
-    // the same plan holds at 100 TB: no per-pair recompute, shuffles carry
-    // (id, 5-char gram) rows, and candidate mass is bounded by the banding.
-    // The gram rows feed THREE plan sites (the band-key aggregate and both
-    // verify-join sides). Materializing them once via localCheckpoint was
-    // MEASURED WORSE at sf0.1 (5.7s → 8.6s): row serialization plus the
-    // lost whole-stage pipelining costs more than two extra codegen'd
-    // tokenization passes. Recompute stays; a cluster run where the corpus
-    // scan dominates can still persist this stage explicitly.
-    // Also measured worse: q32-style digest slicing (both band keys from
-    // windows of ONE md5 per gram) — isolated 6.5s → 13.4s. Halving the
-    // hash work changed the band-key distribution to hotter buckets whose
-    // quadratic verify mass dwarfed the saved md5s; the two independent
-    // prefixed digests stay.
+    //  3. band keys + gram count via ONE window over doc_id — min(h)/count
+    //     OVER (PARTITION BY doc_id) tags every gram row with its doc's
+    //     signature in the same pass that carries the gram, so there is NO
+    //     separate signature aggregate and NO join-back (a groupBy+join
+    //     shape re-ran the 2-md5-per-gram aggregate once per reference —
+    //     measured 10.7s lazy, 10.3s eagerly checkpointed);
+    //  4. |A∩B| per same-block pair by CO-OCCURRENCE: self-join the tagged
+    //     gram rows on (bk0, bk1, g) — every join output row IS one shared
+    //     gram of one pair, so the join materializes exactly the
+    //     intersection mass Σ|A∩B| (2.6M rows at sf0.1) where the previous
+    //     pairs-then-verify plan materialized the union mass Σ|A| per pair
+    //     (15M rows; banding precision here is 247 true / 33k candidates,
+    //     so union mass is ~6× larger). Pairs sharing NO gram have j = 0
+    //     and are dropped by the j ≥ 0.5 filter either way, so the output
+    //     is IDENTICAL to enumerate-then-verify (the oracle keeps that
+    //     shape: DuckDB's list_intersect on 5k docs is not a bottleneck);
+    //     ng_a/ng_b ride THROUGH the join as grouping keys — no per-doc
+    //     lookup joins after the aggregate. Measured 5.1s → 2.4s.
+    // Every step is window / hash join / hash aggregate over scalar
+    // columns, so the same plan holds at 100 TB: shuffles carry (id or
+    // block, 5-char gram) rows, intersection mass ≤ union mass ALWAYS,
+    // and the per-(block, gram) fan-out is bounded by block size — the
+    // same bound the pair enumeration already had. The self-join's build
+    // side goes broadcast HERE by statistics (45 MB of tagged rows); at
+    // corpus scale the same statistics push it to a shuffle join — the
+    // decision stays Catalyst's, not a hint.
+    // Measured worse across rounds and NOT done: localCheckpoint of the
+    // gram rows (5.7s → 8.6s — serialization beats recompute losses) and
+    // q32-style digest slicing (both band keys from windows of ONE md5 —
+    // 6.5s → 13.4s from hotter buckets).
+    //
+    // Band components are NUMERIC (first 15 hex chars → long): min over a
+    // primitive buffer stays in the codegen'd window aggregate, where min
+    // over the digest STRING would carry UTF8String buffers through the
+    // sort. Fixed-width lowercase hex is order-isomorphic to its numeric
+    // value, so the oracle's lexicographic list_min over the same 15-char
+    // prefixes selects identical band keys.
+    def hashed(prefix: String): Column =
+      conv(substring(md5(concat(lit(prefix), col("g"))), 1, 15), 16, 10)
+        .cast("long")
     val dg = docs
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"),
         explode(array_distinct(transform(
           sequence(lit(1), length(col("text")) - 4),
           i => col("text").substr(i, lit(5))))).as("g"))
-    // Band components are NUMERIC (first 15 hex chars → long): min over a
-    // primitive buffer stays in codegen'd HashAggregate, where min over the
-    // digest STRING falls back to SortAggregate (two extra sorts of the
-    // gram rows). Fixed-width lowercase hex is order-isomorphic to its
-    // numeric value, so the oracle's lexicographic list_min over the same
-    // 15-char prefixes selects identical band keys.
-    def bandMin(prefix: String): Column =
-      min(conv(substring(md5(concat(lit(prefix), col("g"))), 1, 15), 16, 10)
-        .cast("long"))
-    val keyed = dg.groupBy(col("doc_id")).agg(
-      bandMin("0|").as("bk0"), bandMin("1|").as("bk1"),
-      count(lit(1)).as("ng"))
-    val cand = keyed.as("a")
-      .join(keyed.as("b"),
+      .select(col("doc_id"), col("g"),
+        hashed("0|").as("h0"), hashed("1|").as("h1"))
+    val w = Window.partitionBy(col("doc_id"))
+    val tagged = dg.select(col("doc_id"), col("g"),
+      min(col("h0")).over(w).as("bk0"),
+      min(col("h1")).over(w).as("bk1"),
+      count(lit(1)).over(w).as("ng"))
+    tagged.as("a")
+      .join(tagged.as("b"),
         col("a.bk0") === col("b.bk0") && col("a.bk1") === col("b.bk1") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.ng").as("ng_a"), col("b.ng").as("ng_b"))
-    cand
-      .join(dg.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(dg.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.g") === col("gb.g"))
-      .groupBy(col("doc_a"), col("doc_b"), col("ng_a"), col("ng_b"))
       .agg(count(lit(1)).as("ni"))
       .select(col("doc_a"), col("doc_b"),
         graft.functions.Exact.ratio6("ni", "ng_a + ng_b - ni").as("jaccard"))
@@ -522,13 +533,23 @@ object Dedup {
     */
   private[graft] def connectedComponents(
       edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    var labels = edges.select(col("a").as("doc_id")).distinct()
+    // pin the edge list ONCE: every round's neighborhood join re-derives
+    // `edges` otherwise — for q74 that is the sha256 blocking self-join
+    // over the whole corpus, re-run twice per round (propagate + probe).
+    // Edge mass is pair-scale (near-dup candidates), orders of magnitude
+    // below corpus mass, so materializing it is what GraphFrames/GraphX do
+    // before any iterative traversal (measured 2.8 s → 2.4 s at sf0.1 —
+    // modest here because the 47-edge fixture graph makes the per-round
+    // driver/job overhead, not the edge recompute, the floor; the recompute
+    // saved is corpus-scale where edges come from a blocking self-join).
+    val e = edges.localCheckpoint(true)
+    var labels = e.select(col("a").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val nbrMin = edges.join(labels, col("b") === col("doc_id"))
+      val nbrMin = e.join(labels, col("b") === col("doc_id"))
         .groupBy(col("a")).agg(min(col("component")).as("nbr_min"))
       val stepped = labels
         .join(nbrMin, col("doc_id") === col("a"), "left")
