@@ -34,7 +34,7 @@ object Similarity {
   def all: Seq[Q] = Seq(
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
-    q104PqAdcTopk)
+    q104PqAdcTopk, q105RrfHybrid)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -750,6 +750,11 @@ object Similarity {
     * per vector — finer than the first-cut 4×16 geometry, whose ADC
     * recall@5 on the 500-vector fixture was 0.24; this one clears 0.5
     * (PqSpec) at a codebook of 32×8 = 256 rows, still broadcast-trivial.
+    *
+    * PRECONDITION: vectors carry exactly PqSubs×PqDim = 64 components —
+    * the fixture schema. Shorter vectors would slice to empty subvectors
+    * (Spark) vs NULL-padded ones (DuckDB) and the engines would diverge;
+    * a production build parameterizes the geometry per embedding model.
     */
   private[graft] val PqSubs = 8
   private[graft] val PqDim = 8
@@ -917,5 +922,118 @@ object Similarity {
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= 5)
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Reciprocal-rank-fusion micro-score in INTEGER space: the half-up
+    * 6-decimal rounding of 1/(60+rank) scaled by 10⁶ ([[Exact.ratio6]]'s
+    * integer core), so fused scores sum as BIGINTs and divide by 10⁶
+    * exactly once — bit-equal across engines with no decimal plumbing.
+    * NULL rank (doc absent from that ranker) → NULL → coalesced to 0.
+    * `div`/`//` is the only dialect split.
+    */
+  private def rrfMicro(rank: String, intDiv: String): String =
+    s"coalesce((2 * 1000000 + (60 + CAST($rank AS BIGINT))) " +
+      s"$intDiv (2 * (60 + CAST($rank AS BIGINT))), 0)"
+
+  /** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009; the fusion every lexical+vector RAG stack runs): query-by-
+    * example on doc 0, ranked independently by
+    *  - LEXICAL: distinct-token Jaccard against the query doc's token set
+    *    (exact integers via ratio6 — no BM25 float parity to chase here;
+    *    q101 covers BM25 itself), and
+    *  - SEMANTIC: q35's rounded cosine over the embedded subset of the
+    *    corpus (vec_id ⊂ doc_id domain — only part of a 100 TB corpus is
+    *    ever embedded, and RRF's full-outer fusion is exactly how the two
+    *    unequal candidate sets reconcile);
+    * top-20 from each, fused by Σ 1/(60+rank) with k=60, top-10 out.
+    *
+    * Shape at scale: the query side of BOTH rankers is one doc —
+    * broadcast; each ranker is one corpus scan + one hash aggregate (or
+    * one vector map) ended by a global top-20 = TakeOrderedAndProject
+    * (never a corpus-wide window — the rank window runs AFTER the limit,
+    * over 20 rows); the fusion joins two 20-row lists. Nothing quadratic,
+    * no full-width shuffle at any point.
+    */
+  val q105RrfHybrid = Q(
+    "q105_rrf_hybrid",
+    s"""WITH $duckE,
+       |qt AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id = 0),
+       |qn AS (SELECT count(*) AS qn FROM qt),
+       |dt AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents WHERE doc_id <> 0),
+       |lexagg AS (
+       |  SELECT dt.doc_id, count(*) AS nd,
+       |    count(CASE WHEN qt.tok IS NOT NULL THEN 1 END) AS ni
+       |  FROM dt LEFT JOIN qt ON dt.tok = qt.tok
+       |  GROUP BY dt.doc_id),
+       |lex AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY jacc DESC, doc_id) AS lex_rank
+       |  FROM (
+       |    SELECT lexagg.doc_id,
+       |      ${graft.functions.Exact.Sql.ratio6("ni", "nd + qn.qn - ni")} AS jacc
+       |    FROM lexagg CROSS JOIN qn WHERE ni > 0
+       |    ORDER BY jacc DESC, doc_id LIMIT 20) t),
+       |qv AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+       |sem AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+       |  FROM (
+       |    SELECT e.vec_id AS doc_id,
+       |      ${duckCos("e.v", "qv.v", "e.nrm", "qv.nrm")} AS cos
+       |    FROM e CROSS JOIN qv WHERE e.vec_id <> 0
+       |    ORDER BY cos DESC, doc_id LIMIT 20) t)
+       |SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+       |  CAST(sem_rank AS INTEGER) AS sem_rank, rrf_score
+       |FROM (
+       |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |    l.lex_rank, s.sem_rank,
+       |    CAST(${rrfMicro("l.lex_rank", "//")}
+       |       + ${rrfMicro("s.sem_rank", "//")} AS DOUBLE) / 1000000.0
+       |      AS rrf_score
+       |  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id) f
+       |ORDER BY rrf_score DESC, doc_id NULLS FIRST
+       |LIMIT 10""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
+    val dtok = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val qt = dtok.filter(col("doc_id") === 0).select(col("tok"))
+    val qn = qt.agg(count(lit(1)).as("qn"))
+    val lexScored = dtok.filter(col("doc_id") =!= 0)
+      .join(broadcast(qt.withColumn("hit", lit(1))), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nd"), count(col("hit")).as("ni"))
+      .filter(col("ni") > 0)
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        graft.functions.Exact.ratio6("ni", "nd + qn - ni").as("jacc"))
+    val lex = lexScored.orderBy(col("jacc").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("jacc").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    val semScored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        cosine(col("v"), col("qv"), col("nrm"), col("qnrm")).as("cos"))
+    val sem = semScored.orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        expr(s"CAST(${rrfMicro("lex_rank", "div")} " +
+          s"+ ${rrfMicro("sem_rank", "div")} AS DOUBLE) / 1000000.0")
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(10)
   }
 }

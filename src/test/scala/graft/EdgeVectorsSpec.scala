@@ -38,4 +38,12 @@ class EdgeVectorsSpec extends SparkSpec {
       .collect()
     assert(rows.length === 3) // labels 0,1,2
   }
+
+  test("q102 semantic dedup keeps the zero vector (NULL cosine dominates nothing)") {
+    val kept = SparkEntry.queries("q102_semantic_dedup")(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // NULL >= threshold is never true, so the zero vector is neither
+    // dominated nor dominating — it must survive the prune
+    assert(kept.contains(99L), "zero vector was pruned")
+  }
 }
