@@ -173,8 +173,12 @@ object Dedup {
             (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
           .as("raw"))
       .select(col("doc_id"), md5(col("raw")).as("gram"))
-    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    grams.join(df, "gram")
+    // df via a window over the gram partition rather than a groupBy+join
+    // back onto the gram rows: the join shape instantiated the whole
+    // tokenize+md5 subtree twice (once per side); the window computes df
+    // in the same single pass that carries the rows (q51's idiom)
+    grams
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df") > 1, lit(1))).as("n_shared"))

@@ -211,10 +211,13 @@ object TextAnalysis {
         explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("n_tokens"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // df via a window over the term partition: tf rows are one per
+    // (doc, term) already, so count over the term partition IS the
+    // document frequency — no second tokenize+aggregate subtree and no
+    // term join (q51's idiom)
     val scored = tf
-      .join(df, "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         round((col("tf").cast("double") / col("n_tokens"))

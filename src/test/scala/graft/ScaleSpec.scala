@@ -212,22 +212,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("q52's vocabulary join survives a disabled broadcast threshold") {
+  test("q52 computes document frequency without a vocabulary join") {
     // the df (document-frequency) side is vocabulary-sized at 100 TB, so
-    // q52 must not FORCE it broadcast: with size-based broadcasts disabled
-    // the term join has to degrade to a shuffle join and still execute —
-    // only the 1-row n_docs frame may keep an explicit broadcast hint
+    // q52 must neither FORCE it broadcast nor join it back at all: df is a
+    // count over a Window partitioned by term, so the tf rows flow through
+    // ONE term exchange and no second tokenize+aggregate subtree exists.
+    // Disabling size-based broadcasts must leave zero hash/merge joins —
+    // only the 1-row n_docs frame keeps its explicit broadcast (a bounded
+    // BroadcastNestedLoopJoin Cross of exactly one row)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val q52 = graft.queries.TextAnalysis.q52Tfidf.fn(spark, sf)
       q52.write.format("noop").mode("overwrite").save()
       val plan = q52.queryExecution.executedPlan.toString
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"expected the term join to shuffle under threshold=-1:\n$plan")
-      assert(!plan.contains("BroadcastHashJoin"),
-        s"a BroadcastHashJoin under threshold=-1 means a forced hint on a " +
-          s"data-sized side:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+          && !plan.contains("BroadcastHashJoin"),
+        s"q52 must carry df via a window, not a term join:\n$plan")
+      assert(plan.contains("windowspecdefinition(term"),
+        s"expected df as count(1) over a term-partitioned window:\n$plan")
+      val termExchanges = "Exchange hashpartitioning\\(term".r
+        .findAllIn(plan).size
+      assert(termExchanges == 1,
+        s"expected exactly one term exchange, saw $termExchanges:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
