@@ -10,7 +10,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Analytic.all ++ Functions.all ++ Pipeline.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Curation.all ++
-      Gaps.all ++ StreamingQ.all ++ MultimodalQ.all
+      Gaps.all ++ StreamingQ.all ++ MultimodalQ.all ++ ScaleOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotF64, NormF64}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.BinaryType
+
+import graft.functions.{BloomMightContainLong, CmsEstimateString, DotF64, NormF64}
 
 /** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the native vector expressions so they are first-class SQL
@@ -24,5 +27,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_norm"),
       new ExpressionInfo(classOf[NormF64].getName, "graft_norm"),
       (children: Seq[Expression]) => NormF64(children.head)))
+    // sketch probes take the serialized sketch as a BINARY LITERAL first
+    // argument (a plan constant, like Spark's own BloomFilterMightContain):
+    // the sketch is deserialized once per task via the codegen reference
+    // array, never per row
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName,
+        "graft_bloom_might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(Literal(b: Array[Byte], BinaryType), key) =>
+          BloomMightContainLong(b, key)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_might_contain(<binary literal sketch>, <bigint key>)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateString].getName,
+        "graft_cms_estimate"),
+      (children: Seq[Expression]) => children match {
+        case Seq(Literal(b: Array[Byte], BinaryType), key) =>
+          CmsEstimateString(b, key)
+        case _ => throw new IllegalArgumentException(
+          "graft_cms_estimate(<binary literal sketch>, <string key>)")
+      }))
   }
 }

@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scale-path join/layout operators — the techniques that decide whether a
+  * plan survives a 100 TB fact table, each proven correct against a plain
+  * relational oracle of the same semantics:
+  *
+  *  - q106: bloom-pruned semi join (ship a sketch of the build side into
+  *    the fact scan; shuffle only the survivors);
+  *  - q107: binned interval join (large-large point-in-range without a
+  *    broadcast-nested-loop plan);
+  *  - q108: Z-order curve math (multi-dimensional clustering key for
+  *    min/max data skipping; the layout proof lives in ZorderSpec);
+  *  - q109: count-min frequency estimation (fixed-size mergeable state
+  *    probed without rescanning the corpus).
+  */
+object ScaleOps {
+
+  def all: Seq[Q] = Seq(
+    q106BloomSemiJoin, q107RangeBinJoin, q108ZorderCurve, q109CmsFrequency)
+
+  /** Bloom-pruned semi join — the explicit form of runtime row-level
+    * filtering (which Spark only auto-injects under AQE heuristics, and
+    * only for shuffle-heavy shapes it recognizes). Build: ONE distributed
+    * bloom aggregate over the dim keys (public `stat.bloomFilter`; the
+    * result is driver-sized like any broadcast build — ~1.2 MB per million
+    * keys at 1% fpp). Probe: the sketch rides the plan as a constant into
+    * [[graft.functions.BloomMightContainLong]], a codegen'd filter ON THE
+    * SCAN SIDE, so the (1 − selectivity) mass of the fact table dies
+    * before the semi-join shuffle instead of after it. False positives
+    * (≤ fpp) are swept by the exact confirming semi join that follows —
+    * the output is provably the plain semi join, which is exactly what the
+    * oracle checks. At 100 TB this is the difference between shuffling
+    * 20 TB and shuffling 200 GB for a 1%-selective dim.
+    */
+  val q106BloomSemiJoin = Q(
+    "q106_bloom_semi_join",
+    s"""SELECT l_returnflag, count(*) AS n_items,
+       |  ${Exact.Sql.dsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |WHERE l_orderkey IN
+       |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = urgent.stat.bloomFilter(
+      "o_orderkey", math.max(urgent.count(), 1L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .filter(call_function("graft_bloom_might_contain",
+        lit(bytes), col("l_orderkey")))
+      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Binned interval join — point-in-range between two DATA-SIZED sides.
+    * Spark plans a bare `v BETWEEN lo AND hi` join as
+    * BroadcastNestedLoopJoin (or worse, a cartesian), which is O(n·m) and
+    * dies the moment neither side broadcasts; q08's band join solved this
+    * only for a LITERAL band list. Here both sides map onto fixed-width
+    * bins of the join domain — points to their one bin, intervals to every
+    * bin they overlap (fan-out ≤ ⌈width/W⌉ + 1, bounded by construction) —
+    * and the join becomes a plain shuffled EQUI join on the bin key with
+    * the exact BETWEEN as a residual. Each matching pair meets exactly
+    * once (in the point's bin), so no dedup pass is needed. The plan
+    * shape — hash-partition both sides on bin, hash join, residual
+    * filter — is the standard range-join optimization (Databricks ships it
+    * as a hint; open-source Spark has no equivalent), and it scales as
+    * Σ per-bin products instead of n·m. ScaleSpec proves no BNLJ appears
+    * even with broadcasts disabled.
+    *
+    * Points derive from integer arithmetic (`900 + (l_orderkey % 100000) /
+    * 1000`) and both engines evaluate the same IEEE double expressions, so
+    * boundary inclusion is bit-identical cross-engine.
+    */
+  val q107RangeBinJoin = Q(
+    "q107_range_bin_join",
+    s"""WITH pts AS (
+       |  SELECT CAST(900.0 AS DOUBLE)
+       |    + (l_orderkey % 100000) / CAST(1000.0 AS DOUBLE) AS v
+       |  FROM lineitem),
+       |iv AS (
+       |  SELECT p_brand,
+       |    p_retailprice - p_size / CAST(1000.0 AS DOUBLE) AS lo,
+       |    p_retailprice + p_size / CAST(1000.0 AS DOUBLE) AS hi
+       |  FROM part)
+       |SELECT p_brand, count(*) AS n_matches, ${Exact.Sql.dsum("v")} AS sum_v
+       |FROM pts JOIN iv ON v >= lo AND v <= hi
+       |GROUP BY p_brand
+       |ORDER BY p_brand NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    // W must only be > 0 for correctness; it tunes fan-out (interval width
+    // here is ≤ 2·50/1000 = 0.1 → ≤ 3 bins per interval). At 100 TB, W
+    // comes from ONE bounded aggregate over the interval side (avg width).
+    val W = 0.05
+    val pts = Tables.lineitem(s, d)
+      .select((lit(900.0) + (col("l_orderkey") % 100000) / lit(1000.0)).as("v"))
+      .withColumn("bin", floor(col("v") / W))
+    val iv = Tables.part(s, d)
+      .select(col("p_brand"),
+        (col("p_retailprice") - col("p_size") / lit(1000.0)).as("lo"),
+        (col("p_retailprice") + col("p_size") / lit(1000.0)).as("hi"))
+      .withColumn("bin",
+        explode(sequence(floor(col("lo") / W), floor(col("hi") / W))))
+    pts.join(iv,
+        pts("bin") === iv("bin") && col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_matches"), Exact.dsum(col("v")).as("sum_v"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** 10-bit-per-dimension Z-order (Morton) key over two numeric columns:
+    * equi-width bucket each dimension to [0, 1023], then interleave the
+    * bits (x even positions, y odd). Sorting/range-partitioning by this ONE
+    * key clusters BOTH dimensions at once, which is what makes parquet
+    * min/max row-group skipping work for multi-dimensional predicates — a
+    * linear sort on x gives a y-only filter nothing to skip (ZorderSpec
+    * writes both layouts and counts surviving file boxes to prove it).
+    * This query oracle-checks the curve MATH itself cross-engine: bucket
+    * arithmetic and 20-term bit interleave are pure integer/IEEE
+    * expressions, so min/max/Σ of z per group hash-match DuckDB exactly.
+    * Precondition (documented, like q54's): each dimension has range > 0.
+    */
+  val q108ZorderCurve = Q(
+    "q108_zorder_curve",
+    s"""WITH st AS (
+       |  SELECT min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
+       |         min(l_quantity) AS ymin, max(l_quantity) AS ymax
+       |  FROM lineitem),
+       |z AS (
+       |  SELECT l_returnflag,
+       |    ${zInterleaveSql(
+              bucketSql("l_extendedprice", "xmin", "xmax"),
+              bucketSql("l_quantity", "ymin", "ymax"))} AS zv
+       |  FROM lineitem, st)
+       |SELECT l_returnflag, count(*) AS n_items, min(zv) AS min_z,
+       |  max(zv) AS max_z, CAST(sum(zv) AS BIGINT) AS sum_z
+       |FROM z GROUP BY l_returnflag
+       |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val st = li.agg(
+      min(col("l_extendedprice")), max(col("l_extendedprice")),
+      min(col("l_quantity")), max(col("l_quantity"))).head
+    val z = zorderKey(
+      col("l_extendedprice"), st.getDouble(0), st.getDouble(1),
+      col("l_quantity"), st.getDouble(2), st.getDouble(3))
+    li.select(col("l_returnflag"), z.as("zv"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), min(col("zv")).as("min_z"),
+        max(col("zv")).as("max_z"), sum(col("zv")).as("sum_z"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Equi-width bucket of `x` into [0, 1023] given driver-known min/max —
+    * the same double expression tree the oracle text evaluates, so the
+    * bucket is bit-identical cross-engine (floor and IEEE ops are exact).
+    */
+  private def bucket(x: Column, mn: Double, mx: Double): Column =
+    least(lit(1023L), floor((x - lit(mn)) / lit(mx - mn) * lit(1024.0)))
+
+  private def bucketSql(x: String, mn: String, mx: String): String =
+    s"least(1023, CAST(floor(($x - $mn) / ($mx - $mn) * 1024.0) AS BIGINT))"
+
+  /** Morton interleave of two 10-bit buckets: x bits at even positions, y
+    * at odd. 40 codegen'd shift/mask terms OR-folded — no UDF, no loop.
+    */
+  def zorderKey(x: Column, xmn: Double, xmx: Double,
+                y: Column, ymn: Double, ymx: Double): Column = {
+    val bx = bucket(x, xmn, xmx)
+    val by = bucket(y, ymn, ymx)
+    (0 until 10).foldLeft(lit(0L)) { (acc, k) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(bx, k).bitwiseAND(lit(1L)), 2 * k))
+        .bitwiseOR(shiftleft(shiftright(by, k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }
+  }
+
+  // single-line join: a leading "|" would be eaten by the caller's
+  // stripMargin (it is the margin marker, not the bitwise OR, there)
+  private def zInterleaveSql(bx: String, by: String): String =
+    (0 until 10).flatMap(k => Seq(
+      s"((($bx >> $k) & 1) << ${2 * k})",
+      s"((($by >> $k) & 1) << ${2 * k + 1})")).mkString(" | ")
+
+  /** Count-min frequency estimation — the point-lookup companion to q99's
+    * top-k and q98's HLL rollup: ONE fixed-size sketch of the corpus
+    * (width ⌈e/eps⌉ × depth ⌈ln 1/(1−conf)⌉ counters, mergeable across
+    * partitions/days exactly like the HLL rollup) answers "how often does
+    * key X occur" for ANY later key without rescanning — at 100 TB the
+    * corpus scan happens once and every subsequent frequency question is a
+    * probe of ~1 MB of state. Build is the public distributed
+    * `stat.countMinSketch`; probes ride the codegen'd
+    * [[graft.functions.CmsEstimateString]]. CMS never undercounts and
+    * overcounts only on all-rows hash collisions; at this key cardinality
+    * the estimate is provably exact (seed is fixed, so this is
+    * deterministic, and the oracle's exact GROUP BY hash-match proves it);
+    * SketchOpsSpec proves the merge law and the no-undercount bound on an
+    * adversarial wide-vocabulary fixture.
+    */
+  val q109CmsFrequency = Q(
+    "q109_cms_frequency",
+    """SELECT event_type, count(*) AS est_count
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val cms = ev.stat.countMinSketch("event_type", 1e-4, 0.99, 42)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      bos.toByteArray
+    }
+    ev.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        call_function("graft_cms_estimate", lit(bytes), col("event_type"))
+          .as("est_count"))
+      .orderBy(col("event_type"))
+  }
+}
