@@ -96,8 +96,8 @@ object ScaleOps {
        |  FROM lineitem),
        |iv AS (
        |  SELECT p_brand,
-       |    p_retailprice - p_size / CAST(1000.0 AS DOUBLE) AS lo,
-       |    p_retailprice + p_size / CAST(1000.0 AS DOUBLE) AS hi
+       |    p_retailprice - p_size / CAST(4000.0 AS DOUBLE) AS lo,
+       |    p_retailprice + p_size / CAST(4000.0 AS DOUBLE) AS hi
        |  FROM part)
        |SELECT p_brand, count(*) AS n_matches, ${Exact.Sql.dsum("v")} AS sum_v
        |FROM pts JOIN iv ON v >= lo AND v <= hi
@@ -105,7 +105,7 @@ object ScaleOps {
        |ORDER BY p_brand NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     // W must only be > 0 for correctness; it tunes fan-out (interval width
-    // here is ≤ 2·50/1000 = 0.1 → ≤ 3 bins per interval). At 100 TB, W
+    // here is ≤ 2·50/4000 = 0.025 → ≤ 2 bins per interval). At 100 TB, W
     // comes from ONE bounded aggregate over the interval side (avg width).
     val W = 0.05
     val pts = Tables.lineitem(s, d)
@@ -113,8 +113,8 @@ object ScaleOps {
       .withColumn("bin", floor(col("v") / W))
     val iv = Tables.part(s, d)
       .select(col("p_brand"),
-        (col("p_retailprice") - col("p_size") / lit(1000.0)).as("lo"),
-        (col("p_retailprice") + col("p_size") / lit(1000.0)).as("hi"))
+        (col("p_retailprice") - col("p_size") / lit(4000.0)).as("lo"),
+        (col("p_retailprice") + col("p_size") / lit(4000.0)).as("hi"))
       .withColumn("bin",
         explode(sequence(floor(col("lo") / W), floor(col("hi") / W))))
     pts.join(iv,

@@ -75,8 +75,8 @@ class ScaleOpsSpec extends SparkSpec {
       .select((lit(900.0) + (col("l_orderkey") % 100000) / lit(1000.0)).as("v"))
     val iv = Tables.part(spark, sf)
       .select(col("p_brand"),
-        (col("p_retailprice") - col("p_size") / lit(1000.0)).as("lo"),
-        (col("p_retailprice") + col("p_size") / lit(1000.0)).as("hi"))
+        (col("p_retailprice") - col("p_size") / lit(4000.0)).as("lo"),
+        (col("p_retailprice") + col("p_size") / lit(4000.0)).as("hi"))
     val naive = pts.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
       .groupBy(col("p_brand")).agg(count(lit(1)).as("n_matches"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
