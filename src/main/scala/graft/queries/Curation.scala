@@ -28,7 +28,48 @@ object Curation {
 
   def all: Seq[Q] = Seq(
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
-    q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks)
+    q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
+    q110BottomkSample)
+
+  /** Per-group bottom-k-by-hash sampling through the
+    * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
+    * (every doc below a hash threshold), this samples a fixed COUNT per
+    * group, the form a "3 exemplar docs per source" curation report needs.
+    * The aggregate is algebraic (sorted-merge-truncate partials), so the
+    * plan is ONE hash aggregate with map-side combine shipping ≤ k rows
+    * per (group, task) — no per-partition sort and no WindowGroupLimit,
+    * unlike the row_number formulation the oracle uses (at 6k docs DuckDB
+    * can afford it; at 100 TB the window sorts the corpus, the aggregate
+    * never does). Hash = first 15 hex chars of keyed md5 as a long
+    * (numeric order ≡ hex string order, the q51 idiom), ties by id, so
+    * both engines select identical rows.
+    */
+  val q110BottomkSample = Q(
+    "q110_bottomk_sample",
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    substr(md5('bk|' || CAST(doc_id AS VARCHAR)), 1, 15) AS hx
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rk
+      |  FROM h)
+      |SELECT source, doc_id, rk FROM r WHERE rk <= 3
+      |ORDER BY source NULLS FIRST, rk""".stripMargin,
+  ) { (s, d) =>
+    val sampler = udaf(new graft.functions.BottomK(3))
+    Tables.documents(s, d)
+      .select(col("source"),
+        conv(substring(md5(concat(lit("bk|"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(sampler(col("h"), col("doc_id")).as("ids"))
+      .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("source"), col("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
 
   /** PII detection + redaction (the scrub pass every shipped training
     * corpus runs): regex-match emails, US-shaped phone numbers, and IPv4

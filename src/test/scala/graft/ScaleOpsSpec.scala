@@ -130,6 +130,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(est === exact)
   }
 
+  test("q110 samples via a two-phase aggregate, not a window sort") {
+    val df = SparkEntry.queries("q110_bottomk_sample")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the Aggregator plans as ObjectHashAggregate with a partial phase
+    // (map-side combine ships ≤ k rows per group per task); the
+    // row_number formulation would show Window/WindowGroupLimit + Sort
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected an object hash aggregate:\n$plan")
+    assert(plan.contains("partial_bottomk"),
+      s"expected a partial (map-side) aggregation phase:\n$plan")
+    assert(!plan.contains("WindowGroupLimit"),
+      s"bottom-k must not fall back to a window sort:\n$plan")
+
+    // and it must equal the window formulation row for row
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(
+        md5(concat(lit("bk|"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      Tables.documents(spark, sf)
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("doc_id"), col("rk").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val viaAgg = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("bloom probe survives an interpreted (non-codegen) evaluation") {
     // fallback path parity: the same rows pass whether the predicate runs
     // through doGenCode or eval (wholestage off)
