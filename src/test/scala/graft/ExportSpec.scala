@@ -310,6 +310,53 @@ class ExportSpec extends SparkSpec {
     assert(snap3(3L) === "v3-3")
   }
 
+  test("schema evolution across the chain: declared-latest read, old runs fill null") {
+    // the reference's schemas are DECLARED, not inferred (SURVEY §1.2) —
+    // evolution therefore means: the table config gains a nullable column,
+    // and every consumer reads the WHOLE chain under the newest declared
+    // schema. readSnapshot pins spark.read.schema(cfg.schema), so parquet
+    // files written before the column existed fill it with null instead of
+    // poisoning the union or silently dropping the column (what a
+    // footer-sampled inferred schema would do at 100 TB, where runs span
+    // years of schema history).
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val v1 = TableConfig("evo",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val v2 = v1.copy(schema = Schemas.fromDtypes(Seq(
+      "id" -> "Int64", "updated_at" -> "datetime64[ns]",
+      "v" -> "string", "note" -> "string")))
+    val out = tmpDir()
+    val base = (0L until 4L).map(i => (i, t("2024-01-01T00:00:00"), s"v$i"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((base, v1, Seq("id"))), out, 1000L)
+    // run 2 under the evolved config: id 1 re-versioned WITH a note, id 9 new
+    val delta = Seq(
+      (1L, t("2024-02-01T00:00:00"), "v1-2", "patched"),
+      (9L, t("2024-02-01T00:00:00"), "v9", "fresh"))
+      .toDF("id", "updated_at", "v", "note")
+    Export.exportIncremental(Seq((delta, v2, Seq("id"))), out, 2000L)
+
+    val snap = Export.readSnapshot(out, v2, Seq("id"), spark)
+    assert(snap.schema.fieldNames.toSeq === Seq("id", "updated_at", "v", "note"))
+    val rows = snap.collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), Option(r.getString(3))))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 9L))
+    // pre-evolution rows surface with a null note under the v2 schema
+    assert(rows(0L) === (("v0", None)))
+    // the upsert crossed the schema boundary and carries the new column
+    assert(rows(1L) === (("v1-2", Some("patched"))))
+    assert(rows(9L) === (("v9", Some("fresh"))))
+    // compaction preserves the evolved snapshot byte for byte
+    Export.compact(out, Seq((v2, Seq("id"), Seq("id"))), spark, 3000L)
+    val compacted = Export.readSnapshot(out, v2, Seq("id"), spark)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(compacted.view.mapValues(identity).toMap ===
+      rows.view.mapValues(_._2).toMap)
+  }
+
   test("a crashed run (no manifest) is invisible: tombstones never half-applied") {
     import spark.implicits._
     def t(s: String) = java.time.LocalDateTime.parse(s)
