@@ -80,6 +80,61 @@ class ScaleSpec extends SparkSpec {
       events.filter(col("day") === lit(oneDay)).count())
   }
 
+  test("dynamic partition pruning derives fact partitions from a dim filter") {
+    // the runtime half of partition pruning: the filter lives on a DIM
+    // column that is NOT the join key, so no static rule can derive the
+    // fact partitions (constraint propagation only transfers join-key
+    // predicates). DPP must inject a runtime subquery into the fact scan's
+    // PartitionFilters — at 100 TB this is what turns "star join filtered
+    // by dim attributes" from a full fact scan into a one-partition read.
+    val dir = "/tmp/graft_dpp"
+    val events = Tables.events(spark, sf).withColumn("day", to_date(col("ts")))
+    events.write.partitionBy("day").mode("overwrite").parquet(s"$dir/fact")
+    val oneDay = events.select(min(col("day"))).head.getDate(0)
+    events.select(col("day")).distinct()
+      .withColumn("tag",
+        when(col("day") === lit(oneDay), "pick").otherwise("skip"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "pick")
+    val joined = fact.join(dim, Seq("day"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      events.filter(col("day") === lit(oneDay)).count())
+
+    // AQE wraps the executed tree in LeafExecNode shells (AdaptiveSparkPlan,
+    // QueryStage, ReusedExchange) — collectLeaves stops at each, so unwrap
+    // recursively to reach the true scans
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def trueLeaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => trueLeaves(a.executedPlan)
+      case q: QueryStageExec => trueLeaves(q.plan)
+      case r: ReusedExchangeExec => trueLeaves(r.child)
+      case leaf if leaf.children.isEmpty => Seq(leaf)
+      case other => other.children.flatMap(trueLeaves)
+    }
+    val factScans = trueLeaves(joined.queryExecution.executedPlan)
+      .filter(_.toString.contains("graft_dpp/fact"))
+    assert(factScans.nonEmpty, "fact scan not found in plan")
+    assert(factScans.exists(_.toString.contains("dynamicpruning")),
+      s"expected a dynamicpruning subquery in PartitionFilters:\n" +
+        factScans.mkString("\n"))
+    val nPart = events.select(col("day")).distinct().count()
+    assert(nPart > 1, "fixture must span multiple days")
+    // AQE can leave several instances of the scan in the final plan; the
+    // one that executed carries the partition-read metric
+    val selected = factScans
+      .flatMap(s => s.metrics.get("numPartitions").map(_.value))
+    assert(selected.nonEmpty,
+      s"no fact scan exposed numPartitions; metrics seen: " +
+        factScans.map(_.metrics.keys.mkString("[", ",", "]")).mkString(" "))
+    assert(selected.exists(_ === 1L),
+      s"DPP should select 1 of $nPart partitions, got $selected")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // the runtime half of the skew story: q55's salting is the MANUAL tool
     // for skewed AGGREGATES; for skewed JOINS the engine leans on AQE,
