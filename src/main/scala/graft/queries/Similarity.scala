@@ -773,11 +773,14 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         slice(col("xq"), col("sub") * PqDim + 1, lit(PqDim)).as("sv"))
 
-  /** Exact integer squared L2 between two fixed-point subvectors: a left
-    * fold over zip_with, all BIGINT ((2·10^6)²·16 ≈ 6·10^13 « 2^63).
+  /** Exact integer squared L2 between two fixed-point subvectors, through
+    * the codegen'd `graft_l2sq_i64` (semantics pinned to the
+    * `aggregate(zip_with(...))` left fold it replaced — the interpreted HOF
+    * was the PQ hot-path cost center, evaluated rows×subs×codes times).
+    * All BIGINT ((2·10^6)²·16 ≈ 6·10^13 « 2^63).
     */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    call_function("graft_l2sq_i64", a, b)
 
   /** DuckDB twin of [[pqSubvectors]]: CTE yielding (vec_id, sub, sv). */
   private val duckPqSv =
@@ -833,13 +836,18 @@ object Similarity {
     val sv = pqSubvectors(Tables.embeddings(s, d))
     val cb = sv.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
-    val w = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("code_id"))
+    // argmin as min_by over (d2, code_id) — a hash aggregate with map-side
+    // combine (32 scored rows fold to 1 per (vec_id, sub) BEFORE the
+    // exchange), where the row_number window shuffled and sorted every
+    // scored row; (d2, code_id) struct order has a unique minimum, so the
+    // selection — including the d2-tie → lowest-code rule — is identical
     val assigned = sv.join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code_id"),
         dist2(col("sv"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(
+        min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code_id"),
+        min(col("d2")).as("d2"))
     val codeCols = (0 until PqSubs).map(i =>
       max(when(col("sub") === i, col("code_id"))).cast("long").as(s"c$i"))
     val aggs = codeCols :+ sum(col("d2")).cast("long").as("dist2_total")
@@ -899,14 +907,13 @@ object Similarity {
     val sv = pqSubvectors(Tables.embeddings(s, d))
     val cb = sv.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
-    val assignW = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("code_id"))
+    // same min_by argmin as q103: map-side-combined hash aggregate, no
+    // window sort over the rows×codes scored mass
     val assigned = sv.join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code_id"),
         dist2(col("sv"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code_id"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code_id"))
     val dt = sv.filter(col("vec_id") < 5).as("q")
       .join(broadcast(cb).as("cb"), col("q.sub") === col("cb.sub"))
       .select(col("q.vec_id").as("qid"), col("cb.sub").as("sub"),
