@@ -10,7 +10,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Analytic.all ++ Functions.all ++ Pipeline.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Curation.all ++
-      Gaps.all ++ StreamingQ.all ++ MultimodalQ.all ++ ScaleOps.all
+      Gaps.all ++ StreamingQ.all ++ MultimodalQ.all ++ ScaleOps.all ++
+      GraphOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -29,7 +29,7 @@ object Curation {
   def all: Seq[Q] = Seq(
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
     q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
-    q110BottomkSample)
+    q110BottomkSample, q112WeightedSample)
 
   /** Per-group bottom-k-by-hash sampling through the
     * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
@@ -65,6 +65,59 @@ object Curation {
         col("doc_id"))
       .groupBy(col("source"))
       .agg(sampler(col("h"), col("doc_id")).as("ids"))
+      .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
+      .select(col("source"), col("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** WEIGHTED per-group sampling without replacement (Efraimidis–Spirakis
+    * A-ES as a bottom-k): q110 samples uniformly; a curation pipeline more
+    * often wants inclusion probability ∝ document size or quality weight.
+    * Each doc draws u ∈ (0,1) from a keyed md5 (13 hex chars / 2⁵²,
+    * +0.5 so u is never 0) and competes on the exponential key
+    * −ln(u)/w — the k smallest keys per group ARE a weight-proportional
+    * sample without replacement (Efraimidis & Spirakis 2006, via the
+    * equivalent u^{1/w} max-k form). The key is then FLOORED INTO INTEGER
+    * MICRO-SPACE (×10¹², the q105 idiom): both engines floor the same
+    * IEEE double (ln float-cast per the q87 libm rule), so selection is
+    * tie-free-deterministic cross-engine AND the long key feeds the same
+    * [[graft.functions.BottomK]] aggregate as q110 — ONE hash aggregate
+    * with map-side combine, ≤ k rows shipped per (group, task), no
+    * per-partition sort, while the oracle pays the window formulation
+    * DuckDB can afford at fixture scale.
+    */
+  val q112WeightedSample = Q(
+    "q112_weighted_sample",
+    """WITH h AS (
+      |  SELECT source, doc_id, n_chars + 1 AS w,
+      |    (CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 13))
+      |       AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+      |  FROM documents),
+      |k AS (
+      |  SELECT source, doc_id,
+      |    CAST(floor((0.0 - CAST(ln(u) AS FLOAT)) / w * 1000000000000.0)
+      |      AS BIGINT) AS key
+      |  FROM h),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+      |  FROM k)
+      |SELECT source, doc_id, rk FROM r WHERE rk <= 5
+      |ORDER BY source NULLS FIRST, rk""".stripMargin,
+  ) { (s, d) =>
+    val sampler = udaf(new graft.functions.BottomK(5))
+    val u = (conv(substring(md5(concat(lit("ws|"),
+        col("doc_id").cast("string"))), 1, 13), 16, 10).cast("long")
+      + lit(0.5)) / lit(4503599627370496.0)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        (col("n_chars") + 1).as("w"), u.as("u"))
+      .select(col("source"), col("doc_id"),
+        floor((lit(0.0) - log(col("u")).cast("float"))
+          / col("w") * lit(1000000000000.0)).cast("long").as("key"))
+      .groupBy(col("source"))
+      .agg(sampler(col("key"), col("doc_id")).as("ids"))
       .select(col("source"), posexplode(col("ids")).as(Seq("pos", "doc_id")))
       .select(col("source"), col("doc_id"),
         (col("pos") + 1).cast("long").as("rk"))

@@ -19,7 +19,8 @@ object Gaps {
     q58ApproxPercentile, q59CollectAgg, q61StatsMoments, q63SqlCorrelated,
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
-    q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters)
+    q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
+    q111DriftPsi)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -920,5 +921,71 @@ object Gaps {
       .orderBy(col("o_orderkey"))
       .offset(100)
       .limit(50)
+  }
+
+  /** Distribution-drift detection via Population Stability Index — the
+    * snapshot-over-snapshot monitor a production pipeline runs before
+    * trusting a new data drop (q97 checks CONSTRAINTS; this checks the
+    * SHAPE of a numeric column against the previous epoch). Orders split
+    * into two epochs at a literal date; `o_totalprice` lands in 10
+    * fixed-width bins (q85's clamp idiom); per bin, PSI_i =
+    * (p_a − p_b)·ln(p_a/p_b) with Laplace add-one smoothing so an empty
+    * bin in one epoch yields a finite, large term instead of ±∞.
+    *
+    * Plan at 100 TB: ONE scan of the fact table into a 10-row conditional
+    * aggregate (both epoch counts from the same pass — no per-epoch scan),
+    * then the epoch totals come from a window over THAT 10-row aggregate.
+    * The unpartitioned window is deliberate and safe: its input is bounded
+    * at the bin count by construction, never data-sized (the q91 rule
+    * forbids global windows over DATA; this is over the histogram).
+    * Cross-engine exactness: counts are integers, the probability divides
+    * are IEEE-identical, and the lone transcendental goes through the
+    * float-cast (q87's libm-wobble rule) before the rounded product.
+    */
+  val q111DriftPsi = Q(
+    "q111_drift_psi",
+    """WITH b AS (
+      |  SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 0 ELSE 1 END
+      |      AS epoch
+      |  FROM orders),
+      |c AS (
+      |  SELECT bin,
+      |    count(*) FILTER (WHERE epoch = 0) AS a_cnt,
+      |    count(*) FILTER (WHERE epoch = 1) AS b_cnt
+      |  FROM b GROUP BY bin),
+      |p AS (
+      |  SELECT bin, a_cnt, b_cnt,
+      |    CAST(a_cnt + 1 AS DOUBLE) / CAST(sum(a_cnt) OVER () + 10 AS DOUBLE)
+      |      AS p_a,
+      |    CAST(b_cnt + 1 AS DOUBLE) / CAST(sum(b_cnt) OVER () + 10 AS DOUBLE)
+      |      AS p_b
+      |  FROM c)
+      |SELECT bin, a_cnt, b_cnt,
+      |  round(CAST(p_a - p_b AS DOUBLE)
+      |    * CAST(CAST(ln(p_a / p_b) AS FLOAT) AS DOUBLE), 6) AS psi_term
+      |FROM p ORDER BY bin NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val mid = to_timestamp(lit("1998-07-01 00:00:00"))
+    val c = Tables.orders(s, d)
+      .select(
+        least(floor(col("o_totalprice") / 50000).cast("long"), lit(9L))
+          .as("bin"),
+        when(col("o_orderdate") < mid, 0).otherwise(1).as("epoch"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("epoch") === 0, 1)).as("a_cnt"),
+        count(when(col("epoch") === 1, 1)).as("b_cnt"))
+    // totals via a window over the 10-row histogram (bounded by construction)
+    val all = Window.partitionBy()
+    val p = c.select(col("bin"), col("a_cnt"), col("b_cnt"),
+      ((col("a_cnt") + 1).cast("double")
+        / (sum(col("a_cnt")).over(all) + 10).cast("double")).as("p_a"),
+      ((col("b_cnt") + 1).cast("double")
+        / (sum(col("b_cnt")).over(all) + 10).cast("double")).as("p_b"))
+    p.select(col("bin"), col("a_cnt"), col("b_cnt"),
+      round((col("p_a") - col("p_b")).cast("double")
+        * log(col("p_a") / col("p_b")).cast("float").cast("double"), 6)
+        .as("psi_term"))
+      .orderBy(col("bin"))
   }
 }

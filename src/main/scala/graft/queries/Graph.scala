@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative link analysis — the third member of the engine's iterative
+  * family (q74's connected components, KmeansSpec's Lloyd's): PageRank over
+  * a behavior graph, the canonical "importance from structure" signal a
+  * web-scale curation pipeline uses to weight crawl sources.
+  *
+  * The reference (a single-pass exporter) has no iterative operator at all;
+  * this is [EXT] per SURVEY §2. Design follows the house iterative idiom:
+  * per-round state lives in executors (ranks DataFrame, localCheckpoint to
+  * cut lineage), rounds are FIXED (power iteration, not fixpoint detection —
+  * rank deltas shrink geometrically, so a fixed budget is the standard
+  * production form), and all arithmetic is 10¹²-unit INTEGER fixed point:
+  * `rank // outdeg` and `(85·m) // 100` are exact integer ops in both
+  * engines, so 8 chained iterations stay bit-identical cross-engine — no
+  * float accumulation drift, which is what makes an ITERATIVE oracle
+  * hash-match where a double formulation would diverge by iteration 3.
+  */
+object GraphOps {
+
+  def all: Seq[Q] = Seq(q113Pagerank)
+
+  private val Iters = 8
+  private val Mass = 1000000000000L // 10^12 micro-units of total rank
+  private val JumpNum = 150000000000L // 0.15 · Mass
+  private val MinPairCount = 15 // edge threshold: keeps degrees asymmetric
+
+  /** Integer fixed-point PageRank on a directed edge list (`src`, `dst`;
+    * every node must appear as a src — callers build symmetric edges or
+    * pre-drop dangling nodes). Per round: contributions `rank div outdeg`
+    * shuffle once on dst, damp with `0.15/N + 0.85·Σ` in exact integer
+    * math, left-join back to the node list so sinks with no in-edges keep
+    * the jump mass. The floor in each division leaks < 1 unit per edge per
+    * round — bounded, deterministic, and identical in the oracle.
+    *
+    * 100 TB posture: state per round is one (node, rank) table partitioned
+    * by the same join key as the edge shuffle; nothing rank-sized ever
+    * reaches the driver (the lone `nodes.count()` is a 1-scalar probe, the
+    * Profile.scala:55 shape). localCheckpoint per round keeps the plan from
+    * growing with the iteration count — the q74 lesson.
+    */
+  def pageRank(edges: DataFrame, iters: Int = Iters): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .withColumnRenamed("src", "dnode")
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val jump = JumpNum / n
+    var ranks = nodes.select(col("node"), lit(Mass / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(e, ranks("node") === e("src"))
+        .join(deg, e("src") === col("dnode"))
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(jump)
+            + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** PageRank over the user↔event-type behavior graph: an edge per
+    * (user, type) pair seen ≥ 15 times, symmetrized so every node has
+    * outdegree ≥ 1 (no dangling-mass special case). The frequency
+    * threshold is what makes the fixture non-trivial — below it the graph
+    * is complete bipartite and every rank collapses to uniform. The oracle
+    * is the SAME integer recurrence unrolled into 8 chained CTEs (the q74
+    * recursive-CTE discipline, minus recursion — aggregation inside a
+    * recursive reference isn't portable SQL).
+    */
+  val q113Pagerank = Q(
+    "q113_pagerank",
+    pagerankOracle,
+  ) { (s, d) =>
+    val e0 = Tables.events(s, d)
+      .groupBy(concat(lit("u:"), col("user_id").cast("string")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= MinPairCount)
+      .select(col("src"), col("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    pageRank(edges, Iters)
+      .orderBy(col("rank").desc, col("node"))
+  }
+
+  /** The q113 recurrence as portable SQL: iteration k is a CTE reading
+    * iteration k−1 — same integer ops (`//`, `85·m // 100`), same
+    * left-join sink handling, so the hash compare covers all 8 rounds. */
+  private def pagerankOracle: String = {
+    val iterCtes = (1 to Iters).map { k =>
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    CAST(($JumpNum // (SELECT count(*) FROM n))
+         |      + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // d.outdeg) AS m
+         |    FROM r${k - 1} r JOIN e ON r.node = e.src
+         |      JOIN deg d ON d.src = r.node
+         |    GROUP BY e.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT 'u:' || CAST(user_id AS VARCHAR) AS src,
+       |    't:' || event_type AS dst
+       |  FROM events GROUP BY 1, 2 HAVING count(*) >= $MinPairCount),
+       |e AS (SELECT src, dst FROM e0
+       |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT node,
+       |  CAST($Mass // (SELECT count(*) FROM n) AS BIGINT) AS rank FROM n),
+       |$iterCtes
+       |SELECT node, rank FROM r$Iters
+       |ORDER BY rank DESC, node NULLS FIRST""".stripMargin
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.GraphOps
+import org.apache.spark.sql.functions._
+
+/** PageRank invariants on graphs with known structure — the KmeansSpec
+  * discipline for the iterative operator whose q113 oracle only checks one
+  * fixture: symmetry ⇒ uniform ranks, structure ⇒ known ordering, mass
+  * conservation up to quantified floor leakage, and run-to-run determinism
+  * (integer fixed point has no accumulation order to vary).
+  */
+class GraphSpec extends SparkSpec {
+
+  private def df(pairs: Seq[(String, String)]) = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def sym(pairs: Seq[(String, String)]) =
+    df(pairs ++ pairs.map(_.swap))
+
+  test("directed cycle: perfect symmetry gives exactly uniform ranks") {
+    val n = 6
+    val edges = df((0 until n).map(i => (s"v$i", s"v${(i + 1) % n}")))
+    val ranks = GraphOps.pageRank(edges, iters = 8).collect()
+    assert(ranks.length === n)
+    // every node has indegree = outdegree = 1 and the start is uniform, so
+    // each round maps uniform -> uniform; any deviation is an engine bug
+    assert(ranks.map(_.getLong(1)).toSet.size === 1)
+  }
+
+  test("star: the hub outranks every leaf and leaves stay symmetric") {
+    val leaves = (1 to 9).map(i => s"leaf$i")
+    val edges = sym(leaves.map(l => ("hub", l)))
+    val ranks = GraphOps.pageRank(edges, iters = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hub = ranks("hub")
+    val leafRanks = leaves.map(ranks)
+    assert(leafRanks.toSet.size === 1, "leaves are interchangeable")
+    assert(hub > leafRanks.head * 5,
+      s"hub $hub should dominate leaf ${leafRanks.head}")
+  }
+
+  test("rank mass is conserved up to quantified floor leakage") {
+    val edges = sym(Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c"))
+    val iters = 8
+    val ranks = GraphOps.pageRank(edges, iters).collect()
+    val total = ranks.map(_.getLong(1)).sum
+    val nNodes = ranks.length.toLong
+    val nEdges = 8L
+    // each round: < 1 unit lost per edge division, < 1 per damping floor
+    // and per-node jump floor; initial split loses < nNodes
+    val maxLeak = nNodes + iters * (nEdges + 2 * nNodes)
+    assert(total <= 1000000000000L)
+    assert(total >= 1000000000000L - maxLeak,
+      s"leaked ${1000000000000L - total} > bound $maxLeak")
+  }
+
+  test("integer fixed point is run-to-run deterministic") {
+    val edges = sym(Seq("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d"))
+    val r1 = GraphOps.pageRank(edges, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val r2 = GraphOps.pageRank(edges, 8).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(r1.toSeq === r2.toSeq)
+  }
+
+  test("one iteration plans hash joins only — no cartesian, no BNLJ") {
+    val edges = sym((0 until 40).map(i => (s"u$i", s"t${i % 4}")))
+    val plan = GraphOps.pageRank(edges, iters = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+}
