@@ -29,6 +29,7 @@ object Analytic {
     q84CohortRetention,
     q92SessionsBatch,
     q94TrendSlope,
+    q115SnapshotDiff,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -610,5 +611,62 @@ object Analytic {
         col("value").as("purchase_value"),
       )
       .orderBy(col("event_id"))
+  }
+
+  /** Snapshot reconciliation (data diff) — classify every primary key
+    * across two table versions as inserted / deleted / changed / unchanged
+    * and report the counts: the consistency check a pipeline runs between
+    * yesterday's export and today's before publishing (q71 REPRESENTS
+    * history as SCD2; this COMPARES two materialized states — the
+    * operator that would feed q71's change log, or audit a delta chain's
+    * `readSnapshot` against a fresh full export). Both snapshots derive
+    * deterministically from orders: the old version lacks every 7th key
+    * (→ inserts), carries a +100.00 price on every 5th (→ changes), and
+    * the new version drops every 13th (→ deletes); +100.0 on a money-like
+    * double is exact in IEEE, so equality compare is bit-clean in both
+    * engines.
+    *
+    * Scale shape: ONE full-outer hash join on the PK — both sides shuffle
+    * by the same key once (or zero times if both snapshots are bucketed by
+    * PK, the ScaleSpec layout) — into a 4-row aggregate with map-side
+    * combine. No window, no sort, nothing driver-sized.
+    */
+  val q115SnapshotDiff = Q(
+    "q115_snapshot_diff",
+    """WITH old AS (
+      |  SELECT o_orderkey AS pk,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+      |         ELSE o_totalprice END AS price
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |new AS (
+      |  SELECT o_orderkey AS pk, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey % 13 <> 0),
+      |d AS (
+      |  SELECT CASE
+      |      WHEN old.pk IS NULL THEN 'insert'
+      |      WHEN new.pk IS NULL THEN 'delete'
+      |      WHEN old.price <> new.price THEN 'change'
+      |      ELSE 'unchanged' END AS change_type
+      |  FROM old FULL OUTER JOIN new ON old.pk = new.pk)
+      |SELECT change_type, count(*) AS n
+      |FROM d GROUP BY change_type
+      |ORDER BY change_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val base = Tables.orders(s, d)
+    val old = base.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey").as("pk"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 100.0)
+          .otherwise(col("o_totalprice")).as("price"))
+    val neu = base.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("pk"), col("o_totalprice").as("price"))
+    old.join(neu, old("pk") === neu("pk"), "full_outer")
+      .select(
+        when(old("pk").isNull, "insert")
+          .when(neu("pk").isNull, "delete")
+          .when(old("price") =!= neu("price"), "change")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
   }
 }

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 object ScaleOps {
 
   def all: Seq[Q] = Seq(
-    q106BloomSemiJoin, q107RangeBinJoin, q108ZorderCurve, q109CmsFrequency)
+    q106BloomSemiJoin, q107RangeBinJoin, q108ZorderCurve, q109CmsFrequency,
+    q114JoinCardinality)
 
   /** Bloom-pruned semi join — the explicit form of runtime row-level
     * filtering (which Spark only auto-injects under AQE heuristics, and
@@ -231,5 +232,48 @@ object ScaleOps {
         call_function("graft_cms_estimate", lit(bytes), col("event_type"))
           .as("est_count"))
       .orderBy(col("event_type"))
+  }
+
+  /** Join-cardinality FORECAST — |customer ⋈ orders| per market segment
+    * predicted WITHOUT executing the join: one pass over the fact side
+    * builds a count-min sketch of the join key, then the dim side is a
+    * pure scan probing `graft_cms_estimate` and summing per segment. This
+    * is the planner-input operator that decides between q106's bloom path,
+    * a salted join (q88), or a plain shuffle before a 100 TB join runs —
+    * Σ f_fact(k)·f_dim(k) with f_dim ≡ 1 per dim row; no shuffle touches
+    * the fact table and the sketch is broadcast-sized (width ≪ build-side
+    * row count, like any hash-join build).
+    *
+    * Per-key CMS estimates never undercount, so the forecast is a provable
+    * upper bound on the true cardinality; at the fixture's key cardinality
+    * (15 k custkeys vs width 2·10⁵ × depth 10, seeded) every estimate is
+    * collision-free and the forecast EQUALS the exact join count — which
+    * is exactly what the oracle checks, q109's discipline. The LEFT join
+    * keeps zero-order customers so a segment with no matches still emits
+    * its 0 forecast. ScaleOpsSpec adds the coarse-width regime: forecast ≥
+    * exact always, within the eps·N·|dim| overcount envelope.
+    */
+  val q114JoinCardinality = Q(
+    "q114_join_cardinality",
+    """SELECT c_mktsegment, count(o_custkey) AS est_matches
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val factKeys = Tables.orders(s, d)
+      .select(col("o_custkey").cast("string").as("k"))
+    val cms = factKeys.stat.countMinSketch("k", 1e-5, 0.999, 42)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      bos.toByteArray
+    }
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"),
+        call_function("graft_cms_estimate", lit(bytes),
+          col("c_custkey").cast("string")).as("est"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("est")).as("est_matches"))
+      .orderBy(col("c_mktsegment"))
   }
 }

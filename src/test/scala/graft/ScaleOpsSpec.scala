@@ -130,6 +130,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(est === exact)
   }
 
+  test("q114 forecasts the join size without planning any join") {
+    val df = SparkEntry.queries("q114_join_cardinality")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"forecast must not execute the join it predicts:\n$plan")
+    val est = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // at fixture cardinality the sketch is collision-free: forecast == truth
+    assert(est === exact)
+  }
+
+  test("coarse-width join forecast stays an eps-enveloped upper bound") {
+    // force the collision regime: width 2/eps = 200 cells against ~1500
+    // distinct custkeys, where per-key estimates MUST overcount
+    val eps = 0.01
+    val facts = Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("string").as("k"))
+    val cms = facts.stat.countMinSketch("k", eps, 0.999, 42)
+    val bytes = { val b = new ByteArrayOutputStream(); cms.writeTo(b); b.toByteArray }
+    val n = facts.count()
+    val dim = Tables.customer(spark, sf)
+    val dimN = dim.count()
+    val est = dim.select(call_function("graft_cms_estimate",
+        lit(bytes), col("c_custkey").cast("string")).as("e"))
+      .agg(sum(col("e"))).head.getLong(0)
+    val exact = dim.join(Tables.orders(spark, sf),
+      col("c_custkey") === col("o_custkey")).count()
+    // per-key no-undercount makes the summed forecast a true upper bound
+    assert(est >= exact, s"forecast $est undercut exact $exact")
+    // and each key's overcount is eps·N-enveloped (seeded, so stable)
+    assert(est <= exact + (dimN * eps * n).toLong,
+      s"forecast $est beyond envelope over $exact (N=$n, dim=$dimN)")
+  }
+
   test("q110 samples via a two-phase aggregate, not a window sort") {
     val df = SparkEntry.queries("q110_bottomk_sample")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
