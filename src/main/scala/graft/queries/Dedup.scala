@@ -263,27 +263,38 @@ object Dedup {
           "len(list_distinct(list_concat(x.shingles, y.shingles)))")} >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val B = 5 // bands
-    val R = 3 // 32-bit slices per band
     val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
-    // Hot path = the q33 rewrite: shingles become ROWS (explode of an index
-    // sequence, whole-stage codegen), the 4 md5s per shingle are plain
-    // projected columns, and the 15 minhash components are min() hash
-    // aggregates with map-side combine — no interpreted higher-order-function
-    // folds anywhere near the md5 loop (those run per element, interpreted,
-    // and their call sites go megamorphic in a long session; this query
-    // benched 4.9s→22s across rounds from exactly that). Duplicate shingles
-    // need no dedup: min over duplicates equals min over the distinct set.
-    // The exchange carries only (doc_id, 15×8-hex) per doc.
+    val dsh = shingleRows(docs)
+    val bands = minhashBands(dsh)
+    val cand = bands.as("a")
+      .join(bands.as("c"),
+        col("a.b") === col("c.b") &&
+          col("a.s0") === col("c.s0") && col("a.s1") === col("c.s1") &&
+          col("a.s2") === col("c.s2") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        col("a.ns").as("ns_a"), col("c.ns").as("ns_b"))
+      .distinct() // ns is functionally dependent on doc_id — pairs stay unique
+    verifyJaccard(cand, dsh)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val MinhashBandCount = 5 // B
+  private val MinhashRowsPerBand = 3 // r (32-bit slices per band)
+
+  /** Distinct (doc_id, sh) word-3-gram rows — the shared stage feeding both
+    * the signature aggregate and the exact-Jaccard verify. Hot path = the
+    * q33 rewrite: shingles become ROWS (explode of an index sequence,
+    * whole-stage codegen) — no interpreted higher-order-function folds
+    * anywhere near the md5 loop (those run per element, interpreted, and
+    * their call sites go megamorphic in a long session; q32 benched
+    * 4.9s→22s across rounds from exactly that). Distinctness is PER-DOC, so
+    * it runs as a per-row array_distinct BEFORE the explode: zero shuffle
+    * where explode→DISTINCT paid an exchange + 3 hash aggregates.
+    */
+  private[queries] def shingleRows(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    // distinct (doc_id, shingle) rows feed BOTH the signature aggregate
-    // (md5 once per distinct shingle) and the relational exact-Jaccard
-    // verify below — same design as q51. Distinctness is PER-DOC, so it
-    // runs as a per-row array_distinct BEFORE the explode (cheap concat
-    // lambda; the md5s stay relational): zero shuffle where
-    // explode→DISTINCT paid an exchange + 3 hash aggregates, and this
-    // subtree appears 3× in the plan (signatures + two verify sides).
-    val dsh = docs
+    docs
       // the filter both excludes sub-window docs (DuckDB's range() yields
       // no shingles for them) and keeps sequence() ascending — Spark's
       // sequence(1, n) DESCENDS for n < 1 and would fabricate indices
@@ -296,13 +307,29 @@ object Dedup {
               element_at(col("ws"), i),
               element_at(col("ws"), i + 1),
               element_at(col("ws"), i + 2))))).as("sh"))
+  }
+
+  /** Banded MinHash signature index rows (doc_id, ns, b, s0..s2) from
+    * distinct shingle rows — the PERSISTABLE unit of LSH state (what
+    * [[incrementalNearDups]] stores between ingest batches: ~15 longs per
+    * doc instead of the shingle set). Only FOUR md5 calls per shingle;
+    * each 128-bit digest is sliced into four 32-bit (8-hex-char) values,
+    * giving 16 independent minhash components of which B×r = 15 are
+    * consumed (one spare) — a 4× md5 reduction (measured 21.5s → the md5
+    * budget drops from 16 to 4 per shingle). Duplicate shingles need no
+    * dedup: min over duplicates equals min over the distinct set. The
+    * exchange carries only (doc_id, 15×8-hex) per doc. Slices are NUMERIC
+    * (8 hex chars → long) so the 15 min() aggregates keep a primitive
+    * buffer and stay in codegen'd HashAggregate — min over the hex STRING
+    * falls back to SortAggregate (see q51; fixed-width hex ordering is
+    * value ordering, so the oracle's lexicographic list_min selects the
+    * same components, compared componentwise).
+    */
+  private[queries] def minhashBands(dsh: DataFrame): DataFrame = {
+    val B = MinhashBandCount
+    val R = MinhashRowsPerBand
     val dig = dsh.select(col("doc_id") +:
       (0 to 3).map(k => md5(concat(lit(s"$k|"), col("sh"))).as(s"d$k")): _*)
-    // slices are NUMERIC (8 hex chars → long) so the 15 min() aggregates
-    // keep a primitive buffer and stay in codegen'd HashAggregate — min
-    // over the hex STRING falls back to SortAggregate (see q51; fixed-width
-    // hex ordering is value ordering, so the oracle's lexicographic
-    // list_min selects the same components, compared componentwise)
     def slice(k: Int): Column =
       conv(substring(col(s"d${k / 4}"), (k % 4) * 8 + 1, 8), 16, 10)
         .cast("long")
@@ -316,23 +343,20 @@ object Dedup {
         col(s"m${b * R + 1}").as("s1"),
         col(s"m${b * R + 2}").as("s2"))
     }: _*)
-    val bands = sigd
+    sigd
       .select(col("doc_id"), col("ns"), explode(sigs).as("bs"))
       .select(col("doc_id"), col("ns"), col("bs.b").as("b"),
         col("bs.s0").as("s0"), col("bs.s1").as("s1"), col("bs.s2").as("s2"))
-    val cand = bands.as("a")
-      .join(bands.as("c"),
-        col("a.b") === col("c.b") &&
-          col("a.s0") === col("c.s0") && col("a.s1") === col("c.s1") &&
-          col("a.s2") === col("c.s2") &&
-          col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-        col("a.ns").as("ns_a"), col("c.ns").as("ns_b"))
-      .distinct() // ns is functionally dependent on doc_id — pairs stay unique
-    // RELATIONAL exact-Jaccard verify (same as q51): |A∩B| by joining the
-    // pair list to the distinct shingle rows and counting — per-PAIR array
-    // rebuilds would re-shingle every doc once per candidate (O(k²) work
-    // inside a k-doc near-dup block; q51 measured 48s from that shape).
+  }
+
+  /** RELATIONAL exact-Jaccard verify (same as q51): |A∩B| by joining the
+    * pair list to the distinct shingle rows and counting — per-PAIR array
+    * rebuilds would re-shingle every doc once per candidate (O(k²) work
+    * inside a k-doc near-dup block; q51 measured 48s from that shape).
+    * `cand` carries (doc_a, doc_b, ns_a, ns_b); output keeps pairs with
+    * exact word-3-gram Jaccard ≥ 0.5.
+    */
+  private[queries] def verifyJaccard(cand: DataFrame, dsh: DataFrame): DataFrame =
     cand
       .join(dsh.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(dsh.as("gb"),
@@ -342,7 +366,79 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         graft.functions.Exact.ratio6("ni", "ns_a + ns_b - ni").as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The persistable LSH index for a document batch — what an ingest
+    * pipeline writes (e.g. through the incremental export chain) so later
+    * batches can [[incrementalNearDups]] against it. */
+  def minhashIndex(docs: DataFrame): DataFrame =
+    minhashBands(shingleRows(docs))
+
+  /** q32's full pipeline over an arbitrary (doc_id, text) frame — the
+    * from-scratch baseline [[incrementalNearDups]] is proven against. */
+  def nearDups(docs: DataFrame): DataFrame = {
+    val dsh = shingleRows(docs)
+    val bands = minhashBands(dsh)
+    val cand = bands.as("a")
+      .join(bands.as("c"),
+        col("a.b") === col("c.b") &&
+          col("a.s0") === col("c.s0") && col("a.s1") === col("c.s1") &&
+          col("a.s2") === col("c.s2") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+        col("a.ns").as("ns_a"), col("c.ns").as("ns_b"))
+      .distinct()
+    verifyJaccard(cand, dsh)
+  }
+
+  /** INCREMENTAL near-dup detection — the ingest-time shape of q32: a new
+    * batch of documents is deduplicated against a corpus whose LSH state
+    * was built on previous runs and PERSISTED (the [[minhashBands]] rows,
+    * ~15 longs per doc — the thing a 100 TB pipeline can afford to keep;
+    * the shingle sets, ~100× larger, are NOT stored). Candidates are
+    * bucket-join matches between the new batch's bands and stored ∪ new
+    * bands — one side batch-sized, so the shuffle is batch-proportional,
+    * never corpus-proportional; re-running full LSH over the corpus per
+    * ingest (what q32 alone would require) is the quadratic-over-time cost
+    * this operator deletes. Verification re-derives shingles ONLY for
+    * documents that appear in some candidate pair (semi-join prune of the
+    * corpus), which is the storage/compute trade stated above.
+    *
+    * Guarantee (IncrementalDedupSpec): pairs(old ∪ new) =
+    * pairs(old) ⊎ incrementalNearDups(new, storedBands(old), old ∪ new) —
+    * the union is exact and disjoint, because signatures are a
+    * deterministic per-doc function (stored ≡ recomputed) and every mixed
+    * or new-new bucket collision has a side in the new batch.
+    */
+  def incrementalNearDups(
+      newDocs: DataFrame,
+      storedBands: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val newBands = minhashBands(shingleRows(newDocs))
+    val allBands = storedBands.select(
+        col("doc_id"), col("ns"), col("b"), col("s0"), col("s1"), col("s2"))
+      .unionByName(newBands)
+    val aId = col("a.doc_id"); val cId = col("c.doc_id")
+    val cand = newBands.as("a")
+      .join(allBands.as("c"),
+        col("a.b") === col("c.b") &&
+          col("a.s0") === col("c.s0") && col("a.s1") === col("c.s1") &&
+          col("a.s2") === col("c.s2") &&
+          aId =!= cId)
+      .select(
+        when(aId < cId, aId).otherwise(cId).as("doc_a"),
+        when(aId < cId, cId).otherwise(aId).as("doc_b"),
+        when(aId < cId, col("a.ns")).otherwise(col("c.ns")).as("ns_a"),
+        when(aId < cId, col("c.ns")).otherwise(col("a.ns")).as("ns_b"))
+      .distinct()
+    // verify against shingles of candidate-touched docs only: the corpus
+    // scan survives, but the shingle explode + verify join run on the
+    // candidate closure, not the corpus
+    val touched = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val dshV = shingleRows(
+      corpus.join(touched, Seq("doc_id"), "left_semi"))
+    verifyJaccard(cand, dshV)
   }
 
   /** Character-n-gram Jaccard near-dup — the dedup family member that works

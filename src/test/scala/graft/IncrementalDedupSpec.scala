@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+
+/** The ingest-time LSH contract: deduplicating a new batch against a
+  * PERSISTED signature index must find exactly the pairs a full recompute
+  * over the grown corpus would — no more (no phantom candidates from stale
+  * state), no fewer (no near-dup slips past because its partner's
+  * signatures were only on disk).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental batch dedup equals the full recompute, disjointly") {
+    val corpus = Tables.documentsWide(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val old = corpus.filter(col("doc_id") % 3 =!= 0)
+    val fresh = corpus.filter(col("doc_id") % 3 === 0)
+
+    // the index is persisted and re-read: what survives between ingest runs
+    // is parquet bytes, not a cached plan
+    val dir = Files.createTempDirectory("lsh-index").toString
+    Dedup.minhashIndex(old).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+
+    val full = pairs(Dedup.nearDups(corpus))
+    val oldOnly = pairs(Dedup.nearDups(old))
+    val inc = pairs(Dedup.incrementalNearDups(fresh, stored, corpus))
+
+    assert(full.nonEmpty, "fixture must produce near-dup pairs")
+    assert(inc.nonEmpty, "the new batch must contribute pairs")
+    // every incremental pair touches the new batch; old-old pairs never
+    // reappear (they were found when THEIR batch arrived)
+    assert(inc.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
+    assert((oldOnly & inc) === Set.empty)
+    assert((oldOnly | inc) === full,
+      s"missing=${full -- oldOnly -- inc} phantom=${(oldOnly | inc) -- full}")
+  }
+
+  test("q32 still matches its pre-refactor output shape on the fixture") {
+    // the factored stages (shingleRows/minhashBands/verifyJaccard) must
+    // reproduce the registered query bit for bit — jaccard included
+    val viaQ = SparkEntry.queries("q32_minhash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaHelper = Dedup.nearDups(
+      Tables.documentsWide(spark, sf).select(col("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaQ === viaHelper)
+  }
+
+  test("incremental verify re-shingles only candidate-touched documents") {
+    val corpus = Tables.documentsWide(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val old = corpus.filter(col("doc_id") % 3 =!= 0)
+    val fresh = corpus.filter(col("doc_id") % 3 === 0)
+    val stored = Dedup.minhashIndex(old)
+    val plan = Dedup.incrementalNearDups(fresh, stored, corpus)
+      .queryExecution.executedPlan.toString
+    // the corpus reaches the verify join through a semi join on the
+    // candidate closure — not as a bare full-corpus shingle explode
+    assert(plan.contains("LeftSemi"),
+      s"verify side lost its candidate-closure prune:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+}

@@ -217,7 +217,7 @@ class ScaleSpec extends SparkSpec {
     // re-tokenized the whole corpus twice for its 1-row totals side)
     for (name <- Seq("q67_seq_packing", "q69_domain_mixture",
       "q71_scd2_compact", "q72_int8_quant", "q82_pii_redact",
-      "q83_doc_chunks")) {
+      "q83_doc_chunks", "q111_drift_psi", "q112_weighted_sample")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       val scans = "Scan parquet".r.findAllIn(plan).length
@@ -265,6 +265,17 @@ class ScaleSpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"),
         s"$name candidate join must be a broadcast hash join:\n$plan")
     }
+  }
+
+  test("q115's snapshot diff is one keyed full-outer join, not a loop") {
+    // full outer cannot broadcast; the only scalable plan is both sides
+    // hash-partitioned on the PK into a merge/shuffled-hash join — a BNLJ
+    // here would be O(n²) the day the snapshots stop fitting in memory
+    val plan = SparkEntry.queries("q115_snapshot_diff")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("FullOuter"), s"diff lost its full-outer core:\n$plan")
   }
 
   test("q52 computes document frequency without a vocabulary join") {
