@@ -324,4 +324,73 @@ object Windows {
       .outputMode("append")
       .start()
   }
+
+  /** Number of fixed-width `value` bins the drift monitor tracks. */
+  val DriftBins: Int = 8
+
+  /** Laplace-smoothed bin proportions of `value` over an events frame —
+    * the REFERENCE side of the drift monitor, computed once over the
+    * trusted corpus (driver-side: DriftBins+1 scalars, the
+    * Profile.scala:55 probe shape) and baked into the streaming plan as
+    * literals. Smoothing keeps every proportion strictly positive so the
+    * PSI's log is always finite — for the reference AND each window.
+    */
+  def driftReference(events: DataFrame): Seq[Double] = {
+    val counts = events
+      .groupBy(least(floor(col("value") / 62.5).cast("long"),
+        lit(DriftBins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    (0 until DriftBins).map(b =>
+      (counts.getOrElse(b, 0L) + 1).toDouble / (n + DriftBins))
+  }
+
+  /** Per-window Population Stability Index of the `value` distribution
+    * against a static reference — q111's STREAMING shape: the monitor that
+    * flags a bad upstream deploy while the batch is still loading. One
+    * windowed aggregate carries all DriftBins conditional counters (single
+    * shuffle, bounded state under the watermark); the PSI fold over the
+    * bins is a pure projection of that one row, so the whole monitor adds
+    * nothing stateful beyond the tumbling aggregate itself.
+    */
+  def driftPsi(events: DataFrame, ref: Seq[Double]): DataFrame = {
+    require(ref.length == DriftBins, s"need $DriftBins reference bins")
+    val bin = least(floor(col("value") / 62.5).cast("long"),
+      lit(DriftBins - 1L))
+    val counters = (0 until DriftBins).map(b =>
+      count(when(bin === b, 1)).as(s"c$b"))
+    val agg = events
+      .groupBy(window(col("ts"), "24 hours").as("win"))
+      .agg(counters.head, counters.tail :+ count(lit(1)).as("n"): _*)
+    val psi = (0 until DriftBins).map { b =>
+      val p = (col(s"c$b") + 1).cast("double") / (col("n") + DriftBins)
+      (p - ref(b)) * log(p / ref(b))
+    }.reduce(_ + _)
+    agg.select(col("win.start").as("win_start"), col("n"),
+      round(psi, 6).as("psi"))
+  }
+
+  /** Streaming runner for [[driftPsi]]: parquet source → watermark →
+    * daily windowed drift vs the baked-in reference → append-mode memory
+    * sink. Append emits each day's PSI exactly once, when the watermark
+    * passes the window — the alerting semantics a monitor wants (one final
+    * verdict per day, no flapping partials).
+    */
+  def streamDriftPsi(
+      spark: SparkSession, sfDir: String, tableName: String,
+      ref: Seq[Double]): StreamingQuery = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    driftPsi(raw.withWatermark("ts", "10 minutes"), ref)
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
 }

@@ -227,6 +227,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor emits the batch PSI per finalized day") {
+    val ref = Windows.driftReference(Tables.events(spark, sf))
+    assert(ref.length === Windows.DriftBins && ref.forall(_ > 0))
+    val q = Windows.streamDriftPsi(spark, sf, "stream_drift", ref)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_drift")
+        .orderBy(col("win_start")).collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0), r.getLong(1), r.getDouble(2)))
+      val wmMs = Tables.events(spark, sf)
+        .agg(max(col("ts"))).head.getAs[java.sql.Timestamp](0).getTime -
+        Windows.WatermarkDelayMs
+      val all = Windows.driftPsi(Tables.events(spark, sf), ref)
+        .orderBy(col("win_start")).collect()
+        .map(r => (r.getAs[java.sql.Timestamp](0), r.getLong(1), r.getDouble(2)))
+      val finalized = all.filter(_._1.getTime + 24L * 3600 * 1000 <= wmMs)
+      assert(streamed.nonEmpty)
+      // the still-open last day is withheld by append mode
+      assert(finalized.length < all.length)
+      assert(streamed.toSeq === finalized.toSeq)
+      // self-consistency, sized to the sample: PSI of an n-row window drawn
+      // from the reference itself concentrates near χ²(bins−1)/n — at this
+      // fixture's ~33 events/day that's ≈0.2 mean with excursions, so the
+      // clean-data bound is statistical, not the big-sample 0.25 rule
+      val nMin = streamed.map(_._2).min
+      assert(nMin > 0)
+      val meanPsi = streamed.map(_._3).sum / streamed.length
+      assert(meanPsi < 3.0 * (Windows.DriftBins - 1).toDouble / nMin,
+        s"clean fixture scored drifted: mean=$meanPsi over n≥$nMin windows")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups to the exact distinct key count") {
     val q = Windows.streamDedup(spark, sf, "stream_dedup")
     try {
