@@ -191,7 +191,26 @@ object Similarity {
       maxIter: Int = 20,
       nprobe: Int = 1): org.apache.spark.sql.DataFrame = {
     val km = kmeans(emb, k, maxIter)
-    val assigned = km.assignments.select(col("vec_id"), col("cluster"))
+    searchIvf(km.centroids, km.assignments, emb, numQueries, topK, nprobe)
+  }
+
+  /** IVF SERVE path, decoupled from the build: `centroids` (cluster, cv,
+    * cn2) and `assignments` (vec_id, cluster) are exactly what
+    * [[kmeans]] emits — and both are PLAIN TABLES, so an index built once
+    * can be persisted as parquet (or shipped through the export chain)
+    * and served by a different session without retraining: the
+    * build-offline / search-online separation every production ANN system
+    * runs on. KmeansSpec proves a parquet round-trip of the index serves
+    * bit-identical results to the in-memory build.
+    */
+  private[graft] def searchIvf(
+      centroids: org.apache.spark.sql.DataFrame,
+      assignments: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame,
+      numQueries: Int,
+      topK: Int,
+      nprobe: Int = 1): org.apache.spark.sql.DataFrame = {
+    val assigned = assignments.select(col("vec_id"), col("cluster"))
     val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val qvec = e.filter(col("vec_id") < numQueries)
@@ -210,7 +229,7 @@ object Similarity {
       else {
         val probeW = Window.partitionBy(col("qid"))
           .orderBy(col("score").asc, col("cluster"))
-        qvec.crossJoin(broadcast(km.centroids))
+        qvec.crossJoin(broadcast(centroids))
           .select(col("qid"), col("cluster"),
             (col("cn2") - lit(2.0) * dot(col("qv"), col("cv"))).as("score"))
           .withColumn("rn", row_number().over(probeW))

@@ -141,4 +141,31 @@ class KmeansSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("a parquet-persisted IVF index serves identically to the live build") {
+    val emb = Tables.embeddings(spark, sf)
+    val km = Similarity.kmeans(emb, k = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    km.centroids.select(col("cluster"), col("cv"), col("cn2"))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    km.assignments.select(col("vec_id"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$dir/assignments")
+
+    def res(c: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame) =
+      Similarity.searchIvf(c, a, emb, numQueries = 20, topK = 5, nprobe = 2)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+
+    val live = res(km.centroids, km.assignments)
+    val served = res(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"))
+    assert(live.nonEmpty)
+    // build-offline/serve-online: storage round-trip changes nothing, so
+    // the index (two plain tables) can be exported once and served by any
+    // later session without retraining
+    assert(served.toSeq === live.toSeq)
+  }
 }
