@@ -54,6 +54,31 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaQ === viaHelper)
   }
 
+  test("a 3-batch streaming drain equals the one-shot corpus recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val corpus = Tables.documentsWide(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2.toSeq)
+
+    val root = Files.createTempDirectory("ingest-dedup").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.streamIngestDedup(
+      in.toDF().toDF("doc_id", "text"), s"$root/state", s"$root/pairs")
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    val streamed = pairs(spark.read.parquet(s"$root/pairs/batch_*"))
+    val full = pairs(Dedup.nearDups(corpus))
+    assert(full.nonEmpty && streamed.nonEmpty)
+    assert(streamed === full,
+      s"missing=${full -- streamed} phantom=${streamed -- full}")
+  }
+
   test("incremental verify re-shingles only candidate-touched documents") {
     val corpus = Tables.documentsWide(spark, sf)
       .select(col("doc_id"), col("text"))
