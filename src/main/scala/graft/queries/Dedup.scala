@@ -35,7 +35,7 @@ object Dedup {
 
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
-    q74DedupClusters, q86DupNgrams, q96FuzzyLinkage)
+    q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -791,5 +791,68 @@ object Dedup {
         (col("doc_id") === col("component")).as("is_canonical"),
         col("cluster_size"))
       .orderBy(col("component"), col("doc_id"))
+  }
+
+  /** Cross-doc repeated-PASSAGE detection with winnowing-style
+    * content-defined anchors — the long-verbatim-span complement to q86
+    * (whose token 8-grams catch short boilerplate): a position anchors
+    * when its 8-char gram's keyed md5 starts with hex '0' (1/16 density),
+    * and each anchor fingerprints the 50-char window it opens. Because
+    * anchoring depends only on CONTENT, two documents sharing a passage
+    * pick the SAME anchor offsets inside it regardless of where the
+    * passage sits in either doc — the property fixed-stride windows lack
+    * (stride-25 windows of a shared passage align only for equal offsets
+    * mod 25) and the reason every large-scale passage-dedup samples by
+    * content. Expected anchors in a shared L-char passage ≈ (L−57)/16;
+    * recall is probabilistic-by-design (documented winnowing trade), while
+    * every reported duplicate is a true 50-char verbatim match.
+    *
+    * Plan at 100 TB: the per-position 8-gram hash is a pure scan (explode
+    * + codegen'd md5, no shuffle); only the ~1/16 surviving anchors carry
+    * the 50-char window hash into the one (doc, phash) aggregate, and
+    * cross-doc multiplicity rides a phash-partitioned window over those
+    * aggregates (q52's term-window idiom — no vocabulary self-join). The
+    * shuffle mass is anchor-proportional, 16× below the q86 shape.
+    */
+  val q116DupPassages = Q(
+    "q116_dup_passages",
+    s"""WITH pos AS (
+      |  SELECT doc_id, text, unnest(range(1, length(text) - 49 + 1)) AS i
+      |  FROM documents WHERE length(text) >= 50),
+      |a AS (
+      |  SELECT doc_id, md5('p|' || substr(text, i, 50)) AS phash
+      |  FROM pos WHERE substr(md5('a|' || substr(text, i, 8)), 1, 1) = '0'),
+      |d1 AS (SELECT doc_id, phash, count(*) AS n_occ FROM a GROUP BY 1, 2),
+      |d2 AS (SELECT doc_id, n_occ,
+      |  count(*) OVER (PARTITION BY phash) AS nd FROM d1)
+      |SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_anchors,
+      |  CAST(coalesce(sum(n_occ) FILTER (WHERE nd > 1), 0) AS BIGINT)
+      |    AS n_dup_anchors,
+      |  ${graft.functions.Exact.Sql.ratio6(
+          "coalesce(sum(n_occ) FILTER (WHERE nd > 1), 0)", "sum(n_occ)")}
+      |    AS dup_frac
+      |FROM d2 GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val anchors = Tables.documentsWide(s, d)
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 49)).as("i"))
+      .filter(expr("substring(md5(concat('a|', substring(text, i, 8))), 1, 1)")
+        === "0")
+      .select(col("doc_id"),
+        expr("md5(concat('p|', substring(text, i, 50)))").as("phash"))
+    val d1 = anchors.groupBy(col("doc_id"), col("phash"))
+      .agg(count(lit(1)).as("n_occ"))
+    val d2 = d1.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy(col("phash"))))
+    d2.groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).cast("long").as("n_anchors"),
+        coalesce(sum(when(col("nd") > 1, col("n_occ"))), lit(0L)).cast("long")
+          .as("n_dup_anchors"))
+      .select(col("doc_id"), col("n_anchors"), col("n_dup_anchors"),
+        graft.functions.Exact.ratio6("n_dup_anchors", "n_anchors")
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
   }
 }
