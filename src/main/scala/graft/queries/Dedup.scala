@@ -35,7 +35,8 @@ object Dedup {
 
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
-    q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages)
+    q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
+    q117DedupSurvivors)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -771,7 +772,22 @@ object Dedup {
       |FROM comp c JOIN sz s ON c.component = s.component
       |ORDER BY c.component NULLS FIRST, c.doc_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val n = Tables.documentsWide(s, d).select(
+    val labels = connectedComponents(affixEdges(Tables.documentsWide(s, d)))
+    val sizes = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "component")
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_canonical"),
+        col("cluster_size"))
+      .orderBy(col("component"), col("doc_id"))
+  }
+
+  /** q74's symmetric edge list: docs sharing a 50-char prefix or suffix
+    * hash (banded equi self-joins, no cartesian) — shared by the cluster
+    * labeling (q74) and the survivor selection (q117). */
+  private def affixEdges(docs: DataFrame): DataFrame = {
+    val n = docs.select(
       col("doc_id"),
       sha2(substring(col("text"), 1, 50), 256).as("hp"),
       sha2(col("text").substr(
@@ -781,16 +797,7 @@ object Dedup {
         col(s"x.$k") === col(s"y.$k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     val e0 = pairsOn("hp").union(pairsOn("hs")).distinct()
-    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-    val labels = connectedComponents(edges)
-    val sizes = labels.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels
-      .join(sizes, "component")
-      .select(col("doc_id"), col("component"),
-        (col("doc_id") === col("component")).as("is_canonical"),
-        col("cluster_size"))
-      .orderBy(col("component"), col("doc_id"))
+    e0.union(e0.select(col("b").as("a"), col("a").as("b")))
   }
 
   /** Cross-doc repeated-PASSAGE detection with winnowing-style
@@ -854,5 +861,69 @@ object Dedup {
         graft.functions.Exact.ratio6("n_dup_anchors", "n_anchors")
           .as("dup_frac"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Dedup SURVIVOR selection — the decision q74's labels exist for: per
+    * near-dup cluster, keep the highest-quality member (longest doc,
+    * doc_id tiebreak) and account for what gets dropped. This is the
+    * actionable end of the dedup pipeline (the keep-list a curation job
+    * feeds downstream), and deliberately NOT "keep the min-id canonical":
+    * quality-based survivorship is what the dedup papers and every
+    * production pipeline actually do. Plan: q74's banded edges →
+    * components → one doc_id join for the quality column → a
+    * component-partitioned rank window (components are cluster-sized,
+    * never corpus-sized) → per-cluster rollup.
+    */
+  val q117DedupSurvivors = Q(
+    "q117_dedup_survivors",
+    """WITH RECURSIVE n AS (
+      |  SELECT doc_id,
+      |    sha256(substr(text, 1, 50)) AS hp,
+      |    sha256(substr(text, greatest(length(text) - 49, 1), 50)) AS hs
+      |  FROM documents
+      |),
+      |e0 AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM n a JOIN n b ON a.hp = b.hp AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM n a JOIN n b ON a.hs = b.hs AND a.doc_id < b.doc_id
+      |),
+      |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      |nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      |reach AS (
+      |  SELECT doc_id, doc_id AS r FROM nodes
+      |  UNION
+      |  SELECT e.a AS doc_id, reach.r FROM edges e
+      |  JOIN reach ON reach.doc_id = e.b
+      |),
+      |comp AS (SELECT doc_id, min(r) AS component FROM reach GROUP BY doc_id),
+      |q AS (
+      |  SELECT c.component, c.doc_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY c.component
+      |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+      |)
+      |SELECT component,
+      |  max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+      |  count(*) AS n_members,
+      |  CAST(sum(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS dropped_chars
+      |FROM q GROUP BY component
+      |ORDER BY component NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documentsWide(s, d)
+    val labels = connectedComponents(affixEdges(docs))
+    val rkW = Window.partitionBy(col("component"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rk", row_number().over(rkW))
+      .groupBy(col("component"))
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        coalesce(sum(when(col("rk") > 1, col("n_chars"))), lit(0L))
+          .cast("long").as("dropped_chars"))
+      .orderBy(col("component"))
   }
 }
