@@ -30,13 +30,38 @@ class ShortDocSpec extends SparkSpec {
       "q37_text_stats", "q38_langid", "q51_ngram_jaccard", "q52_tfidf",
       "q67_seq_packing", "q68_repetition", "q69_domain_mixture",
       "q70_stratified_sample", "q74_dedup_clusters", "q82_pii_redact",
-      "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy", "q101_bm25")
+      "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy", "q101_bm25",
+      "q112_weighted_sample", "q117_dedup_survivors")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
       val rows = SparkEntry.queries(name)(spark, dir).collect()
       assert(rows.nonEmpty, s"$name returned no rows")
     }
+  }
+
+  test("q116 skips sub-50-char docs empty-handed and aligns at any offset") {
+    // every ShortDoc text is < 50 chars -> zero anchor rows, no crash
+    assert(SparkEntry.queries("q116_dup_passages")(spark, dir)
+      .collect().isEmpty)
+    // offset-invariance: the same 300-char passage at positions differing
+    // by 4 (misaligned mod any fixed stride) must still share anchors —
+    // content-defined anchoring is the whole point
+    val d2 = "/tmp/graft_passagedocs"
+    import spark.implicits._
+    val passage = (1 to 60).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, passage + " unique tail one", "en", "unit", 0L),
+      (2L, "xyz " + passage + " other ending", "en", "unit", 0L),
+      (3L, "completely different text with no repeats at all", "en", "unit", 0L),
+    ).map { case (id, t, l, s0, _) => (id, t, l, s0, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val res = SparkEntry.queries("q116_dup_passages")(spark, d2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(res.getOrElse(1L, 0L) > 0, s"doc 1 found no dup anchors: $res")
+    assert(res.getOrElse(2L, 0L) > 0, s"doc 2 found no dup anchors: $res")
+    assert(res.getOrElse(3L, 0L) === 0L, s"doc 3 fabricated dups: $res")
   }
 
   test("short docs produce empty gram sets, not fabricated pairs") {
