@@ -44,7 +44,13 @@ object GraphOps {
     * growing with the iteration count — the q74 lesson.
     */
   def pageRank(edges: DataFrame, iters: Int = Iters): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // pre-partition the loop-invariant sides ON THEIR JOIN KEYS before
+    // checkpointing: LogicalRDD keeps the checkpointed partitioning, so
+    // every subsequent round's rank⋈edge join re-exchanges only the
+    // round-fresh ranks — the edge table (the big side at scale) shuffles
+    // ONCE for the whole run instead of once per iteration
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .withColumnRenamed("src", "dnode")
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
