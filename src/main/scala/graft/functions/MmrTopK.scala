@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One retrieval candidate for [[MmrTopK]]: id, query relevance (cosine),
+  * and the candidate's own vector (needed for pairwise redundancy inside
+  * the finishing rerank). */
+case class MmrCand(id: Long, rel: Double, v: Seq[Double])
+
+/** A diversified pick: candidate id, 1-based rank, and its MMR score at
+  * selection time (rounded by the caller if exposed). */
+case class MmrPick(id: Long, rk: Int, score: Double)
+
+/** Maximal-Marginal-Relevance top-k as a typed `Aggregator` (the §2.10
+  * sanctioned custom-aggregate surface; zero row-level UDFs): the buffer
+  * keeps the `poolK` highest-RELEVANCE candidates per query — an algebraic
+  * sorted-merge-truncate exactly like [[BottomK]], so map-side combine
+  * ships ≤ poolK rows per (query, task) and no window ever sorts the
+  * corpus — and `finish` runs the greedy MMR rerank over that bounded
+  * pool: pick argmax of λ·rel − (1−λ)·max_{j∈chosen} cos(i, j) until
+  * `outK` picks are made. The O(poolK²) pairwise work happens on ≤ poolK
+  * vectors per query AFTER aggregation, never on the corpus.
+  *
+  * Determinism: ties at every stage break by candidate id (buffer order
+  * and argmax comparison), so the pick list is a pure function of the
+  * candidate set. MmrSpec proves finish() against an independent
+  * reimplementation and the buffer laws under random partitioning.
+  */
+class MmrTopK(poolK: Int, outK: Int, lambda: Double)
+    extends Aggregator[MmrCand, Seq[MmrCand], Seq[MmrPick]] {
+  require(poolK >= outK && outK > 0, s"need poolK >= outK > 0")
+  require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+
+  override def zero: Seq[MmrCand] = Vector.empty
+
+  // keep the poolK LARGEST by (rel, then smaller id wins ties)
+  private def ordered(xs: Seq[MmrCand]): Seq[MmrCand] =
+    xs.sortBy(c => (-c.rel, c.id)).take(poolK)
+
+  override def reduce(buf: Seq[MmrCand], a: MmrCand): Seq[MmrCand] =
+    if (buf.size >= poolK) {
+      val last = buf.last
+      if (a.rel < last.rel || (a.rel == last.rel && a.id >= last.id)) buf
+      else ordered(buf :+ a)
+    } else ordered(buf :+ a)
+
+  override def merge(b1: Seq[MmrCand], b2: Seq[MmrCand]): Seq[MmrCand] =
+    ordered(b1 ++ b2)
+
+  override def finish(pool: Seq[MmrCand]): Seq[MmrPick] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn == 0) 0.0 else d / nn
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[MmrCand]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (picks.size < outK && remaining.nonEmpty) {
+      var best = -1; var bestScore = Double.NegativeInfinity
+      for (i <- remaining.indices) {
+        val c = remaining(i)
+        val redundancy =
+          if (chosen.isEmpty) 0.0
+          else chosen.map(s => cos(c.v, s.v)).max
+        val score = lambda * c.rel - (1 - lambda) * redundancy
+        if (score > bestScore ||
+          (score == bestScore && c.id < remaining(best).id)) {
+          best = i; bestScore = score
+        }
+      }
+      val pick = remaining.remove(best)
+      chosen += pick
+      picks += MmrPick(pick.id, picks.size + 1, bestScore)
+    }
+    picks.toSeq
+  }
+
+  override def bufferEncoder: Encoder[Seq[MmrCand]] =
+    ExpressionEncoder[Seq[MmrCand]]()
+  override def outputEncoder: Encoder[Seq[MmrPick]] =
+    ExpressionEncoder[Seq[MmrPick]]()
+}

@@ -34,7 +34,7 @@ object Similarity {
   def all: Seq[Q] = Seq(
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
-    q104PqAdcTopk, q105RrfHybrid)
+    q104PqAdcTopk, q105RrfHybrid, q118MmrRerank)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -417,6 +417,42 @@ object Similarity {
       .filter(col("cos").isNotNull)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** Diversified retrieval re-ranking via Maximal Marginal Relevance —
+    * what a RAG serving layer runs between "top-k by cosine" (q35) and the
+    * prompt: near-duplicate hits crowd out coverage, so each next pick
+    * maximizes λ·relevance − (1−λ)·max-similarity-to-already-picked.
+    * The whole operator is ONE [[graft.functions.MmrTopK]] aggregate:
+    * the algebraic buffer keeps each query's 20 best-by-relevance
+    * candidates with map-side combine (no window sorts the corpus — the
+    * q110 plan shape), and the greedy O(20²) rerank runs in finish() on
+    * that bounded pool. Greedy selection is not SQL-expressible, so this
+    * is rows-only by design (the q43/q98 pattern); MmrSpec proves the
+    * aggregate against an independent reimplementation, the first-pick =
+    * top-relevance law, partitioning invariance, and that diversification
+    * actually displaces redundant hits on a planted near-dup fixture.
+    */
+  val q118MmrRerank = Q.noOracle("q118_mmr_rerank") { (s, d) =>
+    val rerank = udaf(new graft.functions.MmrTopK(20, 5, 0.7))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    e.join(broadcast(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qnrm"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("rel"),
+        col("v"))
+      .filter(col("rel").isNotNull)
+      .groupBy(col("qid"))
+      .agg(rerank(col("vec_id"), col("rel"), col("v")).as("picks"))
+      .select(col("qid"), explode(col("picks")).as("p"))
+      .select(col("qid"), col("p.id").as("vec_id"),
+        col("p.rk").as("rk"), round(col("p.score"), 6).as("mmr"))
       .orderBy(col("qid"), col("rk"))
   }
 
