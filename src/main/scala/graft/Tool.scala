@@ -11,6 +11,12 @@ object Tool {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session(8, "graft-tool")
     args.headOption match {
+      case Some("smoke") =>
+        // Driver-shaped smoke: flagship query on sf0.001 must return rows.
+        val n = SparkEntry.entry(spark).count()
+        println(s"SMOKE rows=$n queries=${SparkEntry.queries.size} " +
+          s"oracles=${SparkEntry.oracleSql.size}")
+        require(n > 0, "flagship query returned no rows")
       case Some("sql") =>
         // Ad-hoc SQL against the session (extensions loaded): Tool sql "<q>"
         spark.sql(args(1)).show(20, truncate = false)
