@@ -30,6 +30,7 @@ object Analytic {
     q92SessionsBatch,
     q94TrendSlope,
     q115SnapshotDiff,
+    q119RollingP95,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -668,5 +669,41 @@ object Analytic {
       .groupBy(col("change_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("change_type"))
+  }
+
+  /** Rolling trailing-1-hour p95 per event type — the latency-dashboard
+    * window (q76 flags anomalies against a GLOBAL mean; this tracks a tail
+    * quantile over a MOVING time frame): exact `percentile` over a RANGE
+    * interval frame, the one frame/aggregate combination no other query
+    * exercises. Cost model is honest: an exact quantile is not an
+    * incremental accumulator, so each row re-evaluates its frame —
+    * O(rows × frame) inside each type partition. The frame width IS the
+    * cost dial: a 6-hour frame MEASURED 13.0 s at sf0.1 vs 2.4 s for this
+    * 1-hour frame (same rows — pure frame-size effect). That linearity is
+    * inherent to exact sliding quantiles; the right deployment is a
+    * monitored slice (post-filter) with a bounded frame, and at corpus
+    * scale the mergeable alternative is per-bucket approx_percentile
+    * sketches (q58 family).
+    * Oracle parity: frame membership uses the same µs-truncated event
+    * times (`CAST(ts AS TIMESTAMP)`, the q45 idiom) and both engines
+    * define the quantile as linear interpolation at (n−1)·q.
+    */
+  val q119RollingP95 = Q(
+    "q119_rolling_p95",
+    """SELECT event_id,
+      |  round(quantile_cont(value, 0.95) OVER (
+      |    PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP)
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 6)
+      |    AS p95
+      |FROM events
+      |ORDER BY event_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        expr("""round(percentile(value, 0.95) OVER (
+          PARTITION BY event_type ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOURS PRECEDING AND CURRENT ROW), 6)""")
+          .as("p95"))
+      .orderBy(col("event_id"))
   }
 }
