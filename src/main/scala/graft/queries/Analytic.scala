@@ -31,6 +31,7 @@ object Analytic {
     q94TrendSlope,
     q115SnapshotDiff,
     q119RollingP95,
+    q120MarkovTransitions,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -705,5 +706,57 @@ object Analytic {
           RANGE BETWEEN INTERVAL 1 HOURS PRECEDING AND CURRENT ROW), 6)""")
           .as("p95"))
       .orderBy(col("event_id"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the sequence-mining primitive behind next-action prediction, anomaly
+    * scoring ("this transition never happens"), and funnel discovery
+    * (q75 checks ONE prescribed order; this measures ALL empirical
+    * transitions). Per user, events order by (ts, event_id); each
+    * consecutive (prev → next) pair counts once; probabilities are
+    * row-normalized per source state. Plan: ONE user_id-keyed shuffle for
+    * the lag window (q92's partitioning), then a transition-matrix-sized
+    * aggregate (|states|², provably bounded) whose row totals ride a
+    * source-state-partitioned window over that bounded matrix — nothing
+    * data-sized past the first shuffle. Probabilities are exact
+    * integer-ratio `ratio6`s, so both engines hash-match.
+    */
+  val q120MarkovTransitions = Q(
+    "q120_markov_transitions",
+    s"""WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events
+      |),
+      |t AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type
+      |),
+      |r AS (
+      |  SELECT prev_type, next_type, n,
+      |    CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_n
+      |  FROM t
+      |)
+      |SELECT prev_type, next_type, n,
+      |  ${Sql.ratio6("n", "row_n")} AS p
+      |FROM r
+      |ORDER BY prev_type NULLS FIRST, next_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    // row totals over the |states|²-sized matrix — bounded by construction
+    t.withColumn("row_n",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("long"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        Exact.ratio6("n", "row_n").as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
   }
 }

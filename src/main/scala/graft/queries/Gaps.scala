@@ -20,7 +20,7 @@ object Gaps {
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
-    q111DriftPsi)
+    q111DriftPsi, q121KAnonymity)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -987,5 +987,34 @@ object Gaps {
         * log(col("p_a") / col("p_b")).cast("float").cast("double"), 6)
         .as("psi_term"))
       .orderBy(col("bin"))
+  }
+
+  /** k-anonymity risk audit — the privacy-governance measurement that
+    * complements q82 (which SCRUBS direct identifiers): a released record
+    * is re-identifiable when its QUASI-identifier combination (here
+    * nation × segment × account-balance band) is shared by fewer than k
+    * individuals. Reports every violating group with its size — the
+    * generalize-or-suppress worklist a release pipeline consumes. Plan:
+    * one hash aggregate on the quasi-identifier tuple with map-side
+    * combine, then a bounded HAVING filter; group count is capped by the
+    * quasi-identifier domain product, never row count.
+    */
+  val q121KAnonymity = Q(
+    "q121_k_anonymity",
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+      |  count(*) AS group_size
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) < 5
+      |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST,
+      |  bal_band NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < 5)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
   }
 }
