@@ -32,6 +32,7 @@ object Analytic {
     q115SnapshotDiff,
     q119RollingP95,
     q120MarkovTransitions,
+    q123TemporalLookup,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -612,6 +613,59 @@ object Analytic {
         unix_micros(col("matched_view")).as("view_us"),
         col("value").as("purchase_value"),
       )
+      .orderBy(col("event_id"))
+  }
+
+  /** Point-in-time dimension lookup (the SCD2 temporal join): every fact
+    * is enriched with the dimension VERSION valid at its event time —
+    * here each non-purchase event gets the user's latest at-or-before
+    * purchase value ("current tier") plus that version's valid_from, NULL
+    * before the first version. This is the consumption side of q71 (which
+    * BUILDS validity intervals) and the warehouse pattern behind "price
+    * as of order date" joins. Mechanics are q09's union+window as-of —
+    * deliberately NOT an interval join: one (user) shuffle, a running
+    * `last(ignoreNulls)` carries the open version forward, and version
+    * rows sort before facts at equal ts (kind 0 < 1) for inclusive
+    * at-or-before semantics. DuckDB twins it with a native ASOF LEFT
+    * JOIN, so the oracle also cross-checks the idiom against a real
+    * temporal-join implementation.
+    */
+  val q123TemporalLookup = Q(
+    "q123_temporal_lookup",
+    """SELECT f.event_id, f.user_id, epoch_us(f.ts) AS fact_us,
+      |  f.event_type, v.value AS tier_value, epoch_us(v.ts) AS valid_from_us
+      |FROM (SELECT * FROM events WHERE event_type <> 'purchase') f
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') v
+      |  ON f.user_id = v.user_id AND f.ts >= v.ts
+      |ORDER BY f.event_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val versions = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"), col("value"))
+    val facts = ev
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"), col("event_id"),
+        col("event_type"), lit(null).cast("double").as("value"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions
+      .unionByName(facts)
+      .withColumn("ver_ts", when(col("kind") === 0, col("ts")))
+      .withColumn("ver_val", when(col("kind") === 0, col("value")))
+      .withColumn("tier_value",
+        last(col("ver_val"), ignoreNulls = true).over(w))
+      .withColumn("valid_from",
+        last(col("ver_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("fact_us"), col("event_type"),
+        col("tier_value"),
+        unix_micros(col("valid_from")).as("valid_from_us"))
       .orderBy(col("event_id"))
   }
 
