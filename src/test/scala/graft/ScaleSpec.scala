@@ -267,6 +267,18 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q123's temporal lookup rides ONE user exchange — no interval join") {
+    // the SCD2 point-in-time join must stay the union+window as-of: a
+    // single hash exchange on user_id (the final orderBy's range exchange
+    // is presentation, not data movement between operators)
+    val q123 = graft.queries.Analytic.q123TemporalLookup.fn(spark, sf)
+    q123.write.format("noop").mode("overwrite").save()
+    val plan = q123.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"q123 plans $exchanges hash exchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("q115's snapshot diff is one keyed full-outer join, not a loop") {
     // full outer cannot broadcast; the only scalable plan is both sides
     // hash-partitioned on the PK into a merge/shuffled-hash join — a BNLJ
