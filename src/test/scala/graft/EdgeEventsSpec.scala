@@ -61,7 +61,7 @@ class EdgeEventsSpec extends SparkSpec {
 
   test("events operators survive the tiny degenerate fixture") {
     for (name <- Seq("q84_cohort_retention", "q92_sessions_batch",
-      "q80_gap_fill", "q89_partial_merge"))
+      "q80_gap_fill", "q89_partial_merge", "q119_rolling_p95"))
       assert(SparkEntry.queries(name)(spark, dir).collect().nonEmpty,
         s"$name returned no rows")
     // q76: every z-score is NULL here (one window per (type,hour) family
@@ -69,5 +69,27 @@ class EdgeEventsSpec extends SparkSpec {
     // broken one an ANSI divide-by-zero crash
     assert(SparkEntry.queries("q76_window_anomaly")(spark, dir)
       .collect().isEmpty)
+  }
+
+  test("q120: single-event users contribute no transitions; solo rows stay") {
+    // users 2 and 4 have exactly one event — the lag window must emit no
+    // pair for them, and a corpus of ONLY such users yields an empty
+    // (not crashing) matrix
+    val t = SparkEntry.queries("q120_markov_transitions")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // user 1: solo->solo; user 3: multi->multi — exactly two transition
+    // kinds, each from the multi-event users only
+    assert(t === Map(("solo", "solo") -> 1L, ("multi", "multi") -> 1L), t.toString)
+  }
+
+  test("q123: users with no dimension version get NULL tier, not a drop") {
+    // no 'purchase' events exist in this fixture at all — every fact must
+    // still appear, with NULL tier and NULL valid_from (the ASOF LEFT
+    // semantics); an inner formulation would return nothing
+    val rows = SparkEntry.queries("q123_temporal_lookup")(spark, dir).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.isNullAt(4)), "tier must be NULL with no versions")
+    assert(rows.forall(_.isNullAt(5)), "valid_from must be NULL too")
   }
 }
