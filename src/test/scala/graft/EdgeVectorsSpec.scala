@@ -24,7 +24,8 @@ class EdgeVectorsSpec extends SparkSpec {
   }
 
   test("cosine operators survive a zero vector (NULL cos, filtered out)") {
-    for (name <- Seq("q34_cosine_neardup", "q35_cosine_topk", "q36_ann_ivf"))
+    for (name <- Seq("q34_cosine_neardup", "q35_cosine_topk", "q36_ann_ivf",
+      "q118_mmr_rerank"))
     {
       val rows = SparkEntry.queries(name)(spark, dir).collect()
       // the zero vector never appears in any scored pair output
