@@ -68,8 +68,14 @@ class MmrTopK(poolK: Int, outK: Int, lambda: Double)
         val redundancy =
           if (chosen.isEmpty) 0.0
           else chosen.map(s => cos(c.v, s.v)).max
-        val score = lambda * c.rel - (1 - lambda) * redundancy
-        if (score > bestScore ||
+        // A NaN rel (legal input to a public aggregator) would poison every
+        // comparison — no candidate ever beats NaN-bestScore and best could
+        // stay -1, crashing the tie-break. Rank non-finite scores last
+        // instead, and let `best < 0` seat the first candidate even when
+        // its score is -Infinity.
+        val raw = lambda * c.rel - (1 - lambda) * redundancy
+        val score = if (raw.isNaN) Double.NegativeInfinity else raw
+        if (best < 0 || score > bestScore ||
           (score == bestScore && c.id < remaining(best).id)) {
           best = i; bestScore = score
         }

@@ -113,6 +113,13 @@ object Profile {
       table: String,
       profiled: DataFrame,
       sizeInBytes: Long): Unit = {
+    // VERSION PIN: CatalogColumnStat / CatalogStatistics live in
+    // org.apache.spark.sql.catalyst.catalog — an INTERNAL Catalyst surface
+    // with no compatibility promise. Written and tested against Spark
+    // 4.1.2 (the pinned /opt/spark jars); the external string forms below
+    // assume CatalogColumnStat.VERSION == 1 semantics. If a Spark upgrade
+    // breaks this compile or ProfileSpec's SMJ→BHJ flip assertion, this
+    // is the seam to revisit first.
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
     import org.apache.spark.sql.types._
     val schema = spark.table(table).schema

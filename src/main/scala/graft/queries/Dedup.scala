@@ -393,10 +393,14 @@ object Dedup {
     * writes are keyed by batchId with overwrite mode, so a replayed batch
     * (the foreachBatch at-least-once contract) rewrites its own outputs
     * instead of duplicating them — the export-bridge idempotency idiom.
-    * A replay also re-reads state that already contains its own
-    * signatures; the bucket join's `distinct()` collapses the self-copy,
-    * so the emitted pair set is unchanged (IncrementalDedupSpec proves the
-    * 3-batch drain equals the one-shot corpus recompute).
+    * A replay must ALSO exclude its own previously-written state from the
+    * corpus it verifies against: reading `batch_*` blindly would include
+    * `batch_<id>` itself, doubling the batch's doc rows on the verify side
+    * and inflating every intersection count (the jaccard numerator) while
+    * the per-doc shingle counts stay correct — phantom pairs. State reads
+    * therefore list the state dirs and filter out `batch_<id>` before
+    * reading (IncrementalDedupSpec's replay case pins this: re-running a
+    * batch body leaves its pairs output byte-identical).
     *
     * At 100 TB: per-batch work is batch-proportional (the stored index is
     * ~15 longs/doc; only candidate-touched texts are re-shingled), which
@@ -410,29 +414,51 @@ object Dedup {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val s = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          s.sparkContext.hadoopConfiguration)
-        val idxGlob = new org.apache.hadoop.fs.Path(s"$stateDir/index")
-        val hasState = fs.exists(idxGlob) &&
-          fs.listStatus(idxGlob).nonEmpty
-        val b = batch.select(col("doc_id"), col("text"))
-        val (stored, corpus) =
-          if (hasState)
-            (s.read.parquet(s"$stateDir/index/batch_*"),
-              s.read.parquet(s"$stateDir/docs/batch_*").unionByName(b))
-          else {
-            val emptyIdx = minhashIndex(b.limit(0))
-            (emptyIdx, b)
-          }
-        incrementalNearDups(b, stored, corpus)
-          .write.mode("overwrite").parquet(s"$pairsDir/batch_$id")
-        minhashIndex(b)
-          .write.mode("overwrite").parquet(s"$stateDir/index/batch_$id")
-        b.write.mode("overwrite").parquet(s"$stateDir/docs/batch_$id")
-        ()
+        ingestBatch(batch, id, stateDir, pairsDir)
       }
       .start()
+
+  /** One micro-batch of [[streamIngestDedup]], factored out so the replay
+    * contract (same `id` re-run ⇒ identical pairs output) is directly
+    * testable without driving a second streaming query. */
+  private[graft] def ingestBatch(
+      batch: DataFrame, id: Long, stateDir: String, pairsDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    // Resolve the filesystem from the state path itself, not fs.defaultFS:
+    // state on a different scheme (e.g. object store) than the default FS
+    // would otherwise be probed on the wrong filesystem entirely.
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(stateDir).getFileSystem(conf)
+    // Prior-state listing EXCLUDES this batch's own directory so an
+    // at-least-once replay never sees its first attempt's rows as corpus.
+    def prior(sub: String): Seq[String] = {
+      val dir = new Path(s"$stateDir/$sub")
+      if (fs.exists(dir))
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith("batch_") &&
+            p.getName != s"batch_$id")
+          .map(_.toString)
+      else Seq.empty
+    }
+    val priorIdx = prior("index")
+    val priorDocs = prior("docs")
+    val b = batch.select(col("doc_id"), col("text"))
+    val (stored, corpus) =
+      if (priorIdx.nonEmpty)
+        (s.read.parquet(priorIdx: _*),
+          s.read.parquet(priorDocs: _*).unionByName(b))
+      else {
+        val emptyIdx = minhashIndex(b.limit(0))
+        (emptyIdx, b)
+      }
+    incrementalNearDups(b, stored, corpus)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_$id")
+    minhashIndex(b)
+      .write.mode("overwrite").parquet(s"$stateDir/index/batch_$id")
+    b.write.mode("overwrite").parquet(s"$stateDir/docs/batch_$id")
+    ()
+  }
 
   /** q32's full pipeline over an arbitrary (doc_id, text) frame — the
     * from-scratch baseline [[incrementalNearDups]] is proven against. */

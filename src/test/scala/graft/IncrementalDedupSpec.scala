@@ -79,6 +79,36 @@ class IncrementalDedupSpec extends SparkSpec {
       s"missing=${full -- streamed} phantom=${streamed -- full}")
   }
 
+  test("replaying a micro-batch leaves its pairs output unchanged") {
+    // the at-least-once contract: foreachBatch may re-run a batch id whose
+    // state writes already landed. The replay must not see its own first
+    // attempt's docs as corpus (that would double rows on the verify side
+    // and inflate jaccard into phantom pairs) — ingestBatch excludes
+    // batch_<id> from the state listing, so the re-run is byte-identical.
+    val corpus = Tables.documentsWide(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val b0 = corpus.filter(col("doc_id") % 3 =!= 0)
+    val b1 = corpus.filter(col("doc_id") % 3 === 0)
+    val root = Files.createTempDirectory("ingest-replay").toString
+
+    Dedup.ingestBatch(b0, 0L, s"$root/state", s"$root/pairs")
+    Dedup.ingestBatch(b1, 1L, s"$root/state", s"$root/pairs")
+    val first = spark.read.parquet(s"$root/pairs/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // crash-after-state-write, then redelivery of the same batch id
+    Dedup.ingestBatch(b1, 1L, s"$root/state", s"$root/pairs")
+    val replayed = spark.read.parquet(s"$root/pairs/batch_1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(first.nonEmpty, "fixture must produce pairs in batch 1")
+    assert(replayed === first,
+      s"phantom=${replayed -- first} lost=${first -- replayed}")
+    // and the drained result still equals the one-shot recompute
+    val streamed = pairs(spark.read.parquet(s"$root/pairs/batch_*"))
+    assert(streamed === pairs(Dedup.nearDups(corpus)))
+  }
+
   test("incremental verify re-shingles only candidate-touched documents") {
     val corpus = Tables.documentsWide(spark, sf)
       .select(col("doc_id"), col("text"))

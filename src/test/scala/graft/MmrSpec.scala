@@ -90,4 +90,23 @@ class MmrSpec extends AnyFunSuite {
       .foldLeft(agg.zero)(agg.reduce)).map(_.id)
     assert(picks === Seq(0L, 2L), s"got $picks")
   }
+
+  test("non-finite relevance never crashes finish() and ranks last") {
+    // a NaN or -Infinity rel from an arbitrary caller used to leave the
+    // argmax seat empty (best = -1) and crash the tie-break; now such
+    // candidates sort after every finite-scored one, ids breaking ties
+    val nan = MmrCand(0L, Double.NaN, Seq(1.0, 0.0))
+    val ninf = MmrCand(1L, Double.NegativeInfinity, Seq(0.0, 1.0))
+    val ok = MmrCand(2L, 0.5, Seq(0.5, 0.5))
+    val agg = new MmrTopK(5, 3, 0.7)
+    val picks = agg.finish(Seq(nan, ninf, ok)
+      .foldLeft(agg.zero)(agg.reduce)).map(_.id)
+    assert(picks.head === 2L, s"finite candidate must win: $picks")
+    assert(picks.size === 3 && picks.toSet === Set(0L, 1L, 2L))
+
+    // all-NaN pool: still total, deterministic, id-ordered
+    val allNan = Seq.tabulate(4)(i => MmrCand(i.toLong, Double.NaN, Seq(1.0)))
+    val picks2 = new MmrTopK(5, 2, 0.7).finish(allNan).map(_.id)
+    assert(picks2 === Seq(0L, 1L), s"got $picks2")
+  }
 }
