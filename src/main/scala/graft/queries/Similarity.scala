@@ -420,22 +420,86 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  // MMR fixed-point geometry: λ = 7/10, pool of 20, 5 picks — shared by the
+  // Spark aggregate and the generated oracle so they can never drift.
+  private val MmrLamNum = 7L
+  private val MmrLamDen = 10L
+  private val MmrPoolK = 20
+  private val MmrOutK = 5
+
+  /** The q118 greedy recurrence as portable SQL (the q113 discipline:
+    * integer fixed point + the loop unrolled into chained CTEs, one per
+    * greedy pick). `irel`/`icos` are round-6 cosines ×10⁶ — exact BIGINTs
+    * in both engines — so pick-k is a pure integer argmax the oracle can
+    * replay bit for bit.
+    */
+  private val mmrOracle: String = {
+    val relCos = duckCos("q.qv", "e.v", "q.qnrm", "e.nrm")
+    val rounds = (2 to MmrOutK).map { k =>
+      s"""s$k AS (
+         |  SELECT p.qid, p.vec_id,
+         |    $MmrLamNum * p.irel - ${MmrLamDen - MmrLamNum} * max(pr.icos) AS s
+         |  FROM pool p
+         |  JOIN pr ON pr.qid = p.qid AND pr.a = p.vec_id
+         |  JOIN ch${k - 1} ch ON ch.qid = pr.qid AND ch.vec_id = pr.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM ch${k - 1} x
+         |                    WHERE x.qid = p.qid AND x.vec_id = p.vec_id)
+         |  GROUP BY p.qid, p.vec_id, p.irel),
+         |c$k AS (
+         |  SELECT qid, vec_id, $k AS rk, s FROM (
+         |    SELECT qid, vec_id, s,
+         |      row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rn
+         |    FROM s$k) t WHERE rn = 1),
+         |ch$k AS (SELECT * FROM ch${k - 1} UNION ALL SELECT * FROM c$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $duckE,
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 5),
+       |rel AS (
+       |  SELECT q.qid, e.vec_id,
+       |    CAST(round($relCos * 1000000) AS BIGINT) AS irel, e.v, e.nrm
+       |  FROM e JOIN q ON e.vec_id <> q.qid
+       |  WHERE $relCos IS NOT NULL),
+       |pool AS (
+       |  SELECT * FROM (
+       |    SELECT qid, vec_id, irel, v, nrm,
+       |      row_number() OVER (PARTITION BY qid ORDER BY irel DESC, vec_id) AS pk
+       |    FROM rel) t WHERE pk <= $MmrPoolK),
+       |pr AS (
+       |  SELECT p1.qid, p1.vec_id AS a, p2.vec_id AS b,
+       |    CAST(round(${duckCos("p1.v", "p2.v", "p1.nrm", "p2.nrm")} * 1000000) AS BIGINT) AS icos
+       |  FROM pool p1 JOIN pool p2
+       |    ON p1.qid = p2.qid AND p1.vec_id <> p2.vec_id),
+       |c1 AS (SELECT qid, vec_id, 1 AS rk, $MmrLamNum * irel AS s
+       |       FROM pool WHERE pk = 1),
+       |ch1 AS (SELECT * FROM c1),
+       |$rounds
+       |SELECT qid, vec_id, rk, s AS mmr FROM ch$MmrOutK
+       |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin
+  }
+
   /** Diversified retrieval re-ranking via Maximal Marginal Relevance —
     * what a RAG serving layer runs between "top-k by cosine" (q35) and the
     * prompt: near-duplicate hits crowd out coverage, so each next pick
     * maximizes λ·relevance − (1−λ)·max-similarity-to-already-picked.
-    * The whole operator is ONE [[graft.functions.MmrTopK]] aggregate:
+    * The whole operator is ONE [[graft.functions.MmrMicroTopK]] aggregate:
     * the algebraic buffer keeps each query's 20 best-by-relevance
     * candidates with map-side combine (no window sorts the corpus — the
     * q110 plan shape), and the greedy O(20²) rerank runs in finish() on
-    * that bounded pool. Greedy selection is not SQL-expressible, so this
-    * is rows-only by design (the q43/q98 pattern); MmrSpec proves the
-    * aggregate against an independent reimplementation, the first-pick =
-    * top-relevance law, partitioning invariance, and that diversification
-    * actually displaces redundant hits on a planted near-dup fixture.
+    * that bounded pool. Scoring lives in INTEGER micro-cosine space
+    * (λ = 7/10 as a rational, relevance/redundancy as round-6 cosines ×10⁶)
+    * so the greedy recurrence is SQL-expressible after all: [[mmrOracle]]
+    * unrolls the 5 picks as chained CTEs and DuckDB hash-matches the
+    * result exactly — this used to be rows-only; the fixed-point move is
+    * what made it oracle-able. MmrSpec additionally proves both aggregates
+    * against independent reimplementations, the pool laws under random
+    * partitioning, and that diversification displaces a planted near-dup.
     */
-  val q118MmrRerank = Q.noOracle("q118_mmr_rerank") { (s, d) =>
-    val rerank = udaf(new graft.functions.MmrTopK(20, 5, 0.7))
+  val q118MmrRerank = Q(
+    "q118_mmr_rerank",
+    mmrOracle,
+  ) { (s, d) =>
+    val rerank = udaf(new graft.functions.MmrMicroTopK(
+      MmrPoolK, MmrOutK, MmrLamNum, MmrLamDen))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -445,14 +509,15 @@ object Similarity {
             col("nrm").as("qnrm"))),
         col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("rel"),
+        round(cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))
+          * lit(1000000)).cast("long").as("irel"),
         col("v"))
-      .filter(col("rel").isNotNull)
+      .filter(col("irel").isNotNull)
       .groupBy(col("qid"))
-      .agg(rerank(col("vec_id"), col("rel"), col("v")).as("picks"))
+      .agg(rerank(col("vec_id"), col("irel"), col("v")).as("picks"))
       .select(col("qid"), explode(col("picks")).as("p"))
       .select(col("qid"), col("p.id").as("vec_id"),
-        col("p.rk").as("rk"), round(col("p.score"), 6).as("mmr"))
+        col("p.rk").as("rk"), col("p.s").as("mmr"))
       .orderBy(col("qid"), col("rk"))
   }
 
