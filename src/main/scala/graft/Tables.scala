@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
   *
   * All tables are plain parquet scans — Catalyst pushes filters/projections
   * into the scan, so callers should never cache or materialize here. The one
-  * normalization: `events.ts` is physically parquet TIMESTAMP(NANOS), which
-  * Spark only reads via the `nanosAsLong` legacy knob; we convert to a
-  * microsecond timestamp (truncating, exactly like DuckDB's ns→µs read) so
-  * downstream operators and the DuckDB oracle see identical values.
+  * normalization: `events.ts` is canonicalized to session-zoned µs
+  * TimestampType whatever its physical layout (ns-as-long, NTZ micros, or
+  * already-zoned) — see [[normalizeTs]] — so downstream operators and the
+  * DuckDB oracle see identical values across testdata generations.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -40,22 +40,37 @@ object Tables {
   def documentsWide(s: SparkSession, d: String): DataFrame =
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
-  /** `ts` arrives as LongType (ns since epoch) under the nanosAsLong knob,
-    * which every session builder ([[Engine]]/[[Verify]]/[[Bench]]) sets at
-    * build time. ns→µs uses floor division (`(ts - pmod(ts,1000)) div 1000`
-    * floors even for pre-epoch negatives), matching DuckDB's ns→µs read.
+  /** Normalize an events-shaped frame so `ts` is always session-zoned
+    * TimestampType (µs), whatever the physical parquet layout was:
+    *
+    *  - `LongType`: TIMESTAMP(NANOS) read under the `nanosAsLong` legacy
+    *    knob (every session builder sets it). ns→µs uses floor division
+    *    (`(ts - pmod(ts,1000)) div 1000` floors even for pre-epoch
+    *    negatives), matching DuckDB's ns→µs read.
+    *  - `TimestampNTZType`: plain TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    *    which Spark 4 infers as NTZ. The session zone is pinned to UTC, so
+    *    the cast to TimestampType preserves every wall-clock value and
+    *    keeps downstream window/watermark operators on the type they
+    *    already expect.
+    *  - `TimestampType`: already canonical.
+    *
+    * Dispatching on the OBSERVED scan dtype (not a hardcoded layout) is
+    * what lets the same query registry run against either generation of
+    * the driver testdata and against suite-synthesized fixtures.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // fail fast with guidance on foreign sessions: without the knob the
-    // scan dies later with a cryptic "Illegal Parquet type: INT64
-    // (TIMESTAMP(NANOS,...))". Deliberately NOT conf.set here — a table
-    // loader must not mutate session state behind the caller's back.
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS); build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (Engine.session does)")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type ${other.simpleString}; expected " +
+          "long (ns), timestamp_ntz, or timestamp")
+    }
   }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
 }

@@ -78,8 +78,8 @@ object Windows {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      // same ns→µs normalization as graft.Tables.events
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      // same ts canonicalization as graft.Tables.events (layout-adaptive)
+      .transform(graft.Tables.normalizeTs)
     runTumbling(raw, tableName)
   }
 
@@ -113,7 +113,7 @@ object Windows {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .transform(graft.Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
@@ -177,7 +177,7 @@ object Windows {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val views = side().filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))
@@ -220,7 +220,7 @@ object Windows {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .transform(graft.Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       // the watermarked ts column must stay in the grouped Dataset for the
       // event-time timeout to be allowed; the µs twin does the exact math
@@ -294,7 +294,7 @@ object Windows {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     enriched(raw, dim)
       .writeStream
       .format("memory")
@@ -315,7 +315,7 @@ object Windows {
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .transform(graft.Tables.normalizeTs)
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
       .writeStream
@@ -328,22 +328,47 @@ object Windows {
   /** Number of fixed-width `value` bins the drift monitor tracks. */
   val DriftBins: Int = 8
 
-  /** Laplace-smoothed bin proportions of `value` over an events frame —
-    * the REFERENCE side of the drift monitor, computed once over the
-    * trusted corpus (driver-side: DriftBins+1 scalars, the
-    * Profile.scala:55 probe shape) and baked into the streaming plan as
-    * literals. Smoothing keeps every proportion strictly positive so the
+  /** The drift monitor's bin geometry plus the reference proportions it
+    * was computed under — the unit a deployment persists alongside the
+    * reference corpus snapshot. Carrying the geometry WITH the proportions
+    * makes it impossible to score a window against a reference under
+    * mismatched edges. */
+  final case class DriftReference(
+      lo: Double, width: Double, props: Seq[Double])
+
+  /** Bin column for a given geometry: equi-width over [lo, lo+8·width),
+    * clamped on BOTH sides so live values outside the reference's observed
+    * range land in the edge bins (where they inflate PSI — drift below the
+    * historical minimum is drift too, which the old floor-only clamp at 0
+    * could never see). */
+  private def driftBin(lo: Double, width: Double) =
+    least(greatest(floor((col("value") - lo) / width), lit(0L)).cast("long"),
+      lit(DriftBins - 1L))
+
+  /** Laplace-smoothed bin proportions of `value` over the TRUSTED corpus —
+    * the reference side of the drift monitor (driver-side: DriftBins+2
+    * scalars, the Profile.scala:55 probe shape), baked into the streaming
+    * plan as literals. Bin edges are DERIVED from the reference corpus
+    * min/max (one 2-scalar probe), not hard-coded — the monitor
+    * generalizes to any value range (StreamingSpec's shifted-range case),
+    * where a fixed `/62.5` encoded this fixture's [0,500] domain as a
+    * literal. Smoothing keeps every proportion strictly positive so the
     * PSI's log is always finite — for the reference AND each window.
     */
-  def driftReference(events: DataFrame): Seq[Double] = {
+  def driftReference(events: DataFrame): DriftReference = {
+    val mm = events.agg(min(col("value")), max(col("value"))).head
+    val lo = mm.getDouble(0)
+    val hi = mm.getDouble(1)
+    // degenerate single-valued reference still needs a positive width
+    val width = if (hi > lo) (hi - lo) / DriftBins else 1.0
     val counts = events
-      .groupBy(least(floor(col("value") / 62.5).cast("long"),
-        lit(DriftBins - 1L)).as("bin"))
+      .groupBy(driftBin(lo, width).as("bin"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
     val n = counts.values.sum
-    (0 until DriftBins).map(b =>
-      (counts.getOrElse(b, 0L) + 1).toDouble / (n + DriftBins))
+    DriftReference(lo, width,
+      (0 until DriftBins).map(b =>
+        (counts.getOrElse(b, 0L) + 1).toDouble / (n + DriftBins)))
   }
 
   /** Per-window Population Stability Index of the `value` distribution
@@ -354,10 +379,9 @@ object Windows {
     * bins is a pure projection of that one row, so the whole monitor adds
     * nothing stateful beyond the tumbling aggregate itself.
     */
-  def driftPsi(events: DataFrame, ref: Seq[Double]): DataFrame = {
-    require(ref.length == DriftBins, s"need $DriftBins reference bins")
-    val bin = least(floor(col("value") / 62.5).cast("long"),
-      lit(DriftBins - 1L))
+  def driftPsi(events: DataFrame, ref: DriftReference): DataFrame = {
+    require(ref.props.length == DriftBins, s"need $DriftBins reference bins")
+    val bin = driftBin(ref.lo, ref.width)
     val counters = (0 until DriftBins).map(b =>
       count(when(bin === b, 1)).as(s"c$b"))
     val agg = events
@@ -365,7 +389,7 @@ object Windows {
       .agg(counters.head, counters.tail :+ count(lit(1)).as("n"): _*)
     val psi = (0 until DriftBins).map { b =>
       val p = (col(s"c$b") + 1).cast("double") / (col("n") + DriftBins)
-      (p - ref(b)) * log(p / ref(b))
+      (p - ref.props(b)) * log(p / ref.props(b))
     }.reduce(_ + _)
     agg.select(col("win.start").as("win_start"), col("n"),
       round(psi, 6).as("psi"))
@@ -379,13 +403,13 @@ object Windows {
     */
   def streamDriftPsi(
       spark: SparkSession, sfDir: String, tableName: String,
-      ref: Seq[Double]): StreamingQuery = {
+      ref: DriftReference): StreamingQuery = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val raw = spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     driftPsi(raw.withWatermark("ts", "10 minutes"), ref)
       .writeStream
       .format("memory")

@@ -229,7 +229,8 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming drift monitor emits the batch PSI per finalized day") {
     val ref = Windows.driftReference(Tables.events(spark, sf))
-    assert(ref.length === Windows.DriftBins && ref.forall(_ > 0))
+    assert(ref.props.length === Windows.DriftBins && ref.props.forall(_ > 0))
+    assert(ref.width > 0)
     val q = Windows.streamDriftPsi(spark, sf, "stream_drift", ref)
     try {
       q.processAllAvailable()
@@ -257,6 +258,30 @@ class StreamingSpec extends SparkSpec {
       assert(meanPsi < 3.0 * (Windows.DriftBins - 1).toDouble / nMin,
         s"clean fixture scored drifted: mean=$meanPsi over n≥$nMin windows")
     } finally q.stop()
+  }
+
+  test("drift bin edges derive from the reference corpus, not a fixed range") {
+    import spark.implicits._
+    // a corpus living in [10_000, 10_800] — under the old fixed /62.5
+    // binning every value would land in the clamp bin and the monitor
+    // would be blind; derived edges must spread it across all bins
+    def mk(shift: Double, scale: Double) = (1 to 800).map { i =>
+      (i.toLong,
+        new java.sql.Timestamp(1704067200000L + i * 60000L),
+        (i % 7).toLong, "t", shift + scale * (i % 100), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val refCorpus = mk(10000.0, 8.0)
+    val ref = Windows.driftReference(refCorpus)
+    assert(ref.lo === 10000.0 && ref.width > 0)
+    // a healthy same-distribution window scores near zero...
+    val clean = Windows.driftPsi(refCorpus, ref).collect()
+    assert(clean.nonEmpty && clean.forall(_.getDouble(2) < 0.05),
+      "same-distribution corpus must not flag drift")
+    // ...and a shifted live stream (below AND above the reference range)
+    // scores loudly, which the clamp-to-edge-bins binning guarantees
+    val drifted = Windows.driftPsi(mk(3000.0, 1.0), ref).collect()
+    assert(drifted.nonEmpty && drifted.forall(_.getDouble(2) > 0.5),
+      s"shifted corpus must flag drift: ${drifted.map(_.getDouble(2)).toSeq}")
   }
 
   test("dropDuplicatesWithinWatermark dedups to the exact distinct key count") {
