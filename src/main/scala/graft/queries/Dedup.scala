@@ -22,14 +22,19 @@ import org.apache.spark.sql.functions._
   *    computed per candidate pair only.
   *  - SimHash: embarrassingly parallel fingerprinting (no shuffle until the
   *    fingerprint group-count).
-  *  - Hot-bucket residual (q32/q51): a degenerate corpus — millions of
-  *    IDENTICAL documents — collapses into one LSH bucket, and no salting
-  *    can help because the true OUTPUT is quadratic (every pair really is a
-  *    near-dup; see the identical-corpus test in ShortDocSpec). The
-  *    engine-level mitigation is pipeline order: run exact dedup (q31)
-  *    first so identical docs enter LSH as one representative; q55's
-  *    pmod-salt idiom remains the tool for skewed AGGREGATES (the minhash
-  *    min() stages here are already salt-free map-side combines).
+  *  - Hot-bucket mitigation (q32 + the incremental index): a degenerate
+  *    corpus — millions of IDENTICAL documents — would collapse into one
+  *    LSH bucket and the bucket self-join would go quadratic. Salting
+  *    cannot help (the true OUTPUT is quadratic: every pair really is a
+  *    near-dup), so the IMPLEMENTED mitigation is [[collapseByText]]:
+  *    exact duplicates are collapsed to one representative per distinct
+  *    text BEFORE banding, pairs are expanded back algebraically after
+  *    verification (intra-group j is exactly 1), and only the
+  *    output-proportional expansion ever sees the duplication factor —
+  *    LshFloodSpec pins both the bounded bucket work and the
+  *    output-equality with the naive plan. q55's pmod-salt idiom remains
+  *    the tool for skewed AGGREGATES (the minhash min() stages here are
+  *    already salt-free map-side combines).
   *  - Why every candidate generator here is LSH and none is EXACT: an
   *    AllPairs/PPJoin prefix-filter join (word-bigram Jaccard ≥ 0.6,
   *    df-ordered prefixes of length n − ⌈τn⌉ + 1) was built, oracle-
@@ -275,19 +280,7 @@ object Dedup {
           "len(list_distinct(list_concat(x.shingles, y.shingles)))")} >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
-    val dsh = shingleRows(docs)
-    val bands = minhashBands(dsh)
-    val cand = bands.as("a")
-      .join(bands.as("c"),
-        col("a.b") === col("c.b") &&
-          col("a.s0") === col("c.s0") && col("a.s1") === col("c.s1") &&
-          col("a.s2") === col("c.s2") &&
-          col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-        col("a.ns").as("ns_a"), col("c.ns").as("ns_b"))
-      .distinct() // ns is functionally dependent on doc_id — pairs stay unique
-    verifyJaccard(cand, dsh)
+    nearDups(Tables.documentsWide(s, d).select(col("doc_id"), col("text")))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -304,7 +297,7 @@ object Dedup {
     * it runs as a per-row array_distinct BEFORE the explode: zero shuffle
     * where explode→DISTINCT paid an exchange + 3 hash aggregates.
     */
-  private[queries] def shingleRows(docs: DataFrame): DataFrame = {
+  private[graft] def shingleRows(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     docs
       // the filter both excludes sub-window docs (DuckDB's range() yields
@@ -337,7 +330,7 @@ object Dedup {
     * value ordering, so the oracle's lexicographic list_min selects the
     * same components, compared componentwise).
     */
-  private[queries] def minhashBands(dsh: DataFrame): DataFrame = {
+  private[graft] def minhashBands(dsh: DataFrame): DataFrame = {
     val B = MinhashBandCount
     val R = MinhashRowsPerBand
     val dig = dsh.select(col("doc_id") +:
@@ -368,7 +361,7 @@ object Dedup {
     * `cand` carries (doc_a, doc_b, ns_a, ns_b); output keeps pairs with
     * exact word-3-gram Jaccard ≥ 0.5.
     */
-  private[queries] def verifyJaccard(cand: DataFrame, dsh: DataFrame): DataFrame =
+  private[graft] def verifyJaccard(cand: DataFrame, dsh: DataFrame): DataFrame =
     cand
       .join(dsh.as("ga"), col("doc_a") === col("ga.doc_id"))
       .join(dsh.as("gb"),
@@ -460,12 +453,12 @@ object Dedup {
     ()
   }
 
-  /** q32's full pipeline over an arbitrary (doc_id, text) frame — the
-    * from-scratch baseline [[incrementalNearDups]] is proven against. */
-  def nearDups(docs: DataFrame): DataFrame = {
-    val dsh = shingleRows(docs)
-    val bands = minhashBands(dsh)
-    val cand = bands.as("a")
+  /** Self-join bucket candidates over a banded signature frame:
+    * (doc_a < doc_b, ns_a, ns_b), DISTINCT. The ONLY pair generator in the
+    * LSH family — factored out so the flood spec can row-count it
+    * directly (the bounded-work assertion). */
+  private[graft] def candidatePairs(bands: DataFrame): DataFrame =
+    bands.as("a")
       .join(bands.as("c"),
         col("a.b") === col("c.b") &&
           col("a.s0") === col("c.s0") && col("a.s1") === col("c.s1") &&
@@ -473,8 +466,83 @@ object Dedup {
           col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
         col("a.ns").as("ns_a"), col("c.ns").as("ns_b"))
-      .distinct()
-    verifyJaccard(cand, dsh)
+      .distinct() // ns is functionally dependent on doc_id — pairs stay unique
+
+  /** Exact-duplicate pre-collapse — the LSH hot-bucket mitigation. Docs
+    * are grouped by `sha2(text)`; only ONE representative per distinct
+    * text (the min doc_id) enters shingling/banding. An adversarial flood
+    * of k identical documents would otherwise put k copies of the same
+    * signature into every one of its 5 (band,sig) buckets and the bucket
+    * self-join would emit k(k-1)/2 candidate rows, each paying the full
+    * shingle-join verification — the classic LSH identical-doc blowup.
+    * After the collapse that bucket holds exactly one row per DISTINCT
+    * text, so per-bucket candidate pairs are bounded by the distinct-text
+    * count regardless of duplication factor; duplicate-heavy corpora get
+    * CHEAPER, not catastrophically slower. Costs one text-hash shuffle
+    * (window-min, no join) — noise next to the per-shingle md5 budget.
+    *
+    * Returns (reps, members): reps = (doc_id, text) one per distinct
+    * text; members = (doc_id, rep_id) covering every input doc.
+    */
+  private[graft] def collapseByText(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = docs
+      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("th"))
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("th"))))
+    (tagged.filter(col("doc_id") === col("rep_id"))
+       .select(col("doc_id"), col("text")),
+     tagged.select(col("doc_id"), col("rep_id")))
+  }
+
+  /** Expand representative-level verified pairs back to document-level
+    * pairs — the algebraic inverse of [[collapseByText]], exact because
+    * signatures and shingle sets are pure functions of the text:
+    *  - cross-group: every (member of A) × (member of B) pair inherits the
+    *    rep pair's jaccard verbatim (same two texts);
+    *  - intra-group: any two members of one group are identical texts, so
+    *    jaccard = ratio6(ns, ns) = 1.000000 exactly — computed through the
+    *    same fixed-point ratio the verify path uses so the value (and its
+    *    type) is bit-identical to what the naive plan would have emitted.
+    *    Groups whose text yields no word-3-gram (< 3 words) have no repNs
+    *    row and drop out — exactly the naive plan's NULL-signature
+    *    behavior (and DuckDB's empty-list list_min join semantics).
+    * Work here is proportional to the OUTPUT pair count, which no correct
+    * implementation can avoid; the point of the collapse is that the
+    * bucket join and the shingle-join verify upstream never see the k²
+    * blowup.
+    */
+  private def expandPairs(
+      repPairs: DataFrame, members: DataFrame, repNs: DataFrame): DataFrame = {
+    val cross = repPairs.as("p")
+      .join(members.as("ma"), col("ma.rep_id") === col("p.doc_a"))
+      .join(members.as("mb"), col("mb.rep_id") === col("p.doc_b"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("p.jaccard"))
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.rep_id") === col("y.rep_id") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .join(repNs.as("n"), col("x.rep_id") === col("n.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        graft.functions.Exact.ratio6("ns", "ns").as("jaccard"))
+    cross.unionByName(intra)
+  }
+
+  /** q32's full pipeline over an arbitrary (doc_id, text) frame — the
+    * from-scratch baseline [[incrementalNearDups]] is proven against.
+    * Collapses exact duplicates first ([[collapseByText]]), runs banded
+    * LSH over distinct texts only, then expands pairs back
+    * ([[expandPairs]]) — output is provably identical to the naive
+    * all-docs plan on EVERY corpus (the flood spec and the q32 oracle
+    * both pin this), while bucket-join work is bounded by distinct-text
+    * count. */
+  def nearDups(docs: DataFrame): DataFrame = {
+    val (reps, members) = collapseByText(docs)
+    val dsh = shingleRows(reps)
+    val repPairs = verifyJaccard(candidatePairs(minhashBands(dsh)), dsh)
+    val repNs = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    expandPairs(repPairs, members, repNs)
   }
 
   /** INCREMENTAL near-dup detection — the ingest-time shape of q32: a new
@@ -500,7 +568,15 @@ object Dedup {
       newDocs: DataFrame,
       storedBands: DataFrame,
       corpus: DataFrame): DataFrame = {
-    val newBands = minhashBands(shingleRows(newDocs))
+    // Hot-bucket mitigation at ingest: collapse the NEW batch's exact
+    // duplicates before banding ([[collapseByText]]) — an identical-doc
+    // flood arriving as one batch contributes ONE signature row per
+    // distinct text to the bucket join instead of k (old shape: k² bucket
+    // candidates, each verified). Stored docs stay as-is (their dup pairs
+    // were emitted by the batch that ingested them).
+    val (newReps, newMembers) = collapseByText(newDocs)
+    val dshNew = shingleRows(newReps)
+    val newBands = minhashBands(dshNew)
     val allBands = storedBands.select(
         col("doc_id"), col("ns"), col("b"), col("s0"), col("s1"), col("s2"))
       .unionByName(newBands)
@@ -525,7 +601,18 @@ object Dedup {
       .distinct()
     val dshV = shingleRows(
       corpus.join(touched, Seq("doc_id"), "left_semi"))
-    verifyJaccard(cand, dshV)
+    val repPairs = verifyJaccard(cand, dshV)
+    // Expansion mapping: new members to their reps, plus IDENTITY rows for
+    // every non-new corpus doc (stored ids pass through unchanged, so a
+    // rep↔stored pair expands across the rep's group only). Intra-group
+    // ns comes from the NEW batch's shingle rows, not the candidate
+    // closure — a duplicated-but-otherwise-unique text has no candidates
+    // yet still owes its intra-group j=1 pairs.
+    val identity = corpus.select(col("doc_id"))
+      .join(newMembers.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep_id"))
+    val repNs = dshNew.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    expandPairs(repPairs, newMembers.unionByName(identity), repNs)
   }
 
   /** Character-n-gram Jaccard near-dup — the dedup family member that works
