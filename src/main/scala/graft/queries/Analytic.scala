@@ -33,6 +33,7 @@ object Analytic {
     q119RollingP95,
     q120MarkovTransitions,
     q123TemporalLookup,
+    q124RollingP95Sketch,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -737,8 +738,9 @@ object Analytic {
     * 1-hour frame (same rows — pure frame-size effect). That linearity is
     * inherent to exact sliding quantiles; the right deployment is a
     * monitored slice (post-filter) with a bounded frame, and at corpus
-    * scale the mergeable alternative is per-bucket approx_percentile
-    * sketches (q58 family).
+    * scale the mergeable alternative IS IN CODE as
+    * [[q124RollingP95Sketch]] (per-bucket mergeable histograms; error
+    * bounded by one bin width, RollingQuantileSpec).
     * Oracle parity: frame membership uses the same µs-truncated event
     * times (`CAST(ts AS TIMESTAMP)`, the q45 idiom) and both engines
     * define the quantile as linear interpolation at (n−1)·q.
@@ -760,6 +762,116 @@ object Analytic {
           RANGE BETWEEN INTERVAL 1 HOURS PRECEDING AND CURRENT ROW), 6)""")
           .as("p95"))
       .orderBy(col("event_id"))
+  }
+
+  /** q119's SCALE-SAFE twin: rolling trailing-1-hour p95 per event type
+    * from per-bucket MERGEABLE state instead of per-row exact frames.
+    * Events land in 5-minute buckets; each (type, bucket) aggregates a
+    * 64-bin integer histogram of `value` (bin edges derived from the
+    * corpus min/max — a 2-scalar driver probe, same shape as the profile
+    * operator); the trailing hour is then a RANGE window SUM of the last
+    * 12 bucket histograms per (type, bin) — pure counter addition, the
+    * mergeability q119's exact percentile frame fundamentally lacks. The
+    * p95 estimate walks the merged histogram to the ceil(0.95·n)-th rank
+    * and interpolates inside its bin in INTEGER micro-units (the
+    * q113/q118 fixed-point discipline), so the whole operator — including
+    * the estimate itself — is plain relational arithmetic and DuckDB
+    * replays it bit-exactly: a triple-green oracle for an approximate
+    * operator.
+    *
+    * Cost: O(buckets × types × 64) state after one map-side-combined
+    * aggregation of the events scan — independent of both row count per
+    * bucket and frame width (q119 is O(rows × frame)). Accuracy:
+    * RollingQuantileSpec pins |estimate − exact rank statistic| ≤ one bin
+    * width on the real corpus; width shrinks with the observed value
+    * range, not with data volume.
+    */
+  val q124RollingP95Sketch: Q = Q(
+    "q124_rolling_p95_sketch",
+    """WITH sel AS (
+      |  SELECT CAST(floor(min(value) * 1000000) AS BIGINT) AS lo,
+      |         CAST(floor(max(value) * 1000000) AS BIGINT) + 1 AS hi
+      |  FROM events
+      |),
+      |par AS (SELECT lo, (hi - lo + 63) // 64 AS w FROM sel),
+      |e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 AS b_idx,
+      |    least(63, (CAST(floor(value * 1000000) AS BIGINT) - lo) // w) AS bin
+      |  FROM events, par
+      |),
+      |c AS (
+      |  SELECT event_type, b_idx, bin, count(*) AS cnt FROM e GROUP BY 1, 2, 3
+      |),
+      |grid AS (
+      |  SELECT t.event_type, t.b_idx, b.bin
+      |  FROM (SELECT DISTINCT event_type, b_idx FROM c) t,
+      |       (SELECT unnest(range(0, 64)) AS bin) b
+      |),
+      |g AS (
+      |  SELECT grid.event_type, grid.b_idx, grid.bin,
+      |    COALESCE(c.cnt, 0) AS cnt0
+      |  FROM grid LEFT JOIN c ON grid.event_type = c.event_type
+      |    AND grid.b_idx = c.b_idx AND grid.bin = c.bin
+      |),
+      |r AS (
+      |  SELECT event_type, b_idx, bin,
+      |    CAST(sum(cnt0) OVER (PARTITION BY event_type, bin ORDER BY b_idx
+      |      RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS rc
+      |  FROM g
+      |),
+      |q AS (
+      |  SELECT event_type, b_idx, bin, rc,
+      |    CAST(sum(rc) OVER (PARTITION BY event_type, b_idx) AS BIGINT) AS tot,
+      |    CAST(sum(rc) OVER (PARTITION BY event_type, b_idx ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM r
+      |)
+      |SELECT event_type, b_idx, tot AS n,
+      |  lo + bin * w
+      |    + ((((19 * tot + 19) // 20) - (cum - rc)) * w) // rc AS p95_micro
+      |FROM q, par
+      |WHERE cum >= (19 * tot + 19) // 20
+      |  AND cum - rc < (19 * tot + 19) // 20
+      |ORDER BY event_type NULLS FIRST, b_idx NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    // bounded driver probe: two scalars fix the bin geometry for the whole
+    // corpus (like DuckDB's `sel` CTE; floor(double*1e6) is the identical
+    // IEEE op on both engines, so the derived edges match bit-for-bit)
+    val mm = ev.agg(min(col("value")), max(col("value"))).head
+    val lo = math.floor(mm.getDouble(0) * 1e6).toLong
+    val hi = math.floor(mm.getDouble(1) * 1e6).toLong + 1
+    val w = (hi - lo + 63) / 64
+    val c = ev
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 300000000").as("b_idx"),
+        expr(s"least(63, (CAST(floor(value * 1000000) AS BIGINT) - ${lo}L) div ${w}L)")
+          .as("bin"))
+      .groupBy(col("event_type"), col("b_idx"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = c.select(col("event_type"), col("b_idx")).distinct()
+      .select(col("event_type"), col("b_idx"),
+        explode(expr("sequence(0, 63)")).as("bin"))
+    val g = grid.join(c, Seq("event_type", "b_idx", "bin"), "left")
+      .select(col("event_type"), col("b_idx"), col("bin"),
+        coalesce(col("cnt"), lit(0L)).as("cnt0"))
+    val roll = Window.partitionBy(col("event_type"), col("bin"))
+      .orderBy(col("b_idx")).rangeBetween(-11, 0)
+    val r = g.select(col("event_type"), col("b_idx"), col("bin"),
+      sum(col("cnt0")).over(roll).as("rc"))
+    val perBucket = Window.partitionBy(col("event_type"), col("b_idx"))
+    val cumW = perBucket.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val q = r.select(col("event_type"), col("b_idx"), col("bin"), col("rc"),
+      sum(col("rc")).over(perBucket).as("tot"),
+      sum(col("rc")).over(cumW).as("cum"))
+    q.withColumn("need", expr("(19 * tot + 19) div 20"))
+      .filter(col("cum") >= col("need") && col("cum") - col("rc") < col("need"))
+      .select(col("event_type"), col("b_idx"), col("tot").as("n"),
+        expr(s"${lo}L + bin * ${w}L + ((need - (cum - rc)) * ${w}L) div rc")
+          .as("p95_micro"))
+      .orderBy(col("event_type"), col("b_idx"))
   }
 
   /** First-order Markov transition matrix over per-user event sequences —
