@@ -208,6 +208,7 @@ object Export {
       nowMillis: Long = System.currentTimeMillis(),
       watermarkMicros: Option[Long] = None,
       tombstoneKeys: Seq[(String, String)] = Nil,
+      preCommit: () => Unit = () => (),
   ): Manifest = {
     val entries = tables.map { case (df, cfg, orderBy) =>
       cfg.name -> exportTable(df, cfg, orderBy, outDir).map(_.objectName)
@@ -215,8 +216,92 @@ object Export {
     val manifest = Manifest(nowMillis, Instant.ofEpochMilli(nowMillis).toString,
       entries, watermarkMicros, tombstoneKeys)
     val spark = tables.head._1.sparkSession
+    // commit gate: all data is on disk, the manifest is not — chain writers
+    // acquire their generation claim here ([[claimGeneration]]) so a lost
+    // race aborts with the run still invisible (manifest = commit marker)
+    preCommit()
     writeManifest(manifest, outDir, spark)
     manifest
+  }
+
+  /** A chain writer lost the per-generation commit race ([[claimGeneration]]):
+    * another run already claimed the right to advance the chain past the
+    * generation this writer read. The loser's run directory is deleted by
+    * its caller before this propagates — abort is CLEAN (manifest-less,
+    * invisible to [[readSnapshot]]/[[latestWatermark]]). Retry by re-reading
+    * the chain (the next attempt sees the winner's run and claims the new
+    * generation). */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  private def claimFile(outDir: String, gen: Long): Path =
+    new Path(s"$outDir/_commits/claim_$gen")
+
+  /** Optimistic single-writer-per-generation commit claim for the delta
+    * chain: `gen` is the newest committed run id the writer READ (0 for an
+    * empty chain); exactly one writer may create `_commits/claim_<gen>`,
+    * and only that writer may publish a manifest for a run derived from
+    * that chain state. The claim is `create(overwrite = false)` — atomic
+    * on HDFS-like stores; on real S3 this maps to a conditional PUT
+    * (`If-None-Match: *`), the primitive object stores expose for exactly
+    * this pattern. Claim content is the winner's run id, which makes a
+    * writer's own retry idempotent (same runId re-claims its own token,
+    * the foreachBatch-replay idiom).
+    *
+    * Why per-GENERATION, not a global lock: sequential writers never
+    * contend (each new run advances the tip, so the next writer claims a
+    * fresh token), and the claim needs no lease/expiry to stay correct —
+    * a claim whose holder crashed before its manifest can only block that
+    * one generation, never corrupt it (the crashed run stays invisible).
+    * Un-wedging that case is an OPERATOR decision ([[forceReleaseClaim]]),
+    * the same stale-lock trade every storage-only commit protocol makes.
+    */
+  private[graft] def claimGeneration(
+      outDir: String, gen: Long, runId: Long, spark: SparkSession): Unit = {
+    val fs = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = claimFile(outDir, gen)
+    fs.mkdirs(p.getParent)
+    try {
+      val out = fs.create(p, false)
+      try out.write(runId.toString.getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case _: java.io.IOException =>
+        val existing =
+          try {
+            val in = fs.open(p)
+            try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+            finally in.close()
+          } catch { case _: java.io.IOException => "<unreadable>" }
+        if (existing != runId.toString)
+          throw new CommitConflictException(
+            s"chain generation $gen already claimed by run $existing " +
+              s"(this writer: run $runId) — re-read the chain and retry")
+      // else: this writer's own earlier claim (crash/replay) — proceed
+    }
+  }
+
+  /** Operator-invoked stale-claim removal: releases `gen`'s commit token
+    * after a writer died between claim and manifest. Refuses if the
+    * claimed run COMMITTED (its manifest exists) — that claim is load-
+    * bearing history, and the next writer contends on a newer generation
+    * anyway. */
+  def forceReleaseClaim(outDir: String, gen: Long, spark: SparkSession): Unit = {
+    val fs = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = claimFile(outDir, gen)
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val holder =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    require(!fs.exists(new Path(s"$outDir/run_$holder/manifest.json")),
+      s"claim_$gen belongs to COMMITTED run $holder; refusing to release")
+    fs.delete(p, false)
+    ()
   }
 
   /** Recover the delta chain's high-water mark from the sink itself: the
@@ -301,6 +386,12 @@ object Export {
       deletes: Map[String, DataFrame] = Map.empty,
   ): Manifest = {
     val spark = tables.head._1.sparkSession
+    // chain state this run derives from — both the watermark and the
+    // generation token are read HERE; the commit claim later verifies no
+    // other writer advanced the chain off this same state (lost-update
+    // guard: a concurrent compact would otherwise shadow this delta, or
+    // this delta could vanish under a concurrent compact's cleanup)
+    val gen = committedRuns(outDir, spark).lastOption.getOrElse(0L)
     val hwm = latestWatermark(outDir, spark)
     val hwmLdt = hwm.map(us => java.time.LocalDateTime.ofEpochSecond(
       math.floorDiv(us, 1000000L), (math.floorMod(us, 1000000L) * 1000).toInt,
@@ -353,7 +444,17 @@ object Export {
         .parquet(s"$runDir/_tombstones/$table.parquet")
       table -> s"_tombstones/$table.parquet"
     }
-    exportAll(deltas, runDir, nowMillis, newWm, tombKeys)
+    try exportAll(deltas, runDir, nowMillis, newWm, tombKeys,
+      () => claimGeneration(outDir, gen, nowMillis, spark))
+    catch {
+      case e: CommitConflictException =>
+        // clean abort: remove the manifest-less run so the loser leaves
+        // NOTHING behind (not even a crashed-looking directory)
+        FileSystem.get(new java.net.URI(outDir),
+            spark.sparkContext.hadoopConfiguration)
+          .delete(new Path(runDir), true)
+        throw e
+    }
   }
 
   /** Consumer side of the delta chain: materialize the CURRENT snapshot of
@@ -464,9 +565,24 @@ object Export {
     val snapshots = tables.map { case (cfg, keyCols, orderBy) =>
       (readSnapshot(outDir, cfg, keyCols, spark), cfg, orderBy)
     }
-    val manifest = exportAll(snapshots, s"$outDir/run_$nowMillis", nowMillis, wm)
     val fs = FileSystem.get(new java.net.URI(outDir),
       spark.sparkContext.hadoopConfiguration)
+    // commit claim on the chain tip this compaction FOLDED: if a delta (or
+    // another compact) committed meanwhile — e.g. it was invisible to this
+    // writer's eventually-consistent listing — the claim create loses and
+    // the new base aborts manifest-less, so the concurrent run's rows are
+    // never shadowed by a stale fold (ExportSpec's race cases)
+    val manifest =
+      try exportAll(snapshots, s"$outDir/run_$nowMillis", nowMillis, wm,
+        preCommit = () => claimGeneration(outDir, old.last, nowMillis, spark))
+      catch {
+        case e: CommitConflictException =>
+          fs.delete(new Path(s"$outDir/run_$nowMillis"), true)
+          throw e
+      }
+    // old runs go only AFTER the new base committed (crash mid-delete is
+    // correct — see crash-safety note above); delete exactly the runs that
+    // were folded, never a concurrent run this writer didn't see
     old.foreach(ts => fs.delete(new Path(s"$outDir/run_$ts"), true))
     manifest
   }

@@ -463,6 +463,98 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("compact racing a delta: the stale compact aborts manifest-less, no lost update") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3like.impl", classOf[S3LikeFileSystem].getName)
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("race",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val local = tmpDir()
+    val out = "s3like://" + local
+
+    val base = (0L until 10L).map(i => (i, t("2024-01-01T00:00:00"), s"v$i"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((base, cfg, Seq("id"))), out, 1000L)
+    // the racing delta re-versions id 4 and COMMITS (claiming gen 1000)...
+    val upd = (base.as[(Long, java.time.LocalDateTime, String)].collect()
+      .filterNot(_._1 == 4L) :+ ((4L, t("2024-02-01T00:00:00"), "v4-2")))
+      .toSeq.toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((upd, cfg, Seq("id"))), out, 2000L)
+
+    // ...but the compact's eventually-consistent LIST hasn't caught up:
+    // every listing it performs omits run_2000, so it folds only the base
+    // — the exact interleaving that silently shadows the delta's row (the
+    // lost update) if the stale fold is allowed to commit
+    S3LikeFileSystem.hiddenNames.set(Set("run_2000"))
+    val conflict =
+      try intercept[Export.CommitConflictException] {
+        Export.compact(out, Seq((cfg, Seq("id"), Seq("id"))), spark, 9000L)
+      } finally S3LikeFileSystem.hiddenNames.set(Set.empty)
+    assert(conflict.getMessage.contains("generation 1000"))
+    // clean abort: no new base, not even a crashed-looking directory, and
+    // the winning delta's row is exactly what the snapshot serves
+    assert(!Files.exists(java.nio.file.Paths.get(s"$local/run_9000")))
+    assert(Export.committedRuns(out, spark) === Seq(1000L, 2000L))
+    val snap = Export.readSnapshot(out, cfg, Seq("id"), spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap(4L) === "v4-2", "the delta must never be shadowed")
+
+    // with a fresh (consistent) read the retry folds BOTH runs and wins
+    val mc = Export.compact(out, Seq((cfg, Seq("id"), Seq("id"))), spark, 9500L)
+    assert(Export.committedRuns(out, spark) === Seq(9500L))
+    assert(mc.files.head._2.nonEmpty)
+    val snap2 = Export.readSnapshot(out, cfg, Seq("id"), spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap2 === snap)
+  }
+
+  test("two writers on one generation: exactly one commits; stale claims are operator-released") {
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("gen2",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val out = tmpDir()
+    val base = (0L until 5L).map(i => (i, t("2024-01-01T00:00:00"), s"v$i"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((base, cfg, Seq("id"))), out, 1000L)
+
+    // writer A claims generation 1000 and dies before its manifest (the
+    // claim file is all it leaves) — writer B must lose and abort clean
+    Export.claimGeneration(out, 1000L, 5000L, spark)
+    val upd = (base.as[(Long, java.time.LocalDateTime, String)].collect()
+      .filterNot(_._1 == 1L) :+ ((1L, t("2024-02-01T00:00:00"), "v1-2")))
+      .toSeq.toDF("id", "updated_at", "v")
+    intercept[Export.CommitConflictException] {
+      Export.exportIncremental(Seq((upd, cfg, Seq("id"))), out, 6000L)
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/run_6000")))
+    assert(Export.committedRuns(out, spark) === Seq(1000L))
+
+    // writer A's own RETRY with its claimed runId is idempotent (replay)
+    Export.claimGeneration(out, 1000L, 5000L, spark)
+
+    // the dead claim blocks the generation until the OPERATOR releases it;
+    // release refuses for committed runs, allows for crashed ones
+    Export.forceReleaseClaim(out, 1000L, spark)
+    Export.exportIncremental(Seq((upd, cfg, Seq("id"))), out, 7000L)
+    assert(Export.committedRuns(out, spark) === Seq(1000L, 7000L))
+    val snap = Export.readSnapshot(out, cfg, Seq("id"), spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snap(1L) === "v1-2")
+    // now that 7000 committed generation 1000's claim is history: refuse
+    intercept[IllegalArgumentException] {
+      Export.forceReleaseClaim(out, 1000L, spark)
+    }
+  }
+
   test("COMPACT env routes the O-layer job through chain compaction") {
     // the maintenance job an orchestrator schedules between delta runs,
     // reachable through the same env surface as INCREMENTAL

@@ -32,7 +32,18 @@ class S3LikeFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("s3like:///")
 
   override def listStatus(p: Path): Array[FileStatus] = {
-    val full = super.listStatus(p)
+    // 3. LOST-UPDATE LISTING (`hiddenNames`): every listing omits children
+    //    with these names — the "another writer's freshly-committed run is
+    //    not yet in LIST results" anomaly a racing compact reads through.
+    //    Name-keyed (not counter-keyed) so a multi-listing operation like
+    //    compact sees one CONSISTENTLY stale view; the hidden run's files
+    //    still exist and open fine (S3 read-after-write is consistent,
+    //    LIST is what lags).
+    val hiddenNow = S3LikeFileSystem.hiddenNames.get()
+    val full0 = super.listStatus(p)
+    val full =
+      if (hiddenNow.isEmpty) full0
+      else full0.filterNot(s => hiddenNow.contains(s.getPath.getName))
     val buckets = full.filter(_.getPath.getName.startsWith("__bucket="))
     if (p.getName.startsWith(".staging_") && buckets.nonEmpty &&
         S3LikeFileSystem.delayedListings.getAndUpdate(n => math.max(0, n - 1)) > 0) {
@@ -63,4 +74,6 @@ object S3LikeFileSystem {
   val delayedListings = new AtomicInteger(0)
   val nonAtomicDirRenames = new AtomicInteger(0)
   val hideMiddle = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val hiddenNames =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](Set.empty)
 }
