@@ -251,6 +251,88 @@ object Similarity {
       .filter(col("rk") <= topK)
   }
 
+  /** IVF-PQ composition — the production ANN serve shape, assembled from
+    * the three proven parts: [[kmeans]] as the coarse quantizer (inverted
+    * lists), product quantization of the RESIDUAL (vector − its centroid;
+    * residuals are smaller than raw vectors, which is the entire reason
+    * FAISS's IVFPQ encodes them) with the q103 fixed codebook discipline
+    * (first [[PqCodes]] residual slices; a trained build runs kmeans per
+    * subspace on the same plan), and q104's asymmetric-distance serve: a
+    * query precomputes one (cluster, sub, code) → exact-integer-d2 table
+    * for each of its `nprobe` probed clusters, then every candidate costs
+    * [[PqSubs]] broadcast-hash lookups + one sum — no per-candidate vector
+    * math. ||q−x||² = ||(q−c) − (x−c)||² inside a shared cluster, so ADC
+    * over residuals approximates the full L2 directly.
+    *
+    * Plan at scale: the corpus appears exactly TWICE (residual encode,
+    * candidate lookup), both times behind broadcast hash joins on bounded
+    * build artifacts (K×D centroids, 32×8 codebook, the
+    * queries×nprobe×8×32 distance table); the only non-hash join is the
+    * queries×K centroid scorer — a broadcast nested loop over provably
+    * bounded sides. KmeansSpec asserts recall ≥ floor and this posture.
+    */
+  private[graft] def annIvfPq(
+      emb: org.apache.spark.sql.DataFrame,
+      k: Int,
+      numQueries: Int,
+      topK: Int,
+      nprobe: Int = 2,
+      maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
+    val km = kmeans(emb, k, maxIter)
+    val cent = km.centroids
+    val assigned = km.assignments.select(col("vec_id"), col("cluster"))
+    val e = emb.select(col("vec_id"), vec(col("embedding")).as("v"))
+    def toResidualSubs(df: org.apache.spark.sql.DataFrame, idCols: Seq[String]) =
+      df.select(idCols.map(col) :+
+          zip_with(col("v"), col("cv"),
+            (x, c) => round((x - c) * 1e6).cast("long")).as("rq"): _*)
+        .select(idCols.map(col) :+
+          explode(sequence(lit(0), lit(PqSubs - 1))).as("sub") :+ col("rq"): _*)
+        .select(idCols.map(col) :+ col("sub") :+
+          slice(col("rq"), col("sub") * PqDim + 1, lit(PqDim)).as("sv"): _*)
+    val rsv = toResidualSubs(
+      e.join(assigned, "vec_id")
+        .join(broadcast(cent.select(col("cluster"), col("cv"))), "cluster"),
+      Seq("vec_id", "cluster"))
+    val cb = rsv.filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+      .localCheckpoint(true) // bounded build artifact, reused on both sides
+    val codes = rsv.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("cluster"), col("sub"), col("code_id"),
+        dist2(col("sv"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"), col("cluster"), col("sub"))
+      .agg(min_by(col("code_id"), struct(col("d2"), col("code_id"))).as("code_id"))
+    val qvec = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("score"), col("cluster"))
+    val probes = qvec.crossJoin(broadcast(cent))
+      .select(col("qid"), col("cluster"), col("qv"), col("cv"),
+        (col("cn2") - lit(2.0) * dot(col("qv"), col("cv"))).as("score"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+    val qsv = toResidualSubs(
+      probes.select(col("qid"), col("cluster"),
+        col("qv").as("v"), col("cv")), Seq("qid", "cluster"))
+    val dt = qsv.join(broadcast(cb), Seq("sub"))
+      .select(col("qid"), col("cluster"), col("sub"), col("code_id"),
+        dist2(col("sv"), col("cv")).as("d2"))
+    val rankW = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+    codes.as("c")
+      .join(broadcast(dt).as("t"),
+        col("c.cluster") === col("t.cluster") &&
+          col("c.sub") === col("t.sub") &&
+          col("c.code_id") === col("t.code_id"))
+      .filter(col("c.vec_id") =!= col("t.qid"))
+      .select(col("t.qid").as("qid"), col("c.vec_id").as("vec_id"),
+        col("t.d2").as("d2"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= topK)
+  }
+
   /** Per-label centroid + dispersion accounting — the k-means M-step (and
     * the cluster-quality report an embedding pipeline runs after
     * assignment): mean vector per label, its L1 norm, and the average

@@ -168,4 +168,64 @@ class KmeansSpec extends SparkSpec {
     // later session without retraining
     assert(served.toSeq === live.toSeq)
   }
+
+  test("IVF-PQ composition: residual-ADC recall above floor, broadcast-only plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivfpq = Similarity.annIvfPq(emb, k = 5, numQueries = 5, topK = 5,
+      nprobe = 2)
+    val got = ivfpq.select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // ground truth in the SAME metric (exact fixed-point squared L2 over
+    // the full vectors), so the gap is exactly probe loss + quantization
+    // loss — no float noise, no metric mismatch
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("xq"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("xq").as("qv"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("xq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), _ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), d2.as("d2"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 25 && got.size === 25)
+
+    // isotropic fixture = the hardest ANN regime (see PqSpec): chance
+    // recall@5 over ~500 candidates is ~1%; pure-PQ ADC posts 0.24 here.
+    // The floor guards composition bugs (wrong cluster's residual, wrong
+    // codebook side), where recall collapses toward chance
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.15, s"IVF-PQ recall@5 = $recall (chance ~ 0.01)")
+
+    // NOTE: recall@k is NOT monotone in nprobe for ADC (measured here:
+    // 0.24 at nprobe=2 vs 0.20 at nprobe=5) — every extra probed cluster
+    // adds candidates whose QUANTIZED distances can underestimate, and
+    // such impostors displace true neighbors from a fixed-size top-k.
+    // Exact-distance IVF (annIvfKmeans) is monotone; ADC is not. The
+    // sound full-probe property is SHORTLIST COVERAGE: at depth 10×k with
+    // every cluster probed, probe loss is zero and the shortlist must
+    // cover most true neighbors — the operational ADC-shortlist + exact
+    // re-rank regime (PqSpec's depth-50 net)
+    val shortlist = Similarity.annIvfPq(emb, k = 5, numQueries = 5,
+      topK = 50, nprobe = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coverage = (exact & shortlist).size.toDouble / exact.size
+    // measured 0.96 (chance at depth 50 over ~500 candidates is ~10%)
+    assert(coverage >= 0.5, s"IVF-PQ shortlist coverage@50 = $coverage")
+
+    // plan posture: corpus-sized joins are all broadcast HASH joins on
+    // bounded build artifacts; the only nested loop allowed is the
+    // queries×K centroid scorer (both sides provably bounded)
+    val plan = ivfpq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.split("BroadcastNestedLoopJoin").length - 1 <= 1, plan)
+  }
 }
