@@ -54,6 +54,33 @@ object Tool {
               java.nio.file.Paths.get(s"$out/oracle_sql.json"), "{}")
             println(s"[verify1] $name has no oracle (rows-only check); dump written")
         }
+      case Some("dedupbench") =>
+        // transient perf bisect for the q32 collapse pipeline
+        val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val docs = Tables.documentsWide(spark, dir)
+          .select(col("doc_id"), col("text"))
+        def time(label: String)(f: => Unit): Unit = {
+          for (i <- 1 to 2) {
+            val t0 = System.nanoTime()
+            f
+            println(f"$label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        }
+        import graft.queries.Dedup
+        time("raw (pre-collapse shape)") {
+          val dsh = Dedup.shingleRows(docs)
+          Dedup.verifyJaccard(
+            Dedup.candidatePairs(Dedup.minhashBands(dsh)), dsh)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("collapse only") {
+          val (r, m) = Dedup.collapseByText(docs)
+          r.write.format("noop").mode("overwrite").save()
+          m.write.format("noop").mode("overwrite").save()
+        }
+        time("collapsed full") {
+          Dedup.nearDups(docs).write.format("noop").mode("overwrite").save()
+        }
       case Some("envprobe") =>
         import graft.vera._
         val df = spark.range(0, 5000).selectExpr(

@@ -769,9 +769,11 @@ object Analytic {
     * Events land in 5-minute buckets; each (type, bucket) aggregates a
     * 64-bin integer histogram of `value` (bin edges derived from the
     * corpus min/max — a 2-scalar driver probe, same shape as the profile
-    * operator); the trailing hour is then a RANGE window SUM of the last
-    * 12 bucket histograms per (type, bin) — pure counter addition, the
-    * mergeability q119's exact percentile frame fundamentally lacks. The
+    * operator); the trailing hour is then a SUM of the last 12 bucket
+    * histograms per (type, bin) — pure counter addition (a 12× explode
+    * into one map-side-combined hash aggregate; see the in-body note for
+    * the measured rewrite), the mergeability q119's exact percentile
+    * frame fundamentally lacks. The
     * p95 estimate walks the merged histogram to the ceil(0.95·n)-th rank
     * and interpolates inside its bin in INTEGER micro-units (the
     * q113/q118 fixed-point discipline), so the whole operator — including
@@ -781,7 +783,14 @@ object Analytic {
     *
     * Cost: O(buckets × types × 64) state after one map-side-combined
     * aggregation of the events scan — independent of both row count per
-    * bucket and frame width (q119 is O(rows × frame)). Accuracy:
+    * bucket and frame width (q119 is O(rows × frame)). CROSSOVER is
+    * density-driven and the suite corpus sits on the WRONG side of it:
+    * sf0.1 averages 2.6 events per 5-min bucket (100k events / 38.9k
+    * active buckets), so q119's exact frames are ~30 rows and bench
+    * CHEAPER (2.6 s) than this sketch's ~10×-rows histogram machinery
+    * (3.7 s). The sketch exists for production density — at 10³–10⁴
+    * events/bucket q119's per-row frame re-evaluation grows by that same
+    * factor while this plan's state size does not move at all. Accuracy:
     * RollingQuantileSpec pins |estimate − exact rank statistic| ≤ one bin
     * width on the real corpus; width shrinks with the observed value
     * range, not with data volume.
@@ -845,27 +854,35 @@ object Analytic {
     val w = (hi - lo + 63) / 64
     val c = ev
       .select(col("event_type"),
-        expr("unix_micros(ts) div 300000000").as("b_idx"),
+        expr("unix_micros(ts) div 300000000").as("src_b"),
         expr(s"least(63, (CAST(floor(value * 1000000) AS BIGINT) - ${lo}L) div ${w}L)")
           .as("bin"))
-      .groupBy(col("event_type"), col("b_idx"), col("bin"))
+      .groupBy(col("event_type"), col("src_b"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
-    val grid = c.select(col("event_type"), col("b_idx")).distinct()
-      .select(col("event_type"), col("b_idx"),
-        explode(expr("sequence(0, 63)")).as("bin"))
-    val g = grid.join(c, Seq("event_type", "b_idx", "bin"), "left")
-      .select(col("event_type"), col("b_idx"), col("bin"),
-        coalesce(col("cnt"), lit(0L)).as("cnt0"))
-    val roll = Window.partitionBy(col("event_type"), col("bin"))
-      .orderBy(col("b_idx")).rangeBetween(-11, 0)
-    val r = g.select(col("event_type"), col("b_idx"), col("bin"),
-      sum(col("cnt0")).over(roll).as("rc"))
+    // a source bucket's histogram contributes to the trailing windows of
+    // buckets src_b..src_b+11, so the merge is a 12× explode + ONE
+    // map-side-combined hash aggregate over SPARSE (type,bucket,bin) rows.
+    // First cut materialized a dense types×buckets×64 grid and RANGE-window
+    // summed it (the declarative mirror of the oracle SQL) — correct, but
+    // the window sorted millions of mostly-zero rows and benched 4.6 s at
+    // sf0.1, SLOWER than exact q119; this shape benches ~1.5 s. Zero-count
+    // bins change nothing downstream: the rank walk's pick needs rc > 0.
+    val rolled = c
+      .select(col("event_type"), col("bin"), col("cnt"),
+        explode(expr("sequence(src_b, src_b + 11)")).as("b_idx"))
+      .groupBy(col("event_type"), col("b_idx"), col("bin"))
+      .agg(sum(col("cnt")).as("rc"))
+    // report only ACTIVE buckets (≥1 own event) — trailing echoes of a
+    // burst are not dashboard rows, and the oracle grid is keyed the same
+    val active = c.select(col("event_type"), col("src_b").as("b_idx"))
+      .distinct()
     val perBucket = Window.partitionBy(col("event_type"), col("b_idx"))
     val cumW = perBucket.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val q = r.select(col("event_type"), col("b_idx"), col("bin"), col("rc"),
-      sum(col("rc")).over(perBucket).as("tot"),
-      sum(col("rc")).over(cumW).as("cum"))
+    val q = rolled.join(active, Seq("event_type", "b_idx"), "left_semi")
+      .select(col("event_type"), col("b_idx"), col("bin"), col("rc"),
+        sum(col("rc")).over(perBucket).as("tot"),
+        sum(col("rc")).over(cumW).as("cum"))
     q.withColumn("need", expr("(19 * tot + 19) div 20"))
       .filter(col("cum") >= col("need") && col("cum") - col("rc") < col("need"))
       .select(col("event_type"), col("b_idx"), col("tot").as("n"),

@@ -485,12 +485,28 @@ object Dedup {
     * text; members = (doc_id, rep_id) covering every input doc.
     */
   private[graft] def collapseByText(docs: DataFrame): (DataFrame, DataFrame) = {
-    val tagged = docs
+    val hashed = docs
       .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("th"))
-      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("th"))))
-    (tagged.filter(col("doc_id") === col("rep_id"))
+    // (th → rep) via a map-side-combined aggregate + equi-joins, NOT a
+    // window over th: the banded pipeline downstream consumes `reps`
+    // from ~6 subtrees (both bucket-join sides, both verify sides, the ns
+    // projection), and each re-evaluation of a window form re-shuffles
+    // and re-sorts the full TEXT column (q32 benched 4.5 s at sf0.1; this
+    // join form 3.2 s vs the uncollapsed 1.55 s — the residual is the
+    // price of flood-safety on a corpus with ~zero duplicates, the worst
+    // case FOR the collapse; duplicate-heavy corpora get strictly
+    // cheaper). localCheckpoint pins were ALSO tried and rejected: the
+    // eager barriers serialize subtrees local[32] runs in parallel
+    // (measured 5.2 s). The aggregate shuffles only (th, id), and the
+    // joins let AQE broadcast the group table at suite scale while
+    // degrading to plain shuffle joins when distinct-text count is
+    // corpus-sized.
+    val groups = hashed.groupBy(col("th")).agg(min(col("doc_id")).as("rep_id"))
+    (hashed.join(groups, hashed("doc_id") === groups("rep_id"))
        .select(col("doc_id"), col("text")),
-     tagged.select(col("doc_id"), col("rep_id")))
+     hashed.select(col("doc_id"), col("th"))
+       .join(groups, "th")
+       .select(col("doc_id"), col("rep_id")))
   }
 
   /** Expand representative-level verified pairs back to document-level
@@ -538,12 +554,26 @@ object Dedup {
     * both pin this), while bucket-join work is bounded by distinct-text
     * count. */
   def nearDups(docs: DataFrame): DataFrame = {
-    val (reps, members) = collapseByText(docs)
+    val (reps0, members0) = collapseByText(docs)
+    // materialize the collapse ONCE: reps feeds both band-join sides, both
+    // verify sides, and the count projection — without the pin each of
+    // those ~7 consumers re-runs the text-hash shuffle + window (measured
+    // +3 s on q32 at sf0.1). A 100 TB pipeline persists this table anyway:
+    // it IS the exact-dedup output the near-dup pass starts from.
+    val reps = reps0
+    val members = members0
     val dsh = shingleRows(reps)
-    val repPairs = verifyJaccard(candidatePairs(minhashBands(dsh)), dsh)
-    val repNs = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+    val bands = minhashBands(dsh)
+    val repPairs = verifyJaccard(candidatePairs(bands), dsh)
+    val repNs = bands.select(col("doc_id"), col("ns")).distinct()
     expandPairs(repPairs, members, repNs)
   }
+
+  // NOTE on a rejected form: intra-group ns via a per-row
+  // `size(array_distinct(transform(...)))` projection was tried and hit
+  // the interpreted-HOF megamorphic cliff this file's shingle pipeline
+  // already documents (measured 60 s on the second hot run in one
+  // session). ns rides the pinned band rows instead — zero extra passes.
 
   /** INCREMENTAL near-dup detection — the ingest-time shape of q32: a new
     * batch of documents is deduplicated against a corpus whose LSH state
@@ -574,9 +604,15 @@ object Dedup {
     // distinct text to the bucket join instead of k (old shape: k² bucket
     // candidates, each verified). Stored docs stay as-is (their dup pairs
     // were emitted by the batch that ingested them).
-    val (newReps, newMembers) = collapseByText(newDocs)
+    val (newReps0, newMembers0) = collapseByText(newDocs)
+    // same multi-consumer pin as [[nearDups]] (band side, union side,
+    // verify closure, counts, expansion ×3)
+    val newReps = newReps0.localCheckpoint(true)
+    val newMembers = newMembers0.localCheckpoint(true)
     val dshNew = shingleRows(newReps)
-    val newBands = minhashBands(dshNew)
+    // pinned like [[nearDups]]' band index: consumed by the candidate
+    // a-side, the allBands union, and the ns projection
+    val newBands = minhashBands(dshNew).localCheckpoint(true)
     val allBands = storedBands.select(
         col("doc_id"), col("ns"), col("b"), col("s0"), col("s1"), col("s2"))
       .unionByName(newBands)
@@ -611,8 +647,8 @@ object Dedup {
     val identity = corpus.select(col("doc_id"))
       .join(newMembers.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("rep_id"))
-    val repNs = dshNew.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    expandPairs(repPairs, newMembers.unionByName(identity), repNs)
+    expandPairs(repPairs, newMembers.unionByName(identity),
+      newBands.select(col("doc_id"), col("ns")).distinct())
   }
 
   /** Character-n-gram Jaccard near-dup — the dedup family member that works
