@@ -20,7 +20,7 @@ object Gaps {
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
-    q111DriftPsi, q121KAnonymity)
+    q111DriftPsi, q121KAnonymity, q125DpRelease)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1016,5 +1016,81 @@ object Gaps {
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < 5)
       .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+  }
+
+  /** Discrete-Laplace (two-sided geometric) noise geometry for the DP
+    * count release: α = e^(−ε/Δ) with ε = 1, sensitivity Δ = 1 (one user
+    * changes one count by one), tail truncated at |k| ≤ 20 (residual mass
+    * ~4·10⁻⁹ — formally (ε, δ≈4e−9)-DP, the standard bounded-noise
+    * trade). `dpThresholds` are the inverse-CDF breakpoints scaled to the
+    * 60-bit uniform: noise(u) = min{k : u < t_k}. They are computed ONCE
+    * here (driver-side doubles) and embedded as INTEGER literals in both
+    * engines' plans, so query-time math is pure integer comparison — no
+    * cross-engine libm (`ln`, `exp`) ever runs per row, which is what
+    * makes a NOISE mechanism hash-match a DuckDB oracle.
+    */
+  private val DpK = 20
+  private[graft] val dpThresholds: Seq[(Int, Long)] = {
+    val alpha = math.exp(-1.0)
+    val ws = (-DpK to DpK).map(j => math.pow(alpha, math.abs(j)))
+    val z = ws.sum
+    val cum = ws.scanLeft(0.0)(_ + _).tail
+    (-DpK to DpK).zip(cum).map { case (k, c) =>
+      if (k == DpK) (k, 1L << 62) // strictly above every 60-bit uniform
+      else (k, math.ceil(c / z * math.pow(2, 60)).toLong)
+    }
+  }
+
+  /** Differentially private count release [EXT] — the publishable
+    * complement of q121's k-anonymity audit: per-group counts released
+    * with discrete-Laplace noise (ε = 1), clamped at 0. What a corpus
+    * card or data-statement pipeline runs before publishing composition
+    * statistics over training data.
+    *
+    * The noise is SEEDED, not sampled: the 60-bit uniform is the leading
+    * 15 hex chars of sha256(group ‖ salt) — deterministic per group and
+    * release epoch (rotate the salt per release; same-epoch replays are
+    * idempotent, which is also what makes the operator testable and
+    * oracle-checkable), then inverted through [[dpThresholds]] by a
+    * broadcast 41-row threshold join: noise = min k with u < t_k. Clamp
+    * to ≥0 is post-processing and costs no privacy.
+    *
+    * Shape at scale: one map-side-combined count aggregate (group
+    * cardinality rows out), one broadcast join against 41 literal rows,
+    * one tiny min aggregate — nothing beyond the counting query itself.
+    */
+  val q125DpRelease = Q(
+    "q125_dp_release",
+    s"""WITH g AS (
+      |  SELECT event_type, count(*) AS n,
+      |    ('0x' || substr(sha256(event_type || '|dp1'), 1, 15))::BIGINT AS u
+      |  FROM events GROUP BY event_type
+      |),
+      |thr(k, t) AS (VALUES ${dpThresholds
+            .map { case (k, t) => s"($k, $t)" }.mkString(", ")}),
+      |noise AS (
+      |  SELECT g.event_type, g.n, min(thr.k) AS k
+      |  FROM g JOIN thr ON g.u < thr.t
+      |  GROUP BY g.event_type, g.n
+      |)
+      |SELECT event_type,
+      |  CAST(greatest(0, n + k) AS BIGINT) AS released
+      |FROM noise
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val thr = dpThresholds.toDF("k", "t")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        conv(substring(sha2(concat(col("event_type"), lit("|dp1")), 256),
+          1, 15), 16, 10).cast("long"))
+      .join(broadcast(thr), col("u") < col("t"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(min(col("k")).as("k"))
+      .select(col("event_type"),
+        greatest(lit(0L), col("n") + col("k")).cast("long").as("released"))
+      .orderBy(col("event_type"))
   }
 }
