@@ -75,7 +75,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
-    Files.writeString(Paths.get("bench_last.json"), json + "\n")
+    // bench_last.json is the CANONICAL artifact (README "Verification"):
+    // written straight to disk so no sbt [info] prefix or log-tail
+    // truncation can corrupt it; carries everything the stdout lines do
+    // plus the run geometry
+    Files.writeString(Paths.get("bench_last.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpus":"$cpus","sf":"$sfDir","queries":$qs,"failed":$failedJson}""" + "\n")
     // The harness that snapshots this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is ~3.5k chars,
     // so its head — metric/value — has been truncated away every round and
