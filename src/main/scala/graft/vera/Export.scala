@@ -481,11 +481,21 @@ object Export {
       cfg: TableConfig,
       keyCols: Seq[String],
       spark: SparkSession,
+      asOfRun: Option[Long] = None,
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fs = FileSystem.get(new java.net.URI(outDir),
       spark.sparkContext.hadoopConfiguration)
+    // TIME TRAVEL: `asOfRun` replays only runs committed up to (and
+    // including) that run id — the snapshot a consumer saw right after
+    // that run's manifest landed, tombstones and resurrections included.
+    // History reaches back exactly as far as the oldest RETAINED run:
+    // compaction deliberately collapses everything it folds into one new
+    // base, so an asOfRun older than the chain's first retained run reads
+    // as empty (the fold has nothing to replay), not as an error —
+    // retention policy belongs to the compaction cadence, not the reader.
     val runs = committedRuns(outDir, spark)
+      .filter(ts => asOfRun.forall(ts <= _))
     val perRun = runs.flatMap { ts =>
       val dir = s"$outDir/run_$ts"
       val files = fs.listStatus(new Path(dir)).map(_.getPath)

@@ -463,6 +463,44 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("time travel: asOfRun replays the chain exactly as each run's consumers saw it") {
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("tt",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val out = tmpDir()
+    // run 1000: ids 0..4; run 2000: update 2, DELETE 3; run 3000:
+    // resurrect 3 — the full tombstone/resurrect history
+    val base = (0L until 5L).map(i => (i, t("2024-01-01T00:00:00"), s"v$i"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((base, cfg, Seq("id"))), out, 1000L)
+    val upd = Seq((2L, t("2024-02-01T00:00:00"), "v2-2"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((upd, cfg, Seq("id"))), out, 2000L,
+      deletes = Map("tt" -> Seq(3L).toDF("id")))
+    val back = Seq((3L, t("2024-03-01T00:00:00"), "v3-3"))
+      .toDF("id", "updated_at", "v")
+    Export.exportIncremental(Seq((back, cfg, Seq("id"))), out, 3000L)
+
+    def snapAt(asOf: Option[Long]) =
+      Export.readSnapshot(out, cfg, Seq("id"), spark, asOf)
+        .select(col("id"), col("v")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snapAt(Some(1000L)) ===
+      Map(0L -> "v0", 1L -> "v1", 2L -> "v2", 3L -> "v3", 4L -> "v4"))
+    assert(snapAt(Some(2000L)) ===
+      Map(0L -> "v0", 1L -> "v1", 2L -> "v2-2", 4L -> "v4"))
+    assert(snapAt(Some(3000L)) ===
+      Map(0L -> "v0", 1L -> "v1", 2L -> "v2-2", 3L -> "v3-3", 4L -> "v4"))
+    // no pin = current; a pin between runs floors to the preceding run;
+    // a pin before retained history reads empty, not an error
+    assert(snapAt(None) === snapAt(Some(3000L)))
+    assert(snapAt(Some(2500L)) === snapAt(Some(2000L)))
+    assert(snapAt(Some(500L)) === Map.empty)
+  }
+
   test("compact racing a delta: the stale compact aborts manifest-less, no lost update") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration

@@ -265,6 +265,17 @@ class ScaleSpec extends SparkSpec {
       assert(plan.contains("BroadcastHashJoin"),
         s"$name candidate join must be a broadcast hash join:\n$plan")
     }
+    // q124's histogram merge must stay aggregate-shaped: no join of any
+    // kind on the corpus path (the semi-join against active buckets is
+    // bucket-cardinality-sized), and no RANGE-frame window — the explode
+    // into trailing windows + hash aggregate IS the design (a window
+    // here would mean the rejected dense-grid shape crept back)
+    val p124 = SparkEntry.queries("q124_rolling_p95_sketch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p124.contains("CartesianProduct") &&
+      !p124.contains("BroadcastNestedLoopJoin"), p124)
+    assert(!p124.toLowerCase.contains("specifiedwindowframe(rangeframe"),
+      s"q124 regressed to a RANGE-frame rolling window:\n$p124")
   }
 
   test("q123's temporal lookup rides ONE user exchange — no interval join") {
