@@ -34,7 +34,7 @@ object Similarity {
   def all: Seq[Q] = Seq(
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
-    q104PqAdcTopk, q105RrfHybrid, q118MmrRerank)
+    q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -331,6 +331,110 @@ object Similarity {
       .agg(sum(col("d2")).as("adc_d2"))
       .withColumn("rk", row_number().over(rankW))
       .filter(col("rk") <= topK)
+  }
+
+  /** Embedding covariance matrix [EXT] — the statistic whitening, PCA, and
+    * embedding-drift monitoring all start from: for every dimension pair
+    * i ≤ j, the exact integer covariance numerator
+    * n·Σ(xᵢxⱼ) − Σxᵢ·Σxⱼ (= n²·cov) over KILO-unit fixed-point
+    * coordinates (1e-3 resolution — chosen so n·Σxy stays far inside
+    * BIGINT at corpus scale where the micro-unit square would overflow;
+    * emitting the exact NUMERATOR rather than a divided ratio also
+    * sidesteps the truncate-vs-floor negative-division divergence between
+    * the engines entirely).
+    *
+    * Plan: one fused double-explode of the upper triangle (sequence i,
+    * then sequence i..D — no self-join, no shuffle before the aggregate)
+    * into ONE map-side-combined hash aggregate over D(D+1)/2 groups —
+    * provably bounded output (2,080 rows at D = 64) from a single scan.
+    * The same rows feed [[topPrincipalComponent]]'s bounded collect.
+    */
+  val q126EmbeddingCovariance = Q(
+    "q126_embedding_covariance",
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS xk
+      |  FROM embeddings
+      |),
+      |p AS (
+      |  SELECT i.i, j.j, xk[i.i] AS xi, xk[j.j] AS xj
+      |  FROM x,
+      |    (SELECT unnest(range(1, 256)) AS i) i,
+      |    (SELECT unnest(range(1, 256)) AS j) j
+      |  WHERE i.i <= len(xk) AND j.j <= len(xk) AND i.i <= j.j
+      |)
+      |SELECT i, j, count(*) AS n,
+      |  CAST(count(*) * sum(xi * xj) - sum(xi) * sum(xj) AS BIGINT) AS cov_num
+      |FROM p GROUP BY i, j
+      |ORDER BY i NULLS FIRST, j NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000).cast("long")).as("xk"))
+    e.select(col("xk"), explode(sequence(lit(1), size(col("xk")))).as("i"))
+      .select(col("xk"), col("i"),
+        explode(sequence(col("i"), size(col("xk")))).as("j"))
+      .select(col("i"), col("j"),
+        element_at(col("xk"), col("i")).as("xi"),
+        element_at(col("xk"), col("j")).as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) * sum(col("xi") * col("xj")) -
+          sum(col("xi")) * sum(col("xj"))).cast("long").as("cov_num"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Top principal component via fixed-round power iteration over the
+    * [[q126EmbeddingCovariance]] matrix — the whitening/drift direction an
+    * embedding pipeline tracks. The covariance is computed DISTRIBUTED
+    * (one scan, bounded D(D+1)/2-row output); the iteration itself runs on
+    * the driver over that bounded collect (D×D doubles — the Profile.scala
+    * bounded-probe discipline; rank-1 iteration on a 64×64 matrix is not
+    * cluster work). Fixed `iters` rounds, deterministic start (uniform
+    * direction), no convergence branch — same determinism discipline as
+    * PageRank's fixed 8 rounds. Returns (unit eigenvector, Rayleigh
+    * quotient λ̂); PcaSpec pins the invariants and recovery of a planted
+    * dominant direction.
+    */
+  private[graft] def topPrincipalComponent(
+      emb: org.apache.spark.sql.DataFrame,
+      iters: Int = 24): (Array[Double], Double) = {
+    val rows = emb
+      .select(transform(col("embedding"),
+        v => round(v.cast("double") * 1000).cast("long")).as("xk"))
+      .select(col("xk"), explode(sequence(lit(1), size(col("xk")))).as("i"))
+      .select(col("xk"), col("i"),
+        explode(sequence(col("i"), size(col("xk")))).as("j"))
+      .select(col("i"), col("j"),
+        element_at(col("xk"), col("i")).as("xi"),
+        element_at(col("xk"), col("j")).as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) * sum(col("xi") * col("xj")) -
+          sum(col("xi")) * sum(col("xj"))).cast("long").as("cov_num"))
+      .collect() // bounded: D(D+1)/2 rows (2,080 at D = 64), documented
+    val dim = rows.map(_.getInt(1)).max
+    val n = rows.head.getLong(2).toDouble
+    val c = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      // de-scale: numerator = n²·cov in kilo² units
+      val v = r.getLong(3).toDouble / (n * n) / 1e6
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val av = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(av.map(x => x * x).sum)
+      if (nrm > 0) v = av.map(_ / nrm)
+      lambda = (0 until dim).map(i =>
+        v(i) * (0 until dim).map(j => c(i)(j) * v(j)).sum).sum
+    }
+    (v, lambda)
   }
 
   /** Per-label centroid + dispersion accounting — the k-means M-step (and
