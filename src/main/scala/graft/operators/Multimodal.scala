@@ -57,6 +57,40 @@ object Multimodal {
       explode(sequence(lit(0), col("frames") - 1, lit(everyK)))
         .as("frame_idx"))
 
+  final case class FrameDigest(
+      asset_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Per-frame content digests through the SAME typed mapPartitions batch
+    * shape as [[decodeFeatures]]: each asset's payload is cut into
+    * fixed-size frames (a real video decoder would emit decoded frame
+    * buffers here; the fixed-width byte slice is the codec-free stand-in)
+    * and each frame is fingerprinted with md5 — the unit of frame-level
+    * dedup (q127). The digest is a pure function of the payload bytes, so
+    * the DuckDB oracle replays this operator exactly (via VARCHAR
+    * substring — byte-identical on ASCII corpora; the oracle engine has
+    * no BLOB slicing, while this Spark side is byte-correct for any
+    * payload). Per-partition setup owns the MessageDigest instance — the
+    * one-time-codec-init slot, reused across the whole batch.
+    */
+  def frameDigests(
+      assets: Dataset[Asset], frameBytes: Int = 64): Dataset[FrameDigest] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      batch.flatMap { a =>
+        val n = (a.bytes.length + frameBytes - 1) / frameBytes
+        (0 until n).iterator.map { i =>
+          val from = i * frameBytes
+          val until = math.min(from + frameBytes, a.bytes.length)
+          md.reset()
+          md.update(a.bytes, from, until - from)
+          FrameDigest(a.asset_id, i,
+            md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
   /** STUB decode: a real implementation would parse the payload with an
     * image/audio codec here; this fake derives deterministic "dimensions"
     * and "frame count" from a CRC32 of the bytes so tests have stable

@@ -11,7 +11,50 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQ {
 
-  def all: Seq[Q] = Seq(q48MultimodalMeta, q78FrameSample)
+  def all: Seq[Q] = Seq(q48MultimodalMeta, q78FrameSample, q127FrameDedup)
+
+  /** Frame-level exact dedup across assets — the video/image analog of
+    * q31's content-hash dedup, run through the REAL batch-decode shape:
+    * assets → [[Multimodal.frameDigests]] (typed mapPartitions emitting
+    * one md5 per fixed-size frame) → duplicated fingerprints with their
+    * occurrence and asset spread and a keep-first representative. A reused
+    * intro/boilerplate frame shows up as one fingerprint with n_assets >
+    * 1; within-asset repetition (a frozen frame) as n_frames > n_assets.
+    * Like q78, the oracle hash-checks the mapPartitions operator itself:
+    * the frame digest is a pure byte-slice function the SQL twin mirrors.
+    * Plan: scan → narrow per-frame explode inside mapPartitions → ONE
+    * map-side-combined aggregate on the 32-hex digest; at 100 TB this is
+    * the q31 shuffle with frame-count instead of doc-count cardinality.
+    */
+  val q127FrameDedup = Q(
+    "q127_frame_dedup",
+    """WITH fr AS (
+      |  SELECT doc_id AS asset_id, i.i AS frame_idx,
+      |    md5(substring(text, i.i * 64 + 1, 64)) AS frame_md5
+      |  FROM documents, (SELECT unnest(range(0, 4096)) AS i) i
+      |  WHERE i.i * 64 < octet_length(encode(text))
+      |)
+      |SELECT frame_md5,
+      |  count(*) AS n_frames,
+      |  count(DISTINCT asset_id) AS n_assets,
+      |  min(asset_id) AS keep_asset
+      |FROM fr GROUP BY frame_md5
+      |HAVING count(*) > 1
+      |ORDER BY frame_md5 NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val fd = Multimodal.frameDigests(
+      Multimodal.assets(Tables.documents(s, d))
+        .select(col("asset_id"), col("bytes"), col("meta.mime").as("mime"))
+        .as[Multimodal.Asset])
+    fd.toDF()
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("asset_id")).as("n_assets"),
+        min(col("asset_id")).as("keep_asset"))
+      .filter(col("n_frames") > 1)
+      .orderBy(col("frame_md5"))
+  }
 
   /** Frame-sampling leg of the multimodal pipeline, run through the REAL
     * decode path: assets → [[Multimodal.decodeFeatures]] (typed

@@ -35,6 +35,34 @@ class MultimodalSpec extends SparkSpec {
     assert(sql.except(decoded).count() === 0)
   }
 
+  test("frameDigests: frame geometry and digests match an in-memory replay") {
+    import spark.implicits._
+    val payloads = Seq(
+      1L -> "a" * 64,        // exact multiple: exactly 1 frame, no empty tail
+      2L -> "a" * 65,        // one byte over: 2 frames, 1-byte tail
+      3L -> ("a" * 64 + "b"), // frame 0 is "a"*64 again → 3 identical frame-0s
+      4L -> "",              // empty payload: ZERO frames, never a pair
+      5L -> "short")
+    val assets = payloads
+      .map { case (id, t) => (id, t.getBytes("UTF-8"), "text/plain") }
+      .toDF("asset_id", "bytes", "mime").as[Multimodal.Asset]
+    val got = Multimodal.frameDigests(assets).collect()
+      .map(f => (f.asset_id, f.frame_idx) -> f.frame_md5).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ref(b: Array[Byte]): String = {
+      md.reset(); md.update(b); md.digest().map("%02x".format(_)).mkString
+    }
+    val want = payloads.flatMap { case (id, t) =>
+      t.getBytes("UTF-8").grouped(64).zipWithIndex.map { case (sl, i) =>
+        (id, i) -> ref(sl)
+      }
+    }.toMap
+    assert(got === want)
+    assert(!got.keySet.exists(_._1 == 4L), "empty payload must emit no frames")
+    // the three identical 64-byte frames collapse to one fingerprint
+    assert(Set(got((1L, 0)), got((2L, 0)), got((3L, 0))).size === 1)
+  }
+
   test("approx_count_distinct stays within 10% of exact (q43 contract)") {
     val rows = graft.queries.Gaps.q43ApproxDistinct.fn(spark, sf).collect()
     assert(rows.nonEmpty)
