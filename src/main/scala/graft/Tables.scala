@@ -72,5 +72,17 @@ object Tables {
   }
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    try normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    catch {
+      // re-establish the actionable guidance the old fail-fast require
+      // carried: on a FOREIGN session (not built by Engine/Verify/Bench)
+      // an ns-layout file dies at schema inference with a cryptic
+      // "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,...))"
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("TIMESTAMP(NANOS") =>
+        throw new IllegalArgumentException(
+          "events.parquet stores TIMESTAMP(NANOS); build the session with " +
+            "spark.sql.legacy.parquet.nanosAsLong=true (Engine.session does)",
+          e)
+    }
 }

@@ -55,7 +55,9 @@ object Tool {
             println(s"[verify1] $name has no oracle (rows-only check); dump written")
         }
       case Some("dedupbench") =>
-        // transient perf bisect for the q32 collapse pipeline
+        // dev-loop micro-bench for the q32 collapse pipeline (the tool
+        // behind the measured pin/unpin numbers in Dedup.scala's comments;
+        // keep it runnable so future rewrites re-measure the same shapes)
         val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
         val docs = Tables.documentsWide(spark, dir)
           .select(col("doc_id"), col("text"))

@@ -808,6 +808,7 @@ object Analytic {
       |    epoch_us(CAST(ts AS TIMESTAMP)) // 300000000 AS b_idx,
       |    least(63, (CAST(floor(value * 1000000) AS BIGINT) - lo) // w) AS bin
       |  FROM events, par
+      |  WHERE value IS NOT NULL AND ts IS NOT NULL
       |),
       |c AS (
       |  SELECT event_type, b_idx, bin, count(*) AS cnt FROM e GROUP BY 1, 2, 3
@@ -853,8 +854,16 @@ object Analytic {
     val hi = math.floor(mm.getDouble(1) * 1e6).toLong + 1
     val w = (hi - lo + 63) / 64
     val c = ev
+      // NULL value/ts rows are dropped EXPLICITLY on both engines (the
+      // oracle's WHERE mirrors this): without the filter Spark would keep
+      // a NULL-bin group that DuckDB's dense 0..63 grid silently drops.
+      // Bucketing floors via the pmod idiom (unix_micros div would
+      // truncate toward zero for pre-epoch timestamps where DuckDB's //
+      // floors — the Tables.normalizeTs discipline).
+      .filter(col("value").isNotNull && col("ts").isNotNull)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 300000000").as("src_b"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 300000000)) div 300000000")
+          .as("src_b"),
         expr(s"least(63, (CAST(floor(value * 1000000) AS BIGINT) - ${lo}L) div ${w}L)")
           .as("bin"))
       .groupBy(col("event_type"), col("src_b"), col("bin"))

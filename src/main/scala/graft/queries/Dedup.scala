@@ -554,14 +554,16 @@ object Dedup {
     * both pin this), while bucket-join work is bounded by distinct-text
     * count. */
   def nearDups(docs: DataFrame): DataFrame = {
-    val (reps0, members0) = collapseByText(docs)
-    // materialize the collapse ONCE: reps feeds both band-join sides, both
-    // verify sides, and the count projection — without the pin each of
-    // those ~7 consumers re-runs the text-hash shuffle + window (measured
-    // +3 s on q32 at sf0.1). A 100 TB pipeline persists this table anyway:
-    // it IS the exact-dedup output the near-dup pass starts from.
-    val reps = reps0
-    val members = members0
+    // Deliberately UNPINNED: the ~6 downstream consumers (both band-join
+    // sides, both verify sides, the ns projection) re-evaluate the
+    // collapse subtrees, but collapseByText's aggregate+join form makes
+    // each re-evaluation a narrow scan + AQE-broadcast probe, and on
+    // local[32] those parallel re-evaluations beat the serializing eager
+    // barriers a localCheckpoint pin introduces (measured: pinned 5.2 s
+    // vs unpinned 3.2 s at sf0.1 — collapseByText's rejection note). A
+    // 100 TB pipeline would instead PERSIST reps as a table: it is the
+    // exact-dedup output the near-dup pass starts from.
+    val (reps, members) = collapseByText(docs)
     val dsh = shingleRows(reps)
     val bands = minhashBands(dsh)
     val repPairs = verifyJaccard(candidatePairs(bands), dsh)
@@ -573,7 +575,7 @@ object Dedup {
   // `size(array_distinct(transform(...)))` projection was tried and hit
   // the interpreted-HOF megamorphic cliff this file's shingle pipeline
   // already documents (measured 60 s on the second hot run in one
-  // session). ns rides the pinned band rows instead — zero extra passes.
+  // session). ns rides the band rows instead — zero extra passes.
 
   /** INCREMENTAL near-dup detection — the ingest-time shape of q32: a new
     * batch of documents is deduplicated against a corpus whose LSH state
@@ -605,13 +607,14 @@ object Dedup {
     // candidates, each verified). Stored docs stay as-is (their dup pairs
     // were emitted by the batch that ingested them).
     val (newReps0, newMembers0) = collapseByText(newDocs)
-    // same multi-consumer pin as [[nearDups]] (band side, union side,
-    // verify closure, counts, expansion ×3)
+    // Pinned HERE though nearDups deliberately is not: these frames are
+    // BATCH-sized (the whole point of the incremental path), so the eager
+    // pin costs a blink while bounding the re-shingling of the new batch
+    // to exactly once — the corpus-sized trade nearDups measured (its
+    // rejection note) does not apply at batch scale.
     val newReps = newReps0.localCheckpoint(true)
     val newMembers = newMembers0.localCheckpoint(true)
     val dshNew = shingleRows(newReps)
-    // pinned like [[nearDups]]' band index: consumed by the candidate
-    // a-side, the allBands union, and the ns projection
     val newBands = minhashBands(dshNew).localCheckpoint(true)
     val allBands = storedBands.select(
         col("doc_id"), col("ns"), col("b"), col("s0"), col("s1"), col("s2"))

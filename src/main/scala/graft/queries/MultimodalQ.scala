@@ -22,6 +22,10 @@ object MultimodalQ {
     * 1; within-asset repetition (a frozen frame) as n_frames > n_assets.
     * Like q78, the oracle hash-checks the mapPartitions operator itself:
     * the frame digest is a pure byte-slice function the SQL twin mirrors.
+    * Twin replay bound: the oracle unrolls frame indices from a
+    * range(0, 4096) table — assets beyond 4096 frames (256 KiB) would
+    * diverge (Spark emits them, the twin cannot); fine for this corpus
+    * (docs ≤ a few KiB), stated here like frameDigests' ASCII caveat.
     * Plan: scan → narrow per-frame explode inside mapPartitions → ONE
     * map-side-combined aggregate on the 32-hex digest; at 100 TB this is
     * the q31 shuffle with frame-count instead of doc-count cardinality.

@@ -369,10 +369,19 @@ object Similarity {
       |FROM p GROUP BY i, j
       |ORDER BY i NULLS FIRST, j NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          v => round(v.cast("double") * 1000).cast("long")).as("xk"))
+    covarianceRows(Tables.embeddings(s, d)).orderBy(col("i"), col("j"))
+  }
+
+  /** The single covariance aggregation plan shared by
+    * [[q126EmbeddingCovariance]] (its oracle-checked surface) and
+    * [[topPrincipalComponent]] (its bounded collect) — one definition so
+    * a fix to either caller cannot silently diverge from the other:
+    * (i ≤ j, n, cov_num = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) in kilo-unit fixed point.
+    */
+  private def covarianceRows(emb: org.apache.spark.sql.DataFrame) = {
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 1000).cast("long")).as("xk"))
     e.select(col("xk"), explode(sequence(lit(1), size(col("xk")))).as("i"))
       .select(col("xk"), col("i"),
         explode(sequence(col("i"), size(col("xk")))).as("j"))
@@ -383,7 +392,6 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         (count(lit(1)) * sum(col("xi") * col("xj")) -
           sum(col("xi")) * sum(col("xj"))).cast("long").as("cov_num"))
-      .orderBy(col("i"), col("j"))
   }
 
   /** Top principal component via fixed-round power iteration over the
@@ -401,27 +409,19 @@ object Similarity {
   private[graft] def topPrincipalComponent(
       emb: org.apache.spark.sql.DataFrame,
       iters: Int = 24): (Array[Double], Double) = {
-    val rows = emb
-      .select(transform(col("embedding"),
-        v => round(v.cast("double") * 1000).cast("long")).as("xk"))
-      .select(col("xk"), explode(sequence(lit(1), size(col("xk")))).as("i"))
-      .select(col("xk"), col("i"),
-        explode(sequence(col("i"), size(col("xk")))).as("j"))
-      .select(col("i"), col("j"),
-        element_at(col("xk"), col("i")).as("xi"),
-        element_at(col("xk"), col("j")).as("xj"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        (count(lit(1)) * sum(col("xi") * col("xj")) -
-          sum(col("xi")) * sum(col("xj"))).cast("long").as("cov_num"))
+    val rows = covarianceRows(emb)
       .collect() // bounded: D(D+1)/2 rows (2,080 at D = 64), documented
+    require(rows.nonEmpty, "topPrincipalComponent: empty embeddings input")
     val dim = rows.map(_.getInt(1)).max
-    val n = rows.head.getLong(2).toDouble
     val c = Array.ofDim[Double](dim, dim)
     rows.foreach { r =>
       val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
-      // de-scale: numerator = n²·cov in kilo² units
-      val v = r.getLong(3).toDouble / (n * n) / 1e6
+      // de-scale with the PAIR'S OWN count (numerator = n_ij²·cov in
+      // kilo² units): on ragged embedding lengths — which the covariance
+      // query supports — per-pair counts differ, and one global n would
+      // mis-scale the matrix non-uniformly
+      val nij = r.getLong(2).toDouble
+      val v = r.getLong(3).toDouble / (nij * nij) / 1e6
       c(i)(j) = v; c(j)(i) = v
     }
     var v = Array.fill(dim)(1.0 / math.sqrt(dim))

@@ -267,19 +267,33 @@ object Export {
       try out.write(runId.toString.getBytes("UTF-8"))
       finally out.close()
     } catch {
-      case _: java.io.IOException =>
+      case e: java.io.IOException =>
+        // Classify carefully: ONLY a pre-existing claim is a conflict. An
+        // IOException with no claim file on disk is a plain write failure
+        // (disk full, transient store error) and must propagate as such —
+        // treating it as "lost the race" would send the caller into
+        // retries against a conflict that does not exist.
+        if (!fs.exists(p)) throw e
         val existing =
           try {
             val in = fs.open(p)
             try new String(
               org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
             finally in.close()
-          } catch { case _: java.io.IOException => "<unreadable>" }
-        if (existing != runId.toString)
+          } catch { case _: java.io.IOException => "" }
+        if (existing == runId.toString) {
+          // this writer's own earlier claim (crash/replay) — proceed
+        } else if (existing.nonEmpty && existing.forall(_.isDigit)) {
           throw new CommitConflictException(
             s"chain generation $gen already claimed by run $existing " +
               s"(this writer: run $runId) — re-read the chain and retry")
-      // else: this writer's own earlier claim (crash/replay) — proceed
+        } else {
+          // claim file exists but holds no valid run id: most likely this
+          // writer's OWN torn write (create succeeded, write/close died).
+          // Surface the original failure — the wedged token is the
+          // documented forceReleaseClaim case, not a commit race.
+          throw e
+        }
     }
   }
 

@@ -26,7 +26,8 @@ class RollingQuantileSpec extends SparkSpec {
 
     val ev = Tables.events(spark, sf)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 300000000").as("b_idx"), col("value"))
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 300000000)) div 300000000")
+          .as("b_idx"), col("value"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     val mm = (ev.map(_._3).min, ev.map(_._3).max)
