@@ -43,6 +43,58 @@ class IncrementalDedupSpec extends SparkSpec {
       s"missing=${full -- oldOnly -- inc} phantom=${(oldOnly | inc) -- full}")
   }
 
+  test("a chain tombstone forgets a document from the persisted dedup index") {
+    // Right-to-be-forgotten PROPAGATES INTO DERIVED STATE: the signature
+    // index rides the tombstoned delta chain (keyed (doc_id, band)), so
+    // deleting a document's index rows via the ordinary tombstone path
+    // makes later incremental dedup stop pairing against it — no bespoke
+    // index-invalidation machinery, just readSnapshot's replay. Pure
+    // composition of the two public surfaces (Export chain + LSH index).
+    import graft.vera.{Export, Schemas}
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val old = Seq(
+      100L -> base,
+      200L -> s"$base kilo",
+      300L -> "november oscar papa quebec romeo sierra tango uniform victor")
+      .toDF("doc_id", "text")
+    val cfg = graft.vera.TableConfig("lshidx",
+      Schemas.fromDtypes(Seq(
+        "doc_id" -> "Int64", "ns" -> "Int64", "b" -> "Int32",
+        "s0" -> "Int64", "s1" -> "Int64", "s2" -> "Int64",
+        "updated_at" -> "datetime64[ns]")),
+      chunkSize = 100, numChunksPerFile = 100, compression = None)
+    val out = Files.createTempDirectory("lsh-chain").toString
+    def stamped(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.withColumn("updated_at",
+        lit(java.time.LocalDateTime.parse(t)).cast("timestamp_ntz"))
+    Export.exportIncremental(Seq((
+      stamped(Dedup.minhashIndex(old), "2024-01-01T00:00:00"),
+      cfg, Seq("doc_id", "b"))), out, 1000L)
+
+    // doc 100 exercises its erasure right: tombstone its 5 index rows
+    val tomb = (0 until 5).map(b => (100L, b)).toDF("doc_id", "b")
+    Export.exportIncremental(
+      Seq((stamped(Dedup.minhashIndex(old.limit(0)), "2024-01-01T00:00:00"),
+        cfg, Seq("doc_id", "b"))),
+      out, 2000L, deletes = Map("lshidx" -> tomb))
+
+    val stored = Export.readSnapshot(out, cfg, Seq("doc_id", "b"), spark)
+      .drop("updated_at")
+    assert(stored.filter(col("doc_id") === 100L).count() === 0)
+    assert(stored.filter(col("doc_id") === 200L).count() === 5)
+
+    // a new near-identical doc pairs with the SURVIVING twin only — the
+    // forgotten document no longer exists for the dedup pipeline
+    val fresh = Seq(900L -> s"$base kilo").toDF("doc_id", "text")
+    val remaining = old.filter(col("doc_id") =!= 100L)
+    val inc = pairs(Dedup.incrementalNearDups(
+      fresh, stored, remaining.unionByName(fresh)))
+    assert(inc.contains((200L, 900L)), s"surviving twin must pair: $inc")
+    assert(inc.forall { case (a, b) => a != 100L && b != 100L },
+      s"forgotten doc resurfaced: $inc")
+  }
+
   test("q32 still matches its pre-refactor output shape on the fixture") {
     // the factored stages (shingleRows/minhashBands/verifyJaccard) must
     // reproduce the registered query bit for bit — jaccard included
