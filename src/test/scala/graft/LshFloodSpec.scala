@@ -85,6 +85,47 @@ class LshFloodSpec extends SparkSpec {
     assert(j.getDouble(0) === 1.0 && j.getDouble(1) === 1.0)
   }
 
+  test("collapse equivalence holds on randomized duplicate-heavy corpora (property)") {
+    // deterministic seeded property loop (the ExactSpec idiom): random
+    // corpora engineered to hit every structural case at once — exact-dup
+    // groups of random multiplicity, near-dups via append/substitute
+    // mutations, sub-window docs, non-contiguous interleaved ids — and on
+    // each the collapsed pipeline must equal the naive plan pair-for-pair
+    // and VALUE-for-value. Generalizes the fixed mixed-corpus fixture.
+    val rng = new scala.util.Random(1234)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    for (round <- 1 to 4) {
+      val templates = Vector.fill(6)(
+        Vector.fill(8 + rng.nextInt(7))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" "))
+      val texts = (0 until 80).map { _ =>
+        val t = templates(rng.nextInt(templates.size))
+        rng.nextInt(4) match {
+          case 0 => t // exact duplicate of a template
+          case 1 => s"$t ${vocab(rng.nextInt(vocab.size))}" // near-dup append
+          case 2 => // near-dup substitution
+            val ws = t.split(" ")
+            ws.updated(rng.nextInt(ws.length),
+              vocab(rng.nextInt(vocab.size))).mkString(" ")
+          case _ if rng.nextInt(5) == 0 => "tiny doc" // sub-window
+          case _ => Vector.fill(6 + rng.nextInt(5))(
+            vocab(rng.nextInt(vocab.size))).mkString(" ")
+        }
+      }
+      // non-contiguous, shuffled ids so rep selection is never positional
+      val ids = rng.shuffle((1 to 500).toList).take(texts.size).map(_.toLong * 7)
+      val corpus = docs(ids.zip(texts))
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = key(Dedup.nearDups(corpus))
+      val want = key(naiveNearDups(corpus))
+      assert(want.nonEmpty, s"round $round: degenerate fixture, no pairs")
+      assert(got === want,
+        s"round $round: missing=${want -- got} phantom=${got -- want}")
+    }
+  }
+
   test("incremental ingest of a flood batch collapses and still matches full recompute") {
     val k = 500
     val old = docs(Seq(
