@@ -20,7 +20,7 @@ object Gaps {
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
-    q111DriftPsi, q121KAnonymity, q125DpRelease)
+    q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1091,6 +1091,83 @@ object Gaps {
       .agg(min(col("k")).as("k"))
       .select(col("event_type"),
         greatest(lit(0L), col("n") + col("k")).cast("long").as("released"))
+      .orderBy(col("event_type"))
+  }
+
+  /** USER-LEVEL differentially private SUM release [EXT] — q125's count
+    * mechanism extended to the statistic that actually needs DP craft:
+    * a sum where one USER may contribute many rows. Three standard moves,
+    * each integer-exact on both engines:
+    *
+    *  1. CONTRIBUTION BOUNDING: per (group, user) totals are clipped to
+    *     C = 50 value-units (micro fixed point), so adding or removing an
+    *     entire user moves the group sum by at most C — user-level
+    *     sensitivity, not the row-level fiction;
+    *  2. LATTICE ROUNDING: the clipped sum is rounded to the C-lattice
+    *     (all values non-negative after clipping, so `div` == `//`);
+    *     neighboring datasets then differ by at most ONE lattice step,
+    *     which maps sum-release onto exactly the ε = 1 geometric
+    *     mechanism [[dpThresholds]] already implements;
+    *  3. the same seeded hash-uniform → threshold inversion as q125
+    *     (salt rotated to "dpsum1"), clamped at 0, released in
+    *     micro-units (a BIGINT, so the hash compare is exact).
+    *
+    * Clipping bias is the documented trade (per-user totals above C are
+    * flattened — that is what bounding the sensitivity MEANS); the bias
+    * is data-visible while the noise is ±20 lattice steps.
+    *
+    * Shape at scale: two map-side-combined aggregates (user-level then
+    * group-level) + the 41-row broadcast threshold join — the counting
+    * query's cost, nothing more.
+    */
+  val q128DpSumRelease = Q(
+    "q128_dp_sum_release",
+    s"""WITH per_user AS (
+      |  SELECT event_type, user_id,
+      |    greatest(CAST(0 AS BIGINT), least(CAST(50000000 AS BIGINT),
+      |      CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT))) AS uc
+      |  FROM events GROUP BY event_type, user_id
+      |),
+      |g AS (
+      |  SELECT event_type,
+      |    CAST(sum(uc) AS BIGINT) // 50000000 AS s_lattice,
+      |    ('0x' || substr(sha256(event_type || '|dpsum1'), 1, 15))::BIGINT AS u
+      |  FROM per_user GROUP BY event_type
+      |),
+      |noise AS (
+      |  SELECT g.event_type, g.s_lattice, min(thr.k) AS k
+      |  FROM g JOIN (VALUES ${dpThresholds
+            .map { case (k, t) => s"($k, $t)" }.mkString(", ")}) thr(k, t)
+      |    ON g.u < thr.t
+      |  GROUP BY g.event_type, g.s_lattice
+      |)
+      |SELECT event_type,
+      |  CAST(greatest(0, s_lattice + k) * 50000000 AS BIGINT)
+      |    AS released_sum_micro
+      |FROM noise
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val cMicro = 50000000L // C = 50 value-units in micro fixed point
+    val thr = dpThresholds.toDF("k", "t")
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      // clip to [0, C]: bounding BOTH sides keeps every lattice value
+      // non-negative, so integer division below is floor on both engines
+      .agg(greatest(lit(0L), least(lit(cMicro),
+        sum(round(col("value") * 1e6).cast("long")))).as("uc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("uc")).cast("long").as("s_sum"))
+      .withColumn("s_lattice", expr(s"s_sum div ${cMicro}L"))
+      .withColumn("u",
+        conv(substring(sha2(concat(col("event_type"), lit("|dpsum1")), 256),
+          1, 15), 16, 10).cast("long"))
+      .join(broadcast(thr), col("u") < col("t"))
+      .groupBy(col("event_type"), col("s_lattice"))
+      .agg(min(col("k")).as("k"))
+      .select(col("event_type"),
+        (greatest(lit(0L), col("s_lattice") + col("k")) * cMicro)
+          .cast("long").as("released_sum_micro"))
       .orderBy(col("event_type"))
   }
 }

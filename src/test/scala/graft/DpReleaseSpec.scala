@@ -36,6 +36,36 @@ class DpReleaseSpec extends SparkSpec {
     }
   }
 
+  test("sum release equals an independent replay of clip, lattice, noise") {
+    val c = 50000000L
+    val got = SparkEntry.queries("q128_dp_sum_release")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // independent mechanism replay: per-user micro sums clipped to [0, C],
+    // group-summed, floored to the C-lattice, noised via the shared
+    // thresholds under the sum salt, clamped, re-scaled
+    val perUser = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val truth = perUser.groupBy(_._1).map { case (tpe, rows) =>
+      val sLat = rows.map(r => math.max(0L, math.min(c, r._2))).sum / c
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$tpe|dpsum1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.take(15), 16)
+      val k = Gaps.dpThresholds.collectFirst { case (kk, t) if u < t => kk }.get
+      tpe -> math.max(0L, sLat + k) * c
+    }
+    assert(got === truth)
+    // user-level sensitivity is real: every group's release is within
+    // (|noise| ≤ 20) + 1 (lattice floor) steps of its clipped lattice sum
+    for ((tpe, rel) <- got) {
+      val sLat = perUser.filter(_._1 == tpe)
+        .map(r => math.max(0L, math.min(c, r._2))).sum / c
+      assert(math.abs(rel / c - sLat) <= 21L, s"$tpe: $rel vs lattice $sLat")
+    }
+  }
+
   test("noise spreads and concentrates like discrete Laplace over 512 groups") {
     import spark.implicits._
     val d = "/tmp/graft_dp_groups"
