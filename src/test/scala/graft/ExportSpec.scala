@@ -501,6 +501,38 @@ class ExportSpec extends SparkSpec {
     assert(snapAt(Some(500L)) === Map.empty)
   }
 
+  test("multi-table runs give cross-table snapshot isolation at every pin") {
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    def cfgOf(n: String) = TableConfig(n,
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    val (ca, cb) = (cfgOf("ta"), cfgOf("tb"))
+    val out = tmpDir()
+    def df(vs: Seq[(Long, String)], at: String) =
+      vs.map { case (i, v) => (i, t(at), v) }.toDF("id", "updated_at", "v")
+    // run 1000 and run 2000 each update BOTH tables together (an order
+    // and its lines, say); one manifest commits the pair atomically
+    Export.exportIncremental(Seq(
+      (df(Seq(1L -> "a1"), "2024-01-01T00:00:00"), ca, Seq("id")),
+      (df(Seq(1L -> "b1"), "2024-01-01T00:00:00"), cb, Seq("id"))), out, 1000L)
+    Export.exportIncremental(Seq(
+      (df(Seq(1L -> "a2"), "2024-02-01T00:00:00"), ca, Seq("id")),
+      (df(Seq(1L -> "b2"), "2024-02-01T00:00:00"), cb, Seq("id"))), out, 2000L)
+    def pair(asOf: Option[Long]) = (
+      Export.readSnapshot(out, ca, Seq("id"), spark, asOf)
+        .select(col("v")).head.getString(0),
+      Export.readSnapshot(out, cb, Seq("id"), spark, asOf)
+        .select(col("v")).head.getString(0))
+    // no pin and every pin yields a CONSISTENT (a_k, b_k) pair — a torn
+    // a2/b1 view is unrepresentable because both tables commit under one
+    // run manifest
+    assert(pair(Some(1000L)) === (("a1", "b1")))
+    assert(pair(Some(1500L)) === (("a1", "b1")))
+    assert(pair(None) === (("a2", "b2")))
+  }
+
   test("compact racing a delta: the stale compact aborts manifest-less, no lost update") {
     import spark.implicits._
     spark.sparkContext.hadoopConfiguration
