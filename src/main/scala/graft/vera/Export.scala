@@ -400,6 +400,15 @@ object Export {
       deletes: Map[String, DataFrame] = Map.empty,
   ): Manifest = {
     val spark = tables.head._1.sparkSession
+    // the mirror of exportStream's producer guard: a streaming-owned
+    // outDir (checkpoint dir present, or small batchId-keyed runs) must
+    // not receive epoch-millis batch runs — the two clocks are
+    // incomparable and replay order would silently interleave
+    val fsGuard = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    require(!fsGuard.exists(new Path(s"$outDir/_checkpoint")),
+      s"$outDir is owned by a streaming producer (_checkpoint present); " +
+        "an outDir belongs to ONE producer, stream XOR batch")
     // chain state this run derives from — both the watermark and the
     // generation token are read HERE; the commit claim later verifies no
     // other writer advanced the chain off this same state (lost-update
@@ -632,15 +641,28 @@ object Export {
     * incomparable, so mixing producers in one directory would make every
     * stream run "older" than any batch run in [[readSnapshot]]'s replay
     * order and interleave [[latestWatermark]]'s timestamp sort. (The
-    * checkpoint directory already makes sharing impractical; this makes
-    * the rule explicit.)
+    * rule is ENFORCED, not advisory: exportStream refuses an outDir with
+    * epoch-millis-keyed committed runs, and [[exportIncremental]] refuses
+    * one with a streaming `_checkpoint` — ExportSpec pins both
+    * directions.)
     */
   def exportStream(
       stream: DataFrame,
       cfg: TableConfig,
       orderBy: Seq[String],
       outDir: String,
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // ENFORCE the single-producer constraint (doc above): a chain whose
+    // committed runs are epoch-millis-keyed belongs to the batch producer
+    // — batchIds (0,1,2,…) interleaved into it would sort "older" than
+    // every batch run and silently corrupt replay order. BatchId keys are
+    // small integers; epoch millis are > 1e12 for any wall clock after
+    // 2001 — an unambiguous discriminator.
+    val existing = committedRuns(outDir, stream.sparkSession)
+    require(!existing.exists(_ > 1_000_000_000_000L),
+      s"$outDir already holds batch-producer runs " +
+        s"(epoch-millis keys: ${existing.filter(_ > 1_000_000_000_000L)}); " +
+        "an outDir belongs to ONE producer, stream XOR batch")
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")
@@ -652,6 +674,7 @@ object Export {
         }
       }
       .start()
+  }
 
   /** S7 manifest sink (`write_manifest`, main.py:103-113). */
   def writeManifest(m: Manifest, outDir: String, spark: SparkSession): Unit = {

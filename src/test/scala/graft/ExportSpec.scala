@@ -501,6 +501,39 @@ class ExportSpec extends SparkSpec {
     assert(snapAt(Some(500L)) === Map.empty)
   }
 
+  test("the stream-XOR-batch producer rule is enforced in both directions") {
+    import spark.implicits._
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val cfg = TableConfig("xor",
+      Schemas.fromDtypes(Seq("id" -> "Int64", "updated_at" -> "datetime64[ns]",
+        "v" -> "string")),
+      chunkSize = 10, numChunksPerFile = 10, compression = None)
+    // batch-owned chain refuses a streaming producer
+    val batchDir = tmpDir()
+    val df1 = Seq((1L, t("2024-01-01T00:00:00"), "v1"))
+      .toDF("id", "updated_at", "v")
+    // a REALISTIC batch key (epoch millis) — the discriminator the guard
+    // keys on; toy keys like 1000 are indistinguishable from batchIds
+    Export.exportIncremental(Seq((df1, cfg, Seq("id"))), batchDir,
+      1700000000000L)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val e1 = intercept[IllegalArgumentException] {
+      Export.exportStream(in.toDF().toDF("id", "updated_at", "v"),
+        cfg, Seq("id"), batchDir)
+    }
+    assert(e1.getMessage.contains("stream XOR batch"))
+    // stream-owned dir (checkpoint present) refuses a batch producer
+    val streamDir = tmpDir()
+    Files.createDirectories(
+      java.nio.file.Paths.get(s"$streamDir/_checkpoint"))
+    val e2 = intercept[IllegalArgumentException] {
+      Export.exportIncremental(Seq((df1, cfg, Seq("id"))), streamDir, 2000L)
+    }
+    assert(e2.getMessage.contains("stream XOR batch"))
+  }
+
   test("multi-table runs give cross-table snapshot isolation at every pin") {
     import spark.implicits._
     def t(s: String) = java.time.LocalDateTime.parse(s)
