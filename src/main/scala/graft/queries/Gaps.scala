@@ -1126,7 +1126,7 @@ object Gaps {
       |  SELECT event_type, user_id,
       |    greatest(CAST(0 AS BIGINT), least(CAST(50000000 AS BIGINT),
       |      CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT))) AS uc
-      |  FROM events GROUP BY event_type, user_id
+      |  FROM events WHERE value IS NOT NULL GROUP BY event_type, user_id
       |),
       |g AS (
       |  SELECT event_type,
@@ -1151,6 +1151,10 @@ object Gaps {
     val cMicro = 50000000L // C = 50 value-units in micro fixed point
     val thr = dpThresholds.toDF("k", "t")
     Tables.events(s, d)
+      // explicit NULL drop (the q124 rule): Spark's least/greatest SKIP
+      // nulls, so an all-NULL-value user's NULL sum would otherwise clip
+      // to the full bound C — contributing 50 units of phantom data
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type"), col("user_id"))
       // clip to [0, C]: bounding BOTH sides keeps every lattice value
       // non-negative, so integer division below is floor on both engines

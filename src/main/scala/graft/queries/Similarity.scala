@@ -348,6 +348,11 @@ object Similarity {
     * into ONE map-side-combined hash aggregate over D(D+1)/2 groups —
     * provably bounded output (2,080 rows at D = 64) from a single scan.
     * The same rows feed [[topPrincipalComponent]]'s bounded collect.
+    * Twin replay bound (the q127 convention): the oracle unrolls
+    * dimension indices from range(1, 256) — embeddings beyond 255 dims
+    * would diverge (Spark emits their pairs, the twin cannot); fine for
+    * this corpus (D = 64), stated here rather than discovered as a false
+    * engine-divergence.
     */
   val q126EmbeddingCovariance = Q(
     "q126_embedding_covariance",
@@ -382,6 +387,11 @@ object Similarity {
     val e = emb.select(col("vec_id"),
       transform(col("embedding"),
         v => round(v.cast("double") * 1000).cast("long")).as("xk"))
+      // empty arrays must be dropped BEFORE sequence(): Spark's
+      // sequence(1, 0) DESCENDS and would feed element_at index 0 (the
+      // shingleRows pitfall); the oracle's `WHERE i <= len(xk)` drops the
+      // same rows silently
+      .filter(size(col("xk")) > 0)
     e.select(col("xk"), explode(sequence(lit(1), size(col("xk")))).as("i"))
       .select(col("xk"), col("i"),
         explode(sequence(col("i"), size(col("xk")))).as("j"))

@@ -262,17 +262,22 @@ object Export {
       spark.sparkContext.hadoopConfiguration)
     val p = claimFile(outDir, gen)
     fs.mkdirs(p.getParent)
+    // claim payload is "<runId>\n": the trailing newline is the
+    // COMPLETENESS terminator — a torn write of this writer's own claim
+    // (create succeeded, write/close died mid-flush) leaves a digit
+    // PREFIX without the terminator, which must not be mistaken for a
+    // complete foreign claim (a phantom conflict the caller would retry
+    // against forever)
     try {
       val out = fs.create(p, false)
-      try out.write(runId.toString.getBytes("UTF-8"))
+      try out.write((runId.toString + "\n").getBytes("UTF-8"))
       finally out.close()
     } catch {
       case e: java.io.IOException =>
-        // Classify carefully: ONLY a pre-existing claim is a conflict. An
-        // IOException with no claim file on disk is a plain write failure
-        // (disk full, transient store error) and must propagate as such —
-        // treating it as "lost the race" would send the caller into
-        // retries against a conflict that does not exist.
+        // Classify carefully: ONLY a pre-existing COMPLETE claim is a
+        // conflict. An IOException with no claim file on disk is a plain
+        // write failure (disk full, transient store error) and must
+        // propagate as such.
         if (!fs.exists(p)) throw e
         val existing =
           try {
@@ -281,18 +286,61 @@ object Export {
               org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
             finally in.close()
           } catch { case _: java.io.IOException => "" }
-        if (existing == runId.toString) {
-          // this writer's own earlier claim (crash/replay) — proceed
-        } else if (existing.nonEmpty && existing.forall(_.isDigit)) {
+        val complete = existing.endsWith("\n")
+        val holder = existing.trim
+        if (complete && holder == runId.toString) {
+          // this writer's own earlier complete claim (crash/replay)
+        } else if (complete && holder.nonEmpty && holder.forall(_.isDigit)) {
           throw new CommitConflictException(
-            s"chain generation $gen already claimed by run $existing " +
+            s"chain generation $gen already claimed by run $holder " +
               s"(this writer: run $runId) — re-read the chain and retry")
         } else {
-          // claim file exists but holds no valid run id: most likely this
-          // writer's OWN torn write (create succeeded, write/close died).
-          // Surface the original failure — the wedged token is the
-          // documented forceReleaseClaim case, not a commit race.
+          // no terminator (or garbage): a torn write, most likely this
+          // writer's own. Surface the original failure — the wedged token
+          // is the documented forceReleaseClaim case, not a commit race.
           throw e
+        }
+    }
+  }
+
+  /** Explicit producer-ownership stamp for a chain directory: `_producer`
+    * holds `batch` or `stream`; the first chain writer of either kind
+    * stamps the directory (create-without-overwrite, racer-tolerant), and
+    * every later writer of the OTHER kind is refused loudly. This is the
+    * durable form of the stream-XOR-batch rule — the `_checkpoint` and
+    * epoch-magnitude checks remain as belt-and-braces for chains created
+    * before the marker existed.
+    */
+  private[graft] def claimProducer(
+      outDir: String, kind: String, spark: SparkSession): Unit = {
+    val fs = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$outDir/_producer")
+    def read(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    def refuse(k: String): Nothing =
+      throw new IllegalArgumentException(
+        s"$outDir is owned by a '$k' producer (this writer: '$kind'); " +
+          "an outDir belongs to ONE producer, stream XOR batch")
+    read() match {
+      case Some(k) if k == kind => ()
+      case Some(k)              => refuse(k)
+      case None =>
+        fs.mkdirs(new Path(outDir))
+        try {
+          val out = fs.create(p, false)
+          try out.write(s"$kind\n".getBytes("UTF-8"))
+          finally out.close()
+        } catch { case _: java.io.IOException => () } // a racer stamped it
+        read() match {
+          case Some(k) if k != kind => refuse(k)
+          case _                    => ()
         }
     }
   }
@@ -310,7 +358,7 @@ object Export {
     val in = fs.open(p)
     val holder =
       try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
       finally in.close()
     require(!fs.exists(new Path(s"$outDir/run_$holder/manifest.json")),
       s"claim_$gen belongs to COMMITTED run $holder; refusing to release")
@@ -409,6 +457,7 @@ object Export {
     require(!fsGuard.exists(new Path(s"$outDir/_checkpoint")),
       s"$outDir is owned by a streaming producer (_checkpoint present); " +
         "an outDir belongs to ONE producer, stream XOR batch")
+    claimProducer(outDir, "batch", spark)
     // chain state this run derives from — both the watermark and the
     // generation token are read HERE; the commit claim later verifies no
     // other writer advanced the chain off this same state (lost-update
@@ -587,6 +636,16 @@ object Export {
       spark: SparkSession,
       nowMillis: Long = System.currentTimeMillis(),
   ): Manifest = {
+    // compact is a BATCH chain writer too — the producer rule applies to
+    // it the same as to exportIncremental (a compact over a stream-owned
+    // chain would fold batchId-keyed runs into an epoch-millis base and
+    // corrupt replay order, then strand the stream's checkpoint)
+    val cpFs = FileSystem.get(new java.net.URI(outDir),
+      spark.sparkContext.hadoopConfiguration)
+    require(!cpFs.exists(new Path(s"$outDir/_checkpoint")),
+      s"$outDir is owned by a streaming producer (_checkpoint present); " +
+        "an outDir belongs to ONE producer, stream XOR batch")
+    claimProducer(outDir, "batch", spark)
     val old = committedRuns(outDir, spark)
     require(old.nonEmpty, s"compact: no committed runs under $outDir")
     require(nowMillis > old.last,
@@ -663,6 +722,7 @@ object Export {
       s"$outDir already holds batch-producer runs " +
         s"(epoch-millis keys: ${existing.filter(_ > 1_000_000_000_000L)}); " +
         "an outDir belongs to ONE producer, stream XOR batch")
+    claimProducer(outDir, "stream", stream.sparkSession)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", s"$outDir/_checkpoint")

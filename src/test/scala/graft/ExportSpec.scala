@@ -532,6 +532,25 @@ class ExportSpec extends SparkSpec {
       Export.exportIncremental(Seq((df1, cfg, Seq("id"))), streamDir, 2000L)
     }
     assert(e2.getMessage.contains("stream XOR batch"))
+    // the durable _producer marker closes the toy-key gap the magnitude
+    // heuristic leaves: a batch chain with SMALL run keys still refuses a
+    // stream, because exportIncremental stamped ownership
+    val toyDir = tmpDir()
+    Export.exportIncremental(Seq((df1, cfg, Seq("id"))), toyDir, 1000L)
+    val e3 = intercept[IllegalArgumentException] {
+      Export.exportStream(in.toDF().toDF("id", "updated_at", "v"),
+        cfg, Seq("id"), toyDir)
+    }
+    assert(e3.getMessage.contains("stream XOR batch"))
+    // compact is a batch writer too: a stream-stamped dir refuses it
+    val streamDir2 = tmpDir()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$streamDir2/_producer"),
+      "stream\n".getBytes("UTF-8"))
+    val e4 = intercept[IllegalArgumentException] {
+      Export.compact(streamDir2, Seq((cfg, Seq("id"), Seq("id"))), spark, 9000L)
+    }
+    assert(e4.getMessage.contains("stream XOR batch"))
   }
 
   test("multi-table runs give cross-table snapshot isolation at every pin") {
