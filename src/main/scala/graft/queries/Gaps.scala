@@ -1030,6 +1030,25 @@ object Gaps {
     * makes a NOISE mechanism hash-match a DuckDB oracle.
     */
   private val DpK = 20
+
+  /** The threshold inversion as a PURE PROJECTION — a chained CASE over
+    * the 41 integer literals (noise = min k with u < t_k). Semantically
+    * identical to the broadcast-join form q125/q128 use, but stateless:
+    * no join, no second aggregation — which is what lets the mechanism
+    * run under APPEND-MODE STREAMING (q129's daily release), where a
+    * post-aggregate join-then-min would be a second stateful operator.
+    */
+  private[graft] def dpNoiseExpr(u: Column): Column =
+    dpThresholds.init.foldRight(lit(dpThresholds.last._1): Column) {
+      case ((k, t), acc) => when(u < t, lit(k)).otherwise(acc)
+    }
+
+  /** DuckDB twin of [[dpNoiseExpr]] — keep in lockstep. */
+  private[graft] def dpNoiseSql(u: String): String =
+    "CASE " + dpThresholds.init
+      .map { case (k, t) => s"WHEN $u < $t THEN $k" }.mkString(" ") +
+      s" ELSE ${dpThresholds.last._1} END"
+
   private[graft] val dpThresholds: Seq[(Int, Long)] = {
     val alpha = math.exp(-1.0)
     val ws = (-DpK to DpK).map(j => math.pow(alpha, math.abs(j)))

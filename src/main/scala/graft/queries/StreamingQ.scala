@@ -15,7 +15,41 @@ object StreamingQ {
 
   def all: Seq[Q] = Seq(
     q45TumblingWindow, q46SessionWindow, q47SlidingWindow, q60StreamJoinTwin,
-    q73StreamEnrichTwin)
+    q73StreamEnrichTwin, q129DpDailyTwin)
+
+  /** Batch twin of the streaming DP daily release ([[Windows.dpDaily]] /
+    * [[Windows.streamDpDaily]], equality asserted in StreamingSpec): each
+    * (UTC day, event type) count released under the q125 geometric
+    * mechanism — private telemetry with one-verdict-per-finalized-day
+    * semantics. The noise seed is a pure function of the window key, so
+    * the SAME release comes out of the batch plan, the streaming plan,
+    * and the DuckDB twin (whose CASE chain mirrors Gaps.dpNoiseExpr) —
+    * a privacy mechanism with a hash-checkable oracle even under
+    * streaming replay.
+    */
+  val q129DpDailyTwin = Q(
+    "q129_dp_daily_twin",
+    s"""WITH g AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+      |    count(*) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |r AS (
+      |  SELECT day, event_type, n,
+      |    ${graft.queries.Gaps.dpNoiseSql(
+          "('0x' || substr(sha256(CAST(day AS VARCHAR) || '|' || " +
+            "event_type || '|dpd1'), 1, 15))::BIGINT")} AS k
+      |  FROM g
+      |)
+      |SELECT day, event_type,
+      |  CAST(greatest(0, n + k) AS BIGINT) AS released
+      |FROM r
+      |ORDER BY day NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Windows.dpDaily(Tables.events(s, d))
+      .orderBy(col("day"), col("event_type"))
+  }
 
   /** Batch twin of the STREAM-STATIC enrichment join
     * ([[Windows.streamEnrich]], equality asserted in StreamingSpec): every

@@ -417,4 +417,51 @@ object Windows {
       .outputMode("append")
       .start()
   }
+
+  /** Differentially private DAILY count release over an events frame —
+    * the q125 geometric mechanism applied per (day window, type), shared
+    * verbatim by the batch query (q129, oracle-checked) and the streaming
+    * runner ([[streamDpDaily]]): one 24-hour tumbling aggregate, then a
+    * STATELESS noise projection — the seed is sha256(day ‖ type ‖ salt),
+    * a pure function of the finalized window key, which is exactly why a
+    * privacy mechanism can run under append-mode streaming at all (no
+    * randomness to replay, no state beyond the window aggregate; a
+    * replayed window re-derives the identical noise). Epoch salt rotates
+    * per release campaign, here pinned to "dpd1".
+    */
+  def dpDaily(events: DataFrame): DataFrame = {
+    val u = conv(substring(sha2(concat(col("day").cast("string"), lit("|"),
+      col("event_type"), lit("|dpd1")), 256), 1, 15), 16, 10).cast("long")
+    events
+      .filter(col("value").isNotNull) // q124's explicit-NULL rule
+      .groupBy(window(col("ts"), "24 hours").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").cast("date").as("day"),
+        col("event_type"), col("n"))
+      // noise as a PURE PROJECTION (Gaps.dpNoiseExpr): no join, no second
+      // aggregation — the shape append-mode streaming permits
+      .select(col("day"), col("event_type"),
+        greatest(lit(0L),
+          col("n") + graft.queries.Gaps.dpNoiseExpr(u))
+          .cast("long").as("released"))
+  }
+
+  /** Streaming runner for [[dpDaily]]: each day's private count is
+    * emitted exactly once when the watermark finalizes the window —
+    * private telemetry with the drift monitor's alerting semantics. */
+  def streamDpDaily(
+      spark: SparkSession, sfDir: String, tableName: String): StreamingQuery = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .transform(graft.Tables.normalizeTs)
+    dpDaily(raw.withWatermark("ts", "10 minutes"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
 }

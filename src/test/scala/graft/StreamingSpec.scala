@@ -260,6 +260,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DP daily release equals the batch release per finalized day") {
+    val q = Windows.streamDpDaily(spark, sf, "stream_dp_daily")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dp_daily").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      val wmMs = Tables.events(spark, sf)
+        .agg(max(col("ts"))).head.getAs[java.sql.Timestamp](0).getTime -
+        Windows.WatermarkDelayMs
+      val all = Windows.dpDaily(Tables.events(spark, sf)).collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+      def dayEndMs(day: String): Long =
+        java.time.LocalDate.parse(day).plusDays(1)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+      val finalized = all.filter(t => dayEndMs(t._1) <= wmMs).toSet
+      assert(streamed.nonEmpty)
+      // append mode withholds the still-open last day...
+      assert(finalized.size < all.length)
+      // ...and every finalized day's PRIVATE count matches the batch
+      // release exactly: the noise seed is a pure function of the window
+      // key, so streaming replay and batch agree bit-for-bit
+      assert(streamed === finalized)
+    } finally q.stop()
+  }
+
   test("drift bin edges derive from the reference corpus, not a fixed range") {
     import spark.implicits._
     // a corpus living in [10_000, 10_800] — under the old fixed /62.5
