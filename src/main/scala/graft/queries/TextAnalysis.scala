@@ -14,7 +14,7 @@ object TextAnalysis {
 
   def all: Seq[Q] =
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
-      q87TokenEntropy, q101Bm25)
+      q87TokenEntropy, q101Bm25, q130GroupSplit)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -441,6 +441,55 @@ object TextAnalysis {
     * every engine, every run, every increment agrees on every doc's split.
     * Pure narrow map + one tiny aggregate; md5 keeps the oracle bit-exact.
     */
+  /** ENTITY-LEVEL (leakage-safe) train/val/test split — q65's idiom keyed
+    * by USER instead of row: the fold is a pure function of
+    * md5("usplit|" + user_id), so every event of a user lands in the same
+    * fold BY CONSTRUCTION. That structural guarantee is the entire point:
+    * a row-level split of behavioral data leaks — a user's train events
+    * let a model memorize that user and "predict" their test events. Same
+    * scale shape as q65 (no sampling state, no reshuffling on arrival,
+    * every engine agrees on every user), with the fold computed once per
+    * DISTINCT user and joined back (AQE broadcasts the user→fold table at
+    * suite scale; at corpus scale it degrades to a shuffle join, still
+    * user-cardinality-sized). Event values roll up micro-exact so the
+    * per-fold mass is hash-checkable.
+    */
+  val q130GroupSplit = Q(
+    "q130_group_split",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN h < '0a' THEN 'val'
+      |         WHEN h < '14' THEN 'test'
+      |         ELSE 'train' END AS split
+      |  FROM (
+      |    SELECT DISTINCT user_id,
+      |      substr(md5('usplit|' || CAST(user_id AS VARCHAR)), 1, 2) AS h
+      |    FROM events) t
+      |)
+      |SELECT u.split, count(DISTINCT e.user_id) AS n_users,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS sum_value_micro
+      |FROM events e JOIN u ON e.user_id = u.user_id
+      |GROUP BY u.split
+      |ORDER BY u.split NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val h = substring(
+      md5(concat(lit("usplit|"), col("user_id").cast("string"))), 1, 2)
+    val folds = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        when(h < "0a", "val").when(h < "14", "test")
+          .otherwise("train").as("split"))
+    ev.join(folds, "user_id")
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).cast("long")
+          .as("sum_value_micro"))
+      .orderBy(col("split"))
+  }
+
   val q65HashSplit = Q(
     "q65_hash_split",
     """SELECT split, count(*) AS n_docs,
