@@ -14,7 +14,7 @@ object TextAnalysis {
 
   def all: Seq[Q] =
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
-      q87TokenEntropy, q101Bm25, q130GroupSplit)
+      q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -519,5 +519,101 @@ object TextAnalysis {
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
       .orderBy(col("split"))
+  }
+
+  /** Statistical-LM perplexity scoring — the classic corpus-quality filter
+    * (KenLM-style n-gram scoring, the CCNet/Gopher curation step): an
+    * add-one-smoothed BIGRAM model is trained on the corpus itself and
+    * every document is scored by its average negative log-likelihood;
+    * templated/natural text scores low, token soup scores high. Everything
+    * is one operator — train and score share a single per-doc bigram-count
+    * table:
+    *
+    *   P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V),   V = |bigram-start vocab|
+    *   nll(doc) = Σ_{(w1,w2)∈doc} k · ln((c1+V)/(c12+1)) / Σ k
+    *
+    * Plan: one corpus scan → bigram explode → (doc,w1,w2) hash aggregate,
+    * then the GLOBAL counts come from two windows over that aggregate
+    * (PARTITION BY (w1,w2) and BY w1) — bigram-TYPE-proportional shuffles,
+    * never a second corpus scan for training. The smoothing constant V is
+    * a 1-row aggregate cross-joined back (broadcast, the q26 scalar
+    * idiom); it does re-derive the bigram subtree once — at corpus scale
+    * the pd table would be persisted between train and serve, which is
+    * exactly how the decoupled IVF build/serve (KmeansSpec) already ships.
+    *
+    * Cross-engine exactness is the q87 entropy discipline: each distinct
+    * bigram's ln((c1+V)/(c12+1)) is computed over exact integer counts,
+    * cast to FLOAT (kills libm's 1-ulp wobble), multiplied by the count as
+    * DOUBLE, and summed as fixed-scale DECIMAL — associative addition, so
+    * Spark's partial-merge order and DuckDB's sequential order agree
+    * bit-for-bit and the rounded score hash-matches. The argument of every
+    * ln is ≥ 1 (c1 ≥ c12, V ≥ 1), so no domain edge cases exist.
+    *
+    * Single-token docs have no bigrams and are excluded by construction
+    * (WHERE size ≥ 2 on both engines); ShortDocSpec pins that behavior.
+    */
+  val q131LmPerplexity = Q(
+    "q131_lm_perplexity",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+      |  FROM t WHERE len(toks) >= 2
+      |),
+      |pd AS (
+      |  SELECT doc_id, u.w1 AS w1, u.w2 AS w2, count(*) AS k
+      |  FROM bg GROUP BY 1, 2, 3
+      |),
+      |w AS (
+      |  SELECT doc_id, k,
+      |    CAST(sum(k) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+      |    CAST(sum(k) OVER (PARTITION BY w1) AS BIGINT) AS c1
+      |  FROM pd
+      |),
+      |v AS (SELECT count(DISTINCT w1) AS vv FROM pd),
+      |sc AS (
+      |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |    round(CAST(sum(CAST(CAST(k AS DOUBLE) *
+      |        CAST(ln(CAST(c1 + vv AS DOUBLE) / CAST(c12 + 1 AS DOUBLE))
+      |          AS FLOAT) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / CAST(sum(k) AS BIGINT), 6) AS avg_nll
+      |  FROM w, v GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_bigrams, avg_nll, avg_nll > 8.0 AS high_ppl
+      |FROM sc
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val pd = Tables.documentsWide(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("u"))
+      .groupBy(col("doc_id"), col("u.w1").as("w1"), col("u.w2").as("w2"))
+      .agg(count(lit(1)).as("k"))
+    val w = pd.select(col("doc_id"), col("k"),
+      sum(col("k")).over(Window.partitionBy(col("w1"), col("w2")))
+        .as("c12"),
+      sum(col("k")).over(Window.partitionBy(col("w1"))).as("c1"))
+    val v = pd.agg(countDistinct(col("w1")).as("vv"))
+    w.crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_bigrams"),
+        sum(expr(
+          """CAST(CAST(k AS DOUBLE) *
+            |  CAST(ln(CAST(c1 + vv AS DOUBLE) / CAST(c12 + 1 AS DOUBLE))
+            |    AS FLOAT) AS DECIMAL(18,9))""".stripMargin))
+          .cast("double").as("sd"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sd") / col("n_bigrams"), 6).as("avg_nll"))
+      .withColumn("high_ppl", col("avg_nll") > 8.0)
+      .orderBy(col("doc_id"))
   }
 }

@@ -31,7 +31,7 @@ class ShortDocSpec extends SparkSpec {
       "q67_seq_packing", "q68_repetition", "q69_domain_mixture",
       "q70_stratified_sample", "q74_dedup_clusters", "q82_pii_redact",
       "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy", "q101_bm25",
-      "q112_weighted_sample", "q117_dedup_survivors")
+      "q112_weighted_sample", "q117_dedup_survivors", "q131_lm_perplexity")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
@@ -160,6 +160,19 @@ class ShortDocSpec extends SparkSpec {
     val expected = BigDecimal(math.log(2.0).toFloat.toDouble)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(rows(2L) === expected)
+  }
+
+  test("q131 excludes bigram-less docs and scores twins identically") {
+    val rows = SparkEntry.queries("q131_lm_perplexity")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1 ("ab") and doc 5 ("") have a single whitespace token — no
+    // bigram, excluded by construction, not a zero-division or a crash
+    assert(!rows.contains(1L) && !rows.contains(5L))
+    // identical docs 3 and 4 see the same global model → identical score
+    assert(rows(3L) === rows(4L))
+    // duplicated natural text (3,4) must score BELOW the corpus-unique
+    // bigrams of doc 2 — the quality signal pointing the right way
+    assert(rows(3L) < rows(2L))
   }
 
   test("q37 fingerprint is NULL for docs below the shingle window") {
