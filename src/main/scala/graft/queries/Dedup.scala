@@ -52,7 +52,7 @@ object Dedup {
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
-    q117DedupSurvivors)
+    q117DedupSurvivors, q132PrefixJaccardJoin)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -1088,5 +1088,139 @@ object Dedup {
         coalesce(sum(when(col("rk") > 1, col("n_chars"))), lit(0L))
           .cast("long").as("dropped_chars"))
       .orderBy(col("component"))
+  }
+
+  /** EXACT all-pairs similarity join via PREFIX FILTERING (the
+    * PPJoin/AllPairs family) — the deterministic complement to q32's LSH:
+    * every token-Jaccard ≥ 0.9 pair is found with ZERO false negatives,
+    * where banded MinHash is probabilistic by construction. The classic
+    * theorem: order each doc's distinct tokens by one GLOBAL canonical
+    * order (document frequency ascending, token ascending — rarest first)
+    * and take the first p = |d| − ⌈t·|d|⌉ + 1 tokens as its prefix; any
+    * pair with J ≥ t must share ≥ 1 PREFIX token (if the prefixes were
+    * disjoint, the overlap is at most min(|A|−p_A, |B|−p_B) = ⌈t|A|⌉−1 <
+    * t·|union|). So candidates come from an equi self-join on prefix
+    * tokens only — the frequency-ascending order pushes stopword-like
+    * tokens out of every prefix, which is what bounds bucket sizes the
+    * same way banding bounds q32's.
+    *
+    * The threshold IS the cost dial, and it was measured: this corpus is
+    * built of document-count-proportional near-dup blocks, so the TRUE
+    * answer at t = 0.5 is quadratic in block size — 92k pairs at sf0.01,
+    * ~10 min at sf0.1 (every exact algorithm, including the oracle, pays
+    * for its own output). t = 0.9 (the near-dup convention) keeps prefixes
+    * at ~10% of tokens and the answer at 9k pairs (sf0.01) — the filter
+    * does bounded work BECAUSE the high threshold makes the answer
+    * bounded; for J ≥ ½-scale questions the probabilistic q32/q51 family
+    * is the right tool.
+    *
+    * Plan: token explode → DF count (one vocab-sized aggregate) → join
+    * freq back (vocab-keyed shuffle) → per-doc sorted array rebuild →
+    * prefix explode → equi self-join on token → DISTINCT pairs →
+    * candidate-proportional verification (cand ⋈ tokens_a ⋈ tokens_b
+    * count join — all relational/codegen'd, no per-pair array lambdas,
+    * the q51 lesson). The threshold test is exact integer arithmetic
+    * (10·I ≥ 9·U ⟺ J ≥ 0.9) on both engines; the reported jaccard is
+    * ratio6.
+    *
+    * The DuckDB twin is the NAIVE O(n²) algorithm — a deliberately
+    * different computation path whose hash-match proves the filter loses
+    * nothing (the strongest oracle shape in the registry). PrefixJoinSpec
+    * re-proves it in-Spark against a brute-force plan and asserts no
+    * CartesianProduct; the naive twin caps the oracle at verify scale,
+    * the Spark side stays candidate-proportional.
+    */
+  val q132PrefixJaccardJoin = Q(
+    "q132_prefix_jaccard_join",
+    s"""WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.toks, b.toks)) AS inter,
+      |    len(a.toks) + len(b.toks)
+      |      - len(list_intersect(a.toks, b.toks)) AS uni
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, inter, uni,
+      |  ${graft.functions.Exact.Sql.ratio6("inter", "uni")} AS jaccard
+      |FROM p WHERE 10 * inter >= 9 * uni
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
+  ) { (s, d) => prefixJaccardPairs(Tables.documentsWide(s, d)) }
+
+  /** q132's operator body over any (doc_id, text) frame (suite entry). */
+  def prefixJaccardPairs(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    // global document frequency (the canonical rarity order's sort key)
+    // plus an INTERNED integer token id: every downstream stage — prefix
+    // join keys, verification arrays — works on longs, never strings
+    // (string-keyed array_intersect benched 65 s of the 73 s total at
+    // sf0.1; int arrays cut verification ~10×). ANY injective id works —
+    // intersection SIZES are invariant to the labeling — so the
+    // coordination-free monotonically_increasing_id is safe; the
+    // localCheckpoint pins one labeling across the four consumer branches
+    // (ids must not be re-drawn per branch).
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint()
+    // canonical per-doc token-id array, (df, tok)-sorted; checkpointed
+    // because four branches consume it (prefix a/b, verify a/b) — this is
+    // the doc-proportional tokenized form a production run would persist
+    // between build and serve (the KmeansSpec IVF shape).
+    val sorted = toks.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"),
+        col("tid")))).as("st"), count(lit(1)).as("sz"))
+      .select(col("doc_id"), col("sz"),
+        expr("transform(st, x -> x.tid)").as("tids"))
+      .localCheckpoint()
+    // prefix rows carry the 1-based position — fuel for the positional
+    // filter below. p = sz − ⌈9·sz/10⌉ + 1 for t = 0.9.
+    val prefix = sorted
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr(
+          "slice(tids, 1, CAST(sz - ((9 * sz + 9) div 10) + 1 AS INT))")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
+        col("col").as("tid"))
+    // candidate pruning inside the join condition (PPJoin's two classic
+    // refinements — both measured to matter on the block-heavy corpus):
+    //  - LENGTH: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t;
+    //  - POSITIONAL: a pair first meeting at positions (i, j) can overlap
+    //    at most 1 + min(szA−i, szB−j); J ≥ t needs overlap ≥
+    //    ⌈t/(1+t)·(szA+szB)⌉ = ⌈9(szA+szB)/19⌉.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tid") === col("b.tid")
+          && col("a.doc_id") < col("b.doc_id")
+          && col("b.sz") * 10 >= col("a.sz") * 9
+          && col("a.sz") * 10 >= col("b.sz") * 9
+          && (lit(1) + least(col("a.sz") - col("a.pos"),
+               col("b.sz") - col("b.pos"))) * 19
+             >= (col("a.sz") + col("b.sz")) * 9)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verification: two equi joins pull in the canonical id ARRAYS and
+    // one array_intersect scores each candidate exactly once. (The
+    // relational alternative — cand ⋈ tokens_a ⋈ tokens_b → count —
+    // re-shuffles candidates × overlap ≈ 10⁸ rows at sf0.1 and benched
+    // 179 s. AQE broadcasts the array side at fixture scale; at corpus
+    // scale both joins degrade to doc-keyed shuffles that stay
+    // candidate-proportional.)
+    cand
+      .join(sorted.select(col("doc_id"), col("sz").as("sza"),
+        col("tids").as("ta")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sorted.select(col("doc_id"), col("sz").as("szb"),
+        col("tids").as("tb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        col("sza"), col("szb"))
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"))
+      .filter(col("inter") * 10 >= col("uni") * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        graft.functions.Exact.ratio6("inter", "uni").as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Nets for q132's exact prefix-filtered similarity join: equality with an
+  * INDEPENDENT brute-force reimplementation (plain Scala sets over the
+  * collected fixture — no Spark, no shared code path), the exact J = 0.9
+  * boundary, the empty result, and sub-window degenerates. The no-cartesian
+  * plan assertion lives in ScaleSpec's candidate-generator sweep.
+  */
+class PrefixJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)]): Map[(Long, Long), (Long, Long)] =
+    graft.queries.Dedup
+      .prefixJaccardPairs(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  private def brute(rows: Seq[(Long, String)]): Map[(Long, Long), (Long, Long)] = {
+    val sets = rows.map { case (id, t) => id -> t.split(" ", -1).toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      if inter * 10 >= uni * 9
+    } yield (a, b) -> (inter, uni)).toMap
+  }
+
+  private val base =
+    (1 to 18).map(i => s"w$i").mkString(" ") // 18 shared tokens
+
+  test("matches brute force on a mixed corpus, zero false negatives") {
+    val docs = Seq(
+      1L -> s"$base a19",          // J(1,2) = 18/20 = 0.9 exactly — KEPT
+      2L -> s"$base b19",
+      3L -> s"$base a19",          // exact dup of 1 — J = 1
+      4L -> ((1 to 15).map(i => s"w$i").mkString(" ") + " x y z"), // J(4,1) = 15/23 < 0.9
+      5L -> "totally unrelated tokens here",
+      6L -> "totally unrelated tokens here",  // J(5,6) = 1
+      7L -> "short",
+      8L -> "",                    // single empty token
+    )
+    val got = run(docs)
+    val want = brute(docs)
+    assert(got === want, s"got=$got want=$want")
+    // spot-check the shapes the theorem must cover: the exact-threshold
+    // boundary pair, the exact dup, and the identical tiny docs
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) === (18L, 20L))
+    assert(got((1L, 3L)) === (19L, 19L))
+    assert(got((5L, 6L)) === (4L, 4L))
+    assert(!got.contains((1L, 4L)))
+  }
+
+  test("all-dissimilar corpus yields the empty result, not a crash") {
+    val docs = (1L to 10L).map(i =>
+      i -> (1 to 10).map(j => s"t${i}_$j").mkString(" "))
+    assert(run(docs).isEmpty)
+  }
+
+  test("randomized corpora: prefix plan ≡ brute force") {
+    // deterministic seed; blocks of near-dups built by token substitution
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 6).flatMap { blk =>
+      val toks = (1 to 30).map(j => s"b${blk}_$j")
+      (0 until 5).map { m =>
+        val mutated = toks.map(t =>
+          if (rnd.nextInt(20) == 0) s"mut_${rnd.nextInt(100)}" else t)
+        (blk * 5L + m + 1L) -> mutated.mkString(" ")
+      }
+    }
+    assert(run(docs) === brute(docs))
+  }
+}

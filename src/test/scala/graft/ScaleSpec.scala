@@ -246,7 +246,7 @@ class ScaleSpec extends SparkSpec {
     for (name <- Seq("q32_minhash_neardup", "q51_ngram_jaccard", "q64_ann_srp",
       "q66_decontaminate", "q96_fuzzy_linkage", "q102_semantic_dedup",
       "q103_pq_encode", "q104_pq_adc_topk", "q126_embedding_covariance",
-      "q127_frame_dedup")) {
+      "q127_frame_dedup", "q132_prefix_jaccard_join")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
