@@ -34,6 +34,7 @@ object Analytic {
     q120MarkovTransitions,
     q123TemporalLookup,
     q124RollingP95Sketch,
+    q133MaxConcurrency,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -950,5 +951,89 @@ object Analytic {
       .select(col("prev_type"), col("next_type"), col("n"),
         Exact.ratio6("n", "row_n").as("p"))
       .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** Interval MAX-CONCURRENCY via a sweep line — the classic "peak
+    * simultaneous sessions / connections / rooms" operator (and the one
+    * interval question the binned-join family can't answer): each event
+    * opens a half-open interval [ts, ts + dur) whose duration derives
+    * deterministically from `value` (60 s + ⌊value⌋ mod 3540 — a stand-in
+    * for a session-length column), and the answer per event type is the
+    * maximum of the running Σ(±1) over the time-ordered endpoint deltas,
+    * plus WHEN it is first reached.
+    *
+    * Endpoint tie discipline makes the answer well-defined: ordering by
+    * (t, delta) processes closers (−1) before openers (+1) at the same
+    * instant — half-open semantics, back-to-back intervals never overlap —
+    * and the default RANGE window frame aggregates peers together, so
+    * equal (t, delta) rows all see the same cumulative value and the max
+    * is order-independent (deterministic under any shuffle). All time
+    * arithmetic is integer µs end to end.
+    *
+    * Plan: ONE scan, a 2× endpoint explode (no UNION re-scan), one
+    * event_type-keyed exchange shared by the running-sum window, the
+    * per-type max window, and the final aggregate. The per-type sweep is
+    * sequential by nature; at corpus scale the standard shard is
+    * (type, day) with open-interval carry-in at day boundaries — the
+    * q124 bucket discipline — which this operator's endpoint-delta form
+    * composes with directly (a day's carry-in is just Σ deltas before it).
+    */
+  val q133MaxConcurrency = Q(
+    "q133_max_concurrency",
+    """WITH iv AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + (60 + ((CAST(floor(value) AS BIGINT) % 3540) + 3540) % 3540)
+      |        * 1000000 AS e_us
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |),
+      |d AS (
+      |  SELECT event_type, s_us AS t, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT event_type, e_us AS t, -1 AS delta FROM iv
+      |),
+      |c AS (
+      |  SELECT event_type, t, delta,
+      |    CAST(sum(delta) OVER (PARTITION BY event_type
+      |      ORDER BY t, delta) AS BIGINT) AS cum
+      |  FROM d
+      |),
+      |c2 AS (
+      |  SELECT *, max(cum) OVER (PARTITION BY event_type) AS mx FROM c
+      |)
+      |SELECT event_type, CAST(mx AS BIGINT) AS max_concurrent,
+      |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_intervals,
+      |  make_timestamp(min(CASE WHEN cum = mx THEN t END)) AS peak_at
+      |FROM c2 GROUP BY event_type, mx
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val iv = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts)").as("s_us"),
+        expr("""unix_micros(ts)
+          + (60 + ((CAST(floor(value) AS BIGINT) % 3540) + 3540) % 3540)
+            * CAST(1000000 AS BIGINT)""").as("e_us"))
+    val deltas = iv
+      .select(col("event_type"), explode(expr(
+        "array(struct(s_us AS t, 1 AS delta), struct(e_us AS t, -1 AS delta))"))
+        .as("x"))
+      .select(col("event_type"), col("x.t").as("t"), col("x.delta").as("delta"))
+    val sweep = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"))
+    val c = deltas
+      .withColumn("cum", sum(col("delta")).over(sweep).cast("long"))
+      .withColumn("mx",
+        max(col("cum")).over(Window.partitionBy(col("event_type"))))
+    c.groupBy(col("event_type"), col("mx"))
+      .agg(
+        sum(when(col("delta") === 1, 1).otherwise(0)).cast("long")
+          .as("n_intervals"),
+        min(when(col("cum") === col("mx"), col("t"))).as("pk"))
+      .select(col("event_type"), col("mx").as("max_concurrent"),
+        col("n_intervals"), expr("timestamp_micros(pk)").as("peak_at"))
+      .orderBy(col("event_type"))
   }
 }

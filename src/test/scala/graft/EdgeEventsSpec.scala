@@ -71,6 +71,33 @@ class EdgeEventsSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("q133: overlap counting and half-open back-to-back endpoints") {
+    val d = "/tmp/graft_edge_events_sweep"
+    import spark.implicits._
+    def ns(hour: Int, min: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1, hour, min)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    Seq(
+      // value 3000 → dur 60+3000 = 3060 s (51 min): all three overlap at
+      // 10:40, none before → max 3 first reached exactly at 10:40
+      (1L, ns(10, 0), 1L, "ol", 3000.0, "{}"),
+      (2L, ns(10, 20), 1L, "ol", 3000.0, "{}"),
+      (3L, ns(10, 40), 2L, "ol", 3000.0, "{}"),
+      // value 0 → dur 60 s: second interval starts EXACTLY at the first's
+      // end — half-open [s, e) must not count them as concurrent
+      (4L, ns(12, 0), 3L, "b2b", 0.0, "{}"),
+      (5L, ns(12, 1), 3L, "b2b", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q133_max_concurrency")(spark, d)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getTimestamp(3).toInstant.toString)))
+      .toMap
+    assert(got("ol") === ((3L, 3L, "2024-01-01T10:40:00Z")))
+    assert(got("b2b") === ((1L, 2L, "2024-01-01T12:00:00Z")))
+  }
+
   test("q120: single-event users contribute no transitions; solo rows stay") {
     // users 2 and 4 have exactly one event — the lag window must emit no
     // pair for them, and a corpus of ONLY such users yields an empty
