@@ -946,10 +946,11 @@ object Dedup {
       .orderBy(col("component"), col("doc_id"))
   }
 
-  /** q74's symmetric edge list: docs sharing a 50-char prefix or suffix
-    * hash (banded equi self-joins, no cartesian) — shared by the cluster
-    * labeling (q74) and the survivor selection (q117). */
-  private def affixEdges(docs: DataFrame): DataFrame = {
+  /** q74's undirected pair list (a < b): docs sharing a 50-char prefix or
+    * suffix hash (banded equi self-joins, no cartesian) — shared by the
+    * cluster labeling (q74), the survivor selection (q117), and the
+    * triangle/clustering audit (q134). */
+  private[queries] def affixPairs(docs: DataFrame): DataFrame = {
     val n = docs.select(
       col("doc_id"),
       sha2(substring(col("text"), 1, 50), 256).as("hp"),
@@ -959,7 +960,13 @@ object Dedup {
       .join(n.as("y"),
         col(s"x.$k") === col(s"y.$k") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val e0 = pairsOn("hp").union(pairsOn("hs")).distinct()
+    pairsOn("hp").union(pairsOn("hs")).distinct()
+  }
+
+  /** [[affixPairs]] symmetrized — the edge-list form the iterative
+    * operators consume. */
+  private def affixEdges(docs: DataFrame): DataFrame = {
+    val e0 = affixPairs(docs)
     e0.union(e0.select(col("b").as("a"), col("a").as("b")))
   }
 

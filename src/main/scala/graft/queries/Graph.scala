@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  def all: Seq[Q] = Seq(q113Pagerank)
+  def all: Seq[Q] = Seq(q113Pagerank, q134TriangleClustering)
 
   private val Iters = 8
   private val Mass = 1000000000000L // 10^12 micro-units of total rank
@@ -126,5 +126,105 @@ object GraphOps {
        |$iterCtes
        |SELECT node, rank FROM r$Iters
        |ORDER BY rank DESC, node NULLS FIRST""".stripMargin
+  }
+
+  /** Triangle counting + local clustering coefficient over the dedup
+    * affinity graph (q74's affix-band edges) — "how clique-like is each
+    * duplicate neighborhood": a node whose neighbors all pair with each
+    * other (coefficient 1) sits inside a true duplicate CLUSTER; a hub
+    * with an empty neighborhood graph (coefficient 0) is a template
+    * artifact bridging unrelated docs. Per node: degree d, triangle count
+    * T, coefficient 2T / (d(d−1)) (NULL when d < 2 — undefined, not 0).
+    *
+    * Enumeration is DEGREE-ORIENTED node-iterator (the compact-forward
+    * algorithm): every edge is directed from its lower (degree, id)
+    * endpoint to the higher, each triangle then has exactly ONE apex with
+    * two out-edges, and the wedge join's fan-out is bounded by out-degree
+    * ≤ O(√m) on any graph — the property that keeps the join off the
+    * quadratic cliff on skewed degree distributions, where the naive
+    * id-oriented 3-way join piles every wedge of a low-id hub into one
+    * task. The DuckDB twin IS the naive id-oriented 3-way join: two
+    * different enumeration orders must produce the identical triangle
+    * set, so the hash-match re-proves the orientation argument on real
+    * data.
+    *
+    * Plan: edges are doc-pair-proportional (banded equi joins, ScaleSpec
+    * family); wedges shuffle on the apex, the closing semi join shuffles
+    * on the (b, c) edge key — both candidate-proportional; per-node
+    * counts are one map-side-combined aggregate off a 3× explode.
+    */
+  val q134TriangleClustering = Q(
+    "q134_triangle_clustering",
+    s"""WITH n AS (
+       |  SELECT doc_id,
+       |    sha256(substr(text, 1, 50)) AS hp,
+       |    sha256(substr(text, greatest(length(text) - 49, 1), 50)) AS hs
+       |  FROM documents
+       |),
+       |e0 AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM n a JOIN n b ON a.hp = b.hp AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM n a JOIN n b ON a.hs = b.hs AND a.doc_id < b.doc_id
+       |),
+       |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       |deg AS (SELECT a AS v, count(*) AS degree FROM sym GROUP BY a),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+       |    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+       |),
+       |tc AS (
+       |  SELECT v, count(*) AS triangles
+       |  FROM (SELECT unnest([x, y, z]) AS v FROM tri) u GROUP BY v
+       |)
+       |SELECT d.v AS doc_id, CAST(d.degree AS BIGINT) AS degree,
+       |  CAST(coalesce(tc.triangles, 0) AS BIGINT) AS triangles,
+       |  ${graft.functions.Exact.Sql.ratio6(
+             "2 * coalesce(tc.triangles, 0)", "d.degree * (d.degree - 1)")}
+       |    AS clustering
+       |FROM deg d LEFT JOIN tc ON d.v = tc.v
+       |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    triangleClustering(Dedup.affixPairs(Tables.documentsWide(s, d)))
+  }
+
+  /** q134's core over any undirected pair list `(a, b)` with a < b
+    * (GraphSpec's synthetic-graph entry). */
+  def triangleClustering(e0: DataFrame): DataFrame = {
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("degree"))
+    // orient each edge from its lower (degree, id) endpoint to the higher;
+    // struct comparison gives the lexicographic (degree, id) order
+    val withDeg = e0
+      .join(deg.select(col("v"), struct(col("degree"), col("v")).as("ka")),
+        col("a") === col("v")).drop("v")
+      .join(deg.select(col("v"), struct(col("degree"), col("v")).as("kb")),
+        col("b") === col("v")).drop("v")
+    val oriented = withDeg.select(
+      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kd"))
+    // wedges at the apex: unordered out-neighbor pairs, canonicalized by
+    // the same (degree, id) key so each pair appears once
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.kd") < col("y.kd"))
+      .select(col("x.src").as("apex"), col("x.dst").as("b"),
+        col("y.dst").as("c"))
+    // a wedge closes iff the oriented edge b→c exists (b precedes c in
+    // (degree, id) order by construction of the wedge)
+    val tri = wedges.join(oriented.select(col("src"), col("dst")),
+      col("b") === col("src") && col("c") === col("dst"), "left_semi")
+    val tc = tri
+      .select(explode(array(col("apex"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    deg.join(tc, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("degree").cast("long").as("degree"),
+        coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"),
+        graft.functions.Exact.ratio6(
+          "2 * coalesce(triangles, CAST(0 AS BIGINT))",
+          "degree * (degree - 1)").as("clustering"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -72,4 +72,55 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  private def pairsDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  private def triMap(pairs: Seq[(Long, Long)]) =
+    GraphOps.triangleClustering(pairsDf(pairs)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+
+  test("q134 core: K4, a pendant, and an open wedge") {
+    // K4 on 1-4 (4 triangles, each node in 3), node 5 pendant off 4,
+    // open wedge 6-7-8 (no triangle)
+    val got = triMap(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (6L, 7L), (7L, 8L)))
+    assert(got(1L) === ((3L, 3L, Some(1.0))))
+    assert(got(2L) === ((3L, 3L, Some(1.0))))
+    assert(got(3L) === ((3L, 3L, Some(1.0))))
+    // node 4: degree 4, still 3 triangles → C = 6/12 = 0.5
+    assert(got(4L) === ((4L, 3L, Some(0.5))))
+    // pendant: degree 1 → coefficient UNDEFINED (NULL), not 0
+    assert(got(5L) === ((1L, 0L, None)))
+    // wedge center: 2 neighbors, unclosed → 0.0
+    assert(got(7L) === ((2L, 0L, Some(0.0))))
+  }
+
+  test("q134 core: degree-oriented enumeration ≡ brute force on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (for {
+      a <- 1L to 30L; b <- (a + 1) to 30L if rnd.nextInt(5) == 0
+    } yield (a, b)).toSeq
+    val got = triMap(pairs)
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    for ((v, (dg, tri, coeff)) <- got) {
+      val nbrs = adj(v)
+      assert(dg === nbrs.size.toLong)
+      val t = nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      assert(tri === t.toLong, s"node $v")
+      if (dg >= 2)
+        assert(coeff.get ===
+          BigDecimal(2.0 * t / (dg * (dg - 1.0)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+          math.abs(coeff.get - 2.0 * t / (dg * (dg - 1.0))) < 1e-6)
+      else assert(coeff.isEmpty)
+    }
+  }
 }
