@@ -20,7 +20,8 @@ object Gaps {
     q79TableProfile, q80GapFill, q81ProfileJoin, q85Histogram,
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
-    q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease)
+    q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease,
+    q135QuantileBisect)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1192,5 +1193,88 @@ object Gaps {
         (greatest(lit(0L), col("s_lattice") + col("k")) * cMicro)
           .cast("long").as("released_sum_micro"))
       .orderBy(col("event_type"))
+  }
+
+  /** EXACT global order statistics WITHOUT a global sort — the third cell
+    * of the quantile matrix (q54: exact per-group sort-aggregate; q58/q124:
+    * mergeable sketches; this: exact at corpus scale): the classic
+    * two-pass histogram-bisection selection. Pass 1 bins the value domain
+    * into 4096 fixed-width integer-cent buckets (one map-side-combined
+    * aggregate) and a ≤4096-row cumulative window locates, for each
+    * requested rank k, the single bucket containing the k-th smallest
+    * value plus the count below it. Pass 2 re-scans the value column and
+    * keeps only the picked buckets' rows (a 3-row broadcast join — rows
+    * die before any exchange), then row_numbers them to the residual
+    * rank. Cost: two single-column scans + a sort of
+    * n/4096-ish rows per quantile, vs the global sort's n·log n shuffle —
+    * the way a 100 TB exact median is actually computed. Degenerate mass
+    * concentration (all values in one bucket) degrades pass 2 toward a
+    * full sort; the fix is recursive re-binning inside the bucket, noted
+    * not needed at any tested scale.
+    *
+    * Ranks are ceil(q·n) (1-based k-th smallest, the quantile_disc
+    * convention) computed in integer micro-q space; values are integer
+    * CENTS (floor(x·100), the identical IEEE op both engines), so every
+    * compared or emitted number is exact. The 2-scalar min/max driver
+    * probe fixing the bin geometry is the q124 house shape. The DuckDB
+    * twin is the full global sort — a different algorithm whose
+    * hash-match proves the bisection exact.
+    */
+  val q135QuantileBisect = Q(
+    "q135_quantile_bisect",
+    """WITH v AS (
+      |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |),
+      |s AS (
+      |  SELECT c, row_number() OVER (ORDER BY c) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM v
+      |),
+      |q AS (SELECT unnest([500000, 900000, 990000]) AS qm),
+      |r AS (
+      |  SELECT qm, CAST(t.n AS BIGINT) AS n,
+      |    CAST((t.n * qm + 999999) // 1000000 AS BIGINT) AS k
+      |  FROM q, (SELECT count(*) AS n FROM v) t
+      |)
+      |SELECT CAST(r.qm AS DOUBLE) / 1000000.0 AS quantile, r.n, r.k,
+      |  s.c AS value_cents
+      |FROM r JOIN s ON s.rn = r.k
+      |ORDER BY quantile NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
+    // bounded driver probe: two scalars fix the bin geometry (q124 shape)
+    val mm = base.agg(min(col("c")), max(col("c"))).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val w = (hi - lo) / 4096 + 1
+    val binned = base.select(col("c"),
+      expr(s"(c - ${lo}L) div ${w}L").as("bin"))
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.select(col("bin"), col("cnt"),
+      sum(col("cnt")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val ranks = s.range(1).select(
+        explode(lit(Array(500000L, 900000L, 990000L))).as("qm"))
+      .crossJoin(broadcast(tot))
+      .select(col("qm"), col("n").cast("long").as("n"),
+        expr("(n * qm + 999999) div 1000000").cast("long").as("k"))
+    // one bucket per rank: cum ≥ k and cum − cnt < k (3-row broadcast side)
+    val picked = broadcast(ranks).join(cum,
+        col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("qm"), col("n"), col("k"), col("bin"),
+        (col("cum") - col("cnt")).as("below"))
+    // pass 2: only the picked buckets' rows are re-scanned and ranked
+    val inBin = binned.join(broadcast(picked), "bin")
+    inBin
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qm")).orderBy(col("c"))))
+      .filter(col("rn") === col("k") - col("below"))
+      .select((col("qm").cast("double") / 1000000.0).as("quantile"),
+        col("n"), col("k"), col("c").as("value_cents"))
+      .orderBy(col("quantile"))
   }
 }
