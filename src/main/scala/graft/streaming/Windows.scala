@@ -198,6 +198,49 @@ object Windows {
       .start()
   }
 
+  /** [[streamViewPurchase]]'s LEFT OUTER form — "which impressions
+    * converted, and which provably did NOT": an unmatched view emits a
+    * null-padded row only after the watermark passes the END of its join
+    * window (v_ts + 30 min), because until then a matching purchase could
+    * still arrive. This is the stream-stream shape that REQUIRES both the
+    * watermarks and the two-sided time bound — without them Spark rejects
+    * the outer join outright (state could never be declared complete). The
+    * no-data batch Spark runs after a watermark advance is what flushes
+    * the final nulls; state stays one watermark-window per user, as in
+    * the inner form. StreamingSpec pins both halves against the batch
+    * twins: matches ≡ inner join, nulls ≡ anti-join older than the final
+    * watermark.
+    */
+  def streamViewPurchaseOuter(
+      spark: SparkSession, sfDir: String, tableName: String): StreamingQuery = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def side() = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .transform(graft.Tables.normalizeTs)
+    val views = side().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val buys = side().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    views.join(buys,
+      col("v_user") === col("b_user") &&
+        col("b_ts") >= col("v_ts") &&
+        col("b_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("v_user").as("user_id"), col("view_id"), col("buy_id"),
+        col("v_ts"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Custom sessionization via `flatMapGroupsWithState` — the MULTI-emit
     * stateful API (mapGroupsWithState above returns exactly one row per
     * group per batch; a sessionizer must emit ZERO OR MANY completed

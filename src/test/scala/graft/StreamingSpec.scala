@@ -182,6 +182,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: matches ≡ inner twin, nulls ≡ expired anti-join") {
+    val q = Windows.streamViewPurchaseOuter(spark, sf, "stream_vp_outer")
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("stream_vp_outer").collect()
+      val (matched, nulls) = rows.partition(!_.isNullAt(2))
+      val batchPairs = Windows.viewPurchasePairs(Tables.events(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(matched.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet === batchPairs, "matched half must equal the inner join")
+      // a view's null row flushes once the watermark passes the end of
+      // its join window (v_ts + 30 min). The QUERY watermark is the MIN
+      // over both input streams' watermarks (each stream's max event time
+      // − 10 min) — not the overall max — and Spark tracks it in
+      // MILLISECONDS, so the twin predicate truncates to ms too
+      val ev = Tables.events(spark, sf)
+      val wmMs = ev.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(max(expr("unix_millis(ts)")).as("mx"))
+        .agg(min(col("mx"))).head.getLong(0) - 10L * 60 * 1000
+      val expectedNulls = ev.filter(col("event_type") === "view")
+        .join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("b_user"), col("ts").as("b_ts")),
+          col("user_id") === col("b_user") &&
+            col("b_ts") >= col("ts") &&
+            col("b_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"),
+          "left_anti")
+        .filter(expr("unix_millis(ts)") + 30L * 60 * 1000 < wmMs)
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(expectedNulls.nonEmpty,
+        "fixture must contain expired unconverted views")
+      assert(nulls.map(_.getLong(1)).toSet === expectedNulls)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer emits the batch session windows") {
     val q = Windows.streamSessionize(spark, sf, "stream_sess")
     try {
