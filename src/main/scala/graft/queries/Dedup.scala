@@ -1181,8 +1181,13 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok"),
         col("tid")))).as("st"), count(lit(1)).as("sz"))
+      // two id arrays per doc: CANONICAL (df, tok) order feeds the prefix
+      // theorem; NUMERIC order feeds the merge-walk verifier (intersection
+      // size is order-blind, and sorting once here amortizes over every
+      // candidate pair the doc appears in)
       .select(col("doc_id"), col("sz"),
-        expr("transform(st, x -> x.tid)").as("tids"))
+        expr("transform(st, x -> x.tid)").as("tids"),
+        expr("sort_array(transform(st, x -> x.tid))").as("stids"))
       .localCheckpoint()
     // prefix rows carry the 1-based position — fuel for the positional
     // filter below. p = sz − ⌈9·sz/10⌉ + 1 for t = 0.9.
@@ -1208,8 +1213,11 @@ object Dedup {
              >= (col("a.sz") + col("b.sz")) * 9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verification: two equi joins pull in the canonical id ARRAYS and
-    // one array_intersect scores each candidate exactly once. (The
+    // verification: two equi joins pull in the numerically-sorted id
+    // ARRAYS and the codegen'd two-pointer merge walk
+    // (`graft_sorted_intersect_i64`) scores each candidate exactly once —
+    // the built-in array_intersect builds a boxed hash set per pair and
+    // benched 12.1 s vs 4.9 s across the 3.3M sf0.1 candidates. (The
     // relational alternative — cand ⋈ tokens_a ⋈ tokens_b → count —
     // re-shuffles candidates × overlap ≈ 10⁸ rows at sf0.1 and benched
     // 179 s. AQE broadcasts the array side at fixture scale; at corpus
@@ -1217,13 +1225,13 @@ object Dedup {
     // candidate-proportional.)
     cand
       .join(sorted.select(col("doc_id"), col("sz").as("sza"),
-        col("tids").as("ta")), col("doc_a") === col("doc_id")).drop("doc_id")
+        col("stids").as("ta")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sorted.select(col("doc_id"), col("sz").as("szb"),
-        col("tids").as("tb")), col("doc_b") === col("doc_id")).drop("doc_id")
+        col("stids").as("tb")), col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        expr("graft_sorted_intersect_i64(ta, tb)").as("inter"),
         col("sza"), col("szb"))
-      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+      .select(col("doc_a"), col("doc_b"), col("inter"),
         (col("sza") + col("szb") - col("inter")).as("uni"))
       .filter(col("inter") * 10 >= col("uni") * 9)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),

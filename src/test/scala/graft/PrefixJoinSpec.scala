@@ -60,6 +60,30 @@ class PrefixJoinSpec extends SparkSpec {
     assert(run(docs).isEmpty)
   }
 
+  test("graft_sorted_intersect_i64: edges and codegen/interpreted parity") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq(1L, 3L, 5L), Seq(1L, 2L, 3L, 9L), 2L), // partial overlap
+      (Seq.empty[Long], Seq(1L, 2L), 0L),          // empty side
+      (Seq(4L, 8L), Seq(1L, 2L), 0L),              // disjoint
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3L),      // identical
+      (Seq(1L, 1L, 2L), Seq(1L, 1L, 1L), 2L),      // dup: matched positions
+    )
+    val got = cases.toDF("a", "b", "want")
+      .selectExpr("graft_sorted_intersect_i64(a, b) AS got", "want")
+      .collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // interpreted path (eval) must agree with the codegen'd path above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def lit(xs: Seq[Long]) =
+      Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(LongType))
+    for ((a, b, want) <- cases)
+      assert(graft.functions.SortedIntersectI64(lit(a), lit(b))
+        .eval(null) === want)
+  }
+
   test("randomized corpora: prefix plan ≡ brute force") {
     // deterministic seed; blocks of near-dups built by token substitution
     val rnd = new scala.util.Random(7)
