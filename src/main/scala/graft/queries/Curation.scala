@@ -29,7 +29,7 @@ object Curation {
   def all: Seq[Q] = Seq(
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
     q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
-    q110BottomkSample, q112WeightedSample)
+    q110BottomkSample, q112WeightedSample, q136BoilerplateStrip)
 
   /** Per-group bottom-k-by-hash sampling through the
     * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
@@ -551,5 +551,76 @@ object Curation {
         graft.functions.Exact.ratio6("n_sampled", "n_total")
           .as("realized_rate"))
       .orderBy(col("lang"))
+  }
+
+  /** Cross-doc BOILERPLATE STRIPPING — the C4 "remove lines seen ≥ 3
+    * times in the corpus" step, the REWRITING complement to the
+    * detection-only family (q86 flags duplicated grams, q116 locates
+    * duplicated passages; this one emits the CLEANED documents): text is
+    * segmented into non-overlapping 10-token spans (the corpus has no
+    * newlines, so fixed token windows stand in for lines — the q83
+    * fixed-window precedent), a span is boilerplate when it appears in
+    * ≥ 3 DISTINCT documents, and each doc is reassembled from its
+    * surviving spans in original order. Output carries the rebuilt text's
+    * md5 plus span accounting, so the oracle hash-checks the actual
+    * REASSEMBLY (order, spacing, tail span) — not just the counts.
+    *
+    * Plan: one segment explode → distinct (doc, seg) → one seg-keyed
+    * count aggregate (the cross-doc frequency), joined back to the
+    * positional spans on the seg hash, then one per-doc sort_array
+    * rebuild. Shuffle mass is segment-type-proportional; nothing
+    * quadratic, no self-join — the frequency table IS the filter.
+    */
+  val q136BoilerplateStrip = Q(
+    "q136_boilerplate_strip",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |seg0 AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, (len(toks) + 9) // 10)) AS i
+      |  FROM t
+      |),
+      |seg AS (
+      |  SELECT doc_id, i,
+      |    array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS s
+      |  FROM seg0
+      |),
+      |f AS (
+      |  SELECT md5(s) AS k, count(DISTINCT doc_id) AS docs
+      |  FROM seg GROUP BY 1
+      |),
+      |kept AS (
+      |  SELECT seg.doc_id, seg.i, seg.s, f.docs >= 3 AS boiler
+      |  FROM seg JOIN f ON md5(seg.s) = f.k
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_segs,
+      |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  md5(array_to_string(list_transform(
+      |    list_sort(coalesce(list({'i': i, 's': s}) FILTER (WHERE NOT boiler),
+      |      [])), x -> x.s), ' ')) AS cleaned_md5
+      |FROM kept GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val segs = Tables.documentsWide(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST((size(toks) + 9) div 10 AS INT) - 1),
+          |  i -> array_join(slice(toks, i * 10 + 1, 10), ' '))""".stripMargin)))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("s"))
+    val freq = segs.select(col("doc_id"), md5(col("s")).as("k")).distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("docs"))
+    segs.join(freq, md5(col("s")) === col("k"))
+      .select(col("doc_id"), col("i"), col("s"),
+        (col("docs") >= 3).as("boiler"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("boiler"), 1).otherwise(0)).cast("long").as("n_dropped"),
+        md5(array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN NOT boiler " +
+            "THEN struct(i, s) END)), x -> x.s)"), " ")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -31,7 +31,8 @@ class ShortDocSpec extends SparkSpec {
       "q67_seq_packing", "q68_repetition", "q69_domain_mixture",
       "q70_stratified_sample", "q74_dedup_clusters", "q82_pii_redact",
       "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy", "q101_bm25",
-      "q112_weighted_sample", "q117_dedup_survivors", "q131_lm_perplexity")
+      "q112_weighted_sample", "q117_dedup_survivors", "q131_lm_perplexity",
+      "q136_boilerplate_strip")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
@@ -160,6 +161,33 @@ class ShortDocSpec extends SparkSpec {
     val expected = BigDecimal(math.log(2.0).toFloat.toDouble)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(rows(2L) === expected)
+  }
+
+  test("q136 strips the shared span and reassembles the remainder exactly") {
+    val d = "/tmp/graft_boiler_docs"
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"b$i").mkString(" ") // one full segment
+    Seq(
+      // span occupies tokens 1-10 (segment 0) in three docs → boilerplate
+      (1L, s"$span u1 u2 u3", "en", "unit", 0L),
+      (2L, s"$span v1 v2", "en", "unit", 0L),
+      (3L, s"$span w1", "en", "unit", 0L),
+      (4L, "unique tail only", "en", "unit", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q136_boilerplate_strip")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: segments [span, "u1 u2 u3"]; the span is dropped, the tail
+    // segment survives verbatim
+    assert(got(1L) === ((2L, 1L, md5("u1 u2 u3"))))
+    assert(got(2L) === ((2L, 1L, md5("v1 v2"))))
+    assert(got(3L) === ((2L, 1L, md5("w1"))))
+    // doc 4: single sub-threshold segment, untouched
+    assert(got(4L) === ((1L, 0L, md5("unique tail only"))))
   }
 
   test("q131 excludes bigram-less docs and scores twins identically") {
