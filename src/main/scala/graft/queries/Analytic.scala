@@ -35,6 +35,7 @@ object Analytic {
     q123TemporalLookup,
     q124RollingP95Sketch,
     q133MaxConcurrency,
+    q137FunnelLatency,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1035,5 +1036,106 @@ object Analytic {
       .select(col("event_type"), col("mx").as("max_concurrent"),
         col("n_intervals"), expr("timestamp_micros(pk)").as("peak_at"))
       .orderBy(col("event_type"))
+  }
+
+  /** Funnel TIME-TO-CONVERT percentiles — q75 answers "how many users
+    * reach each stage"; this answers "how LONG each hop takes": per user,
+    * the first view anchors the funnel, the first click strictly after it
+    * (within 24 h) closes hop 1, the first purchase after that click
+    * closes hop 2, and the three latency populations (view→click,
+    * click→purchase, view→total-purchase) each report exact p50/p90 as
+    * discrete order statistics — ceil(q·n) ranks over integer-µs
+    * latencies, the q135 convention, so both engines pick the identical
+    * multiset element and the oracle hash-matches without any float
+    * percentile semantics.
+    *
+    * Plan: the q75 shape — every stage table is user-count-sized and
+    * keyed on user_id (one partitioning reused), the event scan is
+    * type-filter-pushed per stage. The final rank windows partition by
+    * STAGE over converting-user-sized rows: bounded by funnel yield, the
+    * same order-statistic-over-small-population trade q90's quartiles
+    * make; an unconverted-heavy corpus shrinks it further.
+    */
+  val q137FunnelLatency = Q(
+    "q137_funnel_latency",
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |v0 AS (
+      |  SELECT user_id, min(ts) AS t0 FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |),
+      |c1 AS (
+      |  SELECT e.user_id, min(e.ts) AS t1
+      |  FROM e JOIN v0 ON e.user_id = v0.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v0.t0
+      |    AND e.ts <= v0.t0 + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id
+      |),
+      |p2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM e JOIN c1 ON e.user_id = c1.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c1.t1
+      |    AND e.ts <= c1.t1 + INTERVAL 24 HOUR
+      |  GROUP BY e.user_id
+      |),
+      |lat AS (
+      |  SELECT 'view_click' AS stage, epoch_us(t1) - epoch_us(t0) AS lat_us
+      |  FROM v0 JOIN c1 USING (user_id)
+      |  UNION ALL
+      |  SELECT 'click_purchase', epoch_us(t2) - epoch_us(t1)
+      |  FROM c1 JOIN p2 USING (user_id)
+      |  UNION ALL
+      |  SELECT 'view_purchase', epoch_us(t2) - epoch_us(t0)
+      |  FROM v0 JOIN p2 USING (user_id)
+      |),
+      |r AS (
+      |  SELECT stage, lat_us,
+      |    row_number() OVER (PARTITION BY stage ORDER BY lat_us) AS rn,
+      |    count(*) OVER (PARTITION BY stage) AS n
+      |  FROM lat
+      |)
+      |SELECT stage, CAST(qm AS DOUBLE) / 1000000.0 AS quantile,
+      |  CAST(n AS BIGINT) AS n, lat_us
+      |FROM r, (SELECT unnest([500000, 900000]) AS qm) q
+      |WHERE rn = (n * qm + 999999) // 1000000
+      |ORDER BY stage NULLS FIRST, quantile NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v0 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val c1 = e.filter(col("event_type") === "click").as("e")
+      .join(v0, Seq("user_id"))
+      .filter(col("ts") > col("t0")
+        && col("ts") <= col("t0") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val p2 = e.filter(col("event_type") === "purchase").as("e")
+      .join(c1, Seq("user_id"))
+      .filter(col("ts") > col("t1")
+        && col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    def hop(name: String, a: org.apache.spark.sql.DataFrame, ca: String,
+        b: org.apache.spark.sql.DataFrame, cb: String) =
+      a.join(b, Seq("user_id"))
+        .select(lit(name).as("stage"),
+          (expr(s"unix_micros($cb)") - expr(s"unix_micros($ca)"))
+            .as("lat_us"))
+    val lat = hop("view_click", v0, "t0", c1, "t1")
+      .unionAll(hop("click_purchase", c1, "t1", p2, "t2"))
+      .unionAll(hop("view_purchase", v0, "t0", p2, "t2"))
+    val byStage = Window.partitionBy(col("stage"))
+    val r = lat.select(col("stage"), col("lat_us"),
+      row_number().over(byStage.orderBy(col("lat_us"))).as("rn"),
+      count(lit(1)).over(byStage).as("n"))
+    r.crossJoin(broadcast(
+        s.range(1).select(explode(lit(Array(500000L, 900000L))).as("qm"))))
+      .filter(col("rn") === expr("(n * qm + 999999) div 1000000"))
+      .select(col("stage"),
+        (col("qm").cast("double") / 1000000.0).as("quantile"),
+        col("n").cast("long").as("n"), col("lat_us"))
+      .orderBy(col("stage"), col("quantile"))
   }
 }

@@ -98,6 +98,38 @@ class EdgeEventsSpec extends SparkSpec {
     assert(got("b2b") === ((1L, 2L, "2024-01-01T12:00:00Z")))
   }
 
+  test("q137: hop latencies pick exact disc ranks; stalled funnels drop out") {
+    val d = "/tmp/graft_edge_events_funnel"
+    import spark.implicits._
+    def ns(hour: Int, min: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1, hour, min)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    Seq(
+      // users 1-3: view→click at 10/20/30 min; only user 2 purchases
+      (1L, ns(9, 0), 1L, "view", 0.0, "{}"),
+      (2L, ns(9, 10), 1L, "click", 0.0, "{}"),
+      (3L, ns(9, 0), 2L, "view", 0.0, "{}"),
+      (4L, ns(9, 20), 2L, "click", 0.0, "{}"),
+      (5L, ns(10, 20), 2L, "purchase", 0.0, "{}"),
+      (6L, ns(9, 0), 3L, "view", 0.0, "{}"),
+      (7L, ns(9, 30), 3L, "click", 0.0, "{}"),
+      // user 4 views but never clicks: contributes to NO hop population
+      (8L, ns(9, 0), 4L, "view", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q137_funnel_latency")(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val min = 60L * 1000000
+    // n=3 hops: p50 rank ceil(1.5)=2 → 20 min; p90 rank ceil(2.7)=3 → 30
+    assert(got(("view_click", 0.5)) === ((3L, 20 * min)))
+    assert(got(("view_click", 0.9)) === ((3L, 30 * min)))
+    // only user 2 purchased: both purchase hops are singleton populations
+    assert(got(("click_purchase", 0.5)) === ((1L, 60 * min)))
+    assert(got(("view_purchase", 0.9)) === ((1L, 80 * min)))
+  }
+
   test("q120: single-event users contribute no transitions; solo rows stay") {
     // users 2 and 4 have exactly one event — the lag window must emit no
     // pair for them, and a corpus of ONLY such users yields an empty
