@@ -52,7 +52,7 @@ object Dedup {
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
-    q117DedupSurvivors, q132PrefixJaccardJoin)
+    q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -1237,5 +1237,111 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
         graft.functions.Exact.ratio6("inter", "uni").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- q138: exact Hamming-distance join in 48-bit SimHash space ----
+
+  /** Per-nibble hex values (one md5 per token, 12 nibbles = 48 bits) and
+    * the 48 signed bit-sums — q33's single-digest trick widened 3×. */
+  private val hammingNibbles = (0 until 12).map(k =>
+    s"instr('0123456789abcdef', substr(md5(tok), ${k + 1}, 1)) - 1 AS v$k")
+  private val hammingSums = (0 until 48).map(j =>
+    s"sum(((v${j / 4} >> ${3 - j % 4}) & 1) * 2 - 1) AS s$j")
+  private val hammingBitsSql = (0 until 48).map(j =>
+    s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) " +
+      "ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+
+  /** EXACT Hamming-distance self-join (distance ≤ 3) in 48-bit SimHash
+    * space — the third exact-similarity-join theorem in the registry,
+    * after q132's prefix filter (set space) and the affix bands (verbatim
+    * space): MULTI-INDEX PIGEONHOLE. Split the 48 bits into 4 bands of
+    * 12; any pair within Hamming distance 3 has at most 3 differing
+    * bands, so at least ONE band matches exactly — candidates come from
+    * an equi join on (band index, band value), then one codegen'd
+    * `bit_count(xor)` verifies the true distance. Zero false negatives,
+    * like q132; the DuckDB twin is again the NAIVE quadratic join over
+    * fingerprint classes, so the hash-match proves the pigeonhole filter
+    * lossless on real data.
+    *
+    * Everything operates on DISTINCT fingerprints (the collapseByText
+    * discipline in Hamming space): docs collapse to (fingerprint, count)
+    * classes first, band joins and verification touch only the ~unique
+    * fingerprints, and doc-pair multiplicities re-expand ALGEBRAICALLY
+    * (n_a·n_b across classes, C(n,2) within a class at distance 0) — an
+    * identical-doc flood grows ONE class count, not the join. The
+    * fingerprint itself is q33's multiset SimHash widened to 48 bits
+    * (hex-nibble bit extraction, one md5 per token), so near-identical
+    * token multisets land within a few bits of each other.
+    */
+  val q138HammingJoin = Q(
+    "q138_simhash_hamming_join",
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |),
+      |nib AS (
+      |  SELECT doc_id, ${hammingNibbles.map(_.replace("instr(", "strpos("))
+           .mkString(",\n      |    ")}
+      |  FROM toks
+      |),
+      |sums AS (
+      |  SELECT doc_id, ${hammingSums.mkString(",\n      |    ")}
+      |  FROM nib GROUP BY doc_id
+      |),
+      |fp AS (SELECT doc_id, $hammingBitsSql AS f FROM sums),
+      |grp AS (SELECT f, count(*) AS n FROM fp GROUP BY f),
+      |cross_pairs AS (
+      |  SELECT a.f AS f_a, b.f AS f_b,
+      |    CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming,
+      |    CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+      |    CAST(a.n * b.n AS BIGINT) AS n_pairs
+      |  FROM grp a JOIN grp b ON a.f < b.f
+      |  WHERE bit_count(xor(a.f, b.f)) <= 3
+      |),
+      |same_class AS (
+      |  SELECT f AS f_a, f AS f_b, CAST(0 AS BIGINT) AS hamming,
+      |    CAST(n AS BIGINT) AS n_a, CAST(n AS BIGINT) AS n_b,
+      |    CAST((n * (n - 1)) // 2 AS BIGINT) AS n_pairs
+      |  FROM grp WHERE n >= 2
+      |)
+      |SELECT * FROM cross_pairs
+      |UNION ALL SELECT * FROM same_class
+      |ORDER BY f_a NULLS FIRST, f_b NULLS FIRST""".stripMargin,
+  ) { (s, d) => hammingPairs(Tables.documentsWide(s, d)) }
+
+  /** The 48-bit multiset SimHash per doc (suite entry). */
+  private[graft] def simhash48(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val nib = toks.select(
+      col("doc_id") +: hammingNibbles.map(expr): _*)
+    val sums = nib.groupBy(col("doc_id"))
+      .agg(expr(hammingSums.head),
+        hammingSums.tail.map(expr): _*)
+    sums.select(col("doc_id"), expr(hammingBitsSql).as("f"))
+  }
+
+  /** q138's operator body over any (doc_id, text) frame (suite entry). */
+  def hammingPairs(docs: DataFrame): DataFrame = {
+    val grp = simhash48(docs).groupBy(col("f")).agg(count(lit(1)).as("n"))
+    val bands = grp.select(col("f"), col("n"), posexplode(expr(
+        "transform(sequence(0, 3), k -> shiftright(f, 12 * k) & 4095)")))
+      .select(col("f"), col("n"), col("pos").as("bk"), col("col").as("bv"))
+    val cross = bands.as("a").join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+          col("a.f") < col("b.f"))
+      .select(col("a.f").as("f_a"), col("b.f").as("f_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(f_a ^ f_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("f_a"), col("f_b"), col("hamming"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("na") * col("nb")).cast("long").as("n_pairs"))
+    val same = grp.filter(col("n") >= 2)
+      .select(col("f").as("f_a"), col("f").as("f_b"), lit(0L).as("hamming"),
+        col("n").cast("long").as("n_a"), col("n").cast("long").as("n_b"),
+        expr("(n * (n - 1)) div 2").cast("long").as("n_pairs"))
+    cross.unionAll(same).orderBy(col("f_a"), col("f_b"))
   }
 }

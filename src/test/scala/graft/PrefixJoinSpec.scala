@@ -84,6 +84,44 @@ class PrefixJoinSpec extends SparkSpec {
         .eval(null) === want)
   }
 
+  test("q138 hamming join: pigeonhole plan ≡ brute force over fingerprints") {
+    import spark.implicits._
+    // near-dup blocks by small token substitutions → fingerprints cluster
+    // within a few bits; cross-block fingerprints are far apart
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 4).flatMap { blk =>
+      val toks = (1 to 60).map(j => s"blk${blk}_tok$j")
+      (0 until 6).map { m =>
+        val mutated = toks.map(t =>
+          if (rnd.nextInt(30) == 0) s"m${rnd.nextInt(50)}" else t)
+        (blk * 6L + m + 1L) -> mutated.mkString(" ")
+      }
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.queries.Dedup.hammingPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // brute force straight off the fingerprint classes
+    val fps = graft.queries.Dedup.simhash48(df).collect()
+      .map(r => r.getLong(1))
+    val classes = fps.groupBy(identity).map { case (f, xs) => f -> xs.length }
+    val want = (
+      (for {
+        (fa, na) <- classes; (fb, nb) <- classes if fa < fb
+        h = java.lang.Long.bitCount(fa ^ fb).toLong if h <= 3
+      } yield (fa, fb) -> ((h, na.toLong, nb.toLong, na.toLong * nb))) ++
+      classes.collect { case (f, n) if n >= 2 =>
+        (f, f) -> ((0L, n.toLong, n.toLong, n.toLong * (n - 1) / 2)) }
+    ).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must produce hamming-close pairs")
+    // and the candidate join must be banded, never a cartesian product
+    val plan = graft.queries.Dedup.hammingPairs(df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("randomized corpora: prefix plan ≡ brute force") {
     // deterministic seed; blocks of near-dups built by token substitution
     val rnd = new scala.util.Random(7)
