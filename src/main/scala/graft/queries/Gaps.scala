@@ -21,7 +21,7 @@ object Gaps {
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
     q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease,
-    q135QuantileBisect)
+    q135QuantileBisect, q139WeightedQuantile)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1275,6 +1275,85 @@ object Gaps {
       .filter(col("rn") === col("k") - col("below"))
       .select((col("qm").cast("double") / 1000000.0).as("quantile"),
         col("n"), col("k"), col("c").as("value_cents"))
+      .orderBy(col("quantile"))
+  }
+
+  /** WEIGHTED exact quantiles — q135 generalized from row counts to an
+    * integer weight column (here l_quantity: "the price below which half
+    * the shipped UNITS fall", the inventory-weighted median family): the
+    * answer at fraction q is the smallest value whose cumulative weight
+    * reaches ⌈q·W⌉. Same two-pass bisection: pass 1's histogram aggregates
+    * SUM(weight) per bin (map-side combined, same shape as the count
+    * histogram), the ≤4096-row cumulative window locates each target's
+    * bin; pass 2 re-scans only those bins, collapses to DISTINCT values
+    * (ties carry summed weight — which makes the threshold value
+    * well-defined under any row order), and a per-target cumulative
+    * window picks the first value crossing the residual target. All
+    * arithmetic is integer (cents × integer quantities); the DuckDB twin
+    * is the full value-sorted cumulative-weight sweep.
+    */
+  val q139WeightedQuantile = Q(
+    "q139_weighted_quantile",
+    """WITH v AS (
+      |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |),
+      |g AS (SELECT c, CAST(sum(w) AS BIGINT) AS wsum FROM v GROUP BY c),
+      |s AS (
+      |  SELECT c, CAST(sum(wsum) OVER (ORDER BY c) AS BIGINT) AS cw FROM g
+      |),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM v),
+      |r AS (
+      |  SELECT qm, tw,
+      |    CAST((tw * qm + 999999) // 1000000 AS BIGINT) AS target
+      |  FROM (SELECT unnest([500000, 900000, 990000]) AS qm) q, t
+      |)
+      |SELECT CAST(qm AS DOUBLE) / 1000000.0 AS quantile,
+      |  tw AS total_w, target, min(s.c) AS value_cents
+      |FROM r JOIN s ON s.cw >= r.target
+      |GROUP BY qm, tw, target
+      |ORDER BY quantile NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"),
+        expr("CAST(l_quantity AS BIGINT)").as("w"))
+    val mm = base.agg(min(col("c")), max(col("c"))).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val bw = (hi - lo) / 4096 + 1
+    val binned = base.select(col("c"), col("w"),
+      expr(s"(c - ${lo}L) div ${bw}L").as("bin"))
+    val hist = binned.groupBy(col("bin")).agg(sum(col("w")).as("bw"))
+    val cum = hist.select(col("bin"), col("bw"),
+      sum(col("bw")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"))
+    val tot = base.agg(sum(col("w")).cast("long").as("tw"))
+    val targets = s.range(1)
+      .select(explode(lit(Array(500000L, 900000L, 990000L))).as("qm"))
+      .crossJoin(broadcast(tot))
+      .select(col("qm"), col("tw"),
+        expr("(tw * qm + 999999) div 1000000").cast("long").as("target"))
+    val picked = broadcast(targets).join(cum,
+        col("cum") >= col("target") && col("cum") - col("bw") < col("target"))
+      .select(col("qm"), col("tw"), col("target"), col("bin"),
+        (col("cum") - col("bw")).as("below"))
+    // pass 2: distinct values inside the picked bins, residual cumulative
+    val inBin = binned.join(broadcast(picked), "bin")
+      .groupBy(col("qm"), col("tw"), col("target"), col("below"), col("c"))
+      .agg(sum(col("w")).as("vw"))
+    inBin
+      .withColumn("cw", col("below") + sum(col("vw")).over(
+        Window.partitionBy(col("qm")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cw") >= col("target") &&
+        col("cw") - col("vw") < col("target"))
+      .select((col("qm").cast("double") / 1000000.0).as("quantile"),
+        col("tw").as("total_w"), col("target"),
+        col("c").as("value_cents"))
       .orderBy(col("quantile"))
   }
 }

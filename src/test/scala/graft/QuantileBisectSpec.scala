@@ -7,11 +7,11 @@ package graft
   */
 class QuantileBisectSpec extends SparkSpec {
 
-  private def fixture(prices: Seq[Double]): String = {
+  private def fixture(rows: Seq[(Double, Double)]): String = {
     val d = "/tmp/graft_quantile_fixture"
     import spark.implicits._
-    prices.zipWithIndex.map { case (p, i) =>
-      (i.toLong, i.toLong, i.toLong, i, 1.0, p, 0.0, 0.0, "N", "O",
+    rows.zipWithIndex.map { case ((p, q), i) =>
+      (i.toLong, i.toLong, i.toLong, i, q, p, 0.0, 0.0, "N", "O",
         new java.sql.Timestamp(86400000L))
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -19,6 +19,9 @@ class QuantileBisectSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
     d
   }
+
+  private def fixture(prices: Seq[Double])(implicit d: DummyImplicit): String =
+    fixture(prices.map(_ -> 1.0))
 
   private def run(prices: Seq[Double]): Map[Double, (Long, Long, Long)] =
     SparkEntry.queries("q135_quantile_bisect")(spark, fixture(prices))
@@ -33,6 +36,20 @@ class QuantileBisectSpec extends SparkSpec {
       0.5 -> ((100L, 50L, 4250L)),
       0.9 -> ((100L, 90L, 4250L)),
       0.99 -> ((100L, 99L, 4250L))))
+  }
+
+  test("q139: weighted targets follow the weights, not the row counts") {
+    // one heavy cheap row (weight 90) and nine light expensive rows
+    // (weight 1 each): W = 99; p50 target 50 → cheap value; p99 target 99
+    // → the LAST distinct value in cumulative-weight order
+    val d = fixture(Seq(10.0 -> 90.0) ++ (1 to 9).map(i => (100.0 + i) -> 1.0))
+    val got = SparkEntry.queries("q139_weighted_quantile")(spark, d)
+      .collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0.5) === ((99L, 50L, 1000L)))
+    assert(got(0.9) === ((99L, 90L, 1000L)))  // 90 ≤ cumw(10.0) = 90
+    assert(got(0.99) === ((99L, 99L, 10900L)))
   }
 
   test("skewed fixture matches a driver-side sort at every rank") {
