@@ -21,7 +21,7 @@ object Gaps {
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
     q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease,
-    q135QuantileBisect, q139WeightedQuantile)
+    q135QuantileBisect, q139WeightedQuantile, q140KsDrift)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1355,5 +1355,105 @@ object Gaps {
         col("tw").as("total_w"), col("target"),
         col("c").as("value_cents"))
       .orderBy(col("quantile"))
+  }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV drift statistic between the q111
+    * epochs — the distribution-free complement to PSI's binned view: PSI
+    * needs a bin geometry and misses shape shifts inside a bin; KS is the
+    * max CDF gap over the EXACT value axis, D = max_v |F₁(v) − F₂(v)|,
+    * reported here as an exact integer cross-product (|ca·n₂ − cb·n₁|,
+    * no division until the final ratio6) plus the value where the gap
+    * peaks.
+    *
+    * Scale shape: the CDF prefix sums are computed TWO-LEVEL (the q135
+    * bin discipline applied to running sums instead of ranks): per-bin
+    * epoch totals prefix-sum over a ≤4096-row window, and within-bin
+    * cumulative sums run under a PARTITIONED window keyed by bin with the
+    * bin's carry-in added — no global window ever touches a
+    * data-proportional row set (the q91 rule). The DuckDB twin IS the
+    * global single-window sweep — a different prefix-sum
+    * decomposition whose hash-match proves the carry-in algebra.
+    */
+  val q140KsDrift = Q(
+    "q140_ks_drift",
+    """WITH v AS (
+      |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+      |    CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 0 ELSE 1 END
+      |      AS e
+      |  FROM orders
+      |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT c,
+      |    count(*) FILTER (WHERE e = 0) AS a_cnt,
+      |    count(*) FILTER (WHERE e = 1) AS b_cnt
+      |  FROM v GROUP BY c
+      |),
+      |t AS (
+      |  SELECT CAST(sum(a_cnt) AS BIGINT) AS n1,
+      |    CAST(sum(b_cnt) AS BIGINT) AS n2 FROM g
+      |),
+      |s AS (
+      |  SELECT c,
+      |    CAST(sum(a_cnt) OVER (ORDER BY c) AS BIGINT) AS ca,
+      |    CAST(sum(b_cnt) OVER (ORDER BY c) AS BIGINT) AS cb
+      |  FROM g
+      |),
+      |gaps AS (
+      |  SELECT c, abs(ca * n2 - cb * n1) AS gap, n1, n2 FROM s, t
+      |),
+      |m AS (SELECT *, max(gap) OVER () AS mg FROM gaps)
+      |SELECT n1, n2, CAST(mg AS BIGINT) AS d_num,
+      |  CAST(((2 * CAST(mg AS BIGINT) * 1000000 + CAST(n1 * n2 AS BIGINT))
+      |    // nullif(2 * CAST(n1 * n2 AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS ks,
+      |  min(c) AS at_value_cents
+      |FROM m WHERE gap = mg
+      |GROUP BY n1, n2, mg""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val mid = to_timestamp(lit("1998-07-01 00:00:00"))
+    val g = Tables.orders(s, d)
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"),
+        when(col("o_orderdate") < mid, 0).otherwise(1).as("e"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("e") === 0, 1).otherwise(0)).as("a_cnt"),
+        sum(when(col("e") === 1, 1).otherwise(0)).as("b_cnt"))
+    // two-level prefix sums: bin geometry from the 2-scalar probe
+    val mm = g.agg(min(col("c")), max(col("c"))).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val w = (hi - lo) / 4096 + 1
+    val binned = g.select(col("c"), col("a_cnt"), col("b_cnt"),
+      expr(s"(c - ${lo}L) div ${w}L").as("bin"))
+    val binCum = binned.groupBy(col("bin"))
+      .agg(sum(col("a_cnt")).as("sba"), sum(col("b_cnt")).as("sbb"))
+      .select(col("bin"),
+        (sum(col("sba")).over(Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("sba")).as("beforeA"),
+        (sum(col("sbb")).over(Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("sbb")).as("beforeB"))
+    val inBin = Window.partitionBy(col("bin")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = g.agg(sum(col("a_cnt")).cast("long").as("n1"),
+      sum(col("b_cnt")).cast("long").as("n2"))
+    val cdf = binned.join(binCum, "bin")
+      .select(col("c"),
+        (col("beforeA") + sum(col("a_cnt")).over(inBin)).as("ca"),
+        (col("beforeB") + sum(col("b_cnt")).over(inBin)).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("c"), col("n1"), col("n2"),
+        abs(col("ca") * col("n2") - col("cb") * col("n1")).as("gap"))
+    // bounded reduction: one global max (an aggregate, not a window over
+    // data), then the earliest value attaining it
+    val mg = cdf.agg(max(col("gap")).as("mg"))
+    cdf.join(broadcast(mg), col("gap") === col("mg"))
+      .groupBy(col("n1"), col("n2"), col("mg"))
+      .agg(min(col("c")).as("at_value_cents"))
+      .select(col("n1"), col("n2"), col("mg").cast("long").as("d_num"),
+        graft.functions.Exact.ratio6("mg", "n1 * n2").as("ks"),
+        col("at_value_cents"))
   }
 }

@@ -52,6 +52,30 @@ class QuantileBisectSpec extends SparkSpec {
     assert(got(0.99) === ((99L, 99L, 10900L)))
   }
 
+  test("q140: known CDF gap, peak location, and cross-product exactness") {
+    val d = "/tmp/graft_ks_fixture"
+    import spark.implicits._
+    def day(epoch: Int) =
+      new java.sql.Timestamp(if (epoch == 0) 800000000000L else 900000000000L)
+    // epoch split is 1998-07-01 (899251200000 ms): epoch-0 rows before it
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0).map(p => (p, day(0))) ++
+        Seq(3.0, 4.0, 5.0, 6.0).map(p => (p, day(1)))
+    rows.zipWithIndex.map { case ((p, ts), i) =>
+      (i.toLong, i.toLong, "O", p, ts, "1-URGENT", "c", 0L, "x")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority", "o_clerk", "o_shippriority",
+      "o_comment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val r = SparkEntry.queries("q140_ks_drift")(spark, d).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // F1 − F2 peaks at 0.5, first reached at value 2 (ca=2, cb=0):
+    // d_num = |2·4 − 0·4| = 8 over n1·n2 = 16
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getDouble(3), row.getLong(4)) === ((4L, 4L, 8L, 0.5, 200L)))
+  }
+
   test("skewed fixture matches a driver-side sort at every rank") {
     // heavy duplicate mass at 1.0 plus a long sparse tail
     val prices = Seq.fill(500)(1.0) ++ (1 to 100).map(i => 1000.0 + i * 7)
