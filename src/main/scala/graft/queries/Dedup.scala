@@ -52,7 +52,8 @@ object Dedup {
   def all: Seq[Q] = Seq(
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
-    q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin)
+    q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
+    q141GoldenRecord)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -1237,6 +1238,121 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
         graft.functions.Exact.ratio6("inter", "uni").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** GOLDEN-RECORD construction — the survivorship step AFTER entity
+    * resolution (pairs → components → ONE merged master record per
+    * entity), the MDM operator every warehouse dedup ends with, here over
+    * q74's document dedup clusters (singleton docs included via left join
+    * + coalesce, so the output is a TOTAL partition of the corpus — every
+    * source row lands in exactly one master record). Field-wise rules,
+    * each a deterministic argmin in struct space so ties can't flap
+    * between engines or shuffles:
+    *  - canonical_id: the component minimum (the q74 label itself);
+    *  - golden text: the LONGEST member's text ("most complete"
+    *    survivorship), ties to the lexicographically smallest — reported
+    *    as md5 + length, min(struct(−length, text));
+    *  - modal lang / modal source: most frequent value, ties to the
+    *    smallest — min(struct(−count, value)) over per-(component, value)
+    *    counts;
+    *  - max_chars: numeric max (an exact pick).
+    * (Tried first on q96's supplier linkage graph: serial-numbered names
+    * sit within edit distance 1 of their neighbors, so transitive closure
+    * merges ALL 100 suppliers into one entity — correct algebra, useless
+    * master data. ER survivorship needs blocking whose transitive closure
+    * is meaningful; the affix clusters are.)
+    *
+    * Plan: affix pair edges (banded equi joins) → iterative CC
+    * (off-driver, loud cap) → two component-keyed aggregates. The DuckDB
+    * twin rebuilds the clusters with a recursive-CTE transitive closure
+    * (the q74 discipline) and replays the same struct-argmin rules.
+    */
+  val q141GoldenRecord = Q(
+    "q141_golden_record",
+    """WITH RECURSIVE n AS (
+      |  SELECT doc_id,
+      |    sha256(substr(text, 1, 50)) AS hp,
+      |    sha256(substr(text, greatest(length(text) - 49, 1), 50)) AS hs
+      |  FROM documents
+      |),
+      |e0 AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b
+      |  FROM n a JOIN n b ON a.hp = b.hp AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM n a JOIN n b ON a.hs = b.hs AND a.doc_id < b.doc_id
+      |),
+      |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS r FROM nodes
+      |  UNION
+      |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+      |),
+      |comp0 AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |lab AS (
+      |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+      |    coalesce(c0.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp0 c0 ON d.doc_id = c0.id
+      |),
+      |ml AS (
+      |  SELECT component,
+      |    (min({'a': -cnt, 'b': lang})).b AS modal_lang
+      |  FROM (SELECT component, lang, count(*) AS cnt
+      |        FROM lab GROUP BY component, lang) t
+      |  GROUP BY component
+      |),
+      |ms AS (
+      |  SELECT component,
+      |    (min({'a': -cnt, 'b': source})).b AS modal_source
+      |  FROM (SELECT component, source, count(*) AS cnt
+      |        FROM lab GROUP BY component, source) t
+      |  GROUP BY component
+      |),
+      |g AS (
+      |  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+      |    min(doc_id) AS canonical_id,
+      |    md5((min({'a': -length(text), 'b': text})).b) AS golden_md5,
+      |    CAST(length((min({'a': -length(text), 'b': text})).b) AS BIGINT)
+      |      AS golden_len,
+      |    CAST(max(n_chars) AS BIGINT) AS max_chars
+      |  FROM lab GROUP BY component
+      |)
+      |SELECT g.component, g.n_members, g.canonical_id, g.golden_md5,
+      |  g.golden_len, ml.modal_lang, ms.modal_source, g.max_chars
+      |FROM g JOIN ml ON g.component = ml.component
+      |  JOIN ms ON g.component = ms.component
+      |ORDER BY g.component NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documentsWide(s, d)
+    val e0 = affixPairs(docs)
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val lab = docs.join(
+        connectedComponents(edges).withColumnRenamed("doc_id", "id"),
+        col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    def modal(field: String, out: String) =
+      lab.groupBy(col("component"), col(field))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("component"))
+        .agg(min(struct((-col("cnt")).as("a"), col(field).as("b")))
+          .getField("b").as(out))
+    val g = lab.groupBy(col("component"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(col("doc_id")).as("canonical_id"),
+        md5(min(struct((-length(col("text"))).as("a"), col("text").as("b")))
+          .getField("b")).as("golden_md5"),
+        length(min(struct((-length(col("text"))).as("a"),
+          col("text").as("b"))).getField("b")).cast("long").as("golden_len"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+    g.join(modal("lang", "modal_lang"), "component")
+      .join(modal("source", "modal_source"), "component")
+      .select(col("component"), col("n_members"), col("canonical_id"),
+        col("golden_md5"), col("golden_len"), col("modal_lang"),
+        col("modal_source"), col("max_chars"))
+      .orderBy(col("component"))
   }
 
   // ---- q138: exact Hamming-distance join in 48-bit SimHash space ----
