@@ -21,7 +21,8 @@ object Gaps {
     q88SaltedJoin, q89PartialMerge, q90IqrOutliers, q91EquidepthHist,
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
     q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease,
-    q135QuantileBisect, q139WeightedQuantile, q140KsDrift)
+    q135QuantileBisect, q139WeightedQuantile, q140KsDrift,
+    q142RankTransform)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1455,5 +1456,77 @@ object Gaps {
       .select(col("n1"), col("n2"), col("mg").cast("long").as("d_num"),
         graft.functions.Exact.ratio6("mg", "n1 * n2").as("ks"),
         col("at_value_cents"))
+  }
+
+  /** GLOBAL RANK TRANSFORM without a global sort — quantile normalization
+    * (map each value to its corpus-wide percentile), the feature-scaling
+    * step rank-based models and calibration curves need, and the primitive
+    * the q91 rule ("no global windows over data") seems to forbid. The
+    * trick is the q135/q140 two-level decomposition a third time, now for
+    * per-ROW output: rank(v) = 1 + #(values < v) depends only on v, so
+    * collapse to DISTINCT values, prefix-sum their counts two-level
+    * (≤4096-bin window + bin-partitioned within-bin window), and join the
+    * per-VALUE rank back to rows on the value — every shuffle is
+    * value-cardinality- or row-partition-sized, nothing is ever globally
+    * ordered. Ties share the same rank (RANK semantics, deterministic);
+    * pct is ratio6((rank − 1), (n − 1)) ∈ [0, 1].
+    *
+    * The DuckDB twin is the textbook global window (`rank() OVER (ORDER
+    * BY c)`): two different rank computations hash-matching per row. At
+    * 600 k rows per sf0.1 this is also the registry's biggest per-row
+    * output — deliberate: a transform must prove itself ON every row,
+    * not on a summary.
+    */
+  val q142RankTransform = Q(
+    "q142_rank_transform",
+    """WITH v AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |),
+      |r AS (
+      |  SELECT l_orderkey, l_linenumber, c,
+      |    CAST(rank() OVER (ORDER BY c) AS BIGINT) AS rnk,
+      |    count(*) OVER () AS n
+      |  FROM v
+      |)
+      |SELECT l_orderkey, l_linenumber, c AS value_cents, rnk,
+      |  CAST(((2 * CAST(rnk - 1 AS BIGINT) * 1000000 + CAST(n - 1 AS BIGINT))
+      |    // nullif(2 * CAST(n - 1 AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS pct
+      |FROM r
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
+    val g = rows.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val mm = g.agg(min(col("c")), max(col("c"))).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val w = (hi - lo) / 4096 + 1
+    val binned = g.select(col("c"), col("cnt"),
+      expr(s"(c - ${lo}L) div ${w}L").as("bin"))
+    val binBefore = binned.groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("bc"))
+      .select(col("bin"),
+        (sum(col("bc")).over(Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("bc")).as("before"))
+    val inBin = Window.partitionBy(col("bin")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rows.agg(count(lit(1)).cast("long").as("n"))
+    // per-VALUE rank = 1 + everything before this value (two-level)
+    val ranks = binned.join(binBefore, "bin")
+      .select(col("c"),
+        (col("before") + sum(col("cnt")).over(inBin) - col("cnt") + 1)
+          .as("rnk"))
+    rows.join(ranks, "c")
+      .crossJoin(broadcast(tot))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("c").as("value_cents"), col("rnk").cast("long").as("rnk"),
+        graft.functions.Exact.ratio6("rnk - 1", "n - 1").as("pct"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 }

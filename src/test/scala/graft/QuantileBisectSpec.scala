@@ -52,6 +52,19 @@ class QuantileBisectSpec extends SparkSpec {
     assert(got(0.99) === ((99L, 99L, 10900L)))
   }
 
+  test("q142: tied values share a rank; pct spans exactly [0, 1]") {
+    val d = fixture(Seq(10.0, 10.0, 20.0, 30.0))
+    val got = SparkEntry.queries("q142_rank_transform")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4))))
+      .toMap
+    // rows 0,1 tie at rank 1 (pct 0); row 2 rank 3 (pct 2/3); row 3 rank
+    // 4 (pct 1) — RANK semantics, not dense or row_number
+    assert(got(0L) === ((1L, 0.0)) && got(1L) === ((1L, 0.0)))
+    assert(got(2L) === ((3L, 0.666667)))
+    assert(got(3L) === ((4L, 1.0)))
+  }
+
   test("q140: known CDF gap, peak location, and cross-product exactness") {
     val d = "/tmp/graft_ks_fixture"
     import spark.implicits._
