@@ -42,6 +42,8 @@ object Relational {
     q12Cube,
     q25ConditionalAgg,
     q26ScalarSubquery,
+    q143LocalSupplierRevenue,
+    q144MarketShare,
   )
 
   /** TPC-H Q1-style pricing summary: filter → hash agg → sort. */
@@ -396,5 +398,117 @@ object Relational {
       .filter(col("c_acctbal") > col("m"))
       .select(col("c_custkey"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
+  }
+
+  /** FULL TPC-H Q5 shape (q04 is the plain star; this adds the clause
+    * that breaks naive star planning): revenue from LOCAL commerce only —
+    * the customer's nation must EQUAL the supplier's nation, a
+    * cross-dimension equality that correlates two different foreign-key
+    * chains of the same fact row. Join graph: region→nation broadcast
+    * (bounded, ≤25 rows at any scale), supplier and customer by shuffle,
+    * lineitem⋈orders on the fact keys, and the local-only condition rides
+    * the customer join as an extra equi-predicate — no post-filter of a
+    * wider join. Q5's classic plan risk is the optimizer routing
+    * customer⋈supplier through a nation-keyed m×n blowup; keying the
+    * customer join on (o_custkey AND c_nationkey = s_nationkey) keeps the
+    * build side fact-shaped.
+    */
+  val q143LocalSupplierRevenue = Q(
+    "q143_local_supplier_revenue",
+    s"""SELECT n_name,
+       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM region
+       |JOIN nation ON n_regionkey = r_regionkey
+       |JOIN supplier ON s_nationkey = n_nationkey
+       |JOIN lineitem ON l_suppkey = s_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |  AND c_nationkey = s_nationkey
+       |WHERE r_name = 'EUROPE'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY n_name NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val dims = broadcast(
+      Tables.region(s, d).filter(col("r_name") === "EUROPE")
+        .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey")))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.supplier(s, d)
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.lineitem(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d),
+        col("c_custkey") === col("o_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        Exact
+          .dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"),
+      )
+      .orderBy(col("n_name"))
+  }
+
+  /** TPC-H Q8 shape — MARKET SHARE: within one region's market for one
+    * part type, the fraction of yearly revenue supplied by one nation.
+    * The interesting operator is the conditional-aggregate RATIO — two
+    * exact sums over the same joined rows (numerator gated by the
+    * supplier's nation via CASE, denominator total) divided once at the
+    * end — which avoids the self-join a naive "share" formulation would
+    * take. Both sums go through the house exact-sum, so the final
+    * double division is one IEEE op over identical operands on both
+    * engines and rounds deterministically.
+    */
+  val q144MarketShare = Q(
+    "q144_market_share",
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  ${Sql.dsum("CASE WHEN n2.n_name = 'NATION_6' " +
+           "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       |    AS nation_rev,
+       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS total_rev,
+       |  round(${Sql.dsum("CASE WHEN n2.n_name = 'NATION_6' " +
+           "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       |    / ${Sql.dsum("l_extendedprice * (1.0 - l_discount)")}, 6)
+       |    AS share
+       |FROM part
+       |JOIN lineitem ON l_partkey = p_partkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation n2 ON n2.n_nationkey = s_nationkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n1 ON n1.n_nationkey = c_nationkey
+       |JOIN region ON r_regionkey = n1.n_regionkey
+       |WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+       |GROUP BY year(o_orderdate)
+       |ORDER BY o_year NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val custDims = broadcast(
+      Tables.region(s, d).filter(col("r_name") === "AMERICA")
+        .join(Tables.nation(s, d).select(
+            col("n_nationkey").as("n1_key"), col("n_regionkey")),
+          col("n_regionkey") === col("r_regionkey")))
+    val suppNation = broadcast(Tables.nation(s, d).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("n2_name")))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val gated = when(col("n2_name") === "NATION_6", vol).otherwise(lit(0.0))
+    Tables.part(s, d).filter(col("p_type") === "PROMO")
+      .join(Tables.lineitem(s, d), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(suppNation, col("n2_key") === col("s_nationkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(custDims, col("n1_key") === col("c_nationkey"))
+      .groupBy(expr("CAST(year(o_orderdate) AS BIGINT)").as("o_year"))
+      .agg(
+        Exact.dsum(gated).as("nation_rev"),
+        Exact.dsum(vol).as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        round(col("nation_rev") / col("total_rev"), 6).as("share"))
+      .orderBy(col("o_year"))
   }
 }

@@ -246,7 +246,8 @@ class ScaleSpec extends SparkSpec {
     for (name <- Seq("q32_minhash_neardup", "q51_ngram_jaccard", "q64_ann_srp",
       "q66_decontaminate", "q96_fuzzy_linkage", "q102_semantic_dedup",
       "q103_pq_encode", "q104_pq_adc_topk", "q126_embedding_covariance",
-      "q127_frame_dedup", "q132_prefix_jaccard_join")) {
+      "q127_frame_dedup", "q132_prefix_jaccard_join",
+      "q136_boilerplate_strip", "q138_simhash_hamming_join")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -277,6 +278,18 @@ class ScaleSpec extends SparkSpec {
       !p124.contains("BroadcastNestedLoopJoin"), p124)
     assert(!p124.toLowerCase.contains("specifiedwindowframe(rangeframe"),
       s"q124 regressed to a RANGE-frame rolling window:\n$p124")
+  }
+
+  test("q143/q144: multi-join analytics broadcast only bounded dims") {
+    for (name <- Seq("q143_local_supplier_revenue", "q144_market_share")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+      // the region→nation dims must come in as broadcast hash joins; the
+      // fact-chain joins may be whatever AQE picks, but never nested-loop
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+    }
   }
 
   test("q123's temporal lookup rides ONE user exchange — no interval join") {
