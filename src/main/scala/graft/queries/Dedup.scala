@@ -1355,6 +1355,112 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  // ---- incremental form of the exact prefix join (q132's ingest shape) --
+
+  /** The persistable half of the EXACT similarity join: the frozen token
+    * dictionary (token → document frequency → interned id). Freezing is
+    * what makes the join incrementally maintainable AT ALL: the prefix
+    * theorem needs one CONSISTENT total order across every doc ever
+    * indexed, but it needs no particular order — df-ascending is only the
+    * performance heuristic — so an ingest pipeline freezes the order at
+    * build time and later batches extend it without touching old state.
+    * Unseen tokens order as (df = 0, token): rarest-first by construction,
+    * and consistent, because a token absent from the dictionary is absent
+    * from every OLD document — no stored array's internal order can be
+    * affected by where new tokens slot in.
+    */
+  def prefixDict(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint()
+
+  /** The per-doc half of the index: canonical-order and numeric-order
+    * token-id arrays under a FROZEN dictionary (what q132 derives inline;
+    * an ingest pipeline persists this next to the dict — doc-proportional,
+    * the tokenized-form trade the bigram LM's comment names). Tokens
+    * absent from the dict get batch-local NEGATIVE ids (disjoint from
+    * `monotonically_increasing_id`'s non-negative range, so cross-batch
+    * ids never collide) ordered by (0, token).
+    */
+  def prefixDocIndex(docs: DataFrame, dict: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val newToks = toks.select(col("tok")).distinct()
+      .join(dict.select(col("tok")), Seq("tok"), "left_anti")
+      .withColumn("df", lit(0L))
+      .withColumn("tid", lit(-1L) - monotonically_increasing_id())
+      .localCheckpoint()
+    toks.join(dict.unionByName(newToks), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"),
+        col("tid")))).as("st"), count(lit(1)).as("sz"))
+      .select(col("doc_id"), col("sz"),
+        expr("transform(st, x -> x.tid)").as("tids"),
+        expr("sort_array(transform(st, x -> x.tid))").as("stids"))
+  }
+
+  private def prefixRowsOf(index: DataFrame): DataFrame =
+    index.select(col("doc_id"), col("sz"),
+      posexplode(expr(
+        "slice(tids, 1, CAST(sz - ((9 * sz + 9) div 10) + 1 AS INT))")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("pos"),
+        col("col").as("tid"))
+
+  /** INCREMENTAL exact similarity join — q132's ingest-time shape, the
+    * exact-family sibling of [[incrementalNearDups]]: a new batch joins
+    * against the PERSISTED index (dict + per-doc id arrays) and emits
+    * exactly the J ≥ 0.9 pairs that involve ≥ 1 new document. Candidates
+    * come from the new batch's prefix rows against (stored ∪ new) prefix
+    * rows — one side batch-sized, so the shuffle is batch-proportional —
+    * with the same length/positional pruning as q132; verification is the
+    * same codegen'd merge walk over the numeric id arrays. Old-old pairs
+    * are structurally excluded (every candidate has a new side), so
+    *
+    *   pairs(old ∪ new) = pairs(old) ⊎ incremental(new, index(old))
+    *
+    * holds as an exact DISJOINT union (PrefixJoinSpec proves it through a
+    * parquet round-trip of both index halves). The full recompute on the
+    * left uses FRESH document frequencies — a different canonical order,
+    * hence different candidate sets — and still must produce the same
+    * pairs, which is precisely the order-invariance the frozen-dict
+    * design leans on.
+    */
+  def incrementalPrefixPairs(
+      newDocs: DataFrame, dict: DataFrame, index: DataFrame): DataFrame = {
+    val newIndex = prefixDocIndex(newDocs, dict).localCheckpoint()
+    val newPrefix = prefixRowsOf(newIndex)
+    val allPrefix = prefixRowsOf(index).unionByName(newPrefix)
+    val cand = newPrefix.as("a").join(allPrefix.as("b"),
+        col("a.tid") === col("b.tid")
+          && col("a.doc_id") =!= col("b.doc_id")
+          && col("b.sz") * 10 >= col("a.sz") * 9
+          && col("a.sz") * 10 >= col("b.sz") * 9
+          && (lit(1) + least(col("a.sz") - col("a.pos"),
+               col("b.sz") - col("b.pos"))) * 19
+             >= (col("a.sz") + col("b.sz")) * 9)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val arrays = index.unionByName(newIndex)
+      .select(col("doc_id"), col("sz"), col("stids"))
+    cand
+      .join(arrays.select(col("doc_id"), col("sz").as("sza"),
+        col("stids").as("ta")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(arrays.select(col("doc_id"), col("sz").as("szb"),
+        col("stids").as("tb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_sorted_intersect_i64(ta, tb)").as("inter"),
+        col("sza"), col("szb"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"))
+      .filter(col("inter") * 10 >= col("uni") * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        graft.functions.Exact.ratio6("inter", "uni").as("jaccard"))
+  }
+
   // ---- q138: exact Hamming-distance join in 48-bit SimHash space ----
 
   /** Per-nibble hex values (one md5 per token, 12 nibbles = 48 bits) and

@@ -122,6 +122,48 @@ class PrefixJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("incremental prefix join: pairs(old ∪ new) = pairs(old) ⊎ incremental") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def block(blk: Int, m: Int, idBase: Long) = {
+      val toks = (1 to 40).map(j => s"blk${blk}_t$j")
+      (0 until m).map { i =>
+        val mutated = toks.map(t =>
+          if (rnd.nextInt(25) == 0) s"x${rnd.nextInt(40)}" else t)
+        (idBase + i) -> mutated.mkString(" ")
+      }
+    }
+    // old corpus: two blocks; new batch: more members of block 0, a brand
+    // new block (with tokens UNSEEN by the old dictionary), one fresh
+    // exact dup of an old doc
+    val old = block(0, 4, 1L) ++ block(1, 4, 100L)
+    val fresh = block(0, 3, 200L) ++ block(9, 3, 300L) :+ (400L -> old.head._2)
+    val oldDf = old.toDF("doc_id", "text")
+    val freshDf = fresh.toDF("doc_id", "text")
+    val unionDf = (old ++ fresh).toDF("doc_id", "text")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // persist both index halves through parquet — the deployment shape
+    val dir = "/tmp/graft_prefix_index"
+    graft.queries.Dedup.prefixDict(oldDf)
+      .write.mode("overwrite").parquet(s"$dir/dict")
+    val dict = spark.read.parquet(s"$dir/dict")
+    graft.queries.Dedup.prefixDocIndex(oldDf, dict)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val index = spark.read.parquet(s"$dir/docs")
+    val full = keyed(graft.queries.Dedup.prefixJaccardPairs(unionDf))
+    val oldPairs = keyed(graft.queries.Dedup.prefixJaccardPairs(oldDf))
+    val inc = keyed(
+      graft.queries.Dedup.incrementalPrefixPairs(freshDf, dict, index))
+    assert(inc.keySet.intersect(oldPairs.keySet).isEmpty, "must be disjoint")
+    assert(oldPairs ++ inc === full,
+      s"old=${oldPairs.keySet} inc=${inc.keySet} full=${full.keySet}")
+    // the increment must include a mixed old-new pair and a new-new pair
+    assert(inc.keys.exists { case (a, b) => a < 200 && b >= 200 })
+    assert(inc.keys.exists { case (a, b) => a >= 200 && b >= 200 })
+  }
+
   test("randomized corpora: prefix plan ≡ brute force") {
     // deterministic seed; blocks of near-dups built by token substitution
     val rnd = new scala.util.Random(7)
