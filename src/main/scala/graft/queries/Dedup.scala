@@ -53,7 +53,7 @@ object Dedup {
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
     q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
-    q141GoldenRecord)
+    q141GoldenRecord, q145EditDistanceJoin)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -1353,6 +1353,73 @@ object Dedup {
         col("golden_md5"), col("golden_len"), col("modal_lang"),
         col("modal_source"), col("max_chars"))
       .orderBy(col("component"))
+  }
+
+  /** EXACT edit-distance ≤ 1 self-join via DELETION NEIGHBORHOODS (the
+    * SymSpell/FastSS family) — the fourth exact-join theorem in the
+    * registry (set space: q132's prefix filter; Hamming space: q138's
+    * pigeonhole; verbatim space: affix bands; EDIT space: this): two
+    * strings within one edit share at least one member of each other's
+    * {self} ∪ {one-char deletions} neighborhoods (a deletion IS the
+    * variant, an insertion is the reverse, a substitution meets at the
+    * both-sides deletion of the edited position), so candidates come from
+    * an equi self-join on md5(variant) — L+1 keys per name, never an
+    * all-pairs product. Sharing a variant is NOT sufficient ("ab"/"ba"
+    * share both single-deletion variants at distance 2), so a codegen'd
+    * levenshtein verifies each candidate once; sufficiency was never
+    * claimed, necessity is what kills false negatives.
+    *
+    * This is the EXACT upgrade of q96's parity-class blocking (which
+    * trades recall for fewer keys, LSH-style): q96's pairs are provably a
+    * subset of these (PrefixJoinSpec asserts it on the corpus). Scale:
+    * variants are length-proportional (~L per row — the classic space/
+    * recall trade vs q96's 2 keys), the join is banded per variant
+    * bucket, verification candidate-proportional. The DuckDB twin is the
+    * naive quadratic levenshtein join, proving the neighborhood cover
+    * lossless on real data.
+    */
+  val q145EditDistanceJoin = Q(
+    "q145_edit_distance_join",
+    """WITH v AS (
+      |  SELECT s_suppkey, s_name,
+      |    unnest(list_transform(range(0, length(s_name) + 1),
+      |      i -> CASE WHEN i = 0 THEN s_name
+      |           ELSE substr(s_name, 1, i - 1) || substr(s_name, i + 1)
+      |           END)) AS var
+      |  FROM supplier
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+      |    a.s_name AS name_a, b.s_name AS name_b
+      |  FROM v a JOIN v b
+      |  ON md5(a.var) = md5(b.var) AND a.s_suppkey < b.s_suppkey
+      |)
+      |SELECT id_a, id_b,
+      |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+      |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin,
+  ) { (s, d) => editDistancePairs(Tables.supplier(s, d)) }
+
+  /** q145's operator body over any (s_suppkey, s_name) frame. */
+  def editDistancePairs(rows: DataFrame): DataFrame = {
+    val v = rows.select(col("s_suppkey"), col("s_name"),
+      explode(expr(
+        """transform(sequence(0, length(s_name)),
+          |  i -> CASE WHEN i = 0 THEN s_name
+          |       ELSE concat(substr(s_name, 1, i - 1), substr(s_name, i + 1))
+          |       END)""".stripMargin)).as("var"))
+      .select(col("s_suppkey"), col("s_name"), md5(col("var")).as("k"))
+    val cand = v.as("a").join(v.as("b"),
+        col("a.k") === col("b.k")
+          && col("a.s_suppkey") < col("b.s_suppkey"))
+      .select(col("a.s_suppkey").as("id_a"), col("b.s_suppkey").as("id_b"),
+        col("a.s_name").as("name_a"), col("b.s_name").as("name_b"))
+      .distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ---- incremental form of the exact prefix join (q132's ingest shape) --

@@ -164,6 +164,49 @@ class PrefixJoinSpec extends SparkSpec {
     assert(inc.keys.exists { case (a, b) => a >= 200 && b >= 200 })
   }
 
+  test("q145: deletion-neighborhood join ≡ brute force; q96 is a subset") {
+    import spark.implicits._
+    val names = Seq(
+      1L -> "widget",   // base
+      2L -> "widgot",   // substitution  → dist 1 to widget
+      3L -> "widet",    // deletion      → dist 1 to widget
+      4L -> "widgets",  // insertion     → dist 1 to widget
+      5L -> "wigdet",   // transposition → dist 2: must be EXCLUDED
+      6L -> "widget",   // exact dup     → dist 0
+      7L -> "unrelated name",
+    )
+    val got = graft.queries.Dedup
+      .editDistancePairs(names.toDF("s_suppkey", "s_name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = (for {
+      (a, na) <- names; (b, nb) <- names if a < b
+      d = levenshteinRef(na, nb) if d <= 1
+    } yield (a, b) -> d.toLong).toMap
+    assert(got === want)
+    assert(got((1L, 2L)) === 1L && got((1L, 3L)) === 1L
+      && got((1L, 4L)) === 1L && got((1L, 6L)) === 0L)
+    assert(!got.contains((1L, 5L)), "transposition is distance 2")
+    // the exact join dominates q96's parity blocking on the real corpus
+    val sup = graft.Tables.supplier(spark, sf)
+    val exact = graft.queries.Dedup.editDistancePairs(sup)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val blocked = SparkEntry.queries("q96_fuzzy_linkage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact),
+      s"q96 found pairs the exact join missed: ${blocked.diff(exact)}")
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("randomized corpora: prefix plan ≡ brute force") {
     // deterministic seed; blocks of near-dups built by token substitution
     val rnd = new scala.util.Random(7)
