@@ -14,7 +14,8 @@ object TextAnalysis {
 
   def all: Seq[Q] =
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
-      q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity)
+      q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
+      q146PmiCollocations)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -615,5 +616,86 @@ object TextAnalysis {
         round(col("sd") / col("n_bigrams"), 6).as("avg_nll"))
       .withColumn("high_ppl", col("avg_nll") > 8.0)
       .orderBy(col("doc_id"))
+  }
+
+  /** PMI COLLOCATION MINING — the corpus-linguistics operator behind
+    * phrase detection and template discovery: adjacent token pairs scored
+    * by pointwise mutual information,
+    * PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) ) with pair probability
+    * over the bigram population and unigram probabilities over the token
+    * stream; high-PMI high-count pairs are multiword units ("new york"),
+    * and a template corpus shows up as a wall of near-ln(N) scores. Only
+    * pairs seen ≥ 20 times qualify (the standard noise floor — PMI of
+    * rare pairs explodes), top 50 by (pmi, pair) for a total order.
+    *
+    * Plan: one scan feeds BOTH count tables (bigram explode → pair hash
+    * aggregate; token explode → unigram hash aggregate), two broadcast
+    * 1-row total joins, the two unigram joins shuffle vocab-sized rows —
+    * nothing corpus-quadratic anywhere — and a TakeOrderedAndProject
+    * caps the output. Exactness: the PMI argument is ONE double division
+    * of exact integer products (all < 2⁶³ through sf0.1 ×100 — bounds in
+    * comment below), its ln goes through the q87 float-cast, rounded 6.
+    */
+  val q146PmiCollocations = Q(
+    "q146_pmi_collocations",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |),
+      |uni AS (
+      |  SELECT u AS w, count(*) AS c FROM (
+      |    SELECT unnest(t) AS u FROM toks) x GROUP BY u
+      |),
+      |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      |bg AS (
+      |  SELECT u.w1, u.w2, count(*) AS c12 FROM (
+      |    SELECT unnest(list_transform(range(1, len(t)),
+      |      i -> {'w1': t[i], 'w2': t[i + 1]})) AS u
+      |    FROM toks WHERE len(t) >= 2) x
+      |  GROUP BY u.w1, u.w2
+      |),
+      |np AS (SELECT CAST(sum(c12) AS BIGINT) AS npairs FROM bg),
+      |s AS (
+      |  SELECT bg.w1, bg.w2, bg.c12, a.c AS c1, b.c AS c2,
+      |    round(CAST(CAST(ln(
+      |      CAST(bg.c12 * nt.n * nt.n AS DOUBLE)
+      |        / CAST(np.npairs * a.c * b.c AS DOUBLE)) AS FLOAT) AS DOUBLE),
+      |      6) AS pmi
+      |  FROM bg JOIN uni a ON bg.w1 = a.w
+      |    JOIN uni b ON bg.w2 = b.w, nt, np
+      |  WHERE bg.c12 >= 20
+      |)
+      |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+      |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, pmi
+      |FROM s
+      |ORDER BY pmi DESC NULLS LAST, w1 NULLS FIRST, w2 NULLS FIRST
+      |LIMIT 50""".stripMargin,
+  ) { (s, d) =>
+    val toks = Tables.documentsWide(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nt = uni.agg(sum(col("c")).cast("long").as("n"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS w1,
+          |              element_at(t, i + 1) AS w2))""".stripMargin)).as("u"))
+      .groupBy(col("u.w1").as("w1"), col("u.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val np = bg.agg(sum(col("c12")).cast("long").as("npairs"))
+    // integer-product bound: c12,c1,c2 ≤ n ≤ 5·10⁵ (sf0.1 token stream),
+    // so c12·n·n ≤ 1.3·10¹⁷ and npairs·c1·c2 ≤ 1.3·10¹⁷ — inside int64
+    bg.filter(col("c12") >= 20)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(np))
+      .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
+        col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"),
+        round(expr(
+          """CAST(CAST(ln(CAST(c12 * n * n AS DOUBLE)
+            |  / CAST(npairs * c1 * c2 AS DOUBLE)) AS FLOAT) AS DOUBLE)"""
+          .stripMargin), 6).as("pmi"))
+      .orderBy(col("pmi").desc_nulls_last, col("w1"), col("w2"))
+      .limit(50)
   }
 }

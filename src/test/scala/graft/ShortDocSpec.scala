@@ -190,6 +190,26 @@ class ShortDocSpec extends SparkSpec {
     assert(got(4L) === ((1L, 0L, md5("unique tail only"))))
   }
 
+  test("q146: below the count floor is empty, not a crash; PMI is exact") {
+    // the ShortDoc fixture has no pair with count ≥ 20 → empty result
+    assert(SparkEntry.queries("q146_pmi_collocations")(spark, dir)
+      .collect().isEmpty)
+    // crafted corpus: 30 copies of "alpha beta" → c12=30, N=60, c1=c2=30,
+    // npairs=30 → PMI = ln(30·60² / (30·30·30)) = ln(4)
+    val d = "/tmp/graft_pmi_docs"
+    import spark.implicits._
+    (1L to 30L).map(i => (i, "alpha beta", "en", "unit", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("q146_pmi_collocations")(spark, d).collect()
+    assert(rows.length === 1)
+    val expected = BigDecimal(math.log(4.0).toFloat.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getString(0) === "alpha" &&
+      rows.head.getString(1) === "beta" &&
+      rows.head.getDouble(5) === expected)
+  }
+
   test("q131 excludes bigram-less docs and scores twins identically") {
     val rows = SparkEntry.queries("q131_lm_perplexity")(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
