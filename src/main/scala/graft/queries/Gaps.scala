@@ -22,7 +22,7 @@ object Gaps {
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
     q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease,
     q135QuantileBisect, q139WeightedQuantile, q140KsDrift,
-    q142RankTransform)
+    q142RankTransform, q147ParetoGini)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1528,5 +1528,83 @@ object Gaps {
         col("c").as("value_cents"), col("rnk").cast("long").as("rnk"),
         graft.functions.Exact.ratio6("rnk - 1", "n - 1").as("pct"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** ACTIVITY CONCENTRATION — exact Gini coefficient and top-decile share
+    * of per-user event counts, the "does 10% of the population generate
+    * 80% of the data" governance metric behind skew budgeting, abuse
+    * triage, and contribution bounding (q128's clipping wants exactly
+    * this picture). Both statistics reduce to integer cross-products over
+    * the VALUE-RUN structure of the sorted count multiset, so no global
+    * window ever touches user-proportional rows (the q142 lesson, third
+    * use): a run of m users sharing count c and preceded by s users
+    * contributes c·(m·s + m(m+1)/2) to Σ rank·count — rank assignment
+    * within a tied run provably cancels — and the top-k side splits one
+    * threshold run as (k − cum_above)·c. The lone windows run over
+    * DISTINCT activity levels (bounded by max per-user activity, not by
+    * user count). Gini = (2·Σi·x − (n+1)·S) / (n·S) via ratio6; the
+    * DuckDB twin is the textbook per-user row_number formulation, a
+    * different decomposition of the same sums.
+    */
+  val q147ParetoGini = Q(
+    "q147_pareto_gini",
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS c FROM events
+      |  WHERE user_id IS NOT NULL GROUP BY user_id
+      |),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+      |  FROM u
+      |),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM u),
+      |g AS (SELECT CAST(sum(i * c) AS BIGINT) AS sic FROM r),
+      |kk AS (SELECT CAST((n + 9) // 10 AS BIGINT) AS k, n, s FROM t),
+      |top AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS ts FROM (
+      |    SELECT c, row_number() OVER (ORDER BY c DESC, user_id DESC) AS j
+      |    FROM u) x, kk WHERE x.j <= kk.k
+      |)
+      |SELECT kk.n AS n_users, kk.s AS total_events, kk.k,
+      |  CAST(((2 * CAST(2 * sic - (kk.n + 1) * kk.s AS BIGINT) * 1000000
+      |      + CAST(kk.n * kk.s AS BIGINT))
+      |    // nullif(2 * CAST(kk.n * kk.s AS BIGINT), 0)) AS DOUBLE)
+      |    / 1000000.0 AS gini,
+      |  CAST(((2 * CAST(top.ts AS BIGINT) * 1000000 + CAST(kk.s AS BIGINT))
+      |    // nullif(2 * CAST(kk.s AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS top_share
+      |FROM kk, g, top""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val byVal = u.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val asc = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // value-run decomposition of Σ rank·count and of the top-k mass
+    val runs = byVal.select(col("c"), col("m"),
+      (sum(col("m")).over(asc) - col("m")).as("sb"),
+      (sum(col("m")).over(desc) - col("m")).as("above"),
+      (sum(col("c") * col("m")).over(desc) - col("c") * col("m"))
+        .as("sum_above"))
+    val tot = u.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("c")).cast("long").as("s"))
+      .withColumn("k", expr("(n + 9) div 10"))
+    val sic = runs.select(
+      (col("c") * (col("m") * col("sb")
+        + expr("(m * (m + 1)) div 2"))).as("contrib"))
+      .agg(sum(col("contrib")).cast("long").as("sic"))
+    val ts = runs.crossJoin(broadcast(tot))
+      .filter(col("above") < col("k")
+        && col("above") + col("m") >= col("k"))
+      .select((col("sum_above")
+        + (col("k") - col("above")) * col("c")).as("ts"))
+    broadcast(tot).crossJoin(broadcast(sic)).crossJoin(broadcast(ts))
+      .select(col("n").as("n_users"), col("s").as("total_events"), col("k"),
+        graft.functions.Exact.ratio6("2 * sic - (n + 1) * s", "n * s")
+          .as("gini"),
+        graft.functions.Exact.ratio6("ts", "s").as("top_share"))
   }
 }

@@ -130,6 +130,22 @@ class EdgeEventsSpec extends SparkSpec {
     assert(got(("view_purchase", 0.9)) === ((1L, 80 * min)))
   }
 
+  test("q147: hand-computed Gini and top-decile share on a 4-user corpus") {
+    val d = "/tmp/graft_edge_events_gini"
+    import spark.implicits._
+    // users 1-3: one event each; user 4: nine events → counts {1,1,1,9}:
+    // Σ rank·count = 1+2+3+36 = 42, Gini = (84 − 5·12)/(4·12) = 0.5,
+    // k = ⌈4/10⌉ = 1, top share = 9/12 = 0.75
+    val rows = (1L to 3L).map(u => (u, u * 1000000000L, u, "view", 1.0, "{}")) ++
+      (1L to 9L).map(i => (100L + i, i * 1000000000L, 4L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q147_pareto_gini")(spark, d).collect()
+    assert(r.length === 1)
+    assert((r.head.getLong(0), r.head.getLong(1), r.head.getLong(2),
+      r.head.getDouble(3), r.head.getDouble(4)) === ((4L, 12L, 1L, 0.5, 0.75)))
+  }
+
   test("q120: single-event users contribute no transitions; solo rows stay") {
     // users 2 and 4 have exactly one event — the lag window must emit no
     // pair for them, and a corpus of ONLY such users yields an empty
