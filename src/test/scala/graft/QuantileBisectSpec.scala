@@ -52,6 +52,35 @@ class QuantileBisectSpec extends SparkSpec {
     assert(got(0.99) === ((99L, 99L, 10900L)))
   }
 
+  test("property: bisection and rank transform match driver-side references " +
+      "on randomized skewed corpora (fixed seed)") {
+    val rng = new scala.util.Random(97)
+    for (round <- 1 to 4) {
+      // heavy-duplicate mass plus a sparse tail plus NEGATIVE values —
+      // negative cents exercise the (c - lo) bin shift's floor behavior
+      val prices =
+        Seq.fill(200)(rng.nextInt(5).toDouble - 2.0) ++
+          Seq.fill(100)((rng.nextDouble() - 0.5) * 10000)
+      val d = fixture(prices)
+      val cents = prices.map(p => math.floor(p * 100).toLong).sorted
+      val n = cents.length
+      val q135 = SparkEntry.queries("q135_quantile_bisect")(spark, d)
+        .collect().map(r => r.getDouble(0) -> r.getLong(3)).toMap
+      for ((q, qm) <- Seq(0.5 -> 500000L, 0.9 -> 900000L, 0.99 -> 990000L)) {
+        val k = ((n * qm + 999999) / 1000000).toInt
+        assert(q135(q) === cents(k - 1), s"round $round q=$q")
+      }
+      val q142 = SparkEntry.queries("q142_rank_transform")(spark, d)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val sortedAll = cents
+      prices.zipWithIndex.foreach { case (p, i) =>
+        val c = math.floor(p * 100).toLong
+        val expectRank = sortedAll.count(_ < c) + 1L
+        assert(q142(i.toLong) === expectRank, s"round $round row $i")
+      }
+    }
+  }
+
   test("q142: tied values share a rank; pct spans exactly [0, 1]") {
     val d = fixture(Seq(10.0, 10.0, 20.0, 30.0))
     val got = SparkEntry.queries("q142_rank_transform")(spark, d)
