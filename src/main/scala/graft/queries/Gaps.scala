@@ -1475,7 +1475,9 @@ object Gaps {
     * BY c)`): two different rank computations hash-matching per row. At
     * 600 k rows per sf0.1 this is also the registry's biggest per-row
     * output — deliberate: a transform must prove itself ON every row,
-    * not on a summary.
+    * not on a summary. (The trailing ORDER BY is the house presentation
+    * convention, not part of the computation — the RANKS are derived
+    * sort-free; a production pipeline writes the transform unsorted.)
     */
   val q142RankTransform = Q(
     "q142_rank_transform",
