@@ -1528,6 +1528,76 @@ object Dedup {
         graft.functions.Exact.ratio6("inter", "uni").as("jaccard"))
   }
 
+  // ---- incremental form of the Hamming join (q138's ingest shape) ----
+
+  /** The persistable Hamming index: fingerprint CLASSES (f, n). Unlike
+    * the prefix join's dictionary there is nothing to freeze — a SimHash
+    * is a pure per-doc function, independent of corpus statistics — so
+    * the index is just the class table and composes across batches by
+    * count addition.
+    */
+  def hammingIndex(docs: DataFrame): DataFrame =
+    simhash48(docs).groupBy(col("f")).agg(count(lit(1)).as("n"))
+
+  /** INCREMENTAL Hamming join — q138 at ingest time, completing the
+    * incremental trio (probabilistic LSH: [[incrementalNearDups]]; exact
+    * set space: [[incrementalPrefixPairs]]; exact Hamming space: this).
+    * Emits, per fingerprint-class pair within distance 3, the NUMBER OF
+    * DOC PAIRS that involve ≥ 1 new document — the exact delta the class
+    * algebra dictates:
+    *
+    *   C(o+n, 2) = C(o, 2) + o·n + C(n, 2)          (same class)
+    *   (oa+na)(ob+nb) = oa·ob + oa·nb + na·ob + na·nb  (cross classes)
+    *
+    * so old + incremental = recompute-on-union HOLDS COUNT-ADDITIVELY per
+    * class pair (PrefixJoinSpec proves it through a parquet round-trip;
+    * row-disjointness is the wrong contract here because a class PAIR can
+    * exist before and after — its count grows). Candidates come from the
+    * new-touched classes' bands against all bands: batch-proportional,
+    * old-old pairs structurally absent. Reported n_a/n_b are the UNION
+    * class sizes (what a reader of the merged index sees).
+    */
+  def incrementalHammingPairs(
+      newDocs: DataFrame, index: DataFrame): DataFrame = {
+    val merged = index.select(col("f"), col("n").as("n_old"))
+      .join(hammingIndex(newDocs).select(col("f"), col("n").as("n_new")),
+        Seq("f"), "full")
+      .select(col("f"),
+        coalesce(col("n_old"), lit(0L)).as("o"),
+        coalesce(col("n_new"), lit(0L)).as("nw"))
+      .localCheckpoint()
+    val same = merged.filter(col("nw") >= 1)
+      .select(col("f").as("f_a"), col("f").as("f_b"), lit(0L).as("hamming"),
+        (col("o") + col("nw")).as("n_a"), (col("o") + col("nw")).as("n_b"),
+        (col("o") * col("nw") + expr("(nw * (nw - 1)) div 2")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+    def bandsOf(df: DataFrame) = df
+      .select(col("f"), col("o"), col("nw"), posexplode(expr(
+        "transform(sequence(0, 3), k -> shiftright(f, 12 * k) & 4095)")))
+      .select(col("f"), col("o"), col("nw"), col("pos").as("bk"),
+        col("col").as("bv"))
+    val newBands = bandsOf(merged.filter(col("nw") >= 1))
+    val allBands = bandsOf(merged)
+    val cross = newBands.as("a").join(allBands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.bv") === col("b.bv") &&
+          col("a.f") =!= col("b.f"))
+      .select(least(col("a.f"), col("b.f")).as("f_a"),
+        greatest(col("a.f"), col("b.f")).as("f_b"))
+      .distinct()
+      .join(merged.select(col("f").as("f_a"), col("o").as("oa"),
+        col("nw").as("na")), "f_a")
+      .join(merged.select(col("f").as("f_b"), col("o").as("ob"),
+        col("nw").as("nb")), "f_b")
+      .withColumn("hamming", expr("bit_count(f_a ^ f_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("f_a"), col("f_b"), col("hamming"),
+        (col("oa") + col("na")).as("n_a"), (col("ob") + col("nb")).as("n_b"),
+        (col("oa") * col("nb") + col("na") * col("ob")
+          + col("na") * col("nb")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+    cross.unionAll(same).orderBy(col("f_a"), col("f_b"))
+  }
+
   // ---- q138: exact Hamming-distance join in 48-bit SimHash space ----
 
   /** Per-nibble hex values (one md5 per token, 12 nibbles = 48 bits) and

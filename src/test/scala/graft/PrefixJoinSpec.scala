@@ -164,6 +164,49 @@ class PrefixJoinSpec extends SparkSpec {
     assert(inc.keys.exists { case (a, b) => a >= 200 && b >= 200 })
   }
 
+  test("incremental hamming join: old + delta = recompute, count-additively") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    def block(blk: Int, m: Int, idBase: Long) = {
+      val toks = (1 to 60).map(j => s"hb${blk}_t$j")
+      (0 until m).map { i =>
+        val mutated = toks.map(t =>
+          if (rnd.nextInt(40) == 0) s"m${rnd.nextInt(30)}" else t)
+        (idBase + i) -> mutated.mkString(" ")
+      }
+    }
+    // old: two blocks incl. exact dups (same-class pairs); new: more
+    // members of block 0 (cross- and same-class deltas) + a new block
+    val old = block(0, 5, 1L) ++ block(1, 4, 100L) :+ (50L -> block(0, 1, 1L).head._2)
+    val fresh = block(0, 3, 200L) ++ block(7, 3, 300L)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    val dir = "/tmp/graft_hamming_index"
+    graft.queries.Dedup.hammingIndex(old.toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val oldPairs = keyed(
+      graft.queries.Dedup.hammingPairs(old.toDF("doc_id", "text")))
+    val full = keyed(graft.queries.Dedup
+      .hammingPairs((old ++ fresh).toDF("doc_id", "text")))
+    val inc = keyed(graft.queries.Dedup
+      .incrementalHammingPairs(fresh.toDF("doc_id", "text"), index))
+    assert(inc.nonEmpty, "fixture must produce a delta")
+    // every class pair in the union recompute must be exactly the sum of
+    // the old run's count and the incremental delta (0 when absent), at
+    // the same hamming distance
+    for ((k, (h, np)) <- full) {
+      val oldNp = oldPairs.get(k).map(_._2).getOrElse(0L)
+      val incNp = inc.get(k).map(_._2).getOrElse(0L)
+      assert(oldNp + incNp === np, s"class pair $k")
+      oldPairs.get(k).foreach { case (oh, _) => assert(oh === h) }
+      inc.get(k).foreach { case (ih, _) => assert(ih === h) }
+    }
+    // and the delta never invents a class pair the union lacks
+    assert(inc.keySet.subsetOf(full.keySet))
+  }
+
   test("q145: deletion-neighborhood join ≡ brute force; q96 is a subset") {
     import spark.implicits._
     val names = Seq(
