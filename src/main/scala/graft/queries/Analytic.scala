@@ -36,6 +36,7 @@ object Analytic {
     q124RollingP95Sketch,
     q133MaxConcurrency,
     q137FunnelLatency,
+    q148DecayedScore,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1137,5 +1138,63 @@ object Analytic {
         (col("qm").cast("double") / 1000000.0).as("quantile"),
         col("n").cast("long").as("n"), col("lat_us"))
       .orderBy(col("stage"), col("quantile"))
+  }
+
+  /** EXPONENTIALLY DECAYED activity scoring — the freshness-weighted
+    * engagement metric every recommendation/abuse system keeps (recent
+    * events count more; half-life 7 days): score(user) = Σ w(age_days)
+    * over the trailing 30 days, w(d) = 2^(−d/7). Cross-engine exactness
+    * by the q125 discipline: the 30 weights are PRECOMPUTED once as
+    * integer micro literals embedded in BOTH plans (one array lookup per
+    * event — no per-row `pow`, whose libm could differ in the last ulp),
+    * the age is integer µs arithmetic against an in-plan corpus-max
+    * scalar (no wall clock — deterministic replay), and the score is an
+    * exact integer sum. Plan: one scan → broadcast 1-row max → map-side
+    * combined user aggregate; day boundaries use the floor-division pmod
+    * idiom so pre-epoch timestamps can't skew a bucket.
+    */
+  val q148DecayedScore: Q = {
+    // half-life 7 days over a 30-day horizon, in integer micro units;
+    // computed at BUILD time and embedded as the same literals in both
+    // plans, so engine libm differences cannot exist by construction
+    val weights = (0 until 30)
+      .map(d => math.round(math.pow(2.0, -d / 7.0) * 1e6))
+    val arrSql = weights.mkString("[", ", ", "]")
+    val arrSpark = weights.map(w => s"${w}L").mkString("array(", ", ", ")")
+    Q(
+      "q148_decayed_score",
+      s"""WITH mx AS (
+         |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS m FROM events
+         |),
+         |aged AS (
+         |  SELECT user_id,
+         |    CAST((mx.m - epoch_us(CAST(ts AS TIMESTAMP))) // 86400000000
+         |      AS BIGINT) AS age_d
+         |  FROM events, mx
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent,
+         |  CAST(sum($arrSql[age_d + 1]) AS BIGINT) AS score_micro
+         |FROM aged WHERE age_d < 30
+         |GROUP BY user_id
+         |ORDER BY user_id NULLS FIRST""".stripMargin,
+    ) { (s, d) =>
+      val mx = Tables.events(s, d)
+        .agg(max(expr("unix_micros(ts)")).as("m"))
+      Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .crossJoin(broadcast(mx))
+        // corpus timestamps are post-epoch and m = max(ts), so the age is
+        // non-negative and truncating div IS floor div here; the pmod
+        // idiom is unnecessary (and age_d < 30 guards the array lookup)
+        .select(col("user_id"),
+          expr("(m - unix_micros(ts)) div 86400000000").as("age_d"))
+        .filter(col("age_d") < 30)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_recent"),
+          sum(expr(s"element_at($arrSpark, CAST(age_d + 1 AS INT))"))
+            .cast("long").as("score_micro"))
+        .orderBy(col("user_id"))
+    }
   }
 }

@@ -146,6 +146,29 @@ class EdgeEventsSpec extends SparkSpec {
       r.head.getDouble(3), r.head.getDouble(4)) === ((4L, 12L, 1L, 0.5, 0.75)))
   }
 
+  test("q148: weights follow the half-life table; stale events drop out") {
+    val d = "/tmp/graft_edge_events_decay"
+    import spark.implicits._
+    val day = 86400000000L
+    val base = 1700000000000000L // µs, post-epoch
+    def ns(ageDays: Long) = (base - ageDays * day) * 1000L
+    Seq(
+      (1L, ns(0), 1L, "view", 1.0, "{}"),   // w = 1.000000
+      (2L, ns(7), 1L, "view", 1.0, "{}"),   // w = 0.500000 (exact half-life)
+      (3L, ns(14), 2L, "view", 1.0, "{}"),  // w = 0.250000
+      (4L, ns(30), 3L, "view", 1.0, "{}"),  // beyond horizon → dropped
+      (5L, ns(29), 4L, "view", 1.0, "{}"),  // last in-horizon day
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q148_decayed_score")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((2L, 1500000L)))
+    assert(got(2L) === ((1L, 250000L)))
+    assert(!got.contains(3L), "a 30-day-old event is outside the horizon")
+    assert(got(4L) === ((1L,
+      math.round(math.pow(2.0, -29 / 7.0) * 1e6))))
+  }
+
   test("q120: single-event users contribute no transitions; solo rows stay") {
     // users 2 and 4 have exactly one event — the lag window must emit no
     // pair for them, and a corpus of ONLY such users yields an empty
