@@ -37,6 +37,7 @@ object Analytic {
     q133MaxConcurrency,
     q137FunnelLatency,
     q148DecayedScore,
+    q149LastTouchAttribution,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1196,5 +1197,70 @@ object Analytic {
             .cast("long").as("score_micro"))
         .orderBy(col("user_id"))
     }
+  }
+
+  /** LAST-TOUCH revenue ATTRIBUTION — the marketing-analytics closer of
+    * the as-of family (q09 enriches facts with the latest dimension
+    * version; this credits each conversion to the latest preceding
+    * TOUCHPOINT): every purchase's value goes to the channel (view or
+    * click) of the user's most recent touch within the 7-day lookback,
+    * or to the 'none' bucket when no touch qualifies. One user-keyed
+    * window carries the running last touch (ignore-nulls LAST over the
+    * (ts, event_id)-ordered event stream — the deterministic tiebreak
+    * makes a same-µs touch count as preceding), so the whole operator is
+    * a single shuffle + one channel aggregate; no purchase×touch join
+    * ever exists. Revenue sums through the house exact-sum.
+    */
+  val q149LastTouchAttribution = Q(
+    "q149_last_touch_attribution",
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type IN ('view', 'click', 'purchase')
+       |),
+       |tagged AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type IN ('view', 'click')
+       |        THEN {'us': us, 'ch': event_type} END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+       |  FROM e
+       |),
+       |conv AS (
+       |  SELECT CASE WHEN lt IS NOT NULL
+       |      AND us - lt.us <= 7 * 86400000000 THEN lt.ch
+       |      ELSE 'none' END AS channel,
+       |    value
+       |  FROM tagged WHERE event_type = 'purchase'
+       |)
+       |SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+       |  ${graft.functions.Exact.Sql.dsum("value")} AS revenue
+       |FROM conv GROUP BY channel
+       |ORDER BY channel NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tagged = e.withColumn("lt",
+      last(when(col("event_type").isin("view", "click"),
+        struct(col("us").as("us"), col("event_type").as("ch"))),
+        ignoreNulls = true).over(w))
+    tagged.filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt").isNotNull
+          && col("us") - col("lt.us") <= 7L * 86400000000L, col("lt.ch"))
+          .otherwise("none").as("channel"),
+        col("value"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+        graft.functions.Exact.dsum(col("value")).as("revenue"))
+      .orderBy(col("channel"))
   }
 }

@@ -169,6 +169,35 @@ class EdgeEventsSpec extends SparkSpec {
       math.round(math.pow(2.0, -29 / 7.0) * 1e6))))
   }
 
+  test("q149: credit goes to the latest in-window touch, else 'none'") {
+    val d = "/tmp/graft_edge_events_attr"
+    import spark.implicits._
+    def ns(day: Int, hour: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, day, hour, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    Seq(
+      // user 1: view then click then purchase → click (latest touch) wins
+      (1L, ns(1, 8), 1L, "view", 0.0, "{}"),
+      (2L, ns(1, 9), 1L, "click", 0.0, "{}"),
+      (3L, ns(1, 10), 1L, "purchase", 100.0, "{}"),
+      // user 2: touch 8 days before purchase → outside lookback → none
+      (4L, ns(1, 0), 2L, "view", 0.0, "{}"),
+      (5L, ns(9, 1), 2L, "purchase", 50.0, "{}"),
+      // user 3: purchase with no touch at all → none
+      (6L, ns(2, 0), 3L, "purchase", 25.0, "{}"),
+      // user 4: touch AFTER the purchase must not credit backwards
+      (7L, ns(3, 10), 4L, "purchase", 10.0, "{}"),
+      (8L, ns(3, 11), 4L, "click", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q149_last_touch_attribution")(spark, d)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      "click" -> ((1L, 100.0)),
+      "none" -> ((3L, 85.0))))
+  }
+
   test("q120: single-event users contribute no transitions; solo rows stay") {
     // users 2 and 4 have exactly one event — the lag window must emit no
     // pair for them, and a corpus of ONLY such users yields an empty
