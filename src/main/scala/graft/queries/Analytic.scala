@@ -38,6 +38,7 @@ object Analytic {
     q137FunnelLatency,
     q148DecayedScore,
     q149LastTouchAttribution,
+    q150RetentionDecayFit,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1262,5 +1263,97 @@ object Analytic {
       .agg(count(lit(1)).cast("long").as("n_conversions"),
         graft.functions.Exact.dsum(col("value")).as("revenue"))
       .orderBy(col("channel"))
+  }
+
+  /** RETENTION DECAY FIT — q84 reports the retention curve; this fits it:
+    * per cohort, least-squares of ln(active users) against day offset
+    * over the first 14 days gives the exponential decay rate and the
+    * derived half-life (ln2 / rate), the single number growth teams
+    * track. Exactness is the q94 regression discipline lifted into log
+    * space: x is an integer offset, y = ln(count) goes through the q87
+    * float-cast, every cross-moment (x·y, y) is decimal-summed so Spark's
+    * partial-merge order can't drift, the x-only moments are exact
+    * integers, and the slope is one double division of identical operands
+    * on both engines. The half-life divides ln2 (the same 17-digit double
+    * literal in both plans) by the PUBLISHED 6-decimal rate, not the raw
+    * one — the division amplifies sub-micro decimal-cast wobble in the
+    * raw slope ~300× (measured: 356.4836 vs 356.4868 on the corpus), and
+    * deriving every released number from already-released numbers is the
+    * right reporting rule anyway. Cohorts with fewer than 3 curve points
+    * or a non-positive decay rate report NULL half-life rather than a
+    * fabricated number. Bounded: ≤ 14 points per cohort ever aggregate.
+    */
+  val q150RetentionDecayFit = Q(
+    "q150_retention_decay_fit",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events
+      |),
+      |coh AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+      |ret AS (
+      |  SELECT c.cohort_day,
+      |    date_diff('day', c.cohort_day, u.day) AS d,
+      |    count(DISTINCT u.user_id) AS a
+      |  FROM ud u JOIN coh c ON u.user_id = c.user_id
+      |  WHERE date_diff('day', c.cohort_day, u.day) < 14
+      |  GROUP BY 1, 2
+      |),
+      |pts AS (
+      |  SELECT cohort_day, CAST(d AS BIGINT) AS x,
+      |    CAST(ln(CAST(a AS DOUBLE)) AS FLOAT) AS y
+      |  FROM ret
+      |),
+      |m AS (
+      |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(18,9)))
+      |      AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY cohort_day
+      |),
+      |fit AS (
+      |  SELECT cohort_day, n,
+      |    CASE WHEN n >= 3 AND n * sxx - sx * sx > 0 THEN
+      |      -((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+      |    END AS rate
+      |  FROM m
+      |)
+      |SELECT cohort_day, n AS n_points, round(rate, 6) AS decay_rate,
+      |  CASE WHEN round(rate, 6) > 0
+      |    THEN round(0.6931471805599453 / round(rate, 6), 6)
+      |  END AS half_life_days
+      |FROM fit
+      |ORDER BY cohort_day NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val coh = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val ret = ud.join(coh, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("d"), col("user_id"))
+      .filter(col("d") < 14)
+      .groupBy(col("cohort_day"), col("d"))
+      .agg(countDistinct(col("user_id")).as("a"))
+    val pts = ret.select(col("cohort_day"), col("d").cast("long").as("x"),
+      expr("CAST(ln(CAST(a AS DOUBLE)) AS FLOAT)").as("y"))
+    val m = pts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y").cast(DecimalType(18, 9))).cast("double").as("sy"),
+        sum((col("x").cast("double") * col("y")).cast(DecimalType(18, 9)))
+          .cast("double").as("sxy"))
+    m.withColumn("rate",
+        when(col("n") >= 3 && col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          -((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))))
+      .select(col("cohort_day"), col("n").as("n_points"),
+        round(col("rate"), 6).as("decay_rate"),
+        when(round(col("rate"), 6) > 0,
+          round(lit(0.6931471805599453) / round(col("rate"), 6), 6))
+          .as("half_life_days"))
+      .orderBy(col("cohort_day"))
   }
 }

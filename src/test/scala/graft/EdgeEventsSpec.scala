@@ -198,6 +198,26 @@ class EdgeEventsSpec extends SparkSpec {
       "none" -> ((3L, 85.0))))
   }
 
+  test("q150: a perfect halving curve fits rate ln2 and half-life 1 day") {
+    val d = "/tmp/graft_edge_events_decayfit"
+    import spark.implicits._
+    def ns(day: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1 + day, 12, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)) * 1000000000L
+    // 8 users on day 0, halving daily: 8, 4, 2, 1 → slope −ln2 exactly
+    val rows = for {
+      day <- 0 to 3
+      u <- 1 to (8 >> day)
+    } yield ((day * 100 + u).toLong, ns(day), u.toLong, "view", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q150_retention_decay_fit")(spark, d).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 4L)
+    assert(r.head.getDouble(2) === 0.693147)
+    assert(r.head.getDouble(3) === 1.0)
+  }
+
   test("q120: single-event users contribute no transitions; solo rows stay") {
     // users 2 and 4 have exactly one event — the lag window must emit no
     // pair for them, and a corpus of ONLY such users yields an empty
