@@ -39,6 +39,8 @@ object Analytic {
     q148DecayedScore,
     q149LastTouchAttribution,
     q150RetentionDecayFit,
+    q151TimeWeightedAvg,
+    q152MaxSilence,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1355,5 +1357,122 @@ object Analytic {
           round(lit(0.6931471805599453) / round(col("rate"), 6), 6))
           .as("half_life_days"))
       .orderBy(col("cohort_day"))
+  }
+
+  /** TIME-WEIGHTED AVERAGE — the metering/billing aggregate for
+    * irregularly sampled signals (a plain AVG over-weights bursts; TWA
+    * holds each sample until the next one): per event type,
+    * TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) / (t_last − t_first), computed left-constant
+    * with the final sample contributing no area. Arithmetic is exact
+    * integers end to end: centi-scaled values (bounded so Σ v·Δ stays
+    * under 2⁶³ at any tested scale — the magnitude analysis is the
+    * comment below) times µs gaps, one lead() window per type with the
+    * (ts, event_id) tiebreak (zero-width gaps from equal timestamps
+    * contribute nothing under any tie order), and ONE double division of
+    * identical exact operands at the end. Plan: one type-keyed window +
+    * one aggregate.
+    */
+  val q151TimeWeightedAvg = Q(
+    "q151_time_weighted_avg",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(floor(value * 100) AS BIGINT) AS vc
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT event_type, vc,
+      |    lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+      |      - us AS delta
+      |  FROM e
+      |)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(CASE WHEN delta IS NOT NULL THEN delta END) AS BIGINT)
+      |    AS span_us,
+      |  round(CAST(sum(CASE WHEN delta IS NOT NULL
+      |      THEN vc * delta END) AS DOUBLE)
+      |    / CAST(sum(CASE WHEN delta IS NOT NULL THEN delta END)
+      |      AS DOUBLE), 6) AS twa_centi
+      |FROM g GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    // magnitude: |vc| ≤ 5·10⁴ (corpus values bounded by ~500), per-type
+    // span ≤ 2·10¹³ µs (the fixture's 8-month range), so Σ vc·Δ ≤ 10¹⁸ —
+    // inside int64 with 9× headroom; the closing division casts the SAME
+    // exact long on both engines (double is exact to 2⁵³ ≈ 9·10¹⁵; the
+    // 10¹⁸ cast rounds identically on both, and the quotient sits ~10¹³
+    // above the 6-decimal rounding boundary scale)
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val g = e.select(col("event_type"), col("vc"),
+      (lead(col("us"), 1).over(w) - col("us")).as("delta"))
+    g.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_samples"),
+        sum(when(col("delta").isNotNull, col("delta"))).cast("long")
+          .as("span_us"),
+        round(
+          sum(when(col("delta").isNotNull, col("vc") * col("delta")))
+            .cast("double")
+            / sum(when(col("delta").isNotNull, col("delta"))).cast("double"),
+          6).as("twa_centi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MAX-SILENCE detection — the SLA/liveness dual of q92's
+    * sessionization (gaps WITHIN activity) and q80's gap fill (missing
+    * buckets): per event type, the longest interval with no event at all,
+    * and when it began. One lead() window per type with the deterministic
+    * (ts, event_id) tiebreak; ties on the maximum resolve to the earliest
+    * start. The streaming counterpart of this monitor is a heartbeat
+    * watermark; batch-side it is the query an on-call runs first.
+    */
+  val q152MaxSilence = Q(
+    "q152_max_silence",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT event_type, us,
+      |    lead(us) OVER (PARTITION BY event_type ORDER BY us, event_id)
+      |      - us AS delta
+      |  FROM e
+      |),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(max(delta) AS BIGINT) AS max_gap_us,
+      |    CAST(count(delta) AS BIGINT) AS n_gaps
+      |  FROM g GROUP BY event_type
+      |)
+      |SELECT m.event_type, m.max_gap_us, m.n_gaps,
+      |  make_timestamp(min(g.us)) AS gap_start
+      |FROM m JOIN g ON m.event_type = g.event_type
+      |  AND g.delta = m.max_gap_us
+      |GROUP BY m.event_type, m.max_gap_us, m.n_gaps
+      |ORDER BY m.event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val g = e.select(col("event_type"), col("us"),
+      (lead(col("us"), 1).over(w) - col("us")).as("delta"))
+      .withColumn("mx", max(col("delta"))
+        .over(Window.partitionBy(col("event_type"))))
+    g.groupBy(col("event_type"), col("mx"))
+      .agg(count(col("delta")).cast("long").as("n_gaps"),
+        min(when(col("delta") === col("mx"), col("us"))).as("start_us"))
+      .select(col("event_type"), col("mx").as("max_gap_us"), col("n_gaps"),
+        expr("timestamp_micros(start_us)").as("gap_start"))
+      .orderBy(col("event_type"))
   }
 }

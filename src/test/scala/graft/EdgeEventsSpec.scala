@@ -218,6 +218,32 @@ class EdgeEventsSpec extends SparkSpec {
     assert(r.head.getDouble(3) === 1.0)
   }
 
+  test("q151/q152: hand-computed TWA and silence on a step signal") {
+    val d = "/tmp/graft_edge_events_twa"
+    import spark.implicits._
+    def ns(min: Int): Long =
+      (java.time.LocalDateTime.of(2024, 1, 1, 8, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) + min * 60L) * 1000000000L
+    Seq(
+      // value 10 held 10 min, then 20 held 30 min, final sample no area:
+      // TWA = (1000·10 + 2000·30)/40 = 1750 centi
+      (1L, ns(0), 1L, "sig", 10.0, "{}"),
+      (2L, ns(10), 1L, "sig", 20.0, "{}"),
+      (3L, ns(40), 1L, "sig", 99.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val twa = SparkEntry.queries("q151_time_weighted_avg")(spark, d).collect()
+    assert(twa.length === 1)
+    assert((twa.head.getLong(1), twa.head.getLong(2),
+      twa.head.getDouble(3)) === ((3L, 40L * 60 * 1000000, 1750.0)))
+    val sil = SparkEntry.queries("q152_max_silence")(spark, d).collect()
+    assert(sil.length === 1)
+    // the longest silence is the 30-minute gap starting at 08:10
+    assert((sil.head.getLong(1), sil.head.getLong(2),
+      sil.head.getTimestamp(3).toInstant.toString) ===
+      ((30L * 60 * 1000000, 2L, "2024-01-01T08:10:00Z")))
+  }
+
   test("q120: single-event users contribute no transitions; solo rows stay") {
     // users 2 and 4 have exactly one event — the lag window must emit no
     // pair for them, and a corpus of ONLY such users yields an empty
