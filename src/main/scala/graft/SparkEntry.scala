@@ -11,7 +11,7 @@ object SparkEntry {
     Relational.all ++ Analytic.all ++ Functions.all ++ Pipeline.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Curation.all ++
       Gaps.all ++ StreamingQ.all ++ MultimodalQ.all ++ ScaleOps.all ++
-      GraphOps.all
+      GraphOps.all ++ Stats.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,26 +34,28 @@ object Tool {
         val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
         SparkEntry.queries(name)(spark, dir).explain("formatted")
       case Some("verify1") =>
-        // Single-query correctness dump: `runMain graft.Tool verify1 <query> [sfDir] [outDir]`
+        // Targeted correctness dump, comma-separated names:
+        // `runMain graft.Tool verify1 <q1[,q2,...]> [sfDir] [outDir]`
         // then `python3 tools/check.py <sfDir> <outDir>`.
-        val name = args(1)
+        val names = args(1).split(",").toSeq
         val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
         val out = if (args.length > 3) args(3) else "/tmp/verify_one"
         new java.io.File(out).mkdirs()
-        SparkEntry.queries(name)(spark, dir).coalesce(1).write
-          .mode("overwrite").parquet(s"$out/$name")
-        SparkEntry.oracleSql.get(name) match {
-          case Some(o) =>
-            val sql = o.replace("\\", "\\\\").replace("\"", "\\\"")
-              .replace("\n", "\\n").replace("\t", "\\t")
-            java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(s"$out/oracle_sql.json"),
-              s"""{"$name": "$sql"}""")
-          case None =>
-            java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(s"$out/oracle_sql.json"), "{}")
+        val oracles = names.flatMap { name =>
+          SparkEntry.queries(name)(spark, dir).coalesce(1).write
+            .mode("overwrite").parquet(s"$out/$name")
+          val o = SparkEntry.oracleSql.get(name)
+          if (o.isEmpty)
             println(s"[verify1] $name has no oracle (rows-only check); dump written")
+          o.map { sql =>
+            val esc = sql.replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\t", "\\t")
+            s""""$name": "$esc""""
+          }
         }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+          oracles.mkString("{", ", ", "}"))
       case Some("dedupbench") =>
         // dev-loop micro-bench for the q32 collapse pipeline (the tool
         // behind the measured pin/unpin numbers in Dedup.scala's comments;

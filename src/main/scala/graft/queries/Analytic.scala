@@ -41,6 +41,7 @@ object Analytic {
     q150RetentionDecayFit,
     q151TimeWeightedAvg,
     q152MaxSilence,
+    q158IntervalCoalesce,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1474,5 +1475,96 @@ object Analytic {
       .select(col("event_type"), col("mx").as("max_gap_us"), col("n_gaps"),
         expr("timestamp_micros(start_us)").as("gap_start"))
       .orderBy(col("event_type"))
+  }
+
+  /** INTERVAL COALESCING — merge each user's overlapping activity
+    * intervals into maximal disjoint spans and report the covered-time
+    * profile (span count, total covered, longest span): the "true active
+    * time" operator (billing, SLA attribution, device uptime), and the
+    * complement of q133's sweep — q133 asks how DEEP the overlap stacks,
+    * this asks how WIDE the union is. Intervals derive exactly as in
+    * q133 ([ts, ts + (60 + ⌊value⌋ mod 3540) s), half-open).
+    *
+    * The merge is the gaps-and-islands idiom: per user, order intervals
+    * by (start, end); an interval opens a NEW island iff its start
+    * exceeds the running max of all previous ends (touching spans — start
+    * = previous end — coalesce, the half-open convention); the island id
+    * is the running sum of those indicators, and one aggregate per island
+    * yields the spans. Every comparison is integer µs, so the oracle
+    * hash-matches bit-for-bit.
+    *
+    * Plan: ONE user-keyed exchange shared by both windows (running-max
+    * and island-sum are over the same (user, start, end) order) and the
+    * island aggregate; the final per-user rollup is user-count-sized. At
+    * corpus scale the per-user sweep shards by (user, day) with an
+    * open-interval carry-in — the q133 comment's discipline — because the
+    * island indicator only needs the running end-max, a single carried
+    * scalar.
+    */
+  val q158IntervalCoalesce = Q(
+    "q158_interval_coalesce",
+    """WITH iv AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + (60 + ((CAST(floor(value) AS BIGINT) % 3540) + 3540) % 3540)
+      |        * 1000000 AS e_us
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |),
+      |mk AS (
+      |  SELECT user_id, s_us, e_us,
+      |    CASE WHEN s_us > coalesce(max(e_us) OVER (
+      |      PARTITION BY user_id ORDER BY s_us, e_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS opens
+      |  FROM iv
+      |),
+      |isl AS (
+      |  SELECT user_id, s_us, e_us,
+      |    sum(opens) OVER (PARTITION BY user_id
+      |      ORDER BY s_us, e_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM mk
+      |),
+      |sp AS (
+      |  SELECT user_id, island, min(s_us) AS sp_s, max(e_us) AS sp_e
+      |  FROM isl GROUP BY user_id, island
+      |)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(sp_e - sp_s) AS BIGINT) AS covered_us,
+      |  CAST(max(sp_e - sp_s) AS BIGINT) AS longest_us,
+      |  make_timestamp(min(sp_s)) AS first_start,
+      |  make_timestamp(max(sp_e)) AS last_end
+      |FROM sp GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val iv = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts)").as("s_us"),
+        expr("""unix_micros(ts)
+          + (60 + ((CAST(floor(value) AS BIGINT) % 3540) + 3540) % 3540)
+            * CAST(1000000 AS BIGINT)""").as("e_us"))
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_us"), col("e_us"))
+    val mk = iv.withColumn("opens",
+      when(col("s_us") > coalesce(
+        max(col("e_us")).over(order.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1).otherwise(0))
+    val isl = mk.withColumn("island",
+      sum(col("opens")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s_us")).as("sp_s"), max(col("e_us")).as("sp_e"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("sp_e") - col("sp_s")).cast("long").as("covered_us"),
+        max(col("sp_e") - col("sp_s")).cast("long").as("longest_us"),
+        min(col("sp_s")).as("f_us"), max(col("sp_e")).as("l_us"))
+      .select(col("user_id"), col("n_spans"), col("covered_us"),
+        col("longest_us"),
+        expr("timestamp_micros(f_us)").as("first_start"),
+        expr("timestamp_micros(l_us)").as("last_end"))
+      .orderBy(col("user_id"))
   }
 }

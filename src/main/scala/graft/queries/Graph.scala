@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  def all: Seq[Q] = Seq(q113Pagerank, q134TriangleClustering)
+  def all: Seq[Q] = Seq(q113Pagerank, q134TriangleClustering, q157BfsHops)
 
   private val Iters = 8
   private val Mass = 1000000000000L // 10^12 micro-units of total rank
@@ -226,5 +226,83 @@ object GraphOps {
           "2 * coalesce(triangles, CAST(0 AS BIGINT))",
           "degree * (degree - 1)").as("clustering"))
       .orderBy(col("doc_id"))
+  }
+
+  private val BfsHops = 4
+
+  /** MULTI-SOURCE BFS — minimum hop distance from a seed set over the
+    * part co-purchase graph (parts linked when bought together in ≥ 2
+    * orders — q153's bounded pair generator reused as an edge builder;
+    * seeds are the p_size = 1 parts). The "blast radius / related items
+    * within k hops" operator behind catalog expansion and contamination
+    * spread analysis.
+    *
+    * Iteration is the house idiom (q113/q74): the loop-invariant edge
+    * list is pre-partitioned on its join key and checkpointed ONCE; each
+    * of the 4 fixed rounds is one dist⋈edges equi-join plus a min
+    * aggregate on the SAME key, and per-round state (node → dist) never
+    * reaches the driver. Distances are small exact ints, so the oracle is
+    * the identical recurrence as 4 unrolled CTEs — bit-equal by
+    * construction, no float anywhere. A frontier-delta variant (join only
+    * nodes whose dist changed last round) saves work on high-diameter
+    * graphs; at 4 hops over a dense co-purchase graph the full-state join
+    * is smaller than the bookkeeping, so this form is the right one.
+    */
+  val q157BfsHops = Q(
+    "q157_bfs_hops",
+    bfsOracle,
+  ) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pp = b.as("a").join(b.as("b2"),
+        col("a.l_orderkey") === col("b2.l_orderkey")
+          && col("a.l_partkey") < col("b2.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b2.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2)
+      .select(col("pa"), col("pb"))
+    val edges = pp.union(pp.select(col("pb").as("pa"), col("pa").as("pb")))
+      .toDF("src", "dst")
+      .repartition(col("src")).localCheckpoint()
+    var dist = Tables.part(s, d).filter(col("p_size") === 1)
+      .select(col("p_partkey").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to BfsHops) {
+      val next = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node").as("part"), col("dist").cast("long").as("dist"))
+      .orderBy(col("part"))
+  }
+
+  /** The q157 recurrence unrolled: round k's CTE is (round k−1) ∪
+    * (round k−1 ⋈ edges, +1) → group-min — same integer ops, so the hash
+    * compare covers every round. */
+  private def bfsOracle: String = {
+    val rounds = (1 to BfsHops).map { k =>
+      s"""d$k AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + 1 AS dist
+         |    FROM d${k - 1} p JOIN e ON p.node = e.src) x
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pp AS (
+       |  SELECT a.l_partkey AS pa, b2.l_partkey AS pb
+       |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+       |    AND a.l_partkey < b2.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |e AS (SELECT pa AS src, pb AS dst FROM pp
+       |      UNION ALL SELECT pb AS src, pa AS dst FROM pp),
+       |d0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM part WHERE p_size = 1),
+       |$rounds
+       |SELECT node AS part, dist FROM d$BfsHops
+       |ORDER BY part NULLS FIRST""".stripMargin
   }
 }

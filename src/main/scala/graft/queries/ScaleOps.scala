@@ -22,7 +22,7 @@ object ScaleOps {
 
   def all: Seq[Q] = Seq(
     q106BloomSemiJoin, q107RangeBinJoin, q108ZorderCurve, q109CmsFrequency,
-    q114JoinCardinality)
+    q114JoinCardinality, q153BasketLift)
 
   /** Bloom-pruned semi join — the explicit form of runtime row-level
     * filtering (which Spark only auto-injects under AQE heuristics, and
@@ -275,5 +275,74 @@ object ScaleOps {
       .groupBy(col("c_mktsegment"))
       .agg(sum(col("est")).as("est_matches"))
       .orderBy(col("c_mktsegment"))
+  }
+
+  /** MARKET-BASKET CO-OCCURRENCE — association mining (support /
+    * confidence / lift) over parts bought in the same order: the
+    * recommender-bootstrap operator, and the canonical example of SAFE
+    * pair generation at scale. The only pair generator is an equi
+    * self-join on the basket key, so work is Σ|basket|² — bounded by the
+    * ~7-item TPC-H basket, NEVER corpus-quadratic (the same argument as
+    * q132's prefix filter, enforced by the ScaleSpec no-cartesian sweep).
+    * Items are distinct-ed per basket first (multiplicity is not
+    * co-occurrence), pair stats join two part-keyed count tables, and
+    * lift = c_ab·n / (c_a·c_b) reports through ratio6's exact integer
+    * rounding (c_ab·n ≤ 2.3·10¹⁰ at sf0.1 — inside ratio6's 4.6·10¹²
+    * operand bound). Noise floor c_ab ≥ 2; top 100 by (lift, pair) is a
+    * total order (pair keys are unique), so the cap is deterministic.
+    */
+  val q153BasketLift = Q(
+    "q153_basket_lift",
+    s"""WITH b AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |),
+      |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+      |pc AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+      |pp AS (
+      |  SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+      |    count(*) AS c_ab
+      |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+      |    AND a.l_partkey < b2.l_partkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS c_ab,
+      |  CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  ${Exact.Sql.ratio6("c_ab", "n_orders")} AS support,
+      |  ${Exact.Sql.ratio6("c_ab", "ca.c")} AS confidence,
+      |  ${Exact.Sql.ratio6("c_ab * n_orders", "ca.c * cb.c")} AS lift
+      |FROM pp
+      |JOIN pc ca ON pp.part_a = ca.l_partkey
+      |JOIN pc cb ON pp.part_b = cb.l_partkey, n
+      |WHERE c_ab >= 2
+      |ORDER BY lift DESC NULLS LAST, part_a NULLS FIRST, part_b NULLS FIRST
+      |LIMIT 100""".stripMargin,
+  ) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = b.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val pc = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val pp = b.as("a").join(b.as("b2"),
+        col("a.l_orderkey") === col("b2.l_orderkey")
+          && col("a.l_partkey") < col("b2.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b2.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pp.filter(col("c_ab") >= 2)
+      .join(pc.select(col("l_partkey").as("part_a"), col("c").as("ca")),
+        "part_a")
+      .join(pc.select(col("l_partkey").as("part_b"), col("c").as("cb")),
+        "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"),
+        col("c_ab").cast("long").as("c_ab"),
+        col("ca").cast("long").as("c_a"),
+        col("cb").cast("long").as("c_b"),
+        col("n_orders").cast("long").as("n_orders"),
+        Exact.ratio6("c_ab", "n_orders").as("support"),
+        Exact.ratio6("c_ab", "ca").as("confidence"),
+        Exact.ratio6("c_ab * n_orders", "ca * cb").as("lift"))
+      .orderBy(col("lift").desc_nulls_last, col("part_a"), col("part_b"))
+      .limit(100)
   }
 }

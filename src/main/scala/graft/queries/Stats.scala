@@ -1,0 +1,333 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.functions._
+
+/** Inferential statistics over behavioral data — the experiment-analysis
+  * and model-fitting slice every analytics engine grows once it has
+  * aggregates: A/B significance testing, multivariate least squares, and
+  * χ² feature association. The reference (a single-pass exporter,
+  * `main.py:84-140`) has none of this; all three are [EXT] per SURVEY §2.
+  *
+  * The family's shared exactness discipline: every SUM is an exact int64
+  * aggregate (counts, or fixed-point-scaled measures), and the statistic
+  * itself is a FIXED-ORDER chain of double ops over those exact integers —
+  * IEEE multiplication/division in an explicitly parenthesized order is
+  * bit-deterministic in both engines, so the oracle hash-matches without
+  * the fixed-point unrolling the iterative family (q113) needs. Cheap
+  * where exact rationals would overflow int64 (z² and OLS determinants
+  * exceed 2⁶³ as integers at sf0.1; as ordered double ops they are exact
+  * to the last ulp and identical cross-engine).
+  */
+object Stats {
+
+  def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms)
+
+  /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
+    * operator: users are deterministically bucketed into variants by a
+    * keyed md5 parity (the q65 hash-split idiom — assignment is a pure
+    * function of user_id, reproducible on any engine and any re-run), the
+    * conversion metric is "user emitted ≥ 15 events of type e" (the q113
+    * engagement threshold — plain presence is degenerate on this fixture:
+    * every user has every type, making X = N and the variance zero), and
+    * each event type reports its lift and the χ²₍₁₎ statistic
+    * z² = (x₁n₂ − x₂n₁)²·N / (n₁·n₂·X·(N−X)), N = n₁+n₂, X = x₁+x₂,
+    * NULL when a variance factor is zero (all or none converted — the
+    * nullif guards in both engines).
+    *
+    * Exactness: x and n are exact int64 counts; (x₁n₂ − x₂n₁)² ≤ 10¹⁶ and
+    * every other product stays inside int64 through sf0.1×100 (n ≤ 10⁴
+    * users), so z² is ONE double division of two exact int64 products —
+    * bit-identical cross-engine. Rates go through the ratio6 integer
+    * rounding. Significance threshold 3.8415 = χ²₍₁,0.05₎.
+    *
+    * Plan: one scan → (user, type) distinct (map-side combined), one
+    * broadcast-sized per-variant arm table (5 types × 2 variants), a
+    * 1-row user-universe count joined by broadcast. Nothing wider than
+    * the distinct-pairs aggregate ever shuffles; at 100 TB the arm table
+    * is still 10 rows.
+    */
+  val q154AbTest = Q(
+    "q154_ab_test",
+    s"""WITH u AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM events
+      |),
+      |n AS (
+      |  SELECT
+      |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n2
+      |  FROM u
+      |),
+      |cv AS (
+      |  SELECT e.event_type,
+      |    sum(CASE WHEN u.variant = 0 THEN 1 ELSE 0 END) AS x1,
+      |    sum(CASE WHEN u.variant = 1 THEN 1 ELSE 0 END) AS x2
+      |  FROM (SELECT user_id, event_type FROM events
+      |        GROUP BY user_id, event_type HAVING count(*) >= 15) e
+      |  JOIN u ON e.user_id = u.user_id
+      |  GROUP BY e.event_type
+      |),
+      |s AS (
+      |  SELECT event_type, x1, n1, x2, n2,
+      |    (x1 * n2 - x2 * n1) AS dnum,
+      |    (x1 + x2) AS xx, (n1 + n2) AS nn
+      |  FROM cv, n
+      |)
+      |SELECT event_type,
+      |  CAST(x1 AS BIGINT) AS x1, CAST(n1 AS BIGINT) AS n1,
+      |  CAST(x2 AS BIGINT) AS x2, CAST(n2 AS BIGINT) AS n2,
+      |  ${Exact.Sql.ratio6("x1", "n1")} AS rate1,
+      |  ${Exact.Sql.ratio6("x2", "n2")} AS rate2,
+      |  round(CAST(dnum * dnum AS DOUBLE) * CAST(nn AS DOUBLE)
+      |    / nullif(CAST(n1 * n2 AS DOUBLE), 0)
+      |    / nullif(CAST(xx * (nn - xx) AS DOUBLE), 0), 6) AS z2,
+      |  (CAST(dnum * dnum AS DOUBLE) * CAST(nn AS DOUBLE)
+      |    / nullif(CAST(n1 * n2 AS DOUBLE), 0)
+      |    / nullif(CAST(xx * (nn - xx) AS DOUBLE), 0)) > 3.8415
+      |    AS significant
+      |FROM s
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val u = ev.select(col("user_id")).distinct()
+      .withColumn("variant",
+        conv(substring(md5(concat(lit("ab|"), col("user_id").cast("string"))),
+          1, 1), 16, 10).cast("long") % 2)
+    val n = u.agg(
+      sum(when(col("variant") === 0, 1).otherwise(0)).as("n1"),
+      sum(when(col("variant") === 1, 1).otherwise(0)).as("n2"))
+    val conv0 = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_ev")).filter(col("n_ev") >= 15)
+      .select(col("user_id"), col("event_type"))
+      .join(u, "user_id")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === 0, 1).otherwise(0)).as("x1"),
+        sum(when(col("variant") === 1, 1).otherwise(0)).as("x2"))
+    // z² denominators: X(N−X) ≤ N²/4 and n1·n2 ≤ N²/4 with N ≤ 10⁴ users
+    // (sf0.1) — every int64 product ≤ 2.5·10⁷; dnum² ≤ 10¹⁶. All exact.
+    val z2 = expr("""CAST(dnum * dnum AS DOUBLE) * CAST(nn AS DOUBLE)
+      / nullif(CAST(n1 * n2 AS DOUBLE), CAST(0 AS DOUBLE))
+      / nullif(CAST(xx * (nn - xx) AS DOUBLE), CAST(0 AS DOUBLE))""")
+    conv0.crossJoin(broadcast(n))
+      .select(col("event_type"), col("x1"), col("n1"), col("x2"), col("n2"),
+        (col("x1") * col("n2") - col("x2") * col("n1")).as("dnum"),
+        (col("x1") + col("x2")).as("xx"),
+        (col("n1") + col("n2")).as("nn"))
+      .select(col("event_type"),
+        col("x1").cast("long").as("x1"), col("n1").cast("long").as("n1"),
+        col("x2").cast("long").as("x2"), col("n2").cast("long").as("n2"),
+        Exact.ratio6("x1", "n1").as("rate1"),
+        Exact.ratio6("x2", "n2").as("rate2"),
+        round(z2, 6).as("z2"),
+        (z2 > 3.8415).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** OLS VIA NORMAL EQUATIONS — multivariate least squares fit of
+    * l_extendedprice ~ β₀ + β₁·l_quantity + β₂·(100·l_discount), solved
+    * per returnflag group by Cramer's rule on the 3×3 normal matrix XᵀX.
+    * This is the distributed-ML workhorse shape: a linear model over a
+    * 100 TB fact table is ONE pass of map-side-combined integer sums (the
+    * sufficient statistics) plus O(k³) driver-free finish math per group —
+    * no gradient iterations, no collect.
+    *
+    * Exactness: regressors are exact small ints (qty ≤ 50, discount·100 ≤
+    * 10 — the ×100 de-scaling makes x₂ integral) and y is exact cents
+    * (price has 2 decimals), so all 9 sufficient statistics are exact
+    * int64 sums (Σx₁y ≤ 3·10¹⁴ at sf0.1×100). The determinants would
+    * overflow int64 (Σx₁²·Σx₂²·n ~ 10²⁸), so the finish is fixed-order
+    * double arithmetic over the exact integers — the q154 discipline:
+    * det(M) = a(ei−fh) − b(di−fg) + c(dh−eg) with every operand an exact
+    * int64 cast to double (all ≤ 2⁵³, so the casts are exact) and the
+    * expression tree written identically in both engines.
+    */
+  val q155OlsNormalEq = Q(
+    "q155_ols_normal_eq",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    count(*) AS n,
+      |    sum(CAST(round(l_quantity) AS BIGINT)) AS s1,
+      |    sum(CAST(round(100 * l_discount) AS BIGINT)) AS s2,
+      |    sum(CAST(round(l_quantity) AS BIGINT)
+      |      * CAST(round(l_quantity) AS BIGINT)) AS s11,
+      |    sum(CAST(round(l_quantity) AS BIGINT)
+      |      * CAST(round(100 * l_discount) AS BIGINT)) AS s12,
+      |    sum(CAST(round(100 * l_discount) AS BIGINT)
+      |      * CAST(round(100 * l_discount) AS BIGINT)) AS s22,
+      |    sum(CAST(round(100 * l_extendedprice) AS BIGINT)) AS sy,
+      |    sum(CAST(round(l_quantity) AS BIGINT)
+      |      * CAST(round(100 * l_extendedprice) AS BIGINT)) AS s1y,
+      |    sum(CAST(round(100 * l_discount) AS BIGINT)
+      |      * CAST(round(100 * l_extendedprice) AS BIGINT)) AS s2y
+      |  FROM lineitem GROUP BY l_returnflag
+      |),
+      |f AS (
+      |  SELECT l_returnflag, n, s1, s2, s11, s12, s22, sy, s1y, s2y,
+      |    (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |        - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+      |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |        - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+      |        - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS det,
+      |    (CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |        - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+      |      - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |        - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+      |      + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)
+      |        - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE))) AS det0,
+      |    (CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |        - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+      |      - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |        - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)
+      |        - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))) AS det1,
+      |    (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)
+      |        - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+      |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)
+      |        - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+      |        - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS det2
+      |  FROM m
+      |)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  round(det0 / det / 100.0, 6) AS beta0,
+      |  round(det1 / det / 100.0, 6) AS beta1,
+      |  round(det2 / det / 100.0, 6) AS beta2
+      |FROM f
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    // sufficient statistics: exact int64 fixed-point sums (regressors are
+    // small ints, y in cents); max Σ|x₁·y| ≈ 50 · 10⁷ cents · 6·10⁵ rows
+    // = 3·10¹⁴ at sf0.1 — two orders inside int64 even at ×100 scale
+    val m = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x1"),
+        expr("CAST(round(100 * l_discount) AS BIGINT)").as("x2"),
+        expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+    // Cramer finish: fixed-order doubles over exact int64s (det products
+    // ~10²⁸ overflow int64; as doubles each factor is an exact cast and
+    // the order is pinned by the parenthesization — both engines evaluate
+    // the identical IEEE tree). β de-scales by the y-cents factor 100.
+    def det3(a: String, b: String, c: String, dd: String, e: String,
+        f: String, g: String, h: String, i: String) = expr(
+      s"""CAST($a AS DOUBLE) * (CAST($e AS DOUBLE) * CAST($i AS DOUBLE)
+        |    - CAST($f AS DOUBLE) * CAST($h AS DOUBLE))
+        |  - CAST($b AS DOUBLE) * (CAST($dd AS DOUBLE) * CAST($i AS DOUBLE)
+        |    - CAST($f AS DOUBLE) * CAST($g AS DOUBLE))
+        |  + CAST($c AS DOUBLE) * (CAST($dd AS DOUBLE) * CAST($h AS DOUBLE)
+        |    - CAST($e AS DOUBLE) * CAST($g AS DOUBLE))""".stripMargin)
+    // XᵀX rows: [n s1 s2; s1 s11 s12; s2 s12 s22]; Xᵀy = [sy s1y s2y].
+    // det_k replaces column k (symmetry lets each determinant expand
+    // along the replaced column's transpose row — written out explicitly
+    // so the Spark and DuckDB trees match token for token).
+    m.select(col("l_returnflag"), col("n"),
+        col("s1"), col("s2"), col("s11"), col("s12"), col("s22"),
+        col("sy"), col("s1y"), col("s2y"),
+        det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
+          .as("det"),
+        det3("sy", "s1", "s2", "s1y", "s11", "s12", "s2y", "s12", "s22")
+          .as("det0"),
+        det3("n", "sy", "s2", "s1", "s1y", "s12", "s2", "s2y", "s22")
+          .as("det1"),
+        det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
+          .as("det2"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round(col("det0") / col("det") / 100.0, 6).as("beta0"),
+        round(col("det1") / col("det") / 100.0, 6).as("beta1"),
+        round(col("det2") / col("det") / 100.0, 6).as("beta2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** χ² TERM–CLASS ASSOCIATION — supervised feature selection for text:
+    * for each (token, language) cell the 2×2 document-contingency table
+    * (a = docs in class with term, b = in class without, c = out of class
+    * with, d = out without) scores χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)),
+    * the standard vocabulary-selection statistic; top 50 by (χ², term,
+    * class) are the class-indicative keywords a language/quality
+    * classifier trains on.
+    *
+    * Exactness: pure counting. N ≤ 5·10³ docs (sf0.1) keeps (ad−bc)² ≤
+    * 4·10¹³, ×N ≤ 2·10¹⁷ and the 4-factor denominator ≤ N⁴ ≈ 6·10¹⁴ —
+    * both exact int64, so χ² is ONE double division. DF floor 10 is the
+    * standard noise cut (χ² is unreliable under ~5 expected counts).
+    *
+    * Plan: per-doc array_distinct BEFORE the explode (the q86 lesson —
+    * presence, not frequency, and no shuffled DISTINCT), one (term,class)
+    * hash aggregate, one vocab-sized term-total join, broadcast class
+    * totals, TakeOrderedAndProject caps the output. Nothing quadratic;
+    * the vocab aggregate is the widest stage and it map-side combines.
+    */
+  val q156Chi2Terms = Q(
+    "q156_chi2_terms",
+    """WITH dt AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' ')))
+      |    AS term
+      |  FROM documents
+      |),
+      |tc AS (SELECT term, lang, count(*) AS a_tc FROM dt GROUP BY 1, 2),
+      |tt AS (SELECT term, sum(a_tc) AS t_tot FROM tc GROUP BY 1),
+      |ct AS (SELECT lang, count(*) AS c_tot FROM documents GROUP BY 1),
+      |nn AS (SELECT count(*) AS n FROM documents),
+      |cell AS (
+      |  SELECT tc.term, tc.lang, tc.a_tc AS a,
+      |    ct.c_tot - tc.a_tc AS b,
+      |    tt.t_tot - tc.a_tc AS c,
+      |    nn.n - ct.c_tot - (tt.t_tot - tc.a_tc) AS d,
+      |    nn.n AS n
+      |  FROM tc JOIN tt USING (term) JOIN ct USING (lang), nn
+      |  WHERE tt.t_tot >= 10
+      |)
+      |SELECT term, lang,
+      |  CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+      |  round(CAST(n * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+      |    / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE), 6)
+      |    AS chi2
+      |FROM cell
+      |ORDER BY chi2 DESC NULLS LAST, term NULLS FIRST, lang NULLS FIRST
+      |LIMIT 50""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documentsWide(s, d)
+    val dt = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val tc = dt.groupBy(col("term"), col("lang")).agg(count(lit(1)).as("a_tc"))
+    val tt = tc.groupBy(col("term")).agg(sum(col("a_tc")).as("t_tot"))
+    val ct = docs.groupBy(col("lang")).agg(count(lit(1)).as("c_tot"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    // int64 bounds: a,b,c,d,n ≤ 5·10³ (sf0.1 docs; ×100 scale → 5·10⁵,
+    // (ad−bc)² ≤ 6·10²¹ would overflow — at that scale divide the four
+    // margins first in fixed-order doubles; flagged here, not needed yet)
+    tc.filter(col("a_tc").isNotNull)
+      .join(tt.filter(col("t_tot") >= 10), "term")
+      .join(broadcast(ct), "lang")
+      .crossJoin(broadcast(nn))
+      .select(col("term"), col("lang"),
+        col("a_tc").as("a"),
+        (col("c_tot") - col("a_tc")).as("b"),
+        (col("t_tot") - col("a_tc")).as("c"),
+        (col("n") - col("c_tot") - (col("t_tot") - col("a_tc"))).as("d"),
+        col("n"))
+      .select(col("term"), col("lang"),
+        col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+        col("c").cast("long").as("c"), col("d").cast("long").as("d"),
+        round(expr(
+          """CAST(n * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+            | / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE)"""
+            .stripMargin), 6).as("chi2"))
+      .orderBy(col("chi2").desc_nulls_last, col("term"), col("lang"))
+      .limit(50)
+  }
+}

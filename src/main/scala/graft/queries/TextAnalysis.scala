@@ -15,7 +15,7 @@ object TextAnalysis {
   def all: Seq[Q] =
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
-      q146PmiCollocations)
+      q146PmiCollocations, q159BpeMerges)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -697,5 +697,115 @@ object TextAnalysis {
           .stripMargin), 6).as("pmi"))
       .orderBy(col("pmi").desc_nulls_last, col("w1"), col("w2"))
       .limit(50)
+  }
+
+  private val BpeRounds = 3
+
+  /** BPE MERGE MINING — the first rounds of byte-pair-encoding tokenizer
+    * training, distributed: build the corpus word-frequency table once,
+    * then per round (a) count adjacent symbol pairs weighted by word
+    * frequency, (b) pick the global argmax pair under the total order
+    * (count desc, left, right), (c) apply the merge to every word's
+    * symbol sequence. Output: the learned merge table — exactly what a
+    * tokenizer trainer persists. Restricted to clean lowercase words
+    * (≥ 2 chars) so symbols never collide with the space separator.
+    *
+    * Merge application is a plain space-delimited string replace over the
+    * PADDED sequence (' c h a t ' → merge (a,t) → ' c h at '): leftmost
+    * non-overlapping replacement is the same deterministic convention in
+    * both engines (for a run like 'a a a' it merges greedily left, the
+    * standard BPE scan direction), and padding with spaces makes the
+    * pattern ' l r ' unable to match inside a multi-char symbol. All
+    * counts are exact int64, so three chained rounds hash-match as
+    * unrolled CTEs — the q113 iterative-oracle discipline with strings
+    * instead of fixed-point ints.
+    *
+    * Scale: state is the VOCAB table (words × frequencies), not the
+    * corpus — built with one map-side-combined aggregate, checkpointed
+    * once; each round is one vocab-sized pair explode (Σ|word| symbols,
+    * bounded by avg word length), one hash aggregate, and a 1-row
+    * broadcast back. The corpus is never rescanned after the vocab
+    * build — this is why BPE training parallelizes: frequencies, not
+    * documents, carry all the information.
+    */
+  val q159BpeMerges = Q(
+    "q159_bpe_merges",
+    bpeOracle,
+  ) { (s, d) =>
+    val vocab = Tables.documentsWide(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // padded space-delimited symbol sequence: ' c h a t '
+      .select(concat(lit(" "),
+          trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("sym"),
+        col("freq"))
+      .localCheckpoint()
+    def topPair(words: org.apache.spark.sql.DataFrame) = words
+      .select(split(trim(col("sym")), " ").as("t"), col("freq"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS l,
+          |              element_at(t, i + 1) AS r))""".stripMargin)).as("u"),
+        col("freq"))
+      .groupBy(col("u.l").as("l"), col("u.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+      .limit(1)
+    def applyMerge(words: org.apache.spark.sql.DataFrame,
+        top: org.apache.spark.sql.DataFrame) = words
+      .crossJoin(broadcast(top))
+      .select(expr(
+        "replace(sym, ' ' || l || ' ' || r || ' ', ' ' || l || r || ' ')")
+        .as("sym"), col("freq"))
+    var words = vocab
+    var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (round <- 1 to BpeRounds) {
+      val top = topPair(words)
+      merges = merges :+ top.select(lit(round.toLong).as("round"),
+        col("l"), col("r"), concat(col("l"), col("r")).as("merged"),
+        col("cnt").cast("long").as("pair_count"))
+      words = applyMerge(words, top)
+    }
+    merges.reduce(_ union _).orderBy(col("round"))
+  }
+
+  /** The q159 recurrence unrolled: round k's top-pair CTE reads word
+    * table k−1, word table k applies it — same string replace, same
+    * total-order argmax, so the hash compare covers all rounds. */
+  private def bpeOracle: String = {
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""t$k AS (
+         |  SELECT u.l AS l, u.r AS r, sum(freq) AS cnt FROM (
+         |    SELECT unnest(list_transform(
+         |        range(1, len(string_split(trim(sym), ' '))),
+         |        i -> {'l': string_split(trim(sym), ' ')[i],
+         |              'r': string_split(trim(sym), ' ')[i + 1]})) AS u,
+         |      freq
+         |    FROM w${k - 1}
+         |    WHERE len(string_split(trim(sym), ' ')) >= 2) x
+         |  GROUP BY u.l, u.r
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (
+         |  SELECT replace(sym, ' ' || t$k.l || ' ' || t$k.r || ' ',
+         |    ' ' || t$k.l || t$k.r || ' ') AS sym, freq
+         |  FROM w${k - 1}, t$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, l, r, l || r AS merged,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM t$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+       |      AS sym,
+       |    count(*) AS freq
+       |  FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) x
+       |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+       |  GROUP BY w),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
   }
 }
