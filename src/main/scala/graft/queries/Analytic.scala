@@ -1539,13 +1539,20 @@ object Analytic {
       |FROM sp GROUP BY user_id
       |ORDER BY user_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val iv = Tables.events(s, d)
+    coalesceIntervals(Tables.events(s, d)
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(col("user_id"),
         expr("unix_micros(ts)").as("s_us"),
         expr("""unix_micros(ts)
           + (60 + ((CAST(floor(value) AS BIGINT) % 3540) + 3540) % 3540)
-            * CAST(1000000 AS BIGINT)""").as("e_us"))
+            * CAST(1000000 AS BIGINT)""").as("e_us")))
+  }
+
+  /** q158's operator body over any (user_id, s_us, e_us) interval frame
+    * (suite entry; `StatsSpec` re-proves it against an independent
+    * driver-side merge on a collected corpus). */
+  def coalesceIntervals(iv: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val order = Window.partitionBy(col("user_id"))
       .orderBy(col("s_us"), col("e_us"))
     val mk = iv.withColumn("opens",

@@ -203,12 +203,27 @@ object Stats {
     // sufficient statistics: exact int64 fixed-point sums (regressors are
     // small ints, y in cents); max Σ|x₁·y| ≈ 50 · 10⁷ cents · 6·10⁵ rows
     // = 3·10¹⁴ at sf0.1 — two orders inside int64 even at ×100 scale
-    val m = Tables.lineitem(s, d)
-      .select(col("l_returnflag"),
+    olsFit(Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
         expr("CAST(round(l_quantity) AS BIGINT)").as("x1"),
         expr("CAST(round(100 * l_discount) AS BIGINT)").as("x2"),
-        expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("y"))
-      .groupBy(col("l_returnflag"))
+        expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("y")),
+      yScale = 100.0)
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q155's operator body over any (g, x1, x2, y) frame of exact longs:
+    * per-group β = (XᵀX)⁻¹Xᵀy by Cramer's rule, y de-scaled by yScale.
+    * Cramer finish: fixed-order doubles over exact int64s (det products
+    * ~10²⁸ overflow int64; as doubles each factor is an exact ≤2⁵³ cast
+    * and the order is pinned by the parenthesization — both engines
+    * evaluate the identical IEEE tree).
+    */
+  def olsFit(rows: org.apache.spark.sql.DataFrame,
+      yScale: Double): org.apache.spark.sql.DataFrame = {
+    val m = rows
+      .groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
         sum(col("x1") * col("x1")).as("s11"),
@@ -217,10 +232,6 @@ object Stats {
         sum(col("y")).as("sy"),
         sum(col("x1") * col("y")).as("s1y"),
         sum(col("x2") * col("y")).as("s2y"))
-    // Cramer finish: fixed-order doubles over exact int64s (det products
-    // ~10²⁸ overflow int64; as doubles each factor is an exact cast and
-    // the order is pinned by the parenthesization — both engines evaluate
-    // the identical IEEE tree). β de-scales by the y-cents factor 100.
     def det3(a: String, b: String, c: String, dd: String, e: String,
         f: String, g: String, h: String, i: String) = expr(
       s"""CAST($a AS DOUBLE) * (CAST($e AS DOUBLE) * CAST($i AS DOUBLE)
@@ -233,7 +244,7 @@ object Stats {
     // det_k replaces column k (symmetry lets each determinant expand
     // along the replaced column's transpose row — written out explicitly
     // so the Spark and DuckDB trees match token for token).
-    m.select(col("l_returnflag"), col("n"),
+    m.select(col("g"), col("n"),
         col("s1"), col("s2"), col("s11"), col("s12"), col("s22"),
         col("sy"), col("s1y"), col("s2y"),
         det3("n", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22")
@@ -244,11 +255,10 @@ object Stats {
           .as("det1"),
         det3("n", "s1", "sy", "s1", "s11", "s1y", "s2", "s12", "s2y")
           .as("det2"))
-      .select(col("l_returnflag"), col("n").cast("long").as("n"),
-        round(col("det0") / col("det") / 100.0, 6).as("beta0"),
-        round(col("det1") / col("det") / 100.0, 6).as("beta1"),
-        round(col("det2") / col("det") / 100.0, 6).as("beta2"))
-      .orderBy(col("l_returnflag"))
+      .select(col("g"), col("n").cast("long").as("n"),
+        round(col("det0") / col("det") / yScale, 6).as("beta0"),
+        round(col("det1") / col("det") / yScale, 6).as("beta1"),
+        round(col("det2") / col("det") / yScale, 6).as("beta2"))
   }
 
   /** χ² TERM–CLASS ASSOCIATION — supervised feature selection for text:

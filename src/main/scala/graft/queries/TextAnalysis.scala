@@ -713,12 +713,17 @@ object TextAnalysis {
     * Merge application is a plain space-delimited string replace over the
     * PADDED sequence (' c h a t ' → merge (a,t) → ' c h at '): leftmost
     * non-overlapping replacement is the same deterministic convention in
-    * both engines (for a run like 'a a a' it merges greedily left, the
-    * standard BPE scan direction), and padding with spaces makes the
-    * pattern ' l r ' unable to match inside a multi-char symbol. All
-    * counts are exact int64, so three chained rounds hash-match as
-    * unrolled CTEs — the q113 iterative-oracle discipline with strings
-    * instead of fixed-point ints.
+    * both engines, and padding with spaces makes the pattern ' l r '
+    * unable to match inside a multi-char symbol. Convention quirk (pinned
+    * by StatsSpec): because each match consumes the separator AFTER r,
+    * the symbol immediately following a merge cannot participate in
+    * another merge within the same round ('l r l r' merges only the
+    * first pair per round; the second merges next round if still the
+    * argmax) — a deterministic variant of the greedy-left scan, identical
+    * cross-engine, converging to the same merges over rounds. All counts
+    * are exact int64, so three chained rounds hash-match as unrolled
+    * CTEs — the q113 iterative-oracle discipline with strings instead of
+    * fixed-point ints.
     *
     * Scale: state is the VOCAB table (words × frequencies), not the
     * corpus — built with one map-side-combined aggregate, checkpointed
@@ -732,7 +737,15 @@ object TextAnalysis {
     "q159_bpe_merges",
     bpeOracle,
   ) { (s, d) =>
-    val vocab = Tables.documentsWide(s, d)
+    bpeMergeTable(Tables.documentsWide(s, d), BpeRounds)
+  }
+
+  /** q159's operator body: mine `rounds` BPE merges from any frame with a
+    * `text` column (suite entry; `StatsSpec` re-proves the merge sequence
+    * against an independent driver-side trainer). */
+  def bpeMergeTable(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w").rlike("^[a-z]{2,}$"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -761,7 +774,7 @@ object TextAnalysis {
         .as("sym"), col("freq"))
     var words = vocab
     var merges = Seq.empty[org.apache.spark.sql.DataFrame]
-    for (round <- 1 to BpeRounds) {
+    for (round <- 1 to rounds) {
       val top = topPair(words)
       merges = merges :+ top.select(lit(round.toLong).as("round"),
         col("l"), col("r"), concat(col("l"), col("r")).as("merged"),

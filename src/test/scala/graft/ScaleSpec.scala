@@ -280,6 +280,22 @@ class ScaleSpec extends SparkSpec {
       s"q124 regressed to a RANGE-frame rolling window:\n$p124")
   }
 
+  test("round-10 family: no cartesian anywhere, basket pair-gen stays equi") {
+    // q153/q157's only pair generator is the basket-keyed equi self-join
+    // (Σ|basket|² work); q154/q155/q156/q158/q159 are aggregate/window
+    // shaped with at most 1-row broadcast joins (which plan as bounded
+    // BroadcastNestedLoop by design, the q146 shape) — an unbounded
+    // cartesian is forbidden for all of them.
+    for (name <- Seq("q153_basket_lift", "q154_ab_test",
+      "q155_ols_normal_eq", "q156_chi2_terms", "q157_bfs_hops",
+      "q158_interval_coalesce", "q159_bpe_merges")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+  }
+
   test("q143/q144: multi-join analytics broadcast only bounded dims") {
     for (name <- Seq("q143_local_supplier_revenue", "q144_market_share")) {
       val plan = SparkEntry.queries(name)(spark, sf)

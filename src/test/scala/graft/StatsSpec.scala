@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Analytic, GraphOps, Stats, TextAnalysis}
+
+/** Independent-reimplementation nets for the round-10 operator family
+  * (q153–q159): each test recomputes the operator's answer with a plain
+  * driver-side Scala algorithm over a collected corpus (a DIFFERENT
+  * computation path than both the Spark plan and the DuckDB oracle) and
+  * demands exact agreement, plus closed-form ground truth where one
+  * exists (noiseless OLS).
+  */
+class StatsSpec extends SparkSpec {
+
+  test("olsFit recovers exact coefficients on a noiseless plane") {
+    import spark.implicits._
+    // y(cents) = 700 + 200·x1 − 50·x2 exactly → β = (7, 2, −0.5) at
+    // yScale 100. A second group with a different plane proves per-group
+    // isolation.
+    val rows =
+      (for (x1 <- 1L to 20L; x2 <- 0L to 10L)
+        yield ("g1", x1, x2, 700L + 200L * x1 - 50L * x2)) ++
+        (for (x1 <- 1L to 15L; x2 <- 0L to 8L)
+          yield ("g2", x1, x2, -100L + 300L * x1 + 25L * x2))
+    val out = Stats.olsFit(rows.toDF("g", "x1", "x2", "y"), yScale = 100.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("g1") === ((7.0, 2.0, -0.5)))
+    assert(out("g2") === ((-1.0, 3.0, 0.25)))
+  }
+
+  test("q154 A/B counts and z² match a driver-side reimplementation") {
+    val got = Stats.q154AbTest.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    }.toMap
+    // independent path: raw event rows → MessageDigest md5 variant →
+    // count arms and ≥15-event converters in plain Scala
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def variant(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab|$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) % 2
+    }
+    val users = ev.map(_._1).distinct
+    val n = Array(0L, 0L)
+    users.foreach(u => n(variant(u)) += 1)
+    val perType = ev.groupBy(_._2).map { case (t, rows) =>
+      val x = Array(0L, 0L)
+      rows.groupBy(_._1).foreach { case (u, es) =>
+        if (es.length >= 15) x(variant(u)) += 1
+      }
+      t -> x
+    }
+    assert(got.keySet === perType.keySet)
+    for ((t, x) <- perType) {
+      val (x1, n1, x2, n2, z2) = got(t)
+      assert((x1, n1, x2, n2) === ((x(0), n(0), x(1), n(1))),
+        s"arm counts for $t")
+      val xx = x1 + x2; val nn = n1 + n2
+      if (n1 * n2 == 0 || xx * (nn - xx) == 0) assert(z2.isEmpty)
+      else {
+        val dnum = (x1 * n2 - x2 * n1).toDouble
+        val expect = dnum * dnum * nn / (n1 * n2) / (xx * (nn - xx))
+        assert(z2.isDefined && math.abs(z2.get - expect) < 1e-6,
+          s"z² for $t: got $z2 expect $expect")
+      }
+    }
+  }
+
+  test("q157 BFS equals a driver-side BFS over the same graph") {
+    val got = GraphOps.q157BfsHops.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, o) => p -> o.size }
+    val adj = pairCounts.filter(_._2 >= 2).keys
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val seeds = Tables.part(spark, sf).filter(col("p_size") === 1)
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    var dist = seeds.map(_ -> 0L).toMap
+    for (h <- 1 to 4) {
+      val next = dist.keys.flatMap(adj.get).flatten
+        .filterNot(dist.contains).map(_ -> h.toLong).toMap
+      dist = dist ++ next
+    }
+    assert(got === dist)
+  }
+
+  test("q158 equals a driver-side interval merge") {
+    val got = Analytic.q158IntervalCoalesce.fn(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    val iv = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("value"))
+      .collect().map { r =>
+        val s = r.getLong(1)
+        val dur = 60L + ((math.floor(r.getDouble(2)).toLong % 3540) + 3540) % 3540
+        (r.getLong(0), s, s + dur * 1000000L)
+      }
+    val expect = iv.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.map(t => (t._2, t._3)).sortBy(identity)
+      val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      for ((s, e) <- sorted) {
+        if (spans.nonEmpty && s <= spans.last._2)
+          spans(spans.length - 1) =
+            (spans.last._1, math.max(spans.last._2, e))
+        else spans += ((s, e))
+      }
+      u -> ((spans.length.toLong, spans.map(p => p._2 - p._1).sum,
+        spans.map(p => p._2 - p._1).max))
+    }
+    assert(got === expect)
+  }
+
+  test("bpeMergeTable matches a driver-side BPE trainer, incl. run quirk") {
+    import spark.implicits._
+    // synthetic corpus with a repeated-run word to pin the separator-
+    // consumption convention, plus sf0.001 documents for corpus realism
+    val synth = Seq(
+      "banana banana banana bandana aaaaa aaaaa cab cab cab cab",
+      "banana bandana anna anna anna cab dab").toDF("text")
+    for ((docs, label) <- Seq(
+        (synth, "synthetic"),
+        (Tables.documentsWide(spark, sf), "sf0.001"))) {
+      val got = TextAnalysis.bpeMergeTable(docs, 3).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(4)))
+      // independent trainer: vocab as symbol vectors; merge = greedy-left
+      // scan that skips the symbol after each match (the consumed-
+      // separator convention the padded string replace implements)
+      var vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,}$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f")).collect()
+        .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1))
+      val expect = (1 to 3).map { round =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        val (l, r) = counts.keys.minBy { case (a, b) =>
+          (-counts((a, b)), a, b) }
+        val cnt = counts((l, r))
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r
+              if (i + 2 < syms.length) out += syms(i + 2) // ineligible
+              i += 3
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector -> f
+        }
+        (round.toLong, l, r, cnt)
+      }
+      assert(got.toSeq === expect, s"merge table on $label corpus")
+    }
+  }
+
+  test("q153 lift/support identities hold and pairs are symmetric-safe") {
+    val rows = queries.ScaleOps.q153BasketLift.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, b, cab, ca, cb, n) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b, "canonical pair order")
+      assert(cab >= 2 && cab <= math.min(ca, cb),
+        "co-occurrence bounded by item supports")
+      assert(ca <= n && cb <= n)
+      val lift = r.getDouble(8)
+      // ratio6 is exact integer rounding of cab·n/(ca·cb)
+      val expect = ((2L * cab * n * 1000000L + ca * cb) /
+        (2L * ca * cb)).toDouble / 1e6
+      assert(lift === expect, s"lift for ($a,$b)")
+    }
+  }
+}
