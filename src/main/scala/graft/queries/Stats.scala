@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Exact
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inferential statistics over behavioral data — the experiment-analysis
@@ -22,7 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
-  def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms)
+  def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms,
+    q160Auc, q161LiftTable, q162WelchT)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -339,5 +341,254 @@ object Stats {
             .stripMargin), 6).as("chi2"))
       .orderBy(col("chi2").desc_nulls_last, col("term"), col("lang"))
       .limit(50)
+  }
+
+  /** EXACT ROC AUC — the model-evaluation operator, computed as the
+    * rank-sum (Mann–Whitney) statistic with MIDRANK tie correction: for
+    * each event type, "does a user's count of that event type predict
+    * heavy purchasing (≥ 15 purchase events)?" AUC = U/(n⁺·n⁻) where
+    * U = Σ_pos midrank − n⁺(n⁺+1)/2. Ties are the whole problem on count
+    * data — midranks keep the statistic exactly equal to the
+    * P(score⁺>score⁻) + ½P(=) definition, and DOUBLED midranks
+    * (2·mid = 2·cum_below + cnt + 1) keep every term integer, so AUC
+    * reports through ratio6's exact integer rounding: no float ranks,
+    * no approximation, bit-equal cross-engine.
+    *
+    * Plan: one (user,type) count aggregate (map-side combined), a
+    * type-count grid left-joined so absent scores count as 0 (types are
+    * bounded, so the grid is users×|types|), then per (type, DISTINCT
+    * score) rows — the windows run over score-cardinality-sized input,
+    * never user-proportional rows (the q147 value-run discipline). At
+    * 10⁶ users the rank pass touches ≤ |distinct counts| rows per type.
+    */
+  val q160Auc = Q(
+    "q160_auc",
+    """WITH uu AS (SELECT DISTINCT user_id FROM events),
+      |lbl AS (
+      |  SELECT uu.user_id,
+      |    CASE WHEN coalesce(p.np, 0) >= 15 THEN 1 ELSE 0 END AS pos
+      |  FROM uu LEFT JOIN (
+      |    SELECT user_id, count(*) AS np FROM events
+      |    WHERE event_type = 'purchase' GROUP BY user_id) p
+      |  ON uu.user_id = p.user_id
+      |),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |sc AS (
+      |  SELECT user_id, event_type, count(*) AS s FROM events
+      |  GROUP BY user_id, event_type
+      |),
+      |grid AS (
+      |  SELECT ty.event_type, lbl.user_id, lbl.pos,
+      |    coalesce(sc.s, 0) AS s
+      |  FROM ty CROSS JOIN lbl
+      |  LEFT JOIN sc ON sc.user_id = lbl.user_id
+      |    AND sc.event_type = ty.event_type
+      |),
+      |runs AS (
+      |  SELECT event_type, s, count(*) AS cnt,
+      |    sum(pos) AS posc
+      |  FROM grid GROUP BY event_type, s
+      |),
+      |rk AS (
+      |  SELECT event_type, s, cnt, posc,
+      |    2 * (sum(cnt) OVER (PARTITION BY event_type ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+      |      + cnt + 1 AS mid2
+      |  FROM runs
+      |)
+      |SELECT event_type,
+      |  CAST(sum(posc) AS BIGINT) AS npos,
+      |  CAST(sum(cnt) - sum(posc) AS BIGINT) AS nneg,
+      |  CAST(((2 * CAST(sum(posc * mid2) - sum(posc) * (sum(posc) + 1)
+      |          AS BIGINT) * 1000000
+      |        + CAST(2 * sum(posc) * (sum(cnt) - sum(posc)) AS BIGINT))
+      |    // nullif(2 * CAST(2 * sum(posc) * (sum(cnt) - sum(posc))
+      |          AS BIGINT), 0)) AS DOUBLE) / 1000000.0 AS auc
+      |FROM rk GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val uu = ev.select(col("user_id")).distinct()
+    val lbl = uu.join(
+        ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("np")),
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(coalesce(col("np"), lit(0L)) >= 15, 1).otherwise(0).as("pos"))
+    val ty = ev.select(col("event_type")).distinct()
+    val sc = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("s"))
+    val grid = lbl.crossJoin(broadcast(ty))
+      .join(sc, Seq("user_id", "event_type"), "left")
+      .select(col("event_type"), col("user_id"), col("pos"),
+        coalesce(col("s"), lit(0L)).as("s"))
+    val runs = grid.groupBy(col("event_type"), col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("posc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rk = runs.withColumn("mid2",
+      lit(2) * (sum(col("cnt")).over(w) - col("cnt")) + col("cnt") + 1)
+    // 2U = Σ posc·mid2 − n⁺(n⁺+1); AUC = 2U / (2·n⁺·n⁻), both exact int64
+    rk.groupBy(col("event_type"))
+      .agg(sum(col("posc")).as("np"),
+        (sum(col("cnt")) - sum(col("posc"))).as("nn"),
+        (sum(col("posc") * col("mid2"))
+          - sum(col("posc")) * (sum(col("posc")) + 1)).as("u2"))
+      .select(col("event_type"),
+        col("np").cast("long").as("npos"),
+        col("nn").cast("long").as("nneg"),
+        Exact.ratio6("u2", "2 * np * nn").as("auc"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DECILE LIFT / GAINS TABLE — the campaign-targeting evaluation: users
+    * ranked by activity score (total events, heaviest first, user_id
+    * tiebreak for a total order), cut into 10 equal-as-possible deciles
+    * (ntile semantics — both engines give the first deciles the
+    * remainder), and each decile reports its conversion rate (≥ 15
+    * purchases), cumulative capture of all converters, and lift vs the
+    * base rate — every ratio through ratio6's exact integer rounding.
+    *
+    * Plan: one user-count aggregate, ONE user-count-sized ntile window
+    * (global ordering over users — at 10⁹ users shard the ntile by the
+    * q142 two-pass rank-transform discipline), one 10-row rollup.
+    */
+  val q161LiftTable = Q(
+    "q161_lift_table",
+    s"""WITH s AS (
+      |  SELECT user_id, count(*) AS score,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+      |  FROM events GROUP BY user_id
+      |),
+      |d AS (
+      |  SELECT user_id, score, CASE WHEN np >= 15 THEN 1 ELSE 0 END AS pos,
+      |    ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+      |  FROM s
+      |),
+      |g AS (
+      |  SELECT decile, count(*) AS n_users, sum(pos) AS n_pos
+      |  FROM d GROUP BY decile
+      |),
+      |t AS (SELECT sum(n_users) AS tu, sum(n_pos) AS tp FROM g)
+      |SELECT decile, CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_pos AS BIGINT) AS n_pos,
+      |  ${Exact.Sql.ratio6("n_pos", "n_users")} AS conv_rate,
+      |  ${Exact.Sql.ratio6(
+          "sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED " +
+            "PRECEDING AND CURRENT ROW)", "tp")} AS cum_capture,
+      |  ${Exact.Sql.ratio6("n_pos * tu", "n_users * tp")} AS lift
+      |FROM g, t
+      |ORDER BY decile NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val sdf = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("np"))
+    val ddf = sdf.select(col("user_id"), col("score"),
+      when(col("np") >= 15, 1).otherwise(0).as("pos"),
+      ntile(10).over(
+        Window.orderBy(col("score").desc, col("user_id"))).as("decile"))
+    val g = ddf.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
+    val t = g.agg(sum(col("n_users")).as("tu"), sum(col("n_pos")).as("tp"))
+    g.crossJoin(broadcast(t))
+      .withColumn("cum_pos", sum(col("n_pos")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"),
+        col("n_users").cast("long").as("n_users"),
+        col("n_pos").cast("long").as("n_pos"),
+        Exact.ratio6("n_pos", "n_users").as("conv_rate"),
+        Exact.ratio6("cum_pos", "tp").as("cum_capture"),
+        Exact.ratio6("n_pos * tu", "n_users * tp").as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  /** WELCH'S T² — the unequal-variance two-sample mean test, the
+    * continuous-metric companion to q154's proportion test: per event
+    * type, does mean `value` differ between the md5 variants?
+    * t² = (m₁−m₂)² / (v₁/n₁ + v₂/n₂) with sample variances
+    * vᵢ = (nᵢ·Σx² − (Σx)²)/(nᵢ(nᵢ−1)). Sums are exact int64 over
+    * centi-scaled values (Σx² ≤ 2.5·10¹⁵ at sf0.1×100); the statistic is
+    * the q154/q155 fixed-order double finish over those exact integers,
+    * nullif-guarded for degenerate arms (n ≤ 1 or both variances zero).
+    * Plan: ONE scan, one (type, variant) aggregate of 4 sufficient
+    * statistics, a 10-row pivot-by-join finish.
+    */
+  val q162WelchT = Q(
+    "q162_welch_t",
+    s"""WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM events WHERE value IS NOT NULL
+      |),
+      |m AS (
+      |  SELECT event_type, variant, count(*) AS n,
+      |    sum(CAST(round(100 * value) AS BIGINT)) AS sx,
+      |    sum(CAST(round(100 * value) AS BIGINT)
+      |      * CAST(round(100 * value) AS BIGINT)) AS sq
+      |  FROM e GROUP BY event_type, variant
+      |),
+      |j AS (
+      |  SELECT a.event_type,
+      |    a.n AS n1, a.sx AS sx1, a.sq AS sq1,
+      |    b.n AS n2, b.sx AS sx2, b.sq AS sq2
+      |  FROM m a JOIN m b ON a.event_type = b.event_type
+      |    AND a.variant = 0 AND b.variant = 1
+      |)
+      |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ${Exact.Sql.ratio6("sx1", "100 * n1")} AS mean1,
+      |  ${Exact.Sql.ratio6("sx2", "100 * n2")} AS mean2,
+      |  round(
+      |    (CAST(sx1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE)
+      |      - CAST(sx2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE))
+      |    * (CAST(sx1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE)
+      |      - CAST(sx2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE))
+      |    / nullif(
+      |      (CAST(n1 AS DOUBLE) * CAST(sq1 AS DOUBLE)
+      |        - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+      |        / CAST(n1 AS DOUBLE) / nullif(CAST(n1 - 1 AS DOUBLE), 0)
+      |        / 10000.0 / CAST(n1 AS DOUBLE)
+      |      + (CAST(n2 AS DOUBLE) * CAST(sq2 AS DOUBLE)
+      |        - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+      |        / CAST(n2 AS DOUBLE) / nullif(CAST(n2 - 1 AS DOUBLE), 0)
+      |        / 10000.0 / CAST(n2 AS DOUBLE), 0), 6) AS t2
+      |FROM j
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("x"),
+        conv(substring(md5(concat(lit("ab|"), col("user_id").cast("string"))),
+          1, 1), 16, 10).cast("long") % 2 as "variant")
+    val m = e.groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sq"))
+    val j = m.filter(col("variant") === 0)
+      .select(col("event_type"), col("n").as("n1"), col("sx").as("sx1"),
+        col("sq").as("sq1"))
+      .join(m.filter(col("variant") === 1)
+        .select(col("event_type"), col("n").as("n2"), col("sx").as("sx2"),
+          col("sq").as("sq2")), "event_type")
+    j.select(col("event_type"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        Exact.ratio6("sx1", "100 * n1").as("mean1"),
+        Exact.ratio6("sx2", "100 * n2").as("mean2"),
+        round(expr(
+          """(CAST(sx1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE)
+            |  - CAST(sx2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE))
+            |* (CAST(sx1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE)
+            |  - CAST(sx2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE))
+            |/ nullif(
+            |  (CAST(n1 AS DOUBLE) * CAST(sq1 AS DOUBLE)
+            |    - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+            |    / CAST(n1 AS DOUBLE) / nullif(CAST(n1 - 1 AS DOUBLE), CAST(0 AS DOUBLE))
+            |    / 10000.0 / CAST(n1 AS DOUBLE)
+            |  + (CAST(n2 AS DOUBLE) * CAST(sq2 AS DOUBLE)
+            |    - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+            |    / CAST(n2 AS DOUBLE) / nullif(CAST(n2 - 1 AS DOUBLE), CAST(0 AS DOUBLE))
+            |    / 10000.0 / CAST(n2 AS DOUBLE), CAST(0 AS DOUBLE))"""
+            .stripMargin), 6).as("t2"))
+      .orderBy(col("event_type"))
   }
 }

@@ -168,6 +168,81 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q160 AUC matches a driver-side midrank computation") {
+    val got = Stats.q160Auc.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.map(_._1).distinct
+    val purchases = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, e) => u -> e.length }
+    val pos = users.filter(u => purchases.getOrElse(u, 0) >= 15).toSet
+    for (t <- ev.map(_._2).distinct) {
+      val byUser = ev.filter(_._2 == t).groupBy(_._1)
+        .map { case (u, e) => u -> e.length.toLong }
+      val scores = users.map(u => (byUser.getOrElse(u, 0L), pos.contains(u)))
+      // midranks: sort ascending; tied block [i, j) gets rank (i+j+1)/2
+      val sorted = scores.sortBy(_._1)
+      var i = 0; var rankSumPos = 0.0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val mid = (i + 1 + j).toDouble / 2 // avg of ranks i+1..j
+        for (k <- i until j if sorted(k)._2) rankSumPos += mid
+        i = j
+      }
+      val np = pos.size.toLong; val nn = users.length - np
+      val u = rankSumPos - np.toDouble * (np + 1) / 2
+      val expect = u / (np.toDouble * nn)
+      // ratio6 is half-up at 1e-6; the driver-side value is exact rational
+      assert(math.abs(got(t) - expect) <= 5e-7, s"AUC for $t")
+    }
+    assert(got("purchase") === 1.0,
+      "score >= 15 iff label => perfect separation by construction")
+  }
+
+  test("q161 decile table partitions users and captures all converters") {
+    val rows = Stats.q161LiftTable.fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile deciles differ by at most 1")
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(sizes.sum === nUsers)
+    assert(rows.last.getDouble(4) === 1.0, "last cumulative capture = 1")
+    // capture is monotone
+    val caps = rows.map(_.getDouble(4))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q162 Welch t² matches a driver-side computation") {
+    val got = Stats.q162WelchT.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def variant(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab|$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) % 2
+    }
+    for ((t, rows) <- ev.groupBy(_._2)) {
+      val arms = rows.groupBy(r => variant(r._1)).map { case (v, rs) =>
+        val xs = rs.map(r => math.round(100 * r._3)) // exact centi longs
+        v -> ((xs.length.toLong, xs.sum, xs.map(x => x * x).sum))
+      }
+      val (n1, sx1, sq1) = arms(0); val (n2, sx2, sq2) = arms(1)
+      def vOf(n: Long, sx: Long, sq: Long) =
+        (n.toDouble * sq - sx.toDouble * sx) / n / (n - 1) / 1e4
+      val dm = sx1.toDouble / (n1 * 100) - sx2.toDouble / (n2 * 100)
+      val expect = dm * dm / (vOf(n1, sx1, sq1) / n1 + vOf(n2, sx2, sq2) / n2)
+      assert(math.abs(got(t) - expect) <= 1e-6, s"t² for $t")
+    }
+  }
+
   test("q153 lift/support identities hold and pairs are symmetric-safe") {
     val rows = queries.ScaleOps.q153BasketLift.fn(spark, sf).collect()
     assert(rows.nonEmpty)
