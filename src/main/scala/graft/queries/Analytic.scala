@@ -42,6 +42,9 @@ object Analytic {
     q151TimeWeightedAvg,
     q152MaxSilence,
     q158IntervalCoalesce,
+    q168SeqTriples,
+    q169RfmSegments,
+    q171ChurnHazard,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1573,5 +1576,245 @@ object Analytic {
         expr("timestamp_micros(f_us)").as("first_start"),
         expr("timestamp_micros(l_us)").as("last_end"))
       .orderBy(col("user_id"))
+  }
+
+  /** SEQUENTIAL PATTERN MINING — the most frequent 3-step event journeys:
+    * consecutive per-user (e1 → e2 → e3) type triples where BOTH steps
+    * land within 30 minutes (a session-like contiguity constraint — the
+    * lightweight PrefixSpan slice that answers "what do users actually do
+    * in order", feeding funnel design where q75 then measures a chosen
+    * sequence). Top 10 by occurrence count with support (distinct users).
+    *
+    * Determinism: per-user ordering is (ts, event_id) — the house total
+    * order — and the top-10 ranks by (count DESC, triple ASC), a total
+    * order both engines share. Pure counting, no floats.
+    *
+    * Plan: ONE user-keyed exchange carries both lag windows (same
+    * partition + order), then a triple-keyed count with exact
+    * count(DISTINCT user) (types are bounded, so there are ≤ |types|³
+    * groups — the distinct expansion is grid-sized, not corpus-sized) and
+    * TakeOrderedAndProject caps the output.
+    */
+  val q168SeqTriples = Q(
+    "q168_seq_triples",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |t AS (
+      |  SELECT user_id,
+      |    lag(event_type, 2) OVER w AS e1,
+      |    lag(event_type, 1) OVER w AS e2,
+      |    event_type AS e3,
+      |    lag(us, 2) OVER w AS us1,
+      |    lag(us, 1) OVER w AS us2,
+      |    us AS us3
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |)
+      |SELECT e1, e2, e3, count(*) AS n_occurrences,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM t
+      |WHERE e1 IS NOT NULL
+      |  AND us2 - us1 <= 1800000000 AND us3 - us2 <= 1800000000
+      |GROUP BY e1, e2, e3
+      |ORDER BY n_occurrences DESC, e1 NULLS FIRST, e2 NULLS FIRST,
+      |  e3 NULLS FIRST
+      |LIMIT 10""".stripMargin,
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .select(col("user_id"),
+        lag(col("event_type"), 2).over(w).as("e1"),
+        lag(col("event_type"), 1).over(w).as("e2"),
+        col("event_type").as("e3"),
+        lag(col("us"), 2).over(w).as("us1"),
+        lag(col("us"), 1).over(w).as("us2"),
+        col("us").as("us3"))
+      .filter(col("e1").isNotNull
+        && col("us2") - col("us1") <= 1800000000L
+        && col("us3") - col("us2") <= 1800000000L)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+  }
+
+  /** RFM SEGMENTATION — the classic customer-value partition: per user,
+    * Recency (days since last event, against the corpus max — a fixed
+    * reference both engines share), Frequency (event count), Monetary
+    * (total centi-value); each scored into quintiles (ntile(5), 1 = best:
+    * most recent / most frequent / highest value) and rolled up per
+    * (r, f, m) cell with exact average metrics. The downstream consumers
+    * are campaign targeting (q161's lift table evaluates one) and churn
+    * triage (q171 measures its time axis).
+    *
+    * Determinism: every ntile orders by (metric, user_id) — total order;
+    * ntile's remainder-to-early-buckets semantics agree across engines.
+    * Exactness: days and cents are integers; averages report via ratio6.
+    *
+    * Plan: one user aggregate, three user-count-sized ntile windows
+    * (global ordering over USERS, not events — at 10⁹ users each would
+    * shard by the q142 two-pass rank-transform discipline, which ntile
+    * reduces to: bucket = (rank−1)·5/n + 1 with the remainder rule), one
+    * ≤125-row rollup.
+    */
+  val q169RfmSegments = Q(
+    "q169_rfm_segments",
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+      |    count(*) AS f,
+      |    sum(CASE WHEN value IS NULL THEN 0
+      |        ELSE CAST(round(100 * value) AS BIGINT) END) AS m
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |),
+      |mx AS (SELECT max(last_us) AS mx_us FROM u),
+      |s AS (
+      |  SELECT user_id, f, m,
+      |    (mx.mx_us - u.last_us) // 86400000000 AS r_days
+      |  FROM u, mx
+      |),
+      |d AS (
+      |  SELECT user_id, r_days, f, m,
+      |    ntile(5) OVER (ORDER BY r_days, user_id) AS rq,
+      |    ntile(5) OVER (ORDER BY f DESC, user_id) AS fq,
+      |    ntile(5) OVER (ORDER BY m DESC, user_id) AS mq
+      |  FROM s
+      |)
+      |SELECT CAST(rq AS INTEGER) AS rq, CAST(fq AS INTEGER) AS fq,
+      |  CAST(mq AS INTEGER) AS mq,
+      |  count(*) AS n_users,
+      |  CAST(min(r_days) AS BIGINT) AS min_r_days,
+      |  ${graft.functions.Exact.Sql.ratio6("sum(f)", "count(*)")} AS avg_f,
+      |  ${graft.functions.Exact.Sql.ratio6("sum(m)", "100 * count(*)")}
+      |    AS avg_m
+      |FROM d
+      |GROUP BY rq, fq, mq
+      |ORDER BY rq NULLS FIRST, fq NULLS FIRST, mq NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val u = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(expr("unix_micros(ts)")).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(when(col("value").isNull, 0L)
+          .otherwise(expr("CAST(round(100 * value) AS BIGINT)"))).as("m"))
+    val mx = u.agg(max(col("last_us")).as("mx_us"))
+    val sdf = u.crossJoin(broadcast(mx))
+      .select(col("user_id"), col("f"), col("m"),
+        expr("(mx_us - last_us) div 86400000000").as("r_days"))
+    val ddf = sdf.select(col("user_id"), col("r_days"), col("f"), col("m"),
+      ntile(5).over(Window.orderBy(col("r_days"), col("user_id"))).as("rq"),
+      ntile(5).over(Window.orderBy(col("f").desc, col("user_id"))).as("fq"),
+      ntile(5).over(Window.orderBy(col("m").desc, col("user_id"))).as("mq"))
+    ddf.groupBy(col("rq"), col("fq"), col("mq"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("r_days")).cast("long").as("min_r_days"),
+        sum(col("f")).as("sf"), sum(col("m")).as("sm"))
+      .select(col("rq"), col("fq"), col("mq"), col("n_users"),
+        col("min_r_days"),
+        graft.functions.Exact.ratio6("sf", "n_users").as("avg_f"),
+        graft.functions.Exact.ratio6("sm", "100 * n_users").as("avg_m"))
+      .orderBy(col("rq"), col("fq"), col("mq"))
+  }
+
+  /** DISCRETE CHURN HAZARD — the survival-analysis life table without the
+    * float product: per tenure week k, how many users were still at risk,
+    * how many churned exactly then (last activity in week k of their
+    * life), how many are right-censored (still active in the corpus's
+    * final week — their true churn week is unobservable, the standard
+    * censoring rule), and the discrete hazard churned/at_risk. The
+    * Kaplan–Meier survival curve is the cumulative product of (1 − these
+    * hazards) — deliberately left to the consumer because a float cumprod
+    * would break the exactness contract; the hazard table itself is pure
+    * integer counting + ratio6.
+    *
+    * Plan: one user aggregate → (tenure, censored) runs (≤ weeks×2 rows)
+    * → the at-risk tail sums via ONE reverse cumulative window over
+    * DISTINCT tenure runs (the q147 value-run discipline on the time
+    * axis). Censored users count at risk through their censor week,
+    * never as churn — the standard life-table convention.
+    */
+  val q171ChurnHazard = Q(
+    "q171_churn_hazard",
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f_us,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS l_us
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |),
+      |c AS (SELECT min(f_us) AS m0, max(l_us) AS m1 FROM u),
+      |t AS (
+      |  SELECT user_id,
+      |    (l_us - m0) // 604800000000 - (f_us - m0) // 604800000000
+      |      AS tenure,
+      |    CASE WHEN (l_us - m0) // 604800000000
+      |      = (m1 - m0) // 604800000000 THEN 1 ELSE 0 END AS censored
+      |  FROM u, c
+      |),
+      |runs AS (
+      |  SELECT tenure, censored, count(*) AS cnt
+      |  FROM t GROUP BY tenure, censored
+      |),
+      |k AS (
+      |  SELECT tenure,
+      |    sum(CASE WHEN censored = 0 THEN cnt ELSE 0 END) AS churned,
+      |    sum(CASE WHEN censored = 1 THEN cnt ELSE 0 END) AS censored_n,
+      |    sum(cnt) AS ends_here
+      |  FROM runs GROUP BY tenure
+      |),
+      |r AS (
+      |  SELECT tenure, churned, censored_n,
+      |    sum(ends_here) OVER (ORDER BY tenure DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+      |  FROM k
+      |)
+      |SELECT CAST(tenure AS BIGINT) AS tenure_weeks,
+      |  CAST(at_risk AS BIGINT) AS at_risk,
+      |  CAST(churned AS BIGINT) AS churned,
+      |  CAST(censored_n AS BIGINT) AS censored,
+      |  ${graft.functions.Exact.Sql.ratio6("churned", "at_risk")} AS hazard
+      |FROM r
+      |ORDER BY tenure_weeks NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val u = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("f_us"),
+        max(expr("unix_micros(ts)")).as("l_us"))
+    val c = u.agg(min(col("f_us")).as("m0"), max(col("l_us")).as("m1"))
+    val t = u.crossJoin(broadcast(c))
+      .select(col("user_id"),
+        expr("(l_us - m0) div 604800000000 - (f_us - m0) div 604800000000")
+          .as("tenure"),
+        when(expr("(l_us - m0) div 604800000000")
+          === expr("(m1 - m0) div 604800000000"), 1).otherwise(0)
+          .as("censored"))
+    val k = t.groupBy(col("tenure"), col("censored"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("tenure"))
+      .agg(sum(when(col("censored") === 0, col("cnt")).otherwise(0L))
+        .as("churned"),
+        sum(when(col("censored") === 1, col("cnt")).otherwise(0L))
+          .as("censored_n"),
+        sum(col("cnt")).as("ends_here"))
+    k.withColumn("at_risk",
+        sum(col("ends_here")).over(Window.orderBy(col("tenure").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("tenure").cast("long").as("tenure_weeks"),
+        col("at_risk").cast("long").as("at_risk"),
+        col("churned").cast("long").as("churned"),
+        col("censored_n").cast("long").as("censored"),
+        graft.functions.Exact.ratio6("churned", "at_risk").as("hazard"))
+      .orderBy(col("tenure_weeks"))
   }
 }

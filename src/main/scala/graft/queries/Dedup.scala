@@ -53,7 +53,7 @@ object Dedup {
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
     q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
-    q141GoldenRecord, q145EditDistanceJoin)
+    q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -1702,5 +1702,101 @@ object Dedup {
         col("n").cast("long").as("n_a"), col("n").cast("long").as("n_b"),
         expr("(n * (n - 1)) div 2").cast("long").as("n_pairs"))
     cross.unionAll(same).orderBy(col("f_a"), col("f_b"))
+  }
+
+  /** LSH PARAMETER EVALUATION HARNESS — the measurement loop that makes
+    * banded MinHash tunable instead of folklore: run the banding (B=5,
+    * r=3, the q32 geometry, here over word TOKEN sets so ground truth is
+    * cheap to state exactly) and score its CANDIDATE set against the
+    * EXACT J ≥ 0.9 truth from the lossless prefix-filter join (q132's
+    * operator, proven zero-false-negative against a quadratic oracle).
+    * One row out: candidate count, truth count, true positives, recall
+    * (the number that decides whether B/r clears the dedup SLO —
+    * theory says 1−(1−0.9³)⁵ ≈ 0.9985 here; the suite net asserts the
+    * bound holds executably), and truth hit-rate among candidates (how
+    * much of the candidate volume the verifier spends on sub-threshold
+    * pairs — NOT a defect: the banding deliberately recalls down to
+    * J ≈ 0.5, the q32 verify threshold).
+    *
+    * Plan: both pair generators are banded equi-joins (signatures /
+    * interned prefix ids) — no quadratic anywhere on the engine side;
+    * the comparison is ONE full-outer join on the pair key and a 1-row
+    * aggregate. The DuckDB twin rebuilds the banding verbatim and the
+    * truth as the quadratic list_intersect join (independent of the
+    * prefix filter — so this oracle ALSO re-proves q132's losslessness
+    * on every round, now in token space).
+    */
+  val q170LshRecallEval = Q(
+    "q170_lsh_recall_eval",
+    s"""WITH tk AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |),
+      |dig AS (
+      |  SELECT doc_id,
+      |    list_transform(toks, s ->
+      |      [md5('0|' || s), md5('1|' || s), md5('2|' || s), md5('3|' || s)]) AS digs
+      |  FROM tk
+      |),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    list_min(list_transform(digs, a ->
+      |      substr(a[(b*3 + 0) // 4 + 1], ((b*3 + 0) % 4) * 8 + 1, 8))) AS s0,
+      |    list_min(list_transform(digs, a ->
+      |      substr(a[(b*3 + 1) // 4 + 1], ((b*3 + 1) % 4) * 8 + 1, 8))) AS s1,
+      |    list_min(list_transform(digs, a ->
+      |      substr(a[(b*3 + 2) // 4 + 1], ((b*3 + 2) % 4) * 8 + 1, 8))) AS s2
+      |  FROM dig, (SELECT unnest(range(0,5)) AS b)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c ON a.b = c.b
+      |    AND a.s0 = c.s0 AND a.s1 = c.s1 AND a.s2 = c.s2
+      |    AND a.doc_id < c.doc_id
+      |),
+      |truth AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+      |  WHERE 10 * len(list_intersect(a.toks, b.toks))
+      |    >= 9 * (len(a.toks) + len(b.toks)
+      |      - len(list_intersect(a.toks, b.toks)))
+      |),
+      |j AS (
+      |  SELECT coalesce(c.c, 0) AS c, coalesce(t.t, 0) AS t
+      |  FROM (SELECT doc_a, doc_b, 1 AS c FROM cand) c
+      |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS t FROM truth) t
+      |    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+      |)
+      |SELECT CAST(sum(c) AS BIGINT) AS n_candidates,
+      |  CAST(sum(t) AS BIGINT) AS n_truth,
+      |  CAST(sum(c * t) AS BIGINT) AS n_tp,
+      |  ${graft.functions.Exact.Sql.ratio6("sum(c * t)", "sum(t)")}
+      |    AS recall,
+      |  ${graft.functions.Exact.Sql.ratio6("sum(c * t)", "sum(c)")}
+      |    AS hit_rate
+      |FROM j""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("sh"))
+    val bands = minhashBands(toks)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b")
+          && col("a.s0") === col("b.s0") && col("a.s1") === col("b.s1")
+          && col("a.s2") === col("b.s2")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("c", lit(1L))
+    val truth = prefixJaccardPairs(docs)
+      .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1L))
+    cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("t"), lit(0L)).as("t"))
+      .agg(sum(col("c")).as("n_candidates"), sum(col("t")).as("n_truth"),
+        sum(col("c") * col("t")).as("n_tp"))
+      .select(col("n_candidates"), col("n_truth"), col("n_tp"),
+        graft.functions.Exact.ratio6("n_tp", "n_truth").as("recall"),
+        graft.functions.Exact.ratio6("n_tp", "n_candidates").as("hit_rate"))
   }
 }

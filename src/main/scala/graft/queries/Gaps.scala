@@ -22,7 +22,7 @@ object Gaps {
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
     q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease,
     q135QuantileBisect, q139WeightedQuantile, q140KsDrift,
-    q142RankTransform, q147ParetoGini)
+    q142RankTransform, q147ParetoGini, q165ParetoSkyline, q166WinsorizedMean)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1608,5 +1608,163 @@ object Gaps {
         graft.functions.Exact.ratio6("2 * sic - (n + 1) * s", "n * s")
           .as("gini"),
         graft.functions.Exact.ratio6("ts", "s").as("top_share"))
+  }
+
+  /** 2-D PARETO SKYLINE — the multi-criteria shortlist operator: parts
+    * nobody beats on BOTH price and size (minimize both; a dominates b iff
+    * a ≤ b on both axes and < on at least one). The naive formulation is a
+    * quadratic dominance anti-join — the DuckDB twin runs exactly that
+    * NOT EXISTS as an independent check — but the engine computes it as a
+    * SWEEP: sorted by price, a part is dominated iff some strictly-cheaper
+    * part has size ≤ its own (a running min), or a same-price part has
+    * size strictly below (the per-run min). Equal-on-both duplicates
+    * dominate each other on neither axis, so both survive — the window
+    * algebra reproduces that for free because a run's min is not < itself.
+    *
+    * Exactness: prices are compared in exact cents; everything is integer
+    * comparison, no float anywhere.
+    *
+    * Plan: the q142/q147 VALUE-RUN discipline a third time — group to
+    * per-price runs (map-side combined), ONE window over DISTINCT price
+    * runs (bounded by price cardinality, not row count), join back on the
+    * run key. The quadratic anti-join never executes on the engine side;
+    * at 100 TB the sweep's widest stage is the per-price aggregate.
+    */
+  val q165ParetoSkyline = Q(
+    "q165_pareto_skyline",
+    """WITH p AS (
+      |  SELECT p_partkey, p_size,
+      |    CAST(round(100 * p_retailprice) AS BIGINT) AS cents
+      |  FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      |)
+      |SELECT p_partkey, cents AS price_cents, CAST(p_size AS INTEGER) AS p_size
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.cents <= a.cents AND b.p_size <= a.p_size
+      |    AND (b.cents < a.cents OR b.p_size < a.p_size)
+      |)
+      |ORDER BY p_partkey NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val p = Tables.part(s, d)
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .select(col("p_partkey"), col("p_size"),
+        expr("CAST(round(100 * p_retailprice) AS BIGINT)").as("cents"))
+    // per-price runs: min size within the run, then the strictly-cheaper
+    // running min via a 1-run-lagged cumulative window
+    val runs = p.groupBy(col("cents")).agg(min(col("p_size")).as("msize"))
+    val sweep = runs.withColumn("cheaper_min",
+      min(col("msize")).over(Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    p.join(sweep, "cents")
+      .filter((col("cheaper_min").isNull || col("cheaper_min") > col("p_size"))
+        && !(col("msize") < col("p_size")))
+      .select(col("p_partkey"), col("cents").as("price_cents"),
+        col("p_size").cast("int").as("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** WINSORIZED / TRIMMED ROBUST MEANS — the outlier-insensitive location
+    * estimates feeding quality dashboards and reward normalization: per
+    * return flag, the exact p05/p95 order statistics of the price
+    * distribution (k-th value, k = ⌈q·n⌉ — the q54 discrete definition),
+    * the WINSORIZED mean (values clamped into [p05, p95]) and the TRIMMED
+    * mean (bottom k05 and top n−k95 observations dropped entirely).
+    *
+    * Exactness: order statistics and both numerators are exact int64 in
+    * cents; the run-overlap count for trimming is pure integer interval
+    * arithmetic (a run occupying sorted positions (s, s+cnt] contributes
+    * max(0, min(s+cnt, k95) − max(s, k05)) rows); means report via ratio6.
+    *
+    * Plan: the VALUE-RUN discipline again — one (flag, cents) aggregate,
+    * flag-partitioned windows over DISTINCT price runs, and a final
+    * per-flag aggregate of clamped/overlap-weighted sums. No per-row rank
+    * is ever materialized: the 600k sf0.1 rows collapse to ~30k runs
+    * before any window runs, and the windows are flag-partitioned (no
+    * global single-partition window anywhere).
+    */
+  val q166WinsorizedMean = Q(
+    "q166_winsorized_mean",
+    s"""WITH v AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(100 * l_extendedprice) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |),
+      |runs AS (
+      |  SELECT flag, c, count(*) AS cnt FROM v GROUP BY flag, c
+      |),
+      |cum AS (
+      |  SELECT flag, c, cnt,
+      |    sum(cnt) OVER (PARTITION BY flag ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS s,
+      |    sum(cnt) OVER (PARTITION BY flag) AS n
+      |  FROM runs
+      |),
+      |k AS (
+      |  SELECT flag, c, cnt, s, n,
+      |    (5 * n + 99) // 100 AS k05, (95 * n + 99) // 100 AS k95
+      |  FROM cum
+      |),
+      |q AS (
+      |  SELECT flag,
+      |    min(CASE WHEN s < k05 AND k05 <= s + cnt THEN c END) AS p05,
+      |    min(CASE WHEN s < k95 AND k95 <= s + cnt THEN c END) AS p95
+      |  FROM k GROUP BY flag
+      |),
+      |agg AS (
+      |  SELECT k.flag, max(k.n) AS n, q.p05, q.p95,
+      |    sum(k.cnt * CASE WHEN k.c < q.p05 THEN q.p05
+      |                     WHEN k.c > q.p95 THEN q.p95 ELSE k.c END) AS wsum,
+      |    sum(greatest(least(k.s + k.cnt, k.k95) - greatest(k.s, k.k05), 0))
+      |      AS tn,
+      |    sum(k.c * greatest(least(k.s + k.cnt, k.k95)
+      |      - greatest(k.s, k.k05), 0)) AS tsum
+      |  FROM k JOIN q ON k.flag = q.flag
+      |  GROUP BY k.flag, q.p05, q.p95
+      |)
+      |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+      |  ${Exact.Sql.ratio6("p05", "100")} AS p05,
+      |  ${Exact.Sql.ratio6("p95", "100")} AS p95,
+      |  ${Exact.Sql.ratio6("wsum", "100 * n")} AS winsor_mean,
+      |  ${Exact.Sql.ratio6("tsum", "100 * tn")} AS trim_mean
+      |FROM agg
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val v = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("c"))
+    val runs = v.groupBy(col("flag"), col("c")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("flag")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val k = runs
+      .select(col("flag"), col("c"), col("cnt"),
+        (sum(col("cnt")).over(wcum) - col("cnt")).as("s"),
+        sum(col("cnt")).over(Window.partitionBy(col("flag"))).as("n"))
+      .select(col("flag"), col("c"), col("cnt"), col("s"), col("n"),
+        expr("(5 * n + 99) div 100").as("k05"),
+        expr("(95 * n + 99) div 100").as("k95"))
+    val q = k.groupBy(col("flag")).agg(
+      min(when(col("s") < col("k05") && col("k05") <= col("s") + col("cnt"),
+        col("c"))).as("p05"),
+      min(when(col("s") < col("k95") && col("k95") <= col("s") + col("cnt"),
+        col("c"))).as("p95"))
+    val overlap = greatest(
+      least(col("s") + col("cnt"), col("k95")) - greatest(col("s"), col("k05")),
+      lit(0L))
+    k.join(q, "flag")
+      .groupBy(col("flag"), col("p05"), col("p95"))
+      .agg(max(col("n")).as("n"),
+        sum(col("cnt") * when(col("c") < col("p05"), col("p05"))
+          .when(col("c") > col("p95"), col("p95"))
+          .otherwise(col("c"))).as("wsum"),
+        sum(overlap).as("tn"),
+        sum(col("c") * overlap).as("tsum"))
+      .select(col("flag").as("l_returnflag"), col("n").cast("long").as("n"),
+        Exact.ratio6("p05", "100").as("p05"),
+        Exact.ratio6("p95", "100").as("p95"),
+        Exact.ratio6("wsum", "100 * n").as("winsor_mean"),
+        Exact.ratio6("tsum", "100 * tn").as("trim_mean"))
+      .orderBy(col("l_returnflag"))
   }
 }

@@ -34,7 +34,8 @@ object Similarity {
   def all: Seq[Q] = Seq(
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
-    q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance)
+    q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
+    q167HardNegatives)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -1358,5 +1359,72 @@ object Similarity {
           .as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(10)
+  }
+
+  /** CONTRASTIVE TRIPLE MINING — the training-pair generator for embedding
+    * models: per anchor (the 5 query vectors), the nearest SAME-label
+    * vector is the positive and the 3 nearest DIFFERENT-label vectors are
+    * the hard negatives — near neighbors the model currently confuses
+    * across the class boundary, exactly the pairs a contrastive /
+    * triplet-loss fine-tune wants (random negatives are too easy to carry
+    * gradient). Labels stand in for the dedup-cluster / supervision signal;
+    * in a production corpus the same query runs with q74's component ids.
+    *
+    * Exactness: cosines go through the shared round-6 `cosine` helper and
+    * ranking orders by the ROUNDED value with vec_id tiebreak — the same
+    * total order the DuckDB twin replays; zero-norm vectors (NULL cosine)
+    * are dropped before ranking, the q35 house rule.
+    *
+    * Plan: anchors BROADCAST against one scan of the corpus (the q35
+    * shape), cosines once per (anchor, vector), then ONE window keyed by
+    * (anchor, same-label side) — positives and negatives rank in the same
+    * pass, no second scan, no self-join. At 100 TB the scan side stays
+    * partition-local until the per-anchor top-k.
+    */
+  val q167HardNegatives = Q(
+    "q167_hard_negatives",
+    s"""WITH $duckE,
+       |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qnrm
+       |      FROM e WHERE vec_id < 5),
+       |sc AS (
+       |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+       |    ${duckCos("q.qv", "e.v", "q.qnrm", "e.nrm")} AS cos,
+       |    CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS same
+       |  FROM e JOIN q ON e.vec_id <> q.qid
+       |  WHERE ${duckCos("q.qv", "e.v", "q.qnrm", "e.nrm")} IS NOT NULL
+       |),
+       |rk AS (
+       |  SELECT qid, vec_id, label, cos, same,
+       |    row_number() OVER (PARTITION BY qid, same
+       |      ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc
+       |)
+       |SELECT qid, CASE WHEN same = 1 THEN 'pos' ELSE 'neg' END AS role,
+       |  CAST(rk AS INTEGER) AS rk, vec_id, CAST(label AS INTEGER) AS label,
+       |  cos
+       |FROM rk
+       |WHERE (same = 1 AND rk = 1) OR (same = 0 AND rk <= 3)
+       |ORDER BY qid NULLS FIRST, role NULLS FIRST, rk NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy(col("qid"), col("same"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        cosine(col("qv"), col("v"), col("qnrm"), col("nrm")).as("cos"),
+        when(col("label") === col("qlabel"), 1).otherwise(0).as("same"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .filter((col("same") === 1 && col("rk") === 1)
+        || (col("same") === 0 && col("rk") <= 3))
+      .select(col("qid"),
+        when(col("same") === 1, "pos").otherwise("neg").as("role"),
+        col("rk"), col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("qid"), col("role"), col("rk"))
   }
 }

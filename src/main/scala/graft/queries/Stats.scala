@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms,
-    q160Auc, q161LiftTable, q162WelchT)
+    q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -589,6 +589,217 @@ object Stats {
             |    / CAST(n2 AS DOUBLE) / nullif(CAST(n2 - 1 AS DOUBLE), CAST(0 AS DOUBLE))
             |    / 10000.0 / CAST(n2 AS DOUBLE), CAST(0 AS DOUBLE))"""
             .stripMargin), 6).as("t2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** SPEARMAN RANK CORRELATION — the monotone-association test: per event
+    * type, do users who emit MORE events of that type also move MORE value
+    * through it? ρ = Pearson over midranks of (frequency, monetary), the
+    * distribution-free complement to q162's mean test (robust to the heavy
+    * activity tails q147 measures). Ties are handled by midranks, and
+    * DOUBLED midranks (2·mid = 2·cum_below + cnt + 1, the q160 device)
+    * keep every rank integer; ρ is invariant under the ×2 affine map, so
+    * Pearson over mid2 IS Spearman.
+    *
+    * Exactness: all six sufficient statistics are exact int64 sums of
+    * doubled-midrank products (mid2 ≤ 2n+1, n ≤ 10⁴ users at sf0.1 →
+    * n·Σxy ≤ 4·10¹⁶; ×100 scale overflows int64 — there, shift mid2 by
+    * −(n+1) first, which ρ-invariance also permits and which recenters the
+    * products near zero). The finish is the q154/q162 fixed-order double
+    * discipline; IEEE sqrt is correctly rounded, hence bit-identical
+    * cross-engine. Zero-variance arms (all users tied) yield NULL via
+    * nullif.
+    *
+    * Plan: one (type, user) aggregate (map-side combined), then midranks
+    * by the q142/q147 VALUE-RUN discipline — the rank windows run over
+    * DISTINCT (type, value) runs, never user-proportional rows — joined
+    * back on the run key, one 5-row finish aggregate. No global sort, no
+    * user-sized window anywhere.
+    */
+  val q163SpearmanCorr = Q(
+    "q163_spearman_corr",
+    """WITH pu AS (
+      |  SELECT event_type, user_id, count(*) AS f,
+      |    sum(CASE WHEN value IS NULL THEN 0
+      |        ELSE CAST(round(100 * value) AS BIGINT) END) AS m
+      |  FROM events GROUP BY event_type, user_id
+      |),
+      |rf AS (
+      |  SELECT event_type, f,
+      |    2 * (sum(cnt) OVER (PARTITION BY event_type ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+      |      + cnt + 1 AS mid2
+      |  FROM (SELECT event_type, f, count(*) AS cnt FROM pu
+      |        GROUP BY event_type, f) t
+      |),
+      |rm AS (
+      |  SELECT event_type, m,
+      |    2 * (sum(cnt) OVER (PARTITION BY event_type ORDER BY m
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+      |      + cnt + 1 AS mid2
+      |  FROM (SELECT event_type, m, count(*) AS cnt FROM pu
+      |        GROUP BY event_type, m) t
+      |),
+      |s AS (
+      |  SELECT pu.event_type, count(*) AS n,
+      |    sum(rf.mid2) AS sx, sum(rm.mid2) AS sy,
+      |    sum(rf.mid2 * rm.mid2) AS sxy,
+      |    sum(rf.mid2 * rf.mid2) AS sxx,
+      |    sum(rm.mid2 * rm.mid2) AS syy
+      |  FROM pu
+      |  JOIN rf ON rf.event_type = pu.event_type AND rf.f = pu.f
+      |  JOIN rm ON rm.event_type = pu.event_type AND rm.m = pu.m
+      |  GROUP BY pu.event_type
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6) AS rho
+      |FROM s
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val pu = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("f"),
+        sum(when(col("value").isNull, 0L)
+          .otherwise(expr("CAST(round(100 * value) AS BIGINT)"))).as("m"))
+    // doubled midranks over VALUE RUNS (never user-proportional rows)
+    def mid2(vc: String): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      pu.groupBy(col("event_type"), col(vc)).agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col(vc),
+          (lit(2) * (sum(col("cnt")).over(w) - col("cnt")) + col("cnt") + 1)
+            .as(s"mid2_$vc"))
+    }
+    val sdf = pu
+      .join(mid2("f"), Seq("event_type", "f"))
+      .join(mid2("m"), Seq("event_type", "m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("mid2_f")).as("sx"), sum(col("mid2_m")).as("sy"),
+        sum(col("mid2_f") * col("mid2_m")).as("sxy"),
+        sum(col("mid2_f") * col("mid2_f")).as("sxx"),
+        sum(col("mid2_m") * col("mid2_m")).as("syy"))
+    sdf.select(col("event_type"), col("n").cast("long").as("n"),
+        round(expr(
+          """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / nullif(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+            |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("rho"))
+      .orderBy(col("event_type"))
+  }
+
+  // Poisson(1) inverse-CDF thresholds in 16⁶-unit integer space: a uniform
+  // u = first 6 md5 hex digits ∈ [0, 16777216) maps to weight k at the
+  // first threshold it undershoots (floor(CDF(k)·16⁶), k = 0..5; the
+  // residual 9969/16M tail mass collapses into w = 6). Integer literals →
+  // both engines draw IDENTICAL weights from identical digests.
+  private val PoissonCdf16M = Seq(6171992L, 12343985L, 15429982L,
+    16458647L, 16715813L, 16767247L)
+  private val BootstrapR = 64
+
+  /** POISSON BOOTSTRAP CI — resampling-free confidence intervals for the
+    * per-type mean event value, the error-bar operator every metrics
+    * pipeline needs at a scale where "draw n rows with replacement, 64
+    * times" is impossible. The Poisson trick: each row's multiplicity in
+    * replicate r is an independent Poisson(1) draw (the n→∞ limit of
+    * Binomial(n, 1/n)), so a replicate is ONE weighted aggregate and all
+    * 64 replicates ride a single scan with map-side combine — no shuffle
+    * of resampled data, ever. Weights are DETERMINISTIC: md5('bs|r|id')
+    * → 6-hex uniform → inverse CDF by integer thresholds, so any engine
+    * (and any re-run) draws the same replicate universe — the q65
+    * hash-split idiom lifted to resampling.
+    *
+    * Exactness: weights and centi-values are exact int64 (Σw·x ≤ 6·50000·
+    * 10⁵ rows ≈ 3·10¹³ at sf0.1); each replicate mean reports through
+    * ratio6's exact integer rounding, and the CI picks order statistics
+    * 2 and 63 of the 64 replicate means (nearest discrete cover of a 95%
+    * percentile interval; ordering on the ROUNDED mean with replicate-id
+    * tiebreak is a total order both engines share).
+    *
+    * Plan: scan → 64-way array explode (row inflation happens BEFORE the
+    * shuffle and combines map-side into 5·64 groups) → one 320-row rank
+    * window → 5-row join with the un-resampled point estimate.
+    */
+  val q164BootstrapCi = Q(
+    "q164_bootstrap_ci",
+    s"""WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(100 * value) AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL
+      |),
+      |est AS (
+      |  SELECT event_type, count(*) AS n,
+      |    ${Exact.Sql.ratio6("sum(x)", "100 * count(*)")} AS est
+      |  FROM e GROUP BY event_type
+      |),
+      |w AS (
+      |  SELECT event_type, r, x,
+      |    CASE
+      |      WHEN u < ${PoissonCdf16M(0)} THEN 0 WHEN u < ${PoissonCdf16M(1)} THEN 1
+      |      WHEN u < ${PoissonCdf16M(2)} THEN 2 WHEN u < ${PoissonCdf16M(3)} THEN 3
+      |      WHEN u < ${PoissonCdf16M(4)} THEN 4 WHEN u < ${PoissonCdf16M(5)} THEN 5
+      |      ELSE 6 END AS w
+      |  FROM (
+      |    SELECT e.event_type, e.x, r.r,
+      |      CAST(('0x' || substr(md5('bs|' || CAST(r.r AS VARCHAR) || '|'
+      |        || CAST(e.event_id AS VARCHAR)), 1, 6)) AS BIGINT) AS u
+      |    FROM e CROSS JOIN (SELECT unnest(range(0, $BootstrapR)) AS r) r) t
+      |),
+      |rep AS (
+      |  SELECT event_type, r,
+      |    ${Exact.Sql.ratio6("sum(w * x)", "100 * sum(w)")} AS mean_r
+      |  FROM w GROUP BY event_type, r
+      |),
+      |rk AS (
+      |  SELECT event_type, mean_r,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY mean_r, r) AS rk
+      |  FROM rep
+      |)
+      |SELECT est.event_type, CAST(est.n AS BIGINT) AS n, est.est,
+      |  lo.mean_r AS ci_lo, hi.mean_r AS ci_hi
+      |FROM est
+      |JOIN rk lo ON lo.event_type = est.event_type AND lo.rk = 2
+      |JOIN rk hi ON hi.event_type = est.event_type AND hi.rk = ${BootstrapR - 1}
+      |ORDER BY est.event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("x"))
+    val est = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        Exact.ratio6("sx", "100 * n").as("est"))
+    val cdf = PoissonCdf16M
+    val u = conv(substring(md5(concat(lit("bs|"), col("r").cast("string"),
+      lit("|"), col("event_id").cast("string"))), 1, 6), 16, 10).cast("long")
+    val rep = e
+      .select(col("event_type"), col("event_id"), col("x"),
+        explode(sequence(lit(0), lit(BootstrapR - 1))).as("r"))
+      .withColumn("w",
+        when(u < cdf(0), 0L).when(u < cdf(1), 1L).when(u < cdf(2), 2L)
+          .when(u < cdf(3), 3L).when(u < cdf(4), 4L).when(u < cdf(5), 5L)
+          .otherwise(6L))
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .select(col("event_type"), col("r"),
+        Exact.ratio6("swx", "100 * sw").as("mean_r"))
+    val rk = rep.withColumn("rk", row_number().over(
+      Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_r"), col("r"))))
+    est
+      .join(rk.filter(col("rk") === 2)
+        .select(col("event_type"), col("mean_r").as("ci_lo")), "event_type")
+      .join(rk.filter(col("rk") === BootstrapR - 1)
+        .select(col("event_type"), col("mean_r").as("ci_hi")), "event_type")
       .orderBy(col("event_type"))
   }
 }

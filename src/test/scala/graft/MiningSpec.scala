@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Analytic, Dedup, Gaps, Similarity}
+
+/** Independent-reimplementation nets for the round's mining/eval family
+  * (q165–q171): each test recomputes the operator with a plain driver-side
+  * Scala algorithm over a collected fixture — a DIFFERENT computation path
+  * than both the Spark plan and the DuckDB oracle (naive quadratic
+  * dominance for the skyline sweep, sort-based order stats for the
+  * run-decomposed winsorizer, brute-force cosines for the triple miner) —
+  * and demands exact agreement, plus law checks where the operator's
+  * output is a measurement (LSH recall bounds).
+  */
+class MiningSpec extends SparkSpec {
+
+  test("q165 skyline sweep equals the quadratic dominance definition") {
+    val got = Gaps.q165ParetoSkyline.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pts = Tables.part(spark, sf)
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect()
+      .map(r => (r.getLong(0), math.round(100 * r.getDouble(1)), r.getInt(2)))
+    val expect = pts.filter { a =>
+      !pts.exists(b => b._2 <= a._2 && b._3 <= a._3
+        && (b._2 < a._2 || b._3 < a._3))
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q166 winsorized/trimmed means equal a sort-based reimplementation") {
+    val got = Gaps.q166WinsorizedMean.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .map(r => (r.getString(0), math.round(100 * r.getDouble(1))))
+    def r6(num: Long, den: Long): Double =
+      ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
+    val expect = rows.groupBy(_._1).map { case (flag, g) =>
+      val xs = g.map(_._2).sorted
+      val n = xs.length.toLong
+      val k05 = ((5 * n + 99) / 100).toInt
+      val k95 = ((95 * n + 99) / 100).toInt
+      val (p05, p95) = (xs(k05 - 1), xs(k95 - 1))
+      val wsum = xs.map(x => math.max(p05, math.min(p95, x))).sum
+      val trimmed = xs.slice(k05, k95) // ranks k05+1 .. k95, 0-indexed
+      flag -> ((n, r6(p05, 100), r6(p95, 100), r6(wsum, 100 * n),
+        r6(trimmed.sum, 100 * trimmed.length)))
+    }
+    assert(got.keySet === expect.keySet)
+    for ((k, v) <- expect) assert(got(k) === v, s"flag $k")
+  }
+
+  test("q167 triples equal brute-force cosine mining, and every negative " +
+      "crosses the label boundary") {
+    val got = Similarity.q167HardNegatives.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getInt(4), r.getDouble(5)))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Option[Double] = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      val (sa, sb) = (math.sqrt(na), math.sqrt(nb))
+      if (sa == 0 || sb == 0) None
+      else Some(BigDecimal(d / sa / sb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = e.filter(_._1 < 5).flatMap { case (qid, qlabel, qv) =>
+      val scored = e.filter(_._1 != qid).flatMap { case (vid, vl, v) =>
+        cos(qv, v).map(c => (vid, vl, c))
+      }
+      def top(side: Boolean, k: Int) = scored
+        .filter(x => (x._2 == qlabel) == side)
+        .sortBy(x => (-x._3, x._1)).take(k).zipWithIndex
+        .map { case ((vid, vl, c), i) =>
+          (qid, if (side) "pos" else "neg", i + 1, vid, vl, c) }
+      top(side = true, 1) ++ top(side = false, 3)
+    }
+    assert(got.toSet === expect.toSet)
+    assert(got.count(_._2 == "neg") == 15 && got.count(_._2 == "pos") == 5)
+  }
+
+  test("q168 journey triples equal a per-user sliding-window recount") {
+    val got = Analytic.q168SeqTriples.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3), r.getLong(4))))
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val gap = 1800000000L
+    val occ = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      rows.sortBy(r => (r._4, r._2)).toSeq.sliding(3).collect {
+        case s if s.length == 3
+          && s(1)._4 - s(0)._4 <= gap && s(2)._4 - s(1)._4 <= gap =>
+          (u, (s(0)._3, s(1)._3, s(2)._3))
+      }.toSeq
+    }
+    val counts = occ.groupBy(_._2).map { case (t, g) =>
+      t -> ((g.size.toLong, g.map(_._1).distinct.size.toLong)) }
+    val expectTop = counts.toSeq
+      .sortBy { case ((a, b, c), (n, _)) => (-n, a, b, c) }.take(10)
+    assert(got.toSeq === expectTop.map { case (t, v) => (t, v) })
+  }
+
+  test("q169 RFM cells equal a driver-side ntile reimplementation") {
+    val got = Analytic.q169RfmSegments.fn(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else math.round(100 * r.getDouble(2))))
+    val u = ev.groupBy(_._1).map { case (uid, g) =>
+      (uid, g.map(_._2).max, g.length.toLong, g.map(_._3).sum) }.toSeq
+    val mx = u.map(_._2).max
+    def ntile5[A](xs: Seq[(Long, A)])(implicit ord: Ordering[A])
+        : Map[Long, Int] = {
+      val sorted = xs.sortBy(_._2).map(_._1)
+      val n = sorted.length
+      val (q, rem) = (n / 5, n % 5)
+      val sizes = (1 to 5).map(i => q + (if (i <= rem) 1 else 0))
+      val bounds = sizes.scanLeft(0)(_ + _)
+      sorted.zipWithIndex.map { case (uid, i) =>
+        uid -> (bounds.indexWhere(_ > i)) }.toMap
+    }
+    val rq = ntile5(u.map(x => x._1 -> (((mx - x._2) / 86400000000L), x._1)))
+    val fq = ntile5(u.map(x => x._1 -> ((-x._3, x._1))))
+    val mq = ntile5(u.map(x => x._1 -> ((-x._4, x._1))))
+    def r6(num: Long, den: Long): Double =
+      ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
+    val expect = u.groupBy(x => (rq(x._1), fq(x._1), mq(x._1)))
+      .map { case (cell, g) =>
+        val n = g.size.toLong
+        cell -> ((n, g.map(x => (mx - x._2) / 86400000000L).min,
+          r6(g.map(_._3).sum, n), r6(g.map(_._4).sum, 100 * n)))
+      }
+    assert(got === expect)
+  }
+
+  test("q170 recall clears the banding bound and counts are consistent") {
+    val r = Dedup.q170LshRecallEval.fn(spark, sf).head
+    val (nc, nt, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(tp <= math.min(nc, nt))
+    assert(nt > 0, "fixture has true near-dup pairs")
+    // theory: P(candidate | J=0.9) = 1-(1-0.9³)⁵ ≈ 0.9985; J>0.9 pairs
+    // are even likelier. 0.9 leaves slack for small-corpus variance.
+    assert(r.getDouble(3) >= 0.9, s"recall ${r.getDouble(3)}")
+    assert(r.getDouble(4) <= 1.0 && r.getDouble(4) > 0.0)
+  }
+
+  test("q171 hazard table equals a driver-side life-table recount") {
+    val got = Analytic.q171ChurnHazard.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))))
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val u = ev.groupBy(_._1).map { case (uid, g) =>
+      (uid, g.map(_._2).min, g.map(_._2).max) }.toSeq
+    val m0 = u.map(_._2).min; val m1 = u.map(_._3).max
+    val wk = 604800000000L
+    val t = u.map { case (_, f, l) =>
+      val tenure = (l - m0) / wk - (f - m0) / wk
+      (tenure, (l - m0) / wk == (m1 - m0) / wk)
+    }
+    def r6(num: Long, den: Long): Double =
+      ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
+    val tenures = t.map(_._1).distinct.sorted
+    val expect = tenures.map { k =>
+      val atRisk = t.count(_._1 >= k).toLong
+      val churned = t.count(x => x._1 == k && !x._2).toLong
+      val cens = t.count(x => x._1 == k && x._2).toLong
+      k -> ((atRisk, churned, cens, r6(churned, atRisk)))
+    }
+    assert(got.toSeq === expect)
+  }
+}

@@ -260,4 +260,106 @@ class StatsSpec extends SparkSpec {
       assert(lift === expect, s"lift for ($a,$b)")
     }
   }
+
+  test("q163 Spearman matches a driver-side midrank reimplementation") {
+    val got = Stats.q163SpearmanCorr.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // independent path: collect raw events, per-(type,user) (f, m), sort
+    // to assign midranks, Pearson with the SAME fixed-order double ops
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else math.round(100 * r.getDouble(2))))
+    val byType = raw.groupBy(_._1)
+    assert(got.keySet === byType.keySet)
+    for ((t, rows) <- byType) {
+      // .toSeq BEFORE .map: mapping the Map to (f, sum) pairs would
+      // rebuild a Map keyed on f and silently drop tied users
+      val pu = rows.groupBy(_._2).toSeq.map { case (_, es) =>
+        (es.length.toLong, es.map(_._3).sum)
+      }
+      def mid2(vals: Seq[Long]): Map[Long, Long] = {
+        val runs = vals.groupBy(identity).toSeq.sortBy(_._1)
+        var before = 0L
+        runs.map { case (v, g) =>
+          val m = 2 * before + g.length + 1
+          before += g.length
+          v -> m
+        }.toMap
+      }
+      val mf = mid2(pu.map(_._1)); val mm = mid2(pu.map(_._2))
+      val xy = pu.map { case (f, m) => (mf(f), mm(m)) }
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val syy = xy.map(p => p._2 * p._2).sum
+      val den = math.sqrt(n.toDouble * sxx - sx.toDouble * sx) *
+        math.sqrt(n.toDouble * syy - sy.toDouble * sy)
+      val expect =
+        if (den == 0) None
+        else Some(BigDecimal((n.toDouble * sxy - sx.toDouble * sy) / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(got(t) === expect, s"rho for $t")
+    }
+  }
+
+  test("q164 bootstrap weights replay from MessageDigest and the CI " +
+      "brackets the point estimate on this fixture") {
+    val out = Stats.q164BootstrapCi.fn(spark, sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val (est, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, s"CI ordered for ${r.getString(0)}")
+      // not a theorem, but deterministic on this fixture — 64 Poisson
+      // replicates of n≥190 events bracket the mean comfortably
+      assert(lo <= est && est <= hi, s"CI brackets est for ${r.getString(0)}")
+    }
+    // weight draw replay: same md5 → same inverse-CDF bucket (thresholds
+    // are the floor(CDF·16⁶) literals; recompute CDF here independently)
+    val cdf = {
+      var c = 0.0; var f = 1.0
+      (0 to 5).map { k =>
+        if (k > 0) f *= k
+        c += 1.0 / f
+        math.floor(math.exp(-1) * c * 16777216).toLong
+      }
+    }
+    def weight(r: Int, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"bs|$r|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+      cdf.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
+    }
+    // replay one replicate mean end to end for event_type 'click', r=7
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type") === "click")
+      .select(col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(100 * r.getDouble(1))))
+    val sw = ev.map(e => weight(7, e._1)).sum
+    val swx = ev.map(e => weight(7, e._1) * e._2).sum
+    val expect = ((2L * swx * 1000000L + 100L * sw) /
+      (2L * 100L * sw)).toDouble / 1e6
+    // recompute the same replicate through the engine's pipeline shape
+    val got = {
+      val e = Tables.events(spark, sf).filter(col("value").isNotNull
+          && col("event_type") === "click")
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(100 * value) AS BIGINT)").as("x"),
+          lit(7).as("r"))
+      val u = conv(substring(md5(concat(lit("bs|"), col("r").cast("string"),
+        lit("|"), col("event_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long")
+      e.withColumn("w",
+          when(u < cdf(0), 0L).when(u < cdf(1), 1L).when(u < cdf(2), 2L)
+            .when(u < cdf(3), 3L).when(u < cdf(4), 4L).when(u < cdf(5), 5L)
+            .otherwise(6L))
+        .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+        .select(graft.functions.Exact.ratio6("swx", "100 * sw").as("m"))
+        .head.getDouble(0)
+    }
+    assert(got === expect, "replicate-7 mean replays from MessageDigest")
+  }
 }
