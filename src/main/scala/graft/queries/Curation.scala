@@ -29,7 +29,8 @@ object Curation {
   def all: Seq[Q] = Seq(
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
     q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
-    q110BottomkSample, q112WeightedSample, q136BoilerplateStrip)
+    q110BottomkSample, q112WeightedSample, q136BoilerplateStrip,
+    q172DsirWeights)
 
   /** Per-group bottom-k-by-hash sampling through the
     * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
@@ -621,6 +622,132 @@ object Curation {
         md5(array_join(expr(
           "transform(sort_array(collect_list(CASE WHEN NOT boiler " +
             "THEN struct(i, s) END)), x -> x.s)"), " ")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTING — data selection for language-model
+    * pretraining (Xie et al.'s Data Selection via Importance Resampling
+    * shape): score every document by the log-likelihood RATIO between a
+    * target-domain n-gram LM (here: the English slice, the corpus
+    * plurality) and the general-corpus LM, both add-one-smoothed bigram
+    * models trained in the same pass; documents whose ratio favors the
+    * target (llr > 0) are the ones an importance resample keeps when
+    * curating general crawl toward a target distribution. This composes
+    * q131's LM machinery (train + score share one bigram-count table)
+    * with q69/q77's mixture-curation intent, replacing their hand-set
+    * domain weights with model-derived per-document ones.
+    *
+    *   llr(doc) = avg_nll_corpus(doc) − avg_nll_target(doc)
+    *   nll terms: k · ln((c1 + V)/(c12 + 1)) per distinct doc-bigram,
+    *   with (c1, c12, V) from the respective LM; target counts are
+    *   conditional sums over the SAME windows (no second corpus scan).
+    *
+    * Exactness is the q131/q87 discipline, twice: each ln is computed
+    * over exact integer counts, cast to FLOAT (kills libm 1-ulp wobble),
+    * weighted as DOUBLE, summed as fixed-scale DECIMAL (associative —
+    * partial-merge order can't change the bits), and the two exact sums
+    * close with fixed-order double ops. The keep flag compares the
+    * UNROUNDED llr against 0 — the same IEEE tree in both engines.
+    *
+    * Plan: one corpus scan → per-doc bigram aggregate; corpus AND target
+    * LM counts ride the same two windows (PARTITION BY (w1,w2) / BY w1)
+    * as conditional sums; two 1-row smoothing constants broadcast back.
+    * Bigram-TYPE-proportional shuffles only — the q131 scale shape with
+    * a second model for free.
+    */
+  val q172DsirWeights = Q(
+    "q172_dsir_weights",
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents
+      |),
+      |bg AS (
+      |  SELECT doc_id, tgt,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+      |  FROM t WHERE len(toks) >= 2
+      |),
+      |pd AS (
+      |  SELECT doc_id, tgt, u.w1 AS w1, u.w2 AS w2, count(*) AS k
+      |  FROM bg GROUP BY 1, 2, 3, 4
+      |),
+      |w AS (
+      |  SELECT doc_id, k,
+      |    CAST(sum(k) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12c,
+      |    CAST(sum(k) OVER (PARTITION BY w1) AS BIGINT) AS c1c,
+      |    CAST(coalesce(sum(CASE WHEN tgt = 1 THEN k END)
+      |      OVER (PARTITION BY w1, w2), 0) AS BIGINT) AS c12t,
+      |    CAST(coalesce(sum(CASE WHEN tgt = 1 THEN k END)
+      |      OVER (PARTITION BY w1), 0) AS BIGINT) AS c1t
+      |  FROM pd
+      |),
+      |v AS (SELECT count(DISTINCT w1) AS vc FROM pd),
+      |vt AS (SELECT count(DISTINCT w1) AS vt FROM pd WHERE tgt = 1),
+      |sc AS (
+      |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CAST(CAST(k AS DOUBLE) *
+      |        CAST(ln(CAST(c1c + vc AS DOUBLE) / CAST(c12c + 1 AS DOUBLE))
+      |          AS FLOAT) AS DECIMAL(18,9))) AS DOUBLE) AS sdc,
+      |    CAST(sum(CAST(CAST(k AS DOUBLE) *
+      |        CAST(ln(CAST(c1t + vt AS DOUBLE) / CAST(c12t + 1 AS DOUBLE))
+      |          AS FLOAT) AS DECIMAL(18,9))) AS DOUBLE) AS sdt
+      |  FROM w, v, vt GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_bigrams,
+      |  round((sdc - sdt) / n_bigrams, 6) AS llr,
+      |  (sdc - sdt) / n_bigrams > 0.0 AS keep
+      |FROM sc
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    dsirLlr(Tables.documentsWide(s, d),
+      when(col("lang") === "en", 1).otherwise(0))
+  }
+
+  /** q172's operator body over any frame with (doc_id, text): per-doc
+    * log-likelihood ratio between the LM trained on rows where `tgt`
+    * evaluates 1 and the LM trained on everything. Suite entry — the
+    * algebraic identity dsirLlr(docs, lit(1)) ≡ 0 (target LM = corpus LM)
+    * is asserted in MiningSpec. */
+  def dsirLlr(docs: org.apache.spark.sql.DataFrame,
+      tgt: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pd = docs
+      .select(col("doc_id"), tgt.as("tgt"),
+        split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("tgt"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("u"))
+      .groupBy(col("doc_id"), col("tgt"),
+        col("u.w1").as("w1"), col("u.w2").as("w2"))
+      .agg(count(lit(1)).as("k"))
+    val w12 = Window.partitionBy(col("w1"), col("w2"))
+    val w1 = Window.partitionBy(col("w1"))
+    val w = pd.select(col("doc_id"), col("k"),
+      sum(col("k")).over(w12).as("c12c"),
+      sum(col("k")).over(w1).as("c1c"),
+      coalesce(sum(when(col("tgt") === 1, col("k"))).over(w12), lit(0L))
+        .as("c12t"),
+      coalesce(sum(when(col("tgt") === 1, col("k"))).over(w1), lit(0L))
+        .as("c1t"))
+    val v = pd.agg(countDistinct(col("w1")).as("vc"))
+    val vt = pd.filter(col("tgt") === 1)
+      .agg(countDistinct(col("w1")).as("vt"))
+    def nllSum(c1: String, c12: String, vv: String) = sum(expr(
+      s"""CAST(CAST(k AS DOUBLE) *
+         |  CAST(ln(CAST($c1 + $vv AS DOUBLE) / CAST($c12 + 1 AS DOUBLE))
+         |    AS FLOAT) AS DECIMAL(18,9))""".stripMargin)).cast("double")
+    w.crossJoin(broadcast(v)).crossJoin(broadcast(vt))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_bigrams"),
+        nllSum("c1c", "c12c", "vc").as("sdc"),
+        nllSum("c1t", "c12t", "vt").as("sdt"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round((col("sdc") - col("sdt")) / col("n_bigrams"), 6).as("llr"),
+        ((col("sdc") - col("sdt")) / col("n_bigrams") > 0.0).as("keep"))
       .orderBy(col("doc_id"))
   }
 }

@@ -53,7 +53,8 @@ object Dedup {
     q31ExactDedup, q32MinhashNeardup, q33SimhashFingerprint, q51NgramJaccard,
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
     q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
-    q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval)
+    q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval,
+    q175NgramNovelty)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -1158,10 +1159,17 @@ object Dedup {
   ) { (s, d) => prefixJaccardPairs(Tables.documentsWide(s, d)) }
 
   /** q132's operator body over any (doc_id, text) frame (suite entry). */
-  def prefixJaccardPairs(docs: DataFrame): DataFrame = {
-    val toks = docs
+  def prefixJaccardPairs(docs: DataFrame): DataFrame =
+    prefixPairsOver(docs
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        explode(array_distinct(split(col("text"), " "))).as("tok")))
+
+  /** The lossless prefix-filter similarity join over ANY per-doc distinct
+    * set rows (doc_id, tok) — word tokens for q132, 3-gram shingles for
+    * q170's truth side. Set semantics only; the element type just has to
+    * be hashable/sortable. */
+  def prefixPairsOver(tokRows: DataFrame): DataFrame = {
+    val toks = tokRows
     // global document frequency (the canonical rarity order's sort key)
     // plus an INTERNED integer token id: every downstream stage — prefix
     // join keys, verification arrays — works on longs, never strings
@@ -1705,32 +1713,52 @@ object Dedup {
   }
 
   /** LSH PARAMETER EVALUATION HARNESS — the measurement loop that makes
-    * banded MinHash tunable instead of folklore: run the banding (B=5,
-    * r=3, the q32 geometry, here over word TOKEN sets so ground truth is
-    * cheap to state exactly) and score its CANDIDATE set against the
-    * EXACT J ≥ 0.9 truth from the lossless prefix-filter join (q132's
-    * operator, proven zero-false-negative against a quadratic oracle).
-    * One row out: candidate count, truth count, true positives, recall
-    * (the number that decides whether B/r clears the dedup SLO —
-    * theory says 1−(1−0.9³)⁵ ≈ 0.9985 here; the suite net asserts the
-    * bound holds executably), and truth hit-rate among candidates (how
-    * much of the candidate volume the verifier spends on sub-threshold
-    * pairs — NOT a defect: the banding deliberately recalls down to
-    * J ≈ 0.5, the q32 verify threshold).
+    * banded MinHash tunable instead of folklore: run q32's ACTUAL banding
+    * (B=5, r=3, word-3-gram shingles — the same [[shingleRows]] /
+    * [[minhashBands]] / [[candidatePairs]] stages the production dedup
+    * runs) and score its CANDIDATE set against the EXACT shingle-Jaccard
+    * ≥ 0.9 truth from the lossless prefix-filter join ([[prefixPairsOver]]
+    * on the same shingle rows — q132's operator lifted from word tokens
+    * to shingle sets). One row out: candidate count, truth count, true
+    * positives, recall (the number that decides whether B/r clears the
+    * dedup SLO — theory says 1−(1−0.9³)⁵ ≈ 0.9985; the suite net asserts
+    * the bound executably), and truth hit-rate among candidates (how much
+    * candidate volume the verifier spends below the truth threshold —
+    * NOT a defect: the banding deliberately recalls down to J ≈ 0.5,
+    * q32's verify threshold).
+    *
+    * The universe is DISTINCT TEXTS (collapseByText reps). That is the
+    * methodologically right evaluation population — identical texts share
+    * every signature, so each duplicate pair is a candidate AND a truth
+    * pair with certainty; leaving them in pads both sides of the ratio
+    * with k²-many guaranteed hits that measure the corpus's duplication
+    * factor, not the banding. (A first cut evaluated TOKEN-set banding
+    * instead: on this template-heavy corpus token sets are barely
+    * discriminative — 9.3M candidates and 964k "truth" pairs at sf0.1,
+    * 16.3 s of padding. Shingle space is what q32 actually ships, and
+    * its truth set is near-dup-sized.)
     *
     * Plan: both pair generators are banded equi-joins (signatures /
     * interned prefix ids) — no quadratic anywhere on the engine side;
     * the comparison is ONE full-outer join on the pair key and a 1-row
     * aggregate. The DuckDB twin rebuilds the banding verbatim and the
     * truth as the quadratic list_intersect join (independent of the
-    * prefix filter — so this oracle ALSO re-proves q132's losslessness
-    * on every round, now in token space).
+    * prefix filter — so this oracle ALSO re-proves the prefix join's
+    * losslessness on every round, now in shingle space).
     */
   val q170LshRecallEval = Q(
     "q170_lsh_recall_eval",
-    s"""WITH tk AS (
-      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-      |  FROM documents
+    s"""WITH r0 AS (
+      |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+      |),
+      |tk AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 2 + 1),
+      |      i -> string_split(text, ' ')[i] || ' '
+      |        || string_split(text, ' ')[i+1] || ' '
+      |        || string_split(text, ' ')[i+2])) AS toks
+      |  FROM r0 WHERE len(string_split(text, ' ')) >= 3
       |),
       |dig AS (
       |  SELECT doc_id,
@@ -1776,19 +1804,12 @@ object Dedup {
       |    AS hit_rate
       |FROM j""".stripMargin,
   ) { (s, d) =>
-    val docs = Tables.documentsWide(s, d).select(col("doc_id"), col("text"))
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(col("text"), " "))).as("sh"))
-    val bands = minhashBands(toks)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.b") === col("b.b")
-          && col("a.s0") === col("b.s0") && col("a.s1") === col("b.s1")
-          && col("a.s2") === col("b.s2")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .withColumn("c", lit(1L))
-    val truth = prefixJaccardPairs(docs)
+    val (reps, _) = collapseByText(
+      Tables.documentsWide(s, d).select(col("doc_id"), col("text")))
+    val dsh = shingleRows(reps)
+    val cand = candidatePairs(minhashBands(dsh))
+      .select(col("doc_a"), col("doc_b")).withColumn("c", lit(1L))
+    val truth = prefixPairsOver(dsh.withColumnRenamed("sh", "tok"))
       .select(col("doc_a"), col("doc_b")).withColumn("t", lit(1L))
     cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
       .select(coalesce(col("c"), lit(0L)).as("c"),
@@ -1798,5 +1819,73 @@ object Dedup {
       .select(col("n_candidates"), col("n_truth"), col("n_tp"),
         graft.functions.Exact.ratio6("n_tp", "n_truth").as("recall"),
         graft.functions.Exact.ratio6("n_tp", "n_candidates").as("hit_rate"))
+  }
+
+  /** INGEST-ORDER NOVELTY SCORING — the directional complement of q86's
+    * symmetric duplicate-8-gram fraction: attribute each shared 8-gram to
+    * its FIRST occurrence (min doc_id — the ingest-order arrival proxy),
+    * so every doc scores the fraction of its grams it introduced to the
+    * corpus. Originals keep novelty 1.0 while their copies drop toward 0 —
+    * exactly the asymmetry a keep-first dedup policy (q31) and a crawl
+    * frontier ("is this feed still producing new content?") need, and
+    * what q86 cannot express. `low_novelty` flags majority-recycled docs
+    * via the pure-integer comparison 2·n_novel < n_grams (no float
+    * threshold to drift).
+    *
+    * Plan: the q86 single-pass shape — per-doc array_distinct BEFORE the
+    * explode (no shuffled DISTINCT), one gram-partitioned window carrying
+    * min(doc_id) alongside the rows, one doc-keyed aggregate. Gram rows
+    * shuffle once; nothing quadratic.
+    */
+  val q175NgramNovelty = Q(
+    "q175_ngram_novelty",
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+      |      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |        || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+      |        || toks[i+6] || ' ' || toks[i+7])))) AS gram
+      |  FROM tok WHERE len(toks) >= 8
+      |),
+      |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  count(*) FILTER (WHERE f.first_doc = g.doc_id) AS n_novel,
+      |  ${graft.functions.Exact.Sql.ratio6(
+          "count(*) FILTER (WHERE f.first_doc = g.doc_id)", "count(*)")}
+      |    AS novelty,
+      |  2 * count(*) FILTER (WHERE f.first_doc = g.doc_id) < count(*)
+      |    AS low_novelty
+      |FROM g JOIN f ON g.gram = f.gram
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val n = 8
+    val grams = Tables.documentsWide(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + k)): _*))))
+          .as("raw"))
+      .select(col("doc_id"), md5(col("raw")).as("gram"))
+    // first occurrence rides the same gram-partitioned window pass that
+    // carries the rows (the q86 idiom — no groupBy+join re-instantiating
+    // the tokenize+md5 subtree)
+    grams
+      .withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col("doc_id"), lit(1)))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        graft.functions.Exact.ratio6("n_novel", "n_grams").as("novelty"),
+        (lit(2) * col("n_novel") < col("n_grams")).as("low_novelty"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms,
-    q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi)
+    q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi,
+    q174CalibrationBrier)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -712,10 +713,16 @@ object Stats {
     * replicate r is an independent Poisson(1) draw (the n→∞ limit of
     * Binomial(n, 1/n)), so a replicate is ONE weighted aggregate and all
     * 64 replicates ride a single scan with map-side combine — no shuffle
-    * of resampled data, ever. Weights are DETERMINISTIC: md5('bs|r|id')
-    * → 6-hex uniform → inverse CDF by integer thresholds, so any engine
-    * (and any re-run) draws the same replicate universe — the q65
-    * hash-split idiom lifted to resampling.
+    * of resampled data, ever. Weights are DETERMINISTIC: a 6-hex uniform
+    * → inverse CDF by integer thresholds, so any engine (and any re-run)
+    * draws the same replicate universe — the q65 hash-split idiom lifted
+    * to resampling. The md5 budget follows the q32 slicing discipline:
+    * 13 digests per event (md5('bs|g|id'), g = r div 5), each sliced
+    * into five 24-bit uniforms (slice r mod 5) — computed as a per-event
+    * ARRAY before the 64-way explode, so hashing is 13/64ths of the
+    * naive per-replicate-digest form (measured 5.1 s → 4.1 s at sf0.1;
+    * the residual is the 64×-row explode volume itself, which IS the
+    * operator — 64 logical resamples riding one scan).
     *
     * Exactness: weights and centi-values are exact int64 (Σw·x ≤ 6·50000·
     * 10⁵ rows ≈ 3·10¹³ at sf0.1); each replicate mean reports through
@@ -724,9 +731,9 @@ object Stats {
     * percentile interval; ordering on the ROUNDED mean with replicate-id
     * tiebreak is a total order both engines share).
     *
-    * Plan: scan → 64-way array explode (row inflation happens BEFORE the
-    * shuffle and combines map-side into 5·64 groups) → one 320-row rank
-    * window → 5-row join with the un-resampled point estimate.
+    * Plan: scan → 13-digest array → 64-way explode (row inflation happens
+    * BEFORE the shuffle and combines map-side into 5·64 groups) → one
+    * 320-row rank window → 5-row join with the un-resampled estimate.
     */
   val q164BootstrapCi = Q(
     "q164_bootstrap_ci",
@@ -740,6 +747,13 @@ object Stats {
       |    ${Exact.Sql.ratio6("sum(x)", "100 * count(*)")} AS est
       |  FROM e GROUP BY event_type
       |),
+      |dg AS (
+      |  SELECT event_type, x,
+      |    list_transform(range(0, ${(BootstrapR + 4) / 5}),
+      |      g -> md5('bs|' || CAST(g AS VARCHAR) || '|'
+      |        || CAST(event_id AS VARCHAR))) AS digs
+      |  FROM e
+      |),
       |w AS (
       |  SELECT event_type, r, x,
       |    CASE
@@ -748,10 +762,10 @@ object Stats {
       |      WHEN u < ${PoissonCdf16M(4)} THEN 4 WHEN u < ${PoissonCdf16M(5)} THEN 5
       |      ELSE 6 END AS w
       |  FROM (
-      |    SELECT e.event_type, e.x, r.r,
-      |      CAST(('0x' || substr(md5('bs|' || CAST(r.r AS VARCHAR) || '|'
-      |        || CAST(e.event_id AS VARCHAR)), 1, 6)) AS BIGINT) AS u
-      |    FROM e CROSS JOIN (SELECT unnest(range(0, $BootstrapR)) AS r) r) t
+      |    SELECT dg.event_type, dg.x, r.r,
+      |      CAST(('0x' || substr(digs[(r.r // 5) + 1],
+      |        (r.r % 5) * 6 + 1, 6)) AS BIGINT) AS u
+      |    FROM dg CROSS JOIN (SELECT unnest(range(0, $BootstrapR)) AS r) r) t
       |),
       |rep AS (
       |  SELECT event_type, r,
@@ -779,10 +793,19 @@ object Stats {
       .select(col("event_type"), col("n").cast("long").as("n"),
         Exact.ratio6("sx", "100 * n").as("est"))
     val cdf = PoissonCdf16M
-    val u = conv(substring(md5(concat(lit("bs|"), col("r").cast("string"),
-      lit("|"), col("event_id").cast("string"))), 1, 6), 16, 10).cast("long")
+    val nDigs = (BootstrapR + 4) / 5
+    // the 13 digests are an ARRAY built once per event, BEFORE the 64-way
+    // explode — each replicate row then just slices (q32's md5 budget
+    // discipline; naive per-(event, r) digests benched 5.1 s vs 4.1 s —
+    // the rest is explode row volume, i.e. the resampling itself)
+    val u = conv(expr(
+      "substr(element_at(digs, CAST(r div 5 AS INT) + 1), " +
+        "CAST((r % 5) * 6 + 1 AS INT), 6)"), 16, 10).cast("long")
     val rep = e
-      .select(col("event_type"), col("event_id"), col("x"),
+      .select(col("event_type"), col("x"),
+        array((0 until nDigs).map(g => md5(concat(lit(s"bs|$g|"),
+          col("event_id").cast("string")))): _*).as("digs"))
+      .select(col("event_type"), col("x"), col("digs"),
         explode(sequence(lit(0), lit(BootstrapR - 1))).as("r"))
       .withColumn("w",
         when(u < cdf(0), 0L).when(u < cdf(1), 1L).when(u < cdf(2), 2L)
@@ -801,5 +824,115 @@ object Stats {
       .join(rk.filter(col("rk") === BootstrapR - 1)
         .select(col("event_type"), col("mean_r").as("ci_hi")), "event_type")
       .orderBy(col("event_type"))
+  }
+
+  /** CALIBRATION BACKTEST + BRIER SCORE — does yesterday's rate predict
+    * tomorrow? The corpus splits at its temporal midpoint; users are
+    * deciled by FIRST-half activity (ntile(10), heaviest first, user_id
+    * tiebreak), each decile's first-half heavy-purchaser rate (≥ 8
+    * purchase events in the half) becomes its FORECAST, and the decile's
+    * second-half rate is the OUTCOME. The reliability table (pred vs
+    * actual per decile) plus the per-decile Brier score — mean squared
+    * error of the constant forecast against the binary outcomes — is the
+    * standard scoring rule for probabilistic predictions.
+    *
+    * Exactness: the forecast lives as the ratio6 INTEGER micro-rate
+    * pµ = (2·x₁·10⁶ + n) div (2n), so the Brier numerator collapses to
+    * pure int64 algebra: Σ(pµ − y·10⁶)² = n·pµ² − 2·10⁶·pµ·x₂ + 10¹²·x₂
+    * (≤ 10¹⁶ at sf0.1 — its int64→double cast is identical cross-engine),
+    * closed by one fixed-order double division. Users with no first-half
+    * events have no forecast basis and are excluded before the ntile —
+    * deterministic in both engines.
+    *
+    * Plan: two half-filtered user aggregates off one scan, ONE
+    * user-count-sized ntile window (the q161/q169 shard note applies at
+    * 10⁹ users), a 10-row finish. The left join keeps first-half users
+    * with silent second halves as y = 0 — churned, not dropped.
+    */
+  val q174CalibrationBrier = Q(
+    "q174_calibration_brier",
+    s"""WITH b AS (
+      |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+      |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |h1 AS (
+      |  SELECT user_id, count(*) AS s1,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p1
+      |  FROM events, b
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |  GROUP BY user_id
+      |),
+      |h2 AS (
+      |  SELECT user_id, count(*) AS p2
+      |  FROM events, b
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND epoch_us(CAST(ts AS TIMESTAMP)) > b.mid
+      |    AND event_type = 'purchase'
+      |  GROUP BY user_id
+      |),
+      |d AS (
+      |  SELECT h1.user_id,
+      |    ntile(10) OVER (ORDER BY h1.s1 DESC, h1.user_id) AS decile,
+      |    CASE WHEN h1.p1 >= 8 THEN 1 ELSE 0 END AS c1,
+      |    CASE WHEN coalesce(h2.p2, 0) >= 8 THEN 1 ELSE 0 END AS y
+      |  FROM h1 LEFT JOIN h2 ON h1.user_id = h2.user_id
+      |),
+      |g AS (
+      |  SELECT decile, count(*) AS n, sum(c1) AS x1, sum(y) AS x2
+      |  FROM d GROUP BY decile
+      |),
+      |p AS (
+      |  SELECT decile, n, x1, x2,
+      |    (2 * CAST(x1 AS BIGINT) * 1000000 + CAST(n AS BIGINT))
+      |      // (2 * CAST(n AS BIGINT)) AS pmu
+      |  FROM g
+      |)
+      |SELECT CAST(decile AS INTEGER) AS decile, CAST(n AS BIGINT) AS n,
+      |  CAST(x1 AS BIGINT) AS x1, CAST(x2 AS BIGINT) AS x2,
+      |  CAST(pmu AS DOUBLE) / 1000000.0 AS pred,
+      |  ${Exact.Sql.ratio6("x2", "n")} AS actual,
+      |  round(CAST(CAST(n AS BIGINT) * pmu * pmu
+      |      - 2 * 1000000 * pmu * CAST(x2 AS BIGINT)
+      |      + 1000000000000 * CAST(x2 AS BIGINT) AS DOUBLE)
+      |    / 1000000000000.0 / CAST(n AS DOUBLE), 6) AS brier
+      |FROM p
+      |ORDER BY decile NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val b = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val evb = ev.crossJoin(broadcast(b))
+    val h1 = evb.filter(col("us") <= col("mid"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("s1"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("p1"))
+    val h2 = evb.filter(col("us") > col("mid")
+        && col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("p2"))
+    val ddf = h1.join(h2, Seq("user_id"), "left")
+      .select(col("user_id"),
+        ntile(10).over(Window.orderBy(col("s1").desc, col("user_id")))
+          .as("decile"),
+        when(col("p1") >= 8, 1).otherwise(0).as("c1"),
+        when(coalesce(col("p2"), lit(0L)) >= 8, 1).otherwise(0).as("y"))
+    ddf.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("c1")).as("x1"),
+        sum(col("y")).as("x2"))
+      .withColumn("pmu",
+        expr("(2 * x1 * 1000000 + n) div (2 * n)"))
+      .select(col("decile"), col("n").cast("long").as("n"),
+        col("x1").cast("long").as("x1"), col("x2").cast("long").as("x2"),
+        (col("pmu").cast("double") / 1000000.0).as("pred"),
+        Exact.ratio6("x2", "n").as("actual"),
+        round(expr(
+          """CAST(n * pmu * pmu - 2 * 1000000 * pmu * x2
+            |  + 1000000000000 * x2 AS DOUBLE)
+            |  / 1000000000000.0 / CAST(n AS DOUBLE)""".stripMargin), 6)
+          .as("brier"))
+      .orderBy(col("decile"))
   }
 }

@@ -15,7 +15,7 @@ object TextAnalysis {
   def all: Seq[Q] =
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
-      q146PmiCollocations, q159BpeMerges)
+      q146PmiCollocations, q159BpeMerges, q173BpeEncode)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -784,10 +784,10 @@ object TextAnalysis {
     merges.reduce(_ union _).orderBy(col("round"))
   }
 
-  /** The q159 recurrence unrolled: round k's top-pair CTE reads word
-    * table k−1, word table k applies it — same string replace, same
-    * total-order argmax, so the hash compare covers all rounds. */
-  private def bpeOracle: String = {
+  /** The q159 training recurrence as CTEs (w0 vocab + per-round argmax
+    * t_k / merged vocab w_k) — shared by the q159 oracle and the q173
+    * encode oracle so the two can never drift. */
+  private def bpeTrainCtes: String = {
     val rounds = (1 to BpeRounds).map { k =>
       s"""t$k AS (
          |  SELECT u.l AS l, u.r AS r, sum(freq) AS cnt FROM (
@@ -805,11 +805,7 @@ object TextAnalysis {
          |    ' ' || t$k.l || t$k.r || ' ') AS sym, freq
          |  FROM w${k - 1}, t$k)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS round, l, r, l || r AS merged,
-         |  CAST(cnt AS BIGINT) AS pair_count FROM t$k""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
        |      AS sym,
        |    count(*) AS freq
@@ -817,8 +813,101 @@ object TextAnalysis {
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) x
        |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
        |  GROUP BY w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** The q159 recurrence unrolled: round k's top-pair CTE reads word
+    * table k−1, word table k applies it — same string replace, same
+    * total-order argmax, so the hash compare covers all rounds. */
+  private def bpeOracle: String = {
+    val out = (1 to BpeRounds).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, l, r, l || r AS merged,
+         |  CAST(cnt AS BIGINT) AS pair_count FROM t$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
        |$out
        |ORDER BY round""".stripMargin
+  }
+
+  /** BPE ENCODE — the serve side of q159's tokenizer training: apply the
+    * learned merge table to every document and report its tokenization
+    * profile (clean-word count, character mass, post-merge token count,
+    * tokens-per-char compression via ratio6). This is the operator a
+    * data pipeline runs to cost a corpus in tokens BEFORE training — and
+    * the pair that proves the trained artifact is actually consumable.
+    *
+    * Scale shape: the corpus is NEVER re-scanned per merge. Encoding runs
+    * over the DISTINCT clean-word vocabulary (merge replaces chain as
+    * three 1-row broadcast joins, round order preserved), and documents
+    * join the encoded vocab once by word — at 100 TB the vocab table is
+    * the only thing the merge chain touches, and the doc-side cost is one
+    * word-keyed join of per-doc word COUNTS (not word instances; the
+    * aggregate collapses first). Determinism: the replace is the q159
+    * leftmost-non-overlapping padded-string convention, identical in both
+    * engines; the oracle chains the same training CTEs (shared
+    * [[bpeTrainCtes]]) plus an unrolled 3-step vocab-encode chain.
+    */
+  val q173BpeEncode = Q(
+    "q173_bpe_encode",
+    {
+      val vchain = (1 to BpeRounds).map { k =>
+        s"""v$k AS (
+           |  SELECT w, replace(sym, ' ' || t$k.l || ' ' || t$k.r || ' ',
+           |    ' ' || t$k.l || t$k.r || ' ') AS sym
+           |  FROM v${k - 1}, t$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeTrainCtes,
+         |vw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents) x
+         |  WHERE regexp_matches(w, '^[a-z]{2,}$$')
+         |),
+         |wc AS (SELECT doc_id, w, count(*) AS k FROM vw GROUP BY 1, 2),
+         |v0 AS (
+         |  SELECT DISTINCT w,
+         |    ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym
+         |  FROM vw),
+         |$vchain,
+         |e AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sym FROM v$BpeRounds)
+         |SELECT wc.doc_id, CAST(sum(wc.k) AS BIGINT) AS n_words,
+         |  CAST(sum(wc.k * length(wc.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(wc.k * e.n_sym) AS BIGINT) AS n_tokens,
+         |  ${graft.functions.Exact.Sql.ratio6("sum(wc.k * e.n_sym)",
+            "sum(wc.k * length(wc.w))")} AS compression
+         |FROM wc JOIN e ON wc.w = e.w
+         |GROUP BY wc.doc_id
+         |ORDER BY wc.doc_id NULLS FIRST""".stripMargin
+    },
+  ) { (s, d) =>
+    val docs = Tables.documentsWide(s, d)
+    val merges = bpeMergeTable(docs, BpeRounds)
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+    val wc = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    var enc = words.select(col("w")).distinct()
+      .select(col("w"), concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("sym"))
+    for (round <- 1 to BpeRounds) {
+      val m = merges.filter(col("round") === round)
+        .select(col("l").as(s"l$round"), col("r").as(s"r$round"))
+      enc = enc.crossJoin(broadcast(m))
+        .select(col("w"), expr(
+          s"replace(sym, ' ' || l$round || ' ' || r$round || ' ', " +
+            s"' ' || l$round || r$round || ' ')").as("sym"))
+    }
+    val e = enc.select(col("w"),
+      size(split(trim(col("sym")), " ")).as("n_sym"))
+    wc.join(e, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("n_words"),
+        sum(col("k") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("k") * col("n_sym")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
+        graft.functions.Exact.ratio6("n_tokens", "n_chars")
+          .as("compression"))
+      .orderBy(col("doc_id"))
   }
 }

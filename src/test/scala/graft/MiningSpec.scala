@@ -162,6 +162,119 @@ class MiningSpec extends SparkSpec {
     assert(r.getDouble(4) <= 1.0 && r.getDouble(4) > 0.0)
   }
 
+  test("q172 DSIR llr vanishes when target = corpus, and separates the " +
+      "target slice on the fixture") {
+    import queries.Curation
+    // algebraic identity: training both LMs on the same rows makes every
+    // per-bigram term cancel — llr must be EXACTLY 0.0 for every doc
+    val allTgt = Curation.dsirLlr(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      lit(1)).collect()
+    assert(allTgt.nonEmpty)
+    for (r <- allTgt) {
+      assert(r.getDouble(2) === 0.0, s"doc ${r.getLong(0)} llr nonzero")
+      assert(!r.getBoolean(3), "keep must be false at llr == 0")
+    }
+    // fixture separation: the English slice must score higher under its
+    // own LM than the non-English slice does, on average (deterministic
+    // on this corpus — the operator's whole point)
+    val scored = queries.Curation.q172DsirWeights.fn(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("lang") === "en", col("llr")).collect()
+      .map(r => (r.getBoolean(0), r.getDouble(1)))
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    val en = mean(scored.filter(_._1).map(_._2))
+    val rest = mean(scored.filterNot(_._1).map(_._2))
+    assert(en > rest, s"en mean llr $en should exceed non-en $rest")
+  }
+
+  test("q173 encode agrees with a driver-side merge replay and only " +
+      "shrinks token counts") {
+    import queries.TextAnalysis
+    val merges = TextAnalysis.bpeMergeTable(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+        .repartition(4), 3)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    val got = TextAnalysis.q173BpeEncode.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wordRe = "^[a-z]{2,}$".r
+    val expect = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ").filter(w => wordRe.findFirstIn(w).isDefined)
+      if (ws.isEmpty) None else {
+        val toks = ws.map { w =>
+          var sym = " " + w.toCharArray.mkString(" ") + " "
+          for ((l, r) <- merges)
+            sym = sym.replace(s" $l $r ", s" $l$r ")
+          sym.trim.split(" ").length.toLong
+        }
+        Some(id -> ((ws.length.toLong, ws.map(_.length.toLong).sum,
+          toks.sum)))
+      }
+    }.toMap
+    assert(got === expect)
+    for ((id, (nw, nc, nt)) <- got) {
+      assert(nt <= nc && nt >= nw, s"doc $id token bounds")
+    }
+  }
+
+  test("q174 deciles partition first-half users and Brier replays from " +
+      "the cell counts") {
+    import queries.Stats
+    val rows = Stats.q174CalibrationBrier.fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    for (r <- rows) {
+      val (n, x1, x2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (pred, actual, brier) =
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(x1 <= n && x2 <= n)
+      assert(pred >= 0.0 && pred <= 1.0 && actual >= 0.0 && actual <= 1.0)
+      val pmu = (2 * x1 * 1000000L + n) / (2 * n)
+      assert(pred === pmu.toDouble / 1e6)
+      val num = n * pmu * pmu - 2 * 1000000L * pmu * x2 +
+        1000000000000L * x2
+      val expect = BigDecimal(num.toDouble / 1e12 / n.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(brier === expect, s"decile ${r.getInt(0)}")
+      assert(brier >= 0.0 && brier <= 1.0)
+    }
+  }
+
+  test("q175 novelty attributes each corpus gram exactly once and keeps " +
+      "q86's per-doc gram counts") {
+    import queries.Dedup
+    val got = Dedup.q175NgramNovelty.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // the first doc (min doc_id) can only introduce grams
+    val minDoc = got.keys.min
+    assert(got(minDoc)._3 === 1.0, "first doc must be fully novel")
+    // Σ n_novel over docs = number of DISTINCT grams in the corpus (each
+    // gram's first occurrence is counted exactly once, no gram twice)
+    val q86 = Dedup.q86DupNgrams.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap === q86,
+      "per-doc gram universes must match q86's")
+    val distinctGrams = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(explode(expr(
+        """array_distinct(transform(sequence(1, size(toks) - 7),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+          |    element_at(toks, i+2), element_at(toks, i+3),
+          |    element_at(toks, i+4), element_at(toks, i+5),
+          |    element_at(toks, i+6), element_at(toks, i+7))))"""
+          .stripMargin)).as("g"))
+      .agg(countDistinct(col("g"))).head.getLong(0)
+    assert(got.values.map(_._2).sum === distinctGrams,
+      "novel-gram mass must equal the distinct-gram universe")
+  }
+
   test("q171 hazard table equals a driver-side life-table recount") {
     val got = Analytic.q171ChurnHazard.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

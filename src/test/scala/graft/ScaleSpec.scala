@@ -296,6 +296,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("mining/eval family (q163–q171): no cartesian; nested-loop only " +
+      "for designed bounded broadcasts") {
+    // run-keyed equi joins and windows over value runs everywhere —
+    // nothing here may plan an unbounded pair generator. q167 (5-row
+    // anchor broadcast, the q35 shape) and q169/q171 (1-row corpus-max
+    // broadcast, the q146 shape) keep their DESIGNED bounded
+    // nested-loop; everything else forbids BNLJ outright.
+    for (name <- Seq("q163_spearman_corr", "q164_bootstrap_ci",
+      "q165_pareto_skyline", "q166_winsorized_mean", "q168_seq_triples",
+      "q170_lsh_recall_eval")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested-loop join:\n$plan")
+    }
+    for (name <- Seq("q167_hard_negatives", "q169_rfm_segments",
+      "q171_churn_hazard")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+    // q172 (two 1-row smoothing constants), q173 (three 1-row merge
+    // broadcasts + 1-row totals), q174 (1-row temporal midpoint) keep
+    // designed bounded broadcasts; q175 is window+aggregate only.
+    for (name <- Seq("q172_dsir_weights", "q173_bpe_encode",
+      "q174_calibration_brier", "q175_ngram_novelty")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+    val p175 = SparkEntry.queries("q175_ngram_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p175.contains("BroadcastNestedLoopJoin"), p175)
+  }
+
   test("q143/q144: multi-join analytics broadcast only bounded dims") {
     for (name <- Seq("q143_local_supplier_revenue", "q144_market_share")) {
       val plan = SparkEntry.queries(name)(spark, sf)

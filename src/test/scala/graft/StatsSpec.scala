@@ -326,11 +326,14 @@ class StatsSpec extends SparkSpec {
         math.floor(math.exp(-1) * c * 16777216).toLong
       }
     }
+    // replicate r reads digest r/5, 6-hex slice r%5 (the array-slicing
+    // md5 budget the engine uses)
     def weight(r: Int, id: Long): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"bs|$r|$id".getBytes("UTF-8"))
+      val hex = md.digest(s"bs|${r / 5}|$id".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      val u = java.lang.Long.parseLong(hex.substring(0, 6), 16)
+      val j = (r % 5) * 6
+      val u = java.lang.Long.parseLong(hex.substring(j, j + 6), 16)
       cdf.indexWhere(u < _) match { case -1 => 6L; case k => k.toLong }
     }
     // replay one replicate mean end to end for event_type 'click', r=7
@@ -349,9 +352,10 @@ class StatsSpec extends SparkSpec {
         .select(col("event_type"), col("event_id"),
           expr("CAST(round(100 * value) AS BIGINT)").as("x"),
           lit(7).as("r"))
-      val u = conv(substring(md5(concat(lit("bs|"), col("r").cast("string"),
-        lit("|"), col("event_id").cast("string"))), 1, 6), 16, 10)
-        .cast("long")
+      val u = conv(expr(
+        "substr(md5('bs|' || CAST(r div 5 AS STRING) || '|' " +
+          "|| CAST(event_id AS STRING)), CAST((r % 5) * 6 + 1 AS INT), 6)"),
+        16, 10).cast("long")
       e.withColumn("w",
           when(u < cdf(0), 0L).when(u < cdf(1), 1L).when(u < cdf(2), 2L)
             .when(u < cdf(3), 3L).when(u < cdf(4), 4L).when(u < cdf(5), 5L)
