@@ -30,7 +30,7 @@ object Curation {
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
     q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
     q110BottomkSample, q112WeightedSample, q136BoilerplateStrip,
-    q172DsirWeights)
+    q172DsirWeights, q176QuantileNormalize)
 
   /** Per-group bottom-k-by-hash sampling through the
     * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
@@ -748,6 +748,81 @@ object Curation {
       .select(col("doc_id"), col("n_bigrams"),
         round((col("sdc") - col("sdt")) / col("n_bigrams"), 6).as("llr"),
         ((col("sdc") - col("sdt")) / col("n_bigrams") > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CROSS-GROUP QUANTILE NORMALIZATION — make per-domain scores
+    * comparable: a document at the r-th of n_g positions within its
+    * SOURCE is assigned the pooled corpus's value at the scaled position
+    * ⌈r·N/n_g⌉, so every source's score distribution maps onto the one
+    * pooled distribution. This is the curation step that lets ONE global
+    * quality threshold (or mixture sampler) act fairly across domains
+    * whose raw score scales differ — the microarray quantile-normalize
+    * idiom applied to corpus curation, here over `n_chars` as the score.
+    *
+    * Exactness: ranks are row_number with doc_id tiebreak (a total order
+    * both engines share), the scaled position is pure integer ceiling
+    * division, and the normalized value is an exact pooled ORDER
+    * STATISTIC — no float anywhere.
+    *
+    * Plan: one source-partitioned rank window; pooled positions come
+    * from the value-RUN cumulative (q142 discipline), and each doc finds
+    * its covering run via a range join against the BROADCAST pooled run
+    * table — bounded by score CARDINALITY (523 distinct values at
+    * sf0.1), not corpus size. For a high-cardinality score the range
+    * join swaps for the q107 binned interval join; the broadcast form is
+    * the right plan while distinct-score count stays dim-sized.
+    */
+  val q176QuantileNormalize = Q(
+    "q176_quantile_normalize",
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars AS score FROM documents
+      |  WHERE n_chars IS NOT NULL
+      |),
+      |rk AS (
+      |  SELECT doc_id, source, score,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY score, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS ng,
+      |    count(*) OVER () AS n
+      |  FROM d
+      |),
+      |runs AS (
+      |  SELECT score, count(*) AS cnt FROM d GROUP BY score
+      |),
+      |cum AS (
+      |  SELECT score, cnt,
+      |    sum(cnt) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS s
+      |  FROM runs
+      |)
+      |SELECT rk.doc_id, rk.source, CAST(rk.score AS BIGINT) AS score,
+      |  CAST(rk.r AS BIGINT) AS rnk,
+      |  CAST(cum.score AS BIGINT) AS norm_score
+      |FROM rk JOIN cum
+      |  ON (rk.r * rk.n + rk.ng - 1) // rk.ng > cum.s
+      |  AND (rk.r * rk.n + rk.ng - 1) // rk.ng <= cum.s + cum.cnt
+      |ORDER BY rk.doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars").as("score"))
+    val rk = docs.select(col("doc_id"), col("source"), col("score"),
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))).as("r"),
+      count(lit(1)).over(Window.partitionBy(col("source"))).as("ng"),
+      count(lit(1)).over(Window.partitionBy()).as("n"))
+    val cum = docs.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .select(col("score").as("pscore"), col("cnt"),
+        (sum(col("cnt")).over(Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, 0)) - col("cnt")).as("s"))
+    val p = expr("(r * n + ng - 1) div ng")
+    rk.join(broadcast(cum), p > col("s") && p <= col("s") + col("cnt"))
+      .select(col("doc_id"), col("source"),
+        col("score").cast("long").as("score"),
+        col("r").cast("long").as("rnk"),
+        col("pscore").cast("long").as("norm_score"))
       .orderBy(col("doc_id"))
   }
 }

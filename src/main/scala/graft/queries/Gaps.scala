@@ -1677,11 +1677,15 @@ object Gaps {
     * max(0, min(s+cnt, k95) − max(s, k05)) rows); means report via ratio6.
     *
     * Plan: the VALUE-RUN discipline again — one (flag, cents) aggregate,
-    * flag-partitioned windows over DISTINCT price runs, and a final
-    * per-flag aggregate of clamped/overlap-weighted sums. No per-row rank
-    * is ever materialized: the 600k sf0.1 rows collapse to ~30k runs
-    * before any window runs, and the windows are flag-partitioned (no
-    * global single-partition window anywhere).
+    * then cumulative positions via the q142 TWO-LEVEL decomposition:
+    * prices are nearly unique here (~200k runs per flag at sf0.1), so a
+    * flat flag-partitioned window would sort each flag's run table in ONE
+    * task. Instead runs land in 4096 value bins (width from a 2-scalar
+    * min/max probe, the q142 driver-probe shape); the cross-bin
+    * cumulative is a tiny per-flag window over ≤4096 bin totals and the
+    * in-bin cumulative partitions by (flag, bin) — parallel across all
+    * cores. Measured 3.4 s → flat-window form retired (q142's lesson,
+    * fourth application). No per-row rank is ever materialized.
     */
   val q166WinsorizedMean = Q(
     "q166_winsorized_mean",
@@ -1735,15 +1739,37 @@ object Gaps {
       .select(col("l_returnflag").as("flag"),
         expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("c"))
     val runs = v.groupBy(col("flag"), col("c")).agg(count(lit(1)).as("cnt"))
-    val wcum = Window.partitionBy(col("flag")).orderBy(col("c"))
+    // two-level cumulative (q142): bin width from a 2-scalar driver probe
+    val mm = runs.agg(min(col("c")), max(col("c"))).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val bw = (hi - lo) / 4096 + 1
+    val binned = runs.withColumn("bin", expr(s"(c - ${lo}L) div ${bw}L"))
+    val binTotals = binned.groupBy(col("flag"), col("bin"))
+      .agg(sum(col("cnt")).as("bc"))
+    val binBefore = binTotals
+      .select(col("flag"), col("bin"),
+        coalesce(sum(col("bc")).over(
+          Window.partitionBy(col("flag")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("before"))
+    val nPerFlag = binTotals.groupBy(col("flag")).agg(sum(col("bc")).as("n"))
+    val inBin = Window.partitionBy(col("flag"), col("bin")).orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val k = runs
+    // localCheckpoint: BOTH consumers below (the percentile probe q and
+    // the clamped/overlap aggregate) read the positioned-run table; un-
+    // pinned, the q join re-instantiated the whole runs+window subtree
+    // and doubled the query (measured 3.0 s → 2.2 s at sf0.1; the
+    // remaining floor is the min/max probe job + one positioned-run
+    // build, each shuffling the ~590k nearly-unique price runs)
+    val k = binned
+      .withColumn("inb", sum(col("cnt")).over(inBin) - col("cnt"))
+      .join(binBefore, Seq("flag", "bin"))
+      .join(nPerFlag, "flag")
       .select(col("flag"), col("c"), col("cnt"),
-        (sum(col("cnt")).over(wcum) - col("cnt")).as("s"),
-        sum(col("cnt")).over(Window.partitionBy(col("flag"))).as("n"))
-      .select(col("flag"), col("c"), col("cnt"), col("s"), col("n"),
+        (col("before") + col("inb")).as("s"), col("n"),
         expr("(5 * n + 99) div 100").as("k05"),
         expr("(95 * n + 99) div 100").as("k95"))
+      .localCheckpoint()
     val q = k.groupBy(col("flag")).agg(
       min(when(col("s") < col("k05") && col("k05") <= col("s") + col("cnt"),
         col("c"))).as("p05"),

@@ -25,7 +25,7 @@ object Stats {
 
   def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms,
     q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi,
-    q174CalibrationBrier)
+    q174CalibrationBrier, q177Cuped)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -934,5 +934,140 @@ object Stats {
             |  / 1000000000000.0 / CAST(n AS DOUBLE)""".stripMargin), 6)
           .as("brier"))
       .orderBy(col("decile"))
+  }
+
+  /** CUPED VARIANCE REDUCTION — the modern experimentation workhorse
+    * (Deng et al.'s Controlled-experiment Using Pre-Experiment Data):
+    * each user's experiment-period metric y is adjusted by their
+    * pre-period covariate x, ŷ = y − θ(x − x̄), with θ = cov(x,y)/var(x)
+    * fitted on the POOLED population — removing the between-user variance
+    * x predicts and shrinking the A/B confidence interval at zero bias
+    * (E[ŷ] = E[y] because the adjustment is mean-zero). Here: the corpus
+    * splits at its temporal midpoint (the q174 device), x = first-half
+    * per-user spend, y = second-half spend, arms = the q154 md5 parity.
+    * Output per arm: raw and adjusted means, plus the pooled θ and the
+    * variance-reduction ratio 1 − ρ² (what fraction of metric variance
+    * the covariate removed — the experiment-sensitivity win).
+    *
+    * Exactness: per-user totals are exact cents floored to whole DOLLARS
+    * ((cents div 100) — the int64 headroom dial: dollar-scaled Σxy and
+    * n·Σxy stay ≤ 2.5·10¹⁷ at sf0.1 where cents would overflow at ×100
+    * scale); all five moment sums are exact int64; θ, ρ², and the
+    * adjusted means are the q155 fixed-order double finish over exact
+    * casts, nullif-guarded for degenerate variance.
+    *
+    * Plan: two half-filtered user aggregates off one scan (the q174
+    * shape), one 5-moment pooled aggregate (1 row, broadcast back), one
+    * 2-row arm aggregate. Nothing wider than the per-user aggregate ever
+    * shuffles.
+    */
+  val q177Cuped = Q(
+    "q177_cuped",
+    s"""WITH b AS (
+      |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+      |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1))
+      |      AS BIGINT) % 2 AS variant,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |          AND value IS NOT NULL
+      |        THEN CAST(round(100 * value) AS BIGINT) ELSE 0 END)
+      |      // 100 AS x,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) > b.mid
+      |          AND value IS NOT NULL
+      |        THEN CAST(round(100 * value) AS BIGINT) ELSE 0 END)
+      |      // 100 AS y
+      |  FROM events, b
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id, b.mid
+      |),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM u
+      |),
+      |th AS (
+      |  SELECT n, sx, sy,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS theta,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / nullif((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0) AS rho2
+      |  FROM m
+      |),
+      |arm AS (
+      |  SELECT variant, CAST(count(*) AS BIGINT) AS n_arm,
+      |    CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+      |  FROM u GROUP BY variant
+      |)
+      |SELECT CAST(arm.variant AS BIGINT) AS variant, arm.n_arm,
+      |  ${Exact.Sql.ratio6("arm.ay", "arm.n_arm")} AS mean_y,
+      |  round(CAST(arm.ay AS DOUBLE) / CAST(arm.n_arm AS DOUBLE)
+      |    - th.theta * (CAST(arm.ax AS DOUBLE) / CAST(arm.n_arm AS DOUBLE)
+      |      - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)), 6)
+      |    AS mean_y_adj,
+      |  round(th.theta, 6) AS theta,
+      |  round(th.rho2, 6) AS var_reduction
+      |FROM arm, th
+      |ORDER BY variant NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("value"), expr("unix_micros(ts)").as("us"))
+    val b = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val u = ev.crossJoin(broadcast(b))
+      .groupBy(col("user_id"))
+      .agg(
+        expr("""sum(CASE WHEN us <= mid AND value IS NOT NULL
+          THEN CAST(round(100 * value) AS BIGINT) ELSE 0 END) div 100""")
+          .as("x"),
+        expr("""sum(CASE WHEN us > mid AND value IS NOT NULL
+          THEN CAST(round(100 * value) AS BIGINT) ELSE 0 END) div 100""")
+          .as("y"))
+      .withColumn("variant",
+        conv(substring(md5(concat(lit("ab|"), col("user_id").cast("string"))),
+          1, 1), 16, 10).cast("long") % 2)
+    val m = u.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val covN = """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))""".stripMargin
+    val varX = """(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""".stripMargin
+    val varY = """(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))""".stripMargin
+    val th = m.select(col("n"), col("sx"),
+      expr(s"$covN / nullif($varX, CAST(0 AS DOUBLE))").as("theta"),
+      expr(s"$covN * $covN / nullif($varX * $varY, CAST(0 AS DOUBLE))")
+        .as("rho2"))
+    val arm = u.groupBy(col("variant"))
+      .agg(count(lit(1)).cast("long").as("n_arm"),
+        sum(col("x")).as("ax"), sum(col("y")).as("ay"))
+    arm.crossJoin(broadcast(th))
+      .select(col("variant").cast("long").as("variant"), col("n_arm"),
+        Exact.ratio6("ay", "n_arm").as("mean_y"),
+        round(col("ay").cast("double") / col("n_arm").cast("double")
+          - col("theta") * (col("ax").cast("double")
+              / col("n_arm").cast("double")
+            - col("sx").cast("double") / col("n").cast("double")), 6)
+          .as("mean_y_adj"),
+        round(col("theta"), 6).as("theta"),
+        round(col("rho2"), 6).as("var_reduction"))
+      .orderBy(col("variant"))
   }
 }

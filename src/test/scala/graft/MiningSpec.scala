@@ -275,6 +275,35 @@ class MiningSpec extends SparkSpec {
       "novel-gram mass must equal the distinct-gram universe")
   }
 
+  test("q176 quantile normalization equals a driver-side sorted-array " +
+      "lookup and preserves within-source order") {
+    import queries.Curation
+    val got = Curation.q176QuantileNormalize.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val pooled = docs.map(_._3).sorted
+    val n = pooled.length.toLong
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      val sorted = g.sortBy(x => (x._3, x._1)).toSeq
+      val ng = sorted.length.toLong
+      sorted.zipWithIndex.map { case ((id, _, sc), i) =>
+        val r = i + 1L
+        val p = (r * n + ng - 1) / ng
+        id -> ((src, sc, r, pooled((p - 1).toInt)))
+      }
+    }.toMap
+    assert(got === expect)
+    // within a source, normalization is monotone in (score, doc_id)
+    for ((_, g) <- got.toSeq.groupBy(_._2._1)) {
+      val byRank = g.sortBy(_._2._3).map(_._2._4)
+      assert(byRank === byRank.sorted, "monotone in rank")
+    }
+  }
+
   test("q171 hazard table equals a driver-side life-table recount") {
     val got = Analytic.q171ChurnHazard.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

@@ -333,6 +333,16 @@ class ScaleSpec extends SparkSpec {
     val p175 = SparkEntry.queries("q175_ngram_novelty")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!p175.contains("BroadcastNestedLoopJoin"), p175)
+    // q176's range join broadcasts the score-CARDINALITY-bounded pooled
+    // run table (bounded by design, like the IVF centroid crossJoin);
+    // q177 broadcasts two 1-row scalar frames. Unbounded cartesians stay
+    // forbidden for both.
+    for (name <- Seq("q176_quantile_normalize", "q177_cuped")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
   }
 
   test("q143/q144: multi-join analytics broadcast only bounded dims") {

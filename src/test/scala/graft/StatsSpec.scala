@@ -366,4 +366,57 @@ class StatsSpec extends SparkSpec {
     }
     assert(got === expect, "replicate-7 mean replays from MessageDigest")
   }
+
+  test("q177 CUPED replays from driver-side moments and keeps the " +
+      "zero-bias identity") {
+    val rows = Stats.q177Cuped.fn(spark, sf).collect()
+    assert(rows.length === 2)
+    // independent path: per-user dollar totals + md5 variant in Scala
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("value"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    def cents(v: Option[Double]) = v.map(x => math.round(100 * x)).getOrElse(0L)
+    val users = ev.groupBy(_._1).map { case (u, g) =>
+      val x = g.filter(_._3 <= mid).map(e => cents(e._2)).sum / 100
+      val y = g.filter(_._3 > mid).map(e => cents(e._2)).sum / 100
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab|$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (u, x, y, Integer.parseInt(hex.substring(0, 1), 16) % 2)
+    }.toSeq
+    val n = users.length.toLong
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxx = users.map(u => u._2 * u._2).sum
+    val sxy = users.map(u => u._2 * u._3).sum
+    val syy = users.map(u => u._3 * u._3).sum
+    val covN = n.toDouble * sxy - sx.toDouble * sy
+    val varX = n.toDouble * sxx - sx.toDouble * sx
+    val varY = n.toDouble * syy - sy.toDouble * sy
+    val theta = covN / varX
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (r <- rows) {
+      val v = r.getLong(0).toInt
+      val arm = users.filter(_._4 == v)
+      val na = arm.length.toLong
+      val (ax, ay) = (arm.map(_._2).sum, arm.map(_._3).sum)
+      assert(r.getLong(1) === na)
+      assert(r.getDouble(2) ===
+        ((2L * ay * 1000000L + na) / (2L * na)).toDouble / 1e6, "mean_y")
+      val adj = ay.toDouble / na.toDouble -
+        theta * (ax.toDouble / na.toDouble - sx.toDouble / n.toDouble)
+      assert(r.getDouble(3) === r6(adj), s"mean_y_adj arm $v")
+      assert(r.getDouble(4) === r6(theta), "theta")
+      assert(r.getDouble(5) === r6(covN * covN / (varX * varY)), "rho2")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // zero-bias: the n-weighted mean of adjusted means equals the pooled
+    // raw mean up to the two 1e-6 roundings
+    val pooledRaw = sy.toDouble / n
+    val pooledAdj = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / n
+    assert(math.abs(pooledAdj - pooledRaw) < 2e-6, "zero-bias identity")
+  }
 }
