@@ -45,6 +45,8 @@ object Analytic {
     q168SeqTriples,
     q169RfmSegments,
     q171ChurnHazard,
+    q178BurstWindows,
+    q179BehaviorEntropy,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1816,5 +1818,139 @@ object Analytic {
         col("censored_n").cast("long").as("censored"),
         graft.functions.Exact.ratio6("churned", "at_risk").as("hazard"))
       .orderBy(col("tenure_weeks"))
+  }
+
+  /** BURST WINDOW DETECTION — the incident-mining operator (a
+    * Kleinberg-burst lite): per event type, find the maximal runs of
+    * consecutive HOURS whose event count is ≥ 3× the type's span
+    * baseline (total events / span hours, empty hours included), and
+    * report each burst's extent, event mass, and peak hour. Hours, not
+    * minutes, are the right granularity for this fixture's density: at
+    * ~0.03 events/minute the minute baseline makes EVERY active minute a
+    * 3× "burst" (9,788 of 9,788 flagged — a threshold that selects
+    * everything measures nothing), while the hourly baseline flags 4 of
+    * 3,385 active hours; a denser deployment would re-dial the unit. This is the
+    * alerting triple's third leg — q76 flags pointwise anomalies, q152
+    * finds silence, this finds sustained elevation — and feeds incident
+    * post-mortems ("how long were we hot, how hot, starting when").
+    *
+    * Exactness: the burst predicate is the pure-integer cross-multiply
+    * cnt·span ≥ 3·total (no float rate), and island ids come from the
+    * classic integer device hour − row_number() over flagged hours —
+    * consecutive flagged hours share an id, any gap breaks it. All
+    * counting; timestamps reported as exact hour-floor µs.
+    *
+    * Plan: one (type, hour) aggregate (map-side combined), a 1-row-per-
+    * type baseline joined back (broadcast-sized), one type-partitioned
+    * window over FLAGGED hour runs only, one island aggregate. Nothing
+    * user- or event-proportional past the first aggregate.
+    */
+  val q178BurstWindows = Q(
+    "q178_burst_windows",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |base AS (
+      |  SELECT event_type, sum(cnt) AS total,
+      |    max(m) - min(m) + 1 AS span
+      |  FROM mc GROUP BY event_type
+      |),
+      |fl AS (
+      |  SELECT mc.event_type, mc.m, mc.cnt
+      |  FROM mc JOIN base ON mc.event_type = base.event_type
+      |  WHERE mc.cnt * base.span >= 3 * base.total
+      |),
+      |isl AS (
+      |  SELECT event_type, m, cnt,
+      |    m - row_number() OVER (PARTITION BY event_type ORDER BY m)
+      |      AS island
+      |  FROM fl
+      |)
+      |SELECT event_type,
+      |  make_timestamp(min(m) * 3600000000) AS burst_start,
+      |  make_timestamp((max(m) + 1) * 3600000000) AS burst_end,
+      |  count(*) AS n_hours,
+      |  CAST(sum(cnt) AS BIGINT) AS n_events,
+      |  CAST(max(cnt) AS BIGINT) AS peak_hour_events
+      |FROM isl
+      |GROUP BY event_type, island
+      |ORDER BY event_type NULLS FIRST, burst_start NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val base = mc.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"),
+        (max(col("m")) - min(col("m")) + 1).as("span"))
+    val fl = mc.join(base, "event_type")
+      .filter(col("cnt") * col("span") >= lit(3) * col("total"))
+    val isl = fl.select(col("event_type"), col("m"), col("cnt"),
+      (col("m") - row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("m"))))
+        .as("island"))
+    isl.groupBy(col("event_type"), col("island"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"),
+        count(lit(1)).as("n_hours"),
+        sum(col("cnt")).cast("long").as("n_events"),
+        max(col("cnt")).cast("long").as("peak_hour_events"))
+      .select(col("event_type"),
+        expr("timestamp_micros(m0 * 3600000000)").as("burst_start"),
+        expr("timestamp_micros((m1 + 1) * 3600000000)").as("burst_end"),
+        col("n_hours"), col("n_events"), col("peak_hour_events"))
+      .orderBy(col("event_type"), col("burst_start"))
+  }
+
+  /** BEHAVIORAL DIVERSITY SCORING — per-user Shannon entropy of the
+    * event-type distribution, the bot/automation tell: scripted accounts
+    * hammer one endpoint (entropy → 0) while organic users mix types
+    * (entropy → ln k). The q87 token-entropy machinery pointed at
+    * behavioral data: H = ln n − (Σ k·ln k)/n over exact integer counts,
+    * each ln float-cast (kills libm ulp wobble), the weighted sum a
+    * fixed-scale DECIMAL (associative — partial-merge order can't change
+    * bits), the close fixed-order doubles. `concentrated` flags
+    * single-type-dominated users via the pure-integer 2·max_k > n
+    * majority test — no float threshold.
+    *
+    * Plan: one (user, type) aggregate, one user aggregate. Bounded by
+    * users × |types|; nothing else.
+    */
+  val q179BehaviorEntropy = Q(
+    "q179_behavior_entropy",
+    """WITH ut AS (
+      |  SELECT user_id, event_type, count(*) AS k
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY user_id, event_type
+      |)
+      |SELECT user_id, CAST(sum(k) AS BIGINT) AS n_events,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  round(CAST(CAST(ln(CAST(sum(k) AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |    - CAST(sum(CAST(CAST(k AS DOUBLE) *
+      |        CAST(ln(CAST(k AS DOUBLE)) AS FLOAT) AS DECIMAL(18,9)))
+      |      AS DOUBLE) / CAST(sum(k) AS BIGINT), 6) AS entropy,
+      |  2 * max(k) > sum(k) AS concentrated
+      |FROM ut
+      |GROUP BY user_id
+      |ORDER BY user_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("k")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(expr("""CAST(CAST(k AS DOUBLE) *
+          CAST(ln(CAST(k AS DOUBLE)) AS FLOAT) AS DECIMAL(18,9))"""))
+          .cast("double").as("sd"),
+        max(col("k")).as("mk"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(expr("CAST(CAST(ln(CAST(n_events AS DOUBLE)) AS FLOAT) AS DOUBLE)")
+          - col("sd") / col("n_events"), 6).as("entropy"),
+        (lit(2) * col("mk") > col("n_events")).as("concentrated"))
+      .orderBy(col("user_id"))
   }
 }

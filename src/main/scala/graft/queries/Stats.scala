@@ -844,10 +844,11 @@ object Stats {
     * events have no forecast basis and are excluded before the ntile —
     * deterministic in both engines.
     *
-    * Plan: two half-filtered user aggregates off one scan, ONE
+    * Plan: ONE conditional per-user aggregate carries both halves (2
+    * scans total with the midpoint probe — the q177 shape), ONE
     * user-count-sized ntile window (the q161/q169 shard note applies at
-    * 10⁹ users), a 10-row finish. The left join keeps first-half users
-    * with silent second halves as y = 0 — churned, not dropped.
+    * 10⁹ users), a 10-row finish. First-half users with silent second
+    * halves keep y = 0 — churned, not dropped.
     */
   val q174CalibrationBrier = Q(
     "q174_calibration_brier",
@@ -856,28 +857,24 @@ object Stats {
       |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
       |  FROM events WHERE ts IS NOT NULL
       |),
-      |h1 AS (
-      |  SELECT user_id, count(*) AS s1,
-      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p1
+      |h AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |        THEN 1 ELSE 0 END) AS s1,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |          AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p1,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) > b.mid
+      |          AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p2
       |  FROM events, b
       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
-      |    AND epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
-      |  GROUP BY user_id
-      |),
-      |h2 AS (
-      |  SELECT user_id, count(*) AS p2
-      |  FROM events, b
-      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
-      |    AND epoch_us(CAST(ts AS TIMESTAMP)) > b.mid
-      |    AND event_type = 'purchase'
       |  GROUP BY user_id
       |),
       |d AS (
-      |  SELECT h1.user_id,
-      |    ntile(10) OVER (ORDER BY h1.s1 DESC, h1.user_id) AS decile,
-      |    CASE WHEN h1.p1 >= 8 THEN 1 ELSE 0 END AS c1,
-      |    CASE WHEN coalesce(h2.p2, 0) >= 8 THEN 1 ELSE 0 END AS y
-      |  FROM h1 LEFT JOIN h2 ON h1.user_id = h2.user_id
+      |  SELECT user_id,
+      |    ntile(10) OVER (ORDER BY s1 DESC, user_id) AS decile,
+      |    CASE WHEN p1 >= 8 THEN 1 ELSE 0 END AS c1,
+      |    CASE WHEN p2 >= 8 THEN 1 ELSE 0 END AS y
+      |  FROM h WHERE s1 > 0
       |),
       |g AS (
       |  SELECT decile, count(*) AS n, sum(c1) AS x1, sum(y) AS x2
@@ -905,20 +902,23 @@ object Stats {
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"))
     val b = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
-    val evb = ev.crossJoin(broadcast(b))
-    val h1 = evb.filter(col("us") <= col("mid"))
+    // ONE conditional aggregate carries both halves (2 scans total
+    // including the midpoint probe, not 3) — the q177 shape; users with
+    // no first-half activity have no forecast basis and drop pre-ntile
+    val h = ev.crossJoin(broadcast(b))
       .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("s1"),
-        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("p1"))
-    val h2 = evb.filter(col("us") > col("mid")
-        && col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(count(lit(1)).as("p2"))
-    val ddf = h1.join(h2, Seq("user_id"), "left")
+      .agg(sum(when(col("us") <= col("mid"), 1).otherwise(0)).as("s1"),
+        sum(when(col("us") <= col("mid")
+          && col("event_type") === "purchase", 1).otherwise(0)).as("p1"),
+        sum(when(col("us") > col("mid")
+          && col("event_type") === "purchase", 1).otherwise(0)).as("p2"))
+      .filter(col("s1") > 0)
+    val ddf = h
       .select(col("user_id"),
         ntile(10).over(Window.orderBy(col("s1").desc, col("user_id")))
           .as("decile"),
         when(col("p1") >= 8, 1).otherwise(0).as("c1"),
-        when(coalesce(col("p2"), lit(0L)) >= 8, 1).otherwise(0).as("y"))
+        when(col("p2") >= 8, 1).otherwise(0).as("y"))
     ddf.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("c1")).as("x1"),
         sum(col("y")).as("x2"))
@@ -956,10 +956,10 @@ object Stats {
     * adjusted means are the q155 fixed-order double finish over exact
     * casts, nullif-guarded for degenerate variance.
     *
-    * Plan: two half-filtered user aggregates off one scan (the q174
-    * shape), one 5-moment pooled aggregate (1 row, broadcast back), one
-    * 2-row arm aggregate. Nothing wider than the per-user aggregate ever
-    * shuffles.
+    * Plan: ONE conditional per-user aggregate carries both halves (plus
+    * the 1-row midpoint probe), one 5-moment pooled aggregate (1 row,
+    * broadcast back), one 2-row arm aggregate. Nothing wider than the
+    * per-user aggregate ever shuffles.
     */
   val q177Cuped = Q(
     "q177_cuped",

@@ -304,6 +304,62 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q178 bursts equal a driver-side hourly recount and are maximal") {
+    import queries.Analytic
+    val got = Analytic.q178BurstWindows.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4), r.getLong(5)))
+    val ev = Tables.events(spark, sf).filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts)")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val byHour = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val total = g.length.toLong
+      val span = byHour.keys.max - byHour.keys.min + 1
+      val flagged = byHour.filter { case (_, c) => c * span >= 3 * total }
+        .keys.toSeq.sorted
+      // islands of consecutive flagged hours
+      val islands = flagged.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (cur :: rest), h) if cur.head == h - 1 =>
+          (h :: cur) :: rest
+        case (acc, h) => List(h) :: acc
+      }.map(_.reverse).reverse
+      islands.map { hs =>
+        (t, hs.head * 3600000L, (hs.last + 1) * 3600000L,
+          hs.length.toLong, hs.map(byHour).sum, hs.map(byHour).max)
+      }
+    }
+    assert(got.sortBy(x => (x._1, x._2)) ===
+      expect.sortBy(x => (x._1, x._2)).toArray)
+    assert(got.nonEmpty, "fixture has at least one burst")
+  }
+
+  test("q179 entropy replays driver-side and obeys its bounds") {
+    import queries.Analytic
+    val got = Analytic.q179BehaviorEntropy.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = ev.groupBy(_._1).map { case (u, g) =>
+      val ks = g.groupBy(_._2).map(_._2.length.toLong).toSeq
+      val n = ks.sum
+      // the engine's exact op chain: float-cast ln, DECIMAL(18,9) terms
+      val sd = ks.map(k => BigDecimal.valueOf(
+          k.toDouble * math.log(k.toDouble).toFloat.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val h = BigDecimal(math.log(n.toDouble).toFloat.toDouble - sd / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      u -> ((n, ks.length.toLong, h, 2 * ks.max > n))
+    }
+    assert(got === expect)
+    for ((u, (_, nt, h, _)) <- got) {
+      assert(h >= -1e-9 && h <= math.log(nt.toDouble) + 1e-6,
+        s"entropy bounds for user $u")
+    }
+  }
+
   test("q171 hazard table equals a driver-side life-table recount") {
     val got = Analytic.q171ChurnHazard.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

@@ -343,6 +343,14 @@ class ScaleSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"),
         s"$name planned a cartesian product:\n$plan")
     }
+    // q178/q179 are aggregate+window shaped; q178's 5-row baseline join
+    // may broadcast but nothing may plan a cartesian or corpus-sized NLJ
+    for (name <- Seq("q178_burst_windows", "q179_behavior_entropy")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
   }
 
   test("q143/q144: multi-join analytics broadcast only bounded dims") {
