@@ -368,6 +368,131 @@ object Windows {
       .start()
   }
 
+  /** Minimum per-hour counts that flag a burst, per event type — the
+    * static reference a deployment derives from a trusted corpus snapshot
+    * (the [[driftReference]] probe shape: one bounded driver read of
+    * |types| rows). threshold = ⌈3·total/span⌉, the smallest count
+    * satisfying q178's integer predicate cnt·span ≥ 3·total — so a
+    * monitor primed with these thresholds flags EXACTLY the hours the
+    * batch operator flags on the same corpus.
+    */
+  def burstThresholds(events: DataFrame): Map[String, Long] =
+    events.filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"),
+        (max(col("m")) - min(col("m")) + 1).as("span"))
+      .select(col("event_type"),
+        expr("(3 * total + span - 1) div span").as("thr"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Open per-type monitor state: hour counts not yet finalized by the
+    * watermark, plus the open burst (m0, m1, n_events, peak). */
+  final case class BurstState(
+      pending: Map[Long, Long],
+      open: Option[(Long, Long, Long, Long)])
+
+  /** STREAMING BURST MONITOR — q178's incident detection as it would run
+    * in production: flag sustained ≥3× hourly elevation while the batch
+    * is still loading. One `flatMapGroupsWithState` keyed by event type
+    * owns the whole operator; hour counting, watermark-driven hour
+    * FINALIZATION, and island assembly all live in the keyed state
+    * (chaining a windowed aggregate into flatMapGroupsWithState is not a
+    * supported stateful-operator sequence, so the monitor finalizes hours
+    * itself against `getCurrentWatermarkMs` — the same edge the window
+    * aggregate would have used). A burst CLOSES — and only then emits —
+    * once the watermark proves hour m1+1 complete and unflagged
+    * ((m1+2)·3600s ≤ watermark with no extension), i.e. an OPEN incident
+    * is deliberately not emitted: it is not over. Event-time timeouts
+    * re-invoke the group when the watermark crosses the next pending
+    * edge, so closed bursts flush without waiting for new data.
+    *
+    * State is bounded: pending hours span at most the watermark delay
+    * (finalized hours leave the map every invocation), and at most one
+    * open burst per type.
+    */
+  def streamBurst(spark: SparkSession, sfDir: String, tableName: String,
+      thr: Map[String, Long]): StreamingQuery = {
+    import spark.implicits._
+    val hourUs = 3600L * 1000 * 1000
+    val hourMs = 3600L * 1000
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .transform(graft.Tables.normalizeTs)
+      .filter(col("ts").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type"), col("ts"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BurstState, (String, Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, events: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[BurstState]) =>
+          val t = thr.getOrElse(typ, Long.MaxValue)
+          val prev = state.getOption.getOrElse(BurstState(Map.empty, None))
+          // fold this batch's events into the pending hour counts
+          val pending0 = events.foldLeft(prev.pending) { (acc, e) =>
+            acc.updated(e._3, acc.getOrElse(e._3, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // finalize hours fully behind the watermark, ascending
+          val (done, pending) = pending0.partition {
+            case (h, _) => (h + 1) * hourMs <= wm
+          }
+          var open = prev.open
+          var closed = List.empty[(Long, Long, Long, Long)]
+          for ((h, cnt) <- done.toSeq.sortBy(_._1)) {
+            if (cnt >= t) open match {
+              case Some((m0, m1, n, pk)) if h == m1 + 1 =>
+                open = Some((m0, h, n + cnt, math.max(pk, cnt)))
+              case Some(b) => // gap between flagged hours: close, reopen
+                closed ::= b; open = Some((h, h, cnt, cnt))
+              case None => open = Some((h, h, cnt, cnt))
+            }
+            // unflagged finalized hours close nothing here: the watermark
+            // rule below is what proves hour m1+1 elapsed even when EMPTY
+            // (an hour with zero events never appears in `pending`)
+          }
+          // the open burst closes once hour m1+1 is provably complete
+          // and did not extend it
+          open match {
+            case Some(b @ (_, m1, _, _)) if (m1 + 2) * hourMs <= wm =>
+              closed ::= b; open = None
+            case _ => ()
+          }
+          if (pending.isEmpty && open.isEmpty) state.remove()
+          else {
+            state.update(BurstState(pending, open))
+            // re-invoke when the watermark reaches the next edge that can
+            // finalize an hour or close the open burst
+            val edges = pending.keys.map(h => (h + 1) * hourMs) ++
+              open.map { case (_, m1, _, _) => (m1 + 2) * hourMs }
+            state.setTimeoutTimestamp(edges.min)
+          }
+          closed.reverseIterator.map { case (m0, m1, n, pk) =>
+            (typ, m0 * hourUs, (m1 + 1) * hourUs, n, pk)
+          }
+      }
+      .toDF("event_type", "start_us", "end_us", "n_events",
+        "peak_hour_events")
+      .select(col("event_type"),
+        expr("timestamp_micros(start_us)").as("burst_start"),
+        expr("timestamp_micros(end_us)").as("burst_end"),
+        col("n_events"), col("peak_hour_events"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Number of fixed-width `value` bins the drift monitor tracks. */
   val DriftBins: Int = 8
 

@@ -295,6 +295,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming burst monitor emits exactly the batch bursts the " +
+      "watermark has proven closed") {
+    val thr = Windows.burstThresholds(Tables.events(spark, sf))
+    assert(thr.nonEmpty && thr.values.forall(_ > 0))
+    val q = Windows.streamBurst(spark, sf, "stream_burst", thr)
+    try {
+      q.processAllAvailable()
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+          r.getLong(3), r.getLong(4))
+      val streamed = spark.table("stream_burst").collect().map(key).toSet
+      val wmMs = Tables.events(spark, sf)
+        .agg(max(col("ts"))).head.getAs[java.sql.Timestamp](0).getTime -
+        Windows.WatermarkDelayMs
+      // batch truth: q178's islands (same corpus primes the thresholds, so
+      // the flag sets coincide by construction); a burst is CLOSED — and
+      // only then emitted — once the watermark proves hour m1+1 complete
+      // and unflagged: burst_end + 1h ≤ watermark
+      val batch = queries.Analytic.q178BurstWindows.fn(spark, sf).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(4), r.getLong(5)))
+      val expected = batch
+        .filter(b => b._3 + 3600L * 1000 <= wmMs).toSet
+      assert(expected.nonEmpty, "fixture must contain closed bursts")
+      assert(streamed === expected)
+    } finally q.stop()
+  }
+
   test("streaming DP daily release equals the batch release per finalized day") {
     val q = Windows.streamDpDaily(spark, sf, "stream_dp_daily")
     try {
