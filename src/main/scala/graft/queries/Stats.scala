@@ -775,7 +775,7 @@ object Stats {
       |rk AS (
       |  SELECT event_type, mean_r,
       |    row_number() OVER (PARTITION BY event_type
-      |      ORDER BY mean_r, r) AS rk
+      |      ORDER BY mean_r NULLS FIRST, r) AS rk
       |  FROM rep
       |)
       |SELECT est.event_type, CAST(est.n AS BIGINT) AS n, est.est,
@@ -815,9 +815,15 @@ object Stats {
       .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
       .select(col("event_type"), col("r"),
         Exact.ratio6("swx", "100 * sw").as("mean_r"))
+    // a near-empty type can draw Σw = 0 for some replicate → NULL mean_r;
+    // EXPLICIT nulls-first ordering keeps the rank assignment identical
+    // cross-engine (Spark ASC defaults to NULLS FIRST, DuckDB to NULLS
+    // LAST — a silent CI divergence on degenerate arms otherwise). A
+    // NULL-bounded CI is the honest verdict for an arm too small to
+    // resample (EdgeEventsSpec pins this).
     val rk = rep.withColumn("rk", row_number().over(
       Window.partitionBy(col("event_type"))
-        .orderBy(col("mean_r"), col("r"))))
+        .orderBy(col("mean_r").asc_nulls_first, col("r"))))
     est
       .join(rk.filter(col("rk") === 2)
         .select(col("event_type"), col("mean_r").as("ci_lo")), "event_type")

@@ -61,9 +61,15 @@ class EdgeEventsSpec extends SparkSpec {
 
   test("events operators survive the tiny degenerate fixture") {
     for (name <- Seq("q84_cohort_retention", "q92_sessions_batch",
-      "q80_gap_fill", "q89_partial_merge", "q119_rolling_p95"))
+      "q80_gap_fill", "q89_partial_merge", "q119_rolling_p95",
+      "q169_rfm_segments", "q174_calibration_brier",
+      "q179_behavior_entropy"))
       assert(SparkEntry.queries(name)(spark, dir).collect().nonEmpty,
         s"$name returned no rows")
+    // q168: no user here has 3 events — zero journeys is the correct
+    // answer, not a lag-window crash
+    assert(SparkEntry.queries("q168_seq_triples")(spark, dir)
+      .collect().isEmpty)
     // q76: every z-score is NULL here (one window per (type,hour) family
     // has zero variance) — the correct result is an EMPTY alert set, the
     // broken one an ANSI divide-by-zero crash
@@ -264,5 +270,82 @@ class EdgeEventsSpec extends SparkSpec {
     assert(rows.length === 6)
     assert(rows.forall(_.isNullAt(4)), "tier must be NULL with no versions")
     assert(rows.forall(_.isNullAt(5)), "valid_from must be NULL too")
+  }
+
+  test("q163: a type whose users all tie on both metrics gives NULL rho") {
+    // 'solo' has users {1: 2 events, 2: 1 event} — variance exists; build
+    // a sharper fixture where every user has identical (f, m): zero
+    // midrank variance on BOTH axes must yield NULL, never a NaN or crash
+    val d = "/tmp/graft_edge_events_tied"
+    import spark.implicits._
+    Seq(
+      (1L, 1000000000L, 1L, "t", 5.0, "{}"),
+      (2L, 2000000000L, 2L, "t", 5.0, "{}"),
+      (3L, 3000000000L, 3L, "t", 5.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q163_spearman_corr")(spark, d).collect()
+    assert(r.length === 1 && r.head.getLong(1) === 3L)
+    assert(r.head.isNullAt(2), "zero rank variance must give NULL rho")
+  }
+
+  test("q164: an arm too small to resample reports a NULL-bounded CI " +
+      "deterministically, never a crash") {
+    // ONE event: many of the 64 Poisson replicates draw Σw = 0 → NULL
+    // replicate means; the explicit nulls-first rank keeps order stats
+    // well-defined (and identical to the DuckDB twin's NULLS FIRST)
+    val d = "/tmp/graft_edge_events_single"
+    import spark.implicits._
+    Seq((1L, 1000000000L, 1L, "t", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q164_bootstrap_ci")(spark, d).collect()
+    assert(r.length === 1)
+    assert(r.head.getDouble(2) === 5.0, "point estimate is the lone value")
+    // with P(w=0) = e⁻¹ per replicate, rank 2 of 64 is a NULL (empty)
+    // replicate with overwhelming probability — deterministic given the
+    // fixed hash universe; assert the CI fields are well-defined either
+    // way (NULL or the lone value)
+    assert(r.head.isNullAt(3) || r.head.getDouble(3) === 5.0)
+    assert(r.head.isNullAt(4) || r.head.getDouble(4) === 5.0)
+  }
+
+  test("q178: a single active hour can never be a burst of its own span") {
+    // all 'solo'/'multi' activity sits inside a 3-hour morning: with
+    // span = 1 for a one-hour type, cnt·span ≥ 3·total is 1 ≥ 3 — false;
+    // the operator must return no bursts rather than flagging everything
+    val rows = SparkEntry.queries("q178_burst_windows")(spark, dir).collect()
+    assert(rows.isEmpty, rows.mkString(","))
+  }
+
+  test("q171: a one-user corpus is one fully-censored life-table row") {
+    val d = "/tmp/graft_edge_events_single"
+    val rows = SparkEntry.queries("q171_churn_hazard")(spark, d).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 1L) // tenure 0, at risk 1
+    assert(r.getLong(2) === 0L && r.getLong(3) === 1L) // censored, not churned
+    assert(r.getDouble(4) === 0.0)
+  }
+
+  test("q177: zero pre-period variance gives NULL theta and adjusted " +
+      "means, with raw means intact") {
+    // every user's first-half spend is identical → var(x) = 0 → θ and the
+    // adjusted means must be NULL (nullif), never a divide-by-zero crash
+    val d = "/tmp/graft_edge_events_novar"
+    import spark.implicits._
+    def us(h: Int): Long = h * 3600L * 1000000000L
+    Seq(
+      (1L, us(1), 1L, "t", 5.0, "{}"), (2L, us(1), 2L, "t", 5.0, "{}"),
+      (3L, us(10), 1L, "t", 7.0, "{}"), (4L, us(10), 2L, "t", 3.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = SparkEntry.queries("q177_cuped")(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(!r.isNullAt(2), "raw mean must survive")
+      assert(r.isNullAt(3), "adjusted mean must be NULL at zero variance")
+      assert(r.isNullAt(4), "theta must be NULL at zero variance")
+    }
   }
 }
