@@ -32,7 +32,8 @@ class ShortDocSpec extends SparkSpec {
       "q70_stratified_sample", "q74_dedup_clusters", "q82_pii_redact",
       "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy", "q101_bm25",
       "q112_weighted_sample", "q117_dedup_survivors", "q131_lm_perplexity",
-      "q136_boilerplate_strip")
+      "q136_boilerplate_strip", "q172_dsir_weights", "q173_bpe_encode",
+      "q176_quantile_normalize")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
@@ -229,5 +230,40 @@ class ShortDocSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(fp(2L), "2-token doc must have NULL fingerprint")
     assert(!fp(3L), "9-token doc must have a fingerprint")
+  }
+
+  test("q172: bigram-less docs are excluded; identical docs score equal " +
+      "llr; target-slice members are not auto-kept") {
+    val rows = SparkEntry.queries("q172_dsir_weights")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // "ab" and "" have no bigram — excluded like q131, not a zero division
+    assert(!rows.contains(1L) && !rows.contains(5L))
+    // identical docs see identical models → identical ratio
+    assert(rows(3L) === rows(4L))
+  }
+
+  test("q173: docs with no clean word drop out; the empty-merge identity " +
+      "holds for sub-merge corpora") {
+    val got = SparkEntry.queries("q173_bpe_encode")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 5 ("") has no [a-z]{2,} word → absent, not a zero-division row
+    assert(!byId.contains(5L))
+    // "ab" is one clean 2-char word; whatever the learned merges, token
+    // bounds hold: n_words ≤ n_tokens ≤ n_chars
+    for ((id, nw, nc, nt) <- got) {
+      assert(nw <= nt && nt <= nc, s"doc $id bounds ($nw, $nt, $nc)")
+    }
+    assert(byId(3L) === byId(4L).copy(_1 = 3L), "identical docs encode equal")
+  }
+
+  test("q175: the first doc of a duplicate pair owns the shared grams") {
+    val rows = SparkEntry.queries("q175_ngram_novelty")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // only docs 3 and 4 (9 tokens) clear the 8-gram window, and they are
+    // identical: doc 3 introduced both grams, doc 4 none
+    assert(rows.keySet === Set(3L, 4L))
+    assert(rows(3L)._2 === 1.0 && rows(4L)._2 === 0.0)
+    assert(rows(3L)._1 === 2L && rows(4L)._1 === 0L)
   }
 }
