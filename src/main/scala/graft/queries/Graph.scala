@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  def all: Seq[Q] = Seq(q113Pagerank, q134TriangleClustering, q157BfsHops)
+  def all: Seq[Q] = Seq(q113Pagerank, q134TriangleClustering, q157BfsHops,
+    q181DegreeAssortativity)
 
   private val Iters = 8
   private val Mass = 1000000000000L // 10^12 micro-units of total rank
@@ -304,5 +305,91 @@ object GraphOps {
        |$rounds
        |SELECT node AS part, dist FROM d$BfsHops
        |ORDER BY part NULLS FIRST""".stripMargin
+  }
+
+  /** DEGREE ASSORTATIVITY — does the co-purchase graph wire hubs to hubs
+    * (r > 0, social-network-like) or hubs to leaves (r < 0,
+    * infrastructure-like)? Newman's coefficient is the Pearson
+    * correlation of endpoint degrees over DIRECTED edges (each undirected
+    * edge contributes both orientations, which is exactly what the
+    * symmetric edge list already is) — so the whole operator is the q163
+    * moment discipline on graph structure: five exact int64 sums over
+    * (deg_src, deg_dst) pairs, one fixed-order double finish with
+    * correctly-rounded IEEE sqrt, nullif on degree-regular degenerates.
+    * Complements q134: triangles measure local clique-ness, assortativity
+    * the global mixing pattern.
+    *
+    * Plan: the q157/q113 edge construction (basket-keyed equi self-join,
+    * ≥2-support), one degree aggregate, two node-keyed joins to decorate
+    * edges with endpoint degrees, one 1-row moment finish. Degrees join
+    * back by node key — never a matrix, never a collect.
+    */
+  val q181DegreeAssortativity = Q(
+    "q181_degree_assortativity",
+    """WITH b AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pp AS (
+      |  SELECT a.l_partkey AS pa, b2.l_partkey AS pb
+      |  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+      |    AND a.l_partkey < b2.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT pa AS src, pb AS dst FROM pp
+      |      UNION ALL SELECT pb AS src, pa AS dst FROM pp),
+      |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+      |ed AS (
+      |  SELECT ds.d AS x, dd.d AS y
+      |  FROM e JOIN deg ds ON e.src = ds.node
+      |         JOIN deg dd ON e.dst = dd.node),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS mm,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM ed)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  mm // 2 AS n_edges,
+      |  round((CAST(mm AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / nullif(sqrt(CAST(mm AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(mm AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0), 6)
+      |    AS assortativity
+      |FROM m""".stripMargin,
+  ) { (s, d) =>
+    val b = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pp = b.as("a").join(b.as("b2"),
+        col("a.l_orderkey") === col("b2.l_orderkey")
+          && col("a.l_partkey") < col("b2.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b2.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 2)
+      .select(col("pa"), col("pb"))
+    val e = pp.union(pp.select(col("pb").as("pa"), col("pa").as("pb")))
+      .toDF("src", "dst")
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val m = e
+      .join(deg.select(col("node"), col("d").as("x")),
+        col("src") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("d").as("y")),
+        col("dst") === col("node")).drop("node")
+      .agg(count(lit(1)).cast("long").as("mm"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    m.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), expr("mm div 2").as("n_edges"),
+        round(expr(
+          """(CAST(mm AS DOUBLE) * CAST(sxy AS DOUBLE)
+            |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            |  / nullif(sqrt(CAST(mm AS DOUBLE) * CAST(sxx AS DOUBLE)
+            |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            |    * sqrt(CAST(mm AS DOUBLE) * CAST(syy AS DOUBLE)
+            |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+            |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("assortativity"))
   }
 }

@@ -123,4 +123,36 @@ class GraphSpec extends SparkSpec {
       else assert(coeff.isEmpty)
     }
   }
+
+  test("q181 assortativity equals a driver-side moment recompute and " +
+      "sits in [-1, 1]") {
+    import org.apache.spark.sql.functions._
+    val r = queries.GraphOps.q181DegreeAssortativity.fn(spark, sf).head
+    // rebuild the ≥2-support co-purchase graph in plain Scala
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val pairCounts = baskets.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val und = pairCounts.filter(_._2 >= 2).keys.toSeq
+    val directed = und ++ und.map(_.swap)
+    val deg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(r.getLong(0) === deg.size.toLong, "n_nodes")
+    assert(r.getLong(1) === und.length.toLong, "n_edges")
+    val xy = directed.map { case (a, b) => (deg(a), deg(b)) }
+    val mm = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val den = math.sqrt(mm.toDouble * sxx - sx.toDouble * sx) *
+      math.sqrt(mm.toDouble * syy - sy.toDouble * sy)
+    val expect = BigDecimal((mm.toDouble * sxy - sx.toDouble * sy) / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) === expect)
+    assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+  }
 }

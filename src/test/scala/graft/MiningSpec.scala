@@ -360,6 +360,35 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q180 closed-form CUSUM equals the literal max(0, S+d) recurrence") {
+    import queries.Analytic
+    val got = Analytic.q180CusumPeak.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getTimestamp(4).getTime, r.getLong(5)))).toMap
+    val ev = Tables.events(spark, sf).filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts)")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L))
+    val expect = ev.groupBy(_._1).map { case (t, g) =>
+      val byHour = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val total = g.length.toLong
+      val (m0, m1) = (byHour.keys.min, byHour.keys.max)
+      val span = m1 - m0 + 1
+      // the RECURRENCE itself — a different computation path than the
+      // engine's prefix-sum/running-min closed form
+      var sCur = 0L; var peak = 0L; var peakHour = m0; var zeros = 0L
+      for (m <- m0 to m1) {
+        val d = span * byHour.getOrElse(m, 0L) - total
+        sCur = math.max(0L, sCur + d)
+        if (sCur > peak) { peak = sCur; peakHour = m }
+        if (sCur == 0L) zeros += 1
+      }
+      val peakEvents = ((2L * peak * 1000000L + span) /
+        (2L * span)).toDouble / 1e6
+      t -> ((total, span, peakEvents, peakHour * 3600000L, zeros))
+    }
+    assert(got === expect)
+  }
+
   test("q171 hazard table equals a driver-side life-table recount") {
     val got = Analytic.q171ChurnHazard.fn(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

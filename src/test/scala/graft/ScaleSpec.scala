@@ -345,12 +345,18 @@ class ScaleSpec extends SparkSpec {
     }
     // q178/q179 are aggregate+window shaped; q178's 5-row baseline join
     // may broadcast but nothing may plan a cartesian or corpus-sized NLJ
-    for (name <- Seq("q178_burst_windows", "q179_behavior_entropy")) {
+    for (name <- Seq("q178_burst_windows", "q179_behavior_entropy",
+      "q180_cusum_peak")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
     }
+    // q181's only pair generator is the basket-keyed equi self-join
+    // (the q153/q157 shape); degree joins are node-keyed equi
+    val p181 = SparkEntry.queries("q181_degree_assortativity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p181.contains("CartesianProduct"), p181)
   }
 
   test("q143/q144: multi-join analytics broadcast only bounded dims") {
