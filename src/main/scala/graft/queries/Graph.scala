@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   def all: Seq[Q] = Seq(q113Pagerank, q134TriangleClustering, q157BfsHops,
-    q181DegreeAssortativity)
+    q181DegreeAssortativity, q182KCore)
 
   private val Iters = 8
   private val Mass = 1000000000000L // 10^12 micro-units of total rank
@@ -391,5 +391,94 @@ object GraphOps {
             |    * sqrt(CAST(mm AS DOUBLE) * CAST(syy AS DOUBLE)
             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
             |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("assortativity"))
+  }
+
+  private val KCoreK = 2
+  private val KCoreRounds = 4
+
+  /** K-CORE PEELING — the density filter under every community pipeline:
+    * repeatedly delete nodes of degree < k until none remain; what
+    * survives is the k-core, the maximal subgraph where everyone has ≥ k
+    * surviving neighbors. Run over q74/q141's affix dedup-affinity graph
+    * (docs sharing a 50-char prefix or suffix hash), the peel isolates
+    * the DENSE duplicate communities — template families whose members
+    * all resemble ≥ k siblings — from pairwise-only matches: the graph
+    * analog of q117's survivor selection, and the pre-filter a clustering
+    * pass runs before expensive within-community comparison. (First cut
+    * used the ≥2-support co-purchase graph: its 3-core is 965 parts at
+    * sf0.01 but EMPTY at sf0.1 — synthetic co-purchases dilute with
+    * scale; the affix graph keeps real cores at both scales, 3 and 28
+    * docs.) k = 2, four fixed peeling rounds; the FIXED round count is
+    * what makes the iteration oracle-hash-checkable as unrolled CTEs
+    * (the q113/q157 discipline), and the suite proves the converged
+    * fixpoint survives round 4. Output: surviving docs with their
+    * round-4 induced degree.
+    *
+    * Plan: each round is one degree aggregate over the surviving edge
+    * set + one semi-join restriction per endpoint — all node/edge-keyed
+    * equi joins, state off-driver, lineage cut per round
+    * (localCheckpoint), the iterative-family posture (q113's loop notes).
+    */
+  val q182KCore = Q(
+    "q182_kcore",
+    {
+      val rounds = (1 to KCoreRounds).map { r =>
+        s"""g$r AS (
+           |  SELECT src, dst FROM g${r - 1}
+           |  WHERE src IN (SELECT node FROM n$r)
+           |    AND dst IN (SELECT node FROM n$r)),
+           |n${r + 1} AS (
+           |  SELECT src AS node, count(*) AS deg FROM g$r
+           |  GROUP BY src HAVING count(*) >= $KCoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    sha256(substr(text, 1, 50)) AS hp,
+         |    sha256(substr(text, greatest(length(text) - 49, 1), 50)) AS hs
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM n a JOIN n b ON a.hp = b.hp AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM n a JOIN n b ON a.hs = b.hs AND a.doc_id < b.doc_id),
+         |g0 AS (SELECT a AS src, b AS dst FROM e0
+         |       UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |n1 AS (
+         |  SELECT src AS node, count(*) AS deg FROM g0
+         |  GROUP BY src HAVING count(*) >= $KCoreK),
+         |$rounds
+         |SELECT node AS doc_id, CAST(deg AS BIGINT) AS deg
+         |FROM n${KCoreRounds + 1}
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+    },
+  ) { (s, d) =>
+    val n = Tables.documentsWide(s, d)
+      .select(col("doc_id"),
+        sha2(substring(col("text"), 1, 50), 256).as("hp"),
+        sha2(expr("substr(text, greatest(length(text) - 49, 1), 50)"), 256)
+          .as("hs"))
+    def band(h: String) = n.as("a").join(n.as("b"),
+        col(s"a.$h") === col(s"b.$h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+    val e0 = band("hp").union(band("hs")).distinct()
+    var g = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var surv = g.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= KCoreK)
+    for (_ <- 1 to KCoreRounds) {
+      // two independently-aliased copies of the survivor list — reusing
+      // one frame in both semi joins would collide attribute ids
+      val keepA = surv.select(col("node").as("ka"))
+      val keepB = surv.select(col("node").as("kb"))
+      g = g.join(keepA, col("src") === col("ka"), "left_semi")
+        .join(keepB, col("dst") === col("kb"), "left_semi")
+        .localCheckpoint()
+      surv = g.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+    }
+    surv.select(col("node").as("doc_id"), col("deg").cast("long").as("deg"))
+      .orderBy(col("doc_id"))
   }
 }

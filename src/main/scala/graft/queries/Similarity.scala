@@ -35,7 +35,7 @@ object Similarity {
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
     q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
-    q167HardNegatives)
+    q167HardNegatives, q183ReciprocalNn)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -1426,5 +1426,69 @@ object Similarity {
         when(col("same") === 1, "pos").otherwise("neg").as("role"),
         col("rk"), col("vec_id"), col("label"), col("cos"))
       .orderBy(col("qid"), col("role"), col("rk"))
+  }
+
+  /** RECIPROCAL NEAREST NEIGHBORS — the high-precision dedup/link signal:
+    * a pair counts only when EACH vector ranks the other in its own top-3
+    * (mutual kNN, the construct behind RNN clustering and the
+    * re-ranking step of retrieval dedup). One-directional top-k is cheap
+    * to satisfy near hubs — a hub appears in everyone's list; mutuality
+    * kills the hub artifacts, which is why survivor pairs are
+    * high-confidence. Computed within the label blocks (the q34 blocking;
+    * at scale the same role is played by IVF cluster assignment), so the
+    * only pair generator is a block-keyed equi self-join.
+    *
+    * Determinism: round-6 cosines with vec_id tiebreak (the q35 total
+    * order); cosine is direction-symmetric bit-for-bit (the dot fold
+    * multiplies the same components in the same index order), so the
+    * mutual join cannot disagree with itself. NULL cosines (zero-norm)
+    * drop before ranking.
+    *
+    * Plan: block self-join → per-vector rank window (block-keyed) → one
+    * self-join of the ≤3-per-vector directed lists on the flipped key —
+    * every stage is equi-keyed and top-k-bounded.
+    */
+  val q183ReciprocalNn = Q(
+    "q183_reciprocal_nn",
+    s"""WITH $duckE,
+       |sc AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS nbr, a.label,
+       |    ${duckCos("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE ${duckCos("a.v", "b.v", "a.nrm", "b.nrm")} IS NOT NULL
+       |),
+       |t AS (
+       |  SELECT src, nbr, label, cos FROM (
+       |    SELECT src, nbr, label, cos,
+       |      row_number() OVER (PARTITION BY src
+       |        ORDER BY cos DESC, nbr) AS rk
+       |    FROM sc) x WHERE rk <= 3
+       |)
+       |SELECT x.src AS vec_a, x.nbr AS vec_b,
+       |  CAST(x.label AS INTEGER) AS label, x.cos
+       |FROM t x JOIN t y ON x.src = y.nbr AND x.nbr = y.src
+       |WHERE x.src < x.nbr
+       |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val sc = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
+        col("a.label").as("label"),
+        cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos").isNotNull)
+    val t = sc.withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))))
+      .filter(col("rk") <= 3)
+      .select(col("src"), col("nbr"), col("label"), col("cos"))
+    t.as("x").join(t.as("y"),
+        col("x.src") === col("y.nbr") && col("x.nbr") === col("y.src"))
+      .filter(col("x.src") < col("x.nbr"))
+      .select(col("x.src").as("vec_a"), col("x.nbr").as("vec_b"),
+        col("x.label").cast("int").as("label"), col("x.cos").as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 }

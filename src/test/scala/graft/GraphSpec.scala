@@ -155,4 +155,46 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(2) === expect)
     assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
   }
+
+  test("q182 equals a driver-side peeling replay and contains the " +
+      "true 2-core fixpoint") {
+    import org.apache.spark.sql.functions._
+    val got = queries.GraphOps.q182KCore.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the affix graph in plain Scala (MessageDigest sha256 is
+    // irrelevant here — equal 50-char affixes ⟺ equal hashes)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def pre(t: String) = t.take(50)
+    def suf(t: String) = t.substring(math.max(t.length - 50, 0))
+    val und = (docs.groupBy(d => pre(d._2)).values ++
+        docs.groupBy(d => suf(d._2)).values)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet.toSeq
+    def peel(rounds: Int): Map[Long, Long] = {
+      var edges = und ++ und.map(_.swap)
+      var surv = edges.groupBy(_._1).view.mapValues(_.size.toLong)
+        .filter(_._2 >= 2).toMap
+      for (_ <- 1 to rounds) {
+        edges = edges.filter(e =>
+          surv.contains(e._1) && surv.contains(e._2))
+        surv = edges.groupBy(_._1).view.mapValues(_.size.toLong)
+          .filter(_._2 >= 2).toMap
+      }
+      surv
+    }
+    assert(got === peel(4))
+    assert(got.nonEmpty, "fixture must contain a dense duplicate family")
+    // monotonicity + fixpoint containment: deeper peeling only shrinks,
+    // and the true core (peel to convergence) survives round 4
+    var fix = peel(4); var next = peel(5); var r = 5
+    while (next != fix && r < 50) { fix = next; r += 1; next = peel(r) }
+    assert(fix.keySet.subsetOf(got.keySet),
+      "the converged 2-core must survive the fixed 4 rounds")
+    assert(got.values.forall(_ >= 2))
+  }
 }

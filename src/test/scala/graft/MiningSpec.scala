@@ -360,6 +360,40 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q183 reciprocal pairs equal brute-force mutual kNN and are " +
+      "strictly mutual") {
+    import queries.Similarity
+    val got = Similarity.q183ReciprocalNn.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Option[Double] = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      val (sa, sb) = (math.sqrt(na), math.sqrt(nb))
+      if (sa == 0 || sb == 0) None
+      else Some(BigDecimal(d / sa / sb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val top3 = e.map { case (vid, lbl, v) =>
+      vid -> e.filter(o => o._2 == lbl && o._1 != vid)
+        .flatMap(o => cos(v, o._3).map(c => (o._1, c)))
+        .sortBy(x => (-x._2, x._1)).take(3).toMap
+    }.toMap
+    val expect = for {
+      (a, na) <- top3.toSeq; (b, c) <- na.toSeq
+      if a < b && top3(b).contains(a)
+    } yield (a, b, e.find(_._1 == a).get._2, c)
+    assert(got.toSet === expect.toSet)
+    assert(got.nonEmpty)
+    // mutuality by construction: each listed pair appears in both lists
+    for ((a, b, _, _) <- got)
+      assert(top3(a).contains(b) && top3(b).contains(a))
+  }
+
   test("q180 closed-form CUSUM equals the literal max(0, S+d) recurrence") {
     import queries.Analytic
     val got = Analytic.q180CusumPeak.fn(spark, sf).collect()

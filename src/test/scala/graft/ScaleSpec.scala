@@ -352,11 +352,15 @@ class ScaleSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
     }
-    // q181's only pair generator is the basket-keyed equi self-join
-    // (the q153/q157 shape); degree joins are node-keyed equi
-    val p181 = SparkEntry.queries("q181_degree_assortativity")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!p181.contains("CartesianProduct"), p181)
+    // q181/q182's only pair generator is the basket-keyed equi self-join
+    // (the q153/q157 shape); degree/peeling joins are node-keyed equi;
+    // q183's pair source is the label-blocked equi self-join (q34 shape)
+    for (name <- Seq("q181_degree_assortativity", "q182_kcore",
+      "q183_reciprocal_nn")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
   }
 
   test("q143/q144: multi-join analytics broadcast only bounded dims") {
