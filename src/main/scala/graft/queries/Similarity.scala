@@ -35,7 +35,7 @@ object Similarity {
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
     q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
-    q167HardNegatives, q183ReciprocalNn)
+    q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -1490,5 +1490,78 @@ object Similarity {
       .select(col("x.src").as("vec_a"), col("x.nbr").as("vec_b"),
         col("x.label").cast("int").as("label"), col("x.cos").as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** EMBEDDING OUTLIER DETECTION — the corpus-hygiene sweep that catches
+    * mislabeled or corrupted vectors BEFORE they poison centroids, ANN
+    * indexes, and contrastive pairs: per label, the 3 vectors farthest
+    * (L2) from their own label centroid. The q93 fixed-point device makes
+    * the RANKING exact — deviations are n·x − Σx in milli-scaled integers
+    * (the mean never divides: scaling by n keeps everything int64, ≤
+    * ~10¹² summed at sf0.1, ~10¹⁷ at ×100), so the argmax can't flap on
+    * float noise; only the REPORTED distance converts to doubles, via one
+    * fixed-order sqrt/divide chain (correctly-rounded IEEE, bit-identical
+    * cross-engine).
+    *
+    * Plan: posexplode → per-(label, pos) centroid sums (grid-sized,
+    * broadcast back) → per-vector deviation aggregate → one
+    * label-partitioned top-3 window over vector-count rows. Nothing
+    * pairwise anywhere — distance is to the CENTROID, so the operator is
+    * linear in corpus size.
+    */
+  val q184EmbeddingOutliers = Q(
+    "q184_embedding_outliers",
+    """WITH x AS (
+      |  SELECT vec_id, label,
+      |    unnest(list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))) AS xq,
+      |    unnest(range(1, len(embedding) + 1)) AS pos
+      |  FROM embeddings
+      |),
+      |c AS (
+      |  SELECT label, pos, CAST(sum(xq) AS BIGINT) AS sq, count(*) AS n
+      |  FROM x GROUP BY label, pos
+      |),
+      |d AS (
+      |  SELECT x.vec_id, x.label, max(c.n) AS n,
+      |    CAST(sum((c.n * x.xq - c.sq) * (c.n * x.xq - c.sq)) AS BIGINT)
+      |      AS d2n
+      |  FROM x JOIN c ON x.label = c.label AND x.pos = c.pos
+      |  GROUP BY x.vec_id, x.label
+      |)
+      |SELECT CAST(label AS INTEGER) AS label, CAST(rk AS INTEGER) AS rk,
+      |  vec_id,
+      |  round(sqrt(CAST(d2n AS DOUBLE)) / (CAST(n AS DOUBLE) * 1000.0), 6)
+      |    AS dist
+      |FROM (
+      |  SELECT label, vec_id, n, d2n,
+      |    row_number() OVER (PARTITION BY label
+      |      ORDER BY d2n DESC, vec_id) AS rk
+      |  FROM d) t
+      |WHERE rk <= 3
+      |ORDER BY label NULLS FIRST, rk NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val x = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        round(col("v").cast("double") * 1e3).cast("long").as("xq"))
+    val c = x.groupBy(col("label"), col("pos"))
+      .agg(sum(col("xq")).cast("long").as("sq"), count(lit(1)).as("n"))
+    val dev = x.join(broadcast(c), Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("n")).as("n"),
+        sum((col("n") * col("xq") - col("sq"))
+          * (col("n") * col("xq") - col("sq"))).cast("long").as("d2n"))
+    dev
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("d2n").desc, col("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select(col("label").cast("int").as("label"), col("rk"),
+        col("vec_id"),
+        round(sqrt(col("d2n").cast("double"))
+          / (col("n").cast("double") * lit(1000.0)), 6).as("dist"))
+      .orderBy(col("label"), col("rk"))
   }
 }

@@ -394,6 +394,34 @@ class MiningSpec extends SparkSpec {
       assert(top3(a).contains(b) && top3(b).contains(a))
   }
 
+  test("q184 outliers equal a driver-side fixed-point distance recompute") {
+    import queries.Similarity
+    val got = Similarity.q184EmbeddingOutliers.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v => math.round(v.toDouble * 1e3)).toArray))
+    val expect = e.groupBy(_._2).toSeq.flatMap { case (lbl, g) =>
+      val n = g.length.toLong
+      val dims = g.head._3.length
+      val sums = Array.tabulate(dims)(i => g.map(_._3(i)).sum)
+      val scored = g.map { case (vid, _, xs) =>
+        val d2n = xs.indices.map { i =>
+          val t = n * xs(i) - sums(i); t * t
+        }.sum
+        (vid, d2n)
+      }.sortBy(x => (-x._2, x._1)).take(3).zipWithIndex
+      scored.map { case ((vid, d2n), i) =>
+        val dist = BigDecimal(math.sqrt(d2n.toDouble) / (n.toDouble * 1000.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (lbl, i + 1, vid, dist)
+      }
+    }
+    assert(got.toSet === expect.toSet)
+    assert(got.length === expect.length)
+  }
+
   test("q180 closed-form CUSUM equals the literal max(0, S+d) recurrence") {
     import queries.Analytic
     val got = Analytic.q180CusumPeak.fn(spark, sf).collect()

@@ -356,7 +356,7 @@ class ScaleSpec extends SparkSpec {
     // (the q153/q157 shape); degree/peeling joins are node-keyed equi;
     // q183's pair source is the label-blocked equi self-join (q34 shape)
     for (name <- Seq("q181_degree_assortativity", "q182_kcore",
-      "q183_reciprocal_nn")) {
+      "q183_reciprocal_nn", "q184_embedding_outliers")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
