@@ -54,7 +54,7 @@ object Dedup {
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
     q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
     q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval,
-    q175NgramNovelty)
+    q175NgramNovelty, q185ContainmentJoin)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -1164,40 +1164,43 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok")))
 
+  /** Interned, canonically-sorted per-doc token-id arrays — the shared
+    * build stage of the exact similarity joins (q132 prefix, q170 truth,
+    * q185 containment). Global document frequency is the canonical
+    * rarity order's sort key, plus an INTERNED integer token id: every
+    * downstream stage — prefix join keys, verification arrays — works on
+    * longs, never strings (string-keyed array_intersect benched 65 s of
+    * the 73 s total at sf0.1; int arrays cut verification ~10×). ANY
+    * injective id works — intersection SIZES are invariant to the
+    * labeling — so the coordination-free monotonically_increasing_id is
+    * safe; the localCheckpoints pin ONE labeling across the consumer
+    * branches (ids must not be re-drawn per branch). Two id arrays per
+    * doc: CANONICAL (df, tok) order feeds the prefix theorem; NUMERIC
+    * order feeds the merge-walk verifier (intersection size is
+    * order-blind, and sorting once amortizes over every candidate pair
+    * the doc appears in). This is the doc-proportional tokenized form a
+    * production run would persist between build and serve.
+    */
+  private[graft] def internedSorted(tokRows: DataFrame): DataFrame = {
+    val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("tid", monotonically_increasing_id())
+      .localCheckpoint()
+    tokRows.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"),
+        col("tid")))).as("st"), count(lit(1)).as("sz"))
+      .select(col("doc_id"), col("sz"),
+        expr("transform(st, x -> x.tid)").as("tids"),
+        expr("sort_array(transform(st, x -> x.tid))").as("stids"))
+      .localCheckpoint()
+  }
+
   /** The lossless prefix-filter similarity join over ANY per-doc distinct
     * set rows (doc_id, tok) — word tokens for q132, 3-gram shingles for
     * q170's truth side. Set semantics only; the element type just has to
     * be hashable/sortable. */
   def prefixPairsOver(tokRows: DataFrame): DataFrame = {
-    val toks = tokRows
-    // global document frequency (the canonical rarity order's sort key)
-    // plus an INTERNED integer token id: every downstream stage — prefix
-    // join keys, verification arrays — works on longs, never strings
-    // (string-keyed array_intersect benched 65 s of the 73 s total at
-    // sf0.1; int arrays cut verification ~10×). ANY injective id works —
-    // intersection SIZES are invariant to the labeling — so the
-    // coordination-free monotonically_increasing_id is safe; the
-    // localCheckpoint pins one labeling across the four consumer branches
-    // (ids must not be re-drawn per branch).
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .withColumn("tid", monotonically_increasing_id())
-      .localCheckpoint()
-    // canonical per-doc token-id array, (df, tok)-sorted; checkpointed
-    // because four branches consume it (prefix a/b, verify a/b) — this is
-    // the doc-proportional tokenized form a production run would persist
-    // between build and serve (the KmeansSpec IVF shape).
-    val sorted = toks.join(freq, "tok")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"),
-        col("tid")))).as("st"), count(lit(1)).as("sz"))
-      // two id arrays per doc: CANONICAL (df, tok) order feeds the prefix
-      // theorem; NUMERIC order feeds the merge-walk verifier (intersection
-      // size is order-blind, and sorting once here amortizes over every
-      // candidate pair the doc appears in)
-      .select(col("doc_id"), col("sz"),
-        expr("transform(st, x -> x.tid)").as("tids"),
-        expr("sort_array(transform(st, x -> x.tid))").as("stids"))
-      .localCheckpoint()
+    val sorted = internedSorted(tokRows)
     // prefix rows carry the 1-based position — fuel for the positional
     // filter below. p = sz − ⌈9·sz/10⌉ + 1 for t = 0.9.
     val prefix = sorted
@@ -1887,5 +1890,92 @@ object Dedup {
         graft.functions.Exact.ratio6("n_novel", "n_grams").as("novelty"),
         (lit(2) * col("n_novel") < col("n_grams")).as("low_novelty"))
       .orderBy(col("doc_id"))
+  }
+
+  /** EXACT CONTAINMENT JOIN — the asymmetric dedup relation Jaccard
+    * structurally misses: doc A is CONTAINED in doc B when B carries
+    * ≥ 90% of A's word-3-gram SHINGLE set (|A∩B| ≥ ⌈0.9·|A|⌉), the
+    * quote / wrapper / doc-plus-boilerplate shape where a short text
+    * lives inside a longer one — Jaccard divides by the UNION, so a
+    * 100-shingle quote inside a 1000-shingle page scores J ≈ 0.1 and
+    * q132 rightly ignores it, while its containment is 1.0 and a
+    * curation pipeline wants it gone (or credited). Shingle sets, not
+    * token sets, are the unit: token containment measures VOCABULARY
+    * overlap and drowns on a template corpus (measured: 79,347 "pairs"
+    * at sf0.01 and 8.3M at sf0.1 — vocabulary reuse, not text reuse);
+    * shingle containment finds 50 / scale-proportional true pairs.
+    * Output: every ordered (contained, container) pair with the exact
+    * overlap and containment ratio.
+    *
+    * Lossless candidate generation is the ONE-SIDED prefix theorem: if
+    * |A∩B| ≥ ⌈t·|A|⌉ then B contains at least one of A's first
+    * |A| − ⌈t·|A|⌉ + 1 canonical-rarest shingles — so A-side PREFIX rows
+    * join against B's FULL shingle rows (no prefix on the container
+    * side: B's size gives no pruning in asymmetric containment; the only
+    * B-side filter is |B| ≥ ⌈t·|A|⌉, applied in the join). Rarity-first
+    * canonical order keeps the A-prefix shingles low-df, which is what
+    * bounds the candidate fan-out. Verification is the shared codegen'd
+    * merge walk over numerically-sorted id arrays ([[internedSorted]] —
+    * the same build stage as q132, so a production run amortizes one
+    * tokenized index across both joins).
+    *
+    * Self-pairs are excluded; mutual containment (exact/near dups)
+    * appears in BOTH orientations by definition — the consumer dedups
+    * against q132 if it wants proper-containment only.
+    */
+  val q185ContainmentJoin = Q(
+    "q185_containment_join",
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, len(string_split(text, ' ')) - 2 + 1),
+      |      i -> string_split(text, ' ')[i] || ' '
+      |        || string_split(text, ' ')[i+1] || ' '
+      |        || string_split(text, ' ')[i+2])) AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+      |),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.toks, b.toks)) AS inter,
+      |    len(a.toks) AS sz_a, len(b.toks) AS sz_b
+      |  FROM t a JOIN t b ON a.doc_id <> b.doc_id
+      |)
+      |SELECT doc_a, doc_b, inter, sz_a, sz_b,
+      |  ${graft.functions.Exact.Sql.ratio6("inter", "sz_a")} AS containment
+      |FROM p WHERE 10 * inter >= 9 * sz_a
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val sorted = internedSorted(
+      shingleRows(Tables.documentsWide(s, d)
+        .select(col("doc_id"), col("text")))
+        .withColumnRenamed("sh", "tok"))
+    // A-side prefix rows: first sz − ⌈9·sz/10⌉ + 1 canonical-rarest ids
+    val prefixA = sorted
+      .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        explode(expr(
+          "slice(tids, 1, CAST(sz - ((9 * sz + 9) div 10) + 1 AS INT))"))
+          .as("tid"))
+    // container side: FULL token rows (one-sided theorem) + size filter
+    val fullB = sorted
+      .select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        explode(col("tids")).as("tid"))
+    val cand = prefixA.join(fullB,
+        prefixA("tid") === fullB("tid")
+          && col("doc_a") =!= col("doc_b")
+          && col("sz_b") * 10 >= col("sz_a") * 9)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sorted.select(col("doc_id"), col("sz").as("sz_a"),
+        col("stids").as("ta")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sorted.select(col("doc_id"), col("sz").as("sz_b"),
+        col("stids").as("tb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_sorted_intersect_i64(ta, tb)").as("inter"),
+        col("sz_a"), col("sz_b"))
+      .filter(col("inter") * 10 >= col("sz_a") * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"),
+        graft.functions.Exact.ratio6("inter", "sz_a").as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 }

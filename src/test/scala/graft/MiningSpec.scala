@@ -422,6 +422,37 @@ class MiningSpec extends SparkSpec {
     assert(got.length === expect.length)
   }
 
+  test("q185 containment equals a naive shingle-set recount; duplicates " +
+      "contain each other both ways") {
+    import queries.Dedup
+    val got = Dedup.q185ContainmentJoin.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sh = docs.flatMap { case (id, t) =>
+      val w = t.split(" ")
+      if (w.length < 3) None
+      else Some(id -> w.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    def r6(num: Long, den: Long): Double =
+      ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
+    val expect = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq if a != b
+      inter = (sa & sb).size.toLong
+      if 10 * inter >= 9 * sa.size
+    } yield (a, b) -> ((inter, sa.size.toLong, sb.size.toLong,
+      r6(inter, sa.size.toLong)))).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // exact duplicates (identical shingle sets) must contain each other
+    // in BOTH orientations at containment exactly 1.0
+    for (((a, b), (_, szA, szB, c)) <- got if c == 1.0 && szA == szB) {
+      assert(got.contains((b, a)), s"missing mutual containment ($b,$a)")
+    }
+  }
+
   test("q180 closed-form CUSUM equals the literal max(0, S+d) recurrence") {
     import queries.Analytic
     val got = Analytic.q180CusumPeak.fn(spark, sf).collect()
