@@ -48,6 +48,7 @@ object Analytic {
     q178BurstWindows,
     q179BehaviorEntropy,
     q180CusumPeak,
+    q186LinearAttribution,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -2067,5 +2068,101 @@ object Analytic {
         count(when(col("cusum") === 0, lit(1))).cast("long")
           .as("zero_hours"))
       .orderBy(col("event_type"))
+  }
+
+  /** LINEAR MULTI-TOUCH ATTRIBUTION — q149's last-touch rule gives the
+    * final click everything; the linear model splits each conversion's
+    * revenue EQUALLY across every view/click the user made in the 7-day
+    * window before purchasing, the other standard answer marketing
+    * analytics ships (and the fairer one for upper-funnel channels).
+    * Touchless conversions credit 'none' in full, so per-channel credited
+    * revenue still partitions total purchase revenue (up to the
+    * documented per-touch rounding).
+    *
+    * Exactness: each (conversion, touch) credit is the ratio6-style
+    * integer micro-dollar (2·cents·10⁴ + n) div (2n) — deterministic
+    * half-up division both engines share — and the per-channel sums are
+    * pure int64 (≤ 10¹³ at sf0.1×100). Splitting THEN rounding drifts
+    * each conversion by ≤ n/2 micro-dollars versus its exact revenue —
+    * the price of additive integer credits, stated rather than hidden.
+    *
+    * Plan: purchases LEFT-join prior same-user touches under the 7-day
+    * range predicate — a user-keyed equi join whose fan-out is per-user
+    * activity (at 100 TB the range side shards by the q107 time-binned
+    * interval-join discipline); one conversion-keyed count window on the
+    * join output; one channel rollup.
+    */
+  val q186LinearAttribution = Q(
+    "q186_linear_attribution",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(round(100 * value) AS BIGINT) AS cents,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IN ('view', 'click', 'purchase')
+      |),
+      |p AS (SELECT user_id, event_id, cents, us FROM e
+      |      WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id, event_type, us FROM e
+      |      WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.event_id AS conv_id, p.cents, t.event_type AS channel
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.us <= p.us AND p.us - t.us <= 7 * 86400000000
+      |),
+      |c AS (
+      |  SELECT conv_id, cents,
+      |    coalesce(channel, 'none') AS channel,
+      |    count(channel) OVER (PARTITION BY conv_id) AS n
+      |  FROM j
+      |),
+      |credit AS (
+      |  SELECT channel, conv_id,
+      |    CASE WHEN n = 0 THEN cents * 10000
+      |      ELSE (2 * cents * 10000 + n) // (2 * n) END AS micro
+      |  FROM c
+      |)
+      |SELECT channel,
+      |  CAST(count(*) AS BIGINT) AS n_touchpoints,
+      |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+      |  CAST(sum(micro) AS BIGINT) AS revenue_micro,
+      |  round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 6) AS revenue
+      |FROM credit
+      |GROUP BY channel
+      |ORDER BY channel NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        expr("unix_micros(ts)").as("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("cents"), col("us").as("pus"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("us").as("tus"))
+    val j = p.join(t,
+        p("user_id") === t("user_id")
+          && col("tus") <= col("pus")
+          && col("pus") - col("tus") <= 7L * 86400000000L, "left")
+      .select(col("conv_id"), col("cents"), col("channel"))
+    val c = j.select(col("conv_id"), col("cents"),
+      coalesce(col("channel"), lit("none")).as("channel"),
+      count(col("channel")).over(
+        Window.partitionBy(col("conv_id"))).as("n"))
+    c.select(col("channel"), col("conv_id"),
+        when(col("n") === 0, col("cents") * 10000L)
+          .otherwise(expr("(2 * cents * 10000 + n) div (2 * n)"))
+          .as("micro"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_touchpoints"),
+        countDistinct(col("conv_id")).cast("long").as("n_conversions"),
+        sum(col("micro")).cast("long").as("revenue_micro"),
+        round(sum(col("micro")).cast("double") / 1000000.0, 6)
+          .as("revenue"))
+      .orderBy(col("channel"))
   }
 }

@@ -453,6 +453,44 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q186 linear credits equal a driver-side split and conserve " +
+      "revenue within the rounding bound") {
+    import queries.Analytic
+    val got = Analytic.q186LinearAttribution.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("unix_micros(ts)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.round(100 * r.getDouble(3)), r.getLong(4)))
+    val byUser = ev.groupBy(_._1)
+    val credits = byUser.toSeq.flatMap { case (_, g) =>
+      val touches = g.filter(e => e._3 == "view" || e._3 == "click")
+      g.filter(_._3 == "purchase").toSeq.flatMap { p =>
+        val w = touches.filter(t =>
+          t._5 <= p._5 && p._5 - t._5 <= 7L * 86400000000L).toSeq
+        val n = w.length.toLong
+        if (n == 0) Seq(("none", p._2, p._4 * 10000L))
+        else w.map(t =>
+          (t._3, p._2, (2L * p._4 * 10000L + n) / (2L * n)))
+      }
+    }
+    val expect = credits.groupBy(_._1).map { case (ch, rows) =>
+      ch -> ((rows.size.toLong, rows.map(_._2).distinct.size.toLong,
+        rows.map(_._3).sum))
+    }
+    assert(got === expect)
+    // conservation: per-conversion rounding drifts ≤ n/2 micro-dollars
+    val totalMicro = ev.filter(_._3 == "purchase").map(_._4 * 10000L).sum
+    val credited = got.values.map(_._3).sum
+    val bound = credits.size.toLong // ≥ Σ n/2 over conversions
+    assert(math.abs(credited - totalMicro) <= bound,
+      s"credited $credited vs total $totalMicro (bound $bound)")
+  }
+
   test("q180 closed-form CUSUM equals the literal max(0, S+d) recurrence") {
     import queries.Analytic
     val got = Analytic.q180CusumPeak.fn(spark, sf).collect()

@@ -347,7 +347,7 @@ class ScaleSpec extends SparkSpec {
     // q178/q179 are aggregate+window shaped; q178's 5-row baseline join
     // may broadcast but nothing may plan a cartesian or corpus-sized NLJ
     for (name <- Seq("q178_burst_windows", "q179_behavior_entropy",
-      "q180_cusum_peak")) {
+      "q180_cusum_peak", "q186_linear_attribution")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
