@@ -1661,7 +1661,10 @@ object Analytic {
     *
     * Determinism: every ntile orders by (metric, user_id) — total order;
     * ntile's remainder-to-early-buckets semantics agree across engines.
-    * Exactness: days and cents are integers; averages report via ratio6.
+    * Exactness: days and cents are integers; averages report via ratio6,
+    * which carries its own value ≥ 0 PRECONDITION — a refunds fixture
+    * (negative monetary totals) would diverge Spark's toward-zero div
+    * from DuckDB's flooring // in the reported averages.
     *
     * Plan: one user aggregate, three user-count-sized ntile windows
     * (global ordering over USERS, not events — at 10⁹ users each would
@@ -2085,6 +2088,12 @@ object Analytic {
     * pure int64 (≤ 10¹³ at sf0.1×100). Splitting THEN rounding drifts
     * each conversion by ≤ n/2 micro-dollars versus its exact revenue —
     * the price of additive integer credits, stated rather than hidden.
+    *
+    * PRECONDITION: value ≥ 0 (like Exact.ratio6). The half-up split
+    * (2·cents·10⁴ + n) div (2n) diverges cross-engine on negative cents:
+    * Spark's div truncates toward zero, DuckDB's // floors. A fixture
+    * with refunds must negate-split-negate (or route refunds through a
+    * separate non-split lane) rather than feed negative cents here.
     *
     * Plan: purchases LEFT-join prior same-user touches under the 7-day
     * range predicate — a user-keyed equi join whose fan-out is per-user

@@ -1739,9 +1739,13 @@ object Gaps {
       .select(col("l_returnflag").as("flag"),
         expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("c"))
     val runs = v.groupBy(col("flag"), col("c")).agg(count(lit(1)).as("cnt"))
-    // two-level cumulative (q142): bin width from a 2-scalar driver probe
+    // two-level cumulative (q142): bin width from a 2-scalar driver probe.
+    // Empty/all-NULL input makes the min/max aggregate NULL; substituting
+    // (0, 0) keeps the (empty) pipeline flowing to a zero-row result with
+    // the output schema, matching the DuckDB twin, instead of NPEing here.
     val mm = runs.agg(min(col("c")), max(col("c"))).head
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val bw = (hi - lo) / 4096 + 1
     val binned = runs.withColumn("bin", expr(s"(c - ${lo}L) div ${bw}L"))
     val binTotals = binned.groupBy(col("flag"), col("bin"))

@@ -726,7 +726,10 @@ object Stats {
     *
     * Exactness: weights and centi-values are exact int64 (Σw·x ≤ 6·50000·
     * 10⁵ rows ≈ 3·10¹³ at sf0.1); each replicate mean reports through
-    * ratio6's exact integer rounding, and the CI picks order statistics
+    * ratio6's exact integer rounding (inheriting ratio6's value ≥ 0
+    * PRECONDITION: negative replicate sums — refunds — would split
+    * Spark's toward-zero div from DuckDB's flooring //), and the CI
+    * picks order statistics
     * 2 and 63 of the 64 replicate means (nearest discrete cover of a 95%
     * percentile interval; ordering on the ROUNDED mean with replicate-id
     * tiebreak is a total order both engines share).
@@ -958,7 +961,10 @@ object Stats {
     * Exactness: per-user totals are exact cents floored to whole DOLLARS
     * ((cents div 100) — the int64 headroom dial: dollar-scaled Σxy and
     * n·Σxy stay ≤ 2.5·10¹⁷ at sf0.1 where cents would overflow at ×100
-    * scale); all five moment sums are exact int64; θ, ρ², and the
+    * scale; PRECONDITION value ≥ 0 — on negative per-user totals Spark's
+    * div truncates toward zero while DuckDB's // floors, so a refunds
+    * fixture would drift the dollar floor cross-engine); all five moment
+    * sums are exact int64; θ, ρ², and the
     * adjusted means are the q155 fixed-order double finish over exact
     * casts, nullif-guarded for degenerate variance.
     *

@@ -437,11 +437,21 @@ object Windows {
          state: GroupState[BurstState]) =>
           val t = thr.getOrElse(typ, Long.MaxValue)
           val prev = state.getOption.getOrElse(BurstState(Map.empty, None))
-          // fold this batch's events into the pending hour counts
-          val pending0 = events.foldLeft(prev.pending) { (acc, e) =>
-            acc.updated(e._3, acc.getOrElse(e._3, 0L) + 1L)
-          }
           val wm = state.getCurrentWatermarkMs()
+          // fold this batch's events into the pending hour counts,
+          // DROPPING events whose hour is already provably complete at the
+          // current watermark: flatMapGroupsWithState receives
+          // later-than-watermark stragglers unfiltered, and without this
+          // guard a straggler for an already-finalized hour would
+          // re-finalize it with a partial count (and, over threshold, hit
+          // the gap branch and spuriously close/reopen the burst island).
+          // Finalized hours are immutable; an event this late is past the
+          // declared 10-minute delay, so dropping it is exactly the
+          // contract a windowed aggregate would have applied.
+          val pending0 = events.foldLeft(prev.pending) { (acc, e) =>
+            if ((e._3 + 1) * hourMs <= wm) acc
+            else acc.updated(e._3, acc.getOrElse(e._3, 0L) + 1L)
+          }
           // finalize hours fully behind the watermark, ascending
           val (done, pending) = pending0.partition {
             case (h, _) => (h + 1) * hourMs <= wm
