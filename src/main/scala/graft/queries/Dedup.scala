@@ -54,7 +54,7 @@ object Dedup {
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
     q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
     q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval,
-    q175NgramNovelty, q185ContainmentJoin)
+    q175NgramNovelty, q185ContainmentJoin, q187SubstringDup)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -1976,6 +1976,140 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
         col("sz_b"),
         graft.functions.Exact.ratio6("inter", "sz_a").as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** EXACT SUBSTRING-DUPLICATION detection — the "50-token verbatim
+    * overlap" curation rule (the span-dedup threshold the training-data
+    * dedup literature standardized on) made DETERMINISTIC: every doc pair
+    * sharing a contiguous run of ≥ 50 identical tokens is reported, with
+    * the exact count of distinct shared 50-token windows. This is the
+    * exact complement of q116's winnowing: q116 samples content-defined
+    * anchors at 1/16 density (each ~300-char 50-token span carries ~15
+    * expected anchors, so q116 flags it with probability ≈ 1 − (15/16)^15
+    * ≈ 0.62 per isolated span — high but not certain, and its unit is the
+    * 50-CHAR window), while this operator's guarantee is one-sided and
+    * total at its own threshold: zero false negatives, zero false
+    * positives. Pairs q187 reports share ≥ 50 verbatim tokens and hence
+    * dozens of q116-style char windows; the converse does not hold (a
+    * 50-char overlap is far below 50 tokens), which is why both exist.
+    *
+    * The exactness device is the PIGEONHOLE GRID (the aligned-block
+    * lemma): any 50-token window of doc A contains at least one COMPLETE
+    * 8-gram from A's stride-43 grid (43 = 50 − 8 + 1; an interval of
+    * length ≥ k + 7 always contains a grid-aligned 8-block), and its
+    * verbatim copy in B sits at SOME offset — so grid-8-grams of the
+    * smaller-id doc joined against ALL-position 8-grams of the larger-id
+    * doc is a lossless candidate generator. Each candidate then verifies
+    * and extends IN PLACE: the longest common run through the anchor
+    * (token-exact zip_with/array_position LCP on bounded ≤50-token
+    * slices, xxhash64 collisions eliminated here) certifies span ≥ 50
+    * iff the pair truly shares one. Only then are full 50-gram window
+    * hashes enumerated — restricted to CONFIRMED-paired docs, so the
+    * window-enumeration stage is answer-proportional, not
+    * corpus-proportional (the naive form the DuckDB twin runs).
+    *
+    * Plan at 100 TB: the sliding 8-gram index is position-proportional
+    * (inherent — any position can start a unique shared window) but
+    * hashes 8-token grams, not 50-token windows (≈ 6× less hash input
+    * than naive), and shuffles only (doc, pos, int64) rows; the grid side
+    * is positions/43. Extension is candidate-proportional with hard
+    * 50-token slice caps. KNOWN HOT SPOT (the q132/LshFlood discipline):
+    * an 8-token boilerplate phrase present in M docs yields ~M²/43
+    * candidates without any true 50-token overlap — the production dials
+    * are a longer anchor gram (G = 16, k = 35 — same lemma) and q31-style
+    * exact-dup pre-collapse; at this corpus' block structure the 8/43
+    * geometry measured candidate-proportional. Twin replay bound: the
+    * oracle enumerates every 50-gram of every ≥50-token doc — fine at
+    * verify scale, and exactly the corpus-proportional cost this plan's
+    * paired-docs restriction avoids.
+    */
+  val q187SubstringDup = Q(
+    "q187_substring_dup",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 50
+      |),
+      |g AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+49], ' ')) AS h
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 48)) AS i FROM t)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared50
+      |FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
+  ) { (s, d) => substringDupPairs(Tables.documentsWide(s, d)) }
+
+  /** q187's operator body over any (doc_id, text) frame (suite entry).
+    * W = 50-token rule, G = 8-token anchors, stride K = W − G + 1 = 43. */
+  private[graft] def substringDupPairs(docs: DataFrame): DataFrame = {
+    val W = 50; val G = 8; val K = W - G + 1
+    // token-exact longest-common-prefix of two bounded slices: zip_with
+    // pads the shorter side with NULL, <=> turns the pad into false, so
+    // the LCP never runs past either doc's end. All codegen'd built-ins.
+    def lcp(x: Column, y: Column): Column = {
+      val eq = zip_with(x, y, (p, q) => p <=> q)
+      val fpos = array_position(eq, lit(false))
+      when(fpos === 0L, size(eq).cast("long")).otherwise(fpos - 1L)
+    }
+    val t = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") >= W)
+      .localCheckpoint() // 4 consumers: grid, slide, verify arrays, windows
+    def gram8(tk: Column, p: Column) =
+      xxhash64(concat_ws(" ", slice(tk, p, lit(G))))
+    val grid = t
+      .select(col("doc_id").as("doc_a"), col("tk"),
+        explode(sequence(lit(1), col("n") - (G - 1), lit(K))).as("i"))
+      .select(col("doc_a"), col("i"), gram8(col("tk"), col("i")).as("h8"))
+    val slide = t
+      .select(col("doc_id").as("doc_b"), col("tk"),
+        explode(sequence(lit(1), col("n") - (G - 1))).as("j"))
+      .select(col("doc_b"), col("j"), gram8(col("tk"), col("j")).as("h8"))
+    val cand = grid.join(slide,
+        grid("h8") === slide("h8") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("i"), col("doc_b"), col("j"))
+    // verify + extend: right-run R counts matching tokens from the anchor
+    // start (cap W — all the certificate needs), left-run L counts
+    // matching tokens strictly left of it (cap W − G; both clamped at doc
+    // start). L + R ≥ W with R ≥ G ⟺ a genuine ≥W-token verbatim run
+    // passes through this anchor; the pigeonhole lemma guarantees every
+    // true pair produces at least one such candidate.
+    val ga = greatest(col("i") - (W - G), lit(1))
+    val gb = greatest(col("j") - (W - G), lit(1))
+    val pairs = cand
+      .join(t.select(col("doc_id"), col("tk").as("ta")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(t.select(col("doc_id"), col("tk").as("tb")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        lcp(slice(col("ta"), col("i"), lit(W)),
+          slice(col("tb"), col("j"), lit(W))).as("r"),
+        lcp(reverse(slice(col("ta"), ga, col("i") - ga)),
+          reverse(slice(col("tb"), gb, col("j") - gb))).as("l"))
+      .filter(col("r") >= G && col("l") + col("r") >= W)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // answer-proportional window enumeration: full 50-gram hash sets for
+    // CONFIRMED-paired docs only, then one hash-equi count join per pair
+    // (both sides distinct per (doc, h) → count(*) = |shared window set|)
+    val paired = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val g50 = t.join(paired, "doc_id")
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), col("n") - (W - 1))).as("p"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("tk"), col("p"), lit(W)))).as("h50"))
+      .distinct()
+    pairs
+      .join(g50.select(col("doc_id"), col("h50")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(g50.select(col("doc_id"), col("h50").as("h50b")),
+        col("doc_b") === col("doc_id") && col("h50") === col("h50b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared50"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

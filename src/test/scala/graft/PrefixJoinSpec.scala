@@ -263,4 +263,87 @@ class PrefixJoinSpec extends SparkSpec {
     }
     assert(run(docs) === brute(docs))
   }
+
+  // ---- q187 exact substring-dup nets -------------------------------------
+
+  /** Naive q187 reimplementation: Scala sliding windows over token
+    * vectors — no anchors, no hashing, no extension; a genuinely different
+    * mental model from the pigeonhole plan (the q180 twin lesson). */
+  private def bruteSubstring(rows: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+    val wins = rows.map { case (id, t) =>
+      id -> t.split(" ", -1).toSeq.sliding(50).filter(_.size == 50).toSet
+    }
+    (for {
+      (a, wa) <- wins; (b, wb) <- wins if a < b
+      shared = (wa & wb).size.toLong
+      if shared > 0
+    } yield (a, b) -> shared).toMap
+  }
+
+  private def runSubstring(rows: Seq[(Long, String)]): Map[(Long, Long), Long] =
+    graft.queries.Dedup
+      .substringDupPairs(rows.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+  test("q187: anchor-extend plan ≡ naive window-set scan, incl. boundaries") {
+    val run50 = (1 to 50).map(i => s"s$i").mkString(" ")  // exactly-50 run
+    val run49 = (1 to 49).map(i => s"r$i").mkString(" ")  // one short of it
+    val tailA = (1 to 12).map(i => s"a$i").mkString(" ")
+    val headB = (1 to 12).map(i => s"b$i").mkString(" ")
+    val long = (1 to 120).map(i => s"L$i").mkString(" ")
+    val docs = Seq(
+      // the 50-run at offset 1 in doc 1 vs offset 13 in doc 2: misaligned
+      // vs any fixed stride, which is exactly what the sliding side covers
+      1L -> s"$run50 $tailA",
+      2L -> s"$headB $run50",
+      // a 49-token run shared between ≥50-token docs must NOT pair
+      3L -> s"$run49 $tailA x0",
+      4L -> s"$headB $run49 y0",
+      // identical 120-token docs: all 71 windows shared
+      5L -> long,
+      6L -> long,
+      // sub-50-token doc: excluded even though it shares tokens with 1
+      7L -> run49,
+    )
+    val got = runSubstring(docs)
+    val want = bruteSubstring(docs)
+    assert(got === want, s"got=$got want=$want")
+    assert(got((1L, 2L)) === 1L, "exact-50 boundary: one shared window")
+    assert(!got.contains((3L, 4L)), "49-run must not pair")
+    assert(got((5L, 6L)) === 71L, "identical docs share all 120-49 windows")
+  }
+
+  test("q187: repeated-token flood collapses to one shared window") {
+    // every 50-window of 'x'^n is the same window: candidate fan-out is
+    // quadratic in positions, but the verified answer stays (pair, 1)
+    val docs = Seq(
+      1L -> Seq.fill(120)("x").mkString(" "),
+      2L -> Seq.fill(80)("x").mkString(" "),
+      3L -> Seq.fill(60)("y").mkString(" "),
+    )
+    val got = runSubstring(docs)
+    assert(got === Map((1L, 2L) -> 1L), s"got=$got")
+  }
+
+  test("q187: plan ≡ naive on the sf0.001 fixture and on randomized blocks") {
+    // real-corpus net: the driver-side naive scan replays the full fixture
+    val fixture = Tables.documentsWide(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(runSubstring(fixture) === bruteSubstring(fixture))
+    // randomized: shared-prefix blocks with point mutations around the
+    // 50-token threshold
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 4).flatMap { blk =>
+      val shared = (1 to 55).map(j => s"c${blk}_$j")
+      (0 until 4).map { m =>
+        val mutated = shared.map(t =>
+          if (rnd.nextInt(25) == 0) s"m_${rnd.nextInt(50)}" else t)
+        (blk * 4L + m + 1L) -> (mutated ++ Seq(s"t${blk}_$m")).mkString(" ")
+      }
+    }
+    assert(runSubstring(docs) === bruteSubstring(docs))
+  }
 }

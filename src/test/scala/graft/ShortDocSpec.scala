@@ -66,6 +66,13 @@ class ShortDocSpec extends SparkSpec {
     assert(res.getOrElse(3L, 0L) === 0L, s"doc 3 fabricated dups: $res")
   }
 
+  test("q187 skips sub-50-token docs empty-handed") {
+    // every ShortDoc text is far below the 50-token window → zero pairs,
+    // no descending-sequence crash on n - 49 < 1 (the filter guards it)
+    assert(SparkEntry.queries("q187_substring_dup")(spark, dir)
+      .collect().isEmpty)
+  }
+
   test("short docs produce empty gram sets, not fabricated pairs") {
     // docs 3 and 4 are identical -> the only near-dup pair in every family;
     // docs 1 and 2 must pair with nothing (DuckDB semantics)
