@@ -15,7 +15,7 @@ object TextAnalysis {
   def all: Seq[Q] =
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
-      q146PmiCollocations, q159BpeMerges, q173BpeEncode)
+      q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -908,6 +908,159 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_tokens"),
         graft.functions.Exact.ratio6("n_tokens", "n_chars")
           .as("compression"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TRAINABLE QUALITY/LANGUAGE CLASSIFIER — multinomial Naive Bayes over
+    * token counts, the fastText-shaped curation filter (train on labeled
+    * docs, score every doc, route by predicted class): trained on the
+    * q65-split TRAIN partition's `lang` labels with add-one (Laplace)
+    * smoothing, every document — train and held-out — gets a per-class
+    * log-posterior and an argmax prediction.
+    *
+    *   score(d, c) = ln(n_c/N) + Σ_{t∈d} k_t·ln(c_ct + 1) − n_d·ln(c_c + V)
+    *
+    * (the Σ-split is the standard sparse identity: absent tokens contribute
+    * ln(0 + 1) = 0, so the scoring join touches only (doc-token × class)
+    * rows the MODEL has — no dense doc×vocab product).
+    *
+    * Cross-engine exactness is q131's log-score discipline end to end:
+    * every count is an exact int64; each ln argument is an exact-integer
+    * double cast whose ln goes through FLOAT (kills libm's 1-ulp wobble);
+    * the per-class token sum accumulates as DECIMAL(18,9) (associative —
+    * shuffle order can't move it); the three-term finish is one
+    * fixed-order double expression, so scores — and therefore the argmax
+    * with its (score DESC, lang ASC) total order — agree bit-for-bit.
+    *
+    * HONESTY NOTE on this corpus: the fixture's `lang` labels are
+    * label noise by construction — measured held-out accuracy 0.41 vs a
+    * 0.44 majority prior (all langs share one synthetic vocabulary), so
+    * the registered query proves the OPERATOR (exact training, exact
+    * scoring, deterministic argmax), not the corpus's learnability;
+    * `NbClassifierSpec` asserts ≥0.9 held-out accuracy on a separable
+    * fixture plus prediction parity with an independent driver-side NB.
+    *
+    * Plan at 100 TB: model = one (class, token) hash aggregate (vocab ×
+    * classes rows — the persistable artifact); scoring = doc-token rows
+    * joined to the model on TOKEN (vocab-keyed shuffle, the q52 spine)
+    * into a (doc, class) aggregate; priors/totals/V are a ≤classes-row
+    * broadcast. Nothing is ever docs × vocab; the widest shuffle is the
+    * corpus's own token-count table.
+    */
+  val q188NbClassifier = Q(
+    "q188_nb_classifier",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) >= '14'
+      |      AS is_train,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents
+      |),
+      |dtok AS (
+      |  SELECT doc_id, u AS w, count(*) AS k FROM (
+      |    SELECT doc_id, unnest(toks) AS u FROM t) x GROUP BY 1, 2
+      |),
+      |dlen AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS nd
+      |         FROM dtok GROUP BY 1),
+      |model AS (
+      |  SELECT tr.lang, d.w, CAST(sum(d.k) AS BIGINT) AS cct
+      |  FROM dtok d JOIN t tr ON d.doc_id = tr.doc_id AND tr.is_train
+      |  GROUP BY 1, 2
+      |),
+      |cls AS (
+      |  SELECT m.lang, CAST(sum(m.cct) AS BIGINT) AS cc, p.ndocs
+      |  FROM model m
+      |  JOIN (SELECT lang, count(*) AS ndocs FROM t WHERE is_train
+      |        GROUP BY 1) p ON m.lang = p.lang
+      |  GROUP BY m.lang, p.ndocs
+      |),
+      |vv AS (SELECT count(DISTINCT w) AS v FROM model),
+      |ntr AS (SELECT count(*) AS n FROM t WHERE is_train),
+      |s1 AS (
+      |  SELECT d.doc_id, m.lang,
+      |    CAST(sum(CAST(CAST(d.k AS DOUBLE) *
+      |      CAST(ln(CAST(m.cct + 1 AS DOUBLE)) AS FLOAT)
+      |        AS DECIMAL(18,9))) AS DOUBLE) AS s1
+      |  FROM dtok d JOIN model m ON d.w = m.w
+      |  GROUP BY 1, 2
+      |),
+      |sc AS (
+      |  SELECT dl.doc_id, c.lang,
+      |    CAST(ln(CAST(c.ndocs AS DOUBLE) / CAST(ntr.n AS DOUBLE)) AS FLOAT)
+      |      + coalesce(s1.s1, CAST(0.0 AS DOUBLE))
+      |      - CAST(dl.nd AS DOUBLE)
+      |        * CAST(ln(CAST(c.cc + vv.v AS DOUBLE)) AS FLOAT) AS score
+      |  FROM dlen dl CROSS JOIN cls c
+      |  LEFT JOIN s1 ON s1.doc_id = dl.doc_id AND s1.lang = c.lang, ntr, vv
+      |),
+      |pred AS (
+      |  SELECT doc_id, lang, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lang) AS rk
+      |  FROM sc
+      |)
+      |SELECT t.doc_id, t.lang, p.lang AS pred_lang,
+      |  round(p.score, 6) AS score,
+      |  NOT t.is_train AS is_heldout, p.lang = t.lang AS correct
+      |FROM pred p JOIN t ON p.doc_id = t.doc_id
+      |WHERE p.rk = 1
+      |ORDER BY t.doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    nbClassify(Tables.documentsWide(s, d)
+      .select(col("doc_id"), col("lang"), col("text")))
+  }
+
+  /** q188's operator body over any (doc_id, lang, text) frame (suite
+    * entry — NbClassifierSpec's separable fixture comes through here). */
+  private[graft] def nbClassify(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), col("lang"),
+      (substring(md5(concat(lit("split|"), col("doc_id").cast("string"))),
+        1, 2) >= "14").as("is_train"),
+      split(col("text"), " ").as("toks"))
+      .localCheckpoint() // 4 consumers: dtok, model labels, priors, output
+    val dtok = t.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
+      .localCheckpoint() // feeds model, dlen, and the scoring join
+    val dlen = dtok.groupBy(col("doc_id"))
+      .agg(sum(col("k")).cast("long").as("nd"))
+    val model = dtok
+      .join(t.filter(col("is_train")).select(col("doc_id"), col("lang")),
+        "doc_id")
+      .groupBy(col("lang"), col("w")).agg(sum(col("k")).cast("long").as("cct"))
+      .localCheckpoint() // the persistable build artifact; 3 consumers
+    val pri = t.filter(col("is_train")).groupBy(col("lang"))
+      .agg(count(lit(1)).as("ndocs"))
+    val cls = model.groupBy(col("lang")).agg(sum(col("cct")).cast("long")
+        .as("cc"))
+      .join(pri, "lang")
+    val vv = model.agg(countDistinct(col("w")).as("v"))
+    val ntr = t.filter(col("is_train")).agg(count(lit(1)).as("n"))
+    val s1 = dtok.join(model, "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(expr(
+        """CAST(CAST(k AS DOUBLE) *
+          |  CAST(ln(CAST(cct + 1 AS DOUBLE)) AS FLOAT)
+          |    AS DECIMAL(18,9))""".stripMargin))
+        .cast("double").as("s1"))
+    val sc = dlen
+      .crossJoin(broadcast(cls.crossJoin(ntr).crossJoin(vv)))
+      .join(s1, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        (expr("CAST(ln(CAST(ndocs AS DOUBLE) / CAST(n AS DOUBLE)) AS FLOAT)")
+          + coalesce(col("s1"), lit(0.0))
+          - col("nd").cast("double")
+            * expr("CAST(ln(CAST(cc + v AS DOUBLE)) AS FLOAT)")).as("score"))
+    val rkW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    sc.withColumn("rk", row_number().over(rkW)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"),
+        round(col("score"), 6).as("score"))
+      .join(t.select(col("doc_id"), col("lang"), col("is_train")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"),
+        (!col("is_train")).as("is_heldout"),
+        (col("pred_lang") === col("lang")).as("correct"))
       .orderBy(col("doc_id"))
   }
 }

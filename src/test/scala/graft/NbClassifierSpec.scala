@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Nets for q188's multinomial Naive Bayes classifier. Two independent
+  * checks (the q180 twin lesson — the DuckDB oracle shares the author's
+  * algebra, these do not):
+  *
+  *  1. a SEPARABLE fixture (classes with mostly-disjoint vocabularies)
+  *     where held-out accuracy must clear 0.9 — the real corpus cannot
+  *     provide this net because its `lang` labels are noise w.r.t. text
+  *     (measured 0.41 held-out vs 0.44 majority prior, documented on the
+  *     operator);
+  *  2. prediction + score parity against a plain-Scala NB built directly
+  *     from the probability definition (Counter maps and math.log doubles,
+  *     no Σ-split identity, no float-cast/DECIMAL machinery).
+  */
+class NbClassifierSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String, String)]) =
+    graft.queries.TextAnalysis
+      .nbClassify(rows.toDF("doc_id", "lang", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))
+
+  /** Plain-Scala NB from the definition: per-class token Counters,
+    * per-token log((c+1)/(cc+V)) summed in document order — a different
+    * formula arrangement AND different float path than the engine. */
+  private def bruteNb(rows: Seq[(Long, String, String)])
+      : Map[Long, (String, Double)] = {
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.substring(0, 2) >= "14"
+    }
+    val train = rows.filter(r => isTrain(r._1))
+    val counts = train.groupBy(_._2).map { case (c, ds) =>
+      c -> ds.flatMap(_._3.split(" ", -1))
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    }
+    val vocab = counts.values.flatMap(_.keys).toSet.size
+    val prior = train.groupBy(_._2).map { case (c, ds) => c -> ds.size }
+    val n = train.size
+    val classes = counts.keys.toSeq.sorted
+    rows.map { case (id, _, text) =>
+      val scored = classes.map { c =>
+        val cc = counts(c).values.sum
+        val s = math.log(prior(c).toDouble / n) +
+          text.split(" ", -1).map { w =>
+            math.log((counts(c).getOrElse(w, 0L) + 1).toDouble / (cc + vocab))
+          }.sum
+        (c, s)
+      }
+      // argmax, score-desc then class-asc — the engine's total order
+      id -> scored.minBy { case (c, s) => (-s, c) }
+    }.toMap
+  }
+
+  /** 8 token-soup docs per class over mostly-disjoint vocabularies with a
+    * deterministic LCG; a few shared "stopword" tokens keep it non-trivial. */
+  private def separable(nPerClass: Int): Seq[(Long, String, String)] = {
+    var seed = 12345L
+    def next(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val classes = Seq("alpha", "beta", "gamma")
+    val stop = Seq("the", "and", "of")
+    for {
+      (c, ci) <- classes.zipWithIndex
+      m <- 0 until nPerClass
+    } yield {
+      val toks = (0 until 40).map { _ =>
+        if (next(5) == 0) stop(next(stop.size)) else s"${c}_w${next(30)}"
+      }
+      ((ci * nPerClass + m + 1).toLong, c, toks.mkString(" "))
+    }
+  }
+
+  test("separable fixture: held-out accuracy ≥ 0.9 (measured 1.0)") {
+    val docs = separable(70) // 210 docs, ~8% held out by the md5 split
+    val got = run(docs)
+    val held = got.filter(_._5)
+    assert(held.length >= 10, s"only ${held.length} held-out docs")
+    val acc = held.count(_._6).toDouble / held.length
+    info(s"held-out accuracy = $acc over ${held.length} docs")
+    assert(acc >= 0.9, s"held-out accuracy $acc < 0.9 on a separable corpus")
+  }
+
+  test("engine ≡ driver-side NB: predictions and scores, incl. real fixture") {
+    val fixture = Tables.documentsWide(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    for (docs <- Seq(separable(12).toSeq, fixture)) {
+      val got = run(docs)
+      val want = bruteNb(docs)
+      assert(got.length === docs.length, "one prediction per doc")
+      for ((id, _, pred, score, _, _) <- got) {
+        val (wPred, wScore) = want(id)
+        assert(pred === wPred, s"doc $id: engine $pred vs brute $wPred " +
+          s"(scores $score vs $wScore)")
+        assert(math.abs(score - wScore) < 1e-3,
+          s"doc $id score $score vs brute $wScore")
+      }
+    }
+  }
+
+  test("degenerate: empty text and single-class corpora classify, not crash") {
+    // empty text is one '' token; a one-class model predicts that class
+    // for everything with probability-1 prior
+    val docs = Seq((1L, "solo", ""), (2L, "solo", "a b"), (3L, "solo", "a"))
+    val got = run(docs)
+    assert(got.length === 3 && got.forall(_._3 == "solo"))
+  }
+}

@@ -33,7 +33,7 @@ class ShortDocSpec extends SparkSpec {
       "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy", "q101_bm25",
       "q112_weighted_sample", "q117_dedup_survivors", "q131_lm_perplexity",
       "q136_boilerplate_strip", "q172_dsir_weights", "q173_bpe_encode",
-      "q176_quantile_normalize")
+      "q176_quantile_normalize", "q188_nb_classifier")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
