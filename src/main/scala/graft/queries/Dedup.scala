@@ -1448,8 +1448,14 @@ object Dedup {
     * affected by where new tokens slot in.
     */
   def prefixDict(docs: DataFrame): DataFrame =
-    docs
-      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+    dictOver(docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok")))
+
+  /** [[prefixDict]] over any per-doc distinct (doc_id, tok) rows — word
+    * tokens for the Jaccard join, 3-gram shingles for the containment
+    * join. The frozen order's unit is whatever the join's set element is. */
+  private def dictOver(tokRows: DataFrame): DataFrame =
+    tokRows
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("tid", monotonically_increasing_id())
       .localCheckpoint()
@@ -1462,10 +1468,13 @@ object Dedup {
     * `monotonically_increasing_id`'s non-negative range, so cross-batch
     * ids never collide) ordered by (0, token).
     */
-  def prefixDocIndex(docs: DataFrame, dict: DataFrame): DataFrame = {
-    val toks = docs
+  def prefixDocIndex(docs: DataFrame, dict: DataFrame): DataFrame =
+    docIndexOver(docs
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
+        explode(array_distinct(split(col("text"), " "))).as("tok")), dict)
+
+  /** [[prefixDocIndex]] over any per-doc distinct (doc_id, tok) rows. */
+  private def docIndexOver(toks: DataFrame, dict: DataFrame): DataFrame = {
     val newToks = toks.select(col("tok")).distinct()
       .join(dict.select(col("tok")), Seq("tok"), "left_anti")
       .withColumn("df", lit(0L))
@@ -1945,10 +1954,15 @@ object Dedup {
       |FROM p WHERE 10 * inter >= 9 * sz_a
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
+    containmentPairs(Tables.documentsWide(s, d)
+      .select(col("doc_id"), col("text")))
+  }
+
+  /** q185's operator body over any (doc_id, text) frame (suite entry and
+    * the incremental proof's recompute baseline). */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
     val sorted = internedSorted(
-      shingleRows(Tables.documentsWide(s, d)
-        .select(col("doc_id"), col("text")))
-        .withColumnRenamed("sh", "tok"))
+      shingleRows(docs).withColumnRenamed("sh", "tok"))
     // A-side prefix rows: first sz − ⌈9·sz/10⌉ + 1 canonical-rarest ids
     val prefixA = sorted
       .select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
@@ -1977,6 +1991,89 @@ object Dedup {
         col("sz_b"),
         graft.functions.Exact.ratio6("inter", "sz_a").as("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- incremental form of the containment join (q185's ingest shape) --
+
+  /** The persistable containment index: the frozen SHINGLE dictionary —
+    * [[prefixDict]]'s machinery with 3-gram shingles as the set element,
+    * so an ingest pipeline that maintains both exact joins (q132 Jaccard,
+    * q185 containment) shares ONE frozen-order design, just instantiated
+    * per element space. */
+  def containmentDict(docs: DataFrame): DataFrame =
+    dictOver(shingleRows(docs).withColumnRenamed("sh", "tok"))
+
+  /** The per-doc half of the containment index under a FROZEN shingle
+    * dictionary (unseen shingles order at (0, shingle) with batch-local
+    * negative ids — [[prefixDocIndex]]'s exact argument). */
+  def containmentDocIndex(docs: DataFrame, dict: DataFrame): DataFrame =
+    docIndexOver(shingleRows(docs).withColumnRenamed("sh", "tok"), dict)
+
+  private def containPrefixRowsOf(index: DataFrame): DataFrame =
+    index.select(col("doc_id"), col("sz"),
+      explode(expr(
+        "slice(tids, 1, CAST(sz - ((9 * sz + 9) div 10) + 1 AS INT))"))
+        .as("tid"))
+
+  /** INCREMENTAL containment join — q185 at ingest. The one-sided prefix
+    * theorem makes the delta algebra ASYMMETRIC, unlike the symmetric
+    * Jaccard increment: an ordered pair (contained A, container B) with a
+    * new doc on ≥ 1 side arises in exactly one of two shapes, and they
+    * need DIFFERENT joins:
+    *
+    *  1. NEW-CONTAINED: A is new — A-prefix rows of the NEW batch join
+    *     (stored ∪ new) FULL rows. Covers new-old and both orientations
+    *     of new-new. Batch-proportional on the prefix side.
+    *  2. NEW-CONTAINER: A is old, B is new — STORED A-prefix rows join
+    *     the new batch's FULL rows. Restricting the prefix side to the
+    *     stored index makes the two shapes DISJOINT by construction
+    *     (shape 1 has a new A, shape 2 an old A). The equi key is the
+    *     shingle id, so only stored prefix rows whose shingle occurs in
+    *     the new batch survive — with the prefix rows persisted bucketed
+    *     by tid (the deployment layout), the read and shuffle are
+    *     batch-proportional, not corpus-proportional.
+    *
+    * Old-old pairs are structurally excluded, so
+    *
+    *   pairs(old ∪ new) = pairs(old) ⊎ incremental(new, dict(old), index(old))
+    *
+    * holds as an exact disjoint union of ORDERED pairs — PrefixJoinSpec
+    * proves it through a parquet round-trip against a FRESH-frequency
+    * full recompute (different canonical order, same pairs: the
+    * order-invariance the frozen dictionary leans on).
+    */
+  def incrementalContainmentPairs(
+      newDocs: DataFrame, dict: DataFrame, index: DataFrame): DataFrame = {
+    val newIndex = containmentDocIndex(newDocs, dict).localCheckpoint()
+    val newPrefix = containPrefixRowsOf(newIndex)
+    val newFull = newIndex.select(col("doc_id"), col("sz"),
+      explode(col("tids")).as("tid"))
+    val allFull = index.select(col("doc_id"), col("sz"),
+        explode(col("tids")).as("tid"))
+      .unionByName(newFull)
+    def candidates(aPref: DataFrame, bFull: DataFrame) =
+      aPref.as("a").join(bFull.as("b"),
+          col("a.tid") === col("b.tid")
+            && col("a.doc_id") =!= col("b.doc_id")
+            && col("b.sz") * 10 >= col("a.sz") * 9)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = candidates(newPrefix, allFull)
+      .unionByName(candidates(containPrefixRowsOf(index), newFull))
+      .distinct()
+    val arrays = index.unionByName(newIndex)
+      .select(col("doc_id"), col("sz"), col("stids"))
+    cand
+      .join(arrays.select(col("doc_id"), col("sz").as("sz_a"),
+        col("stids").as("ta")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(arrays.select(col("doc_id"), col("sz").as("sz_b"),
+        col("stids").as("tb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_sorted_intersect_i64(ta, tb)").as("inter"),
+        col("sz_a"), col("sz_b"))
+      .filter(col("inter") * 10 >= col("sz_a") * 9)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sz_a"),
+        col("sz_b"),
+        graft.functions.Exact.ratio6("inter", "sz_a").as("containment"))
   }
 
   /** EXACT SUBSTRING-DUPLICATION detection — the "50-token verbatim

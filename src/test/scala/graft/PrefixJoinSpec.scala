@@ -164,6 +164,53 @@ class PrefixJoinSpec extends SparkSpec {
     assert(inc.keys.exists { case (a, b) => a >= 200 && b >= 200 })
   }
 
+  test("incremental containment join: ordered pairs(old ∪ new) = " +
+      "pairs(old) ⊎ incremental, both delta shapes exercised") {
+    import spark.implicits._
+    // containment-shaped corpus: short quotes living inside long wrappers.
+    // quote(i) = 12 tokens of block i; wrapper(i) = quote(i) + 90 tokens of
+    // padding, so the quote's shingle set is ≥90% inside the wrapper's but
+    // J is far below 0.9 (the asymmetric relation q132 misses).
+    def quote(blk: Int) = (1 to 12).map(j => s"cq${blk}_$j").mkString(" ")
+    def wrapper(blk: Int, tag: String) =
+      quote(blk) + " " + (1 to 90).map(j => s"pad${tag}_$j").mkString(" ")
+    val old = Seq(
+      1L -> quote(0), 2L -> wrapper(0, "a"),   // old-old pair (1 ⊂ 2)
+      3L -> quote(1),                          // old quote, container comes later
+      4L -> wrapper(2, "b"))                   // old container, quote comes later
+    val fresh = Seq(
+      200L -> wrapper(1, "c"),                 // NEW-CONTAINER for old quote 3
+      201L -> quote(2),                        // NEW-CONTAINED in old wrapper 4
+      202L -> quote(3), 203L -> wrapper(3, "d"), // new-new pair, UNSEEN shingles
+      204L -> "nothing shared with anyone here at all")
+    val oldDf = old.toDF("doc_id", "text")
+    val freshDf = fresh.toDF("doc_id", "text")
+    val unionDf = (old ++ fresh).toDF("doc_id", "text")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // persist both index halves through parquet — the deployment shape
+    val dir = "/tmp/graft_contain_index"
+    graft.queries.Dedup.containmentDict(oldDf)
+      .write.mode("overwrite").parquet(s"$dir/dict")
+    val dict = spark.read.parquet(s"$dir/dict")
+    graft.queries.Dedup.containmentDocIndex(oldDf, dict)
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    val index = spark.read.parquet(s"$dir/docs")
+    val full = keyed(graft.queries.Dedup.containmentPairs(unionDf))
+    val oldPairs = keyed(graft.queries.Dedup.containmentPairs(oldDf))
+    val inc = keyed(graft.queries.Dedup
+      .incrementalContainmentPairs(freshDf, dict, index))
+    assert(inc.keySet.intersect(oldPairs.keySet).isEmpty, "must be disjoint")
+    assert(oldPairs ++ inc === full,
+      s"old=${oldPairs.keySet} inc=${inc.keySet} full=${full.keySet}")
+    // both asymmetric delta shapes must actually fire:
+    assert(inc.contains((3L, 200L)), "new-container shape (old ⊂ new) missing")
+    assert(inc.contains((201L, 4L)), "new-contained shape (new ⊂ old) missing")
+    assert(inc.contains((202L, 203L)), "new-new pair over unseen shingles missing")
+    assert(oldPairs.contains((1L, 2L)) && !inc.contains((1L, 2L)))
+  }
+
   test("incremental hamming join: old + delta = recompute, count-additively") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
