@@ -56,6 +56,26 @@ object Tool {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$out/oracle_sql.json"),
           oracles.mkString("{", ", ", "}"))
+      case Some("rollbench") =>
+        // q119/q124 frame-width crossover measurement (the numbers in
+        // Analytic.scala's q124 comment; keep runnable so future rewrites
+        // re-measure): `runMain graft.Tool rollbench [sfDir]`
+        val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val ev = Tables.events(spark, dir).localCheckpoint()
+        import graft.queries.Analytic
+        for ((label, f) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+          "q119 exact 1h" -> (() => Analytic.rollingP95Exact(ev, 1)),
+          "q124 sketch 1h (12 buckets)" ->
+            (() => Analytic.rollingP95Sketch(ev, 12)),
+          "q119 exact 6h" -> (() => Analytic.rollingP95Exact(ev, 6)),
+          "q124 sketch 6h (72 buckets)" ->
+            (() => Analytic.rollingP95Sketch(ev, 72)))) {
+          for (i <- 1 to 2) {
+            val t0 = System.nanoTime()
+            f().write.format("noop").mode("overwrite").save()
+            println(f"$label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        }
       case Some("dedupbench") =>
         // dev-loop micro-bench for the q32 collapse pipeline (the tool
         // behind the measured pin/unpin numbers in Dedup.scala's comments;

@@ -749,13 +749,17 @@ object Analytic {
     * exercises. Cost model is honest: an exact quantile is not an
     * incremental accumulator, so each row re-evaluates its frame —
     * O(rows × frame) inside each type partition. The frame width IS the
-    * cost dial: a 6-hour frame MEASURED 13.0 s at sf0.1 vs 2.4 s for this
-    * 1-hour frame (same rows — pure frame-size effect). That linearity is
-    * inherent to exact sliding quantiles; the right deployment is a
-    * monitored slice (post-filter) with a bounded frame, and at corpus
-    * scale the mergeable alternative IS IN CODE as
-    * [[q124RollingP95Sketch]] (per-bucket mergeable histograms; error
-    * bounded by one bin width, RollingQuantileSpec).
+    * cost dial, and the crossover against the mergeable twin is MEASURED
+    * (`Tool rollbench`, sf0.1, warm runs): 1-hour frame 1.96 s here vs
+    * 2.13 s for [[q124RollingP95Sketch]] — exact wins at dashboard
+    * widths on this density; 6-hour frame 11.4 s here vs 3.2 s there —
+    * the sketch wins 3.6× once the frame widens, because its cost is
+    * frame-width-bounded state while this one re-evaluates O(frame) rows
+    * per row. That linearity is inherent to exact sliding quantiles; the
+    * right deployment is a monitored slice (post-filter) with a bounded
+    * frame, switching to the mergeable form past the crossover
+    * (somewhere between the 1- and 6-hour frames at this corpus'
+    * 2.6 events/bucket density; higher density moves it toward zero).
     * Oracle parity: frame membership uses the same µs-truncated event
     * times (`CAST(ts AS TIMESTAMP)`, the q45 idiom) and both engines
     * define the quantile as linear interpolation at (n−1)·q.
@@ -769,15 +773,18 @@ object Analytic {
       |    AS p95
       |FROM events
       |ORDER BY event_id NULLS FIRST""".stripMargin,
-  ) { (s, d) =>
-    Tables.events(s, d)
-      .select(col("event_id"),
-        expr("""round(percentile(value, 0.95) OVER (
+  ) { (s, d) => rollingP95Exact(Tables.events(s, d), hours = 1) }
+
+  /** q119's body with the frame width as the dial it is (the crossover
+    * measurement in q124's comment runs this at 6 hours). */
+  private[graft] def rollingP95Exact(
+      ev: org.apache.spark.sql.DataFrame, hours: Int): org.apache.spark.sql.DataFrame =
+    ev.select(col("event_id"),
+        expr(s"""round(percentile(value, 0.95) OVER (
           PARTITION BY event_type ORDER BY ts
-          RANGE BETWEEN INTERVAL 1 HOURS PRECEDING AND CURRENT ROW), 6)""")
+          RANGE BETWEEN INTERVAL $hours HOURS PRECEDING AND CURRENT ROW), 6)""")
           .as("p95"))
       .orderBy(col("event_id"))
-  }
 
   /** q119's SCALE-SAFE twin: rolling trailing-1-hour p95 per event type
     * from per-bucket MERGEABLE state instead of per-row exact frames.
@@ -797,15 +804,17 @@ object Analytic {
     * operator.
     *
     * Cost: O(buckets × types × 64) state after one map-side-combined
-    * aggregation of the events scan — independent of both row count per
-    * bucket and frame width (q119 is O(rows × frame)). CROSSOVER is
-    * density-driven and the suite corpus sits on the WRONG side of it:
-    * sf0.1 averages 2.6 events per 5-min bucket (100k events / 38.9k
-    * active buckets), so q119's exact frames are ~30 rows and bench
-    * CHEAPER (2.6 s) than this sketch's ~10×-rows histogram machinery
-    * (3.7 s). The sketch exists for production density — at 10³–10⁴
-    * events/bucket q119's per-row frame re-evaluation grows by that same
-    * factor while this plan's state size does not move at all. Accuracy:
+    * aggregation of the events scan — near-independent of row count per
+    * bucket and frame width (q119 is O(rows × frame); this plan's only
+    * frame-width term is the trailing-bucket explode). The CROSSOVER is
+    * MEASURED, not asserted (`Tool rollbench`, sf0.1, warm runs): at the
+    * 1-hour frame the corpus' 2.6 events/bucket density keeps q119's
+    * exact frames ~30 rows and CHEAPER (1.96 s vs 2.13 s here); at the
+    * 6-hour frame q119 grows to 11.4 s while this form holds 3.2 s —
+    * the mergeable plan wins 3.6× and the gap is the frame-width ratio.
+    * Production density (10³–10⁴ events/bucket) multiplies q119's cost
+    * by that factor while leaving this state size unchanged, pushing the
+    * crossover below every real frame width. Accuracy:
     * RollingQuantileSpec pins |estimate − exact rank statistic| ≤ one bin
     * width on the real corpus; width shrinks with the observed value
     * range, not with data volume.
@@ -859,8 +868,13 @@ object Analytic {
       |WHERE cum >= (19 * tot + 19) // 20
       |  AND cum - rc < (19 * tot + 19) // 20
       |ORDER BY event_type NULLS FIRST, b_idx NULLS FIRST""".stripMargin,
-  ) { (s, d) =>
-    val ev = Tables.events(s, d)
+  ) { (s, d) => rollingP95Sketch(Tables.events(s, d), trailing = 12) }
+
+  /** q124's body with the trailing-bucket count as a dial (12 five-minute
+    * buckets = the registered 1-hour frame; 72 = the 6-hour crossover
+    * measurement in the comment above). */
+  private[graft] def rollingP95Sketch(
+      ev: org.apache.spark.sql.DataFrame, trailing: Int): org.apache.spark.sql.DataFrame = {
     // bounded driver probe: two scalars fix the bin geometry for the whole
     // corpus (like DuckDB's `sel` CTE; floor(double*1e6) is the identical
     // IEEE op on both engines, so the derived edges match bit-for-bit)
@@ -893,7 +907,7 @@ object Analytic {
     // bins change nothing downstream: the rank walk's pick needs rc > 0.
     val rolled = c
       .select(col("event_type"), col("bin"), col("cnt"),
-        explode(expr("sequence(src_b, src_b + 11)")).as("b_idx"))
+        explode(expr(s"sequence(src_b, src_b + ${trailing - 1})")).as("b_idx"))
       .groupBy(col("event_type"), col("b_idx"), col("bin"))
       .agg(sum(col("cnt")).as("rc"))
     // report only ACTIVE buckets (≥1 own event) — trailing echoes of a
