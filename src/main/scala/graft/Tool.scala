@@ -56,6 +56,63 @@ object Tool {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$out/oracle_sql.json"),
           oracles.mkString("{", ", ", "}"))
+      case Some("genscale") =>
+        // Deterministic ~N× stress corpus for the SCALE_r11 measurements:
+        // `runMain graft.Tool genscale [srcDir] [outDir] [factor]`.
+        // Follows the driver generator's own observed scaling law
+        // (TESTDATA sf0.01 → sf0.1: same 30-day span, users ×10, docs ×10,
+        // near-dup BLOCK COUNT ×10 at constant block size — measured via
+        // prefix-hash blocks: 476 blocks/max 3 → 4757 blocks/max 4).
+        // Generation g > 0 prefixes every token with "g<g>x", so each
+        // generation reproduces the block structure over a DISJOINT
+        // vocabulary: the true answer of every similarity/dedup operator
+        // scales ×factor (content growth), never ×factor² (density
+        // growth — that dial is measured separately in q132's comments).
+        // Events replicate with disjoint user/event id spans over the
+        // same time span (the driver's law: density grows, span doesn't).
+        // No randomness anywhere — byte-reproducible.
+        val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val out = if (args.length > 2) args(2) else "/tmp/graft_scale"
+        val factor = if (args.length > 3) args(3).toInt else 10
+        val gens = spark.range(0, factor).select(col("id").as("g"))
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+        docs.crossJoin(broadcast(gens))
+          .select((col("doc_id") + col("g") * nDocs).as("doc_id"),
+            when(col("g") === 0, col("text")).otherwise(
+              concat_ws(" ", expr(
+                """transform(split(text, ' '),
+                  |  t -> concat('g', CAST(g AS STRING), 'x', t))"""
+                  .stripMargin))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        val ev = spark.read.parquet(s"$src/events.parquet")
+        val nEv = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+        val nUsr = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+        ev.crossJoin(broadcast(gens))
+          .select((col("event_id") + col("g") * nEv).as("event_id"),
+            col("ts"), (col("user_id") + col("g") * nUsr).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/events.parquet")
+        val emb = spark.read.parquet(s"$src/embeddings.parquet")
+        val nVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        emb.crossJoin(broadcast(gens))
+          .select((col("vec_id") + col("g") * nVec).as("vec_id"),
+            // generation g rotates coordinates by g — isotropy and norms
+            // preserved, vectors distinct across generations
+            expr(s"""transform(sequence(0, $dim - 1),
+              |  i -> element_at(embedding,
+              |    CAST((i + g) % $dim AS INT) + 1))""".stripMargin)
+              .as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        println(s"GENSCALE out=$out factor=$factor docs=${nDocs * factor} " +
+          s"events=${nEv * factor} vecs=${nVec * factor}")
       case Some("rollbench") =>
         // q119/q124 frame-width crossover measurement (the numbers in
         // Analytic.scala's q124 comment; keep runnable so future rewrites
