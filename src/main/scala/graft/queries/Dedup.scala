@@ -2138,67 +2138,80 @@ object Dedup {
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
   ) { (s, d) => substringDupPairs(Tables.documentsWide(s, d)) }
 
-  /** q187's operator body over any (doc_id, text) frame (suite entry).
-    * W = 50-token rule, G = 8-token anchors, stride K = W − G + 1 = 43. */
-  private[graft] def substringDupPairs(docs: DataFrame): DataFrame = {
-    val W = 50; val G = 8; val K = W - G + 1
-    // token-exact longest-common-prefix of two bounded slices: zip_with
-    // pads the shorter side with NULL, <=> turns the pad into false, so
-    // the LCP never runs past either doc's end. All codegen'd built-ins.
-    def lcp(x: Column, y: Column): Column = {
-      val eq = zip_with(x, y, (p, q) => p <=> q)
-      val fpos = array_position(eq, lit(false))
-      when(fpos === 0L, size(eq).cast("long")).otherwise(fpos - 1L)
-    }
-    val t = docs
+  // q187 geometry: W-token rule, G-token anchors, stride K = W − G + 1.
+  private val SubW = 50
+  private val SubG = 8
+  private val SubK = SubW - SubG + 1
+
+  /** Token arrays of the ≥W-token docs — the verify/window half of the
+    * substring index (doc-proportional; a deployment persists it). */
+  private[graft] def substringTokens(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .withColumn("n", size(col("tk")))
-      .filter(col("n") >= W)
-      .localCheckpoint() // 4 consumers: grid, slide, verify arrays, windows
-    def gram8(tk: Column, p: Column) =
-      xxhash64(concat_ws(" ", slice(tk, p, lit(G))))
-    val grid = t
-      .select(col("doc_id").as("doc_a"), col("tk"),
-        explode(sequence(lit(1), col("n") - (G - 1), lit(K))).as("i"))
-      .select(col("doc_a"), col("i"), gram8(col("tk"), col("i")).as("h8"))
-    val slide = t
-      .select(col("doc_id").as("doc_b"), col("tk"),
-        explode(sequence(lit(1), col("n") - (G - 1))).as("j"))
-      .select(col("doc_b"), col("j"), gram8(col("tk"), col("j")).as("h8"))
-    val cand = grid.join(slide,
-        grid("h8") === slide("h8") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("i"), col("doc_b"), col("j"))
-    // verify + extend: right-run R counts matching tokens from the anchor
-    // start (cap W — all the certificate needs), left-run L counts
-    // matching tokens strictly left of it (cap W − G; both clamped at doc
-    // start). L + R ≥ W with R ≥ G ⟺ a genuine ≥W-token verbatim run
-    // passes through this anchor; the pigeonhole lemma guarantees every
-    // true pair produces at least one such candidate.
-    val ga = greatest(col("i") - (W - G), lit(1))
-    val gb = greatest(col("j") - (W - G), lit(1))
-    val pairs = cand
-      .join(t.select(col("doc_id"), col("tk").as("ta")),
+      .filter(col("n") >= SubW)
+
+  private def subGram8(tk: Column, p: Column): Column =
+    xxhash64(concat_ws(" ", slice(tk, p, lit(SubG))))
+
+  /** Stride-K grid anchor rows (positions/K — the small candidate side). */
+  private[graft] def substringGridRows(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), col("n") - (SubG - 1), lit(SubK))).as("p"))
+      .select(col("doc_id"), col("p"), subGram8(col("tk"), col("p")).as("h8"))
+
+  /** All-position anchor rows (position-proportional — the big half; a
+    * deployment persists it BUCKETED BY h8 so batch joins prune reads). */
+  private[graft] def substringSlideRows(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), col("n") - (SubG - 1))).as("p"))
+      .select(col("doc_id"), col("p"), subGram8(col("tk"), col("p")).as("h8"))
+
+  // token-exact longest-common-prefix of two bounded slices: zip_with
+  // pads the shorter side with NULL, <=> turns the pad into false, so
+  // the LCP never runs past either doc's end. All codegen'd built-ins.
+  private def subLcp(x: Column, y: Column): Column = {
+    val eq = zip_with(x, y, (p, q) => p <=> q)
+    val fpos = array_position(eq, lit(false))
+    when(fpos === 0L, size(eq).cast("long")).otherwise(fpos - 1L)
+  }
+
+  /** Candidate (doc_a, i, doc_b, j) anchor matches → verified distinct
+    * pairs. Right-run R counts matching tokens from the anchor start
+    * (cap W — all the certificate needs), left-run L counts matching
+    * tokens strictly left of it (cap W − G; both clamped at doc start).
+    * L + R ≥ W with R ≥ G ⟺ a genuine ≥W-token verbatim run passes
+    * through this anchor; the pigeonhole lemma guarantees every true
+    * pair produces at least one such candidate. */
+  private def subVerifiedPairs(cand: DataFrame, toks: DataFrame): DataFrame = {
+    val ga = greatest(col("i") - (SubW - SubG), lit(1))
+    val gb = greatest(col("j") - (SubW - SubG), lit(1))
+    cand
+      .join(toks.select(col("doc_id"), col("tk").as("ta")),
         col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(t.select(col("doc_id"), col("tk").as("tb")),
+      .join(toks.select(col("doc_id"), col("tk").as("tb")),
         col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
-        lcp(slice(col("ta"), col("i"), lit(W)),
-          slice(col("tb"), col("j"), lit(W))).as("r"),
-        lcp(reverse(slice(col("ta"), ga, col("i") - ga)),
+        subLcp(slice(col("ta"), col("i"), lit(SubW)),
+          slice(col("tb"), col("j"), lit(SubW))).as("r"),
+        subLcp(reverse(slice(col("ta"), ga, col("i") - ga)),
           reverse(slice(col("tb"), gb, col("j") - gb))).as("l"))
-      .filter(col("r") >= G && col("l") + col("r") >= W)
+      .filter(col("r") >= SubG && col("l") + col("r") >= SubW)
       .select(col("doc_a"), col("doc_b")).distinct()
-    // answer-proportional window enumeration: full 50-gram hash sets for
-    // CONFIRMED-paired docs only, then one hash-equi count join per pair
-    // (both sides distinct per (doc, h) → count(*) = |shared window set|)
+  }
+
+  /** Answer-proportional window enumeration: full W-gram hash sets for
+    * CONFIRMED-paired docs only, then one hash-equi count join per pair
+    * (both sides distinct per (doc, h) → count(*) = |shared window set|). */
+  private def subWindowCounts(pairs: DataFrame, toks: DataFrame): DataFrame = {
     val paired = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val g50 = t.join(paired, "doc_id")
+    val g50 = toks.join(paired, "doc_id")
       .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(1), col("n") - (W - 1))).as("p"))
+        explode(sequence(lit(1), col("n") - (SubW - 1))).as("p"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("tk"), col("p"), lit(W)))).as("h50"))
+        md5(concat_ws(" ", slice(col("tk"), col("p"), lit(SubW)))).as("h50"))
       .distinct()
     pairs
       .join(g50.select(col("doc_id"), col("h50")),
@@ -2207,6 +2220,67 @@ object Dedup {
         col("doc_b") === col("doc_id") && col("h50") === col("h50b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast("long").as("n_shared50"))
+  }
+
+  /** q187's operator body over any (doc_id, text) frame (suite entry). */
+  private[graft] def substringDupPairs(docs: DataFrame): DataFrame = {
+    val t = substringTokens(docs)
+      .localCheckpoint() // 4 consumers: grid, slide, verify arrays, windows
+    val grid = substringGridRows(t)
+      .select(col("doc_id").as("doc_a"), col("p").as("i"), col("h8"))
+    val slide = substringSlideRows(t)
+      .select(col("doc_id").as("doc_b"), col("p").as("j"), col("h8"))
+    val cand = grid.join(slide,
+        grid("h8") === slide("h8") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("i"), col("doc_b"), col("j"))
+    subWindowCounts(subVerifiedPairs(cand, t), t)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** INCREMENTAL substring-dup join — q187 at ingest, completing the
+    * incremental index family (probabilistic LSH, exact prefix, exact
+    * Hamming, exact containment, and now exact substring). The persisted
+    * index is two plain tables: [[substringTokens]] (verify/window half)
+    * and [[substringSlideRows]] (position-proportional, bucketed by h8
+    * in deployment — the honest price of exact substring detection;
+    * nothing to freeze, anchors are content-only like SimHash
+    * fingerprints). The batch's own grid rows are derived fresh — the
+    * grid is never persisted.
+    *
+    * Unlike the containment delta (whose one-sided theorem forces two
+    * asymmetric join shapes), ONE join suffices here: the pigeonhole
+    * lemma certifies a shared span from EITHER member's grid, so
+    * grid(new) × slide(old ∪ new) is already lossless — every pair with
+    * ≥ 1 new doc has a grid anchor inside the span IN THE NEW MEMBER,
+    * and the other member's copy sits in the slide index whichever age
+    * it is. The grid side is batch-sized (positions/43 of the batch), so
+    * the whole delta is one batch-proportional hash join against the
+    * h8-bucketed slide store. Old-old pairs are structurally excluded:
+    *
+    *   pairs(old ∪ new) = pairs(old) ⊎ incremental(new, index(old))
+    *
+    * as an exact disjoint union (PrefixJoinSpec, parquet round-trip).
+    * Window counts recompute only for docs in confirmed NEW pairs —
+    * answer-proportional, like the batch form.
+    */
+  def incrementalSubstringPairs(
+      newDocs: DataFrame, storedToks: DataFrame,
+      storedSlide: DataFrame): DataFrame = {
+    val newToks = substringTokens(newDocs).localCheckpoint()
+    val newGrid = substringGridRows(newToks)
+      .select(col("doc_id").as("doc_a"), col("p").as("i"), col("h8"))
+    val allSlide = storedSlide.unionByName(substringSlideRows(newToks))
+      .select(col("doc_id").as("doc_b"), col("p").as("j"), col("h8"))
+    val cand = newGrid.join(allSlide,
+        newGrid("h8") === allSlide("h8") && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("i"), col("doc_b"), col("j"))
+    val toks = storedToks.unionByName(newToks)
+    // verify on the ANCHOR orientation (grid doc = doc_a), then normalize
+    // the surviving pair to (min, max) ids for the output contract
+    val pairs = subVerifiedPairs(cand, toks)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .distinct()
+    subWindowCounts(pairs, toks)
   }
 }

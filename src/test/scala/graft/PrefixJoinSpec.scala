@@ -374,6 +374,50 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got === Map((1L, 2L) -> 1L), s"got=$got")
   }
 
+  test("incremental substring join: pairs(old ∪ new) = pairs(old) ⊎ " +
+      "incremental through a parquet round-trip") {
+    val run60 = (1 to 60).map(i => s"is$i").mkString(" ")   // shared 60-run
+    val run55 = (1 to 55).map(i => s"iz$i").mkString(" ")   // a second block
+    def pad(tag: String, n: Int) =
+      (1 to n).map(i => s"ip${tag}_$i").mkString(" ")
+    val old = Seq(
+      1L -> s"$run60 ${pad("a", 15)}",
+      2L -> s"${pad("b", 15)} $run60",       // old-old pair (1, 2)
+      3L -> s"$run55 ${pad("c", 20)}")       // old doc, partner arrives later
+    val fresh = Seq(
+      200L -> s"${pad("d", 12)} $run55",     // pairs with old doc 3
+      201L -> s"$run60 ${pad("e", 30)}",     // pairs with old docs 1 and 2
+      202L -> (1 to 70).map(i => s"nw$i").mkString(" "),  // new-new block,
+      203L -> ((1 to 70).map(i => s"nw$i").mkString(" ") + " " + pad("f", 5)),
+      204L -> pad("g", 60))                  // ≥50 tokens, shares nothing
+    val oldDf = old.toDF("doc_id", "text")
+    val freshDf = fresh.toDF("doc_id", "text")
+    val unionDf = (old ++ fresh).toDF("doc_id", "text")
+    val dir = "/tmp/graft_substr_index"
+    val oldToks = graft.queries.Dedup.substringTokens(oldDf)
+    oldToks.write.mode("overwrite").parquet(s"$dir/toks")
+    graft.queries.Dedup.substringSlideRows(oldToks)
+      .write.mode("overwrite").parquet(s"$dir/slide")
+    val toks = spark.read.parquet(s"$dir/toks")
+    val slide = spark.read.parquet(s"$dir/slide")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = keyed(graft.queries.Dedup.substringDupPairs(unionDf))
+    val oldPairs = keyed(graft.queries.Dedup.substringDupPairs(oldDf))
+    val inc = keyed(graft.queries.Dedup
+      .incrementalSubstringPairs(freshDf, toks, slide))
+    assert(inc.keySet.intersect(oldPairs.keySet).isEmpty, "must be disjoint")
+    assert(oldPairs ++ inc === full,
+      s"old=${oldPairs.keySet} inc=${inc.keySet} full=${full.keySet}")
+    // the increment must carry old-new pairs in BOTH id orders (the grid
+    // sits on the new member regardless of which id is smaller) and a
+    // new-new pair; the old-old pair must come only from the old run
+    assert(inc.contains((3L, 200L)) && inc.contains((1L, 201L))
+      && inc.contains((2L, 201L)) && inc.contains((202L, 203L)), inc.toString)
+    assert(oldPairs.keySet === Set((1L, 2L)))
+    assert(!inc.keys.exists { case (a, b) => a == 204L || b == 204L })
+  }
+
   test("q187: plan ≡ naive on the sf0.001 fixture and on randomized blocks") {
     // real-corpus net: the driver-side naive scan replays the full fixture
     val fixture = Tables.documentsWide(spark, "/root/testdata/sf0.001")
