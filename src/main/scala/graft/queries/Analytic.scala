@@ -46,6 +46,7 @@ object Analytic {
     q169RfmSegments,
     q171ChurnHazard,
     q178BurstWindows,
+    q189KmSurvival,
     q179BehaviorEntropy,
     q180CusumPeak,
     q186LinearAttribution,
@@ -1754,9 +1755,11 @@ object Analytic {
     * final week — their true churn week is unobservable, the standard
     * censoring rule), and the discrete hazard churned/at_risk. The
     * Kaplan–Meier survival curve is the cumulative product of (1 − these
-    * hazards) — deliberately left to the consumer because a float cumprod
-    * would break the exactness contract; the hazard table itself is pure
-    * integer counting + ratio6.
+    * hazards) — this round's [[q189KmSurvival]] computes it triple-green
+    * via the log-space float-cast/DECIMAL discipline, retiring this
+    * comment's earlier claim that a float cumprod could not keep the
+    * exactness contract; the hazard table itself stays pure integer
+    * counting + ratio6.
     *
     * Plan: one user aggregate → (tenure, censored) runs (≤ weeks×2 rows)
     * → the at-risk tail sums via ONE reverse cumulative window over
@@ -1836,6 +1839,132 @@ object Analytic {
         col("churned").cast("long").as("churned"),
         col("censored_n").cast("long").as("censored"),
         graft.functions.Exact.ratio6("churned", "at_risk").as("hazard"))
+      .orderBy(col("tenure_weeks"))
+  }
+
+  /** KAPLAN–MEIER SURVIVAL CURVE — the cumulative product q171's comment
+    * "deliberately left to the consumer": S(k) = Π_{j ≤ k}
+    * (1 − churned_j / at_risk_j) over the same censored life table. The
+    * claim that a float cumprod breaks the exactness contract turned out
+    * to be beatable with the house log-score discipline (the q188 argmax
+    * result): each factor's ln((at_risk − churned) / at_risk) is one
+    * float-cast ln of one double division of exact int64s, the running
+    * sum accumulates as DECIMAL(18,9) under an ORDERED cumulative window
+    * (decimal addition is associative — engine merge order cannot move
+    * it), and the final exp goes back through a FLOAT cast before
+    * rounding, killing libm's 1-ulp exp wobble the same way the ln cast
+    * does. Result: a hash-matching survival curve.
+    *
+    * The churned = at_risk edge (everyone at risk dies at week j —
+    * ln(0)) is handled identically on both engines: a cumulative
+    * any-extinction flag pins S to exactly 0.0 from that week on, rather
+    * than feeding −∞ through exp.
+    *
+    * Plan: q171's shape verbatim (one user aggregate, value-run life
+    * table, one reverse cumulative window over ≤weeks rows) plus one
+    * forward cumulative window over the same bounded rows — nothing
+    * user-proportional past the first aggregate.
+    */
+  val q189KmSurvival = Q(
+    "q189_km_survival",
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS f_us,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS l_us
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |),
+      |c AS (SELECT min(f_us) AS m0, max(l_us) AS m1 FROM u),
+      |t AS (
+      |  SELECT user_id,
+      |    (l_us - m0) // 604800000000 - (f_us - m0) // 604800000000
+      |      AS tenure,
+      |    CASE WHEN (l_us - m0) // 604800000000
+      |      = (m1 - m0) // 604800000000 THEN 1 ELSE 0 END AS censored
+      |  FROM u, c
+      |),
+      |runs AS (
+      |  SELECT tenure, censored, count(*) AS cnt
+      |  FROM t GROUP BY tenure, censored
+      |),
+      |k AS (
+      |  SELECT tenure,
+      |    sum(CASE WHEN censored = 0 THEN cnt ELSE 0 END) AS churned,
+      |    sum(CASE WHEN censored = 1 THEN cnt ELSE 0 END) AS censored_n,
+      |    sum(cnt) AS ends_here
+      |  FROM runs GROUP BY tenure
+      |),
+      |r AS (
+      |  SELECT tenure, churned, censored_n,
+      |    sum(ends_here) OVER (ORDER BY tenure DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+      |  FROM k
+      |),
+      |s AS (
+      |  SELECT tenure, churned, censored_n, at_risk,
+      |    sum(CASE WHEN churned = at_risk THEN CAST(0 AS DECIMAL(18,9))
+      |      ELSE CAST(CAST(ln(CAST(at_risk - churned AS DOUBLE)
+      |        / CAST(at_risk AS DOUBLE)) AS FLOAT) AS DECIMAL(18,9)) END)
+      |      OVER (ORDER BY tenure
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+      |    max(CASE WHEN churned = at_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY tenure
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct
+      |  FROM r
+      |)
+      |SELECT CAST(tenure AS BIGINT) AS tenure_weeks,
+      |  CAST(at_risk AS BIGINT) AS at_risk,
+      |  CAST(churned AS BIGINT) AS churned,
+      |  CAST(censored_n AS BIGINT) AS censored,
+      |  CASE WHEN extinct = 1 THEN CAST(0.0 AS DOUBLE)
+      |    ELSE round(CAST(CAST(exp(CAST(lsum AS DOUBLE)) AS FLOAT)
+      |      AS DOUBLE), 6) END AS survival
+      |FROM s
+      |ORDER BY tenure_weeks NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val u = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("f_us"),
+        max(expr("unix_micros(ts)")).as("l_us"))
+    val c = u.agg(min(col("f_us")).as("m0"), max(col("l_us")).as("m1"))
+    val t = u.crossJoin(broadcast(c))
+      .select(
+        expr("(l_us - m0) div 604800000000 - (f_us - m0) div 604800000000")
+          .as("tenure"),
+        when(expr("(l_us - m0) div 604800000000")
+          === expr("(m1 - m0) div 604800000000"), 1).otherwise(0)
+          .as("censored"))
+    val k = t.groupBy(col("tenure"), col("censored"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("tenure"))
+      .agg(sum(when(col("censored") === 0, col("cnt")).otherwise(0L))
+        .as("churned"),
+        sum(when(col("censored") === 1, col("cnt")).otherwise(0L))
+          .as("censored_n"),
+        sum(col("cnt")).as("ends_here"))
+    val r = k.withColumn("at_risk",
+      sum(col("ends_here")).over(Window.orderBy(col("tenure").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val fwd = Window.orderBy(col("tenure"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.select(col("tenure"), col("churned"), col("censored_n"),
+        col("at_risk"),
+        sum(expr(
+          """CASE WHEN churned = at_risk THEN CAST(0 AS DECIMAL(18,9))
+            |ELSE CAST(CAST(ln(CAST(at_risk - churned AS DOUBLE)
+            |  / CAST(at_risk AS DOUBLE)) AS FLOAT) AS DECIMAL(18,9)) END"""
+            .stripMargin)).over(fwd).as("lsum"),
+        max(when(col("churned") === col("at_risk"), 1).otherwise(0))
+          .over(fwd).as("extinct"))
+      .select(col("tenure").cast("long").as("tenure_weeks"),
+        col("at_risk").cast("long").as("at_risk"),
+        col("churned").cast("long").as("churned"),
+        col("censored_n").cast("long").as("censored"),
+        when(col("extinct") === 1, lit(0.0))
+          .otherwise(round(
+            expr("CAST(CAST(exp(CAST(lsum AS DOUBLE)) AS FLOAT) AS DOUBLE)"),
+            6)).as("survival"))
       .orderBy(col("tenure_weeks"))
   }
 

@@ -328,6 +328,49 @@ class EdgeEventsSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.0)
   }
 
+  test("q189: hand-computed KM curve; extinction row pins survival to 0") {
+    import spark.implicits._
+    def dayNs(d: Int): Long = d * 86400L * 1000000000L
+    // corpus weeks 0..3: u1/u2 churn at tenure 0, u3 at tenure 1,
+    // u4 censored at tenure 3, u5 censored at tenure 2
+    val d1 = "/tmp/graft_edge_events_km"
+    Seq(
+      (1L, dayNs(0), 1L, "t", 1.0, "{}"), (2L, dayNs(2), 1L, "t", 1.0, "{}"),
+      (3L, dayNs(0), 2L, "t", 1.0, "{}"),
+      (4L, dayNs(0), 3L, "t", 1.0, "{}"), (5L, dayNs(8), 3L, "t", 1.0, "{}"),
+      (6L, dayNs(0), 4L, "t", 1.0, "{}"), (7L, dayNs(22), 4L, "t", 1.0, "{}"),
+      (8L, dayNs(7), 5L, "t", 1.0, "{}"), (9L, dayNs(22), 5L, "t", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d1/events.parquet")
+    val got = SparkEntry.queries("q189_km_survival")(spark, d1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // KM by hand: S(0) = 3/5 = 0.6; S(1) = 0.6·(2/3) = 0.4; flat after
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq === Seq(
+      (0L, 5L, 2L, 0L), (1L, 3L, 1L, 0L), (2L, 2L, 0L, 1L),
+      (3L, 1L, 0L, 1L)))
+    assert(math.abs(got(0)._5 - 0.6) < 1e-6 &&
+      math.abs(got(1)._5 - 0.4) < 1e-6 &&
+      math.abs(got(2)._5 - 0.4) < 1e-6 && math.abs(got(3)._5 - 0.4) < 1e-6,
+      got.mkString(","))
+
+    // extinction: the max-tenure cohort all churns (its at-risk set does
+    // not reach the censor week) → survival exactly 0.0, no ln(0)/NaN
+    val d2 = "/tmp/graft_edge_events_km0"
+    Seq(
+      (1L, dayNs(0), 1L, "t", 1.0, "{}"),
+      (2L, dayNs(0), 2L, "t", 1.0, "{}"), (3L, dayNs(16), 2L, "t", 1.0, "{}"),
+      (4L, dayNs(15), 3L, "t", 1.0, "{}"), (5L, dayNs(22), 3L, "t", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val got2 = SparkEntry.queries("q189_km_survival")(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got2.length === 3)
+    assert(got2(2)._1 === 2L && got2(2)._2 === 1L && got2(2)._3 === 1L)
+    assert(got2(2)._4 === 0.0, s"extinct row must be exactly 0: ${got2(2)}")
+    assert(math.abs(got2(0)._4 - 2.0 / 3) < 1e-6)
+  }
+
   test("q177: zero pre-period variance gives NULL theta and adjusted " +
       "means, with raw means intact") {
     // every user's first-half spend is identical → var(x) = 0 → θ and the
