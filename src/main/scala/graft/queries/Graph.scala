@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative link analysis — the third member of the engine's iterative
@@ -23,7 +24,7 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   def all: Seq[Q] = Seq(q113Pagerank, q134TriangleClustering, q157BfsHops,
-    q181DegreeAssortativity, q182KCore)
+    q181DegreeAssortativity, q182KCore, q190LabelPropagation)
 
   private val Iters = 8
   private val Mass = 1000000000000L // 10^12 micro-units of total rank
@@ -480,5 +481,111 @@ object GraphOps {
     }
     surv.select(col("node").as("doc_id"), col("deg").cast("long").as("deg"))
       .orderBy(col("doc_id"))
+  }
+
+  private val LpaRounds = 4
+
+  /** LABEL PROPAGATION communities — the near-linear community detector
+    * (Raghavan et al.'s LPA) the graph family lacked: where q74's
+    * connected components answer "what is REACHABLE", LPA answers "what
+    * is DENSELY knit" — a bridge edge joins two components into one CC
+    * but majority voting keeps the two communities apart. Synchronous,
+    * FIXED-round (4), fully deterministic variant: label₀(v) = v; each
+    * round every node adopts the most frequent label among its
+    * NEIGHBORS, ties broken by smallest label — the async/random-order
+    * LPA of the paper trades determinism for convergence speed, and a
+    * deterministic engine takes the opposite trade (synchronous LPA can
+    * oscillate on bipartite structures, which a FIXED round budget turns
+    * into a defined, replayable answer rather than a hang).
+    *
+    * All state is integer (labels ARE doc ids), so 4 chained rounds
+    * hash-match the oracle's unrolled CTEs — the q113/q157 iterative
+    * discipline, fourth instance. Plan: edges build once (q74's banded
+    * equi joins), repartition(dst)+checkpoint pins the loop-invariant
+    * side; per round ONE edge⋈label join shuffling only round-fresh
+    * labels, a (node, label)-combined count aggregate, and a
+    * node-partitioned argmax window — everything edge- or
+    * node-proportional, rounds fixed, state off-driver.
+    */
+  val q190LabelPropagation = Q(
+    "q190_label_propagation",
+    {
+      val rounds = (1 to LpaRounds).map { k =>
+        s"""l$k AS (
+           |  SELECT node, label FROM (
+           |    SELECT g.src AS node, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY g.src
+           |        ORDER BY count(*) DESC, l.label) AS rk
+           |    FROM g0 g JOIN l${k - 1} l ON g.dst = l.node
+           |    GROUP BY g.src, l.label) x
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (
+         |  SELECT doc_id,
+         |    sha256(substr(text, 1, 50)) AS hp,
+         |    sha256(substr(text, greatest(length(text) - 49, 1), 50)) AS hs
+         |  FROM documents
+         |),
+         |e0 AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM n a JOIN n b ON a.hp = b.hp AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT a.doc_id, b.doc_id
+         |  FROM n a JOIN n b ON a.hs = b.hs AND a.doc_id < b.doc_id
+         |),
+         |g0 AS (SELECT a AS src, b AS dst FROM e0
+         |       UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM g0),
+         |$rounds,
+         |sz AS (SELECT label, count(*) AS community_size
+         |       FROM l$LpaRounds GROUP BY label)
+         |SELECT l.node AS doc_id, l.label AS community,
+         |  CAST(s.community_size AS BIGINT) AS community_size
+         |FROM l$LpaRounds l JOIN sz s ON l.label = s.label
+         |ORDER BY community NULLS FIRST, doc_id NULLS FIRST""".stripMargin
+    },
+  ) { (s, d) =>
+    val n = Tables.documentsWide(s, d)
+      .select(col("doc_id"),
+        sha2(substring(col("text"), 1, 50), 256).as("hp"),
+        sha2(expr("substr(text, greatest(length(text) - 49, 1), 50)"), 256)
+          .as("hs"))
+    def band(h: String) = n.as("a").join(n.as("b"),
+        col(s"a.$h") === col(s"b.$h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+    val e0 = band("hp").union(band("hs")).distinct()
+    val g = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    labelPropagation(g, LpaRounds)
+      .select(col("node").as("doc_id"), col("community"),
+        col("community_size"))
+      .orderBy(col("community"), col("doc_id"))
+  }
+
+  /** q190's recurrence over any SYMMETRIC (`src`, `dst`) edge list —
+    * GraphSpec's crafted-graph nets come through here. */
+  private[graft] def labelPropagation(
+      edges: DataFrame, rounds: Int): DataFrame = {
+    val g = edges.select(col("src"), col("dst"))
+      .repartition(col("dst")).localCheckpoint()
+    var labels = g.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val argmax = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = g.join(labels, g("dst") === labels("node"))
+        .groupBy(g("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(argmax))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    val sz = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sz, "label")
+      .select(col("node"), col("label").as("community"),
+        col("community_size").cast("long").as("community_size"))
   }
 }

@@ -197,4 +197,35 @@ class GraphSpec extends SparkSpec {
       "the converged 2-core must survive the fixed 4 rounds")
     assert(got.values.forall(_ >= 2))
   }
+
+  test("q190 LPA: a bridge joins components but not communities; " +
+      "matches the hand-simulated recurrence") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the single bridge 3—4:
+    // connected components see ONE component; majority label propagation
+    // must keep the two dense triangles apart — the semantic distinction
+    // the operator exists for
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.queries.GraphOps.labelPropagation(edges, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // hand-simulated deterministic sync recurrence (4 rounds):
+    // {1,2,3} -> label 1, {4,5,6} -> label 3 (converged at round 3)
+    assert(got === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((3L, 3L)), 5L -> ((3L, 3L)), 6L -> ((3L, 3L))), got.toString)
+    // the DOCUMENTED bipartite oscillation, pinned: an isolated pair
+    // swaps labels every sync round, so an even round budget lands back
+    // on self-labels — a defined, replayable answer (the fixed-round
+    // trade the scaladoc states), not hidden flapping
+    val pair = Seq((7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val p = graft.queries.GraphOps.labelPropagation(pair, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p === Map(7L -> 7L, 8L -> 8L), p.toString)
+    val p3 = graft.queries.GraphOps.labelPropagation(pair, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3 === Map(7L -> 8L, 8L -> 7L), p3.toString)
+  }
 }

@@ -248,7 +248,8 @@ class ScaleSpec extends SparkSpec {
       "q103_pq_encode", "q104_pq_adc_topk", "q126_embedding_covariance",
       "q127_frame_dedup", "q132_prefix_jaccard_join",
       "q136_boilerplate_strip", "q138_simhash_hamming_join",
-      "q185_containment_join", "q187_substring_dup")) {
+      "q185_containment_join", "q187_substring_dup",
+      "q190_label_propagation")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
