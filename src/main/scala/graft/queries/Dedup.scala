@@ -54,7 +54,8 @@ object Dedup {
     q74DedupClusters, q86DupNgrams, q96FuzzyLinkage, q116DupPassages,
     q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
     q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval,
-    q175NgramNovelty, q185ContainmentJoin, q187SubstringDup)
+    q175NgramNovelty, q185ContainmentJoin, q187SubstringDup,
+    q191SubstringDecontaminate)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -2143,21 +2144,23 @@ object Dedup {
   private val SubG = 8
   private val SubK = SubW - SubG + 1
 
-  /** Token arrays of the ≥W-token docs — the verify/window half of the
+  /** Token arrays of the ≥w-token docs — the verify/window half of the
     * substring index (doc-proportional; a deployment persists it). */
-  private[graft] def substringTokens(docs: DataFrame): DataFrame =
+  private[graft] def substringTokens(
+      docs: DataFrame, w: Int = SubW): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .withColumn("n", size(col("tk")))
-      .filter(col("n") >= SubW)
+      .filter(col("n") >= w)
 
   private def subGram8(tk: Column, p: Column): Column =
     xxhash64(concat_ws(" ", slice(tk, p, lit(SubG))))
 
-  /** Stride-K grid anchor rows (positions/K — the small candidate side). */
-  private[graft] def substringGridRows(t: DataFrame): DataFrame =
+  /** Stride-k grid anchor rows (positions/k — the small candidate side). */
+  private[graft] def substringGridRows(
+      t: DataFrame, k: Int = SubK): DataFrame =
     t.select(col("doc_id"), col("tk"),
-        explode(sequence(lit(1), col("n") - (SubG - 1), lit(SubK))).as("p"))
+        explode(sequence(lit(1), col("n") - (SubG - 1), lit(k))).as("p"))
       .select(col("doc_id"), col("p"), subGram8(col("tk"), col("p")).as("h8"))
 
   /** All-position anchor rows (position-proportional — the big half; a
@@ -2183,35 +2186,37 @@ object Dedup {
     * L + R ≥ W with R ≥ G ⟺ a genuine ≥W-token verbatim run passes
     * through this anchor; the pigeonhole lemma guarantees every true
     * pair produces at least one such candidate. */
-  private def subVerifiedPairs(cand: DataFrame, toks: DataFrame): DataFrame = {
-    val ga = greatest(col("i") - (SubW - SubG), lit(1))
-    val gb = greatest(col("j") - (SubW - SubG), lit(1))
+  private def subVerifiedPairs(cand: DataFrame, toks: DataFrame,
+      w: Int = SubW): DataFrame = {
+    val ga = greatest(col("i") - (w - SubG), lit(1))
+    val gb = greatest(col("j") - (w - SubG), lit(1))
     cand
       .join(toks.select(col("doc_id"), col("tk").as("ta")),
         col("doc_a") === col("doc_id")).drop("doc_id")
       .join(toks.select(col("doc_id"), col("tk").as("tb")),
         col("doc_b") === col("doc_id")).drop("doc_id")
       .select(col("doc_a"), col("doc_b"),
-        subLcp(slice(col("ta"), col("i"), lit(SubW)),
-          slice(col("tb"), col("j"), lit(SubW))).as("r"),
+        subLcp(slice(col("ta"), col("i"), lit(w)),
+          slice(col("tb"), col("j"), lit(w))).as("r"),
         subLcp(reverse(slice(col("ta"), ga, col("i") - ga)),
           reverse(slice(col("tb"), gb, col("j") - gb))).as("l"))
-      .filter(col("r") >= SubG && col("l") + col("r") >= SubW)
+      .filter(col("r") >= SubG && col("l") + col("r") >= w)
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
   /** Answer-proportional window enumeration: full W-gram hash sets for
     * CONFIRMED-paired docs only, then one hash-equi count join per pair
     * (both sides distinct per (doc, h) → count(*) = |shared window set|). */
-  private def subWindowCounts(pairs: DataFrame, toks: DataFrame): DataFrame = {
+  private def subWindowCounts(pairs: DataFrame, toks: DataFrame,
+      w: Int = SubW): DataFrame = {
     val paired = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val g50 = toks.join(paired, "doc_id")
       .select(col("doc_id"), col("tk"),
-        explode(sequence(lit(1), col("n") - (SubW - 1))).as("p"))
+        explode(sequence(lit(1), col("n") - (w - 1))).as("p"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", slice(col("tk"), col("p"), lit(SubW)))).as("h50"))
+        md5(concat_ws(" ", slice(col("tk"), col("p"), lit(w)))).as("h50"))
       .distinct()
     pairs
       .join(g50.select(col("doc_id"), col("h50")),
@@ -2235,6 +2240,71 @@ object Dedup {
       .select(col("doc_a"), col("i"), col("doc_b"), col("j"))
     subWindowCounts(subVerifiedPairs(cand, t), t)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** EXACT SUBSTRING DECONTAMINATION — benchmark leakage detection by the
+    * VERBATIM-OVERLAP rule: a corpus document is contaminated when it
+    * shares a contiguous run of ≥ 25 identical tokens with any eval-set
+    * document (q66's doc_id % 7 eval convention). This is the strict
+    * complement of q66: q66 flags ANY shared distinct 5-gram (high
+    * sensitivity, catches paraphrase-adjacent reuse and common phrases
+    * alike), while this operator certifies an actual verbatim passage —
+    * the decontamination rule the train/test-overlap literature applies
+    * before attributing benchmark wins. 25 tokens (half the q187 dedup
+    * threshold) because leakage detection wants MORE sensitivity than
+    * dedup: a quoted half-paragraph contaminates even when the documents
+    * are otherwise unrelated.
+    *
+    * The asymmetry inverts q187's join orientation the cheap way: the
+    * CORPUS (the huge side at 100 TB) contributes only stride-18 GRID
+    * anchors (positions/18 — 25 − 8 + 1 = 18 keeps the pigeonhole lemma:
+    * any 25-token span contains a grid-aligned 8-gram), while the SMALL
+    * eval set pays the all-position slide index. The equi join, the
+    * LCP-extension certificate, and the answer-proportional window count
+    * are q187's machinery parameterized at w = 25.
+    *
+    * Output: every (corpus doc, eval doc) pair with a certified ≥25-token
+    * verbatim overlap and the exact count of distinct shared 25-token
+    * windows — the audit row a curation pipeline attaches to its drop
+    * decision.
+    */
+  val q191SubstringDecontaminate = Q(
+    "q191_substring_decontaminate",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 25
+      |),
+      |g AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+24], ' ')) AS h
+      |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 23)) AS i FROM t)
+      |),
+      |ev AS (SELECT doc_id AS eval_id, h FROM g WHERE doc_id % 7 = 0),
+      |co AS (SELECT doc_id, h FROM g WHERE doc_id % 7 <> 0)
+      |SELECT co.doc_id, ev.eval_id,
+      |  CAST(count(*) AS BIGINT) AS n_shared25
+      |FROM co JOIN ev ON co.h = ev.h
+      |GROUP BY 1, 2
+      |ORDER BY doc_id NULLS FIRST, eval_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    substringContamination(Tables.documentsWide(s, d))
+  }
+
+  /** q191's operator body over any (doc_id, text) frame (suite entry). */
+  private[graft] def substringContamination(docs: DataFrame): DataFrame = {
+    val w = 25
+    val t = substringTokens(docs, w).localCheckpoint()
+    val corpus = t.filter(col("doc_id") % 7 =!= 0)
+    val eval = t.filter(col("doc_id") % 7 === 0)
+    val grid = substringGridRows(corpus, k = w - SubG + 1)
+      .select(col("doc_id").as("doc_a"), col("p").as("i"), col("h8"))
+    val slide = substringSlideRows(eval)
+      .select(col("doc_id").as("doc_b"), col("p").as("j"), col("h8"))
+    val cand = grid.join(slide, grid("h8") === slide("h8"))
+      .select(col("doc_a"), col("i"), col("doc_b"), col("j"))
+    subWindowCounts(subVerifiedPairs(cand, t, w), t, w)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("eval_id"),
+        col("n_shared50").as("n_shared25"))
+      .orderBy(col("doc_id"), col("eval_id"))
   }
 
   /** INCREMENTAL substring-dup join — q187 at ingest, completing the

@@ -418,6 +418,50 @@ class PrefixJoinSpec extends SparkSpec {
     assert(!inc.keys.exists { case (a, b) => a == 204L || b == 204L })
   }
 
+  test("q191 decontamination ≡ naive 25-window scan; empty eval set is empty") {
+    def bruteContam(rows: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+      val wins = rows.map { case (id, t) =>
+        id -> t.split(" ", -1).toSeq.sliding(25).filter(_.size == 25).toSet
+      }.toMap
+      (for {
+        (c, wc) <- wins if c % 7 != 0
+        (e, we) <- wins if e % 7 == 0
+        shared = (wc & we).size.toLong
+        if shared > 0
+      } yield (c, e) -> shared).toMap
+    }
+    def runContam(rows: Seq[(Long, String)]) =
+      graft.queries.Dedup
+        .substringContamination(rows.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val quoted = (1 to 25).map(i => s"qq$i").mkString(" ")
+    val q24 = (1 to 24).map(i => s"qz$i").mkString(" ")
+    def pad(tag: String, n: Int) = (1 to n).map(i => s"pp${tag}_$i").mkString(" ")
+    val docs = Seq(
+      7L -> s"$quoted ${pad("e", 10)}",      // eval doc carrying the passage
+      14L -> s"$q24 ${pad("f", 10)}",        // eval doc with only a 24-run
+      1L -> s"${pad("a", 8)} $quoted",       // contaminated (≥25 verbatim)
+      2L -> s"${pad("b", 5)} $q24 x9",       // 24-run only — NOT contaminated
+      3L -> pad("c", 40),                    // clean
+      21L -> s"$quoted ${pad("g", 3)}")      // eval-eval overlap: not reported
+    val got = runContam(docs)
+    val want = bruteContam(docs)
+    assert(got === want, s"got=$got want=$want")
+    assert(got.contains((1L, 7L)) && got.contains((1L, 21L)))
+    assert(!got.keys.exists(_._1 == 2L), "24-token run must not contaminate")
+    assert(!got.keys.exists(p => p._1 % 7 == 0), "eval docs are never flagged")
+    // a corpus whose ids contain no multiples of 7 → empty eval set →
+    // empty result, not a crash (q66's convention)
+    assert(runContam(Seq(1L -> s"$quoted ${pad("h", 5)}",
+      2L -> s"$quoted ${pad("i", 5)}")).isEmpty)
+    // real-fixture net
+    val fixture = Tables.documentsWide(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(runContam(fixture) === bruteContam(fixture))
+  }
+
   test("q187: plan ≡ naive on the sf0.001 fixture and on randomized blocks") {
     // real-corpus net: the driver-side naive scan replays the full fixture
     val fixture = Tables.documentsWide(spark, "/root/testdata/sf0.001")

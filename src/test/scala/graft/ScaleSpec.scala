@@ -249,7 +249,7 @@ class ScaleSpec extends SparkSpec {
       "q127_frame_dedup", "q132_prefix_jaccard_join",
       "q136_boilerplate_strip", "q138_simhash_hamming_join",
       "q185_containment_join", "q187_substring_dup",
-      "q190_label_propagation")) {
+      "q190_label_propagation", "q191_substring_decontaminate")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

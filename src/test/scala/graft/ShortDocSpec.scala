@@ -66,10 +66,12 @@ class ShortDocSpec extends SparkSpec {
     assert(res.getOrElse(3L, 0L) === 0L, s"doc 3 fabricated dups: $res")
   }
 
-  test("q187 skips sub-50-token docs empty-handed") {
-    // every ShortDoc text is far below the 50-token window → zero pairs,
-    // no descending-sequence crash on n - 49 < 1 (the filter guards it)
+  test("q187/q191 skip sub-window docs empty-handed") {
+    // every ShortDoc text is far below the 50/25-token windows → zero
+    // rows, no descending-sequence crash on n - 49 < 1 (the filter guards)
     assert(SparkEntry.queries("q187_substring_dup")(spark, dir)
+      .collect().isEmpty)
+    assert(SparkEntry.queries("q191_substring_decontaminate")(spark, dir)
       .collect().isEmpty)
   }
 
