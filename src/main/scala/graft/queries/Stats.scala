@@ -25,7 +25,7 @@ object Stats {
 
   def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms,
     q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi,
-    q174CalibrationBrier, q177Cuped)
+    q174CalibrationBrier, q177Cuped, q192Msprt)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -1081,5 +1081,171 @@ object Stats {
         round(col("theta"), 6).as("theta"),
         round(col("rho2"), 6).as("var_reduction"))
       .orderBy(col("variant"))
+  }
+
+  // mSPRT mixture prior scale: τ = 50 cents on the effect-size axis —
+  // a FIXED constant (not data-derived) so both engines share it exactly.
+  private val MsprtTau2 = 2500.0
+
+  /** ALWAYS-VALID SEQUENTIAL A/B TEST (mSPRT) — the modern experiment
+    * monitor q154's fixed-horizon z-test cannot be: peeking at a classic
+    * test inflates false positives, while the mixture sequential
+    * probability ratio test (Johari et al.'s always-valid inference)
+    * yields a p-value that is valid at EVERY daily look simultaneously —
+    * stop whenever it crosses α, no peeking penalty. Per daily look t
+    * over cumulative per-arm event values (q154's md5-parity arms):
+    *
+    *   Λ_t = √(V_t/(V_t+τ²)) · exp(θ̂²·τ² / (2·V_t·(V_t+τ²))),
+    *   p_t = min over looks ≤ t of min(1, 1/Λ)   (monotone by construction)
+    *
+    * with θ̂ the cumulative mean difference, V_t = s²·(1/n₁+1/n₂) from
+    * the pooled cumulative variance, τ² a FIXED mixture scale.
+    *
+    * Exactness: cumulative (n, Σx, Σx²) per (arm, day) are exact int64
+    * (Σx² ≤ 2.5·10¹⁶ at sf0.1; the ×100-scale dial is dollar-flooring,
+    * q177's note); every double step is one fixed-order expression over
+    * their casts; √ is IEEE-correctly-rounded (no cast needed) and the
+    * lone libm exp goes through the FLOAT cast (q189's device). The
+    * running minimum is a window MIN over already-identical doubles.
+    * Degenerate looks (an arm below 2 users of data, zero variance)
+    * yield NULL through nullif on both engines, never a crash.
+    *
+    * Plan: one scan → (arm, day) exact-moment aggregate (≤ 2·days rows),
+    * a dense day×arm grid (q124's device), cumulative windows over ≤31
+    * rows per arm, a ≤31-row finish. Nothing event-proportional past the
+    * first map-side-combined aggregate — the always-valid monitor runs
+    * on bounded state no matter the traffic.
+    */
+  val q192Msprt = Q(
+    "q192_msprt",
+    s"""WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1))
+      |      AS BIGINT) % 2 AS variant,
+      |    CAST(round(100 * value) AS BIGINT) AS x
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT variant, day, count(*) AS cnt, sum(x) AS s, sum(x * x) AS q
+      |  FROM e GROUP BY 1, 2
+      |),
+      |grid AS (
+      |  SELECT d.day, v.variant FROM
+      |    (SELECT DISTINCT day FROM g) d,
+      |    (SELECT unnest([0, 1]) AS variant) v
+      |),
+      |c AS (
+      |  SELECT grid.day, grid.variant,
+      |    sum(COALESCE(g.cnt, 0)) OVER w AS n,
+      |    sum(COALESCE(g.s, 0)) OVER w AS s,
+      |    sum(COALESCE(g.q, 0)) OVER w AS q
+      |  FROM grid LEFT JOIN g
+      |    ON grid.day = g.day AND grid.variant = g.variant
+      |  WINDOW w AS (PARTITION BY grid.variant ORDER BY grid.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |p AS (
+      |  SELECT day,
+      |    max(CASE WHEN variant = 0 THEN n END) AS n1,
+      |    max(CASE WHEN variant = 0 THEN s END) AS s1,
+      |    max(CASE WHEN variant = 0 THEN q END) AS q1,
+      |    max(CASE WHEN variant = 1 THEN n END) AS n2,
+      |    max(CASE WHEN variant = 1 THEN s END) AS s2,
+      |    max(CASE WHEN variant = 1 THEN q END) AS q2
+      |  FROM c GROUP BY day
+      |),
+      |f AS (
+      |  SELECT day, n1, n2,
+      |    CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0)
+      |      - CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0) AS theta,
+      |    ((CAST(q1 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |          / nullif(CAST(n1 AS DOUBLE), 0))
+      |      + (CAST(q2 AS DOUBLE)
+      |        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |          / nullif(CAST(n2 AS DOUBLE), 0)))
+      |      / nullif(CAST(n1 + n2 - 2 AS DOUBLE), 0)
+      |      * (CAST(n1 + n2 AS DOUBLE)
+      |        / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0)) AS v
+      |  FROM p
+      |),
+      |l AS (
+      |  SELECT day, n1, n2, theta,
+      |    sqrt(v / (v + $MsprtTau2))
+      |      * CAST(exp(theta * theta * $MsprtTau2
+      |          / nullif(2 * v * (v + $MsprtTau2), 0)) AS FLOAT) AS lambda
+      |  FROM f
+      |),
+      |r AS (
+      |  SELECT day, n1, n2, theta,
+      |    min(least(CAST(1.0 AS DOUBLE), 1.0 / nullif(lambda, 0)))
+      |      OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_av
+      |  FROM l
+      |)
+      |SELECT CAST(day AS BIGINT) AS day,
+      |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  round(theta, 6) AS theta, round(p_av, 6) AS p_always_valid,
+      |  p_av < 0.05 AS rejected
+      |FROM r
+      |ORDER BY day NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        (conv(substring(md5(concat(lit("ab|"), col("user_id").cast("string"))),
+          1, 1), 16, 10).cast("long") % 2).as("variant"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("x"))
+    val g = e.groupBy(col("variant"), col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    val grid = g.select(col("day")).distinct()
+      .crossJoin(broadcast(s.range(0, 2).select(col("id").as("variant"))))
+    val w = Window.partitionBy(col("variant")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = grid.join(g, Seq("day", "variant"), "left")
+      .select(col("day"), col("variant"),
+        sum(coalesce(col("cnt"), lit(0L))).over(w).as("n"),
+        sum(coalesce(col("s"), lit(0L))).over(w).as("s"),
+        sum(coalesce(col("q"), lit(0L))).over(w).as("q"))
+    val p = c.groupBy(col("day"))
+      .agg(max(when(col("variant") === 0, col("n"))).as("n1"),
+        max(when(col("variant") === 0, col("s"))).as("s1"),
+        max(when(col("variant") === 0, col("q"))).as("q1"),
+        max(when(col("variant") === 1, col("n"))).as("n2"),
+        max(when(col("variant") === 1, col("s"))).as("s2"),
+        max(when(col("variant") === 1, col("q"))).as("q2"))
+    val f = p.select(col("day"), col("n1"), col("n2"),
+      expr("""CAST(s1 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), CAST(0 AS DOUBLE))
+        - CAST(s2 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), CAST(0 AS DOUBLE))""")
+        .as("theta"),
+      expr(s"""((CAST(q1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            / nullif(CAST(n1 AS DOUBLE), CAST(0 AS DOUBLE)))
+        + (CAST(q2 AS DOUBLE)
+          - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+            / nullif(CAST(n2 AS DOUBLE), CAST(0 AS DOUBLE))))
+        / nullif(CAST(n1 + n2 - 2 AS DOUBLE), CAST(0 AS DOUBLE))
+        * (CAST(n1 + n2 AS DOUBLE)
+          / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE),
+                   CAST(0 AS DOUBLE)))""").as("v"))
+    val l = f.select(col("day"), col("n1"), col("n2"), col("theta"),
+      expr(s"""sqrt(v / (v + $MsprtTau2))
+        * CAST(exp(theta * theta * $MsprtTau2
+            / nullif(2 * v * (v + $MsprtTau2), CAST(0 AS DOUBLE)))
+          AS FLOAT)""").as("lambda"))
+    val rw = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.select(col("day"), col("n1"), col("n2"), col("theta"),
+        min(least(lit(1.0),
+          lit(1.0) / nullif(col("lambda"), lit(0.0)))).over(rw).as("p_av"))
+      .select(col("day").cast("long").as("day"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        round(col("theta"), 6).as("theta"),
+        round(col("p_av"), 6).as("p_always_valid"),
+        (col("p_av") < 0.05).as("rejected"))
+      .orderBy(col("day"))
   }
 }

@@ -419,4 +419,45 @@ class StatsSpec extends SparkSpec {
     val pooledAdj = rows.map(r => r.getLong(1) * r.getDouble(3)).sum / n
     assert(math.abs(pooledAdj - pooledRaw) < 2e-6, "zero-bias identity")
   }
+
+  test("q192 mSPRT: null corpus never rejects; planted effect rejects; " +
+      "p is monotone nonincreasing") {
+    // real corpus = the null (arms are md5 noise): always-valid means the
+    // p-value NEVER crosses α under no effect, at ANY look
+    val real = Stats.q192Msprt.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getBoolean(5)))
+    assert(real.nonEmpty)
+    assert(real.forall(!_._3), "null corpus must never reject")
+    val ps = real.flatMap(_._2)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "always-valid p must be monotone nonincreasing")
+
+    // planted effect: variant-0 users spend 10 dollars more per event —
+    // the monitor must reject, and reject PERMANENTLY (monotone p)
+    import spark.implicits._
+    def variant(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ab|$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) % 2
+    }
+    val d = "/tmp/graft_msprt_effect"
+    val rows = for {
+      day <- 0 until 10; u <- 1L to 40L; k <- 0 until 3
+    } yield {
+      val base = 50.0 + (u % 7).toDouble + k
+      val lift = if (variant(u) == 0) 10.0 else 0.0
+      ((day * 1000 + u * 10 + k).toLong,
+        (86400L * day + 3600 * k) * 1000000000L, u, "t", base + lift, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q192_msprt")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(got.last._4, s"planted 10-dollar effect must reject: ${got.toSeq}")
+    assert(got.last._2 > 900, "theta must recover ~1000 cents")
+    val ps2 = got.map(_._3)
+    assert(ps2.zip(ps2.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
 }
