@@ -50,6 +50,7 @@ object Analytic {
     q179BehaviorEntropy,
     q180CusumPeak,
     q186LinearAttribution,
+    q193EwmaChart,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -1966,6 +1967,154 @@ object Analytic {
             expr("CAST(CAST(exp(CAST(lsum AS DOUBLE)) AS FLOAT) AS DOUBLE)"),
             6)).as("survival"))
       .orderBy(col("tenure_weeks"))
+  }
+
+  /** EWMA CONTROL CHART — the third statistical-process-control leg
+    * (q76 flags pointwise outliers, q180's CUSUM localizes a sustained
+    * mean SHIFT; the exponentially-weighted chart detects SMALL drifts
+    * faster than either, the classic SPC result): per event type, the
+    * dense zero-filled hourly count series feeds
+    *
+    *   z_t = λ·Σ_{i=0}^{t} (1−λ)^i·x_{t−i} + (1−λ)^{t+1}·μ,   λ = 0.2
+    *   UCL/LCL_t = μ ± 3σ·√(λ/(2−λ)·(1 − (1−λ)^{2(t+1)}))
+    *
+    * (the closed form of the z_t = λx_t + (1−λ)z_{t−1} recursion seeded
+    * at μ, with the exact time-varying control limits — not the t→∞
+    * approximation). Hours outside the band are out of control.
+    *
+    * Exactness: counts and moments are exact int64; every (1−λ)^k goes
+    * through the float-cast pow (the q189 exp device applied to libm's
+    * pow), each weighted term λ·powf·x is one fixed-order double product
+    * cast to DECIMAL(18,9), and the per-hour sum is the associative
+    * decimal aggregate — so the whole recursion replay hash-matches. σ
+    * uses the exact integer variance numerator; √ is IEEE-exact. A
+    * single-hour type has no sample variance → NULL limits via nullif
+    * on both engines (EdgeEventsSpec's 'solo' shape), never a crash.
+    *
+    * Plan: the closed form makes the recursion RELATIONAL — each source
+    * hour explodes its forward contributions (span²/2 rows per type,
+    * ~1.3M at a 30-day span) into ONE map-side-combined (type, t)
+    * aggregate; nothing is sequential, nothing is driver-side. The
+    * quadratic-in-span explode is the honest exact form at dashboard
+    * spans; the production dial for long spans is the finite-memory
+    * (W-truncated) EWMA — at W = 124, dropped weights are < 1e-12 — a
+    * DEFINITION choice both engines would share, not an approximation
+    * of this operator.
+    */
+  val q193EwmaChart = Q(
+    "q193_ewma_chart",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.m0, g.t, COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS span,
+      |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+      |  FROM x GROUP BY 1
+      |),
+      |contrib AS (
+      |  SELECT x.event_type,
+      |    unnest(range(x.t, m.span)) AS t2, x.t, x.x
+      |  FROM x JOIN mom m USING (event_type)
+      |),
+      |z AS (
+      |  SELECT event_type, t2 AS t,
+      |    sum(CAST(CAST(0.2 AS DOUBLE)
+      |      * CAST(pow(0.8, t2 - t) AS FLOAT)
+      |      * CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS sd
+      |  FROM contrib GROUP BY 1, 2
+      |),
+      |fin AS (
+      |  SELECT z.event_type, z.t, x.m0, x.x,
+      |    CAST(z.sd AS DOUBLE) + CAST(pow(0.8, z.t + 1) AS FLOAT)
+      |      * (CAST(m.s AS DOUBLE) / CAST(m.span AS DOUBLE)) AS ewma,
+      |    CAST(m.s AS DOUBLE) / CAST(m.span AS DOUBLE) AS mu,
+      |    sqrt(CAST(m.span * m.q - m.s * m.s AS DOUBLE)
+      |        / nullif(CAST(m.span * (m.span - 1) AS DOUBLE), 0))
+      |      * sqrt((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+      |        * (CAST(1.0 AS DOUBLE)
+      |          - CAST(pow(0.64, z.t + 1) AS FLOAT))) AS hw
+      |  FROM z JOIN x ON z.event_type = x.event_type AND z.t = x.t
+      |  JOIN mom m ON m.event_type = z.event_type
+      |)
+      |SELECT event_type,
+      |  make_timestamp((m0 + t) * 3600000000) AS hour,
+      |  CAST(x AS BIGINT) AS n,
+      |  round(ewma, 6) AS ewma,
+      |  round(mu + 3 * hw, 6) AS ucl,
+      |  round(mu - 3 * hw, 6) AS lcl,
+      |  ewma > mu + 3 * hw OR ewma < mu - 3 * hw AS out_of_control
+      |FROM fin
+      |ORDER BY event_type NULLS FIRST, hour NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("m0"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint() // 3 consumers: moments, contributions, finish
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("span"),
+        sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"))
+    val z = x.join(mom, "event_type")
+      .select(col("event_type"), col("t"), col("x"),
+        explode(expr("sequence(t, span - 1)")).as("t2"))
+      .groupBy(col("event_type"), col("t2").as("t"))
+      .agg(sum(expr(
+        """CAST(CAST(0.2 AS DOUBLE)
+          |  * CAST(pow(0.8, t2 - t) AS FLOAT)
+          |  * CAST(x AS DOUBLE) AS DECIMAL(18,9))""".stripMargin)).as("sd"))
+    val mu = expr("CAST(s AS DOUBLE) / CAST(span AS DOUBLE)")
+    val hw = expr(
+      """sqrt(CAST(span * q - s * s AS DOUBLE)
+        |    / nullif(CAST(span * (span - 1) AS DOUBLE), CAST(0 AS DOUBLE)))
+        |  * sqrt((CAST(0.2 AS DOUBLE) / CAST(1.8 AS DOUBLE))
+        |    * (CAST(1.0 AS DOUBLE) - CAST(pow(0.64, t + 1) AS FLOAT)))"""
+        .stripMargin)
+    z.join(x, Seq("event_type", "t"))
+      .join(mom, "event_type")
+      .select(col("event_type"),
+        expr("timestamp_micros((m0 + t) * 3600000000)").as("hour"),
+        col("x").cast("long").as("n"),
+        round(expr(
+          """CAST(sd AS DOUBLE) + CAST(pow(0.8, t + 1) AS FLOAT)
+            |  * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))""".stripMargin),
+          6).as("ewma"),
+        round(mu + lit(3) * hw, 6).as("ucl"),
+        round(mu - lit(3) * hw, 6).as("lcl"),
+        (expr(
+          """CAST(sd AS DOUBLE) + CAST(pow(0.8, t + 1) AS FLOAT)
+            |  * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))""".stripMargin)
+          > mu + lit(3) * hw
+          || expr(
+          """CAST(sd AS DOUBLE) + CAST(pow(0.8, t + 1) AS FLOAT)
+            |  * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))""".stripMargin)
+          < mu - lit(3) * hw).as("out_of_control"))
+      .orderBy(col("event_type"), col("hour"))
   }
 
   /** BURST WINDOW DETECTION — the incident-mining operator (a

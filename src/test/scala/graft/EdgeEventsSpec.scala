@@ -371,6 +371,50 @@ class EdgeEventsSpec extends SparkSpec {
     assert(math.abs(got2(0)._4 - 2.0 / 3) < 1e-6)
   }
 
+  test("q193: closed form ≡ the z = λx + (1−λ)z recursion; single-hour " +
+      "type gives NULL limits; planted step goes out of control") {
+    // degenerate: the shared fixture's 'solo' type spans ONE hour — no
+    // sample variance, limits must be NULL, ewma must equal the count
+    val rows = SparkEntry.queries("q193_ewma_chart")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2),
+        r.getDouble(3), r.isNullAt(4)))
+    val solo = rows.filter(_._1 == "solo")
+    assert(solo.length === 1 && solo.head._4, s"solo limits: ${solo.toSeq}")
+    // z_0 = 0.2·x + 0.8·μ with span 1 → μ = x → z = x
+    assert(math.abs(solo.head._3 - solo.head._2) < 1e-6)
+
+    // planted step: 20 calm hours at 2/hour then 10 hours at 30/hour —
+    // the chart must flag the elevated tail; verify EVERY ewma value
+    // against a driver-side replay of the RECURSION (a genuinely
+    // different formulation than the engine's closed-form explode)
+    val d = "/tmp/graft_edge_events_ewma"
+    import spark.implicits._
+    def hourNs(h: Int, k: Int): Long = (h * 3600L + k * 60) * 1000000000L
+    val evs = (0 until 30).flatMap { h =>
+      val n = if (h < 20) 2 else 30
+      (0 until n).map(k => ((h * 100 + k).toLong, hourNs(h, k), 1L, "s",
+        1.0, "{}"))
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q193_ewma_chart")(spark, d).collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getBoolean(6)))
+    assert(got.length === 30)
+    val xs = got.map(_._1.toDouble)
+    val mu = xs.sum / xs.length
+    var zref = mu
+    for (t <- 0 until 30) {
+      zref = 0.2 * xs(t) + 0.8 * zref
+      assert(math.abs(got(t)._2 - zref) < 1e-4,
+        s"hour $t: engine ${got(t)._2} vs recursion $zref")
+    }
+    // the chart flags once z crosses μ + 3σ√(λ/(2−λ)): with μ/σ drawn
+    // from the whole (contaminated) series that happens at the 8th
+    // elevated hour — detection LAG is the λ = 0.2 design trade
+    assert(got.takeRight(3).forall(_._3), "elevated tail must be flagged")
+    assert(!got.take(10).exists(_._3), "calm head must not be flagged")
+  }
+
   test("q177: zero pre-period variance gives NULL theta and adjusted " +
       "means, with raw means intact") {
     // every user's first-half spend is identical → var(x) = 0 → θ and the
