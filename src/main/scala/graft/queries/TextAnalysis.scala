@@ -15,7 +15,8 @@ object TextAnalysis {
   def all: Seq[Q] =
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
-      q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier)
+      q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
+      q194HeapsLaw)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -909,6 +910,138 @@ object TextAnalysis {
         graft.functions.Exact.ratio6("n_tokens", "n_chars")
           .as("compression"))
       .orderBy(col("doc_id"))
+  }
+
+  /** HEAPS'-LAW VOCABULARY GROWTH — the corpus-diversity diagnostic: as
+    * documents stream in (doc_id ingest order), how fast does the
+    * distinct-token vocabulary V grow against total tokens T? Natural
+    * corpora follow Heaps' law V ≈ K·T^β (β ≈ 0.4–0.6); a template-heavy
+    * or duplicated corpus flattens early (small β), token soup stays
+    * near-linear (β → 1) — so the fitted exponent is a one-number data
+    * audit that dedup/curation progress moves and every scaling-law
+    * paper's data section reports. The fit is log-log OLS over the
+    * per-document prefix points (ln T_d, ln V_d).
+    *
+    * Exactness: V_d needs no distinct-over-prefix recompute — a token's
+    * FIRST document (one min aggregate) turns vocabulary growth into a
+    * cumulative sum of per-doc first-occurrence counts; T_d is the
+    * cumulative token count. Both prefixes are exact int64 under ordered
+    * windows over DOC-count rows. Each point's ln goes through the float
+    * cast, the four OLS sums accumulate as DECIMAL(18,9) (associative),
+    * and β/K finish in one fixed-order double expression (q155's
+    * discipline; K through the float-cast exp).
+    *
+    * Plan: one token explode feeds BOTH the first-occurrence min and the
+    * per-doc counts (map-side combined); the lone ordered windows run
+    * over docs (5k rows here — at 10⁹ docs the q142 two-level prefix
+    * decomposition applies verbatim to both cumulative sums); the fit is
+    * a 1-row aggregate. Output: one audit row.
+    *
+    * What it reports on THIS corpus is itself the audit working: the
+    * driver generator draws from a CLOSED 31-word vocabulary, so the
+    * curve saturates after the first documents and β measures ≈ 0.0008
+    * (sf0.1) — the flat-growth signature a real dedup pipeline would
+    * read as "template corpus / exhausted diversity". ShortDocSpec pins
+    * the analytic extremes: an all-unique-token corpus gives exactly
+    * β = 1, K = 1; a one-token corpus flattens to β = 0.
+    */
+  val q194HeapsLaw = Q(
+    "q194_heaps_law",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |),
+      |nt AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+      |fo AS (
+      |  SELECT first_doc, count(*) AS n_new FROM (
+      |    SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok) f
+      |  GROUP BY first_doc
+      |),
+      |pre AS (
+      |  SELECT nt.doc_id,
+      |    sum(nt.n_tok) OVER w AS t_d,
+      |    sum(COALESCE(fo.n_new, 0)) OVER w AS v_d
+      |  FROM nt LEFT JOIN fo ON nt.doc_id = fo.first_doc
+      |  WINDOW w AS (ORDER BY nt.doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |),
+      |pts AS (
+      |  SELECT CAST(ln(CAST(t_d AS DOUBLE)) AS FLOAT) AS x,
+      |    CAST(ln(CAST(v_d AS DOUBLE)) AS FLOAT) AS y
+      |  FROM pre
+      |),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS sx,
+      |    sum(CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS sy,
+      |    sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS sxy,
+      |    sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS sxx
+      |  FROM pts
+      |),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(max(t_d) AS BIGINT) AS total_tokens,
+      |    CAST(max(v_d) AS BIGINT) AS vocab_size
+      |  FROM pre
+      |),
+      |fit AS (
+      |  SELECT n_docs, total_tokens, vocab_size,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS beta,
+      |    n, sx, sy
+      |  FROM s, tot
+      |)
+      |SELECT n_docs, total_tokens, vocab_size,
+      |  round(beta, 6) AS heaps_beta,
+      |  round(CAST(CAST(exp((CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE)) AS FLOAT) AS DOUBLE), 6) AS heaps_k
+      |FROM fit""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documentsWide(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val nt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val fo = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = nt.join(fo, nt("doc_id") === fo("first_doc"), "left")
+      .select(nt("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .select(col("doc_id"),
+        sum(col("n_tok")).over(w).as("t_d"),
+        sum(col("n_new")).over(w).as("v_d"))
+      .localCheckpoint() // 2 consumers: the fit sums and the totals
+    val pts = pre.select(
+      expr("CAST(ln(CAST(t_d AS DOUBLE)) AS FLOAT)").as("x"),
+      expr("CAST(ln(CAST(v_d AS DOUBLE)) AS FLOAT)").as("y"))
+    val sums = pts.agg(count(lit(1)).cast("long").as("n"),
+      sum(expr("CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))")).as("sx"),
+      sum(expr("CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))")).as("sy"),
+      sum(expr("CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,9))"))
+        .as("sxy"),
+      sum(expr("CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(18,9))"))
+        .as("sxx"))
+    val tot = pre.agg(count(lit(1)).cast("long").as("n_docs"),
+      max(col("t_d")).cast("long").as("total_tokens"),
+      max(col("v_d")).cast("long").as("vocab_size"))
+    val betaSql =
+      """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |/ nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), CAST(0 AS DOUBLE))"""
+        .stripMargin
+    sums.crossJoin(tot)
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        round(expr(betaSql), 6).as("heaps_beta"),
+        round(expr(
+          s"""CAST(CAST(exp((CAST(sy AS DOUBLE) - ($betaSql)
+            |  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS FLOAT)
+            |  AS DOUBLE)""".stripMargin), 6).as("heaps_k"))
   }
 
   /** TRAINABLE QUALITY/LANGUAGE CLASSIFIER — multinomial Naive Bayes over

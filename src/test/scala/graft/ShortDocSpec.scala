@@ -66,6 +66,35 @@ class ShortDocSpec extends SparkSpec {
     assert(res.getOrElse(3L, 0L) === 0L, s"doc 3 fabricated dups: $res")
   }
 
+  test("q194 Heaps fit: all-unique corpus pins β = 1, K = 1; " +
+      "closed vocabulary pins β ≈ 0") {
+    import spark.implicits._
+    // every token globally unique → V_d = T_d exactly → ln V = ln T at
+    // every prefix point → the OLS line is y = x: β = 1, K = 1
+    val uniq = (1L to 20L).map(d =>
+      (d, (1 to 10).map(j => s"u${d}_$j").mkString(" "), "en", "unit", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d1 = "/tmp/graft_heaps_uniq"
+    uniq.coalesce(1).write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val r1 = SparkEntry.queries("q194_heaps_law")(spark, d1).collect().head
+    assert(r1.getLong(0) === 20L && r1.getLong(1) === 200L
+      && r1.getLong(2) === 200L)
+    assert(r1.getDouble(3) === 1.0, s"β must be exactly 1: $r1")
+    assert(r1.getDouble(4) === 1.0, s"K must be exactly 1: $r1")
+    // one shared token repeated → V pinned at 1 after doc 1 → β ≈ 0
+    val closed = (1L to 20L).map(d =>
+      (d, Seq.fill(10)("same").mkString(" "), "en", "unit", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d2 = "/tmp/graft_heaps_closed"
+    closed.coalesce(1).write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val r2 = SparkEntry.queries("q194_heaps_law")(spark, d2).collect().head
+    assert(r2.getLong(2) === 1L && math.abs(r2.getDouble(3)) < 1e-9,
+      s"closed vocab must flatten: $r2")
+    // the shared ShortDoc fixture (incl. the empty doc) must not crash
+    assert(SparkEntry.queries("q194_heaps_law")(spark, dir)
+      .collect().length === 1)
+  }
+
   test("q187/q191 skip sub-window docs empty-handed") {
     // every ShortDoc text is far below the 50/25-token windows → zero
     // rows, no descending-sequence crash on n - 49 < 1 (the filter guards)
