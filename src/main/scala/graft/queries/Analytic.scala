@@ -1339,8 +1339,12 @@ object Analytic {
       |),
       |fit AS (
       |  SELECT cohort_day, n,
+      |    -- + 0.0 normalizes the NEGATIVE ZERO a perfectly flat cohort
+      |    -- produces (IEEE −0.0 + 0.0 = +0.0): DuckDB's round keeps the
+      |    -- sign of zero while Spark's strips it (round-11 regenerated
+      |    -- fixture carries such a cohort; SURVEY §5.7)
       |    CASE WHEN n >= 3 AND n * sxx - sx * sx > 0 THEN
-      |      -((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+      |      -((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) + 0.0
       |    END AS rate
       |  FROM m
       |)
@@ -1374,7 +1378,8 @@ object Analytic {
     m.withColumn("rate",
         when(col("n") >= 3 && col("n") * col("sxx") - col("sx") * col("sx") > 0,
           -((col("n") * col("sxy") - col("sx") * col("sy"))
-            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))))
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            + lit(0.0)))
       .select(col("cohort_day"), col("n").as("n_points"),
         round(col("rate"), 6).as("decay_rate"),
         when(round(col("rate"), 6) > 0,

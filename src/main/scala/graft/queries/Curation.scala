@@ -599,9 +599,16 @@ object Curation {
       |  CAST(count(*) AS BIGINT) AS n_segs,
       |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_dropped,
-      |  md5(array_to_string(list_transform(
-      |    list_sort(coalesce(list({'i': i, 's': s}) FILTER (WHERE NOT boiler),
-      |      [])), x -> x.s), ' ')) AS cleaned_md5
+      |  -- a FULLY-stripped doc has no remainder to hash: NULL, explicitly
+      |  -- (DuckDB's array_to_string([]) happens to be NULL while Spark's
+      |  -- array_join([]) is '' — SURVEY §5.7 catalog; both sides state
+      |  -- the CASE so neither engine's empty-list quirk decides)
+      |  CASE WHEN sum(CASE WHEN boiler THEN 1 ELSE 0 END) = count(*)
+      |    THEN NULL
+      |    ELSE md5(array_to_string(list_transform(
+      |      list_sort(coalesce(list({'i': i, 's': s})
+      |        FILTER (WHERE NOT boiler), [])), x -> x.s), ' ')) END
+      |    AS cleaned_md5
       |FROM kept GROUP BY doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -621,7 +628,11 @@ object Curation {
         sum(when(col("boiler"), 1).otherwise(0)).cast("long").as("n_dropped"),
         md5(array_join(expr(
           "transform(sort_array(collect_list(CASE WHEN NOT boiler " +
-            "THEN struct(i, s) END)), x -> x.s)"), " ")).as("cleaned_md5"))
+            "THEN struct(i, s) END)), x -> x.s)"), " ")).as("md5_raw"))
+      .select(col("doc_id"), col("n_segs"), col("n_dropped"),
+        when(col("n_dropped") === col("n_segs"),
+          lit(null).cast("string"))
+          .otherwise(col("md5_raw")).as("cleaned_md5"))
       .orderBy(col("doc_id"))
   }
 

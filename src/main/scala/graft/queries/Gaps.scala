@@ -1497,7 +1497,11 @@ object Gaps {
       |    // nullif(2 * CAST(n - 1 AS BIGINT), 0)) AS DOUBLE) / 1000000.0
       |    AS pct
       |FROM r
-      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+      |-- value_cents tiebreak: the regenerated driver fixture carries
+      |-- duplicate (l_orderkey, l_linenumber) pairs, so the key alone is
+      |-- no longer a total order (caught by the round-11 two-scale sweep)
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+      |  value_cents NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val rows = Tables.lineitem(s, d)
@@ -1529,7 +1533,7 @@ object Gaps {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("c").as("value_cents"), col("rnk").cast("long").as("rnk"),
         graft.functions.Exact.ratio6("rnk - 1", "n - 1").as("pct"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("value_cents"))
   }
 
   /** ACTIVITY CONCENTRATION — exact Gini coefficient and top-decile share

@@ -227,6 +227,19 @@ class ShortDocSpec extends SparkSpec {
     assert(got(3L) === ((2L, 1L, md5("w1"))))
     // doc 4: single sub-threshold segment, untouched
     assert(got(4L) === ((1L, 0L, md5("unique tail only"))))
+    // FULLY-boilerplate docs: every segment stripped → cleaned_md5 is
+    // NULL on both engines (the round-11 empty-list asymmetry, pinned)
+    val d3 = "/tmp/graft_boiler_full"
+    Seq(
+      (1L, span, "en", "unit", 0L),
+      (2L, span, "en", "unit", 0L),
+      (3L, span, "en", "unit", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d3/documents.parquet")
+    val full = SparkEntry.queries("q136_boilerplate_strip")(spark, d3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.isNullAt(3)))).toMap
+    assert(full.values.forall(_ == ((1L, 1L, true))), full.toString)
   }
 
   test("q146: below the count floor is empty, not a crash; PMI is exact") {
