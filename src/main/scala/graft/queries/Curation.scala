@@ -30,7 +30,7 @@ object Curation {
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
     q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
     q110BottomkSample, q112WeightedSample, q136BoilerplateStrip,
-    q172DsirWeights, q176QuantileNormalize)
+    q172DsirWeights, q176QuantileNormalize, q195TokenBudget)
 
   /** Per-group bottom-k-by-hash sampling through the
     * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
@@ -835,5 +835,71 @@ object Curation {
         col("r").cast("long").as("rnk"),
         col("pscore").cast("long").as("norm_score"))
       .orderBy(col("doc_id"))
+  }
+
+  /** TOKEN-BUDGET SELECTION — the step every pretraining data mix ends
+    * with: given a total token budget (here 10% of the corpus), keep the
+    * highest-quality documents WHOLE until the budget is exhausted.
+    * Quality is the type-token ratio (distinct/total tokens — the q37
+    * lexical-diversity signal, here as the selection key), and the rule
+    * is strict greedy: documents rank by (quality, doc_id), a document
+    * is kept iff its whole token count still fits, and the FIRST
+    * crossing document is excluded along with everything after it —
+    * whole-doc selection, no partial credit (chunk-level budgeting is
+    * q83's job upstream).
+    *
+    * Determinism/exactness: quality compares as the INTEGER
+    * (nd·10⁶) div nt (a ratio ordered without division — identical
+    * truncation both engines, q132's threshold idiom), the rank order
+    * (quality DESC, doc_id) is total, the running token sum is exact
+    * int64, and the budget is the 1-row integer total div 10 broadcast
+    * back. No floats anywhere.
+    *
+    * Plan: one token-count aggregate per doc, one 1-row corpus total,
+    * ONE ordered cumulative window over doc-count rows (the q142
+    * two-level prefix decomposition applies verbatim at 10⁹ docs — rank
+    * and prefix-sum over (quality, id) keys, never a global sort of
+    * row-level data), then the budget filter. Output is the kept set
+    * with its audit columns.
+    */
+  val q195TokenBudget = Q(
+    "q195_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |    len(list_distinct(string_split(text, ' '))) AS nd
+      |  FROM documents
+      |),
+      |b AS (SELECT CAST(sum(nt) AS BIGINT) // 10 AS budget FROM t),
+      |r AS (
+      |  SELECT doc_id, nt,
+      |    (CAST(nd AS BIGINT) * 1000000) // nt AS quality_micro,
+      |    sum(nt) OVER (ORDER BY (CAST(nd AS BIGINT) * 1000000) // nt DESC,
+      |      doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+      |  CAST(quality_micro AS BIGINT) AS quality_micro,
+      |  CAST(cum_tokens AS BIGINT) AS cum_tokens, b.budget
+      |FROM r, b
+      |WHERE cum_tokens <= b.budget
+      |ORDER BY quality_micro DESC NULLS LAST, doc_id NULLS FIRST"""
+      .stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documentsWide(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("nt"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
+      .withColumn("quality_micro", expr("(nd * 1000000) div nt"))
+    val b = t.agg(expr("sum(nt) div 10").as("budget"))
+    val w = Window.orderBy(col("quality_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.withColumn("cum_tokens", sum(col("nt")).over(w))
+      .crossJoin(broadcast(b))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("nt").as("n_tokens"),
+        col("quality_micro"), col("cum_tokens"), col("budget"))
+      .orderBy(col("quality_micro").desc, col("doc_id"))
   }
 }

@@ -95,6 +95,27 @@ class ShortDocSpec extends SparkSpec {
       .collect().length === 1)
   }
 
+  test("q195 token budget: strict greedy — the crossing doc AND later " +
+      "fitting docs are excluded") {
+    import spark.implicits._
+    // qualities: d1 = 1.0, d2 = 0.75, d3 = 0.33, padding 1/11; total
+    // tokens 102 → budget 10. Greedy keeps d1 (cum 7), then d2 crosses
+    // (cum 11 > 10) and is excluded — and so is d3, whose 3 tokens WOULD
+    // fit after d1: prefix selection, not knapsack back-fill
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7", "en", "unit", 0L),
+      (2L, "x x b1 b2", "en", "unit", 0L),
+      (3L, "c c c", "en", "unit", 0L),
+    ) ++ (4L to 11L).map(i =>
+      (i, Seq.fill(11)("pad").mkString(" "), "en", "unit", 0L))
+    val d = "/tmp/graft_token_budget"
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q195_token_budget")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((1L, 7L, 7L, 10L)), got.mkString(","))
+  }
+
   test("q187/q191 skip sub-window docs empty-handed") {
     // every ShortDoc text is far below the 50/25-token windows → zero
     // rows, no descending-sequence crash on n - 49 < 1 (the filter guards)
