@@ -22,7 +22,8 @@ object Gaps {
     q95SkewDiagnose, q97DataQuality, q98SketchRollup, q99HeavyHitters,
     q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease,
     q135QuantileBisect, q139WeightedQuantile, q140KsDrift,
-    q142RankTransform, q147ParetoGini, q165ParetoSkyline, q166WinsorizedMean)
+    q142RankTransform, q147ParetoGini, q165ParetoSkyline, q166WinsorizedMean,
+    q196MadOutliers)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1799,6 +1800,132 @@ object Gaps {
         Exact.ratio6("p95", "100").as("p95"),
         Exact.ratio6("wsum", "100 * n").as("winsor_mean"),
         Exact.ratio6("tsum", "100 * tn").as("trim_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** MAD ROBUST OUTLIERS — the median-absolute-deviation fence, the
+    * robust-statistics alternative to q90's IQR rule (MAD has a 50%
+    * breakdown point vs the quartiles' 25% — the estimator of choice
+    * when the contamination itself is what you're hunting), and the
+    * answer to q90's own comment naming the exact-percentile SORT as its
+    * 100 TB cost center: both medians here are SORT-FREE. This is the
+    * two-level 4096-bin prefix decomposition's fifth application
+    * (q135/q139/q142/q166), and the first COMPOSED one — the second
+    * median runs over |c − median₁|, a derived axis that only exists
+    * after the first pass resolves, so the decomposition is applied
+    * twice in sequence with a data-dependent re-centering in between.
+    *
+    * Per l_returnflag: disc-median m (rank ⌈n/2⌉), MAD = disc-median of
+    * |c − m|, and the outlier count at the standard 3σ-equivalent fence
+    * |c − m| > 3·1.4826·MAD — compared as the EXACT integer inequality
+    * 10000·d > 44478·MAD (4.4478 scaled; no float enters the decision).
+    *
+    * Exactness: cents are exact int64; both rank picks use the q166
+    * device (s < k ≤ s + cnt over value runs); the fence is integer.
+    * The DuckDB twin is the TEXTBOOK formulation — per-flag row_number
+    * sorts picking rank ⌈n/2⌉, twice — so the hash match proves the
+    * sort-free decomposition against an actually-sorted reimplementation
+    * (the strongest twin shape, q132's convention).
+    *
+    * Plan: value runs → two-level binned cumulative (bin width from the
+    * q166 2-scalar probe, REUSED for the deviation axis: d ≤ hi − lo, so
+    * the same width bounds the second pass at ≤ 4097 bins) → a ≤flags
+    * broadcast of (median, MAD) back onto the runs for one fence
+    * aggregate. No row-proportional sort anywhere; every window runs
+    * over distinct VALUES within 4096-bin partitions.
+    */
+  val q196MadOutliers = Q(
+    "q196_mad_outliers",
+    """WITH v AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(100 * l_extendedprice) AS BIGINT) AS c
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |),
+      |n AS (SELECT flag, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |r AS (
+      |  SELECT flag, c,
+      |    row_number() OVER (PARTITION BY flag ORDER BY c) AS rk
+      |  FROM v
+      |),
+      |med AS (
+      |  SELECT r.flag, r.c AS med FROM r JOIN n USING (flag)
+      |  WHERE r.rk = (50 * n.n + 99) // 100
+      |),
+      |d AS (
+      |  SELECT v.flag, abs(v.c - med.med) AS dev, med.med
+      |  FROM v JOIN med USING (flag)
+      |),
+      |rd AS (
+      |  SELECT flag, dev,
+      |    row_number() OVER (PARTITION BY flag ORDER BY dev) AS rk
+      |  FROM d
+      |),
+      |mad AS (
+      |  SELECT rd.flag, rd.dev AS mad FROM rd JOIN n USING (flag)
+      |  WHERE rd.rk = (50 * n.n + 99) // 100
+      |)
+      |SELECT d.flag AS l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(d.med) AS BIGINT) AS median_cents,
+      |  CAST(max(mad.mad) AS BIGINT) AS mad_cents,
+      |  CAST(count(*) FILTER (WHERE 10000 * d.dev > 44478 * mad.mad)
+      |    AS BIGINT) AS n_outliers
+      |FROM d JOIN mad USING (flag)
+      |GROUP BY d.flag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val v = Tables.lineitem(s, d)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("c"))
+    val runs = v.groupBy(col("flag"), col("c")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds both passes and the fence aggregate
+    // q166's guarded 2-scalar probe fixes ONE bin width for both axes
+    val mm = runs.agg(min(col("c")), max(col("c"))).head
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val bw = (hi - lo) / 4096 + 1
+    val nPerFlag = runs.groupBy(col("flag")).agg(sum(col("cnt")).as("n"))
+    // sort-free disc-rank pick at k over (flag, value) runs: two-level
+    // cumulative (bin prefix + within-bin prefix), shared by both passes
+    def pickAt(valRuns: org.apache.spark.sql.DataFrame, valCol: String, origin: Long)
+        : org.apache.spark.sql.DataFrame = {
+      val binned = valRuns.withColumn("bin",
+        expr(s"($valCol - ${origin}L) div ${bw}L"))
+      val binBefore = binned.groupBy(col("flag"), col("bin"))
+        .agg(sum(col("cnt")).as("bc"))
+        .select(col("flag"), col("bin"),
+          coalesce(sum(col("bc")).over(
+            Window.partitionBy(col("flag")).orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("before"))
+      val inBin = Window.partitionBy(col("flag"), col("bin"))
+        .orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      binned
+        .withColumn("inb", sum(col("cnt")).over(inBin) - col("cnt"))
+        .join(binBefore, Seq("flag", "bin"))
+        .join(nPerFlag, "flag")
+        .withColumn("s", col("before") + col("inb"))
+        .withColumn("k", expr("(50 * n + 99) div 100"))
+        .filter(col("s") < col("k") && col("k") <= col("s") + col("cnt"))
+        .groupBy(col("flag")).agg(min(col(valCol)).as("picked"))
+    }
+    val med = pickAt(runs, "c", lo).withColumnRenamed("picked", "med")
+    val devRuns = runs.join(broadcast(med), "flag")
+      .select(col("flag"), abs(col("c") - col("med")).as("dev"), col("cnt"))
+      .groupBy(col("flag"), col("dev")).agg(sum(col("cnt")).as("cnt"))
+    val mad = pickAt(devRuns, "dev", 0L).withColumnRenamed("picked", "mad")
+    runs.join(broadcast(med), "flag").join(broadcast(mad), "flag")
+      .groupBy(col("flag"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        max(col("med")).cast("long").as("median_cents"),
+        max(col("mad")).cast("long").as("mad_cents"),
+        coalesce(sum(when(
+          lit(10000L) * abs(col("c") - col("med")) > lit(44478L) * col("mad"),
+          col("cnt"))), lit(0L)).cast("long").as("n_outliers"))
+      .select(col("flag").as("l_returnflag"), col("n"), col("median_cents"),
+        col("mad_cents"), col("n_outliers"))
       .orderBy(col("l_returnflag"))
   }
 }

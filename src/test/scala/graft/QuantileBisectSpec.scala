@@ -129,4 +129,32 @@ class QuantileBisectSpec extends SparkSpec {
       assert(got(q) === ((n.toLong, (n * qm + 999999) / 1000000, kth(qm))),
         s"q=$q")
   }
+
+  test("q196 MAD: hand-computed fence and a driver-side sorted replay") {
+    // hand case: cents {100,200,300,400,10000} → median 300 (rank 3),
+    // deviations {200,100,0,100,9700} → MAD 100 (sorted {0,100,100,200,
+    // 9700}, rank 3); fence 3·1.4826·100 = 444.78 → only 9700 flags
+    val got = SparkEntry.queries("q196_mad_outliers")(
+      spark, fixture(Seq(1.0, 2.0, 3.0, 4.0, 100.0))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(("N", 5L, 300L, 100L, 1L)), got.mkString(","))
+
+    // driver-side sorted replay on a deterministic pseudo-random corpus:
+    // the engine's two-pass two-level decomposition vs a plain Scala sort
+    val rnd = new scala.util.Random(23)
+    val prices = Seq.fill(801)(math.floor(rnd.nextDouble() * 10000) / 100.0)
+    val cents = prices.map(p => math.round(p * 100))
+    def discMedian(xs: Seq[Long]): Long = {
+      val k = (50 * xs.size + 99) / 100
+      xs.sorted.apply(k - 1)
+    }
+    val m = discMedian(cents)
+    val mad = discMedian(cents.map(c => math.abs(c - m)))
+    val nOut = cents.count(c => 10000L * math.abs(c - m) > 44478L * mad)
+    val got2 = SparkEntry.queries("q196_mad_outliers")(spark, fixture(prices))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).head
+    assert(got2 === ((801L, m, mad, nOut)), s"got $got2 want ($m, $mad, $nOut)")
+  }
 }
