@@ -73,7 +73,14 @@ object Tool {
         // No randomness anywhere — byte-reproducible.
         val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
         val out = if (args.length > 2) args(2) else "/tmp/graft_scale"
-        val factor = if (args.length > 3) args(3).toInt else 10
+        // Validate BEFORE any write: a typo'd or non-positive factor must
+        // not clobber a previously generated corpus with partial output.
+        val factor =
+          if (args.length > 3)
+            args(3).toIntOption.getOrElse(sys.error(
+              s"genscale: factor must be an integer, got '${args(3)}'"))
+          else 10
+        require(factor >= 1, s"genscale: factor must be >= 1, got $factor")
         val gens = spark.range(0, factor).select(col("id").as("g"))
         val docs = spark.read.parquet(s"$src/documents.parquet")
         val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1

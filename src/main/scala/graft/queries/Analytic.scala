@@ -1870,6 +1870,11 @@ object Analytic {
     * table, one reverse cumulative window over ≤weeks rows) plus one
     * forward cumulative window over the same bounded rows — nothing
     * user-proportional past the first aggregate.
+    *
+    * Week bucketing divides `(l_us - m0)` with integer `div` — sign-safe
+    * by CONSTRUCTION (m0 is the corpus min, every numerator ≥ 0), unlike
+    * a raw-epoch division; SURVEY §5.7's div-vs-`//` row catalogs the
+    * distinction.
     */
   val q189KmSurvival = Q(
     "q189_km_survival",
@@ -2005,6 +2010,12 @@ object Analytic {
     * (W-truncated) EWMA — at W = 124, dropped weights are < 1e-12 — a
     * DEFINITION choice both engines would share, not an approximation
     * of this operator.
+    *
+    * PRECONDITION ts ≥ 1970-01-01: hour buckets divide RAW epoch µs with
+    * Spark `div` (truncates toward zero) vs DuckDB `//` (floors) —
+    * identical only for non-negative numerators (SURVEY §5.7). The
+    * events fixture satisfies it; pre-epoch corpora would need the pmod
+    * floor idiom.
     */
   val q193EwmaChart = Q(
     "q193_ewma_chart",

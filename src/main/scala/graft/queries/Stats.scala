@@ -1115,6 +1115,12 @@ object Stats {
     * rows per arm, a ≤31-row finish. Nothing event-proportional past the
     * first map-side-combined aggregate — the always-valid monitor runs
     * on bounded state no matter the traffic.
+    *
+    * PRECONDITION ts ≥ 1970-01-01: day buckets divide RAW epoch µs with
+    * Spark `div` (truncates toward zero) vs DuckDB `//` (floors) —
+    * identical only for non-negative numerators (SURVEY §5.7). The
+    * events fixture satisfies it; pre-epoch corpora would need the pmod
+    * floor idiom.
     */
   val q192Msprt = Q(
     "q192_msprt",

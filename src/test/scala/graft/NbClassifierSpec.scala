@@ -92,7 +92,7 @@ class NbClassifierSpec extends SparkSpec {
   }
 
   test("engine ≡ driver-side NB: predictions and scores, incl. real fixture") {
-    val fixture = Tables.documentsWide(spark, "/root/testdata/sf0.001")
+    val fixture = Tables.documentsWide(spark, sf)
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     for (docs <- Seq(separable(12).toSeq, fixture)) {

@@ -456,7 +456,7 @@ class PrefixJoinSpec extends SparkSpec {
     assert(runContam(Seq(1L -> s"$quoted ${pad("h", 5)}",
       2L -> s"$quoted ${pad("i", 5)}")).isEmpty)
     // real-fixture net
-    val fixture = Tables.documentsWide(spark, "/root/testdata/sf0.001")
+    val fixture = Tables.documentsWide(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
     assert(runContam(fixture) === bruteContam(fixture))
@@ -464,7 +464,7 @@ class PrefixJoinSpec extends SparkSpec {
 
   test("q187: plan ≡ naive on the sf0.001 fixture and on randomized blocks") {
     // real-corpus net: the driver-side naive scan replays the full fixture
-    val fixture = Tables.documentsWide(spark, "/root/testdata/sf0.001")
+    val fixture = Tables.documentsWide(spark, sf)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
     assert(runSubstring(fixture) === bruteSubstring(fixture))
