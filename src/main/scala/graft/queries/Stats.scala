@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Exact
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,7 +26,8 @@ object Stats {
 
   def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms,
     q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi,
-    q174CalibrationBrier, q177Cuped, q192Msprt)
+    q174CalibrationBrier, q177Cuped, q192Msprt, q197BenfordAudit,
+    q200ContingencyAssoc, q204MaseEval, q205CohensKappa, q206IsotonicPava)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -1253,5 +1255,576 @@ object Stats {
         round(col("p_av"), 6).as("p_always_valid"),
         (col("p_av") < 0.05).as("rejected"))
       .orderBy(col("day"))
+  }
+
+  /** BENFORD FIRST-DIGIT AUDIT — the forensic data-quality screen: the
+    * leading significant digit of genuine multi-scale monetary data
+    * follows log10(1+1/d); fabricated or truncated feeds don't. Per digit
+    * d ∈ 1..9 over order totals: observed count vs n·p_d and the χ²₍₈₎
+    * statistic, flagged at the 99% critical value (20.090, a fixed
+    * literal both engines share).
+    *
+    * Exactness: the digit comes from the CENTS integer's decimal string
+    * (first char of CAST(cents AS string) — cents > 0 enforced), never
+    * from float formatting, so extraction is engine-identical. p_d is one
+    * float-cast ln over an exact small rational divided by a float-cast
+    * ln(10) (the q131 libm discipline); each χ² term is a fixed-order
+    * double chain over exact int64 counts; the total is a DECIMAL(18,9)
+    * window sum (associative). A digit absent from the data still
+    * contributes its full expectation via the dense 1..9 grid.
+    *
+    * Plan: one scan → 9-row count aggregate (map-side combined), a 9-row
+    * grid join, a 9-row window — bounded state after the first aggregate
+    * at any corpus size.
+    */
+  val q197BenfordAudit = Q(
+    "q197_benford_audit",
+    """WITH c AS (
+      |  SELECT CAST(round(100 * o_totalprice) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice IS NOT NULL
+      |),
+      |dg AS (
+      |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    count(*) AS obs
+      |  FROM c WHERE cents > 0 GROUP BY 1
+      |),
+      |nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM dg),
+      |grid AS (SELECT unnest(range(1, 10)) AS digit),
+      |cell AS (
+      |  SELECT g.digit, coalesce(dg.obs, 0) AS obs,
+      |    CAST(CAST(ln((CAST(g.digit AS DOUBLE) + 1.0)
+      |          / CAST(g.digit AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      / CAST(CAST(ln(10.0) AS FLOAT) AS DOUBLE) AS p,
+      |    nn.n AS n
+      |  FROM grid g LEFT JOIN dg ON dg.digit = g.digit, nn
+      |),
+      |t AS (
+      |  SELECT digit, obs, p, n,
+      |    (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+      |      * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+      |      / (CAST(n AS DOUBLE) * p) AS contrib
+      |  FROM cell
+      |)
+      |SELECT CAST(digit AS BIGINT) AS digit,
+      |  CAST(obs AS BIGINT) AS observed,
+      |  round(p, 6) AS benford_p,
+      |  round(CAST(n AS DOUBLE) * p, 6) AS expected_n,
+      |  round(contrib, 6) AS chi2_term,
+      |  round(CAST(sum(CAST(contrib AS DECIMAL(18,9))) OVER () AS DOUBLE), 6)
+      |    AS chi2,
+      |  CAST(sum(CAST(contrib AS DECIMAL(18,9))) OVER () AS DOUBLE) > 20.090
+      |    AS suspicious
+      |FROM t
+      |ORDER BY digit""".stripMargin,
+  ) { (s, d) =>
+    val c = Tables.orders(s, d)
+      .filter(col("o_totalprice").isNotNull)
+      .select(expr("CAST(round(100 * o_totalprice) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+    val dg = c
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val nn = dg.agg(sum(col("obs")).cast("long").as("n"))
+    val grid = s.range(1, 10).select(col("id").as("digit"))
+    val w = Window.partitionBy() // 9 rows: the single partition is the point
+    grid.join(dg, Seq("digit"), "left").crossJoin(broadcast(nn))
+      .select(col("digit"), coalesce(col("obs"), lit(0L)).as("obs"),
+        expr("""CAST(CAST(ln((CAST(digit AS DOUBLE) + 1.0)
+          |    / CAST(digit AS DOUBLE)) AS FLOAT) AS DOUBLE)
+          |  / CAST(CAST(ln(10.0) AS FLOAT) AS DOUBLE)""".stripMargin).as("p"),
+        col("n"))
+      .select(col("digit"), col("obs"), col("p"), col("n"),
+        expr("""(CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+          |  * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+          |  / (CAST(n AS DOUBLE) * p)""".stripMargin).as("contrib"))
+      .select(col("digit"), col("obs").as("observed"),
+        round(col("p"), 6).as("benford_p"),
+        round(expr("CAST(n AS DOUBLE) * p"), 6).as("expected_n"),
+        round(col("contrib"), 6).as("chi2_term"),
+        round(sum(expr("CAST(contrib AS DECIMAL(18,9))")).over(w)
+          .cast("double"), 6).as("chi2"),
+        (sum(expr("CAST(contrib AS DECIMAL(18,9))")).over(w)
+          .cast("double") > 20.090).as("suspicious"))
+      .orderBy(col("digit"))
+  }
+
+  /** CONTINGENCY ASSOCIATION — the categorical-dependence profiler a
+    * curation pipeline runs between any two metadata axes (here
+    * lang × source): the full dense contingency table with, attached to
+    * every cell, the table-level χ², Cramér's V, mutual information
+    * (nats) and normalized MI — one operator answering "are these axes
+    * independent, and how strongly not".
+    *
+    * Exactness: cell/margin counts are exact int64; each χ² term uses the
+    * algebraic form (o·n − r·c)²/(n·r·c) — the numerator is an exact
+    * int64 DIFFERENCE squared in doubles, denominators chain as separate
+    * fixed-order divides (n·r·c as one int64 product would overflow near
+    * 10⁹-row tables; the chained-divide form never does). MI terms are
+    * (o/n)·ln(o·n/(r·c)) with the float-cast ln; both totals are
+    * DECIMAL(18,9) sums. Zero cells contribute their χ² expectation and
+    * 0 to MI (the 0·ln 0 limit, stated EXPLICITLY via CASE on both
+    * engines). Margin entropies for NMI use the same device; a
+    * degenerate single-category axis yields H = 0 → NMI NULL via nullif,
+    * and a 1×k table yields V NULL the same way.
+    *
+    * Plan: one scan → cell aggregate (≤ |langs|·|sources| rows), margin
+    * aggregates, one broadcast-joined dense grid — everything past the
+    * first map-side-combined aggregate is category-bounded, never
+    * row-proportional.
+    */
+  val q200ContingencyAssoc = Q(
+    "q200_contingency_assoc",
+    """WITH base AS (
+      |  SELECT lang, source FROM documents
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL
+      |),
+      |cellc AS (SELECT lang, source, count(*) AS o FROM base GROUP BY 1, 2),
+      |rm AS (SELECT lang, count(*) AS r FROM base GROUP BY 1),
+      |cm AS (SELECT source, count(*) AS c FROM base GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS nc FROM base),
+      |cell AS (
+      |  SELECT rm.lang, cm.source, coalesce(cc.o, 0) AS o, rm.r, cm.c,
+      |    nn.n, nn.nr, nn.nc
+      |  FROM rm CROSS JOIN cm
+      |  LEFT JOIN cellc cc ON cc.lang = rm.lang AND cc.source = cm.source,
+      |  nn
+      |),
+      |t AS (
+      |  SELECT lang, source, o, r, c, n, nr, nc,
+      |    CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+      |      / CAST(n AS DOUBLE) / CAST(r AS DOUBLE) / CAST(c AS DOUBLE)
+      |      AS chi2t,
+      |    CASE WHEN o > 0 THEN
+      |      (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * CAST(ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+      |            / CAST(r AS DOUBLE) / CAST(c AS DOUBLE)) AS FLOAT)
+      |      ELSE CAST(0 AS DOUBLE) END AS mit
+      |  FROM cell
+      |),
+      |tot AS (
+      |  SELECT CAST(sum(CAST(chi2t AS DECIMAL(18,9))) AS DOUBLE) AS chi2,
+      |    CAST(sum(CAST(mit AS DECIMAL(18,9))) AS DOUBLE) AS mi
+      |  FROM t
+      |),
+      |hr AS (
+      |  SELECT CAST(sum(CAST(
+      |    -((CAST(r AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |      * CAST(ln(CAST(r AS DOUBLE) / CAST(n.n AS DOUBLE)) AS FLOAT))
+      |    AS DECIMAL(18,9))) AS DOUBLE) AS h
+      |  FROM rm, nn n
+      |),
+      |hc AS (
+      |  SELECT CAST(sum(CAST(
+      |    -((CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |      * CAST(ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS FLOAT))
+      |    AS DECIMAL(18,9))) AS DOUBLE) AS h
+      |  FROM cm, nn n
+      |)
+      |SELECT t.lang, t.source, CAST(t.o AS BIGINT) AS observed,
+      |  round(CAST(t.r AS DOUBLE) * CAST(t.c AS DOUBLE)
+      |    / CAST(t.n AS DOUBLE), 6) AS expected,
+      |  round(t.chi2t, 6) AS chi2_term,
+      |  round(tot.chi2, 6) AS chi2,
+      |  round(sqrt(tot.chi2 / nullif(CAST(t.n AS DOUBLE)
+      |    * CAST(least(t.nr - 1, t.nc - 1) AS DOUBLE), 0.0)), 6)
+      |    AS cramers_v,
+      |  round(tot.mi, 6) AS mi_nats,
+      |  round(tot.mi / nullif(sqrt(hr.h * hc.h), 0.0), 6) AS nmi
+      |FROM t, tot, hr, hc
+      |ORDER BY lang, source""".stripMargin,
+  ) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .select(col("lang"), col("source"))
+    val cellc = base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rm = base.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+    val cm = base.groupBy(col("source")).agg(count(lit(1)).as("c"))
+    val nn = base.agg(count(lit(1)).as("n"),
+      countDistinct(col("lang")).as("nr"),
+      countDistinct(col("source")).as("nc"))
+    val cell = rm.crossJoin(cm)
+      .join(cellc, Seq("lang", "source"), "left")
+      .crossJoin(broadcast(nn))
+      .select(col("lang"), col("source"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        col("r"), col("c"), col("n"), col("nr"), col("nc"))
+    val t = cell.select(col("lang"), col("source"), col("o"), col("r"),
+      col("c"), col("n"), col("nr"), col("nc"),
+      expr("""CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+        |  / CAST(n AS DOUBLE) / CAST(r AS DOUBLE) / CAST(c AS DOUBLE)"""
+        .stripMargin).as("chi2t"),
+      expr("""CASE WHEN o > 0 THEN
+        |  (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * CAST(ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / CAST(r AS DOUBLE) / CAST(c AS DOUBLE)) AS FLOAT)
+        |  ELSE CAST(0 AS DOUBLE) END""".stripMargin).as("mit"))
+      .localCheckpoint() // 2 consumers: totals and the per-cell output
+    val tot = t.agg(
+      sum(expr("CAST(chi2t AS DECIMAL(18,9))")).cast("double").as("chi2"),
+      sum(expr("CAST(mit AS DECIMAL(18,9))")).cast("double").as("mi"))
+    def entropy(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(nn.select(col("n"))))
+        .agg(sum(expr(
+          s"""CAST(-((CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE))
+             |  * CAST(ln(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE))
+             |      AS FLOAT)) AS DECIMAL(18,9))""".stripMargin))
+          .cast("double").as("h"))
+    val hr = entropy(rm, "r")
+    val hcE = entropy(cm, "c")
+    t.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(hr.select(col("h").as("h_r"))))
+      .crossJoin(broadcast(hcE.select(col("h").as("h_c"))))
+      .select(col("lang"), col("source"), col("o").cast("long").as("observed"),
+        round(expr("CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"),
+          6).as("expected"),
+        round(col("chi2t"), 6).as("chi2_term"),
+        round(col("chi2"), 6).as("chi2"),
+        round(expr("""sqrt(chi2 / nullif(CAST(n AS DOUBLE)
+          |  * CAST(least(nr - 1, nc - 1) AS DOUBLE), CAST(0 AS DOUBLE)))"""
+          .stripMargin), 6).as("cramers_v"),
+        round(col("mi"), 6).as("mi_nats"),
+        round(expr(
+          "mi / nullif(sqrt(h_r * h_c), CAST(0 AS DOUBLE))"), 6).as("nmi"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** MASE FORECAST EVALUATION — the scale-free forecast scorecard
+    * (Hyndman & Koehler's mean absolute scaled error): per event type,
+    * score the hour-of-day profile forecast (predict each hour by the
+    * mean of its hour-of-day over the span) against the seasonal-naive
+    * scale (mean |x_t − x_{t−24}|). MASE < 1 ⇔ the profile beats naive
+    * seasonal persistence — the go/no-go gate before any forecasting
+    * model ships.
+    *
+    * Exactness: the dense hourly grid (the q193 device) makes both means
+    * exact-int64-backed: the naive scale is a pure integer sum of
+    * |x_t − x_{t−24}| over the window LAG; each profile error term is
+    * |x·c_h − s_h|/c_h — one double divide of exact int64s — summed as
+    * DECIMAL(18,9). The final MASE is a fixed-order double chain; a span
+    * ≤ 24 h has no naive pairs → NULL via nullif, never a crash.
+    *
+    * PRECONDITION ts ≥ 1970-01-01: hour buckets divide RAW epoch µs
+    * (Spark `div` truncates, DuckDB `//` floors — SURVEY §5.7).
+    *
+    * Plan: one scan → (type, hour) count aggregate, a span-bounded grid,
+    * one 24-row-keyed profile join, windows over span-sized rows —
+    * bounded by the time span, never event-proportional.
+    */
+  val q204MaseEval = Q(
+    "q204_mase_eval",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, (g.m0 + g.t) % 24 AS hod,
+      |    COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |hod AS (
+      |  SELECT event_type, hod, CAST(sum(x) AS BIGINT) AS hs,
+      |    CAST(count(*) AS BIGINT) AS hc
+      |  FROM x GROUP BY 1, 2
+      |),
+      |lagd AS (
+      |  SELECT event_type, t, hod, x,
+      |    lag(x, 24) OVER (PARTITION BY event_type ORDER BY t) AS x24
+      |  FROM x
+      |),
+      |terms AS (
+      |  SELECT l.event_type,
+      |    CAST(CAST(abs(l.x * h.hc - h.hs) AS DOUBLE)
+      |      / CAST(h.hc AS DOUBLE) AS DECIMAL(18,9)) AS aerr,
+      |    CASE WHEN l.x24 IS NULL THEN NULL
+      |      ELSE abs(l.x - l.x24) END AS naive_err
+      |  FROM lagd l JOIN hod h
+      |    ON h.event_type = l.event_type AND h.hod = l.hod
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n_hours,
+      |    sum(aerr) AS esum,
+      |    CAST(sum(naive_err) AS BIGINT) AS ssum,
+      |    CAST(count(naive_err) AS BIGINT) AS scnt
+      |  FROM terms GROUP BY 1
+      |)
+      |SELECT event_type, n_hours,
+      |  round(CAST(esum AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) AS mae,
+      |  round(CAST(ssum AS DOUBLE) / nullif(CAST(scnt AS DOUBLE), 0.0), 6)
+      |    AS naive_mae,
+      |  round((CAST(esum AS DOUBLE) / CAST(n_hours AS DOUBLE))
+      |    / nullif(CAST(ssum AS DOUBLE) / nullif(CAST(scnt AS DOUBLE), 0.0),
+      |             0.0), 6) AS mase
+      |FROM agg
+      |ORDER BY event_type NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type") && mc("m") === col("m0") + col("t"),
+        "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        ((col("m0") + col("t")) % 24).as("hod"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint() // 2 consumers: the hod profile and the lag pass
+    val hod = x.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("x")).cast("long").as("hs"),
+        count(lit(1)).cast("long").as("hc"))
+    val lagd = x.withColumn("x24",
+      lag(col("x"), 24).over(
+        Window.partitionBy(col("event_type")).orderBy(col("t"))))
+    val terms = lagd.join(hod, Seq("event_type", "hod"))
+      .select(col("event_type"),
+        expr("""CAST(CAST(abs(x * hc - hs) AS DOUBLE)
+          |  / CAST(hc AS DOUBLE) AS DECIMAL(18,9))""".stripMargin)
+          .as("aerr"),
+        when(col("x24").isNull, lit(null))
+          .otherwise(abs(col("x") - col("x24"))).as("naive_err"))
+    terms.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+        sum(col("aerr")).as("esum"),
+        sum(col("naive_err")).cast("long").as("ssum"),
+        count(col("naive_err")).cast("long").as("scnt"))
+      .select(col("event_type"), col("n_hours"),
+        round(expr("CAST(esum AS DOUBLE) / CAST(n_hours AS DOUBLE)"), 6)
+          .as("mae"),
+        round(expr(
+          "CAST(ssum AS DOUBLE) / nullif(CAST(scnt AS DOUBLE), CAST(0 AS DOUBLE))"),
+          6).as("naive_mae"),
+        round(expr(
+          """(CAST(esum AS DOUBLE) / CAST(n_hours AS DOUBLE))
+            |  / nullif(CAST(ssum AS DOUBLE)
+            |      / nullif(CAST(scnt AS DOUBLE), CAST(0 AS DOUBLE)),
+            |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("mase"))
+      .orderBy(col("event_type"))
+  }
+
+  /** COHEN'S KAPPA — chance-corrected inter-labeler agreement, the gate
+    * before trusting any automated annotator: two cheap document-quality
+    * labelers (character-length terciles vs token-count terciles, fixed
+    * thresholds both engines share) scored against each other over the
+    * full 3×3 dense confusion matrix, with the table-level observed
+    * agreement p_o, chance agreement p_e, and κ attached to every cell.
+    *
+    * Exactness: κ's rational form (n·Σdiag − Σ rᵢcᵢ)/(n² − Σ rᵢcᵢ) keeps
+    * EVERYTHING int64 until one final double divide — no probability
+    * intermediates at all (n² ≤ 10¹⁸ holds to ~10⁹ labeled rows; past
+    * that the two sides divide by n first in fixed-order doubles —
+    * flagged, not needed). Perfect-chance degenerate tables (p_e = 1)
+    * yield κ NULL via nullif on both engines.
+    *
+    * Plan: one scan → 9-cell aggregate (map-side combined); everything
+    * after is a constant-size grid of literals — bounded state at any
+    * corpus size.
+    */
+  val q205CohensKappa = Q(
+    "q205_cohens_kappa",
+    """WITH base AS (
+      |  SELECT CASE WHEN length(text) < 200 THEN 'short'
+      |    WHEN length(text) < 350 THEN 'medium' ELSE 'long' END AS a,
+      |    CASE WHEN len(string_split(text, ' ')) < 35 THEN 'short'
+      |      WHEN len(string_split(text, ' ')) < 60 THEN 'medium'
+      |      ELSE 'long' END AS b
+      |  FROM documents WHERE text IS NOT NULL
+      |),
+      |lab AS (SELECT unnest(['short', 'medium', 'long']) AS l),
+      |cellc AS (SELECT a, b, count(*) AS cnt FROM base GROUP BY 1, 2),
+      |cell AS (
+      |  SELECT la.l AS a, lb.l AS b, coalesce(c.cnt, 0) AS cnt
+      |  FROM lab la CROSS JOIN lab lb
+      |  LEFT JOIN cellc c ON c.a = la.l AND c.b = lb.l
+      |),
+      |rm AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS r FROM cell GROUP BY 1),
+      |cm AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c FROM cell GROUP BY 1),
+      |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS ag
+      |  FROM cell),
+      |pe AS (SELECT CAST(sum(rm.r * cm.c) AS BIGINT) AS pe_num
+      |       FROM rm JOIN cm ON rm.a = cm.b)
+      |SELECT cell.a AS label_a, cell.b AS label_b,
+      |  CAST(cell.cnt AS BIGINT) AS cnt,
+      |  rm.r AS row_tot, cm.c AS col_tot,
+      |  round(CAST(nn.ag AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS po,
+      |  round(CAST(pe.pe_num AS DOUBLE)
+      |    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)), 6) AS pe,
+      |  round(CAST(nn.n * nn.ag - pe.pe_num AS DOUBLE)
+      |    / nullif(CAST(nn.n * nn.n - pe.pe_num AS DOUBLE), 0.0), 6)
+      |    AS kappa
+      |FROM cell, rm, cm, nn, pe
+      |WHERE rm.a = cell.a AND cm.b = cell.b
+      |ORDER BY label_a, label_b""".stripMargin,
+  ) { (s, d) =>
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        when(length(col("text")) < 200, "short")
+          .when(length(col("text")) < 350, "medium")
+          .otherwise("long").as("a"),
+        when(size(split(col("text"), " ")) < 35, "short")
+          .when(size(split(col("text"), " ")) < 60, "medium")
+          .otherwise("long").as("b"))
+    val lab = Seq("short", "medium", "long").toDF("l")
+    val cellc = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+    val cell = lab.select(col("l").as("a"))
+      .crossJoin(lab.select(col("l").as("b")))
+      .join(cellc, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint() // 9 rows, 4 consumers (margins, totals, output)
+    val rm = cell.groupBy(col("a")).agg(sum(col("cnt")).cast("long").as("r"))
+    val cm = cell.groupBy(col("b")).agg(sum(col("cnt")).cast("long").as("c"))
+    val nn = cell.agg(sum(col("cnt")).cast("long").as("n"),
+      sum(when(col("a") === col("b"), col("cnt")).otherwise(0L))
+        .cast("long").as("ag"))
+    val pe = rm.join(cm, rm("a") === cm("b"))
+      .agg(sum(col("r") * col("c")).cast("long").as("pe_num"))
+    cell.join(broadcast(rm), "a").join(broadcast(cm), "b")
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(pe))
+      .select(col("a").as("label_a"), col("b").as("label_b"),
+        col("cnt"), col("r").as("row_tot"), col("c").as("col_tot"),
+        round(expr("CAST(ag AS DOUBLE) / CAST(n AS DOUBLE)"), 6).as("po"),
+        round(expr(
+          """CAST(pe_num AS DOUBLE)
+            |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin), 6)
+          .as("pe"),
+        round(expr(
+          """CAST(n * ag - pe_num AS DOUBLE)
+            |  / nullif(CAST(n * n - pe_num AS DOUBLE), CAST(0 AS DOUBLE))"""
+            .stripMargin), 6).as("kappa"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  /** ISOTONIC REGRESSION (exact PAVA via the minimax characterization) —
+    * monotone trend fitting, the calibration workhorse: per event type,
+    * the least-squares NON-DECREASING fit to the daily mean order value,
+    * computed relationally through the closed form
+    * fit_i = max_{j≤i} min_{k≥i} mean(y[j..k]) — provably equal to the
+    * pool-adjacent-violators solution, but expressed as joins + windows
+    * instead of a sequential pool stack (the q193 philosophy: make the
+    * recursion RELATIONAL).
+    *
+    * Exactness: every interval mean is ONE double divide of exact int64
+    * prefix-sum differences (cents and counts); the min/max lattice
+    * compares bit-identical doubles, so no accumulation happens at all —
+    * the fit value IS one of the interval means, exactly. Rounding only
+    * at presentation.
+    *
+    * PRECONDITION ts ≥ 1970-01-01 (raw epoch-µs day buckets, SURVEY
+    * §5.7).
+    *
+    * Plan: one scan → (type, day) exact aggregate (≤ types·days rows),
+    * then an O(days²) pair join per type — 900 rows per type on a 30-day
+    * span, BOUNDED BY THE TIME GRID, never by event count. The quadratic
+    * is in series length only: at 10⁴+ grid points the production dial is
+    * per-partition PAVA over a sorted single pass (the sequential stack),
+    * traded here for a fully declarative, oracle-able plan.
+    */
+  val q206IsotonicPava = Q(
+    "q206_isotonic_pava",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(round(100 * value) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |),
+      |dayagg AS (
+      |  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2
+      |),
+      |idx AS (
+      |  SELECT event_type, day, s, c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+      |    CAST(sum(s) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+      |      AS ps,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+      |      AS pc
+      |  FROM dayagg
+      |),
+      |pairs AS (
+      |  SELECT a.event_type, a.i AS j, b.i AS k,
+      |    CAST(b.ps - (a.ps - a.s) AS DOUBLE)
+      |      / CAST(b.pc - (a.pc - a.c) AS DOUBLE) AS m
+      |  FROM idx a JOIN idx b
+      |    ON a.event_type = b.event_type AND b.i >= a.i
+      |),
+      |suffmin AS (
+      |  SELECT event_type, j, k,
+      |    min(m) OVER (PARTITION BY event_type, j ORDER BY k DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sm
+      |  FROM pairs
+      |),
+      |fit AS (
+      |  SELECT event_type, k AS i, max(sm) AS f
+      |  FROM suffmin GROUP BY 1, 2
+      |)
+      |SELECT idx.event_type, CAST(idx.day AS BIGINT) AS day,
+      |  idx.c AS n,
+      |  round(CAST(idx.s AS DOUBLE) / CAST(idx.c AS DOUBLE), 6) AS day_mean,
+      |  round(fit.f, 6) AS iso_fit
+      |FROM idx JOIN fit
+      |  ON fit.event_type = idx.event_type AND fit.i = idx.i
+      |ORDER BY idx.event_type NULLS FIRST, day""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"))
+    val dayagg = e.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).cast("long").as("s"),
+        count(lit(1)).cast("long").as("c"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = dayagg.select(col("event_type"), col("day"), col("s"), col("c"),
+        row_number().over(wOrd).as("i"),
+        sum(col("s")).over(wOrd).cast("long").as("ps"),
+        sum(col("c")).over(wOrd).cast("long").as("pc"))
+      .localCheckpoint() // 2 consumers: the pair join (twice) and output
+    val a = idx.select(col("event_type").as("a_type"), col("i").as("j"),
+      col("s").as("a_s"), col("c").as("a_c"),
+      col("ps").as("a_ps"), col("pc").as("a_pc"))
+    val b = idx.select(col("event_type").as("b_type"), col("i").as("k"),
+      col("ps").as("b_ps"), col("pc").as("b_pc"))
+    val pairs = a.join(b,
+        col("a_type") === col("b_type") && col("k") >= col("j"))
+      .select(col("a_type").as("event_type"), col("j"), col("k"),
+        expr("""CAST(b_ps - (a_ps - a_s) AS DOUBLE)
+          |  / CAST(b_pc - (a_pc - a_c) AS DOUBLE)""".stripMargin).as("m"))
+    val suffmin = pairs.select(col("event_type"), col("j"), col("k"),
+      min(col("m")).over(
+        Window.partitionBy(col("event_type"), col("j"))
+          .orderBy(col("k").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)).as("sm"))
+    val fit = suffmin.groupBy(col("event_type"), col("k").as("i"))
+      .agg(max(col("sm")).as("f"))
+    idx.join(fit, Seq("event_type", "i"))
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("c").as("n"),
+        round(expr("CAST(s AS DOUBLE) / CAST(c AS DOUBLE)"), 6)
+          .as("day_mean"),
+        round(col("f"), 6).as("iso_fit"))
+      .orderBy(col("event_type"), col("day"))
   }
 }

@@ -460,4 +460,164 @@ class StatsSpec extends SparkSpec {
     val ps2 = got.map(_._3)
     assert(ps2.zip(ps2.tail).forall { case (a, b) => b <= a + 1e-9 })
   }
+
+  test("q197 Benford digits via ARITHMETIC (not strings) and χ² replay") {
+    val rows = Stats.q197BenfordAudit.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    val cents = Tables.orders(spark, sf)
+      .filter(col("o_totalprice").isNotNull)
+      .select(expr("CAST(round(100 * o_totalprice) AS BIGINT)").as("c"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+    // leading digit by repeated integer division — no string path at all
+    def lead(n0: Long): Long = { var n = n0; while (n >= 10) n /= 10; n }
+    val want = cents.groupBy(lead).map { case (k, v) => k -> v.length.toLong }
+    for ((digit, obs, _) <- rows)
+      assert(obs === want.getOrElse(digit, 0L), s"digit $digit count")
+    assert(rows.map(_._2).sum === cents.length.toLong)
+    val n = cents.length.toDouble
+    val chi2 = (1 to 9).map { dd =>
+      val p = math.log((dd + 1.0) / dd) / math.log(10.0)
+      val e = n * p
+      val o = want.getOrElse(dd.toLong, 0L).toDouble
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(rows.head._3 - chi2) / chi2 < 1e-5,
+      s"chi2 ${rows.head._3} vs full-precision replay $chi2")
+  }
+
+  test("q200 contingency: margins exact; χ²/V/MI replay at full precision") {
+    val rows = Stats.q200ContingencyAssoc.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+    val pairs = Tables.documents(spark, sf)
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .select(col("lang"), col("source")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cellW = pairs.groupBy(identity).map { case (k, v) => k -> v.length }
+    val rW = pairs.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val cW = pairs.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val n = pairs.length.toDouble
+    assert(rows.length === rW.size * cW.size, "dense grid covers all cells")
+    for ((k, o, _, _, _, _) <- rows)
+      assert(o === cellW.getOrElse(k, 0).toLong, s"cell $k")
+    // full-precision math.log replay (engine used float-cast ln)
+    var chi2 = 0.0; var mi = 0.0
+    for (r <- rW.keys; c <- cW.keys) {
+      val o = cellW.getOrElse((r, c), 0).toDouble
+      val e = rW(r) * cW(c) / n
+      chi2 += (o - e) * (o - e) / e
+      if (o > 0) mi += (o / n) * math.log(o / e)
+    }
+    def h(m: Iterable[Int]) = -m.map(x => x / n * math.log(x / n)).sum
+    val v = math.sqrt(chi2 / (n * math.min(rW.size - 1, cW.size - 1)))
+    val nmi = mi / math.sqrt(h(rW.values) * h(cW.values))
+    val (_, _, gchi2, gv, gmi, gnmi) = rows.head
+    assert(math.abs(gchi2 - chi2) / chi2 < 1e-5, s"chi2 $gchi2 vs $chi2")
+    assert(math.abs(gv - v) < 1e-5, s"V $gv vs $v")
+    assert(math.abs(gmi - mi) < 1e-5, s"MI $gmi vs $mi")
+    assert(math.abs(gnmi - nmi) < 1e-4, s"NMI $gnmi vs $nmi")
+    assert(mi >= -1e-12, "MI is nonnegative")
+  }
+
+  test("q204 MASE replays from a driver-side dense-series computation") {
+    val got = Stats.q204MaseEval.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val ev = Tables.events(spark, sf).filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val byHour = rows.groupBy(_._2).map { case (m, v) => m -> v.length.toLong }
+      val m0 = byHour.keys.min; val m1 = byHour.keys.max
+      val xs = (m0 to m1).map(m => byHour.getOrElse(m, 0L)).toArray
+      val hodOf = (i: Int) => ((m0 + i) % 24).toInt
+      val hodMean = xs.indices.groupBy(hodOf).map { case (h, is) =>
+        h -> is.map(xs(_)).sum.toDouble / is.length
+      }
+      val mae = xs.indices.map(i => math.abs(xs(i) - hodMean(hodOf(i)))).sum /
+        xs.length.toDouble
+      val naive = (24 until xs.length).map(i => math.abs(xs(i) - xs(i - 24)))
+      val naiveMae = naive.sum.toDouble / naive.length
+      val (nh, gmae, gnaive, gmase) = got(t)
+      assert(nh === xs.length.toLong, s"$t span")
+      assert(math.abs(gmae - mae) < 1e-5, s"$t mae $gmae vs $mae")
+      assert(math.abs(gnaive - naiveMae) < 1e-6, s"$t naive")
+      assert(math.abs(gmase - mae / naiveMae) < 1e-5, s"$t mase")
+    }
+  }
+
+  test("q205 kappa replays from the probability-form definition; κ ≤ 1") {
+    val rows = Stats.q205CohensKappa.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("text")).collect().map(_.getString(0))
+    def labA(t: String) =
+      if (t.length < 200) "short" else if (t.length < 350) "medium" else "long"
+    def labB(t: String) = {
+      val k = t.split(" ", -1).length
+      if (k < 35) "short" else if (k < 60) "medium" else "long"
+    }
+    val cellW = docs.groupBy(t => (labA(t), labB(t)))
+      .map { case (k, v) => k -> v.length.toLong }
+    for ((k, cnt, _, _, _) <- rows)
+      assert(cnt === cellW.getOrElse(k, 0L), s"cell $k")
+    val n = docs.length.toDouble
+    // probability form (the engine used the integer rational form)
+    val po = cellW.collect { case ((a, b), c) if a == b => c }.sum / n
+    val labs = Seq("short", "medium", "long")
+    val pe = labs.map { l =>
+      (cellW.collect { case ((a, _), c) if a == l => c }.sum / n) *
+        (cellW.collect { case ((_, b), c) if b == l => c }.sum / n)
+    }.sum
+    val kappa = (po - pe) / (1 - pe)
+    val (_, _, gpo, gpe, gkappa) = rows.head
+    assert(math.abs(gpo - po) < 1e-6 && math.abs(gpe - pe) < 1e-6)
+    assert(math.abs(gkappa - kappa) < 1e-5, s"kappa $gkappa vs $kappa")
+    assert(gkappa <= 1.0 + 1e-12)
+  }
+
+  test("q206 isotonic fit equals the classic PAVA pool stack; monotone; " +
+      "pool means preserved") {
+    val got = Stats.q206IsotonicPava.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        expr("CAST(round(100 * value) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val series = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, v) =>
+        (d, v.map(_._3).sum, v.length.toLong)
+      }
+      // classic sequential PAVA: merge backward while means decrease;
+      // exact long rationals (s1·c2 vs s2·c1) so no float order effects
+      val pools = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      for ((_, s0, c0) <- series) {
+        var (s1, c1, k) = (s0, c0, 1)
+        while (pools.nonEmpty && {
+          val (s2, c2, _) = pools.last; s2 * c1 >= s1 * c2
+        }) { val (s2, c2, k2) = pools.remove(pools.length - 1)
+          s1 += s2; c1 += c2; k += k2 }
+        pools += ((s1, c1, k))
+      }
+      val fits = pools.flatMap { case (sp, cp, k) =>
+        Seq.fill(k)(sp.toDouble / cp.toDouble) }
+      val mine = got.filter(_._1 == t).sortBy(_._2)
+      assert(mine.length === series.length, s"$t row count")
+      for (((day, f), (_, gd, _, gf)) <- series.map(_._1).zip(fits).zip(mine)) {
+        assert(gd === day)
+        assert(math.abs(gf - f) < 1e-6, s"$t day $day: fit $gf vs PAVA $f")
+      }
+      val fs = mine.map(_._4)
+      assert(fs.zip(fs.tail).forall { case (a, b) => a <= b + 1e-12 },
+        s"$t fit must be nondecreasing")
+      // PAVA preserves the total: Σ fit·n = Σ y·n (least-squares projection)
+      val tot = mine.zip(series).map { case ((_, _, _, f), (_, _, c)) => f * c }
+        .sum
+      val raw = series.map { case (_, s, _) => s.toDouble }.sum
+      assert(math.abs(tot - raw) / math.abs(raw) < 1e-9,
+        s"$t: isotonic projection must preserve the weighted total")
+    }
+  }
 }
