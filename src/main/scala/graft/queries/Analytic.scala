@@ -51,6 +51,8 @@ object Analytic {
     q180CusumPeak,
     q186LinearAttribution,
     q193EwmaChart,
+    q201PositionAttribution,
+    q203BrownTrend,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -2481,5 +2483,270 @@ object Analytic {
         round(sum(col("micro")).cast("double") / 1000000.0, 6)
           .as("revenue"))
       .orderBy(col("channel"))
+  }
+
+  /** U-SHAPED (POSITION-BASED) ATTRIBUTION — the third member of the
+    * attribution family (q149 last-touch, q186 linear): 40% of each
+    * conversion's value to the FIRST touch, 40% to the LAST, the middle
+    * 20% split across interior touches. Journey definition is q186's
+    * verbatim (view/click within 7 days before each purchase; no touches
+    * → 'none').
+    *
+    * The whole rule is INTEGER micro-credit arithmetic — the house
+    * fixed-point idiom (q113): with T = cents·10⁴ micro-units,
+    * first = last = (2T) div 5, each interior touch gets the floor share
+    * of the remainder and the EARLIEST interior touch absorbs the
+    * division remainder; n = 1 takes T, n = 2 splits ceil/floor. Credit
+    * thus conserves T exactly per conversion — an invariant the suite
+    * asserts, and one floats could not state. Touch order is total
+    * ((us, event_id) — event ids are unique), so "first/last/earliest
+    * interior" are engine-independent. Refund purchases (cents < 0) are
+    * excluded BY DEFINITION (div/% need non-negative operands for
+    * cross-engine floor agreement, SURVEY §5.7's div row).
+    *
+    * Plan: q186's join shape — purchases × 7-day touch band on the
+    * user key — plus one per-conversion window pair; aggregates are
+    * map-side combined on the bounded channel key.
+    */
+  val q201PositionAttribution = Q(
+    "q201_position_attribution",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(round(100 * value) AS BIGINT) AS cents,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IN ('view', 'click', 'purchase')
+      |),
+      |p AS (SELECT user_id, event_id AS conv_id, cents, us FROM e
+      |      WHERE event_type = 'purchase' AND cents >= 0),
+      |t AS (SELECT user_id, event_id, event_type, us FROM e
+      |      WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.conv_id, p.cents, t.event_type AS channel,
+      |    t.us, t.event_id
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.us <= p.us AND p.us - t.us <= 7 * 86400000000
+      |),
+      |r AS (
+      |  SELECT conv_id, cents, coalesce(channel, 'none') AS channel,
+      |    row_number() OVER (PARTITION BY conv_id
+      |      ORDER BY us NULLS FIRST, event_id NULLS FIRST) AS pos,
+      |    count(channel) OVER (PARTITION BY conv_id) AS n
+      |  FROM j
+      |),
+      |credit AS (
+      |  SELECT channel, conv_id,
+      |    CASE
+      |      WHEN n <= 1 THEN cents * 10000
+      |      WHEN n = 2 AND pos = 1 THEN (cents * 10000 + 1) // 2
+      |      WHEN n = 2 THEN (cents * 10000) // 2
+      |      WHEN pos = 1 OR pos = n THEN (2 * cents * 10000) // 5
+      |      ELSE (cents * 10000 - 2 * ((2 * cents * 10000) // 5)) // (n - 2)
+      |        + CASE WHEN pos = 2 THEN
+      |            (cents * 10000 - 2 * ((2 * cents * 10000) // 5)) % (n - 2)
+      |          ELSE 0 END
+      |    END AS micro
+      |  FROM r
+      |)
+      |SELECT channel,
+      |  CAST(count(*) AS BIGINT) AS n_touchpoints,
+      |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+      |  CAST(sum(micro) AS BIGINT) AS revenue_micro,
+      |  round(CAST(sum(micro) AS DOUBLE) / 1000000.0, 6) AS revenue
+      |FROM credit
+      |GROUP BY channel
+      |ORDER BY channel NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        expr("unix_micros(ts)").as("us"))
+    val p = e.filter(col("event_type") === "purchase" && col("cents") >= 0)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("cents"), col("us").as("pus"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_eid"),
+        col("event_type").as("channel"), col("us").as("tus"))
+    val j = p.join(t,
+        p("user_id") === t("user_id")
+          && col("tus") <= col("pus")
+          && col("pus") - col("tus") <= 7L * 86400000000L, "left")
+      .select(col("conv_id"), col("cents"), col("channel"),
+        col("tus"), col("t_eid"))
+    val wConv = Window.partitionBy(col("conv_id"))
+    val r = j.select(col("conv_id"), col("cents"),
+      coalesce(col("channel"), lit("none")).as("channel"),
+      row_number().over(wConv.orderBy(col("tus").asc_nulls_first,
+        col("t_eid").asc_nulls_first)).as("pos"),
+      count(col("channel")).over(wConv).as("n"))
+    r.select(col("channel"), col("conv_id"), expr(
+        """CASE
+          |  WHEN n <= 1 THEN cents * 10000
+          |  WHEN n = 2 AND pos = 1 THEN (cents * 10000 + 1) div 2
+          |  WHEN n = 2 THEN (cents * 10000) div 2
+          |  WHEN pos = 1 OR pos = n THEN (2 * cents * 10000) div 5
+          |  ELSE (cents * 10000 - 2 * ((2 * cents * 10000) div 5))
+          |      div (n - 2)
+          |    + CASE WHEN pos = 2 THEN
+          |        (cents * 10000 - 2 * ((2 * cents * 10000) div 5))
+          |          % (n - 2)
+          |      ELSE 0 END
+          |END""".stripMargin).as("micro"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_touchpoints"),
+        countDistinct(col("conv_id")).cast("long").as("n_conversions"),
+        sum(col("micro")).cast("long").as("revenue_micro"),
+        round(sum(col("micro")).cast("double") / 1000000.0, 6)
+          .as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** BROWN DOUBLE-EXPONENTIAL TREND — the second-order member of the
+    * EWMA family: q193 smooths the level, Brown's linear method smooths
+    * the SMOOTH (s2 = EWMA(s1)) and reads level a = 2s1 − s2 and trend
+    * b = (α/(1−α))(s1 − s2) out of the pair, yielding the one-step
+    * forecast a + b — trend tracking with exactly q193's state size.
+    *
+    * The closed form composes q193's device: substituting the s1 closed
+    * form into s2's recursion gives
+    *   s2_t = α²·Σ_k (t−k+1)(1−α)^{t−k} x_k
+    *        + α·μ·(t+1)(1−α)^{t+1} + (1−α)^{t+1}·μ
+    * (both smoothers seeded at the series mean μ, q193's convention) —
+    * so ONE contribution explode carries both sums: per (k, t) row the
+    * s1 weight α(1−α)^d and the s2 weight α²(d+1)(1−α)^d, d = t−k, each
+    * float-cast-pow'd, decimal-summed, finished by fixed-order boundary
+    * terms. The relational recursion discipline, order 2.
+    *
+    * PRECONDITION ts ≥ 1970-01-01 (raw epoch-µs hour buckets, SURVEY
+    * §5.7). Plan: identical to q193 — span²/2 contribution rows, one
+    * map-side-combined aggregate, nothing sequential; the W-truncation
+    * dial (weights < 1e-12 past W ≈ 124 lags) is the long-span
+    * production form.
+    */
+  val q203BrownTrend = Q(
+    "q203_brown_trend",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events WHERE ts IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.m0, g.t, COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS span,
+      |    CAST(sum(x) AS BIGINT) AS s
+      |  FROM x GROUP BY 1
+      |),
+      |contrib AS (
+      |  SELECT x.event_type,
+      |    unnest(range(x.t, m.span)) AS t2, x.t, x.x
+      |  FROM x JOIN mom m USING (event_type)
+      |),
+      |z AS (
+      |  SELECT event_type, t2 AS t,
+      |    sum(CAST(CAST(0.2 AS DOUBLE)
+      |      * CAST(pow(0.8, t2 - t) AS FLOAT)
+      |      * CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS sd1,
+      |    sum(CAST(CAST(0.04 AS DOUBLE)
+      |      * CAST(t2 - t + 1 AS DOUBLE)
+      |      * CAST(pow(0.8, t2 - t) AS FLOAT)
+      |      * CAST(x AS DOUBLE) AS DECIMAL(18,9))) AS sd2
+      |  FROM contrib GROUP BY 1, 2
+      |),
+      |fin AS (
+      |  SELECT z.event_type, z.t, x.m0, x.x,
+      |    CAST(z.sd1 AS DOUBLE) + CAST(pow(0.8, z.t + 1) AS FLOAT)
+      |      * (CAST(m.s AS DOUBLE) / CAST(m.span AS DOUBLE)) AS s1,
+      |    CAST(z.sd2 AS DOUBLE)
+      |      + CAST(0.2 AS DOUBLE)
+      |        * (CAST(m.s AS DOUBLE) / CAST(m.span AS DOUBLE))
+      |        * CAST(z.t + 1 AS DOUBLE)
+      |        * CAST(pow(0.8, z.t + 1) AS FLOAT)
+      |      + CAST(pow(0.8, z.t + 1) AS FLOAT)
+      |        * (CAST(m.s AS DOUBLE) / CAST(m.span AS DOUBLE)) AS s2
+      |  FROM z JOIN x ON z.event_type = x.event_type AND z.t = x.t
+      |  JOIN mom m ON m.event_type = z.event_type
+      |)
+      |SELECT event_type,
+      |  make_timestamp((m0 + t) * 3600000000) AS hour,
+      |  CAST(x AS BIGINT) AS n,
+      |  round(s1, 6) AS s1,
+      |  round(s2, 6) AS s2,
+      |  round(2 * s1 - s2, 6) AS level,
+      |  round(0.25 * (s1 - s2), 6) AS trend,
+      |  round((2 * s1 - s2) + 0.25 * (s1 - s2), 6) AS forecast_next
+      |FROM fin
+      |ORDER BY event_type NULLS FIRST, hour NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("m0"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint() // 3 consumers: moments, contributions, finish
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("span"),
+        sum(col("x")).cast("long").as("s"))
+    val z = x.join(mom, "event_type")
+      .select(col("event_type"), col("t"), col("x"),
+        explode(expr("sequence(t, span - 1)")).as("t2"))
+      .groupBy(col("event_type"), col("t2").as("t"))
+      .agg(
+        sum(expr("""CAST(CAST(0.2 AS DOUBLE)
+          |  * CAST(pow(0.8, t2 - t) AS FLOAT)
+          |  * CAST(x AS DOUBLE) AS DECIMAL(18,9))""".stripMargin))
+          .as("sd1"),
+        sum(expr("""CAST(CAST(0.04 AS DOUBLE)
+          |  * CAST(t2 - t + 1 AS DOUBLE)
+          |  * CAST(pow(0.8, t2 - t) AS FLOAT)
+          |  * CAST(x AS DOUBLE) AS DECIMAL(18,9))""".stripMargin))
+          .as("sd2"))
+    val fin = z.join(x, Seq("event_type", "t"))
+      .join(mom, "event_type")
+      .select(col("event_type"), col("t"), col("m0"), col("x"),
+        expr("""CAST(sd1 AS DOUBLE) + CAST(pow(0.8, t + 1) AS FLOAT)
+          |  * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))""".stripMargin)
+          .as("s1"),
+        expr("""CAST(sd2 AS DOUBLE)
+          |  + CAST(0.2 AS DOUBLE)
+          |    * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))
+          |    * CAST(t + 1 AS DOUBLE)
+          |    * CAST(pow(0.8, t + 1) AS FLOAT)
+          |  + CAST(pow(0.8, t + 1) AS FLOAT)
+          |    * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))""".stripMargin)
+          .as("s2"))
+    fin.select(col("event_type"),
+        expr("timestamp_micros((m0 + t) * 3600000000)").as("hour"),
+        col("x").cast("long").as("n"),
+        round(col("s1"), 6).as("s1"),
+        round(col("s2"), 6).as("s2"),
+        round(expr("2 * s1 - s2"), 6).as("level"),
+        round(expr("0.25 * (s1 - s2)"), 6).as("trend"),
+        round(expr("(2 * s1 - s2) + 0.25 * (s1 - s2)"), 6)
+          .as("forecast_next"))
+      .orderBy(col("event_type"), col("hour"))
   }
 }

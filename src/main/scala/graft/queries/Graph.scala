@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   def all: Seq[Q] = Seq(q113Pagerank, q134TriangleClustering, q157BfsHops,
-    q181DegreeAssortativity, q182KCore, q190LabelPropagation)
+    q181DegreeAssortativity, q182KCore, q190LabelPropagation,
+    q198AdamicAdar)
 
   private val Iters = 8
   private val Mass = 1000000000000L // 10^12 micro-units of total rank
@@ -587,5 +588,93 @@ object GraphOps {
     labels.join(sz, "label")
       .select(col("node"), col("label").as("community"),
         col("community_size").cast("long").as("community_size"))
+  }
+
+  /** ADAMIC–ADAR LINK PREDICTION — the classic "which items belong
+    * together" score over the bipartite behavior graph (users ↔ event
+    * types, q113's ≥ 15-events incidence): for each type pair, the sum
+    * over common users of 1/ln(deg(user)) — a co-occurrence signal that
+    * DISCOUNTS promiscuous neighbors, which is exactly what separates it
+    * from q153's lift (probability ratio, no degree weighting). Exact
+    * Jaccard of the two user sets rides along from the same margins.
+    *
+    * Exactness: incidence/degrees are exact int64; a common neighbor has
+    * deg ≥ 2 by construction (it touches both endpoints), so ln(deg) > 0
+    * and each weight is one explicit double divide of a float-cast ln
+    * (both operands re-widened to DOUBLE — DuckDB would otherwise divide
+    * FLOAT/FLOAT in float, the q197 lesson); the pair sum is
+    * DECIMAL(18,9).
+    *
+    * Plan: one (user, type) aggregate (map-side combined), then the
+    * standard item-item self-join on user_id — Σᵤ deg(u)² pair rows,
+    * bounded by |catalog|² per user. At web scale the guard is the house
+    * hot-key cap (per-user top-N incidence, the q32 pre-collapse
+    * spirit); the type catalog here is bounded, so none is needed.
+    */
+  val q198AdamicAdar = Q(
+    "q198_adamic_adar",
+    s"""WITH inc AS (
+      |  SELECT user_id, event_type FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2 HAVING count(*) >= $MinPairCount
+      |),
+      |deg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS du
+      |        FROM inc GROUP BY 1),
+      |tdeg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS dt
+      |         FROM inc GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, a.user_id
+      |  FROM inc a JOIN inc b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |),
+      |sc AS (
+      |  SELECT type_a, type_b,
+      |    CAST(count(*) AS BIGINT) AS common_users,
+      |    CAST(sum(CAST(CAST(1.0 AS DOUBLE)
+      |      / CAST(CAST(ln(CAST(d.du AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS aa
+      |  FROM pairs p JOIN deg d ON d.user_id = p.user_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT sc.type_a, sc.type_b, sc.common_users,
+      |  round(sc.aa, 6) AS adamic_adar,
+      |  round(CAST(sc.common_users AS DOUBLE)
+      |    / CAST(ta.dt + tb.dt - sc.common_users AS DOUBLE), 6) AS jaccard
+      |FROM sc JOIN tdeg ta ON ta.event_type = sc.type_a
+      |  JOIN tdeg tb ON tb.event_type = sc.type_b
+      |ORDER BY adamic_adar DESC, type_a, type_b""".stripMargin,
+  ) { (s, d) =>
+    val inc = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cc"))
+      .filter(col("cc") >= MinPairCount)
+      .select(col("user_id"), col("event_type"))
+      .localCheckpoint() // 3 consumers: both pair sides and the degrees
+    val deg = inc.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("du"))
+    val tdeg = inc.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("dt"))
+    val a = inc.select(col("user_id"), col("event_type").as("type_a"))
+    val b = inc.select(col("user_id").as("b_uid"),
+      col("event_type").as("type_b"))
+    val sc = a.join(b,
+        col("user_id") === col("b_uid") && col("type_a") < col("type_b"))
+      .join(deg, "user_id")
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast("long").as("common_users"),
+        sum(expr("""CAST(CAST(1.0 AS DOUBLE)
+          |  / CAST(CAST(ln(CAST(du AS DOUBLE)) AS FLOAT) AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).cast("double").as("aa"))
+    sc.join(broadcast(tdeg.select(col("event_type").as("type_a"),
+        col("dt").as("dt_a"))), "type_a")
+      .join(broadcast(tdeg.select(col("event_type").as("type_b"),
+        col("dt").as("dt_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("common_users"),
+        round(col("aa"), 6).as("adamic_adar"),
+        round(expr("""CAST(common_users AS DOUBLE)
+          |  / CAST(dt_a + dt_b - common_users AS DOUBLE)""".stripMargin), 6)
+          .as("jaccard"))
+      .orderBy(col("adamic_adar").desc, col("type_a"), col("type_b"))
   }
 }

@@ -16,7 +16,7 @@ object TextAnalysis {
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
-      q194HeapsLaw)
+      q194HeapsLaw, q199JsDivergence, q202RakeKeywords)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -1195,5 +1195,224 @@ object TextAnalysis {
         (!col("is_train")).as("is_heldout"),
         (col("pred_lang") === col("lang")).as("correct"))
       .orderBy(col("doc_id"))
+  }
+
+  /** JENSEN–SHANNON SOURCE DRIFT — the symmetric, bounded (≤ ln 2)
+    * divergence between each source's token distribution and the corpus
+    * distribution: the mixture-curation diagnostic that q111's PSI
+    * approximates with bins, computed here EXACTLY over the full
+    * vocabulary. JSD(P‖Q) = ½ KL(P‖M) + ½ KL(Q‖M), M = ½(P+Q); a token
+    * the source never emits still contributes its ½q·ln 2 mass through
+    * the corpus side (the dense source×vocab grid states the p = 0 limit
+    * explicitly — nothing rides on an engine's 0·ln 0 behavior).
+    *
+    * Exactness: all probabilities are exact-int64 count ratios divided
+    * in a FIXED parenthesization; the two lns are float-cast (q131
+    * discipline); per-token terms sum as DECIMAL(18,9). The bits
+    * conversion divides by a float-cast ln(2) re-widened to DOUBLE (the
+    * q197 float-division lesson).
+    *
+    * Plan: one explode → (source, token) aggregate (map-side combined),
+    * margins, then a |sources|·|vocab| broadcast grid — category-bounded
+    * after the first aggregate. At 100 TB the vocab margin is the only
+    * wide state; it is itself a hash aggregate with no row-proportional
+    * tail.
+    */
+  val q199JsDivergence = Q(
+    "q199_js_divergence",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      |),
+      |st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS a
+      |       FROM tok GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(sum(a) AS BIGINT) AS sa
+      |         FROM st GROUP BY 1),
+      |ct AS (SELECT t, CAST(sum(a) AS BIGINT) AS b FROM st GROUP BY 1),
+      |ctot AS (SELECT CAST(sum(b) AS BIGINT) AS cb FROM ct),
+      |grid AS (
+      |  SELECT s.source, s.sa, c.t, c.b, coalesce(st.a, 0) AS a, ctot.cb
+      |  FROM stot s CROSS JOIN ct c
+      |  LEFT JOIN st ON st.source = s.source AND st.t = c.t, ctot
+      |),
+      |terms AS (
+      |  SELECT source,
+      |    CASE WHEN a > 0 THEN
+      |      CAST(0.5 AS DOUBLE) * (CAST(a AS DOUBLE) / CAST(sa AS DOUBLE))
+      |        * CAST(ln((CAST(a AS DOUBLE) / CAST(sa AS DOUBLE))
+      |            / (CAST(0.5 AS DOUBLE)
+      |               * (CAST(a AS DOUBLE) / CAST(sa AS DOUBLE)
+      |                  + CAST(b AS DOUBLE) / CAST(cb AS DOUBLE))))
+      |          AS FLOAT)
+      |      ELSE CAST(0 AS DOUBLE) END
+      |    + CAST(0.5 AS DOUBLE) * (CAST(b AS DOUBLE) / CAST(cb AS DOUBLE))
+      |        * CAST(ln((CAST(b AS DOUBLE) / CAST(cb AS DOUBLE))
+      |            / (CAST(0.5 AS DOUBLE)
+      |               * (CAST(a AS DOUBLE) / CAST(sa AS DOUBLE)
+      |                  + CAST(b AS DOUBLE) / CAST(cb AS DOUBLE))))
+      |          AS FLOAT) AS term
+      |  FROM grid
+      |),
+      |agg AS (
+      |  SELECT source, CAST(sum(CAST(term AS DECIMAL(18,9))) AS DOUBLE)
+      |    AS jsd
+      |  FROM terms GROUP BY 1
+      |)
+      |SELECT a.source, s.sa AS n_tokens, round(a.jsd, 6) AS jsd_nats,
+      |  round(a.jsd / CAST(CAST(ln(2.0) AS FLOAT) AS DOUBLE), 6)
+      |    AS jsd_bits
+      |FROM agg a JOIN stot s USING (source)
+      |ORDER BY a.source""".stripMargin,
+  ) { (s, d) =>
+    val tok = Tables.documentsWide(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val st = tok.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).cast("long").as("a"))
+      .localCheckpoint() // 3 consumers: both margins and the grid
+    val stot = st.groupBy(col("source")).agg(sum(col("a")).cast("long")
+      .as("sa"))
+    val ct = st.groupBy(col("t")).agg(sum(col("a")).cast("long").as("b"))
+    val ctot = ct.agg(sum(col("b")).cast("long").as("cb"))
+    val grid = stot.crossJoin(ct)
+      .join(st, Seq("source", "t"), "left")
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("sa"), col("t"), col("b"),
+        coalesce(col("a"), lit(0L)).as("a"), col("cb"))
+    val terms = grid.select(col("source"), expr(
+      """CASE WHEN a > 0 THEN
+        |  CAST(0.5 AS DOUBLE) * (CAST(a AS DOUBLE) / CAST(sa AS DOUBLE))
+        |    * CAST(ln((CAST(a AS DOUBLE) / CAST(sa AS DOUBLE))
+        |        / (CAST(0.5 AS DOUBLE)
+        |           * (CAST(a AS DOUBLE) / CAST(sa AS DOUBLE)
+        |              + CAST(b AS DOUBLE) / CAST(cb AS DOUBLE))))
+        |      AS FLOAT)
+        |  ELSE CAST(0 AS DOUBLE) END
+        |+ CAST(0.5 AS DOUBLE) * (CAST(b AS DOUBLE) / CAST(cb AS DOUBLE))
+        |    * CAST(ln((CAST(b AS DOUBLE) / CAST(cb AS DOUBLE))
+        |        / (CAST(0.5 AS DOUBLE)
+        |           * (CAST(a AS DOUBLE) / CAST(sa AS DOUBLE)
+        |              + CAST(b AS DOUBLE) / CAST(cb AS DOUBLE))))
+        |      AS FLOAT)""".stripMargin).as("term"))
+    terms.groupBy(col("source"))
+      .agg(sum(expr("CAST(term AS DECIMAL(18,9))")).cast("double").as("jsd"))
+      .join(stot, "source")
+      .select(col("source"), col("sa").as("n_tokens"),
+        round(col("jsd"), 6).as("jsd_nats"),
+        round(expr("jsd / CAST(CAST(ln(2.0) AS FLOAT) AS DOUBLE)"), 6)
+          .as("jsd_bits"))
+      .orderBy(col("source"))
+  }
+
+  /** RAKE KEYWORD EXTRACTION — Rose et al.'s Rapid Automatic Keyword
+    * Extraction, the unsupervised phrase miner that complements q146's
+    * PMI bigrams: candidate phrases are maximal stopword-free token runs
+    * (stoplist {'a','the'} — the corpus's two function words; runs longer
+    * than 4 tokens are DISCARDED, the standard length guard stated as
+    * part of the operator's definition), scored by Σ_w deg(w)/freq(w)
+    * where freq counts a word's occurrences in candidates and deg sums
+    * the lengths of the candidate phrases containing it — words that
+    * travel in long phrases outrank loners of equal frequency.
+    *
+    * Exactness: run segmentation is a cumulative stopword count (window
+    * over an int flag — pure integers); deg/freq are exact int64; each
+    * word score is ONE double divide, phrase scores sum them as
+    * DECIMAL(18,9) (associative — the per-phrase word order can differ
+    * between engines); identical phrases aggregate by max(score), which
+    * is exact because every occurrence computes the same decimal sum.
+    *
+    * Plan: positional explode → per-doc window (partition-local) → two
+    * bounded aggregates (word stats, phrase rollup) → top-30 sort.
+    * Nothing pairwise, nothing driver-side; the explode is the only
+    * corpus-proportional stage.
+    */
+  val q202RakeKeywords = Q(
+    "q202_rake_keywords",
+    """WITH d0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents WHERE text IS NOT NULL
+      |),
+      |tokp AS (
+      |  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr
+      |  FROM d0
+      |),
+      |tok AS (
+      |  SELECT doc_id, pos, arr[pos] AS t,
+      |    CASE WHEN arr[pos] IN ('a', 'the') THEN 1 ELSE 0 END AS stop
+      |  FROM tokp
+      |),
+      |runs0 AS (
+      |  SELECT doc_id, pos, t, stop,
+      |    sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM tok
+      |),
+      |runs AS (SELECT doc_id, pos, t, run FROM runs0 WHERE stop = 0),
+      |cand AS (
+      |  SELECT doc_id, run, count(*) AS plen,
+      |    string_agg(t, ' ' ORDER BY pos) AS phrase
+      |  FROM runs GROUP BY 1, 2
+      |  HAVING count(*) <= 4
+      |),
+      |cw AS (
+      |  SELECT r.doc_id, r.run, r.t, c.plen, c.phrase
+      |  FROM runs r JOIN cand c
+      |    ON c.doc_id = r.doc_id AND c.run = r.run
+      |),
+      |ws AS (
+      |  SELECT t, CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(plen) AS BIGINT) AS deg
+      |  FROM cw GROUP BY 1
+      |),
+      |ps AS (
+      |  SELECT cw.doc_id, cw.run, cw.phrase,
+      |    sum(CAST(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS score
+      |  FROM cw JOIN ws ON ws.t = cw.t
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT phrase, CAST(count(*) AS BIGINT) AS occurrences,
+      |  round(CAST(max(score) AS DOUBLE), 6) AS score
+      |FROM ps
+      |GROUP BY phrase
+      |ORDER BY score DESC, phrase
+      |LIMIT 30""".stripMargin,
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documentsWide(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("t"),
+        when(col("col").isin("a", "the"), 1).otherwise(0).as("stop"))
+    val runs = tok
+      .withColumn("run", sum(col("stop")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("stop") === 0)
+      .select(col("doc_id"), col("pos"), col("t"), col("run"))
+      .localCheckpoint() // 2 consumers: candidates and the word join
+    val cand = runs.groupBy(col("doc_id"), col("run"))
+      .agg(count(lit(1)).as("plen"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, t))), x -> x.t)"),
+          " ").as("phrase"))
+      .filter(col("plen") <= 4)
+    val cw = runs.join(cand, Seq("doc_id", "run"))
+      .select(col("doc_id"), col("run"), col("t"), col("plen"),
+        col("phrase"))
+      .localCheckpoint() // 2 consumers: word stats and the phrase rollup
+    val ws = cw.groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("freq"),
+        sum(col("plen")).cast("long").as("deg"))
+    val ps = cw.join(ws, "t")
+      .groupBy(col("doc_id"), col("run"), col("phrase"))
+      .agg(sum(expr(
+        """CAST(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).as("score"))
+    ps.groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("occurrences"),
+        round(max(col("score")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(30)
   }
 }

@@ -415,6 +415,52 @@ class EdgeEventsSpec extends SparkSpec {
     assert(!got.take(10).exists(_._3), "calm head must not be flagged")
   }
 
+  test("q203 Brown closed form ≡ the coupled s1/s2 recursion; trend " +
+      "tracks a planted ramp; solo hour gives zero trend") {
+    // degenerate: a single-hour type — s1 = s2 = μ = x, trend exactly 0
+    val solo = SparkEntry.queries("q203_brown_trend")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(6)))
+      .filter(_._1 == "solo")
+    assert(solo.length === 1)
+    assert(math.abs(solo.head._3 - solo.head._2) < 1e-6, "s1 = x")
+    assert(math.abs(solo.head._4 - solo.head._2) < 1e-6, "s2 = x")
+    assert(math.abs(solo.head._5) < 1e-6, "trend = 0")
+
+    // planted linear ramp: k events in hour k — the recursion replay is
+    // a genuinely different algorithm (sequential, coupled state) than
+    // the engine's single-explode closed form, and on a ramp the trend
+    // must converge near the true slope 1
+    val d = "/tmp/graft_edge_events_brown"
+    import spark.implicits._
+    val evs = (0 until 40).flatMap { h =>
+      (0 to h).map(k => ((h * 100 + k).toLong,
+        (h * 3600L + k * 60) * 1000000000L, 1L, "r", 1.0, "{}"))
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q203_brown_trend")(spark, d).collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.length === 40)
+    val xs = got.map(_._1.toDouble)
+    val mu = xs.sum / xs.length
+    var s1 = mu; var s2 = mu
+    for (t <- 0 until 40) {
+      s1 = 0.2 * xs(t) + 0.8 * s1
+      s2 = 0.2 * s1 + 0.8 * s2
+      val (_, gs1, gs2, glvl, gtr, gfc) = got(t)
+      assert(math.abs(gs1 - s1) < 1e-4, s"hour $t s1 $gs1 vs $s1")
+      assert(math.abs(gs2 - s2) < 1e-4, s"hour $t s2 $gs2 vs $s2")
+      assert(math.abs(glvl - (2 * s1 - s2)) < 1e-4, s"hour $t level")
+      assert(math.abs(gtr - 0.25 * (s1 - s2)) < 1e-4, s"hour $t trend")
+      assert(math.abs(gfc - (2 * s1 - s2 + 0.25 * (s1 - s2))) < 1e-4)
+    }
+    // x_t = t + 1 exactly: the steady-state double-smoothing trend is 1
+    assert(math.abs(got.last._5 - 1.0) < 0.15,
+      s"ramp trend ${got.last._5} far from slope 1")
+  }
+
   test("q177: zero pre-period variance gives NULL theta and adjusted " +
       "means, with raw means intact") {
     // every user's first-half spend is identical → var(x) = 0 → θ and the

@@ -228,4 +228,38 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(p3 === Map(7L -> 8L, 8L -> 7L), p3.toString)
   }
+
+  test("q198 Adamic–Adar replays from driver-side neighbor sets; " +
+      "degree-1 users never contribute") {
+    val got = GraphOps.q198AdamicAdar.fn(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val inc = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 15)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = inc.groupBy(_._2).map { case (t, v) => t -> v.map(_._1).toSet }
+    val du = inc.groupBy(_._1).map { case (u, v) => u -> v.length }
+    val types = byType.keys.toSeq.sorted
+    var pairsChecked = 0
+    for (i <- types.indices; j <- i + 1 until types.length) {
+      val (ta, tb) = (types(i), types(j))
+      val common = byType(ta) & byType(tb)
+      if (common.nonEmpty) {
+        pairsChecked += 1
+        val (gc, gaa, gj) = got((ta, tb))
+        assert(gc === common.size.toLong, s"($ta,$tb) common")
+        assert(common.forall(du(_) >= 2), "common neighbors have deg >= 2")
+        val aa = common.toSeq.map(u => 1.0 / math.log(du(u))).sum
+        val jac = common.size.toDouble /
+          (byType(ta).size + byType(tb).size - common.size)
+        assert(math.abs(gaa - aa) < 1e-5, s"($ta,$tb) aa $gaa vs $aa")
+        assert(math.abs(gj - jac) < 1e-6, s"($ta,$tb) jaccard")
+      } else assert(!got.contains((ta, tb)), s"($ta,$tb) fabricated")
+    }
+    assert(pairsChecked === got.size, "every emitted pair was checked")
+    assert(got.nonEmpty)
+  }
 }

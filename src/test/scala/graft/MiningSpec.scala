@@ -491,6 +491,56 @@ class MiningSpec extends SparkSpec {
       s"credited $credited vs total $totalMicro (bound $bound)")
   }
 
+  test("q201 U-shaped credits equal a driver-side position split and " +
+      "conserve revenue EXACTLY") {
+    import queries.Analytic
+    val got = Analytic.q201PositionAttribution.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("unix_micros(ts)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.round(100 * r.getDouble(3)), r.getLong(4)))
+    val byUser = ev.groupBy(_._1)
+    val credits = byUser.toSeq.flatMap { case (_, g) =>
+      val touches = g.filter(e => e._3 == "view" || e._3 == "click")
+      g.filter(p => p._3 == "purchase" && p._4 >= 0).toSeq.flatMap { p =>
+        val tot = p._4 * 10000L
+        val w = touches.filter(t =>
+            t._5 <= p._5 && p._5 - t._5 <= 7L * 86400000000L)
+          .sortBy(t => (t._5, t._2)).toSeq // total order: (us, event_id)
+        val n = w.length
+        if (n == 0) Seq(("none", p._2, tot))
+        else if (n == 1) Seq((w.head._3, p._2, tot))
+        else if (n == 2) Seq((w(0)._3, p._2, (tot + 1) / 2),
+          (w(1)._3, p._2, tot / 2))
+        else {
+          val end = (2L * tot) / 5L
+          val midTot = tot - 2 * end
+          val base = midTot / (n - 2); val rem = midTot % (n - 2)
+          w.zipWithIndex.map { case (t, i) =>
+            val c = if (i == 0 || i == n - 1) end
+              else base + (if (i == 1) rem else 0L)
+            (t._3, p._2, c)
+          }
+        }
+      }
+    }
+    val expect = credits.groupBy(_._1).map { case (ch, rows) =>
+      ch -> ((rows.size.toLong, rows.map(_._2).distinct.size.toLong,
+        rows.map(_._3).sum))
+    }
+    assert(got === expect)
+    // the integer U-rule conserves micro-revenue EXACTLY per conversion
+    val totalMicro = ev.filter(p => p._3 == "purchase" && p._4 >= 0)
+      .map(_._4 * 10000L).sum
+    assert(got.values.map(_._3).sum === totalMicro,
+      "position credits must conserve total revenue exactly")
+  }
+
   test("q180 closed-form CUSUM equals the literal max(0, S+d) recurrence") {
     import queries.Analytic
     val got = Analytic.q180CusumPeak.fn(spark, sf).collect()

@@ -33,7 +33,8 @@ class ShortDocSpec extends SparkSpec {
       "q83_doc_chunks", "q86_dup_ngrams", "q87_token_entropy", "q101_bm25",
       "q112_weighted_sample", "q117_dedup_survivors", "q131_lm_perplexity",
       "q136_boilerplate_strip", "q172_dsir_weights", "q173_bpe_encode",
-      "q176_quantile_normalize", "q188_nb_classifier")
+      "q176_quantile_normalize", "q188_nb_classifier", "q199_js_divergence",
+      "q202_rake_keywords")
 
   for (name <- docQueries) {
     test(s"$name survives sub-window documents") {
@@ -337,5 +338,83 @@ class ShortDocSpec extends SparkSpec {
     assert(rows.keySet === Set(3L, 4L))
     assert(rows(3L)._2 === 1.0 && rows(4L)._2 === 0.0)
     assert(rows(3L)._1 === 2L && rows(4L)._1 === 0L)
+  }
+
+  test("q199 JSD replays at full precision, is bounded by ln 2, and a " +
+      "single-source corpus scores 0") {
+    val got = SparkEntry.queries("q199_js_divergence")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val toks = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val corpus = toks.groupBy(_._2).map { case (t, v) => t -> v.length }
+    val cb = toks.length.toDouble
+    for ((src, nTok, jsdN, jsdB) <- got) {
+      val mine = toks.filter(_._1 == src).groupBy(_._2)
+        .map { case (t, v) => t -> v.length }
+      val sa = mine.values.sum.toDouble
+      assert(nTok === sa.toLong, s"$src token count")
+      // full-precision math.log replay (engine used float-cast ln).
+      // .toSeq FIRST: corpus.keys is a runtime Set and mapping it to
+      // per-token Doubles would COLLAPSE equal terms (§5.7's Map.map
+      // pair-collapse, the set flavor)
+      val jsd = corpus.keys.toSeq.map { t =>
+        val p = mine.getOrElse(t, 0) / sa
+        val q = corpus(t) / cb
+        val m = 0.5 * (p + q)
+        (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+          0.5 * q * math.log(q / m)
+      }.sum
+      assert(math.abs(jsdN - jsd) < 1e-5, s"$src jsd $jsdN vs $jsd")
+      assert(jsdN >= -1e-9 && jsdN <= math.log(2) + 1e-9, s"$src bounds")
+      assert(math.abs(jsdB - jsdN / math.log(2)) < 1e-5, s"$src bits")
+    }
+    // a corpus with ONE source: P = Q exactly → JSD exactly 0
+    val d1 = "/tmp/graft_jsd_single"
+    import spark.implicits._
+    Seq((1L, "x y z", "en", "only", 5L), (2L, "x y", "en", "only", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val solo = SparkEntry.queries("q199_js_divergence")(spark, d1).collect()
+    assert(solo.length === 1 && solo.head.getDouble(2) === 0.0)
+  }
+
+  test("q202 RAKE replays from a driver-side candidate/degree/frequency " +
+      "computation") {
+    val got = SparkEntry.queries("q202_rake_keywords")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val texts = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("text")).collect().map(_.getString(0))
+    val stop = Set("a", "the")
+    // candidates: maximal non-stop runs, length 1..4, across all docs
+    val cands = texts.flatMap { t =>
+      val runs = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+      var cur = Vector.empty[String]
+      for (w <- t.split(" ", -1)) {
+        if (stop(w)) { if (cur.nonEmpty) runs += cur; cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) runs += cur
+      runs.filter(_.length <= 4)
+    }
+    val freq = cands.flatten.groupBy(identity).map { case (w, v) =>
+      w -> v.length.toLong }
+    val deg = cands.flatMap(c => c.map(_ -> c.length.toLong))
+      .groupBy(_._1).map { case (w, v) => w -> v.map(_._2).sum }
+    val scoreOf = (c: Vector[String]) =>
+      c.map(w => deg(w).toDouble / freq(w)).sum
+    val expect = cands.groupBy(_.mkString(" ")).map { case (p, v) =>
+      p -> ((v.length.toLong, scoreOf(v.head))) }
+    // the engine returns the top 30 by (score desc, phrase) — replay that
+    val order = expect.toSeq
+      .sortBy { case (p, (_, sc)) => (-math.round(sc * 1e6), p) }.take(30)
+    assert(got.length === order.length)
+    for (((p, occ, sc), (wp, (wocc, wsc))) <- got.zip(order)) {
+      assert(p === wp, s"phrase order: $p vs $wp")
+      assert(occ === wocc, s"$p occurrences")
+      assert(math.abs(sc - wsc) < 1e-5, s"$p score $sc vs $wsc")
+    }
   }
 }
