@@ -425,4 +425,35 @@ class ScaleSpec extends SparkSpec {
         s"expected exactly one term exchange, saw $termExchanges:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("round-12 family (q197–q206): no cartesian; nested-loop only for " +
+      "designed bounded broadcasts") {
+    // pair generators are all keyed equi joins: q198's item-item self-join
+    // shuffles on user_id, q201's 7-day band rides the user equi key,
+    // q206's O(n²) lattice rides the event_type equi key with the k ≥ j
+    // range as a residual condition — none may plan an unbounded pair
+    // scan. q204/q203 are grid/window shaped; q202's joins are
+    // (doc, run)/term keyed.
+    for (name <- Seq("q198_adamic_adar", "q201_position_attribution",
+      "q202_rake_keywords", "q203_brown_trend", "q204_mase_eval",
+      "q206_isotonic_pava")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested-loop join:\n$plan")
+    }
+    // q197 (1-row n), q199 (1-row corpus total), q200 (1-row totals ×3 +
+    // the |langs|×|sources| margin grid), q205 (3×3 literal label grid +
+    // 1-row totals) carry DESIGNED bounded broadcasts that plan as
+    // BroadcastNestedLoop; an unbounded cartesian is still forbidden.
+    for (name <- Seq("q197_benford_audit", "q199_js_divergence",
+      "q200_contingency_assoc", "q205_cohens_kappa")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+    }
+  }
 }
