@@ -2024,7 +2024,8 @@ object Analytic {
     """WITH e AS (
       |  SELECT event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
       |),
       |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
       |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
@@ -2077,10 +2078,10 @@ object Analytic {
       |  round(mu - 3 * hw, 6) AS lcl,
       |  ewma > mu + 3 * hw OR ewma < mu - 3 * hw AS out_of_control
       |FROM fin
-      |ORDER BY event_type NULLS FIRST, hour NULLS FIRST""".stripMargin,
+      |ORDER BY event_type, hour""".stripMargin,
   ) { (s, d) =>
     val mc = Tables.events(s, d)
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("m"))
       .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
@@ -2523,16 +2524,16 @@ object Analytic {
       |t AS (SELECT user_id, event_id, event_type, us FROM e
       |      WHERE event_type IN ('view', 'click')),
       |j AS (
-      |  SELECT p.conv_id, p.cents, t.event_type AS channel,
+      |  SELECT p.conv_id, p.cents, t.event_type AS raw_channel,
       |    t.us, t.event_id
       |  FROM p LEFT JOIN t ON p.user_id = t.user_id
       |    AND t.us <= p.us AND p.us - t.us <= 7 * 86400000000
       |),
       |r AS (
-      |  SELECT conv_id, cents, coalesce(channel, 'none') AS channel,
+      |  SELECT conv_id, cents, coalesce(raw_channel, 'none') AS channel,
       |    row_number() OVER (PARTITION BY conv_id
       |      ORDER BY us NULLS FIRST, event_id NULLS FIRST) AS pos,
-      |    count(channel) OVER (PARTITION BY conv_id) AS n
+      |    count(raw_channel) OVER (PARTITION BY conv_id) AS n
       |  FROM j
       |),
       |credit AS (
@@ -2631,7 +2632,8 @@ object Analytic {
     """WITH e AS (
       |  SELECT event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
       |),
       |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
       |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
@@ -2690,10 +2692,10 @@ object Analytic {
       |  round(0.25 * (s1 - s2), 6) AS trend,
       |  round((2 * s1 - s2) + 0.25 * (s1 - s2), 6) AS forecast_next
       |FROM fin
-      |ORDER BY event_type NULLS FIRST, hour NULLS FIRST""".stripMargin,
+      |ORDER BY event_type, hour""".stripMargin,
   ) { (s, d) =>
     val mc = Tables.events(s, d)
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("m"))
       .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))

@@ -1360,7 +1360,12 @@ object Stats {
     * algebraic form (o·n − r·c)²/(n·r·c) — the numerator is an exact
     * int64 DIFFERENCE squared in doubles, denominators chain as separate
     * fixed-order divides (n·r·c as one int64 product would overflow near
-    * 10⁹-row tables; the chained-divide form never does). MI terms are
+    * 10⁹-row tables; the chained-divide form never does). The NUMERATOR
+    * o·n − r·c is still int64 arithmetic: o can approach n, so o·n
+    * approaches n², which stays in-range only while n ≤ ⌊√(2⁶³−1)⌋
+    * ≈ 3.03e9 rows — the same validity bound q205 documents. Past it,
+    * switch the numerator to the (o − e)² double form (e = r·c/n as
+    * chained double divides) and accept one rounding in e. MI terms are
     * (o/n)·ln(o·n/(r·c)) with the float-cast ln; both totals are
     * DECIMAL(18,9) sums. Zero cells contribute their χ² expectation and
     * 0 to MI (the 0·ln 0 limit, stated EXPLICITLY via CASE on both
@@ -1519,7 +1524,8 @@ object Stats {
     """WITH e AS (
       |  SELECT event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
       |),
       |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
       |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
@@ -1570,10 +1576,10 @@ object Stats {
       |    / nullif(CAST(ssum AS DOUBLE) / nullif(CAST(scnt AS DOUBLE), 0.0),
       |             0.0), 6) AS mase
       |FROM agg
-      |ORDER BY event_type NULLS FIRST""".stripMargin,
+      |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
     val mc = Tables.events(s, d)
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("m"))
       .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
@@ -1748,6 +1754,7 @@ object Stats {
       |    CAST(round(100 * value) AS BIGINT) AS cents
       |  FROM events
       |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL
       |),
       |dayagg AS (
       |  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS s,
@@ -1786,10 +1793,11 @@ object Stats {
       |  round(fit.f, 6) AS iso_fit
       |FROM idx JOIN fit
       |  ON fit.event_type = idx.event_type AND fit.i = idx.i
-      |ORDER BY idx.event_type NULLS FIRST, day""".stripMargin,
+      |ORDER BY idx.event_type, day""".stripMargin,
   ) { (s, d) =>
     val e = Tables.events(s, d)
-      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"),
         expr("CAST(round(100 * value) AS BIGINT)").as("cents"))
