@@ -53,6 +53,7 @@ object Analytic {
     q193EwmaChart,
     q201PositionAttribution,
     q203BrownTrend,
+    q211OhlcBars,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -2750,5 +2751,86 @@ object Analytic {
         round(expr("(2 * s1 - s2) + 0.25 * (s1 - s2)"), 6)
           .as("forecast_next"))
       .orderBy(col("event_type"), col("hour"))
+  }
+  /** OHLC BARS — the time-bucket summary every monitoring/market surface
+    * draws: per (event_type, day), the OPEN (first value in timestamp
+    * order), HIGH, LOW, CLOSE (last value) and volume of `value`. The
+    * open/close are ORDER statistics, not aggregates — the operator's
+    * whole point is a total order inside each bucket.
+    *
+    * Exactness: values are cents-scaled int64 end to end (min/max/sum and
+    * the first/last selections are all integer); the intra-bucket order
+    * is (µs, event_id) — event ids are unique, so first/last are
+    * engine-independent (the q201 total-order discipline). Open/close
+    * are selected with the portable row_number-and-CASE device rather
+    * than engine-specific arg_min/min_by, whose NULL and tie semantics
+    * differ across engines.
+    *
+    * PRECONDITION ts ≥ 1970-01-01 (raw epoch-µs day buckets, SURVEY
+    * §5.7). Plan: two row_number windows over the same (type, day)
+    * partition — one sort, Spark computes both in a single Window node —
+    * then one map-side-combined aggregate; partitions are day-bounded, so
+    * at 100 TB each sort is a few thousand rows and the shuffle key
+    * (type, day) is perfectly balanced across a month.
+    */
+  val q211OhlcBars = Q(
+    "q211_ohlc_bars",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_id,
+      |    CAST(round(100 * value) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |r AS (
+      |  SELECT event_type, day, cents,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY us, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY us DESC, event_id DESC) AS rd
+      |  FROM e
+      |)
+      |SELECT event_type, CAST(day AS BIGINT) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_cents,
+      |  CAST(max(cents) AS BIGINT) AS high_cents,
+      |  CAST(min(cents) AS BIGINT) AS low_cents,
+      |  CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT)
+      |    AS close_cents,
+      |  CAST(sum(cents) AS BIGINT) AS volume_cents
+      |FROM r GROUP BY 1, 2
+      |ORDER BY event_type, day""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_id"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"))
+    val wAsc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    e.select(col("event_type"), col("day"), col("cents"),
+        row_number().over(wAsc).as("ra"),
+        row_number().over(wDesc).as("rd"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max(when(col("ra") === 1, col("cents"))).cast("long")
+          .as("open_cents"),
+        max(col("cents")).cast("long").as("high_cents"),
+        min(col("cents")).cast("long").as("low_cents"),
+        max(when(col("rd") === 1, col("cents"))).cast("long")
+          .as("close_cents"),
+        sum(col("cents")).cast("long").as("volume_cents"))
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("n_events"), col("open_cents"), col("high_cents"),
+        col("low_cents"), col("close_cents"), col("volume_cents"))
+      .orderBy(col("event_type"), col("day"))
   }
 }

@@ -27,7 +27,8 @@ object Stats {
   def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms,
     q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi,
     q174CalibrationBrier, q177Cuped, q192Msprt, q197BenfordAudit,
-    q200ContingencyAssoc, q204MaseEval, q205CohensKappa, q206IsotonicPava)
+    q200ContingencyAssoc, q204MaseEval, q205CohensKappa, q206IsotonicPava,
+    q207MannWhitney, q208KendallTau, q209TheilSen, q210Wasserstein1)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -1834,5 +1835,494 @@ object Stats {
           .as("day_mean"),
         round(col("f"), 6).as("iso_fit"))
       .orderBy(col("event_type"), col("day"))
+  }
+  /** MANN–WHITNEY U — the nonparametric two-sample test an experiment
+    * pipeline reaches for when `value` is skewed and the Welch t (q162)
+    * assumption set is suspect: users hash-split into two variants (the
+    * q154/q65 md5-parity device, a pure function of user_id), and per
+    * event type the rank-sum U of variant 0's event values is tested
+    * against the no-shift null with the TIE-CORRECTED normal
+    * approximation z² = 3·(2U − n₁n₂)² / (n₁n₂·[(N+1) − Σ(t³−t)/(N(N−1))]),
+    * significant at χ²₍₁,0.05₎ = 3.8415. Complements q160 structurally —
+    * same run-length midrank device, but as a TEST with tie-corrected
+    * variance rather than a ranking metric.
+    *
+    * Exactness: midranks never materialize as fractions — mid2 = 2·midrank
+    * stays integer via the run-length cumulative (q160's device), so
+    * u2 = 2U₁ = Σcnt₁·mid2 − n₁(n₁+1) and the tie mass Σ(t³−t) are exact
+    * int64; z² is a FIXED-ORDER chain of double ops over those integers.
+    * Validity bounds (documented like q200/q205): (2U − n₁n₂)² needs
+    * |2U − n₁n₂| ≤ n₁n₂ ≤ 3.03e9 to stay int64-exact — beyond ~55k×55k
+    * arm sizes, square in doubles instead; Σ(t³−t) ≤ N³ bounds N ≤ 2.09e6
+    * before the int64 cube overflows — beyond that, aggregate the tie
+    * term in DECIMAL. Degenerate guards are EXPLICIT on both engines:
+    * one-sided or single-observation samples (n₁·n₂ = 0 or N ≤ 1) and the
+    * all-tied sample (tie term makes the bracket 0) yield NULL z², never
+    * NaN — the CASE/nullif pair, not IEEE accident.
+    *
+    * Plan: one scan → (type, cents) run-length aggregate (map-side
+    * combined, ≤ distinct-values rows per type), one category-bounded
+    * window, one 5-row finish. Nothing row-proportional shuffles past the
+    * first aggregate; at 100 TB the variant hash adds zero shuffle (it is
+    * a projection), and the run-length table is |type|·|distinct cents|.
+    */
+  val q207MannWhitney = Q(
+    "q207_mann_whitney",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(100 * value) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5('mw|' || CAST(user_id AS VARCHAR)), 1, 1))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |runs AS (
+      |  SELECT event_type, cents,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cnt1
+      |  FROM e GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT event_type, cents, cnt, cnt1,
+      |    2 * (sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+      |      + cnt + 1 AS mid2
+      |  FROM runs
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(sum(cnt1) AS BIGINT) AS n1,
+      |    CAST(sum(cnt) - sum(cnt1) AS BIGINT) AS n2,
+      |    CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(cnt1 * mid2) - sum(cnt1) * (sum(cnt1) + 1) AS BIGINT)
+      |      AS u2,
+      |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties3
+      |  FROM rk GROUP BY 1
+      |)
+      |SELECT event_type, n1, n2, u2,
+      |  round(CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+      |    CAST(3 AS DOUBLE)
+      |      * CAST((u2 - n1 * n2) * (u2 - n1 * n2) AS DOUBLE)
+      |      / nullif(CAST(n1 * n2 AS DOUBLE)
+      |        * (CAST(n + 1 AS DOUBLE)
+      |          - CAST(ties3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+      |        CAST(0 AS DOUBLE))
+      |    ELSE NULL END, 6) AS z2,
+      |  (CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+      |    CAST(3 AS DOUBLE)
+      |      * CAST((u2 - n1 * n2) * (u2 - n1 * n2) AS DOUBLE)
+      |      / nullif(CAST(n1 * n2 AS DOUBLE)
+      |        * (CAST(n + 1 AS DOUBLE)
+      |          - CAST(ties3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+      |        CAST(0 AS DOUBLE))
+      |    ELSE NULL END) > 3.8415 AS significant
+      |FROM agg
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        (conv(substring(md5(concat(lit("mw|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10).cast("long") % 2)
+          .as("variant"))
+    val runs = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long")
+          .as("cnt1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rk = runs.withColumn("mid2",
+      lit(2) * (sum(col("cnt")).over(w) - col("cnt")) + col("cnt") + 1)
+    val agg = rk.groupBy(col("event_type"))
+      .agg(sum(col("cnt1")).cast("long").as("n1"),
+        (sum(col("cnt")) - sum(col("cnt1"))).cast("long").as("n2"),
+        sum(col("cnt")).cast("long").as("n"),
+        (sum(col("cnt1") * col("mid2"))
+          - sum(col("cnt1")) * (sum(col("cnt1")) + 1)).cast("long").as("u2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).cast("long")
+          .as("ties3"))
+    val z2 = expr("""CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+      |  CAST(3 AS DOUBLE)
+      |    * CAST((u2 - n1 * n2) * (u2 - n1 * n2) AS DOUBLE)
+      |    / nullif(CAST(n1 * n2 AS DOUBLE)
+      |      * (CAST(n + 1 AS DOUBLE)
+      |        - CAST(ties3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+      |      CAST(0 AS DOUBLE))
+      |  ELSE NULL END""".stripMargin)
+    agg.select(col("event_type"), col("n1"), col("n2"), col("u2"),
+        round(z2, 6).as("z2"), (z2 > 3.8415).as("significant"))
+      .orderBy(col("event_type"))
+  }
+  /** KENDALL τ-b — the rank-correlation second opinion next to q163's
+    * Spearman ρ: for every unordered pair of event types, correlate their
+    * DAILY count series (dense calendar grid, empty days = 0 — the q204
+    * device at day grain) by classifying every day PAIR as concordant,
+    * discordant, or tied, with the τ-b tie correction
+    * τ_b = (C − D) / √((n₀ − T_x)(n₀ − T_y)), n₀ = m(m−1)/2 day pairs,
+    * T_x/T_y = pairs tied on that margin (both-tied counts in both).
+    * Kendall is the pipeline's drift-robust choice: it is a pure function
+    * of pairwise ORDER, so a monotone recalibration of either series
+    * (log-scaling a counter, changing units) cannot move it.
+    *
+    * Exactness: everything up to τ is exact int64 counting — sign
+    * classification of (Δx·Δy) on integer day counts, integer tie
+    * tallies — and τ itself is ONE double division by one √ of an exact
+    * int64 product, fixed-order both engines. A margin fully tied
+    * (n₀ = T_x) zeroes the radicand → NULL via nullif, EXPLICIT on both
+    * engines.
+    *
+    * Plan: the day-pair self-join is span²·|types|² on the CALENDAR
+    * (30 days → 435 pairs × 10 type pairs), never row-proportional: raw
+    * events collapse to the (type, day) aggregate (map-side combined)
+    * before any join. At 100 TB the pair table is still ~10⁴ rows for a
+    * month — the classic bounded-state series operator; a year-long span
+    * (66k pairs/type-pair) still fits one partition.
+    */
+  val q208KendallTau = Q(
+    "q208_kendall_tau",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |grid AS (
+      |  SELECT ty.event_type, b.d0 + unnest(range(0, b.d1 - b.d0 + 1))
+      |    AS day
+      |  FROM ty CROSS JOIN b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.day, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.day
+      |),
+      |pr AS (
+      |  SELECT a.event_type AS ta, b2.event_type AS tb, a.day,
+      |    a.c AS xa, b2.c AS ya
+      |  FROM x a JOIN x b2
+      |    ON a.day = b2.day AND a.event_type < b2.event_type
+      |),
+      |pp AS (
+      |  SELECT p.ta, p.tb,
+      |    CASE WHEN (p.xa - q.xa) * (p.ya - q.ya) > 0 THEN 1 ELSE 0 END
+      |      AS con,
+      |    CASE WHEN (p.xa - q.xa) * (p.ya - q.ya) < 0 THEN 1 ELSE 0 END
+      |      AS dis,
+      |    CASE WHEN p.xa = q.xa THEN 1 ELSE 0 END AS tx,
+      |    CASE WHEN p.ya = q.ya THEN 1 ELSE 0 END AS tyy
+      |  FROM pr p JOIN pr q
+      |    ON p.ta = q.ta AND p.tb = q.tb AND p.day < q.day
+      |),
+      |agg AS (
+      |  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n0,
+      |    CAST(sum(con) AS BIGINT) AS c, CAST(sum(dis) AS BIGINT) AS d,
+      |    CAST(sum(tx) AS BIGINT) AS tx, CAST(sum(tyy) AS BIGINT) AS tyy
+      |  FROM pp GROUP BY 1, 2
+      |)
+      |SELECT ta AS type_a, tb AS type_b, n0 AS n_pairs,
+      |  c AS concordant, d AS discordant, tx AS ties_a, tyy AS ties_b,
+      |  round(CAST(c - d AS DOUBLE)
+      |    / nullif(sqrt(CAST((n0 - tx) * (n0 - tyy) AS DOUBLE)),
+      |        CAST(0 AS DOUBLE)), 6) AS tau_b
+      |FROM agg
+      |ORDER BY type_a, type_b""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val dc = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val b = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val ty = e.select(col("event_type")).distinct()
+    val grid = ty.crossJoin(broadcast(b))
+      .select(col("event_type").as("g_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type") && dc("day") === grid("day"),
+        "left")
+      .select(col("g_type").as("event_type"), grid("day"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val a1 = x.select(col("event_type").as("ta"), col("day"),
+      col("c").as("xa"))
+    val a2 = x.select(col("event_type").as("tb"), col("day").as("day2"),
+      col("c").as("ya"))
+    val pr = a1.join(a2,
+        col("day") === col("day2") && col("ta") < col("tb"))
+      .select(col("ta"), col("tb"), col("day"), col("xa"), col("ya"))
+    val p1 = pr.select(col("ta"), col("tb"), col("day").as("dp"),
+      col("xa").as("pxa"), col("ya").as("pya"))
+    val p2 = pr.select(col("ta").as("ta2"), col("tb").as("tb2"),
+      col("day").as("dq"), col("xa").as("qxa"), col("ya").as("qya"))
+    val pp = p1.join(p2,
+        col("ta") === col("ta2") && col("tb") === col("tb2")
+          && col("dp") < col("dq"))
+      .select(col("ta"), col("tb"),
+        when((col("pxa") - col("qxa")) * (col("pya") - col("qya")) > 0, 1)
+          .otherwise(0).as("con"),
+        when((col("pxa") - col("qxa")) * (col("pya") - col("qya")) < 0, 1)
+          .otherwise(0).as("dis"),
+        when(col("pxa") === col("qxa"), 1).otherwise(0).as("tx"),
+        when(col("pya") === col("qya"), 1).otherwise(0).as("tyy"))
+    pp.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).cast("long").as("n0"),
+        sum(col("con")).cast("long").as("c"),
+        sum(col("dis")).cast("long").as("d"),
+        sum(col("tx")).cast("long").as("txs"),
+        sum(col("tyy")).cast("long").as("tys"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n0").as("n_pairs"), col("c").as("concordant"),
+        col("d").as("discordant"), col("txs").as("ties_a"),
+        col("tys").as("ties_b"),
+        round(expr("""CAST(c - d AS DOUBLE)
+          |  / nullif(sqrt(CAST((n0 - txs) * (n0 - tys) AS DOUBLE)),
+          |      CAST(0 AS DOUBLE))""".stripMargin), 6).as("tau_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** THEIL–SEN ROBUST TREND — the breakdown-resistant slope next to
+    * q94's OLS trend and q196's MAD scale: per event type, over the dense
+    * daily count series (empty days = 0), the estimator is the MEDIAN of
+    * all pairwise slopes (c_j − c_i)/(j − i), j > i — up to 29% of days
+    * can be arbitrarily corrupted (an outage, a bot flood) without moving
+    * it, where one bad day drags OLS. Reported next to the exact OLS
+    * slope from the same series so the gap itself is a data-quality
+    * signal.
+    *
+    * Exactness: each pairwise slope is ONE IEEE division of exact int64
+    * operands (bit-identical cross-engine); the median selects VALUES at
+    * rank positions ⌈m/2⌉ and ⌊m/2⌋+1 of the slope multiset (tie order
+    * irrelevant for a multiset selection) and finishes (min+max)/2 — one
+    * commutative double add, no order-dependent summation anywhere. The
+    * OLS slope is a fixed-order division of exact int64 moment sums over
+    * the 0-based day index (Σt, Σt², Σt·c all exact; bounds: span ≤ 2.6M
+    * days before n·Σt² breaks int64). Types with a single-day span have
+    * no pairs and are EXCLUDED by definition (documented, suite-pinned).
+    *
+    * Plan: raw rows collapse to (type, day) counts map-side; the pair
+    * explode is span²/2 per type on the CALENDAR (435 rows at a month,
+    * 66k at a year) — bounded state, one window per type for the rank
+    * selection, never row-proportional.
+    */
+  val q209TheilSen = Q(
+    "q209_theil_sen",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t, b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(t) AS BIGINT) AS st,
+      |    CAST(sum(t * t) AS BIGINT) AS stt,
+      |    CAST(sum(c) AS BIGINT) AS sy,
+      |    CAST(sum(t * c) AS BIGINT) AS sty
+      |  FROM x GROUP BY 1
+      |),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(b2.c - a.c AS DOUBLE) / CAST(b2.t - a.t AS DOUBLE) AS slope
+      |  FROM x a JOIN x b2
+      |    ON a.event_type = b2.event_type AND b2.t > a.t
+      |),
+      |rk AS (
+      |  SELECT event_type, slope,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY slope)
+      |      AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS mp
+      |  FROM pairs
+      |),
+      |med AS (
+      |  SELECT event_type, CAST(min(mp) AS BIGINT) AS n_pairs,
+      |    (min(slope) + max(slope)) / CAST(2 AS DOUBLE) AS ts_slope
+      |  FROM rk
+      |  WHERE rn = (mp + 1) // 2 OR rn = mp // 2 + 1
+      |  GROUP BY 1
+      |)
+      |SELECT mom.event_type, mom.m AS n_days, med.n_pairs,
+      |  round(med.ts_slope, 6) AS ts_slope,
+      |  round(CAST(mom.m * mom.sty - mom.st * mom.sy AS DOUBLE)
+      |    / nullif(CAST(mom.m * mom.stt - mom.st * mom.st AS DOUBLE),
+      |        CAST(0 AS DOUBLE)), 6) AS ols_slope
+      |FROM mom JOIN med ON med.event_type = mom.event_type
+      |ORDER BY mom.event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val dc = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+      .localCheckpoint() // 2 consumers: moments and the pair explode
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("t")).cast("long").as("st"),
+        sum(col("t") * col("t")).cast("long").as("stt"),
+        sum(col("c")).cast("long").as("sy"),
+        sum(col("t") * col("c")).cast("long").as("sty"))
+    val a1 = x.select(col("event_type").as("e1"), col("t").as("t1"),
+      col("c").as("c1"))
+    val a2 = x.select(col("event_type").as("e2"), col("t").as("t2"),
+      col("c").as("c2"))
+    val pairs = a1.join(a2, col("e1") === col("e2") && col("t2") > col("t1"))
+      .select(col("e1").as("event_type"),
+        expr("CAST(c2 - c1 AS DOUBLE) / CAST(t2 - t1 AS DOUBLE)")
+          .as("slope"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("slope"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val rk = pairs.select(col("event_type"), col("slope"),
+      row_number().over(wOrd).as("rn"),
+      count(lit(1)).over(wAll).as("mp"))
+    val med = rk
+      .filter(col("rn") === expr("(mp + 1) div 2")
+        || col("rn") === expr("mp div 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(min(col("mp")).cast("long").as("n_pairs"),
+        ((min(col("slope")) + max(col("slope")))
+          / lit(2).cast("double")).as("ts_slope"))
+    mom.join(med, "event_type")
+      .select(col("event_type"), col("m").as("n_days"), col("n_pairs"),
+        round(col("ts_slope"), 6).as("ts_slope"),
+        round(expr("""CAST(m * sty - st * sy AS DOUBLE)
+          |  / nullif(CAST(m * stt - st * st AS DOUBLE),
+          |      CAST(0 AS DOUBLE))""".stripMargin), 6).as("ols_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  /** WASSERSTEIN-1 (EARTH MOVER) DISTANCE — the third leg of the
+    * distribution-drift triple: q140's KS is the sup-norm of the CDF gap,
+    * q111's PSI and q199's JS are binned mass divergences; W₁ is the
+    * FULL-SHAPE distance ∫|F₁ − F₂| that weighs HOW FAR mass moved, not
+    * just whether it did — the metric of choice for length/score drift
+    * between corpus slices. Computed here for every unordered pair of
+    * document sources over the n_chars distribution.
+    *
+    * Exactness: W₁ between empirical CDFs of INTEGER-valued samples is an
+    * exact RATIONAL with denominator n₁n₂ — so the engine computes
+    * w1_scaled = n₁n₂·W₁ = Σ_k |cum₁(v_k)·n₂ − cum₂(v_k)·n₁|·(v_{k+1}−v_k)
+    * entirely in int64 (cumulative counts off the shared sorted value
+    * grid, cross-multiplied to clear both denominators), and the reported
+    * w1 divides once via the ratio6 integer rounding. No float enters
+    * before the final division. Bounds: |cum₁·n₂| ≤ n₁n₂ and the Δv sum
+    * telescopes to the value range R, so w1_scaled ≤ n₁n₂·R — int64-safe
+    * through n₁n₂·R ≤ 9.2e18 (e.g. 10⁶×10⁶ samples over a 10⁶ range
+    * needs the DECIMAL widening, documented).
+    *
+    * Plan: one scan → per-source value histogram (map-side combined,
+    * |sources|·|values| rows), a broadcast-sized source-pair × value grid
+    * (190 × ~500 here), one window per pair for the cumulatives. At
+    * 100 TB nothing row-proportional survives the first aggregate; the
+    * grid is category-bounded (sources² × distinct values).
+    */
+  val q210Wasserstein1 = Q(
+    "q210_wasserstein1",
+    s"""WITH d AS (
+      |  SELECT source, n_chars FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |sc AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d
+      |       GROUP BY 1),
+      |vc AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM d GROUP BY 1, 2),
+      |vg AS (
+      |  SELECT v, lead(v) OVER (ORDER BY v) AS nxt
+      |  FROM (SELECT DISTINCT n_chars AS v FROM d)
+      |),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.n AS n1, b.n AS n2
+      |  FROM sc a JOIN sc b ON a.source < b.source
+      |),
+      |cells AS (
+      |  SELECT p.src_a, p.src_b, p.n1, p.n2, g.v, g.nxt,
+      |    CAST(sum(COALESCE(ca.cnt, 0)) OVER (
+      |      PARTITION BY p.src_a, p.src_b ORDER BY g.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum1,
+      |    CAST(sum(COALESCE(cb.cnt, 0)) OVER (
+      |      PARTITION BY p.src_a, p.src_b ORDER BY g.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum2
+      |  FROM pairs p CROSS JOIN vg g
+      |  LEFT JOIN vc ca ON ca.source = p.src_a AND ca.v = g.v
+      |  LEFT JOIN vc cb ON cb.source = p.src_b AND cb.v = g.v
+      |),
+      |agg AS (
+      |  SELECT src_a, src_b, n1, n2,
+      |    CAST(sum(CASE WHEN nxt IS NULL THEN 0
+      |      ELSE abs(cum1 * n2 - cum2 * n1) * (nxt - v) END) AS BIGINT)
+      |      AS w1_scaled
+      |  FROM cells GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT src_a, src_b, n1, n2, w1_scaled,
+      |  ${Exact.Sql.ratio6("w1_scaled", "n1 * n2")} AS w1
+      |FROM agg
+      |ORDER BY src_a, src_b""".stripMargin,
+  ) { (s, d) =>
+    val doc = Tables.documents(s, d)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars"))
+    val sc = doc.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+    val vc = doc.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(col("source"), col("v"), col("cnt"))
+    val vg = doc.select(col("n_chars").as("v")).distinct()
+      .select(col("v"), lead(col("v"), 1).over(Window.orderBy(col("v")))
+        .as("nxt"))
+    val pairs = sc.select(col("source").as("src_a"), col("n").as("n1"))
+      .join(sc.select(col("source").as("src_b"), col("n").as("n2")),
+        col("src_a") < col("src_b"))
+    val ca = vc.select(col("source").as("sa"), col("v").as("va"),
+      col("cnt").as("ca_cnt"))
+    val cb = vc.select(col("source").as("sb"), col("v").as("vb"),
+      col("cnt").as("cb_cnt"))
+    val wc = Window.partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cells = pairs.crossJoin(broadcast(vg))
+      .join(ca, col("sa") === col("src_a") && col("va") === col("v"), "left")
+      .join(cb, col("sb") === col("src_b") && col("vb") === col("v"), "left")
+      .select(col("src_a"), col("src_b"), col("n1"), col("n2"),
+        col("v"), col("nxt"),
+        sum(coalesce(col("ca_cnt"), lit(0L))).over(wc).cast("long")
+          .as("cum1"),
+        sum(coalesce(col("cb_cnt"), lit(0L))).over(wc).cast("long")
+          .as("cum2"))
+    cells.groupBy(col("src_a"), col("src_b"), col("n1"), col("n2"))
+      .agg(sum(when(col("nxt").isNull, 0L)
+          .otherwise(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+            * (col("nxt") - col("v")))).cast("long").as("w1_scaled"))
+      .select(col("src_a"), col("src_b"), col("n1"), col("n2"),
+        col("w1_scaled"), Exact.ratio6("w1_scaled", "n1 * n2").as("w1"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 }

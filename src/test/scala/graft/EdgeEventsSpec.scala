@@ -481,4 +481,28 @@ class EdgeEventsSpec extends SparkSpec {
       assert(r.isNullAt(4), "theta must be NULL at zero variance")
     }
   }
+  test("q208/q209/q211 degenerate day shapes: single-day spans and the " +
+      "(us, event_id) open/close order") {
+    // every edge-fixture event lands on one calendar day → zero day
+    // pairs: q208 and q209 return empty BY DEFINITION (documented), not
+    // a crash or a NULL-slope row
+    assert(SparkEntry.queries("q208_kendall_tau")(spark, dir).collect()
+      .isEmpty)
+    assert(SparkEntry.queries("q209_theil_sen")(spark, dir).collect()
+      .isEmpty)
+    // q207 survives the 3-observation types; a degenerate variant split
+    // or all-tied sample must yield NULL z², never NaN
+    val mw = SparkEntry.queries("q207_mann_whitney")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(mw.keySet === Set("solo", "multi"))
+    for ((t, r) <- mw) {
+      assert(r.getLong(1) + r.getLong(2) === 3L, s"$t arm sizes")
+      if (!r.isNullAt(4)) assert(!r.getDouble(4).isNaN, s"$t z² NaN")
+    }
+    // q211: open/close follow the (us, event_id) total order
+    val oh = SparkEntry.queries("q211_ohlc_bars")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(6)))).toMap
+    assert(oh("solo") === ((100L, 300L)))
+    assert(oh("multi") === ((100L, 600L)))
+  }
 }

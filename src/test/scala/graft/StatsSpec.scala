@@ -620,4 +620,166 @@ class StatsSpec extends SparkSpec {
         s"$t: isotonic projection must preserve the weighted total")
     }
   }
+  test("q207 Mann–Whitney replays from a driver-side midrank computation") {
+    val got = Stats.q207MannWhitney.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.round(100 * r.getDouble(2))))
+    def variant(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mw|$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) % 2
+    }
+    assert(got.keySet === ev.map(_._1).toSet)
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val obs = rows.map(r => (r._3, variant(r._2)))
+      val n = obs.length.toLong
+      var r1x2 = 0L; var ties3 = 0L; var cum = 0L
+      for ((_, g) <- obs.groupBy(_._1).toSeq.sortBy(_._1)) {
+        val cnt = g.length.toLong
+        val mid2 = 2 * cum + cnt + 1 // twice the midrank of the run
+        r1x2 += g.count(_._2 == 0).toLong * mid2
+        ties3 += cnt * cnt * cnt - cnt
+        cum += cnt
+      }
+      val n1 = obs.count(_._2 == 0).toLong
+      val n2 = n - n1
+      val u2 = r1x2 - n1 * (n1 + 1)
+      val (gn1, gn2, gu2, gz2) = got(t)
+      assert(gn1 === n1); assert(gn2 === n2); assert(gu2 === u2)
+      if (n1 > 0 && n2 > 0 && n > 1) {
+        val denom = n1.toDouble * n2.toDouble *
+          ((n + 1).toDouble - ties3.toDouble / (n * (n - 1)).toDouble)
+        if (denom != 0.0) {
+          val num = (u2 - n1 * n2).toDouble
+          assert(math.abs(gz2.get - 3.0 * num * num / denom) < 1e-6)
+        } else assert(gz2.isEmpty, s"$t: all-tied sample must NULL z²")
+      } else assert(gz2.isEmpty, s"$t: degenerate split must NULL z²")
+    }
+  }
+
+  test("q208 Kendall τ-b replays from a driver-side O(m²) pair count") {
+    val got = Stats.q208KendallTau.fn(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val types = ev.map(_._1).distinct.sorted
+    val series = types.map(t => t -> (d0 to d1).map(day =>
+      ev.count(e => e._1 == t && e._2 == day).toLong).toArray).toMap
+    for (i <- types.indices; j <- i + 1 until types.length) {
+      val (ta, tb) = (types(i), types(j))
+      val xs = series(ta); val ys = series(tb)
+      var c = 0L; var dd = 0L; var tx = 0L; var ty = 0L; var n0 = 0L
+      for (p <- xs.indices; q <- p + 1 until xs.length) {
+        n0 += 1
+        val dx = xs(p) - xs(q); val dy = ys(p) - ys(q)
+        if (dx * dy > 0) c += 1 else if (dx * dy < 0) dd += 1
+        if (dx == 0) tx += 1
+        if (dy == 0) ty += 1
+      }
+      val (gn0, gc, gd, gtx, gty, gtau) = got((ta, tb))
+      assert(gn0 === n0); assert(gc === c); assert(gd === dd)
+      assert(gtx === tx); assert(gty === ty)
+      val rad = (n0 - tx).toDouble * (n0 - ty).toDouble
+      if (rad > 0)
+        assert(math.abs(gtau.get - (c - dd).toDouble / math.sqrt(rad)) < 1e-6)
+      else assert(gtau.isEmpty, s"($ta,$tb): tied margin must NULL τ")
+    }
+  }
+
+  test("q209 Theil–Sen equals a driver-side median-of-slopes; OLS replays " +
+      "from integer moments") {
+    val got = Stats.q209TheilSen.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val d0 = rows.map(_._2).min; val d1 = rows.map(_._2).max
+      val s = (d0 to d1).map(day => rows.count(_._2 == day).toLong).toArray
+      val m = s.length
+      val slopes = (for (p <- 0 until m; q <- p + 1 until m)
+        yield (s(q) - s(p)).toDouble / (q - p).toDouble).sorted
+      if (slopes.isEmpty) assert(!got.contains(t),
+        s"$t: single-day span must be excluded")
+      else {
+        val lo = (slopes.length + 1) / 2 - 1; val hi = slopes.length / 2
+        val med = (slopes(lo) + slopes(hi)) / 2.0
+        val n = m.toLong
+        val st = (0 until m).map(_.toLong).sum
+        val stt = (0 until m).map(i => i.toLong * i).sum
+        val sy = s.sum
+        val sty = (0 until m).map(i => i * s(i)).sum
+        val ols = (n * sty - st * sy).toDouble / (n * stt - st * st).toDouble
+        val (gm, gp, gts, gols) = got(t)
+        assert(gm === n); assert(gp === slopes.length.toLong)
+        assert(math.abs(gts - med) < 1e-6)
+        assert(math.abs(gols - ols) < 1e-6)
+      }
+    }
+  }
+
+  test("q210 W1 equals a driver-side CDF integral over raw samples") {
+    val got = Stats.q210Wasserstein1.fn(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    }.toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val by = docs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val sources = by.keys.toSeq.sorted
+    assert(got.size === sources.length * (sources.length - 1) / 2)
+    for (i <- sources.indices; j <- i + 1 until sources.length) {
+      val (a, b) = (sources(i), sources(j))
+      val xs = by(a); val ys = by(b)
+      val vals = (xs ++ ys).distinct.sorted
+      var scaled = 0L
+      for (k <- 0 until vals.length - 1) {
+        val v = vals(k)
+        val c1 = xs.count(_ <= v).toLong; val c2 = ys.count(_ <= v).toLong
+        scaled += math.abs(c1 * ys.length - c2 * xs.length) * (vals(k + 1) - v)
+      }
+      val (n1, n2, ws, w1) = got((a, b))
+      assert(n1 === xs.length.toLong); assert(n2 === ys.length.toLong)
+      assert(ws === scaled)
+      assert(math.abs(w1 - scaled.toDouble / (n1 * n2).toDouble) < 1e-6)
+    }
+  }
+
+  test("q211 OHLC equals a driver-side per-bucket ordered scan") {
+    val got = Analytic.q211OhlcBars.fn(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.round(100 * r.getDouble(3))))
+    val grouped = ev.groupBy(e => (e._1, Math.floorDiv(e._2, 86400000000L)))
+    assert(got.keySet === grouped.keySet)
+    for (((t, day), rows) <- grouped) {
+      val sorted = rows.sortBy(e => (e._2, e._3))
+      val cents = rows.map(_._4)
+      assert(got((t, day)) === ((rows.length.toLong, sorted.head._4,
+        cents.max, cents.min, sorted.last._4, cents.sum)))
+    }
+  }
 }
