@@ -54,6 +54,7 @@ object Analytic {
     q201PositionAttribution,
     q203BrownTrend,
     q211OhlcBars,
+    q214Stickiness,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -2832,5 +2833,81 @@ object Analytic {
         col("n_events"), col("open_cents"), col("high_cents"),
         col("low_cents"), col("close_cents"), col("volume_cents"))
       .orderBy(col("event_type"), col("day"))
+  }
+  /** DAU/WAU STICKINESS — the engagement-ratio dashboard row: per
+    * calendar day over the dense day grid, the count of distinct active
+    * users that day (DAU), in the trailing 7-day window (WAU), and the
+    * stickiness ratio DAU/WAU — the fraction of the weekly audience that
+    * showed up today. The dense grid keeps silent days as DAU = 0 rows
+    * (with their true trailing WAU) instead of dropping them.
+    *
+    * Exactness: pure distinct counting over exact integer day buckets;
+    * the ratio goes through ratio6's integer half-up rounding; a window
+    * with zero weekly actives yields NULL stickiness via nullif.
+    *
+    * PRECONDITION ts ≥ 1970-01-01 (§5.7 div row). Plan: raw events
+    * collapse to the (user, day) distinct pairs FIRST (map-side
+    * combined — at 100 TB this is the only row-proportional shuffle),
+    * then a bounded ×7 band join against the calendar grid and a
+    * two-stage distinct count per grid day. The band join's expansion
+    * factor is the window length, a constant — never data-proportional;
+    * WAU state is (users × 7 days), the bounded sliding-distinct form.
+    */
+  val q214Stickiness = Q(
+    "q214_stickiness",
+    """WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+      |grid AS (SELECT b.d0 + unnest(range(0, b.d1 - b.d0 + 1)) AS day
+      |         FROM b),
+      |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du
+      |        GROUP BY 1),
+      |wau AS (
+      |  SELECT g.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+      |  FROM grid g JOIN du
+      |    ON du.day BETWEEN g.day - 6 AND g.day
+      |  GROUP BY g.day
+      |)
+      |SELECT g.day AS day,
+      |  COALESCE(dau.dau, 0) AS dau,
+      |  COALESCE(wau.wau, 0) AS wau,
+      |  CASE WHEN COALESCE(wau.wau, 0) > 0 THEN
+      |    CAST(((2 * COALESCE(dau.dau, 0) * 1000000 + wau.wau)
+      |      // (2 * wau.wau)) AS DOUBLE) / 1000000.0
+      |  ELSE NULL END AS stickiness
+      |FROM grid g
+      |LEFT JOIN dau ON dau.day = g.day
+      |LEFT JOIN wau ON wau.day = g.day
+      |ORDER BY day""".stripMargin,
+  ) { (s, d) =>
+    val du = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .localCheckpoint() // 3 consumers: bounds, dau, the 7-day band join
+    val b = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = b.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).cast("long").as("dau"))
+      .select(col("day").as("dau_day"), col("dau"))
+    val wau = grid.select(col("day").as("g_day"))
+      .join(du, du("day").between(col("g_day") - 6, col("g_day")))
+      .groupBy(col("g_day"))
+      .agg(countDistinct(col("user_id")).cast("long").as("wau"))
+    grid.join(dau, col("day") === col("dau_day"), "left")
+      .join(wau, col("day") === col("g_day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .select(col("day"), col("dau"), col("wau"),
+        when(col("wau") > 0,
+          expr("""CAST(((2 * dau * 1000000 + wau) div (2 * wau))
+            |  AS DOUBLE) / 1000000.0""".stripMargin))
+          .otherwise(lit(null)).as("stickiness"))
+      .orderBy(col("day"))
   }
 }

@@ -30,7 +30,8 @@ object Curation {
     q66Decontaminate, q67SeqPacking, q68Repetition, q69DomainMixture,
     q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
     q110BottomkSample, q112WeightedSample, q136BoilerplateStrip,
-    q172DsirWeights, q176QuantileNormalize, q195TokenBudget)
+    q172DsirWeights, q176QuantileNormalize, q195TokenBudget,
+    q215GiniStump)
 
   /** Per-group bottom-k-by-hash sampling through the
     * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
@@ -901,5 +902,122 @@ object Curation {
       .select(col("doc_id"), col("nt").as("n_tokens"),
         col("quality_micro"), col("cum_tokens"), col("budget"))
       .orderBy(col("quality_micro").desc, col("doc_id"))
+  }
+  /** GINI DECISION STUMP — the single-feature split finder, the
+    * feature-quality probe a labeling pipeline runs before training
+    * anything: per source, the n_chars threshold that best separates
+    * lang = 'en' documents, scored by weighted Gini impurity. The gap
+    * between gini_parent and gini_split IS the feature's usefulness on
+    * that slice (≈ 0 → length carries no label signal there).
+    *
+    * Exactness: class counts are exact int64 prefix sums over the
+    * per-value histogram; the weighted impurity
+    * [(n_L² − p_L² − q_L²)/n_L + (n_R² − p_R² − q_R²)/n_R]/n is a
+    * FIXED-ORDER double chain over those integers (n² ≤ 2⁵³ exact
+    * through n ≤ 9.4e7 docs per slice — document the bound, shard past
+    * it), so both engines see bit-identical scores and the argmin with
+    * the (score, threshold) tie-break is engine-independent — the q188
+    * exact-argmax discipline. Only PROPER splits (n_L < n) compete; a
+    * slice whose docs all share one value has no proper split and is
+    * EXCLUDED by definition.
+    *
+    * Plan: one scan → (source, value) class histogram (map-side
+    * combined), one window per source over its ≤ |values| rows, one
+    * argmin row_number. Nothing row-proportional past the histogram;
+    * at 100 TB candidate thresholds stay value-bounded per slice.
+    */
+  val q215GiniStump = Q(
+    "q215_gini_stump",
+    """WITH d AS (
+      |  SELECT source, n_chars AS v,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |    AND lang IS NOT NULL
+      |),
+      |vc AS (
+      |  SELECT source, v, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(y) AS BIGINT) AS p
+      |  FROM d GROUP BY 1, 2
+      |),
+      |tot AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(p) AS BIGINT) AS pos
+      |  FROM vc GROUP BY 1
+      |),
+      |pre AS (
+      |  SELECT vc.source, vc.v, t.n, t.pos,
+      |    CAST(sum(vc.c) OVER (PARTITION BY vc.source ORDER BY vc.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS nl,
+      |    CAST(sum(vc.p) OVER (PARTITION BY vc.source ORDER BY vc.v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS pl
+      |  FROM vc JOIN tot t ON t.source = vc.source
+      |),
+      |sc AS (
+      |  SELECT source, v, n, pos, nl, pl, n - nl AS nr, pos - pl AS pr,
+      |    (CAST(nl * nl - pl * pl - (nl - pl) * (nl - pl) AS DOUBLE)
+      |       / CAST(nl AS DOUBLE)
+      |     + CAST((n - nl) * (n - nl) - (pos - pl) * (pos - pl)
+      |         - ((n - nl) - (pos - pl)) * ((n - nl) - (pos - pl))
+      |         AS DOUBLE)
+      |       / CAST(n - nl AS DOUBLE)) / CAST(n AS DOUBLE) AS gsplit
+      |  FROM pre WHERE nl < n
+      |),
+      |best AS (
+      |  SELECT source, v, n, pos, nl, pl, gsplit,
+      |    row_number() OVER (PARTITION BY source ORDER BY gsplit, v)
+      |      AS rb
+      |  FROM sc
+      |)
+      |SELECT source, n AS n_docs, pos AS n_pos,
+      |  CAST(v AS BIGINT) AS best_threshold,
+      |  nl AS n_left, pl AS pos_left,
+      |  round(CAST(n * n - pos * pos - (n - pos) * (n - pos) AS DOUBLE)
+      |    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini_parent,
+      |  round(gsplit, 6) AS gini_split
+      |FROM best WHERE rb = 1
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val doc = Tables.documents(s, d)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull
+        && col("lang").isNotNull)
+      .select(col("source"), col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val vc = doc.groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).cast("long").as("c"),
+        sum(col("y")).cast("long").as("p"))
+    val tot = vc.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("p")).cast("long").as("pos"))
+    val w = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = vc.join(tot, "source")
+      .select(col("source"), col("v"), col("n"), col("pos"),
+        sum(col("c")).over(w).cast("long").as("nl"),
+        sum(col("p")).over(w).cast("long").as("pl"))
+    val sc = pre.filter(col("nl") < col("n"))
+      .withColumn("gsplit", expr(
+        """(CAST(nl * nl - pl * pl - (nl - pl) * (nl - pl) AS DOUBLE)
+          |   / CAST(nl AS DOUBLE)
+          | + CAST((n - nl) * (n - nl) - (pos - pl) * (pos - pl)
+          |     - ((n - nl) - (pos - pl)) * ((n - nl) - (pos - pl))
+          |     AS DOUBLE)
+          |   / CAST(n - nl AS DOUBLE)) / CAST(n AS DOUBLE)"""
+          .stripMargin))
+    val best = sc.withColumn("rb",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("gsplit"), col("v"))))
+    best.filter(col("rb") === 1)
+      .select(col("source"), col("n").as("n_docs"), col("pos").as("n_pos"),
+        col("v").cast("long").as("best_threshold"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        round(expr(
+          """CAST(n * n - pos * pos - (n - pos) * (n - pos) AS DOUBLE)
+            |  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)""".stripMargin), 6)
+          .as("gini_parent"),
+        round(col("gsplit"), 6).as("gini_split"))
+      .orderBy(col("source"))
   }
 }

@@ -28,7 +28,8 @@ object Stats {
     q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi,
     q174CalibrationBrier, q177Cuped, q192Msprt, q197BenfordAudit,
     q200ContingencyAssoc, q204MaseEval, q205CohensKappa, q206IsotonicPava,
-    q207MannWhitney, q208KendallTau, q209TheilSen, q210Wasserstein1)
+    q207MannWhitney, q208KendallTau, q209TheilSen, q210Wasserstein1,
+    q212HillTail, q216BhFdr)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -2324,5 +2325,262 @@ object Stats {
       .select(col("src_a"), col("src_b"), col("n1"), col("n2"),
         col("w1_scaled"), Exact.ratio6("w1_scaled", "n1 * n2").as("w1"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+  /** HILL TAIL-INDEX ESTIMATOR — the heavy-tail exponent of the value
+    * distribution, the diagnostic that tells a pipeline whether means and
+    * variances of a feed are even finite-sample-stable (α ≤ 2: variance
+    * diverges; α ≤ 1: mean does): per event type, over the k = 100
+    * largest positive values x₍₁₎ ≥ … ≥ x₍ₖ₎ and the threshold x₍ₖ₊₁₎,
+    * H = (1/k)·Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) and α̂ = 1/H. Complements q147's
+    * Gini/top-share (inequality of the WHOLE distribution) with the
+    * asymptotic LAW of the tail.
+    *
+    * Exactness: the top-k VALUE MULTISET is selection-order-free (ties at
+    * the boundary fill remaining slots with the same value whatever the
+    * row_number tie order — only values enter the statistic), each ratio
+    * is one exact int64→double divide, each ln is float-cast, the sum is
+    * DECIMAL(18,9), and H/α finish fixed-order. All-equal tail (H = 0) →
+    * NULL α via nullif, explicit on both engines. Types with < k+1
+    * positive observations are EXCLUDED by definition (the estimator
+    * needs a threshold order statistic; documented, suite-pinned).
+    *
+    * Plan: per-type top-(k+1) is a TakeOrdered-shaped window over the
+    * (type) partition — at 100 TB the right physical form is the
+    * per-partition top-k pre-prune (rank ≤ k+1 survives partial
+    * aggregation); everything after is k-bounded per type.
+    */
+  val q212HillTail = Q(
+    "q212_hill_tail",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(100 * value) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |    AND round(100 * value) > 0
+      |),
+      |rk AS (
+      |  SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cents DESC, event_id) AS rn
+      |  FROM e
+      |),
+      |thr AS (
+      |  SELECT event_type, cents AS xk1 FROM rk WHERE rn = 101
+      |),
+      |terms AS (
+      |  SELECT rk.event_type, thr.xk1,
+      |    CAST(CAST(ln(CAST(rk.cents AS DOUBLE)
+      |      / CAST(thr.xk1 AS DOUBLE)) AS FLOAT) AS DECIMAL(18,9)) AS lr
+      |  FROM rk JOIN thr ON thr.event_type = rk.event_type
+      |  WHERE rk.rn <= 100
+      |)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_tail,
+      |  CAST(min(xk1) AS BIGINT) AS threshold_cents,
+      |  round(CAST(sum(lr) AS DOUBLE) / CAST(100 AS DOUBLE), 6) AS hill_h,
+      |  round(CAST(1 AS DOUBLE)
+      |    / nullif(CAST(sum(lr) AS DOUBLE) / CAST(100 AS DOUBLE),
+      |        CAST(0 AS DOUBLE)), 6) AS alpha
+      |FROM terms
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+    val rk = e.select(col("event_type"), col("cents"),
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("cents").desc, col("event_id").asc)).as("rn"))
+    val thr = rk.filter(col("rn") === 101)
+      .select(col("event_type"), col("cents").as("xk1"))
+    val terms = rk.filter(col("rn") <= 100)
+      .join(thr, "event_type")
+      .select(col("event_type"), col("xk1"),
+        expr("""CAST(CAST(ln(CAST(cents AS DOUBLE)
+          |  / CAST(xk1 AS DOUBLE)) AS FLOAT) AS DECIMAL(18,9))"""
+          .stripMargin).as("lr"))
+    terms.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_tail"),
+        min(col("xk1")).cast("long").as("threshold_cents"),
+        sum(col("lr")).as("lrsum"))
+      .select(col("event_type"), col("n_tail"), col("threshold_cents"),
+        round(expr("CAST(lrsum AS DOUBLE) / CAST(100 AS DOUBLE)"), 6)
+          .as("hill_h"),
+        round(expr("""CAST(1 AS DOUBLE)
+          |  / nullif(CAST(lrsum AS DOUBLE) / CAST(100 AS DOUBLE),
+          |      CAST(0 AS DOUBLE))""".stripMargin), 6).as("alpha"))
+      .orderBy(col("event_type"))
+  }
+  /** BENJAMINI–HOCHBERG FDR SWEEP — mass significance testing with a
+    * false-discovery-rate guarantee, the operator that makes the
+    * experiment family (q154/q162/q192/q207) safe to run 120 times at
+    * once: per (event_type, hour-of-day), a G-test of independence
+    * between "this hour vs the rest" and the value band (2×3, df = 2 —
+    * chosen precisely BECAUSE the χ²₍₂₎ tail is the CLOSED FORM
+    * p = e^(−G/2), no erf/regularized-Γ special function any engine
+    * would have to agree on), then the BH step-up over all m hypotheses:
+    * q₍ᵢ₎ = min_{j≥i} p₍ⱼ₎·m/j, reject at q ≤ 0.05.
+    *
+    * Exactness: cell/margin counts are exact int64 over the DENSE
+    * (type × 24 × 3 band) grid (absent cells o = 0 contribute 0 — the
+    * 0·ln 0 limit stated via CASE on both engines); each G term is
+    * o·ln(o·n/(r·c)) with exact-int64 double products (o·n ≤ 2⁵³ bounds
+    * n per type ≤ 9.4e7 — document, shard past it), float-cast ln,
+    * DECIMAL(18,9) sum; p is the float-cast exp of one fixed-order
+    * halving. The BH rank orders by (p, type, hod) — a TOTAL key, so the
+    * step-up permutation is engine-independent even among underflowed
+    * p = 0 ties — and q₍ᵢ₎ is one suffix-min window over m rows.
+    *
+    * Plan: one scan → the (type, hod, band) aggregate (map-side
+    * combined, category-bounded at 360 cells), broadcast margins, and
+    * TWO single-partition windows over m = 120 hypothesis rows — the
+    * window is hypothesis-bounded, never data-bounded, so the plan is
+    * scan-dominated at any corpus size.
+    */
+  val q216BhFdr = Q(
+    "q216_bh_fdr",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+      |    CASE WHEN round(100 * value) < 2000 THEN 0
+      |         WHEN round(100 * value) < 8000 THEN 1 ELSE 2 END AS band
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |cell AS (
+      |  SELECT event_type, hod, band, CAST(count(*) AS BIGINT) AS o
+      |  FROM e GROUP BY 1, 2, 3
+      |),
+      |tb AS (SELECT event_type, band, CAST(count(*) AS BIGINT) AS c
+      |       FROM e GROUP BY 1, 2),
+      |tn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |       FROM e GROUP BY 1),
+      |hn AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nh
+      |       FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT hn.event_type, hn.hod, hn.nh, tb.band, tb.c, tn.n,
+      |    COALESCE(cell.o, 0) AS o
+      |  FROM hn
+      |  JOIN tn ON tn.event_type = hn.event_type
+      |  JOIN tb ON tb.event_type = hn.event_type
+      |  LEFT JOIN cell ON cell.event_type = hn.event_type
+      |    AND cell.hod = hn.hod AND cell.band = tb.band
+      |),
+      |terms AS (
+      |  SELECT event_type, hod,
+      |    CAST(CASE WHEN o > 0 THEN
+      |      CAST(o AS DOUBLE) * CAST(ln(CAST(o AS DOUBLE)
+      |        * CAST(n AS DOUBLE)
+      |        / (CAST(nh AS DOUBLE) * CAST(c AS DOUBLE))) AS FLOAT)
+      |      ELSE 0 END AS DECIMAL(18,9)) AS t_in,
+      |    CAST(CASE WHEN c - o > 0 THEN
+      |      CAST(c - o AS DOUBLE) * CAST(ln(CAST(c - o AS DOUBLE)
+      |        * CAST(n AS DOUBLE)
+      |        / (CAST(n - nh AS DOUBLE) * CAST(c AS DOUBLE))) AS FLOAT)
+      |      ELSE 0 END AS DECIMAL(18,9)) AS t_out
+      |  FROM grid
+      |),
+      |g AS (
+      |  SELECT event_type, hod,
+      |    CAST(2 AS DOUBLE) * CAST(sum(t_in) + sum(t_out) AS DOUBLE)
+      |      AS gstat
+      |  FROM terms GROUP BY 1, 2
+      |),
+      |pv AS (
+      |  SELECT event_type, hod, gstat,
+      |    CAST(exp(CAST(0 AS DOUBLE) - gstat / CAST(2 AS DOUBLE))
+      |      AS FLOAT) AS p_raw
+      |  FROM g
+      |),
+      |rk AS (
+      |  SELECT event_type, hod, gstat, p_raw,
+      |    row_number() OVER (ORDER BY p_raw, event_type, hod) AS rnk,
+      |    count(*) OVER () AS m
+      |  FROM pv
+      |),
+      |bh AS (
+      |  SELECT event_type, hod, gstat, p_raw, rnk,
+      |    min(CAST(p_raw AS DOUBLE) * CAST(m AS DOUBLE)
+      |      / CAST(rnk AS DOUBLE)) OVER (ORDER BY rnk DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qv
+      |  FROM rk
+      |)
+      |SELECT event_type, CAST(hod AS BIGINT) AS hod,
+      |  round(gstat, 6) AS g_stat,
+      |  round(CAST(p_raw AS DOUBLE), 6) AS p_raw,
+      |  CAST(rnk AS BIGINT) AS rnk,
+      |  round(least(qv, CAST(1 AS DOUBLE)), 6) AS q_value,
+      |  least(qv, CAST(1 AS DOUBLE)) <= 0.05 AS reject
+      |FROM bh
+      |ORDER BY rnk""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("""CASE WHEN round(100 * value) < 2000 THEN 0
+          |     WHEN round(100 * value) < 8000 THEN 1 ELSE 2 END"""
+          .stripMargin).as("band"))
+      .localCheckpoint() // 4 consumers: cells and the three margins
+    val cell = e.groupBy(col("event_type"), col("hod"), col("band"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val tb = e.groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .select(col("event_type").as("tb_type"), col("band").as("tb_band"),
+        col("c"))
+    val tn = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .select(col("event_type").as("tn_type"), col("n"))
+    val hn = e.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).cast("long").as("nh"))
+    val grid = hn
+      .join(tn, col("tn_type") === col("event_type"))
+      .join(tb, col("tb_type") === col("event_type"))
+      .join(cell.select(col("event_type").as("c_type"),
+          col("hod").as("c_hod"), col("band").as("c_band"), col("o")),
+        col("c_type") === col("event_type") && col("c_hod") === col("hod")
+          && col("c_band") === col("tb_band"), "left")
+      .select(col("event_type"), col("hod"), col("nh"),
+        col("tb_band").as("band"), col("c"), col("n"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val terms = grid.select(col("event_type"), col("hod"),
+      expr("""CAST(CASE WHEN o > 0 THEN
+        |  CAST(o AS DOUBLE) * CAST(ln(CAST(o AS DOUBLE)
+        |    * CAST(n AS DOUBLE)
+        |    / (CAST(nh AS DOUBLE) * CAST(c AS DOUBLE))) AS FLOAT)
+        |  ELSE 0 END AS DECIMAL(18,9))""".stripMargin).as("t_in"),
+      expr("""CAST(CASE WHEN c - o > 0 THEN
+        |  CAST(c - o AS DOUBLE) * CAST(ln(CAST(c - o AS DOUBLE)
+        |    * CAST(n AS DOUBLE)
+        |    / (CAST(n - nh AS DOUBLE) * CAST(c AS DOUBLE))) AS FLOAT)
+        |  ELSE 0 END AS DECIMAL(18,9))""".stripMargin).as("t_out"))
+    val g = terms.groupBy(col("event_type"), col("hod"))
+      .agg((sum(col("t_in")) + sum(col("t_out"))).as("tsum"))
+      .select(col("event_type"), col("hod"),
+        expr("CAST(2 AS DOUBLE) * CAST(tsum AS DOUBLE)").as("gstat"))
+    val pv = g.withColumn("p_raw",
+      expr("""CAST(exp(CAST(0 AS DOUBLE) - gstat / CAST(2 AS DOUBLE))
+        |  AS FLOAT)""".stripMargin))
+    val rk = pv.select(col("event_type"), col("hod"), col("gstat"),
+      col("p_raw"),
+      row_number().over(Window.orderBy(col("p_raw"), col("event_type"),
+        col("hod"))).as("rnk"),
+      count(lit(1)).over(Window.partitionBy()).as("m"))
+    val bh = rk.withColumn("qv",
+      min(expr("""CAST(p_raw AS DOUBLE) * CAST(m AS DOUBLE)
+        |  / CAST(rnk AS DOUBLE)""".stripMargin))
+        .over(Window.orderBy(col("rnk").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    bh.select(col("event_type"), col("hod").cast("long").as("hod"),
+        round(col("gstat"), 6).as("g_stat"),
+        round(col("p_raw").cast("double"), 6).as("p_raw"),
+        col("rnk").cast("long").as("rnk"),
+        round(least(col("qv"), lit(1.0)), 6).as("q_value"),
+        (least(col("qv"), lit(1.0)) <= 0.05).as("reject"))
+      .orderBy(col("rnk"))
   }
 }

@@ -16,7 +16,7 @@ object TextAnalysis {
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
-      q194HeapsLaw, q199JsDivergence, q202RakeKeywords)
+      q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -1414,5 +1414,66 @@ object TextAnalysis {
         round(max(col("score")).cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col("phrase"))
       .limit(30)
+  }
+  /** POSITIONAL PHRASE SEARCH — the third retrieval leg after q101's
+    * BM25 ranking and q105's RRF fusion: exact phrase matching ("order
+    * fast" here) through a positional inverted index — per-term posting
+    * lists carrying (doc, position), intersected with the offset
+    * constraint pos₂ = pos₁ + 1. This is the operator BM25 bag-of-words
+    * scoring structurally cannot express: term adjacency.
+    *
+    * Exactness: pure integer counting — occurrence counts and 1-BASED
+    * first positions (the cross-engine position convention is pinned
+    * here: DuckDB lists index from 1, Spark's posexplode from 0, so the
+    * Spark side reports pos + 1). Only docs containing the full phrase
+    * appear.
+    *
+    * Plan: tokenize → two term-filtered posting lists (the filter pushes
+    * to the scan side of the explode), equi-join on (doc, adjacent
+    * position), map-side-combined per-doc aggregate. At 100 TB the
+    * posting lists are term-selective (two terms of the vocabulary, not
+    * the corpus), the join key (doc, pos) is near-unique so skew-free;
+    * for a phrase workload the posting-list table is what an index
+    * MATERIALIZES — this plan is its on-the-fly form over documentsWide.
+    */
+  val q213PhraseSearch = Q(
+    "q213_phrase_search",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE text IS NOT NULL
+      |),
+      |pos AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i] AS tok
+      |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+      |),
+      |p1 AS (SELECT doc_id, pos FROM pos WHERE tok = 'order'),
+      |p2 AS (SELECT doc_id, pos FROM pos WHERE tok = 'fast'),
+      |hits AS (
+      |  SELECT p1.doc_id, p1.pos
+      |  FROM p1 JOIN p2
+      |    ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      |)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(min(pos) AS BIGINT) AS first_pos
+      |FROM hits
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin,
+  ) { (s, d) =>
+    val pos = Tables.documentsWide(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    val p1 = pos.filter(col("tok") === "order")
+      .select(col("doc_id"), col("pos"))
+    val p2 = pos.filter(col("tok") === "fast")
+      .select(col("doc_id").as("doc2"), col("pos").as("pos2"))
+    p1.join(p2,
+        col("doc2") === col("doc_id") && col("pos2") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"),
+        min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
   }
 }

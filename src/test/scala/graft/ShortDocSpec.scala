@@ -417,4 +417,18 @@ class ShortDocSpec extends SparkSpec {
       assert(math.abs(sc - wsc) < 1e-5, s"$p score $sc vs $wsc")
     }
   }
+  test("q213/q215 degenerate docs: phrase absent → empty; single-class " +
+      "source → zero impurity with the (score, v) tie-break") {
+    assert(SparkEntry.queries("q213_phrase_search")(spark, dir).collect()
+      .isEmpty, "no 'order fast' phrase in the fixture")
+    val st = SparkEntry.queries("q215_gini_stump")(spark, dir).collect()
+    assert(st.length === 1)
+    val r = st.head
+    assert(r.getString(0) === "unit")
+    // all docs are lang=en → parent and every split impurity are 0;
+    // the deterministic argmin tie-break picks the smallest threshold
+    assert(r.getLong(2) === r.getLong(1), "pos == n (single class)")
+    assert(r.getLong(3) === 0L, "tie-break → smallest n_chars value")
+    assert(r.getDouble(6) === 0.0 && r.getDouble(7) === 0.0)
+  }
 }

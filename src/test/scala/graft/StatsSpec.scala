@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Analytic, GraphOps, Stats, TextAnalysis}
+import graft.queries.{Analytic, Curation, GraphOps, Stats, TextAnalysis}
 
 /** Independent-reimplementation nets for the round-10 operator family
   * (q153–q159): each test recomputes the operator's answer with a plain
@@ -781,5 +781,155 @@ class StatsSpec extends SparkSpec {
       assert(got((t, day)) === ((rows.length.toLong, sorted.head._4,
         cents.max, cents.min, sorted.last._4, cents.sum)))
     }
+  }
+  test("q212 Hill estimator replays from a driver-side sorted tail") {
+    val got = Stats.q212HillTail.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(100 * r.getDouble(1))))
+      .filter(_._2 > 0)
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val sorted = rows.map(_._2).sorted(Ordering[Long].reverse)
+      if (sorted.length < 101) assert(!got.contains(t))
+      else {
+        val xk1 = sorted(100)
+        val h = sorted.take(100)
+          .map(x => math.log(x.toDouble / xk1.toDouble)).sum / 100.0
+        val (gn, gthr, gh, galpha) = got(t)
+        assert(gn === 100L); assert(gthr === xk1)
+        assert(math.abs(gh - h) < 1e-4, s"$t hill")
+        if (h != 0.0) assert(math.abs(galpha.get - 1.0 / h) < 1e-3)
+      }
+    }
+  }
+
+  test("q213 phrase search replays from a driver-side token scan") {
+    val got = TextAnalysis.q213PhraseSearch.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val hits = (0 until toks.length - 1)
+        .filter(i => toks(i) == "order" && toks(i + 1) == "fast")
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.length.toLong, hits.head.toLong + 1)))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("q214 DAU/WAU replays from driver-side distinct day sets") {
+    val got = Analytic.q214Stickiness.fn(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }.toMap
+    val du = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val d0 = du.map(_._2).min; val d1 = du.map(_._2).max
+    assert(got.keySet === (d0 to d1).toSet)
+    for (day <- d0 to d1) {
+      val dau = du.count(_._2 == day).toLong
+      val wau = du.filter(e => e._2 >= day - 6 && e._2 <= day)
+        .map(_._1).distinct.length.toLong
+      val stick = if (wau > 0)
+        Some(((2 * dau * 1000000L + wau) / (2 * wau)).toDouble / 1e6)
+      else None
+      assert(got(day) === ((dau, wau, stick)), s"day $day")
+    }
+  }
+
+  test("q215 stump equals a driver-side exhaustive split scan") {
+    val got = Curation.q215GiniStump.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    }.toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.getString(2) == "en") 1L else 0L))
+    for ((src, rows) <- docs.groupBy(_._1)) {
+      val n = rows.length.toLong
+      val pos = rows.map(_._3).sum
+      // exhaustive proper-split scan with the same fixed-order formula
+      val cand = rows.map(_._2).distinct.sorted.flatMap { v =>
+        val left = rows.filter(_._2 <= v)
+        val nl = left.length.toLong
+        if (nl == n) None
+        else {
+          val pl = left.map(_._3).sum
+          val nr = n - nl; val pr = pos - pl
+          val gs = ((nl * nl - pl * pl - (nl - pl) * (nl - pl)).toDouble
+              / nl.toDouble
+            + (nr * nr - pr * pr - (nr - pr) * (nr - pr)).toDouble
+              / nr.toDouble) / n.toDouble
+          Some((gs, v, nl, pl))
+        }
+      }
+      if (cand.isEmpty) assert(!got.contains(src))
+      else {
+        val best = cand.minBy(c => (c._1, c._2))
+        val gp = (n * n - pos * pos - (n - pos) * (n - pos)).toDouble /
+          n.toDouble / n.toDouble
+        val (gn, gpos, gthr, gnl, gpl, ggp, ggs) = got(src)
+        assert(gn === n); assert(gpos === pos)
+        assert(gthr === best._2); assert(gnl === best._3)
+        assert(gpl === best._4)
+        assert(math.abs(ggp - gp) < 1e-9)
+        assert(math.abs(ggs - best._1) < 1e-6)
+      }
+    }
+  }
+
+  test("q216 BH-FDR: G replays from full-precision counts; the step-up " +
+      "is monotone and rejections form a rank prefix") {
+    val out = Stats.q216BhFdr.fn(spark, sf).collect().map { r =>
+      ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5),
+          r.getBoolean(6)))
+    }
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        col("value")).collect()
+      .map { r =>
+        val cents = math.round(100 * r.getDouble(2))
+        val band = if (cents < 2000) 0 else if (cents < 8000) 1 else 2
+        (r.getString(0), r.getLong(1), band)
+      }
+    for (((t, hod), (g, p, _, _, _)) <- out) {
+      val typ = ev.filter(_._1 == t)
+      val n = typ.length.toDouble
+      val nh = typ.count(_._2 == hod).toDouble
+      var gacc = 0.0
+      for (b <- 0 to 2) {
+        val c = typ.count(_._3 == b).toDouble
+        val oIn = typ.count(e => e._2 == hod && e._3 == b).toDouble
+        val oOut = c - oIn
+        if (oIn > 0) gacc += oIn * math.log(oIn * n / (nh * c))
+        if (oOut > 0) gacc += oOut * math.log(oOut * n / ((n - nh) * c))
+      }
+      gacc *= 2
+      assert(math.abs(g - gacc) < 1e-3, s"($t,$hod) G")
+      assert(math.abs(p - math.exp(-gacc / 2)) < 1e-4, s"($t,$hod) p")
+    }
+    // BH structure: ranks are 1..m by p; q non-decreasing in rank;
+    // rejections are exactly the prefix with q ≤ 0.05
+    val byRank = out.map(_._2).sortBy(_._3)
+    assert(byRank.map(_._3) === (1L to byRank.length.toLong))
+    assert(byRank.sliding(2).forall { w =>
+      w.length < 2 ||
+        (w(0)._2 <= w(1)._2 + 1e-9 && w(0)._4 <= w(1)._4 + 1e-9)
+    })
+    assert(byRank.forall(r => r._5 == (r._4 <= 0.05)))
+    val rejs = byRank.map(_._5)
+    assert(!rejs.dropWhile(identity).contains(true),
+      "rejections must form a rank prefix")
   }
 }
