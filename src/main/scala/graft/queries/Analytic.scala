@@ -55,6 +55,8 @@ object Analytic {
     q203BrownTrend,
     q211OhlcBars,
     q214Stickiness,
+    q217PageHinkley,
+    q220RollingCorr,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -2908,6 +2910,229 @@ object Analytic {
           expr("""CAST(((2 * dau * 1000000 + wau) div (2 * wau))
             |  AS DOUBLE) / 1000000.0""".stripMargin))
           .otherwise(lit(null)).as("stickiness"))
+      .orderBy(col("day"))
+  }
+  /** PAGE–HINKLEY CHANGE DETECTION — the fourth SPC leg (q76 pointwise,
+    * q180 CUSUM-to-peak, q193 EWMA band, this): the classic sequential
+    * mean-shift detector over the dense hourly count series. PH tracks
+    * m_t = Σ_{s≤t}(x_s − x̄_s) — deviations from the RUNNING mean, not a
+    * fixed baseline — and alarms when m_t − min_{s≤t} m_s exceeds λ = 3σ
+    * (σ from the series' exact global moments): an upward mean shift
+    * makes m climb away from its historical floor.
+    *
+    * Exactness: the running mean x̄_s = S_s/(s+1) is one double divide of
+    * exact int64 cumulative sums; each deviation term is one fixed-order
+    * double subtract cast to DECIMAL(18,9); m_t is the ASSOCIATIVE
+    * decimal window cumsum and its running min compares decimals
+    * exactly — the whole sequential recursion replays bit-identically
+    * (the q193 discipline, but through cumulative windows instead of a
+    * closed-form explode: PH's state is already a prefix sum, no
+    * explode needed — LINEAR, not quadratic). Output rounding happens ON
+    * THE DECIMAL (round(dec, 6) is HALF_UP in both engines) before the
+    * double cast — rounding the cast double instead hit the §5.7
+    * half-1e-6 tie divergence on this very fixture. σ uses the exact integer
+    * variance numerator; single-hour series → NULL λ (nullif), alarm
+    * NULL, never a crash.
+    *
+    * PRECONDITION ts ≥ 1970-01-01 (§5.7). Plan: one (type, hour)
+    * aggregate, a calendar-bounded grid, three type-partitioned windows
+    * sharing one sort. State is span-bounded; at 100 TB the windows run
+    * over ≤ a few thousand rows per type.
+    */
+  val q217PageHinkley = Q(
+    "q217_page_hinkley",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.m0, g.t, COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS span,
+      |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+      |  FROM x GROUP BY 1
+      |),
+      |dev AS (
+      |  SELECT event_type, m0, t, x,
+      |    CAST(CAST(x AS DOUBLE)
+      |      - CAST(sum(x) OVER (PARTITION BY event_type ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS DOUBLE) / CAST(t + 1 AS DOUBLE)
+      |      AS DECIMAL(18,9)) AS term
+      |  FROM x
+      |),
+      |ph AS (
+      |  SELECT event_type, m0, t, x,
+      |    sum(term) OVER (PARTITION BY event_type ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      |  FROM dev
+      |),
+      |run AS (
+      |  SELECT event_type, m0, t, x, mt,
+      |    min(mt) OVER (PARTITION BY event_type ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mmin
+      |  FROM ph
+      |)
+      |SELECT r.event_type,
+      |  make_timestamp((r.m0 + r.t) * 3600000000) AS hour,
+      |  CAST(r.x AS BIGINT) AS n,
+      |  CAST(round(r.mt, 6) AS DOUBLE) AS m_t,
+      |  CAST(round(r.mt - r.mmin, 6) AS DOUBLE) AS ph_t,
+      |  CAST(r.mt - r.mmin AS DOUBLE) >
+      |    CAST(3 AS DOUBLE) * sqrt(CAST(mm.span * mm.q - mm.s * mm.s
+      |        AS DOUBLE)
+      |      / nullif(CAST(mm.span * (mm.span - 1) AS DOUBLE),
+      |          CAST(0 AS DOUBLE))) AS alarm
+      |FROM run r JOIN mom mm ON mm.event_type = r.event_type
+      |ORDER BY r.event_type, hour""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("m0"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint() // 2 consumers: moments and the window chain
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("span"),
+        sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"))
+      .select(col("event_type").as("mm_type"), col("span"), col("s"),
+        col("q"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dev = x.withColumn("cums", sum(col("x")).over(wCum))
+      .withColumn("term", expr(
+        """CAST(CAST(x AS DOUBLE)
+          |  - CAST(cums AS DOUBLE) / CAST(t + 1 AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin))
+    val run = dev.withColumn("mt", sum(col("term")).over(wCum))
+      .withColumn("mmin", min(col("mt")).over(wCum))
+    run.join(mom, col("mm_type") === col("event_type"))
+      .select(col("event_type"),
+        expr("timestamp_micros((m0 + t) * 3600000000)").as("hour"),
+        col("x").cast("long").as("n"),
+        round(col("mt"), 6).cast("double").as("m_t"),
+        round(col("mt") - col("mmin"), 6).cast("double").as("ph_t"),
+        ((col("mt") - col("mmin")).cast("double") >
+          expr("""CAST(3 AS DOUBLE) * sqrt(CAST(span * q - s * s AS DOUBLE)
+            |  / nullif(CAST(span * (span - 1) AS DOUBLE),
+            |      CAST(0 AS DOUBLE)))""".stripMargin)).as("alarm"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+  /** ROLLING WINDOW CORRELATION — the time-LOCAL dependence monitor next
+    * to the global coefficients (q163 Spearman, q208 Kendall are one
+    * number per pair; this is a series): Pearson r of the 'view' and
+    * 'click' daily counts over each trailing 7-day window on the dense
+    * calendar grid — the dashboard that catches a funnel decoupling the
+    * week it happens, invisible in a month-long global coefficient.
+    *
+    * Exactness: all five window moments (Σx, Σy, Σxy, Σx², Σy²) are
+    * exact int64 sums over the FIXED 7-row frame; r is one fixed-order
+    * double chain over them, denominator factors under separate IEEE
+    * sqrts; a flat window (zero variance on either side) yields NULL r
+    * via nullif — explicit on both engines. Only COMPLETE windows
+    * (day ≥ d₀+6) are emitted, the partial-frame convention stated
+    * rather than silently averaged over shorter frames.
+    *
+    * Plan: events collapse to the (day, x, y) paired series (map-side
+    * combined, calendar-bounded), one ROWS-frame window — bounded
+    * state, single sort, never row-proportional.
+    */
+  val q220RollingCorr = Q(
+    "q220_rolling_corr",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IN ('view', 'click')
+      |),
+      |dc AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM e GROUP BY 1
+      |),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |grid AS (SELECT b.d0 + unnest(range(0, b.d1 - b.d0 + 1)) AS day
+      |         FROM b),
+      |x AS (
+      |  SELECT g.day, COALESCE(dc.x, 0) AS x, COALESCE(dc.y, 0) AS y
+      |  FROM grid g LEFT JOIN dc ON dc.day = g.day
+      |),
+      |m AS (
+      |  SELECT day, x, y,
+      |    CAST(count(*) OVER w AS BIGINT) AS n,
+      |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+      |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+      |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) OVER w AS BIGINT) AS syy
+      |  FROM x
+      |  WINDOW w AS (ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT day, x AS views, y AS clicks,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)),
+      |      CAST(0 AS DOUBLE)), 6) AS r
+      |FROM m WHERE n = 7
+      |ORDER BY day""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull
+        && col("event_type").isin("view", "click"))
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val dc = e.groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("long").as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("long").as("y"))
+      .select(col("day").as("dc_day"), col("x"), col("y"))
+    val b = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = b.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val x = grid.join(dc, col("day") === col("dc_day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val m = x.select(col("day"), col("x"), col("y"),
+      count(lit(1)).over(w).cast("long").as("n"),
+      sum(col("x")).over(w).cast("long").as("sx"),
+      sum(col("y")).over(w).cast("long").as("sy"),
+      sum(col("x") * col("y")).over(w).cast("long").as("sxy"),
+      sum(col("x") * col("x")).over(w).cast("long").as("sxx"),
+      sum(col("y") * col("y")).over(w).cast("long").as("syy"))
+    m.filter(col("n") === 7)
+      .select(col("day"), col("x").as("views"), col("y").as("clicks"),
+        round(expr("""CAST(n * sxy - sx * sy AS DOUBLE)
+          |  / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)),
+          |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("r"))
       .orderBy(col("day"))
   }
 }

@@ -29,7 +29,7 @@ object Stats {
     q174CalibrationBrier, q177Cuped, q192Msprt, q197BenfordAudit,
     q200ContingencyAssoc, q204MaseEval, q205CohensKappa, q206IsotonicPava,
     q207MannWhitney, q208KendallTau, q209TheilSen, q210Wasserstein1,
-    q212HillTail, q216BhFdr)
+    q212HillTail, q216BhFdr, q219CmhStrata)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -2582,5 +2582,114 @@ object Stats {
         round(least(col("qv"), lit(1.0)), 6).as("q_value"),
         (least(col("qv"), lit(1.0)) <= 0.05).as("reject"))
       .orderBy(col("rnk"))
+  }
+  /** COCHRAN–MANTEL–HAENSZEL STRATIFIED TEST — the Simpson's-paradox
+    * guard for the association family (q156/q200 test ONE table; this
+    * tests a common exposure→outcome effect ACROSS strata, here
+    * length ≥ 300 → lang = 'en' stratified by source): per stratum the
+    * 2×2 cell a_k is compared to its hypergeometric expectation
+    * E_k = r₁c₁/n and variance V_k = r₁(n−r₁)c₁(n−c₁)/(n²(n−1)), and
+    * CMH = (Σa_k − ΣE_k)²/ΣV_k is χ²₍₁₎ under the no-common-association
+    * null. Pooling the tables instead would let stratum composition
+    * fake or mask the effect — the exact failure q200 cannot see.
+    *
+    * Exactness: a/r₁/c₁/n are exact int64; E_k and V_k are fixed-order
+    * chained double divides (never an n³ integer product) cast to
+    * DECIMAL(18,9), so the cross-strata sums are associative; the CMH
+    * finish is one fixed-order double chain over those sums.
+    * Output rounding happens on the decimals (the q217 lesson).
+    * Single-member strata get V_k = 0 explicitly (the n−1 guard);
+    * all-degenerate ΣV = 0 → NULL via nullif.
+    *
+    * Plan: one scan → 20-row stratum aggregate (map-side combined),
+    * window totals over the stratum-bounded frame. Scan-dominated at
+    * any corpus size; stratum cardinality is the only state.
+    */
+  val q219CmhStrata = Q(
+    "q219_cmh_strata",
+    """WITH d AS (
+      |  SELECT source,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS e,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |    AND lang IS NOT NULL
+      |),
+      |k AS (
+      |  SELECT source,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(e) AS BIGINT) AS r1,
+      |    CAST(sum(y) AS BIGINT) AS c1,
+      |    CAST(sum(e * y) AS BIGINT) AS a
+      |  FROM d GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT source, n, r1, c1, a,
+      |    CAST(CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS ek,
+      |    CAST(CASE WHEN n > 1 THEN
+      |      CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)
+      |        / CAST(n AS DOUBLE)
+      |      * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * CAST(n - c1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      |      ELSE 0 END AS DECIMAL(18,9)) AS vk
+      |  FROM k
+      |),
+      |w AS (
+      |  SELECT source, n, r1, c1, a, ek, vk,
+      |    CAST(sum(a) OVER () AS BIGINT) AS sa,
+      |    sum(ek) OVER () AS se,
+      |    sum(vk) OVER () AS sv
+      |  FROM t
+      |)
+      |SELECT source, n, r1, c1, a,
+      |  CAST(round(ek, 6) AS DOUBLE) AS expected_a,
+      |  CAST(round(vk, 6) AS DOUBLE) AS var_a,
+      |  round((CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+      |    * (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+      |    / nullif(CAST(sv AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS cmh,
+      |  ((CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+      |    * (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+      |    / nullif(CAST(sv AS DOUBLE), CAST(0 AS DOUBLE))) > 3.8415
+      |    AS significant
+      |FROM w
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val doc = Tables.documents(s, d)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull
+        && col("lang").isNotNull)
+      .select(col("source"),
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("e"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val k = doc.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("e")).cast("long").as("r1"),
+        sum(col("y")).cast("long").as("c1"),
+        sum(col("e") * col("y")).cast("long").as("a"))
+    val t = k.select(col("source"), col("n"), col("r1"), col("c1"),
+      col("a"),
+      expr("""CAST(CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+        |  / CAST(n AS DOUBLE) AS DECIMAL(18,9))""".stripMargin).as("ek"),
+      expr("""CAST(CASE WHEN n > 1 THEN
+        |  CAST(r1 AS DOUBLE) * CAST(n - r1 AS DOUBLE)
+        |    / CAST(n AS DOUBLE)
+        |  * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |  * CAST(n - c1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+        |  ELSE 0 END AS DECIMAL(18,9))""".stripMargin).as("vk"))
+    val wAll = Window.partitionBy()
+    val w = t.select(col("source"), col("n"), col("r1"), col("c1"),
+      col("a"), col("ek"), col("vk"),
+      sum(col("a")).over(wAll).cast("long").as("sa"),
+      sum(col("ek")).over(wAll).as("se"),
+      sum(col("vk")).over(wAll).as("sv"))
+    val cmh = expr("""(CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+      |  * (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+      |  / nullif(CAST(sv AS DOUBLE), CAST(0 AS DOUBLE))""".stripMargin)
+    w.select(col("source"), col("n"), col("r1"), col("c1"), col("a"),
+        round(col("ek"), 6).cast("double").as("expected_a"),
+        round(col("vk"), 6).cast("double").as("var_a"),
+        round(cmh, 6).as("cmh"),
+        (cmh > 3.8415).as("significant"))
+      .orderBy(col("source"))
   }
 }

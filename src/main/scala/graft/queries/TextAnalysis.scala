@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator family over `documents`: token counting
@@ -16,7 +17,8 @@ object TextAnalysis {
     Seq(q37TextStats, q38LangId, q52Tfidf, q62TrainPipeline, q65HashSplit,
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
-      q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch)
+      q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
+      q218ZipfSlope)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -1475,5 +1477,114 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_occurrences"),
         min(col("pos")).cast("long").as("first_pos"))
       .orderBy(col("doc_id"))
+  }
+  /** ZIPF RANK-FREQUENCY FIT — the frequency-law companion to q194's
+    * Heaps vocabulary-growth audit: log-log OLS of token frequency
+    * against rank, ln f₍ᵣ₎ ≈ ln K − s·ln r. Natural corpora sit near
+    * s ≈ 1; a template/synthetic corpus (this fixture's closed
+    * vocabulary) shows the flat-slope signature — the two operators
+    * together fingerprint generated text at corpus scale.
+    *
+    * Exactness: ranks come from the TOTAL (freq DESC, token ASC) order
+    * (binary string collation agrees cross-engine), both axes are
+    * float-cast lns re-widened to DOUBLE, their product is one
+    * fixed-order double multiply, and all four OLS sums are
+    * DECIMAL(18,9); slope/intercept finish as fixed-order chains.
+    * A single-token vocabulary zeroes the variance denominator → NULL
+    * slope via nullif.
+    *
+    * Plan: one token-count aggregate (map-side combined), one
+    * vocabulary-sized window for ranks, a 1-row finish. The window is
+    * vocabulary-bounded; at 100 TB ranks shard by the q142 two-pass
+    * decomposition (count → range-partitioned rank) if the vocabulary
+    * outgrows one partition.
+    */
+  val q218ZipfSlope = Q(
+    "q218_zipf_slope",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |  WHERE text IS NOT NULL
+      |),
+      |tf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok
+      |  WHERE w <> '' GROUP BY 1
+      |),
+      |rk AS (
+      |  SELECT w, f,
+      |    row_number() OVER (ORDER BY f DESC, w) AS r
+      |  FROM tf
+      |),
+      |pt AS (
+      |  SELECT
+      |    CAST(CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      AS DECIMAL(18,9)) AS x,
+      |    CAST(CAST(CAST(ln(CAST(f AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      AS DECIMAL(18,9)) AS y,
+      |    CAST(CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      * CAST(CAST(ln(CAST(f AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      AS DECIMAL(18,9)) AS xy,
+      |    CAST(CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      * CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      AS DECIMAL(18,9)) AS xx,
+      |    f
+      |  FROM rk
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS vocab,
+      |  CAST(sum(f) AS BIGINT) AS n_tokens,
+      |  round(CAST(0 AS DOUBLE)
+      |    - (CAST(count(*) AS DOUBLE) * CAST(sum(xy) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+      |    / nullif(CAST(count(*) AS DOUBLE) * CAST(sum(xx) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS zipf_slope,
+      |  round((CAST(sum(y) AS DOUBLE)
+      |    - (CAST(count(*) AS DOUBLE) * CAST(sum(xy) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+      |    / nullif(CAST(count(*) AS DOUBLE) * CAST(sum(xx) AS DOUBLE)
+      |      - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE),
+      |      CAST(0 AS DOUBLE))
+      |    * CAST(sum(x) AS DOUBLE))
+      |    / CAST(count(*) AS DOUBLE), 6) AS ln_k
+      |FROM pt""".stripMargin,
+  ) { (s, d) =>
+    val tf = Tables.documentsWide(s, d)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+    val rk = tf.select(col("w"), col("f"),
+      row_number().over(Window.orderBy(col("f").desc, col("w").asc))
+        .as("r"))
+    val pt = rk.select(
+      expr("""CAST(CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE)
+        |  AS DECIMAL(18,9))""".stripMargin).as("x"),
+      expr("""CAST(CAST(CAST(ln(CAST(f AS DOUBLE)) AS FLOAT) AS DOUBLE)
+        |  AS DECIMAL(18,9))""".stripMargin).as("y"),
+      expr("""CAST(CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE)
+        |  * CAST(CAST(ln(CAST(f AS DOUBLE)) AS FLOAT) AS DOUBLE)
+        |  AS DECIMAL(18,9))""".stripMargin).as("xy"),
+      expr("""CAST(CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE)
+        |  * CAST(CAST(ln(CAST(r AS DOUBLE)) AS FLOAT) AS DOUBLE)
+        |  AS DECIMAL(18,9))""".stripMargin).as("xx"),
+      col("f"))
+    pt.agg(count(lit(1)).cast("long").as("vocab"),
+        sum(col("f")).cast("long").as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+      .select(col("vocab"), col("n_tokens"),
+        round(expr("""CAST(0 AS DOUBLE)
+          |  - (CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / nullif(CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+          |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("zipf_slope"),
+        round(expr("""(CAST(sy AS DOUBLE)
+          |  - (CAST(vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / nullif(CAST(vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+          |    CAST(0 AS DOUBLE))
+          |  * CAST(sx AS DOUBLE))
+          |  / CAST(vocab AS DOUBLE)""".stripMargin), 6).as("ln_k"))
   }
 }

@@ -505,4 +505,20 @@ class EdgeEventsSpec extends SparkSpec {
     assert(oh("solo") === ((100L, 300L)))
     assert(oh("multi") === ((100L, 600L)))
   }
+  test("q217/q220 degenerate: single-hour span NULLs the alarm; a corpus " +
+      "with no view/click days yields an empty correlation series") {
+    val ph = SparkEntry.queries("q217_page_hinkley")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // 'solo' has one hour: σ undefined → alarm NULL; m_t = x − x/1 = 0
+    val solo = ph("solo")
+    assert(solo.getDouble(3) === 0.0 && solo.getDouble(4) === 0.0)
+    assert(solo.isNullAt(5), "single-hour series must NULL the alarm")
+    // 'multi' spans 3 hours → a real (possibly false) boolean
+    assert(ph.collect { case (t, r) if t == "multi" => r }
+      .forall(!_.isNullAt(5)))
+    // the fixture has no 'view'/'click' events at all → empty series,
+    // not a crash on the empty-bounds grid
+    assert(SparkEntry.queries("q220_rolling_corr")(spark, dir).collect()
+      .isEmpty)
+  }
 }

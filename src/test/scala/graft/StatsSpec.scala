@@ -932,4 +932,138 @@ class StatsSpec extends SparkSpec {
     assert(!rejs.dropWhile(identity).contains(true),
       "rejections must form a rank prefix")
   }
+  test("q217 Page–Hinkley replays from a driver-side sequential loop") {
+    val got = Analytic.q217PageHinkley.fn(spark, sf).collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val m0 = rows.map(_._2).min; val m1 = rows.map(_._2).max
+      val xs = (m0 to m1).map(h => rows.count(_._2 == h).toLong).toArray
+      val span = xs.length.toLong
+      val sSum = xs.sum; val q = xs.map(x => x * x).sum
+      val lambda = if (span > 1)
+        Some(3.0 * math.sqrt((span * q - sSum * sSum).toDouble /
+          (span * (span - 1)).toDouble))
+      else None
+      var cum = 0L
+      var mt = BigDecimal(0)
+      var mmin = BigDecimal(Long.MaxValue)
+      for (tIdx <- xs.indices) {
+        cum += xs(tIdx)
+        val term = BigDecimal(xs(tIdx).toDouble -
+          cum.toDouble / (tIdx + 1).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        mt += term
+        if (mt < mmin) mmin = mt
+        val key = (t, (m0 + tIdx) * 3600000L)
+        val (gn, gmt, gph, galarm) = got(key)
+        assert(gn === xs(tIdx))
+        assert(gmt === mt.setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, s"$key m_t")
+        assert(gph === (mt - mmin).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, s"$key ph_t")
+        lambda match {
+          case Some(l) =>
+            assert(galarm.get === ((mt - mmin).toDouble > l), s"$key alarm")
+          case None => assert(galarm.isEmpty, s"$key single-hour alarm")
+        }
+      }
+    }
+  }
+
+  test("q218 Zipf fit replays from a full-precision log-log OLS") {
+    val r = TextAnalysis.q218ZipfSlope.fn(spark, sf).collect().head
+    val toks = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    val tf = toks.groupBy(identity).map { case (w, g) =>
+      (w, g.length.toLong) }.toSeq
+    val ranked = tf.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      .map { case ((w, f), i) => (i + 1L, f) }
+    val v = ranked.length.toDouble
+    val xs = ranked.map(p => math.log(p._1.toDouble))
+    val ys = ranked.map(p => math.log(p._2.toDouble))
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+    val sxx = xs.map(x => x * x).sum
+    val b = (v * sxy - sx * sy) / (v * sxx - sx * sx)
+    assert(r.getLong(0) === ranked.length.toLong)
+    assert(r.getLong(1) === toks.length.toLong)
+    assert(math.abs(r.getDouble(2) - (-b)) < 1e-4, "slope")
+    assert(math.abs(r.getDouble(3) - (sy - b * sx) / v) < 1e-4, "ln K")
+  }
+
+  test("q219 CMH replays from per-stratum hypergeometric moments") {
+    val rows = Stats.q219CmhStrata.fn(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"), col("lang")).collect()
+      .map(r => (r.getString(0), if (r.getLong(1) >= 300) 1L else 0L,
+        if (r.getString(2) == "en") 1L else 0L))
+    var sa = 0L; var se = 0.0; var sv = 0.0
+    val per = docs.groupBy(_._1).map { case (src, g) =>
+      val n = g.length.toLong
+      val r1 = g.map(_._2).sum; val c1 = g.map(_._3).sum
+      val a = g.count(x => x._2 == 1 && x._3 == 1).toLong
+      val ek = r1.toDouble * c1.toDouble / n.toDouble
+      val vk = if (n > 1)
+        r1.toDouble * (n - r1).toDouble / n.toDouble *
+          c1.toDouble / n.toDouble * (n - c1).toDouble / (n - 1).toDouble
+      else 0.0
+      sa += a; se += ek; sv += vk
+      src -> ((n, r1, c1, a, ek, vk))
+    }
+    val cmh = (sa - se) * (sa - se) / sv
+    var seen: Option[Double] = None
+    for (r <- rows) {
+      val (n, r1, c1, a, ek, vk) = per(r.getString(0))
+      assert(r.getLong(1) === n); assert(r.getLong(2) === r1)
+      assert(r.getLong(3) === c1); assert(r.getLong(4) === a)
+      assert(math.abs(r.getDouble(5) - ek) < 1e-6)
+      assert(math.abs(r.getDouble(6) - vk) < 1e-6)
+      assert(math.abs(r.getDouble(7) - cmh) < 1e-4)
+      seen match {
+        case Some(c0) => assert(r.getDouble(7) === c0,
+          "cmh must be identical on every stratum row")
+        case None => seen = Some(r.getDouble(7))
+      }
+    }
+  }
+
+  test("q220 rolling r replays from exact window moments; only full " +
+      "windows emitted") {
+    val got = Analytic.q220RollingCorr.fn(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull
+        && col("event_type").isin("view", "click"))
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min; val d1 = ev.map(_._2).max
+    val days = (d0 to d1).toArray
+    val xs = days.map(dd => ev.count(e => e._1 == "view" && e._2 == dd).toLong)
+    val ys = days.map(dd => ev.count(e => e._1 == "click" && e._2 == dd).toLong)
+    assert(got.keySet === days.drop(6).toSet, "full windows only")
+    for (i <- 6 until days.length) {
+      val wx = xs.slice(i - 6, i + 1); val wy = ys.slice(i - 6, i + 1)
+      val n = 7L
+      val sx = wx.sum; val sy = wy.sum
+      val sxy = wx.zip(wy).map(p => p._1 * p._2).sum
+      val sxx = wx.map(x => x * x).sum; val syy = wy.map(y => y * y).sum
+      val den = math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble)
+      val (gx, gy, gr) = got(days(i))
+      assert(gx === xs(i)); assert(gy === ys(i))
+      if (den == 0.0) assert(gr.isEmpty)
+      else assert(math.abs(gr.get -
+        (n * sxy - sx * sy).toDouble / den) < 1e-6)
+    }
+  }
 }
