@@ -57,6 +57,7 @@ object Analytic {
     q214Stickiness,
     q217PageHinkley,
     q220RollingCorr,
+    q222LeaderboardChurn,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -3133,6 +3134,91 @@ object Analytic {
           |  / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
           |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)),
           |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("r"))
+      .orderBy(col("day"))
+  }
+  /** LEADERBOARD CHURN — day-over-day stability of the top-k = 20 most
+    * active users: per consecutive day pair, the intersection and
+    * Jaccard of the two leaderboards. The ranking operator family
+    * (q16/q17) answers "who is on top"; this answers "how fast does the
+    * top CHANGE" — a high-churn leaderboard is bots or incentive gaming,
+    * a frozen one is a stale metric. Dashboards track the series, not
+    * one coefficient (the q220 philosophy applied to rankings).
+    *
+    * Exactness: membership is pure integer counting off the TOTAL
+    * (count DESC, user_id) rank order — deterministic top-k even through
+    * count ties; Jaccard |∩|/(k₁+k₂−|∩|) goes through ratio6. Days with
+    * fewer than 20 active users field their full roster (k_d < 20) —
+    * stated, not padded. The first day has no predecessor and is
+    * excluded by the pairing definition.
+    *
+    * Plan: events collapse to (day, user) counts map-side; ranks are
+    * day-partitioned windows; the day-pair join matches d to d−1 on the
+    * ≤ k·days leaderboard table — calendar-bounded, never
+    * row-proportional.
+    */
+  val q222LeaderboardChurn = Q(
+    "q222_leaderboard_churn",
+    s"""WITH uc AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    user_id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT day, user_id,
+      |    row_number() OVER (PARTITION BY day
+      |      ORDER BY cnt DESC, user_id) AS rn
+      |  FROM uc
+      |),
+      |top AS (SELECT day, user_id FROM rk WHERE rn <= 20),
+      |ksz AS (SELECT day, CAST(count(*) AS BIGINT) AS k FROM top
+      |        GROUP BY 1),
+      |inter AS (
+      |  SELECT b.day, CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM top a JOIN top b
+      |    ON b.user_id = a.user_id AND b.day = a.day + 1
+      |  GROUP BY 1
+      |),
+      |pair AS (
+      |  SELECT cur.day, prev.k AS k_prev, cur.k AS k_cur,
+      |    COALESCE(i.n_inter, 0) AS n_inter
+      |  FROM ksz cur
+      |  JOIN ksz prev ON prev.day = cur.day - 1
+      |  LEFT JOIN inter i ON i.day = cur.day
+      |)
+      |SELECT day, k_prev, k_cur, n_inter,
+      |  ${Exact.Sql.ratio6("n_inter", "k_prev + k_cur - n_inter")} AS jaccard
+      |FROM pair
+      |ORDER BY day""".stripMargin,
+  ) { (s, d) =>
+    val uc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val top = uc.select(col("day"), col("user_id"),
+        row_number().over(Window.partitionBy(col("day"))
+          .orderBy(col("cnt").desc, col("user_id").asc)).as("rn"))
+      .filter(col("rn") <= 20)
+      .select(col("day"), col("user_id"))
+      .localCheckpoint() // 3 consumers: sizes and both sides of the pair
+    val ksz = top.groupBy(col("day")).agg(count(lit(1)).cast("long").as("k"))
+    val inter = top.select(col("day").as("a_day"), col("user_id"))
+      .join(top.select(col("day").as("b_day"),
+          col("user_id").as("b_user")),
+        col("b_user") === col("user_id") && col("b_day") === col("a_day") + 1)
+      .groupBy(col("b_day").as("day"))
+      .agg(count(lit(1)).cast("long").as("n_inter"))
+    val pair = ksz.select(col("day"), col("k").as("k_cur"))
+      .join(ksz.select((col("day") + 1).as("day"), col("k").as("k_prev")),
+        "day")
+      .join(inter, Seq("day"), "left")
+      .select(col("day"), col("k_prev"), col("k_cur"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+    pair.select(col("day"), col("k_prev"), col("k_cur"), col("n_inter"),
+        graft.functions.Exact.ratio6("n_inter",
+          "k_prev + k_cur - n_inter").as("jaccard"))
       .orderBy(col("day"))
   }
 }

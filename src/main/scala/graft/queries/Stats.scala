@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Exact
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,7 +29,8 @@ object Stats {
     q174CalibrationBrier, q177Cuped, q192Msprt, q197BenfordAudit,
     q200ContingencyAssoc, q204MaseEval, q205CohensKappa, q206IsotonicPava,
     q207MannWhitney, q208KendallTau, q209TheilSen, q210Wasserstein1,
-    q212HillTail, q216BhFdr, q219CmhStrata)
+    q212HillTail, q216BhFdr, q219CmhStrata, q221AcfLjungBox,
+    q223CochranArmitage, q224DiffInDiff)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -2691,5 +2692,360 @@ object Stats {
         round(cmh, 6).as("cmh"),
         (cmh > 3.8415).as("significant"))
       .orderBy(col("source"))
+  }
+  /** ACF + LJUNG–BOX WHITE-NOISE TEST — the serial-dependence profile of
+    * the hourly count series (per event type, dense grid): sample
+    * autocorrelations at lags 1 and 2 and the Ljung–Box portmanteau
+    * Q = n(n+2)·Σ_k ρ_k²/(n−k), df = 2 — the "is this series even worth
+    * forecasting" gate in front of q193/q203/q204, with the same
+    * closed-form tail trick as q216: χ²₍₂₎ ⇒ p = e^(−Q/2), no special
+    * function.
+    *
+    * Exactness: each ρ_k is ONE double divide of two exact int64s — the
+    * mean-centered products clear their μ = S/n denominators via
+    * n²·Σx_tx_{t−k} − n·S·(H_k+T_k) + (n−k)·S² over n²·Q_mom − n·S²
+    * (head/tail-trimmed sums H/T from lag windows; validity bound
+    * n³·max(x)² < 2⁶³, document and shard past ~10⁵ hours of 10⁴-count
+    * buckets). Q and p finish fixed-order with the float-cast exp.
+    * Constant series (zero variance) → NULL ρ/Q/p via nullif; n ≤ 2 →
+    * excluded by the lag-2 definition (suite-pinned).
+    *
+    * Plan: the q193 grid, two lag windows sharing one sort, one
+    * map-side-combined aggregate per type, a 5-row finish. Span-bounded
+    * state; never row-proportional past the hour aggregate.
+    */
+  val q221AcfLjungBox = Q(
+    "q221_acf_ljungbox",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |lagd AS (
+      |  SELECT event_type, t, x,
+      |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY t) AS x1,
+      |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY t) AS x2
+      |  FROM x
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(sum(x * x) AS BIGINT) AS q,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x * x1 END)
+      |      AS BIGINT) AS p1,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x END) AS BIGINT)
+      |      AS h1,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x1 END) AS BIGINT)
+      |      AS t1,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x * x2 END)
+      |      AS BIGINT) AS p2,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x END) AS BIGINT)
+      |      AS h2,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x2 END) AS BIGINT)
+      |      AS t2
+      |  FROM lagd GROUP BY 1
+      |),
+      |rho AS (
+      |  SELECT event_type, n,
+      |    CAST(n * n * p1 - n * s * (h1 + t1) + (n - 1) * s * s
+      |      AS DOUBLE)
+      |      / nullif(CAST(n * n * q - n * s * s AS DOUBLE),
+      |          CAST(0 AS DOUBLE)) AS r1,
+      |    CAST(n * n * p2 - n * s * (h2 + t2) + (n - 2) * s * s
+      |      AS DOUBLE)
+      |      / nullif(CAST(n * n * q - n * s * s AS DOUBLE),
+      |          CAST(0 AS DOUBLE)) AS r2
+      |  FROM agg WHERE n > 2
+      |),
+      |lb AS (
+      |  SELECT event_type, n, r1, r2,
+      |    CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+      |      * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+      |        + r2 * r2 / CAST(n - 2 AS DOUBLE)) AS qlb
+      |  FROM rho
+      |)
+      |SELECT event_type, n AS span,
+      |  round(r1, 6) AS acf1,
+      |  round(r2, 6) AS acf2,
+      |  round(qlb, 6) AS lb_q,
+      |  round(CAST(CAST(exp(CAST(0 AS DOUBLE) - qlb / CAST(2 AS DOUBLE))
+      |    AS FLOAT) AS DOUBLE), 6) AS p_value,
+      |  CAST(CAST(exp(CAST(0 AS DOUBLE) - qlb / CAST(2 AS DOUBLE))
+      |    AS FLOAT) AS DOUBLE) > 0.05 AS white_noise
+      |FROM lb
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val lagd = x.select(col("event_type"), col("t"), col("x"),
+      lag(col("x"), 1).over(wLag).as("x1"),
+      lag(col("x"), 2).over(wLag).as("x2"))
+    val agg = lagd.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"),
+        sum(when(col("x1").isNull, 0L).otherwise(col("x") * col("x1")))
+          .cast("long").as("p1"),
+        sum(when(col("x1").isNull, 0L).otherwise(col("x"))).cast("long")
+          .as("h1"),
+        sum(when(col("x1").isNull, 0L).otherwise(col("x1"))).cast("long")
+          .as("t1"),
+        sum(when(col("x2").isNull, 0L).otherwise(col("x") * col("x2")))
+          .cast("long").as("p2"),
+        sum(when(col("x2").isNull, 0L).otherwise(col("x"))).cast("long")
+          .as("h2"),
+        sum(when(col("x2").isNull, 0L).otherwise(col("x2"))).cast("long")
+          .as("t2"))
+    val rho = agg.filter(col("n") > 2)
+      .select(col("event_type"), col("n"),
+        expr("""CAST(n * n * p1 - n * s * (h1 + t1) + (n - 1) * s * s
+          |    AS DOUBLE)
+          |  / nullif(CAST(n * n * q - n * s * s AS DOUBLE),
+          |      CAST(0 AS DOUBLE))""".stripMargin).as("r1"),
+        expr("""CAST(n * n * p2 - n * s * (h2 + t2) + (n - 2) * s * s
+          |    AS DOUBLE)
+          |  / nullif(CAST(n * n * q - n * s * s AS DOUBLE),
+          |      CAST(0 AS DOUBLE))""".stripMargin).as("r2"))
+    val lb = rho.withColumn("qlb", expr(
+      """CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+        |  * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+        |    + r2 * r2 / CAST(n - 2 AS DOUBLE))""".stripMargin))
+    val pexp = expr("""CAST(CAST(exp(CAST(0 AS DOUBLE)
+      |  - qlb / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE)""".stripMargin)
+    lb.select(col("event_type"), col("n").as("span"),
+        round(col("r1"), 6).as("acf1"),
+        round(col("r2"), 6).as("acf2"),
+        round(col("qlb"), 6).as("lb_q"),
+        round(pexp, 6).as("p_value"),
+        (pexp > 0.05).as("white_noise"))
+      .orderBy(col("event_type"))
+  }
+  /** COCHRAN–ARMITAGE TREND TEST — the ORDERED-category member of the
+    * association family: q156/q200 ask "are length and language related
+    * at all"; this asks the sharper monotone question — does P(lang='en')
+    * TREND across ordered length bands (<200, 200–400, ≥400 chars,
+    * scores 0/1/2)? A trend test spends its single degree of freedom on
+    * the ordering, so it detects monotone dose-response effects the
+    * omnibus χ² dilutes across df.
+    *
+    * Exactness: band sizes n_i, positives r_i and the score moments
+    * Sn = Σsᵢnᵢ, Snn = Σsᵢ²nᵢ, T = Σsᵢrᵢ are exact int64; the statistic
+    * z² = N·(NT − R·Sn)² / (R·(N−R)·(N·Snn − Sn²)) squares the exact
+    * int64 numerator in DOUBLES (NT ≤ N·2N keeps NT exact through
+    * N ≤ 4.7e7; the square would need int128 — the q205/q207 bound
+    * family) and chains the denominators as separate fixed-order
+    * divides. Degenerate margins (R = 0, R = N, or single-band) zero a
+    * denominator → NULL via nullif. The trend DIRECTION is the exact
+    * integer sign of NT − R·Sn.
+    *
+    * Plan: one scan → 3-row band aggregate (map-side combined) → 1-row
+    * finish. Scan-dominated at any size.
+    */
+  val q223CochranArmitage = Q(
+    "q223_cochran_armitage",
+    """WITH d AS (
+      |  SELECT CASE WHEN n_chars < 200 THEN 0
+      |              WHEN n_chars < 400 THEN 1 ELSE 2 END AS band,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      |),
+      |b AS (
+      |  SELECT band, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS r
+      |  FROM d GROUP BY 1
+      |),
+      |m AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(r) AS BIGINT) AS rr,
+      |    CAST(sum(band * n) AS BIGINT) AS sn,
+      |    CAST(sum(band * band * n) AS BIGINT) AS snn,
+      |    CAST(sum(band * r) AS BIGINT) AS t,
+      |    CAST(max(CASE WHEN band = 0 THEN n END) AS BIGINT) AS n0,
+      |    CAST(max(CASE WHEN band = 0 THEN r END) AS BIGINT) AS r0,
+      |    CAST(max(CASE WHEN band = 1 THEN n END) AS BIGINT) AS n1,
+      |    CAST(max(CASE WHEN band = 1 THEN r END) AS BIGINT) AS r1,
+      |    CAST(max(CASE WHEN band = 2 THEN n END) AS BIGINT) AS n2,
+      |    CAST(max(CASE WHEN band = 2 THEN r END) AS BIGINT) AS r2
+      |  FROM b
+      |)
+      |SELECT nn AS n_total, rr AS n_pos, n0, r0, n1, r1, n2, r2,
+      |  CAST(nn * t - rr * sn AS BIGINT) AS trend_num,
+      |  round(CAST(nn AS DOUBLE)
+      |    * CAST(nn * t - rr * sn AS DOUBLE)
+      |    * CAST(nn * t - rr * sn AS DOUBLE)
+      |    / nullif(CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE), 
+      |        CAST(0 AS DOUBLE))
+      |    / nullif(CAST(nn * snn - sn * sn AS DOUBLE),
+      |        CAST(0 AS DOUBLE)), 6) AS ca_z2,
+      |  (CAST(nn AS DOUBLE)
+      |    * CAST(nn * t - rr * sn AS DOUBLE)
+      |    * CAST(nn * t - rr * sn AS DOUBLE)
+      |    / nullif(CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE),
+      |        CAST(0 AS DOUBLE))
+      |    / nullif(CAST(nn * snn - sn * sn AS DOUBLE),
+      |        CAST(0 AS DOUBLE))) > 3.8415 AS significant
+      |FROM m""".stripMargin,
+  ) { (s, d) =>
+    val doc = Tables.documents(s, d)
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(
+        when(col("n_chars") < 200, 0L)
+          .when(col("n_chars") < 400, 1L).otherwise(2L).as("band"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val b = doc.groupBy(col("band"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("r"))
+    val m = b.agg(sum(col("n")).cast("long").as("nn"),
+      sum(col("r")).cast("long").as("rr"),
+      sum(col("band") * col("n")).cast("long").as("sn"),
+      sum(col("band") * col("band") * col("n")).cast("long").as("snn"),
+      sum(col("band") * col("r")).cast("long").as("t"),
+      max(when(col("band") === 0, col("n"))).cast("long").as("n0"),
+      max(when(col("band") === 0, col("r"))).cast("long").as("r0"),
+      max(when(col("band") === 1, col("n"))).cast("long").as("n1"),
+      max(when(col("band") === 1, col("r"))).cast("long").as("r1"),
+      max(when(col("band") === 2, col("n"))).cast("long").as("n2"),
+      max(when(col("band") === 2, col("r"))).cast("long").as("r2"))
+    val z2 = expr("""CAST(nn AS DOUBLE)
+      |  * CAST(nn * t - rr * sn AS DOUBLE)
+      |  * CAST(nn * t - rr * sn AS DOUBLE)
+      |  / nullif(CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE),
+      |      CAST(0 AS DOUBLE))
+      |  / nullif(CAST(nn * snn - sn * sn AS DOUBLE),
+      |      CAST(0 AS DOUBLE))""".stripMargin)
+    m.select(col("nn").as("n_total"), col("rr").as("n_pos"),
+      col("n0"), col("r0"), col("n1"), col("r1"), col("n2"), col("r2"),
+      expr("CAST(nn * t - rr * sn AS BIGINT)").as("trend_num"),
+      round(z2, 6).as("ca_z2"),
+      (z2 > 3.8415).as("significant"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    * when assignment is NOT randomized per unit-time: users hash-split
+    * into treated/control arms (the q154 device, 'dd|' salt), time split
+    * at the span midpoint, and the effect on mean event value is
+    * (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre) — differencing away
+    * both the stable arm difference and the common time trend that a
+    * naive post-period comparison (q154's shape) would absorb into the
+    * effect.
+    *
+    * Exactness: the four cell sums are exact int64 cents, each mean is
+    * ONE double divide, and the DiD combination is a fixed-order chain
+    * of four exact quotients; any empty cell → NULL effect via the
+    * nullif on its count. The midpoint split (d₀+d₁+1)//2 is integer
+    * calendar arithmetic — identical both engines (non-negative days,
+    * §5.7 div row).
+    *
+    * Plan: one scan → 4-row cell aggregate (map-side combined) with the
+    * span bounds broadcast; the q197 window-total idiom attaches the
+    * single DiD estimate to every cell row. Scan-dominated at any size.
+    */
+  val q224DiffInDiff = Q(
+    "q224_diff_in_diff",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(round(100 * value) AS BIGINT) AS cents,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(('0x' || substr(md5('dd|' || CAST(user_id AS VARCHAR)),
+      |      1, 1)) AS BIGINT) % 2 AS treated
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND user_id IS NOT NULL
+      |),
+      |b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+      |cells AS (
+      |  SELECT e.treated,
+      |    CASE WHEN e.day >= b.mid THEN 1 ELSE 0 END AS post,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(e.cents) AS BIGINT) AS cents_sum
+      |  FROM e CROSS JOIN b
+      |  GROUP BY 1, 2
+      |),
+      |w AS (
+      |  SELECT treated, post, n, cents_sum,
+      |    CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN cents_sum END)
+      |        OVER () AS DOUBLE)
+      |      / nullif(CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN n
+      |        END) OVER () AS DOUBLE), CAST(0 AS DOUBLE))
+      |    - CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN cents_sum
+      |        END) OVER () AS DOUBLE)
+      |      / nullif(CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN n
+      |        END) OVER () AS DOUBLE), CAST(0 AS DOUBLE))
+      |    - (CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN cents_sum
+      |        END) OVER () AS DOUBLE)
+      |      / nullif(CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN n
+      |        END) OVER () AS DOUBLE), CAST(0 AS DOUBLE))
+      |    - CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN cents_sum
+      |        END) OVER () AS DOUBLE)
+      |      / nullif(CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN n
+      |        END) OVER () AS DOUBLE), CAST(0 AS DOUBLE))) AS did
+      |  FROM cells
+      |)
+      |SELECT treated, post, n,
+      |  round(CAST(cents_sum AS DOUBLE) / nullif(CAST(n AS DOUBLE),
+      |    CAST(0 AS DOUBLE)) / 100.0, 6) AS mean_value,
+      |  round(did / 100.0, 6) AS did_effect
+      |FROM w
+      |ORDER BY treated, post""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("user_id").isNotNull)
+      .select(
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (conv(substring(md5(concat(lit("dd|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10).cast("long") % 2)
+          .as("treated"))
+    val b = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val cells = e.crossJoin(broadcast(b))
+      .groupBy(col("treated"),
+        when(col("day") >= col("mid"), 1L).otherwise(0L).as("post"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("cents_sum"))
+    val wAll = Window.partitionBy()
+    def cell(tr: Int, po: Int, c: String): Column =
+      sum(when(col("treated") === tr && col("post") === po, col(c)))
+        .over(wAll).cast("double")
+    def mean(tr: Int, po: Int): Column =
+      cell(tr, po, "cents_sum") /
+        nullif(cell(tr, po, "n"), lit(0.0))
+    val w = cells.withColumn("did",
+      mean(1, 1) - mean(1, 0) - (mean(0, 1) - mean(0, 0)))
+    w.select(col("treated"), col("post"), col("n"),
+        round(expr("""CAST(cents_sum AS DOUBLE)
+          |  / nullif(CAST(n AS DOUBLE), CAST(0 AS DOUBLE))
+          |  / 100.0""".stripMargin), 6).as("mean_value"),
+        round(col("did") / 100.0, 6).as("did_effect"))
+      .orderBy(col("treated"), col("post"))
   }
 }

@@ -521,4 +521,20 @@ class EdgeEventsSpec extends SparkSpec {
     assert(SparkEntry.queries("q220_rolling_corr")(spark, dir).collect()
       .isEmpty)
   }
+  test("q221/q222/q224 degenerate: lag-2 needs 3 hours; single-day " +
+      "leaderboards have no pairs; an all-post split NULLs the DiD") {
+    val acf = SparkEntry.queries("q221_acf_ljungbox")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!acf.contains("solo"), "single-hour series has no lag-2 ACF")
+    assert(acf.contains("multi") && acf("multi").getLong(1) === 3L)
+    assert(SparkEntry.queries("q222_leaderboard_churn")(spark, dir)
+      .collect().isEmpty, "one day → no consecutive-day pairs")
+    // all edge events land on one day → mid = d0, every row post=1,
+    // pre cells missing → DiD must be NULL on every row, not a crash
+    val did = SparkEntry.queries("q224_diff_in_diff")(spark, dir)
+      .collect()
+    assert(did.nonEmpty)
+    assert(did.forall(_.isNullAt(4)), "missing pre-period → NULL effect")
+    assert(did.forall(_.getLong(1) === 1L), "all cells post")
+  }
 }

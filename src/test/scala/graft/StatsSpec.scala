@@ -1066,4 +1066,126 @@ class StatsSpec extends SparkSpec {
         (n * sxy - sx * sy).toDouble / den) < 1e-6)
     }
   }
+  test("q221 ACF replays from centered driver-side moments; LB and the " +
+      "white-noise flag follow") {
+    val got = Stats.q221AcfLjungBox.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val m0 = rows.map(_._2).min; val m1 = rows.map(_._2).max
+      val xs = (m0 to m1).map(h => rows.count(_._2 == h).toDouble).toArray
+      val n = xs.length
+      if (n <= 2) assert(!got.contains(t))
+      else {
+        val mu = xs.sum / n
+        val den = xs.map(x => (x - mu) * (x - mu)).sum
+        def acf(k: Int): Double =
+          (k until n).map(i => (xs(i) - mu) * (xs(i - k) - mu)).sum / den
+        val (gn, a1, a2, q, p, wn) = got(t)
+        assert(gn === n.toLong)
+        assert(math.abs(a1 - acf(1)) < 1e-6, s"$t acf1")
+        assert(math.abs(a2 - acf(2)) < 1e-6, s"$t acf2")
+        assert(a1.abs <= 1.0 + 1e-9 && a2.abs <= 1.0 + 1e-9)
+        val lb = n.toDouble * (n + 2) *
+          (acf(1) * acf(1) / (n - 1) + acf(2) * acf(2) / (n - 2))
+        assert(math.abs(q - lb) < 1e-3, s"$t LB")
+        assert(math.abs(p - math.exp(-lb / 2)) < 1e-4, s"$t p")
+        assert(wn === (p > 0.05))
+      }
+    }
+  }
+
+  test("q222 leaderboard churn replays from driver-side top-20 sets") {
+    val got = Analytic.q222LeaderboardChurn.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tops = ev.groupBy(_._1).map { case (day, g) =>
+      day -> g.groupBy(_._2).map { case (u, es) => (u, es.length) }.toSeq
+        .sortBy { case (u, c) => (-c, u) }.take(20).map(_._1).toSet
+    }
+    val days = tops.keys.toSeq.sorted
+    assert(got.keySet === days.filter(d => tops.contains(d - 1)).toSet)
+    for (d <- days if tops.contains(d - 1)) {
+      val prev = tops(d - 1); val cur = tops(d)
+      val inter = (prev & cur).size.toLong
+      val union = prev.size + cur.size - inter
+      val (kp, kc, ni, j) = got(d)
+      assert(kp === prev.size.toLong); assert(kc === cur.size.toLong)
+      assert(ni === inter)
+      assert(j === ((2 * inter * 1000000L + union) / (2 * union))
+        .toDouble / 1e6, s"day $d jaccard")
+    }
+  }
+
+  test("q223 CA trend replays from band counts; direction sign is exact") {
+    val r = Stats.q223CochranArmitage.fn(spark, sf).collect().head
+    val docs = Tables.documents(spark, sf)
+      .select(col("n_chars"), col("lang")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val banded = docs.map { case (nc, lang) =>
+      (if (nc < 200) 0L else if (nc < 400) 1L else 2L,
+        if (lang == "en") 1L else 0L)
+    }
+    val nn = banded.length.toLong
+    val rr = banded.map(_._2).sum
+    val sn = banded.map(_._1).sum
+    val snn = banded.map(b => b._1 * b._1).sum
+    val t = banded.filter(_._2 == 1L).map(_._1).sum
+    assert(r.getLong(0) === nn); assert(r.getLong(1) === rr)
+    for (bnd <- 0 to 2) {
+      assert(r.getLong(2 + 2 * bnd) === banded.count(_._1 == bnd).toLong)
+      assert(r.getLong(3 + 2 * bnd) ===
+        banded.count(b => b._1 == bnd && b._2 == 1L).toLong)
+    }
+    val num = nn * t - rr * sn
+    assert(r.getLong(8) === num)
+    val z2 = nn.toDouble * num.toDouble * num.toDouble /
+      (rr.toDouble * (nn - rr).toDouble) /
+      (nn * snn - sn * sn).toDouble
+    assert(math.abs(r.getDouble(9) - z2) < 1e-6)
+    assert(r.getBoolean(10) === (z2 > 3.8415))
+  }
+
+  test("q224 DiD replays from MessageDigest cells; the parallel-trends " +
+      "differencing removes the arm and period mains") {
+    val rows = Stats.q224DiffInDiff.fn(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("user_id").isNotNull)
+      .select(col("user_id"), col("value"),
+        expr("unix_micros(ts) div 86400000000")).collect()
+      .map(r => (r.getLong(0), math.round(100 * r.getDouble(1)),
+        r.getLong(2)))
+    def variant(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dd|$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) % 2
+    }
+    val mid = (ev.map(_._3).min + ev.map(_._3).max + 1) / 2
+    val cells = ev.groupBy(e =>
+      (variant(e._1).toLong, if (e._3 >= mid) 1L else 0L))
+      .map { case (k, g) => k -> ((g.length.toLong, g.map(_._2).sum)) }
+    def m(tr: Long, po: Long): Double = {
+      val (n, su) = cells((tr, po)); su.toDouble / n.toDouble
+    }
+    val did = (m(1, 1) - m(1, 0) - (m(0, 1) - m(0, 0))) / 100.0
+    assert(rows.length === cells.size)
+    for (r <- rows) {
+      val key = (r.getLong(0), r.getLong(1))
+      val (n, su) = cells(key)
+      assert(r.getLong(2) === n)
+      assert(math.abs(r.getDouble(3) - su.toDouble / n / 100.0) < 1e-6)
+      assert(math.abs(r.getDouble(4) - did) < 1e-6)
+    }
+  }
 }
