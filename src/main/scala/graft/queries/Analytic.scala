@@ -58,6 +58,7 @@ object Analytic {
     q217PageHinkley,
     q220RollingCorr,
     q222LeaderboardChurn,
+    q228HaarEnergy,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -3220,5 +3221,137 @@ object Analytic {
         graft.functions.Exact.ratio6("n_inter",
           "k_prev + k_cur - n_inter").as("jaccard"))
       .orderBy(col("day"))
+  }
+  /** HAAR WAVELET ENERGY — multi-resolution decomposition of the hourly
+    * count series: three levels of unnormalized Haar details
+    * (d = a_even − a_odd on successive pairwise-sum approximations),
+    * reporting each level's detail energy Σd² and its share — WHERE the
+    * series' variance lives (level 1 ≈ 2-hour jitter, level 3 ≈ 8-hour
+    * regime structure). The scale-localized complement to q221's ACF:
+    * two series can share ACF(1) yet concentrate energy at different
+    * scales.
+    *
+    * Exactness: every approximation and detail is exact int64 (sums and
+    * differences of counts; level-ℓ entries bound by 2^ℓ·max(x), so
+    * energies stay int64 through ~10⁵ hours of 10⁴-count buckets);
+    * energy shares go through ratio6. Odd-length tails at each level
+    * drop the unpaired trailing element — the standard dyadic
+    * convention, stated. Types with < 8 hours emit only the levels
+    * their span supports.
+    *
+    * Plan: the q193 grid, then three level aggregates each grouping
+    * t div 2 with HAVING count = 2 — map-side combined,
+    * calendar-bounded, one shuffle per level over ≤ span/2ˡ rows.
+    */
+  val q228HaarEnergy = Q(
+    "q228_haar_energy",
+    s"""WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x0 AS (
+      |  SELECT g.event_type, g.t, COALESCE(mc.cnt, 0) AS a
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |l1 AS (
+      |  SELECT event_type, t // 2 AS t,
+      |    CAST(sum(a) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN t % 2 = 0 THEN a ELSE -a END) AS BIGINT)
+      |      AS d
+      |  FROM x0 GROUP BY 1, 2 HAVING count(*) = 2
+      |),
+      |l2 AS (
+      |  SELECT event_type, t // 2 AS t,
+      |    CAST(sum(a) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN t % 2 = 0 THEN a ELSE -a END) AS BIGINT)
+      |      AS d
+      |  FROM l1 GROUP BY 1, 2 HAVING count(*) = 2
+      |),
+      |l3 AS (
+      |  SELECT event_type, t // 2 AS t,
+      |    CAST(sum(a) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN t % 2 = 0 THEN a ELSE -a END) AS BIGINT)
+      |      AS d
+      |  FROM l2 GROUP BY 1, 2 HAVING count(*) = 2
+      |),
+      |en AS (
+      |  SELECT event_type, 1 AS level, CAST(count(*) AS BIGINT)
+      |      AS n_pairs,
+      |    CAST(sum(d * d) AS BIGINT) AS energy
+      |  FROM l1 GROUP BY 1
+      |  UNION ALL
+      |  SELECT event_type, 2 AS level, CAST(count(*) AS BIGINT),
+      |    CAST(sum(d * d) AS BIGINT)
+      |  FROM l2 GROUP BY 1
+      |  UNION ALL
+      |  SELECT event_type, 3 AS level, CAST(count(*) AS BIGINT),
+      |    CAST(sum(d * d) AS BIGINT)
+      |  FROM l3 GROUP BY 1
+      |),
+      |tot AS (
+      |  SELECT event_type, level, n_pairs, energy,
+      |    CAST(sum(energy) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS e_all
+      |  FROM en
+      |)
+      |SELECT event_type, CAST(level AS BIGINT) AS level, n_pairs,
+      |  energy,
+      |  CASE WHEN e_all > 0 THEN
+      |    ${Exact.Sql.ratio6("energy", "e_all")}
+      |  ELSE NULL END AS energy_share
+      |FROM tot
+      |ORDER BY event_type, level""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x0 = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("a"))
+    def level(src: org.apache.spark.sql.DataFrame) = src
+      .groupBy(col("event_type"), (col("t") / 2).cast("long").as("lt"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("a")).cast("long").as("a"),
+        sum(when(col("t") % 2 === 0, col("a")).otherwise(-col("a")))
+          .cast("long").as("d"))
+      .filter(col("np") === 2)
+      .select(col("event_type"), col("lt").as("t"), col("a"), col("d"))
+    val l1 = level(x0).localCheckpoint() // feeds both energy and l2
+    val l2 = level(l1).localCheckpoint()
+    val l3 = level(l2)
+    def energy(src: org.apache.spark.sql.DataFrame, lv: Int) = src
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("d") * col("d")).cast("long").as("energy"))
+      .select(col("event_type"), lit(lv.toLong).as("level"),
+        col("n_pairs"), col("energy"))
+    val en = energy(l1, 1).union(energy(l2, 2)).union(energy(l3, 3))
+    val tot = en.withColumn("e_all",
+      sum(col("energy")).over(Window.partitionBy(col("event_type")))
+        .cast("long"))
+    tot.select(col("event_type"), col("level"), col("n_pairs"),
+        col("energy"),
+        when(col("e_all") > 0, Exact.ratio6("energy", "e_all"))
+          .otherwise(lit(null)).as("energy_share"))
+      .orderBy(col("event_type"), col("level"))
   }
 }

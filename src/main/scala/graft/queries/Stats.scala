@@ -30,7 +30,8 @@ object Stats {
     q200ContingencyAssoc, q204MaseEval, q205CohensKappa, q206IsotonicPava,
     q207MannWhitney, q208KendallTau, q209TheilSen, q210Wasserstein1,
     q212HillTail, q216BhFdr, q219CmhStrata, q221AcfLjungBox,
-    q223CochranArmitage, q224DiffInDiff)
+    q223CochranArmitage, q224DiffInDiff, q225CaptureRecapture,
+    q226RunsTest)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -3047,5 +3048,247 @@ object Stats {
           |  / 100.0""".stripMargin), 6).as("mean_value"),
         round(col("did") / 100.0, 6).as("did_effect"))
       .orderBy(col("treated"), col("post"))
+  }
+  /** CHAPMAN CAPTURE–RECAPTURE — coverage estimation with no ground
+    * truth: treat consecutive weeks' active-user sets as two "captures"
+    * and estimate the underlying population N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    * from the overlap m — the ecology estimator a pipeline uses to ask
+    * "how many users/entities exist that we HAVEN'T seen" (here
+    * benchmarked against the observed two-week union, so the output is
+    * also a self-diagnostic of the estimator's closure assumption).
+    *
+    * Exactness: n₁/n₂/m/union are exact distinct counts; the Chapman
+    * quotient goes through ratio6's integer half-up rounding, the −1
+    * shift and the coverage ratio finish fixed-order. m = 0 is HANDLED
+    * (the +1 smoothing is the point of Chapman's correction — no NULL
+    * needed); weeks index as (day−d₀)//7 with trailing partial weeks
+    * counted as-is (stated).
+    *
+    * Plan: events collapse to (week, user) distinct pairs map-side;
+    * consecutive weeks join on user for the overlap — all
+    * calendar-bounded aggregates after the one row-proportional
+    * distinct.
+    */
+  val q225CaptureRecapture = Q(
+    "q225_capture_recapture",
+    s"""WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+      |      - (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))
+      |          // 86400000000) FROM events WHERE ts IS NOT NULL))
+      |      // 7 AS wk
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |ws AS (SELECT wk, CAST(count(*) AS BIGINT) AS n FROM du
+      |       GROUP BY 1),
+      |ov AS (
+      |  SELECT b.wk, CAST(count(*) AS BIGINT) AS m
+      |  FROM du a JOIN du b
+      |    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+      |  GROUP BY 1
+      |),
+      |un AS (
+      |  SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS u
+      |  FROM (
+      |    SELECT wk, user_id FROM du
+      |    UNION ALL
+      |    SELECT wk + 1 AS wk, user_id FROM du
+      |  ) z GROUP BY 1
+      |),
+      |pair AS (
+      |  SELECT cur.wk, prev.n AS n1, cur.n AS n2,
+      |    COALESCE(ov.m, 0) AS m, un.u AS seen
+      |  FROM ws cur
+      |  JOIN ws prev ON prev.wk = cur.wk - 1
+      |  LEFT JOIN ov ON ov.wk = cur.wk
+      |  JOIN un ON un.wk = cur.wk
+      |)
+      |SELECT wk AS week, n1, n2, m, seen,
+      |  round(${Exact.Sql.ratio6("(n1 + 1) * (n2 + 1)", "m + 1")}
+      |    - CAST(1 AS DOUBLE), 6) AS chapman_estimate,
+      |  round((${Exact.Sql.ratio6("(n1 + 1) * (n2 + 1)", "m + 1")}
+      |    - CAST(1 AS DOUBLE)) / CAST(seen AS DOUBLE), 6) AS coverage
+      |FROM pair
+      |ORDER BY week""".stripMargin,
+  ) { (s, d) =>
+    val base = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val d0 = base.agg(min(col("day")).as("d0"))
+    val du = base.crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        expr("(day - d0) div 7").as("wk"))
+      .distinct()
+      .localCheckpoint() // 4 consumers: sizes, both join sides, union
+    val ws = du.groupBy(col("wk")).agg(count(lit(1)).cast("long").as("n"))
+    val ov = du.select(col("wk").as("a_wk"), col("user_id"))
+      .join(du.select(col("wk").as("b_wk"),
+          col("user_id").as("b_user")),
+        col("b_user") === col("user_id") && col("b_wk") === col("a_wk") + 1)
+      .groupBy(col("b_wk").as("wk"))
+      .agg(count(lit(1)).cast("long").as("m"))
+    val un = du.select(col("wk"), col("user_id"))
+      .union(du.select((col("wk") + 1).as("wk"), col("user_id")))
+      .groupBy(col("wk"))
+      .agg(countDistinct(col("user_id")).cast("long").as("u"))
+    val pair = ws.select(col("wk"), col("n").as("n2"))
+      .join(ws.select((col("wk") + 1).as("wk"), col("n").as("n1")), "wk")
+      .join(ov, Seq("wk"), "left")
+      .join(un, Seq("wk"))
+      .select(col("wk"), col("n1"), col("n2"),
+        coalesce(col("m"), lit(0L)).as("m"), col("u").as("seen"))
+    val chap = Exact.ratio6("(n1 + 1) * (n2 + 1)", "m + 1") -
+      lit(1).cast("double")
+    pair.select(col("wk").as("week"), col("n1"), col("n2"), col("m"),
+        col("seen"),
+        round(chap, 6).as("chapman_estimate"),
+        round(chap / col("seen").cast("double"), 6).as("coverage"))
+      .orderBy(col("week"))
+  }
+
+  /** WALD–WOLFOWITZ RUNS TEST — the nonparametric randomness check
+    * beside q221's parametric ACF: binarize each hourly count as
+    * above/below the series mean (the EXACT integer cross-multiply
+    * x·span > S — no float mean ever materializes; exact-mean hours are
+    * excluded, the standard convention) and test whether the number of
+    * RUNS of consecutive same-side hours is consistent with exchangeable
+    * order: z² = (R − μ)²/σ², μ = 2n₁n₂/N + 1,
+    * σ² = 2n₁n₂(2n₁n₂ − N)/(N²(N−1)). Too few runs = regime persistence,
+    * too many = oscillation — both invisible to count-marginal tests.
+    *
+    * Exactness: R = 1 + Σ side-changes is pure integer window counting
+    * over the excluded-filtered sequence; μ/σ² are fixed-order double
+    * chains over exact int64 products (2n₁n₂ ≤ N² needs N ≤ 3.03e9 —
+    * the q205 bound family). One-sided sequences (n₁·n₂ = 0) or N ≤ 1
+    * → NULL via the explicit guard, never NaN.
+    *
+    * Plan: the q193 grid, a 1-row-per-type moment broadcast, one lag
+    * window over the span-bounded filtered series, a 5-row finish.
+    */
+  val q226RunsTest = Q(
+    "q226_runs_test",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS span,
+      |    CAST(sum(x) AS BIGINT) AS s
+      |  FROM x GROUP BY 1
+      |),
+      |sides AS (
+      |  SELECT x.event_type, x.t,
+      |    CASE WHEN x.x * m.span > m.s THEN 1 ELSE 0 END AS side
+      |  FROM x JOIN mom m ON m.event_type = x.event_type
+      |  WHERE x.x * m.span <> m.s
+      |),
+      |runs AS (
+      |  SELECT event_type, side,
+      |    CASE WHEN lag(side) OVER (PARTITION BY event_type ORDER BY t)
+      |      IS DISTINCT FROM side THEN 1 ELSE 0 END AS chg
+      |  FROM sides
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(sum(side) AS BIGINT) AS n1,
+      |    CAST(count(*) - sum(side) AS BIGINT) AS n2,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(chg) AS BIGINT) AS r
+      |  FROM runs GROUP BY 1
+      |)
+      |SELECT event_type, n1 AS n_above, n2 AS n_below,
+      |  r AS runs,
+      |  round(CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+      |    (CAST(r AS DOUBLE)
+      |      - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        + CAST(1 AS DOUBLE)))
+      |    * (CAST(r AS DOUBLE)
+      |      - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        + CAST(1 AS DOUBLE)))
+      |    / nullif(CAST(2 * n1 * n2 AS DOUBLE)
+      |      * CAST(2 * n1 * n2 - n AS DOUBLE)
+      |      / CAST(n * n AS DOUBLE) / CAST(n - 1 AS DOUBLE),
+      |      CAST(0 AS DOUBLE))
+      |    ELSE NULL END, 6) AS z2,
+      |  (CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+      |    (CAST(r AS DOUBLE)
+      |      - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        + CAST(1 AS DOUBLE)))
+      |    * (CAST(r AS DOUBLE)
+      |      - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        + CAST(1 AS DOUBLE)))
+      |    / nullif(CAST(2 * n1 * n2 AS DOUBLE)
+      |      * CAST(2 * n1 * n2 - n AS DOUBLE)
+      |      / CAST(n * n AS DOUBLE) / CAST(n - 1 AS DOUBLE),
+      |      CAST(0 AS DOUBLE))
+      |    ELSE NULL END) <= 3.8415 AS random_order
+      |FROM agg
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint() // 2 consumers: moments and the side sequence
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("span"),
+        sum(col("x")).cast("long").as("s"))
+    val sides = x.join(mom, "event_type")
+      .filter(col("x") * col("span") =!= col("s"))
+      .select(col("event_type"), col("t"),
+        when(col("x") * col("span") > col("s"), 1L).otherwise(0L)
+          .as("side"))
+    val runs = sides.select(col("event_type"), col("side"),
+      when(lag(col("side"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("t")))
+        <=> col("side"), 0L).otherwise(1L).as("chg"))
+    val agg = runs.groupBy(col("event_type"))
+      .agg(sum(col("side")).cast("long").as("n1"),
+        (count(lit(1)) - sum(col("side"))).cast("long").as("n2"),
+        count(lit(1)).cast("long").as("n"),
+        sum(col("chg")).cast("long").as("r"))
+    val z2 = expr("""CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+      |  (CAST(r AS DOUBLE)
+      |    - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + CAST(1 AS DOUBLE)))
+      |  * (CAST(r AS DOUBLE)
+      |    - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + CAST(1 AS DOUBLE)))
+      |  / nullif(CAST(2 * n1 * n2 AS DOUBLE)
+      |    * CAST(2 * n1 * n2 - n AS DOUBLE)
+      |    / CAST(n * n AS DOUBLE) / CAST(n - 1 AS DOUBLE),
+      |    CAST(0 AS DOUBLE))
+      |  ELSE NULL END""".stripMargin)
+    agg.select(col("event_type"), col("n1").as("n_above"),
+        col("n2").as("n_below"), col("r").as("runs"),
+        round(z2, 6).as("z2"), (z2 <= 3.8415).as("random_order"))
+      .orderBy(col("event_type"))
   }
 }

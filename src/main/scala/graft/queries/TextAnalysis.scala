@@ -18,7 +18,7 @@ object TextAnalysis {
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
       q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
-      q218ZipfSlope)
+      q218ZipfSlope, q227CosineProfiles)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -1586,5 +1586,85 @@ object TextAnalysis {
           |    CAST(0 AS DOUBLE))
           |  * CAST(sx AS DOUBLE))
           |  / CAST(vocab AS DOUBLE)""".stripMargin), 6).as("ln_k"))
+  }
+  /** SOURCE COSINE PROFILES — pairwise cosine similarity of the raw
+    * term-count vectors of every source pair: the SIMILARITY view of the
+    * corpus-mix space where q199 (JS vs corpus) measures per-source
+    * DIVERGENCE and q210 measures metric distance on one numeric
+    * column. Near-1 pairs are mirrors/duplicated feeds — curation merges
+    * them; near-0 pairs are genuinely distinct voices.
+    *
+    * Exactness: dot products and squared norms are exact int64 over the
+    * shared vocabulary (bound: |vocab|·max(count)² < 2⁶³ — cap or scale
+    * counts past ~10⁹-token sources); cosine is one fixed-order divide
+    * by two IEEE sqrts; an empty-vocabulary source never forms pairs
+    * (no shared terms → absent by the inner join, stated — cosine with
+    * the zero vector is undefined anyway).
+    *
+    * Plan: one tokenize → (source, term) count aggregate (map-side
+    * combined), a vocabulary-keyed pair join (term lists are
+    * vocab-bounded, not corpus-bounded), 190 output rows. At 100 TB the
+    * join key is the term — the classic inverted-profile shape; hot
+    * terms are |sources|-bounded per key, so no skew.
+    */
+  val q227CosineProfiles = Q(
+    "q227_cosine_profiles",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL
+      |),
+      |tc AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  WHERE w <> '' GROUP BY 1, 2
+      |),
+      |nrm AS (
+      |  SELECT source, CAST(sum(c * c) AS BIGINT) AS n2 FROM tc
+      |  GROUP BY 1
+      |),
+      |dot AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(sum(a.c * b.c) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS shared_terms
+      |  FROM tc a JOIN tc b
+      |    ON b.w = a.w AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.src_a, d.src_b, d.shared_terms, d.d AS dot,
+      |  round(CAST(d.d AS DOUBLE)
+      |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+      |    6) AS cosine
+      |FROM dot d
+      |JOIN nrm na ON na.source = d.src_a
+      |JOIN nrm nb ON nb.source = d.src_b
+      |ORDER BY d.src_a, d.src_b""".stripMargin,
+  ) { (s, d) =>
+    val tc = Tables.documentsWide(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint() // 3 consumers: norms and both pair-join sides
+    val nrm = tc.groupBy(col("source"))
+      .agg(sum(col("c") * col("c")).cast("long").as("n2"))
+    val dot = tc.select(col("source").as("src_a"), col("w"),
+        col("c").as("ca"))
+      .join(tc.select(col("source").as("src_b"), col("w").as("wb"),
+          col("c").as("cb")),
+        col("wb") === col("w") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca") * col("cb")).cast("long").as("d"),
+        count(lit(1)).cast("long").as("shared_terms"))
+    dot.join(nrm.select(col("source").as("src_a"), col("n2").as("na")),
+        "src_a")
+      .join(nrm.select(col("source").as("src_b"), col("n2").as("nb")),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_terms"),
+        col("d").as("dot"),
+        round(expr("""CAST(d AS DOUBLE)
+          |  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"""
+          .stripMargin), 6).as("cosine"))
+      .orderBy(col("src_a"), col("src_b"))
   }
 }

@@ -537,4 +537,21 @@ class EdgeEventsSpec extends SparkSpec {
     assert(did.forall(_.isNullAt(4)), "missing pre-period → NULL effect")
     assert(did.forall(_.getLong(1) === 1L), "all cells post")
   }
+  test("q225/q226/q228 degenerate: one week has no recapture pair; a " +
+      "flat series excludes every hour from the runs test; a 3-hour " +
+      "span supports only Haar level 1 with zero flat-energy share") {
+    assert(SparkEntry.queries("q225_capture_recapture")(spark, dir)
+      .collect().isEmpty, "single week → no consecutive pair")
+    // solo: 1 hour (mean = own value); multi: 1 event/hour, all equal
+    // the mean → every hour excluded → both types absent
+    assert(SparkEntry.queries("q226_runs_test")(spark, dir).collect()
+      .isEmpty, "flat/single-hour series have no runs sequence")
+    val haar = SparkEntry.queries("q228_haar_energy")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(haar.keySet === Set(("multi", 1L)),
+      "3-hour multi → one level-1 pair; 1-hour solo → nothing")
+    val r = haar(("multi", 1L))
+    assert(r.getLong(2) === 1L && r.getLong(3) === 0L)
+    assert(r.isNullAt(4), "zero total energy → NULL share")
+  }
 }

@@ -1188,4 +1188,132 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - did) < 1e-6)
     }
   }
+  test("q225 Chapman replays from driver-side week sets") {
+    val got = Stats.q225CaptureRecapture.fn(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min
+    val byWeek = ev.map { case (u, dd) => ((dd - d0) / 7, u) }
+      .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).toSet }
+    val weeks = byWeek.keys.toSeq.sorted
+    assert(got.keySet === weeks.filter(w => byWeek.contains(w - 1)).toSet)
+    for (w <- weeks if byWeek.contains(w - 1)) {
+      val prev = byWeek(w - 1); val cur = byWeek(w)
+      val m = (prev & cur).size.toLong
+      val num = (prev.size + 1).toLong * (cur.size + 1)
+      val chap = ((2 * num * 1000000L + (m + 1)) / (2 * (m + 1)))
+        .toDouble / 1e6 - 1.0
+      val seen = (prev | cur).size.toLong
+      val (n1, n2, gm, gseen, gchap, gcov) = got(w)
+      assert(n1 === prev.size.toLong); assert(n2 === cur.size.toLong)
+      assert(gm === m); assert(gseen === seen)
+      assert(math.abs(gchap - chap) < 1e-6)
+      assert(math.abs(gcov - chap / seen) < 1e-6)
+    }
+  }
+
+  test("q226 runs test replays from a driver-side side sequence") {
+    val got = Stats.q226RunsTest.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val m0 = rows.map(_._2).min; val m1 = rows.map(_._2).max
+      val xs = (m0 to m1).map(h => rows.count(_._2 == h).toLong).toArray
+      val span = xs.length.toLong; val sTot = xs.sum
+      val sides = xs.filter(x => x * span != sTot)
+        .map(x => if (x * span > sTot) 1 else 0)
+      if (sides.isEmpty) assert(!got.contains(t))
+      else {
+        val r = 1L + sides.sliding(2).count(w =>
+          w.length == 2 && w(0) != w(1))
+        val n1 = sides.count(_ == 1).toLong
+        val n2 = sides.length - n1
+        val (gn1, gn2, gr, gz) = got(t)
+        assert(gn1 === n1); assert(gn2 === n2); assert(gr === r)
+        val n = n1 + n2
+        if (n1 > 0 && n2 > 0 && n > 1) {
+          val mu = 2.0 * n1 * n2 / n + 1.0
+          val s2 = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.toDouble * n) /
+            (n - 1)
+          assert(math.abs(gz.get - (r - mu) * (r - mu) / s2) < 1e-4)
+        } else assert(gz.isEmpty)
+      }
+    }
+  }
+
+  test("q227 cosine replays from driver-side term-count vectors") {
+    val got = TextAnalysis.q227CosineProfiles.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vecs = docs.groupBy(_._1).map { case (src, g) =>
+      src -> g.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    }
+    val sources = vecs.keys.toSeq.sorted
+    for (i <- sources.indices; j <- i + 1 until sources.length) {
+      val (a, b) = (sources(i), sources(j))
+      val va = vecs(a); val vb = vecs(b)
+      val shared = va.keySet & vb.keySet
+      if (shared.isEmpty) assert(!got.contains((a, b)))
+      else {
+        val dotv = shared.toSeq.map(w => va(w) * vb(w)).sum
+        val na = math.sqrt(va.values.map(c => c * c).sum.toDouble)
+        val nb = math.sqrt(vb.values.map(c => c * c).sum.toDouble)
+        val (gst, gd, gc) = got((a, b))
+        assert(gst === shared.size.toLong); assert(gd === dotv)
+        assert(math.abs(gc - dotv / (na * nb)) < 1e-6)
+        assert(gc > 0.0 && gc <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("q228 Haar energies replay from a driver-side dyadic cascade") {
+    val got = Analytic.q228HaarEnergy.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val m0 = rows.map(_._2).min; val m1 = rows.map(_._2).max
+      var a = (m0 to m1).map(h => rows.count(_._2 == h).toLong).toArray
+      var eAll = 0L
+      val levels = (1 to 3).flatMap { lv =>
+        val pairs = a.grouped(2).filter(_.length == 2).toArray
+        if (pairs.isEmpty) { a = Array.empty; None }
+        else {
+          val ds = pairs.map(p => p(0) - p(1))
+          a = pairs.map(p => p(0) + p(1))
+          val e = ds.map(x => x * x).sum
+          eAll += e
+          Some((lv.toLong, pairs.length.toLong, e))
+        }
+      }
+      for ((lv, np, e) <- levels) {
+        val (gnp, ge, gshare) = got((t, lv))
+        assert(gnp === np); assert(ge === e)
+        if (eAll > 0) {
+          val want = ((2 * e * 1000000L + eAll) / (2 * eAll)).toDouble / 1e6
+          assert(gshare.get === want, s"$t level $lv share")
+        } else assert(gshare.isEmpty)
+      }
+      assert(!got.contains((t, (levels.length + 1).toLong)),
+        s"$t must emit only supported levels")
+    }
+  }
 }
