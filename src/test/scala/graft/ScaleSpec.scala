@@ -456,4 +456,36 @@ class ScaleSpec extends SparkSpec {
         s"$name planned a cartesian product:\n$plan")
     }
   }
+  test("round-13 family (q207–q228): pair generators stay equi-keyed; " +
+      "bounded broadcasts only") {
+    // q208/q209's day-pair and q227's term-keyed self-joins, q222/q225's
+    // membership joins, and q207/q215's window shapes must never plan an
+    // unbounded cartesian or a corpus-sized nested loop
+    for (name <- Seq("q207_mann_whitney",
+      "q209_theil_sen", "q211_ohlc_bars", "q212_hill_tail",
+      "q213_phrase_search", "q215_gini_stump", "q216_bh_fdr",
+      "q217_page_hinkley", "q221_acf_ljungbox", "q222_leaderboard_churn",
+      "q226_runs_test", "q227_cosine_profiles",
+      "q228_haar_energy")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested-loop join:\n$plan")
+    }
+    // q210's pair×value grid and the 1-row span/bounds broadcasts in
+    // q208/q214/q220/q224/q225 ARE broadcast nested-loop shapes BY
+    // DESIGN (sources²×values, a |types|×1 grid seed, or a scalar
+    // frame — all category-bounded, never row-proportional); only an
+    // unbounded cartesian is forbidden
+    for (name <- Seq("q208_kendall_tau", "q210_wasserstein1",
+      "q214_stickiness", "q218_zipf_slope", "q219_cmh_strata",
+      "q220_rolling_corr", "q223_cochran_armitage", "q224_diff_in_diff",
+      "q225_capture_recapture")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
 }
