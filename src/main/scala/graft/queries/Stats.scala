@@ -31,7 +31,8 @@ object Stats {
     q207MannWhitney, q208KendallTau, q209TheilSen, q210Wasserstein1,
     q212HillTail, q216BhFdr, q219CmhStrata, q221AcfLjungBox,
     q223CochranArmitage, q224DiffInDiff, q225CaptureRecapture,
-    q226RunsTest)
+    q226RunsTest, q229CliffsDelta, q230GoodTuring, q231MannKendall,
+    q232TheilDecomposition)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -3290,5 +3291,437 @@ object Stats {
         col("n2").as("n_below"), col("r").as("runs"),
         round(z2, 6).as("z2"), (z2 <= 3.8415).as("random_order"))
       .orderBy(col("event_type"))
+  }
+  /** CLIFF'S DELTA EFFECT SIZE — the magnitude companion to q207's
+    * Mann–Whitney TEST: with 20k observations per arm the U test flags
+    * trivia as "significant"; δ = P(X>Y) − P(X<Y) = 2U/(n₁n₂) − 1
+    * reports HOW SEPARATED the two variants' value distributions
+    * actually are, on the ordinal [−1, 1] scale with Romano's
+    * conventional magnitude bands (0.147/0.33/0.474). Ship decisions
+    * read this row, not the p-value.
+    *
+    * Exactness: δ = (u2 − n₁n₂)/(n₁n₂) is ONE double divide of exact
+    * int64s off q207's run-length midrank machinery (2U and the tie
+    * handling come for free — δ with midranks IS the tie-adjusted
+    * dominance statistic); the band classification compares that exact
+    * double against literal thresholds, so the label is deterministic.
+    * One-sided splits → NULL δ and label.
+    *
+    * Plan: identical to q207 — run-length aggregate, category-bounded
+    * window, 5-row finish.
+    */
+  val q229CliffsDelta = Q(
+    "q229_cliffs_delta",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(100 * value) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5('mw|' || CAST(user_id AS VARCHAR)), 1, 1))
+      |      AS BIGINT) % 2 AS variant
+      |  FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |runs AS (
+      |  SELECT event_type, cents,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cnt1
+      |  FROM e GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT event_type, cnt, cnt1,
+      |    2 * (sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+      |      + cnt + 1 AS mid2
+      |  FROM runs
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(sum(cnt1) AS BIGINT) AS n1,
+      |    CAST(sum(cnt) - sum(cnt1) AS BIGINT) AS n2,
+      |    CAST(sum(cnt1 * mid2) - sum(cnt1) * (sum(cnt1) + 1) AS BIGINT)
+      |      AS u2
+      |  FROM rk GROUP BY 1
+      |),
+      |d AS (
+      |  SELECT event_type, n1, n2,
+      |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+      |      CAST(u2 - n1 * n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+      |    ELSE NULL END AS delta
+      |  FROM agg
+      |)
+      |SELECT event_type, n1, n2,
+      |  round(delta, 6) AS cliffs_delta,
+      |  CASE WHEN delta IS NULL THEN NULL
+      |    WHEN abs(delta) < 0.147 THEN 'negligible'
+      |    WHEN abs(delta) < 0.33 THEN 'small'
+      |    WHEN abs(delta) < 0.474 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM d
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        (conv(substring(md5(concat(lit("mw|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10).cast("long") % 2)
+          .as("variant"))
+    val runs = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long")
+          .as("cnt1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rk = runs.withColumn("mid2",
+      lit(2) * (sum(col("cnt")).over(w) - col("cnt")) + col("cnt") + 1)
+    val agg = rk.groupBy(col("event_type"))
+      .agg(sum(col("cnt1")).cast("long").as("n1"),
+        (sum(col("cnt")) - sum(col("cnt1"))).cast("long").as("n2"),
+        (sum(col("cnt1") * col("mid2"))
+          - sum(col("cnt1")) * (sum(col("cnt1")) + 1)).cast("long")
+          .as("u2"))
+    val dd = agg.withColumn("delta", expr(
+      """CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |  CAST(u2 - n1 * n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)
+        |ELSE NULL END""".stripMargin))
+    dd.select(col("event_type"), col("n1"), col("n2"),
+        round(col("delta"), 6).as("cliffs_delta"),
+        expr("""CASE WHEN delta IS NULL THEN NULL
+          |  WHEN abs(delta) < 0.147 THEN 'negligible'
+          |  WHEN abs(delta) < 0.33 THEN 'small'
+          |  WHEN abs(delta) < 0.474 THEN 'medium'
+          |  ELSE 'large' END""".stripMargin).as("magnitude"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GOOD–TURING UNSEEN MASS + CHAO1 RICHNESS — the "how much corpus
+    * haven't we seen" estimators, per source: the Good–Turing leave-one-
+    * out argument prices the probability that the NEXT token is a new
+    * type at N₁/N (hapax share), and Chao1 Ŝ = V + N₁²/(2N₂) estimates
+    * the total vocabulary including unseen types. The acquisition
+    * planner's pair: q194 fits HOW vocabulary grows, these price WHERE
+    * IT IS NOW. On this fixture's near-closed 31-word template
+    * vocabulary both (almost) collapse — unseen mass < 1% with Chao1 ≈
+    * V — the generated-corpus signature the suite pins.
+    *
+    * Exactness: N, V, N₁, N₂ are exact int64 counts off the term
+    * histogram; unseen mass goes through ratio6, the Chao1 correction
+    * is one fixed-order divide of exact int64s (N₁² needs N₁ ≤ 3.03e9 —
+    * the q205 family); N₂ = 0 → NULL Chao1 via nullif (the
+    * bias-corrected N₁(N₁−1)/(2(N₂+1)) variant is the production dial
+    * for that regime, documented not silently swapped).
+    *
+    * Plan: tokenize → (source, term) count → per-source frequency-of-
+    * frequency aggregate — map-side combined, vocabulary-bounded.
+    */
+  val q230GoodTuring = Q(
+    "q230_good_turing",
+    s"""WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL
+      |),
+      |tc AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok
+      |  WHERE w <> '' GROUP BY 1, 2
+      |),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM tc GROUP BY 1
+      |)
+      |SELECT source, n AS n_tokens, v AS vocab,
+      |  n1 AS hapax, n2 AS doubleton,
+      |  ${Exact.Sql.ratio6("n1", "n")} AS unseen_mass,
+      |  round(CAST(v AS DOUBLE)
+      |    + CAST(n1 * n1 AS DOUBLE)
+      |      / nullif(CAST(2 * n2 AS DOUBLE), CAST(0 AS DOUBLE)), 6)
+      |    AS chao1
+      |FROM agg
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val tc = Tables.documentsWide(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val agg = tc.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("v"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).cast("long").as("n2"))
+    agg.select(col("source"), col("n").as("n_tokens"),
+        col("v").as("vocab"), col("n1").as("hapax"),
+        col("n2").as("doubleton"),
+        Exact.ratio6("n1", "n").as("unseen_mass"),
+        round(expr("""CAST(v AS DOUBLE)
+          |  + CAST(n1 * n1 AS DOUBLE)
+          |    / nullif(CAST(2 * n2 AS DOUBLE), CAST(0 AS DOUBLE))"""
+          .stripMargin), 6).as("chao1"))
+      .orderBy(col("source"))
+  }
+
+  /** MANN–KENDALL TREND TEST — the significance companion to q209's
+    * Theil–Sen slope (the pair ships together in every environmental /
+    * SRE trend stack): S = Σ_{i<j} sign(c_j − c_i) over the dense daily
+    * series, tie-corrected variance
+    * Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z² = (|S|−1)²·18/den (0 when S = 0). q209
+    * says HOW STEEP; this says WHETHER the monotone direction is real —
+    * distribution-free, so a spike-heavy counter series can't fake it
+    * through variance inflation.
+    *
+    * Exactness: S and the tie mass are pure int64 counting (the q209
+    * day-pair lattice and a per-count-value run aggregate); z²'s
+    * numerator squares an exact int64 in doubles (|S| ≤ n(n−1)/2), the
+    * /18 folds into one fixed-order chain. Degenerate all-tied series
+    * (den = 0) → NULL via nullif; S = 0 → exact 0.
+    *
+    * Plan: span²/2 calendar-bounded day pairs (435 at a month) + a
+    * value-bounded tie aggregate; never row-proportional.
+    */
+  val q231MannKendall = Q(
+    "q231_mann_kendall",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t,
+      |    b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |sgn AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b2.c > a.c THEN 1
+      |      WHEN b2.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM x a JOIN x b2
+      |    ON a.event_type = b2.event_type AND b2.t > a.t
+      |  GROUP BY 1
+      |),
+      |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM x
+      |       GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type,
+      |    CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tmass
+      |  FROM (
+      |    SELECT event_type, c, CAST(count(*) AS BIGINT) AS tc
+      |    FROM x GROUP BY 1, 2
+      |  ) z GROUP BY 1
+      |),
+      |fin AS (
+      |  SELECT s.event_type, nn.n, s.s, s.n_pairs,
+      |    CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tmass
+      |      AS BIGINT) AS den18
+      |  FROM sgn s
+      |  JOIN nn ON nn.event_type = s.event_type
+      |  JOIN ties ON ties.event_type = s.event_type
+      |)
+      |SELECT event_type, n AS n_days, n_pairs, s AS mk_s,
+      |  round(CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |    CAST((abs(s) - 1) * (abs(s) - 1) AS DOUBLE)
+      |      * CAST(18 AS DOUBLE)
+      |      / nullif(CAST(den18 AS DOUBLE), CAST(0 AS DOUBLE))
+      |    END, 6) AS z2,
+      |  CASE WHEN s > 0 THEN 'increasing'
+      |    WHEN s < 0 THEN 'decreasing' ELSE 'none' END AS direction,
+      |  (CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |    CAST((abs(s) - 1) * (abs(s) - 1) AS DOUBLE)
+      |      * CAST(18 AS DOUBLE)
+      |      / nullif(CAST(den18 AS DOUBLE), CAST(0 AS DOUBLE))
+      |    END) > 3.8415 AS significant
+      |FROM fin
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+      .localCheckpoint() // 3 consumers: the pair join (twice) and ties
+    val a1 = x.select(col("event_type").as("e1"), col("t").as("t1"),
+      col("c").as("c1"))
+    val a2 = x.select(col("event_type").as("e2"), col("t").as("t2"),
+      col("c").as("c2"))
+    val sgn = a1.join(a2, col("e1") === col("e2") && col("t2") > col("t1"))
+      .groupBy(col("e1").as("event_type"))
+      .agg(sum(when(col("c2") > col("c1"), 1L)
+          .when(col("c2") < col("c1"), -1L).otherwise(0L)).cast("long")
+          .as("s"),
+        count(lit(1)).cast("long").as("n_pairs"))
+    val nn = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ties = x.groupBy(col("event_type"), col("c"))
+      .agg(count(lit(1)).cast("long").as("tc"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("tc") * (col("tc") - 1) * (lit(2) * col("tc") + 5))
+        .cast("long").as("tmass"))
+    val fin = sgn.join(nn, "event_type").join(ties, "event_type")
+      .withColumn("den18",
+        expr("CAST(n * (n - 1) * (2 * n + 5) - tmass AS BIGINT)"))
+    val z2 = expr("""CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |  CAST((abs(s) - 1) * (abs(s) - 1) AS DOUBLE)
+      |    * CAST(18 AS DOUBLE)
+      |    / nullif(CAST(den18 AS DOUBLE), CAST(0 AS DOUBLE))
+      |  END""".stripMargin)
+    fin.select(col("event_type"), col("n").as("n_days"), col("n_pairs"),
+        col("s").as("mk_s"), round(z2, 6).as("z2"),
+        expr("""CASE WHEN s > 0 THEN 'increasing'
+          |  WHEN s < 0 THEN 'decreasing' ELSE 'none' END""".stripMargin)
+          .as("direction"),
+        (z2 > 3.8415).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** THEIL INDEX DECOMPOSITION — inequality ATTRIBUTION, the question
+    * q147's Gini cannot answer: total length inequality
+    * T = Σ(xᵢ/X)·ln(xᵢ·n/X) over documents splits EXACTLY (a property
+    * unique to the entropy family) into between-source inequality
+    * T_b = Σ_g (X_g/X)·ln(X_g·n/(X·n_g)) plus the share-weighted
+    * within-source terms Σ_g (X_g/X)·T_g — so the operator reports not
+    * just "how unequal" but WHOSE slice of the mix carries the
+    * inequality (the curation lever: rebalance sources vs re-filter
+    * inside one).
+    *
+    * Exactness: all masses are exact int64 (n_chars sums); every term
+    * is share × float-cast-ln of a fixed-order exact quotient, summed
+    * as DECIMAL(18,9); the within/between split is reported FROM ITS
+    * DEFINITION on both engines, and the decomposition identity
+    * T ≈ T_w + T_b (exact in ℝ, float-cast-ln-approximate here) is the
+    * SUITE's invariant, not an engine assumption. x > 0 guaranteed by
+    * the n_chars > 0 filter (stated).
+    *
+    * Plan: one scan → per-source mass aggregate + per-doc term rows
+    * that collapse map-side into per-source decimal sums; the final
+    * frame is source-bounded with the q197 window-total idiom.
+    */
+  val q232TheilDecomposition = Q(
+    "q232_theil_decomposition",
+    """WITH d AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+      |),
+      |g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS ng,
+      |    CAST(sum(x) AS BIGINT) AS xg
+      |  FROM d GROUP BY 1
+      |),
+      |tot AS (
+      |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(xg) AS BIGINT)
+      |    AS xx
+      |  FROM g
+      |),
+      |terms AS (
+      |  SELECT d.source,
+      |    CAST(CAST(d.x AS DOUBLE) / CAST(g.xg AS DOUBLE)
+      |      * CAST(ln(CAST(d.x AS DOUBLE) * CAST(g.ng AS DOUBLE)
+      |          / CAST(g.xg AS DOUBLE)) AS FLOAT)
+      |      AS DECIMAL(18,9)) AS tg_term
+      |  FROM d JOIN g ON g.source = d.source
+      |),
+      |tg AS (
+      |  SELECT source, sum(tg_term) AS t_g FROM terms GROUP BY 1
+      |),
+      |per AS (
+      |  SELECT g.source, g.ng, g.xg, tot.n, tot.xx,
+      |    CAST(tg.t_g AS DOUBLE) AS t_g,
+      |    CAST(g.xg AS DOUBLE) / CAST(tot.xx AS DOUBLE) AS share,
+      |    CAST(g.xg AS DOUBLE) / CAST(tot.xx AS DOUBLE)
+      |      * CAST(tg.t_g AS DOUBLE) AS within_contrib,
+      |    CAST(g.xg AS DOUBLE) / CAST(tot.xx AS DOUBLE)
+      |      * CAST(ln(CAST(g.xg AS DOUBLE) * CAST(tot.n AS DOUBLE)
+      |          / (CAST(tot.xx AS DOUBLE) * CAST(g.ng AS DOUBLE)))
+      |        AS FLOAT) AS between_contrib
+      |  FROM g CROSS JOIN tot
+      |  JOIN tg ON tg.source = g.source
+      |),
+      |w AS (
+      |  SELECT source, ng, xg, t_g, share, within_contrib,
+      |    between_contrib,
+      |    sum(CAST(within_contrib AS DECIMAL(18,9))) OVER () AS tw,
+      |    sum(CAST(between_contrib AS DECIMAL(18,9))) OVER () AS tb
+      |  FROM per
+      |)
+      |SELECT source, ng AS n_docs, xg AS mass,
+      |  round(share, 6) AS share,
+      |  round(t_g, 6) AS theil_within_group,
+      |  round(within_contrib, 6) AS within_contrib,
+      |  round(between_contrib, 6) AS between_contrib,
+      |  CAST(round(tw, 6) AS DOUBLE) AS theil_within_total,
+      |  CAST(round(tb, 6) AS DOUBLE) AS theil_between_total,
+      |  CAST(round(tw + tb, 6) AS DOUBLE) AS theil_total
+      |FROM w
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val doc = Tables.documents(s, d)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull
+        && col("n_chars") > 0)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+    val g = doc.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("ng"),
+        sum(col("x")).cast("long").as("xg"))
+      .localCheckpoint() // 3 consumers: totals, terms join, the finish
+    val tot = g.agg(sum(col("ng")).cast("long").as("n"),
+      sum(col("xg")).cast("long").as("xx"))
+    val tg = doc.join(g, "source")
+      .select(col("source"), expr(
+        """CAST(CAST(x AS DOUBLE) / CAST(xg AS DOUBLE)
+          |  * CAST(ln(CAST(x AS DOUBLE) * CAST(ng AS DOUBLE)
+          |      / CAST(xg AS DOUBLE)) AS FLOAT)
+          |  AS DECIMAL(18,9))""".stripMargin).as("tg_term"))
+      .groupBy(col("source")).agg(sum(col("tg_term")).as("t_g"))
+    val per = g.crossJoin(broadcast(tot)).join(tg, "source")
+      .select(col("source"), col("ng"), col("xg"),
+        col("t_g").cast("double").as("t_g"),
+        expr("CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE)").as("share"),
+        expr("""CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE)
+          |  * CAST(t_g AS DOUBLE)""".stripMargin).as("within_contrib"),
+        expr("""CAST(xg AS DOUBLE) / CAST(xx AS DOUBLE)
+          |  * CAST(ln(CAST(xg AS DOUBLE) * CAST(n AS DOUBLE)
+          |      / (CAST(xx AS DOUBLE) * CAST(ng AS DOUBLE)))
+          |    AS FLOAT)""".stripMargin).as("between_contrib"))
+    val wAll = Window.partitionBy()
+    val w = per
+      .withColumn("tw",
+        sum(expr("CAST(within_contrib AS DECIMAL(18,9))")).over(wAll))
+      .withColumn("tb",
+        sum(expr("CAST(between_contrib AS DECIMAL(18,9))")).over(wAll))
+    w.select(col("source"), col("ng").as("n_docs"), col("xg").as("mass"),
+        round(col("share"), 6).as("share"),
+        round(col("t_g"), 6).as("theil_within_group"),
+        round(col("within_contrib"), 6).as("within_contrib"),
+        round(col("between_contrib"), 6).as("between_contrib"),
+        round(col("tw"), 6).cast("double").as("theil_within_total"),
+        round(col("tb"), 6).cast("double").as("theil_between_total"),
+        round(col("tw") + col("tb"), 6).cast("double").as("theil_total"))
+      .orderBy(col("source"))
   }
 }

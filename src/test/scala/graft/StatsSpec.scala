@@ -1316,4 +1316,134 @@ class StatsSpec extends SparkSpec {
         s"$t must emit only supported levels")
     }
   }
+  test("q229 Cliff's delta replays from q207's midrank machinery and " +
+      "the magnitude bands are deterministic") {
+    val got = Stats.q229CliffsDelta.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4))))
+    }.toMap
+    // cross-operator invariant: δ = (2U − n₁n₂)/(n₁n₂) from q207's u2
+    val mw = Stats.q207MannWhitney.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toMap
+    assert(got.keySet === mw.keySet)
+    for ((t, (n1, n2, u2)) <- mw) {
+      val (gn1, gn2, gd, gm) = got(t)
+      assert(gn1 === n1); assert(gn2 === n2)
+      if (n1 > 0 && n2 > 0) {
+        val delta = (u2 - n1 * n2).toDouble / (n1 * n2).toDouble
+        assert(math.abs(gd.get - delta) < 1e-6)
+        val want = if (delta.abs < 0.147) "negligible"
+          else if (delta.abs < 0.33) "small"
+          else if (delta.abs < 0.474) "medium" else "large"
+        assert(gm.get === want)
+        assert(gd.get.abs <= 1.0 + 1e-9)
+      } else { assert(gd.isEmpty); assert(gm.isEmpty) }
+    }
+  }
+
+  test("q230 Good–Turing replays from token histograms; the closed " +
+      "template vocabulary pins unseen mass to 0 and NULL Chao1") {
+    val got = Stats.q230GoodTuring.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    }.toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for ((src, g) <- docs.groupBy(_._1)) {
+      val counts = g.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum; val v = counts.size.toLong
+      val n1 = counts.count(_ == 1L).toLong
+      val n2 = counts.count(_ == 2L).toLong
+      val (gn, gv, gn1, gn2, gu, gc) = got(src)
+      assert(gn === n); assert(gv === v); assert(gn1 === n1)
+      assert(gn2 === n2)
+      assert(gu === ((2 * n1 * 1000000L + n) / (2 * n)).toDouble / 1e6)
+      if (n2 == 0) assert(gc.isEmpty)
+      else assert(math.abs(gc.get - (v + n1.toDouble * n1 / (2 * n2)))
+        < 1e-6)
+      // the fixture's template corpus is (near-)vocabulary-closed per
+      // source: hapaxes are a vanishing fraction of the token mass
+      assert(gn1 * 100 <= gn, s"$src: template corpus must have ~no " +
+        s"hapax mass (n1=$gn1 of n=$gn)")
+      assert(gu < 0.01)
+    }
+  }
+
+  test("q231 Mann–Kendall replays from a driver-side sign loop and " +
+      "agrees in direction with its S") {
+    val got = Stats.q231MannKendall.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getString(5)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val d0 = rows.map(_._2).min; val d1 = rows.map(_._2).max
+      val cs = (d0 to d1).map(dd => rows.count(_._2 == dd).toLong).toArray
+      val n = cs.length.toLong
+      var sStat = 0L; var np = 0L
+      for (i <- cs.indices; j <- i + 1 until cs.length) {
+        np += 1
+        sStat += java.lang.Long.signum(cs(j) - cs(i))
+      }
+      val tmass = cs.groupBy(identity).values
+        .map(g => { val tc = g.length.toLong; tc * (tc - 1) * (2 * tc + 5) })
+        .sum
+      val den18 = n * (n - 1) * (2 * n + 5) - tmass
+      val (gn, gnp, gs, gz, gdir) = got(t)
+      assert(gn === n); assert(gnp === np); assert(gs === sStat)
+      assert(gdir === (if (sStat > 0) "increasing"
+        else if (sStat < 0) "decreasing" else "none"))
+      if (sStat == 0) assert(gz.get === 0.0)
+      else if (den18 > 0) {
+        val z2 = (math.abs(sStat) - 1).toDouble *
+          (math.abs(sStat) - 1) * 18.0 / den18
+        assert(math.abs(gz.get - z2) < 1e-6)
+      } else assert(gz.isEmpty)
+    }
+  }
+
+  test("q232 Theil decomposition: parts replay from definitions and the " +
+      "within+between identity reproduces the direct index") {
+    val rows = Stats.q232TheilDecomposition.fn(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = docs.length.toLong
+    val xx = docs.map(_._2).sum
+    val byG = docs.groupBy(_._1).map { case (src, g) =>
+      src -> ((g.length.toLong, g.map(_._2).sum, g.map(_._2)))
+    }
+    var tw = 0.0; var tb = 0.0
+    for ((_, (ng, xg, xs)) <- byG) {
+      val tg = xs.map(x => x.toDouble / xg *
+        math.log(x.toDouble * ng / xg)).sum
+      tw += xg.toDouble / xx * tg
+      tb += xg.toDouble / xx *
+        math.log(xg.toDouble * n / (xx.toDouble * ng))
+    }
+    val tDirect = docs.map { case (_, x) =>
+      x.toDouble / xx * math.log(x.toDouble * n / xx) }.sum
+    for (r <- rows) {
+      val (ng, xg, xs) = byG(r.getString(0))
+      assert(r.getLong(1) === ng); assert(r.getLong(2) === xg)
+      val tg = xs.map(x => x.toDouble / xg *
+        math.log(x.toDouble * ng / xg)).sum
+      assert(math.abs(r.getDouble(4) - tg) < 1e-4)
+      assert(math.abs(r.getDouble(7) - tw) < 1e-4, "within total")
+      assert(math.abs(r.getDouble(8) - tb) < 1e-4, "between total")
+      assert(math.abs(r.getDouble(9) - tDirect) < 1e-4,
+        "decomposition identity T = T_w + T_b")
+      assert(r.getDouble(4) >= -1e-9, "within-group Theil is nonnegative")
+    }
+  }
 }
