@@ -32,7 +32,8 @@ object Stats {
     q212HillTail, q216BhFdr, q219CmhStrata, q221AcfLjungBox,
     q223CochranArmitage, q224DiffInDiff, q225CaptureRecapture,
     q226RunsTest, q229CliffsDelta, q230GoodTuring, q231MannKendall,
-    q232TheilDecomposition)
+    q232TheilDecomposition, q233BayesAverage, q234ExpGapKs,
+    q235Overdispersion, q236WilsonCi)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -3723,5 +3724,383 @@ object Stats {
         round(col("tb"), 6).cast("double").as("theil_between_total"),
         round(col("tw") + col("tb"), 6).cast("double").as("theil_total"))
       .orderBy(col("source"))
+  }
+  /** BAYESIAN-AVERAGE LEADERBOARD — the small-sample ranking fix (the
+    * IMDB/beta-prior formula): ranking users by RAW purchase rate lets a
+    * 1-for-2 user beat a 60-for-200 regular; shrinking every rate toward
+    * the global prior with m = 20 pseudo-events,
+    * shrunk = (x_u + m·p̂)/(n_u + m), makes evidence count. The output
+    * is the top-20 by shrunk rate WITH both ranks, so the rank movement
+    * (the whole point of shrinkage) is visible per row.
+    *
+    * Exactness: the shrunk rate is the exact int64 rational
+    * (x_u·N + m·X)/(N·(n_u + m)) — the global prior p̂ = X/N never
+    * materializes as a float; ORDERING happens on one double divide of
+    * those exact int64s (identical bits both engines, the q188 argmax
+    * discipline) with the user_id tie-break; displayed rates go through
+    * ratio6/round. Bound: x_u·N ≤ 2⁶³ needs N ≤ 9.2e18/max(x_u) —
+    * beyond, divide p̂ once in doubles (documented).
+    *
+    * Plan: one scan → per-user aggregate (map-side combined), a 1-row
+    * global broadcast, two user-bounded rank windows sharing one sort
+    * each. The q142 two-pass rank decomposition is the >10⁹-user dial.
+    */
+  val q233BayesAverage = Q(
+    "q233_bayes_average",
+    s"""WITH u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY 1
+      |),
+      |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+      |        CAST(sum(x) AS BIGINT) AS xx FROM u),
+      |sc AS (
+      |  SELECT u.user_id, u.n, u.x, g.nn, g.xx,
+      |    CAST(u.x * g.nn + 20 * g.xx AS DOUBLE)
+      |      / CAST(g.nn * (u.n + 20) AS DOUBLE) AS shrunk
+      |  FROM u CROSS JOIN g
+      |),
+      |rk AS (
+      |  SELECT user_id, n, x, shrunk,
+      |    row_number() OVER (ORDER BY CAST(x AS DOUBLE) / CAST(n AS
+      |      DOUBLE) DESC, user_id) AS raw_rank,
+      |    row_number() OVER (ORDER BY shrunk DESC, user_id)
+      |      AS shrunk_rank
+      |  FROM sc
+      |)
+      |SELECT user_id, n AS n_events, x AS n_purchases,
+      |  ${Exact.Sql.ratio6("x", "n")} AS raw_rate,
+      |  round(shrunk, 6) AS shrunk_rate,
+      |  raw_rank, shrunk_rank
+      |FROM rk
+      |WHERE shrunk_rank <= 20
+      |ORDER BY shrunk_rank""".stripMargin,
+  ) { (s, d) =>
+    val u = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("long").as("x"))
+    val g = u.agg(sum(col("n")).cast("long").as("nn"),
+      sum(col("x")).cast("long").as("xx"))
+    val sc = u.crossJoin(broadcast(g))
+      .withColumn("shrunk", expr(
+        """CAST(x * nn + 20 * xx AS DOUBLE)
+          |  / CAST(nn * (n + 20) AS DOUBLE)""".stripMargin))
+    val rk = sc.select(col("user_id"), col("n"), col("x"), col("shrunk"),
+      row_number().over(Window.orderBy(
+        expr("CAST(x AS DOUBLE) / CAST(n AS DOUBLE)").desc,
+        col("user_id").asc)).as("raw_rank"),
+      row_number().over(Window.orderBy(col("shrunk").desc,
+        col("user_id").asc)).as("shrunk_rank"))
+    rk.filter(col("shrunk_rank") <= 20)
+      .select(col("user_id"), col("n").as("n_events"),
+        col("x").as("n_purchases"),
+        Exact.ratio6("x", "n").as("raw_rate"),
+        round(col("shrunk"), 6).as("shrunk_rate"),
+        col("raw_rank"), col("shrunk_rank"))
+      .orderBy(col("shrunk_rank"))
+  }
+
+  /** EXPONENTIAL-GAP KS — "are arrivals Poisson?": per event type, fit
+    * the exponential MLE λ = n/Σg to the inter-event gaps and measure
+    * the one-sample Kolmogorov–Smirnov D against the fitted CDF —
+    * bursty traffic (q178's subject) fails high, dispatcher-thinned
+    * traffic fails low. Completes the arrival-process triple: q226 asks
+    * "random ORDER?", q221 "serial correlation?", this "exponential
+    * LAW?". The q140 KS device refit from two-sample empirical to
+    * one-sample parametric.
+    *
+    * Exactness: gaps are exact int64 µs off the (us, event_id) total
+    * order; F_fit(g) = 1 − expf(−λg) with one fixed-order double chain
+    * and the float-cast exp; F_emp steps i/n are exact divides off
+    * row_number positions (valid on tie runs: the sup over a step
+    * function is attained at run edges, and per-row i/n–F comparisons
+    * cover every edge); D is a max over doubles. The mean gap reports
+    * in ms through ratio6 — round(double, 6) on a ~10¹⁰-µs mean is
+    * past double precision and diverged by an ulp cross-engine (§5.7's
+    * rounding family, new instance). The 1.36/√n threshold
+    * is the asymptotic 95% band — STATED as the engine's definition
+    * (with the fitted-λ conservatism noted), not hidden. Types with no
+    * gaps (single event) are excluded by definition.
+    *
+    * Plan: one sort per type for gaps, one for the D scan — both
+    * type-partitioned windows; a 5-row finish.
+    */
+  val q234ExpGapKs = Q(
+    "q234_exp_gap_ks",
+    s"""WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |gaps AS (
+      |  SELECT event_type,
+      |    us - lag(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id) AS gp
+      |  FROM e
+      |),
+      |gg AS (SELECT event_type, gp FROM gaps WHERE gp IS NOT NULL),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(gp) AS BIGINT) AS sg
+      |  FROM gg GROUP BY 1
+      |),
+      |rk AS (
+      |  SELECT g.event_type, g.gp, m.n, m.sg,
+      |    row_number() OVER (PARTITION BY g.event_type
+      |      ORDER BY g.gp, g.gp) AS i,
+      |    CAST(1 AS DOUBLE)
+      |      - CAST(exp(CAST(0 AS DOUBLE)
+      |          - CAST(m.n AS DOUBLE) / CAST(m.sg AS DOUBLE)
+      |            * CAST(g.gp AS DOUBLE)) AS FLOAT) AS ffit
+      |  FROM gg g JOIN mom m ON m.event_type = g.event_type
+      |),
+      |dd AS (
+      |  SELECT event_type, n, sg,
+      |    max(CASE WHEN CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - ffit
+      |        > ffit - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      THEN CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - ffit
+      |      ELSE ffit - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      END) AS d
+      |  FROM rk GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, n AS n_gaps,
+      |  ${Exact.Sql.ratio6("sg", "n * 1000")} AS mean_gap_ms,
+      |  round(d, 6) AS ks_d,
+      |  d < CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+      |    AS poisson_like
+      |FROM dd
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val gaps = e.select(col("event_type"),
+        (col("us") - lag(col("us"), 1).over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("us"), col("event_id")))).as("gp"))
+      .filter(col("gp").isNotNull)
+      .localCheckpoint() // 2 consumers: moments and the rank scan
+    val mom = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("gp")).cast("long").as("sg"))
+    val rk = gaps.join(mom, "event_type")
+      .select(col("event_type"), col("gp"), col("n"), col("sg"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("gp"))).as("i"),
+        expr("""CAST(1 AS DOUBLE)
+          |  - CAST(exp(CAST(0 AS DOUBLE)
+          |      - CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)
+          |        * CAST(gp AS DOUBLE)) AS FLOAT)""".stripMargin)
+          .as("ffit"))
+    val dd = rk.groupBy(col("event_type"), col("n"), col("sg"))
+      .agg(max(expr(
+        """CASE WHEN CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - ffit
+          |    > ffit - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+          |  THEN CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - ffit
+          |  ELSE ffit - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+          |  END""".stripMargin)).as("d"))
+    dd.select(col("event_type"), col("n").as("n_gaps"),
+        Exact.ratio6("sg", "n * 1000").as("mean_gap_ms"),
+        round(col("d"), 6).as("ks_d"),
+        (col("d") < expr("CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))"))
+          .as("poisson_like"))
+      .orderBy(col("event_type"))
+  }
+
+  /** OVERDISPERSION INDEX — the Poisson-count companion to q234's
+    * Poisson-GAP test: for daily counts, the index of dispersion
+    * D = (n−1)·s²/x̄ collapses to the EXACT int64 rational
+    * (nQ − S²)/S, and the Fano factor D/(n−1) reads 1 under Poisson,
+    * > 1 for clumped (campaign/bot) traffic, < 1 for rate-limited. The
+    * normal approximation z² = (D − (n−1))²/(2(n−1)) flags departure.
+    * Capacity planners size queues off THIS number, not the mean.
+    *
+    * Exactness: D's numerator and denominator are exact int64 (no
+    * float mean, no float variance — the identity clears both); Fano
+    * and z² are fixed-order double chains. Zero-mean series (S = 0) →
+    * NULL via nullif; n ≤ 1 → excluded (no variance).
+    *
+    * Plan: the daily aggregate + dense grid, one 5-row moment finish.
+    */
+  val q235Overdispersion = Q(
+    "q235_overdispersion",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t,
+      |    b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM x GROUP BY 1
+      |)
+      |SELECT event_type, n AS n_days,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_count,
+      |  round(CAST(n * q - s * s AS DOUBLE)
+      |    / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS var_count,
+      |  round(CAST(n * q - s * s AS DOUBLE)
+      |    / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
+      |    / CAST(n - 1 AS DOUBLE), 6) AS fano,
+      |  round((CAST(n * q - s * s AS DOUBLE)
+      |      / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
+      |      - CAST(n - 1 AS DOUBLE))
+      |    * (CAST(n * q - s * s AS DOUBLE)
+      |      / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
+      |      - CAST(n - 1 AS DOUBLE))
+      |    / (CAST(2 AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS z2,
+      |  ((CAST(n * q - s * s AS DOUBLE)
+      |      / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
+      |      - CAST(n - 1 AS DOUBLE))
+      |    * (CAST(n * q - s * s AS DOUBLE)
+      |      / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
+      |      - CAST(n - 1 AS DOUBLE))
+      |    / (CAST(2 AS DOUBLE) * CAST(n - 1 AS DOUBLE))) > 3.8415
+      |    AS overdispersed
+      |FROM mom WHERE n > 1
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("q"))
+    val dExp = expr("""CAST(n * q - s * s AS DOUBLE)
+      |  / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))""".stripMargin)
+    val z2 = (dExp - expr("CAST(n - 1 AS DOUBLE)"))
+      .*(dExp - expr("CAST(n - 1 AS DOUBLE)"))
+      ./(expr("CAST(2 AS DOUBLE) * CAST(n - 1 AS DOUBLE)"))
+    mom.filter(col("n") > 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        round(expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"), 6)
+          .as("mean_count"),
+        round(expr("""CAST(n * q - s * s AS DOUBLE)
+          |  / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)""".stripMargin),
+          6).as("var_count"),
+        round(dExp / expr("CAST(n - 1 AS DOUBLE)"), 6).as("fano"),
+        round(z2, 6).as("z2"),
+        (z2 > 3.8415).as("overdispersed"))
+      .orderBy(col("event_type"))
+  }
+
+  /** WILSON SCORE INTERVAL — the closed-form 95% CI for the q154-style
+    * conversion rates, the deterministic complement to q164's bootstrap:
+    * Wilson's (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²))/(1 + z²/n) stays
+    * inside [0,1] and behaves at p̂ ∈ {0,1} where the Wald interval
+    * collapses — the right interval to SHIP on a dashboard (no
+    * resampling budget, no seed).
+    *
+    * Exactness: x and n are exact int64 (the q154 ≥15-event converter
+    * definition over distinct users); the interval is one fixed-order
+    * double chain per bound with z = 1.96 literal and one IEEE sqrt.
+    * n = 0 types → NULL bounds via nullif. Bounds are CLAMPED only by
+    * algebra (Wilson needs no clamp — stated).
+    *
+    * Plan: the q154 distinct-pairs aggregate, a 1-row universe
+    * broadcast, 5-row finish.
+    */
+  val q236WilsonCi = Q(
+    "q236_wilson_ci",
+    s"""WITH uu AS (SELECT DISTINCT user_id FROM events
+      |            WHERE user_id IS NOT NULL),
+      |nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uu),
+      |cv AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS x
+      |  FROM (SELECT user_id, event_type FROM events
+      |        WHERE user_id IS NOT NULL
+      |        GROUP BY user_id, event_type HAVING count(*) >= 15) z
+      |  GROUP BY event_type
+      |),
+      |f AS (
+      |  SELECT cv.event_type, cv.x, nu.n,
+      |    CAST(cv.x AS DOUBLE) / CAST(nu.n AS DOUBLE) AS p
+      |  FROM cv CROSS JOIN nu
+      |)
+      |SELECT event_type, x AS converters, n AS n_users,
+      |  ${Exact.Sql.ratio6("x", "n")} AS rate,
+      |  round((p + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+      |      / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
+      |    - CAST(1.96 AS DOUBLE)
+      |      * sqrt(p * (CAST(1 AS DOUBLE) - p) / CAST(n AS DOUBLE)
+      |        + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+      |          / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+      |            * CAST(n AS DOUBLE))))
+      |    / (CAST(1 AS DOUBLE) + CAST(1.96 AS DOUBLE)
+      |      * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS wilson_lo,
+      |  round((p + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+      |      / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
+      |    + CAST(1.96 AS DOUBLE)
+      |      * sqrt(p * (CAST(1 AS DOUBLE) - p) / CAST(n AS DOUBLE)
+      |        + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+      |          / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+      |            * CAST(n AS DOUBLE))))
+      |    / (CAST(1 AS DOUBLE) + CAST(1.96 AS DOUBLE)
+      |      * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS wilson_hi
+      |FROM f
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+    val nu = ev.select(col("user_id")).distinct()
+      .agg(count(lit(1)).cast("long").as("n"))
+    val cv = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("ne")).filter(col("ne") >= 15)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val f = cv.crossJoin(broadcast(nu))
+      .withColumn("p", expr("CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"))
+    def bound(sign: String) = expr(
+      s"""(p + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+        |    / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE))
+        |  $sign CAST(1.96 AS DOUBLE)
+        |    * sqrt(p * (CAST(1 AS DOUBLE) - p) / CAST(n AS DOUBLE)
+        |      + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+        |        / (CAST(4 AS DOUBLE) * CAST(n AS DOUBLE)
+        |          * CAST(n AS DOUBLE))))
+        |  / (CAST(1 AS DOUBLE) + CAST(1.96 AS DOUBLE)
+        |    * CAST(1.96 AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin)
+    f.select(col("event_type"), col("x").as("converters"),
+        col("n").as("n_users"),
+        Exact.ratio6("x", "n").as("rate"),
+        round(bound("-"), 6).as("wilson_lo"),
+        round(bound("+"), 6).as("wilson_hi"))
+      .orderBy(col("event_type"))
   }
 }

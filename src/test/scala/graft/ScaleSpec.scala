@@ -467,7 +467,8 @@ class ScaleSpec extends SparkSpec {
       "q217_page_hinkley", "q221_acf_ljungbox", "q222_leaderboard_churn",
       "q226_runs_test", "q227_cosine_profiles",
       "q228_haar_energy", "q229_cliffs_delta", "q230_good_turing",
-      "q231_mann_kendall")) {
+      "q231_mann_kendall", "q234_exp_gap_ks",
+      "q235_overdispersion")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -483,7 +484,8 @@ class ScaleSpec extends SparkSpec {
     for (name <- Seq("q208_kendall_tau", "q210_wasserstein1",
       "q214_stickiness", "q218_zipf_slope", "q219_cmh_strata",
       "q220_rolling_corr", "q223_cochran_armitage", "q224_diff_in_diff",
-      "q225_capture_recapture", "q232_theil_decomposition")) {
+      "q225_capture_recapture", "q232_theil_decomposition",
+      "q233_bayes_average", "q236_wilson_ci")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

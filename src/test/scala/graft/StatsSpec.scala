@@ -1446,4 +1446,124 @@ class StatsSpec extends SparkSpec {
       assert(r.getDouble(4) >= -1e-9, "within-group Theil is nonnegative")
     }
   }
+  test("q233 Bayes average replays from exact rationals and SHRINKS " +
+      "small samples toward the prior") {
+    val rows = Stats.q233BayesAverage.fn(spark, sf).collect()
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val per = ev.groupBy(_._1).map { case (u, g) =>
+      u -> ((g.length.toLong, g.count(_._2 == "purchase").toLong))
+    }
+    val nn = per.values.map(_._1).sum; val xx = per.values.map(_._2).sum
+    val shrunk = per.map { case (u, (n, x)) =>
+      u -> ((x * nn + 20 * xx).toDouble / (nn * (n + 20)).toDouble, n, x)
+    }
+    val want = shrunk.toSeq.sortBy { case (u, (sv, _, _)) => (-sv, u) }
+      .take(20)
+    assert(rows.length === math.min(20, per.size))
+    for ((r, (u, (sv, n, x))) <- rows.zip(want)) {
+      assert(r.getLong(0) === u); assert(r.getLong(1) === n)
+      assert(r.getLong(2) === x)
+      assert(math.abs(r.getDouble(4) - sv) < 1e-6)
+    }
+    // shrinkage property: every user's shrunk rate sits strictly
+    // between the raw rate and the global prior (or equals both)
+    val prior = xx.toDouble / nn
+    for ((_, (sv, n, x)) <- shrunk) {
+      val raw = x.toDouble / n
+      assert(sv >= math.min(raw, prior) - 1e-12 &&
+        sv <= math.max(raw, prior) + 1e-12)
+    }
+  }
+
+  test("q234 exponential-gap KS replays from a driver-side sorted scan") {
+    val got = Stats.q234ExpGapKs.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts)"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val us = rows.sortBy(e => (e._2, e._3)).map(_._2)
+      val gaps: Array[Long] = us.sliding(2).toArray
+        .filter(_.length == 2).map(w => w(1) - w(0))
+      if (gaps.isEmpty) assert(!got.contains(t))
+      else {
+        val n = gaps.length
+        val sg = gaps.sum
+        val lam = n.toDouble / sg
+        val sorted = gaps.sorted
+        var dMax = 0.0
+        for (i <- sorted.indices) {
+          val f = 1.0 - math.exp(-lam * sorted(i))
+          dMax = math.max(dMax, math.max((i + 1).toDouble / n - f,
+            f - i.toDouble / n))
+        }
+        val (gn, gmean, gd, gp) = got(t)
+        assert(gn === n.toLong)
+        assert(math.abs(gmean - sg.toDouble / n / 1000.0) < 1e-3)
+        assert(math.abs(gd - dMax) < 1e-5, s"$t D")
+        assert(gp === (gd < 1.36 / math.sqrt(n.toDouble)))
+      }
+    }
+  }
+
+  test("q235 overdispersion: D = (nQ - S²)/S replays exactly from " +
+      "integer moments") {
+    val got = Stats.q235Overdispersion.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val d0 = rows.map(_._2).min; val d1 = rows.map(_._2).max
+      val cs = (d0 to d1).map(dd => rows.count(_._2 == dd).toLong)
+      val n = cs.length.toLong
+      if (n <= 1) assert(!got.contains(t))
+      else {
+        val sTot = cs.sum; val q = cs.map(c => c * c).sum
+        val dStat = (n * q - sTot * sTot).toDouble / sTot
+        val (gn, gm, gv, gf, gz, go) = got(t)
+        assert(gn === n)
+        assert(math.abs(gm - sTot.toDouble / n) < 1e-6)
+        assert(math.abs(gv - (n * q - sTot * sTot).toDouble / n / (n - 1))
+          < 1e-4)
+        assert(math.abs(gf - dStat / (n - 1)) < 1e-4)
+        val z2 = (dStat - (n - 1)) * (dStat - (n - 1)) / (2.0 * (n - 1))
+        assert(math.abs(gz - z2) < 1e-3)
+        assert(go === (z2 > 3.8415))
+      }
+    }
+  }
+
+  test("q236 Wilson CI replays from the closed form and brackets the " +
+      "point rate inside [0, 1]") {
+    val rows = Stats.q236WilsonCi.fn(spark, sf).collect()
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nU = ev.map(_._1).distinct.length.toLong
+    val conv = ev.groupBy(_._2).map { case (t, g) =>
+      t -> g.groupBy(_._1).count(_._2.length >= 15).toLong
+    }
+    for (r <- rows) {
+      val t = r.getString(0)
+      val x = conv(t); val n = nU
+      assert(r.getLong(1) === x); assert(r.getLong(2) === n)
+      val p = x.toDouble / n; val z = 1.96
+      def b(sign: Double) = (p + z * z / (2 * n) +
+        sign * z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))) /
+        (1 + z * z / n)
+      assert(math.abs(r.getDouble(4) - b(-1)) < 1e-6)
+      assert(math.abs(r.getDouble(5) - b(1)) < 1e-6)
+      assert(r.getDouble(4) >= -1e-9 && r.getDouble(5) <= 1.0 + 1e-9)
+      assert(r.getDouble(4) <= p + 1e-9 && p <= r.getDouble(5) + 1e-9)
+    }
+  }
 }
