@@ -59,6 +59,8 @@ object Analytic {
     q220RollingCorr,
     q222LeaderboardChurn,
     q228HaarEnergy,
+    q237RankBiasedOverlap,
+    q238GrowthAccounting,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -3353,5 +3355,234 @@ object Analytic {
         when(col("e_all") > 0, Exact.ratio6("energy", "e_all"))
           .otherwise(lit(null)).as("energy_share"))
       .orderBy(col("event_type"), col("level"))
+  }
+  /** RANK-BIASED OVERLAP — q222's leaderboard churn weighted the way a
+    * viewer reads a ranking: RBO_min@20 = (1−p)·Σ_{d≤20} p^{d−1}·X_d/d
+    * (p = 0.9), where X_d is the overlap of the two days' top-d
+    * PREFIXES — so agreement at rank 1 outweighs agreement at rank 20,
+    * the property plain Jaccard (q222) structurally lacks. The standard
+    * IR ranking-stability metric (Webber et al.), reported per
+    * consecutive-day pair.
+    *
+    * Exactness: prefix overlaps never materialize per depth — each
+    * matched user enters every depth d ≥ max(ra, rb), so the sum
+    * rewrites as Σ_matched Σ_{d=max..20} p^{d−1}/d: a bounded depth
+    * explode whose terms are float-cast pow over one exact int divide,
+    * summed as DECIMAL(18,9) and finished by one (1−p) product.
+    * Pairs with zero matched users report exact 0 (coalesce, stated).
+    * Truncation at k = 20 makes this RBO_MIN — the lower bound without
+    * the extrapolation tail — stated as the definition.
+    *
+    * Plan: q222's rank windows, a user-keyed pair join, a ≤ 20-row
+    * depth explode per matched user — calendar × k² bounded, never
+    * row-proportional.
+    */
+  val q237RankBiasedOverlap = Q(
+    "q237_rank_biased_overlap",
+    """WITH uc AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    user_id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT day, user_id,
+      |    row_number() OVER (PARTITION BY day
+      |      ORDER BY cnt DESC, user_id) AS rn
+      |  FROM uc
+      |),
+      |top AS (SELECT day, user_id, rn FROM rk WHERE rn <= 20),
+      |days AS (
+      |  SELECT DISTINCT a.day FROM top a
+      |  JOIN top b ON b.day = a.day - 1
+      |),
+      |matched AS (
+      |  SELECT cur.day, cur.user_id,
+      |    CASE WHEN prev.rn > cur.rn THEN prev.rn ELSE cur.rn END AS m
+      |  FROM top cur JOIN top prev
+      |    ON prev.user_id = cur.user_id AND prev.day = cur.day - 1
+      |),
+      |terms AS (
+      |  SELECT matched.day,
+      |    CAST(CAST(pow(0.9, u.d - 1) AS FLOAT)
+      |      / CAST(u.d AS DOUBLE) AS DECIMAL(18,9)) AS w
+      |  FROM matched, unnest(range(matched.m, 21)) AS u(d)
+      |),
+      |agg AS (
+      |  SELECT day, sum(w) AS sw, CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM terms GROUP BY 1
+      |),
+      |ov AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS n_matched
+      |  FROM matched GROUP BY 1
+      |)
+      |SELECT d.day,
+      |  COALESCE(ov.n_matched, 0) AS n_matched,
+      |  round(CAST(0.1 AS DOUBLE)
+      |    * COALESCE(CAST(agg.sw AS DOUBLE), CAST(0 AS DOUBLE)), 6)
+      |    AS rbo_min
+      |FROM days d
+      |LEFT JOIN agg ON agg.day = d.day
+      |LEFT JOIN ov ON ov.day = d.day
+      |ORDER BY d.day""".stripMargin,
+  ) { (s, d) =>
+    val uc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val top = uc.select(col("day"), col("user_id"),
+        row_number().over(Window.partitionBy(col("day"))
+          .orderBy(col("cnt").desc, col("user_id").asc)).as("rn"))
+      .filter(col("rn") <= 20)
+      .localCheckpoint() // 3 consumers: day pairs and both join sides
+    val days = top.select(col("day").as("a_day"))
+      .join(top.select((col("day") + 1).as("b_day")),
+        col("b_day") === col("a_day"))
+      .select(col("a_day").as("day")).distinct()
+    val matched = top.select(col("day"), col("user_id"),
+        col("rn").as("rb"))
+      .join(top.select((col("day") + 1).as("p_day"),
+          col("user_id").as("p_user"), col("rn").as("ra")),
+        col("p_user") === col("user_id") && col("p_day") === col("day"))
+      .select(col("day"), col("user_id"),
+        greatest(col("ra"), col("rb")).as("m"))
+      .localCheckpoint() // 2 consumers: the depth explode and counts
+    val terms = matched
+      .select(col("day"),
+        explode(expr("sequence(m, 20)")).as("d"))
+      .select(col("day"), expr(
+        """CAST(CAST(pow(0.9, d - 1) AS FLOAT)
+          |  / CAST(d AS DOUBLE) AS DECIMAL(18,9))""".stripMargin)
+        .as("w"))
+    val agg = terms.groupBy(col("day")).agg(sum(col("w")).as("sw"))
+      .select(col("day").as("agg_day"), col("sw"))
+    val ov = matched.groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .select(col("day").as("ov_day"), col("n_matched"))
+    days.join(agg, col("day") === col("agg_day"), "left")
+      .join(ov, col("day") === col("ov_day"), "left")
+      .select(col("day"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(expr("""CAST(0.1 AS DOUBLE)
+          |  * COALESCE(CAST(sw AS DOUBLE), CAST(0 AS DOUBLE))"""
+          .stripMargin), 6).as("rbo_min"))
+      .orderBy(col("day"))
+  }
+
+  /** GROWTH ACCOUNTING — the WAU ledger every growth team closes the
+    * week with: each active user is exactly one of NEW (first week
+    * ever), RETAINED (active last week too), or RESURRECTED (seen
+    * before, skipped last week), and last week's missing users are
+    * CHURNED — with the quick ratio (new + resurrected)/churned as the
+    * one-number health read. The identity |active| = new + retained +
+    * resurrected is structural, and the suite asserts it (an invariant
+    * the operator's own arithmetic cannot fake).
+    *
+    * Exactness: pure distinct counting over (user, week) pairs and a
+    * per-user min-week; the quick ratio goes through ratio6 with
+    * churned = 0 → NULL via the explicit CASE. Weeks index as
+    * (day−d₀)//7 (the q225 convention, trailing partial weeks counted
+    * as-is).
+    *
+    * Plan: one (user, week) distinct (the only row-proportional
+    * shuffle), a user-keyed first-week aggregate broadcast back, two
+    * calendar-bounded membership joins. Scan-dominated at 100 TB.
+    */
+  val q238GrowthAccounting = Q(
+    "q238_growth_accounting",
+    s"""WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+      |      - (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))
+      |          // 86400000000) FROM events WHERE ts IS NOT NULL))
+      |      // 7 AS wk
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |fw AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS f FROM du
+      |       GROUP BY 1),
+      |cur AS (
+      |  SELECT du.wk, du.user_id, fw.f,
+      |    CASE WHEN prev.user_id IS NULL THEN 0 ELSE 1 END AS in_prev
+      |  FROM du
+      |  JOIN fw ON fw.user_id = du.user_id
+      |  LEFT JOIN du prev
+      |    ON prev.user_id = du.user_id AND prev.wk = du.wk - 1
+      |  WHERE du.wk > 0
+      |),
+      |acts AS (
+      |  SELECT wk,
+      |    CAST(count(*) AS BIGINT) AS active,
+      |    CAST(sum(CASE WHEN f = wk THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS new_users,
+      |    CAST(sum(in_prev) AS BIGINT) AS retained,
+      |    CAST(sum(CASE WHEN f < wk AND in_prev = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS resurrected
+      |  FROM cur GROUP BY 1
+      |),
+      |ch AS (
+      |  SELECT a.wk + 1 AS wk, CAST(count(*) AS BIGINT) AS churned
+      |  FROM du a
+      |  LEFT JOIN du b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+      |  WHERE b.user_id IS NULL
+      |  GROUP BY 1
+      |)
+      |SELECT acts.wk AS week, acts.active, acts.new_users,
+      |  acts.retained, acts.resurrected,
+      |  COALESCE(ch.churned, 0) AS churned,
+      |  CASE WHEN COALESCE(ch.churned, 0) > 0 THEN
+      |    ${Exact.Sql.ratio6("acts.new_users + acts.resurrected",
+           "ch.churned")}
+      |  ELSE NULL END AS quick_ratio
+      |FROM acts LEFT JOIN ch ON ch.wk = acts.wk
+      |ORDER BY week""".stripMargin,
+  ) { (s, d) =>
+    val base = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val d0 = base.agg(min(col("day")).as("d0"))
+    val du = base.crossJoin(broadcast(d0))
+      .select(col("user_id"), expr("(day - d0) div 7").as("wk"))
+      .distinct()
+      .localCheckpoint() // 4 consumers: first-week, cur, prev, churn
+    val fw = du.groupBy(col("user_id"))
+      .agg(min(col("wk")).cast("long").as("f"))
+    val prev = du.select(col("user_id").as("p_user"),
+      (col("wk") + 1).as("p_wk"))
+    val cur = du.filter(col("wk") > 0)
+      .join(fw, "user_id")
+      .join(prev,
+        col("p_user") === col("user_id") && col("p_wk") === col("wk"),
+        "left")
+      .select(col("wk"), col("f"),
+        when(col("p_user").isNull, 0L).otherwise(1L).as("in_prev"))
+    val acts = cur.groupBy(col("wk"))
+      .agg(count(lit(1)).cast("long").as("active"),
+        sum(when(col("f") === col("wk"), 1L).otherwise(0L)).cast("long")
+          .as("new_users"),
+        sum(col("in_prev")).cast("long").as("retained"),
+        sum(when(col("f") < col("wk") && col("in_prev") === 0, 1L)
+          .otherwise(0L)).cast("long").as("resurrected"))
+    val nxt = du.select(col("user_id").as("n_user"),
+      (col("wk") - 1).as("n_wk"))
+    val ch = du.join(nxt,
+        col("n_user") === col("user_id") && col("n_wk") === col("wk"),
+        "left")
+      .filter(col("n_user").isNull)
+      .groupBy((col("wk") + 1).as("wk"))
+      .agg(count(lit(1)).cast("long").as("churned"))
+      .select(col("wk").as("ch_wk"), col("churned"))
+    acts.join(ch, col("ch_wk") === col("wk"), "left")
+      .select(col("wk").as("week"), col("active"), col("new_users"),
+        col("retained"), col("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .withColumn("quick_ratio",
+        when(col("churned") > 0,
+          Exact.ratio6("new_users + resurrected", "churned"))
+          .otherwise(lit(null)))
+      .orderBy(col("week"))
   }
 }

@@ -1566,4 +1566,62 @@ class StatsSpec extends SparkSpec {
       assert(r.getDouble(4) <= p + 1e-9 && p <= r.getDouble(5) + 1e-9)
     }
   }
+  test("q237 RBO replays from driver-side prefix overlaps and dominates " +
+      "depth-unweighted agreement at the top") {
+    val got = Analytic.q237RankBiasedOverlap.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(expr("unix_micros(ts) div 86400000000"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = ev.groupBy(_._1).map { case (day, g) =>
+      day -> g.groupBy(_._2).map { case (u, es) => (u, es.length) }.toSeq
+        .sortBy { case (u, c) => (-c, u) }.take(20).map(_._1)
+    }
+    val days = ranked.keys.toSeq.sorted
+    for (d <- days if ranked.contains(d - 1)) {
+      val prev = ranked(d - 1); val cur = ranked(d)
+      var rbo = 0.0; var matched = 0L
+      for (depth <- 1 to 20) {
+        val xd = (prev.take(depth).toSet & cur.take(depth).toSet).size
+        rbo += math.pow(0.9, depth - 1) * xd / depth
+      }
+      matched = (prev.toSet & cur.toSet).size.toLong
+      val (gm, gr) = got(d)
+      assert(gm === matched, s"day $d matched")
+      assert(math.abs(gr - 0.1 * rbo) < 1e-4, s"day $d rbo")
+      assert(gr >= -1e-9 && gr <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q238 growth accounting replays from week sets and the ledger " +
+      "identity active = new + retained + resurrected holds") {
+    val rows = Analytic.q238GrowthAccounting.fn(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d0 = ev.map(_._2).min
+    val byWeek = ev.map { case (u, dd) => ((dd - d0) / 7, u) }
+      .groupBy(_._1).map { case (w, g) => w -> g.map(_._2).toSet }
+    val firstWk = byWeek.toSeq.flatMap { case (w, us) => us.map(_ -> w) }
+      .groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    for (r <- rows) {
+      val w = r.getLong(0)
+      val cur = byWeek(w); val prev = byWeek.getOrElse(w - 1, Set.empty[Long])
+      val nw = cur.count(firstWk(_) == w).toLong
+      val ret = (cur & prev).size.toLong
+      val res = cur.count(u => firstWk(u) < w && !prev.contains(u)).toLong
+      val chu = (prev -- cur).size.toLong
+      assert(r.getLong(1) === cur.size.toLong)
+      assert(r.getLong(2) === nw); assert(r.getLong(3) === ret)
+      assert(r.getLong(4) === res); assert(r.getLong(5) === chu)
+      assert(r.getLong(1) === nw + ret + res, "ledger identity")
+      if (chu > 0) {
+        val want = ((2 * (nw + res) * 1000000L + chu) / (2 * chu))
+          .toDouble / 1e6
+        assert(r.getDouble(6) === want)
+      } else assert(r.isNullAt(6))
+    }
+  }
 }
