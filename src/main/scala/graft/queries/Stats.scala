@@ -33,7 +33,8 @@ object Stats {
     q223CochranArmitage, q224DiffInDiff, q225CaptureRecapture,
     q226RunsTest, q229CliffsDelta, q230GoodTuring, q231MannKendall,
     q232TheilDecomposition, q233BayesAverage, q234ExpGapKs,
-    q235Overdispersion, q236WilsonCi)
+    q235Overdispersion, q236WilsonCi, q239EntropyRate, q240NeweyWest,
+    q241DisparateImpact)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -4102,5 +4103,364 @@ object Stats {
         round(bound("-"), 6).as("wilson_lo"),
         round(bound("+"), 6).as("wilson_hi"))
       .orderBy(col("event_type"))
+  }
+  /** MARKOV ENTROPY RATE — how PREDICTABLE is the behavioral process:
+    * the conditional entropy H(next | current) of q120's per-user
+    * transition chain, next to the marginal H(next) (q179's axis) —
+    * their gap is the information the previous event carries. H_cond ≈
+    * H_marg says the chain is memoryless (transition modeling buys
+    * nothing); H_cond ≪ H_marg says sequence models will pay. One
+    * number per corpus, plus the per-state conditional entropies that
+    * localize WHERE the predictability lives.
+    *
+    * Exactness: transition counts are exact int64 over q120's
+    * (ts, event_id)-ordered lag pairs; every entropy term is
+    * (c/N)·ln(N/c)-shaped — one exact int64 ratio per float-cast ln,
+    * fixed-order products, DECIMAL(18,9) sums (the q179/q199 ln
+    * discipline; 0·ln 0 never arises because count cells are ≥ 1 by
+    * construction). The corpus-level H_cond attaches to every state row
+    * via the q197 window-total idiom.
+    *
+    * Plan: one lag window (the only row-proportional stage), a
+    * |states|²-bounded matrix aggregate, window totals.
+    */
+  val q239EntropyRate = Q(
+    "q239_entropy_rate",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |t AS (
+      |  SELECT prev_type, event_type AS next_type,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM seq WHERE prev_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |rows_ AS (
+      |  SELECT prev_type, CAST(sum(c) AS BIGINT) AS rn FROM t
+      |  GROUP BY 1
+      |),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM t),
+      |cols AS (
+      |  SELECT next_type, CAST(sum(c) AS BIGINT) AS cn FROM t
+      |  GROUP BY 1
+      |),
+      |hc AS (
+      |  SELECT t.prev_type,
+      |    sum(CAST(CAST(t.c AS DOUBLE) / CAST(r.rn AS DOUBLE)
+      |      * CAST(ln(CAST(r.rn AS DOUBLE) / CAST(t.c AS DOUBLE))
+      |        AS FLOAT) AS DECIMAL(18,9))) AS h_row
+      |  FROM t JOIN rows_ r ON r.prev_type = t.prev_type
+      |  GROUP BY 1
+      |),
+      |hm AS (
+      |  SELECT sum(CAST(CAST(cols.cn AS DOUBLE) / CAST(tot.n AS DOUBLE)
+      |    * CAST(ln(CAST(tot.n AS DOUBLE) / CAST(cols.cn AS DOUBLE))
+      |      AS FLOAT) AS DECIMAL(18,9))) AS h_marg
+      |  FROM cols CROSS JOIN tot
+      |),
+      |per AS (
+      |  SELECT r.prev_type AS state, r.rn AS n_from,
+      |    CAST(hc.h_row AS DOUBLE) AS h_given_state,
+      |    CAST(r.rn AS DOUBLE) / CAST(tot.n AS DOUBLE)
+      |      * CAST(hc.h_row AS DOUBLE) AS contrib
+      |  FROM rows_ r
+      |  JOIN hc ON hc.prev_type = r.prev_type
+      |  CROSS JOIN tot
+      |),
+      |w AS (
+      |  SELECT state, n_from, h_given_state, contrib,
+      |    sum(CAST(contrib AS DECIMAL(18,9))) OVER () AS h_cond
+      |  FROM per
+      |)
+      |SELECT w.state, w.n_from,
+      |  round(w.h_given_state, 6) AS h_given_state,
+      |  CAST(round(w.h_cond, 6) AS DOUBLE) AS h_cond,
+      |  round(CAST(hm.h_marg AS DOUBLE), 6) AS h_marginal,
+      |  round(CAST(hm.h_marg AS DOUBLE) - CAST(w.h_cond AS DOUBLE), 6)
+      |    AS memory_gain
+      |FROM w CROSS JOIN hm
+      |ORDER BY w.state""".stripMargin,
+  ) { (s, d) =>
+    val seq0 = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    val t = seq0.groupBy(col("prev_type"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint() // 3 consumers: rows, cols, the term sums
+    val rows = t.groupBy(col("prev_type"))
+      .agg(sum(col("c")).cast("long").as("rn"))
+    val tot = t.agg(sum(col("c")).cast("long").as("n"))
+    val cols = t.groupBy(col("next_type"))
+      .agg(sum(col("c")).cast("long").as("cn"))
+    val hc = t.join(rows, "prev_type")
+      .select(col("prev_type"), expr(
+        """CAST(CAST(c AS DOUBLE) / CAST(rn AS DOUBLE)
+          |  * CAST(ln(CAST(rn AS DOUBLE) / CAST(c AS DOUBLE)) AS FLOAT)
+          |  AS DECIMAL(18,9))""".stripMargin).as("term"))
+      .groupBy(col("prev_type")).agg(sum(col("term")).as("h_row"))
+    val hm = cols.crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(CAST(cn AS DOUBLE) / CAST(n AS DOUBLE)
+          |  * CAST(ln(CAST(n AS DOUBLE) / CAST(cn AS DOUBLE)) AS FLOAT)
+          |  AS DECIMAL(18,9))""".stripMargin).as("term"))
+      .agg(sum(col("term")).as("h_marg"))
+    val per = rows.join(hc, "prev_type").crossJoin(broadcast(tot))
+      .select(col("prev_type").as("state"), col("rn").as("n_from"),
+        col("h_row").cast("double").as("h_given_state"),
+        expr("""CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)
+          |  * CAST(h_row AS DOUBLE)""".stripMargin).as("contrib"))
+    val w = per.withColumn("h_cond",
+      sum(expr("CAST(contrib AS DECIMAL(18,9))"))
+        .over(Window.partitionBy()))
+    w.crossJoin(broadcast(hm))
+      .select(col("state"), col("n_from"),
+        round(col("h_given_state"), 6).as("h_given_state"),
+        round(col("h_cond"), 6).cast("double").as("h_cond"),
+        round(col("h_marg").cast("double"), 6).as("h_marginal"),
+        round(col("h_marg").cast("double") - col("h_cond").cast("double"),
+          6).as("memory_gain"))
+      .orderBy(col("state"))
+  }
+
+  /** NEWEY–WEST ROBUST STANDARD ERROR — the honest error bar for the
+    * daily-count mean when q221 has just shown the series
+    * autocorrelates: the iid s²/n understates uncertainty on positively
+    * correlated series; the Bartlett-kernel HAC estimator
+    * s²_NW = γ₀ + 2·Σ_{k≤2}(1−k/3)·γ_k repairs it, and the ratio
+    * se_nw/se_iid IS the "how wrong was the naive error bar" number an
+    * experimentation platform needs before trusting q162/q154 on
+    * time-bucketed metrics.
+    *
+    * Exactness: every autocovariance γ_k clears its float mean through
+    * the q221 integer identity (n²Σx_tx_{t−k} − nS(H_k+T_k) +
+    * (n−k)S² over n³ divides as fixed-order doubles); the Bartlett
+    * weights are exact rationals (1/3, 2/3) as double literals; one
+    * IEEE sqrt per se. Degenerate spans (n ≤ 2) are excluded by the
+    * lag-2 definition; a flat series yields se = 0 exactly.
+    *
+    * Plan: the q221 lag machinery verbatim — dense grid, two lag
+    * windows sharing a sort, one aggregate, 5-row finish.
+    */
+  val q240NeweyWest = Q(
+    "q240_newey_west",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t,
+      |    b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(dc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |lagd AS (
+      |  SELECT event_type, t, x,
+      |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY t) AS x1,
+      |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY t) AS x2
+      |  FROM x
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(sum(x * x) AS BIGINT) AS q,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x * x1 END)
+      |      AS BIGINT) AS p1,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x END) AS BIGINT)
+      |      AS h1,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x1 END) AS BIGINT)
+      |      AS t1,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x * x2 END)
+      |      AS BIGINT) AS p2,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x END) AS BIGINT)
+      |      AS h2,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x2 END) AS BIGINT)
+      |      AS t2
+      |  FROM lagd GROUP BY 1
+      |),
+      |gam AS (
+      |  SELECT event_type, n, s,
+      |    CAST(n * q - s * s AS DOUBLE)
+      |      / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * CAST(n AS DOUBLE) AS g0,
+      |    CAST(n * n * p1 - n * s * (h1 + t1) + (n - 1) * s * s
+      |      AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS g1,
+      |    CAST(n * n * p2 - n * s * (h2 + t2) + (n - 2) * s * s
+      |      AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS g2
+      |  FROM agg WHERE n > 2
+      |)
+      |SELECT event_type, n AS n_days,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_count,
+      |  round(sqrt(g0 / CAST(n AS DOUBLE)), 6) AS se_iid,
+      |  round(sqrt((g0
+      |    + CAST(2 AS DOUBLE) * (CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE))
+      |      * g1
+      |    + CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+      |      * g2) / CAST(n AS DOUBLE)), 6) AS se_nw,
+      |  round(sqrt((g0
+      |    + CAST(2 AS DOUBLE) * (CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE))
+      |      * g1
+      |    + CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+      |      * g2) / CAST(n AS DOUBLE))
+      |    / nullif(sqrt(g0 / CAST(n AS DOUBLE)), CAST(0 AS DOUBLE)), 6)
+      |    AS inflation
+      |FROM gam
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val lagd = x.select(col("event_type"), col("x"),
+      lag(col("x"), 1).over(wLag).as("x1"),
+      lag(col("x"), 2).over(wLag).as("x2"))
+    val agg = lagd.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"),
+        sum(when(col("x1").isNull, 0L).otherwise(col("x") * col("x1")))
+          .cast("long").as("p1"),
+        sum(when(col("x1").isNull, 0L).otherwise(col("x"))).cast("long")
+          .as("h1"),
+        sum(when(col("x1").isNull, 0L).otherwise(col("x1"))).cast("long")
+          .as("t1"),
+        sum(when(col("x2").isNull, 0L).otherwise(col("x") * col("x2")))
+          .cast("long").as("p2"),
+        sum(when(col("x2").isNull, 0L).otherwise(col("x"))).cast("long")
+          .as("h2"),
+        sum(when(col("x2").isNull, 0L).otherwise(col("x2"))).cast("long")
+          .as("t2"))
+    val gam = agg.filter(col("n") > 2)
+      .select(col("event_type"), col("n"), col("s"),
+        expr("""CAST(n * q - s * s AS DOUBLE)
+          |  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+          |  * CAST(n AS DOUBLE)""".stripMargin).as("g0"),
+        expr("""CAST(n * n * p1 - n * s * (h1 + t1) + (n - 1) * s * s
+          |  AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+          |  / CAST(n AS DOUBLE)""".stripMargin).as("g1"),
+        expr("""CAST(n * n * p2 - n * s * (h2 + t2) + (n - 2) * s * s
+          |  AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+          |  / CAST(n AS DOUBLE)""".stripMargin).as("g2"))
+    val nw = expr("""(g0
+      |  + CAST(2 AS DOUBLE) * (CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE))
+      |    * g1
+      |  + CAST(2 AS DOUBLE) * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+      |    * g2) / CAST(n AS DOUBLE)""".stripMargin)
+    gam.select(col("event_type"), col("n").as("n_days"),
+        round(expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"), 6)
+          .as("mean_count"),
+        round(sqrt(expr("g0 / CAST(n AS DOUBLE)")), 6).as("se_iid"),
+        round(sqrt(nw), 6).as("se_nw"),
+        round(sqrt(nw) / nullif(sqrt(expr("g0 / CAST(n AS DOUBLE)")),
+          lit(0.0)), 6).as("inflation"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DISPARATE-IMPACT AUDIT — the four-fifths-rule fairness screen a
+    * curation pipeline runs before shipping a keep/drop filter: for the
+    * length filter "keep docs with n_chars ≥ 300", the per-language
+    * selection rates, each language's impact ratio against the
+    * most-selected language, and the 80% flag. Selection-rate parity is
+    * the first-line audit EEOC-style reviews start from — and exactly
+    * what a length filter silently violates across languages with
+    * different scripts.
+    *
+    * Exactness: selection counts are exact int64; rates go through
+    * ratio6; the impact ratio is the exact integer cross-multiply
+    * kept_g·n_max vs kept_max·n_g rounded via ratio6 on the products
+    * (never a float/float divide); the reference group (max rate, ties
+    * broken by language for determinism) is chosen by an exact-rational
+    * rank. Zero-member groups can't occur (they have no rows); a
+    * zero-selection reference makes every ratio NULL via nullif.
+    *
+    * Plan: one scan → |langs|-bounded aggregate, one rank window, one
+    * broadcast of the 1-row reference.
+    */
+  val q241DisparateImpact = Q(
+    "q241_disparate_impact",
+    s"""WITH d AS (
+      |  SELECT lang,
+      |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS kept
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(kept) AS BIGINT) AS k
+      |  FROM d GROUP BY 1
+      |),
+      |ref AS (
+      |  SELECT lang AS ref_lang, n AS ref_n, k AS ref_k
+      |  FROM g
+      |  ORDER BY CAST(k AS DOUBLE) / CAST(n AS DOUBLE) DESC, lang
+      |  LIMIT 1
+      |)
+      |SELECT g.lang, g.n AS n_docs, g.k AS n_kept,
+      |  ${Exact.Sql.ratio6("g.k", "g.n")} AS selection_rate,
+      |  ref.ref_lang,
+      |  ${Exact.Sql.ratio6("g.k * ref.ref_n", "ref.ref_k * g.n")}
+      |    AS impact_ratio,
+      |  (CAST(g.k * ref.ref_n AS DOUBLE)
+      |    / nullif(CAST(ref.ref_k * g.n AS DOUBLE), CAST(0 AS DOUBLE)))
+      |    < 0.8 AS four_fifths_violation
+      |FROM g CROSS JOIN ref
+      |ORDER BY g.lang""".stripMargin,
+  ) { (s, d) =>
+    val doc = Tables.documents(s, d)
+      .filter(col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(col("lang"),
+        when(col("n_chars") >= 300, 1L).otherwise(0L).as("kept"))
+    val g = doc.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("kept")).cast("long").as("k"))
+      .localCheckpoint() // 2 consumers: the reference rank and the rows
+    val ref = g.orderBy(
+        expr("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)").desc,
+        col("lang").asc)
+      .limit(1)
+      .select(col("lang").as("ref_lang"), col("n").as("ref_n"),
+        col("k").as("ref_k"))
+    g.crossJoin(broadcast(ref))
+      .select(col("lang"), col("n").as("n_docs"), col("k").as("n_kept"),
+        Exact.ratio6("k", "n").as("selection_rate"),
+        col("ref_lang"),
+        Exact.ratio6("k * ref_n", "ref_k * n").as("impact_ratio"),
+        (expr("""CAST(k * ref_n AS DOUBLE)
+          |  / nullif(CAST(ref_k * n AS DOUBLE), CAST(0 AS DOUBLE))"""
+          .stripMargin) < 0.8).as("four_fifths_violation"))
+      .orderBy(col("lang"))
   }
 }

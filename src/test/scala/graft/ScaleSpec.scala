@@ -468,7 +468,8 @@ class ScaleSpec extends SparkSpec {
       "q226_runs_test", "q227_cosine_profiles",
       "q228_haar_energy", "q229_cliffs_delta", "q230_good_turing",
       "q231_mann_kendall", "q234_exp_gap_ks",
-      "q235_overdispersion", "q237_rank_biased_overlap")) {
+      "q235_overdispersion", "q237_rank_biased_overlap",
+      "q240_newey_west")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -486,7 +487,8 @@ class ScaleSpec extends SparkSpec {
       "q220_rolling_corr", "q223_cochran_armitage", "q224_diff_in_diff",
       "q225_capture_recapture", "q232_theil_decomposition",
       "q233_bayes_average", "q236_wilson_ci",
-      "q238_growth_accounting")) {
+      "q238_growth_accounting", "q239_entropy_rate",
+      "q241_disparate_impact")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -1624,4 +1624,97 @@ class StatsSpec extends SparkSpec {
       } else assert(r.isNullAt(6))
     }
   }
+  test("q239 entropy rate replays from transition counts; conditioning " +
+      "never increases entropy") {
+    val rows = Stats.q239EntropyRate.fn(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ordered = g.sortBy(e => (e._3.getTime, e._4)).map(_._2)
+      ordered.zip(ordered.drop(1))
+    }
+    val n = trans.length.toDouble
+    val byPrev = trans.groupBy(_._1)
+    val hCond = byPrev.toSeq.map { case (_, g) =>
+      val rn = g.length.toDouble
+      val hRow = g.groupBy(_._2).values
+        .map(c => c.length / rn * math.log(rn / c.length)).sum
+      rn / n * hRow
+    }.sum
+    val hMarg = trans.groupBy(_._2).values
+      .map(c => c.length / n * math.log(n / c.length)).sum
+    for (r <- rows) {
+      val g = byPrev(r.getString(0))
+      assert(r.getLong(1) === g.length.toLong)
+      val rn = g.length.toDouble
+      val hRow = g.groupBy(_._2).values
+        .map(c => c.length / rn * math.log(rn / c.length)).sum
+      assert(math.abs(r.getDouble(2) - hRow) < 1e-4)
+      assert(math.abs(r.getDouble(3) - hCond) < 1e-4)
+      assert(math.abs(r.getDouble(4) - hMarg) < 1e-4)
+      assert(math.abs(r.getDouble(5) - (hMarg - hCond)) < 1e-4)
+      assert(r.getDouble(5) >= -1e-6,
+        "conditioning cannot increase entropy")
+    }
+  }
+
+  test("q240 Newey–West replays from centered autocovariances; " +
+      "positive lag-1 correlation inflates the iid error bar") {
+    val got = Stats.q240NeweyWest.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val d0 = rows.map(_._2).min; val d1 = rows.map(_._2).max
+      val xs = (d0 to d1).map(dd => rows.count(_._2 == dd).toDouble)
+        .toArray
+      val n = xs.length
+      if (n <= 2) assert(!got.contains(t))
+      else {
+        val mu = xs.sum / n
+        def gam(k: Int) =
+          (k until n).map(i => (xs(i) - mu) * (xs(i - k) - mu)).sum / n
+        val v = gam(0) + 2 * (2.0 / 3) * gam(1) + 2 * (1.0 / 3) * gam(2)
+        val (gn, gm, seI, seN, infl) = got(t)
+        assert(gn === n.toLong)
+        assert(math.abs(gm - mu) < 1e-6)
+        assert(math.abs(seI - math.sqrt(gam(0) / n)) < 1e-4)
+        assert(math.abs(seN - math.sqrt(v / n)) < 1e-4)
+        assert(math.abs(infl - seN / seI) < 1e-3)
+      }
+    }
+  }
+
+  test("q241 disparate impact replays from exact cross-multiplied " +
+      "rates; the reference group scores ratio 1") {
+    val rows = Stats.q241DisparateImpact.fn(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull && col("lang").isNotNull)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val per = docs.groupBy(_._1).map { case (l, g) =>
+      l -> ((g.length.toLong, g.count(_._2 >= 300).toLong))
+    }
+    val refLang = per.toSeq
+      .sortBy { case (l, (n, k)) => (-k.toDouble / n, l) }.head._1
+    val (rn, rk) = per(refLang)
+    for (r <- rows) {
+      val (n, k) = per(r.getString(0))
+      assert(r.getLong(1) === n); assert(r.getLong(2) === k)
+      assert(r.getString(4) === refLang)
+      val num = k * rn; val den = rk * n
+      assert(r.getDouble(5) ===
+        ((2 * num * 1000000L + den) / (2 * den)).toDouble / 1e6)
+      assert(r.getBoolean(6) === (num.toDouble / den < 0.8))
+      if (r.getString(0) == refLang) assert(r.getDouble(5) === 1.0)
+    }
+  }
 }
