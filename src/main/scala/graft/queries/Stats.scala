@@ -34,7 +34,7 @@ object Stats {
     q226RunsTest, q229CliffsDelta, q230GoodTuring, q231MannKendall,
     q232TheilDecomposition, q233BayesAverage, q234ExpGapKs,
     q235Overdispersion, q236WilsonCi, q239EntropyRate, q240NeweyWest,
-    q241DisparateImpact)
+    q241DisparateImpact, q242MeansProfile)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -4462,5 +4462,79 @@ object Stats {
           |  / nullif(CAST(ref_k * n AS DOUBLE), CAST(0 AS DOUBLE))"""
           .stripMargin) < 0.8).as("four_fifths_violation"))
       .orderBy(col("lang"))
+  }
+  /** PYTHAGOREAN MEANS PROFILE — the aggregate family's missing two
+    * members: per event type over positive values, the arithmetic,
+    * geometric and harmonic means side by side with the AM/GM ratio —
+    * the skew diagnostic that works where moments mislead (GM is the
+    * right average for multiplicative quantities — growth factors,
+    * ratios; HM for rates). AM ≥ GM ≥ HM is a theorem, and the suite
+    * asserts the engine's numbers obey it.
+    *
+    * Exactness: AM is one divide of exact int64s; GM's log-sum uses
+    * the float-cast-ln + DECIMAL device for the SUMMANDS, but the exp
+    * FINISH quantizes its ARGUMENT (round(mean-log, 6)) and never
+    * float-casts its output — a large-sum mean drifts ~1e-9 from the
+    * per-term float splits, and e^x amplifies that across a float
+    * midpoint (hit live on sf0.01; §5.7's exp-amplification row). HM =
+    * n / Σ(1/x) with per-term IEEE divides decimal-cast;
+    * zero/negative cents are
+    * excluded BY DEFINITION (GM/HM domain), counts reported so the
+    * exclusion is visible. Types with no positive values are absent.
+    *
+    * Plan: one scan → one map-side-combined aggregate per type.
+    */
+  val q242MeansProfile = Q(
+    "q242_means_profile",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(100 * value) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |    AND round(100 * value) > 0
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS s,
+      |    sum(CAST(CAST(ln(CAST(cents AS DOUBLE)) AS FLOAT)
+      |      AS DECIMAL(18,9))) AS sl,
+      |    sum(CAST(CAST(1 AS DOUBLE) / CAST(cents AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS sr
+      |  FROM e GROUP BY 1
+      |)
+      |SELECT event_type, n AS n_positive,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS am,
+      |  round(exp(round(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE), 6)),
+      |    6) AS gm,
+      |  round(CAST(n AS DOUBLE) / CAST(sr AS DOUBLE), 6) AS hm,
+      |  round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / exp(round(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6)
+      |    AS am_gm_ratio
+      |FROM agg
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+    val agg = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("s"),
+        sum(expr("""CAST(CAST(ln(CAST(cents AS DOUBLE)) AS FLOAT)
+          |  AS DECIMAL(18,9))""".stripMargin)).as("sl"),
+        sum(expr("""CAST(CAST(1 AS DOUBLE) / CAST(cents AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).as("sr"))
+    agg.select(col("event_type"), col("n").as("n_positive"),
+        round(expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"), 6).as("am"),
+        round(expr("""exp(round(CAST(sl AS DOUBLE)
+          |  / CAST(n AS DOUBLE), 6))""".stripMargin), 6).as("gm"),
+        round(expr("CAST(n AS DOUBLE) / CAST(sr AS DOUBLE)"), 6)
+          .as("hm"),
+        round(expr("""(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          |  / exp(round(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE), 6))"""
+          .stripMargin), 6).as("am_gm_ratio"))
+      .orderBy(col("event_type"))
   }
 }

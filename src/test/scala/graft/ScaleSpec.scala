@@ -469,7 +469,7 @@ class ScaleSpec extends SparkSpec {
       "q228_haar_energy", "q229_cliffs_delta", "q230_good_turing",
       "q231_mann_kendall", "q234_exp_gap_ks",
       "q235_overdispersion", "q237_rank_biased_overlap",
-      "q240_newey_west")) {
+      "q240_newey_west", "q242_means_profile")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

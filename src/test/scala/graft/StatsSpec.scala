@@ -1717,4 +1717,28 @@ class StatsSpec extends SparkSpec {
       if (r.getString(0) == refLang) assert(r.getDouble(5) === 1.0)
     }
   }
+  test("q242 means replay from driver-side sums and obey AM ≥ GM ≥ HM") {
+    val got = Stats.q242MeansProfile.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), math.round(100 * r.getDouble(1))))
+      .filter(_._2 > 0)
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val xs = rows.map(_._2)
+      val n = xs.length
+      val am = xs.sum.toDouble / n
+      val gm = math.exp(xs.map(x => math.log(x.toDouble)).sum / n)
+      val hm = n / xs.map(x => 1.0 / x).sum
+      val (gn, gam2, ggm, ghm, gr) = got(t)
+      assert(gn === n.toLong)
+      assert(math.abs(gam2 - am) < 1e-4)
+      assert(math.abs(ggm - gm) < 1e-2)
+      assert(math.abs(ghm - hm) < 1e-2)
+      assert(gam2 >= ggm - 1e-6 && ggm >= ghm - 1e-6, s"$t AM≥GM≥HM")
+      assert(math.abs(gr - gam2 / ggm) < 1e-3)
+    }
+  }
 }
