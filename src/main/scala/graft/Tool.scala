@@ -120,6 +120,68 @@ object Tool {
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
         println(s"GENSCALE out=$out factor=$factor docs=${nDocs * factor} " +
           s"events=${nEv * factor} vecs=${nVec * factor}")
+      case Some("genspan") =>
+        // Deterministic CALENDAR-SPAN stretch for the q193/q203 crossover
+        // measurement (`Tool ewmabench`): unlike genscale (density ×N,
+        // same 30-day span), this tiles N copies of the events table
+        // end-to-end in TIME — generation g shifts every timestamp by
+        // g·(span+1 hours), ids stay disjoint — so the hour span grows
+        // ×N at constant density. That is the axis the EWMA family's
+        // explode is quadratic in (span²/2), and the axis the
+        // W-truncation converts to linear.
+        //   runMain graft.Tool genspan [srcDir] [outDir] [factor]
+        val srcS = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val outS = if (args.length > 2) args(2) else "/tmp/graft_span"
+        val factorS =
+          if (args.length > 3)
+            args(3).toIntOption.getOrElse(sys.error(
+              s"genspan: factor must be an integer, got '${args(3)}'"))
+          else 6
+        require(factorS >= 1, s"genspan: factor must be >= 1, got $factorS")
+        // route through Tables.events: normalizes the generation-specific
+        // raw ts layout (ns-long / NTZ / zoned) to TimestampType first
+        val evS = Tables.events(spark, srcS)
+          .filter(col("ts").isNotNull)
+        val bounds = evS.agg(
+          min(expr("unix_micros(ts)")).as("us0"),
+          max(expr("unix_micros(ts)")).as("us1"),
+          max(col("event_id")).as("idmax")).head
+        val spanUs = (bounds.getLong(1) / 3600000000L
+          - bounds.getLong(0) / 3600000000L + 1) * 3600000000L
+        val gensS = spark.range(0, factorS).select(col("id").as("g"))
+        evS.crossJoin(broadcast(gensS))
+          .select(
+            (col("event_id") + col("g") * (bounds.getLong(2) + 1))
+              .as("event_id"),
+            expr(s"timestamp_micros(unix_micros(ts) + g * ${spanUs}L)")
+              .as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outS/events.parquet")
+        println(s"GENSPAN out=$outS factor=$factorS spanHours=" +
+          s"${spanUs / 3600000000L * factorS}")
+      case Some("ewmabench") =>
+        // Full (span²/2) vs W-truncated (span·W) measurement for the
+        // q193/q203 family — the numbers in ewmaChartPlan/brownTrendPlan's
+        // scaladocs; keep runnable so future rewrites re-measure:
+        //   runMain graft.Tool genspan /root/testdata/sf0.1 /tmp/graft_span 6
+        //   runMain graft.Tool ewmabench [sfDir] [spanDir]
+        val dir1 = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val dir6 = if (args.length > 2) args(2) else "/tmp/graft_span"
+        import graft.queries.Analytic
+        for ((corpus, d) <- Seq("720h" -> dir1, "stretched" -> dir6)) {
+          val ev = Tables.events(spark, d).localCheckpoint()
+          for ((label, f) <- Seq[(String, () => org.apache.spark.sql.DataFrame)](
+            s"q193 full $corpus" -> (() => Analytic.ewmaChartPlan(ev, truncate = false)),
+            s"q193 truncated $corpus" -> (() => Analytic.ewmaChartPlan(ev, truncate = true)),
+            s"q203 full $corpus" -> (() => Analytic.brownTrendPlan(ev, truncate = false)),
+            s"q203 truncated $corpus" -> (() => Analytic.brownTrendPlan(ev, truncate = true))))
+            for (i <- 1 to 2) {
+              val t0 = System.nanoTime()
+              f().write.format("noop").mode("overwrite").save()
+              println(f"$label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            }
+        }
       case Some("rollbench") =>
         // q119/q124 frame-width crossover measurement (the numbers in
         // Analytic.scala's q124 comment; keep runnable so future rewrites

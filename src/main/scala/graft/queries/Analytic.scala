@@ -2012,14 +2012,14 @@ object Analytic {
     * on both engines (EdgeEventsSpec's 'solo' shape), never a crash.
     *
     * Plan: the closed form makes the recursion RELATIONAL — each source
-    * hour explodes its forward contributions (span²/2 rows per type,
-    * ~1.3M at a 30-day span) into ONE map-side-combined (type, t)
-    * aggregate; nothing is sequential, nothing is driver-side. The
-    * quadratic-in-span explode is the honest exact form at dashboard
-    * spans; the production dial for long spans is the finite-memory
-    * (W-truncated) EWMA — at W = 124, dropped weights are < 1e-12 — a
-    * DEFINITION choice both engines would share, not an approximation
-    * of this operator.
+    * hour explodes its forward contributions into ONE map-side-combined
+    * (type, t) aggregate; nothing is sequential, nothing is driver-side.
+    * The explode is W-TRUNCATED BY DEFAULT (see [[ewmaChartPlan]]):
+    * span·(wlag+1) rows per type, LINEAR in calendar span, and provably
+    * bit-identical to the full span²/2 form because every dropped term
+    * sits below the DECIMAL(18,9) cast quantum — the oracle below stays
+    * the untruncated closed form and hash-matches every round, which IS
+    * the standing losslessness proof.
     *
     * PRECONDITION ts ≥ 1970-01-01: hour buckets divide RAW epoch µs with
     * Spark `div` (truncates toward zero) vs DuckDB `//` (floors) —
@@ -2087,8 +2087,41 @@ object Analytic {
       |  ewma > mu + 3 * hw OR ewma < mu - 3 * hw AS out_of_control
       |FROM fin
       |ORDER BY event_type, hour""".stripMargin,
-  ) { (s, d) =>
-    val mc = Tables.events(s, d)
+  ) { (s, d) => ewmaChartPlan(Tables.events(s, d), truncate = true) }
+
+  /** Spark-side builder for q193, parameterized on the W-truncation so
+    * `Tool ewmabench` can measure the full span²/2 twin on the same
+    * corpus. `truncate = true` (the production default and what q193
+    * registers) bounds each source hour's forward explode at the
+    * per-type lag `wlag` = the LARGEST d for which the worst-case term
+    * `0.2·powf(0.8,d)·xmax` still casts to a nonzero DECIMAL(18,9)
+    * (xmax = the type's max hourly count). Every dropped term is
+    * ≤ that worst case (the term is linear in x ≤ xmax at fixed d, and
+    * wlag is the max nonzero lag by definition), i.e. strictly below
+    * the 0.5e-9 HALF_UP cast quantum — it casts to EXACTLY 0.000000000
+    * and contributes nothing to the decimal sum. Truncated ≡ full
+    * bit-for-bit BY CONSTRUCTION, not approximately: the DuckDB oracle
+    * stays the UNTRUNCATED closed form and hash-matches every round
+    * (sf0.001/0.01/0.1 re-proven at the switch). The probe grid's 600-lag
+    * cap is unreachable: even at xmax = 2⁶³ the term at d = 300 is
+    * 0.2·0.8³⁰⁰·9.2e18 ≈ 2e-11 < 5e-10, and the lag-0 term 0.2·xmax ≥ 0.2
+    * guarantees wlag is always defined (every type has ≥ 1 event).
+    * Cost: contribution rows drop from span²/2 to span·(wlag+1) per
+    * type — LINEAR in calendar span (wlag = 105–106 across types on
+    * the sf0.1 fixture, growing only with log xmax). Measured via
+    * `Tool ewmabench` (genspan ×6 tiles the same corpus to a 4320-hour
+    * span at constant density; noop-write, min of 2 timed passes):
+    * 720 h full 3.87 s vs truncated 1.61 s (explode 259k → 77k
+    * rows/type, 2.4×); 4320 h full 35.33 s vs truncated 4.15 s (9.33M
+    * → 0.46M rows/type, **8.5×**) — and the gap is the span²/span
+    * ratio thereafter (a 2-year hourly span: 153M vs 1.9M rows/type,
+    * ~80×). The full form survives only as the measurement twin here
+    * and as the oracle's definition.
+    */
+  private[graft] def ewmaChartPlan(
+      ev: org.apache.spark.sql.DataFrame,
+      truncate: Boolean): org.apache.spark.sql.DataFrame = {
+    val mc = ev
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("m"))
@@ -2106,10 +2139,25 @@ object Analytic {
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("span"),
         sum(col("x")).cast("long").as("s"),
-        sum(col("x") * col("x")).cast("long").as("q"))
-    val z = x.join(mom, "event_type")
+        sum(col("x") * col("x")).cast("long").as("q"),
+        max(col("x")).cast("long").as("xmax"))
+    // per-type truncation lag: probe the ACTUAL term pipeline (same
+    // float-cast pow, same decimal cast) at x = xmax over a 601-lag
+    // grid on the 1-row-per-type moments — types × 601 rows, broadcast
+    val wl =
+      if (truncate)
+        mom.select(col("event_type"),
+            explode(expr("sequence(0L, 600L)")).as("d"), col("xmax"))
+          .filter(expr(
+            """CAST(CAST(0.2 AS DOUBLE)
+              |  * CAST(pow(0.8, d) AS FLOAT)
+              |  * CAST(xmax AS DOUBLE) AS DECIMAL(18,9))
+              |<> CAST(0 AS DECIMAL(18,9))""".stripMargin))
+          .groupBy(col("event_type")).agg(max(col("d")).as("wlag"))
+      else mom.select(col("event_type"), col("span").as("wlag"))
+    val z = x.join(mom, "event_type").join(wl, "event_type")
       .select(col("event_type"), col("t"), col("x"),
-        explode(expr("sequence(t, span - 1)")).as("t2"))
+        explode(expr("sequence(t, least(span - 1, t + wlag))")).as("t2"))
       .groupBy(col("event_type"), col("t2").as("t"))
       .agg(sum(expr(
         """CAST(CAST(0.2 AS DOUBLE)
@@ -2630,10 +2678,11 @@ object Analytic {
     * terms. The relational recursion discipline, order 2.
     *
     * PRECONDITION ts ≥ 1970-01-01 (raw epoch-µs hour buckets, SURVEY
-    * §5.7). Plan: identical to q193 — span²/2 contribution rows, one
-    * map-side-combined aggregate, nothing sequential; the W-truncation
-    * dial (weights < 1e-12 past W ≈ 124 lags) is the long-span
-    * production form.
+    * §5.7). Plan: identical to q193 — one map-side-combined aggregate
+    * over a W-TRUNCATED contribution explode (span·(wlag+1) rows per
+    * type, linear in span; see [[brownTrendPlan]] for the cast-quantum
+    * losslessness proof and the measured full-vs-truncated crossover);
+    * nothing sequential, nothing driver-side.
     */
   val q203BrownTrend = Q(
     "q203_brown_trend",
@@ -2701,8 +2750,29 @@ object Analytic {
       |  round((2 * s1 - s2) + 0.25 * (s1 - s2), 6) AS forecast_next
       |FROM fin
       |ORDER BY event_type, hour""".stripMargin,
-  ) { (s, d) =>
-    val mc = Tables.events(s, d)
+  ) { (s, d) => brownTrendPlan(Tables.events(s, d), truncate = true) }
+
+  /** Spark-side builder for q203, parameterized on the W-truncation
+    * exactly as [[ewmaChartPlan]] (read its proof — the same cast-
+    * quantum argument, applied to BOTH weight families here). The
+    * truncation lag keeps lag d while EITHER per-term worst case —
+    * s1's `0.2·powf(0.8,d)·xmax` or s2's `0.04·(d+1)·powf(0.8,d)·xmax`
+    * — still casts to a nonzero DECIMAL(18,9); past wlag both cast to
+    * exactly zero for every x ≤ xmax (each term is linear in x at
+    * fixed d), so the truncated decimal sums are bit-identical to the
+    * full ones and the UNTRUNCATED DuckDB oracle keeps hash-matching.
+    * s2's (d+1) factor makes its weight the binding one (decreasing
+    * from d = 3 on; the max over the probe grid needs no monotonicity
+    * anyway), so wlag here runs ~15 lags past q193's (120 vs 105–106
+    * on the sf0.1 fixture). Measured via `Tool ewmabench` (same
+    * protocol as q193's numbers): 720 h full 4.86 s vs truncated
+    * 1.83 s (2.7×); genspan ×6 = 4320 h full 56.57 s vs truncated
+    * 8.37 s (**6.8×**) — span²/span thereafter.
+    */
+  private[graft] def brownTrendPlan(
+      ev: org.apache.spark.sql.DataFrame,
+      truncate: Boolean): org.apache.spark.sql.DataFrame = {
+    val mc = ev
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("m"))
@@ -2719,10 +2789,27 @@ object Analytic {
       .localCheckpoint() // 3 consumers: moments, contributions, finish
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("span"),
-        sum(col("x")).cast("long").as("s"))
-    val z = x.join(mom, "event_type")
+        sum(col("x")).cast("long").as("s"),
+        max(col("x")).cast("long").as("xmax"))
+    val wl =
+      if (truncate)
+        mom.select(col("event_type"),
+            explode(expr("sequence(0L, 600L)")).as("d"), col("xmax"))
+          .filter(expr(
+            """CAST(CAST(0.2 AS DOUBLE)
+              |  * CAST(pow(0.8, d) AS FLOAT)
+              |  * CAST(xmax AS DOUBLE) AS DECIMAL(18,9))
+              |<> CAST(0 AS DECIMAL(18,9))
+              |OR CAST(CAST(0.04 AS DOUBLE)
+              |  * CAST(d + 1 AS DOUBLE)
+              |  * CAST(pow(0.8, d) AS FLOAT)
+              |  * CAST(xmax AS DOUBLE) AS DECIMAL(18,9))
+              |<> CAST(0 AS DECIMAL(18,9))""".stripMargin))
+          .groupBy(col("event_type")).agg(max(col("d")).as("wlag"))
+      else mom.select(col("event_type"), col("span").as("wlag"))
+    val z = x.join(mom, "event_type").join(wl, "event_type")
       .select(col("event_type"), col("t"), col("x"),
-        explode(expr("sequence(t, span - 1)")).as("t2"))
+        explode(expr("sequence(t, least(span - 1, t + wlag))")).as("t2"))
       .groupBy(col("event_type"), col("t2").as("t"))
       .agg(
         sum(expr("""CAST(CAST(0.2 AS DOUBLE)

@@ -461,6 +461,36 @@ class EdgeEventsSpec extends SparkSpec {
       s"ramp trend ${got.last._5} far from slope 1")
   }
 
+  test("q193/q203 W-truncation is bit-lossless where it is ACTIVE: " +
+      "a 240-hour span (> wlag) collects identical rows full vs truncated") {
+    // The sf fixtures' 720-hour span exercises truncation through the
+    // untruncated DuckDB oracle at every verify; this net pins the same
+    // equality in-suite on a planted fixture whose span (240 h) exceeds
+    // the truncation lag (~110 at xmax ≈ 5), so the truncated plan
+    // genuinely drops lags — and must still match the full explode
+    // EXACTLY (dropped terms sit below the DECIMAL(18,9) cast quantum).
+    val d = "/tmp/graft_edge_events_trunc"
+    import spark.implicits._
+    val evs = (0 until 240).flatMap { h =>
+      val n = 1 + (h * h % 5) // 1..5 events/hour, deterministic wobble
+      (0 until n).map(k => ((h * 10 + k).toLong,
+        (h * 3600L + k * 60) * 1000000000L, 1L, "w", 1.0, "{}"))
+    }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val ev = Tables.events(spark, d)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val (ef, et) = (canon(graft.queries.Analytic.ewmaChartPlan(ev, truncate = false)),
+      canon(graft.queries.Analytic.ewmaChartPlan(ev, truncate = true)))
+    assert(ef.length === 240 && ef === et,
+      "q193 truncated must equal full bit-for-bit")
+    val (bf, bt) = (canon(graft.queries.Analytic.brownTrendPlan(ev, truncate = false)),
+      canon(graft.queries.Analytic.brownTrendPlan(ev, truncate = true)))
+    assert(bf.length === 240 && bf === bt,
+      "q203 truncated must equal full bit-for-bit")
+  }
+
   test("q177: zero pre-period variance gives NULL theta and adjusted " +
       "means, with raw means intact") {
     // every user's first-half spend is identical → var(x) = 0 → θ and the
