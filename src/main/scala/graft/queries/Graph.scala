@@ -606,10 +606,16 @@ object GraphOps {
     * DECIMAL(18,9).
     *
     * Plan: one (user, type) aggregate (map-side combined), then the
-    * standard item-item self-join on user_id — Σᵤ deg(u)² pair rows,
-    * bounded by |catalog|² per user. At web scale the guard is the house
-    * hot-key cap (per-user top-N incidence, the q32 pre-collapse
-    * spirit); the type catalog here is bounded, so none is needed.
+    * standard item-item self-join on user_id — Σᵤ deg(u)² pair rows.
+    * The hot-key guard is IMPLEMENTED (see [[adamicAdarPlan]]): each
+    * user's incidence list is capped at its [[HotKeyCap]] = 64
+    * most-active types before the self-join, bounding per-user pair
+    * fan-out at C(64,2) = 2016 rows no matter how promiscuous the key.
+    * On this fixture's bounded catalog (deg ≤ |types| ≈ 10 < 64) the
+    * cap is INACTIVE, so the full-join oracle below hash-matching is
+    * the standing cap-does-not-bite proof (the q193 pattern); GraphSpec
+    * additionally pins cap-inactive equality against an uncapped run
+    * and the capped-flood semantics on a planted 12-type user.
     */
   val q198AdamicAdar = Q(
     "q198_adamic_adar",
@@ -643,18 +649,44 @@ object GraphOps {
       |FROM sc JOIN tdeg ta ON ta.event_type = sc.type_a
       |  JOIN tdeg tb ON tb.event_type = sc.type_b
       |ORDER BY adamic_adar DESC, type_a, type_b""".stripMargin,
-  ) { (s, d) =>
-    val inc = Tables.events(s, d)
+  ) { (s, d) => adamicAdarPlan(Tables.events(s, d), HotKeyCap) }
+
+  /** Per-user incidence cap for [[adamicAdarPlan]]: C(64,2) = 2016 pair
+    * rows per user worst-case — the Σdeg² fan-out becomes O(users·64²)
+    * instead of O(users·catalog²). 64 comfortably exceeds every deg on
+    * the fixtures (≈ 10 types), so the registered q198 is cap-inactive
+    * and oracle-provable; a deployment against an unbounded item
+    * catalog would dial this to its accuracy/cost point. */
+  private[graft] val HotKeyCap = 64
+
+  /** Spark-side builder for q198, parameterized on the per-user hot-key
+    * cap. Selection is the DETERMINISTIC top-cap: row_number over
+    * (user) ordered by (activity count DESC, event_type) — the q32
+    * pre-collapse spirit applied to incidence lists, with the q188
+    * exact-argmax tie discipline so capped output is engine-stable.
+    * Degrees (both user-degree weights and the Jaccard type margins)
+    * stay UNCAPPED-exact: the cap bounds only which pairs a flooded
+    * user can witness, never the 1/ln(deg) weight or the |A∪B| margin —
+    * so where the cap is inactive the result is exactly the full join,
+    * and where it bites, common_users/adamic_adar become conservative
+    * lower bounds with honest margins (stated, suite-pinned). */
+  private[graft] def adamicAdarPlan(
+      ev: DataFrame, capPerUser: Int): DataFrame = {
+    val incAll = ev
       .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("cc"))
       .filter(col("cc") >= MinPairCount)
-      .select(col("user_id"), col("event_type"))
-      .localCheckpoint() // 3 consumers: both pair sides and the degrees
-    val deg = inc.groupBy(col("user_id"))
+      .localCheckpoint() // consumers: degrees, margins, capped pair sides
+    val deg = incAll.groupBy(col("user_id"))
       .agg(count(lit(1)).cast("long").as("du"))
-    val tdeg = inc.groupBy(col("event_type"))
+    val tdeg = incAll.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("dt"))
+    val inc = incAll
+      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("cc").desc, col("event_type"))))
+      .filter(col("rk") <= capPerUser)
+      .select(col("user_id"), col("event_type"))
     val a = inc.select(col("user_id"), col("event_type").as("type_a"))
     val b = inc.select(col("user_id").as("b_uid"),
       col("event_type").as("type_b"))

@@ -262,4 +262,59 @@ class GraphSpec extends SparkSpec {
     assert(pairsChecked === got.size, "every emitted pair was checked")
     assert(got.nonEmpty)
   }
+
+  test("q198 hot-key cap: inactive on the fixture (capped ≡ uncapped " +
+      "bit-for-bit), and a planted 12-type flood user is bounded to its " +
+      "top-cap incidence with uncapped weights/margins") {
+    import graft.queries.GraphOps
+    val ev = Tables.events(spark, sf)
+    // cap-inactive equality: the registered HotKeyCap = 64 exceeds every
+    // fixture degree, so the capped plan must equal a cap-free run row
+    // for row — the executable form of "the guard does not bite here"
+    val capped = GraphOps.adamicAdarPlan(ev, GraphOps.HotKeyCap)
+      .collect().map(_.toString).toSeq
+    val uncapped = GraphOps.adamicAdarPlan(ev, Int.MaxValue)
+      .collect().map(_.toString).toSeq
+    assert(capped.nonEmpty && capped === uncapped,
+      "HotKeyCap must be inactive on the fixture")
+
+    // capped flood: one user touches 12 types (distinct activity counts
+    // 26..15 so the top-cap selection order is unambiguous), a control
+    // user touches 2; cap = 4 keeps the flood user's 4 most-active types
+    val d = "/tmp/graft_graph_flood"
+    import spark.implicits._
+    val flood = (0 until 12).flatMap { t =>
+      // type t gets 26 - t events (>= 15 = MinPairCount) for user 1
+      (0 until (26 - t)).map(k => ((t * 100 + k).toLong,
+        (t * 3600L + k * 60) * 1000000000L, 1L, f"ty$t%02d", 1.0, "{}"))
+    }
+    val control = Seq("ty00", "ty01").zipWithIndex.flatMap { case (ty, i) =>
+      (0 until 20).map(k => ((10000 + i * 100 + k).toLong,
+        (i * 3600L + k * 60) * 1000000000L, 2L, ty, 1.0, "{}"))
+    }
+    (flood ++ control)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = GraphOps.adamicAdarPlan(Tables.events(spark, d), 4)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // user 1 survives only on its top-4 types ty00..ty03 (counts 26..23);
+    // user 2 contributes the (ty00, ty01) pair. Expected pair set:
+    // C(4,2) = 6 pairs among ty00..ty03 — nothing touching ty04..ty11.
+    assert(out.keySet === (for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (f"ty$i%02d", f"ty$j%02d")).toSet,
+      s"capped pair set wrong: ${out.keySet}")
+    // weights stay UNCAPPED-exact: user 1's degree is 12 (not 4), so the
+    // pairs only it witnesses score 1/ln(12); (ty00, ty01) adds user 2
+    // at its true degree 2. Margins too: ty00's dt = 2, ty02's dt = 1.
+    val w1 = 1.0 / math.log(12.0)
+    val (c01, aa01, j01) = out(("ty00", "ty01"))
+    assert(c01 === 2L && math.abs(aa01 - (w1 + 1.0 / math.log(2.0))) < 1e-5)
+    assert(math.abs(j01 - 2.0 / 2.0) < 1e-6, "both margins include both users")
+    val (c23, aa23, j23) = out(("ty02", "ty03"))
+    assert(c23 === 1L && math.abs(aa23 - w1) < 1e-5)
+    assert(math.abs(j23 - 1.0) < 1e-6)
+  }
 }
