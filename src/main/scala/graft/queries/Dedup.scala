@@ -1278,6 +1278,17 @@ object Dedup {
     * (off-driver, loud cap) → two component-keyed aggregates. The DuckDB
     * twin rebuilds the clusters with a recursive-CTE transitive closure
     * (the q74 discipline) and replays the same struct-argmin rules.
+    *
+    * Timing note (the round-12 verdict's "watch it" item): full-bench
+    * sf0.1 readings ran 1.75 → 1.91 → 2.42 s across r11/r12 with NO
+    * change to this query's code — and the r13 full bench read 1.55 s,
+    * below the original. Two isolated `SPARK_GRAFT_QUERIES=q141` runs
+    * (r13, per the save/restore discipline) were 2.85 / 2.75 s —
+    * STABLE, and higher than any in-suite reading because a fresh JVM
+    * pays the codegen/JIT warm-up the 241-query session amortizes. So
+    * the in-suite number is dominated by session warm-up state, the
+    * isolated number is flat, and the "creep" does not reproduce as a
+    * trend: session noise, no structural regression, nothing to fix.
     */
   val q141GoldenRecord = Q(
     "q141_golden_record",
