@@ -503,6 +503,123 @@ object Windows {
       .start()
   }
 
+  /** Open per-type trend-tracker state: hour counts not yet finalized by
+    * the watermark, the last finalized hour, and the Brown smoothed pair
+    * (s1, s2) — constant-size no matter how long the stream runs. */
+  final case class LevelState(
+      pending: Map[Long, Long],
+      lastFin: Option[Long],
+      s1: Double, s2: Double)
+
+  /** STREAMING BROWN/EWMA LEVEL TRACKER — q193/q203's smoothing as it
+    * runs in production: one `flatMapGroupsWithState` keyed by event
+    * type owns hour counting, watermark-driven hour FINALIZATION
+    * (q178's streamBurst shape, including the straggler guard), and the
+    * order-2 recurrence s1 ← αx + (1−α)s1, s2 ← αs1 + (1−α)s2 advanced
+    * once per finalized hour — SILENT hours are finalized as x = 0
+    * exactly like the batch dense grid, driven by event-time timeouts
+    * so the series keeps emitting while a type is quiet.
+    *
+    * Seeding is the streaming-native convention s1 = s2 = x₀ (first
+    * finalized hour): the batch μ-seed is a whole-series quantity no
+    * online operator can know. The two conventions CONVERGE at exactly
+    * the W-truncation rate — the seed's residual after t hours is
+    * (1−α)^t·(x₀−μ), the same geometric tail [[graft.queries.Analytic.ewmaChartPlan]]
+    * proves sub-quantum past wlag ≈ 120 — so this recurrence IS the
+    * truncated form run forward, and StreamingSpec asserts both the
+    * bit-exact ≡ to a driver-side replay of this definition AND the
+    * ≤1e-4 convergence to batch q203's s1/s2 past lag 130.
+    *
+    * State is bounded: pending hours span at most the watermark delay,
+    * and the smoothed pair is two doubles — nothing grows with stream
+    * length or corpus size.
+    */
+  def streamBrownLevel(spark: SparkSession, sfDir: String,
+      tableName: String): StreamingQuery = {
+    import spark.implicits._
+    val alpha = 0.2
+    val hourUs = 3600L * 1000 * 1000
+    val hourMs = 3600L * 1000
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .transform(graft.Tables.normalizeTs)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_type"), col("ts"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LevelState,
+        (String, Long, Long, Double, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, events: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[LevelState]) =>
+          val prev = state.getOption
+            .getOrElse(LevelState(Map.empty, None, 0.0, 0.0))
+          val wm = state.getCurrentWatermarkMs()
+          // the q178 straggler guard: an event for a provably-complete
+          // hour is past the declared delay; finalized hours are
+          // immutable, so it is dropped — except that before the FIRST
+          // finalization no hour is locked yet, and the guard must not
+          // fire (lastFin nails the boundary thereafter)
+          val pending0 = events.foldLeft(prev.pending) { (acc, e) =>
+            if (prev.lastFin.exists(e._3 <= _)) acc
+            else acc.updated(e._3, acc.getOrElse(e._3, 0L) + 1L)
+          }
+          var s1 = prev.s1; var s2 = prev.s2
+          var lastFin = prev.lastFin
+          var out = List.empty[(String, Long, Long, Double, Double)]
+          // first finalization seeds the pair at x0; afterwards advance
+          // hour by hour (zero-filling silence) while the watermark
+          // proves each hour complete
+          var cursor = lastFin match {
+            case Some(h) => h + 1
+            case None => pending0.keys.minOption.getOrElse(Long.MaxValue)
+          }
+          while (cursor != Long.MaxValue && (cursor + 1) * hourMs <= wm) {
+            val x = pending0.getOrElse(cursor, 0L)
+            if (lastFin.isEmpty) { s1 = x.toDouble; s2 = x.toDouble }
+            else {
+              s1 = alpha * x + (1 - alpha) * s1
+              s2 = alpha * s1 + (1 - alpha) * s2
+            }
+            lastFin = Some(cursor)
+            out ::= ((typ, cursor, x, s1, s2))
+            cursor += 1
+          }
+          val pending = pending0.filter {
+            case (h, _) => !lastFin.exists(h <= _)
+          }
+          state.update(LevelState(pending, lastFin, s1, s2))
+          // re-invoke at the next hour-completion edge: the one after the
+          // last finalized hour (keeps silent types emitting zeros), or
+          // the first pending hour's edge before any finalization — both
+          // strictly ahead of the current watermark by the loop guard
+          val edge = lastFin match {
+            case Some(h) => (h + 2) * hourMs
+            case None => pending.keys.minOption.map(h => (h + 1) * hourMs)
+                .getOrElse(Long.MaxValue)
+          }
+          if (edge != Long.MaxValue) state.setTimeoutTimestamp(edge)
+          out.reverseIterator
+      }
+      .toDF("event_type", "m", "n", "s1", "s2")
+      .select(col("event_type"),
+        expr(s"timestamp_micros(m * ${hourUs}L)").as("hour"),
+        col("n"), col("s1"), col("s2"),
+        (lit(2.0) * col("s1") - col("s2")).as("level"),
+        (lit(0.25) * (col("s1") - col("s2"))).as("trend"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Number of fixed-width `value` bins the drift monitor tracks. */
   val DriftBins: Int = 8
 

@@ -323,6 +323,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Brown level tracker: bit-exact to a driver replay of " +
+      "the x0-seeded recurrence over watermark-finalized dense hours, and " +
+      "converged to batch q203 past the truncation lag") {
+    val q = Windows.streamBrownLevel(spark, sf, "stream_brown")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_brown").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(streamed.nonEmpty)
+      val wmMs = Tables.events(spark, sf)
+        .agg(max(col("ts"))).head.getAs[java.sql.Timestamp](0).getTime -
+        Windows.WatermarkDelayMs
+      // driver replay: same definition, genuinely different execution —
+      // dense per-type hour grid from the batch table, finalized up to
+      // the watermark, x0-seeded coupled recurrence in plain doubles
+      val counts = Tables.events(spark, sf)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val types = counts.keys.map(_._1).toSet
+      var replayed = Map.empty[(String, Long), (Long, Double, Double)]
+      for (t <- types) {
+        val hs = counts.collect { case ((`t`, h), c) => h -> c }
+        val m0 = hs.keys.min
+        val mLast = -1L + (wmMs / 3600000L) // last h with (h+1)h <= wm
+        var s1 = 0.0; var s2 = 0.0
+        for (h <- m0 to mLast) {
+          val x = hs.getOrElse(h, 0L)
+          if (h == m0) { s1 = x.toDouble; s2 = x.toDouble }
+          else { s1 = 0.2 * x + 0.8 * s1; s2 = 0.2 * s1 + 0.8 * s2 }
+          replayed += (t, h) -> ((x, s1, s2))
+        }
+      }
+      assert(streamed === replayed,
+        "streamed rows must equal the driver replay bit-for-bit")
+      // seed-convention convergence: past lag 130 the (1−α)^t seed
+      // residual is sub-quantum (the W-truncation geometry), so the
+      // streaming s1/s2 must sit on batch q203's μ-seeded values
+      val batch = queries.Analytic.q203BrownTrend.fn(spark, sf).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+      val m0ByType = replayed.keys.groupBy(_._1).map {
+        case (t, ks) => t -> ks.map(_._2).min
+      }
+      var checked = 0
+      for (((t, h), (_, s1, s2)) <- streamed
+           if h >= m0ByType(t) + 130 && batch.contains((t, h))) {
+        val (b1, b2) = batch((t, h))
+        assert(math.abs(s1 - b1) < 1e-4, s"($t,$h) s1 $s1 vs batch $b1")
+        assert(math.abs(s2 - b2) < 1e-4, s"($t,$h) s2 $s2 vs batch $b2")
+        checked += 1
+      }
+      assert(checked > 100, s"convergence window too small: $checked")
+    } finally q.stop()
+  }
+
   test("streaming DP daily release equals the batch release per finalized day") {
     val q = Windows.streamDpDaily(spark, sf, "stream_dp_daily")
     try {
