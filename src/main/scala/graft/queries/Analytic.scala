@@ -61,6 +61,7 @@ object Analytic {
     q228HaarEnergy,
     q237RankBiasedOverlap,
     q238GrowthAccounting,
+    q244SeasonalEwma,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -3671,5 +3672,172 @@ object Analytic {
           Exact.ratio6("new_users + resurrected", "churned"))
           .otherwise(lit(null)))
       .orderBy(col("week"))
+  }
+
+  /** SEASONAL-ADJUSTED EWMA FORECAST — the smoothing family's third
+    * member (q193 level, q203 level+trend, this one level+SEASONALITY):
+    * per event type, subtract the hour-of-day profile (the q204
+    * seasonal-naive structure: μ_h = mean count at hour-of-day h over
+    * the dense grid), EWMA-smooth the RESIDUAL series with the q193
+    * closed form, and forecast the next hour as smoothed residual +
+    * next hour's seasonal mean. This is Holt–Winters-additive with
+    * fixed seasonal indices — the standard "deseasonalize → smooth →
+    * reseasonalize" decomposition, and the form that stays relational.
+    *
+    * Exactness: the residual d_t = (x_t·n_h − S_h)/n_h is ONE fixed-
+    * order double chain per row over exact int64s (x·n_h ≤ 10⁶·span/24
+    * — no overflow anywhere near reality); each contribution
+    * λ·powf(0.8,lag)·d_t is the q193 term with d_t in x's place, cast
+    * DECIMAL(18,9), associative sum. The SEED IS EXACTLY ZERO — the
+    * deseasonalized series sums to 0 in exact rationals (Σx = Σ_h n_h·μ_h
+    * by construction), so q193's μ-seeded boundary term vanishes BY
+    * ALGEBRA, not by approximation; both engines share the definition.
+    * The explode is W-truncated exactly as [[ewmaChartPlan]], probed at
+    * dmax = max|d_t| (terms linear in |d| ≤ dmax at fixed lag; a
+    * perfectly periodic series has dmax = 0 → every term is the zero
+    * decimal → wlag coalesces to 0 and the sums are exactly 0 either
+    * way); the DuckDB oracle below is UNTRUNCATED — the q193 standing
+    * losslessness proof, third instance. The forecast hour's seasonal
+    * mean is NULL-explicit when that hour-of-day never occurred
+    * (span < 24 tails — EdgeEventsSpec's solo shape), never fabricated.
+    *
+    * PRECONDITION ts ≥ 1970-01-01 (raw epoch-µs hour buckets, SURVEY
+    * §5.7). Plan: q193's — dense grid, hod-bounded profile join
+    * (broadcast), span·(wlag+1) truncated explode into one map-side-
+    * combined aggregate, 24-row-per-type profile state. Linear in
+    * calendar span, nothing sequential.
+    */
+  val q244SeasonalEwma = Q(
+    "q244_seasonal_ewma",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.m0, g.t,
+      |    (g.m0 + g.t) % 24 AS hod,
+      |    COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |prof AS (
+      |  SELECT event_type, hod,
+      |    CAST(sum(x) AS BIGINT) AS sh,
+      |    CAST(count(*) AS BIGINT) AS nh
+      |  FROM x GROUP BY 1, 2
+      |),
+      |xd AS (
+      |  SELECT x.event_type, x.m0, x.t, x.x,
+      |    CAST(x.x * p.nh - p.sh AS DOUBLE) / CAST(p.nh AS DOUBLE) AS dval,
+      |    CAST(p.sh AS DOUBLE) / CAST(p.nh AS DOUBLE) AS seas
+      |  FROM x JOIN prof p
+      |    ON p.event_type = x.event_type AND p.hod = x.hod
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS span
+      |  FROM xd GROUP BY 1
+      |),
+      |contrib AS (
+      |  SELECT xd.event_type,
+      |    unnest(range(xd.t, m.span)) AS t2, xd.t, xd.dval
+      |  FROM xd JOIN mom m USING (event_type)
+      |),
+      |z AS (
+      |  SELECT event_type, t2 AS t,
+      |    sum(CAST(CAST(0.2 AS DOUBLE)
+      |      * CAST(pow(0.8, t2 - t) AS FLOAT)
+      |      * dval AS DECIMAL(18,9))) AS sd
+      |  FROM contrib GROUP BY 1, 2
+      |)
+      |SELECT xd.event_type,
+      |  make_timestamp((xd.m0 + xd.t) * 3600000000) AS hour,
+      |  CAST(xd.x AS BIGINT) AS n,
+      |  round(xd.seas, 6) AS seasonal,
+      |  round(xd.dval, 6) AS deseason,
+      |  CAST(round(z.sd, 6) AS DOUBLE) AS adj_level,
+      |  round(CAST(z.sd AS DOUBLE)
+      |    + CAST(p2.sh AS DOUBLE) / CAST(p2.nh AS DOUBLE), 6)
+      |    AS forecast_next
+      |FROM xd
+      |JOIN z ON z.event_type = xd.event_type AND z.t = xd.t
+      |LEFT JOIN prof p2
+      |  ON p2.event_type = xd.event_type
+      |  AND p2.hod = (xd.m0 + xd.t + 1) % 24
+      |ORDER BY xd.event_type, hour""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("m0"), col("t"),
+        ((col("m0") + col("t")) % 24).as("hod"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val prof = x.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("x")).cast("long").as("sh"),
+        count(lit(1)).cast("long").as("nh"))
+      .localCheckpoint() // 2 consumers: residuals and the forecast hour
+    val xd = x.join(prof, Seq("event_type", "hod"))
+      .select(col("event_type"), col("m0"), col("t"), col("x"),
+        expr("CAST(x * nh - sh AS DOUBLE) / CAST(nh AS DOUBLE)")
+          .as("dval"),
+        expr("CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE)").as("seas"))
+      .localCheckpoint() // 3 consumers: moments, contributions, finish
+    val mom = xd.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("span"),
+        max(abs(col("dval"))).as("dmax"))
+    val wl = mom.select(col("event_type"),
+        explode(expr("sequence(0L, 600L)")).as("lag"), col("dmax"))
+      .filter(expr(
+        """CAST(CAST(0.2 AS DOUBLE)
+          |  * CAST(pow(0.8, lag) AS FLOAT)
+          |  * dmax AS DECIMAL(18,9))
+          |<> CAST(0 AS DECIMAL(18,9))""".stripMargin))
+      .groupBy(col("event_type")).agg(max(col("lag")).as("wlag"))
+    val z = xd.join(mom.select(col("event_type"), col("span")), "event_type")
+      .join(wl, Seq("event_type"), "left")
+      .select(col("event_type"), col("t"), col("dval"),
+        explode(expr(
+          "sequence(t, least(span - 1, t + coalesce(wlag, 0L)))")).as("t2"))
+      .groupBy(col("event_type"), col("t2").as("t"))
+      .agg(sum(expr(
+        """CAST(CAST(0.2 AS DOUBLE)
+          |  * CAST(pow(0.8, t2 - t) AS FLOAT)
+          |  * dval AS DECIMAL(18,9))""".stripMargin)).as("sd"))
+    val p2 = prof.select(col("event_type"), col("hod").as("hod2"),
+      col("sh").as("sh2"), col("nh").as("nh2"))
+    xd.join(z, Seq("event_type", "t"))
+      .join(p2, xd("event_type") === p2("event_type")
+        && p2("hod2") === (col("m0") + col("t") + lit(1)) % 24, "left")
+      .select(xd("event_type"),
+        expr("timestamp_micros((m0 + t) * 3600000000)").as("hour"),
+        col("x").cast("long").as("n"),
+        round(col("seas"), 6).as("seasonal"),
+        round(col("dval"), 6).as("deseason"),
+        // §5.7: round ON the decimal, then cast — the cast-double round
+        // diverged on a half-1e-6 tie at sf0.1 (the q217 pitfall, hit
+        // again live by this operator's first draft)
+        expr("CAST(round(sd, 6) AS DOUBLE)").as("adj_level"),
+        round(expr("""CAST(sd AS DOUBLE)
+          |  + CAST(sh2 AS DOUBLE) / CAST(nh2 AS DOUBLE)""".stripMargin), 6)
+          .as("forecast_next"))
+      .orderBy(col("event_type"), col("hour"))
   }
 }

@@ -34,7 +34,8 @@ object Stats {
     q226RunsTest, q229CliffsDelta, q230GoodTuring, q231MannKendall,
     q232TheilDecomposition, q233BayesAverage, q234ExpGapKs,
     q235Overdispersion, q236WilsonCi, q239EntropyRate, q240NeweyWest,
-    q241DisparateImpact, q242MeansProfile)
+    q241DisparateImpact, q242MeansProfile, q243JarqueBera,
+    q245KruskalWallis)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -4535,6 +4536,321 @@ object Stats {
         round(expr("""(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
           |  / exp(round(CAST(sl AS DOUBLE) / CAST(n AS DOUBLE), 6))"""
           .stripMargin), 6).as("am_gm_ratio"))
+      .orderBy(col("event_type"))
+  }
+
+  /** JARQUE–BERA NORMALITY TEST — "is the hourly traffic Gaussian?" per
+    * event type over the dense zero-filled hour grid (q193's series):
+    * JB = n·(g₁²/6 + g₂²/24) from sample skewness g₁ = m₃/m₂^1.5 and
+    * excess kurtosis g₂ = m₄/m₂² − 3. The distribution-SHAPE gate in
+    * the diagnostic row next to q221 (serial dependence) and q226
+    * (order randomness): together they answer "white, gaussian, or
+    * neither?" before anyone fits a model that assumes both. JB is
+    * asymptotically χ²₍₂₎ — df = 2 BY CONSTRUCTION (one df per moment),
+    * so the closed-form tail p = e^(−JB/2) applies with no erf anywhere
+    * (the q216/q221 device, and the reason JB beats Shapiro–Wilk
+    * cross-engine: SW needs normal order-statistic coefficients neither
+    * engine ships).
+    *
+    * Exactness: the four raw power sums S₁..S₄ are exact int64 —
+    * validity bound: span·xmax⁴ < 2⁶³ holds to xmax ≈ 10⁴ events/hour
+    * at a month's span (fixture max is in the hundreds); past it S₃/S₄
+    * move to DECIMAL(38,0) aggregates. Central moments are the FIXED-
+    * ORDER double chains m₂ = a₂ − μ², m₃ = a₃ − 3μa₂ + 2μ³,
+    * m₄ = a₄ − 4μa₃ + 6μ²a₂ − 3μ⁴ over aᵢ = Sᵢ/n — every operand an
+    * exact integer divided once, every chain written with identical
+    * literal parenthesization in both engines, so the doubles are
+    * bit-identical (the q207 discipline; no accumulation anywhere). p
+    * float-casts the exp OUTPUT — safe here because the ARGUMENT is a
+    * bit-identical chain, not a summed-float drift (the q242 rule
+    * distinguishes exactly these two cases). A constant series
+    * (m₂ = 0) or single-hour span yields NULL statistics via explicit
+    * CASE/nullif on both engines, never NaN.
+    *
+    * Plan: one scan → (type, hour) count (map-side combined) → dense
+    * grid join (calendar-bounded) → one 4-moment aggregate per type →
+    * 1-row-per-type finish. Nothing row-proportional past the first
+    * aggregate; the moment state is 4 int64s per type at any scale.
+    */
+  val q243JarqueBera = Q(
+    "q243_jarque_bera",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s1,
+      |    CAST(sum(x * x) AS BIGINT) AS s2,
+      |    CAST(sum(x * x * x) AS BIGINT) AS s3,
+      |    CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      |  FROM x GROUP BY 1
+      |),
+      |c AS (
+      |  SELECT event_type, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+      |  FROM mom
+      |),
+      |cm AS (
+      |  SELECT event_type, n, mu,
+      |    a2 - mu * mu AS m2,
+      |    a3 - CAST(3 AS DOUBLE) * mu * a2 + CAST(2 AS DOUBLE) * mu * mu * mu
+      |      AS m3,
+      |    a4 - CAST(4 AS DOUBLE) * mu * a3
+      |      + CAST(6 AS DOUBLE) * mu * mu * a2
+      |      - CAST(3 AS DOUBLE) * mu * mu * mu * mu AS m4
+      |  FROM c
+      |),
+      |jb AS (
+      |  SELECT event_type, n,
+      |    CASE WHEN n > 1 AND m2 > 0 THEN
+      |      m3 / sqrt(m2 * m2 * m2) ELSE NULL END AS skew,
+      |    CASE WHEN n > 1 AND m2 > 0 THEN
+      |      m4 / (m2 * m2) - CAST(3 AS DOUBLE) ELSE NULL END AS exkurt,
+      |    CASE WHEN n > 1 AND m2 > 0 THEN
+      |      CAST(n AS DOUBLE)
+      |        * ((m3 * m3 / (m2 * m2 * m2)) / CAST(6 AS DOUBLE)
+      |          + (m4 / (m2 * m2) - CAST(3 AS DOUBLE))
+      |            * (m4 / (m2 * m2) - CAST(3 AS DOUBLE))
+      |            / CAST(24 AS DOUBLE))
+      |    ELSE NULL END AS jbstat
+      |  FROM cm
+      |)
+      |SELECT event_type, n AS span,
+      |  round(skew, 6) AS skewness,
+      |  round(exkurt, 6) AS ex_kurtosis,
+      |  round(jbstat, 6) AS jb,
+      |  round(CAST(CAST(exp(CAST(0 AS DOUBLE) - jbstat / CAST(2 AS DOUBLE))
+      |    AS FLOAT) AS DOUBLE), 6) AS p_value,
+      |  CAST(CAST(exp(CAST(0 AS DOUBLE) - jbstat / CAST(2 AS DOUBLE))
+      |    AS FLOAT) AS DOUBLE) > 0.05 AS normalish
+      |FROM jb
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s1"),
+        sum(col("x") * col("x")).cast("long").as("s2"),
+        sum(col("x") * col("x") * col("x")).cast("long").as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).cast("long")
+          .as("s4"))
+    val cm = mom.select(col("event_type"), col("n"),
+        expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").as("mu"),
+        expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)").as("a2"),
+        expr("CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)").as("a3"),
+        expr("CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)").as("a4"))
+      .select(col("event_type"), col("n"), col("mu"),
+        expr("a2 - mu * mu").as("m2"),
+        expr("""a3 - CAST(3 AS DOUBLE) * mu * a2
+          |  + CAST(2 AS DOUBLE) * mu * mu * mu""".stripMargin).as("m3"),
+        expr("""a4 - CAST(4 AS DOUBLE) * mu * a3
+          |  + CAST(6 AS DOUBLE) * mu * mu * a2
+          |  - CAST(3 AS DOUBLE) * mu * mu * mu * mu""".stripMargin)
+          .as("m4"))
+    val jbSql = """CASE WHEN n > 1 AND m2 > 0 THEN
+      |  CAST(n AS DOUBLE)
+      |    * ((m3 * m3 / (m2 * m2 * m2)) / CAST(6 AS DOUBLE)
+      |      + (m4 / (m2 * m2) - CAST(3 AS DOUBLE))
+      |        * (m4 / (m2 * m2) - CAST(3 AS DOUBLE))
+      |        / CAST(24 AS DOUBLE))
+      |ELSE NULL END""".stripMargin
+    val jbstat = expr(jbSql)
+    val pv = expr(s"""CAST(CAST(exp(CAST(0 AS DOUBLE)
+      |  - ($jbSql) / CAST(2 AS DOUBLE))
+      |  AS FLOAT) AS DOUBLE)""".stripMargin)
+    cm.select(col("event_type"), col("n").as("span"),
+        round(expr("""CASE WHEN n > 1 AND m2 > 0 THEN
+          |  m3 / sqrt(m2 * m2 * m2) ELSE NULL END""".stripMargin), 6)
+          .as("skewness"),
+        round(expr("""CASE WHEN n > 1 AND m2 > 0 THEN
+          |  m4 / (m2 * m2) - CAST(3 AS DOUBLE) ELSE NULL END"""
+          .stripMargin), 6).as("ex_kurtosis"),
+        round(jbstat, 6).as("jb"),
+        round(pv, 6).as("p_value"),
+        (pv > 0.05).as("normalish"))
+      .orderBy(col("event_type"))
+  }
+
+  /** KRUSKAL–WALLIS H TEST — the k-sample extension of q207's
+    * Mann–Whitney: users hash-split into THREE variants (md5 'kw|'
+    * salt, % 3), and per event type the tie-corrected rank test
+    * H′ = H / (1 − Σ(t³−t)/(N³−N)),
+    * H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1), asks whether ANY arm's
+    * `value` distribution is shifted. Three arms is the house choice
+    * on purpose: k − 1 = 2 df, so the χ²₍₂₎ tail is the CLOSED FORM
+    * p = e^(−H′/2) — the q216/q221/q243 no-erf device — where a 4-arm
+    * test would need an incomplete gamma neither engine ships.
+    *
+    * Exactness: q207's run-length midrank device verbatim — mid2 = 2·
+    * midrank stays integer via the cumulative over (type, cents) runs,
+    * so each arm's doubled rank sum r2_g = Σ cnt_g·mid2 and the tie
+    * mass Σ(t³−t) are exact int64 (N ≤ 2.09e6 cube bound, q207's).
+    * r2_g ≤ N(N+1) would overflow int64 when SQUARED, so H is a FIXED-
+    * ORDER double chain over the exact integers — (r2/2)²/n terms
+    * summed in literal arm order 0,1,2, identical parenthesization
+    * both engines (the q243 discipline: determinism, not exactness, is
+    * what the chain needs). An absent arm (n_g = 0 — impossible at
+    * fixture scale, real under slicing) or an all-tied type (correction
+    * factor 0) yields NULL via explicit CASE/nullif, never NaN or a
+    * divide-by-zero.
+    *
+    * Plan: one scan → (type, cents, variant-counts) run-length
+    * aggregate (map-side combined, ≤ distinct-values rows per type) →
+    * one category-bounded cumulative window → one finish row per type.
+    * The variant hash is a projection — zero extra shuffle at 100 TB.
+    */
+  val q245KruskalWallis = Q(
+    "q245_kruskal_wallis",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(round(100 * value) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5('kw|' || CAST(user_id AS VARCHAR)), 1, 1))
+      |      AS BIGINT) % 3 AS variant
+      |  FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |runs AS (
+      |  SELECT event_type, cents,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c0,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1,
+      |    CAST(sum(CASE WHEN variant = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c2
+      |  FROM e GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT event_type, cnt, c0, c1, c2,
+      |    2 * (sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+      |      + cnt + 1 AS mid2
+      |  FROM runs
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(sum(c0) AS BIGINT) AS n0,
+      |    CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2,
+      |    CAST(sum(cnt) AS BIGINT) AS n,
+      |    CAST(sum(c0 * mid2) AS BIGINT) AS r0,
+      |    CAST(sum(c1 * mid2) AS BIGINT) AS r1,
+      |    CAST(sum(c2 * mid2) AS BIGINT) AS r2,
+      |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties3
+      |  FROM rk GROUP BY 1
+      |),
+      |h AS (
+      |  SELECT event_type, n0, n1, n2, n,
+      |    CASE WHEN n0 > 0 AND n1 > 0 AND n2 > 0
+      |      AND n * n * n - n > ties3 THEN
+      |      (CAST(12 AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+      |        * (CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)
+      |            / CAST(4 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |          + CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE)
+      |            / CAST(4 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |          + CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+      |            / CAST(4 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |        - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+      |      / (CAST(1 AS DOUBLE)
+      |        - CAST(ties3 AS DOUBLE)
+      |          / CAST(n * n * n - n AS DOUBLE))
+      |    ELSE NULL END AS hstat
+      |  FROM agg
+      |)
+      |SELECT event_type, n0, n1, n2,
+      |  round(hstat, 6) AS h,
+      |  round(CAST(CAST(exp(CAST(0 AS DOUBLE) - hstat / CAST(2 AS DOUBLE))
+      |    AS FLOAT) AS DOUBLE), 6) AS p_value,
+      |  hstat > 5.9915 AS significant
+      |FROM h
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        (conv(substring(md5(concat(lit("kw|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10).cast("long") % 3)
+          .as("variant"))
+    val runs = e.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("long")
+          .as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("long")
+          .as("c1"),
+        sum(when(col("variant") === 2, 1L).otherwise(0L)).cast("long")
+          .as("c2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val rk = runs.withColumn("mid2",
+      lit(2) * (sum(col("cnt")).over(w) - col("cnt")) + col("cnt") + 1)
+    val agg = rk.groupBy(col("event_type"))
+      .agg(sum(col("c0")).cast("long").as("n0"),
+        sum(col("c1")).cast("long").as("n1"),
+        sum(col("c2")).cast("long").as("n2"),
+        sum(col("cnt")).cast("long").as("n"),
+        sum(col("c0") * col("mid2")).cast("long").as("r0"),
+        sum(col("c1") * col("mid2")).cast("long").as("r1"),
+        sum(col("c2") * col("mid2")).cast("long").as("r2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).cast("long")
+          .as("ties3"))
+    val hSql = """CASE WHEN n0 > 0 AND n1 > 0 AND n2 > 0
+      |  AND n * n * n - n > ties3 THEN
+      |  (CAST(12 AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+      |    * (CAST(r0 AS DOUBLE) * CAST(r0 AS DOUBLE)
+      |        / CAST(4 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |      + CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE)
+      |        / CAST(4 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      + CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+      |        / CAST(4 AS DOUBLE) / CAST(n2 AS DOUBLE))
+      |    - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+      |  / (CAST(1 AS DOUBLE)
+      |    - CAST(ties3 AS DOUBLE)
+      |      / CAST(n * n * n - n AS DOUBLE))
+      |ELSE NULL END""".stripMargin
+    val hstat = expr(hSql)
+    agg.select(col("event_type"), col("n0"), col("n1"), col("n2"),
+        round(hstat, 6).as("h"),
+        round(expr(s"""CAST(CAST(exp(CAST(0 AS DOUBLE)
+          |  - ($hSql) / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE)"""
+          .stripMargin), 6).as("p_value"),
+        (hstat > 5.9915).as("significant"))
       .orderBy(col("event_type"))
   }
 }

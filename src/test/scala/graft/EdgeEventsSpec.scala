@@ -491,6 +491,44 @@ class EdgeEventsSpec extends SparkSpec {
       "q203 truncated must equal full bit-for-bit")
   }
 
+  test("q243/q244/q245 degenerate: single-hour spans NULL the JB " +
+      "statistics, zero out the seasonal residual with a NULL forecast, " +
+      "and an all-tied type NULLs H") {
+    // q243 on the shared fixture: 'solo' spans one hour → m2 = 0 → every
+    // statistic NULL, never NaN; 'multi' (1,1,1 counts) is constant too
+    val jb = SparkEntry.queries("q243_jarque_bera")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(jb("solo").isNullAt(2) && jb("solo").isNullAt(4)
+      && jb("solo").isNullAt(5), "solo JB must be NULL")
+    assert(jb("multi").isNullAt(4), "constant series JB must be NULL")
+    // q244 on 'solo': the single hour IS its own hour-of-day profile →
+    // seasonal = n, residual exactly 0, adjusted level exactly 0, and
+    // the NEXT hour-of-day never occurred → forecast NULL, not invented
+    val se = SparkEntry.queries("q244_seasonal_ewma")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.isNullAt(6)))
+    val solo = se.filter(_._1 == "solo")
+    assert(solo.length === 1)
+    assert(solo.head._2 === 3L && solo.head._3 === 3.0)
+    assert(solo.head._4 === 0.0 && solo.head._5 === 0.0)
+    assert(solo.head._6, "unseen next hour-of-day must forecast NULL")
+    // q245 all-tied: every value identical → N³−N = Σ(t³−t) → the tie
+    // correction is 0 and H must be explicit NULL on a crafted corpus
+    // whose users land in all three md5 arms (uids 1..30)
+    val d = "/tmp/graft_edge_events_kw"
+    import spark.implicits._
+    val evs = (1 to 30).map(u =>
+      (u.toLong, 1000000000L * u, u.toLong, "tied", 7.0, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val kw = SparkEntry.queries("q245_kruskal_wallis")(spark, d).collect()
+    assert(kw.length === 1)
+    assert(kw.head.getLong(1) > 0 && kw.head.getLong(2) > 0
+      && kw.head.getLong(3) > 0, "30 uids must populate all three arms")
+    assert(kw.head.isNullAt(4) && kw.head.isNullAt(5),
+      "all-tied H and p must be NULL, never a division crash")
+  }
+
   test("q177: zero pre-period variance gives NULL theta and adjusted " +
       "means, with raw means intact") {
     // every user's first-half spend is identical → var(x) = 0 → θ and the

@@ -469,7 +469,11 @@ class ScaleSpec extends SparkSpec {
       "q228_haar_energy", "q229_cliffs_delta", "q230_good_turing",
       "q231_mann_kendall", "q234_exp_gap_ks",
       "q235_overdispersion", "q237_rank_biased_overlap",
-      "q240_newey_west", "q242_means_profile")) {
+      "q240_newey_west", "q242_means_profile",
+      // round-13 late additions: q243's moment grid, q244's profile/
+      // truncation-lag equi joins, q245's run-length window — all
+      // strictly keyed, no bounded-broadcast waiver needed
+      "q243_jarque_bera", "q244_seasonal_ewma", "q245_kruskal_wallis")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

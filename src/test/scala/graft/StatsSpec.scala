@@ -1741,4 +1741,140 @@ class StatsSpec extends SparkSpec {
       assert(math.abs(gr - gam2 / ggm) < 1e-3)
     }
   }
+
+  /** Dense zero-filled hourly count series per type, replayed driver-side
+    * — the shared scaffold for the q243/q244 nets. */
+  private def denseHourly(): Map[String, Array[Long]] = {
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    raw.groupBy(_._1).map { case (t, v) =>
+      val hs = v.map(_._2)
+      val (m0, m1) = (hs.min, hs.max)
+      val cnt = hs.groupBy(identity).map { case (h, g) => h -> g.length.toLong }
+      t -> (m0 to m1).map(h => cnt.getOrElse(h, 0L)).toArray
+    }
+  }
+
+  test("q243 Jarque–Bera replays from direct central moments — a " +
+      "different algorithm than the engine's power-sum identities") {
+    val got = Stats.q243JarqueBera.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    }.toMap
+    val series = denseHourly()
+    assert(got.keySet === series.keySet && got.nonEmpty)
+    for ((t, xs) <- series) {
+      val (gn, gskew, gkurt, gjb, gp) = got(t)
+      assert(gn === xs.length.toLong)
+      val n = xs.length
+      val mu = xs.sum.toDouble / n
+      // DIRECT centered sums — not the engine's raw-moment expansion
+      val m2 = xs.map(x => math.pow(x - mu, 2)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      if (n > 1 && m2 > 0) {
+        val skew = m3 / math.sqrt(m2 * m2 * m2)
+        val kurt = m4 / (m2 * m2) - 3.0
+        val jb = n * (skew * skew / 6.0 + kurt * kurt / 24.0)
+        assert(math.abs(gskew.get - skew) < 1e-5, s"$t skew")
+        assert(math.abs(gkurt.get - kurt) < 1e-5, s"$t kurt")
+        assert(math.abs(gjb.get - jb) < 1e-4 * (1 + jb.abs), s"$t jb")
+        assert(math.abs(gp.get - math.exp(-jb / 2)) < 1e-4, s"$t p")
+      } else assert(gskew.isEmpty && gjb.isEmpty)
+    }
+  }
+
+  test("q245 Kruskal–Wallis replays from explicit sorted midranks and " +
+      "a MessageDigest arm split — both re-derived, neither shared") {
+    val got = Stats.q245KruskalWallis.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(6)) None else Some(r.getBoolean(6))))
+    }.toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def arm(uid: Long): Int = {
+      val h = md.digest(s"kw|$uid".getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) % 3
+    }
+    val rows = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"), expr("CAST(round(100 * value) AS BIGINT)"),
+        col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), arm(r.getLong(2))))
+    assert(got.keySet === rows.map(_._1).toSet)
+    for ((t, g) <- rows.groupBy(_._1)) {
+      val vs = g.map(x => (x._2, x._3)).sortBy(_._1)
+      val n = vs.length
+      // explicit average ranks over the sorted multiset
+      val ranks = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && vs(j)._1 == vs(i)._1) j += 1
+        val avg = (i + 1 + j).toDouble / 2.0 // mean of ranks i+1..j
+        for (k <- i until j) ranks(k) = avg
+        i = j
+      }
+      val byArm = (0 until 3).map { a =>
+        val idx = vs.indices.filter(vs(_)._2 == a)
+        (idx.length.toLong, idx.map(ranks(_)).sum)
+      }
+      val (gn0, gn1, gn2, gh, _) = got(t)
+      assert((gn0, gn1, gn2) ===
+        ((byArm(0)._1, byArm(1)._1, byArm(2)._1)), s"$t arm sizes")
+      val ties3 = vs.map(_._1).groupBy(identity).values
+        .map(_.length.toLong).map(c => c * c * c - c).sum
+      val nL = n.toLong
+      if (byArm.forall(_._1 > 0) && nL * nL * nL - nL > ties3) {
+        val h0 = 12.0 / (n.toDouble * (n + 1)) *
+          byArm.map { case (na, ra) => ra * ra / na }.sum - 3.0 * (n + 1)
+        val h = h0 / (1.0 - ties3.toDouble / (nL * nL * nL - nL))
+        assert(math.abs(gh.get - h) < 1e-4 * (1 + h.abs), s"$t H $gh vs $h")
+      } else assert(gh.isEmpty, s"$t degenerate must be NULL")
+    }
+  }
+
+  test("q244 seasonal EWMA replays through the sequential recurrence " +
+      "over driver-deseasonalized series; residuals sum to ~0") {
+    val got = Analytic.q244SeasonalEwma.fn(spark, sf).collect().map { r =>
+      (r.getString(0), r.getTimestamp(1).getTime / 3600000L) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, v) <- raw.groupBy(_._1)) {
+      val hs = v.map(_._2)
+      val (m0, m1) = (hs.min, hs.max)
+      val cnt = hs.groupBy(identity).map { case (h, g) => h -> g.length.toLong }
+      val xs = (m0 to m1).map(h => cnt.getOrElse(h, 0L)).toArray
+      val prof = xs.indices.groupBy(i => (m0 + i) % 24).map {
+        case (h, is) => h -> is.map(xs(_)).sum.toDouble / is.length
+      }
+      val dvals = xs.indices.map(i => xs(i) - prof((m0 + i) % 24))
+      assert(math.abs(dvals.sum) < 1e-6 * (1 + xs.sum), s"$t residual sum")
+      var z = 0.0
+      for (i <- xs.indices) {
+        z = 0.2 * dvals(i) + 0.8 * z // the literal recurrence, seed 0
+        val (gn, gseas, gdes, gadj, gfc) = got((t, m0 + i))
+        assert(gn === xs(i))
+        assert(math.abs(gseas - prof((m0 + i) % 24)) < 1e-5, s"$t@$i seas")
+        assert(math.abs(gdes - dvals(i)) < 1e-5, s"$t@$i deseason")
+        assert(math.abs(gadj - z) < 1e-4, s"$t@$i adj $gadj vs $z")
+        prof.get((m0 + i + 1) % 24) match {
+          case Some(s2) =>
+            assert(math.abs(gfc.get - (z + s2)) < 1e-4, s"$t@$i forecast")
+          case None => assert(gfc.isEmpty, s"$t@$i forecast must be NULL")
+        }
+      }
+    }
+  }
 }
