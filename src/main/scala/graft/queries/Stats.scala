@@ -35,7 +35,7 @@ object Stats {
     q232TheilDecomposition, q233BayesAverage, q234ExpGapKs,
     q235Overdispersion, q236WilsonCi, q239EntropyRate, q240NeweyWest,
     q241DisparateImpact, q242MeansProfile, q243JarqueBera,
-    q245KruskalWallis)
+    q245KruskalWallis, q246Burstiness, q247MeanExcess, q248HodAnova)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -4851,6 +4851,344 @@ object Stats {
           |  - ($hSql) / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE)"""
           .stripMargin), 6).as("p_value"),
         (hstat > 5.9915).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  /** BURSTINESS COEFFICIENT — Goh & Barabási's B = (σ−μ)/(σ+μ) over
+    * inter-arrival gaps per event type: −1 for a metronome, 0 for a
+    * Poisson process, → +1 for heavy-tailed bursts. The single-number
+    * summary beside q234's exponential-gap KS (which tests the WHOLE
+    * gap distribution) and q178's burst islands (which localize them):
+    * this one is the dashboard scalar a traffic-shape monitor trends.
+    * CV = σ/μ rides along (B is its Möbius transform).
+    *
+    * Exactness: gaps are exact int64 MILLISECONDS from consecutive µs
+    * timestamps over the (us, event_id) TOTAL order (q211's
+    * discipline; sub-ms remainder truncated BY DEFINITION, stated), so
+    * Σg and Σg² are exact int64 — bound: Σg² ≤ span_ms² needs span ≤
+    * 35 days at ms grain (documented; longer spans re-grain to
+    * seconds). σ is one fixed-order chain Q/n − μ², clamped at 0 with
+    * greatest() against the ~1e-17 FP undershoot a mathematically-
+    * zero radicand can take (sqrt(−ε) is NaN on BOTH engines — the
+    * guard is explicit, not accidental). Types with < 2 gaps or an
+    * all-zero-ms gap multiset (μ = 0) yield NULL via explicit CASE.
+    *
+    * Plan: one scan → one type-partitioned lag window (the q211 single
+    * sort) → one 3-moment aggregate per type. Nothing joins; state is
+    * 3 int64s per type.
+    */
+  val q246Burstiness = Q(
+    "q246_burstiness",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT event_type,
+      |    (us - lag(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id)) // 1000 AS gap
+      |  FROM e
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(count(gap) AS BIGINT) AS n,
+      |    CAST(sum(gap) AS BIGINT) AS s,
+      |    CAST(sum(gap * gap) AS BIGINT) AS q
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+      |),
+      |st AS (
+      |  SELECT event_type, n, s,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+      |    sqrt(greatest(
+      |      CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+      |      CAST(0 AS DOUBLE))) AS sd
+      |  FROM agg
+      |)
+      |SELECT event_type, n AS n_gaps,
+      |  CAST(((2 * CAST(s AS BIGINT) * 1000000 + CAST(n AS BIGINT))
+      |    // nullif(2 * CAST(n AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS mean_gap_ms,
+      |  round(CASE WHEN n >= 2 AND s > 0 THEN sd / mu ELSE NULL END, 6)
+      |    AS cv,
+      |  round(CASE WHEN n >= 2 AND s > 0 THEN
+      |    (sd - mu) / (sd + mu) ELSE NULL END, 6) AS burstiness
+      |FROM st
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        col("event_id"))
+    val g = e.select(col("event_type"),
+        expr("us - lag(us) OVER (PARTITION BY event_type " +
+          "ORDER BY us, event_id)").as("gapus"))
+      .filter(col("gapus").isNotNull)
+      .select(col("event_type"), expr("gapus div 1000").as("gap"))
+    val agg = g.groupBy(col("event_type"))
+      .agg(count(col("gap")).cast("long").as("n"),
+        sum(col("gap")).cast("long").as("s"),
+        sum(col("gap") * col("gap")).cast("long").as("q"))
+    val st = agg.select(col("event_type"), col("n"), col("s"),
+      expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").as("mu"),
+      expr("""sqrt(greatest(
+        |  CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
+        |  CAST(0 AS DOUBLE)))""".stripMargin).as("sd"))
+    st.select(col("event_type"), col("n").as("n_gaps"),
+        Exact.ratio6("s", "n").as("mean_gap_ms"),
+        round(expr(
+          "CASE WHEN n >= 2 AND s > 0 THEN sd / mu ELSE NULL END"), 6)
+          .as("cv"),
+        round(expr("""CASE WHEN n >= 2 AND s > 0 THEN
+          |  (sd - mu) / (sd + mu) ELSE NULL END""".stripMargin), 6)
+          .as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MEAN-EXCESS TAIL FIT — peaks-over-threshold without order
+    * statistics: per event type, threshold u = 2·mean(cents), exceeders
+    * selected by the PURE INTEGER cross-multiply cents·n > 2·S (no
+    * float mean ever materializes — the q178/q226 device), and the
+    * mean excess e(u) = mean(cents − u | cents > u). For an exponential
+    * tail e(u) equals the overall mean (memorylessness), so the
+    * EXPONENTIALITY INDEX e(u)/mean separates heavy (> 1) from light
+    * (< 1) tails — the moment-based companion to q212's Hill estimator,
+    * which needs a top-k sort this operator deliberately avoids: at
+    * 100 TB this is one scan + one broadcast join, no order statistics.
+    *
+    * Exactness: each excess is the exact int64 (cents·n − 2S) — a
+    * ratio with denominator n — summed exactly (bound: Σ ≤ k·cents_max·n
+    * ≈ 2e14 at sf0.1, documented to n·cents_max ≤ 4.6e14); the mean
+    * excess divides ONCE by n·k (int64), the index is the literal
+    * chain (num/(n·k))/(S/n) both engines. Zero exceeders (a point
+    * mass at the mean) → NULL excess/index via explicit CASE; the
+    * threshold itself is ratio6-exact. POSITIVE cents only BY
+    * DEFINITION (tail analysis of magnitudes, the q242 convention) —
+    * which also keeps every ratio6/div numerator non-negative, where
+    * Spark's truncating div and DuckDB's flooring // agree (§5.7).
+    *
+    * Plan: one (type) moment aggregate, one broadcast join back, one
+    * filtered aggregate — scan-dominated, 2-row state per type.
+    */
+  val q247MeanExcess = Q(
+    "q247_mean_excess",
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(100 * value) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+      |    AND CAST(round(100 * value) AS BIGINT) > 0
+      |),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS s
+      |  FROM e GROUP BY 1
+      |),
+      |exc AS (
+      |  SELECT e.event_type,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(e.cents * m.n - 2 * m.s) AS BIGINT) AS num
+      |  FROM e JOIN m ON m.event_type = e.event_type
+      |  WHERE e.cents * m.n > 2 * m.s
+      |  GROUP BY 1
+      |)
+      |SELECT m.event_type, m.n,
+      |  CAST(((2 * CAST(2 * m.s AS BIGINT) * 1000000 + CAST(m.n AS BIGINT))
+      |    // nullif(2 * CAST(m.n AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS threshold_cents,
+      |  COALESCE(exc.k, 0) AS n_exceed,
+      |  CAST(((2 * CAST(COALESCE(exc.k, 0) AS BIGINT) * 1000000
+      |    + CAST(m.n AS BIGINT))
+      |    // nullif(2 * CAST(m.n AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS exceed_rate,
+      |  round(CASE WHEN exc.k > 0 THEN
+      |    CAST(exc.num AS DOUBLE) / CAST(m.n * exc.k AS DOUBLE)
+      |    ELSE NULL END, 6) AS mean_excess_cents,
+      |  round(CASE WHEN exc.k > 0 THEN
+      |    (CAST(exc.num AS DOUBLE) / CAST(m.n * exc.k AS DOUBLE))
+      |      / (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+      |    ELSE NULL END, 6) AS exp_index,
+      |  (CASE WHEN exc.k > 0 THEN
+      |    (CAST(exc.num AS DOUBLE) / CAST(m.n * exc.k AS DOUBLE))
+      |      / (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+      |    ELSE NULL END) > 1.0 AS heavy_tailed
+      |FROM m LEFT JOIN exc ON exc.event_type = m.event_type
+      |ORDER BY m.event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+    val m = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("s"))
+    val exc = e.join(broadcast(m), "event_type")
+      .filter(col("cents") * col("n") > lit(2) * col("s"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("cents") * col("n") - lit(2) * col("s")).cast("long")
+          .as("num"))
+    val meSql = """CASE WHEN k > 0 THEN
+      |  CAST(num AS DOUBLE) / CAST(n * k AS DOUBLE)
+      |  ELSE NULL END""".stripMargin
+    val idxSql = """CASE WHEN k > 0 THEN
+      |  (CAST(num AS DOUBLE) / CAST(n * k AS DOUBLE))
+      |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |  ELSE NULL END""".stripMargin
+    m.join(exc, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        expr("""CAST(((2 * CAST(2 * s AS BIGINT) * 1000000
+          |  + CAST(n AS BIGINT))
+          |  div nullif(2 * CAST(n AS BIGINT), 0)) AS DOUBLE) / 1000000.0"""
+          .stripMargin).as("threshold_cents"),
+        coalesce(col("k"), lit(0L)).as("n_exceed"),
+        expr("""CAST(((2 * CAST(COALESCE(k, 0) AS BIGINT) * 1000000
+          |  + CAST(n AS BIGINT))
+          |  div nullif(2 * CAST(n AS BIGINT), 0)) AS DOUBLE) / 1000000.0"""
+          .stripMargin).as("exceed_rate"),
+        round(expr(meSql), 6).as("mean_excess_cents"),
+        round(expr(idxSql), 6).as("exp_index"),
+        (expr(idxSql) > 1.0).as("heavy_tailed"))
+      .orderBy(col("event_type"))
+  }
+
+  /** HOUR-OF-DAY ONE-WAY ANOVA — seasonality STRENGTH as a variance
+    * decomposition: over the dense zero-filled hourly series, how much
+    * of the count variance does hour-of-day explain? η² = SSB/SST from
+    * the ANOVA identity (SSB = Σ_h S_h²/n_h − S²/n over the 24
+    * hour-of-day cells), plus the F statistic (SSB/(k−1))/(SSW/(n−k)).
+    * This is the decision gate in FRONT of q244: η² near 0 says "don't
+    * bother deseasonalizing", and it quantifies what q204's MASE and
+    * q244's profile assume. F's p-value is deliberately NOT reported —
+    * df = (23, n−24) has no closed-form tail in either engine (the
+    * exact inverse of the q216/q243/q245 df-2 design choice, stated
+    * rather than approximated).
+    *
+    * Exactness: S, Σx², S_h, n_h exact int64 (S_h ≤ 3e9 squared bound
+    * documented); each cell's S_h²/n_h is ONE double divide cast
+    * DECIMAL(18,9) — the cross-cell sum is associative decimal, so
+    * hod aggregation order cannot move bits (the q193-term discipline
+    * applied to a 24-term sum); SST/SSB/F are fixed-order chains with
+    * the S²/n subterm written ONCE and identically in both engines.
+    * Degenerate guards explicit: SST = 0 (constant series, the solo/
+    * flat edges) → NULL η² and F; k ≤ 1 or n ≤ k or SSW ≤ 0 → NULL F.
+    *
+    * Plan: the q244 grid, one (type, hod) aggregate (≤ 24 rows/type),
+    * one type aggregate, a 1-row finish. Scan-dominated at any scale.
+    */
+  val q248HodAnova = Q(
+    "q248_hod_anova",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, (g.m0 + g.t) % 24 AS hod,
+      |    COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |prof AS (
+      |  SELECT event_type, hod,
+      |    CAST(sum(x) AS BIGINT) AS sh,
+      |    CAST(count(*) AS BIGINT) AS nh
+      |  FROM x GROUP BY 1, 2
+      |),
+      |tot AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(sum(x * x) AS BIGINT) AS q
+      |  FROM x GROUP BY 1
+      |),
+      |bs AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS k,
+      |    sum(CAST(CAST(sh * sh AS DOUBLE) / CAST(nh AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS bdec
+      |  FROM prof GROUP BY 1
+      |),
+      |fin AS (
+      |  SELECT t.event_type, t.n, bs.k,
+      |    CAST(t.q AS DOUBLE)
+      |      - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+      |        / CAST(t.n AS DOUBLE) AS sstot,
+      |    CAST(bs.bdec AS DOUBLE)
+      |      - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+      |        / CAST(t.n AS DOUBLE) AS ssb
+      |  FROM tot t JOIN bs ON bs.event_type = t.event_type
+      |)
+      |SELECT event_type, n AS span, k AS k_hods,
+      |  round(CASE WHEN sstot > 0 THEN ssb / sstot ELSE NULL END, 6)
+      |    AS eta2,
+      |  round(CASE WHEN k > 1 AND n > k AND sstot - ssb > 0 THEN
+      |    (ssb / CAST(k - 1 AS DOUBLE))
+      |      / ((sstot - ssb) / CAST(n - k AS DOUBLE))
+      |    ELSE NULL END, 6) AS f_stat,
+      |  (CASE WHEN sstot > 0 THEN ssb / sstot ELSE NULL END) > 0.14
+      |    AS strong_seasonality
+      |FROM fin
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"),
+        ((col("m0") + col("t")) % 24).as("hod"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+      .localCheckpoint() // 2 consumers: the cell profile and the totals
+    val prof = x.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("x")).cast("long").as("sh"),
+        count(lit(1)).cast("long").as("nh"))
+    val tot = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"))
+    val bs = prof.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(expr("""CAST(CAST(sh * sh AS DOUBLE) / CAST(nh AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).as("bdec"))
+    val fin = tot.join(bs, "event_type")
+      .select(col("event_type"), col("n"), col("k"),
+        expr("""CAST(q AS DOUBLE)
+          |  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          |    / CAST(n AS DOUBLE)""".stripMargin).as("sstot"),
+        expr("""CAST(bdec AS DOUBLE)
+          |  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          |    / CAST(n AS DOUBLE)""".stripMargin).as("ssb"))
+    val eta2 = expr(
+      "CASE WHEN sstot > 0 THEN ssb / sstot ELSE NULL END")
+    fin.select(col("event_type"), col("n").as("span"),
+        col("k").as("k_hods"),
+        round(eta2, 6).as("eta2"),
+        round(expr("""CASE WHEN k > 1 AND n > k AND sstot - ssb > 0 THEN
+          |  (ssb / CAST(k - 1 AS DOUBLE))
+          |    / ((sstot - ssb) / CAST(n - k AS DOUBLE))
+          |  ELSE NULL END""".stripMargin), 6).as("f_stat"),
+        (eta2 > 0.14).as("strong_seasonality"))
       .orderBy(col("event_type"))
   }
 }

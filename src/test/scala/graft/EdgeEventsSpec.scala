@@ -529,6 +529,39 @@ class EdgeEventsSpec extends SparkSpec {
       "all-tied H and p must be NULL, never a division crash")
   }
 
+  test("q246/q247/q248 degenerate: evenly spaced gaps score B = -1, a " +
+      "point-mass value distribution has no exceeders, single-hour " +
+      "spans NULL the ANOVA") {
+    // shared fixture: 'solo' = 3 events 20 min apart → two equal gaps →
+    // σ = 0 → the metronome reading B = −1, CV = 0, exactly
+    val b = SparkEntry.queries("q246_burstiness")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(b("solo").getLong(1) === 2L)
+    assert(b("solo").getDouble(3) === 0.0, "equal gaps → CV 0")
+    assert(b("solo").getDouble(4) === -1.0, "equal gaps → B -1")
+    // all events in the same millisecond → every gap 0 ms → NULL B
+    val d0 = "/tmp/graft_edge_events_samems"
+    import spark.implicits._
+    (1 to 3).map(i => (i.toLong, 1000000000L, i.toLong, "z", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d0/events.parquet")
+    val bz = SparkEntry.queries("q246_burstiness")(spark, d0).collect()
+    assert(bz.length === 1 && bz.head.isNullAt(4),
+      "zero-ms gaps must NULL B, never 0/0")
+    // q247 on the all-tied corpus from the q245 edge: v·n = S < 2S for
+    // every row → zero exceeders → NULL excess and index, rate 0
+    val me = SparkEntry.queries("q247_mean_excess")(
+      spark, "/tmp/graft_edge_events_kw").collect()
+    assert(me.length === 1 && me.head.getLong(3) === 0L)
+    assert(me.head.isNullAt(5) && me.head.isNullAt(6))
+    // q248 on the shared fixture: 'solo' spans one hour → SST = 0 →
+    // NULL eta2/F; 'multi' (1,1,1) is constant → NULL as well
+    val an = SparkEntry.queries("q248_hod_anova")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(an("solo").isNullAt(3) && an("solo").isNullAt(4))
+    assert(an("multi").isNullAt(3), "constant series must NULL eta2")
+  }
+
   test("q177: zero pre-period variance gives NULL theta and adjusted " +
       "means, with raw means intact") {
     // every user's first-half spend is identical → var(x) = 0 → θ and the

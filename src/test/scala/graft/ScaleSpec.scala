@@ -473,7 +473,11 @@ class ScaleSpec extends SparkSpec {
       // round-13 late additions: q243's moment grid, q244's profile/
       // truncation-lag equi joins, q245's run-length window — all
       // strictly keyed, no bounded-broadcast waiver needed
-      "q243_jarque_bera", "q244_seasonal_ewma", "q245_kruskal_wallis")) {
+      "q243_jarque_bera", "q244_seasonal_ewma", "q245_kruskal_wallis",
+      // q246's lag window and q248's grid/cell aggregates are join-free
+      // or equi-keyed; q247's 5-row moment frame is an explicit
+      // broadcast HASH join on event_type, not a nested loop
+      "q246_burstiness", "q247_mean_excess", "q248_hod_anova")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -1840,6 +1840,108 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("q246 burstiness replays from an explicit per-type timestamp sort; " +
+      "B and CV agree with direct gap moments") {
+    val got = Stats.q246Burstiness.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val rows = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts)"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.keySet === rows.map(_._1).toSet)
+    for ((t, g) <- rows.groupBy(_._1)) {
+      val us = g.map(x => (x._2, x._3)).sortBy(identity).map(_._1)
+      val gaps = us.sliding(2).filter(_.length == 2)
+        .map(p => (p(1) - p(0)) / 1000L).toArray
+      val (gn, gmean, gcv, gb) = got(t)
+      assert(gn === gaps.length.toLong, s"$t gap count")
+      if (gaps.nonEmpty) {
+        val mu = gaps.sum.toDouble / gaps.length
+        assert(math.abs(gmean - mu) < 1e-5 * (1 + mu), s"$t mean gap")
+        if (gaps.length >= 2 && gaps.sum > 0) {
+          val sd = math.sqrt(
+            gaps.map(x => (x - mu) * (x - mu)).sum / gaps.length)
+          assert(math.abs(gcv.get - sd / mu) < 1e-4 * (1 + sd / mu))
+          assert(math.abs(gb.get - (sd - mu) / (sd + mu)) < 1e-5)
+          assert(gb.get >= -1.0 - 1e-9 && gb.get < 1.0)
+        }
+      }
+    }
+  }
+
+  test("q247 mean excess replays from exact rational threshold " +
+      "comparisons; exponentiality index is excess over mean") {
+    val got = Stats.q247MeanExcess.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    }.toMap
+    val rows = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("CAST(round(100 * value) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 > 0)
+    for ((t, g) <- rows.groupBy(_._1)) {
+      val vs = g.map(_._2)
+      val n = vs.length.toLong; val s = vs.sum
+      // exact rational exceedance — BigInt route, not the engine's int64
+      val exceed = vs.filter(v => BigInt(v) * n > 2 * BigInt(s))
+      val (gn, gthr, gk, gme, gidx) = got(t)
+      assert(gn === n && gk === exceed.length.toLong, s"$t counts")
+      assert(math.abs(gthr - 2.0 * s / n) < 1e-5 * (1 + 2.0 * s / n))
+      if (exceed.nonEmpty) {
+        val me = exceed.map(v => v - 2.0 * s / n).sum / exceed.length
+        assert(math.abs(gme.get - me) < 1e-4 * (1 + me), s"$t excess")
+        val idx = me / (s.toDouble / n)
+        assert(math.abs(gidx.get - idx) < 1e-4 * (1 + idx), s"$t index")
+      } else assert(gme.isEmpty && gidx.isEmpty)
+    }
+  }
+
+  test("q248 hour-of-day ANOVA replays from the direct between-group " +
+      "formula Σ n_h(μ_h − μ)² — not the engine's S_h²/n_h identity") {
+    val got = Stats.q248HodAnova.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val series = denseHourly()
+    // denseHourly loses m0; rebuild hods from the raw hour keys instead
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, v) <- raw.groupBy(_._1)) {
+      val hs = v.map(_._2)
+      val (m0, m1) = (hs.min, hs.max)
+      val cnt = hs.groupBy(identity).map { case (h, g) => h -> g.length.toLong }
+      val cells = (m0 to m1).map(h => (h % 24) -> cnt.getOrElse(h, 0L))
+      val n = cells.length
+      val mu = cells.map(_._2).sum.toDouble / n
+      // .toSeq BEFORE .map — the §5.7 Map.map pair-collapse (hods with
+      // equal cell counts would silently dedup; hit live writing this)
+      val byH = cells.groupBy(_._1).toSeq.map { case (_, c) =>
+        (c.length, c.map(_._2).sum.toDouble / c.length)
+      }
+      val ssb = byH.map { case (nh, mh) => nh * (mh - mu) * (mh - mu) }.sum
+      val sst = cells.map { case (_, x) => (x - mu) * (x - mu) }.sum
+      val (gspan, gk, geta, gf) = got(t)
+      assert(gspan === n.toLong && gk === byH.size.toLong, s"$t shape")
+      if (sst > 0) {
+        assert(math.abs(geta.get - ssb / sst) < 1e-5, s"$t eta2")
+        val k = byH.size
+        if (k > 1 && n > k && sst - ssb > 0) {
+          val f = (ssb / (k - 1)) / ((sst - ssb) / (n - k))
+          assert(math.abs(gf.get - f) < 1e-4 * (1 + f), s"$t F")
+        }
+      } else assert(geta.isEmpty && gf.isEmpty)
+    }
+    assert(series.keySet === got.keySet)
+  }
+
   test("q244 seasonal EWMA replays through the sequential recurrence " +
       "over driver-deseasonalized series; residuals sum to ~0") {
     val got = Analytic.q244SeasonalEwma.fn(spark, sf).collect().map { r =>
