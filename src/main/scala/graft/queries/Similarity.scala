@@ -35,7 +35,8 @@ object Similarity {
     q34CosineNeardup, q35CosineTopk, q36AnnIvf, q64AnnSrp, q72Int8Quant,
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
     q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
-    q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers)
+    q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers,
+    q251Silhouette)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -1617,5 +1618,126 @@ object Similarity {
         round(sqrt(col("d2n").cast("double"))
           / (col("n").cast("double") * lit(1000.0)), 6).as("dist"))
       .orderBy(col("label"), col("rk"))
+  }
+
+  /** SIMPLIFIED SILHOUETTE — the cluster-quality report over the label
+    * partition: per vector, a = distance to its OWN label centroid,
+    * b = distance to the NEAREST other centroid, s = (b − a)/max(a, b)
+    * ∈ [−1, 1]; per label, the mean s and the share of NEGATIVE s
+    * (vectors sitting closer to a foreign centroid — the misassignment
+    * rate a label-quality gate reads). Centroid-based ("simplified")
+    * on purpose: the classic all-pairs silhouette is O(n²) in corpus
+    * size, this is O(n·k) with a K×D broadcast — the only silhouette
+    * that exists at 100 TB. Complements q93 (dispersion around own
+    * centroid — no cross-label information) and KmeansSpec's WSS.
+    *
+    * Exactness: q93's fixed-point idiom extended to SQUARED distances:
+    * coordinates micro-int xq, centroids the exact (Σxq, n) pair, and
+    * each squared deviation enters as dq = xq·n − Σxq — EXACT int64
+    * (|dq| ≤ 4e9 at unit-range embeddings, bound documented) — squared
+    * and scale-cleared in ONE fixed-order double chain per (vec, pos,
+    * label) term, cast DECIMAL(18,9) and summed ASSOCIATIVELY so pos
+    * order cannot move bits. a/b select and compare on the DECIMAL
+    * (exact); the s chain is IEEE sqrt + one divide, identical text
+    * both engines. A single-label corpus has no b → NULL s via
+    * explicit CASE; coincident centroids with a = b = 0 score s = 0
+    * (stated); NULL labels excluded on both engines.
+    *
+    * Plan: posexplode → (label, pos) centroid aggregate (K×D rows,
+    * broadcast) → pos-keyed join fans each vector coordinate across K
+    * centroids (n·D·K rows, the operator's honest cost) → one
+    * (vec, clabel) decimal aggregate → one K-row label rollup.
+    */
+  val q251Silhouette = Q(
+    "q251_silhouette",
+    """WITH x AS (
+      |  SELECT vec_id, label,
+      |    unnest(list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))) AS xq,
+      |    unnest(range(1, len(embedding) + 1)) AS pos
+      |  FROM embeddings WHERE label IS NOT NULL
+      |),
+      |c AS (
+      |  SELECT label AS clabel, pos, CAST(sum(xq) AS BIGINT) AS sq,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM x GROUP BY 1, 2
+      |),
+      |d2 AS (
+      |  SELECT x.vec_id, x.label, c.clabel,
+      |    sum(CAST(
+      |      CAST(x.xq * c.n - c.sq AS DOUBLE)
+      |        * CAST(x.xq * c.n - c.sq AS DOUBLE)
+      |        / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE)
+      |          * 1000000000000.0)
+      |      AS DECIMAL(18,9))) AS dd
+      |  FROM x JOIN c ON c.pos = x.pos
+      |  GROUP BY 1, 2, 3
+      |),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    max(CASE WHEN clabel = label THEN dd END) AS a,
+      |    min(CASE WHEN clabel <> label THEN dd END) AS b
+      |  FROM d2 GROUP BY 1, 2
+      |),
+      |sil AS (
+      |  SELECT vec_id, label,
+      |    CAST(CASE WHEN b IS NULL THEN NULL
+      |      WHEN greatest(sqrt(CAST(a AS DOUBLE)), sqrt(CAST(b AS DOUBLE)))
+      |        > 0 THEN
+      |        (sqrt(CAST(b AS DOUBLE)) - sqrt(CAST(a AS DOUBLE)))
+      |          / greatest(sqrt(CAST(a AS DOUBLE)), sqrt(CAST(b AS DOUBLE)))
+      |      ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,9)) AS s
+      |  FROM ab
+      |)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_silhouette,
+      |  CAST(((2 * CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 + CAST(count(*) AS BIGINT))
+      |    // nullif(2 * CAST(count(*) AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS negative_share
+      |FROM sil
+      |GROUP BY label
+      |ORDER BY label""".stripMargin,
+  ) { (s, d) =>
+    val x = Tables.embeddings(s, d)
+      .filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        round(col("v").cast("double") * 1e6).cast("long").as("xq"))
+      .localCheckpoint() // 2 consumers: centroids and the distance fan
+    val c = x.groupBy(col("label").as("clabel"), col("pos"))
+      .agg(sum(col("xq")).cast("long").as("sq"),
+        count(lit(1)).cast("long").as("n"))
+      .select(col("clabel"), col("pos").as("c_pos"), col("sq"), col("n"))
+    val d2 = x.join(broadcast(c), col("c_pos") === col("pos"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sum(expr("""CAST(
+        |  CAST(xq * n - sq AS DOUBLE)
+        |    * CAST(xq * n - sq AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      * 1000000000000.0)
+        |  AS DECIMAL(18,9))""".stripMargin)).as("dd"))
+    val ab = d2.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("clabel") === col("label"), col("dd"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dd"))).as("b"))
+    val sil = ab.select(col("vec_id"), col("label"),
+      expr("""CAST(CASE WHEN b IS NULL THEN NULL
+        |  WHEN greatest(sqrt(CAST(a AS DOUBLE)), sqrt(CAST(b AS DOUBLE)))
+        |    > 0 THEN
+        |    (sqrt(CAST(b AS DOUBLE)) - sqrt(CAST(a AS DOUBLE)))
+        |      / greatest(sqrt(CAST(a AS DOUBLE)), sqrt(CAST(b AS DOUBLE)))
+        |  ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,9))""".stripMargin)
+        .as("s"))
+    sil.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        round(sum(col("s")).cast("double") / count(lit(1)), 6)
+          .as("mean_silhouette"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).cast("long").as("neg"))
+      .select(col("label"), col("n_vecs"),
+        col("mean_silhouette"),
+        graft.functions.Exact.ratio6("neg", "n_vecs")
+          .as("negative_share"))
+      .orderBy(col("label"))
   }
 }

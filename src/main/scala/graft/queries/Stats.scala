@@ -35,7 +35,8 @@ object Stats {
     q232TheilDecomposition, q233BayesAverage, q234ExpGapKs,
     q235Overdispersion, q236WilsonCi, q239EntropyRate, q240NeweyWest,
     q241DisparateImpact, q242MeansProfile, q243JarqueBera,
-    q245KruskalWallis, q246Burstiness, q247MeanExcess, q248HodAnova)
+    q245KruskalWallis, q246Burstiness, q247MeanExcess, q248HodAnova,
+    q249JamesStein)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -5189,6 +5190,164 @@ object Stats {
           |    / ((sstot - ssb) / CAST(n - k AS DOUBLE))
           |  ELSE NULL END""".stripMargin), 6).as("f_stat"),
         (eta2 > 0.14).as("strong_seasonality"))
+      .orderBy(col("event_type"))
+  }
+
+  /** JAMES–STEIN SHRUNK DAILY MEANS — the selection-bias corrector for
+    * "which event type runs hottest per day": raw per-type daily means
+    * over the SHARED calendar grid are dominated (k > 3) by shrinking
+    * every mean toward the grand mean by
+    * c = max(0, 1 − (k−3)·(s²_w/D)/B), s²_w the pooled within-type
+    * daily variance, B = Σ(x̄_i − x̄)² the between-type spread. Where
+    * q233's Bayesian average shrinks ONE noisy group with a chosen
+    * prior weight, this estimates the weight FROM the ensemble — the
+    * classic empirical-Bayes leaderboard de-noiser, and the reason the
+    * top of a raw leaderboard regresses next week.
+    *
+    * Exactness: the shared day grid (all types span the same [g0, g1] —
+    * the grid is GLOBAL so every x̄_i has the same denominator D and
+    * the equal-variance JS setup applies) gives exact int64 S_i, Q_i,
+    * S_i² (≤ ~4e10 at sf0.1, documented to S_i ≤ 3e9); the between and
+    * within terms are per-type fixed-order double chains cast
+    * DECIMAL(28,9) — wider than the house 18 because Q_i − S_i²/D is an
+    * un-normalized SS that clears 1e9 at modest density — summed
+    * associatively ACROSS types via the q197 window-total idiom, so
+    * type order cannot move bits. k ≤ 3 (the JS dominance condition),
+    * D ≤ 1, or B = 0 (all means equal) → NULL factor and shrunk means
+    * via explicit CASE on both engines.
+    *
+    * Plan: one scan → (type, day) counts → global-bounds broadcast grid
+    * join (|types|·D rows) → one 3-moment aggregate per type → window
+    * totals over the k-row frame. Scan-dominated; k-row state.
+    */
+  val q249JamesStein = Q(
+    "q249_james_stein",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |gb AS (SELECT min(day) AS g0, max(day) AS g1 FROM e),
+      |dc AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |grid AS (
+      |  SELECT ty.event_type, gb.g0 + u.t AS day
+      |  FROM ty CROSS JOIN gb
+      |  CROSS JOIN (SELECT unnest(range(0, (SELECT g1 - g0 + 1 FROM gb)))
+      |    AS t) u
+      |),
+      |x AS (
+      |  SELECT g.event_type, COALESCE(dc.c, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.day
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM x GROUP BY 1
+      |),
+      |w1 AS (
+      |  SELECT event_type, dd, s, q,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(sum(s) OVER () AS BIGINT) AS g
+      |  FROM mom
+      |),
+      |w AS (
+      |  SELECT event_type, dd, s, k, g,
+      |    CAST(sum(CAST(
+      |      (CAST(s AS DOUBLE) / CAST(dd AS DOUBLE)
+      |        - CAST(g AS DOUBLE) / CAST(k * dd AS DOUBLE))
+      |      * (CAST(s AS DOUBLE) / CAST(dd AS DOUBLE)
+      |        - CAST(g AS DOUBLE) / CAST(k * dd AS DOUBLE))
+      |      AS DECIMAL(28,9))) OVER () AS DOUBLE) AS bvar,
+      |    CAST(sum(CAST(
+      |      CAST(q AS DOUBLE)
+      |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(dd AS DOUBLE)
+      |      AS DECIMAL(28,9))) OVER () AS DOUBLE) AS wss
+      |  FROM w1
+      |),
+      |fin AS (
+      |  SELECT event_type, dd, s, k,
+      |    CAST(s AS DOUBLE) / CAST(dd AS DOUBLE) AS raw,
+      |    CAST(g AS DOUBLE) / CAST(k * dd AS DOUBLE) AS grand,
+      |    CASE WHEN k > 3 AND dd > 1 AND bvar > 0 THEN
+      |      greatest(CAST(0 AS DOUBLE),
+      |        CAST(1 AS DOUBLE)
+      |          - CAST(k - 3 AS DOUBLE)
+      |            * ((wss / CAST(k * (dd - 1) AS DOUBLE))
+      |              / CAST(dd AS DOUBLE))
+      |            / bvar)
+      |    ELSE NULL END AS cf
+      |  FROM w
+      |)
+      |SELECT event_type, CAST(s AS BIGINT) AS n_events,
+      |  CAST(dd AS BIGINT) AS days,
+      |  CAST(((2 * CAST(s AS BIGINT) * 1000000 + CAST(dd AS BIGINT))
+      |    // nullif(2 * CAST(dd AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS raw_daily_mean,
+      |  round(cf, 6) AS shrink_factor,
+      |  round(grand + cf * (raw - grand), 6) AS shrunk_daily_mean
+      |FROM fin
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val gb = e.agg(min(col("day")).as("g0"), max(col("day")).as("g1"))
+    val dc = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val ty = e.select(col("event_type")).distinct()
+    val grid = ty.crossJoin(broadcast(gb))
+      .select(col("event_type").as("g_type"), col("g0"),
+        explode(sequence(lit(0L), col("g1") - col("g0"))).as("t"))
+      .select(col("g_type"), (col("g0") + col("t")).as("day"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type") && dc("day") === grid("day"),
+        "left")
+      .select(col("g_type").as("event_type"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("dd"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("q"))
+    val wAll = Window.partitionBy()
+    val w1 = mom.select(col("event_type"), col("dd"), col("s"), col("q"),
+      count(lit(1)).over(wAll).cast("long").as("k"),
+      sum(col("s")).over(wAll).cast("long").as("g"))
+    val w = w1.select(col("event_type"), col("dd"), col("s"), col("k"),
+      col("g"),
+      sum(expr("""CAST(
+        |  (CAST(s AS DOUBLE) / CAST(dd AS DOUBLE)
+        |    - CAST(g AS DOUBLE) / CAST(k * dd AS DOUBLE))
+        |  * (CAST(s AS DOUBLE) / CAST(dd AS DOUBLE)
+        |    - CAST(g AS DOUBLE) / CAST(k * dd AS DOUBLE))
+        |  AS DECIMAL(28,9))""".stripMargin)).over(wAll).cast("double")
+        .as("bvar"),
+      sum(expr("""CAST(
+        |  CAST(q AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(dd AS DOUBLE)
+        |  AS DECIMAL(28,9))""".stripMargin)).over(wAll).cast("double")
+        .as("wss"))
+    val fin = w.select(col("event_type"), col("dd"), col("s"), col("k"),
+      expr("CAST(s AS DOUBLE) / CAST(dd AS DOUBLE)").as("raw"),
+      expr("CAST(g AS DOUBLE) / CAST(k * dd AS DOUBLE)").as("grand"),
+      expr("""CASE WHEN k > 3 AND dd > 1 AND bvar > 0 THEN
+        |  greatest(CAST(0 AS DOUBLE),
+        |    CAST(1 AS DOUBLE)
+        |      - CAST(k - 3 AS DOUBLE)
+        |        * ((wss / CAST(k * (dd - 1) AS DOUBLE))
+        |          / CAST(dd AS DOUBLE))
+        |        / bvar)
+        |ELSE NULL END""".stripMargin).as("cf"))
+    fin.select(col("event_type"), col("s").cast("long").as("n_events"),
+        col("dd").cast("long").as("days"),
+        Exact.ratio6("s", "dd").as("raw_daily_mean"),
+        round(col("cf"), 6).as("shrink_factor"),
+        round(expr("grand + cf * (raw - grand)"), 6)
+          .as("shrunk_daily_mean"))
       .orderBy(col("event_type"))
   }
 }

@@ -18,7 +18,7 @@ object TextAnalysis {
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
       q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
-      q218ZipfSlope, q227CosineProfiles)
+      q218ZipfSlope, q227CosineProfiles, q250OovRate)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -1666,5 +1666,84 @@ object TextAnalysis {
           |  / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"""
           .stripMargin), 6).as("cosine"))
       .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** OUT-OF-VOCABULARY RATE BY SOURCE — the tokenizer-fit audit: what
+    * fraction of each source's token stream falls outside the corpus
+    * HEAD vocabulary (here the top-16 terms by the TOTAL (count DESC,
+    * term) order — the fixture's closed 31-word vocabulary makes 16 a
+    * genuine half-split; production dials K to the tokenizer's vocab
+    * size). High OOV flags the source that will fragment into subword
+    * soup and blow up tokens-per-byte — the per-source companion to
+    * q194's global vocabulary-growth curve and q230's unseen-mass
+    * estimate, and the input a mixture rebalancer (q69) reads before
+    * upweighting a source.
+    *
+    * Exactness: pure integer token counting end to end; head
+    * membership is the deterministic total order (count DESC, term) —
+    * binary collation both engines, the q218 rank discipline; the rate
+    * is ratio6-exact; sources explicitly non-NULL on both engines.
+    *
+    * Plan: one tokenize scan → vocab-sized term counts (map-side
+    * combined) → a 16-row head table BROADCAST into a membership left
+    * join → one (source) aggregate. The only global sort is over the
+    * VOCABULARY (never the corpus); at 10⁹-type vocabularies the
+    * top-K selection shards by the q142 two-pass rank decomposition.
+    */
+  val q250OovRate = Q(
+    "q250_oov_rate",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL
+      |),
+      |t AS (SELECT source, term FROM tok WHERE term <> ''),
+      |vc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |hd AS (
+      |  SELECT term FROM (
+      |    SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk
+      |    FROM vc
+      |  ) r WHERE rk <= 16
+      |),
+      |st AS (
+      |  SELECT t.source,
+      |    CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN hd.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS oov_tokens,
+      |    CAST(count(DISTINCT CASE WHEN hd.term IS NULL THEN t.term END)
+      |      AS BIGINT) AS oov_types
+      |  FROM t LEFT JOIN hd ON hd.term = t.term
+      |  GROUP BY 1
+      |)
+      |SELECT source, n_tokens, oov_tokens, oov_types,
+      |  CAST(((2 * CAST(oov_tokens AS BIGINT) * 1000000
+      |    + CAST(n_tokens AS BIGINT))
+      |    // nullif(2 * CAST(n_tokens AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |    AS oov_rate
+      |FROM st
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val t = Tables.documentsWide(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val vc = t.groupBy(col("term")).agg(count(lit(1)).cast("long").as("c"))
+    val hd = vc.select(col("term"),
+        row_number().over(Window.orderBy(col("c").desc, col("term")))
+          .as("rk"))
+      .filter(col("rk") <= 16)
+      .select(col("term").as("h_term"))
+    val st = t.join(broadcast(hd), col("term") === col("h_term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("h_term").isNull, 1L).otherwise(0L)).cast("long")
+          .as("oov_tokens"),
+        countDistinct(when(col("h_term").isNull, col("term")))
+          .cast("long").as("oov_types"))
+    st.select(col("source"), col("n_tokens"), col("oov_tokens"),
+        col("oov_types"),
+        graft.functions.Exact.ratio6("oov_tokens", "n_tokens")
+          .as("oov_rate"))
+      .orderBy(col("source"))
   }
 }

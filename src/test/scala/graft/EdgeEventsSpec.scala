@@ -560,6 +560,12 @@ class EdgeEventsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r).toMap
     assert(an("solo").isNullAt(3) && an("solo").isNullAt(4))
     assert(an("multi").isNullAt(3), "constant series must NULL eta2")
+    // q249: two types fail the k > 3 James–Stein dominance condition —
+    // raw means stay, shrinkage columns are NULL, never a fabricated c
+    val js = SparkEntry.queries("q249_james_stein")(spark, dir).collect()
+    assert(js.length === 2)
+    assert(js.forall(r => r.isNullAt(4) && r.isNullAt(5)),
+      "k <= 3 must NULL the shrinkage, not invent one")
   }
 
   test("q177: zero pre-period variance gives NULL theta and adjusted " +

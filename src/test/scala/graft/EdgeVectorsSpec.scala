@@ -34,6 +34,25 @@ class EdgeVectorsSpec extends SparkSpec {
     }
   }
 
+  test("q251 silhouette: zero vector is an ordinary member; a single-" +
+      "label corpus has no foreign centroid and reports NULL means") {
+    val rows = SparkEntry.queries("q251_silhouette")(spark, dir).collect()
+    assert(rows.length === 3) // labels 0,1,2 — zero vector participates
+    assert(rows.forall(r => !r.isNullAt(2)), "multi-label means are real")
+    // single-label corpus: b is undefined for every vector → NULL mean
+    // silhouette, negative share 0 (no vector scores at all)
+    val d1 = "/tmp/graft_edge_vectors_onelabel"
+    import spark.implicits._
+    val rows1 = (0L until 6L).map(i =>
+      (i, Array.tabulate(8)(j => (i + j).toFloat / 10f), 5))
+    rows1.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d1/embeddings.parquet")
+    val got = SparkEntry.queries("q251_silhouette")(spark, d1).collect()
+    assert(got.length === 1 && got.head.getLong(1) === 6L)
+    assert(got.head.isNullAt(2), "no foreign centroid → NULL mean")
+    assert(got.head.getDouble(3) === 0.0, "negative share counts nothing")
+  }
+
   test("q93 centroids tolerate the zero vector as an ordinary member") {
     val rows = SparkEntry.queries("q93_label_centroids")(spark, dir)
       .collect()

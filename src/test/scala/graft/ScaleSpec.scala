@@ -477,7 +477,10 @@ class ScaleSpec extends SparkSpec {
       // q246's lag window and q248's grid/cell aggregates are join-free
       // or equi-keyed; q247's 5-row moment frame is an explicit
       // broadcast HASH join on event_type, not a nested loop
-      "q246_burstiness", "q247_mean_excess", "q248_hod_anova")) {
+      "q246_burstiness", "q247_mean_excess", "q248_hod_anova",
+      // q250's 16-row head table is an explicit broadcast HASH join;
+      // q251's K×D centroid fan is pos-keyed
+      "q250_oov_rate", "q251_silhouette")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -496,7 +499,9 @@ class ScaleSpec extends SparkSpec {
       "q225_capture_recapture", "q232_theil_decomposition",
       "q233_bayes_average", "q236_wilson_ci",
       "q238_growth_accounting", "q239_entropy_rate",
-      "q241_disparate_impact")) {
+      "q241_disparate_impact",
+      // q249's global-bounds 1-row grid seed is a designed broadcast
+      "q249_james_stein")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

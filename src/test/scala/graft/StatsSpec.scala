@@ -1942,6 +1942,122 @@ class StatsSpec extends SparkSpec {
     assert(series.keySet === got.keySet)
   }
 
+  test("q249 James–Stein replays from a direct pooled-variance formula; " +
+      "shrinkage moves every mean strictly toward the grand mean") {
+    val got = Stats.q249JamesStein.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (g0, g1) = (raw.map(_._2).min, raw.map(_._2).max)
+    val dd = (g1 - g0 + 1).toInt
+    val series = raw.groupBy(_._1).map { case (t, v) =>
+      val cnt = v.groupBy(_._2).map { case (h, g) => h -> g.length.toLong }
+      t -> (g0 to g1).map(h => cnt.getOrElse(h, 0L)).toArray
+    }
+    val k = series.size
+    val means = series.map { case (t, xs) => t -> xs.sum.toDouble / dd }
+    val grand = means.values.sum / k
+    val b = means.values.map(m => (m - grand) * (m - grand)).sum
+    val sw2 = series.values.map { xs =>
+      val mu = xs.sum.toDouble / dd
+      xs.map(x => (x - mu) * (x - mu)).sum / (dd - 1)
+    }.sum / k
+    val cf = math.max(0.0, 1.0 - (k - 3) * (sw2 / dd) / b)
+    for ((t, xs) <- series) {
+      val (gn, gd, graw, gcf, gshr) = got(t)
+      assert(gn === xs.sum && gd === dd.toLong, s"$t grid shape")
+      assert(math.abs(graw - means(t)) < 1e-5 * (1 + means(t)))
+      if (k > 3 && dd > 1 && b > 0) {
+        assert(math.abs(gcf.get - cf) < 1e-4, s"$t factor $gcf vs $cf")
+        val shr = grand + cf * (means(t) - grand)
+        assert(math.abs(gshr.get - shr) < 1e-4 * (1 + shr.abs), s"$t shrunk")
+        // between (or at) raw and grand: shrinkage never overshoots for
+        // c ∈ [0, 1] — slack 1e-6 because the published value rounds at 6
+        assert((gshr.get - grand) * (means(t) - grand) >= -1e-6 * (1 + grand)
+          && (gshr.get - grand).abs <= (means(t) - grand).abs + 1e-6)
+      } else assert(gcf.isEmpty && gshr.isEmpty)
+    }
+  }
+
+  test("q250 OOV rate replays from a Scala token sort; head membership " +
+      "follows the (count DESC, term) total order exactly") {
+    val got = TextAnalysis.q250OovRate.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    }.toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (s, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).map(s -> _)
+    }
+    val head = toks.groupBy(_._2).map { case (w, g) => (w, g.length) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(16).map(_._1).toSet
+    for ((s, g) <- toks.groupBy(_._1)) {
+      val oov = g.map(_._2).filterNot(head)
+      val (gn, goov, gtypes, grate) = got(s)
+      assert(gn === g.length.toLong, s"$s token total")
+      assert(goov === oov.length.toLong, s"$s oov tokens")
+      assert(gtypes === oov.distinct.length.toLong, s"$s oov types")
+      assert(math.abs(grate - oov.length.toDouble / g.length) < 2e-6)
+    }
+    assert(got.keySet === toks.map(_._1).toSet)
+  }
+
+  test("q251 silhouette replays from double-mean centroids; |s| ≤ 1 and " +
+      "the overlapping fixture reads as weak separation on both paths") {
+    val out = graft.queries.Similarity.q251Silhouette.fn(spark, sf)
+      .collect().map { r =>
+        r.getInt(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getDouble(3)))
+      }.toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .filter(col("label").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(v =>
+          math.round(v.toDouble * 1e6) / 1e6).toArray))
+    val byLabel = vecs.groupBy(_._2)
+    val cents = byLabel.map { case (l, g) =>
+      val dim = g.head._3.length
+      l -> Array.tabulate(dim)(i => g.map(_._3(i)).sum / g.length)
+    }
+    val sByLabel = collection.mutable.Map.empty[Int, List[Double]]
+    for ((_, l, v) <- vecs) {
+      def d2(c: Array[Double]) =
+        v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+      val a = math.sqrt(d2(cents(l)))
+      val b = math.sqrt(cents.collect {
+        case (cl, c) if cl != l => d2(c)
+      }.min)
+      val s = if (math.max(a, b) > 0) (b - a) / math.max(a, b) else 0.0
+      sByLabel(l) = s :: sByLabel.getOrElse(l, Nil)
+    }
+    for ((l, ss) <- sByLabel) {
+      val (gn, gmean, gneg) = out(l)
+      assert(gn === ss.length.toLong)
+      assert(math.abs(gmean.get - ss.sum / ss.length) < 1e-4, s"label $l")
+      assert(math.abs(gneg - ss.count(_ < 0).toDouble / ss.length) < 1e-4)
+      assert(gmean.get.abs <= 1.0 + 1e-9)
+    }
+    // measured truth about this corpus (replay CONCURS): the label
+    // clouds overlap enough that every centroid-silhouette mean sits
+    // slightly BELOW zero (≈ −0.006) — the operator correctly reports
+    // weak separation; the per-label exact agreement above is the net,
+    // and KmeansSpec/q93 hold the complementary separation evidence
+    assert(out.values.forall { case (_, m, neg) =>
+      m.get > -0.2 && neg >= 0.0 && neg <= 1.0
+    })
+    assert(out.keySet === sByLabel.keySet)
+  }
+
   test("q244 seasonal EWMA replays through the sequential recurrence " +
       "over driver-deseasonalized series; residuals sum to ~0") {
     val got = Analytic.q244SeasonalEwma.fn(spark, sf).collect().map { r =>
