@@ -3584,7 +3584,8 @@ object Analytic {
       |  SELECT DISTINCT user_id,
       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
       |      - (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))
-      |          // 86400000000) FROM events WHERE ts IS NOT NULL))
+      |          // 86400000000) FROM events
+      |         WHERE ts IS NOT NULL AND user_id IS NOT NULL))
       |      // 7 AS wk
       |  FROM events
       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL

@@ -875,7 +875,7 @@ object Stats {
     s"""WITH b AS (
       |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
       |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |),
       |h AS (
       |  SELECT user_id,
@@ -989,7 +989,7 @@ object Stats {
     s"""WITH b AS (
       |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
       |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |),
       |u AS (
       |  SELECT user_id,
@@ -3080,7 +3080,8 @@ object Stats {
       |  SELECT DISTINCT user_id,
       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
       |      - (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))
-      |          // 86400000000) FROM events WHERE ts IS NOT NULL))
+      |          // 86400000000) FROM events
+      |         WHERE ts IS NOT NULL AND user_id IS NOT NULL))
       |      // 7 AS wk
       |  FROM events
       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
@@ -3856,7 +3857,7 @@ object Stats {
       |rk AS (
       |  SELECT g.event_type, g.gp, m.n, m.sg,
       |    row_number() OVER (PARTITION BY g.event_type
-      |      ORDER BY g.gp, g.gp) AS i,
+      |      ORDER BY g.gp) AS i,
       |    CAST(1 AS DOUBLE)
       |      - CAST(exp(CAST(0 AS DOUBLE)
       |          - CAST(m.n AS DOUBLE) / CAST(m.sg AS DOUBLE)
