@@ -36,7 +36,7 @@ object Stats {
     q235Overdispersion, q236WilsonCi, q239EntropyRate, q240NeweyWest,
     q241DisparateImpact, q242MeansProfile, q243JarqueBera,
     q245KruskalWallis, q246Burstiness, q247MeanExcess, q248HodAnova,
-    q249JamesStein)
+    q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -5349,6 +5349,302 @@ object Stats {
         round(col("cf"), 6).as("shrink_factor"),
         round(expr("grand + cf * (raw - grand)"), 6)
           .as("shrunk_daily_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  /** SAMPLE-RATIO MISMATCH CHECK — the experiment-health gate that runs
+    * BEFORE any q154/q177 readout: a 3-arm md5 split ('srm|' salt, the
+    * q65 hash-split device) should land each arm at n/3 users; the χ²
+    * goodness-of-fit Q = Σ(Oₐ − n/3)²/(n/3) collapses to the EXACT int64
+    * rational (3·ΣOₐ² − n²)/n (derived with the literal 3, so an arm
+    * with ZERO users contributes its (0 − n/3)² term correctly even
+    * though it emits no output row). df = k−1 = 2 — the q216 closed-form
+    * tail p = e^(−Q/2) applies (no erf in either engine); a p below
+    * 0.001 is the standard "stop the experiment, the assignment is
+    * broken" flag (Fabijan et al.'s diagnostic threshold).
+    *
+    * Exactness: arm counts are exact int64 over distinct users; Q is ONE
+    * double division of exact int64s; the tail goes through the q216
+    * float-cast-exp quantization. n = 0 → empty output (no users, no
+    * verdict).
+    *
+    * Plan: one distinct-user aggregate (map-side combined), a ≤3-row arm
+    * table with a 1-row total attached by the q197 window idiom. At
+    * 100 TB the post-distinct state is one row per user — the same
+    * footprint every experiment operator here already carries.
+    */
+  val q252SrmCheck = Q(
+    "q252_srm_check",
+    s"""WITH u AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(('0x' || substr(md5('srm|' || CAST(user_id AS VARCHAR)),
+      |      1, 1)) AS BIGINT) % 3 AS arm
+      |  FROM events WHERE user_id IS NOT NULL
+      |),
+      |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS o FROM u GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(sum(o * o) AS BIGINT) AS oq
+      |  FROM a
+      |)
+      |SELECT a.arm, a.o AS observed,
+      |  ${Exact.Sql.ratio6("a.o", "t.n")} AS share,
+      |  round(CAST(3 * t.oq - t.n * t.n AS DOUBLE) / CAST(t.n AS DOUBLE),
+      |    6) AS chi2,
+      |  round(CAST(CAST(exp(CAST(0 AS DOUBLE)
+      |      - CAST(3 * t.oq - t.n * t.n AS DOUBLE) / CAST(t.n AS DOUBLE)
+      |        / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE), 6) AS p_value,
+      |  CAST(CAST(exp(CAST(0 AS DOUBLE)
+      |      - CAST(3 * t.oq - t.n * t.n AS DOUBLE) / CAST(t.n AS DOUBLE)
+      |        / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE) < 0.001
+      |    AS srm_flag
+      |FROM a CROSS JOIN t
+      |ORDER BY a.arm""".stripMargin,
+  ) { (s, d) =>
+    val u = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        (conv(substring(md5(concat(lit("srm|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 3).as("arm"))
+      .distinct()
+    val a = u.groupBy(col("arm")).agg(count(lit(1)).cast("long").as("o"))
+    val wAll = Window.partitionBy()
+    val w = a.select(col("arm"), col("o"),
+      sum(col("o")).over(wAll).cast("long").as("n"),
+      sum(col("o") * col("o")).over(wAll).cast("long").as("oq"))
+    val q = expr("CAST(3 * oq - n * n AS DOUBLE) / CAST(n AS DOUBLE)")
+    val p = expr("""CAST(CAST(exp(CAST(0 AS DOUBLE)
+      |    - CAST(3 * oq - n * n AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE)""".stripMargin)
+    w.select(col("arm"), col("o").as("observed"),
+        Exact.ratio6("o", "n").as("share"),
+        round(q, 6).as("chi2"),
+        round(p, 6).as("p_value"),
+        (p < 0.001).as("srm_flag"))
+      .orderBy(col("arm"))
+  }
+
+  /** POST-STRATIFIED ATE — the observational cousin of q177's CUPED:
+    * stratify users into activity quartiles (ntile(4) on total event
+    * count, heaviest first, user_id tiebreak — the q174 decile device),
+    * difference the arm means WITHIN each stratum, and weight the
+    * per-stratum differences by stratum size. Stratification removes the
+    * confounding that total activity carries into spend, and the
+    * stratum-weighted combination Σ wₛ·(ȳₜ,ₛ − ȳ꜀,ₛ) is the textbook
+    * post-stratification estimator (the design-based identity twin of
+    * regression adjustment on stratum dummies).
+    *
+    * Exactness: per-user spend is exact int64 cents (value IS NOT NULL
+    * terms only, the q177 CASE); each cell mean is ONE double divide of
+    * exact int64s, the per-stratum diff a fixed-order chain, and the
+    * weighted combination quantizes each wₛ·diffₛ term to DECIMAL(18,9)
+    * before the associative window total (the q197 idiom). A stratum
+    * missing either arm has no defined contrast — the ATE is NULL for
+    * the whole readout (stated: post-stratification is undefined on
+    * unsupported strata, never silently re-weighted).
+    *
+    * Plan: one per-user aggregate, one user-count ntile window (q161's
+    * shard note applies at 10⁹ users), an 8-cell aggregate, a 4-row
+    * finish. Nothing after the per-user collapse is row-proportional.
+    */
+  val q253PostStratAte = Q(
+    "q253_post_strat_ate",
+    s"""WITH m AS (
+      |  SELECT user_id,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+      |      1, 1)) AS BIGINT) % 2 AS arm,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(sum(CASE WHEN value IS NOT NULL
+      |      THEN CAST(round(100 * value) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS cents
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |s AS (
+      |  SELECT user_id, arm, cents,
+      |    ntile(4) OVER (ORDER BY n_events DESC, user_id) AS stratum
+      |  FROM m
+      |),
+      |cell AS (
+      |  SELECT stratum, arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sc
+      |  FROM s GROUP BY 1, 2
+      |),
+      |st AS (
+      |  SELECT stratum,
+      |    max(CASE WHEN arm = 1 THEN n END) AS nt,
+      |    max(CASE WHEN arm = 1 THEN sc END) AS sct,
+      |    max(CASE WHEN arm = 0 THEN n END) AS nc,
+      |    max(CASE WHEN arm = 0 THEN sc END) AS scc
+      |  FROM cell GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT stratum, nt, nc,
+      |    CASE WHEN nt IS NOT NULL AND nc IS NOT NULL THEN
+      |      (CAST(sct AS DOUBLE) / CAST(nt AS DOUBLE)
+      |        - CAST(scc AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
+      |    ELSE NULL END AS diff,
+      |    sum(COALESCE(nt, 0) + COALESCE(nc, 0)) OVER () AS ntot
+      |  FROM st
+      |),
+      |g AS (
+      |  SELECT stratum, nt, nc, diff, ntot,
+      |    sum(CAST(diff * (CAST(COALESCE(nt, 0) + COALESCE(nc, 0)
+      |        AS DOUBLE) / CAST(ntot AS DOUBLE)) AS DECIMAL(18,9)))
+      |      OVER () AS wsum,
+      |    sum(CASE WHEN diff IS NULL THEN 1 ELSE 0 END) OVER () AS bad
+      |  FROM f
+      |)
+      |SELECT CAST(stratum AS INTEGER) AS stratum,
+      |  COALESCE(nt, 0) AS n_treat, COALESCE(nc, 0) AS n_ctrl,
+      |  round(diff, 6) AS stratum_diff,
+      |  CASE WHEN bad = 0 THEN round(CAST(wsum AS DOUBLE), 6)
+      |    ELSE NULL END AS ate
+      |FROM g
+      |ORDER BY stratum""".stripMargin,
+  ) { (s, d) =>
+    val m = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        (conv(substring(md5(concat(lit("ab|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2).as("arm"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(when(col("value").isNotNull,
+          expr("CAST(round(100 * value) AS BIGINT)")).otherwise(0L))
+          .cast("long").as("cents"))
+    val st = m
+      .select(col("arm"), col("cents"),
+        ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id")))
+          .as("stratum"))
+      .groupBy(col("stratum"), col("arm"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("sc"))
+      .groupBy(col("stratum"))
+      .agg(max(when(col("arm") === 1, col("n"))).as("nt"),
+        max(when(col("arm") === 1, col("sc"))).as("sct"),
+        max(when(col("arm") === 0, col("n"))).as("nc"),
+        max(when(col("arm") === 0, col("sc"))).as("scc"))
+    val wAll = Window.partitionBy()
+    val f = st.select(col("stratum"), col("nt"), col("nc"),
+      expr("""CASE WHEN nt IS NOT NULL AND nc IS NOT NULL THEN
+        |  (CAST(sct AS DOUBLE) / CAST(nt AS DOUBLE)
+        |    - CAST(scc AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
+        |ELSE NULL END""".stripMargin).as("diff"),
+      sum(coalesce(col("nt"), lit(0L)) + coalesce(col("nc"), lit(0L)))
+        .over(wAll).as("ntot"))
+    val g = f.select(col("stratum"), col("nt"), col("nc"), col("diff"),
+      sum(expr("""CAST(diff * (CAST(COALESCE(nt, 0) + COALESCE(nc, 0)
+        |  AS DOUBLE) / CAST(ntot AS DOUBLE)) AS DECIMAL(18,9))"""
+        .stripMargin)).over(wAll).as("wsum"),
+      sum(when(col("diff").isNull, 1).otherwise(0)).over(wAll).as("bad"))
+    g.select(col("stratum").cast("int").as("stratum"),
+        coalesce(col("nt"), lit(0L)).as("n_treat"),
+        coalesce(col("nc"), lit(0L)).as("n_ctrl"),
+        round(col("diff"), 6).as("stratum_diff"),
+        when(col("bad") === 0, round(col("wsum").cast("double"), 6))
+          .otherwise(lit(null)).as("ate"))
+      .orderBy(col("stratum"))
+  }
+
+  /** MDE / POWER CALCULATOR — the question every experiment review asks
+    * FIRST: with this much history, what daily-mean shift could a
+    * two-arm test even detect? From each type's daily-count moments the
+    * minimum detectable effect at α = 0.05 (two-sided), power 0.80, for
+    * a two-sample comparison with n days per arm is
+    * MDE = (z₀.₉₇₅ + z₀.₈₀)·√(2s²/n) — the 2.801585 literal is that
+    * z-sum (1.959964 + 0.841621), the only distribution constant the
+    * formula needs.
+    *
+    * Exactness: n/S/Q are the q235 exact int64 grid moments;
+    * s² = (nQ − S²)/(n(n−1)) and the MDE are ONE fixed-order double
+    * chain with a single IEEE sqrt; the relative MDE divides by the
+    * exact-rational mean with a nullif(S) guard (an all-zero series has
+    * no relative scale). Single-day spans carry no variance — excluded
+    * (WHERE n > 1, stated).
+    *
+    * Plan: the q235 per-type dense-grid aggregate, 5-row finish —
+    * scan-dominated at any scale.
+    */
+  val q254MdePower = Q(
+    "q254_mde_power",
+    s"""WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t,
+      |    b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM x GROUP BY 1
+      |)
+      |SELECT event_type, n AS n_days,
+      |  ${Exact.Sql.ratio6("s", "n")} AS mean_count,
+      |  round(CAST(n * q - s * s AS DOUBLE)
+      |    / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS var_count,
+      |  round(2.801585 * sqrt(CAST(2 AS DOUBLE)
+      |      * (CAST(n * q - s * s AS DOUBLE)
+      |        / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |      / CAST(n AS DOUBLE)), 6) AS mde_abs,
+      |  round(2.801585 * sqrt(CAST(2 AS DOUBLE)
+      |      * (CAST(n * q - s * s AS DOUBLE)
+      |        / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |      / CAST(n AS DOUBLE))
+      |    * CAST(n AS DOUBLE) / nullif(CAST(s AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS mde_rel
+      |FROM mom WHERE n > 1
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("q"))
+    val mde = expr("""2.801585 * sqrt(CAST(2 AS DOUBLE)
+      |  * (CAST(n * q - s * s AS DOUBLE)
+      |    / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+      |  / CAST(n AS DOUBLE))""".stripMargin)
+    mom.filter(col("n") > 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        Exact.ratio6("s", "n").as("mean_count"),
+        round(expr("""CAST(n * q - s * s AS DOUBLE)
+          |  / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)""".stripMargin),
+          6).as("var_count"),
+        round(mde, 6).as("mde_abs"),
+        round(mde * expr("""CAST(n AS DOUBLE)
+          |  / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))"""
+          .stripMargin), 6).as("mde_rel"))
       .orderBy(col("event_type"))
   }
 }

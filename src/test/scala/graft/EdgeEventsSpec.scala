@@ -661,4 +661,30 @@ class EdgeEventsSpec extends SparkSpec {
     assert(r.getLong(2) === 1L && r.getLong(3) === 0L)
     assert(r.isNullAt(4), "zero total energy → NULL share")
   }
+
+  test("q252/q253/q254 degenerate: one user concentrates the split; one " +
+      "stratum misses an arm; single-day spans carry no MDE") {
+    val d = "/tmp/graft_edge_events_oneuser"
+    import spark.implicits._
+    Seq((1L, 1000000000L, 7L, "t", 5.0, "{}"),
+      (2L, 2000000000L, 7L, "t", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    // one user → one arm observed, chi2 = (3·1 − 1)/1 = 2 exactly (the
+    // absent arms' (0 − n/3)² terms are in the closed form by algebra)
+    val srm = SparkEntry.queries("q252_srm_check")(spark, d).collect()
+    assert(srm.length === 1)
+    assert(srm.head.getLong(1) === 1L && srm.head.getDouble(2) === 1.0)
+    assert(srm.head.getDouble(3) === 2.0)
+    assert(!srm.head.getBoolean(5), "p = e^{-1} is not an SRM flag")
+    // one user → its stratum has a single arm → no contrast → NULL ATE
+    val ate = SparkEntry.queries("q253_post_strat_ate")(spark, d).collect()
+    assert(ate.length === 1)
+    assert(ate.head.isNullAt(3), "missing arm must NULL the diff")
+    assert(ate.head.isNullAt(4), "unsupported stratum must NULL the ATE")
+    // the shared fixture spans one calendar day → n = 1 for every type →
+    // no variance, no MDE row (WHERE n > 1, stated)
+    assert(SparkEntry.queries("q254_mde_power")(spark, dir).collect()
+      .isEmpty, "single-day spans are excluded from the MDE readout")
+  }
 }

@@ -507,4 +507,19 @@ class ScaleSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
     }
   }
+
+  test("round-14 family: experiment-health and detectability operators " +
+      "stay window/equi-keyed — no cartesian, no nested loop") {
+    // q252/q253 are window-total shapes over arm/stratum aggregates;
+    // q254 reuses the q235 dense-grid equi join
+    for (name <- Seq("q252_srm_check", "q253_post_strat_ate",
+      "q254_mde_power")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name planned a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name planned a nested-loop join:\n$plan")
+    }
+  }
 }

@@ -2095,4 +2095,121 @@ class StatsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q252 SRM replays from a Scala hash split; chi2 identity " +
+      "(3*sum(O^2) - n^2)/n matches the direct three-term sum") {
+    val got = Stats.q252SrmCheck.fn(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5)))
+    }.toMap
+    val users = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"srm|$u".getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${h(0) & 0xff}%02x".take(1), 16) % 3
+    }
+    val byArm = users.groupBy(arm).map { case (a, g) => a -> g.length.toLong }
+    val n = users.length.toLong
+    // direct three-term chi-square (including absent arms' (0 - n/3)^2)
+    val chi2 = (0L to 2L).map { a =>
+      val o = byArm.getOrElse(a, 0L).toDouble
+      val e = n / 3.0
+      (o - e) * (o - e) / e
+    }.sum
+    for ((a, o) <- byArm) {
+      val (go, gchi, gp, gflag) = got(a)
+      assert(go === o, s"arm $a count")
+      assert(math.abs(gchi - chi2) < 1e-4 * (1 + chi2), s"arm $a chi2")
+      val p = math.exp(-chi2 / 2)
+      assert(math.abs(gp - p) < 1e-4, s"arm $a p")
+      assert(gflag === (p < 0.001))
+    }
+    assert(got.keySet === byArm.keySet)
+  }
+
+  test("q253 post-stratified ATE replays from a Scala ntile + cell means; " +
+      "weights sum to one and the ATE matches the weighted combination") {
+    val got = Stats.q253PostStratAte.fn(spark, sf).collect().map { r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) 0L else math.round(100 * r.getDouble(1))))
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$u".getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${h(0) & 0xff}%02x".take(1), 16) % 2
+    }
+    val perUser = ev.groupBy(_._1).map { case (u, g) =>
+      (u, arm(u), g.length.toLong, g.map(_._2).sum)
+    }.toSeq
+    // Scala ntile(4) over (n_events DESC, user_id): same fill rule as SQL
+    val ordered = perUser.sortBy { case (u, _, ne, _) => (-ne, u) }
+    val n = ordered.length
+    val strata = ordered.zipWithIndex.map { case (row, i) =>
+      // SQL ntile: first (n % 4) buckets get ceil(n/4), rest floor(n/4)
+      val big = n % 4; val sz = n / 4
+      val s = if (i < big * (sz + 1)) i / (sz + 1)
+        else big + (i - big * (sz + 1)) / sz
+      (s + 1, row)
+    }
+    val cells = strata.groupBy(_._1).map { case (st, g) =>
+      val t = g.filter(_._2._2 == 1L); val c = g.filter(_._2._2 == 0L)
+      st -> ((t.length.toLong, t.map(_._2._4).sum,
+        c.length.toLong, c.map(_._2._4).sum))
+    }
+    var ate = 0.0; var ok = true
+    for ((_, (nt, sct, nc, scc)) <- cells) {
+      if (nt == 0 || nc == 0) ok = false
+      else ate += (sct.toDouble / nt - scc.toDouble / nc) / 100.0 *
+        ((nt + nc).toDouble / n)
+    }
+    for ((st, (nt, sct, nc, scc)) <- cells) {
+      val (gnt, gnc, gdiff, gate) = got(st)
+      assert(gnt === nt && gnc === nc, s"stratum $st arm sizes")
+      if (nt > 0 && nc > 0) {
+        val diff = (sct.toDouble / nt - scc.toDouble / nc) / 100.0
+        assert(math.abs(gdiff.get - diff) < 1e-5 * (1 + diff.abs))
+      } else assert(gdiff.isEmpty)
+      if (ok) assert(math.abs(gate.get - ate) < 1e-4 * (1 + ate.abs))
+      else assert(gate.isEmpty)
+    }
+    assert(got.keySet === cells.keySet)
+  }
+
+  test("q254 MDE replays from direct variance; detectability is monotone " +
+      "in variance and shrinks with span") {
+    val got = Stats.q254MdePower.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val days = g.map(_._2)
+      val (d0, d1) = (days.min, days.max)
+      val cnt = days.groupBy(identity).map { case (d, v) => d -> v.length }
+      val xs = (d0 to d1).map(d => cnt.getOrElse(d, 0).toDouble)
+      val nn = xs.length
+      if (nn > 1) {
+        val mu = xs.sum / nn
+        val s2 = xs.map(x => (x - mu) * (x - mu)).sum / (nn - 1)
+        val mde = 2.801585 * math.sqrt(2 * s2 / nn)
+        val (gn, gmean, gvar, gmde, grel) = got(t)
+        assert(gn === nn.toLong, s"$t days")
+        assert(math.abs(gmean - mu) < 2e-6 * (1 + mu))
+        assert(math.abs(gvar - s2) < 1e-4 * (1 + s2), s"$t var")
+        assert(math.abs(gmde - mde) < 1e-4 * (1 + mde), s"$t mde")
+        if (mu > 0) assert(math.abs(grel.get - mde / mu) < 1e-4)
+      } else assert(!got.contains(t))
+    }
+  }
 }
