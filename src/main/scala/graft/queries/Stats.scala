@@ -36,7 +36,8 @@ object Stats {
     q235Overdispersion, q236WilsonCi, q239EntropyRate, q240NeweyWest,
     q241DisparateImpact, q242MeansProfile, q243JarqueBera,
     q245KruskalWallis, q246Burstiness, q247MeanExcess, q248HodAnova,
-    q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower)
+    q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower,
+    q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -5645,6 +5646,372 @@ object Stats {
         round(mde * expr("""CAST(n AS DOUBLE)
           |  / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))"""
           .stripMargin), 6).as("mde_rel"))
+      .orderBy(col("event_type"))
+  }
+
+  /** REGRESSION DISCONTINUITY — the quasi-experimental workhorse when
+    * there is no randomized arm at all: rank users by first-half
+    * activity (the q174 forcing variable, (count DESC, user_id) total
+    * order), cut at the median rank, and fit SEPARATE local linear
+    * regressions of second-half purchase count on the centered rank
+    * within a bandwidth of n/4 ranks on each side. The jump between the
+    * two boundary intercepts is the causal effect of crossing the
+    * threshold — IF the only thing that changes at the cutoff is the
+    * treatment (the RD identification assumption; here it is a
+    * self-diagnostic: the fixture has no real threshold so the honest
+    * answer is a jump near 0).
+    *
+    * Exactness: rank and outcome are exact int64, so both side fits ride
+    * the q155 normal-equation route — five exact int64 moments per side
+    * (|x| ≤ n/4, Σxy ≤ n²·ymax/16 — int64-safe to 10⁸ users at this
+    * fixture's outcome scale), slope/intercept ONE fixed-order double
+    * chain each, and the effect a_left − a_right a two-term finish.
+    * Degenerate sides (fewer than 2 ranks or zero x-variance) → NULL via
+    * nullif; the effect is NULL unless BOTH intercepts exist.
+    *
+    * Plan: one per-user aggregate, one user-count rank window (q161's
+    * shard note), two 1-row side aggregates joined by the q197 window
+    * idiom. Nothing after the per-user collapse is row-proportional.
+    */
+  val q255RegDiscontinuity = Q(
+    "q255_reg_discontinuity",
+    s"""WITH b AS (
+      |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+      |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |h AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |        THEN 1 ELSE 0 END) AS s1,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) > b.mid
+      |          AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events, b
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |),
+      |r AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY s1 DESC, user_id)
+      |      AS BIGINT) AS rk,
+      |    CAST(y AS BIGINT) AS y,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM h WHERE s1 > 0
+      |),
+      |sd AS (
+      |  SELECT CASE WHEN rk <= (n + 1) // 2 THEN 'left' ELSE 'right'
+      |      END AS side,
+      |    rk - (n + 1) // 2 AS x, y, n
+      |  FROM r
+      |  WHERE rk > (n + 1) // 2 - n // 4
+      |    AND rk <= (n + 1) // 2 + n // 4
+      |),
+      |m AS (
+      |  SELECT side, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM sd GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT side, k,
+      |    (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / nullif(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS slope,
+      |    (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+      |      / nullif(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0) AS icept
+      |  FROM m
+      |),
+      |g AS (
+      |  SELECT side, k, slope, icept,
+      |    max(CASE WHEN side = 'left' THEN icept END) OVER () AS al,
+      |    max(CASE WHEN side = 'right' THEN icept END) OVER () AS ar
+      |  FROM f
+      |)
+      |SELECT side, k AS n_side, round(slope, 6) AS slope,
+      |  round(icept, 6) AS boundary_mean,
+      |  round(al - ar, 6) AS rd_effect
+      |FROM g
+      |ORDER BY side""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val b = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val h = ev.crossJoin(broadcast(b))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") <= col("mid"), 1).otherwise(0)).as("s1"),
+        sum(when(col("us") > col("mid")
+          && col("event_type") === "purchase", 1).otherwise(0))
+          .cast("long").as("y"))
+      .filter(col("s1") > 0)
+    val r = h.select(
+      row_number().over(Window.orderBy(col("s1").desc, col("user_id")))
+        .cast("long").as("rk"),
+      col("y"),
+      count(lit(1)).over(Window.partitionBy()).cast("long").as("n"))
+    val sd = r
+      .filter(col("rk") > expr("(n + 1) div 2 - n div 4")
+        && col("rk") <= expr("(n + 1) div 2 + n div 4"))
+      .select(
+        when(col("rk") <= expr("(n + 1) div 2"), "left")
+          .otherwise("right").as("side"),
+        (col("rk") - expr("(n + 1) div 2")).as("x"), col("y"))
+    val m = sd.groupBy(col("side"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+    val den = expr("""nullif(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), CAST(0 AS DOUBLE))"""
+      .stripMargin)
+    val f = m.select(col("side"), col("k"),
+      (expr("""CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)""".stripMargin) / den)
+        .as("slope"),
+      (expr("""CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE)""".stripMargin) / den)
+        .as("icept"))
+    val wAll = Window.partitionBy()
+    f.select(col("side"), col("k").as("n_side"),
+        round(col("slope"), 6).as("slope"),
+        round(col("icept"), 6).as("boundary_mean"),
+        round(max(when(col("side") === "left", col("icept"))).over(wAll)
+          - max(when(col("side") === "right", col("icept"))).over(wAll),
+          6).as("rd_effect"))
+      .orderBy(col("side"))
+  }
+
+  /** UPLIFT QINI CURVE — does treating the RIGHT users beat treating
+    * random users? Users are deciled by first-half activity (the
+    * targeting score), and within each cumulative targeting depth the
+    * Qini coordinate X_t(d) − X_c(d)·N_t(d)/N_c(d) compares treated
+    * conversions against the control conversions SCALED to the treated
+    * exposure — the area under this curve is the standard uplift-model
+    * evaluation (Radcliffe's Qini). A flat/linear curve = the score
+    * carries no heterogeneous treatment effect (the honest fixture
+    * answer: arms are a hash split).
+    *
+    * Exactness: all eight cumulative quantities are exact int64 window
+    * sums over the decile-ordered cells; the Qini coordinate and the
+    * per-decile uplift are fixed-order double chains with nullif guards
+    * on empty control cells (a decile with no control users has no
+    * scaled baseline — NULL, stated). Converter = ≥1 second-half
+    * purchase; midpoint split and ntile tiebreaks are the q174 device.
+    *
+    * Plan: one per-user conditional aggregate, one user-count ntile
+    * window, a 20-cell aggregate, a 10-row cumulative window. The curve
+    * is dashboard-sized at any corpus scale.
+    */
+  val q256UpliftQini = Q(
+    "q256_uplift_qini",
+    s"""WITH b AS (
+      |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+      |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |h AS (
+      |  SELECT user_id,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+      |      1, 1)) AS BIGINT) % 2 AS arm,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |        THEN 1 ELSE 0 END) AS s1,
+      |    CASE WHEN sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) > b.mid
+      |          AND event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+      |      THEN 1 ELSE 0 END AS conv
+      |  FROM events, b
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id, arm
+      |),
+      |dd AS (
+      |  SELECT ntile(10) OVER (ORDER BY s1 DESC, user_id) AS decile,
+      |    arm, conv
+      |  FROM h WHERE s1 > 0
+      |),
+      |cell AS (
+      |  SELECT decile,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS xt,
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+      |      AS xc
+      |  FROM dd GROUP BY 1
+      |),
+      |cum AS (
+      |  SELECT decile, nt, xt, nc, xc,
+      |    CAST(sum(nt) OVER (ORDER BY decile) AS BIGINT) AS cnt,
+      |    CAST(sum(xt) OVER (ORDER BY decile) AS BIGINT) AS cxt,
+      |    CAST(sum(nc) OVER (ORDER BY decile) AS BIGINT) AS cnc,
+      |    CAST(sum(xc) OVER (ORDER BY decile) AS BIGINT) AS cxc
+      |  FROM cell
+      |)
+      |SELECT CAST(decile AS INTEGER) AS decile, nt, xt, nc, xc,
+      |  round(CAST(xt AS DOUBLE) / nullif(CAST(nt AS DOUBLE),
+      |      CAST(0 AS DOUBLE))
+      |    - CAST(xc AS DOUBLE) / nullif(CAST(nc AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS uplift,
+      |  round(CAST(cxt AS DOUBLE)
+      |    - CAST(cxc AS DOUBLE) * CAST(cnt AS DOUBLE)
+      |      / nullif(CAST(cnc AS DOUBLE), CAST(0 AS DOUBLE)), 6)
+      |    AS qini
+      |FROM cum
+      |ORDER BY decile""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val b = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val h = ev.crossJoin(broadcast(b))
+      .groupBy(col("user_id"),
+        (conv(substring(md5(concat(lit("ab|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2).as("arm"))
+      .agg(sum(when(col("us") <= col("mid"), 1).otherwise(0)).as("s1"),
+        when(sum(when(col("us") > col("mid")
+            && col("event_type") === "purchase", 1).otherwise(0)) > 0, 1)
+          .otherwise(0).as("conv"))
+      .filter(col("s1") > 0)
+    val dd = h.select(
+      ntile(10).over(Window.orderBy(col("s1").desc, col("user_id")))
+        .as("decile"),
+      col("arm"), col("conv"))
+    val cell = dd.groupBy(col("decile"))
+      .agg(sum(when(col("arm") === 1, 1).otherwise(0)).cast("long")
+          .as("nt"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0)).cast("long")
+          .as("xt"),
+        sum(when(col("arm") === 0, 1).otherwise(0)).cast("long")
+          .as("nc"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0)).cast("long")
+          .as("xc"))
+    val wCum = Window.orderBy(col("decile"))
+    val cum = cell.select(col("decile"), col("nt"), col("xt"), col("nc"),
+      col("xc"),
+      sum(col("nt")).over(wCum).cast("long").as("cnt"),
+      sum(col("xt")).over(wCum).cast("long").as("cxt"),
+      sum(col("nc")).over(wCum).cast("long").as("cnc"),
+      sum(col("xc")).over(wCum).cast("long").as("cxc"))
+    cum.select(col("decile").cast("int").as("decile"), col("nt"),
+        col("xt"), col("nc"), col("xc"),
+        round(expr("""CAST(xt AS DOUBLE) / nullif(CAST(nt AS DOUBLE),
+          |    CAST(0 AS DOUBLE))
+          |  - CAST(xc AS DOUBLE) / nullif(CAST(nc AS DOUBLE),
+          |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("uplift"),
+        round(expr("""CAST(cxt AS DOUBLE)
+          |  - CAST(cxc AS DOUBLE) * CAST(cnt AS DOUBLE)
+          |    / nullif(CAST(cnc AS DOUBLE), CAST(0 AS DOUBLE))"""
+          .stripMargin), 6).as("qini"))
+      .orderBy(col("decile"))
+  }
+
+  /** CRAMÉR–VON MISES EXPONENTIALITY — the INTEGRATED companion to
+    * q234's KS sup: W² = 1/(12n) + Σᵢ(F̂(g₍ᵢ₎) − (2i−1)/(2n))² weighs
+    * the WHOLE CDF discrepancy where KS sees only the worst point —
+    * the right test when departures are diffuse (many small deviations)
+    * rather than localized. Same fitted exponential F̂ = 1 − e^(−g·n/S)
+    * over the same (event_type-partitioned, gp-ranked) inter-arrival
+    * gaps.
+    *
+    * Exactness: F̂ is the q234 float-cast-exp term (bit-identical
+    * cross-engine); (2i−1)/(2n) is ONE double divide of exact int64s;
+    * each squared term is a fixed-order chain cast DECIMAL(18,9) so the
+    * n-term sum is associative. TIE-INVARIANT as a SET: within a gp tie
+    * run F̂ is constant and the run occupies the same rank set {i} under
+    * any permutation, so Σ over the run cannot move — the same argument
+    * q234's max carries, now for a sum (the single-key ORDER BY states
+    * it). n = 0 types never reach the output (no gaps, no test).
+    *
+    * Plan: q234's — one lag window, a per-type moment broadcast, one
+    * ranked scan into a map-side-combined decimal aggregate, 5-row
+    * finish.
+    */
+  val q257CramerVonMises = Q(
+    "q257_cramer_von_mises",
+    s"""WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |gaps AS (
+      |  SELECT event_type,
+      |    us - lag(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id) AS gp
+      |  FROM e
+      |),
+      |gg AS (SELECT event_type, gp FROM gaps WHERE gp IS NOT NULL),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(gp) AS BIGINT) AS sg
+      |  FROM gg GROUP BY 1
+      |),
+      |rk AS (
+      |  SELECT g.event_type, m.n, m.sg,
+      |    CAST(row_number() OVER (PARTITION BY g.event_type
+      |      ORDER BY g.gp) AS BIGINT) AS i,
+      |    CAST(1 AS DOUBLE)
+      |      - CAST(exp(CAST(0 AS DOUBLE)
+      |          - CAST(m.n AS DOUBLE) / CAST(m.sg AS DOUBLE)
+      |            * CAST(g.gp AS DOUBLE)) AS FLOAT) AS ffit
+      |  FROM gg g JOIN mom m ON m.event_type = g.event_type
+      |),
+      |w AS (
+      |  SELECT event_type, n, sg,
+      |    sum(CAST(
+      |      (ffit - CAST(2 * i - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
+      |      * (ffit - CAST(2 * i - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
+      |      AS DECIMAL(18,9))) AS w2sum
+      |  FROM rk GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, n AS n_gaps,
+      |  ${Exact.Sql.ratio6("sg", "n * 1000")} AS mean_gap_ms,
+      |  round(CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
+      |    + CAST(w2sum AS DOUBLE), 6) AS cvm_w2,
+      |  (CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
+      |    + CAST(w2sum AS DOUBLE)) < 0.461 AS poisson_like
+      |FROM w
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val gaps = e.select(col("event_type"),
+        (col("us") - lag(col("us"), 1).over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("us"), col("event_id")))).as("gp"))
+      .filter(col("gp").isNotNull)
+      .localCheckpoint() // 2 consumers: moments and the rank scan
+    val mom = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("gp")).cast("long").as("sg"))
+    val rk = gaps.join(mom, "event_type")
+      .select(col("event_type"), col("n"), col("sg"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("gp"))).cast("long").as("i"),
+        expr("""CAST(1 AS DOUBLE)
+          |  - CAST(exp(CAST(0 AS DOUBLE)
+          |      - CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)
+          |        * CAST(gp AS DOUBLE)) AS FLOAT)""".stripMargin)
+          .as("ffit"))
+    val w = rk.groupBy(col("event_type"), col("n"), col("sg"))
+      .agg(sum(expr(
+        """CAST(
+          |  (ffit - CAST(2 * i - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
+          |  * (ffit - CAST(2 * i - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
+          |  AS DECIMAL(18,9))""".stripMargin)).as("w2sum"))
+    val w2 = expr("""CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
+      |  + CAST(w2sum AS DOUBLE)""".stripMargin)
+    w.select(col("event_type"), col("n").as("n_gaps"),
+        Exact.ratio6("sg", "n * 1000").as("mean_gap_ms"),
+        round(w2, 6).as("cvm_w2"),
+        (w2 < 0.461).as("poisson_like"))
       .orderBy(col("event_type"))
   }
 }

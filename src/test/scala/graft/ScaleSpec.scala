@@ -511,15 +511,25 @@ class ScaleSpec extends SparkSpec {
   test("round-14 family: experiment-health and detectability operators " +
       "stay window/equi-keyed — no cartesian, no nested loop") {
     // q252/q253 are window-total shapes over arm/stratum aggregates;
-    // q254 reuses the q235 dense-grid equi join
+    // q254 reuses the q235 dense-grid equi join; q257 is q234's
+    // equi-keyed moment join. q255/q256 carry the q174/q177 1-row
+    // midpoint broadcast (checked in the waiver group below).
     for (name <- Seq("q252_srm_check", "q253_post_strat_ate",
-      "q254_mde_power")) {
+      "q254_mde_power", "q257_cramer_von_mises")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name planned a cartesian product:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$name planned a nested-loop join:\n$plan")
+    }
+    // q255/q256's 1-row midpoint probe is the q174/q177 designed
+    // broadcast (scalar frame, never row-proportional); an unbounded
+    // cartesian is still forbidden
+    for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
     }
   }
 }

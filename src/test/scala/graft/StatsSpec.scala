@@ -2212,4 +2212,158 @@ class StatsSpec extends SparkSpec {
       } else assert(!got.contains(t))
     }
   }
+
+  test("q255 RD replays from a Scala rank split + per-side OLS; the " +
+      "effect is the intercept jump") {
+    val got = Stats.q255RegDiscontinuity.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val perUser = ev.groupBy(_._1).map { case (u, g) =>
+      (u, g.count(_._3 <= mid).toLong,
+        g.count(e => e._3 > mid && e._2 == "purchase").toLong)
+    }.filter(_._2 > 0).toSeq
+    val ranked = perUser.sortBy { case (u, s1, _) => (-s1, u) }.zipWithIndex
+      .map { case ((_, _, y), i) => (i + 1L, y) }
+    val n = ranked.length.toLong
+    val c = (n + 1) / 2; val h = n / 4
+    def fit(pts: Seq[(Long, Long)]): Option[(Double, Double)] = {
+      val k = pts.length.toDouble
+      val sx = pts.map(_._1 - c).sum.toDouble
+      val sy = pts.map(_._2).sum.toDouble
+      val sxx = pts.map(p => (p._1 - c) * (p._1 - c)).sum.toDouble
+      val sxy = pts.map(p => (p._1 - c) * p._2).sum.toDouble
+      val den = k * sxx - sx * sx
+      if (den == 0) None
+      else Some(((k * sxy - sx * sy) / den, (sy * sxx - sx * sxy) / den))
+    }
+    val left = fit(ranked.filter(p => p._1 > c - h && p._1 <= c))
+    val right = fit(ranked.filter(p => p._1 > c && p._1 <= c + h))
+    for ((side, f, kx) <- Seq(
+      ("left", left, ranked.count(p => p._1 > c - h && p._1 <= c)),
+      ("right", right, ranked.count(p => p._1 > c && p._1 <= c + h)))) {
+      val (gk, gs, gi, geff) = got(side)
+      assert(gk === kx.toLong, s"$side n")
+      f match {
+        case Some((sl, ic)) =>
+          assert(math.abs(gs.get - sl) < 1e-4 * (1 + sl.abs), s"$side slope")
+          assert(math.abs(gi.get - ic) < 1e-4 * (1 + ic.abs), s"$side icept")
+        case None => assert(gs.isEmpty && gi.isEmpty)
+      }
+      (left, right) match {
+        case (Some((_, al)), Some((_, ar))) =>
+          assert(math.abs(geff.get - (al - ar)) < 1e-4 * (1 + (al - ar).abs))
+        case _ => assert(geff.isEmpty)
+      }
+    }
+  }
+
+  test("q256 Qini replays from a Scala cumulative ledger; the final " +
+      "coordinate equals the overall scaled conversion difference") {
+    val got = Stats.q256UpliftQini.fn(spark, sf).collect().map { r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    def arm(u: Long): Long = {
+      val hb = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$u".getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${hb(0) & 0xff}%02x".take(1), 16) % 2
+    }
+    val perUser = ev.groupBy(_._1).map { case (u, g) =>
+      (u, arm(u), g.count(_._3 <= mid).toLong,
+        if (g.exists(e => e._3 > mid && e._2 == "purchase")) 1L else 0L)
+    }.filter(_._3 > 0).toSeq
+    val ordered = perUser.sortBy { case (u, _, s1, _) => (-s1, u) }
+    val n = ordered.length
+    val cells = ordered.zipWithIndex.map { case (row, i) =>
+      val big = n % 10; val sz = n / 10
+      val dcl = if (sz == 0) i
+        else if (i < big * (sz + 1)) i / (sz + 1)
+        else big + (i - big * (sz + 1)) / sz
+      (dcl + 1, row)
+    }.groupBy(_._1).map { case (dcl, g) =>
+      val t = g.map(_._2).filter(_._2 == 1L)
+      val cc = g.map(_._2).filter(_._2 == 0L)
+      dcl -> ((t.length.toLong, t.map(_._4).sum, cc.length.toLong,
+        cc.map(_._4).sum))
+    }
+    var (cnt, cxt, cnc, cxc) = (0L, 0L, 0L, 0L)
+    for (dcl <- cells.keys.toSeq.sorted) {
+      val (nt, xt, nc, xc) = cells(dcl)
+      cnt += nt; cxt += xt; cnc += nc; cxc += xc
+      val (gnt, gxt, gnc, gxc, gup, gqini) = got(dcl)
+      assert((gnt, gxt, gnc, gxc) === ((nt, xt, nc, xc)), s"decile $dcl")
+      if (nt > 0 && nc > 0) {
+        val up = xt.toDouble / nt - xc.toDouble / nc
+        assert(math.abs(gup.get - up) < 1e-5, s"decile $dcl uplift")
+      }
+      if (cnc > 0) {
+        val qini = cxt - cxc.toDouble * cnt / cnc
+        assert(math.abs(gqini.get - qini) < 1e-4 * (1 + qini.abs))
+      }
+    }
+    // final coordinate: total treated conversions minus scaled control
+    val lastD = cells.keys.max
+    if (cnc > 0) {
+      val overall = cxt - cxc.toDouble * cnt / cnc
+      assert(math.abs(got(lastD)._6.get - overall) < 1e-4 * (1 + overall.abs))
+    }
+  }
+
+  test("q257 CvM replays from a Scala sorted-gap sum and never exceeds " +
+      "the KS-implied square bound") {
+    val got = Stats.q257CramerVonMises.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, g) <- ev.groupBy(_._1)) {
+      val sortedEv = g.sortBy(e => (e._3, e._2))
+      val gaps = sortedEv.sliding(2).collect {
+        case Array(a, b) => b._3 - a._3
+      }.toSeq
+      if (gaps.nonEmpty) {
+        val n = gaps.length
+        val sg = gaps.sum
+        val lam = n.toDouble / sg
+        val sorted = gaps.sorted
+        val w2 = 1.0 / (12 * n) + sorted.zipWithIndex.map { case (gp, i0) =>
+          val f = 1 - math.exp(-lam * gp).toFloat
+          val u = (2 * (i0 + 1) - 1).toDouble / (2 * n)
+          (f - u) * (f - u)
+        }.sum
+        val (gn, gw2, gflag) = got(t)
+        assert(gn === n.toLong, s"$t gaps")
+        assert(math.abs(gw2 - w2) < 1e-4 * (1 + w2), s"$t W2")
+        assert(gflag === (w2 < 0.461), s"$t verdict")
+        // W² ≤ 1/(12n) + n·D² where D is the KS sup over the same fit —
+        // a real cross-operator bound tying q257 to q234's statistic
+        val ksD = sorted.zipWithIndex.map { case (gp, i0) =>
+          val f = 1 - math.exp(-lam * gp).toFloat
+          math.max((i0 + 1).toDouble / n - f, f - i0.toDouble / n)
+        }.max
+        assert(gw2 <= 1.0 / (12 * n) + n * ksD * ksD + 1e-9,
+          s"$t CvM exceeds its KS envelope")
+      } else assert(!got.contains(t))
+    }
+  }
 }
