@@ -37,7 +37,8 @@ object Stats {
     q241DisparateImpact, q242MeansProfile, q243JarqueBera,
     q245KruskalWallis, q246Burstiness, q247MeanExcess, q248HodAnova,
     q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower,
-    q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises)
+    q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises,
+    q258DurbinWatson, q259Friedman, q260AnsariBradley)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -6013,5 +6014,398 @@ object Stats {
         round(w2, 6).as("cvm_w2"),
         (w2 < 0.461).as("poisson_like"))
       .orderBy(col("event_type"))
+  }
+
+  /** DURBIN–WATSON — residual serial correlation AFTER the trend is
+    * removed: q221's ACF tests the raw series (where a trend masquerades
+    * as lag-1 correlation); DW first fits the q94-style least-squares
+    * line to the daily counts and then asks whether the RESIDUALS still
+    * cling (DW ≈ 2(1−ρ₁): below ~1.5 positive, above ~2.5 negative —
+    * the stated dashboard thresholds). This is the regression
+    * diagnostics pairing every OLS-on-time readout (q94/q209) needs.
+    *
+    * Exactness: the five OLS moments are exact int64 over the dense
+    * grid (Σt, Σt² are triangle numbers of the span — int64-safe to
+    * ~10⁶ days); slope/intercept are the q155 fixed-order chains, so
+    * every residual eₜ = x − a − b·t is an identical double per row
+    * cross-engine; both DW sums quantize each term to DECIMAL(18,9)
+    * (e² ≤ 10⁸ at 10⁴-count days — inside the house-18 envelope) and
+    * sum associatively. A perfect fit (Σe² = 0) → NULL via nullif;
+    * single-day spans excluded (WHERE n > 1).
+    *
+    * Plan: the q235 grid, one 5-moment aggregate broadcast back, one
+    * lag window over the span-bounded residual series, 5-row finish.
+    */
+  val q258DurbinWatson = Q(
+    "q258_durbin_watson",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t,
+      |    b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS sx,
+      |    CAST(sum(t * t) AS BIGINT) AS stt,
+      |    CAST(sum(t * c) AS BIGINT) AS stx
+      |  FROM x GROUP BY 1
+      |),
+      |fit AS (
+      |  SELECT event_type, n,
+      |    (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+      |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+      |    (CAST(sx AS DOUBLE) * CAST(stt AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(stx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+      |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS icept
+      |  FROM mom WHERE n > 1
+      |),
+      |res AS (
+      |  SELECT x.event_type, x.t, f.n, f.slope, f.icept,
+      |    CAST(x.c AS DOUBLE) - f.icept
+      |      - f.slope * CAST(x.t AS DOUBLE) AS ee,
+      |    lag(CAST(x.c AS DOUBLE) - f.icept
+      |      - f.slope * CAST(x.t AS DOUBLE))
+      |      OVER (PARTITION BY x.event_type ORDER BY x.t) AS pe
+      |  FROM x JOIN fit f ON f.event_type = x.event_type
+      |),
+      |agg AS (
+      |  SELECT event_type, n, slope,
+      |    sum(CAST(ee * ee AS DECIMAL(18,9))) AS sse,
+      |    sum(CASE WHEN pe IS NULL THEN CAST(0 AS DECIMAL(18,9))
+      |      ELSE CAST((ee - pe) * (ee - pe) AS DECIMAL(18,9)) END)
+      |      AS ssd
+      |  FROM res GROUP BY 1, 2, 3
+      |)
+      |SELECT event_type, n AS n_days, round(slope, 6) AS trend_slope,
+      |  round(CAST(ssd AS DOUBLE) / nullif(CAST(sse AS DOUBLE),
+      |    CAST(0 AS DOUBLE)), 6) AS dw,
+      |  CASE
+      |    WHEN CAST(ssd AS DOUBLE) / nullif(CAST(sse AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) < 1.5 THEN 'positive'
+      |    WHEN CAST(ssd AS DOUBLE) / nullif(CAST(sse AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) > 2.5 THEN 'negative'
+      |    WHEN CAST(ssd AS DOUBLE) / nullif(CAST(sse AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) IS NULL THEN NULL
+      |    ELSE 'none' END AS residual_autocorr
+      |FROM agg
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+      .localCheckpoint() // 2 consumers: moments and the residual scan
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("t")).cast("long").as("st"),
+        sum(col("c")).cast("long").as("sx"),
+        sum(col("t") * col("t")).cast("long").as("stt"),
+        sum(col("t") * col("c")).cast("long").as("stx"))
+    val fit = mom.filter(col("n") > 1)
+      .select(col("event_type").as("f_type"), col("n"),
+        expr("""(CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+          |  - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+          |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))""".stripMargin)
+          .as("slope"),
+        expr("""(CAST(sx AS DOUBLE) * CAST(stt AS DOUBLE)
+          |  - CAST(st AS DOUBLE) * CAST(stx AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+          |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))""".stripMargin)
+          .as("icept"))
+    val ee = expr("CAST(c AS DOUBLE) - icept - slope * CAST(t AS DOUBLE)")
+    val res = x.join(fit, col("f_type") === col("event_type"))
+      .select(col("event_type"), col("t"), col("n"), col("slope"),
+        ee.as("ee"),
+        lag(ee, 1).over(Window.partitionBy(col("event_type"))
+          .orderBy(col("t"))).as("pe"))
+    val agg = res.groupBy(col("event_type"), col("n"), col("slope"))
+      .agg(sum(expr("CAST(ee * ee AS DECIMAL(18,9))")).as("sse"),
+        sum(expr("""CASE WHEN pe IS NULL THEN CAST(0 AS DECIMAL(18,9))
+          |ELSE CAST((ee - pe) * (ee - pe) AS DECIMAL(18,9)) END"""
+          .stripMargin)).as("ssd"))
+    val dw = expr("""CAST(ssd AS DOUBLE) / nullif(CAST(sse AS DOUBLE),
+      |  CAST(0 AS DOUBLE))""".stripMargin)
+    agg.select(col("event_type"), col("n").as("n_days"),
+        round(col("slope"), 6).as("trend_slope"),
+        round(dw, 6).as("dw"),
+        when(dw < 1.5, "positive").when(dw > 2.5, "negative")
+          .when(dw.isNull, lit(null)).otherwise("none")
+          .as("residual_autocorr"))
+      .orderBy(col("event_type"))
+  }
+
+  /** FRIEDMAN TEST — the within-block rank ANOVA: each calendar day is a
+    * BLOCK, the event types are TREATMENTS ranked within the day by
+    * count, and Q = 3·ΣR₂ⱼ²/(nk(k+1)) − 3n(k+1) asks whether any type
+    * systematically out-ranks the others once day-level volume is
+    * blocked away — the nonparametric two-way companion to q245's
+    * one-way Kruskal–Wallis (which ignores the day blocking entirely).
+    *
+    * Exactness: midranks stay INTEGER by carrying 2× the rank —
+    * r₂ = 2(rank−1) + ties + 1 from two window counts (no float .5s
+    * anywhere); R₂ⱼ = Σ r₂ and ΣR₂ⱼ² are exact int64 (R₂ ≤ 2kn — safe
+    * to 10⁸ blocks), so Q is a two-term fixed-order chain of exact-int
+    * ratios. The tie CORRECTION factor is deliberately omitted (the
+    * uncorrected statistic, stated — conservative under ties). Blocks
+    * are the SHARED global day grid (q249's device) so every treatment
+    * appears in every block, zero-filled. The 0.05 verdict is a literal
+    * χ²₍ₖ₋₁₎ lookup for k ∈ 2..6; larger ensembles → NULL verdict
+    * (stated — no erf in either engine).
+    *
+    * Plan: one (type, day) aggregate, a bounded k-per-day rank window,
+    * a k-row finish via the q197 window-total idiom. Scan-dominated.
+    */
+  val q259Friedman = Q(
+    "q259_friedman",
+    s"""WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+      |ty AS (SELECT DISTINCT event_type FROM e),
+      |grid AS (
+      |  SELECT ty.event_type, b.d0 + unnest(range(0, b.d1 - b.d0 + 1))
+      |    AS day
+      |  FROM ty CROSS JOIN b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.day, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.day
+      |),
+      |rk AS (
+      |  SELECT event_type, day,
+      |    2 * (rank() OVER (PARTITION BY day ORDER BY c) - 1)
+      |      + count(*) OVER (PARTITION BY day, c) + 1 AS r2
+      |  FROM x
+      |),
+      |rj AS (
+      |  SELECT event_type, CAST(sum(r2) AS BIGINT) AS r2j,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM rk GROUP BY 1
+      |),
+      |tot AS (
+      |  SELECT event_type, r2j, n,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(sum(r2j * r2j) OVER () AS BIGINT) AS sr2
+      |  FROM rj
+      |),
+      |f AS (
+      |  SELECT event_type, r2j, n, k,
+      |    CAST(3 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+      |        / CAST(n * k * (k + 1) AS DOUBLE)
+      |      - CAST(3 * n * (k + 1) AS DOUBLE) AS q
+      |  FROM tot
+      |)
+      |SELECT event_type, n AS n_blocks,
+      |  ${Exact.Sql.ratio6("r2j", "2 * n")} AS mean_rank,
+      |  round(q, 6) AS friedman_q,
+      |  CAST(k - 1 AS BIGINT) AS df,
+      |  CASE WHEN k = 2 THEN q > 3.8415 WHEN k = 3 THEN q > 5.9915
+      |       WHEN k = 4 THEN q > 7.8147 WHEN k = 5 THEN q > 9.4877
+      |       WHEN k = 6 THEN q > 11.0705 ELSE NULL END AS signif_05
+      |FROM f
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val dc = e.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val b = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val ty = e.select(col("event_type")).distinct()
+    val grid = ty.crossJoin(broadcast(b))
+      .select(col("event_type").as("g_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type") && dc("day") === grid("day"),
+        "left")
+      .select(col("g_type").as("event_type"), grid("day"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val rk = x.select(col("event_type"),
+      (lit(2) * (rank().over(Window.partitionBy(col("day"))
+          .orderBy(col("c"))) - 1)
+        + count(lit(1)).over(Window.partitionBy(col("day"), col("c")))
+        + 1).as("r2"))
+    val rj = rk.groupBy(col("event_type"))
+      .agg(sum(col("r2")).cast("long").as("r2j"),
+        count(lit(1)).cast("long").as("n"))
+    val wAll = Window.partitionBy()
+    val tot = rj.select(col("event_type"), col("r2j"), col("n"),
+      count(lit(1)).over(wAll).cast("long").as("k"),
+      sum(col("r2j") * col("r2j")).over(wAll).cast("long").as("sr2"))
+    val q = expr("""CAST(3 AS DOUBLE) * CAST(sr2 AS DOUBLE)
+      |    / CAST(n * k * (k + 1) AS DOUBLE)
+      |  - CAST(3 * n * (k + 1) AS DOUBLE)""".stripMargin)
+    tot.select(col("event_type"), col("n").as("n_blocks"),
+        Exact.ratio6("r2j", "2 * n").as("mean_rank"),
+        round(q, 6).as("friedman_q"),
+        (col("k") - 1).cast("long").as("df"),
+        when(col("k") === 2, q > 3.8415)
+          .when(col("k") === 3, q > 5.9915)
+          .when(col("k") === 4, q > 7.8147)
+          .when(col("k") === 5, q > 9.4877)
+          .when(col("k") === 6, q > 11.0705)
+          .otherwise(lit(null)).as("signif_05"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ANSARI–BRADLEY — do the two arms differ in SPREAD? q162's Welch
+    * compares means and q263-family tests compare variances through
+    * moments; Ansari–Bradley is the RANK test for dispersion: score
+    * every value by its distance from the ends, sᵢ = min(i, N+1−i)
+    * (small at the extremes, large in the middle), and an arm that
+    * concentrates in the middle collects a significantly LARGE score
+    * sum — robust to the heavy tails that wreck moment-based F-tests.
+    *
+    * Exactness: values rank as exact int64 cents under the (cents,
+    * event_id) deterministic total order (the stated tie device — the
+    * classical midrank variant is replaced by a reproducible total
+    * order, same convention as q213/q234); W, E and Var use the exact
+    * even/odd-N closed forms as fixed-order double chains over exact
+    * int64 FACTORS multiplied in DOUBLE (the N⁴-scale products overflow
+    * int64 past N ≈ 6·10⁴ — sf0.1 already does — so each factor casts
+    * exactly and the product rounds deterministically, identical
+    * parenthesization both engines; the W rank-sum itself stays exact
+    * int64, ≤ N²/4); single-arm corpora → NULL via nullif(Var). χ²₁ verdict at
+    * the 3.8415 literal.
+    *
+    * Plan: one N-sized rank window (q142's shard decomposition applies
+    * at 10⁹ rows), a 2-row arm aggregate, window-total finish.
+    */
+  val q260AnsariBradley = Q(
+    "q260_ansari_bradley",
+    s"""WITH v AS (
+      |  SELECT event_id,
+      |    CAST(round(100 * value) AS BIGINT) AS cents,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+      |      1, 1)) AS BIGINT) % 2 AS arm
+      |  FROM events
+      |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |rk AS (
+      |  SELECT arm,
+      |    CAST(row_number() OVER (ORDER BY cents, event_id) AS BIGINT)
+      |      AS i,
+      |    CAST(count(*) OVER () AS BIGINT) AS nn
+      |  FROM v
+      |),
+      |sc AS (
+      |  SELECT arm, nn,
+      |    CAST(sum(CASE WHEN i <= nn + 1 - i THEN i ELSE nn + 1 - i END)
+      |      AS BIGINT) AS w,
+      |    CAST(count(*) AS BIGINT) AS na
+      |  FROM rk GROUP BY 1, 2
+      |),
+      |f AS (
+      |  SELECT arm, na, nn, w,
+      |    CASE WHEN nn % 2 = 0 THEN
+      |      CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE)
+      |        / CAST(4 AS DOUBLE)
+      |    ELSE
+      |      CAST(na AS DOUBLE) * CAST(nn + 1 AS DOUBLE)
+      |        * CAST(nn + 1 AS DOUBLE)
+      |        / (CAST(4 AS DOUBLE) * CAST(nn AS DOUBLE))
+      |    END AS ew,
+      |    CASE WHEN nn % 2 = 0 THEN
+      |      CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE)
+      |        * CAST(nn + 2 AS DOUBLE) * CAST(nn - 2 AS DOUBLE)
+      |        / (CAST(48 AS DOUBLE) * CAST(nn - 1 AS DOUBLE))
+      |    ELSE
+      |      CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE)
+      |        * CAST(nn + 1 AS DOUBLE)
+      |        * (CAST(3 AS DOUBLE) + CAST(nn AS DOUBLE)
+      |          * CAST(nn AS DOUBLE))
+      |        / CAST(48 AS DOUBLE)
+      |        / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+      |    END AS vw
+      |  FROM sc
+      |)
+      |SELECT arm, na AS n_arm, w AS ab_score,
+      |  round(ew, 6) AS expected_score,
+      |  round((CAST(w AS DOUBLE) - ew) * (CAST(w AS DOUBLE) - ew)
+      |    / nullif(vw, CAST(0 AS DOUBLE)), 6) AS z2,
+      |  (CAST(w AS DOUBLE) - ew) * (CAST(w AS DOUBLE) - ew)
+      |    / nullif(vw, CAST(0 AS DOUBLE)) > 3.8415 AS dispersion_differs
+      |FROM f
+      |ORDER BY arm""".stripMargin,
+  ) { (s, d) =>
+    val v = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        (conv(substring(md5(concat(lit("ab|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2).as("arm"))
+    val rk = v.select(col("arm"),
+      row_number().over(Window.orderBy(col("cents"), col("event_id")))
+        .cast("long").as("i"),
+      count(lit(1)).over(Window.partitionBy()).cast("long").as("nn"))
+    val sc = rk.groupBy(col("arm"), col("nn"))
+      .agg(sum(when(col("i") <= col("nn") + 1 - col("i"), col("i"))
+          .otherwise(col("nn") + 1 - col("i"))).cast("long").as("w"),
+        count(lit(1)).cast("long").as("na"))
+    val ew = expr("""CASE WHEN nn % 2 = 0 THEN
+      |  CAST(na AS DOUBLE) * CAST(nn + 2 AS DOUBLE)
+      |    / CAST(4 AS DOUBLE)
+      |ELSE
+      |  CAST(na AS DOUBLE) * CAST(nn + 1 AS DOUBLE)
+      |    * CAST(nn + 1 AS DOUBLE)
+      |    / (CAST(4 AS DOUBLE) * CAST(nn AS DOUBLE))
+      |END""".stripMargin)
+    val vw = expr("""CASE WHEN nn % 2 = 0 THEN
+      |  CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE)
+      |    * CAST(nn + 2 AS DOUBLE) * CAST(nn - 2 AS DOUBLE)
+      |    / (CAST(48 AS DOUBLE) * CAST(nn - 1 AS DOUBLE))
+      |ELSE
+      |  CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE)
+      |    * CAST(nn + 1 AS DOUBLE)
+      |    * (CAST(3 AS DOUBLE) + CAST(nn AS DOUBLE)
+      |      * CAST(nn AS DOUBLE))
+      |    / CAST(48 AS DOUBLE)
+      |    / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+      |END""".stripMargin)
+    val z2 = (col("w").cast("double") - ew) * (col("w").cast("double") - ew) /
+      nullif(vw, lit(0.0))
+    sc.select(col("arm"), col("na").as("n_arm"), col("w").as("ab_score"),
+        round(ew, 6).as("expected_score"),
+        round(z2, 6).as("z2"),
+        (z2 > 3.8415).as("dispersion_differs"))
+      .orderBy(col("arm"))
   }
 }

@@ -744,4 +744,42 @@ class EdgeEventsSpec extends SparkSpec {
     assert(math.abs(cvm.head.getDouble(3) - w2) < 1e-5,
       "metronome W2 must match the closed three-term sum")
   }
+
+  test("q258/q259/q260 degenerate: a perfect linear fit NULLs DW; a " +
+      "single-day span still ranks one block; a one-arm corpus NULLs " +
+      "the dispersion z2") {
+    // counts exactly on a line → zero residuals → Σe² = 0 → NULL DW
+    val d = "/tmp/graft_edge_events_line"
+    import spark.implicits._
+    val rows = for {
+      day <- 0 to 2; i <- 0 to day // day d has d+1 events: slope 1 line
+    } yield ((day * 10 + i + 1).toLong,
+      day * 86400L * 1000000000L + i * 1000000000L, 1L, "ln", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val dw = SparkEntry.queries("q258_durbin_watson")(spark, d).collect()
+    assert(dw.length === 1)
+    assert(math.abs(dw.head.getDouble(2) - 1.0) < 1e-9, "slope 1 exact")
+    assert(dw.head.isNullAt(3) && dw.head.isNullAt(4),
+      "zero residual variance must NULL DW, never 0/0")
+    // shared fixture: one calendar day → one block, both types tie or
+    // rank within it; Q must still be finite and df = k−1 = 1
+    val fr = SparkEntry.queries("q259_friedman")(spark, dir).collect()
+    assert(fr.length === 2)
+    assert(fr.forall(_.getLong(1) === 1L), "single block")
+    assert(fr.forall(_.getLong(4) === 1L), "df = k - 1")
+    // one-arm corpus: Var(W) has an n₂ = 0 factor → NULL z2, the W
+    // score itself still reported
+    val d1 = "/tmp/graft_edge_events_onearm"
+    Seq((1L, 1000000000L, 7L, "t", 1.0, "{}"),
+      (2L, 2000000000L, 7L, "t", 2.0, "{}"),
+      (3L, 3000000000L, 7L, "t", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d1/events.parquet")
+    val ab = SparkEntry.queries("q260_ansari_bradley")(spark, d1).collect()
+    assert(ab.length === 1)
+    // N = 3 scores are min(i, 4-i) = 1, 2, 1 → W = 4
+    assert(ab.head.getLong(2) === 4L, "one-arm W is the full score sum")
+    assert(ab.head.isNullAt(4), "zero variance must NULL z2")
+  }
 }

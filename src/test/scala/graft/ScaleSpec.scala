@@ -514,8 +514,11 @@ class ScaleSpec extends SparkSpec {
     // q254 reuses the q235 dense-grid equi join; q257 is q234's
     // equi-keyed moment join. q255/q256 carry the q174/q177 1-row
     // midpoint broadcast (checked in the waiver group below).
+    // q258's residual scan and q260's rank window are join-free or
+    // strictly equi-keyed like their q234/q142 parents
     for (name <- Seq("q252_srm_check", "q253_post_strat_ate",
-      "q254_mde_power", "q257_cramer_von_mises")) {
+      "q254_mde_power", "q257_cramer_von_mises", "q258_durbin_watson",
+      "q260_ansari_bradley")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -524,9 +527,11 @@ class ScaleSpec extends SparkSpec {
         s"$name planned a nested-loop join:\n$plan")
     }
     // q255/q256's 1-row midpoint probe is the q174/q177 designed
-    // broadcast (scalar frame, never row-proportional); an unbounded
-    // cartesian is still forbidden
-    for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini")) {
+    // broadcast (scalar frame, never row-proportional); q259's
+    // |types|×1 global-bounds grid seed is the q249 designed broadcast;
+    // an unbounded cartesian is still forbidden
+    for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini",
+      "q259_friedman")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -2366,4 +2366,134 @@ class StatsSpec extends SparkSpec {
       } else assert(!got.contains(t))
     }
   }
+
+  test("q258 DW replays from a direct residual walk; DW and 2(1-r1) " +
+      "agree to the boundary-term order") {
+    val got = Stats.q258DurbinWatson.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val days = g.map(_._2)
+      val cnt = days.groupBy(identity).map { case (d, v) => d -> v.length }
+      val xs = (days.min to days.max).map(d =>
+        cnt.getOrElse(d, 0).toDouble).toArray
+      val n = xs.length
+      if (n > 1) {
+        val ts = xs.indices.map(_.toDouble)
+        val (st, sx) = (ts.sum, xs.sum)
+        val stt = ts.map(v => v * v).sum
+        val stx = ts.zip(xs).map { case (a, b) => a * b }.sum
+        val den = n * stt - st * st
+        val slope = (n * stx - st * sx) / den
+        val icept = (sx * stt - st * stx) / den
+        val e = xs.indices.map(i => xs(i) - icept - slope * i)
+        val sse = e.map(v => v * v).sum
+        val ssd = e.sliding(2).collect { case Seq(a, b) =>
+          (b - a) * (b - a) }.sum
+        val (gn, gslope, gdw) = got(t)
+        assert(gn === n.toLong, s"$t days")
+        assert(math.abs(gslope - slope) < 1e-4 * (1 + slope.abs))
+        if (sse > 0) {
+          val dw = ssd / sse
+          assert(math.abs(gdw.get - dw) < 1e-3 * (1 + dw), s"$t DW")
+          // DW ≈ 2(1 − ρ̂₁): the identity holds up to boundary terms
+          val mu = xs.sum / n
+          val c0 = e.map(v => v * v).sum
+          val c1 = e.sliding(2).collect { case Seq(a, b) => a * b }.sum
+          assert(math.abs(dw - 2 * (1 - c1 / c0)) <
+            4.0 * (e.head * e.head + e.last * e.last) / c0 + 1e-6,
+            s"$t DW vs 2(1-r1): boundary envelope")
+        } else assert(gdw.isEmpty)
+      } else assert(!got.contains(t))
+    }
+  }
+
+  test("q259 Friedman replays from Scala midranks; rank sums conserve " +
+      "the block total n*k*(k+1)/2 exactly") {
+    val got = Stats.q259Friedman.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val types = raw.map(_._1).distinct.sorted
+    val (d0, d1) = (raw.map(_._2).min, raw.map(_._2).max)
+    val k = types.length
+    val n = (d1 - d0 + 1).toInt
+    val cnt = raw.groupBy(e => (e._1, e._2)).map { case (kk, v) =>
+      kk -> v.length.toLong }
+    // Scala midranks (×2): per day, r2 = 2·|{smaller}| + ties + 1
+    val r2j = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for (d <- d0 to d1) {
+      val cs = types.map(t => t -> cnt.getOrElse((t, d), 0L))
+      for ((t, c) <- cs) {
+        val smaller = cs.count(_._2 < c)
+        val ties = cs.count(_._2 == c)
+        r2j(t) += 2L * smaller + ties + 1
+      }
+    }
+    // conservation: Σ_j R2_j = 2 · n·k(k+1)/2 = n·k·(k+1)
+    assert(r2j.values.sum === n.toLong * k * (k + 1),
+      "midrank block total must conserve exactly")
+    val sr2 = r2j.values.map(v => v * v).sum
+    val q = 3.0 * sr2 / (n.toLong * k * (k + 1)) - 3.0 * n * (k + 1)
+    for (t <- types) {
+      val (gn, gmr, gq, gdf) = got(t)
+      assert(gn === n.toLong && gdf === (k - 1).toLong, s"$t shape")
+      assert(math.abs(gmr - r2j(t).toDouble / (2 * n)) < 2e-6, s"$t rank")
+      assert(math.abs(gq - q) < 1e-4 * (1 + q.abs), s"$t Q")
+    }
+  }
+
+  test("q260 Ansari-Bradley replays from a Scala rank-score walk; arm " +
+      "scores conserve the total sum(min(i, N+1-i))") {
+    val got = Stats.q260AnsariBradley.fn(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val v = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def arm(u: Long): Long = {
+      val hb = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$u".getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${hb(0) & 0xff}%02x".take(1), 16) % 2
+    }
+    val ranked = v.sortBy(e => (e._2, e._1)).zipWithIndex
+      .map { case ((_, _, u), i0) => (arm(u), i0 + 1L) }
+    val nn = ranked.length.toLong
+    val scores = ranked.map { case (a, i) => (a, math.min(i, nn + 1 - i)) }
+    val total = scores.map(_._2).sum
+    // conservation: the two arms partition sum(min(i, N+1-i))
+    assert(got.values.map(_._2).sum === total, "score conservation")
+    for ((a, g) <- scores.groupBy(_._1)) {
+      val w = g.map(_._2).sum; val na = g.length.toLong
+      val (gna, gw, gew, gz2) = got(a)
+      assert(gna === na && gw === w, s"arm $a W")
+      val (ew, vw) =
+        if (nn % 2 == 0)
+          (na.toDouble * (nn + 2) / 4,
+            na.toDouble * (nn - na) * (nn + 2) * (nn - 2) /
+              (48.0 * (nn - 1)))
+        else
+          (na.toDouble * (nn + 1) * (nn + 1) / (4.0 * nn),
+            na.toDouble * (nn - na) * (nn + 1) * (3.0 + nn.toDouble * nn) /
+              48.0 / (nn.toDouble * nn))
+      assert(math.abs(gew - ew) < 1e-4 * (1 + ew), s"arm $a E[W]")
+      if (vw > 0) {
+        val z2 = (w - ew) * (w - ew) / vw
+        assert(math.abs(gz2.get - z2) < 1e-3 * (1 + z2), s"arm $a z2")
+      } else assert(gz2.isEmpty)
+    }
+  }
 }
