@@ -38,7 +38,7 @@ object Stats {
     q245KruskalWallis, q246Burstiness, q247MeanExcess, q248HodAnova,
     q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower,
     q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises,
-    q258DurbinWatson, q259Friedman, q260AnsariBradley)
+    q258DurbinWatson, q259Friedman, q260AnsariBradley, q261HurstRs, q262Croston, q263BrownForsythe)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -6407,5 +6407,459 @@ object Stats {
         round(z2, 6).as("z2"),
         (z2 > 3.8415).as("dispersion_differs"))
       .orderBy(col("arm"))
+  }
+
+  /** HURST EXPONENT via RESCALED RANGE — long-range dependence, the
+    * property none of the lag-local tests (q221 ACF, q226 runs, q258
+    * DW) can see: partition the hourly series into blocks of m ∈
+    * {8,16,32,64}, compute each block's rescaled range R/S, and fit
+    * ln(mean R/S) against ln m — slope H ≈ 0.5 for memoryless series,
+    * > 0.5 for persistent (self-similar bursty traffic — Hurst's
+    * phenomenon), < 0.5 for mean-reverting.
+    *
+    * Exactness: the whole block interior is INTEGER — multiplying the
+    * cumulative deviation through by m gives C_k = m·P_k − k·S exact
+    * int64 (P_k the prefix sum; the m's cancel by algebra so no float
+    * mean ever materializes), and R/S = (maxC − minC)/√(mQ − S²) is
+    * exact ints into ONE IEEE sqrt and ONE divide. Zero-variance
+    * blocks are EXCLUDED (nothing to rescale by — stated; a kept block
+    * always has maxC > minC, proven in the suite). Per-block values
+    * quantize to DECIMAL(18,9) for the associative per-size mean; both
+    * log axes ride the house float-cast ln; the ≤4-point OLS moments
+    * quantize each product to DECIMAL(18,9). Fewer than 2 usable sizes
+    * → NULL H. Trailing partial blocks are dropped (full blocks only,
+    * stated).
+    *
+    * Plan: the q193 dense hourly grid, one prefix-sum window per
+    * (size, block), a per-(type, m) mean, a ≤4-row fit via the q197
+    * window idiom. The 4 sizes scan the grid once each — constant
+    * factor, linear in calendar span.
+    */
+  val q261HurstRs = Q(
+    "q261_hurst_rs",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t,
+      |    CAST(COALESCE(mc.cnt, 0) AS BIGINT) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |sp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS span
+      |       FROM x GROUP BY 1),
+      |sz AS (SELECT unnest([8, 16, 32, 64]) AS bm),
+      |blk AS (
+      |  SELECT x.event_type, sz.bm, x.t // sz.bm AS bid,
+      |    x.t % sz.bm AS k, x.x,
+      |    CAST(sum(x.x) OVER (PARTITION BY x.event_type, sz.bm,
+      |      x.t // sz.bm ORDER BY x.t) AS BIGINT) AS p
+      |  FROM x JOIN sp ON sp.event_type = x.event_type
+      |  CROSS JOIN sz
+      |  WHERE x.t < sp.span // sz.bm * sz.bm
+      |),
+      |tot AS (
+      |  SELECT event_type, bm, bid, CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(sum(x * x) AS BIGINT) AS q
+      |  FROM blk GROUP BY 1, 2, 3
+      |),
+      |cdev AS (
+      |  SELECT blk.event_type, blk.bm, blk.bid, t.s, t.q,
+      |    CAST(max(blk.bm * blk.p - (blk.k + 1) * t.s) AS BIGINT)
+      |      AS cmax,
+      |    CAST(min(blk.bm * blk.p - (blk.k + 1) * t.s) AS BIGINT)
+      |      AS cmin
+      |  FROM blk JOIN tot t ON t.event_type = blk.event_type
+      |    AND t.bm = blk.bm AND t.bid = blk.bid
+      |  GROUP BY 1, 2, 3, 4, 5
+      |),
+      |rs AS (
+      |  SELECT event_type, bm,
+      |    CAST(cmax - cmin AS DOUBLE)
+      |      / sqrt(CAST(bm * q - s * s AS DOUBLE)) AS rsv
+      |  FROM cdev WHERE bm * q - s * s > 0
+      |),
+      |ms AS (
+      |  SELECT event_type, bm, CAST(count(*) AS BIGINT) AS nb,
+      |    sum(CAST(rsv AS DECIMAL(18,9))) AS srs
+      |  FROM rs GROUP BY 1, 2
+      |),
+      |pt AS (
+      |  SELECT event_type, bm, nb,
+      |    CAST(srs AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_rs,
+      |    CAST(CAST(ln(CAST(bm AS DOUBLE)) AS FLOAT) AS DOUBLE) AS lx,
+      |    CAST(CAST(ln(CAST(srs AS DOUBLE) / CAST(nb AS DOUBLE))
+      |      AS FLOAT) AS DOUBLE) AS lm
+      |  FROM ms WHERE CAST(srs AS DOUBLE) > 0
+      |),
+      |fit AS (
+      |  SELECT event_type, bm, nb, mean_rs,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np,
+      |    CAST(sum(CAST(lx AS DECIMAL(18,9)))
+      |      OVER (PARTITION BY event_type) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(lm AS DECIMAL(18,9)))
+      |      OVER (PARTITION BY event_type) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(lx * lx AS DECIMAL(18,9)))
+      |      OVER (PARTITION BY event_type) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(lx * lm AS DECIMAL(18,9)))
+      |      OVER (PARTITION BY event_type) AS DOUBLE) AS sxy
+      |  FROM pt
+      |)
+      |SELECT event_type, CAST(bm AS BIGINT) AS block_size,
+      |  nb AS n_blocks, round(mean_rs, 6) AS mean_rs,
+      |  CASE WHEN np >= 2 THEN
+      |    round((CAST(np AS DOUBLE) * sxy - sx * sy)
+      |      / nullif(CAST(np AS DOUBLE) * sxx - sx * sx,
+      |        CAST(0 AS DOUBLE)), 6)
+      |  ELSE NULL END AS hurst
+      |FROM fit
+      |ORDER BY event_type, block_size""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type") && mc("m") === col("m0") + col("t"),
+        "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).cast("long").as("x"))
+      .localCheckpoint() // 2 consumers: span counts and the block scan
+    val sp = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("span"))
+      .withColumnRenamed("event_type", "s_type")
+    val blk = x.join(sp, col("s_type") === col("event_type"))
+      .select(col("event_type"), col("t"), col("x"), col("span"),
+        explode(array(lit(8), lit(16), lit(32), lit(64))).as("bm"))
+      .filter(col("t") < expr("span div bm * bm"))
+      .select(col("event_type"), col("bm"),
+        expr("t div bm").as("bid"), expr("t % bm").as("k"), col("x"),
+        col("t"))
+      .withColumn("p",
+        sum(col("x")).over(Window
+          .partitionBy(col("event_type"), col("bm"), col("bid"))
+          .orderBy(col("t"))).cast("long"))
+      .localCheckpoint() // 2 consumers: block totals and the dev scan
+    val tot = blk.groupBy(col("event_type").as("t_type"),
+        col("bm").as("t_bm"), col("bid").as("t_bid"))
+      .agg(sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"))
+    val cdev = blk.join(tot,
+        col("t_type") === col("event_type") && col("t_bm") === col("bm")
+          && col("t_bid") === col("bid"))
+      .groupBy(col("event_type"), col("bm"), col("bid"), col("s"),
+        col("q"))
+      .agg(max(expr("bm * p - (k + 1) * s")).cast("long").as("cmax"),
+        min(expr("bm * p - (k + 1) * s")).cast("long").as("cmin"))
+    val rs = cdev.filter(expr("bm * q - s * s > 0"))
+      .select(col("event_type"), col("bm"),
+        expr("""CAST(cmax - cmin AS DOUBLE)
+          |  / sqrt(CAST(bm * q - s * s AS DOUBLE))""".stripMargin)
+          .as("rsv"))
+    val ms = rs.groupBy(col("event_type"), col("bm"))
+      .agg(count(lit(1)).cast("long").as("nb"),
+        sum(expr("CAST(rsv AS DECIMAL(18,9))")).as("srs"))
+    val pt = ms.filter(expr("CAST(srs AS DOUBLE) > 0"))
+      .select(col("event_type"), col("bm"), col("nb"),
+        expr("CAST(srs AS DOUBLE) / CAST(nb AS DOUBLE)").as("mean_rs"),
+        expr("CAST(CAST(ln(CAST(bm AS DOUBLE)) AS FLOAT) AS DOUBLE)")
+          .as("lx"),
+        expr("""CAST(CAST(ln(CAST(srs AS DOUBLE) / CAST(nb AS DOUBLE))
+          |  AS FLOAT) AS DOUBLE)""".stripMargin).as("lm"))
+    val wT = Window.partitionBy(col("event_type"))
+    val fit = pt.select(col("event_type"), col("bm"), col("nb"),
+      col("mean_rs"),
+      count(lit(1)).over(wT).cast("long").as("np"),
+      sum(expr("CAST(lx AS DECIMAL(18,9))")).over(wT).cast("double")
+        .as("sx"),
+      sum(expr("CAST(lm AS DECIMAL(18,9))")).over(wT).cast("double")
+        .as("sy"),
+      sum(expr("CAST(lx * lx AS DECIMAL(18,9))")).over(wT).cast("double")
+        .as("sxx"),
+      sum(expr("CAST(lx * lm AS DECIMAL(18,9))")).over(wT).cast("double")
+        .as("sxy"))
+    fit.select(col("event_type"), col("bm").cast("long").as("block_size"),
+        col("nb").as("n_blocks"), round(col("mean_rs"), 6).as("mean_rs"),
+        when(col("np") >= 2,
+          round(expr("""(CAST(np AS DOUBLE) * sxy - sx * sy)
+            |  / nullif(CAST(np AS DOUBLE) * sxx - sx * sx,
+            |    CAST(0 AS DOUBLE))""".stripMargin), 6))
+          .otherwise(lit(null)).as("hurst"))
+      .orderBy(col("event_type"), col("block_size"))
+  }
+  /** CROSTON'S METHOD — the forecast for INTERMITTENT demand, where
+    * q193/q203/q244's smoothers fail structurally (EWMA of a mostly-zero
+    * series chases zeros): smooth the NONZERO demand sizes and the
+    * inter-demand day gaps separately (α = 0.2 each), forecast per-day
+    * demand = ŝ_z/ŝ_q. This is the standard spare-parts/long-tail-SKU
+    * estimator — here per event type over 'purchase'-like sparse daily
+    * series (any type works; sparse ones are the point).
+    *
+    * Exactness: both smoothers are the q193 ZERO-SEEDED closed form
+    * Σ α(1−α)^(M−i)·v_i — each term's float-cast pow × exact int64 v
+    * casts to DECIMAL(18,9) and sums associatively. The Spark side
+    * truncates lags > 160 while the ORACLE IS UNTRUNCATED: 0.2·0.8^160 ≈
+    * 6·10⁻¹⁷ keeps every dropped term under the 0.5e-9 HALF_UP cast
+    * quantum for v ≤ 8·10⁶ (PRECONDITION, stated — daily counts and
+    * day gaps clear it by orders), so truncated ≡ full bit-for-bit —
+    * the q193 standing losslessness proof, fourth instance. Gaps start
+    * at the SECOND demand point (the first has no predecessor — stated);
+    * M < 2 → NULL forecast (no gap estimate).
+    *
+    * Plan: one (type, day) aggregate, a per-type demand-point window
+    * (row_number + lag), two map-side-combined decimal sums, 5-row
+    * finish. Linear in demand points, not calendar span.
+    */
+  val q262Croston = Q(
+    "q262_croston",
+    s"""WITH dc AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS z
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |pt AS (
+      |  SELECT event_type, day, z,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS BIGINT) AS i,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS mm,
+      |    day - lag(day) OVER (PARTITION BY event_type ORDER BY day)
+      |      AS gap
+      |  FROM dc
+      |),
+      |sm AS (
+      |  SELECT event_type, max(mm) AS mm,
+      |    CAST(sum(CAST(CAST(0.2 AS DOUBLE)
+      |      * CAST(pow(0.8, mm - i) AS FLOAT)
+      |      * CAST(z AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sz,
+      |    CAST(sum(CASE WHEN gap IS NULL THEN CAST(0 AS DECIMAL(18,9))
+      |      ELSE CAST(CAST(0.2 AS DOUBLE)
+      |        * CAST(pow(0.8, mm - i) AS FLOAT)
+      |        * CAST(gap AS DOUBLE) AS DECIMAL(18,9)) END) AS DOUBLE)
+      |      AS sq,
+      |    CAST(sum(z) AS BIGINT) AS tz
+      |  FROM pt GROUP BY 1
+      |)
+      |SELECT event_type, mm AS n_demand_points, tz AS total_demand,
+      |  round(sz, 6) AS smoothed_size,
+      |  round(sq, 6) AS smoothed_gap,
+      |  CASE WHEN mm >= 2 THEN
+      |    round(sz / nullif(sq, CAST(0 AS DOUBLE)), 6)
+      |  ELSE NULL END AS croston_forecast
+      |FROM sm
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("z"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pt = dc.select(col("event_type"), col("day"), col("z"),
+      row_number().over(w).cast("long").as("i"),
+      count(lit(1)).over(Window.partitionBy(col("event_type")))
+        .cast("long").as("mm"),
+      (col("day") - lag(col("day"), 1).over(w)).as("gap"))
+      // truncate lags past 160: every dropped term is below the
+      // DECIMAL(18,9) cast quantum for v ≤ 8e6 (scaladoc bound) — the
+      // oracle stays untruncated and the hash match proves losslessness
+      .filter(col("mm") - col("i") <= 160)
+    val sm = pt.groupBy(col("event_type"))
+      .agg(max(col("mm")).as("mm"),
+        sum(expr("""CAST(CAST(0.2 AS DOUBLE)
+          |  * CAST(pow(0.8, mm - i) AS FLOAT)
+          |  * CAST(z AS DOUBLE) AS DECIMAL(18,9))""".stripMargin))
+          .cast("double").as("sz"),
+        sum(expr("""CASE WHEN gap IS NULL THEN CAST(0 AS DECIMAL(18,9))
+          |ELSE CAST(CAST(0.2 AS DOUBLE)
+          |  * CAST(pow(0.8, mm - i) AS FLOAT)
+          |  * CAST(gap AS DOUBLE) AS DECIMAL(18,9)) END""".stripMargin))
+          .cast("double").as("sq"),
+        sum(col("z")).cast("long").as("tz"))
+    sm.select(col("event_type"), col("mm").as("n_demand_points"),
+        col("tz").as("total_demand"),
+        round(col("sz"), 6).as("smoothed_size"),
+        round(col("sq"), 6).as("smoothed_gap"),
+        when(col("mm") >= 2,
+          round(col("sz") / nullif(col("sq"), lit(0.0)), 6))
+          .otherwise(lit(null)).as("croston_forecast"))
+      .orderBy(col("event_type"))
+  }
+
+  /** BROWN–FORSYTHE — variance homogeneity across groups, the
+    * assumption q248's ANOVA quietly makes: one-way ANOVA on the
+    * absolute deviations from each group's MEDIAN (Levene's test with
+    * the median center — the robust variant that survives the heavy
+    * tails that wreck the F-test on raw squares). Flags which event
+    * types have genuinely different day-to-day volatility rather than
+    * different levels.
+    *
+    * Exactness: the median stays INTEGER by carrying 2× it — m₂ =
+    * x₍n/2₎ + x₍n/2+1₎ (even) or 2·x₍(n+1)/2₎ (odd) from the value-
+    * ranked grid (any tie order yields the same order statistics), so
+    * every deviation z = |2c − m₂| is exact int64 at 2× scale (the
+    * factor cancels in F). Group moments S/Q are exact int64; each
+    * group's S²/n term casts DECIMAL(28,9) (un-normalized SS clears
+    * the house-18 envelope — q249's width) and cross-group sums ride
+    * the q197 window idiom. k ≤ 1, N ≤ k, or SSW ≤ 0 → NULL F; the p
+    * is deliberately not reported (df (k−1, N−k) has no closed-form
+    * tail — the q248 stance).
+    *
+    * Plan: the q235 per-type grid, one rank window per type, a k-row
+    * moment table with window totals. Scan-dominated.
+    */
+  val q263BrownForsythe = Q(
+    "q263_brown_forsythe",
+    s"""WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t,
+      |    b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |rk AS (
+      |  SELECT event_type, c,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY c)
+      |      AS BIGINT) AS i,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM x
+      |),
+      |med AS (
+      |  SELECT event_type, max(n) AS n,
+      |    CAST(CASE WHEN max(n) % 2 = 0 THEN
+      |      sum(CASE WHEN i = n // 2 OR i = n // 2 + 1 THEN c ELSE 0
+      |        END)
+      |    ELSE 2 * sum(CASE WHEN i = (n + 1) // 2 THEN c ELSE 0 END)
+      |    END AS BIGINT) AS m2
+      |  FROM rk GROUP BY 1
+      |),
+      |z AS (
+      |  SELECT rk.event_type, med.n, med.m2,
+      |    abs(2 * rk.c - med.m2) AS zz
+      |  FROM rk JOIN med ON med.event_type = rk.event_type
+      |),
+      |mom AS (
+      |  SELECT event_type, max(n) AS n, max(m2) AS m2,
+      |    CAST(sum(zz) AS BIGINT) AS s,
+      |    CAST(sum(zz * zz) AS BIGINT) AS q
+      |  FROM z GROUP BY 1
+      |),
+      |tot AS (
+      |  SELECT event_type, n, m2, s, q,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(sum(n) OVER () AS BIGINT) AS nn,
+      |    CAST(sum(s) OVER () AS BIGINT) AS g,
+      |    CAST(sum(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS DECIMAL(28,9))) OVER () AS DOUBLE)
+      |      AS ssn,
+      |    CAST(sum(q) OVER () AS BIGINT) AS qq
+      |  FROM mom
+      |),
+      |f AS (
+      |  SELECT event_type, n, m2, s, k, nn,
+      |    ssn - CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+      |      / CAST(nn AS DOUBLE) AS ssb,
+      |    CAST(qq AS DOUBLE) - ssn AS ssw
+      |  FROM tot
+      |)
+      |SELECT event_type, n AS n_days,
+      |  ${Exact.Sql.ratio6("m2", "2")} AS median_count,
+      |  ${Exact.Sql.ratio6("s", "2 * n")} AS mean_absdev,
+      |  CASE WHEN k > 1 AND nn > k AND ssw > 0 THEN
+      |    round((ssb / CAST(k - 1 AS DOUBLE))
+      |      / (ssw / CAST(nn - k AS DOUBLE)), 6)
+      |  ELSE NULL END AS bf_f
+      |FROM f
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val rk = x.select(col("event_type"), col("c"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("c"))).cast("long").as("i"),
+        count(lit(1)).over(Window.partitionBy(col("event_type")))
+          .cast("long").as("n"))
+      .localCheckpoint() // 2 consumers: the median probe and the devs
+    val med = rk.groupBy(col("event_type").as("m_type"))
+      .agg(max(col("n")).as("n_med"),
+        expr("""CAST(CASE WHEN max(n) % 2 = 0 THEN
+          |  sum(CASE WHEN i = n div 2 OR i = n div 2 + 1 THEN c ELSE 0
+          |    END)
+          |ELSE 2 * sum(CASE WHEN i = (n + 1) div 2 THEN c ELSE 0 END)
+          |END AS BIGINT)""".stripMargin).as("m2"))
+    val mom = rk.join(med, col("m_type") === col("event_type"))
+      .select(col("event_type"), col("n_med").as("n"), col("m2"),
+        abs(lit(2) * col("c") - col("m2")).as("zz"))
+      .groupBy(col("event_type"), col("n"), col("m2"))
+      .agg(sum(col("zz")).cast("long").as("s"),
+        sum(col("zz") * col("zz")).cast("long").as("q"))
+    val wAll = Window.partitionBy()
+    val tot = mom.select(col("event_type"), col("n"), col("m2"), col("s"),
+      count(lit(1)).over(wAll).cast("long").as("k"),
+      sum(col("n")).over(wAll).cast("long").as("nn"),
+      sum(col("s")).over(wAll).cast("long").as("g"),
+      sum(expr("""CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |  / CAST(n AS DOUBLE) AS DECIMAL(28,9))""".stripMargin))
+        .over(wAll).cast("double").as("ssn"),
+      sum(col("q")).over(wAll).cast("long").as("qq"))
+    val f = tot.select(col("event_type"), col("n"), col("m2"), col("s"),
+      col("k"), col("nn"),
+      (col("ssn") - expr("""CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+        |  / CAST(nn AS DOUBLE)""".stripMargin)).as("ssb"),
+      (expr("CAST(qq AS DOUBLE)") - col("ssn")).as("ssw"))
+    f.select(col("event_type"), col("n").as("n_days"),
+        Exact.ratio6("m2", "2").as("median_count"),
+        Exact.ratio6("s", "2 * n").as("mean_absdev"),
+        when(col("k") > 1 && col("nn") > col("k") && col("ssw") > 0,
+          round(expr("""(ssb / CAST(k - 1 AS DOUBLE))
+            |  / (ssw / CAST(nn - k AS DOUBLE))""".stripMargin), 6))
+          .otherwise(lit(null)).as("bf_f"))
+      .orderBy(col("event_type"))
   }
 }

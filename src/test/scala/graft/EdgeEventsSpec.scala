@@ -782,4 +782,29 @@ class EdgeEventsSpec extends SparkSpec {
     assert(ab.head.getLong(2) === 4L, "one-arm W is the full score sum")
     assert(ab.head.isNullAt(4), "zero variance must NULL z2")
   }
+
+  test("q261/q262/q263 degenerate: spans shorter than the smallest " +
+      "block yield no R/S rows; a single demand point NULLs Croston; " +
+      "zero deviations NULL the BF F") {
+    // shared fixture spans ≤ 3 hours → no full block of size 8 → empty
+    assert(SparkEntry.queries("q261_hurst_rs")(spark, dir).collect()
+      .isEmpty, "sub-block spans have no rescaled range")
+    // one calendar day → M = 1 demand point per type → smoothed size is
+    // the single 0.2·z term, gap smoother empty, forecast NULL
+    val cr = SparkEntry.queries("q262_croston")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(cr.keySet === Set("solo", "multi"))
+    for ((t, r) <- cr) {
+      assert(r.getLong(1) === 1L, s"$t one demand point")
+      assert(math.abs(r.getDouble(3) - 0.2 * r.getLong(2)) < 1e-9,
+        s"$t single-point smoothed size is alpha*z")
+      assert(r.getDouble(4) === 0.0, s"$t empty gap smoother")
+      assert(r.isNullAt(5), s"$t forecast must be NULL at M = 1")
+    }
+    // n = 1 day per type → every deviation 0 → SSW = 0 → NULL F
+    val bf = SparkEntry.queries("q263_brown_forsythe")(spark, dir)
+      .collect()
+    assert(bf.length === 2)
+    assert(bf.forall(_.isNullAt(4)), "zero SSW must NULL the F")
+  }
 }

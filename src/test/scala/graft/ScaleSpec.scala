@@ -516,9 +516,11 @@ class ScaleSpec extends SparkSpec {
     // midpoint broadcast (checked in the waiver group below).
     // q258's residual scan and q260's rank window are join-free or
     // strictly equi-keyed like their q234/q142 parents
+    // q262's demand-point window and q263's median/moment joins are
+    // strictly equi-keyed like their q235 parent
     for (name <- Seq("q252_srm_check", "q253_post_strat_ate",
       "q254_mde_power", "q257_cramer_von_mises", "q258_durbin_watson",
-      "q260_ansari_bradley")) {
+      "q260_ansari_bradley", "q262_croston", "q263_brown_forsythe")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -530,8 +532,9 @@ class ScaleSpec extends SparkSpec {
     // broadcast (scalar frame, never row-proportional); q259's
     // |types|×1 global-bounds grid seed is the q249 designed broadcast;
     // an unbounded cartesian is still forbidden
+    // q261's 4-element block-size fan is a designed bounded broadcast
     for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini",
-      "q259_friedman")) {
+      "q259_friedman", "q261_hurst_rs")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

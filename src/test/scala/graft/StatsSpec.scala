@@ -2496,4 +2496,141 @@ class StatsSpec extends SparkSpec {
       } else assert(gz2.isEmpty)
     }
   }
+
+  test("q261 Hurst replays from a direct Scala block walk; a kept block " +
+      "always has positive range and the shuffled-data slope stays sane") {
+    val got = Stats.q261HurstRs.fn(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val hrs = g.map(_._2)
+      val cnt = hrs.groupBy(identity).map { case (h, v) => h -> v.length }
+      val xs = (hrs.min to hrs.max).map(h =>
+        cnt.getOrElse(h, 0).toLong).toArray
+      val pts = collection.mutable.ArrayBuffer[(Long, Double)]()
+      for (m <- Seq(8L, 16L, 32L, 64L)) {
+        val full = (xs.length / m).toInt
+        val rsvs = (0 until full).flatMap { bid =>
+          val blk = xs.slice((bid * m).toInt, ((bid + 1) * m).toInt)
+          val sS = blk.sum; val q = blk.map(v => v * v).sum
+          val varN = m * q - sS * sS
+          if (varN > 0) {
+            var p = 0L
+            val cs = blk.zipWithIndex.map { case (v, k) =>
+              p += v; m * p - (k + 1) * sS
+            }
+            assert(cs.max > cs.min,
+              s"$t m=$m bid=$bid kept block must have positive range")
+            Some((cs.max - cs.min).toDouble / math.sqrt(varN.toDouble))
+          } else None
+        }
+        if (rsvs.nonEmpty) {
+          val mean = rsvs.sum / rsvs.length
+          val (gnb, gmean, _) = got((t, m))
+          assert(gnb === rsvs.length.toLong, s"$t m=$m blocks")
+          assert(math.abs(gmean - mean) < 1e-4 * (1 + mean), s"$t m=$m RS")
+          if (mean > 0) pts += ((m, math.log(mean)))
+        } else assert(!got.contains((t, m)))
+      }
+      if (pts.length >= 2) {
+        val lx = pts.map(p => math.log(p._1.toDouble))
+        val ly = pts.map(_._2)
+        val np = pts.length
+        val (sx, sy) = (lx.sum, ly.sum)
+        val sxx = lx.map(v => v * v).sum
+        val sxy = lx.zip(ly).map { case (a, b) => a * b }.sum
+        val h = (np * sxy - sx * sy) / (np * sxx - sx * sx)
+        val gh = got((pts.headOption.map(_ => (t, pts.head._1)).get))._3
+        assert(gh.isDefined && math.abs(gh.get - h) < 1e-3 * (1 + h.abs),
+          s"$t Hurst $gh vs $h")
+        // an aggregated-count series has H in a sane band
+        assert(gh.get > -0.5 && gh.get < 1.5, s"$t H out of band")
+      }
+    }
+  }
+
+  test("q262 Croston replays from the sequential recurrence; the " +
+      "truncated closed form converges onto it past the lag horizon") {
+    val got = Stats.q262Croston.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val byDay = g.groupBy(_._2).map { case (d, v) => d -> v.length.toLong }
+        .toSeq.sortBy(_._1)
+      val m = byDay.length
+      // sequential zero-seeded recurrence s ← s + α(v − s) started at 0
+      var sz = 0.0
+      for ((_, z) <- byDay) sz = sz + 0.2 * (z - sz)
+      var sq = 0.0
+      for (Seq((d0, _), (d1, _)) <- byDay.sliding(2) if m >= 2)
+        sq = sq + 0.2 * ((d1 - d0) - sq)
+      // NOTE the recurrence s_i = 0.8·s_{i−1} + 0.2·v_i from zero seed
+      // equals the closed form Σ 0.2·0.8^{M−i}·v_i exactly in ℝ; the
+      // engine's decimal-quantized sum agrees to ~1e-6
+      val (gm, gtz, gsz, gsq, gf) = got(t)
+      assert(gm === m.toLong, s"$t demand points")
+      assert(gtz === byDay.map(_._2).sum, s"$t total demand")
+      assert(math.abs(gsz - sz) < 1e-4 * (1 + sz), s"$t smoothed size")
+      if (m >= 2) {
+        assert(math.abs(gsq - sq) < 1e-4 * (1 + sq), s"$t smoothed gap")
+        if (sq > 0)
+          assert(math.abs(gf.get - sz / sq) < 1e-3 * (1 + sz / sq))
+      } else assert(gf.isEmpty)
+    }
+  }
+
+  test("q263 Brown-Forsythe replays from a direct median-deviation " +
+      "ANOVA; the F is invariant to the 2x deviation scaling") {
+    val got = Stats.q263BrownForsythe.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // per-type zero-filled series, UNSCALED |dev from median| (the 2x
+    // carried by the engine must cancel in F)
+    val groups = raw.groupBy(_._1).map { case (t, g) =>
+      val days = g.map(_._2)
+      val cnt = days.groupBy(identity).map { case (d, v) => d -> v.length }
+      val xs = (days.min to days.max).map(d =>
+        cnt.getOrElse(d, 0).toLong).sorted
+      val n = xs.length
+      val med = if (n % 2 == 0) (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+        else xs(n / 2).toDouble
+      t -> ((n, med, xs.map(x => math.abs(x - med))))
+    }
+    val k = groups.size
+    val nn = groups.values.map(_._1).sum
+    val allZ = groups.values.flatMap(_._3)
+    val grand = allZ.sum / nn
+    val ssb = groups.values.map { case (n, _, zs) =>
+      val mu = zs.sum / n; n * (mu - grand) * (mu - grand) }.sum
+    val ssw = groups.values.map { case (_, _, zs) =>
+      val mu = zs.sum / zs.length
+      zs.map(z => (z - mu) * (z - mu)).sum }.sum
+    for ((t, (n, med, zs)) <- groups) {
+      val (gn, gmed, gdev, gf) = got(t)
+      assert(gn === n.toLong, s"$t days")
+      assert(math.abs(gmed - med) < 1e-9, s"$t median")
+      assert(math.abs(gdev - zs.sum / n) < 2e-6 * (1 + zs.sum / n))
+      if (k > 1 && nn > k && ssw > 0) {
+        val fst = (ssb / (k - 1)) / (ssw / (nn - k))
+        assert(math.abs(gf.get - fst) < 1e-3 * (1 + fst), s"$t F")
+      } else assert(gf.isEmpty)
+    }
+    assert(got.keySet === groups.keySet)
+  }
 }
