@@ -38,7 +38,8 @@ object Stats {
     q245KruskalWallis, q246Burstiness, q247MeanExcess, q248HodAnova,
     q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower,
     q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises,
-    q258DurbinWatson, q259Friedman, q260AnsariBradley, q261HurstRs, q262Croston, q263BrownForsythe)
+    q258DurbinWatson, q259Friedman, q260AnsariBradley, q261HurstRs, q262Croston, q263BrownForsythe, q264Pacf, q265Grubbs,
+    q266Greenwood)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -6860,6 +6861,384 @@ object Stats {
           round(expr("""(ssb / CAST(k - 1 AS DOUBLE))
             |  / (ssw / CAST(nn - k AS DOUBLE))""".stripMargin), 6))
           .otherwise(lit(null)).as("bf_f"))
+      .orderBy(col("event_type"))
+  }
+
+  /** PARTIAL AUTOCORRELATION (Durbin–Levinson, lags 1–3) — the
+    * AR-order selector q221's raw ACF cannot be: an AR(1) process has
+    * ACF decaying at EVERY lag but PACF cutting to zero after lag 1,
+    * so the last significant φ_kk IS the model order (the Box–Jenkins
+    * identification step). φ₁₁ = ρ₁; φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²);
+    * φ₃₃ = (ρ₃ − φ₂₁ρ₂ − φ₂₂ρ₁)/(1 − φ₂₁ρ₁ − φ₂₂ρ₂) with
+    * φ₂₁ = ρ₁(1 − φ₂₂).
+    *
+    * Exactness: ρ₁..ρ₃ are q221's exact-int64-numerator autocorrelations
+    * (n²·p_k − n·s·(h_k+t_k) + (n−k)·s², ONE divide each) — identical
+    * doubles cross-engine — and the Durbin–Levinson recursion is a
+    * fixed-order chain over them with nullif guards on both
+    * denominators (a unit-root ρ₁ = ±1 NULLs φ₂₂ and everything after,
+    * stated). n ≤ 3 excluded. The suggested AR order compares |φ_kk|
+    * against the 1.96/√n band, deepest significant lag wins.
+    *
+    * Plan: q221's — dense grid, one 3-lag window, a per-type moment
+    * aggregate, 5-row finish.
+    */
+  val q264Pacf = Q(
+    "q264_pacf",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |lagd AS (
+      |  SELECT event_type, t, x,
+      |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY t) AS x1,
+      |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY t) AS x2,
+      |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY t) AS x3
+      |  FROM x
+      |),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s,
+      |    CAST(sum(x * x) AS BIGINT) AS q,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x * x1 END)
+      |      AS BIGINT) AS p1,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x END) AS BIGINT)
+      |      AS h1,
+      |    CAST(sum(CASE WHEN x1 IS NULL THEN 0 ELSE x1 END) AS BIGINT)
+      |      AS t1,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x * x2 END)
+      |      AS BIGINT) AS p2,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x END) AS BIGINT)
+      |      AS h2,
+      |    CAST(sum(CASE WHEN x2 IS NULL THEN 0 ELSE x2 END) AS BIGINT)
+      |      AS t2,
+      |    CAST(sum(CASE WHEN x3 IS NULL THEN 0 ELSE x * x3 END)
+      |      AS BIGINT) AS p3,
+      |    CAST(sum(CASE WHEN x3 IS NULL THEN 0 ELSE x END) AS BIGINT)
+      |      AS h3,
+      |    CAST(sum(CASE WHEN x3 IS NULL THEN 0 ELSE x3 END) AS BIGINT)
+      |      AS t3
+      |  FROM lagd GROUP BY 1
+      |),
+      |rho AS (
+      |  SELECT event_type, n,
+      |    CAST(n * n * p1 - n * s * (h1 + t1) + (n - 1) * s * s
+      |      AS DOUBLE)
+      |      / nullif(CAST(n * n * q - n * s * s AS DOUBLE),
+      |          CAST(0 AS DOUBLE)) AS r1,
+      |    CAST(n * n * p2 - n * s * (h2 + t2) + (n - 2) * s * s
+      |      AS DOUBLE)
+      |      / nullif(CAST(n * n * q - n * s * s AS DOUBLE),
+      |          CAST(0 AS DOUBLE)) AS r2,
+      |    CAST(n * n * p3 - n * s * (h3 + t3) + (n - 3) * s * s
+      |      AS DOUBLE)
+      |      / nullif(CAST(n * n * q - n * s * s AS DOUBLE),
+      |          CAST(0 AS DOUBLE)) AS r3
+      |  FROM agg WHERE n > 3
+      |),
+      |dl AS (
+      |  SELECT event_type, n, r1, r2, r3,
+      |    (r2 - r1 * r1)
+      |      / nullif(CAST(1 AS DOUBLE) - r1 * r1, CAST(0 AS DOUBLE))
+      |      AS f22
+      |  FROM rho
+      |),
+      |dl2 AS (
+      |  SELECT event_type, n, r1, r2, r3, f22,
+      |    r1 * (CAST(1 AS DOUBLE) - f22) AS f21
+      |  FROM dl
+      |),
+      |dl3 AS (
+      |  SELECT event_type, n, r1, f22,
+      |    (r3 - f21 * r2 - f22 * r1)
+      |      / nullif(CAST(1 AS DOUBLE) - f21 * r1 - f22 * r2,
+      |          CAST(0 AS DOUBLE)) AS f33
+      |  FROM dl2
+      |)
+      |SELECT event_type, n AS span,
+      |  round(r1, 6) AS pacf1,
+      |  round(f22, 6) AS pacf2,
+      |  round(f33, 6) AS pacf3,
+      |  CASE
+      |    WHEN f33 IS NOT NULL
+      |      AND abs(f33) > CAST(1.96 AS DOUBLE)
+      |        / sqrt(CAST(n AS DOUBLE)) THEN 3
+      |    WHEN f22 IS NOT NULL
+      |      AND abs(f22) > CAST(1.96 AS DOUBLE)
+      |        / sqrt(CAST(n AS DOUBLE)) THEN 2
+      |    WHEN r1 IS NOT NULL
+      |      AND abs(r1) > CAST(1.96 AS DOUBLE)
+      |        / sqrt(CAST(n AS DOUBLE)) THEN 1
+      |    ELSE 0 END AS ar_order
+      |FROM dl3
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type") && mc("m") === col("m0") + col("t"),
+        "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val lagd = x.select(col("event_type"), col("x"),
+      lag(col("x"), 1).over(w).as("x1"),
+      lag(col("x"), 2).over(w).as("x2"),
+      lag(col("x"), 3).over(w).as("x3"))
+    def lsum(c: String, of: Column): Column =
+      sum(when(col(c).isNull, 0L).otherwise(of)).cast("long")
+    val agg = lagd.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s"),
+        sum(col("x") * col("x")).cast("long").as("q"),
+        lsum("x1", col("x") * col("x1")).as("p1"),
+        lsum("x1", col("x")).as("h1"), lsum("x1", col("x1")).as("t1"),
+        lsum("x2", col("x") * col("x2")).as("p2"),
+        lsum("x2", col("x")).as("h2"), lsum("x2", col("x2")).as("t2"),
+        lsum("x3", col("x") * col("x3")).as("p3"),
+        lsum("x3", col("x")).as("h3"), lsum("x3", col("x3")).as("t3"))
+    def rk(k: Int): Column = expr(
+      s"""CAST(n * n * p$k - n * s * (h$k + t$k) + (n - $k) * s * s
+         |  AS DOUBLE)
+         |  / nullif(CAST(n * n * q - n * s * s AS DOUBLE),
+         |      CAST(0 AS DOUBLE))""".stripMargin)
+    val rho = agg.filter(col("n") > 3)
+      .select(col("event_type"), col("n"),
+        rk(1).as("r1"), rk(2).as("r2"), rk(3).as("r3"))
+    val dl = rho.withColumn("f22",
+      (col("r2") - col("r1") * col("r1")) /
+        nullif(lit(1.0) - col("r1") * col("r1"), lit(0.0)))
+    val dl2 = dl.withColumn("f21", col("r1") * (lit(1.0) - col("f22")))
+    val dl3 = dl2.withColumn("f33",
+      (col("r3") - col("f21") * col("r2") - col("f22") * col("r1")) /
+        nullif(lit(1.0) - col("f21") * col("r1") - col("f22") * col("r2"),
+          lit(0.0)))
+    val band = expr("CAST(1.96 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))")
+    dl3.select(col("event_type"), col("n").as("span"),
+        round(col("r1"), 6).as("pacf1"),
+        round(col("f22"), 6).as("pacf2"),
+        round(col("f33"), 6).as("pacf3"),
+        when(col("f33").isNotNull && abs(col("f33")) > band, 3)
+          .when(col("f22").isNotNull && abs(col("f22")) > band, 2)
+          .when(col("r1").isNotNull && abs(col("r1")) > band, 1)
+          .otherwise(0).as("ar_order"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GRUBBS' TEST — the single-outlier flag for the daily ops review:
+    * G = max|x − x̄|/s over each type's zero-filled daily counts, with
+    * the offending day identified. Complements q196's per-point MAD
+    * z-scores (population screening) with the classical ONE-number
+    * max-studentized-deviation readout and q180's CUSUM (level shifts
+    * vs single spikes).
+    *
+    * Exactness: the deviation stays INTEGER by multiplying through by
+    * n — maxdev = max|n·x − S| exact int64 with the argmax day under
+    * the (|n·x − S| DESC, day) deterministic total order; G =
+    * maxdev/(n·s) with s from the exact moments — one fixed-order
+    * chain, ONE sqrt. Constant series (nQ = S²) → NULL via nullif;
+    * n ≤ 1 excluded. The 3.0 flag is the stated three-sigma
+    * convention (the exact Grubbs critical value needs a t-quantile
+    * neither engine has in closed form).
+    *
+    * Plan: the q235 grid + one per-type moment broadcast, a 1-row-per-
+    * type argmax window, 5-row finish.
+    */
+  val q265Grubbs = Q(
+    "q265_grubbs",
+    s"""WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.d0 + unnest(range(0, b.d1 - b.d0 + 1))
+      |    AS day
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.day, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.day
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM x GROUP BY 1
+      |),
+      |dev AS (
+      |  SELECT x.event_type, x.day, m.n, m.s, m.q,
+      |    abs(m.n * x.c - m.s) AS nd,
+      |    row_number() OVER (PARTITION BY x.event_type
+      |      ORDER BY abs(m.n * x.c - m.s) DESC, x.day) AS rk
+      |  FROM x JOIN mom m ON m.event_type = x.event_type
+      |  WHERE m.n > 1
+      |)
+      |SELECT event_type, n AS n_days, CAST(day AS BIGINT) AS peak_day,
+      |  ${Exact.Sql.ratio6("s", "n")} AS mean_count,
+      |  round(CAST(nd AS DOUBLE)
+      |    / nullif(CAST(n AS DOUBLE)
+      |      * sqrt(CAST(n * q - s * s AS DOUBLE)
+      |        / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)),
+      |      CAST(0 AS DOUBLE)), 6) AS grubbs_g,
+      |  CAST(nd AS DOUBLE)
+      |    / nullif(CAST(n AS DOUBLE)
+      |      * sqrt(CAST(n * q - s * s AS DOUBLE)
+      |        / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)),
+      |      CAST(0 AS DOUBLE)) > 3.0 AS outlier_flag
+      |FROM dev WHERE rk = 1
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+      .select(col("g_type"), (col("d0") + col("t")).as("day"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type") && dc("day") === grid("day"),
+        "left")
+      .select(col("g_type").as("event_type"), grid("day"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+      .localCheckpoint() // 2 consumers: moments and the argmax scan
+    val mom = x.groupBy(col("event_type").as("m_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("q"))
+    val dev = x.join(mom, col("m_type") === col("event_type"))
+      .filter(col("n") > 1)
+      .select(col("event_type"), col("day"), col("n"), col("s"),
+        col("q"), abs(col("n") * col("c") - col("s")).as("nd"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("nd").desc, col("day"))))
+      .filter(col("rk") === 1)
+    val g = expr("""CAST(nd AS DOUBLE)
+      |  / nullif(CAST(n AS DOUBLE)
+      |    * sqrt(CAST(n * q - s * s AS DOUBLE)
+      |      / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)),
+      |    CAST(0 AS DOUBLE))""".stripMargin)
+    dev.select(col("event_type"), col("n").as("n_days"),
+        col("day").cast("long").as("peak_day"),
+        Exact.ratio6("s", "n").as("mean_count"),
+        round(g, 6).as("grubbs_g"),
+        (g > 3.0).as("outlier_flag"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GREENWOOD SPACINGS — are arrivals UNIFORM across the span, or do
+    * they clump? Σ Dᵢ²/(Σ Dᵢ)² over consecutive inter-event spacings
+    * is minimal (1/m) when spacings are equal and grows toward 1 as
+    * mass concentrates in few gaps; the uniformity index G·(m+1)/2
+    * reads 1 under uniform arrival, > 1 clumped — the order-statistics
+    * complement to q234's distributional fit (which fixes the FAMILY
+    * but not the clumping) and q246's two-moment burstiness.
+    *
+    * Exactness: spacings floor to WHOLE SECONDS (stated granularity —
+    * µs squares overflow int64 at month spans), Dᵢ and both Σ exact
+    * int64 (ΣD² ≤ span_s² needs span ≤ 3·10⁹ s ≈ 95 years); G is ONE
+    * double divide of exact int64s, the index a fixed chain. The
+    * denominator is (ΣD)² — self-consistent under the floor — and
+    * all-same-second corpora (ΣD = 0) → NULL via nullif. m ≥ 1
+    * spacings required (singleton types never reach the output).
+    *
+    * Plan: one lag window over (us, event_id), a per-type 3-number
+    * aggregate, 5-row finish. One scan.
+    */
+  val q266Greenwood = Q(
+    "q266_greenwood",
+    s"""WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |gaps AS (
+      |  SELECT event_type,
+      |    (us - lag(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id)) // 1000000 AS ds
+      |  FROM e
+      |),
+      |gg AS (SELECT event_type, ds FROM gaps WHERE ds IS NOT NULL),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(ds) AS BIGINT) AS sd,
+      |    CAST(sum(ds * ds) AS BIGINT) AS sq
+      |  FROM gg GROUP BY 1
+      |)
+      |SELECT event_type, m AS n_spacings, sd AS span_s,
+      |  round(CAST(sq AS DOUBLE)
+      |    / nullif(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS greenwood_g,
+      |  round(CAST(sq AS DOUBLE)
+      |      / nullif(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE),
+      |        CAST(0 AS DOUBLE))
+      |    * CAST(m + 1 AS DOUBLE) / CAST(2 AS DOUBLE), 6)
+      |    AS uniformity_index,
+      |  CAST(sq AS DOUBLE)
+      |      / nullif(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE),
+      |        CAST(0 AS DOUBLE))
+      |    * CAST(m + 1 AS DOUBLE) / CAST(2 AS DOUBLE) > 2.0
+      |    AS clumped
+      |FROM mom
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val gaps = e.select(col("event_type"),
+        expr("""(us - lag(us) OVER (PARTITION BY event_type
+          |  ORDER BY us, event_id)) div 1000000""".stripMargin).as("ds"))
+      .filter(col("ds").isNotNull)
+    val mom = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("ds")).cast("long").as("sd"),
+        sum(col("ds") * col("ds")).cast("long").as("sq"))
+    val g = expr("""CAST(sq AS DOUBLE)
+      |  / nullif(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE),
+      |    CAST(0 AS DOUBLE))""".stripMargin)
+    val idx = g * expr("CAST(m + 1 AS DOUBLE) / CAST(2 AS DOUBLE)")
+    mom.select(col("event_type"), col("m").as("n_spacings"),
+        col("sd").as("span_s"),
+        round(g, 6).as("greenwood_g"),
+        round(idx, 6).as("uniformity_index"),
+        (idx > 2.0).as("clumped"))
       .orderBy(col("event_type"))
   }
 }

@@ -807,4 +807,33 @@ class EdgeEventsSpec extends SparkSpec {
     assert(bf.length === 2)
     assert(bf.forall(_.isNullAt(4)), "zero SSW must NULL the F")
   }
+
+  test("q264/q265/q266 degenerate: spans too short for lag 3 are " +
+      "excluded; a constant grid NULLs Grubbs; a metronome attains the " +
+      "Greenwood floor exactly") {
+    // shared fixture: solo spans 1 hour, multi spans 3 → n ≤ 3 → both
+    // excluded from the PACF readout (n > 3 required for rho3)
+    assert(SparkEntry.queries("q264_pacf")(spark, dir).collect().isEmpty,
+      "lag-3 PACF needs more than 3 grid hours")
+    // single-day spans are excluded from Grubbs (n > 1); a two-day
+    // constant series has nQ = S² → NULL G, never 0/0
+    val d = "/tmp/graft_edge_events_const2d"
+    import spark.implicits._
+    Seq((1L, 0L, 1L, "c", 1.0, "{}"),
+      (2L, 86400L * 1000000000L, 1L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val gr = SparkEntry.queries("q265_grubbs")(spark, d).collect()
+    assert(gr.length === 1)
+    assert(gr.head.isNullAt(4) && gr.head.isNullAt(5),
+      "a constant series must NULL G and the flag")
+    // the metronome from the q257 edge: 3 equal spacings → G = 1/3
+    // exactly, uniformity index (m+1)/(2m) = 2/3
+    val gw = SparkEntry.queries("q266_greenwood")(
+      spark, "/tmp/graft_edge_events_metronome").collect()
+    assert(gw.length === 1 && gw.head.getLong(1) === 3L)
+    assert(math.abs(gw.head.getDouble(3) - 1.0 / 3) < 1e-6,
+      "equal spacings attain the Greenwood floor")
+    assert(!gw.head.getBoolean(5), "a metronome is not clumped")
+  }
 }

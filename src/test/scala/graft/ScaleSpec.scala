@@ -520,7 +520,10 @@ class ScaleSpec extends SparkSpec {
     // strictly equi-keyed like their q235 parent
     for (name <- Seq("q252_srm_check", "q253_post_strat_ate",
       "q254_mde_power", "q257_cramer_von_mises", "q258_durbin_watson",
-      "q260_ansari_bradley", "q262_croston", "q263_brown_forsythe")) {
+      "q260_ansari_bradley", "q262_croston", "q263_brown_forsythe",
+      // q264's 3-lag window and q266's gap window are join-free beyond
+      // the grid equi join; q265's argmax rides the same moment join
+      "q264_pacf", "q265_grubbs", "q266_greenwood")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

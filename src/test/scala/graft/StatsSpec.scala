@@ -2633,4 +2633,114 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.keySet === groups.keySet)
   }
+
+  test("q264 PACF replays from a direct Durbin-Levinson on directly " +
+      "computed autocorrelations; phi11 equals acf1") {
+    val got = Stats.q264Pacf.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getInt(5)))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val hrs = g.map(_._2)
+      val cnt = hrs.groupBy(identity).map { case (h, v) => h -> v.length }
+      val xs = (hrs.min to hrs.max).map(h =>
+        cnt.getOrElse(h, 0).toDouble).toArray
+      val n = xs.length
+      if (n > 3) {
+        val mu = xs.sum / n
+        val c0 = xs.map(v => (v - mu) * (v - mu)).sum
+        def rho(k: Int): Double =
+          (0 until n - k).map(i => (xs(i) - mu) * (xs(i + k) - mu)).sum / c0
+        val (r1, r2, r3) = (rho(1), rho(2), rho(3))
+        val f22 = (r2 - r1 * r1) / (1 - r1 * r1)
+        val f21 = r1 * (1 - f22)
+        val f33 = (r3 - f21 * r2 - f22 * r1) / (1 - f21 * r1 - f22 * r2)
+        val (gn, gp1, gp2, gp3, gord) = got(t)
+        assert(gn === n.toLong, s"$t span")
+        assert(math.abs(gp1 - r1) < 1e-4, s"$t pacf1=acf1")
+        assert(math.abs(gp2.get - f22) < 1e-3, s"$t pacf2")
+        assert(math.abs(gp3.get - f33) < 1e-3, s"$t pacf3")
+        val band = 1.96 / math.sqrt(n.toDouble)
+        val ord = if (f33.abs > band) 3 else if (f22.abs > band) 2
+          else if (r1.abs > band) 1 else 0
+        assert(gord === ord, s"$t ar order")
+      } else assert(!got.contains(t))
+    }
+  }
+
+  test("q265 Grubbs replays from a direct max-deviation scan; the " +
+      "flagged day is the argmax under the (dev DESC, day) order") {
+    val got = Stats.q265Grubbs.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val days = g.map(_._2)
+      val cnt = days.groupBy(identity).map { case (d, v) =>
+        d -> v.length.toLong }
+      val series = (days.min to days.max).map(d =>
+        d -> cnt.getOrElse(d, 0L))
+      val n = series.length
+      if (n > 1) {
+        val mu = series.map(_._2).sum.toDouble / n
+        val s2 = series.map { case (_, c) =>
+          (c - mu) * (c - mu) }.sum / (n - 1)
+        val (peakDay, peakC) = series.minBy { case (d, c) =>
+          (-math.abs(c - mu), d) }
+        val gg = math.abs(peakC - mu) / math.sqrt(s2)
+        val (gn, gday, gG, gflag) = got(t)
+        assert(gn === n.toLong, s"$t days")
+        assert(gday === peakDay, s"$t peak day")
+        if (s2 > 0) {
+          assert(math.abs(gG - gg) < 1e-4 * (1 + gg), s"$t G")
+          assert(gflag.get === (gg > 3.0), s"$t flag")
+        }
+      } else assert(!got.contains(t))
+    }
+  }
+
+  test("q266 Greenwood replays from direct spacing sums; the equal-" +
+      "spacing floor G = 1/m is attained exactly by a metronome") {
+    val got = Stats.q266Greenwood.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, g) <- ev.groupBy(_._1)) {
+      val sortedEv = g.sortBy(e => (e._3, e._2))
+      val ds = sortedEv.sliding(2).collect { case Array(a, b) =>
+        // floorDiv matches both engines' flooring // on the positive
+        // gap (the (us, event_id) order makes it non-negative)
+        java.lang.Math.floorDiv(b._3 - a._3, 1000000L)
+      }.toSeq
+      if (ds.nonEmpty) {
+        val m = ds.length.toLong
+        val sd = ds.sum; val sq = ds.map(v => v * v).sum
+        val (gm, gsd, gG, gidx) = got(t)
+        assert(gm === m && gsd === sd, s"$t spacing sums")
+        if (sd > 0) {
+          val gw = sq.toDouble / (sd.toDouble * sd)
+          assert(math.abs(gG - gw) < 1e-6 * (1 + gw), s"$t G")
+          assert(math.abs(gidx - gw * (m + 1) / 2) < 1e-4, s"$t index")
+          // G ≥ 1/m always (Cauchy–Schwarz), equality iff equal spacings
+          assert(gG >= 1.0 / m - 1e-9, s"$t Greenwood floor")
+        }
+      } else assert(!got.contains(t))
+    }
+  }
 }
