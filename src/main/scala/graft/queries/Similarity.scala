@@ -36,7 +36,7 @@ object Similarity {
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
     q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
     q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers,
-    q251Silhouette)
+    q251Silhouette, q268Anisotropy, q269TwoNn)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -1738,6 +1738,207 @@ object Similarity {
         col("mean_silhouette"),
         graft.functions.Exact.ratio6("neg", "n_vecs")
           .as("negative_share"))
+      .orderBy(col("label"))
+  }
+
+  /** EMBEDDING ANISOTROPY — the mean pairwise dot product WITHOUT pairs:
+    * Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖², so the O(n²) "how collapsed is this
+    * embedding space" diagnostic (Ethayarajh's anisotropy: representations
+    * that all point the same way are uninformative) costs ONE O(n·d)
+    * scan. Reported per label: mean pairwise dot, mean squared norm, and
+    * their ratio (1 ⇒ fully collapsed, 0 ⇒ isotropic around the origin).
+    *
+    * Exactness: coordinates quantize to xq = round(v·10⁶) exact int64
+    * (the q126 device at micro scale — both engines round the identical
+    * float-widened double); per-(label, pos) sums S_d are exact int64,
+    * their squares go through DECIMAL(18,0)×DECIMAL(18,0) (exact to
+    * 10³⁶ — S_d² clears int64 at ~3·10⁹ quantized mass, sf0.1 already
+    * nears it); per-row Σxq² is exact int64 summed as DECIMAL(18,0).
+    * The two finishes are single double divides of exact numerators
+    * with nullif guards (n ≤ 1 → NULL pairwise; zero norms → NULL
+    * ratio).
+    *
+    * Plan: one posexplode → (label, pos)-keyed aggregate (64·k rows),
+    * one per-row array fold (no explode) → label aggregate, a k-row
+    * join. Both map-side combined; nothing pairwise ever materializes.
+    */
+  val q268Anisotropy = Q(
+    "q268_anisotropy",
+    """WITH x AS (
+      |  SELECT label, vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+      |      AS xk
+      |  FROM embeddings
+      |),
+      |sd AS (
+      |  SELECT label, i.i, CAST(sum(xk[i.i]) AS BIGINT) AS s
+      |  FROM x, (SELECT unnest(range(1, 256)) AS i) i
+      |  WHERE i.i <= len(xk)
+      |  GROUP BY 1, 2
+      |),
+      |ss AS (
+      |  SELECT label,
+      |    sum(CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0)))
+      |      AS ssq
+      |  FROM sd GROUP BY 1
+      |),
+      |qr AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(xk, v -> v * v)), (acc, v) -> acc + v)
+      |      AS DECIMAL(18,0))) AS qq
+      |  FROM x GROUP BY 1
+      |)
+      |SELECT CAST(qr.label AS INTEGER) AS label, qr.n AS n_vecs,
+      |  round(CAST(ss.ssq - qr.qq AS DOUBLE)
+      |    / nullif(CAST(qr.n AS DOUBLE) * CAST(qr.n - 1 AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) / 1000000000000.0, 6) AS mean_pair_dot,
+      |  round(CAST(qr.qq AS DOUBLE) / CAST(qr.n AS DOUBLE)
+      |    / 1000000000000.0, 6) AS mean_sq_norm,
+      |  round(CAST(ss.ssq - qr.qq AS DOUBLE)
+      |      / nullif(CAST(qr.n AS DOUBLE) * CAST(qr.n - 1 AS DOUBLE),
+      |        CAST(0 AS DOUBLE))
+      |    / nullif(CAST(qr.qq AS DOUBLE) / CAST(qr.n AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS anisotropy
+      |FROM qr JOIN ss ON ss.label = qr.label
+      |ORDER BY label""".stripMargin,
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val x = emb.select(col("label"), col("vec_id"),
+      expr("""transform(embedding,
+        |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
+        .stripMargin).as("xk"))
+    val sd = x.select(col("label"), posexplode(col("xk")).as(Seq("i", "xq")))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("xq")).cast("long").as("s"))
+    val ss = sd.groupBy(col("label").as("s_label"))
+      .agg(sum(expr("""CAST(s AS DECIMAL(18,0))
+        |  * CAST(s AS DECIMAL(18,0))""".stripMargin)).as("ssq"))
+    val qr = x.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(expr("""CAST(aggregate(xk, CAST(0 AS BIGINT),
+          |  (acc, v) -> acc + v * v) AS DECIMAL(18,0))""".stripMargin))
+          .as("qq"))
+    qr.join(ss, col("s_label") === col("label"))
+      .select(col("label").cast("int").as("label"), col("n").as("n_vecs"),
+        round(expr("""CAST(ssq - qq AS DOUBLE)
+          |  / nullif(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE),
+          |    CAST(0 AS DOUBLE)) / 1000000000000.0""".stripMargin), 6)
+          .as("mean_pair_dot"),
+        round(expr("""CAST(qq AS DOUBLE) / CAST(n AS DOUBLE)
+          |  / 1000000000000.0""".stripMargin), 6).as("mean_sq_norm"),
+        round(expr("""CAST(ssq - qq AS DOUBLE)
+          |    / nullif(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE),
+          |      CAST(0 AS DOUBLE))
+          |  / nullif(CAST(qq AS DOUBLE) / CAST(n AS DOUBLE),
+          |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("anisotropy"))
+      .orderBy(col("label"))
+  }
+
+  /** TwoNN INTRINSIC DIMENSION — how many dimensions does the data
+    * ACTUALLY live in? Facco et al.'s estimator needs only each point's
+    * two nearest neighbors: under a locally uniform density the ratio
+    * μ = r₂/r₁ is Pareto(ID), so ID = n/Σ ln μᵢ — the number that says
+    * whether a 64-d embedding is really a 10-d manifold (and therefore
+    * how aggressively q103/q64's compressions can cut). Computed per
+    * label (the q183 blocking — local ID per cluster; a global ID would
+    * need the unblocked n² join, stated).
+    *
+    * Exactness: squared distances are exact int64 in quantized space
+    * (Σ(xqa − xqb)² over 64 dims — the q126 device), nearest ranks
+    * under the (d2, nbr) deterministic total order; ln μ = 0.5·ln of an
+    * exact-int ratio through the house float-cast ln, each term cast
+    * DECIMAL(18,9), associative sum. Coincident points (d2₁ = 0) are
+    * EXCLUDED from the MLE (ln undefined — stated); labels with < 3
+    * vectors or Σ = 0 → NULL.
+    *
+    * Plan: a label-blocked self-join (equi on label, the q183 shape —
+    * never an unbounded cartesian), one rank window, a per-label
+    * decimal aggregate. At 10⁹ vectors the blocked join is the q36 IVF
+    * path's job; this is the exact small-block evaluator.
+    */
+  val q269TwoNn = Q(
+    "q269_twonn",
+    """WITH x AS (
+      |  SELECT label, vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+      |      AS xk
+      |  FROM embeddings
+      |),
+      |pr AS (
+      |  SELECT a.label, a.vec_id AS src, b.vec_id AS nbr,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, len(a.xk) + 1),
+      |        i -> (a.xk[i] - b.xk[i]) * (a.xk[i] - b.xk[i]))),
+      |      (acc, v) -> acc + v) AS BIGINT) AS d2
+      |  FROM x a JOIN x b ON a.label = b.label
+      |    AND a.vec_id <> b.vec_id
+      |),
+      |rk AS (
+      |  SELECT label, src, d2,
+      |    row_number() OVER (PARTITION BY label, src
+      |      ORDER BY d2, nbr) AS rnk
+      |  FROM pr
+      |),
+      |two AS (
+      |  SELECT label, src,
+      |    max(CASE WHEN rnk = 1 THEN d2 END) AS d1,
+      |    max(CASE WHEN rnk = 2 THEN d2 END) AS d2n
+      |  FROM rk WHERE rnk <= 2 GROUP BY 1, 2
+      |),
+      |tm AS (
+      |  SELECT label,
+      |    CAST(count(*) AS BIGINT) AS n_used,
+      |    sum(CAST(CAST(0.5 AS DOUBLE)
+      |      * CAST(ln(CAST(d2n AS DOUBLE) / CAST(d1 AS DOUBLE))
+      |        AS FLOAT) AS DECIMAL(18,9))) AS slog
+      |  FROM two
+      |  WHERE d1 > 0 AND d2n IS NOT NULL
+      |  GROUP BY 1
+      |)
+      |SELECT CAST(label AS INTEGER) AS label, n_used,
+      |  round(CAST(slog AS DOUBLE), 6) AS sum_log_ratio,
+      |  CASE WHEN n_used >= 3 AND CAST(slog AS DOUBLE) > 0 THEN
+      |    round(CAST(n_used AS DOUBLE) / CAST(slog AS DOUBLE), 6)
+      |  ELSE NULL END AS intrinsic_dim
+      |FROM tm
+      |ORDER BY label""".stripMargin,
+  ) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val x = emb.select(col("label"), col("vec_id"),
+      expr("""transform(embedding,
+        |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
+        .stripMargin).as("xk"))
+    val a = x.select(col("label"), col("vec_id").as("src"),
+      col("xk").as("xa"))
+    val bdf = x.select(col("label").as("b_label"),
+      col("vec_id").as("nbr"), col("xk").as("xb"))
+    val pr = a.join(bdf,
+        col("b_label") === col("label") && col("nbr") =!= col("src"))
+      .select(col("label"), col("src"), col("nbr"),
+        expr("""CAST(aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"""
+          .stripMargin).as("d2"))
+    val rk = pr.select(col("label"), col("src"), col("d2"),
+      row_number().over(Window.partitionBy(col("label"), col("src"))
+        .orderBy(col("d2"), col("nbr"))).as("rnk"))
+      .filter(col("rnk") <= 2)
+    val two = rk.groupBy(col("label"), col("src"))
+      .agg(max(when(col("rnk") === 1, col("d2"))).as("d1"),
+        max(when(col("rnk") === 2, col("d2"))).as("d2n"))
+    val tm = two.filter(col("d1") > 0 && col("d2n").isNotNull)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_used"),
+        sum(expr("""CAST(CAST(0.5 AS DOUBLE)
+          |  * CAST(ln(CAST(d2n AS DOUBLE) / CAST(d1 AS DOUBLE))
+          |    AS FLOAT) AS DECIMAL(18,9))""".stripMargin)).as("slog"))
+    tm.select(col("label").cast("int").as("label"), col("n_used"),
+        round(col("slog").cast("double"), 6).as("sum_log_ratio"),
+        when(col("n_used") >= 3 && col("slog").cast("double") > 0,
+          round(expr("CAST(n_used AS DOUBLE) / CAST(slog AS DOUBLE)"), 6))
+          .otherwise(lit(null)).as("intrinsic_dim"))
       .orderBy(col("label"))
   }
 }

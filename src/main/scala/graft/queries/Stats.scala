@@ -39,7 +39,7 @@ object Stats {
     q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower,
     q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises,
     q258DurbinWatson, q259Friedman, q260AnsariBradley, q261HurstRs, q262Croston, q263BrownForsythe, q264Pacf, q265Grubbs,
-    q266Greenwood)
+    q266Greenwood, q267StreaksRecords)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -7239,6 +7239,128 @@ object Stats {
         round(g, 6).as("greenwood_g"),
         round(idx, 6).as("uniformity_index"),
         (idx > 2.0).as("clumped"))
+      .orderBy(col("event_type"))
+  }
+
+  /** STREAKS & RECORDS — the dashboard's momentum panel: per type over
+    * the zero-filled daily grid, the LONGEST run of strictly rising
+    * days (consecutive rising steps — a streak of L steps spans L+1
+    * days, stated) and the count of RECORD-HIGH days (strictly above
+    * every prior day; day one is a record by convention). Pure
+    * order-statistics — the integer complement to q231's Mann–Kendall
+    * (which sums ALL pairwise signs) and q180's CUSUM (level shifts).
+    *
+    * Exactness: everything is integer window arithmetic — rising flags
+    * from one lag, streak islands via the running sum of (1 − rising)
+    * (rising rows share an island id; island length = Σ rising), records
+    * against the strictly-preceding running max. No floats exist.
+    *
+    * Plan: the q235 grid, two passes of span-bounded windows, one
+    * island aggregate, 5-row finish.
+    */
+  val q267StreaksRecords = Q(
+    "q267_streaks_records",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.d0,
+      |    unnest(range(0, b.d1 - b.d0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, g.d0 + g.t AS day,
+      |    COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |r AS (
+      |  SELECT event_type, t, day, c,
+      |    CASE WHEN lag(c) OVER (PARTITION BY event_type ORDER BY t)
+      |        IS NOT NULL
+      |      AND c > lag(c) OVER (PARTITION BY event_type ORDER BY t)
+      |      THEN 1 ELSE 0 END AS rising,
+      |    CASE WHEN max(c) OVER (PARTITION BY event_type ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR c > max(c) OVER (PARTITION BY event_type ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS rec
+      |  FROM x
+      |),
+      |s AS (
+      |  SELECT event_type, day, rising, rec,
+      |    CAST(sum(1 - rising) OVER (PARTITION BY event_type
+      |      ORDER BY t) AS BIGINT) AS sid
+      |  FROM r
+      |),
+      |run AS (
+      |  SELECT event_type, sid, CAST(sum(rising) AS BIGINT) AS len
+      |  FROM s GROUP BY 1, 2
+      |),
+      |agg AS (
+      |  SELECT event_type, CAST(max(len) AS BIGINT) AS longest
+      |  FROM run GROUP BY 1
+      |),
+      |recs AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(rec) AS BIGINT) AS n_records,
+      |    CAST(max(CASE WHEN rec = 1 THEN day END) AS BIGINT)
+      |      AS last_record_day
+      |  FROM s GROUP BY 1
+      |)
+      |SELECT recs.event_type, recs.n_days, recs.n_records,
+      |  recs.last_record_day, agg.longest AS longest_rise
+      |FROM recs JOIN agg ON agg.event_type = recs.event_type
+      |ORDER BY recs.event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        (col("d0") + col("t")).as("day"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val r = x.select(col("event_type"), col("t"), col("day"), col("c"),
+      when(lag(col("c"), 1).over(w).isNotNull
+          && col("c") > lag(col("c"), 1).over(w), 1).otherwise(0)
+        .as("rising"),
+      when(max(col("c")).over(wPrev).isNull
+          || col("c") > max(col("c")).over(wPrev), 1).otherwise(0)
+        .as("rec"))
+    val sdf = r.select(col("event_type"), col("day"), col("rising"),
+        col("rec"),
+        sum(lit(1) - col("rising")).over(w).cast("long").as("sid"))
+      .localCheckpoint() // 2 consumers: island lengths and record counts
+    val agg = sdf.groupBy(col("event_type").as("a_type"), col("sid"))
+      .agg(sum(col("rising")).cast("long").as("len"))
+      .groupBy(col("a_type"))
+      .agg(max(col("len")).cast("long").as("longest"))
+    val recs = sdf.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("rec")).cast("long").as("n_records"),
+        max(when(col("rec") === 1, col("day"))).cast("long")
+          .as("last_record_day"))
+    recs.join(agg, col("a_type") === col("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_records"),
+        col("last_record_day"), col("longest").as("longest_rise"))
       .orderBy(col("event_type"))
   }
 }

@@ -836,4 +836,23 @@ class EdgeEventsSpec extends SparkSpec {
       "equal spacings attain the Greenwood floor")
     assert(!gw.head.getBoolean(5), "a metronome is not clumped")
   }
+
+  test("q267 degenerate: the exact-line fixture is one unbroken streak " +
+      "where every day is a record") {
+    // /tmp/graft_edge_events_line: counts 1, 2, 3 across 3 days (built
+    // by the q258 edge — rebuild here to stay order-independent)
+    val d = "/tmp/graft_edge_events_line267"
+    import spark.implicits._
+    val rows = for { day <- 0 to 2; i <- 0 to day }
+      yield ((day * 10 + i + 1).toLong,
+        day * 86400L * 1000000000L + i * 1000000000L, 1L, "ln", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val sr = SparkEntry.queries("q267_streaks_records")(spark, d).collect()
+    assert(sr.length === 1)
+    assert(sr.head.getLong(1) === 3L, "3 grid days")
+    assert(sr.head.getLong(2) === 3L, "every day a record on a rising line")
+    assert(sr.head.getLong(3) === 2L, "last record is day index 2")
+    assert(sr.head.getLong(4) === 2L, "two rising steps")
+  }
 }

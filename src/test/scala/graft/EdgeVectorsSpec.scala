@@ -90,4 +90,38 @@ class EdgeVectorsSpec extends SparkSpec {
       assert(mine === (0L until 6L).filterNot(_ == q).take(5).toSeq, s"qid=$q: $mine")
     }
   }
+
+  test("q268/q269 degenerate: the zero vector is an ordinary anisotropy " +
+      "member; coincident points are excluded from the TwoNN MLE") {
+    // zero vector contributes 0 to every sum — label 0 stays defined
+    val an = SparkEntry.queries("q268_anisotropy")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(an.keySet === Set(0, 1, 2))
+    assert(an.values.forall(r => !r.isNullAt(2) && !r.isNullAt(3)),
+      "multi-vector labels keep real means")
+    // all-identical corpus: every nearest distance is 0 → every point
+    // excluded from the MLE → empty readout, never ln(0)
+    val d = "/tmp/graft_edge_vectors_identical"
+    import spark.implicits._
+    val vec = Array.tabulate(8)(i => (i % 3).toFloat / 4f)
+    (0L until 6L).map(i => (i, vec, 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    assert(SparkEntry.queries("q269_twonn")(spark, d).collect().isEmpty,
+      "coincident corpora have no TwoNN estimate")
+    // and the anisotropy of identical unit-direction vectors is exactly
+    // 1 (mean pairwise dot = mean squared norm)
+    val an1 = SparkEntry.queries("q268_anisotropy")(spark, d).collect()
+    assert(an1.length === 1)
+    assert(math.abs(an1.head.getDouble(4) - 1.0) < 1e-6,
+      "identical vectors are maximally anisotropic")
+    // a 2-point label has no second neighbor → excluded from TwoNN
+    val d2 = "/tmp/graft_edge_vectors_pair"
+    Seq((1L, Array.tabulate(8)(_.toFloat / 10f), 3),
+      (2L, Array.tabulate(8)(i => (i + 1).toFloat / 10f), 3))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    assert(SparkEntry.queries("q269_twonn")(spark, d2).collect().isEmpty,
+      "a pair has r2 undefined — no estimate")
+  }
 }

@@ -523,7 +523,11 @@ class ScaleSpec extends SparkSpec {
       "q260_ansari_bradley", "q262_croston", "q263_brown_forsythe",
       // q264's 3-lag window and q266's gap window are join-free beyond
       // the grid equi join; q265's argmax rides the same moment join
-      "q264_pacf", "q265_grubbs", "q266_greenwood")) {
+      "q264_pacf", "q265_grubbs", "q266_greenwood",
+      // q267's islands are window-only; q268's identity needs no pairs
+      // at all (pos-keyed + per-row folds); q269's self-join is the
+      // q183 label-blocked equi shape
+      "q267_streaks_records", "q268_anisotropy", "q269_twonn")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.{Analytic, Curation, GraphOps, Stats, TextAnalysis}
+import graft.queries.{Analytic, Curation, GraphOps, Similarity, Stats,
+  TextAnalysis}
 
 /** Independent-reimplementation nets for the round-10 operator family
   * (q153–q159): each test recomputes the operator's answer with a plain
@@ -2741,6 +2742,108 @@ class StatsSpec extends SparkSpec {
           assert(gG >= 1.0 / m - 1e-9, s"$t Greenwood floor")
         }
       } else assert(!got.contains(t))
+    }
+  }
+
+  test("q267 streaks/records replays from a direct Scala walk") {
+    val got = Stats.q267StreaksRecords.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val days = g.map(_._2)
+      val cnt = days.groupBy(identity).map { case (d, v) =>
+        d -> v.length.toLong }
+      val series = (days.min to days.max).map(d =>
+        d -> cnt.getOrElse(d, 0L))
+      var records = 0L; var lastRec = 0L; var runMax = Long.MinValue
+      var streak = 0L; var longest = 0L
+      var prev = Option.empty[Long]
+      for ((d, c) <- series) {
+        if (c > runMax) { records += 1; lastRec = d; runMax = c }
+        if (prev.exists(c > _)) { streak += 1; longest = longest max streak }
+        else streak = 0
+        prev = Some(c)
+      }
+      val (gn, grec, glast, glong) = got(t)
+      assert(gn === series.length.toLong, s"$t days")
+      assert(grec === records, s"$t records")
+      assert(glast === lastRec, s"$t last record day")
+      assert(glong === longest, s"$t longest rise")
+    }
+    assert(got.keySet === raw.map(_._1).toSet)
+  }
+
+  test("q268 anisotropy identity matches the BRUTE-FORCE pairwise mean " +
+      "over the same quantized integers") {
+    val got = Similarity.q268Anisotropy.fn(spark, sf).collect().map { r =>
+      r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getDouble(3)))
+    }.toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1e6)).toArray))
+    for ((lab, g) <- vecs.groupBy(_._1)) {
+      val xs = g.map(_._2)
+      val n = xs.length
+      // brute force: every ordered pair i ≠ j
+      var acc = BigInt(0)
+      for (i <- xs.indices; j <- xs.indices if i != j)
+        acc += xs(i).zip(xs(j)).map { case (a, b) => BigInt(a) * b }.sum
+      val meanDot =
+        if (n > 1) Some(BigDecimal(acc).toDouble / (n.toLong * (n - 1)) / 1e12)
+        else None
+      val sqn = xs.map(v => v.map(c => BigInt(c) * c).sum).sum
+      val meanSq = BigDecimal(sqn).toDouble / n / 1e12
+      val (gn, gdot, gsq) = got(lab)
+      assert(gn === n.toLong, s"label $lab n")
+      assert(math.abs(gsq - meanSq) < 1e-5 * (1 + meanSq), s"$lab sqnorm")
+      (meanDot, gdot) match {
+        case (Some(md), Some(gd)) =>
+          assert(math.abs(gd - md) < 1e-5 * (1 + md.abs),
+            s"label $lab identity vs brute force")
+        case (a, b) => assert(a.isEmpty === b.isEmpty)
+      }
+    }
+  }
+
+  test("q269 TwoNN replays from a brute-force 2-NN scan; the estimate " +
+      "is positive and finite on every populated label") {
+    val got = Similarity.q269TwoNn.fn(spark, sf).collect().map { r =>
+      r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }.toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).map(v => math.round(v.toDouble * 1e6)).toArray))
+    for ((lab, g) <- vecs.groupBy(_._1)) {
+      val pts = g.map(p => (p._2, p._3))
+      val terms = pts.flatMap { case (id, v) =>
+        val ds = pts.filter(_._1 != id).map { case (jid, w) =>
+          (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, jid)
+        }.sorted
+        if (ds.length >= 2 && ds(0)._1 > 0)
+          Some(0.5 * math.log(ds(1)._1.toDouble / ds(0)._1).toFloat.toDouble)
+        else None
+      }
+      if (terms.nonEmpty) {
+        val slog = terms.sum
+        val (gn, gslog, gid) = got(lab)
+        assert(gn === terms.length.toLong, s"label $lab n_used")
+        assert(math.abs(gslog - slog) < 1e-4 * (1 + slog.abs), s"$lab slog")
+        if (terms.length >= 3 && slog > 0) {
+          val id = terms.length / slog
+          assert(math.abs(gid.get - id) < 1e-3 * (1 + id), s"$lab ID")
+          assert(gid.get > 0 && gid.get < 1e6, s"$lab ID finite")
+        } else assert(gid.isEmpty)
+      } else assert(!got.contains(lab))
     }
   }
 }
