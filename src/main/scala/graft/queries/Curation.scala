@@ -31,7 +31,7 @@ object Curation {
     q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
     q110BottomkSample, q112WeightedSample, q136BoilerplateStrip,
     q172DsirWeights, q176QuantileNormalize, q195TokenBudget,
-    q215GiniStump)
+    q215GiniStump, q271TemperatureMixture)
 
   /** Per-group bottom-k-by-hash sampling through the
     * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
@@ -1018,6 +1018,63 @@ object Curation {
             |  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)""".stripMargin), 6)
           .as("gini_parent"),
         round(col("gsplit"), 6).as("gini_split"))
+      .orderBy(col("source"))
+  }
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS — the multilingual/multi-source
+    * sampling recipe (the XLM-R / mT5 device): raw source shares pᵢ are
+    * flattened to pᵢ^(1/τ) and renormalized, here at τ = 2 (square
+    * root), so head sources are down-sampled and tail sources up —
+    * the operator q69's proportional mixture hands off to when the
+    * corpus is skewed. The up/down-sampling factor w/p per source is
+    * the number a data loader actually consumes.
+    *
+    * Exactness: counts are exact int64; √n is ONE IEEE sqrt of an
+    * exact int (correctly rounded, bit-identical); the k-source
+    * normalizer quantizes each √n to DECIMAL(18,9) for the associative
+    * window total; weights and factors are fixed-order chains (the
+    * factor through exact cross-multiplied counts: (√nᵢ/Σ√n)/(nᵢ/N) =
+    * √nᵢ·N/(Σ√n·nᵢ)). Empty corpus → empty output.
+    *
+    * Plan: one source count, a k-row window finish. Scan-dominated.
+    */
+  val q271TemperatureMixture = Q(
+    "q271_temperature_mixture",
+    s"""WITH c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents WHERE source IS NOT NULL GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT source, n,
+      |    sqrt(CAST(n AS DOUBLE)) AS rt,
+      |    CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,9)))
+      |      OVER () AS DOUBLE) AS srt,
+      |    CAST(sum(n) OVER () AS BIGINT) AS nn
+      |  FROM c
+      |)
+      |SELECT source, n AS n_docs,
+      |  ${graft.functions.Exact.Sql.ratio6("n", "nn")} AS raw_share,
+      |  round(rt / srt, 6) AS temp_share,
+      |  round(rt * CAST(nn AS DOUBLE) / (srt * CAST(n AS DOUBLE)), 6)
+      |    AS sampling_factor
+      |FROM t
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val c = Tables.documents(s, d)
+      .filter(col("source").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val wAll = Window.partitionBy()
+    val t = c.select(col("source"), col("n"),
+      sqrt(col("n").cast("double")).as("rt"),
+      sum(expr("CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,9))"))
+        .over(wAll).cast("double").as("srt"),
+      sum(col("n")).over(wAll).cast("long").as("nn"))
+    t.select(col("source"), col("n").as("n_docs"),
+        graft.functions.Exact.ratio6("n", "nn").as("raw_share"),
+        round(col("rt") / col("srt"), 6).as("temp_share"),
+        round(expr("rt * CAST(nn AS DOUBLE) / (srt * CAST(n AS DOUBLE))"),
+          6).as("sampling_factor"))
       .orderBy(col("source"))
   }
 }

@@ -36,7 +36,8 @@ object Similarity {
     q93LabelCentroids, q100AnnIvfNprobe, q102SemanticDedup, q103PqEncode,
     q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
     q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers,
-    q251Silhouette, q268Anisotropy, q269TwoNn)
+    q251Silhouette, q268Anisotropy, q269TwoNn, q270LabelNoise,
+    q272ClassBalanced)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -1939,6 +1940,162 @@ object Similarity {
         when(col("n_used") >= 3 && col("slog").cast("double") > 0,
           round(expr("CAST(n_used AS DOUBLE) / CAST(slog AS DOUBLE)"), 6))
           .otherwise(lit(null)).as("intrinsic_dim"))
+      .orderBy(col("label"))
+  }
+
+  /** 1-NN LABEL-NOISE RATE — confident-learning-lite: the share of each
+    * label's vectors whose NEAREST neighbor (over the whole corpus, any
+    * label) carries a DIFFERENT label. Clean clusterable labels read
+    * near 0; a label whose members' nearest neighbors mostly disagree
+    * is mislabeled or unclusterable — the triage number in front of
+    * q188's classifier and q251's silhouette (which both ASSUME labels
+    * mean something).
+    *
+    * Exactness: squared distances exact int64 in the q126 quantized
+    * space; the nearest neighbor under the (d2, nbr) deterministic
+    * total order; the rate through ratio6. Coincident points keep their
+    * d2 = 0 neighbor (nearest is nearest — no exclusion here, unlike
+    * q269's ln). Singleton-corpus vectors have no neighbor and are
+    * excluded (stated).
+    *
+    * Plan: ONE unblocked n² self-join — DELIBERATELY, because noise
+    * detection needs cross-label neighbors (the q183/q269 label
+    * blocking would hide exactly the disagreements being measured), so
+    * the plan is a nested-loop by design and sits in ScaleSpec's
+    * documented waiver group. At 10⁹ vectors the ANN route (q36 IVF /
+    * q64 SRP candidates → this exact scorer on the candidate set) is
+    * the scale path; this operator is the exact audit-scale evaluator,
+    * the same stance q269 takes for blocked ID estimation.
+    */
+  val q270LabelNoise = Q(
+    "q270_label_noise",
+    """WITH x AS (
+      |  SELECT label, vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+      |      AS xk
+      |  FROM embeddings
+      |),
+      |pr AS (
+      |  SELECT a.label AS la, a.vec_id AS src, b.label AS lb,
+      |    b.vec_id AS nbr,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, len(a.xk) + 1),
+      |        i -> (a.xk[i] - b.xk[i]) * (a.xk[i] - b.xk[i]))),
+      |      (acc, v) -> acc + v) AS BIGINT) AS d2
+      |  FROM x a JOIN x b ON a.vec_id <> b.vec_id
+      |),
+      |nn AS (
+      |  SELECT la, src, lb FROM (
+      |    SELECT la, src, lb,
+      |      row_number() OVER (PARTITION BY src ORDER BY d2, nbr) AS rnk
+      |    FROM pr) z
+      |  WHERE rnk = 1
+      |)
+      |SELECT CAST(la AS INTEGER) AS label,
+      |  CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_disagree,
+      |  round(CAST((2 * sum(CASE WHEN lb <> la THEN 1 ELSE 0 END)
+      |      * 1000000 + count(*)) // (2 * count(*)) AS DOUBLE)
+      |    / 1000000.0, 6) AS noise_rate
+      |FROM nn GROUP BY la
+      |ORDER BY label""".stripMargin,
+  ) { (s, d) =>
+    val x = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        expr("""transform(embedding,
+          |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
+          .stripMargin).as("xk"))
+    val a = x.select(col("label").as("la"), col("vec_id").as("src"),
+      col("xk").as("xa"))
+    val bdf = x.select(col("label").as("lb"), col("vec_id").as("nbr"),
+      col("xk").as("xb"))
+    val pr = a.join(bdf, col("nbr") =!= col("src"))
+      .select(col("la"), col("src"), col("lb"), col("nbr"),
+        expr("""CAST(aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"""
+          .stripMargin).as("d2"))
+    val nn = pr.select(col("la"), col("src"), col("lb"),
+        row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("d2"), col("nbr"))).as("rnk"))
+      .filter(col("rnk") === 1)
+    nn.groupBy(col("la"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(when(col("lb") =!= col("la"), 1).otherwise(0)).cast("long")
+          .as("n_disagree"))
+      .select(col("la").cast("int").as("label"), col("n_vecs"),
+        col("n_disagree"),
+        graft.functions.Exact.ratio6("n_disagree", "n_vecs")
+          .as("noise_rate"))
+      .orderBy(col("label"))
+  }
+
+  /** CLASS-BALANCED WEIGHTS — Cui et al.'s "effective number of
+    * samples": re-weighting by 1/n explodes on tiny classes and 1/1
+    * ignores imbalance; the effective count Eₙ = (1 − βⁿ)/(1 − β)
+    * (β = 0.999) interpolates — near n for small classes, saturating
+    * at 1/(1−β) = 1000 for large ones — and w ∝ 1/Eₙ normalized to
+    * mean 1 over classes is the standard long-tail training weight.
+    *
+    * Exactness: n per label is an exact count; βⁿ rides the house
+    * float-cast pow (identical both engines); Eₙ and the raw weight
+    * are fixed-order chains; the k-class normalizer quantizes each raw
+    * weight to DECIMAL(18,9) for the associative window total (the
+    * q197 idiom). Empty corpus → empty output; a zero Eₙ cannot occur
+    * (n ≥ 1 ⇒ Eₙ ≥ 1).
+    *
+    * Plan: one label count, a k-row window finish. Trivially
+    * scan-dominated — listed because every training pipeline needs it
+    * next to q69's mixture and q77's resampler.
+    */
+  val q272ClassBalanced = Q(
+    "q272_class_balanced",
+    """WITH c AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n
+      |  FROM embeddings GROUP BY 1
+      |),
+      |w AS (
+      |  SELECT label, n,
+      |    (CAST(1 AS DOUBLE)
+      |      - CAST(pow(0.999, CAST(n AS DOUBLE)) AS FLOAT))
+      |      / CAST(0.001 AS DOUBLE) AS eff,
+      |    CAST(1 AS DOUBLE)
+      |      / ((CAST(1 AS DOUBLE)
+      |        - CAST(pow(0.999, CAST(n AS DOUBLE)) AS FLOAT))
+      |        / CAST(0.001 AS DOUBLE)) AS raw
+      |  FROM c
+      |),
+      |t AS (
+      |  SELECT label, n, eff, raw,
+      |    CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(sum(CAST(raw AS DECIMAL(18,9))) OVER () AS DOUBLE)
+      |      AS sraw
+      |  FROM w
+      |)
+      |SELECT CAST(label AS INTEGER) AS label, n AS n_samples,
+      |  round(eff, 6) AS effective_n,
+      |  round(raw * CAST(k AS DOUBLE) / sraw, 6) AS weight
+      |FROM t
+      |ORDER BY label""".stripMargin,
+  ) { (s, d) =>
+    val c = Tables.embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val eff = expr("""(CAST(1 AS DOUBLE)
+      |  - CAST(pow(0.999, CAST(n AS DOUBLE)) AS FLOAT))
+      |  / CAST(0.001 AS DOUBLE)""".stripMargin)
+    val w = c.select(col("label"), col("n"), eff.as("eff"),
+      (lit(1.0) / eff).as("raw"))
+    val wAll = Window.partitionBy()
+    val t = w.select(col("label"), col("n"), col("eff"), col("raw"),
+      count(lit(1)).over(wAll).cast("long").as("k"),
+      sum(expr("CAST(raw AS DECIMAL(18,9))")).over(wAll).cast("double")
+        .as("sraw"))
+    t.select(col("label").cast("int").as("label"),
+        col("n").as("n_samples"),
+        round(col("eff"), 6).as("effective_n"),
+        round(expr("raw * CAST(k AS DOUBLE) / sraw"), 6).as("weight"))
       .orderBy(col("label"))
   }
 }

@@ -124,4 +124,31 @@ class EdgeVectorsSpec extends SparkSpec {
     assert(SparkEntry.queries("q269_twonn")(spark, d2).collect().isEmpty,
       "a pair has r2 undefined — no estimate")
   }
+
+  test("q270/q272 degenerate: a singleton corpus has no neighbor; a " +
+      "single-class corpus gets weight exactly 1") {
+    import spark.implicits._
+    val d = "/tmp/graft_edge_vectors_singleton"
+    Seq((1L, Array.tabulate(8)(_.toFloat / 10f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    assert(SparkEntry.queries("q270_label_noise")(spark, d).collect()
+      .isEmpty, "a singleton has no 1-NN verdict")
+    val cb = SparkEntry.queries("q272_class_balanced")(spark, d).collect()
+    assert(cb.length === 1)
+    assert(math.abs(cb.head.getDouble(3) - 1.0) < 1e-9,
+      "one class normalizes to weight exactly 1")
+    // perfectly separated two-label corpus → zero noise on both labels
+    val d2 = "/tmp/graft_edge_vectors_separated"
+    val rows = (0L until 4L).map(i =>
+      (i, Array.tabulate(8)(j => (j + i).toFloat / 100f), 0)) ++
+      (10L until 14L).map(i =>
+        (i, Array.tabulate(8)(j => 5f + (j + i).toFloat / 100f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val ln = SparkEntry.queries("q270_label_noise")(spark, d2).collect()
+    assert(ln.length === 2)
+    assert(ln.forall(_.getLong(2) === 0L),
+      "separated clusters must read zero label noise")
+  }
 }

@@ -527,7 +527,9 @@ class ScaleSpec extends SparkSpec {
       // q267's islands are window-only; q268's identity needs no pairs
       // at all (pos-keyed + per-row folds); q269's self-join is the
       // q183 label-blocked equi shape
-      "q267_streaks_records", "q268_anisotropy", "q269_twonn")) {
+      "q267_streaks_records", "q268_anisotropy", "q269_twonn",
+      // q271/q272 are window finishes over tiny group counts
+      "q271_temperature_mixture", "q272_class_balanced")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -540,8 +542,11 @@ class ScaleSpec extends SparkSpec {
     // |types|×1 global-bounds grid seed is the q249 designed broadcast;
     // an unbounded cartesian is still forbidden
     // q261's 4-element block-size fan is a designed bounded broadcast
+    // q270's unblocked n² 1-NN is a nested loop BY DESIGN (cross-label
+    // neighbors are the measurement; the ANN candidate route is the
+    // scale path — scaladoc states it); only a cartesian is forbidden
     for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini",
-      "q259_friedman", "q261_hurst_rs")) {
+      "q259_friedman", "q261_hurst_rs", "q270_label_noise")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -2846,4 +2846,87 @@ class StatsSpec extends SparkSpec {
       } else assert(!got.contains(lab))
     }
   }
+
+  test("q270 label noise replays from a brute-force global 1-NN; " +
+      "per-label counts partition the corpus") {
+    val got = Similarity.q270LabelNoise.fn(spark, sf).collect().map { r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }.toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Float](2).map(v => math.round(v.toDouble * 1e6)).toArray))
+    val nnLabel = vecs.map { case (_, id, v) =>
+      val (bd, bid, blab) = vecs.filter(_._2 != id).map { case (l2, j, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, j, l2)
+      }.minBy(t => (t._1, t._2))
+      (id, blab)
+    }.toMap
+    val byLab = vecs.groupBy(_._1)
+    for ((lab, g) <- byLab) {
+      val dis = g.count(p => nnLabel(p._2) != lab).toLong
+      val (gn, gd, grate) = got(lab)
+      assert(gn === g.length.toLong, s"label $lab n")
+      assert(gd === dis, s"label $lab disagreements")
+      assert(math.abs(grate - dis.toDouble / g.length) < 2e-6)
+    }
+    assert(got.values.map(_._1).sum === vecs.length.toLong,
+      "labels partition the corpus")
+  }
+
+  test("q271 temperature mixture replays from direct sqrt shares; " +
+      "temp shares sum to 1 and flatten toward the tail") {
+    val got = Curation.q271TemperatureMixture.fn(spark, sf).collect()
+      .map { r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))) }.toMap
+    val counts = Tables.documents(spark, sf)
+      .filter(col("source").isNotNull)
+      .groupBy(col("source")).agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nn = counts.values.sum
+    val srt = counts.values.map(n => math.sqrt(n.toDouble)).sum
+    for ((s0, n) <- counts) {
+      val (gn, graw, gtemp, gfac) = got(s0)
+      assert(gn === n, s"$s0 count")
+      assert(math.abs(graw - n.toDouble / nn) < 2e-6)
+      val tshare = math.sqrt(n.toDouble) / srt
+      assert(math.abs(gtemp - tshare) < 1e-5, s"$s0 temp share")
+      assert(math.abs(gfac - tshare / (n.toDouble / nn)) < 1e-4)
+      // flattening: the factor is anti-monotone in n — the largest
+      // source is down-sampled iff any flattening happens at all
+      if (n == counts.values.max && counts.values.toSet.size > 1)
+        assert(gfac < 1.0, s"$s0 head source must down-sample")
+      if (n == counts.values.min && counts.values.toSet.size > 1)
+        assert(gfac > 1.0, s"$s0 tail source must up-sample")
+    }
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4,
+      "temperature shares must renormalize to 1")
+  }
+
+  test("q272 class-balanced weights replay from the closed form; " +
+      "weights are mean-1 and anti-monotone in class size") {
+    val got = Similarity.q272ClassBalanced.fn(spark, sf).collect()
+      .map { r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3))) }.toMap
+    val counts = Tables.embeddings(spark, sf)
+      .groupBy(col("label")).agg(count(lit(1))).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val raws = counts.map { case (l, n) =>
+      l -> 0.001 / (1.0 - math.pow(0.999, n.toDouble).toFloat) }
+    val k = counts.size
+    val sraw = raws.values.sum
+    for ((l, n) <- counts) {
+      val (gn, geff, gw) = got(l)
+      assert(gn === n, s"label $l n")
+      val eff = (1.0 - math.pow(0.999, n.toDouble).toFloat) / 0.001
+      assert(math.abs(geff - eff) < 1e-4 * (1 + eff), s"label $l eff")
+      assert(math.abs(gw - raws(l) * k / sraw) < 1e-4, s"label $l w")
+    }
+    assert(math.abs(got.values.map(_._3).sum - k) < 1e-3,
+      "weights must be mean 1 over classes")
+    // anti-monotone: a strictly larger class never gets a larger weight
+    val byN = counts.toSeq.sortBy(_._2).map { case (l, _) => got(l)._3 }
+    for (Seq(a, b) <- byN.sliding(2)) assert(b <= a + 1e-9,
+      "weight must not increase with class size")
+  }
 }
