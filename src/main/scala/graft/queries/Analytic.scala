@@ -62,6 +62,7 @@ object Analytic {
     q237RankBiasedOverlap,
     q238GrowthAccounting,
     q244SeasonalEwma,
+    q275ShapleyAttribution,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -3840,5 +3841,130 @@ object Analytic {
           |  + CAST(sh2 AS DOUBLE) / CAST(nh2 AS DOUBLE)""".stripMargin), 6)
           .as("forecast_next"))
       .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** SHAPLEY ATTRIBUTION — the game-theoretic closer of the attribution
+    * family (q149 last-touch, q186 linear, q201 position/U-shaped):
+    * with 3 channels the Shapley value is EXACT and closed-form —
+    * φᵢ = Σ_{S∌i} w(|S|)·(v(S∪{i}) − v(S)), w = (1/3, 1/6, 1/3) — no
+    * sampling, no approximation. The characteristic function v(S) =
+    * number of conversions whose pre-purchase touch set is EXACTLY S
+    * (the count-based v, stated), and the efficiency identity
+    * Σφᵢ = v(all) − v(∅) holds in exact integers (suite-asserted) —
+    * v(∅) being the unattributable conversions no channel can claim.
+    *
+    * Exactness: everything stays INTEGER by carrying 6φᵢ — the weights
+    * become (2, 1, 2) and each marginal is a count difference; the
+    * final φ is one exact-int/6 divide. Touch sets are bitmasks from
+    * conditional aggregation over events strictly BEFORE the user's
+    * first purchase (the (us, event_id) total order breaks the
+    * boundary); the 8-subset and 3-channel grids are literal bounded
+    * broadcasts (the q205 device).
+    *
+    * Plan: one per-user first-purchase probe + one conditional
+    * aggregate, an 8-row v table, a 24-row bounded contribution join,
+    * 3-row finish. Scan-dominated.
+    */
+  val q275ShapleyAttribution = Q(
+    "q275_shapley_attribution",
+    """WITH fp AS (
+      |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS pus
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type = 'purchase'
+      |  GROUP BY 1
+      |),
+      |tm AS (
+      |  SELECT e.user_id,
+      |    CAST(max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+      |      + 2 * max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0
+      |        END)
+      |      + 4 * max(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0
+      |        END) AS BIGINT) AS mask
+      |  FROM events e JOIN fp ON fp.user_id = e.user_id
+      |  WHERE e.ts IS NOT NULL
+      |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) < fp.pus
+      |    AND e.event_type IN ('view', 'click', 'signup')
+      |  GROUP BY 1
+      |),
+      |allm AS (
+      |  SELECT fp.user_id, COALESCE(tm.mask, 0) AS mask
+      |  FROM fp LEFT JOIN tm ON tm.user_id = fp.user_id
+      |),
+      |vc AS (SELECT mask, CAST(count(*) AS BIGINT) AS v
+      |       FROM allm GROUP BY 1),
+      |grid AS (
+      |  SELECT m.m AS mask,
+      |    CASE WHEN m.m IN (0) THEN 0
+      |         WHEN m.m IN (1, 2, 4) THEN 1
+      |         WHEN m.m IN (3, 5, 6) THEN 2 ELSE 3 END AS sz,
+      |    COALESCE(vc.v, 0) AS v
+      |  FROM (SELECT unnest(range(0, 8)) AS m) m
+      |  LEFT JOIN vc ON vc.mask = m.m
+      |),
+      |ch AS (
+      |  SELECT unnest(['view', 'click', 'signup']) AS channel,
+      |    unnest([1, 2, 4]) AS bit
+      |),
+      |contrib AS (
+      |  SELECT ch.channel,
+      |    CAST(sum((CASE WHEN g.sz = 1 THEN 1 ELSE 2 END)
+      |      * (gu.v - g.v)) AS BIGINT) AS phi6
+      |  FROM ch
+      |  JOIN grid g ON (g.mask & ch.bit) = 0
+      |  JOIN grid gu ON gu.mask = (g.mask | ch.bit)
+      |  GROUP BY 1
+      |)
+      |SELECT channel, phi6,
+      |  round(CAST(phi6 AS DOUBLE) / CAST(6 AS DOUBLE), 6) AS phi,
+      |  round(CAST(phi6 AS DOUBLE)
+      |    / nullif(CAST(sum(phi6) OVER () AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS share
+      |FROM contrib
+      |ORDER BY channel""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("us")).as("pus"))
+    val tm = ev.join(fp.withColumnRenamed("user_id", "f_user"),
+        col("f_user") === col("user_id") && col("us") < col("pus"))
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .groupBy(col("user_id"))
+      .agg((max(when(col("event_type") === "view", 1).otherwise(0))
+        + lit(2) * max(when(col("event_type") === "click", 1).otherwise(0))
+        + lit(4) * max(when(col("event_type") === "signup", 1)
+          .otherwise(0))).cast("long").as("mask"))
+    val allm = fp.join(tm.withColumnRenamed("user_id", "t_user"),
+        col("t_user") === col("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"))
+    val vc = allm.groupBy(col("mask"))
+      .agg(count(lit(1)).cast("long").as("v"))
+    val sess = vc.sparkSession
+    import sess.implicits._
+    val gridSeed = Seq(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3).toDF("g_mask", "sz")
+    val grid = broadcast(gridSeed)
+      .join(vc, col("mask") === col("g_mask"), "left")
+      .select(col("g_mask").as("mask"), col("sz"),
+        coalesce(col("v"), lit(0L)).as("v"))
+      .localCheckpoint() // 2 consumers: the S side and the S∪{i} side
+    val ch = Seq(("view", 1L), ("click", 2L), ("signup", 4L))
+      .toDF("channel", "bit")
+    val contrib = broadcast(ch)
+      .join(grid, expr("(mask & bit) = 0"))
+      .join(grid.select(col("mask").as("u_mask"), col("v").as("uv")),
+        expr("u_mask = (mask | bit)"))
+      .groupBy(col("channel"))
+      .agg(sum((when(col("sz") === 1, 1L).otherwise(2L))
+        * (col("uv") - col("v"))).cast("long").as("phi6"))
+    contrib.select(col("channel"), col("phi6"),
+        round(col("phi6").cast("double") / 6.0, 6).as("phi"),
+        round(col("phi6").cast("double") /
+          nullif(sum(col("phi6")).over(Window.partitionBy())
+            .cast("double"), lit(0.0)), 6).as("share"))
+      .orderBy(col("channel"))
   }
 }

@@ -31,7 +31,7 @@ object Curation {
     q70StratifiedSample, q77MixtureResample, q82PiiRedact, q83DocChunks,
     q110BottomkSample, q112WeightedSample, q136BoilerplateStrip,
     q172DsirWeights, q176QuantileNormalize, q195TokenBudget,
-    q215GiniStump, q271TemperatureMixture)
+    q215GiniStump, q271TemperatureMixture, q274Topsis)
 
   /** Per-group bottom-k-by-hash sampling through the
     * [[graft.functions.BottomK]] `Aggregator` — q70 samples by a RATE
@@ -1075,6 +1075,118 @@ object Curation {
         round(col("rt") / col("srt"), 6).as("temp_share"),
         round(expr("rt * CAST(nn AS DOUBLE) / (srt * CAST(n AS DOUBLE))"),
           6).as("sampling_factor"))
+      .orderBy(col("source"))
+  }
+
+  /** TOPSIS SOURCE SCORECARD — multi-criteria ranking done honestly:
+    * instead of an ad-hoc weighted sum, TOPSIS (Hwang–Yoon) normalizes
+    * each metric by its root-sum-of-squares, finds the IDEAL and
+    * ANTI-IDEAL corners, and scores each source by relative closeness
+    * d⁻/(d⁺ + d⁻) — the standard "which data sources do we keep"
+    * triage over volume (docs), mass (chars), and breadth (distinct
+    * languages), all treated as benefits.
+    *
+    * Exactness: the three metrics are exact int64; each normalizer is
+    * ONE IEEE sqrt of an exact int sum-of-squares (per-metric squares
+    * cast DECIMAL(18,0)² → exact to 10³⁶); normalized values are one
+    * divide each, ideal/anti-ideal are window max/min of identical
+    * doubles, and both distances are EXPLICIT 3-term fixed-order
+    * chains (no aggregation — parenthesization is the spec). A corpus
+    * where every source is identical has d⁺ = d⁻ = 0 → NULL score
+    * via nullif (stated).
+    *
+    * Plan: one per-source aggregate, window normalizers, a k-row
+    * finish. Scan-dominated.
+    */
+  val q274Topsis = Q(
+    "q274_topsis",
+    """WITH m AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS langs
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |    AND lang IS NOT NULL
+      |  GROUP BY 1
+      |),
+      |nrm AS (
+      |  SELECT source, docs, chars, langs,
+      |    CAST(docs AS DOUBLE)
+      |      / sqrt(CAST(sum(CAST(docs AS DECIMAL(18,0))
+      |        * CAST(docs AS DECIMAL(18,0))) OVER () AS DOUBLE)) AS v1,
+      |    CAST(chars AS DOUBLE)
+      |      / sqrt(CAST(sum(CAST(chars AS DECIMAL(18,0))
+      |        * CAST(chars AS DECIMAL(18,0))) OVER () AS DOUBLE)) AS v2,
+      |    CAST(langs AS DOUBLE)
+      |      / sqrt(CAST(sum(CAST(langs AS DECIMAL(18,0))
+      |        * CAST(langs AS DECIMAL(18,0))) OVER () AS DOUBLE)) AS v3
+      |  FROM m
+      |),
+      |bd AS (
+      |  SELECT source, docs, chars, langs, v1, v2, v3,
+      |    max(v1) OVER () AS b1, max(v2) OVER () AS b2,
+      |    max(v3) OVER () AS b3,
+      |    min(v1) OVER () AS w1, min(v2) OVER () AS w2,
+      |    min(v3) OVER () AS w3
+      |  FROM nrm
+      |),
+      |ds AS (
+      |  SELECT source, docs, chars, langs,
+      |    sqrt((v1 - b1) * (v1 - b1) + (v2 - b2) * (v2 - b2)
+      |      + (v3 - b3) * (v3 - b3)) AS dplus,
+      |    sqrt((v1 - w1) * (v1 - w1) + (v2 - w2) * (v2 - w2)
+      |      + (v3 - w3) * (v3 - w3)) AS dminus
+      |  FROM bd
+      |)
+      |SELECT source, docs AS n_docs, chars AS n_chars,
+      |  langs AS n_langs,
+      |  round(dminus / nullif(dplus + dminus, CAST(0 AS DOUBLE)), 6)
+      |    AS topsis_score,
+      |  CAST(row_number() OVER (ORDER BY
+      |    dminus / nullif(dplus + dminus, CAST(0 AS DOUBLE)) DESC
+      |      NULLS LAST, source) AS BIGINT) AS rank
+      |FROM ds
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val m = Tables.documents(s, d)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull
+        && col("lang").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        countDistinct(col("lang")).cast("long").as("langs"))
+    val wAll = Window.partitionBy()
+    def nv(c: String): Column =
+      col(c).cast("double") /
+        sqrt(sum(expr(s"""CAST($c AS DECIMAL(18,0))
+          |  * CAST($c AS DECIMAL(18,0))""".stripMargin)).over(wAll)
+          .cast("double"))
+    val nrm = m.select(col("source"), col("docs"), col("chars"),
+      col("langs"), nv("docs").as("v1"), nv("chars").as("v2"),
+      nv("langs").as("v3"))
+    val bd = nrm.select(col("source"), col("docs"), col("chars"),
+      col("langs"), col("v1"), col("v2"), col("v3"),
+      max(col("v1")).over(wAll).as("b1"),
+      max(col("v2")).over(wAll).as("b2"),
+      max(col("v3")).over(wAll).as("b3"),
+      min(col("v1")).over(wAll).as("w1"),
+      min(col("v2")).over(wAll).as("w2"),
+      min(col("v3")).over(wAll).as("w3"))
+    val ds = bd.select(col("source"), col("docs"), col("chars"),
+      col("langs"),
+      sqrt((col("v1") - col("b1")) * (col("v1") - col("b1"))
+        + (col("v2") - col("b2")) * (col("v2") - col("b2"))
+        + (col("v3") - col("b3")) * (col("v3") - col("b3"))).as("dplus"),
+      sqrt((col("v1") - col("w1")) * (col("v1") - col("w1"))
+        + (col("v2") - col("w2")) * (col("v2") - col("w2"))
+        + (col("v3") - col("w3")) * (col("v3") - col("w3"))).as("dminus"))
+    val score = col("dminus") /
+      nullif(col("dplus") + col("dminus"), lit(0.0))
+    ds.select(col("source"), col("docs").as("n_docs"),
+        col("chars").as("n_chars"), col("langs").as("n_langs"),
+        round(score, 6).as("topsis_score"),
+        row_number().over(Window.orderBy(score.desc_nulls_last,
+          col("source"))).cast("long").as("rank"))
       .orderBy(col("source"))
   }
 }

@@ -23,7 +23,7 @@ object Gaps {
     q111DriftPsi, q121KAnonymity, q125DpRelease, q128DpSumRelease,
     q135QuantileBisect, q139WeightedQuantile, q140KsDrift,
     q142RankTransform, q147ParetoGini, q165ParetoSkyline, q166WinsorizedMean,
-    q196MadOutliers)
+    q196MadOutliers, q273LdivTcloseness)
 
   /** Approximate heavy hitters (DataSketches frequent-items via Spark 4's
     * `approx_top_k`): the top-k most frequent terms in the corpus from ONE
@@ -1927,5 +1927,137 @@ object Gaps {
       .select(col("flag").as("l_returnflag"), col("n"), col("median_cents"),
         col("mad_cents"), col("n_outliers"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** L-DIVERSITY + T-CLOSENESS — the two audits k-anonymity (q121)
+    * famously fails to imply: within each quasi-identifier group
+    * (event_type × hour-of-day), (1) l-diversity = how many DISTINCT
+    * sensitive values appear (a k-anonymous group whose members all
+    * share one salary is still disclosed), and (2) t-closeness = the
+    * Wasserstein-1 distance between the group's sensitive-value
+    * distribution and the global one over ordered value deciles (a
+    * group can be diverse yet SKEWED — Li et al.'s fix). The attached
+    * min-l / max-t are the release gate.
+    *
+    * Exactness: the sensitive attribute is the GLOBAL value decile
+    * (ntile(10) over (cents, event_id) — deterministic both engines,
+    * the q174 device); l is an exact distinct count; t rides a COMMON-
+    * DENOMINATOR collapse — Σ_b |F_g(b) − F(b)| = Σ_b |C_g·N − C·n_g| /
+    * (n_g·N) with all cumulative counts exact int64, so the whole EMD
+    * is ONE double divide of an exact integer sum (normalized by the
+    * 9 inter-bin steps, stated). The group×10-bin grid is a designed
+    * bounded broadcast.
+    *
+    * Plan: one global ntile window (q161's shard note), one (group,
+    * bin) aggregate against a 10-row bin seed, window min/max finish.
+    */
+  val q273LdivTcloseness = Q(
+    "q273_ldiv_tcloseness",
+    """WITH v AS (
+      |  SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hod,
+      |    ntile(10) OVER (ORDER BY CAST(round(100 * value) AS BIGINT),
+      |      event_id) AS dec
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |gc AS (
+      |  SELECT event_type, hod, dec, CAST(count(*) AS BIGINT) AS c
+      |  FROM v GROUP BY 1, 2, 3
+      |),
+      |gn AS (
+      |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT dec) AS BIGINT) AS l
+      |  FROM v GROUP BY 1, 2
+      |),
+      |bc AS (SELECT dec, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM v),
+      |bins AS (SELECT unnest(range(1, 11)) AS b),
+      |grid AS (
+      |  SELECT gn.event_type, gn.hod, gn.n, gn.l, bins.b, nn.nn,
+      |    COALESCE(gc.c, 0) AS cg, COALESCE(bc.c, 0) AS call
+      |  FROM gn CROSS JOIN bins CROSS JOIN nn
+      |  LEFT JOIN gc ON gc.event_type = gn.event_type
+      |    AND gc.hod = gn.hod AND gc.dec = bins.b
+      |  LEFT JOIN bc ON bc.dec = bins.b
+      |),
+      |cum AS (
+      |  SELECT event_type, hod, n, l, b, nn,
+      |    CAST(sum(cg) OVER (PARTITION BY event_type, hod ORDER BY b)
+      |      AS BIGINT) AS cgc,
+      |    CAST(sum(call) OVER (PARTITION BY event_type, hod ORDER BY b)
+      |      AS BIGINT) AS cac
+      |  FROM grid
+      |),
+      |t AS (
+      |  SELECT event_type, hod, n, l,
+      |    CAST(sum(CASE WHEN b < 10
+      |      THEN abs(cgc * nn - cac * n) ELSE 0 END) AS BIGINT) AS tnum,
+      |    max(nn) AS nn
+      |  FROM cum GROUP BY 1, 2, 3, 4
+      |),
+      |f AS (
+      |  SELECT event_type, hod, n, l,
+      |    CAST(tnum AS DOUBLE)
+      |      / (CAST(9 AS DOUBLE) * CAST(n AS DOUBLE)
+      |        * CAST(nn AS DOUBLE)) AS tc
+      |  FROM t
+      |)
+      |SELECT event_type, CAST(hod AS BIGINT) AS hod, n AS group_n,
+      |  l AS l_diversity, round(tc, 6) AS t_closeness,
+      |  CAST(min(l) OVER () AS BIGINT) AS min_l,
+      |  round(max(tc) OVER (), 6) AS max_t
+      |FROM f
+      |ORDER BY event_type, hod""".stripMargin,
+  ) { (s, d) =>
+    val v = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        ntile(10).over(Window.orderBy(
+          expr("CAST(round(100 * value) AS BIGINT)"), col("event_id")))
+          .as("dec"))
+      .localCheckpoint() // 3 consumers: group cells, group sizes, bins
+    val gc = v.groupBy(col("event_type").as("c_type"),
+        col("hod").as("c_hod"), col("dec"))
+      .agg(count(lit(1)).cast("long").as("cg"))
+    val gn = v.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        countDistinct(col("dec")).cast("long").as("l"))
+    val bc = v.groupBy(col("dec").as("b_dec"))
+      .agg(count(lit(1)).cast("long").as("call"))
+    val nn = v.agg(count(lit(1)).cast("long").as("nn"))
+    val bins = v.sparkSession.range(1, 11).toDF("b")
+    val grid = gn.crossJoin(broadcast(bins)).crossJoin(broadcast(nn))
+      .join(gc, col("c_type") === col("event_type")
+        && col("c_hod") === col("hod") && col("dec") === col("b"), "left")
+      .join(broadcast(bc), col("b_dec") === col("b"), "left")
+      .select(col("event_type"), col("hod"), col("n"), col("l"),
+        col("b"), col("nn"),
+        coalesce(col("cg"), lit(0L)).as("cg"),
+        coalesce(col("call"), lit(0L)).as("call"))
+    val wCum = Window.partitionBy(col("event_type"), col("hod"))
+      .orderBy(col("b"))
+    val cum = grid.select(col("event_type"), col("hod"), col("n"),
+      col("l"), col("b"), col("nn"),
+      sum(col("cg")).over(wCum).cast("long").as("cgc"),
+      sum(col("call")).over(wCum).cast("long").as("cac"))
+    val t = cum.groupBy(col("event_type"), col("hod"), col("n"), col("l"))
+      .agg(sum(when(col("b") < 10,
+          abs(col("cgc") * col("nn") - col("cac") * col("n")))
+          .otherwise(0L)).cast("long").as("tnum"),
+        max(col("nn")).as("nn"))
+    val tc = expr("""CAST(tnum AS DOUBLE)
+      |  / (CAST(9 AS DOUBLE) * CAST(n AS DOUBLE)
+      |    * CAST(nn AS DOUBLE))""".stripMargin)
+    val wAll = Window.partitionBy()
+    t.select(col("event_type"), col("hod").cast("long").as("hod"),
+        col("n").as("group_n"), col("l").as("l_diversity"),
+        round(tc, 6).as("t_closeness"),
+        min(col("l")).over(wAll).cast("long").as("min_l"),
+        round(max(tc).over(wAll), 6).as("max_t"))
+      .orderBy(col("event_type"), col("hod"))
   }
 }

@@ -855,4 +855,45 @@ class EdgeEventsSpec extends SparkSpec {
     assert(sr.head.getLong(3) === 2L, "last record is day index 2")
     assert(sr.head.getLong(4) === 2L, "two rising steps")
   }
+
+  test("q273/q275 degenerate: a single-group corpus has t-closeness " +
+      "exactly 0; purchase-free and touch-free corpora degrade honestly") {
+    import spark.implicits._
+    // every event in ONE (type, hod) group → the group IS the global
+    // distribution → every cumulative term cancels exactly
+    val d = "/tmp/graft_edge_events_onegroup"
+    (1 to 12).map(i => (i.toLong, i * 1000000000L, 1L, "g",
+      i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val lt = SparkEntry.queries("q273_ldiv_tcloseness")(spark, d).collect()
+    assert(lt.length === 1)
+    assert(lt.head.getDouble(4) === 0.0, "self-distance must be exactly 0")
+    assert(lt.head.getLong(3) === 10L, "12 rows spread all 10 deciles")
+    // no purchases at all → zero conversions → the 3 channel rows
+    // survive (the literal grid seeds them) with phi 0 and NULL share
+    val sh0 = SparkEntry.queries("q275_shapley_attribution")(spark, dir)
+      .collect()
+    assert(sh0.length === 3 && sh0.forall(_.getLong(1) === 0L),
+      "no conversions → zero attribution everywhere")
+    assert(sh0.forall(_.isNullAt(3)), "zero total → NULL shares")
+    // a purchase with NO prior touches → all v mass on the empty set →
+    // each channel's only nonzero marginal is the S = ∅ term
+    // 2·(v({i}) − v(∅)) = −2: the count-based v is NOT monotone, so
+    // negative Shapley values are the honest answer ("absence of every
+    // channel co-occurs with the conversion"), and efficiency
+    // Σφ6 = 6·(v(all) − v(∅)) = −6 still holds exactly
+    val d2 = "/tmp/graft_edge_events_untouched"
+    Seq((1L, 1000000000L, 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val sh = SparkEntry.queries("q275_shapley_attribution")(spark, d2)
+      .collect()
+    assert(sh.length === 3)
+    assert(sh.forall(_.getLong(1) === -2L),
+      "unattributable mass drags each channel to phi6 = -2")
+    assert(sh.map(_.getLong(1)).sum === -6L, "efficiency at v(all)=0")
+    assert(sh.forall(r => math.abs(r.getDouble(3) - 1.0 / 3) < 1e-6),
+      "shares split the (negative) total evenly")
+  }
 }

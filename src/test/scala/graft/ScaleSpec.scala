@@ -528,8 +528,10 @@ class ScaleSpec extends SparkSpec {
       // at all (pos-keyed + per-row folds); q269's self-join is the
       // q183 label-blocked equi shape
       "q267_streaks_records", "q268_anisotropy", "q269_twonn",
-      // q271/q272 are window finishes over tiny group counts
-      "q271_temperature_mixture", "q272_class_balanced")) {
+      // q271/q272 are window finishes over tiny group counts; q274's
+      // normalizers are window-only
+      "q271_temperature_mixture", "q272_class_balanced",
+      "q274_topsis")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -545,8 +547,11 @@ class ScaleSpec extends SparkSpec {
     // q270's unblocked n² 1-NN is a nested loop BY DESIGN (cross-label
     // neighbors are the measurement; the ANN candidate route is the
     // scale path — scaladoc states it); only a cartesian is forbidden
+    // q273's 10-bin seed and q275's 8-subset/3-channel grids are
+    // literal bounded broadcasts (the q205 device)
     for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini",
-      "q259_friedman", "q261_hurst_rs", "q270_label_noise")) {
+      "q259_friedman", "q261_hurst_rs", "q270_label_noise",
+      "q273_ldiv_tcloseness", "q275_shapley_attribution")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

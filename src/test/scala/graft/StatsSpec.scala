@@ -2929,4 +2929,140 @@ class StatsSpec extends SparkSpec {
     for (Seq(a, b) <- byN.sliding(2)) assert(b <= a + 1e-9,
       "weight must not increase with class size")
   }
+
+  test("q273 l-diversity/t-closeness replays from a Scala decile walk; " +
+      "the global group has t = 0 by construction") {
+    val got = graft.queries.Gaps.q273LdivTcloseness.fn(spark, sf)
+      .collect().map { r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5),
+          r.getDouble(6))) }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Scala ntile(10) over (cents, event_id)
+    val ordered = ev.sortBy(e => (e._3, e._4))
+    val n = ordered.length
+    val dec = ordered.zipWithIndex.map { case (e, i) =>
+      val big = n % 10; val sz = n / 10
+      val d0 = if (sz == 0) i
+        else if (i < big * (sz + 1)) i / (sz + 1)
+        else big + (i - big * (sz + 1)) / sz
+      ((e._1, e._2), d0 + 1)
+    }
+    val globalCum = (1 to 10).map(b => b ->
+      dec.count(_._2 <= b).toLong).toMap
+    for ((grp, rows) <- dec.groupBy(_._1)) {
+      val ng = rows.length.toLong
+      val l = rows.map(_._2).distinct.length.toLong
+      val tnum = (1 to 9).map { b =>
+        val cg = rows.count(_._2 <= b).toLong
+        math.abs(cg * n - globalCum(b) * ng)
+      }.sum
+      val t = tnum.toDouble / (9.0 * ng * n)
+      val (gn, gl, gt, _, _) = got(grp)
+      assert(gn === ng, s"$grp n")
+      assert(gl === l, s"$grp l")
+      assert(math.abs(gt - t) < 1e-5, s"$grp t")
+    }
+    // attached release gates agree with the column-wise extremes
+    val minL = got.values.map(_._2).min
+    val maxT = got.values.map(_._3).max
+    assert(got.values.forall(_._4 == minL))
+    assert(got.values.forall(v => math.abs(v._5 - maxT) < 1e-9))
+  }
+
+  test("q274 TOPSIS replays from a direct matrix computation; the " +
+      "all-max source (if any) scores 1") {
+    val got = Curation.q274Topsis.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getLong(5)))
+    }.toMap
+    val m = Tables.documents(spark, sf)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull
+        && col("lang").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)), sum(col("n_chars")),
+        countDistinct(col("lang"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n1 = math.sqrt(m.map(v => v._2.toDouble * v._2).sum)
+    val n2 = math.sqrt(m.map(v => v._3.toDouble * v._3).sum)
+    val n3 = math.sqrt(m.map(v => v._4.toDouble * v._4).sum)
+    val vs = m.map(v => (v._1, v._2 / n1, v._3 / n2, v._4 / n3,
+      v._2, v._3, v._4))
+    val (b1, b2, b3) = (vs.map(_._2).max, vs.map(_._3).max,
+      vs.map(_._4).max)
+    val (w1, w2, w3) = (vs.map(_._2).min, vs.map(_._3).min,
+      vs.map(_._4).min)
+    val scores = vs.map { case (s0, v1, v2, v3, d1, d2, d3) =>
+      val dp = math.sqrt((v1 - b1) * (v1 - b1) + (v2 - b2) * (v2 - b2)
+        + (v3 - b3) * (v3 - b3))
+      val dm = math.sqrt((v1 - w1) * (v1 - w1) + (v2 - w2) * (v2 - w2)
+        + (v3 - w3) * (v3 - w3))
+      (s0, d1, d2, d3,
+        if (dp + dm == 0) None else Some(dm / (dp + dm)))
+    }
+    for ((s0, d1, d2, d3, sc) <- scores) {
+      val (gd1, gd2, gd3, gsc, _) = got(s0)
+      assert((gd1, gd2, gd3) === ((d1, d2, d3)), s"$s0 metrics")
+      (sc, gsc) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-4, s"$s0")
+        case (a, b) => assert(a.isEmpty === b.isEmpty)
+      }
+      // a source that is the max on all three metrics scores exactly 1
+      if (d1 == m.map(_._2).max && d2 == m.map(_._3).max
+        && d3 == m.map(_._4).max && scores.exists(_._5.exists(_ < 1)))
+        assert(math.abs(gsc.get - 1.0) < 1e-9, s"$s0 ideal corner")
+    }
+    // ranks are a permutation of 1..k
+    assert(got.values.map(_._5).toSeq.sorted === (1L to m.length).toSeq)
+  }
+
+  test("q275 Shapley replays from the exact subset formula; efficiency " +
+      "Sum(phi) = v(all) - v(empty) holds in exact integers") {
+    val got = Analytic.q275ShapleyAttribution.fn(spark, sf).collect()
+      .map { r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))) }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val masks = byUser.flatMap { case (_, g) =>
+      val purchases = g.filter(_._2 == "purchase")
+      if (purchases.isEmpty) None
+      else {
+        val pus = purchases.map(_._3).min
+        val touched = g.filter(e => e._3 < pus &&
+          Set("view", "click", "signup")(e._2)).map(_._2).toSet
+        Some((if (touched("view")) 1 else 0)
+          + (if (touched("click")) 2 else 0)
+          + (if (touched("signup")) 4 else 0))
+      }
+    }.toSeq
+    val v = (0 to 7).map(mk => mk -> masks.count(_ == mk).toLong).toMap
+    def sz(mk: Int): Int = Integer.bitCount(mk)
+    val phi6 = Seq(("view", 1), ("click", 2), ("signup", 4)).map {
+      case (c, bit) =>
+        c -> (0 to 7).filter(mk => (mk & bit) == 0).map { mk =>
+          val coeff = if (sz(mk) == 1) 1L else 2L
+          coeff * (v(mk | bit) - v(mk))
+        }.sum
+    }.toMap
+    for ((c, p6) <- phi6) {
+      val (gp6, gphi, _) = got(c)
+      assert(gp6 === p6, s"$c phi6 exact")
+      assert(math.abs(gphi - p6 / 6.0) < 1e-6, s"$c phi (round-6 column)")
+    }
+    // efficiency: Σ(6φ) = 6·(v(111) − v(∅)) in exact integers
+    assert(phi6.values.sum === 6 * (v(7) - v(0)),
+      "Shapley efficiency identity")
+    assert(got.values.map(_._1).sum === 6 * (v(7) - v(0)),
+      "engine-side efficiency identity")
+  }
 }
