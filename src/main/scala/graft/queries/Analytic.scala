@@ -63,6 +63,7 @@ object Analytic {
     q238GrowthAccounting,
     q244SeasonalEwma,
     q275ShapleyAttribution,
+    q277WindowFunnel,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -3966,5 +3967,106 @@ object Analytic {
           nullif(sum(col("phi6")).over(Window.partitionBy())
             .cast("double"), lit(0.0)), 6).as("share"))
       .orderBy(col("channel"))
+  }
+
+  /** WINDOW FUNNEL — the ClickHouse-style STRICT ORDERED sequence
+    * search q75's membership funnel cannot express: a user reaches
+    * level k only if view < click < purchase occur IN ORDER with the
+    * whole chain inside ONE hour of the anchoring view. Membership
+    * funnels over-count (a purchase before the view still counts);
+    * this one is the conversion-latency truth a growth team acts on.
+    *
+    * Exactness: pure existence counting over exact µs timestamps —
+    * level 2 = ∃ click in (view_us, view_us + 3600·10⁶]; level 3 = ∃
+    * purchase after THAT click, still inside the view's window; depth
+    * = deepest satisfied level, users without a view are absent
+    * (level-1 anchor, stated). Strict inequalities break same-µs ties
+    * conservatively (stated). Conversion ratios ride ratio6.
+    *
+    * Plan: per-user-keyed band joins (equi on user_id + a range — the
+    * q08 theta shape, bounded by per-user event counts, never
+    * corpus²), two EXISTS-style semi-join reductions, a 3-row ledger
+    * via the q197 window idiom.
+    */
+  val q277WindowFunnel = Q(
+    "q277_window_funnel",
+    s"""WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+      |l2 AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM v JOIN e c ON c.user_id = v.user_id
+      |    AND c.event_type = 'click'
+      |    AND c.us > v.us AND c.us <= v.us + 3600000000
+      |),
+      |l3 AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM v
+      |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+      |    AND c.us > v.us AND c.us <= v.us + 3600000000
+      |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+      |    AND p.us > c.us AND p.us <= v.us + 3600000000
+      |),
+      |u1 AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM v),
+      |u2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l2),
+      |u3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l3),
+      |lv AS (
+      |  SELECT 1 AS level, 'view' AS stage, u1.n FROM u1
+      |  UNION ALL
+      |  SELECT 2 AS level, 'view>click(1h)' AS stage, u2.n FROM u2
+      |  UNION ALL
+      |  SELECT 3 AS level, 'view>click>purchase(1h)' AS stage, u3.n
+      |  FROM u3
+      |)
+      |SELECT CAST(level AS INTEGER) AS level, stage, n AS n_users,
+      |  ${Exact.Sql.ratio6("n",
+           "lag(n, 1, n) OVER (ORDER BY level)")} AS step_conversion,
+      |  ${Exact.Sql.ratio6("n",
+           "first_value(n) OVER (ORDER BY level)")} AS overall_share
+      |FROM lv
+      |ORDER BY level""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .localCheckpoint() // 3 consumers: views, clicks, purchases
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"))
+    val pp = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"))
+    val l2 = v.join(c, col("c_user") === col("user_id")
+        && col("c_us") > col("v_us")
+        && col("c_us") <= col("v_us") + 3600000000L)
+      .select(col("user_id")).distinct()
+    val l3 = v.join(c, col("c_user") === col("user_id")
+        && col("c_us") > col("v_us")
+        && col("c_us") <= col("v_us") + 3600000000L)
+      .join(pp, col("p_user") === col("user_id")
+        && col("p_us") > col("c_us")
+        && col("p_us") <= col("v_us") + 3600000000L)
+      .select(col("user_id")).distinct()
+    val u1 = v.agg(countDistinct(col("user_id")).cast("long").as("n"))
+      .select(lit(1).as("level"), lit("view").as("stage"), col("n"))
+    val u2 = l2.agg(count(lit(1)).cast("long").as("n"))
+      .select(lit(2).as("level"), lit("view>click(1h)").as("stage"),
+        col("n"))
+    val u3 = l3.agg(count(lit(1)).cast("long").as("n"))
+      .select(lit(3).as("level"),
+        lit("view>click>purchase(1h)").as("stage"), col("n"))
+    val lv = u1.union(u2).union(u3)
+    lv.select(col("level").cast("int").as("level"), col("stage"),
+        col("n").as("n_users"),
+        Exact.ratio6("n", "lag(n, 1, n) OVER (ORDER BY level)")
+          .as("step_conversion"),
+        Exact.ratio6("n", "first_value(n) OVER (ORDER BY level)")
+          .as("overall_share"))
+      .orderBy(col("level"))
   }
 }

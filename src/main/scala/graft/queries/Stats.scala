@@ -39,7 +39,7 @@ object Stats {
     q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower,
     q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises,
     q258DurbinWatson, q259Friedman, q260AnsariBradley, q261HurstRs, q262Croston, q263BrownForsythe, q264Pacf, q265Grubbs,
-    q266Greenwood, q267StreaksRecords)
+    q266Greenwood, q267StreaksRecords, q278GapModelLlr)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -7361,6 +7361,131 @@ object Stats {
     recs.join(agg, col("a_type") === col("event_type"))
       .select(col("event_type"), col("n_days"), col("n_records"),
         col("last_record_day"), col("longest").as("longest_rise"))
+      .orderBy(col("event_type"))
+  }
+
+  /** GAP-MODEL SELECTION (exponential vs Pareto LLR) — q234/q257 test
+    * the exponential FIT and q212 fits a Pareto TAIL; this operator
+    * runs the standard Vuong-style likelihood-ratio race BETWEEN the
+    * two on the same positive-gap sample: LLR = ℓ̂_exp − ℓ̂_par with
+    * both at their MLEs (λ̂ = n/S; α̂ = n/(Σln g − n·ln gmin), the
+    * Hill form anchored at the observed minimum). Negative LLR reads
+    * heavy-tailed inter-arrivals — retry storms, human sessions — and
+    * changes which capacity model (q235) applies.
+    *
+    * Exactness: both log-likelihoods collapse algebraically to
+    * n·ln λ̂ − n and n·ln α̂ − n − Σln g, so the ONLY aggregated float
+    * is Σln g — per-row float-cast ln of an exact int cast
+    * DECIMAL(18,9), associative — and D = Σln g − n·ln gmin stays in
+    * EXACT decimal arithmetic (n·quantized-ln(gmin) is an exact
+    * decimal product) so an all-equal-gaps corpus cancels D to
+    * EXACTLY 0 and hits the NULL guard instead of a residue-sized
+    * fake α (edge-pinned). λ̂'s ln is float-cast over the
+    * exact-int ratio; α̂'s over an identical computed double. ZERO
+    * gaps are excluded (a point mass at 0 has no ln — stated; the
+    * exponential is refit on the same positive subsample so the race
+    * is fair). D ≤ 0 (all gaps equal the minimum) or n < 2 → NULL
+    * verdict via CASE.
+    *
+    * Plan: q234's lag window, one per-type decimal aggregate, a 5-row
+    * fixed-order finish.
+    */
+  val q278GapModelLlr = Q(
+    "q278_gap_model_llr",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |gaps AS (
+      |  SELECT event_type,
+      |    us - lag(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id) AS gp
+      |  FROM e
+      |),
+      |gg AS (SELECT event_type, gp FROM gaps
+      |       WHERE gp IS NOT NULL AND gp > 0),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(gp) AS BIGINT) AS s,
+      |    CAST(min(gp) AS BIGINT) AS gmin,
+      |    sum(CAST(CAST(CAST(ln(CAST(gp AS DOUBLE)) AS FLOAT)
+      |      AS DOUBLE) AS DECIMAL(18,9))) AS sld
+      |  FROM gg GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT event_type, n, s, gmin, CAST(sld AS DOUBLE) AS sl,
+      |    CAST(sld - CAST(n AS DECIMAL(18,0))
+      |      * CAST(CAST(CAST(ln(CAST(gmin AS DOUBLE)) AS FLOAT)
+      |        AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS dd
+      |  FROM mom WHERE n >= 2
+      |),
+      |g AS (
+      |  SELECT event_type, n, s, gmin, sl, dd,
+      |    CAST(n AS DOUBLE)
+      |      * CAST(CAST(ln(CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+      |        AS FLOAT) AS DOUBLE)
+      |      - CAST(n AS DOUBLE) AS ll_exp,
+      |    CASE WHEN dd > 0 THEN
+      |      CAST(n AS DOUBLE)
+      |        * CAST(CAST(ln(CAST(n AS DOUBLE) / dd) AS FLOAT)
+      |          AS DOUBLE)
+      |        - CAST(n AS DOUBLE) - sl
+      |    ELSE NULL END AS ll_par
+      |  FROM f
+      |)
+      |SELECT event_type, n AS n_gaps, gmin AS min_gap_us,
+      |  round(ll_exp, 6) AS ll_exponential,
+      |  round(ll_par, 6) AS ll_pareto,
+      |  round(ll_exp - ll_par, 6) AS llr,
+      |  CASE WHEN ll_par IS NULL THEN NULL
+      |    ELSE ll_exp - ll_par < 0 END AS heavy_tailed
+      |FROM g
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val gg = e.select(col("event_type"),
+        (col("us") - lag(col("us"), 1).over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("us"), col("event_id")))).as("gp"))
+      .filter(col("gp").isNotNull && col("gp") > 0)
+    val mom = gg.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("gp")).cast("long").as("s"),
+        min(col("gp")).cast("long").as("gmin"),
+        sum(expr("""CAST(CAST(CAST(ln(CAST(gp AS DOUBLE)) AS FLOAT)
+          |  AS DOUBLE) AS DECIMAL(18,9))""".stripMargin)).as("sld"))
+    val f = mom.filter(col("n") >= 2)
+      .withColumn("sl", col("sld").cast("double"))
+      // dd stays in EXACT decimal arithmetic until the final cast, so a
+      // metronome (every gap = gmin) cancels to exactly 0 — a double
+      // route would leave a quantization residue and fake a Pareto fit
+      .withColumn("dd", expr("""CAST(sld - CAST(n AS DECIMAL(18,0))
+        |  * CAST(CAST(CAST(ln(CAST(gmin AS DOUBLE)) AS FLOAT)
+        |    AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin))
+    val g = f
+      .withColumn("ll_exp", expr("""CAST(n AS DOUBLE)
+        |  * CAST(CAST(ln(CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+        |    AS FLOAT) AS DOUBLE)
+        |  - CAST(n AS DOUBLE)""".stripMargin))
+      .withColumn("ll_par", expr("""CASE WHEN dd > 0 THEN
+        |  CAST(n AS DOUBLE)
+        |    * CAST(CAST(ln(CAST(n AS DOUBLE) / dd) AS FLOAT)
+        |      AS DOUBLE)
+        |    - CAST(n AS DOUBLE) - sl
+        |ELSE NULL END""".stripMargin))
+    g.select(col("event_type"), col("n").as("n_gaps"),
+        col("gmin").as("min_gap_us"),
+        round(col("ll_exp"), 6).as("ll_exponential"),
+        round(col("ll_par"), 6).as("ll_pareto"),
+        round(col("ll_exp") - col("ll_par"), 6).as("llr"),
+        when(col("ll_par").isNull, lit(null))
+          .otherwise(col("ll_exp") - col("ll_par") < 0)
+          .as("heavy_tailed"))
       .orderBy(col("event_type"))
   }
 }

@@ -18,7 +18,7 @@ object TextAnalysis {
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
       q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
-      q218ZipfSlope, q227CosineProfiles, q250OovRate)
+      q218ZipfSlope, q227CosineProfiles, q250OovRate, q276Flesch)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -1744,6 +1744,91 @@ object TextAnalysis {
         col("oov_types"),
         graft.functions.Exact.ratio6("oov_tokens", "n_tokens")
           .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** FLESCH READING EASE — the classic readability score per source:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * syllables approximated as maximal [aeiouy]+ vowel runs (the
+    * standard regex heuristic, stated) and sentences as [.!?]
+    * terminator counts floored at 1 (punctuation-free corpora read as
+    * single sentences — stated; this fixture is one). The per-source
+    * mean and the share of "easy" (≥ 60) documents are the corpus-
+    * curation quality signals beside q37's length stats and q87's
+    * entropy.
+    *
+    * Exactness: all three counts are exact ints (whitespace tokens via
+    * the house split; terminators via length-minus-translate; vowel
+    * runs via regexp_count / regexp_extract_all — the two engines'
+    * spellings of the same RE2-class pattern, hash-verified); each
+    * per-doc score is ONE fixed-order chain of exact-int divides —
+    * identical doubles — quantized to DECIMAL(18,9) for the
+    * associative source mean. Empty texts (0 words) are excluded
+    * (stated).
+    *
+    * Plan: one scan, per-row string ops, a per-source aggregate.
+    */
+  val q276Flesch = Q(
+    "q276_flesch",
+    s"""WITH d AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      t -> t <> '')) AS BIGINT) AS w,
+      |    CAST(greatest(1, length(text)
+      |      - length(translate(text, '.!?', ''))) AS BIGINT) AS sen,
+      |    CAST(greatest(1, len(regexp_extract_all(lower(text),
+      |      '[aeiouy]+'))) AS BIGINT) AS syl
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL
+      |),
+      |f AS (
+      |  SELECT source, w, sen, syl,
+      |    CAST(206.835 AS DOUBLE)
+      |      - CAST(1.015 AS DOUBLE)
+      |        * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+      |      - CAST(84.6 AS DOUBLE)
+      |        * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) AS score
+      |  FROM d WHERE w > 0
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  ${graft.functions.Exact.Sql.ratio6("sum(w)", "count(*)")}
+      |    AS mean_words,
+      |  round(CAST(sum(CAST(score AS DECIMAL(18,9))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS mean_flesch,
+      |  ${graft.functions.Exact.Sql.ratio6(
+           "sum(CASE WHEN score >= 60 THEN 1 ELSE 0 END)", "count(*)")}
+      |    AS easy_share
+      |FROM f GROUP BY source
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"),
+        expr("""CAST(size(filter(split(text, ' '), t -> t != ''))
+          |  AS BIGINT)""".stripMargin).as("w"),
+        expr("""CAST(greatest(1, length(text)
+          |  - length(translate(text, '.!?', ''))) AS BIGINT)"""
+          .stripMargin).as("sen"),
+        expr("""CAST(greatest(1, regexp_count(lower(text),
+          |  '[aeiouy]+')) AS BIGINT)""".stripMargin).as("syl"))
+      .filter(col("w") > 0)
+    val f = docs.withColumn("score",
+      expr("""CAST(206.835 AS DOUBLE)
+        |  - CAST(1.015 AS DOUBLE)
+        |    * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+        |  - CAST(84.6 AS DOUBLE)
+        |    * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))""".stripMargin))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("w")).cast("long").as("sw"),
+        sum(expr("CAST(score AS DECIMAL(18,9))")).as("ssc"),
+        sum(when(col("score") >= 60, 1L).otherwise(0L)).cast("long")
+          .as("easy"))
+      .select(col("source"), col("n_docs"),
+        graft.functions.Exact.ratio6("sw", "n_docs").as("mean_words"),
+        round(col("ssc").cast("double") / col("n_docs").cast("double"),
+          6).as("mean_flesch"),
+        graft.functions.Exact.ratio6("easy", "n_docs").as("easy_share"))
       .orderBy(col("source"))
   }
 }

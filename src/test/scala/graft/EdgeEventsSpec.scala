@@ -896,4 +896,30 @@ class EdgeEventsSpec extends SparkSpec {
     assert(sh.forall(r => math.abs(r.getDouble(3) - 1.0 / 3) < 1e-6),
       "shares split the (negative) total evenly")
   }
+
+  test("q277/q278 degenerate: an out-of-order chain never converts; a " +
+      "metronome's zero-D Pareto fit is NULL") {
+    import spark.implicits._
+    // purchase BEFORE click (both after view) → level 3 never fires;
+    // the membership funnel would have counted this user
+    val d = "/tmp/graft_edge_events_ooo"
+    Seq(
+      (1L, 1000000000L, 1L, "view", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "purchase", 1.0, "{}"),
+      (3L, 3000000000L, 1L, "click", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val wf = SparkEntry.queries("q277_window_funnel")(spark, d).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(wf === Map(1 -> 1L, 2 -> 1L, 3 -> 0L),
+      "view>click holds but the ordered 3-chain must not")
+    // the metronome: every gap equals gmin → D = 0 → the Pareto MLE
+    // diverges → NULL likelihood and verdict, exponential LL intact
+    val llr = SparkEntry.queries("q278_gap_model_llr")(
+      spark, "/tmp/graft_edge_events_metronome").collect()
+    assert(llr.length === 1)
+    assert(!llr.head.isNullAt(3), "exponential LL exists")
+    assert(llr.head.isNullAt(4) && llr.head.isNullAt(6),
+      "degenerate Pareto must NULL, never divide by zero")
+  }
 }

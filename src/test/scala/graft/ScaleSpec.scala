@@ -531,7 +531,11 @@ class ScaleSpec extends SparkSpec {
       // q271/q272 are window finishes over tiny group counts; q274's
       // normalizers are window-only
       "q271_temperature_mixture", "q272_class_balanced",
-      "q274_topsis")) {
+      "q274_topsis",
+      // q276 is per-row string ops + one aggregate; q277's chains are
+      // user-keyed band joins (the q08 theta shape); q278 is q234's
+      // window + moment aggregate
+      "q276_flesch", "q277_window_funnel", "q278_gap_model_llr")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -3065,4 +3065,113 @@ class StatsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === 6 * (v(7) - v(0)),
       "engine-side efficiency identity")
   }
+
+  test("q276 Flesch replays from a Scala string walk; constant pieces " +
+      "reproduce the formula exactly") {
+    val got = TextAnalysis.q276Flesch.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    }.toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vowelRun = "[aeiouy]+".r
+    for ((s0, g) <- docs.groupBy(_._1)) {
+      val scored = g.flatMap { case (_, t) =>
+        val w = t.split(" ", -1).count(_.nonEmpty)
+        val sen = math.max(1, t.count(c => c == '.' || c == '!'
+          || c == '?'))
+        val syl = math.max(1, vowelRun.findAllIn(t.toLowerCase).length)
+        if (w > 0)
+          Some((w.toLong,
+            206.835 - 1.015 * (w.toDouble / sen) - 84.6 * (syl.toDouble / w)))
+        else None
+      }
+      val (gn, gw, gf, geasy) = got(s0)
+      assert(gn === scored.length.toLong, s"$s0 docs")
+      assert(math.abs(gw - scored.map(_._1).sum.toDouble / scored.length)
+        < 2e-6, s"$s0 mean words")
+      val mean = scored.map(_._2).sum / scored.length
+      assert(math.abs(gf - mean) < 1e-4 * (1 + mean.abs), s"$s0 flesch")
+      val easy = scored.count(_._2 >= 60).toDouble / scored.length
+      assert(math.abs(geasy - easy) < 2e-6, s"$s0 easy share")
+    }
+  }
+
+  test("q277 window funnel replays from a per-user Scala chain search; " +
+      "levels are monotone non-increasing") {
+    val got = Analytic.q277WindowFunnel.fn(spark, sf).collect().map { r =>
+      r.getInt(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    for ((_, g) <- byUser) {
+      val views = g.filter(_._2 == "view").map(_._3)
+      val clicks = g.filter(_._2 == "click").map(_._3)
+      val buys = g.filter(_._2 == "purchase").map(_._3)
+      if (views.nonEmpty) {
+        n1 += 1
+        val l2 = views.exists(v =>
+          clicks.exists(c => c > v && c <= v + 3600000000L))
+        if (l2) n2 += 1
+        val l3 = views.exists(v => clicks.exists(c => c > v
+          && c <= v + 3600000000L
+          && buys.exists(p => p > c && p <= v + 3600000000L)))
+        if (l3) n3 += 1
+      }
+    }
+    assert(got(1)._1 === n1 && got(2)._1 === n2 && got(3)._1 === n3)
+    assert(n1 >= n2 && n2 >= n3, "funnel monotone")
+    assert(got(1)._2 === 1.0 && got(1)._3 === 1.0, "anchor ratios")
+    if (n1 > 0) {
+      assert(math.abs(got(2)._2 - n2.toDouble / n1) < 2e-6)
+      assert(math.abs(got(3)._3 - n3.toDouble / n1) < 2e-6)
+    }
+  }
+
+  test("q278 gap-model LLR replays from direct log-likelihoods; the " +
+      "algebraic collapse matches the summed per-point densities") {
+    val got = Stats.q278GapModelLlr.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(6)) None else Some(r.getBoolean(6))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, g) <- ev.groupBy(_._1)) {
+      val gaps = g.sortBy(e => (e._3, e._2)).sliding(2).collect {
+        case Array(a, b) => b._3 - a._3 }.filter(_ > 0).toSeq
+      val n = gaps.length
+      if (n >= 2) {
+        // DIRECT per-point density sums (not the collapsed form)
+        val lam = n.toDouble / gaps.sum
+        val llExp = gaps.map(gp => math.log(lam) - lam * gp).sum
+        val gmin = gaps.min
+        val dd = gaps.map(gp => math.log(gp.toDouble)).sum -
+          n * math.log(gmin.toDouble)
+        val (gn, ggmin, gle, glp, gheavy) = got(t)
+        assert(gn === n.toLong && ggmin === gmin, s"$t shape")
+        assert(math.abs(gle - llExp) < 1e-3 * (1 + llExp.abs),
+          s"$t exp LL: direct vs collapsed")
+        if (dd > 0) {
+          val alpha = n / dd
+          val llPar = gaps.map(gp => math.log(alpha)
+            + alpha * math.log(gmin.toDouble)
+            - (alpha + 1) * math.log(gp.toDouble)).sum
+          assert(math.abs(glp.get - llPar) < 1e-3 * (1 + llPar.abs),
+            s"$t par LL: direct vs collapsed")
+          assert(gheavy.get === (llExp - llPar < 0), s"$t verdict")
+        } else assert(glp.isEmpty && gheavy.isEmpty)
+      } else assert(!got.contains(t))
+    }
+  }
 }
