@@ -1919,9 +1919,7 @@ object Similarity {
     val pr = a.join(bdf,
         col("b_label") === col("label") && col("nbr") =!= col("src"))
       .select(col("label"), col("src"), col("nbr"),
-        expr("""CAST(aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)),
-          |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"""
-          .stripMargin).as("d2"))
+        dist2(col("xa"), col("xb")).as("d2"))
     val rk = pr.select(col("label"), col("src"), col("d2"),
       row_number().over(Window.partitionBy(col("label"), col("src"))
         .orderBy(col("d2"), col("nbr"))).as("rnk"))
@@ -2013,9 +2011,7 @@ object Similarity {
       col("xk").as("xb"))
     val pr = a.join(bdf, col("nbr") =!= col("src"))
       .select(col("la"), col("src"), col("lb"), col("nbr"),
-        expr("""CAST(aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)),
-          |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)"""
-          .stripMargin).as("d2"))
+        dist2(col("xa"), col("xb")).as("d2"))
     val nn = pr.select(col("la"), col("src"), col("lb"),
         row_number().over(Window.partitionBy(col("src"))
           .orderBy(col("d2"), col("nbr"))).as("rnk"))
