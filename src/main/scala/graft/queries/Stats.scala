@@ -39,7 +39,8 @@ object Stats {
     q249JamesStein, q252SrmCheck, q253PostStratAte, q254MdePower,
     q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises,
     q258DurbinWatson, q259Friedman, q260AnsariBradley, q261HurstRs, q262Croston, q263BrownForsythe, q264Pacf, q265Grubbs,
-    q266Greenwood, q267StreaksRecords, q278GapModelLlr)
+    q266Greenwood, q267StreaksRecords, q278GapModelLlr,
+    q279TurningPoints, q280BartelsRvn, q281CooksDistance)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -7486,6 +7487,412 @@ object Stats {
         when(col("ll_par").isNull, lit(null))
           .otherwise(col("ll_exp") - col("ll_par") < 0)
           .as("heavy_tailed"))
+      .orderBy(col("event_type"))
+  }
+
+  /** TURNING-POINTS TEST — Kendall's randomness check by LOCAL SHAPE:
+    * count the strict local extrema of the hourly series (a point
+    * higher or lower than BOTH neighbors); under exchangeability
+    * E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so too few turning
+    * points = momentum/trend, too many = oscillation. The third
+    * member of the randomness triptych — q226 tests mean-crossing
+    * RUNS, q221 tests linear correlation, this one tests curvature —
+    * and each catches departures the others cannot.
+    *
+    * Exactness: the whole statistic collapses to EXACT integers —
+    * (T − E)² = (3T − 2(n−2))²/9, so z² = 10·(3T − 2(n−2))²/(16n − 29)
+    * is ONE double divide of exact int64s (bit-identical; the square
+    * clears int64 to n ≈ 10⁹ hours). Flat shoulders (ties with either
+    * neighbor) are NOT turning points (strict extrema, stated). n < 3
+    * → excluded (no interior).
+    *
+    * Plan: the q193 grid, one ±1 lag window, a 5-row finish.
+    */
+  val q279TurningPoints = Q(
+    "q279_turning_points",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(mc.cnt, 0) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |lagd AS (
+      |  SELECT event_type, x,
+      |    lag(x) OVER (PARTITION BY event_type ORDER BY t) AS xp,
+      |    lead(x) OVER (PARTITION BY event_type ORDER BY t) AS xn
+      |  FROM x
+      |),
+      |agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN xp IS NOT NULL AND xn IS NOT NULL
+      |      AND (x - xp) * (x - xn) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tp
+      |  FROM lagd GROUP BY 1
+      |)
+      |SELECT event_type, n AS span, tp AS turning_points,
+      |  round(CAST(2 * (n - 2) AS DOUBLE) / CAST(3 AS DOUBLE), 6)
+      |    AS expected,
+      |  round(CAST(10 * (3 * tp - 2 * (n - 2))
+      |      * (3 * tp - 2 * (n - 2)) AS DOUBLE)
+      |    / CAST(16 * n - 29 AS DOUBLE), 6) AS z2,
+      |  CAST(10 * (3 * tp - 2 * (n - 2))
+      |      * (3 * tp - 2 * (n - 2)) AS DOUBLE)
+      |    / CAST(16 * n - 29 AS DOUBLE) > 3.8415 AS non_random
+      |FROM agg WHERE n >= 3
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type") && mc("m") === col("m0") + col("t"),
+        "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val lagd = x.select(col("event_type"), col("x"),
+      lag(col("x"), 1).over(w).as("xp"),
+      lead(col("x"), 1).over(w).as("xn"))
+    val agg = lagd.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("xp").isNotNull && col("xn").isNotNull
+            && (col("x") - col("xp")) * (col("x") - col("xn")) > 0, 1)
+          .otherwise(0)).cast("long").as("tp"))
+    val z2 = expr("""CAST(10 * (3 * tp - 2 * (n - 2))
+      |    * (3 * tp - 2 * (n - 2)) AS DOUBLE)
+      |  / CAST(16 * n - 29 AS DOUBLE)""".stripMargin)
+    agg.filter(col("n") >= 3)
+      .select(col("event_type"), col("n").as("span"),
+        col("tp").as("turning_points"),
+        round(expr("CAST(2 * (n - 2) AS DOUBLE) / CAST(3 AS DOUBLE)"), 6)
+          .as("expected"),
+        round(z2, 6).as("z2"),
+        (z2 > 3.8415).as("non_random"))
+      .orderBy(col("event_type"))
+  }
+
+  /** BARTELS' RANK VON NEUMANN RATIO — rank-based serial dependence:
+    * RVN = 12·Σ(Rₜ − Rₜ₊₁)²/(n(n² − 1)) over the daily-count ranks,
+    * the nonparametric counterpart of q258's residual DW (which
+    * assumes the linear model) and q221's ACF (which moment-weights
+    * outlier days). E[RVN] = 2; below = positive rank persistence,
+    * above = alternation — robust to the count spikes that dominate
+    * the moment versions.
+    *
+    * Exactness: ranks under the (count, day) deterministic total
+    * order are a PERMUTATION of 1..n, so the denominator is the
+    * closed form n(n² − 1)/12 in exact integers (the tie device
+    * replaces midranks, stated — same stance as q260); Σd² is exact
+    * int64 (≤ n³ — int64-safe to n ≈ 2·10⁶ days); RVN is ONE double
+    * divide and z² = (RVN − 2)²/Var with Var's n⁵-scale factors
+    * multiplied per-factor in DOUBLE (the q260 route). n < 3 → NULL
+    * z²; n < 2 excluded.
+    *
+    * Plan: the q235 grid, one rank + one lead window, a 5-row finish.
+    */
+  val q280BartelsRvn = Q(
+    "q280_bartels_rvn",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.d0,
+      |    unnest(range(0, b.d1 - b.d0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |rk AS (
+      |  SELECT event_type, t,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY c, t) AS BIGINT) AS r
+      |  FROM x
+      |),
+      |sq AS (
+      |  SELECT event_type, r,
+      |    lead(r) OVER (PARTITION BY event_type ORDER BY t) AS rn
+      |  FROM rk
+      |),
+      |agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN rn IS NULL THEN 0
+      |      ELSE (r - rn) * (r - rn) END) AS BIGINT) AS sd2
+      |  FROM sq GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT event_type, n, sd2,
+      |    CAST(12 * sd2 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE)
+      |        * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |          - CAST(1 AS DOUBLE))) AS rvn
+      |  FROM agg WHERE n >= 2
+      |)
+      |SELECT event_type, n AS n_days, sd2 AS sum_sq_rank_diff,
+      |  round(rvn, 6) AS rvn,
+      |  CASE WHEN n >= 3 THEN
+      |    round((rvn - CAST(2 AS DOUBLE)) * (rvn - CAST(2 AS DOUBLE))
+      |      / (CAST(4 AS DOUBLE) * CAST(n - 2 AS DOUBLE)
+      |        * (CAST(5 AS DOUBLE) * CAST(n AS DOUBLE)
+      |            * CAST(n AS DOUBLE)
+      |          - CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)
+      |          - CAST(9 AS DOUBLE))
+      |        / (CAST(5 AS DOUBLE) * CAST(n AS DOUBLE)
+      |          * CAST(n + 1 AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+      |          * CAST(n - 1 AS DOUBLE))), 6)
+      |  ELSE NULL END AS z2
+      |FROM f
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val rk = x.select(col("event_type"), col("t"),
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("t"))).cast("long").as("r"))
+    val sq = rk.select(col("event_type"), col("r"),
+      lead(col("r"), 1).over(wT).as("rn"))
+    val agg = sq.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("rn").isNull, 0L)
+          .otherwise((col("r") - col("rn")) * (col("r") - col("rn"))))
+          .cast("long").as("sd2"))
+    val f = agg.filter(col("n") >= 2)
+      .withColumn("rvn", expr("""CAST(12 * sd2 AS DOUBLE)
+        |  / (CAST(n AS DOUBLE)
+        |    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |      - CAST(1 AS DOUBLE)))""".stripMargin))
+    f.select(col("event_type"), col("n").as("n_days"),
+        col("sd2").as("sum_sq_rank_diff"),
+        round(col("rvn"), 6).as("rvn"),
+        when(col("n") >= 3,
+          round(expr("""(rvn - CAST(2 AS DOUBLE))
+            |    * (rvn - CAST(2 AS DOUBLE))
+            |  / (CAST(4 AS DOUBLE) * CAST(n - 2 AS DOUBLE)
+            |    * (CAST(5 AS DOUBLE) * CAST(n AS DOUBLE)
+            |        * CAST(n AS DOUBLE)
+            |      - CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)
+            |      - CAST(9 AS DOUBLE))
+            |    / (CAST(5 AS DOUBLE) * CAST(n AS DOUBLE)
+            |      * CAST(n + 1 AS DOUBLE) * CAST(n - 1 AS DOUBLE)
+            |      * CAST(n - 1 AS DOUBLE)))""".stripMargin), 6))
+          .otherwise(lit(null)).as("z2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** COOK'S DISTANCE — which single day is DRIVING the trend fit?
+    * For the q94/q258 least-squares line over daily counts, the most
+    * influential day by Cook's D = e²·h/(p·s²·(1 − h)²) with exact-
+    * rational leverage h = 1/n + (t − t̄)²/Sₓₓ — the regression
+    * diagnostics row that tells an analyst "your slope is one
+    * campaign day" before they ship the trend readout. Reports the
+    * argmax day, its leverage, residual, and the 4/n flag.
+    *
+    * Exactness: the time axis is the dense grid, so
+    * Sₓₓ = n(n² − 1)/12 and (t − t̄)² = (2t − n + 1)²/4 are EXACT —
+    * leverage h = (4·Sxx4 + n·(2t − n + 1)²·3)/... collapses to
+    * h = 1/n + 3(2t − n + 1)²/(n(n² − 1)), one fixed chain of exact
+    * int64s; residuals are the q258 device (identical doubles), SSE
+    * the q258 DECIMAL-quantized sum, s² = SSE/(n − 2), and D one
+    * fixed chain per row with the argmax under (D DESC, day) over
+    * identical doubles. n ≤ 2 or SSE = 0 → excluded/NULL (a perfect
+    * fit has no influence to diagnose — stated).
+    *
+    * Plan: q258's grid + moments + residual scan, one argmax window,
+    * 5-row finish.
+    */
+  val q281CooksDistance = Q(
+    "q281_cooks_distance",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.d0,
+      |    unnest(range(0, b.d1 - b.d0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t, g.d0, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS sx,
+      |    CAST(sum(t * t) AS BIGINT) AS stt,
+      |    CAST(sum(t * c) AS BIGINT) AS stx
+      |  FROM x GROUP BY 1
+      |),
+      |fit AS (
+      |  SELECT event_type, n,
+      |    (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+      |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+      |    (CAST(sx AS DOUBLE) * CAST(stt AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(stx AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+      |        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS icept
+      |  FROM mom WHERE n > 2
+      |),
+      |res AS (
+      |  SELECT x.event_type, x.t, x.d0, f.n, f.slope, f.icept,
+      |    CAST(x.c AS DOUBLE) - f.icept
+      |      - f.slope * CAST(x.t AS DOUBLE) AS ee,
+      |    CAST(1 AS DOUBLE) / CAST(f.n AS DOUBLE)
+      |      + CAST(3 * (2 * x.t - f.n + 1) * (2 * x.t - f.n + 1)
+      |          AS DOUBLE)
+      |        / (CAST(f.n AS DOUBLE)
+      |          * (CAST(f.n AS DOUBLE) * CAST(f.n AS DOUBLE)
+      |            - CAST(1 AS DOUBLE))) AS h
+      |  FROM x JOIN fit f ON f.event_type = x.event_type
+      |),
+      |sse AS (
+      |  SELECT event_type,
+      |    CAST(sum(CAST(ee * ee AS DECIMAL(18,9))) AS DOUBLE) AS sse
+      |  FROM res GROUP BY 1
+      |),
+      |dd AS (
+      |  SELECT r.event_type, r.t, r.d0, r.n, r.ee, r.h, s.sse,
+      |    CASE WHEN s.sse > 0 THEN
+      |      r.ee * r.ee * r.h
+      |        / (CAST(2 AS DOUBLE) * (s.sse / CAST(r.n - 2 AS DOUBLE))
+      |          * (CAST(1 AS DOUBLE) - r.h)
+      |          * (CAST(1 AS DOUBLE) - r.h))
+      |    ELSE NULL END AS cd,
+      |    row_number() OVER (PARTITION BY r.event_type
+      |      ORDER BY CASE WHEN s.sse > 0 THEN
+      |        r.ee * r.ee * r.h
+      |          / (CAST(2 AS DOUBLE)
+      |            * (s.sse / CAST(r.n - 2 AS DOUBLE))
+      |            * (CAST(1 AS DOUBLE) - r.h)
+      |            * (CAST(1 AS DOUBLE) - r.h))
+      |        ELSE NULL END DESC NULLS LAST, r.t) AS rk
+      |  FROM res r JOIN sse s ON s.event_type = r.event_type
+      |)
+      |SELECT event_type, n AS n_days,
+      |  CAST(d0 + t AS BIGINT) AS top_day,
+      |  round(h, 6) AS leverage,
+      |  round(ee, 6) AS residual,
+      |  round(cd, 6) AS cooks_d,
+      |  cd > CAST(4 AS DOUBLE) / CAST(n AS DOUBLE) AS influential
+      |FROM dd WHERE rk = 1
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"), col("d0"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+      .localCheckpoint() // 2 consumers: moments and the residual scan
+    val mom = x.groupBy(col("event_type").as("m_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("t")).cast("long").as("st"),
+        sum(col("c")).cast("long").as("sx"),
+        sum(col("t") * col("t")).cast("long").as("stt"),
+        sum(col("t") * col("c")).cast("long").as("stx"))
+    val fit = mom.filter(col("n") > 2)
+      .select(col("m_type"), col("n"),
+        expr("""(CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+          |  - CAST(st AS DOUBLE) * CAST(sx AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+          |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))""".stripMargin)
+          .as("slope"),
+        expr("""(CAST(sx AS DOUBLE) * CAST(stt AS DOUBLE)
+          |  - CAST(st AS DOUBLE) * CAST(stx AS DOUBLE))
+          |  / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+          |    - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))""".stripMargin)
+          .as("icept"))
+    val res = x.join(fit, col("m_type") === col("event_type"))
+      .select(col("event_type"), col("t"), col("d0"), col("n"),
+        expr("CAST(c AS DOUBLE) - icept - slope * CAST(t AS DOUBLE)")
+          .as("ee"),
+        expr("""CAST(1 AS DOUBLE) / CAST(n AS DOUBLE)
+          |  + CAST(3 * (2 * t - n + 1) * (2 * t - n + 1) AS DOUBLE)
+          |    / (CAST(n AS DOUBLE)
+          |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+          |        - CAST(1 AS DOUBLE)))""".stripMargin).as("h"))
+      .localCheckpoint() // 2 consumers: SSE and the per-day D scan
+    val sse = res.groupBy(col("event_type").as("s_type"))
+      .agg(sum(expr("CAST(ee * ee AS DECIMAL(18,9))")).cast("double")
+        .as("sse"))
+    val cd = expr("""CASE WHEN sse > 0 THEN
+      |  ee * ee * h
+      |    / (CAST(2 AS DOUBLE) * (sse / CAST(n - 2 AS DOUBLE))
+      |      * (CAST(1 AS DOUBLE) - h) * (CAST(1 AS DOUBLE) - h))
+      |ELSE NULL END""".stripMargin)
+    val dd = res.join(sse, col("s_type") === col("event_type"))
+      .withColumn("cd", cd)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("cd").desc_nulls_last, col("t"))))
+      .filter(col("rk") === 1)
+    dd.select(col("event_type"), col("n").as("n_days"),
+        (col("d0") + col("t")).cast("long").as("top_day"),
+        round(col("h"), 6).as("leverage"),
+        round(col("ee"), 6).as("residual"),
+        round(col("cd"), 6).as("cooks_d"),
+        (col("cd") > expr("CAST(4 AS DOUBLE) / CAST(n AS DOUBLE)"))
+          .as("influential"))
       .orderBy(col("event_type"))
   }
 }

@@ -922,4 +922,37 @@ class EdgeEventsSpec extends SparkSpec {
     assert(llr.head.isNullAt(4) && llr.head.isNullAt(6),
       "degenerate Pareto must NULL, never divide by zero")
   }
+
+  test("q279/q280/q281 degenerate: a monotone line has zero turning " +
+      "points and RVN rank diffs of exactly n-1; a perfect fit leaves " +
+      "no influence readout") {
+    val d = "/tmp/graft_edge_events_line267"
+    // (already built by the q267 edge — rebuild defensively)
+    import spark.implicits._
+    val rows = for { day <- 0 to 2; i <- 0 to day }
+      yield ((day * 10 + i + 1).toLong,
+        day * 86400L * 1000000000L + i * 1000000000L, 1L, "ln", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    // counts 1,2,3 by day: daily ranks are the identity permutation →
+    // every rank diff is 1 → sd2 = n−1 = 2, RVN = 12·2/(3·8) = 1
+    val rvn = SparkEntry.queries("q280_bartels_rvn")(spark, d).collect()
+    assert(rvn.length === 1)
+    assert(rvn.head.getLong(2) === 2L, "identity ranks diff by 1")
+    assert(math.abs(rvn.head.getDouble(3) - 1.0) < 1e-9,
+      "monotone series → RVN exactly 1")
+    // the same exact line fits perfectly → SSE = 0 → Cook's D has
+    // nothing to diagnose → NULL cd on the (deterministic) argmax row
+    val cd = SparkEntry.queries("q281_cooks_distance")(spark, d).collect()
+    assert(cd.length === 1)
+    assert(cd.head.isNullAt(5) && cd.head.isNullAt(6),
+      "a perfect fit must NULL Cook's D, never 0/0")
+    // turning points on the hourly axis of the shared fixture: solo is
+    // a single hour (n < 3, excluded); multi spans 3 hours with counts
+    // (1,1,1) → interior point ties both neighbors → T = 0
+    val tp = SparkEntry.queries("q279_turning_points")(spark, dir)
+      .collect()
+    assert(tp.length === 1 && tp.head.getString(0) === "multi")
+    assert(tp.head.getLong(2) === 0L, "flat interior is not an extremum")
+  }
 }

@@ -535,7 +535,11 @@ class ScaleSpec extends SparkSpec {
       // q276 is per-row string ops + one aggregate; q277's chains are
       // user-keyed band joins (the q08 theta shape); q278 is q234's
       // window + moment aggregate
-      "q276_flesch", "q277_window_funnel", "q278_gap_model_llr")) {
+      "q276_flesch", "q277_window_funnel", "q278_gap_model_llr",
+      // q279/q280's lag windows and q281's residual/influence scans
+      // ride the same grid equi joins as their q235/q258 parents
+      "q279_turning_points", "q280_bartels_rvn",
+      "q281_cooks_distance")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

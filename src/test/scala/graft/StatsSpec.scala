@@ -3174,4 +3174,128 @@ class StatsSpec extends SparkSpec {
       } else assert(!got.contains(t))
     }
   }
+
+  test("q279 turning points replays from a direct Scala shape walk; " +
+      "T is bounded by n-2") {
+    val got = Stats.q279TurningPoints.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4),
+        r.getBoolean(5)))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val hrs = g.map(_._2)
+      val cnt = hrs.groupBy(identity).map { case (h, v) => h -> v.length }
+      val xs = (hrs.min to hrs.max).map(h => cnt.getOrElse(h, 0).toLong)
+        .toArray
+      val n = xs.length
+      if (n >= 3) {
+        val tp = (1 until n - 1).count(i =>
+          (xs(i) - xs(i - 1)) * (xs(i) - xs(i + 1)) > 0).toLong
+        val z2 = 10.0 * (3 * tp - 2 * (n - 2)) * (3 * tp - 2 * (n - 2)) /
+          (16.0 * n - 29)
+        val (gn, gtp, gz2, gflag) = got(t)
+        assert(gn === n.toLong && gtp === tp, s"$t counts")
+        assert(tp <= n - 2, s"$t T bound")
+        assert(math.abs(gz2 - z2) < 1e-4 * (1 + z2), s"$t z2")
+        assert(gflag === (z2 > 3.8415), s"$t verdict")
+      } else assert(!got.contains(t))
+    }
+  }
+
+  test("q280 Bartels RVN replays from direct rank walks; the rank " +
+      "denominator closed form matches the explicit sum") {
+    val got = Stats.q280BartelsRvn.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val days = g.map(_._2)
+      val cnt = days.groupBy(identity).map { case (d, v) =>
+        d -> v.length.toLong }
+      val series = (days.min to days.max).zipWithIndex.map {
+        case (d, i) => (i.toLong, cnt.getOrElse(d, 0L)) }
+      val n = series.length
+      if (n >= 2) {
+        // ranks under (count, t): a permutation of 1..n
+        val ranks = series.sortBy { case (i, c) => (c, i) }.zipWithIndex
+          .map { case ((i, _), r0) => (i, r0 + 1L) }
+          .sortBy(_._1).map(_._2)
+        val sd2 = ranks.sliding(2).collect { case Seq(a, b) =>
+          (a - b) * (a - b) }.sum
+        // the closed-form denominator equals the explicit Σ(R − R̄)²
+        val rbar = ranks.sum.toDouble / n
+        val explicitDen = ranks.map(r => (r - rbar) * (r - rbar)).sum
+        assert(math.abs(explicitDen - n.toLong * (n.toLong * n - 1) / 12.0)
+          < 1e-6 * (1 + explicitDen), s"$t permutation denominator")
+        val rvn = 12.0 * sd2 / (n.toDouble * (n.toDouble * n - 1))
+        val (gn, gsd2, grvn, gz2) = got(t)
+        assert(gn === n.toLong && gsd2 === sd2, s"$t rank diffs")
+        assert(math.abs(grvn - rvn) < 1e-5 * (1 + rvn), s"$t RVN")
+        if (n >= 3) {
+          val vr = 4.0 * (n - 2) * (5.0 * n * n - 2 * n - 9) /
+            (5.0 * n * (n + 1) * (n - 1.0) * (n - 1))
+          val z2 = (rvn - 2) * (rvn - 2) / vr
+          assert(math.abs(gz2.get - z2) < 1e-3 * (1 + z2), s"$t z2")
+        } else assert(gz2.isEmpty)
+      } else assert(!got.contains(t))
+    }
+  }
+
+  test("q281 Cook's distance replays from a direct per-day influence " +
+      "scan; leverages sum to the model dimension p = 2") {
+    val got = Stats.q281CooksDistance.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val days = g.map(_._2)
+      val cnt = days.groupBy(identity).map { case (d, v) =>
+        d -> v.length.toLong }
+      val d0 = days.min
+      val xs = (days.min to days.max).map(d =>
+        cnt.getOrElse(d, 0L).toDouble).toArray
+      val n = xs.length
+      if (n > 2) {
+        val ts0 = xs.indices.map(_.toDouble)
+        val (st, sx) = (ts0.sum, xs.sum)
+        val stt = ts0.map(v => v * v).sum
+        val stx = ts0.zip(xs).map { case (a, b) => a * b }.sum
+        val den = n * stt - st * st
+        val slope = (n * stx - st * sx) / den
+        val icept = (sx * stt - st * stx) / den
+        val e = xs.indices.map(i => xs(i) - icept - slope * i)
+        val sxx = n.toDouble * (n.toDouble * n - 1) / 12
+        val hs = xs.indices.map(i =>
+          1.0 / n + (i - (n - 1) / 2.0) * (i - (n - 1) / 2.0) / sxx)
+        // hat-diagonal identity: Σh = p = 2 for the line fit
+        assert(math.abs(hs.sum - 2.0) < 1e-9, s"$t leverage trace")
+        val sse = e.map(v => v * v).sum
+        if (sse > 0) {
+          val s2 = sse / (n - 2)
+          val ds = xs.indices.map(i => e(i) * e(i) * hs(i) /
+            (2 * s2 * (1 - hs(i)) * (1 - hs(i))))
+          val top = xs.indices.minBy(i => (-ds(i), i))
+          val (gn, gday, gh, ge, gcd) = got(t)
+          assert(gn === n.toLong, s"$t days")
+          assert(gday === d0 + top, s"$t top day")
+          assert(math.abs(gh - hs(top)) < 1e-5, s"$t leverage")
+          assert(math.abs(ge - e(top)) < 1e-3 * (1 + e(top).abs))
+          assert(math.abs(gcd.get - ds(top)) < 1e-3 * (1 + ds(top)),
+            s"$t Cook's D")
+        }
+      } else assert(!got.contains(t))
+    }
+  }
 }
