@@ -18,7 +18,8 @@ object TextAnalysis {
       q87TokenEntropy, q101Bm25, q130GroupSplit, q131LmPerplexity,
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
       q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
-      q218ZipfSlope, q227CosineProfiles, q250OovRate, q276Flesch)
+      q218ZipfSlope, q227CosineProfiles, q250OovRate, q276Flesch,
+      q282Mattr, q283QueryLikelihood, q284VocabOverlap)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -1830,5 +1831,292 @@ object TextAnalysis {
           6).as("mean_flesch"),
         graft.functions.Exact.ratio6("easy", "n_docs").as("easy_share"))
       .orderBy(col("source"))
+  }
+
+  /** MATTR LEXICAL DIVERSITY — the type-token ratio done right: raw
+    * TTR falls mechanically with length (Heaps' law, q194), so the
+    * moving-average TTR over FIXED 25-token windows is the
+    * length-robust diversity signal corpus curation actually compares
+    * across sources (Covington & McFall). Reported POOLED over all of
+    * a source's windows (Σ distinct / (25·Σ windows) — stated variant;
+    * a mean-of-doc-means would average rounded ratios), beside the
+    * raw TTR for the contrast.
+    *
+    * Exactness: pure integer counting end-to-end — window membership
+    * is a per-doc band join on token positions, per-window distincts
+    * are exact, and both readouts ride ratio6. Docs shorter than 25
+    * tokens have no window and drop from the pooled figure (stated;
+    * they still count in raw TTR).
+    *
+    * Plan: one posexplode, a doc-keyed position band join (bounded ×25
+    * fan per token — the q08 theta shape inside a doc), one
+    * (doc, window) distinct aggregate, a per-source finish.
+    */
+  val q282Mattr = Q(
+    "q282_mattr",
+    s"""WITH tok AS (
+      |  SELECT doc_id, source, t.tok, t.p
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS tok,
+      |      generate_subscripts(list_filter(string_split(text, ' '),
+      |        x -> x <> ''), 1) AS p
+      |    FROM documents
+      |    WHERE text IS NOT NULL AND source IS NOT NULL
+      |  ) t
+      |),
+      |dl AS (
+      |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS len,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS types
+      |  FROM tok GROUP BY 1, 2
+      |),
+      |win AS (
+      |  SELECT dl.doc_id, dl.source,
+      |    unnest(range(1, dl.len - 23)) AS w
+      |  FROM dl WHERE dl.len >= 25
+      |),
+      |wd AS (
+      |  SELECT win.source, win.doc_id, win.w,
+      |    CAST(count(DISTINCT tok.tok) AS BIGINT) AS dis
+      |  FROM win JOIN tok ON tok.doc_id = win.doc_id
+      |    AND tok.p >= win.w AND tok.p < win.w + 25
+      |  GROUP BY 1, 2, 3
+      |),
+      |ws AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(dis) AS BIGINT) AS sdis
+      |  FROM wd GROUP BY 1
+      |),
+      |ts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len) AS BIGINT) AS toks,
+      |    CAST(sum(types) AS BIGINT) AS types
+      |  FROM dl GROUP BY 1
+      |)
+      |SELECT ts.source, ts.n_docs, ws.n_windows,
+      |  ${graft.functions.Exact.Sql.ratio6("ws.sdis",
+           "25 * ws.n_windows")} AS pooled_mattr,
+      |  ${graft.functions.Exact.Sql.ratio6("ts.types", "ts.toks")}
+      |    AS raw_ttr
+      |FROM ts JOIN ws ON ws.source = ts.source
+      |ORDER BY ts.source""".stripMargin,
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("filter(split(text, ' '), x -> x != '')"))
+          .as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("source"), col("tok"),
+        (col("p0") + 1).as("p"))
+      .localCheckpoint() // 2 consumers: doc lengths and the window join
+    val dl = tok.groupBy(col("doc_id").as("d_id"),
+        col("source").as("d_src"))
+      .agg(count(lit(1)).cast("long").as("len"),
+        countDistinct(col("tok")).cast("long").as("types"))
+    val win = dl.filter(col("len") >= 25)
+      .select(col("d_id"), col("d_src"),
+        explode(sequence(lit(1L), col("len") - 24)).as("w"))
+    val wd = win.join(tok, col("doc_id") === col("d_id")
+        && col("p") >= col("w") && col("p") < col("w") + 25)
+      .groupBy(col("d_src"), col("d_id"), col("w"))
+      .agg(countDistinct(col("tok")).cast("long").as("dis"))
+    val ws = wd.groupBy(col("d_src").as("w_src"))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(col("dis")).cast("long").as("sdis"))
+    val ts0 = dl.groupBy(col("d_src").as("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("len")).cast("long").as("toks"),
+        sum(col("types")).cast("long").as("types"))
+    ts0.join(ws, col("w_src") === col("source"))
+      .select(col("source"), col("n_docs"), col("n_windows"),
+        graft.functions.Exact.ratio6("sdis", "25 * n_windows")
+          .as("pooled_mattr"),
+        graft.functions.Exact.ratio6("types", "toks").as("raw_ttr"))
+      .orderBy(col("source"))
+  }
+
+  /** QUERY-LIKELIHOOD RETRIEVAL — the language-modeling scoring family
+    * beside q101's BM25 (Ponte–Croft with Dirichlet smoothing, the
+    * other standard lexical ranker): score(d) = Σ_q ln((tf + μ·p_c) /
+    * (len + μ)) at μ = 300 for the fixed probe query {data, spark,
+    * query}. The top-10 ledger is what a retrieval regression suite
+    * diffs run-over-run.
+    *
+    * Exactness: tf/len/cf/|C| are exact ints; p_c is one exact-int
+    * divide; each document's score is an EXPLICIT 3-term fixed-order
+    * chain (one float-cast ln per term — no aggregation over terms,
+    * parenthesization is the spec); top-10 under (score DESC, doc_id)
+    * over identical doubles. Docs missing every probe term still score
+    * (smoothing mass only — the LM family's defining difference from
+    * BM25, stated). PRECONDITION: each probe term occurs somewhere in
+    * the corpus (cf > 0) — on a probe-FREE corpus the smoothing term
+    * is ln(0), where Spark yields NULL and DuckDB −∞ (a latent
+    * cross-engine divergence; ShortDocSpec pins the Spark NULL path,
+    * which still ranks deterministically by the doc_id tiebreak).
+    *
+    * Plan: one token scan → 3-row collection stats (broadcast), a
+    * per-doc conditional aggregate, one top-k window. Scan-dominated.
+    */
+  val q283QueryLikelihood = Q(
+    "q283_query_likelihood",
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS tok
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND source IS NOT NULL
+      |),
+      |coll AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS ctot,
+      |    CAST(sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cf1,
+      |    CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cf2,
+      |    CAST(sum(CASE WHEN tok = 'query' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cf3
+      |  FROM tok
+      |),
+      |dt AS (
+      |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS len,
+      |    CAST(sum(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tf1,
+      |    CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tf2,
+      |    CAST(sum(CASE WHEN tok = 'query' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tf3
+      |  FROM tok GROUP BY 1, 2
+      |),
+      |sc AS (
+      |  SELECT dt.doc_id, dt.source,
+      |    CAST(CAST(ln((CAST(dt.tf1 AS DOUBLE)
+      |        + CAST(300 AS DOUBLE) * (CAST(c.cf1 AS DOUBLE)
+      |          / CAST(c.ctot AS DOUBLE)))
+      |      / (CAST(dt.len AS DOUBLE) + CAST(300 AS DOUBLE)))
+      |      AS FLOAT) AS DOUBLE)
+      |    + CAST(CAST(ln((CAST(dt.tf2 AS DOUBLE)
+      |        + CAST(300 AS DOUBLE) * (CAST(c.cf2 AS DOUBLE)
+      |          / CAST(c.ctot AS DOUBLE)))
+      |      / (CAST(dt.len AS DOUBLE) + CAST(300 AS DOUBLE)))
+      |      AS FLOAT) AS DOUBLE)
+      |    + CAST(CAST(ln((CAST(dt.tf3 AS DOUBLE)
+      |        + CAST(300 AS DOUBLE) * (CAST(c.cf3 AS DOUBLE)
+      |          / CAST(c.ctot AS DOUBLE)))
+      |      / (CAST(dt.len AS DOUBLE) + CAST(300 AS DOUBLE)))
+      |      AS FLOAT) AS DOUBLE) AS score
+      |  FROM dt CROSS JOIN coll c
+      |)
+      |SELECT CAST(rk AS INTEGER) AS rank, doc_id, source,
+      |  round(score, 6) AS ql_score
+      |FROM (
+      |  SELECT doc_id, source, score,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      |  FROM sc) z
+      |WHERE rk <= 10
+      |ORDER BY rank""".stripMargin,
+  ) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(text, ' '), x -> x != '')"))
+          .as("tok"))
+      .localCheckpoint() // 2 consumers: collection stats and doc stats
+    def cf(t: String): Column =
+      sum(when(col("tok") === t, 1).otherwise(0)).cast("long")
+    val coll = tok.agg(count(lit(1)).cast("long").as("ctot"),
+      cf("data").as("cf1"), cf("spark").as("cf2"), cf("query").as("cf3"))
+    val dt = tok.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("long").as("len"),
+        cf("data").as("tf1"), cf("spark").as("tf2"),
+        cf("query").as("tf3"))
+    def term(tf: String, cfc: String): String =
+      s"""CAST(CAST(ln((CAST($tf AS DOUBLE)
+         |    + CAST(300 AS DOUBLE) * (CAST($cfc AS DOUBLE)
+         |      / CAST(ctot AS DOUBLE)))
+         |  / (CAST(len AS DOUBLE) + CAST(300 AS DOUBLE)))
+         |  AS FLOAT) AS DOUBLE)""".stripMargin
+    val sc = dt.crossJoin(broadcast(coll))
+      .withColumn("score", expr(
+        s"${term("tf1", "cf1")} + ${term("tf2", "cf2")} + ${term("tf3", "cf3")}"))
+    sc.select(col("doc_id"), col("source"), col("score"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .as("rk"))
+      .filter(col("rk") <= 10)
+      .select(col("rk").cast("int").as("rank"), col("doc_id"),
+        col("source"), round(col("score"), 6).as("ql_score"))
+      .orderBy(col("rank"))
+  }
+
+  /** SOURCE VOCABULARY OVERLAP — the corpus-composition matrix: for
+    * every source pair, the Jaccard and containment of their DISTINCT
+    * token vocabularies. High overlap = redundant crawls (the
+    * source-level early warning before q32/q51's document-level dedup
+    * spends real compute); high containment with low Jaccard = one
+    * source embeds the other.
+    *
+    * Exactness: pure distinct counting — the intersection comes from a
+    * token-keyed equi self-join of the (source, token) distinct pairs
+    * (each token appears once per source, so count(*) IS |A∩B|),
+    * union by inclusion–exclusion, both ratios ratio6. Pairs ordered
+    * s1 < s2 (stated).
+    *
+    * Plan: one distinct aggregate, a vocabulary-keyed equi join (the
+    * q227 shape — sized by shared-token pair mass, never corpus²),
+    * a k²-bounded finish.
+    */
+  val q284VocabOverlap = Q(
+    "q284_vocab_overlap",
+    s"""WITH st AS (
+      |  SELECT DISTINCT source, t.tok
+      |  FROM (
+      |    SELECT source,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS tok
+      |    FROM documents
+      |    WHERE text IS NOT NULL AND source IS NOT NULL
+      |  ) t
+      |),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+      |       FROM st GROUP BY 1),
+      |ix AS (
+      |  SELECT a.source AS s1, b.source AS s2,
+      |    CAST(count(*) AS BIGINT) AS inter
+      |  FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ix.s1, ix.s2, za.v AS v1, zb.v AS v2, ix.inter,
+      |  ${graft.functions.Exact.Sql.ratio6("ix.inter",
+           "za.v + zb.v - ix.inter")} AS jaccard,
+      |  ${graft.functions.Exact.Sql.ratio6("ix.inter",
+           "least(za.v, zb.v)")} AS containment
+      |FROM ix
+      |JOIN sz za ON za.source = ix.s1
+      |JOIN sz zb ON zb.source = ix.s2
+      |ORDER BY s1, s2""".stripMargin,
+  ) { (s, d) =>
+    val st = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> x != '')"))
+          .as("tok"))
+      .distinct()
+      .localCheckpoint() // 3 consumers: sizes and both join sides
+    val sz = st.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("v"))
+    val ix = st.select(col("source").as("s1"), col("tok"))
+      .join(st.select(col("source").as("s2"), col("tok").as("tok2")),
+        col("tok2") === col("tok") && col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    ix.join(sz.select(col("source").as("za_s"), col("v").as("v1")),
+        col("za_s") === col("s1"))
+      .join(sz.select(col("source").as("zb_s"), col("v").as("v2")),
+        col("zb_s") === col("s2"))
+      .select(col("s1"), col("s2"), col("v1"), col("v2"), col("inter"),
+        graft.functions.Exact.ratio6("inter", "v1 + v2 - inter")
+          .as("jaccard"),
+        graft.functions.Exact.ratio6("inter", "least(v1, v2)")
+          .as("containment"))
+      .orderBy(col("s1"), col("s2"))
   }
 }

@@ -539,7 +539,11 @@ class ScaleSpec extends SparkSpec {
       // q279/q280's lag windows and q281's residual/influence scans
       // ride the same grid equi joins as their q235/q258 parents
       "q279_turning_points", "q280_bartels_rvn",
-      "q281_cooks_distance")) {
+      "q281_cooks_distance",
+      // q282's window fan is a doc-keyed band join; q284's intersection
+      // is the q227 token-keyed equi shape; q283's collection stats are
+      // a 1-row broadcast joined by hash
+      "q282_mattr", "q284_vocab_overlap")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -557,9 +561,12 @@ class ScaleSpec extends SparkSpec {
     // scale path — scaladoc states it); only a cartesian is forbidden
     // q273's 10-bin seed and q275's 8-subset/3-channel grids are
     // literal bounded broadcasts (the q205 device)
+    // q283's 1-row collection-stats frame is a designed scalar
+    // broadcast (the q174 midpoint shape)
     for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini",
       "q259_friedman", "q261_hurst_rs", "q270_label_noise",
-      "q273_ldiv_tcloseness", "q275_shapley_attribution")) {
+      "q273_ldiv_tcloseness", "q275_shapley_attribution",
+      "q283_query_likelihood")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -431,4 +431,26 @@ class ShortDocSpec extends SparkSpec {
     assert(r.getLong(3) === 0L, "tie-break → smallest n_chars value")
     assert(r.getDouble(6) === 0.0 && r.getDouble(7) === 0.0)
   }
+
+  test("q282/q283/q284 degenerate: sub-25-token docs drop from pooled " +
+      "MATTR; probe-free corpora still rank by smoothing; one source " +
+      "has no overlap pairs") {
+    // every shared-fixture doc is < 25 tokens → NO window anywhere →
+    // the pooled figure has no denominator → the source is absent
+    // (the ws inner join drops it), never a 0/0
+    assert(SparkEntry.queries("q282_mattr")(spark, dir).collect()
+      .isEmpty, "window-less corpora have no pooled MATTR")
+    // none of the probe terms occur → every doc scores smoothing mass
+    // only; scores differ by length only and ties break by doc_id —
+    // docs 3 and 4 (identical text) must rank adjacently by id
+    val ql = SparkEntry.queries("q283_query_likelihood")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(ql.nonEmpty && ql.length <= 10)
+    val pair = ql.filter(p => p._2 == 3L || p._2 == 4L).sortBy(_._1)
+    assert(pair.map(_._2).toSeq === Seq(3L, 4L),
+      "identical docs tie-break by doc_id")
+    // a single-source corpus has no pair rows
+    assert(SparkEntry.queries("q284_vocab_overlap")(spark, dir).collect()
+      .isEmpty, "one source, no matrix")
+  }
 }

@@ -3298,4 +3298,97 @@ class StatsSpec extends SparkSpec {
       } else assert(!got.contains(t))
     }
   }
+
+  test("q282 MATTR replays from a Scala sliding-window walk; pooled " +
+      "MATTR never exceeds 1 and raw TTR falls below it on repetitive " +
+      "text") {
+    val got = TextAnalysis.q282Mattr.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    }.toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for ((s0, g) <- docs.groupBy(_._1)) {
+      var (nw, sdis) = (0L, 0L)
+      var (toks, types) = (0L, 0L)
+      for ((_, t) <- g) {
+        val tk = t.split(" ", -1).filter(_.nonEmpty)
+        toks += tk.length; types += tk.distinct.length
+        if (tk.length >= 25)
+          for (w <- 0 to tk.length - 25) {
+            nw += 1; sdis += tk.slice(w, w + 25).distinct.length
+          }
+      }
+      val (gnd, gnw, gmattr, gttr) = got(s0)
+      assert(gnd === g.length.toLong && gnw === nw, s"$s0 shape")
+      assert(math.abs(gmattr - sdis.toDouble / (25 * nw)) < 2e-6, s"$s0")
+      assert(math.abs(gttr - types.toDouble / toks) < 2e-6, s"$s0 ttr")
+      assert(gmattr <= 1.0 && gmattr > 0.0, s"$s0 MATTR range")
+      // fixed-window diversity is length-robust; raw TTR is depressed
+      // by corpus size — on this template corpus strictly so
+      assert(gttr <= gmattr + 1e-9, s"$s0 TTR vs MATTR")
+    }
+  }
+
+  test("q283 QL retrieval replays from direct per-doc scoring; the " +
+      "ranking is the exact top-10 of the full corpus") {
+    val got = TextAnalysis.q283QueryLikelihood.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      (id, t.split(" ", -1).filter(_.nonEmpty)) }
+    val ctot = toks.map(_._2.length.toLong).sum
+    val q = Seq("data", "spark", "query")
+    val cf = q.map(w => w -> toks.map(_._2.count(_ == w).toLong).sum).toMap
+    val scored = toks.map { case (id, tk) =>
+      val len = tk.length
+      val sc = q.map { w =>
+        val tf = tk.count(_ == w)
+        math.log((tf + 300.0 * (cf(w).toDouble / ctot)) / (len + 300.0))
+          .toFloat.toDouble
+      }.sum
+      (id, sc)
+    }
+    val top = scored.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    assert(got.length === 10)
+    for (((gid, _, gsc), (eid, esc)) <- got.map(g => (g._2, g._1, g._3))
+        .zip(top)) {
+      assert(gid === eid, s"rank order: $gid vs $eid")
+      assert(math.abs(gsc - esc) < 1e-4 * (1 + esc.abs))
+    }
+  }
+
+  test("q284 vocab overlap replays from Scala set algebra; jaccard <= " +
+      "containment and the pair count is k choose 2") {
+    val got = TextAnalysis.q284VocabOverlap.fn(spark, sf).collect()
+      .map { r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))) }.toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).map { case (s0, g) =>
+      s0 -> g.flatMap(_._2.split(" ", -1).filter(_.nonEmpty)).toSet }
+    val srcs = vocab.keys.toSeq.sorted
+    assert(got.size === srcs.length * (srcs.length - 1) / 2,
+      "pair count is k choose 2")
+    for (i <- srcs.indices; j <- i + 1 until srcs.length) {
+      val (a, b) = (srcs(i), srcs(j))
+      val (va, vb) = (vocab(a), vocab(b))
+      val inter = (va & vb).size.toLong
+      val (gv1, gv2, gi, gj, gc) = got((a, b))
+      assert(gv1 === va.size.toLong && gv2 === vb.size.toLong
+        && gi === inter, s"$a/$b sizes")
+      assert(math.abs(gj - inter.toDouble / (va ++ vb).size) < 2e-6)
+      assert(math.abs(gc - inter.toDouble / math.min(va.size, vb.size))
+        < 2e-6)
+      assert(gj <= gc + 1e-9, s"$a/$b jaccard bounded by containment")
+    }
+  }
 }
