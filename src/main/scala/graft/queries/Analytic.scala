@@ -64,6 +64,9 @@ object Analytic {
     q244SeasonalEwma,
     q275ShapleyAttribution,
     q277WindowFunnel,
+    q285DoubleFire,
+    q286CohortLtv,
+    q287SimpsonAudit,
   )
 
   /** Per-group linear trend detection: the least-squares slope of hourly
@@ -4068,5 +4071,313 @@ object Analytic {
         Exact.ratio6("n", "first_value(n) OVER (ORDER BY level)")
           .as("overall_share"))
       .orderBy(col("level"))
+  }
+
+  /** DOUBLE-FIRE DETECTOR — telemetry hygiene before any counting op
+    * is trusted: the share of events with an identical (user, type)
+    * event within ONE SECOND before them (client retries, double
+    * taps, at-least-once delivery). This is the ingest-side
+    * micro-dedup q31's content dedup and q73's streaming dedup assume
+    * has already been quantified, plus the worst offending user per
+    * type for triage.
+    *
+    * Exactness: pure integer gap comparison off the (us, event_id)
+    * per-(user, type) order; rates ride ratio6; the worst user is the
+    * argmax under (dups DESC, user_id). Same-µs duplicates count (gap
+    * 0 ≤ threshold — stated).
+    *
+    * Plan: one (user, type)-keyed lag window, two bounded aggregates.
+    */
+  val q285DoubleFire = Q(
+    "q285_double_fire",
+    s"""WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id, event_type
+      |        ORDER BY us, event_id) <= 1000000
+      |      THEN 1 ELSE 0 END AS dup
+      |  FROM e
+      |),
+      |pu AS (
+      |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dup) AS BIGINT) AS dups
+      |  FROM g GROUP BY 1, 2
+      |),
+      |pt AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(dups) AS BIGINT) AS dups
+      |  FROM pu GROUP BY 1
+      |),
+      |worst AS (
+      |  SELECT event_type, user_id AS worst_user, dups AS worst_dups
+      |  FROM (
+      |    SELECT event_type, user_id, dups,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY dups DESC, user_id) AS rk
+      |    FROM pu) z
+      |  WHERE rk = 1
+      |)
+      |SELECT pt.event_type, pt.n AS n_events, pt.dups AS n_double_fires,
+      |  ${Exact.Sql.ratio6("pt.dups", "pt.n")} AS double_fire_rate,
+      |  worst.worst_user, worst.worst_dups
+      |FROM pt JOIN worst ON worst.event_type = pt.event_type
+      |ORDER BY pt.event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val g = e.select(col("user_id"), col("event_type"),
+      when(col("us") - lag(col("us"), 1).over(w) <= 1000000L, 1)
+        .otherwise(0).as("dup"))
+    val pu = g.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("dup")).cast("long").as("dups"))
+      .localCheckpoint() // 2 consumers: type totals and the argmax
+    val pt = pu.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("dups")).cast("long").as("dups"))
+    val worst = pu.select(col("event_type").as("w_type"),
+        col("user_id").as("worst_user"), col("dups").as("worst_dups"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("dups").desc, col("user_id"))).as("rk"))
+      .filter(col("rk") === 1)
+    pt.join(worst, col("w_type") === col("event_type"))
+      .select(col("event_type"), col("n").as("n_events"),
+        col("dups").as("n_double_fires"),
+        Exact.ratio6("dups", "n").as("double_fire_rate"),
+        col("worst_user"), col("worst_dups"))
+      .orderBy(col("event_type"))
+  }
+
+  /** COHORT LTV CURVE — the revenue twin of q84's retention triangle:
+    * users cohort by FIRST week; each cohort's cumulative spend per
+    * user at every age (weeks since joining) is the lifetime-value
+    * curve finance reads payback periods off. Ages with no spend
+    * still emit (zero-filled through the cumulative — a cohort that
+    * went quiet stays on the chart, stated).
+    *
+    * Exactness: spend is exact int64 cents; the (cohort, age) grid is
+    * dense per cohort (the q249 device bounded by the global week
+    * span); cumulative window sums stay integer; LTV is ONE fixed
+    * chain (cum/100/users). Week anchoring filters user_id IS NOT
+    * NULL on BOTH engines (the round-14 ADVICE lesson, applied at
+    * birth).
+    *
+    * Plan: one per-user first-week aggregate, one (cohort, week)
+    * spend aggregate, a span²/2-bounded dense grid, cumulative
+    * windows. Calendar-bounded after the user collapse.
+    */
+  val q286CohortLtv = Q(
+    "q286_cohort_ltv",
+    s"""WITH e AS (
+      |  SELECT user_id,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+      |      - (SELECT min(epoch_us(CAST(ts AS TIMESTAMP))
+      |          // 86400000000) FROM events
+      |         WHERE ts IS NOT NULL AND user_id IS NOT NULL))
+      |      // 7 AS wk,
+      |    CASE WHEN value IS NOT NULL
+      |      THEN CAST(round(100 * value) AS BIGINT) ELSE 0 END AS cents
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |fw AS (SELECT user_id, CAST(min(wk) AS BIGINT) AS cohort
+      |       FROM e GROUP BY 1),
+      |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS users
+      |       FROM fw GROUP BY 1),
+      |sp AS (
+      |  SELECT fw.cohort, e.wk - fw.cohort AS age,
+      |    CAST(sum(e.cents) AS BIGINT) AS cents
+      |  FROM e JOIN fw ON fw.user_id = e.user_id
+      |  GROUP BY 1, 2
+      |),
+      |mx AS (SELECT CAST(max(wk) AS BIGINT) AS wmax FROM e),
+      |grid AS (
+      |  SELECT cs.cohort, cs.users,
+      |    unnest(range(0, mx.wmax - cs.cohort + 1)) AS age
+      |  FROM cs CROSS JOIN mx
+      |),
+      |z AS (
+      |  SELECT g.cohort, g.users, g.age, COALESCE(sp.cents, 0) AS cents
+      |  FROM grid g LEFT JOIN sp
+      |    ON sp.cohort = g.cohort AND sp.age = g.age
+      |)
+      |SELECT cohort, CAST(age AS BIGINT) AS age, users,
+      |  round(CAST(cents AS DOUBLE) / 100.0, 6) AS revenue,
+      |  round(CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age)
+      |    AS DOUBLE) / 100.0, 6) AS cum_revenue,
+      |  round(CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age)
+      |      AS DOUBLE)
+      |    / 100.0 / CAST(users AS DOUBLE), 6) AS ltv_per_user
+      |FROM z
+      |ORDER BY cohort, age""".stripMargin,
+  ) { (s, d) =>
+    val base = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        when(col("value").isNotNull,
+          expr("CAST(round(100 * value) AS BIGINT)")).otherwise(0L)
+          .as("cents"))
+    val d0 = base.agg(min(col("day")).as("d0"))
+    val e = base.crossJoin(broadcast(d0))
+      .select(col("user_id"), expr("(day - d0) div 7").as("wk"),
+        col("cents"))
+      .localCheckpoint() // 3 consumers: first-week, spend, max week
+    val fw = e.groupBy(col("user_id").as("f_user"))
+      .agg(min(col("wk")).cast("long").as("cohort"))
+    val cs = fw.groupBy(col("cohort"))
+      .agg(count(lit(1)).cast("long").as("users"))
+    val sp = e.join(fw, col("f_user") === col("user_id"))
+      .groupBy(col("cohort").as("s_cohort"),
+        (col("wk") - col("cohort")).as("age"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
+    val mx = e.agg(max(col("wk")).cast("long").as("wmax"))
+    val grid = cs.crossJoin(broadcast(mx))
+      .select(col("cohort"), col("users"),
+        explode(sequence(lit(0L), col("wmax") - col("cohort"))).as("age"))
+    val z = grid.join(sp,
+        col("s_cohort") === col("cohort") && sp("age") === grid("age"),
+        "left")
+      .select(col("cohort"), col("users"), grid("age"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+    val wCum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+    z.select(col("cohort"), col("age").cast("long").as("age"),
+        col("users"),
+        round(col("cents").cast("double") / 100.0, 6).as("revenue"),
+        round(sum(col("cents")).over(wCum).cast("double") / 100.0, 6)
+          .as("cum_revenue"),
+        round(sum(col("cents")).over(wCum).cast("double") / 100.0 /
+          col("users").cast("double"), 6).as("ltv_per_user"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
+  /** SIMPSON'S PARADOX AUDIT — does the overall arm comparison REVERSE
+    * once stratified by day? The classic aggregation trap: an
+    * overall "treatment wins" can be an artifact of treatment traffic
+    * landing on high-spend days. Per event type: the overall arm-mean
+    * sign vs the per-day majority sign, flagged when they disagree —
+    * the check that should run before ANY q154/q162-style readout is
+    * believed.
+    *
+    * Exactness: every sign is a PURE INTEGER cross-multiply —
+    * overall: sign(sct·nc − scc·nt); within day d the same on the
+    * day's cells — no mean is ever materialized. Days missing an arm
+    * carry no within-day verdict (excluded, stated). The flag needs
+    * both an overall sign ≠ 0 and a day majority ≠ tie; anything else
+    * → NULL (stated). The verdict is a STRING, not a boolean — a
+    * nullable BOOLEAN column breaks the driver compare (DuckDB's .df()
+    * renders NULL bool as float NaN while Spark parquet reads None —
+    * the only nullable type with that asymmetry; §5.7, found live
+    * here).
+    *
+    * Plan: one (type, day, arm) aggregate, integer sign algebra, a
+    * per-type finish. One scan.
+    */
+  val q287SimpsonAudit = Q(
+    "q287_simpson_audit",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+      |      1, 1)) AS BIGINT) % 2 AS arm,
+      |    CAST(round(100 * value) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND value IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |cell AS (
+      |  SELECT event_type, day, arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(cents) AS BIGINT) AS sc
+      |  FROM e GROUP BY 1, 2, 3
+      |),
+      |dd AS (
+      |  SELECT event_type, day,
+      |    max(CASE WHEN arm = 1 THEN n END) AS nt,
+      |    max(CASE WHEN arm = 1 THEN sc END) AS sct,
+      |    max(CASE WHEN arm = 0 THEN n END) AS nc,
+      |    max(CASE WHEN arm = 0 THEN sc END) AS scc
+      |  FROM cell GROUP BY 1, 2
+      |),
+      |ds AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(CASE WHEN nt IS NOT NULL AND nc IS NOT NULL
+      |      AND sct * nc - scc * nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d_pos,
+      |    CAST(sum(CASE WHEN nt IS NOT NULL AND nc IS NOT NULL
+      |      AND sct * nc - scc * nt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS d_neg,
+      |    CAST(sum(COALESCE(nt, 0)) AS BIGINT) AS tnt,
+      |    CAST(sum(COALESCE(sct, 0)) AS BIGINT) AS tsct,
+      |    CAST(sum(COALESCE(nc, 0)) AS BIGINT) AS tnc,
+      |    CAST(sum(COALESCE(scc, 0)) AS BIGINT) AS tscc
+      |  FROM dd GROUP BY 1
+      |)
+      |SELECT event_type, n_days, d_pos AS days_treated_wins,
+      |  d_neg AS days_control_wins,
+      |  CASE WHEN tsct * tnc - tscc * tnt > 0 THEN 1
+      |       WHEN tsct * tnc - tscc * tnt < 0 THEN -1
+      |       ELSE 0 END AS overall_sign,
+      |  CASE WHEN tnt = 0 OR tnc = 0
+      |      OR tsct * tnc - tscc * tnt = 0 OR d_pos = d_neg THEN NULL
+      |    WHEN (tsct * tnc - tscc * tnt > 0) <> (d_pos > d_neg)
+      |      THEN 'reversal' ELSE 'consistent'
+      |    END AS simpson_verdict
+      |FROM ds
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        (conv(substring(md5(concat(lit("ab|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2).as("arm"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"))
+    val cell = e.groupBy(col("event_type"), col("day"), col("arm"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("sc"))
+    val dd = cell.groupBy(col("event_type"), col("day"))
+      .agg(max(when(col("arm") === 1, col("n"))).as("nt"),
+        max(when(col("arm") === 1, col("sc"))).as("sct"),
+        max(when(col("arm") === 0, col("n"))).as("nc"),
+        max(when(col("arm") === 0, col("sc"))).as("scc"))
+    val ds = dd.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(when(col("nt").isNotNull && col("nc").isNotNull
+            && col("sct") * col("nc") - col("scc") * col("nt") > 0, 1)
+          .otherwise(0)).cast("long").as("d_pos"),
+        sum(when(col("nt").isNotNull && col("nc").isNotNull
+            && col("sct") * col("nc") - col("scc") * col("nt") < 0, 1)
+          .otherwise(0)).cast("long").as("d_neg"),
+        sum(coalesce(col("nt"), lit(0L))).cast("long").as("tnt"),
+        sum(coalesce(col("sct"), lit(0L))).cast("long").as("tsct"),
+        sum(coalesce(col("nc"), lit(0L))).cast("long").as("tnc"),
+        sum(coalesce(col("scc"), lit(0L))).cast("long").as("tscc"))
+    val osign = expr("""CASE WHEN tsct * tnc - tscc * tnt > 0 THEN 1
+      |  WHEN tsct * tnc - tscc * tnt < 0 THEN -1 ELSE 0 END"""
+      .stripMargin)
+    ds.select(col("event_type"), col("n_days"),
+        col("d_pos").as("days_treated_wins"),
+        col("d_neg").as("days_control_wins"),
+        osign.as("overall_sign"),
+        expr("""CASE WHEN tnt = 0 OR tnc = 0
+          |    OR tsct * tnc - tscc * tnt = 0 OR d_pos = d_neg THEN NULL
+          |  WHEN (tsct * tnc - tscc * tnt > 0) <> (d_pos > d_neg)
+          |    THEN 'reversal' ELSE 'consistent'
+          |  END""".stripMargin).as("simpson_verdict"))
+      .orderBy(col("event_type"))
   }
 }

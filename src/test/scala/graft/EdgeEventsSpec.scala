@@ -955,4 +955,31 @@ class EdgeEventsSpec extends SparkSpec {
     assert(tp.length === 1 && tp.head.getString(0) === "multi")
     assert(tp.head.getLong(2) === 0L, "flat interior is not an extremum")
   }
+
+  test("q285/q286/q287 degenerate: same-microsecond events count as " +
+      "double fires; a lone cohort owns the whole curve; one-arm " +
+      "corpora NULL the Simpson verdict") {
+    import spark.implicits._
+    // two events in the SAME microsecond → gap 0 ≤ threshold → 1 dup
+    val d = "/tmp/graft_edge_events_samems2"
+    Seq((1L, 1000000000L, 7L, "t", 1.0, "{}"),
+      (2L, 1000000000L, 7L, "t", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val df0 = SparkEntry.queries("q285_double_fire")(spark, d).collect()
+    assert(df0.length === 1)
+    assert(df0.head.getLong(2) === 1L, "same-us pair is one double fire")
+    assert(df0.head.getLong(4) === 7L, "worst user identified")
+    // one user, one week → one cohort at age 0 carrying all revenue
+    val ltv = SparkEntry.queries("q286_cohort_ltv")(spark, d).collect()
+    assert(ltv.length === 1)
+    assert(ltv.head.getLong(0) === 0L && ltv.head.getLong(1) === 0L)
+    assert(math.abs(ltv.head.getDouble(5) - 3.0) < 1e-9,
+      "3 dollars across 1 user at age 0")
+    // a single user lands in one arm → the other arm is empty
+    // everywhere → NULL verdict, overall sign still reported
+    val sa = SparkEntry.queries("q287_simpson_audit")(spark, d).collect()
+    assert(sa.length === 1)
+    assert(sa.head.isNullAt(5), "one-arm corpora carry no verdict")
+  }
 }

@@ -543,7 +543,10 @@ class ScaleSpec extends SparkSpec {
       // q282's window fan is a doc-keyed band join; q284's intersection
       // is the q227 token-keyed equi shape; q283's collection stats are
       // a 1-row broadcast joined by hash
-      "q282_mattr", "q284_vocab_overlap")) {
+      "q282_mattr", "q284_vocab_overlap",
+      // q285's lag window and q287's cell algebra are join-free or
+      // strictly keyed
+      "q285_double_fire", "q287_simpson_audit")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -566,7 +569,8 @@ class ScaleSpec extends SparkSpec {
     for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini",
       "q259_friedman", "q261_hurst_rs", "q270_label_noise",
       "q273_ldiv_tcloseness", "q275_shapley_attribution",
-      "q283_query_likelihood")) {
+      // q286's 1-row anchors (global d0, max week) are scalar frames
+      "q283_query_likelihood", "q286_cohort_ltv")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

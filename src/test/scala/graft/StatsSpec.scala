@@ -3391,4 +3391,117 @@ class StatsSpec extends SparkSpec {
       assert(gj <= gc + 1e-9, s"$a/$b jaccard bounded by containment")
     }
   }
+
+  test("q285 double-fire replays from a Scala gap walk; the worst user " +
+      "is the (dups DESC, user_id) argmax") {
+    val got = Analytic.q285DoubleFire.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for ((t, g) <- ev.groupBy(_._2)) {
+      val perUser = g.groupBy(_._1).map { case (u, evs) =>
+        val sortedE = evs.sortBy(e => (e._4, e._3)).toSeq
+        val dups = sortedE.sliding(2).count {
+          case Seq(a, b) => b._4 - a._4 <= 1000000L
+          case _ => false
+        }
+        (u, evs.length.toLong, dups.toLong)
+      }.toSeq
+      val n = perUser.map(_._2).sum
+      val dups = perUser.map(_._3).sum
+      val (wu, _, wd) = perUser.minBy { case (u, _, dd) => (-dd, u) }
+      val (gn, gd, gr, gwu, gwd) = got(t)
+      assert(gn === n && gd === dups, s"$t totals")
+      assert(math.abs(gr - dups.toDouble / n) < 2e-6, s"$t rate")
+      assert(gwu === wu && gwd === wd, s"$t worst user")
+    }
+  }
+
+  test("q286 cohort LTV replays from a Scala ledger; the curve is " +
+      "non-decreasing and the last coordinates sum to total revenue") {
+    val got = Analytic.q286CohortLtv.fn(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else math.round(100 * r.getDouble(2))))
+    val d0 = ev.map(_._2).min
+    val wk = ev.map { case (u, d, c) => (u, (d - d0) / 7, c) }
+    val cohort = wk.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).min }
+    val wmax = wk.map(_._2).max
+    val sizes = cohort.values.groupBy(identity).map { case (c, g) =>
+      c -> g.size.toLong }
+    for ((c, users) <- sizes) {
+      var cum = 0L
+      for (age <- 0L to (wmax - c)) {
+        val cents = wk.filter(e => cohort(e._1) == c
+          && e._2 - c == age).map(_._3).sum
+        cum += cents
+        val (gu, grev, gcum, gltv) = got((c, age))
+        assert(gu === users, s"cohort $c size")
+        assert(math.abs(grev - cents / 100.0) < 1e-6, s"$c/$age rev")
+        assert(math.abs(gcum - cum / 100.0) < 1e-6, s"$c/$age cum")
+        assert(math.abs(gltv - cum / 100.0 / users) < 1e-4)
+      }
+    }
+    // the final coordinate of every cohort sums to the corpus revenue
+    val lastSum = sizes.keys.map(c => got((c, wmax - c))._3).sum
+    val total = ev.map(_._3).sum / 100.0
+    assert(math.abs(lastSum - total) < 1e-4 * (1 + total),
+      "cohort curves partition total revenue")
+  }
+
+  test("q287 Simpson audit replays from pure integer sign algebra") {
+    val got = Analytic.q287SimpsonAudit.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), if (r.isNullAt(5)) None else Some(r.getString(5))))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        col("user_id"), expr("CAST(round(100 * value) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def arm(u: Long): Long = {
+      val hb = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$u".getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${hb(0) & 0xff}%02x".take(1), 16) % 2
+    }
+    for ((t, g) <- ev.groupBy(_._1)) {
+      var (dPos, dNeg) = (0L, 0L)
+      var (tnt, tsct, tnc, tscc) = (0L, 0L, 0L, 0L)
+      for ((_, dg) <- g.groupBy(_._2)) {
+        val tr = dg.filter(e => arm(e._3) == 1L)
+        val ct = dg.filter(e => arm(e._3) == 0L)
+        val (nt, sct) = (tr.length.toLong, tr.map(_._4).sum)
+        val (nc, scc) = (ct.length.toLong, ct.map(_._4).sum)
+        tnt += nt; tsct += sct; tnc += nc; tscc += scc
+        if (nt > 0 && nc > 0) {
+          val sgn = sct * nc - scc * nt
+          if (sgn > 0) dPos += 1 else if (sgn < 0) dNeg += 1
+        }
+      }
+      val o = tsct * tnc - tscc * tnt
+      val (gn, gp, gng, gsign, gv) = got(t)
+      assert(gn === g.map(_._2).distinct.length.toLong, s"$t days")
+      assert(gp === dPos && gng === dNeg, s"$t day signs")
+      assert(gsign === (if (o > 0) 1 else if (o < 0) -1 else 0))
+      if (tnt == 0 || tnc == 0 || o == 0 || dPos == dNeg)
+        assert(gv.isEmpty, s"$t verdict NULL")
+      else assert(gv.get ===
+        (if ((o > 0) != (dPos > dNeg)) "reversal" else "consistent"))
+    }
+  }
 }
