@@ -40,7 +40,8 @@ object Stats {
     q255RegDiscontinuity, q256UpliftQini, q257CramerVonMises,
     q258DurbinWatson, q259Friedman, q260AnsariBradley, q261HurstRs, q262Croston, q263BrownForsythe, q264Pacf, q265Grubbs,
     q266Greenwood, q267StreaksRecords, q278GapModelLlr,
-    q279TurningPoints, q280BartelsRvn, q281CooksDistance)
+    q279TurningPoints, q280BartelsRvn, q281CooksDistance,
+    q288NegBinomialFit, q289Order2Entropy, q290SeasonalMannKendall)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -7893,6 +7894,357 @@ object Stats {
         round(col("cd"), 6).as("cooks_d"),
         (col("cd") > expr("CAST(4 AS DOUBLE) / CAST(n AS DOUBLE)"))
           .as("influential"))
+      .orderBy(col("event_type"))
+  }
+
+  /** NEGATIVE-BINOMIAL FIT — when q235 flags overdispersion, WHICH
+    * clumped model? The method-of-moments NB shape k̂ = μ²/(s² − μ)
+    * (small k = violent clumping, k → ∞ recovers Poisson) and the
+    * implied retry/burst probability p̂ = k/(k + μ) are the capacity-
+    * planning parameters the q235 verdict hands off to.
+    *
+    * Exactness: the shape collapses to the exact-int rational
+    * k̂ = S²(n−1)/(n(nQ − S² − (n−1)S)) — ONE double divide (S²(n−1) ≤
+    * 10¹⁸ at 30k-count months; the q249-family DECIMAL route applies
+    * past that); p̂ a fixed chain over k̂ and the exact-rational mean.
+    * Underdispersed series (s² ≤ μ — the denominator ≤ 0) have NO NB
+    * fit → NULL via CASE (stated); n ≤ 1 excluded.
+    *
+    * Plan: the q235 grid moments, 5-row finish.
+    */
+  val q288NegBinomialFit = Q(
+    "q288_negbinomial_fit",
+    s"""WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t,
+      |    b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM x GROUP BY 1
+      |)
+      |SELECT event_type, n AS n_days,
+      |  ${Exact.Sql.ratio6("s", "n")} AS mean_count,
+      |  CASE WHEN n * q - s * s - (n - 1) * s > 0 THEN
+      |    round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE)
+      |        * CAST(n * q - s * s - (n - 1) * s AS DOUBLE)), 6)
+      |  ELSE NULL END AS nb_k,
+      |  CASE WHEN n * q - s * s - (n - 1) * s > 0 THEN
+      |    round((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |        * CAST(n - 1 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE)
+      |        * CAST(n * q - s * s - (n - 1) * s AS DOUBLE)))
+      |      / ((CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |          * CAST(n - 1 AS DOUBLE)
+      |        / (CAST(n AS DOUBLE)
+      |          * CAST(n * q - s * s - (n - 1) * s AS DOUBLE)))
+      |        + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |  ELSE NULL END AS nb_p
+      |FROM mom WHERE n > 1
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("q"))
+    val khat = expr("""CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |    * CAST(n - 1 AS DOUBLE)
+      |  / (CAST(n AS DOUBLE)
+      |    * CAST(n * q - s * s - (n - 1) * s AS DOUBLE))""".stripMargin)
+    val over = expr("n * q - s * s - (n - 1) * s > 0")
+    mom.filter(col("n") > 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        Exact.ratio6("s", "n").as("mean_count"),
+        when(over, round(khat, 6)).otherwise(lit(null)).as("nb_k"),
+        when(over, round(khat /
+          (khat + expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")), 6))
+          .otherwise(lit(null)).as("nb_p"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ORDER-2 CONDITIONAL ENTROPY — how much MEMORY do behavior
+    * sequences carry beyond one step? q239 measures H(next | prev);
+    * this operator measures H(next | prev2, prev1) on the SAME
+    * 2-history sample and reports the gain H₁ − H₂ — exactly the
+    * number that decides whether a Markov-1 model (q120/q239) is
+    * enough or sequences need longer context. Conditioning on the
+    * same joint sample cannot increase entropy, so gain ≥ 0 is a
+    * structural invariant (suite-asserted).
+    *
+    * Exactness: q239's term discipline verbatim — each
+    * (c/rn)·ln(rn/c) term is double × float-cast-ln cast
+    * DECIMAL(18,9) (the multiply-by-double-first form that widens
+    * before the decimal cast, §5.7), all counts exact int64, both
+    * entropies and the gain fixed-order finishes. Users shorter than
+    * 3 events contribute no trigram (stated). The (ts, event_id)
+    * total order sequences events.
+    *
+    * Plan: two lag windows, a ≤|types|³ transition table, bounded
+    * finishes — the q239 shape one order deeper.
+    */
+  val q289Order2Entropy = Q(
+    "q289_order2_entropy",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p1,
+      |    lag(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS p2
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |t3 AS (
+      |  SELECT p2, p1, event_type AS nx, CAST(count(*) AS BIGINT) AS c
+      |  FROM seq WHERE p2 IS NOT NULL
+      |  GROUP BY 1, 2, 3
+      |),
+      |pre2 AS (
+      |  SELECT p2, p1, CAST(sum(c) AS BIGINT) AS rn FROM t3
+      |  GROUP BY 1, 2
+      |),
+      |t2 AS (
+      |  SELECT p1, nx, CAST(sum(c) AS BIGINT) AS c FROM t3
+      |  GROUP BY 1, 2
+      |),
+      |pre1 AS (
+      |  SELECT p1, CAST(sum(c) AS BIGINT) AS rn FROM t2 GROUP BY 1
+      |),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM t3),
+      |h2c AS (
+      |  SELECT t3.p2, t3.p1,
+      |    sum(CAST(CAST(t3.c AS DOUBLE) / CAST(r.rn AS DOUBLE)
+      |      * CAST(ln(CAST(r.rn AS DOUBLE) / CAST(t3.c AS DOUBLE))
+      |        AS FLOAT) AS DECIMAL(18,9))) AS h_state
+      |  FROM t3 JOIN pre2 r ON r.p2 = t3.p2 AND r.p1 = t3.p1
+      |  GROUP BY 1, 2
+      |),
+      |h2 AS (
+      |  SELECT sum(CAST(CAST(r.rn AS DOUBLE) / CAST(tot.n AS DOUBLE)
+      |    * CAST(h.h_state AS DOUBLE) AS DECIMAL(18,9))) AS h_cond2
+      |  FROM pre2 r JOIN h2c h ON h.p2 = r.p2 AND h.p1 = r.p1
+      |  CROSS JOIN tot
+      |),
+      |h1c AS (
+      |  SELECT t2.p1,
+      |    sum(CAST(CAST(t2.c AS DOUBLE) / CAST(r.rn AS DOUBLE)
+      |      * CAST(ln(CAST(r.rn AS DOUBLE) / CAST(t2.c AS DOUBLE))
+      |        AS FLOAT) AS DECIMAL(18,9))) AS h_state
+      |  FROM t2 JOIN pre1 r ON r.p1 = t2.p1
+      |  GROUP BY 1
+      |),
+      |h1 AS (
+      |  SELECT sum(CAST(CAST(r.rn AS DOUBLE) / CAST(tot.n AS DOUBLE)
+      |    * CAST(h.h_state AS DOUBLE) AS DECIMAL(18,9))) AS h_cond1
+      |  FROM pre1 r JOIN h1c h ON h.p1 = r.p1
+      |  CROSS JOIN tot
+      |)
+      |SELECT r.p2 AS prev2, r.p1 AS prev1, r.rn AS n_from,
+      |  round(CAST(h.h_state AS DOUBLE), 6) AS h_given_state,
+      |  round(CAST(h1.h_cond1 AS DOUBLE), 6) AS h_order1,
+      |  round(CAST(h2.h_cond2 AS DOUBLE), 6) AS h_order2,
+      |  round(CAST(h1.h_cond1 AS DOUBLE)
+      |    - CAST(h2.h_cond2 AS DOUBLE), 6) AS memory_gain
+      |FROM pre2 r
+      |JOIN h2c h ON h.p2 = r.p2 AND h.p1 = r.p1
+      |CROSS JOIN h1 CROSS JOIN h2
+      |ORDER BY prev2, prev1""".stripMargin,
+  ) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("timestamp"), col("event_id"))
+    val seq0 = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("nx"),
+        lag(col("event_type"), 1).over(w).as("p1"),
+        lag(col("event_type"), 2).over(w).as("p2"))
+      .filter(col("p2").isNotNull)
+    val t3 = seq0.groupBy(col("p2"), col("p1"), col("nx"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint() // 3 consumers: pre2, the t2 collapse, terms
+    val pre2 = t3.groupBy(col("p2").as("r_p2"), col("p1").as("r_p1"))
+      .agg(sum(col("c")).cast("long").as("rn"))
+    val t2 = t3.groupBy(col("p1"), col("nx"))
+      .agg(sum(col("c")).cast("long").as("c"))
+    val pre1 = t2.groupBy(col("p1").as("s_p1"))
+      .agg(sum(col("c")).cast("long").as("rn1"))
+    val tot = t3.agg(sum(col("c")).cast("long").as("n"))
+    def hterm(c: String, rn: String): String =
+      s"""CAST(CAST($c AS DOUBLE) / CAST($rn AS DOUBLE)
+         |  * CAST(ln(CAST($rn AS DOUBLE) / CAST($c AS DOUBLE))
+         |    AS FLOAT) AS DECIMAL(18,9))""".stripMargin
+    val h2c = t3.join(pre2,
+        col("r_p2") === col("p2") && col("r_p1") === col("p1"))
+      .groupBy(col("p2"), col("p1"), col("rn"))
+      .agg(sum(expr(hterm("c", "rn"))).as("h_state"))
+    val h2 = h2c.crossJoin(broadcast(tot))
+      .agg(sum(expr("""CAST(CAST(rn AS DOUBLE) / CAST(n AS DOUBLE)
+        |  * CAST(h_state AS DOUBLE) AS DECIMAL(18,9))""".stripMargin))
+        .as("h_cond2"))
+    val h1c = t2.join(pre1, col("s_p1") === col("p1"))
+      .groupBy(col("p1"), col("rn1"))
+      .agg(sum(expr(hterm("c", "rn1"))).as("h_state1"))
+    val h1 = h1c.crossJoin(broadcast(tot))
+      .agg(sum(expr("""CAST(CAST(rn1 AS DOUBLE) / CAST(n AS DOUBLE)
+        |  * CAST(h_state1 AS DOUBLE) AS DECIMAL(18,9))""".stripMargin))
+        .as("h_cond1"))
+    h2c.crossJoin(broadcast(h1)).crossJoin(broadcast(h2))
+      .select(col("p2").as("prev2"), col("p1").as("prev1"),
+        col("rn").as("n_from"),
+        round(col("h_state").cast("double"), 6).as("h_given_state"),
+        round(col("h_cond1").cast("double"), 6).as("h_order1"),
+        round(col("h_cond2").cast("double"), 6).as("h_order2"),
+        round(col("h_cond1").cast("double")
+          - col("h_cond2").cast("double"), 6).as("memory_gain"))
+      .orderBy(col("prev2"), col("prev1"))
+  }
+
+  /** SEASONAL MANN–KENDALL — q231's monotone-trend test made immune to
+    * DAILY periodicity (Hirsch–Slack): compare hourly counts only
+    * against the SAME hour-of-day on other days (24 independent MK
+    * statistics, summed), so a diurnal cycle contributes exactly zero
+    * signal and only the cross-day drift survives. The standard
+    * hydrology/ops seasonal trend test.
+    *
+    * Exactness: S = Σ_h Σ_{d<d'} sign(x_{h,d'} − x_{h,d}) is pure
+    * integer pair counting off the dense grid; Var = Σ_h
+    * n_h(n_h−1)(2n_h+5)/18 an exact-int ratio per season (tie
+    * correction deliberately omitted — conservative, stated, the q259
+    * stance); z² = S²·18²... computed as (S²)/(ΣVar) with both sides
+    * exact-int-derived doubles. |S| ≤ 1 pairs → NULL. The day-pair
+    * fan is (days²/2)·24 per type — calendar-bounded, never
+    * row-proportional (the q208/q209 shape).
+    *
+    * Plan: grid → (type, hod, day) cells → hod-blocked day-pair equi
+    * join → 5-row finish.
+    */
+  val q290SeasonalMannKendall = Q(
+    "q290_seasonal_mann_kendall",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, (g.m0 + g.t) % 24 AS hod,
+      |    (g.m0 + g.t) // 24 AS day,
+      |    CAST(COALESCE(mc.cnt, 0) AS BIGINT) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |pr AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+      |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM x a JOIN x b ON b.event_type = a.event_type
+      |    AND b.hod = a.hod AND b.day > a.day
+      |  GROUP BY 1
+      |),
+      |vs AS (
+      |  SELECT event_type,
+      |    CAST(sum(CAST(nh * (nh - 1) * (2 * nh + 5) AS DOUBLE)
+      |      / CAST(18 AS DOUBLE)) AS DOUBLE) AS var_s
+      |  FROM (
+      |    SELECT event_type, hod, CAST(count(*) AS BIGINT) AS nh
+      |    FROM x GROUP BY 1, 2
+      |  ) z
+      |  GROUP BY 1
+      |)
+      |SELECT pr.event_type, pr.s AS mk_s,
+      |  round(vs.var_s, 6) AS var_s,
+      |  CASE WHEN vs.var_s > 0 THEN
+      |    round(CAST(pr.s AS DOUBLE) * CAST(pr.s AS DOUBLE)
+      |      / vs.var_s, 6)
+      |  ELSE NULL END AS z2,
+      |  CASE WHEN vs.var_s > 0 THEN
+      |    CAST(pr.s AS DOUBLE) * CAST(pr.s AS DOUBLE) / vs.var_s
+      |      > 3.8415
+      |  ELSE NULL END IS NOT DISTINCT FROM TRUE AS seasonal_trend
+      |FROM pr JOIN vs ON vs.event_type = pr.event_type
+      |ORDER BY pr.event_type""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type") && mc("m") === col("m0") + col("t"),
+        "left")
+      .select(col("g_type").as("event_type"),
+        expr("(m0 + t) % 24").as("hod"),
+        expr("(m0 + t) div 24").as("day"),
+        coalesce(col("cnt"), lit(0L)).cast("long").as("x"))
+      .localCheckpoint() // 3 consumers: both pair sides and the seasons
+    val pr = x.join(x.select(col("event_type").as("b_type"),
+          col("hod").as("b_hod"), col("day").as("b_day"),
+          col("x").as("b_x")),
+        col("b_type") === col("event_type") && col("b_hod") === col("hod")
+          && col("b_day") > col("day"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("b_x") > col("x"), 1)
+          .when(col("b_x") < col("x"), -1).otherwise(0)).cast("long")
+        .as("s"))
+    val vs = x.groupBy(col("event_type").as("v_type"), col("hod"))
+      .agg(count(lit(1)).cast("long").as("nh"))
+      .groupBy(col("v_type"))
+      .agg(sum(expr("""CAST(nh * (nh - 1) * (2 * nh + 5) AS DOUBLE)
+        |  / CAST(18 AS DOUBLE)""".stripMargin)).as("var_s"))
+    val z2 = expr("""CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / var_s"""
+      .stripMargin)
+    pr.join(vs, col("v_type") === col("event_type"))
+      .select(col("event_type"), col("s").as("mk_s"),
+        round(col("var_s"), 6).as("var_s"),
+        when(col("var_s") > 0, round(z2, 6)).otherwise(lit(null))
+          .as("z2"),
+        coalesce(when(col("var_s") > 0, z2 > 3.8415), lit(false))
+          .as("seasonal_trend"))
       .orderBy(col("event_type"))
   }
 }

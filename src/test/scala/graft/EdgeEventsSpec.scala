@@ -982,4 +982,43 @@ class EdgeEventsSpec extends SparkSpec {
     assert(sa.length === 1)
     assert(sa.head.isNullAt(5), "one-arm corpora carry no verdict")
   }
+
+  test("q288/q289/q290 degenerate: a constant series is Poisson-exact " +
+      "(no NB fit); 2-event users have no trigram; single-day spans " +
+      "have no seasonal pairs") {
+    import spark.implicits._
+    // two equal-count days → s² = 0 ≤ μ → underdispersed → NULL k/p
+    val d = "/tmp/graft_edge_events_const2d"
+    Seq((1L, 0L, 1L, "c", 1.0, "{}"),
+      (2L, 86400L * 1000000000L, 1L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val nb = SparkEntry.queries("q288_negbinomial_fit")(spark, d).collect()
+    assert(nb.length === 1)
+    assert(nb.head.isNullAt(3) && nb.head.isNullAt(4),
+      "underdispersed series have no NB fit")
+    // shared fixture: no user reaches 3 events → zero trigrams →
+    // EMPTY readout (short sequences carry no 2-history, stated)
+    assert(SparkEntry.queries("q289_order2_entropy")(spark, dir)
+      .collect().isEmpty, "sub-trigram sequences have no order-2 state")
+    // one 3-event user → exactly one trigram: both entropies are 0 and
+    // the gain is exactly 0 (a deterministic sequence has no surprise)
+    val d3 = "/tmp/graft_edge_events_tri"
+    Seq((1L, 1000000000L, 1L, "a", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "b", 1.0, "{}"),
+      (3L, 3000000000L, 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d3/events.parquet")
+    val o2 = SparkEntry.queries("q289_order2_entropy")(spark, d3)
+      .collect()
+    assert(o2.length === 1 && o2.head.getLong(2) === 1L)
+    assert(o2.head.getDouble(4) === 0.0 && o2.head.getDouble(5) === 0.0)
+    assert(o2.head.getDouble(6) === 0.0, "one trigram → zero gain")
+    // single-day span → every hod slice has one observation → zero
+    // day pairs anywhere → the pair aggregate is EMPTY → no readout
+    // (a span too short to compare same-hod days has no seasonal-MK
+    // answer, same stance as q255's h = 0)
+    assert(SparkEntry.queries("q290_seasonal_mann_kendall")(spark, dir)
+      .collect().isEmpty, "no same-hod day pairs, no readout")
+  }
 }

@@ -546,7 +546,10 @@ class ScaleSpec extends SparkSpec {
       "q282_mattr", "q284_vocab_overlap",
       // q285's lag window and q287's cell algebra are join-free or
       // strictly keyed
-      "q285_double_fire", "q287_simpson_audit")) {
+      "q285_double_fire", "q287_simpson_audit",
+      // q288's grid moments and q290's hod-blocked day pairs are
+      // strictly equi-keyed
+      "q288_negbinomial_fit", "q290_seasonal_mann_kendall")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -569,8 +572,10 @@ class ScaleSpec extends SparkSpec {
     for (name <- Seq("q255_reg_discontinuity", "q256_uplift_qini",
       "q259_friedman", "q261_hurst_rs", "q270_label_noise",
       "q273_ldiv_tcloseness", "q275_shapley_attribution",
-      // q286's 1-row anchors (global d0, max week) are scalar frames
-      "q283_query_likelihood", "q286_cohort_ltv")) {
+      // q286's 1-row anchors (global d0, max week) and q289's 1-row
+      // corpus-entropy frames are scalar broadcasts
+      "q283_query_likelihood", "q286_cohort_ltv",
+      "q289_order2_entropy")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -3504,4 +3504,130 @@ class StatsSpec extends SparkSpec {
         (if ((o > 0) != (dPos > dNeg)) "reversal" else "consistent"))
     }
   }
+
+  test("q288 NB fit replays from direct moments; the fitted model " +
+      "reproduces the observed mean and variance exactly (MoM identity)") {
+    val got = Stats.q288NegBinomialFit.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val days = g.map(_._2)
+      val cnt = days.groupBy(identity).map { case (d, v) => d -> v.length }
+      val xs = (days.min to days.max).map(d =>
+        cnt.getOrElse(d, 0).toDouble)
+      val n = xs.length
+      if (n > 1) {
+        val mu = xs.sum / n
+        val s2 = xs.map(v => (v - mu) * (v - mu)).sum / (n - 1)
+        val (gn, gmu, gk, gp) = got(t)
+        assert(gn === n.toLong, s"$t days")
+        assert(math.abs(gmu - mu) < 2e-6 * (1 + mu))
+        if (s2 > mu) {
+          val k = mu * mu / (s2 - mu)
+          assert(math.abs(gk.get - k) < 1e-3 * (1 + k), s"$t k")
+          assert(math.abs(gp.get - k / (k + mu)) < 1e-4, s"$t p")
+          // method-of-moments identity: NB(k, p) has mean k(1-p)/p and
+          // variance mean/p — both must reproduce the sample moments
+          val fitMean = k * (1 - k / (k + mu)) / (k / (k + mu))
+          assert(math.abs(fitMean - mu) < 1e-6 * (1 + mu), s"$t mean id")
+          assert(math.abs(fitMean / (k / (k + mu)) - s2) <
+            1e-6 * (1 + s2), s"$t var id")
+        } else assert(gk.isEmpty && gp.isEmpty)
+      }
+    }
+  }
+
+  test("q289 order-2 entropy replays from Scala trigram tables; " +
+      "conditioning on more history never increases entropy") {
+    val got = Stats.q289Order2Entropy.fn(spark, sf).collect().map { r =>
+      (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val tris = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val seq0 = g.sortBy(e => (e._4, e._3)).map(_._2).toSeq
+      seq0.sliding(3).collect { case Seq(a, b, c) => (a, b, c) }
+    }
+    val n = tris.length.toDouble
+    val t3 = tris.groupBy(identity).map { case (k, v) => k -> v.length }
+    val pre2 = tris.groupBy(tr => (tr._1, tr._2)).map { case (k, v) =>
+      k -> v.length }
+    val t2 = tris.groupBy(tr => (tr._2, tr._3)).map { case (k, v) =>
+      k -> v.length }
+    val pre1 = tris.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val h2 = t3.map { case ((a, b, c), cc) =>
+      val rn = pre2((a, b))
+      cc.toDouble / n * math.log(rn.toDouble / cc).toFloat
+    }.sum
+    val h1 = t2.map { case ((b, c), cc) =>
+      val rn = pre1(b)
+      cc.toDouble / n * math.log(rn.toDouble / cc).toFloat
+    }.sum
+    assert(h1 >= h2 - 1e-9, "conditioning cannot increase entropy")
+    for (((a, b), rn) <- pre2) {
+      val (grn, _, gh1, gh2, ggain) = got((a, b))
+      assert(grn === rn.toLong, s"($a,$b) prefix count")
+      assert(math.abs(gh1 - h1) < 1e-4, s"h1")
+      assert(math.abs(gh2 - h2) < 1e-4, s"h2")
+      assert(math.abs(ggain - (h1 - h2)) < 1e-4, s"gain")
+      assert(ggain >= -1e-6, "engine-side gain non-negative")
+    }
+  }
+
+  test("q290 seasonal MK replays from Scala hod-sliced pair walks; a " +
+      "pure diurnal cycle contributes zero signal") {
+    val got = Stats.q290SeasonalMannKendall.fn(spark, sf).collect()
+      .map { r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))) }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val hrs = g.map(_._2)
+      val cnt = hrs.groupBy(identity).map { case (h, v) => h -> v.length }
+      val cells = (hrs.min to hrs.max).map(m =>
+        (m % 24, m / 24, cnt.getOrElse(m, 0).toLong))
+      var s = 0L; var varS = 0.0
+      for ((_, grp) <- cells.groupBy(_._1)) {
+        val ser = grp.sortBy(_._2).map(_._3)
+        for (i <- ser.indices; j <- i + 1 until ser.length)
+          s += java.lang.Long.signum(ser(j) - ser(i))
+        val nh = ser.length.toLong
+        varS += nh * (nh - 1) * (2 * nh + 5) / 18.0
+      }
+      val (gs, gvar, gz2) = got(t)
+      assert(gs === s, s"$t S")
+      assert(math.abs(gvar - varS) < 1e-4 * (1 + varS), s"$t Var")
+      if (varS > 0)
+        assert(math.abs(gz2.get - s.toDouble * s / varS) < 1e-4, s"$t z2")
+      else assert(gz2.isEmpty)
+    }
+    // synthetic diurnal cycle: identical days → every hod slice is
+    // constant → S = 0 exactly (the test's defining property)
+    val d = "/tmp/graft_seasonal_mk_cycle"
+    import spark.implicits._
+    val rows = for { day <- 0 until 3; h <- 0 until 24
+      i <- 0 until (1 + (h % 3)) } yield
+      ((day * 1000 + h * 10 + i).toLong,
+        (day * 86400L + h * 3600L) * 1000000000L + i * 1000000L,
+        1L, "cyc", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val cyc = SparkEntry.queries("q290_seasonal_mann_kendall")(spark, d)
+      .collect()
+    assert(cyc.length === 1 && cyc.head.getLong(1) === 0L,
+      "a pure diurnal cycle must carry zero seasonal-MK signal")
+    assert(!cyc.head.getBoolean(4), "no trend flag on a cycle")
+  }
 }
