@@ -1842,15 +1842,20 @@ object TextAnalysis {
     * a mean-of-doc-means would average rounded ratios), beside the
     * raw TTR for the contrast.
     *
-    * Exactness: pure integer counting end-to-end — window membership
-    * is a per-doc band join on token positions, per-window distincts
-    * are exact, and both readouts ride ratio6. Docs shorter than 25
-    * tokens have no window and drop from the pooled figure (stated;
-    * they still count in raw TTR).
+    * Exactness: pure integer counting end-to-end — and WITHOUT the
+    * ×25 window materialization: a token at position p is distinct in
+    * window w iff its PREVIOUS same-token occurrence precedes w, so
+    * Σ_w distinct(w) = Σ_p |[max(1, p−24), min(p, len−24)] ∩ (q_p, ∞)|
+    * — a CLOSED FORM per token from ONE (doc, token) lag window
+    * (25× fewer rows than the band-join form; the brute-force sliding
+    * window lives on as the StatsSpec replay net, which is exactly
+    * what proves the closed form). Both readouts ride ratio6. Docs
+    * shorter than 25 tokens have no window and drop from the pooled
+    * figure (stated; they still count in raw TTR).
     *
-    * Plan: one posexplode, a doc-keyed position band join (bounded ×25
-    * fan per token — the q08 theta shape inside a doc), one
-    * (doc, window) distinct aggregate, a per-source finish.
+    * Plan: one posexplode, one (doc, token) lag window, a per-doc
+    * integer aggregate, a per-source finish. Linear in tokens with no
+    * fan-out.
     */
   val q282Mattr = Q(
     "q282_mattr",
@@ -1871,22 +1876,26 @@ object TextAnalysis {
       |    CAST(count(DISTINCT tok) AS BIGINT) AS types
       |  FROM tok GROUP BY 1, 2
       |),
-      |win AS (
-      |  SELECT dl.doc_id, dl.source,
-      |    unnest(range(1, dl.len - 23)) AS w
-      |  FROM dl WHERE dl.len >= 25
+      |pv AS (
+      |  SELECT doc_id, source, p,
+      |    COALESCE(lag(p) OVER (PARTITION BY doc_id, tok ORDER BY p), 0)
+      |      AS q
+      |  FROM tok
       |),
-      |wd AS (
-      |  SELECT win.source, win.doc_id, win.w,
-      |    CAST(count(DISTINCT tok.tok) AS BIGINT) AS dis
-      |  FROM win JOIN tok ON tok.doc_id = win.doc_id
-      |    AND tok.p >= win.w AND tok.p < win.w + 25
+      |ct AS (
+      |  SELECT pv.source, pv.doc_id, dl.len,
+      |    CAST(sum(greatest(0,
+      |      least(pv.p, dl.len - 24)
+      |        - greatest(greatest(1, pv.p - 24), pv.q + 1) + 1))
+      |      AS BIGINT) AS dis
+      |  FROM pv JOIN dl ON dl.doc_id = pv.doc_id
+      |  WHERE dl.len >= 25
       |  GROUP BY 1, 2, 3
       |),
       |ws AS (
-      |  SELECT source, CAST(count(*) AS BIGINT) AS n_windows,
+      |  SELECT source, CAST(sum(len - 24) AS BIGINT) AS n_windows,
       |    CAST(sum(dis) AS BIGINT) AS sdis
-      |  FROM wd GROUP BY 1
+      |  FROM ct GROUP BY 1
       |),
       |ts AS (
       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1914,15 +1923,19 @@ object TextAnalysis {
         col("source").as("d_src"))
       .agg(count(lit(1)).cast("long").as("len"),
         countDistinct(col("tok")).cast("long").as("types"))
-    val win = dl.filter(col("len") >= 25)
-      .select(col("d_id"), col("d_src"),
-        explode(sequence(lit(1L), col("len") - 24)).as("w"))
-    val wd = win.join(tok, col("doc_id") === col("d_id")
-        && col("p") >= col("w") && col("p") < col("w") + 25)
-      .groupBy(col("d_src"), col("d_id"), col("w"))
-      .agg(countDistinct(col("tok")).cast("long").as("dis"))
-    val ws = wd.groupBy(col("d_src").as("w_src"))
-      .agg(count(lit(1)).cast("long").as("n_windows"),
+    val pv = tok.select(col("doc_id"), col("source"), col("p"),
+      coalesce(lag(col("p"), 1).over(
+        Window.partitionBy(col("doc_id"), col("tok"))
+          .orderBy(col("p"))), lit(0)).as("q"))
+    val ct = pv.join(dl.filter(col("len") >= 25),
+        col("d_id") === col("doc_id"))
+      .groupBy(col("d_src"), col("doc_id"), col("len"))
+      .agg(sum(expr("""greatest(0,
+        |  least(p, len - 24)
+        |    - greatest(greatest(1, p - 24), q + 1) + 1)""".stripMargin))
+        .cast("long").as("dis"))
+    val ws = ct.groupBy(col("d_src").as("w_src"))
+      .agg(sum(col("len") - 24).cast("long").as("n_windows"),
         sum(col("dis")).cast("long").as("sdis"))
     val ts0 = dl.groupBy(col("d_src").as("source"))
       .agg(count(lit(1)).cast("long").as("n_docs"),

@@ -540,9 +540,8 @@ class ScaleSpec extends SparkSpec {
       // ride the same grid equi joins as their q235/q258 parents
       "q279_turning_points", "q280_bartels_rvn",
       "q281_cooks_distance",
-      // q282's window fan is a doc-keyed band join; q284's intersection
-      // is the q227 token-keyed equi shape; q283's collection stats are
-      // a 1-row broadcast joined by hash
+      // q282's closed form is one (doc, token) lag window + equi join;
+      // q284's intersection is the q227 token-keyed equi shape
       "q282_mattr", "q284_vocab_overlap",
       // q285's lag window and q287's cell algebra are join-free or
       // strictly keyed
