@@ -41,7 +41,8 @@ object Stats {
     q258DurbinWatson, q259Friedman, q260AnsariBradley, q261HurstRs, q262Croston, q263BrownForsythe, q264Pacf, q265Grubbs,
     q266Greenwood, q267StreaksRecords, q278GapModelLlr,
     q279TurningPoints, q280BartelsRvn, q281CooksDistance,
-    q288NegBinomialFit, q289Order2Entropy, q290SeasonalMannKendall)
+    q288NegBinomialFit, q289Order2Entropy, q290SeasonalMannKendall,
+    q292VolumeHhi, q293PriorityMixShift)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -8246,5 +8247,207 @@ object Stats {
         coalesce(when(col("var_s") > 0, z2 > 3.8415), lit(false))
           .as("seasonal_trend"))
       .orderBy(col("event_type"))
+  }
+
+  /** VOLUME CONCENTRATION — how much of a type's traffic lands on its
+    * biggest days? The Herfindahl–Hirschman index of daily volume
+    * shares collapses to the EXACT rational HHI = Q/S² (Σ(c/S)² with
+    * the S² cleared), normalized ((HHI − 1/n)/(1 − 1/n) ∈ [0,1]) so
+    * spans of different lengths compare; peak share rides along. The
+    * one-number "is this campaign-driven or steady" readout beside
+    * q246's burstiness (inter-arrival shape) and q235's Fano (count
+    * dispersion).
+    *
+    * Exactness: Q, S², n·Q, max·... every ingredient exact int64
+    * (Q ≤ n·c_max² — int64-safe to 3·10⁹ event-days at 10⁴/day);
+    * HHI is ONE double divide, the normalization a fixed chain with
+    * the n = 1 degenerate → NULL via nullif (a single day has no
+    * concentration scale, stated). Zero-volume types never reach the
+    * output (S = 0 has no shares — excluded).
+    *
+    * Plan: the q235 grid moments + one max, 5-row finish.
+    */
+  val q292VolumeHhi = Q(
+    "q292_volume_hhi",
+    s"""WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |dc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+      |      FROM dc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, unnest(range(0, b.d1 - b.d0 + 1)) AS t,
+      |    b.d0
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.d0 + g.t
+      |),
+      |mom AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q,
+      |    CAST(max(c) AS BIGINT) AS mx
+      |  FROM x GROUP BY 1
+      |)
+      |SELECT event_type, n AS n_days, s AS n_events,
+      |  round(CAST(q AS DOUBLE)
+      |    / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS hhi,
+      |  round((CAST(q AS DOUBLE)
+      |      / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |      - CAST(1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / nullif(CAST(1 AS DOUBLE)
+      |      - CAST(1 AS DOUBLE) / CAST(n AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS hhi_normalized,
+      |  ${Exact.Sql.ratio6("mx", "s")} AS peak_share
+      |FROM mom WHERE s > 0
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type").as("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+    val x = grid.join(dc,
+        col("g_type") === dc("event_type")
+          && dc("day") === col("d0") + col("t"), "left")
+      .select(col("g_type").as("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val mom = x.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("q"),
+        max(col("c")).cast("long").as("mx"))
+    val hhi = expr("""CAST(q AS DOUBLE)
+      |  / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))""".stripMargin)
+    mom.filter(col("s") > 0)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("s").as("n_events"),
+        round(hhi, 6).as("hhi"),
+        round((hhi - expr("CAST(1 AS DOUBLE) / CAST(n AS DOUBLE)")) /
+          nullif(expr("""CAST(1 AS DOUBLE)
+            |  - CAST(1 AS DOUBLE) / CAST(n AS DOUBLE)""".stripMargin),
+            lit(0.0)), 6).as("hhi_normalized"),
+        Exact.ratio6("mx", "s").as("peak_share"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ORDER-PRIORITY MIX SHIFT — is the TPC-H side's priority
+    * composition drifting month over month? The months × priorities
+    * contingency χ² plus Cramér's V (the q200 association machinery
+    * pointed at time as one margin) — the order-stream health check a
+    * fulfillment team runs before trusting any priority-conditioned
+    * SLA number.
+    *
+    * Exactness: the χ² rides the q156/q200 integer-cleared cell form —
+    * each cell's (N·O − R·C)²/(N·R·C) with every product exact int64
+    * in DOUBLE per-factor form past the int64 line (N ≤ 1.5e5 at
+    * sf0.1: N·O ≤ 2e10, (N·O − R·C)² ≤ 4e20 — per-factor doubles, the
+    * q260 route), summed as DECIMAL(18,9)-quantized terms; V =
+    * √(χ²/(N·min(r−1, c−1))) one fixed chain. Months key as epoch
+    * yyyymm integers (PRECONDITION dates ≥ 1970, §5.7). The p is
+    * deliberately unreported (df = (r−1)(c−1) > 2 — the q248 stance).
+    *
+    * Plan: one (month, priority) cell aggregate with window margins,
+    * a cell-count-bounded finish. One scan of orders.
+    */
+  val q293PriorityMixShift = Q(
+    "q293_priority_mix_shift",
+    """WITH o AS (
+      |  SELECT (epoch_us(CAST(o_orderdate AS TIMESTAMP))
+      |      // 86400000000) // 30 AS mon,
+      |    o_orderpriority AS prio
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+      |),
+      |cell AS (
+      |  SELECT mon, prio, CAST(count(*) AS BIGINT) AS o
+      |  FROM o GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT mon, prio, o,
+      |    CAST(sum(o) OVER (PARTITION BY mon) AS BIGINT) AS r,
+      |    CAST(sum(o) OVER (PARTITION BY prio) AS BIGINT) AS c,
+      |    CAST(sum(o) OVER () AS BIGINT) AS nn,
+      |    CAST(count(DISTINCT prio) OVER () AS BIGINT) AS ncol
+      |  FROM cell
+      |),
+      |terms AS (
+      |  SELECT mon, prio, o, r, c, nn, ncol,
+      |    CAST((CAST(nn AS DOUBLE) * CAST(o AS DOUBLE)
+      |        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |      * (CAST(nn AS DOUBLE) * CAST(o AS DOUBLE)
+      |        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |      / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE)
+      |        * CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS t
+      |  FROM m
+      |),
+      |chi AS (
+      |  SELECT CAST(sum(t) AS DOUBLE) AS chi2,
+      |    max(nn) AS nn, max(ncol) AS ncol,
+      |    CAST(count(DISTINCT mon) AS BIGINT) AS nrow
+      |  FROM terms
+      |)
+      |SELECT mon AS month_bucket, prio AS priority, o AS n_orders,
+      |  round(CAST(o AS DOUBLE) / CAST(r AS DOUBLE), 6) AS month_share,
+      |  round(chi.chi2, 6) AS chi2,
+      |  round(sqrt(chi.chi2 / (CAST(chi.nn AS DOUBLE)
+      |    * CAST(least(chi.nrow - 1, chi.ncol - 1) AS DOUBLE))), 6)
+      |    AS cramers_v
+      |FROM terms CROSS JOIN chi
+      |ORDER BY month_bucket, priority""".stripMargin,
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull
+        && col("o_orderpriority").isNotNull)
+      .select(
+        expr("""(unix_micros(CAST(o_orderdate AS TIMESTAMP))
+          |  div 86400000000) div 30""".stripMargin)
+          .as("mon"),
+        col("o_orderpriority").as("prio"))
+    val cell = o.groupBy(col("mon"), col("prio"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val m = cell.select(col("mon"), col("prio"), col("o"),
+      sum(col("o")).over(Window.partitionBy(col("mon"))).cast("long")
+        .as("r"),
+      sum(col("o")).over(Window.partitionBy(col("prio"))).cast("long")
+        .as("c"),
+      sum(col("o")).over(Window.partitionBy()).cast("long").as("nn"),
+      size(collect_set(col("prio")).over(Window.partitionBy()))
+        .cast("long").as("ncol"))
+    val terms = m.withColumn("t", expr(
+      """CAST((CAST(nn AS DOUBLE) * CAST(o AS DOUBLE)
+        |    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |  * (CAST(nn AS DOUBLE) * CAST(o AS DOUBLE)
+        |    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |  / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE)
+        |    * CAST(c AS DOUBLE)) AS DECIMAL(18,9))""".stripMargin))
+      .localCheckpoint() // 2 consumers: the chi frame and the rows
+    val chi = terms.agg(
+      sum(col("t")).cast("double").as("chi2"),
+      max(col("nn")).as("c_nn"), max(col("ncol")).as("c_ncol"),
+      countDistinct(col("mon")).cast("long").as("nrow"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("mon").as("month_bucket"), col("prio").as("priority"),
+        col("o").as("n_orders"),
+        round(expr("CAST(o AS DOUBLE) / CAST(r AS DOUBLE)"), 6)
+          .as("month_share"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("c_nn").cast("double") *
+            least(col("nrow") - 1, col("c_ncol") - 1).cast("double"))),
+          6).as("cramers_v"))
+      .orderBy(col("month_bucket"), col("priority"))
   }
 }

@@ -19,7 +19,7 @@ object TextAnalysis {
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
       q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
       q218ZipfSlope, q227CosineProfiles, q250OovRate, q276Flesch,
-      q282Mattr, q283QueryLikelihood, q284VocabOverlap)
+      q282Mattr, q283QueryLikelihood, q284VocabOverlap, q291VocabChurn)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -2131,5 +2131,85 @@ object TextAnalysis {
         graft.functions.Exact.ratio6("inter", "least(v1, v2)")
           .as("containment"))
       .orderBy(col("s1"), col("s2"))
+  }
+
+  /** VOCABULARY CHURN — how fast is the corpus's WORD STOCK turning
+    * over? Split documents at the median doc_id (the deterministic
+    * half device — ids are ingestion-ordered in this corpus, stated)
+    * and compare the two halves' distinct vocabularies: born (second
+    * half only), died (first half only), survived — the lexical-drift
+    * readout that complements q111/q199's distribution drift (which
+    * weight by frequency and miss rare-word turnover entirely).
+    *
+    * Exactness: pure distinct counting — the halves' vocabularies
+    * intersect via one token-keyed join, birth/death/survival rates
+    * ride ratio6. The median id splits as id ≤ (min+max)//2 over the
+    * SAME filtered set on both engines (the q174 anchor discipline).
+    *
+    * Plan: one token scan → two distinct vocabularies → one
+    * vocabulary-keyed equi join, a 1-row finish.
+    */
+  val q291VocabChurn = Q(
+    "q291_vocab_churn",
+    s"""WITH b AS (
+      |  SELECT (min(doc_id) + max(doc_id)) // 2 AS mid
+      |  FROM documents WHERE text IS NOT NULL
+      |),
+      |tok AS (
+      |  SELECT CASE WHEN d.doc_id <= b.mid THEN 0 ELSE 1 END AS half,
+      |    t.tok
+      |  FROM documents d CROSS JOIN b,
+      |    unnest(list_filter(string_split(d.text, ' '), x -> x <> ''))
+      |      AS t(tok)
+      |  WHERE d.text IS NOT NULL
+      |),
+      |v AS (SELECT DISTINCT half, tok FROM tok),
+      |v0 AS (SELECT tok FROM v WHERE half = 0),
+      |v1 AS (SELECT tok FROM v WHERE half = 1),
+      |sz AS (
+      |  SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM v0) AS n0,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n1,
+      |    (SELECT CAST(count(*) AS BIGINT)
+      |     FROM v0 JOIN v1 ON v1.tok = v0.tok) AS surv
+      |)
+      |SELECT n0 AS vocab_first_half, n1 AS vocab_second_half,
+      |  surv AS survived,
+      |  n1 - surv AS born, n0 - surv AS died,
+      |  ${graft.functions.Exact.Sql.ratio6("n1 - surv", "n1")}
+      |    AS birth_rate,
+      |  ${graft.functions.Exact.Sql.ratio6("n0 - surv", "n0")}
+      |    AS death_rate,
+      |  ${graft.functions.Exact.Sql.ratio6("surv",
+           "n0 + n1 - surv")} AS vocab_jaccard
+      |FROM sz""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+    val b = docs.agg(expr("(min(doc_id) + max(doc_id)) div 2").as("mid"))
+    val v = docs.crossJoin(broadcast(b))
+      .select(when(col("doc_id") <= col("mid"), 0).otherwise(1)
+          .as("half"),
+        explode(expr("filter(split(text, ' '), x -> x != '')"))
+          .as("tok"))
+      .distinct()
+      .localCheckpoint() // 3 consumers: both halves and the join
+    val v0 = v.filter(col("half") === 0).select(col("tok"))
+    val v1 = v.filter(col("half") === 1)
+      .select(col("tok").as("tok1"))
+    val n0 = v0.agg(count(lit(1)).cast("long").as("n0"))
+    val n1 = v1.agg(count(lit(1)).cast("long").as("n1"))
+    val surv = v0.join(v1, col("tok1") === col("tok"))
+      .agg(count(lit(1)).cast("long").as("surv"))
+    n0.crossJoin(broadcast(n1)).crossJoin(broadcast(surv))
+      .select(col("n0").as("vocab_first_half"),
+        col("n1").as("vocab_second_half"),
+        col("surv").as("survived"),
+        (col("n1") - col("surv")).as("born"),
+        (col("n0") - col("surv")).as("died"),
+        graft.functions.Exact.ratio6("n1 - surv", "n1").as("birth_rate"),
+        graft.functions.Exact.ratio6("n0 - surv", "n0").as("death_rate"),
+        graft.functions.Exact.ratio6("surv", "n0 + n1 - surv")
+          .as("vocab_jaccard"))
   }
 }

@@ -1021,4 +1021,32 @@ class EdgeEventsSpec extends SparkSpec {
     assert(SparkEntry.queries("q290_seasonal_mann_kendall")(spark, dir)
       .collect().isEmpty, "no same-hod day pairs, no readout")
   }
+
+  test("q292 degenerate: a single-day span has no concentration scale; " +
+      "a one-day point mass is maximally concentrated") {
+    // shared fixture: each type spans one day → n = 1 → NULL normalized
+    val hhi = SparkEntry.queries("q292_volume_hhi")(spark, dir).collect()
+    assert(hhi.length === 2)
+    assert(hhi.forall(_.getDouble(3) === 1.0), "single day → HHI 1")
+    assert(hhi.forall(_.isNullAt(4)),
+      "n = 1 has no concentration scale → NULL normalized HHI")
+    // hand-computable 3-day shapes: p = (2, 0, 1) → HHI = 5/9,
+    // normalized (5/9 − 1/3)/(2/3) = 1/3; q2 = (1, 0, 1) → HHI = 1/2,
+    // normalized 1/4
+    import spark.implicits._
+    val d = "/tmp/graft_edge_events_pointmass"
+    Seq((1L, 0L, 1L, "p", 1.0, "{}"),
+      (2L, 1000000000L, 1L, "p", 1.0, "{}"),
+      (3L, 2 * 86400L * 1000000000L, 1L, "p", 1.0, "{}"),
+      (4L, 0L, 1L, "q2", 1.0, "{}"),
+      (5L, 2 * 86400L * 1000000000L, 1L, "q2", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val h2 = SparkEntry.queries("q292_volume_hhi")(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(h2("p").getDouble(4) - 1.0 / 3) < 1e-6,
+      "(2,0,1) normalizes to exactly 1/3")
+    assert(math.abs(h2("q2").getDouble(4) - 0.25) < 1e-6,
+      "(1,0,1) normalizes to exactly 1/4")
+  }
 }

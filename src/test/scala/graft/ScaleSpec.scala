@@ -548,7 +548,9 @@ class ScaleSpec extends SparkSpec {
       "q285_double_fire", "q287_simpson_audit",
       // q288's grid moments and q290's hod-blocked day pairs are
       // strictly equi-keyed
-      "q288_negbinomial_fit", "q290_seasonal_mann_kendall")) {
+      "q288_negbinomial_fit", "q290_seasonal_mann_kendall",
+      // q292 is grid moments only
+      "q292_volume_hhi")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -574,7 +576,10 @@ class ScaleSpec extends SparkSpec {
       // q286's 1-row anchors (global d0, max week) and q289's 1-row
       // corpus-entropy frames are scalar broadcasts
       "q283_query_likelihood", "q286_cohort_ltv",
-      "q289_order2_entropy")) {
+      // q293's 1-row chi frame and q291's 1-row half-vocabulary
+      // counters are the same scalar shape
+      "q289_order2_entropy", "q291_vocab_churn",
+      "q293_priority_mix_shift")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

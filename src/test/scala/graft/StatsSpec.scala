@@ -3630,4 +3630,88 @@ class StatsSpec extends SparkSpec {
       "a pure diurnal cycle must carry zero seasonal-MK signal")
     assert(!cyc.head.getBoolean(4), "no trend flag on a cycle")
   }
+
+  test("q291 vocab churn replays from Scala set algebra; birth/death " +
+      "identities and the survivor bound hold") {
+    val got = TextAnalysis.q291VocabChurn.fn(spark, sf).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val mid = (docs.map(_._1).min + docs.map(_._1).max) / 2
+    def vocab(p: ((Long, String)) => Boolean): Set[String] =
+      docs.filter(p).flatMap(_._2.split(" ", -1).filter(_.nonEmpty)).toSet
+    val v0 = vocab(_._1 <= mid); val v1 = vocab(_._1 > mid)
+    val surv = (v0 & v1).size.toLong
+    assert(r.getLong(0) === v0.size.toLong && r.getLong(1) === v1.size)
+    assert(r.getLong(2) === surv)
+    assert(r.getLong(3) === v1.size - surv, "born identity")
+    assert(r.getLong(4) === v0.size - surv, "died identity")
+    assert(math.abs(r.getDouble(7) -
+      surv.toDouble / (v0 ++ v1).size) < 2e-6, "jaccard")
+  }
+
+  test("q292 HHI replays from direct share squares; the 1/n floor and " +
+      "peak-share lower bound hold") {
+    val got = Stats.q292VolumeHhi.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getDouble(5)))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val days = g.map(_._2)
+      val cnt = days.groupBy(identity).map { case (d, v) => d -> v.length }
+      val xs = (days.min to days.max).map(d =>
+        cnt.getOrElse(d, 0).toLong)
+      val n = xs.length; val s = xs.sum
+      val hhi = xs.map(c => (c.toDouble / s) * (c.toDouble / s)).sum
+      val (gn, gs, ghhi, gnorm, gpeak) = got(t)
+      assert(gn === n.toLong && gs === s, s"$t shape")
+      assert(math.abs(ghhi - hhi) < 1e-5 * (1 + hhi), s"$t HHI")
+      assert(ghhi >= 1.0 / n - 1e-9, s"$t HHI floor (Cauchy-Schwarz)")
+      assert(ghhi >= gpeak * gpeak - 1e-6, s"$t peak lower bound")
+      if (n > 1)
+        assert(math.abs(gnorm.get - (hhi - 1.0 / n) / (1 - 1.0 / n))
+          < 1e-4, s"$t normalized")
+    }
+  }
+
+  test("q293 mix shift replays from a direct contingency walk; a " +
+      "uniform composition scores chi2 near the cell noise floor") {
+    val got = Stats.q293PriorityMixShift.fn(spark, sf).collect()
+      .map { r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      }.toMap
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").isNotNull
+        && col("o_orderpriority").isNotNull)
+      .select(expr("""(unix_micros(CAST(o_orderdate AS TIMESTAMP))
+        |  div 86400000000) div 30""".stripMargin), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cells = o.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val rows = o.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cols = o.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nn = o.length.toLong
+    val chi2 = cells.map { case ((mo, pr), obs) =>
+      val e = rows(mo).toDouble * cols(pr) / nn
+      (obs - e) * (obs - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (nn *
+      math.min(rows.size - 1, cols.size - 1)))
+    for (((mo, pr), obs) <- cells) {
+      val (gobs, gshare, gchi, gv) = got((mo, pr))
+      assert(gobs === obs, s"($mo,$pr) cell")
+      assert(math.abs(gshare - obs.toDouble / rows(mo)) < 1e-5)
+      assert(math.abs(gchi - chi2) < 1e-3 * (1 + chi2), s"chi2")
+      assert(math.abs(gv - v) < 1e-4, s"V")
+    }
+    assert(got.size === cells.size, "cell coverage")
+  }
 }
