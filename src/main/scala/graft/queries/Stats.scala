@@ -5369,6 +5369,14 @@ object Stats {
     * 0.001 is the standard "stop the experiment, the assignment is
     * broken" flag (Fabijan et al.'s diagnostic threshold).
     *
+    * The arm draws EIGHT hex digits, not one: 16 % 3 ≠ 0, so a single
+    * digit % 3 lands arms at 6/16, 5/16, 5/16 — a built-in SRM with
+    * noncentrality ≈ 0.0078·n that flags every healthy corpus past a
+    * few thousand users. 16⁸ % 3 = 1, so the 8-digit draw's bias is
+    * one part in 16⁸ — invisible to the test at any realistic n (the
+    * round-15 ADVICE fix; q253's % 2 splits are unbiased as-is since
+    * 16 % 2 = 0).
+    *
     * Exactness: arm counts are exact int64 over distinct users; Q is ONE
     * double division of exact int64s; the tail goes through the q216
     * float-cast-exp quantization. n = 0 → empty output (no users, no
@@ -5384,7 +5392,7 @@ object Stats {
     s"""WITH u AS (
       |  SELECT DISTINCT user_id,
       |    CAST(('0x' || substr(md5('srm|' || CAST(user_id AS VARCHAR)),
-      |      1, 1)) AS BIGINT) % 3 AS arm
+      |      1, 8)) AS BIGINT) % 3 AS arm
       |  FROM events WHERE user_id IS NOT NULL
       |),
       |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS o FROM u GROUP BY 1),
@@ -5411,7 +5419,7 @@ object Stats {
       .filter(col("user_id").isNotNull)
       .select(col("user_id"),
         (conv(substring(md5(concat(lit("srm|"),
-          col("user_id").cast("string"))), 1, 1), 16, 10)
+          col("user_id").cast("string"))), 1, 8), 16, 10)
           .cast("long") % 3).as("arm"))
       .distinct()
     val a = u.groupBy(col("arm")).agg(count(lit(1)).cast("long").as("o"))
@@ -6364,8 +6372,11 @@ object Stats {
       |  round(ew, 6) AS expected_score,
       |  round((CAST(w AS DOUBLE) - ew) * (CAST(w AS DOUBLE) - ew)
       |    / nullif(vw, CAST(0 AS DOUBLE)), 6) AS z2,
-      |  (CAST(w AS DOUBLE) - ew) * (CAST(w AS DOUBLE) - ew)
-      |    / nullif(vw, CAST(0 AS DOUBLE)) > 3.8415 AS dispersion_differs
+      |  CASE WHEN (CAST(w AS DOUBLE) - ew) * (CAST(w AS DOUBLE) - ew)
+      |      / nullif(vw, CAST(0 AS DOUBLE)) IS NULL THEN NULL
+      |    WHEN (CAST(w AS DOUBLE) - ew) * (CAST(w AS DOUBLE) - ew)
+      |      / nullif(vw, CAST(0 AS DOUBLE)) > 3.8415 THEN 'differs'
+      |    ELSE 'same' END AS dispersion_differs
       |FROM f
       |ORDER BY arm""".stripMargin,
   ) { (s, d) =>
@@ -6409,7 +6420,11 @@ object Stats {
     sc.select(col("arm"), col("na").as("n_arm"), col("w").as("ab_score"),
         round(ew, 6).as("expected_score"),
         round(z2, 6).as("z2"),
-        (z2 > 3.8415).as("dispersion_differs"))
+        // string verdict, not boolean — nullable BOOLEAN breaks the
+        // driver compare (§5.7, the q287 device)
+        when(z2.isNull, lit(null).cast("string"))
+          .when(z2 > 3.8415, lit("differs"))
+          .otherwise(lit("same")).as("dispersion_differs"))
       .orderBy(col("arm"))
   }
 
@@ -7114,11 +7129,17 @@ object Stats {
       |      * sqrt(CAST(n * q - s * s AS DOUBLE)
       |        / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)),
       |      CAST(0 AS DOUBLE)), 6) AS grubbs_g,
-      |  CAST(nd AS DOUBLE)
-      |    / nullif(CAST(n AS DOUBLE)
-      |      * sqrt(CAST(n * q - s * s AS DOUBLE)
-      |        / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)),
-      |      CAST(0 AS DOUBLE)) > 3.0 AS outlier_flag
+      |  CASE WHEN CAST(nd AS DOUBLE)
+      |      / nullif(CAST(n AS DOUBLE)
+      |        * sqrt(CAST(n * q - s * s AS DOUBLE)
+      |          / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)),
+      |        CAST(0 AS DOUBLE)) IS NULL THEN NULL
+      |    WHEN CAST(nd AS DOUBLE)
+      |      / nullif(CAST(n AS DOUBLE)
+      |        * sqrt(CAST(n * q - s * s AS DOUBLE)
+      |          / CAST(n AS DOUBLE) / CAST(n - 1 AS DOUBLE)),
+      |        CAST(0 AS DOUBLE)) > 3.0 THEN 'outlier'
+      |    ELSE 'clean' END AS outlier_flag
       |FROM dev WHERE rk = 1
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -7160,7 +7181,11 @@ object Stats {
         col("day").cast("long").as("peak_day"),
         Exact.ratio6("s", "n").as("mean_count"),
         round(g, 6).as("grubbs_g"),
-        (g > 3.0).as("outlier_flag"))
+        // string verdict, not boolean — nullable BOOLEAN breaks the
+        // driver compare (§5.7, the q287 device)
+        when(g.isNull, lit(null).cast("string"))
+          .when(g > 3.0, lit("outlier"))
+          .otherwise(lit("clean")).as("outlier_flag"))
       .orderBy(col("event_type"))
   }
 
@@ -7213,11 +7238,15 @@ object Stats {
       |        CAST(0 AS DOUBLE))
       |    * CAST(m + 1 AS DOUBLE) / CAST(2 AS DOUBLE), 6)
       |    AS uniformity_index,
-      |  CAST(sq AS DOUBLE)
+      |  CASE WHEN CAST(sq AS DOUBLE)
       |      / nullif(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE),
-      |        CAST(0 AS DOUBLE))
-      |    * CAST(m + 1 AS DOUBLE) / CAST(2 AS DOUBLE) > 2.0
-      |    AS clumped
+      |        CAST(0 AS DOUBLE)) IS NULL THEN NULL
+      |    WHEN CAST(sq AS DOUBLE)
+      |        / nullif(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE),
+      |          CAST(0 AS DOUBLE))
+      |      * CAST(m + 1 AS DOUBLE) / CAST(2 AS DOUBLE) > 2.0
+      |      THEN 'clumped'
+      |    ELSE 'uniform' END AS clumped
       |FROM mom
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -7241,7 +7270,11 @@ object Stats {
         col("sd").as("span_s"),
         round(g, 6).as("greenwood_g"),
         round(idx, 6).as("uniformity_index"),
-        (idx > 2.0).as("clumped"))
+        // string verdict, not boolean — nullable BOOLEAN breaks the
+        // driver compare (§5.7, the q287 device)
+        when(g.isNull, lit(null).cast("string"))
+          .when(idx > 2.0, lit("clumped"))
+          .otherwise(lit("uniform")).as("clumped"))
       .orderBy(col("event_type"))
   }
 
@@ -8355,9 +8388,15 @@ object Stats {
     * in DOUBLE per-factor form past the int64 line (N ≤ 1.5e5 at
     * sf0.1: N·O ≤ 2e10, (N·O − R·C)² ≤ 4e20 — per-factor doubles, the
     * q260 route), summed as DECIMAL(18,9)-quantized terms; V =
-    * √(χ²/(N·min(r−1, c−1))) one fixed chain. Months key as epoch
-    * yyyymm integers (PRECONDITION dates ≥ 1970, §5.7). The p is
-    * deliberately unreported (df = (r−1)(c−1) > 2 — the q248 stance).
+    * √(χ²/(N·min(r−1, c−1))) one fixed chain, with the denominator
+    * nullif-guarded on BOTH engines — a single-bucket or single-
+    * priority corpus gives min(r−1, c−1) = 0 where DuckDB's IEEE
+    * divide yields NaN but Spark's Divide yields NULL (the §5.7
+    * divergence class; the guard makes both engines NULL explicitly).
+    * Time keys are FIXED 30-DAY EPOCH BUCKETS (epoch_days div 30 —
+    * NOT calendar months; a 31-day month can straddle two buckets;
+    * PRECONDITION dates ≥ 1970, §5.7). The p is deliberately
+    * unreported (df = (r−1)(c−1) > 2 — the q248 stance).
     *
     * Plan: one (month, priority) cell aggregate with window margins,
     * a cell-count-bounded finish. One scan of orders.
@@ -8402,8 +8441,9 @@ object Stats {
       |SELECT mon AS month_bucket, prio AS priority, o AS n_orders,
       |  round(CAST(o AS DOUBLE) / CAST(r AS DOUBLE), 6) AS month_share,
       |  round(chi.chi2, 6) AS chi2,
-      |  round(sqrt(chi.chi2 / (CAST(chi.nn AS DOUBLE)
-      |    * CAST(least(chi.nrow - 1, chi.ncol - 1) AS DOUBLE))), 6)
+      |  round(sqrt(chi.chi2 / nullif(CAST(chi.nn AS DOUBLE)
+      |    * CAST(least(chi.nrow - 1, chi.ncol - 1) AS DOUBLE),
+      |    CAST(0 AS DOUBLE))), 6)
       |    AS cramers_v
       |FROM terms CROSS JOIN chi
       |ORDER BY month_bucket, priority""".stripMargin,
@@ -8445,8 +8485,9 @@ object Stats {
           .as("month_share"),
         round(col("chi2"), 6).as("chi2"),
         round(sqrt(col("chi2") /
-          (col("c_nn").cast("double") *
-            least(col("nrow") - 1, col("c_ncol") - 1).cast("double"))),
+          nullif(col("c_nn").cast("double") *
+            least(col("nrow") - 1, col("c_ncol") - 1).cast("double"),
+            lit(0.0))),
           6).as("cramers_v"))
       .orderBy(col("month_bucket"), col("priority"))
   }

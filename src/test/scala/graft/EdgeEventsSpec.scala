@@ -834,7 +834,8 @@ class EdgeEventsSpec extends SparkSpec {
     assert(gw.length === 1 && gw.head.getLong(1) === 3L)
     assert(math.abs(gw.head.getDouble(3) - 1.0 / 3) < 1e-6,
       "equal spacings attain the Greenwood floor")
-    assert(!gw.head.getBoolean(5), "a metronome is not clumped")
+    assert(gw.head.getString(5) === "uniform",
+      "a metronome is not clumped")
   }
 
   test("q267 degenerate: the exact-line fixture is one unbroken streak " +
@@ -1048,5 +1049,38 @@ class EdgeEventsSpec extends SparkSpec {
       "(2,0,1) normalizes to exactly 1/3")
     assert(math.abs(h2("q2").getDouble(4) - 0.25) < 1e-6,
       "(1,0,1) normalizes to exactly 1/4")
+  }
+
+  test("q293 degenerate: a single-priority (or single-bucket) orders " +
+      "corpus has min(r-1, c-1) = 0 — the nullif guard must yield NULL " +
+      "cramers_v on both engines, never NaN") {
+    import spark.implicits._
+    def ts(days: Long) = new java.sql.Timestamp(days * 86400000L)
+    // two 30-day buckets, ONE priority → ncol = 1 → 0/0 guarded
+    val d1 = "/tmp/graft_edge_orders_onep"
+    Seq((1L, 1L, "O", 10.0, ts(0L), "1-URGENT"),
+      (2L, 1L, "O", 10.0, ts(40L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d1/orders.parquet")
+    val r1 = SparkEntry.queries("q293_priority_mix_shift")(spark, d1)
+      .collect()
+    assert(r1.length === 2)
+    // degenerate margins: every cell O = R, C = N → chi2 exactly 0
+    assert(r1.forall(_.getDouble(4) === 0.0), "degenerate chi2 is 0")
+    assert(r1.forall(_.isNullAt(5)),
+      "min(r-1, c-1) = 0 must NULL cramers_v, not NaN")
+    // one bucket, two priorities → nrow = 1 → same guard, other margin
+    val d2 = "/tmp/graft_edge_orders_onemon"
+    Seq((1L, 1L, "O", 10.0, ts(1L), "1-URGENT"),
+      (2L, 1L, "O", 10.0, ts(2L), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/orders.parquet")
+    val r2 = SparkEntry.queries("q293_priority_mix_shift")(spark, d2)
+      .collect()
+    assert(r2.length === 2)
+    assert(r2.forall(_.isNullAt(5)),
+      "a single bucket must NULL cramers_v too")
   }
 }

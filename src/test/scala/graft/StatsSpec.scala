@@ -2107,9 +2107,11 @@ class StatsSpec extends SparkSpec {
       .filter(col("user_id").isNotNull)
       .select(col("user_id")).distinct().collect().map(_.getLong(0))
     def arm(u: Long): Long = {
+      // 8 hex digits (4 bytes), matching the mod-3-bias fix in the query
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(s"srm|$u".getBytes("UTF-8"))
-      java.lang.Long.parseLong(f"${h(0) & 0xff}%02x".take(1), 16) % 3
+      val hex = h.take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 3
     }
     val byArm = users.groupBy(arm).map { case (a, g) => a -> g.length.toLong }
     val n = users.length.toLong
@@ -2680,7 +2682,7 @@ class StatsSpec extends SparkSpec {
     val got = Stats.q265Grubbs.fn(spark, sf).collect().map { r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2),
         if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
-        if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+        if (r.isNullAt(5)) None else Some(r.getString(5))))
     }.toMap
     val raw = Tables.events(spark, sf)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
@@ -2705,7 +2707,8 @@ class StatsSpec extends SparkSpec {
         assert(gday === peakDay, s"$t peak day")
         if (s2 > 0) {
           assert(math.abs(gG - gg) < 1e-4 * (1 + gg), s"$t G")
-          assert(gflag.get === (gg > 3.0), s"$t flag")
+          assert(gflag.get === (if (gg > 3.0) "outlier" else "clean"),
+            s"$t flag")
         }
       } else assert(!got.contains(t))
     }
