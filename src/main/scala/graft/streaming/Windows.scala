@@ -503,6 +503,100 @@ object Windows {
       .start()
   }
 
+  /** Per-(user, type) double-fire state: events not yet finalized by
+    * the watermark, plus the last finalized event's µs — the gap anchor
+    * the next finalized event compares against. */
+  final case class FireState(
+      pending: Vector[(Long, Long)], lastUs: Option[Long])
+
+  /** STREAMING DOUBLE-FIRE DETECTOR — q285's sub-second (user, type)
+    * retry detection as it runs in production (telemetry hygiene is the
+    * family you want LIVE): one `flatMapGroupsWithState` keyed by
+    * (user_id, event_type). Events buffer in keyed state until the
+    * watermark proves their µs final (no earlier event can still
+    * arrive); finalization sorts the proven prefix by the batch
+    * operator's exact (us, event_id) total order and walks it against
+    * the carried last-µs anchor, emitting every event within 1 s of its
+    * predecessor — the same integer gap rule as q285, so streamed
+    * emissions over the closed set ≡ the batch dup set (StreamingSpec).
+    *
+    * State is bounded and watermark-EVICTED: `pending` holds at most
+    * the watermark delay's worth of one (user, type)'s events, and the
+    * last-µs anchor is dropped once the watermark passes lastUs + 1 s —
+    * provably lossless, because any event the engine still accepts has
+    * event-time ≥ watermark > lastUs + 1 s and so could never pair with
+    * the dropped anchor. Stragglers already behind the watermark are
+    * dropped on arrival (the windowed-aggregate contract, q178's
+    * straggler guard — a late event folded into an already-finalized
+    * order could re-flag a closed gap).
+    *
+    * Event-time timeouts re-invoke the group at the next pending µs
+    * edge (flush without new data) or at the anchor's eviction edge.
+    */
+  def streamDoubleFire(spark: SparkSession, sfDir: String,
+      tableName: String): StreamingQuery = {
+    import spark.implicits._
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .transform(graft.Tables.normalizeTs)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("event_type").isNotNull)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("ts"))
+      .as[(Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(e => (e._1, e._2))
+      .flatMapGroupsWithState[FireState, (Long, String, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String),
+         events: Iterator[(Long, String, Long, Long, java.sql.Timestamp)],
+         state: GroupState[FireState]) =>
+          val prev = state.getOption.getOrElse(FireState(Vector.empty, None))
+          val wm = state.getCurrentWatermarkMs()
+          // straggler guard: an event whose µs the watermark has already
+          // finalized would splice into a closed order — drop it
+          val pending0 = prev.pending ++ events.collect {
+            case e if e._4 / 1000 >= wm => (e._4, e._3)
+          }
+          // finalize events provably complete: us strictly behind the
+          // watermark ms edge (an equal-ms event could still arrive)
+          val (doneV, pend) = pending0.partition {
+            case (us, _) => us / 1000 < wm
+          }
+          var last = prev.lastUs
+          var out = List.empty[(Long, String, Long, Long, Long)]
+          for ((us, id) <- doneV.sortBy(identity)) {
+            last match {
+              case Some(p) if us - p <= 1000000L =>
+                out ::= ((key._1, key._2, id, us, us - p))
+              case _ => ()
+            }
+            last = Some(us)
+          }
+          // watermark-driven eviction: an anchor more than 1 s behind
+          // the watermark can never pair with a still-acceptable event
+          val keepAnchor = last.exists(l => l / 1000 + 1000 >= wm)
+          if (pend.isEmpty && !keepAnchor) state.remove()
+          else {
+            state.update(FireState(pend, if (keepAnchor) last else None))
+            val edges = pend.map(_._1 / 1000 + 1) ++
+              (if (pend.isEmpty) last.map(_ / 1000 + 1001) else None)
+            state.setTimeoutTimestamp(edges.min)
+          }
+          out.reverseIterator
+      }
+      .toDF("user_id", "event_type", "event_id", "us", "gap_us")
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Open per-type trend-tracker state: hour counts not yet finalized by
     * the watermark, the last finalized hour, and the Brown smoothed pair
     * (s1, s2) — constant-size no matter how long the stream runs. */

@@ -441,4 +441,82 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === exact)
     } finally q.stop()
   }
+
+  test("streaming double-fire detector emits exactly the batch sub-second " +
+      "dups the watermark has proven final, including the 1s-boundary and " +
+      "equal-us edges") {
+    // the driver fixtures contain ZERO sub-second (user, type) repeats
+    // (verified — q285's n_double_fires is 0 at every sf), so the net
+    // engineers its own: gaps of 0.4 s (dup), exactly 1.000000 s (dup —
+    // the ≤ boundary), 1.000001 s (NOT a dup), an equal-µs pair (gap 0),
+    // plus isolated (user, type) neighbors and a +2 h tail that pushes
+    // the watermark past everything else
+    val d = "/tmp/graft_stream_dfire"
+    import spark.implicits._
+    // base offset keeps the earliest event strictly above the epoch-0
+    // initial watermark (an event AT the watermark is boundary-dropped
+    // by the stateful operator's late filter)
+    def ns(ms: Long, us: Long = 0): Long =
+      (3600000L + ms) * 1000000L + us * 1000L
+    // the stream source's pathGlobFilter matches leaf FILES (testdata
+    // tables are single files), so promote the one part file to a real
+    // $d/events.parquet file rather than leaving Spark's directory
+    val tmp = s"$d/_build"
+    Seq(
+      (1L, ns(0), 7L, "t", 1.0, "{}"),
+      (2L, ns(400), 7L, "t", 1.0, "{}"),         // 0.4 s       → dup
+      (3L, ns(1400), 7L, "t", 1.0, "{}"),        // 1.000000 s  → dup
+      (4L, ns(2400, 1), 7L, "t", 1.0, "{}"),     // 1.000001 s  → not
+      (5L, ns(2400, 1), 7L, "t", 1.0, "{}"),     // equal µs    → dup
+      (6L, ns(300), 8L, "t", 1.0, "{}"),         // other user: isolated
+      (7L, ns(500), 7L, "u", 1.0, "{}"),         // other type: isolated
+      (8L, ns(7200000), 9L, "z", 1.0, "{}"))     // watermark pusher
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    locally {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tgt = Paths.get(s"$d/events.parquet")
+      if (Files.isDirectory(tgt)) {
+        Files.walk(tgt).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, tgt, StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = Windows.streamDoubleFire(spark, d, "stream_dfire")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_dfire").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(4))).toSet
+      // batch truth: q285's g-frame gap rule, restricted to events the
+      // watermark (max ts − delay) has proven final
+      val wmMs = Tables.events(spark, d)
+        .agg(max(col("ts"))).head.getAs[java.sql.Timestamp](0).getTime -
+        Windows.WatermarkDelayMs
+      val batch = Tables.events(spark, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull
+          && col("event_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("us"), col("event_id"))))
+        .filter(col("gap") <= 1000000L
+          && expr("us div 1000") < wmMs)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(4))).toSet
+      assert(batch.size === 3, s"engineered fixture must close 3 dups: $batch")
+      assert(streamed === batch,
+        s"streamed $streamed != batch-closed $batch")
+      // the registry operator on the same corpus agrees per type: every
+      // "t" event is closed by the tail, so totals match end to end
+      val reg = queries.Analytic.q285DoubleFire.fn(spark, d).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(reg("t") === 3L && reg("u") === 0L && reg("z") === 0L)
+    } finally q.stop()
+  }
 }
