@@ -83,6 +83,31 @@ object Exact {
     s"CAST(((2 * CAST($num AS BIGINT) * 1000000 + CAST($den AS BIGINT))" +
       s" div nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0")
 
+  /** [[ratio6]] for numerators past its 4.6·10¹² line (hit live by
+    * q166's winsorized sum on the ×10 lineitem axis: Σ cnt·cents ≈
+    * 2·10¹³ made `2·num·10⁶` overflow int64 under ANSI). Split
+    * num = q·den + r by integer div/mod, half-up-round only the PROPER
+    * fraction r/den through ratio6's exact-integer device, and add the
+    * exact integer quotient back: round6(num/den) = q + round6(r/den)
+    * identically (q is integral, rounding touches only fractional
+    * digits). Every intermediate stays in int64 for num up to the
+    * int64 line and den ≤ 4.6·10¹²; the final `+` is ONE IEEE add of
+    * bit-identical operands on both engines, so the result is
+    * bit-equal cross-engine (it may differ from a hypothetical
+    * infinite-precision ratio6 in the last ulp — the FORMULATION is
+    * the spec, stated, same stance as the fixed-order chains).
+    * Same non-negativity constraint as ratio6 (div/% truncate vs floor
+    * agree only there); zero denominator → NULL via nullif on both
+    * terms.
+    */
+  def ratio6Big(num: String, den: String): Column = expr(
+    s"CAST((CAST($num AS BIGINT)" +
+      s" div nullif(CAST($den AS BIGINT), 0)) AS DOUBLE)" +
+      s" + CAST(((2 * (CAST($num AS BIGINT)" +
+      s" % nullif(CAST($den AS BIGINT), 0)) * 1000000" +
+      s" + CAST($den AS BIGINT))" +
+      s" div nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0")
+
   /** DuckDB SQL twins — keep in lockstep with the Column versions. */
   object Sql {
     def dsum(e: String, scale: Int = Scale): String =
@@ -91,6 +116,13 @@ object Exact {
       s"CAST(SUM(CAST($e AS DECIMAL(18,$scale))) AS DOUBLE) / COUNT($e)"
     def ratio6(num: String, den: String): String =
       s"CAST(((2 * CAST($num AS BIGINT) * 1000000 + CAST($den AS BIGINT))" +
+        s" // nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0"
+    def ratio6Big(num: String, den: String): String =
+      s"CAST((CAST($num AS BIGINT)" +
+        s" // nullif(CAST($den AS BIGINT), 0)) AS DOUBLE)" +
+        s" + CAST(((2 * (CAST($num AS BIGINT)" +
+        s" % nullif(CAST($den AS BIGINT), 0)) * 1000000" +
+        s" + CAST($den AS BIGINT))" +
         s" // nullif(2 * CAST($den AS BIGINT), 0)) AS DOUBLE) / 1000000.0"
   }
 }

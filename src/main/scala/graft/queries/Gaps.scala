@@ -1679,7 +1679,9 @@ object Gaps {
     * Exactness: order statistics and both numerators are exact int64 in
     * cents; the run-overlap count for trimming is pure integer interval
     * arithmetic (a run occupying sorted positions (s, s+cnt] contributes
-    * max(0, min(s+cnt, k95) − max(s, k05)) rows); means report via ratio6.
+    * max(0, min(s+cnt, k95) − max(s, k05)) rows); the means report via
+    * ratio6Big — the cent sums pass plain ratio6's 4.6e12 numerator
+    * line on the ×10 lineitem axis (ANSI overflow, hit live r15).
     *
     * Plan: the VALUE-RUN discipline again — one (flag, cents) aggregate,
     * then cumulative positions via the q142 TWO-LEVEL decomposition:
@@ -1734,8 +1736,8 @@ object Gaps {
       |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
       |  ${Exact.Sql.ratio6("p05", "100")} AS p05,
       |  ${Exact.Sql.ratio6("p95", "100")} AS p95,
-      |  ${Exact.Sql.ratio6("wsum", "100 * n")} AS winsor_mean,
-      |  ${Exact.Sql.ratio6("tsum", "100 * tn")} AS trim_mean
+      |  ${Exact.Sql.ratio6Big("wsum", "100 * n")} AS winsor_mean,
+      |  ${Exact.Sql.ratio6Big("tsum", "100 * tn")} AS trim_mean
       |FROM agg
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -1798,8 +1800,12 @@ object Gaps {
       .select(col("flag").as("l_returnflag"), col("n").cast("long").as("n"),
         Exact.ratio6("p05", "100").as("p05"),
         Exact.ratio6("p95", "100").as("p95"),
-        Exact.ratio6("wsum", "100 * n").as("winsor_mean"),
-        Exact.ratio6("tsum", "100 * tn").as("trim_mean"))
+        // ratio6Big: the winsorized/trimmed cent sums pass ratio6's
+        // 4.6e12 numerator line on the ×10 lineitem axis (hit live,
+        // SCALE_r15) — the quotient/remainder split keeps the identical
+        // 6-decimal value entirely inside int64
+        Exact.ratio6Big("wsum", "100 * n").as("winsor_mean"),
+        Exact.ratio6Big("tsum", "100 * tn").as("trim_mean"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -40,6 +40,12 @@ class MiningSpec extends SparkSpec {
       .map(r => (r.getString(0), math.round(100 * r.getDouble(1))))
     def r6(num: Long, den: Long): Double =
       ((2L * num * 1000000L + den) / (2L * den)).toDouble / 1e6
+    // the means ride ratio6Big's quotient/remainder split (the ×10
+    // lineitem overflow fix) — the replay mirrors that exact
+    // formulation, whose last ulp can differ from single-divide r6
+    def r6big(num: Long, den: Long): Double =
+      (num / den).toDouble +
+        ((2L * (num % den) * 1000000L + den) / (2L * den)).toDouble / 1e6
     val expect = rows.groupBy(_._1).map { case (flag, g) =>
       val xs = g.map(_._2).sorted
       val n = xs.length.toLong
@@ -48,8 +54,8 @@ class MiningSpec extends SparkSpec {
       val (p05, p95) = (xs(k05 - 1), xs(k95 - 1))
       val wsum = xs.map(x => math.max(p05, math.min(p95, x))).sum
       val trimmed = xs.slice(k05, k95) // ranks k05+1 .. k95, 0-indexed
-      flag -> ((n, r6(p05, 100), r6(p95, 100), r6(wsum, 100 * n),
-        r6(trimmed.sum, 100 * trimmed.length)))
+      flag -> ((n, r6(p05, 100), r6(p95, 100), r6big(wsum, 100 * n),
+        r6big(trimmed.sum, 100 * trimmed.length)))
     }
     assert(got.keySet === expect.keySet)
     for ((k, v) <- expect) assert(got(k) === v, s"flag $k")
