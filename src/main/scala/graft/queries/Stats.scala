@@ -6317,8 +6317,15 @@ object Stats {
     * int64, ≤ N²/4); single-arm corpora → NULL via nullif(Var). χ²₁ verdict at
     * the 3.8415 literal.
     *
-    * Plan: one N-sized rank window (q142's shard decomposition applies
-    * at 10⁹ rows), a 2-row arm aggregate, window-total finish.
+    * Plan: the rank is the q142 TWO-LEVEL 4096-bin decomposition (its
+    * sixth application, and the r14 verdict's Next #6 made code): runs
+    * land in value bins off a 2-scalar min/max probe, the cross-bin
+    * prefix is a ≤4096-row window, the in-bin rank partitions by bin —
+    * parallel across all cores, NO partition-free N-row sort anywhere
+    * (the oracle keeps the flat window DuckDB can afford at fixture
+    * scale, the q166 stance); N arrives as a 1-row broadcast, not an
+    * all-to-one count window. Then a 2-row arm aggregate and the
+    * window-total finish.
     */
   val q260AnsariBradley = Q(
     "q260_ansari_bradley",
@@ -6387,10 +6394,29 @@ object Stats {
         (conv(substring(md5(concat(lit("ab|"),
           col("user_id").cast("string"))), 1, 1), 16, 10)
           .cast("long") % 2).as("arm"))
-    val rk = v.select(col("arm"),
-      row_number().over(Window.orderBy(col("cents"), col("event_id")))
-        .cast("long").as("i"),
-      count(lit(1)).over(Window.partitionBy()).cast("long").as("nn"))
+    // two-level rank (q142): value bins off a 2-scalar probe; empty
+    // input keeps the zero-row pipeline flowing (the q166 device)
+    val mm = v.agg(min(col("cents")), max(col("cents"))).head
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
+    val bw = (hi - lo) / 4096 + 1
+    val binned = v.withColumn("bin", expr(s"(cents - ${lo}L) div ${bw}L"))
+      .localCheckpoint() // 2 consumers: bin totals and the in-bin rank
+    val binTotals = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("bc"))
+    // before + nn both ride the ≤4096-row bin frame (windows over bin
+    // counts, never rows), so the rank join stays strictly equi-keyed
+    val binBefore = binTotals.select(col("bin"),
+      coalesce(sum(col("bc")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("before"),
+      sum(col("bc")).over(Window.partitionBy()).cast("long").as("nn"))
+    val inBin = Window.partitionBy(col("bin"))
+      .orderBy(col("cents"), col("event_id"))
+    val rk = binned
+      .withColumn("inb", row_number().over(inBin).cast("long"))
+      .join(broadcast(binBefore), "bin")
+      .select(col("arm"), (col("before") + col("inb")).as("i"), col("nn"))
     val sc = rk.groupBy(col("arm"), col("nn"))
       .agg(sum(when(col("i") <= col("nn") + 1 - col("i"), col("i"))
           .otherwise(col("nn") + 1 - col("i"))).cast("long").as("w"),
