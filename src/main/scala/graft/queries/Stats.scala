@@ -42,7 +42,7 @@ object Stats {
     q266Greenwood, q267StreaksRecords, q278GapModelLlr,
     q279TurningPoints, q280BartelsRvn, q281CooksDistance,
     q288NegBinomialFit, q289Order2Entropy, q290SeasonalMannKendall,
-    q292VolumeHhi, q293PriorityMixShift)
+    q292VolumeHhi, q293PriorityMixShift, q296GapBurstiness)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -8516,5 +8516,83 @@ object Stats {
             lit(0.0))),
           6).as("cramers_v"))
       .orderBy(col("month_bucket"), col("priority"))
+  }
+
+  /** INTER-EVENT BURSTINESS — Goh & Barabási's B = (σ−μ)/(σ+μ) over
+    * the inter-event gap distribution per type: −1 for a metronome
+    * (σ = 0), 0 for Poisson (σ = μ), → +1 for heavy-tailed bursts.
+    * The single-number companion to q266's Greenwood (which measures
+    * clumping of MASS across the span) and q261's Hurst (which needs
+    * long-range blocks): B reads the gap histogram's SHAPE, the
+    * standard "is this traffic human or cron" triage number. CV = σ/μ
+    * reported alongside (B is its Möbius transform — both fall out of
+    * the same two moments).
+    *
+    * Exactness: gaps in whole seconds off the (us, event_id) per-type
+    * lag order (q266's device, same flooring both engines); m, S = Σg,
+    * Q = Σg² exact int64. The POPULATION σ makes the m cancel:
+    * B = (√(mQ − S²) − S)/(√(mQ − S²) + S) — exact ints into ONE IEEE
+    * sqrt and ONE divide (bound: mQ ≤ m·span² ≈ 2·10¹⁸ at the ×10
+    * axis's 3·10⁵ events/type over 30 days — inside int64, per-factor
+    * doubles past that, §5.7). An all-same-second type (S = 0, σ = 0)
+    * is 0/0 → NULL via nullif (stated); a metronome hits B = −1
+    * EXACTLY (√ of a perfect 0). m = 0 (≤1 event) emits nothing.
+    *
+    * Plan: one per-type lag window, one moment aggregate. One scan.
+    */
+  val q296GapBurstiness = Q(
+    "q296_gap_burstiness",
+    """WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |gaps AS (
+      |  SELECT event_type,
+      |    (us - lag(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id)) // 1000000 AS g
+      |  FROM e
+      |),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(g) AS BIGINT) AS s,
+      |    CAST(sum(g * g) AS BIGINT) AS q
+      |  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+      |)
+      |SELECT event_type, m AS n_gaps,
+      |  round(CAST(s AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mean_gap_s,
+      |  round(sqrt(CAST(m * q - s * s AS DOUBLE)) / CAST(m AS DOUBLE),
+      |    6) AS sd_gap_s,
+      |  round(sqrt(CAST(m * q - s * s AS DOUBLE))
+      |    / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS cv,
+      |  round((sqrt(CAST(m * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE))
+      |    / nullif(sqrt(CAST(m * q - s * s AS DOUBLE))
+      |      + CAST(s AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS burstiness
+      |FROM m
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val gaps = e.select(col("event_type"),
+        expr("""(us - lag(us) OVER (PARTITION BY event_type
+          |  ORDER BY us, event_id)) div 1000000""".stripMargin).as("g"))
+      .filter(col("g").isNotNull)
+    val m = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("g")).cast("long").as("s"),
+        sum(col("g") * col("g")).cast("long").as("q"))
+    val r = sqrt(expr("CAST(m * q - s * s AS DOUBLE)"))
+    m.select(col("event_type"), col("m").as("n_gaps"),
+        round(expr("CAST(s AS DOUBLE) / CAST(m AS DOUBLE)"), 6)
+          .as("mean_gap_s"),
+        round(r / col("m").cast("double"), 6).as("sd_gap_s"),
+        round(r / nullif(col("s").cast("double"), lit(0.0)), 6).as("cv"),
+        round((r - col("s").cast("double")) /
+          nullif(r + col("s").cast("double"), lit(0.0)), 6)
+          .as("burstiness"))
+      .orderBy(col("event_type"))
   }
 }

@@ -19,7 +19,8 @@ object TextAnalysis {
       q146PmiCollocations, q159BpeMerges, q173BpeEncode, q188NbClassifier,
       q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
       q218ZipfSlope, q227CosineProfiles, q250OovRate, q276Flesch,
-      q282Mattr, q283QueryLikelihood, q284VocabOverlap, q291VocabChurn)
+      q282Mattr, q283QueryLikelihood, q284VocabOverlap, q291VocabChurn,
+      q294YuleK, q295TokenBurstiness)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -2217,5 +2218,160 @@ object TextAnalysis {
         graft.functions.Exact.ratio6("n0 - surv", "n0").as("death_rate"),
         graft.functions.Exact.ratio6("surv", "n0 + n1 - surv")
           .as("vocab_jaccard"))
+  }
+
+  /** YULE'S K — vocabulary-richness characteristic per source, the
+    * classical repeat-rate statistic (Yule 1944) that q194's Heaps
+    * exponent measures by growth and this measures in closed form:
+    * K = 10⁴·(Σ tf² − N)/N², scale-stable where raw TTR (q282's
+    * companion) decays with N. Template-heavy/boilerplate sources read
+    * HIGH K (mass concentrated in few types); diverse prose reads low.
+    * The per-source number a corpus-mix dashboard tracks release over
+    * release. Also reports Simpson's repeat rate R = (Σ tf² − N)/
+    * (N(N−1)) — the probability two distinct token draws are the same
+    * type — since both fall out of the same two integers.
+    *
+    * Exactness: tf, N = Σ tf and S2 = Σ tf² are exact int64 (S2 bound:
+    * a 10⁹-token source whose top type takes 5% still sits at 2.5·10¹⁵
+    * — headroom to ~10¹⁸; past that the per-factor DOUBLE route, §5.7).
+    * K and R are FIXED-ORDER double chains over the exact integers —
+    * (S2−N in one int64 subtract) · 10⁴ / N / N left-to-right, the
+    * q243 determinism stance; ratio6 would overflow here (N² passes
+    * even ratio6Big's denominator line at ×10). N ≤ 1 → NULL R via
+    * nullif; K at N = 1 is exactly 0 (S2 = N) — stated.
+    *
+    * Plan: one explode → (source, token) hash aggregate (map-side
+    * combined) → per-source moment rollup. Scan-dominated, vocabulary-
+    * bounded intermediate, zero windows.
+    */
+  val q294YuleK = Q(
+    "q294_yule_k",
+    """WITH tf AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS f
+      |  FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w
+      |    FROM documents
+      |    WHERE text IS NOT NULL AND source IS NOT NULL) z
+      |  WHERE w <> '' GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(f) AS BIGINT) AS n,
+      |    CAST(sum(f * f) AS BIGINT) AS s2
+      |  FROM tf GROUP BY 1
+      |)
+      |SELECT source, vocab, n AS n_tokens,
+      |  round(CAST(s2 - n AS DOUBLE) * CAST(10000 AS DOUBLE)
+      |    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE), 6) AS yule_k,
+      |  round(CAST(s2 - n AS DOUBLE)
+      |    / CAST(n AS DOUBLE)
+      |    / nullif(CAST(n - 1 AS DOUBLE), CAST(0 AS DOUBLE)), 6)
+      |    AS repeat_rate
+      |FROM m
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast("long").as("f"))
+    tf.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        sum(col("f")).cast("long").as("n"),
+        sum(col("f") * col("f")).cast("long").as("s2"))
+      .select(col("source"), col("vocab"), col("n").as("n_tokens"),
+        round(expr("""CAST(s2 - n AS DOUBLE) * CAST(10000 AS DOUBLE)
+          |  / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)""".stripMargin), 6)
+          .as("yule_k"),
+        round(expr("""CAST(s2 - n AS DOUBLE)
+          |  / CAST(n AS DOUBLE)
+          |  / nullif(CAST(n - 1 AS DOUBLE), CAST(0 AS DOUBLE))"""
+          .stripMargin), 6).as("repeat_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** TOKEN BURSTINESS (Fano factor) — Church & Gale's observation made
+    * an operator: content words CLUMP (a document about "spark"
+    * mentions it many times; most mention it zero) while function words
+    * spread evenly, so the variance-to-mean ratio of PER-DOCUMENT
+    * counts separates topical vocabulary from glue — and tokens whose
+    * F explodes corpus-wide are template/boilerplate markers q68's
+    * within-doc repetition cannot see. Reports the top-20 burstiest
+    * tokens at support tf ≥ 30 (the q17 per-group-top-k presentation).
+    *
+    * Exactness: with D docs, tf = Σ xᵢ and s2 = Σ xᵢ² exact int64 over
+    * per-doc counts (zeros contribute nothing to either — the D-doc
+    * variance needs no zero-filling because Σ over absent docs is 0),
+    * sample variance (D·s2 − tf²)/(D(D−1)) and mean tf/D collapse to
+    * the single rational F = (D·s2 − tf²)/((D−1)·tf): ONE divide of
+    * exact int64s (bounds: D·s2 ≤ 10⁴·vocab-capped, tf² ≤ (5·10⁶)² at
+    * ×10 — both < 2⁶³; per-factor doubles past that, §5.7). Ranking
+    * and ties ride (F DESC, token) where both engines compare the
+    * SAME divide's bits. D ≤ 1 → empty (no variance — stated).
+    *
+    * Plan: explode → (token, doc) count → token-level moment aggregate
+    * (vocabulary-bounded), one top-k window over the support-filtered
+    * vocabulary. No row-proportional window, no join.
+    */
+  val q295TokenBurstiness = Q(
+    "q295_token_burstiness",
+    """WITH dd AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS d
+      |  FROM documents WHERE text IS NOT NULL
+      |),
+      |dc AS (
+      |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents WHERE text IS NOT NULL) z
+      |  WHERE w <> '' GROUP BY 1, 2
+      |),
+      |tm AS (
+      |  SELECT w, CAST(sum(c) AS BIGINT) AS tf,
+      |    CAST(sum(c * c) AS BIGINT) AS s2,
+      |    CAST(count(*) AS BIGINT) AS docs_with
+      |  FROM dc GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT w, tf, docs_with,
+      |    CAST(dd.d * s2 - tf * tf AS DOUBLE)
+      |      / CAST((dd.d - 1) * tf AS DOUBLE) AS fano
+      |  FROM tm CROSS JOIN dd
+      |  WHERE tf >= 30 AND dd.d > 1
+      |)
+      |SELECT CAST(rk AS INTEGER) AS rank, w AS token, tf, docs_with,
+      |  round(fano, 6) AS fano
+      |FROM (
+      |  SELECT w, tf, docs_with, fano,
+      |    row_number() OVER (ORDER BY fano DESC, w) AS rk
+      |  FROM f) z
+      |WHERE rk <= 20
+      |ORDER BY rank""".stripMargin,
+  ) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .localCheckpoint() // 2 consumers: the D count and the token scan
+    val dd = docs.agg(count(lit(1)).cast("long").as("d"))
+    val dc = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val tm = dc.groupBy(col("w"))
+      .agg(sum(col("c")).cast("long").as("tf"),
+        sum(col("c") * col("c")).cast("long").as("s2"),
+        count(lit(1)).cast("long").as("docs_with"))
+    val f = tm.crossJoin(broadcast(dd))
+      .filter(col("tf") >= 30 && col("d") > 1)
+      .select(col("w"), col("tf"), col("docs_with"),
+        expr("""CAST(d * s2 - tf * tf AS DOUBLE)
+          |  / CAST((d - 1) * tf AS DOUBLE)""".stripMargin).as("fano"))
+    f.select(col("w"), col("tf"), col("docs_with"), col("fano"),
+        row_number().over(Window.orderBy(col("fano").desc, col("w")))
+          .as("rk"))
+      .filter(col("rk") <= 20)
+      .select(col("rk").cast("int").as("rank"), col("w").as("token"),
+        col("tf"), col("docs_with"), round(col("fano"), 6).as("fano"))
+      .orderBy(col("rank"))
   }
 }

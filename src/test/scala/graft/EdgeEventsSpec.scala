@@ -1083,4 +1083,27 @@ class EdgeEventsSpec extends SparkSpec {
     assert(r2.forall(_.isNullAt(5)),
       "a single bucket must NULL cramers_v too")
   }
+
+  test("q296 degenerate: a metronome attains B = -1 exactly; an all-" +
+      "same-second type (zero gap sum) NULLs B and CV, never 0/0") {
+    // the 4-event equal-spacing fixture from the q257 edge: sigma = 0
+    // makes (0 - mu)/(0 + mu) = -1 with NO floating cancellation
+    val gm = SparkEntry.queries("q296_gap_burstiness")(
+      spark, "/tmp/graft_edge_events_metronome").collect()
+    assert(gm.length === 1 && gm.head.getLong(1) === 3L)
+    assert(gm.head.getDouble(5) === -1.0, "a metronome is B = -1 exactly")
+    assert(gm.head.getDouble(4) === 0.0, "CV of equal gaps is 0")
+    // two events in the same second: the only gap is 0 -> S = 0 and
+    // sigma = 0 -> both ratios are 0/0 -> NULL via the nullif guard
+    val d = "/tmp/graft_edge_events_samesec"
+    import spark.implicits._
+    Seq((1L, 1000000000L, 1L, "s", 1.0, "{}"),
+      (2L, 1500000000L, 1L, "s", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val gs = SparkEntry.queries("q296_gap_burstiness")(spark, d).collect()
+    assert(gs.length === 1 && gs.head.getLong(1) === 1L)
+    assert(gs.head.isNullAt(4) && gs.head.isNullAt(5),
+      "zero gap mass must NULL CV and B")
+  }
 }

@@ -550,7 +550,10 @@ class ScaleSpec extends SparkSpec {
       // strictly equi-keyed
       "q288_negbinomial_fit", "q290_seasonal_mann_kendall",
       // q292 is grid moments only
-      "q292_volume_hhi")) {
+      "q292_volume_hhi",
+      // q294's spectrum and q296's gap moments are scan + hash
+      // aggregates, join-free
+      "q294_yule_k", "q296_gap_burstiness")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -581,7 +584,9 @@ class ScaleSpec extends SparkSpec {
       // q293's 1-row chi frame and q291's 1-row half-vocabulary
       // counters are the same scalar shape
       "q289_order2_entropy", "q291_vocab_churn",
-      "q293_priority_mix_shift")) {
+      "q293_priority_mix_shift",
+      // q295's 1-row document-count frame is the same scalar broadcast
+      "q295_token_burstiness")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -440,9 +440,11 @@ class ShortDocSpec extends SparkSpec {
     // (the ws inner join drops it), never a 0/0
     assert(SparkEntry.queries("q282_mattr")(spark, dir).collect()
       .isEmpty, "window-less corpora have no pooled MATTR")
-    // none of the probe terms occur → every doc scores smoothing mass
-    // only; scores differ by length only and ties break by doc_id —
-    // docs 3 and 4 (identical text) must rank adjacently by id
+    // none of the probe terms occur → cf = 0 NULLs every term via the
+    // explicit both-engine guard (r15; formerly the bare ln(0) NULL on
+    // the Spark side only), so every score is NULL and ranking falls
+    // entirely to the doc_id tiebreak — docs 3 and 4 (identical text)
+    // must rank adjacently by id
     val ql = SparkEntry.queries("q283_query_likelihood")(spark, dir)
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(ql.nonEmpty && ql.length <= 10)
@@ -452,5 +454,30 @@ class ShortDocSpec extends SparkSpec {
     // a single-source corpus has no pair rows
     assert(SparkEntry.queries("q284_vocab_overlap")(spark, dir).collect()
       .isEmpty, "one source, no matrix")
+  }
+
+  test("q294/q295 degenerate: hand-computable Yule spectrum on the " +
+      "shared fixture; an all-distinct source reads K = 0 with NULL " +
+      "repeat rate at N = 1; sub-support corpora have no burstiness") {
+    // shared fixture tokens: ab(1) hello(1) world(1) the(4) quick(2)
+    // brown(2) fox(2) jumps(2) over(2) lazy(2) dog(2) -> N = 21,
+    // S2 = 47 -> K = 1e4*26/441, R = 26/(21*20)
+    val yk = SparkEntry.queries("q294_yule_k")(spark, dir).collect()
+    assert(yk.length === 1)
+    assert(yk.head.getLong(1) === 11L && yk.head.getLong(2) === 21L)
+    assert(math.abs(yk.head.getDouble(3) - 10000.0 * 26 / 441) < 1e-4)
+    assert(math.abs(yk.head.getDouble(4) - 26.0 / 420) < 1e-6)
+    // a one-token source: N = 1, S2 = 1 -> K exactly 0, R undefined
+    val d1 = "/tmp/graft_shortdocs_onetok"
+    import spark.implicits._
+    Seq((1L, "solo", "en", "one", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val y1 = SparkEntry.queries("q294_yule_k")(spark, d1).collect()
+    assert(y1.length === 1 && y1.head.getDouble(3) === 0.0)
+    assert(y1.head.isNullAt(4), "N = 1 has no two-draw repeat rate")
+    // no token reaches the tf >= 30 support line on either fixture
+    assert(SparkEntry.queries("q295_token_burstiness")(spark, dir)
+      .collect().isEmpty, "sub-support corpora have no burstiness rows")
   }
 }

@@ -3717,4 +3717,92 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.size === cells.size, "cell coverage")
   }
+
+  test("q294 Yule's K replays from a Scala frequency-spectrum walk; a " +
+      "source of all-distinct tokens reads K = 0") {
+    val got = TextAnalysis.q294YuleK.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    }.toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for ((src, g) <- docs.groupBy(_._1)) {
+      val tf = g.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (_, v) => v.length.toLong }
+      val n = tf.sum
+      val s2 = tf.map(f => f * f).sum
+      val k = (s2 - n).toDouble * 10000.0 / n / n
+      val rr = (s2 - n).toDouble / n / (n - 1)
+      val (gv, gn, gk, grr) = got(src)
+      assert(gv === tf.size.toLong && gn === n, s"$src counts")
+      assert(math.abs(gk - k) < 1e-4 * (1 + k), s"$src K")
+      if (n > 1) assert(math.abs(grr - rr) < 1e-6, s"$src R")
+      assert(gk >= 0, s"$src K is a repeat mass — never negative")
+    }
+    assert(got.keySet === docs.groupBy(_._1).keySet)
+  }
+
+  test("q295 token burstiness replays from a Scala per-doc count walk; " +
+      "the Fano order and top-20 cut match") {
+    val got = TextAnalysis.q295TokenBurstiness.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dd = docs.length.toLong
+    val perDoc = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, v) => (w, id, v.length.toLong) }
+    }
+    val expect = perDoc.groupBy(_._1).toSeq.flatMap { case (w, g) =>
+      val tf = g.map(_._3).sum
+      val s2 = g.map(c => c._3 * c._3).sum
+      if (tf >= 30 && dd > 1)
+        Some((w, tf, g.length.toLong,
+          (dd * s2 - tf * tf).toDouble / ((dd - 1) * tf)))
+      else None
+    }.sortBy { case (w, _, _, f) => (-f, w) }.take(20)
+    assert(got.length === expect.length && got.nonEmpty)
+    for (((w, tf, dw, f), i) <- expect.zipWithIndex) {
+      val (grk, gw, gtf, gdw, gf) = got(i)
+      assert(grk === i + 1 && gw === w, s"rank ${i + 1} token")
+      assert(gtf === tf && gdw === dw, s"$w counts")
+      assert(math.abs(gf - f) < 1e-4 * (1 + f), s"$w fano")
+    }
+  }
+
+  test("q296 gap burstiness replays from a Scala gap-moment walk; B and " +
+      "CV agree and B stays in [-1, 1)") {
+    val got = Stats.q296GapBurstiness.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+    }.toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, g) <- ev.groupBy(_._1)) {
+      val gaps = g.sortBy(e => (e._3, e._2)).sliding(2).collect {
+        case Array(a, b) => java.lang.Math.floorDiv(b._3 - a._3, 1000000L)
+      }.toSeq
+      if (gaps.nonEmpty) {
+        val m = gaps.length.toLong
+        val s = gaps.sum; val q = gaps.map(x => x * x).sum
+        val r0 = math.sqrt((m * q - s * s).toDouble)
+        val (gm, gmean, gb) = got(t)
+        assert(gm === m, s"$t gap count")
+        assert(math.abs(gmean - s.toDouble / m) < 1e-5, s"$t mean")
+        if (r0 + s > 0) {
+          val b = (r0 - s) / (r0 + s)
+          assert(math.abs(gb - b) < 1e-5, s"$t B")
+          assert(gb >= -1.0 && gb < 1.0, s"$t B range")
+        } else assert(gb.isNaN, s"$t all-zero gaps must NULL B")
+      } else assert(!got.contains(t))
+    }
+  }
 }
