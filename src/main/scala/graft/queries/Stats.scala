@@ -42,7 +42,8 @@ object Stats {
     q266Greenwood, q267StreaksRecords, q278GapModelLlr,
     q279TurningPoints, q280BartelsRvn, q281CooksDistance,
     q288NegBinomialFit, q289Order2Entropy, q290SeasonalMannKendall,
-    q292VolumeHhi, q293PriorityMixShift, q296GapBurstiness)
+    q292VolumeHhi, q293PriorityMixShift, q296GapBurstiness,
+    q297OddsRatio, q298McNemar, q299DowSeasonality)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -8593,6 +8594,371 @@ object Stats {
         round((r - col("s").cast("double")) /
           nullif(r + col("s").cast("double"), lit(0.0)), 6)
           .as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  /** PURCHASE ODDS RATIO with WOOLF CI — the 2×2 effect size the
+    * z-tests (q154) and rate diffs don't report: arms from the q65
+    * md5 'ab|' split, outcome = did the user EVER purchase; OR =
+    * (a·d)/(b·c) with the Woolf log-interval exp(ln OR ± 1.96·
+    * √(1/a + 1/b + 1/c + 1/d)) — the effect measure meta-analyses
+    * and epidemiology standardized on because ln OR is symmetric and
+    * variance-stable where risk ratios are not.
+    *
+    * Exactness: the four cells are exact int64 distinct-user counts;
+    * OR is ONE divide of exact int64 cross-products (cells ≤ 2·10⁶ →
+    * products ≤ 4·10¹² ≪ 2⁶³); ln/exp ride the house float-cast; SE's
+    * four reciprocals sum LEFT-TO-RIGHT a, b, c, d (fixed order, the
+    * q243 stance). ANY empty cell → NULL OR and CI via explicit CASE
+    * (no Haldane +0.5 smoothing — a zero cell is reported as
+    * undefined, stated); the verdict is a STRING (§5.7).
+    *
+    * Plan: one per-user aggregate (map-side combined), a 4-cell
+    * collapse, a 1-row finish. Nothing row-proportional after the
+    * user collapse.
+    */
+  val q297OddsRatio = Q(
+    "q297_odds_ratio",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)),
+      |      1, 1)) AS BIGINT) % 2 AS arm,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS purch
+      |  FROM events WHERE user_id IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 1 AND purch = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN arm = 1 AND purch = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN arm = 0 AND purch = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cc,
+      |    CAST(sum(CASE WHEN arm = 0 AND purch = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dd
+      |  FROM u
+      |),
+      |f AS (
+      |  SELECT a, b, cc, dd,
+      |    CASE WHEN a > 0 AND b > 0 AND cc > 0 AND dd > 0 THEN
+      |      CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+      |        / (CAST(b AS DOUBLE) * CAST(cc AS DOUBLE))
+      |    ELSE NULL END AS orr,
+      |    CASE WHEN a > 0 AND b > 0 AND cc > 0 AND dd > 0 THEN
+      |      sqrt(CAST(1 AS DOUBLE) / CAST(a AS DOUBLE)
+      |        + CAST(1 AS DOUBLE) / CAST(b AS DOUBLE)
+      |        + CAST(1 AS DOUBLE) / CAST(cc AS DOUBLE)
+      |        + CAST(1 AS DOUBLE) / CAST(dd AS DOUBLE))
+      |    ELSE NULL END AS se
+      |  FROM c
+      |)
+      |SELECT a AS treat_purch, b AS treat_no, cc AS ctrl_purch,
+      |  dd AS ctrl_no,
+      |  round(orr, 6) AS odds_ratio,
+      |  round(CAST(exp(CAST(CAST(ln(orr) AS FLOAT) AS DOUBLE)
+      |    - 1.96 * se) AS FLOAT), 6) AS ci_lo,
+      |  round(CAST(exp(CAST(CAST(ln(orr) AS FLOAT) AS DOUBLE)
+      |    + 1.96 * se) AS FLOAT), 6) AS ci_hi,
+      |  CASE WHEN orr IS NULL THEN NULL
+      |    WHEN CAST(exp(CAST(CAST(ln(orr) AS FLOAT) AS DOUBLE)
+      |        - 1.96 * se) AS FLOAT) > 1
+      |      OR CAST(exp(CAST(CAST(ln(orr) AS FLOAT) AS DOUBLE)
+      |        + 1.96 * se) AS FLOAT) < 1
+      |      THEN 'detectable' ELSE 'null_compatible' END AS verdict
+      |FROM f""".stripMargin,
+  ) { (s, d) =>
+    val u = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"),
+        (conv(substring(md5(concat(lit("ab|"),
+          col("user_id").cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2).as("arm"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("purch"))
+    val c = u.agg(
+      sum(when(col("arm") === 1 && col("purch") === 1, 1).otherwise(0))
+        .cast("long").as("a"),
+      sum(when(col("arm") === 1 && col("purch") === 0, 1).otherwise(0))
+        .cast("long").as("b"),
+      sum(when(col("arm") === 0 && col("purch") === 1, 1).otherwise(0))
+        .cast("long").as("cc"),
+      sum(when(col("arm") === 0 && col("purch") === 0, 1).otherwise(0))
+        .cast("long").as("dd"))
+    val f = c.select(col("a"), col("b"), col("cc"), col("dd"),
+      expr("""CASE WHEN a > 0 AND b > 0 AND cc > 0 AND dd > 0 THEN
+        |  CAST(a AS DOUBLE) * CAST(dd AS DOUBLE)
+        |    / (CAST(b AS DOUBLE) * CAST(cc AS DOUBLE))
+        |ELSE NULL END""".stripMargin).as("orr"),
+      expr("""CASE WHEN a > 0 AND b > 0 AND cc > 0 AND dd > 0 THEN
+        |  sqrt(CAST(1 AS DOUBLE) / CAST(a AS DOUBLE)
+        |    + CAST(1 AS DOUBLE) / CAST(b AS DOUBLE)
+        |    + CAST(1 AS DOUBLE) / CAST(cc AS DOUBLE)
+        |    + CAST(1 AS DOUBLE) / CAST(dd AS DOUBLE))
+        |ELSE NULL END""".stripMargin).as("se"))
+    val lo = expr("""CAST(exp(CAST(CAST(ln(orr) AS FLOAT) AS DOUBLE)
+      |  - 1.96 * se) AS FLOAT)""".stripMargin)
+    val hi = expr("""CAST(exp(CAST(CAST(ln(orr) AS FLOAT) AS DOUBLE)
+      |  + 1.96 * se) AS FLOAT)""".stripMargin)
+    f.select(col("a").as("treat_purch"), col("b").as("treat_no"),
+      col("cc").as("ctrl_purch"), col("dd").as("ctrl_no"),
+      round(col("orr"), 6).as("odds_ratio"),
+      round(lo, 6).as("ci_lo"), round(hi, 6).as("ci_hi"),
+      when(col("orr").isNull, lit(null).cast("string"))
+        .when(lo > 1 || hi < 1, lit("detectable"))
+        .otherwise(lit("null_compatible")).as("verdict"))
+  }
+
+  /** McNEMAR'S TEST — did individual users CHANGE behavior between the
+    * two calendar halves? The paired-binary test the two-sample
+    * machinery (q154/q162) cannot express: each user is their own
+    * control, and only the DISCORDANT pairs carry information — b
+    * (active early, silent late) vs c (silent early, active late),
+    * χ²₁ = (b−c)²/(b+c). The churn-vs-activation balance check behind
+    * any "engagement shifted" claim. Outcome here: did the user
+    * purchase in each half.
+    *
+    * Exactness: the span midpoint mid = (min_us + max_us) div 2 comes
+    * from a 2-scalar driver probe on the Spark side and the identical
+    * integer subquery in the oracle (both floor non-negatives — §5.7);
+    * per-user half-flags are exact max() indicators; χ² is ONE divide
+    * of exact int64s ((b−c)² ≤ 4·10¹² at 2·10⁶ users). b + c = 0 (no
+    * discordant users) → NULL χ² via nullif and a NULL STRING verdict
+    * (§5.7). The 3.8415 literal is the χ²₁ 5% line (q260's stance).
+    *
+    * Plan: one per-user aggregate, a 1-row finish. The probe is two
+    * scalars, never rows.
+    */
+  val q298McNemar = Q(
+    "q298_mcnemar",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase'
+      |      AND us <= (SELECT mid FROM m) THEN 1 ELSE 0 END) AS h1,
+      |    max(CASE WHEN event_type = 'purchase'
+      |      AND us > (SELECT mid FROM m) THEN 1 ELSE 0 END) AS h2
+      |  FROM e GROUP BY 1
+      |),
+      |c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS both_halves,
+      |    CAST(sum(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS churned,
+      |    CAST(sum(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS activated,
+      |    CAST(sum(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS neither
+      |  FROM u
+      |)
+      |SELECT n AS n_users, both_halves, churned, activated, neither,
+      |  round(CAST((churned - activated) * (churned - activated)
+      |      AS DOUBLE)
+      |    / nullif(CAST(churned + activated AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS chi2,
+      |  CASE WHEN churned + activated = 0 THEN NULL
+      |    WHEN CAST((churned - activated) * (churned - activated)
+      |        AS DOUBLE)
+      |      / CAST(churned + activated AS DOUBLE) > 3.8415
+      |      THEN 'shifted' ELSE 'stable' END AS verdict
+      |FROM c""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .localCheckpoint() // 2 consumers: the 2-scalar probe and the walk
+    val mm = e.agg(min(col("us")), max(col("us"))).head
+    if (mm.isNullAt(0)) {
+      // empty corpus: zero-row frame with the output schema
+      e.sparkSession.emptyDataFrame
+        .selectExpr("CAST(0 AS BIGINT) AS n_users",
+          "CAST(0 AS BIGINT) AS both_halves",
+          "CAST(0 AS BIGINT) AS churned",
+          "CAST(0 AS BIGINT) AS activated",
+          "CAST(0 AS BIGINT) AS neither",
+          "CAST(NULL AS DOUBLE) AS chi2",
+          "CAST(NULL AS STRING) AS verdict")
+        .limit(0)
+    } else {
+      val mid = Math.floorDiv(mm.getLong(0) + mm.getLong(1), 2L)
+      val u = e.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase"
+            && col("us") <= mid, 1).otherwise(0)).as("h1"),
+          max(when(col("event_type") === "purchase"
+            && col("us") > mid, 1).otherwise(0)).as("h2"))
+      val c = u.agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("h1") === 1 && col("h2") === 1, 1).otherwise(0))
+          .cast("long").as("both_halves"),
+        sum(when(col("h1") === 1 && col("h2") === 0, 1).otherwise(0))
+          .cast("long").as("churned"),
+        sum(when(col("h1") === 0 && col("h2") === 1, 1).otherwise(0))
+          .cast("long").as("activated"),
+        sum(when(col("h1") === 0 && col("h2") === 0, 1).otherwise(0))
+          .cast("long").as("neither"))
+      val chi = expr("""CAST((churned - activated)
+        |  * (churned - activated) AS DOUBLE)
+        |  / nullif(CAST(churned + activated AS DOUBLE),
+        |    CAST(0 AS DOUBLE))""".stripMargin)
+      c.select(col("n").as("n_users"), col("both_halves"),
+        col("churned"), col("activated"), col("neither"),
+        round(chi, 6).as("chi2"),
+        when(col("churned") + col("activated") === 0,
+          lit(null).cast("string"))
+          .when(chi > 3.8415, lit("shifted"))
+          .otherwise(lit("stable")).as("verdict"))
+    }
+  }
+
+  /** DAY-OF-WEEK SEASONALITY STRENGTH — how much of the daily-volume
+    * variance does the weekly cycle explain? Per type over the
+    * zero-filled daily grid (q249's dense device — silent days are
+    * observations), the one-way η² = SSB/SST with day-of-week as the
+    * factor: η² ≈ 0 says volume ignores the week, → 1 says the weekly
+    * rhythm IS the series. The decomposition behind "don't compare
+    * Tuesday to Sunday" — and the diagnostic q290's seasonal
+    * Mann–Kendall PRESUMES (it blocks by hour-of-day; this measures
+    * whether day-of-week blocking is warranted too). Reports the peak
+    * weekday and its mean multiple of the overall mean.
+    *
+    * Exactness: per-(type, dow) n_d and S_d and per-type n, S, Q are
+    * exact int64 over grid counts; each SSB term S_d²/n_d is ONE
+    * divide of exact int64s quantized to DECIMAL(18,9) for the
+    * associative 7-term total (the q197 idiom); SST = Q − S²/n and the
+    * final ratio are fixed-order chains (S² ≤ (3·10⁶)² at the ×10
+    * axis — inside int64). Constant grids (SST = 0, only possible on
+    * degenerate fixtures) → NULL η² via nullif. dow = epoch_days % 7
+    * (0 = Thursday; a LABEL, not a calendar claim — stated;
+    * PRECONDITION ts ≥ 1970, §5.7). Spans shorter than 8 days cannot
+    * separate dow from day → rows still emit, η² reads 1 trivially at
+    * n_d = 1 per cell (stated — the consumer gates on n_days).
+    *
+    * Plan: one (type, day) aggregate, the q249 grid join, a ≤7-row
+    * per-type collapse, a window-total finish over ≤7 rows.
+    */
+  val q299DowSeasonality = Q(
+    "q299_dow_seasonality",
+    """WITH dc AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM dc
+      |      GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, gs.day
+      |  FROM b, LATERAL (SELECT unnest(generate_series(b.d0, b.d1))
+      |    AS day) gs
+      |),
+      |z AS (
+      |  SELECT g.event_type, g.day % 7 AS dow,
+      |    COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.day
+      |),
+      |dw AS (
+      |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nd,
+      |    CAST(sum(c) AS BIGINT) AS sd
+      |  FROM z GROUP BY 1, 2
+      |),
+      |t AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q
+      |  FROM z GROUP BY 1
+      |),
+      |ssb AS (
+      |  SELECT dw.event_type,
+      |    CAST(sum(CAST(CAST(dw.sd AS DOUBLE) * CAST(dw.sd AS DOUBLE)
+      |      / CAST(dw.nd AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+      |      AS sb
+      |  FROM dw GROUP BY 1
+      |),
+      |pk AS (
+      |  SELECT event_type, dow AS peak_dow, nd AS peak_nd, sd AS peak_sd
+      |  FROM (
+      |    SELECT event_type, dow, nd, sd,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE) DESC,
+      |          dow) AS rk
+      |    FROM dw) zz
+      |  WHERE rk = 1
+      |)
+      |SELECT t.event_type, t.n AS n_days,
+      |  round((ssb.sb - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+      |      / CAST(t.n AS DOUBLE))
+      |    / nullif(CAST(t.q AS DOUBLE)
+      |      - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+      |        / CAST(t.n AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS eta2,
+      |  CAST(pk.peak_dow AS INTEGER) AS peak_dow,
+      |  round(CAST(pk.peak_sd AS DOUBLE) / CAST(pk.peak_nd AS DOUBLE)
+      |    / nullif(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS peak_multiple
+      |FROM t
+      |JOIN ssb ON ssb.event_type = t.event_type
+      |JOIN pk ON pk.event_type = t.event_type
+      |ORDER BY t.event_type""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val grid = dc.groupBy(col("event_type").as("g_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+      .select(col("g_type"), (col("d0") + col("t")).as("day"))
+    val z = grid.join(dc,
+        col("g_type") === dc("event_type") && dc("day") === grid("day"),
+        "left")
+      .select(col("g_type").as("event_type"), (grid("day") % 7).as("dow"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+      .localCheckpoint() // 2 consumers: dow cells and type moments
+    val dw = z.groupBy(col("event_type").as("w_type"), col("dow"))
+      .agg(count(lit(1)).cast("long").as("nd"),
+        sum(col("c")).cast("long").as("sd"))
+      .localCheckpoint() // 2 consumers: the SSB total and the peak
+    val t = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c")).cast("long").as("s"),
+        sum(col("c") * col("c")).cast("long").as("q"))
+    val ssb = dw.groupBy(col("w_type").as("s_type"))
+      .agg(sum(expr("""CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+        |  / CAST(nd AS DOUBLE) AS DECIMAL(18,9))""".stripMargin))
+        .cast("double").as("sb"))
+    val pk = dw.select(col("w_type").as("p_type"), col("dow"),
+        col("nd"), col("sd"),
+        row_number().over(Window.partitionBy(col("w_type"))
+          .orderBy((col("sd").cast("double") / col("nd").cast("double"))
+            .desc, col("dow"))).as("rk"))
+      .filter(col("rk") === 1)
+    t.join(ssb, col("s_type") === col("event_type"))
+      .join(pk, col("p_type") === col("event_type"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round(expr("""(sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          |    / CAST(n AS DOUBLE))
+          |  / nullif(CAST(q AS DOUBLE)
+          |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+          |      / CAST(n AS DOUBLE), CAST(0 AS DOUBLE))"""
+          .stripMargin), 6).as("eta2"),
+        col("dow").cast("int").as("peak_dow"),
+        round(expr("""CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE)
+          |  / nullif(CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+          |    CAST(0 AS DOUBLE))""".stripMargin), 6)
+          .as("peak_multiple"))
       .orderBy(col("event_type"))
   }
 }

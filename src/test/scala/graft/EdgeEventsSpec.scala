@@ -1106,4 +1106,29 @@ class EdgeEventsSpec extends SparkSpec {
     assert(gs.head.isNullAt(4) && gs.head.isNullAt(5),
       "zero gap mass must NULL CV and B")
   }
+
+  test("q297/q298/q299 degenerate: purchase-free corpora empty a 2x2 " +
+      "margin (NULL OR) and have no discordant pairs (NULL McNemar); a " +
+      "single-day span has zero total variance (NULL eta2)") {
+    // the shared fixture has NO purchase events: the purchase margin is
+    // empty → OR undefined → NULL estimate AND NULL string verdict
+    val or = SparkEntry.queries("q297_odds_ratio")(spark, dir).collect()
+    assert(or.length === 1)
+    assert(or.head.isNullAt(4) && or.head.isNullAt(7),
+      "an empty 2x2 cell must NULL the OR and the verdict")
+    // no purchases → every user is (0, 0) → b = c = 0 → NULL chi2
+    val mc = SparkEntry.queries("q298_mcnemar")(spark, dir).collect()
+    assert(mc.length === 1)
+    assert(mc.head.getLong(2) === 0L && mc.head.getLong(3) === 0L)
+    assert(mc.head.isNullAt(5) && mc.head.isNullAt(6),
+      "no discordant users must NULL the test")
+    // each type spans one day → n = 1 grid cell → SST = 0 → NULL eta2,
+    // peak multiple exactly 1 (the one day IS the mean)
+    val dw = SparkEntry.queries("q299_dow_seasonality")(spark, dir)
+      .collect()
+    assert(dw.length === 2)
+    assert(dw.forall(_.getLong(1) === 1L))
+    assert(dw.forall(_.isNullAt(2)), "SST = 0 must NULL eta2")
+    assert(dw.forall(_.getDouble(4) === 1.0), "one day is its own mean")
+  }
 }

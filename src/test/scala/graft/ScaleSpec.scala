@@ -553,7 +553,11 @@ class ScaleSpec extends SparkSpec {
       "q292_volume_hhi",
       // q294's spectrum and q296's gap moments are scan + hash
       // aggregates, join-free
-      "q294_yule_k", "q296_gap_burstiness")) {
+      "q294_yule_k", "q296_gap_burstiness",
+      // q297/q298 are per-user collapses (q298's midpoint is a
+      // 2-scalar driver probe, not a broadcast); q299 rides the q265
+      // dense-grid equi join
+      "q297_odds_ratio", "q298_mcnemar", "q299_dow_seasonality")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

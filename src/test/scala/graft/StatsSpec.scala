@@ -3805,4 +3805,101 @@ class StatsSpec extends SparkSpec {
       } else assert(!got.contains(t))
     }
   }
+
+  test("q297 odds ratio replays from a Scala 2x2 walk; the Woolf " +
+      "interval brackets the point estimate") {
+    val r = Stats.q297OddsRatio.fn(spark, sf).collect().head
+    val users = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("p")).collect().map(x => (x.getLong(0), x.getInt(1)))
+    def arm(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$u".getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${h(0) & 0xff}%02x".take(1), 16) % 2
+    }
+    val a = users.count(u => arm(u._1) == 1 && u._2 == 1).toLong
+    val b = users.count(u => arm(u._1) == 1 && u._2 == 0).toLong
+    val c = users.count(u => arm(u._1) == 0 && u._2 == 1).toLong
+    val dd = users.count(u => arm(u._1) == 0 && u._2 == 0).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((a, b, c, dd)), "2x2 cells")
+    if (a > 0 && b > 0 && c > 0 && dd > 0) {
+      val or = a.toDouble * dd / (b.toDouble * c)
+      val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)
+      assert(math.abs(r.getDouble(4) - or) < 1e-4 * (1 + or), "OR")
+      assert(math.abs(r.getDouble(5) - math.exp(math.log(or) - 1.96 * se))
+        < 1e-3, "CI lo")
+      assert(r.getDouble(5) < r.getDouble(4)
+        && r.getDouble(4) < r.getDouble(6), "CI brackets the estimate")
+      val signif = r.getDouble(5) > 1 || r.getDouble(6) < 1
+      assert(r.getString(7) ===
+        (if (signif) "detectable" else "null_compatible"))
+    } else assert(r.isNullAt(4) && r.isNullAt(7))
+  }
+
+  test("q298 McNemar replays from a Scala paired-halves walk; the four " +
+      "states partition the users") {
+    val r = Stats.q298McNemar.fn(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val mid = Math.floorDiv(ev.map(_._3).min + ev.map(_._3).max, 2L)
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, g) =>
+      (g.exists(e => e._2 == "purchase" && e._3 <= mid),
+        g.exists(e => e._2 == "purchase" && e._3 > mid))
+    }
+    val b = perUser.count(p => p._1 && !p._2).toLong
+    val c = perUser.count(p => !p._1 && p._2).toLong
+    assert(r.getLong(0) === perUser.length.toLong, "n partitions")
+    assert(r.getLong(0) === r.getLong(1) + r.getLong(2) + r.getLong(3)
+      + r.getLong(4), "states partition users")
+    assert(r.getLong(2) === b && r.getLong(3) === c, "discordant cells")
+    if (b + c > 0) {
+      val chi = (b - c).toDouble * (b - c) / (b + c)
+      assert(math.abs(r.getDouble(5) - chi) < 1e-5, "chi2")
+      assert(r.getString(6) === (if (chi > 3.8415) "shifted" else "stable"))
+    } else assert(r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("q299 dow seasonality replays from a Scala dense-grid ANOVA; " +
+      "eta2 stays in [0, 1]") {
+    val got = Stats.q299DowSeasonality.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getInt(3)))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val cnt = g.map(_._2).groupBy(identity)
+        .map { case (d, v) => d -> v.length.toLong }
+      val series = (g.map(_._2).min to g.map(_._2).max)
+        .map(d => (d % 7, cnt.getOrElse(d, 0L)))
+      val n = series.length
+      val s = series.map(_._2).sum
+      val q = series.map(x => x._2 * x._2).sum
+      val sst = q.toDouble - s.toDouble * s / n
+      val byDow = series.groupBy(_._1)
+      val ssb = byDow.values.map { v =>
+        val sd = v.map(_._2).sum
+        sd.toDouble * sd / v.length
+      }.sum - s.toDouble * s / n
+      val (gn, geta, gpk) = got(t)
+      assert(gn === n.toLong, s"$t days")
+      if (sst > 0) {
+        assert(math.abs(geta - ssb / sst) < 1e-4, s"$t eta2")
+        assert(geta >= -1e-9 && geta <= 1 + 1e-9, s"$t eta2 range")
+        val peak = byDow.map { case (dw, v) =>
+          (dw, v.map(_._2).sum.toDouble / v.length) }
+          .toSeq.sortBy { case (dw, m) => (-m, dw) }.head._1
+        assert(gpk.toLong === peak, s"$t peak dow")
+      } else assert(geta.isNaN, s"$t constant grid must NULL eta2")
+    }
+    assert(got.keySet === raw.groupBy(_._1).keySet)
+  }
 }
