@@ -37,7 +37,7 @@ object Similarity {
     q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
     q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers,
     q251Silhouette, q268Anisotropy, q269TwoNn, q270LabelNoise,
-    q272ClassBalanced)
+    q272ClassBalanced, q300ParticipationRatio)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -2206,5 +2206,141 @@ object Similarity {
         round(col("eff"), 6).as("effective_n"),
         round(expr("raw * CAST(k AS DOUBLE) / sraw"), 6).as("weight"))
       .orderBy(col("label"))
+  }
+
+  /** PARTICIPATION RATIO — the embedding space's EFFECTIVE
+    * dimensionality without an eigensolver: PR = tr(C)²/tr(C²) =
+    * (Σλ)²/Σλ² over the covariance spectrum, and BOTH traces are
+    * available directly from the q126 covariance rows — tr(C) is the
+    * diagonal sum and tr(C²) = ‖C‖²_F is the sum of squared entries
+    * (off-diagonals twice, C symmetric). PR = D for isotropic spread,
+    * → 1 for a one-direction collapse; the global companion to q268's
+    * anisotropy (first-moment concentration) and q269's TwoNN (local
+    * manifold dim), and the number embedding-drift dashboards track
+    * BECAUSE it needs no iteration, unlike [[topPrincipalComponent]].
+    *
+    * Exactness: covariance numerators are q126's exact int64 (n²·cov
+    * in kilo²-units). The scale factor n²·10⁶ cancels in the ratio
+    * ONLY under uniform per-pair n — PRECONDITION fixed-length
+    * embeddings (the fixture's case; ragged corpora would need
+    * per-pair de-scaling, stated). Each entry de-scales by ONE fixed
+    * chain cov/n/n/10⁶ (exact doubles), the diagonal sum and Frobenius
+    * sum quantize each term to DECIMAL(18,9) (associative totals, the
+    * q197 idiom — the quantization IS the spec, both engines quantize
+    * identical doubles). The three output roundings go ENTIRELY
+    * through integer arithmetic on the ×10⁹-scaled exact sums (tr9,
+    * fro9): PR = tr9²/(fro9·10⁹) splits ratio6Big-style — integer
+    * quotient + half-up of the remainder's 10⁹-truncation (the
+    * truncation shifts the value < 10⁻⁷; the FORMULATION is the spec)
+    * — because the naive round(double, 6) diverged cross-engine on a
+    * live half-1e-6 boundary at sf0.1 (62.158958 vs 62.158959, the
+    * §5.7 round-semantics class); pr_share then rounds the SMALL
+    * rational pr_units/(D·10⁶), never touching tr9² again.
+    * PRECONDITION unit-normalized-ish embeddings: trace ≤ 2 keeps
+    * tr9² ≤ 4·10¹⁸ and fro9·10⁹ ≤ 4·10¹⁸ inside int64 (unit vectors
+    * have trace ≤ E‖x‖² = 1; re-scale raw feature matrices before
+    * this operator — stated, and the EdgeVectorsSpec fixtures stay in
+    * the envelope). fro9 = 0 → NULL via nullif; D = 0 → empty.
+    *
+    * Plan: the q126 single-scan fused upper-triangle explode into a
+    * D(D+1)/2-row aggregate, then a 1-row collapse. No joins at all.
+    */
+  val q300ParticipationRatio = Q(
+    "q300_participation_ratio",
+    """WITH x AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS xk
+      |  FROM embeddings
+      |),
+      |p AS (
+      |  SELECT i.i, j.j, xk[i.i] AS xi, xk[j.j] AS xj
+      |  FROM x,
+      |    (SELECT unnest(range(1, 256)) AS i) i,
+      |    (SELECT unnest(range(1, 256)) AS j) j
+      |  WHERE i.i <= len(xk) AND j.j <= len(xk) AND i.i <= j.j
+      |),
+      |cv AS (
+      |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(*) * sum(xi * xj) - sum(xi) * sum(xj) AS BIGINT)
+      |      AS cov_num
+      |  FROM p GROUP BY i, j
+      |),
+      |e AS (
+      |  SELECT i, j, n,
+      |    CAST(cov_num AS DOUBLE) / CAST(n AS DOUBLE)
+      |      / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE) AS c
+      |  FROM cv
+      |),
+      |t AS (
+      |  SELECT CAST(max(CAST(j AS BIGINT)) AS BIGINT) AS dim,
+      |    max(n) AS n_vecs,
+      |    CAST(sum(CASE WHEN i = j THEN CAST(c AS DECIMAL(18,9)) END)
+      |      * 1000000000 AS BIGINT) AS tr9,
+      |    CAST(sum(CAST((CASE WHEN i = j THEN 1 ELSE 2 END) * c * c
+      |      AS DECIMAL(18,9))) * 1000000000 AS BIGINT) AS fro9
+      |  FROM e
+      |),
+      |t2 AS (
+      |  SELECT dim, n_vecs, tr9, fro9,
+      |    tr9 * tr9 // nullif(fro9 * 1000000000, 0) AS prq,
+      |    (2 * ((tr9 * tr9 % nullif(fro9 * 1000000000, 0))
+      |        // 1000000000) * 1000000 + fro9)
+      |      // nullif(2 * fro9, 0) AS prf
+      |  FROM t WHERE dim IS NOT NULL
+      |)
+      |SELECT dim, n_vecs,
+      |  CAST(((2 * tr9 * 1000000 + 1000000000)
+      |    // 2000000000) AS DOUBLE) / 1000000.0 AS trace,
+      |  CAST(prq AS DOUBLE) + CAST(prf AS DOUBLE) / 1000000.0
+      |    AS participation_ratio,
+      |  CAST(((2 * (prq * 1000000 + prf) * 1000000 + dim * 1000000)
+      |    // (2 * dim * 1000000)) AS DOUBLE) / 1000000.0 AS pr_share
+      |FROM t2""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000).cast("long")).as("xk"))
+      .filter(size(col("xk")) > 0)
+    val cv = e.select(col("xk"),
+        explode(sequence(lit(1), size(col("xk")))).as("i"))
+      .select(col("xk"), col("i"),
+        explode(sequence(col("i"), size(col("xk")))).as("j"))
+      .select(col("i"), col("j"),
+        element_at(col("xk"), col("i")).as("xi"),
+        element_at(col("xk"), col("j")).as("xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        (count(lit(1)) * sum(col("xi") * col("xj")) -
+          sum(col("xi")) * sum(col("xj"))).cast("long").as("cov_num"))
+    val ee = cv.select(col("i"), col("j"), col("n"),
+      expr("""CAST(cov_num AS DOUBLE) / CAST(n AS DOUBLE)
+        |  / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE)"""
+        .stripMargin).as("c"))
+    ee.agg(max(col("j").cast("long")).as("dim"),
+        max(col("n")).as("n_vecs"),
+        (sum(when(col("i") === col("j"),
+          expr("CAST(c AS DECIMAL(18,9))"))) * 1000000000L)
+          .cast("long").as("tr9"),
+        (sum(expr("""CAST((CASE WHEN i = j THEN 1 ELSE 2 END) * c * c
+          |  AS DECIMAL(18,9))""".stripMargin)) * 1000000000L)
+          .cast("long").as("fro9"))
+      .filter(col("dim").isNotNull)
+      .select(col("dim"), col("n_vecs"), col("tr9"), col("fro9"),
+        expr("tr9 * tr9 div nullif(fro9 * 1000000000, 0)").as("prq"),
+        expr("""(2 * ((tr9 * tr9 % nullif(fro9 * 1000000000, 0))
+          |    div 1000000000) * 1000000 + fro9)
+          |  div nullif(2 * fro9, 0)""".stripMargin).as("prf"))
+      .select(col("dim"), col("n_vecs"),
+        expr("""CAST(((2 * tr9 * 1000000 + 1000000000)
+          |  div 2000000000) AS DOUBLE) / 1000000.0""".stripMargin)
+          .as("trace"),
+        expr("CAST(prq AS DOUBLE) + CAST(prf AS DOUBLE) / 1000000.0")
+          .as("participation_ratio"),
+        expr("""CAST(((2 * (prq * 1000000 + prf) * 1000000
+          |    + dim * 1000000)
+          |  div (2 * dim * 1000000)) AS DOUBLE) / 1000000.0"""
+          .stripMargin).as("pr_share"))
   }
 }

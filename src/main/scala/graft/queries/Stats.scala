@@ -43,7 +43,8 @@ object Stats {
     q279TurningPoints, q280BartelsRvn, q281CooksDistance,
     q288NegBinomialFit, q289Order2Entropy, q290SeasonalMannKendall,
     q292VolumeHhi, q293PriorityMixShift, q296GapBurstiness,
-    q297OddsRatio, q298McNemar, q299DowSeasonality)
+    q297OddsRatio, q298McNemar, q299DowSeasonality,
+    q301CronbachAlpha, q302KendallW)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -8960,5 +8961,203 @@ object Stats {
           |    CAST(0 AS DOUBLE))""".stripMargin), 6)
           .as("peak_multiple"))
       .orderBy(col("event_type"))
+  }
+
+  /** CRONBACH'S ALPHA — do the event types measure ONE underlying
+    * engagement trait? Items = event types, observations = users,
+    * score = per-user event count: α = k/(k−1)·(1 − Σᵢσᵢ²/σ_T²). High
+    * α says the per-type counts co-vary (one "activity" factor — a
+    * composite engagement score is defensible); α near 0 says types
+    * move independently and a single metric would launder distinct
+    * behaviors. The internal-consistency gate in front of any
+    * composite-index dashboard (and of q227-style profile cosines,
+    * which PRESUME the components cohere).
+    *
+    * Exactness: the n(n−1) variance denominators CANCEL in the ratio,
+    * so α = k/(k−1)·(1 − SSI/SST) with SSI = Σᵢ(n·Σxᵢ² − Sᵢ²) and
+    * SST = n·ΣT² − (ΣT)² — ALL exact int64 (users absent from a type
+    * score 0, contributing nothing to either moment, so no zero-fill
+    * materializes; bounds: n·ΣT² ≈ 10¹² at the ×10 axis). One double
+    * divide + one fixed 3-op chain. SST = 0 (every user identical
+    * totals — degenerate) → NULL via nullif; k < 2 → NULL α (stated:
+    * one item has no internal consistency).
+    *
+    * Plan: one (user, type) aggregate, one per-type moment rollup
+    * (k-bounded), one per-user total rollup, a 1-row finish. Two
+    * scans of the user collapse, nothing row-proportional after it.
+    */
+  val q301CronbachAlpha = Q(
+    "q301_cronbach_alpha",
+    """WITH ut AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS x
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |nn AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ut),
+      |ti AS (
+      |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM ut
+      |),
+      |si AS (
+      |  SELECT CAST(sum(s * s) AS BIGINT) AS ss2
+      |  FROM (SELECT event_type, CAST(sum(x) AS BIGINT) AS s
+      |        FROM ut GROUP BY 1) z
+      |),
+      |tu AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS st,
+      |    CAST(sum(t * t) AS BIGINT) AS stt
+      |  FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS t
+      |        FROM ut GROUP BY 1) z
+      |)
+      |SELECT ti.k AS k_items, nn.n AS n_users,
+      |  round(CAST(ti.k AS DOUBLE) / nullif(CAST(ti.k - 1 AS DOUBLE),
+      |      CAST(0 AS DOUBLE))
+      |    * (CAST(1 AS DOUBLE)
+      |      - CAST(nn.n * ti.sxx - si.ss2 AS DOUBLE)
+      |        / nullif(CAST(nn.n * tu.stt - tu.st * tu.st AS DOUBLE),
+      |          CAST(0 AS DOUBLE))), 6) AS alpha
+      |FROM ti CROSS JOIN nn CROSS JOIN si CROSS JOIN tu""".stripMargin,
+  ) { (s, d) =>
+    val ut = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("x"))
+      .localCheckpoint() // 3 consumers: item moments, user totals, n/k
+    val nn = ut.agg(countDistinct(col("user_id")).cast("long").as("n"))
+    val ti = ut.agg(countDistinct(col("event_type")).cast("long").as("k"),
+      sum(col("x") * col("x")).cast("long").as("sxx"))
+    val si = ut.groupBy(col("event_type"))
+      .agg(sum(col("x")).cast("long").as("s"))
+      .agg(sum(col("s") * col("s")).cast("long").as("ss2"))
+    val tu = ut.groupBy(col("user_id"))
+      .agg(sum(col("x")).cast("long").as("t"))
+      .agg(sum(col("t")).cast("long").as("st"),
+        sum(col("t") * col("t")).cast("long").as("stt"))
+    ti.crossJoin(broadcast(nn)).crossJoin(broadcast(si))
+      .crossJoin(broadcast(tu))
+      .select(col("k").as("k_items"), col("n").as("n_users"),
+        round(expr("""CAST(k AS DOUBLE) / nullif(CAST(k - 1 AS DOUBLE),
+          |    CAST(0 AS DOUBLE))
+          |  * (CAST(1 AS DOUBLE)
+          |    - CAST(n * sxx - ss2 AS DOUBLE)
+          |      / nullif(CAST(n * stt - st * st AS DOUBLE),
+          |        CAST(0 AS DOUBLE)))""".stripMargin), 6).as("alpha"))
+  }
+
+  /** KENDALL'S W — are the days CONCORDANT about which event types
+    * dominate? Each day ranks the k types by zero-filled daily count
+    * (the (count DESC, type) deterministic total order — the q260/q213
+    * tie device: every day emits a full permutation of 1..k, so the
+    * NO-TIE closed form is exact by construction, not approximation):
+    * W = (12·ΣRⱼ² − 3·m²·k·(k+1)²) / (m²·k·(k²−1)), 1 = every day
+    * agrees, 0 = rankings are noise. The multi-judge agreement number
+    * behind "weekdays behave alike" claims — and χ² = m(k−1)W is the
+    * Friedman statistic, tying this to q259 (same machinery, judges
+    * transposed).
+    *
+    * Exactness: ALL integer — rank sums Rⱼ ≤ m·k, ΣRⱼ² ≤ k·(m·k)²
+    * (≈ 10¹⁰ at the ×10 axis), every term of the closed form exact
+    * int64; ONE final divide. k = 1 → NULL via nullif (k²−1 = 0);
+    * empty corpus → empty output. Days with zero events of every type
+    * still rank (all-zero → rank purely by type name — stated; they
+    * pull W toward the typename order, which is the honest reading of
+    * "no signal that day").
+    *
+    * Plan: one (type, day) aggregate, the q249 dense grid (bounded by
+    * span × k), a per-day rank window over k rows, a k-row rank-sum
+    * aggregate, a 1-row finish.
+    */
+  val q302KendallW = Q(
+    "q302_kendall_w",
+    """WITH dc AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1,
+      |        CAST(count(DISTINCT event_type) AS BIGINT) AS k
+      |      FROM dc),
+      |types AS (SELECT DISTINCT event_type FROM dc),
+      |grid AS (
+      |  SELECT t.event_type, gs.day
+      |  FROM types t, b, LATERAL (SELECT
+      |    unnest(generate_series(b.d0, b.d1)) AS day) gs
+      |),
+      |z AS (
+      |  SELECT g.event_type, g.day, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.day
+      |),
+      |rk AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (PARTITION BY day
+      |      ORDER BY c DESC, event_type) AS BIGINT) AS r
+      |  FROM z
+      |),
+      |rs AS (
+      |  SELECT event_type, CAST(sum(r) AS BIGINT) AS rj,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM rk GROUP BY 1
+      |),
+      |f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, max(m) AS m,
+      |    CAST(sum(rj * rj) AS BIGINT) AS sr2
+      |  FROM rs
+      |)
+      |SELECT k AS k_types, m AS n_days,
+      |  round(CAST(12 * sr2 - 3 * m * m * k * (k + 1) * (k + 1)
+      |      AS DOUBLE)
+      |    / nullif(CAST(m * m * k * (k * k - 1) AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS kendall_w,
+      |  round(CAST(m * (k - 1) AS DOUBLE)
+      |    * CAST(12 * sr2 - 3 * m * m * k * (k + 1) * (k + 1)
+      |      AS DOUBLE)
+      |    / nullif(CAST(m * m * k * (k * k - 1) AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS friedman_chi2
+      |FROM f""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint() // 3 consumers: bounds, the type list, the join
+    val b = dc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val types = dc.select(col("event_type").as("g_type")).distinct()
+    val grid = types.crossJoin(broadcast(b))
+      .select(col("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+      .select(col("g_type"), (col("d0") + col("t")).as("day"))
+    val z = grid.join(dc,
+        col("g_type") === dc("event_type") && dc("day") === grid("day"),
+        "left")
+      .select(col("g_type").as("event_type"), grid("day"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val rk = z.select(col("event_type"),
+      row_number().over(Window.partitionBy(col("day"))
+        .orderBy(col("c").desc, col("event_type"))).cast("long").as("r"))
+    val rs = rk.groupBy(col("event_type"))
+      .agg(sum(col("r")).cast("long").as("rj"),
+        count(lit(1)).cast("long").as("m"))
+    rs.agg(count(lit(1)).cast("long").as("k"), max(col("m")).as("m"),
+        sum(col("rj") * col("rj")).cast("long").as("sr2"))
+      .filter(col("m").isNotNull)
+      .select(col("k").as("k_types"), col("m").as("n_days"),
+        round(expr("""CAST(12 * sr2 - 3 * m * m * k * (k + 1) * (k + 1)
+          |    AS DOUBLE)
+          |  / nullif(CAST(m * m * k * (k * k - 1) AS DOUBLE),
+          |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("kendall_w"),
+        round(expr("""CAST(m * (k - 1) AS DOUBLE)
+          |  * CAST(12 * sr2 - 3 * m * m * k * (k + 1) * (k + 1)
+          |    AS DOUBLE)
+          |  / nullif(CAST(m * m * k * (k * k - 1) AS DOUBLE),
+          |    CAST(0 AS DOUBLE))""".stripMargin), 6)
+          .as("friedman_chi2"))
   }
 }

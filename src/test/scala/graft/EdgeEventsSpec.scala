@@ -1131,4 +1131,33 @@ class EdgeEventsSpec extends SparkSpec {
     assert(dw.forall(_.isNullAt(2)), "SST = 0 must NULL eta2")
     assert(dw.forall(_.getDouble(4) === 1.0), "one day is its own mean")
   }
+
+  test("q301/q302 degenerate: a single event type has no internal " +
+      "consistency (k-1 = 0) and no ranking spread (k^2-1 = 0); equal " +
+      "user totals zero the total variance") {
+    // single-type corpus: the same-second pair fixture from the q296
+    // edge has one type 's' and one user
+    val d = "/tmp/graft_edge_events_samesec"
+    val al = SparkEntry.queries("q301_cronbach_alpha")(spark, d).collect()
+    assert(al.length === 1 && al.head.getLong(0) === 1L)
+    assert(al.head.isNullAt(2), "k = 1 must NULL alpha")
+    val kw = SparkEntry.queries("q302_kendall_w")(spark, d).collect()
+    assert(kw.length === 1 && kw.head.getLong(0) === 1L)
+    assert(kw.head.isNullAt(2) && kw.head.isNullAt(3),
+      "k = 1 must NULL W and the Friedman chi2")
+    // two users, two types, each user exactly one event of each type:
+    // user totals are all equal -> SST = 0 -> NULL alpha (never 0/0)
+    val d2 = "/tmp/graft_edge_events_eqtotals"
+    import spark.implicits._
+    Seq((1L, 1000000000L, 1L, "a", 1.0, "{}"),
+      (2L, 2000000000L, 1L, "b", 1.0, "{}"),
+      (3L, 3000000000L, 2L, "a", 1.0, "{}"),
+      (4L, 4000000000L, 2L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val a2 = SparkEntry.queries("q301_cronbach_alpha")(spark, d2).collect()
+    assert(a2.length === 1 && a2.head.getLong(0) === 2L
+      && a2.head.getLong(1) === 2L)
+    assert(a2.head.isNullAt(2), "equal totals must NULL alpha via nullif")
+  }
 }

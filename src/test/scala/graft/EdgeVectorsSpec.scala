@@ -151,4 +151,33 @@ class EdgeVectorsSpec extends SparkSpec {
     assert(ln.forall(_.getLong(2) === 0L),
       "separated clusters must read zero label noise")
   }
+
+  test("q300 degenerate: a rank-1 corpus reads PR = 1; an all-constant " +
+      "corpus (zero covariance) NULLs PR") {
+    import spark.implicits._
+    // rank-1: every vector a multiple of ONE direction → the spectrum
+    // is (lambda, 0, ..., 0) → PR = lambda^2/lambda^2 = 1
+    val d = "/tmp/graft_edge_vectors_rank1"
+    // multipliers 0.1..0.6 keep the trace inside the stated unit-norm
+    // envelope (trace <= 2) while the spectrum stays rank 1
+    val base = Array.tabulate(8)(i => (i + 1).toFloat / 10f)
+    (1L to 6L).map(m => (m, base.map(x => x * m / 10f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val pr = SparkEntry.queries("q300_participation_ratio")(spark, d)
+      .collect()
+    assert(pr.length === 1 && pr.head.getLong(0) === 8L)
+    assert(math.abs(pr.head.getDouble(3) - 1.0) < 1e-3,
+      s"rank-1 spectrum must read PR = 1, got ${pr.head.getDouble(3)}")
+    // constant corpus: covariance identically 0 → fro9 = 0 → NULL PR
+    val d2 = "/tmp/graft_edge_vectors_const"
+    (1L to 4L).map(m => (m, base, 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val p2 = SparkEntry.queries("q300_participation_ratio")(spark, d2)
+      .collect()
+    assert(p2.length === 1)
+    assert(p2.head.isNullAt(3) && p2.head.isNullAt(4),
+      "zero covariance mass must NULL PR, never 0/0")
+  }
 }

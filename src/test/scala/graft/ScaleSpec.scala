@@ -556,8 +556,9 @@ class ScaleSpec extends SparkSpec {
       "q294_yule_k", "q296_gap_burstiness",
       // q297/q298 are per-user collapses (q298's midpoint is a
       // 2-scalar driver probe, not a broadcast); q299 rides the q265
-      // dense-grid equi join
-      "q297_odds_ratio", "q298_mcnemar", "q299_dow_seasonality")) {
+      // dense-grid equi join; q300 is the q126 join-free fused explode
+      "q297_odds_ratio", "q298_mcnemar", "q299_dow_seasonality",
+      "q300_participation_ratio")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -589,8 +590,11 @@ class ScaleSpec extends SparkSpec {
       // counters are the same scalar shape
       "q289_order2_entropy", "q291_vocab_churn",
       "q293_priority_mix_shift",
-      // q295's 1-row document-count frame is the same scalar broadcast
-      "q295_token_burstiness")) {
+      // q295's 1-row document-count frame is the same scalar broadcast;
+      // q301's four 1-row moment frames and q302's 1-row bounds frame
+      // are the q293 scalar shape
+      "q295_token_burstiness", "q301_cronbach_alpha",
+      "q302_kendall_w")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

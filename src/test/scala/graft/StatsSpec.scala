@@ -3902,4 +3902,61 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.keySet === raw.groupBy(_._1).keySet)
   }
+
+  test("q301 Cronbach's alpha replays from a Scala item-moment walk; " +
+      "alpha never exceeds 1") {
+    val r = Stats.q301CronbachAlpha.fn(spark, sf).collect().head
+    val ut = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+      .groupBy(identity).map { case ((u, t), v) =>
+        (u, t, v.length.toLong) }.toSeq
+    val n = ut.map(_._1).distinct.length.toLong
+    val k = ut.map(_._2).distinct.length.toLong
+    val sxx = ut.map(e => e._3 * e._3).sum
+    val ss2 = ut.groupBy(_._2).values
+      .map(g => { val s = g.map(_._3).sum; s * s }).sum
+    val totals = ut.groupBy(_._1).values.map(_.map(_._3).sum).toSeq
+    val st = totals.sum; val stt = totals.map(t => t * t).sum
+    assert(r.getLong(0) === k && r.getLong(1) === n)
+    val sst = n * stt - st * st
+    if (k > 1 && sst > 0) {
+      val alpha = k.toDouble / (k - 1) *
+        (1.0 - (n * sxx - ss2).toDouble / sst)
+      assert(math.abs(r.getDouble(2) - alpha) < 1e-5, "alpha")
+      assert(r.getDouble(2) <= 1.0 + 1e-9, "alpha <= 1 always")
+    } else assert(r.isNullAt(2))
+  }
+
+  test("q302 Kendall's W replays from a Scala dense-grid permutation " +
+      "walk; W in [0, 1] and the Friedman chi2 identity holds") {
+    val r = Stats.q302KendallW.fn(spark, sf).collect().head
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val types = raw.map(_._1).distinct.sorted
+    val k = types.length.toLong
+    val (d0, d1) = (raw.map(_._2).min, raw.map(_._2).max)
+    val cnt = raw.groupBy(identity).map { case (key, v) =>
+      key -> v.length.toLong }
+    val rj = scala.collection.mutable.Map(types.map(_ -> 0L): _*)
+    for (day <- d0 to d1) {
+      val ranked = types.map(t => (t, cnt.getOrElse((t, day), 0L)))
+        .sortBy { case (t, c) => (-c, t) }
+      for ((t, rank0) <- ranked.map(_._1).zipWithIndex)
+        rj(t) += rank0 + 1L
+    }
+    val m = d1 - d0 + 1
+    val sr2 = rj.values.map(x => x * x).sum
+    val w = (12 * sr2 - 3 * m * m * k * (k + 1) * (k + 1)).toDouble /
+      (m * m * k * (k * k - 1))
+    assert(r.getLong(0) === k && r.getLong(1) === m)
+    assert(math.abs(r.getDouble(2) - w) < 1e-6, "W")
+    assert(r.getDouble(2) >= -1e-9 && r.getDouble(2) <= 1 + 1e-9,
+      "W in [0, 1] on full permutations")
+    assert(math.abs(r.getDouble(3) - m * (k - 1) * w) < 1e-3,
+      "Friedman identity chi2 = m(k-1)W")
+  }
 }
