@@ -55,7 +55,7 @@ object Dedup {
     q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
     q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval,
     q175NgramNovelty, q185ContainmentJoin, q187SubstringDup,
-    q191SubstringDecontaminate)
+    q191SubstringDecontaminate, q305DupClusterSpectrum)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -2363,5 +2363,67 @@ object Dedup {
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
       .distinct()
     subWindowCounts(pairs, toks)
+  }
+
+  /** DUP-CLUSTER SIZE SPECTRUM — the distributional readout q31's
+    * exact dedup only summarizes: how many clusters of each size, how
+    * many documents they hold, and what fraction of the corpus is
+    * redundant (size − 1 per cluster). The spectrum's SHAPE is the
+    * actionable part — a fat tail of huge clusters means boilerplate/
+    * template contamination (dedup first, then near-dup); a thin
+    * size-2 fringe means organic reposts (MinHash is enough). The
+    * capacity-planning input for every q32-family run.
+    *
+    * Exactness: pure integer counting end to end (the q31 hash is the
+    * cluster key verbatim — same first-50-chars lowercase prefix);
+    * shares ride ratio6 (doc counts ≪ its 4.6·10¹² line at any
+    * realistic corpus). Empty corpus → empty output.
+    *
+    * Plan: two hash aggregates (doc → cluster → size spectrum) and a
+    * window total over the ≤max-cluster-size-row spectrum frame — the
+    * q197 idiom on a provably tiny relation. One scan.
+    */
+  val q305DupClusterSpectrum = Q(
+    "q305_dup_cluster_spectrum",
+    s"""WITH c AS (
+      |  SELECT sha256(lower(substr(text, 1, 50))) AS h,
+      |    CAST(count(*) AS BIGINT) AS sz
+      |  FROM documents GROUP BY 1
+      |),
+      |sp AS (
+      |  SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+      |  FROM c GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT sz, n_clusters,
+      |    CAST(sum(sz * n_clusters) OVER () AS BIGINT) AS docs
+      |  FROM sp
+      |)
+      |SELECT sz AS cluster_size, n_clusters,
+      |  sz * n_clusters AS n_docs,
+      |  ${graft.functions.Exact.Sql.ratio6("sz * n_clusters", "docs")}
+      |    AS doc_share,
+      |  (sz - 1) * n_clusters AS redundant_docs,
+      |  ${graft.functions.Exact.Sql.ratio6("(sz - 1) * n_clusters",
+           "docs")} AS redundant_share
+      |FROM t
+      |ORDER BY cluster_size""".stripMargin,
+  ) { (s, d) =>
+    val c = Tables.documentsWide(s, d)
+      .groupBy(sha2(lower(substring(col("text"), 1, 50)), 256).as("h"))
+      .agg(count(lit(1)).cast("long").as("sz"))
+    val sp = c.groupBy(col("sz"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+    val t = sp.select(col("sz"), col("n_clusters"),
+      sum(col("sz") * col("n_clusters")).over(Window.partitionBy())
+        .cast("long").as("docs"))
+    t.select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        graft.functions.Exact.ratio6("sz * n_clusters", "docs")
+          .as("doc_share"),
+        ((col("sz") - 1) * col("n_clusters")).as("redundant_docs"),
+        graft.functions.Exact.ratio6("(sz - 1) * n_clusters", "docs")
+          .as("redundant_share"))
+      .orderBy(col("cluster_size"))
   }
 }

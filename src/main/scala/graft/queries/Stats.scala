@@ -44,7 +44,8 @@ object Stats {
     q288NegBinomialFit, q289Order2Entropy, q290SeasonalMannKendall,
     q292VolumeHhi, q293PriorityMixShift, q296GapBurstiness,
     q297OddsRatio, q298McNemar, q299DowSeasonality,
-    q301CronbachAlpha, q302KendallW)
+    q301CronbachAlpha, q302KendallW, q303TheilIndex,
+    q304CustomerConcentration)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -9159,5 +9160,199 @@ object Stats {
           |  / nullif(CAST(m * m * k * (k * k - 1) AS DOUBLE),
           |    CAST(0 AS DOUBLE))""".stripMargin), 6)
           .as("friedman_chi2"))
+  }
+
+  /** THEIL INDEX — user-activity inequality per event type WITHOUT the
+    * sort every Gini needs: T = Σ (xᵤ/S)·ln(xᵤ·n/S) over participating
+    * users, 0 when activity is uniform, ln(n) at total concentration.
+    * The entropy-based inequality number (decomposable, unlike Gini —
+    * why economists use it for drill-downs), here the "is this type's
+    * volume a community or one bot" triage. Participants only — users
+    * with zero events of a type are OUT of its population (stated;
+    * the participation margin is q214's stickiness, a different op).
+    *
+    * Exactness: xᵤ, n, S exact int64; each term xᵤ·ln(xᵤ·n/S) takes
+    * ONE float-cast ln of the fixed chain CAST(x)·CAST(n)/CAST(S)
+    * (x ≥ 1 and n/S ≤ 1 keep the argument in (0, n] — ln(0)
+    * impossible), quantized to DECIMAL(18,9) for the associative
+    * per-type total, then ONE divide by S. The ceiling ln(n)
+    * normalizes: theil_ratio ∈ [0, 1], NULL at n = 1 via nullif
+    * (ln(1) = 0 — a single participant has no inequality to measure).
+    *
+    * Plan: one (type, user) aggregate, a type-bounded moment join,
+    * one quantized rollup. No windows, no sorts — the anti-Gini.
+    */
+  val q303TheilIndex = Q(
+    "q303_theil_index",
+    """WITH ux AS (
+      |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT event_type AS m_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS s
+      |  FROM ux GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT m_type, max(n) AS n, max(s) AS s,
+      |    sum(CAST(CAST(x AS DOUBLE)
+      |      * CAST(CAST(ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+      |        / CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS q
+      |  FROM ux JOIN m ON m.m_type = ux.event_type
+      |  GROUP BY 1
+      |)
+      |SELECT m_type AS event_type, n AS n_users, s AS n_events,
+      |  round(CAST(q AS DOUBLE) / CAST(s AS DOUBLE), 6) AS theil,
+      |  round(CAST(q AS DOUBLE) / CAST(s AS DOUBLE)
+      |    / nullif(CAST(CAST(ln(CAST(n AS DOUBLE)) AS FLOAT) AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS theil_ratio
+      |FROM t
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val ux = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("x"))
+    val m = ux.groupBy(col("event_type").as("m_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("s"))
+    val t = ux.join(m, col("m_type") === col("event_type"))
+      .groupBy(col("m_type"))
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+        sum(expr("""CAST(CAST(x AS DOUBLE)
+          |  * CAST(CAST(ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE)
+          |    / CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).as("q"))
+    t.select(col("m_type").as("event_type"), col("n").as("n_users"),
+        col("s").as("n_events"),
+        round(expr("CAST(q AS DOUBLE) / CAST(s AS DOUBLE)"), 6)
+          .as("theil"),
+        round(expr("""CAST(q AS DOUBLE) / CAST(s AS DOUBLE)
+          |  / nullif(CAST(CAST(ln(CAST(n AS DOUBLE)) AS FLOAT)
+          |    AS DOUBLE), CAST(0 AS DOUBLE))""".stripMargin), 6)
+          .as("theil_ratio"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CUSTOMER REVENUE CONCENTRATION — the orders-side account-risk
+    * panel: how much of total revenue does the top decile of customers
+    * carry, and what is the Herfindahl of customer shares? The two
+    * numbers an account team reads before believing any average — and
+    * the q292 HHI device pointed at a DIMENSION (customers) instead of
+    * time, which forces the top-k cut through the q142 two-level rank
+    * (its seventh application, DESC-oriented) because customers are
+    * dimension-bounded, not calendar-bounded.
+    *
+    * Exactness: per-customer revenue in WHOLE DOLLARS (round of a
+    * 2-decimal money double — never a half-dollar tie, §5.7; dollars
+    * keep every total inside ratio6's 4.6·10¹² line to ~×100 of the
+    * fixture axis, where cents would overflow it at ×10 — stated
+    * bound). Ranks descend (rev DESC, custkey) through value bins:
+    * cross-bin prefix from the TOP over ≤4096 bin totals, in-bin
+    * row_number partitioned by bin. k = ⌈n/10⌉; HHI rides per-customer
+    * (10⁴·share²)-quantized DECIMAL(18,9) terms (scaled so 10⁻⁹ quanta
+    * keep digits at 10⁵+ customers — the quantization is the spec);
+    * the decile share is ratio6 of exact dollar sums.
+    *
+    * Plan: one per-customer aggregate, a 2-scalar probe, bin windows,
+    * a 1-row finish. No customer-proportional single-partition sort.
+    */
+  val q304CustomerConcentration = Q(
+    "q304_customer_concentration",
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders WHERE o_totalprice IS NOT NULL
+      |  GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(rev) AS BIGINT) AS s
+      |  FROM r
+      |),
+      |rk AS (
+      |  SELECT rev,
+      |    CAST(row_number() OVER (ORDER BY rev DESC, o_custkey)
+      |      AS BIGINT) AS i
+      |  FROM r
+      |),
+      |topk AS (
+      |  SELECT CAST(sum(rev) AS BIGINT) AS top_rev
+      |  FROM rk CROSS JOIN t
+      |  WHERE i <= (t.n + 9) // 10
+      |),
+      |h AS (
+      |  SELECT CAST(sum(CAST(CAST(10000 AS DOUBLE)
+      |    * (CAST(rev AS DOUBLE) / CAST(t.s AS DOUBLE))
+      |    * (CAST(rev AS DOUBLE) / CAST(t.s AS DOUBLE))
+      |    AS DECIMAL(18,9))) AS DOUBLE) AS hhi
+      |  FROM r CROSS JOIN t
+      |)
+      |SELECT t.n AS n_customers, t.s AS total_rev_dollars,
+      |  round(h.hhi, 6) AS hhi_points,
+      |  CAST(((2 * topk.top_rev * 1000000 + t.s)
+      |    // nullif(2 * t.s, 0)) AS DOUBLE) / 1000000.0
+      |    AS top_decile_share
+      |FROM t CROSS JOIN topk CROSS JOIN h""".stripMargin,
+  ) { (s, d) =>
+    val r = Tables.orders(s, d)
+      .filter(col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT)")).cast("long")
+        .as("rev"))
+      .localCheckpoint() // 3 consumers: probe, rank, HHI
+    // two-level DESC rank (q142, seventh application): bins off a
+    // 2-scalar probe; empty input flows to a zero-row result
+    val mm = r.agg(min(col("rev")), max(col("rev"))).head
+    if (mm.isNullAt(0)) {
+      r.sparkSession.emptyDataFrame
+        .selectExpr("CAST(0 AS BIGINT) AS n_customers",
+          "CAST(0 AS BIGINT) AS total_rev_dollars",
+          "CAST(NULL AS DOUBLE) AS hhi_points",
+          "CAST(NULL AS DOUBLE) AS top_decile_share")
+        .limit(0)
+    } else {
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val bw = (hi - lo) / 4096 + 1
+      val binned = r
+        .withColumn("bin", expr(s"(rev - ${lo}L) div ${bw}L"))
+        .localCheckpoint() // 2 consumers: bin totals and in-bin ranks
+      val binTotals = binned.groupBy(col("bin"))
+        .agg(count(lit(1)).cast("long").as("bc"))
+      val binBefore = binTotals.select(col("bin"),
+        coalesce(sum(col("bc")).over(Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("before"),
+        sum(col("bc")).over(Window.partitionBy()).cast("long").as("n"))
+      val inBin = Window.partitionBy(col("bin"))
+        .orderBy(col("rev").desc, col("o_custkey"))
+      val rk = binned
+        .withColumn("inb", row_number().over(inBin).cast("long"))
+        .join(broadcast(binBefore), "bin")
+        .select(col("rev"), (col("before") + col("inb")).as("i"),
+          col("n"))
+      val tot = rk.agg(max(col("n")).as("n"),
+        sum(col("rev")).cast("long").as("s"),
+        sum(when(col("i") <= expr("(n + 9) div 10"), col("rev"))
+          .otherwise(0L)).cast("long").as("top_rev"))
+      tot.select(col("n"), col("s"), col("top_rev"))
+        .crossJoin(broadcast(binned.crossJoin(broadcast(
+            tot.select(col("s").as("h_s"))))
+          .agg(sum(expr("""CAST(CAST(10000 AS DOUBLE)
+            |  * (CAST(rev AS DOUBLE) / CAST(h_s AS DOUBLE))
+            |  * (CAST(rev AS DOUBLE) / CAST(h_s AS DOUBLE))
+            |  AS DECIMAL(18,9))""".stripMargin)).cast("double")
+            .as("hhi"))))
+        .select(col("n").as("n_customers"),
+          col("s").as("total_rev_dollars"),
+          round(col("hhi"), 6).as("hhi_points"),
+          expr("""CAST(((2 * top_rev * 1000000 + s)
+            |  div nullif(2 * s, 0)) AS DOUBLE) / 1000000.0"""
+            .stripMargin).as("top_decile_share"))
+    }
   }
 }

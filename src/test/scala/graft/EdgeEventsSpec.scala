@@ -1160,4 +1160,23 @@ class EdgeEventsSpec extends SparkSpec {
       && a2.head.getLong(1) === 2L)
     assert(a2.head.isNullAt(2), "equal totals must NULL alpha via nullif")
   }
+
+  test("q303/q304 degenerate: a single participant has zero Theil and " +
+      "no inequality ceiling; a single customer owns the whole decile") {
+    // samesec fixture: one user, one type → x = S → every ln term is
+    // ln(1) = 0 → T exactly 0; n = 1 → ln(1) = 0 → NULL ratio
+    val d = "/tmp/graft_edge_events_samesec"
+    val th = SparkEntry.queries("q303_theil_index")(spark, d).collect()
+    assert(th.length === 1 && th.head.getLong(1) === 1L)
+    assert(th.head.getDouble(3) === 0.0, "one participant → T = 0")
+    assert(th.head.isNullAt(4), "ln(1) = 0 must NULL the ratio")
+    // the q293 single-priority orders fixture has ONE customer: the
+    // top decile is that customer → share exactly 1, HHI exactly 10^4
+    val cc = SparkEntry.queries("q304_customer_concentration")(
+      spark, "/tmp/graft_edge_orders_onep").collect()
+    assert(cc.length === 1 && cc.head.getLong(0) === 1L)
+    assert(cc.head.getDouble(3) === 1.0, "one customer owns the decile")
+    assert(math.abs(cc.head.getDouble(2) - 10000.0) < 1e-6,
+      "a monopoly reads HHI = 10000 points")
+  }
 }

@@ -558,7 +558,10 @@ class ScaleSpec extends SparkSpec {
       // 2-scalar driver probe, not a broadcast); q299 rides the q265
       // dense-grid equi join; q300 is the q126 join-free fused explode
       "q297_odds_ratio", "q298_mcnemar", "q299_dow_seasonality",
-      "q300_participation_ratio")) {
+      "q300_participation_ratio",
+      // q303's moment join is type-bounded; q305 is two hash
+      // aggregates plus a window over the tiny spectrum frame
+      "q303_theil_index", "q305_dup_cluster_spectrum")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -594,7 +597,10 @@ class ScaleSpec extends SparkSpec {
       // q301's four 1-row moment frames and q302's 1-row bounds frame
       // are the q293 scalar shape
       "q295_token_burstiness", "q301_cronbach_alpha",
-      "q302_kendall_w")) {
+      "q302_kendall_w",
+      // q304's scalar total/top-k frames are the same 1-row shape (the
+      // DESC two-level rank itself joins by bin, strictly equi-keyed)
+      "q304_customer_concentration")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -480,4 +480,25 @@ class ShortDocSpec extends SparkSpec {
     assert(SparkEntry.queries("q295_token_burstiness")(spark, dir)
       .collect().isEmpty, "sub-support corpora have no burstiness rows")
   }
+
+  test("q305 degenerate: the shared fixture's spectrum is hand-" +
+      "computable (one duplicated pair among singletons) and a Scala " +
+      "prefix-grouping replay agrees without touching the hash") {
+    // docs 3 and 4 are identical → one size-2 cluster; docs 1, 2, 5 are
+    // singletons → spectrum {1: 3, 2: 1}, 5 docs, 1 redundant
+    val sp = SparkEntry.queries("q305_dup_cluster_spectrum")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4)))).toMap
+    assert(sp.keySet === Set(1L, 2L))
+    assert(sp(1L) === ((3L, 3L, 0L)) && sp(2L) === ((1L, 2L, 1L)))
+    // structurally different replay: group by the RAW lowercase prefix
+    // (no sha256) — same clustering unless the hash collides
+    val docs = Tables.documentsWide(spark, dir)
+      .select(col("text")).collect().map(_.getString(0))
+    val replay = docs.groupBy(t =>
+        Option(t).map(_.toLowerCase.take(50)).orNull)
+      .values.map(_.length.toLong).groupBy(identity)
+      .map { case (sz, g) => sz -> g.size.toLong }
+    assert(replay === sp.map { case (k, v) => k -> v._1 })
+  }
 }

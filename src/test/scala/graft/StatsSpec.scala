@@ -3959,4 +3959,51 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - m * (k - 1) * w) < 1e-3,
       "Friedman identity chi2 = m(k-1)W")
   }
+
+  test("q303 Theil replays from a Scala participant walk; T in " +
+      "[0, ln n]") {
+    val got = Stats.q303TheilIndex.fn(spark, sf).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    }.toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    for ((t, g) <- raw.groupBy(_._1)) {
+      val xs = g.groupBy(_._2).values.map(_.length.toLong).toSeq
+      val n = xs.length.toLong; val s = xs.sum
+      val theil = xs.map(x =>
+        x * math.log(x.toDouble * n / s)).sum / s
+      val (gn, gs, gt, gr) = got(t)
+      assert(gn === n && gs === s, s"$t counts")
+      assert(math.abs(gt - theil) < 1e-4 * (1 + theil), s"$t T")
+      assert(gt >= -1e-6 && gt <= math.log(n.toDouble) + 1e-6,
+        s"$t T in [0, ln n]")
+      if (n > 1) assert(math.abs(gr - theil / math.log(n.toDouble))
+        < 1e-4, s"$t ratio")
+    }
+    assert(got.keySet === raw.groupBy(_._1).keySet)
+  }
+
+  test("q304 customer concentration replays from a Scala sorted walk; " +
+      "the two-level DESC rank matches the flat sort") {
+    val r = Stats.q304CustomerConcentration.fn(spark, sf).collect().head
+    val rev = Tables.orders(spark, sf)
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(x => (x.getLong(0), math.round(x.getDouble(1))))
+      .groupBy(_._1).toSeq.map { case (ck, g) => (ck, g.map(_._2).sum) }
+    val n = rev.length.toLong; val s = rev.map(_._2).sum
+    val k = (n + 9) / 10
+    val top = rev.sortBy { case (ck, v) => (-v, ck) }.take(k.toInt)
+      .map(_._2).sum
+    val hhi = rev.map { case (_, v) =>
+      10000.0 * (v.toDouble / s) * (v.toDouble / s) }.sum
+    assert(r.getLong(0) === n && r.getLong(1) === s)
+    assert(math.abs(r.getDouble(2) - hhi) < 1e-3 * (1 + hhi), "HHI")
+    assert(math.abs(r.getDouble(3) - top.toDouble / s) < 1e-5,
+      "top decile share")
+    assert(r.getDouble(3) >= 0.1 - 1e-9, "top decile carries >= 1/10")
+  }
 }
