@@ -37,7 +37,7 @@ object Similarity {
     q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
     q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers,
     q251Silhouette, q268Anisotropy, q269TwoNn, q270LabelNoise,
-    q272ClassBalanced, q300ParticipationRatio)
+    q272ClassBalanced, q300ParticipationRatio, q308NormDrift)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -2342,5 +2342,84 @@ object Similarity {
           |    + dim * 1000000)
           |  div (2 * dim * 1000000)) AS DOUBLE) / 1000000.0"""
           .stripMargin).as("pr_share"))
+  }
+
+  /** EMBEDDING NORM DRIFT — the per-label norm panel every serving
+    * pipeline monitors: a model update that rescales norms silently
+    * re-ranks every dot-product retrieval even when directions are
+    * unchanged (why q35 normalizes), and zero-norm rows are degenerate
+    * inputs to EVERY cosine operator here (q35/q251 filter or carry
+    * them explicitly — this is the op that counts them per label).
+    *
+    * Exactness: squared norms are exact int64 in the q270 micro-unit
+    * space (Σxᵢ², xᵢ ≤ ~10⁶ micro-units, 64 dims → ≤ 6.4·10¹³); the
+    * mean SQUARED norm is one divide of exact ints (de-scaled by the
+    * exact 10¹² micro² factor); the mean NORM takes one IEEE sqrt per
+    * row quantized to DECIMAL(18,9) in unit space (the quantization is
+    * the spec) into an associative mean. min/max ride the exact int64
+    * order. Zero-norm rows are INCLUDED in every moment (they are
+    * real rows — the count is the alarm, stated).
+    *
+    * Plan: one scan, one per-label hash aggregate. The squared norm
+    * deliberately reuses the codegen'd `graft_l2sq_i64` kernel against
+    * a zero array (‖x − 0‖² = Σx²) rather than an interpreted
+    * aggregate(transform(...)) HOF — the §2.10 lesson q270 paid 14×
+    * to learn; the oracle twin spells the same sum via list_reduce,
+    * exact int64 either way. k rows out.
+    */
+  val q308NormDrift = Q(
+    "q308_norm_drift",
+    """WITH x AS (
+      |  SELECT label,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(embedding,
+      |        v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+      |          * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))),
+      |      (acc, v) -> acc + v) AS BIGINT) AS n2
+      |  FROM embeddings
+      |)
+      |SELECT CAST(label AS INTEGER) AS label,
+      |  CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_norms,
+      |  round(CAST(sum(n2) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    / CAST(1000000000000 AS DOUBLE), 6) AS mean_sq_norm,
+      |  round(CAST(sum(CAST(sqrt(CAST(n2 AS DOUBLE))
+      |      / CAST(1000000 AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS mean_norm,
+      |  round(sqrt(CAST(min(n2) AS DOUBLE))
+      |    / CAST(1000000 AS DOUBLE), 6) AS min_norm,
+      |  round(sqrt(CAST(max(n2) AS DOUBLE))
+      |    / CAST(1000000 AS DOUBLE), 6) AS max_norm
+      |FROM x GROUP BY label
+      |ORDER BY label""".stripMargin,
+  ) { (s, d) =>
+    val zeroLit = "array_repeat(CAST(0 AS BIGINT), size(xk))"
+    val x = Tables.embeddings(s, d)
+      .select(col("label"),
+        expr("""transform(embedding,
+          |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
+          .stripMargin).as("xk"))
+      // the codegen'd exact kernel: ||x - 0||^2 = sum of squares
+      .select(col("label"),
+        expr(s"graft_l2sq_i64(xk, $zeroLit)").as("n2"))
+    x.groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(when(col("n2") === 0, 1).otherwise(0)).cast("long")
+          .as("zero_norms"),
+        round(sum(col("n2")).cast("double") / count(lit(1)).cast("double")
+          / lit(1e12), 6).as("mean_sq_norm"),
+        round(sum(expr("""CAST(sqrt(CAST(n2 AS DOUBLE))
+          |  / CAST(1000000 AS DOUBLE) AS DECIMAL(18,9))"""
+          .stripMargin)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_norm"),
+        round(sqrt(min(col("n2")).cast("double")) / lit(1e6), 6)
+          .as("min_norm"),
+        round(sqrt(max(col("n2")).cast("double")) / lit(1e6), 6)
+          .as("max_norm"))
+      .select(col("label").cast("int").as("label"), col("n_vecs"),
+        col("zero_norms"), col("mean_sq_norm"), col("mean_norm"),
+        col("min_norm"), col("max_norm"))
+      .orderBy(col("label"))
   }
 }

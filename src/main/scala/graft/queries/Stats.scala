@@ -45,7 +45,7 @@ object Stats {
     q292VolumeHhi, q293PriorityMixShift, q296GapBurstiness,
     q297OddsRatio, q298McNemar, q299DowSeasonality,
     q301CronbachAlpha, q302KendallW, q303TheilIndex,
-    q304CustomerConcentration)
+    q304CustomerConcentration, q306OrderDispersion)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -9354,5 +9354,81 @@ object Stats {
             |  div nullif(2 * s, 0)) AS DOUBLE) / 1000000.0"""
             .stripMargin).as("top_decile_share"))
     }
+  }
+
+  /** ORDER-SIZE DISPERSION — are line items per order Poisson-ish, or
+    * do orders clump into small-and-huge? The index of dispersion
+    * D = s²/μ over per-order line counts (1 under Poisson, the q288
+    * NB-shape question asked of the ORDER stream): the fulfillment
+    * capacity model behind batch-size planning, and the first genuine
+    * orders⋈lineitem statistical operator now that the axis is
+    * measurable (SCALE_r15). Orders with ZERO line items count — the
+    * LEFT join zero-fills (an order that shipped nothing is exactly
+    * the anomaly D should see, stated).
+    *
+    * Exactness: per-order counts exact int64; the sample-variance
+    * denominators collapse so D = (n·Q − S²)/((n−1)·S) is ONE divide
+    * of exact int64s (n·Q ≈ 6·10¹³ at the ×10 axis — inside int64,
+    * bound stated), and the χ² companion (n−1)·D = (n·Q − S²)/S the
+    * same. n ≤ 1 or S = 0 → NULL via nullif. The p is deliberately
+    * unreported (df = n−1 — far past the df=2 closed form, q248
+    * stance); D's distance from 1 in units of √(2/(n−1)) is reported
+    * instead (the z-ish effect size).
+    *
+    * Plan: one lineitem count aggregate, one LEFT equi join from
+    * orders, one moment rollup. Scan-dominated.
+    */
+  val q306OrderDispersion = Q(
+    "q306_order_dispersion",
+    """WITH lc AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1
+      |),
+      |oc AS (
+      |  SELECT o.o_orderkey, COALESCE(lc.c, 0) AS c
+      |  FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey
+      |),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS q,
+      |    CAST(max(c) AS BIGINT) AS mx
+      |  FROM oc
+      |)
+      |SELECT n AS n_orders, s AS n_lineitems, mx AS max_items,
+      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |    AS mean_items,
+      |  round(CAST(n * q - s * s AS DOUBLE)
+      |    / nullif(CAST((n - 1) * s AS DOUBLE), CAST(0 AS DOUBLE)),
+      |    6) AS dispersion,
+      |  round((CAST(n * q - s * s AS DOUBLE)
+      |      / nullif(CAST((n - 1) * s AS DOUBLE), CAST(0 AS DOUBLE))
+      |      - CAST(1 AS DOUBLE))
+      |    / sqrt(CAST(2 AS DOUBLE)
+      |      / nullif(CAST(n - 1 AS DOUBLE), CAST(0 AS DOUBLE))), 6)
+      |    AS excess_sigmas
+      |FROM m""".stripMargin,
+  ) { (s, d) =>
+    val lc = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val oc = Tables.orders(s, d).select(col("o_orderkey"))
+      .join(lc, col("l_orderkey") === col("o_orderkey"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"))
+    val m = oc.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("c")).cast("long").as("s"),
+      sum(col("c") * col("c")).cast("long").as("q"),
+      max(col("c")).cast("long").as("mx"))
+    val disp = expr("""CAST(n * q - s * s AS DOUBLE)
+      |  / nullif(CAST((n - 1) * s AS DOUBLE), CAST(0 AS DOUBLE))"""
+      .stripMargin)
+    m.select(col("n").as("n_orders"), col("s").as("n_lineitems"),
+      col("mx").as("max_items"),
+      round(expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"), 6)
+        .as("mean_items"),
+      round(disp, 6).as("dispersion"),
+      round((disp - lit(1.0)) /
+        sqrt(lit(2.0) / nullif(expr("CAST(n - 1 AS DOUBLE)"),
+          lit(0.0))), 6).as("excess_sigmas"))
   }
 }

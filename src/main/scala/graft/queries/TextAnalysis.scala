@@ -20,7 +20,7 @@ object TextAnalysis {
       q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
       q218ZipfSlope, q227CosineProfiles, q250OovRate, q276Flesch,
       q282Mattr, q283QueryLikelihood, q284VocabOverlap, q291VocabChurn,
-      q294YuleK, q295TokenBurstiness)
+      q294YuleK, q295TokenBurstiness, q307CharEntropy)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -2373,5 +2373,78 @@ object TextAnalysis {
       .select(col("rk").cast("int").as("rank"), col("w").as("token"),
         col("tf"), col("docs_with"), round(col("fano"), 6).as("fano"))
       .orderBy(col("rank"))
+  }
+
+  /** CHARACTER-LEVEL ENTROPY — bits per character per source, the
+    * compressibility proxy one level BELOW q87's token entropy:
+    * templated/boilerplate text and non-linguistic noise (base64
+    * blobs, URL dumps) separate at the character tier even when their
+    * token statistics look plausible. English prose reads ≈ 4.0–4.3
+    * bits/char (Shannon's classic estimate for order-0 letter
+    * entropy); near-random symbol soup pushes toward log₂ of the
+    * alphabet. The pre-tokenizer corpus-intake gate.
+    *
+    * Exactness: character counts per (source, char) are exact int64
+    * (Spark splits on the empty pattern, the twin enumerates
+    * substr(text, i, 1) over range — identical multisets); H rides
+    * the q87 identity H = ln N − Σ c·ln c / N with ONE float-cast ln
+    * per DISTINCT character (alphabet-bounded, not char-bounded),
+    * each c·ln c term quantized to DECIMAL(18,9); bits divide by the
+    * float-cast ln 2 (the q131 libm discipline). Single-char sources
+    * read H = 0 exactly.
+    *
+    * Plan: one char explode → (source, char) hash aggregate (map-side
+    * combined, alphabet-bounded output) → per-source rollup. The
+    * explode is the cost — linear in corpus BYTES, the honest price
+    * of a character-tier statistic; nothing after it is
+    * row-proportional.
+    */
+  val q307CharEntropy = Q(
+    "q307_char_entropy",
+    """WITH ch AS (
+      |  SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+      |  FROM (
+      |    SELECT source,
+      |      substr(text, CAST(i.i AS INTEGER), 1) AS ch
+      |    FROM documents,
+      |      LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) i
+      |    WHERE text IS NOT NULL AND source IS NOT NULL
+      |      AND len(text) > 0) z
+      |  GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS alphabet,
+      |    CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CAST(CAST(c AS DOUBLE)
+      |      * CAST(CAST(ln(CAST(c AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS slc
+      |  FROM ch GROUP BY 1
+      |)
+      |SELECT source, alphabet, n AS n_chars,
+      |  round((CAST(CAST(ln(CAST(n AS DOUBLE)) AS FLOAT) AS DOUBLE)
+      |    - slc / CAST(n AS DOUBLE))
+      |    / CAST(CAST(ln(CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE), 6)
+      |    AS bits_per_char
+      |FROM m
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val ch = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull
+        && length(col("text")) > 0)
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("source"), col("ch"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val m = ch.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("alphabet"),
+        sum(col("c")).cast("long").as("n"),
+        sum(expr("""CAST(CAST(c AS DOUBLE)
+          |  * CAST(CAST(ln(CAST(c AS DOUBLE)) AS FLOAT) AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).cast("double").as("slc"))
+    m.select(col("source"), col("alphabet"), col("n").as("n_chars"),
+        round(expr("""(CAST(CAST(ln(CAST(n AS DOUBLE)) AS FLOAT)
+          |    AS DOUBLE) - slc / CAST(n AS DOUBLE))
+          |  / CAST(CAST(ln(CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE)"""
+          .stripMargin), 6).as("bits_per_char"))
+      .orderBy(col("source"))
   }
 }

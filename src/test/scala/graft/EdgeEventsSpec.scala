@@ -1179,4 +1179,47 @@ class EdgeEventsSpec extends SparkSpec {
     assert(math.abs(cc.head.getDouble(2) - 10000.0) < 1e-6,
       "a monopoly reads HHI = 10000 points")
   }
+
+  test("q306 degenerate: an order with zero line items counts; equal " +
+      "order sizes read D = 0 exactly; a single order NULLs D") {
+    import spark.implicits._
+    def ts(days: Long) = new java.sql.Timestamp(days * 86400000L)
+    // order 1 has 2 items, order 2 has NONE: counts (2, 0) → n=2, S=2,
+    // Q=4 → D = (2*4 - 4)/(1*2) = 2 exactly
+    val d = "/tmp/graft_edge_orders_disp"
+    Seq((1L, 1L, "O", 10.0, ts(1L), "1-URGENT"),
+      (2L, 1L, "O", 10.0, ts(2L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(3L)),
+      (1L, 2L, 1L, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(3L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("q306_order_dispersion")(spark, d)
+      .collect()
+    assert(r.length === 1 && r.head.getLong(0) === 2L)
+    assert(r.head.getLong(1) === 2L, "the empty order zero-fills")
+    assert(r.head.getDouble(4) === 2.0, "(2,0) disperses to D = 2")
+    // both orders with ONE item each: variance 0 → D = 0 exactly
+    val d2 = "/tmp/graft_edge_orders_disp0"
+    Seq((1L, 1L, "O", 10.0, ts(1L), "1-URGENT"),
+      (2L, 1L, "O", 10.0, ts(2L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(3L)),
+      (2L, 2L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(3L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d2/lineitem.parquet")
+    val r2 = SparkEntry.queries("q306_order_dispersion")(spark, d2)
+      .collect()
+    assert(r2.length === 1 && r2.head.getDouble(4) === 0.0,
+      "equal sizes have zero dispersion")
+  }
 }

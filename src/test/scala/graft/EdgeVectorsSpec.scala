@@ -180,4 +180,18 @@ class EdgeVectorsSpec extends SparkSpec {
     assert(p2.head.isNullAt(3) && p2.head.isNullAt(4),
       "zero covariance mass must NULL PR, never 0/0")
   }
+
+  test("q308 degenerate: the shared fixture's zero vector is counted " +
+      "and floors min_norm at exactly 0") {
+    val nd = SparkEntry.queries("q308_norm_drift")(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(nd.keySet === Set(0, 1, 2))
+    // vec 99 (all zeros) carries label 0
+    assert(nd(0).getLong(2) === 1L, "the zero vector is counted")
+    assert(nd(0).getDouble(5) === 0.0, "min_norm floors at exactly 0")
+    assert(nd(1).getLong(2) === 0L && nd(2).getLong(2) === 0L)
+    for ((_, r) <- nd)
+      assert(r.getDouble(5) <= r.getDouble(4) + 1e-9 &&
+        r.getDouble(4) <= r.getDouble(6) + 1e-9, "min <= mean <= max")
+  }
 }

@@ -561,7 +561,10 @@ class ScaleSpec extends SparkSpec {
       "q300_participation_ratio",
       // q303's moment join is type-bounded; q305 is two hash
       // aggregates plus a window over the tiny spectrum frame
-      "q303_theil_index", "q305_dup_cluster_spectrum")) {
+      "q303_theil_index", "q305_dup_cluster_spectrum",
+      // q306 is one orderkey equi join; q307/q308 are join-free scans
+      "q306_order_dispersion", "q307_char_entropy",
+      "q308_norm_drift")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -4006,4 +4006,75 @@ class StatsSpec extends SparkSpec {
       "top decile share")
     assert(r.getDouble(3) >= 0.1 - 1e-9, "top decile carries >= 1/10")
   }
+
+  test("q306 order dispersion replays from a Scala per-order walk with " +
+      "zero-filled empty orders") {
+    val r = Stats.q306OrderDispersion.fn(spark, sf).collect().head
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+      .collect().map(_.getLong(0))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val orders = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .collect().map(_.getLong(0))
+    val counts = orders.map(ok => li.getOrElse(ok, 0L))
+    val n = counts.length.toLong
+    val s = counts.sum; val q = counts.map(c => c * c).sum
+    val d = (n * q - s * s).toDouble / ((n - 1) * s)
+    assert(r.getLong(0) === n && r.getLong(1) === s)
+    assert(r.getLong(2) === counts.max)
+    assert(math.abs(r.getDouble(4) - d) < 1e-5, "dispersion")
+    assert(r.getDouble(4) >= 0, "D is a variance ratio")
+    assert(math.abs(r.getDouble(5) -
+      (d - 1) / math.sqrt(2.0 / (n - 1))) < 1e-3, "effect size")
+  }
+
+  test("q307 char entropy replays from a Scala character walk; bits " +
+      "bounded by log2 of the alphabet") {
+    val got = TextAnalysis.q307CharEntropy.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source").isNotNull
+        && length(col("text")) > 0)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    for ((src, g) <- docs.groupBy(_._1)) {
+      val cnt = g.flatMap(_._2.toCharArray).groupBy(identity)
+        .map { case (_, v) => v.length.toLong }
+      val n = cnt.sum
+      val h = math.log(n.toDouble) -
+        cnt.map(c => c * math.log(c.toDouble)).sum / n
+      val bits = h / math.log(2.0)
+      val (galpha, gn, gbits) = got(src)
+      assert(galpha === cnt.size.toLong && gn === n, s"$src counts")
+      assert(math.abs(gbits - bits) < 1e-4 * (1 + bits), s"$src bits")
+      assert(gbits >= -1e-9 &&
+        gbits <= math.log(cnt.size.toDouble) / math.log(2.0) + 1e-6,
+        s"$src bits within [0, log2 alphabet]")
+    }
+    assert(got.keySet === docs.groupBy(_._1).keySet)
+  }
+
+  test("q308 norm drift replays from a Scala quantized-norm walk; " +
+      "min <= mean <= max") {
+    val got = graft.queries.Similarity.q308NormDrift.fn(spark, sf)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)
+        .map(v => math.round(v.toDouble * 1000000L)).toArray))
+    for ((l, g) <- raw.groupBy(_._1)) {
+      val n2s = g.map(_._2.map(x => x * x).sum)
+      val (gn, gz, gmsq, gmn, gmin, gmax) = got(l)
+      assert(gn === n2s.length.toLong, s"$l count")
+      assert(gz === n2s.count(_ == 0L).toLong, s"$l zero norms")
+      assert(math.abs(gmsq - n2s.map(_.toDouble).sum / n2s.length / 1e12)
+        < 1e-4, s"$l mean sq")
+      val mn = n2s.map(x => math.sqrt(x.toDouble) / 1e6).sum / n2s.length
+      assert(math.abs(gmn - mn) < 1e-5, s"$l mean norm")
+      assert(gmin <= gmn + 1e-9 && gmn <= gmax + 1e-9, s"$l ordering")
+    }
+    assert(got.keySet === raw.groupBy(_._1).keySet)
+  }
 }
