@@ -37,7 +37,8 @@ object Similarity {
     q104PqAdcTopk, q105RrfHybrid, q118MmrRerank, q126EmbeddingCovariance,
     q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers,
     q251Silhouette, q268Anisotropy, q269TwoNn, q270LabelNoise,
-    q272ClassBalanced, q300ParticipationRatio, q308NormDrift)
+    q272ClassBalanced, q300ParticipationRatio, q308NormDrift,
+    q311CentroidDistances)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -2421,5 +2422,90 @@ object Similarity {
         col("zero_norms"), col("mean_sq_norm"), col("mean_norm"),
         col("min_norm"), col("max_norm"))
       .orderBy(col("label"))
+  }
+
+  /** LABEL-CENTROID DISTANCE MATRIX — which classes sit close in
+    * embedding space? The k×k inter-centroid Euclidean matrix: pairs
+    * near 0 are the confusable classes (where q270's noise and q188's
+    * classifier errors will concentrate — this PREDICTS them from
+    * geometry alone), far pairs are safely separable. The bounded
+    * companion to q93's within-label centroids.
+    *
+    * Exactness: per-(label, pos) coordinate sums exact int64 in the
+    * q126 kilo-unit space; each pair's per-position term
+    * (Sa/na − Sb/nb)² is a fixed-order double chain quantized to
+    * DECIMAL(18,9) so the D-term sum is associative; ONE sqrt, one
+    * de-scale by the exact 10³ kilo factor. Pairs a < b (stated);
+    * k = 1 → empty output.
+    *
+    * Plan: one posexplode → (label, pos) aggregate (k·D rows), one
+    * pos-keyed equi pair join (k²·D-bounded fan — label cardinality is
+    * data, not rows), a pair rollup. No cartesian, nothing
+    * row-proportional after the coordinate collapse.
+    */
+  val q311CentroidDistances = Q(
+    "q311_centroid_distances",
+    """WITH x AS (
+      |  SELECT label, vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS xk
+      |  FROM embeddings
+      |),
+      |p AS (
+      |  SELECT label, i.i AS pos, xk[i.i] AS xi
+      |  FROM x, (SELECT unnest(range(1, 256)) AS i) i
+      |  WHERE i.i <= len(xk)
+      |),
+      |c AS (
+      |  SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xi) AS BIGINT) AS s
+      |  FROM p GROUP BY 1, 2
+      |),
+      |pr AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    max(a.n) AS na, max(b.n) AS nb,
+      |    CAST(sum(CAST(
+      |      (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |        - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+      |      * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |        - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS d2
+      |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(label_a AS INTEGER) AS label_a,
+      |  CAST(label_b AS INTEGER) AS label_b,
+      |  na AS n_a, nb AS n_b,
+      |  round(sqrt(d2) / CAST(1000 AS DOUBLE), 6) AS centroid_dist
+      |FROM pr
+      |ORDER BY label_a, label_b""".stripMargin,
+  ) { (s, d) =>
+    val c = Tables.embeddings(s, d)
+      .select(col("label"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000).cast("long")).as("xk"))
+      .filter(size(col("xk")) > 0)
+      .select(col("label"), posexplode(col("xk")).as(Seq("pos0", "xi")))
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("xi")).cast("long").as("s"))
+      .localCheckpoint() // 2 consumers: both sides of the pair join
+    val cb = c.select(col("label").as("label_b"), col("pos").as("pos_b"),
+      col("n").as("nb"), col("s").as("sb"))
+    c.join(cb, col("pos") === col("pos_b")
+        && col("label") < col("label_b"))
+      .groupBy(col("label").as("label_a"), col("label_b"))
+      .agg(max(col("n")).as("na"), max(col("nb")).as("nb"),
+        sum(expr("""CAST(
+          |  (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+          |  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+          |  AS DECIMAL(18,9))""".stripMargin)).cast("double").as("d2"))
+      .select(col("label_a").cast("int").as("label_a"),
+        col("label_b").cast("int").as("label_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(sqrt(col("d2")) / lit(1000.0), 6).as("centroid_dist"))
+      .orderBy(col("label_a"), col("label_b"))
   }
 }

@@ -45,7 +45,8 @@ object Stats {
     q292VolumeHhi, q293PriorityMixShift, q296GapBurstiness,
     q297OddsRatio, q298McNemar, q299DowSeasonality,
     q301CronbachAlpha, q302KendallW, q303TheilIndex,
-    q304CustomerConcentration, q306OrderDispersion)
+    q304CustomerConcentration, q306OrderDispersion,
+    q309WilcoxonSignedRank, q310TypeVolumeSpearman)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -9430,5 +9431,237 @@ object Stats {
       round((disp - lit(1.0)) /
         sqrt(lit(2.0) / nullif(expr("CAST(n - 1 AS DOUBLE)"),
           lit(0.0))), 6).as("excess_sigmas"))
+  }
+
+  /** WILCOXON SIGNED-RANK — the PAIRED companion to q207's
+    * Mann–Whitney and the nonparametric twin of q298's McNemar (which
+    * sees only the binary flip): did each user's SPEND change between
+    * the calendar halves? Pairs are (first-half cents, second-half
+    * cents) per user; zero differences are EXCLUDED (the classical
+    * convention — a user who spent identically carries no direction,
+    * stated); W⁺ = Σ ranks of positive differences under the
+    * (|diff|, user_id) deterministic total order (the q260/q213 tie
+    * device replacing midranks, stated).
+    *
+    * Exactness: per-user half-sums and diffs exact int64 cents; the
+    * span midpoint is q298's 2-scalar probe; the |diff| rank is the
+    * q142 TWO-LEVEL 4096-bin decomposition (eighth application — the
+    * rank never touches a partition-free N-row window); with
+    * E = n(n+1)/4 and Var = n(n+1)(2n+1)/24, z² = 3·(4W⁺ − n(n+1))² /
+    * (2·n(n+1)(2n+1)) with the squared numerator in PER-FACTOR DOUBLES
+    * (4W⁺ ≤ 2n² ≈ 8·10¹⁰ at the ×10 axis — its square passes int64,
+    * the q260 route); n = 0 → empty, Var degeneracy impossible at
+    * n ≥ 1. χ²₁ verdict at 3.8415 as a nullable STRING (§5.7).
+    *
+    * Plan: one per-user aggregate, the bin windows, a 1-row finish.
+    */
+  val q309WilcoxonSignedRank = Q(
+    "q309_wilcoxon_signed_rank",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(round(100 * value) AS BIGINT) AS cents,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND value IS NOT NULL
+      |),
+      |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN us > (SELECT mid FROM m) THEN cents
+      |      ELSE -cents END) AS BIGINT) AS diff
+      |  FROM e GROUP BY 1
+      |),
+      |nz AS (SELECT user_id, diff, abs(diff) AS ad FROM u
+      |       WHERE diff <> 0),
+      |rk AS (
+      |  SELECT diff,
+      |    CAST(row_number() OVER (ORDER BY ad, user_id) AS BIGINT) AS r
+      |  FROM nz
+      |),
+      |w AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN diff > 0 THEN r ELSE 0 END) AS BIGINT)
+      |      AS wplus
+      |  FROM rk
+      |)
+      |SELECT n AS n_pairs, wplus AS w_plus,
+      |  round(CAST(n * (n + 1) AS DOUBLE) / CAST(4 AS DOUBLE), 6)
+      |    AS expected,
+      |  round(CAST(3 AS DOUBLE)
+      |    * CAST(4 * wplus - n * (n + 1) AS DOUBLE)
+      |    * CAST(4 * wplus - n * (n + 1) AS DOUBLE)
+      |    / nullif(CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)
+      |      * CAST(n + 1 AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE),
+      |      CAST(0 AS DOUBLE)), 6) AS z2,
+      |  CASE WHEN n = 0 THEN NULL
+      |    WHEN CAST(3 AS DOUBLE)
+      |      * CAST(4 * wplus - n * (n + 1) AS DOUBLE)
+      |      * CAST(4 * wplus - n * (n + 1) AS DOUBLE)
+      |      / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)
+      |        * CAST(n + 1 AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE))
+      |      > 3.8415 THEN 'shifted' ELSE 'stable' END AS verdict
+      |FROM w""".stripMargin,
+  ) { (s, d) =>
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
+        expr("unix_micros(ts)").as("us"))
+      .localCheckpoint() // 2 consumers: the 2-scalar probe and the walk
+    val mm = e.agg(min(col("us")), max(col("us"))).head
+    if (mm.isNullAt(0)) {
+      e.sparkSession.emptyDataFrame
+        .selectExpr("CAST(0 AS BIGINT) AS n_pairs",
+          "CAST(0 AS BIGINT) AS w_plus",
+          "CAST(NULL AS DOUBLE) AS expected",
+          "CAST(NULL AS DOUBLE) AS z2",
+          "CAST(NULL AS STRING) AS verdict")
+        .limit(0)
+    } else {
+      val mid = Math.floorDiv(mm.getLong(0) + mm.getLong(1), 2L)
+      val nz = e.groupBy(col("user_id"))
+        .agg(sum(when(col("us") > mid, col("cents"))
+          .otherwise(-col("cents"))).cast("long").as("diff"))
+        .filter(col("diff") =!= 0L)
+        .select(col("user_id"), col("diff"), abs(col("diff")).as("ad"))
+      // two-level |diff| rank (q142, eighth application)
+      val mm2 = nz.agg(min(col("ad")), max(col("ad"))).head
+      val rk =
+        if (mm2.isNullAt(0)) nz.select(col("diff"), lit(0L).as("r"))
+        else {
+          val (lo, hi) = (mm2.getLong(0), mm2.getLong(1))
+          val bw = (hi - lo) / 4096 + 1
+          val binned = nz
+            .withColumn("bin", expr(s"(ad - ${lo}L) div ${bw}L"))
+            .localCheckpoint()
+          val binBefore = binned.groupBy(col("bin"))
+            .agg(count(lit(1)).cast("long").as("bc"))
+            .select(col("bin"),
+              coalesce(sum(col("bc")).over(Window.orderBy(col("bin"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+                .as("before"))
+          binned.withColumn("inb",
+              row_number().over(Window.partitionBy(col("bin"))
+                .orderBy(col("ad"), col("user_id"))).cast("long"))
+            .join(broadcast(binBefore), "bin")
+            .select(col("diff"), (col("before") + col("inb")).as("r"))
+        }
+      val w = rk.agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("diff") > 0, col("r")).otherwise(0L)).cast("long")
+          .as("wplus"))
+      val z2 = expr("""CAST(3 AS DOUBLE)
+        |  * CAST(4 * wplus - n * (n + 1) AS DOUBLE)
+        |  * CAST(4 * wplus - n * (n + 1) AS DOUBLE)
+        |  / nullif(CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)
+        |    * CAST(n + 1 AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE),
+        |    CAST(0 AS DOUBLE))""".stripMargin)
+      w.select(col("n").as("n_pairs"), col("wplus").as("w_plus"),
+        round(expr("CAST(n * (n + 1) AS DOUBLE) / CAST(4 AS DOUBLE)"),
+          6).as("expected"),
+        round(z2, 6).as("z2"),
+        when(col("n") === 0, lit(null).cast("string"))
+          .when(z2 > 3.8415, lit("shifted"))
+          .otherwise(lit("stable")).as("verdict"))
+    }
+  }
+
+  /** PAIRWISE TYPE-VOLUME SPEARMAN — do event types move TOGETHER day
+    * over day? The rank correlation of every type pair's zero-filled
+    * daily volumes: near +1 pairs share a driver (one campaign moves
+    * both — a composite metric is defensible, the q301 question asked
+    * pairwise), near −1 pairs substitute. Rank-based, so one viral
+    * day cannot fake the correlation q220's Pearson would report.
+    *
+    * Exactness: per-type daily ranks over the SHARED global day grid
+    * under the (count, day) deterministic total order — every type's
+    * ranks are a FULL PERMUTATION of 1..m (the q302 device), so
+    * ρ = 1 − 6Σd²/(m(m²−1)) is the exact no-tie closed form: ALL
+    * integer (Σd² ≤ m³/3 ≈ 10⁷ at month spans) into ONE divide.
+    * m = 1 → NULL via nullif (m²−1 = 0). Type pairs s1 < s2 (stated).
+    *
+    * Plan: one (type, day) aggregate, the q302 grid + per-day... per-
+    * TYPE rank windows (calendar-bounded partitions), one day-keyed
+    * equi pair join (k²-bounded fan), a pair rollup. No cartesian.
+    */
+  val q310TypeVolumeSpearman = Q(
+    "q310_type_volume_spearman",
+    """WITH dc AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+      |types AS (SELECT DISTINCT event_type FROM dc),
+      |grid AS (
+      |  SELECT t.event_type, gs.day
+      |  FROM types t, b, LATERAL (SELECT
+      |    unnest(generate_series(b.d0, b.d1)) AS day) gs
+      |),
+      |z AS (
+      |  SELECT g.event_type, g.day, COALESCE(dc.cnt, 0) AS c
+      |  FROM grid g LEFT JOIN dc
+      |    ON dc.event_type = g.event_type AND dc.day = g.day
+      |),
+      |rk AS (
+      |  SELECT event_type, day,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY c, day) AS BIGINT) AS r
+      |  FROM z
+      |),
+      |pr AS (
+      |  SELECT a.event_type AS type_a, b2.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum((a.r - b2.r) * (a.r - b2.r)) AS BIGINT) AS sd2
+      |  FROM rk a JOIN rk b2
+      |    ON a.day = b2.day AND a.event_type < b2.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, m AS n_days,
+      |  round(CAST(1 AS DOUBLE) - CAST(6 * sd2 AS DOUBLE)
+      |    / nullif(CAST(m * (m * m - 1) AS DOUBLE), CAST(0 AS DOUBLE)),
+      |    6) AS spearman_rho
+      |FROM pr
+      |ORDER BY type_a, type_b""".stripMargin,
+  ) { (s, d) =>
+    val dc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint() // 3 consumers: bounds, types, the grid join
+    val b = dc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val types = dc.select(col("event_type").as("g_type")).distinct()
+    val grid = types.crossJoin(broadcast(b))
+      .select(col("g_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+      .select(col("g_type"), (col("d0") + col("t")).as("day"))
+    val z = grid.join(dc,
+        col("g_type") === dc("event_type") && dc("day") === grid("day"),
+        "left")
+      .select(col("g_type").as("event_type"), grid("day"),
+        coalesce(col("cnt"), lit(0L)).as("c"))
+    val rk = z.select(col("event_type"), col("day"),
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("c"), col("day"))).cast("long").as("r"))
+      .localCheckpoint() // 2 consumers: both sides of the pair join
+    val rkb = rk.select(col("event_type").as("type_b"),
+      col("day").as("day_b"), col("r").as("rb"))
+    rk.join(rkb, col("day") === col("day_b")
+        && col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum((col("r") - col("rb")) * (col("r") - col("rb")))
+          .cast("long").as("sd2"))
+      .select(col("type_a"), col("type_b"), col("m").as("n_days"),
+        round(lit(1.0) - expr("CAST(6 * sd2 AS DOUBLE)") /
+          nullif(expr("CAST(m * (m * m - 1) AS DOUBLE)"), lit(0.0)),
+          6).as("spearman_rho"))
+      .orderBy(col("type_a"), col("type_b"))
   }
 }

@@ -1222,4 +1222,24 @@ class EdgeEventsSpec extends SparkSpec {
     assert(r2.length === 1 && r2.head.getDouble(4) === 0.0,
       "equal sizes have zero dispersion")
   }
+
+  test("q309/q310 degenerate: all-tied pairs leave no signed ranks " +
+      "(NULL verdict); a single type has no volume pairs") {
+    import spark.implicits._
+    // one user, equal cents in each half → diff = 0 → excluded → n = 0
+    val d = "/tmp/graft_edge_events_tiedpairs"
+    Seq((1L, 1000000000L, 1L, "t", 5.0, "{}"),
+      (2L, 7200L * 1000000000L, 1L, "t", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val w = SparkEntry.queries("q309_wilcoxon_signed_rank")(spark, d)
+      .collect()
+    assert(w.length === 1 && w.head.getLong(0) === 0L)
+    assert(w.head.isNullAt(3) && w.head.isNullAt(4),
+      "zero usable pairs must NULL z2 and the verdict")
+    // the samesec fixture has ONE type → no pair rows at all
+    assert(SparkEntry.queries("q310_type_volume_spearman")(
+      spark, "/tmp/graft_edge_events_samesec").collect().isEmpty,
+      "one type has no pair matrix")
+  }
 }

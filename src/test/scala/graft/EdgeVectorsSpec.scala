@@ -194,4 +194,18 @@ class EdgeVectorsSpec extends SparkSpec {
       assert(r.getDouble(5) <= r.getDouble(4) + 1e-9 &&
         r.getDouble(4) <= r.getDouble(6) + 1e-9, "min <= mean <= max")
   }
+
+  test("q311 degenerate: a single-label corpus has no pair matrix; the " +
+      "separated two-cluster fixture reads a large centroid gap") {
+    assert(SparkEntry.queries("q311_centroid_distances")(
+      spark, "/tmp/graft_edge_vectors_singleton").collect().isEmpty,
+      "one label, no matrix")
+    // the q270 separated fixture: per-dim centroid gap is 5 plus the
+    // id-ramp's mean shift (11.5 − 1.5)/100 = 5.1 → dist = √8 · 5.1
+    val cd = SparkEntry.queries("q311_centroid_distances")(
+      spark, "/tmp/graft_edge_vectors_separated").collect()
+    assert(cd.length === 1)
+    assert(math.abs(cd.head.getDouble(4) - math.sqrt(8.0) * 5.1) < 1e-3,
+      s"separated clusters read the planted gap: ${cd.head.getDouble(4)}")
+  }
 }

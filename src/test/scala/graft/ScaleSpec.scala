@@ -564,7 +564,10 @@ class ScaleSpec extends SparkSpec {
       "q303_theil_index", "q305_dup_cluster_spectrum",
       // q306 is one orderkey equi join; q307/q308 are join-free scans
       "q306_order_dispersion", "q307_char_entropy",
-      "q308_norm_drift")) {
+      "q308_norm_drift",
+      // q309's rank rides the q142 bins (probe, not broadcast);
+      // q311's pair join is strictly pos-keyed
+      "q309_wilcoxon_signed_rank", "q311_centroid_distances")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -602,8 +605,9 @@ class ScaleSpec extends SparkSpec {
       "q295_token_burstiness", "q301_cronbach_alpha",
       "q302_kendall_w",
       // q304's scalar total/top-k frames are the same 1-row shape (the
-      // DESC two-level rank itself joins by bin, strictly equi-keyed)
-      "q304_customer_concentration")) {
+      // DESC two-level rank itself joins by bin, strictly equi-keyed);
+      // q310's 1-row day-bounds frame is the q302 scalar shape
+      "q304_customer_concentration", "q310_type_volume_spearman")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

@@ -4077,4 +4077,87 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.keySet === raw.groupBy(_._1).keySet)
   }
+
+  test("q309 Wilcoxon signed-rank replays from a Scala paired-diff " +
+      "walk; W+ within its structural bounds") {
+    val r = Stats.q309WilcoxonSignedRank.fn(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull)
+      .select(col("user_id"),
+        expr("CAST(round(100 * value) AS BIGINT)"),
+        expr("unix_micros(ts)")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val mid = Math.floorDiv(ev.map(_._3).min + ev.map(_._3).max, 2L)
+    val diffs = ev.groupBy(_._1).toSeq.map { case (u, g) =>
+      (u, g.map(e => if (e._3 > mid) e._2 else -e._2).sum)
+    }.filter(_._2 != 0L)
+    val n = diffs.length.toLong
+    val wplus = diffs.sortBy { case (u, d0) => (math.abs(d0), u) }
+      .zipWithIndex
+      .collect { case ((_, d0), i) if d0 > 0 => i + 1L }.sum
+    assert(r.getLong(0) === n && r.getLong(1) === wplus)
+    assert(wplus >= 0 && wplus <= n * (n + 1) / 2, "W+ bounds")
+    if (n > 0) {
+      val num = (4 * wplus - n * (n + 1)).toDouble
+      val z2 = 3.0 * num * num / (2.0 * n * (n + 1) * (2 * n + 1))
+      assert(math.abs(r.getDouble(3) - z2) < 1e-4 * (1 + z2), "z2")
+      assert(r.getString(4) ===
+        (if (z2 > 3.8415) "shifted" else "stable"))
+    }
+  }
+
+  test("q310 pairwise Spearman replays from a Scala rank walk; rho in " +
+      "[-1, 1] on full permutations") {
+    val got = Stats.q310TypeVolumeSpearman.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val raw = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val types = raw.map(_._1).distinct.sorted
+    val (d0, d1) = (raw.map(_._2).min, raw.map(_._2).max)
+    val m = d1 - d0 + 1
+    val cnt = raw.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val ranks = types.map { t =>
+      val series = (d0 to d1).map(dd => (cnt.getOrElse((t, dd), 0L), dd))
+      t -> series.sorted.zipWithIndex
+        .map { case ((_, dd), i) => dd -> (i + 1L) }.toMap
+    }.toMap
+    for (a <- types; bb <- types if a < bb) {
+      val sd2 = (d0 to d1).map(dd =>
+        { val diff = ranks(a)(dd) - ranks(bb)(dd); diff * diff }).sum
+      val rho = 1.0 - 6.0 * sd2 / (m * (m * m - 1)).toDouble
+      val (gm, grho) = got((a, bb))
+      assert(gm === m, s"($a,$bb) days")
+      assert(math.abs(grho - rho) < 1e-5, s"($a,$bb) rho")
+      assert(grho >= -1 - 1e-9 && grho <= 1 + 1e-9, s"($a,$bb) range")
+    }
+    assert(got.size === types.length * (types.length - 1) / 2)
+  }
+
+  test("q311 centroid distances replay from a Scala centroid walk; " +
+      "non-negative and complete over label pairs") {
+    val got = graft.queries.Similarity.q311CentroidDistances
+      .fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)
+        .map(v => math.round(v.toDouble * 1000).toDouble).toArray))
+    val cents = raw.groupBy(_._1).map { case (l, g) =>
+      val dims = g.head._2.length
+      l -> Array.tabulate(dims)(i => g.map(_._2(i)).sum / g.length)
+    }
+    val labels = cents.keys.toSeq.sorted
+    for (a <- labels; bb <- labels if a < bb) {
+      val d = math.sqrt(cents(a).zip(cents(bb))
+        .map { case (x, y) => (x - y) * (x - y) }.sum) / 1000.0
+      assert(math.abs(got((a, bb)) - d) < 1e-4 * (1 + d), s"($a,$bb)")
+      assert(got((a, bb)) >= 0, s"($a,$bb) non-negative")
+    }
+    assert(got.size === labels.length * (labels.length - 1) / 2)
+  }
 }
