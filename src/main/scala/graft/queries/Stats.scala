@@ -46,7 +46,8 @@ object Stats {
     q297OddsRatio, q298McNemar, q299DowSeasonality,
     q301CronbachAlpha, q302KendallW, q303TheilIndex,
     q304CustomerConcentration, q306OrderDispersion,
-    q309WilcoxonSignedRank, q310TypeVolumeSpearman)
+    q309WilcoxonSignedRank, q310TypeVolumeSpearman,
+    q312SizePriceCorr, q313NationRevenueShare, q314SourceLanguageMix)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -9663,5 +9664,233 @@ object Stats {
           nullif(expr("CAST(m * (m * m - 1) AS DOUBLE)"), lit(0.0)),
           6).as("spearman_rho"))
       .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** PART SIZE–PRICE CORRELATION — does physical size drive price in
+    * the catalog? Exact-moment Pearson r plus the OLS slope
+    * (cents/size-unit) over the part table: the pricing-sanity check a
+    * catalog team runs after every load, and the part table's first
+    * dedicated statistical operator (the genscale axis now measures
+    * it). r near 0 with a structured catalog = the price column is
+    * decoupled from the physical attribute (a data-quality smell).
+    *
+    * Exactness: x = p_size (int), y = exact cents; the six moments
+    * exact int64; the covariance numerator n·Σxy − ΣxΣy and the SIZE
+    * variance n·Σx² − (Σx)² stay exact int64 (≈ 4·10¹⁷ / 10¹⁴ at the
+    * ×10 axis), but the PRICE variance goes per-factor DOUBLES
+    * (n·Σy² ≈ 1.6·10²¹ overflowed int64 the moment the part table
+    * gained its ×10 axis — hit live, the q166/§5.7 class; the
+    * subtraction is deterministic identical chains both engines);
+    * r = cov/(√varx·√vary) with the sqrts taken separately, slope ONE
+    * divide. Constant size or constant price → NULL r via nullif;
+    * n ≤ 1 → empty.
+    *
+    * Plan: one scan, one 1-row moment aggregate. Nothing else.
+    */
+  val q312SizePriceCorr = Q(
+    "q312_size_price_corr",
+    """WITH v AS (
+      |  SELECT CAST(p_size AS BIGINT) AS x,
+      |    CAST(round(100 * p_retailprice) AS BIGINT) AS y
+      |  FROM part
+      |  WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+      |),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM v
+      |)
+      |SELECT n AS n_parts,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+      |      CAST(0 AS DOUBLE)), 6) AS pearson_r,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) / CAST(100 AS DOUBLE), 6)
+      |    AS dollars_per_size_unit
+      |FROM m WHERE n > 1""".stripMargin,
+  ) { (s, d) =>
+    val v = Tables.part(s, d)
+      .filter(col("p_size").isNotNull && col("p_retailprice").isNotNull)
+      .select(col("p_size").cast("long").as("x"),
+        expr("CAST(round(100 * p_retailprice) AS BIGINT)").as("y"))
+    val m = v.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("x")).cast("long").as("sx"),
+      sum(col("y")).cast("long").as("sy"),
+      sum(col("x") * col("y")).cast("long").as("sxy"),
+      sum(col("x") * col("x")).cast("long").as("sxx"),
+      sum(col("y") * col("y")).cast("long").as("syy"))
+    m.filter(col("n") > 1)
+      .select(col("n").as("n_parts"),
+        round(expr("""CAST(n * sxy - sx * sy AS DOUBLE)
+          |  / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          |    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)),
+          |    CAST(0 AS DOUBLE))""".stripMargin), 6).as("pearson_r"),
+        round(expr("""CAST(n * sxy - sx * sy AS DOUBLE)
+          |  / nullif(CAST(n * sxx - sx * sx AS DOUBLE),
+          |    CAST(0 AS DOUBLE)) / CAST(100 AS DOUBLE)"""
+          .stripMargin), 6).as("dollars_per_size_unit"))
+  }
+
+  /** NATION REVENUE SHARE — the supply-side concentration readout
+    * beside q304's customer panel: discounted lineitem revenue per
+    * SUPPLIER nation with each nation's share of the total, the
+    * geographic-risk number a sourcing team reads before any
+    * single-region commitment. q143 answers this for one region and a
+    * date window; this is the unconditional full-table mix.
+    *
+    * Exactness: revenue rides the house exact dsum (long fixed-point,
+    * order-free); the SHARE goes back through EXACT integers — each
+    * nation's revenue rounds to whole dollars (identical doubles both
+    * engines; never a half-dollar tie on computed discount products,
+    * the q304 stance), the total is an exact int64 window sum over
+    * ≤25 nation rows, and ratio6 does the 6-decimal rounding (totals
+    * ≈ 6·10¹¹ dollars at the ×10 axis — inside ratio6's line to
+    * ~×100, stated). No double is ever summed across nations.
+    *
+    * Plan: lineitem ⋈ broadcast(supplier ⋈ nation), one hash
+    * aggregate, a ≤25-row window finish. One lineitem scan.
+    */
+  val q313NationRevenueShare = Q(
+    "q313_nation_revenue_share",
+    s"""WITH r AS (
+      |  SELECT n.n_name,
+      |    ${graft.functions.Exact.Sql.dsum(
+           "l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue,
+      |    CAST(count(*) AS BIGINT) AS n_lines
+      |  FROM lineitem l
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  GROUP BY 1
+      |),
+      |d AS (
+      |  SELECT n_name, revenue, n_lines,
+      |    CAST(round(revenue) AS BIGINT) AS rd,
+      |    CAST(sum(CAST(round(revenue) AS BIGINT)) OVER () AS BIGINT)
+      |      AS td
+      |  FROM r
+      |)
+      |SELECT n_name, revenue, n_lines,
+      |  ${graft.functions.Exact.Sql.ratio6("rd", "td")} AS rev_share
+      |FROM d
+      |ORDER BY n_name NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val dims = broadcast(Tables.supplier(s, d)
+      .join(Tables.nation(s, d),
+        col("n_nationkey") === col("s_nationkey")))
+    val r = Tables.lineitem(s, d)
+      .join(dims, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("n_name"))
+      .agg(graft.functions.Exact.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).cast("long").as("n_lines"))
+    val dd = r.select(col("n_name"), col("revenue"), col("n_lines"),
+      expr("CAST(round(revenue) AS BIGINT)").as("rd"))
+      .withColumn("td",
+        sum(col("rd")).over(Window.partitionBy()).cast("long"))
+    dd.select(col("n_name"), col("revenue"), col("n_lines"),
+        graft.functions.Exact.ratio6("rd", "td").as("rev_share"))
+      .orderBy(col("n_name"))
+  }
+
+  /** SOURCE–LANGUAGE MIX — the q293 contingency machinery pointed at
+    * the documents catalog: sources × languages χ² + Cramér's V, the
+    * corpus-composition audit run before any per-language quality
+    * number is trusted (a source that is secretly 90% one language
+    * biases every "multilingual" claim downstream of q38's langid).
+    *
+    * Exactness: q293 verbatim — integer-cleared cell terms
+    * (N·O − R·C)² in per-factor doubles quantized DECIMAL(18,9), V
+    * one fixed chain with the min(r−1, c−1) denominator
+    * nullif-guarded on BOTH engines AT BIRTH (the q293 ADVICE lesson
+    * applied forward); p unreported (df > 2, q248 stance).
+    *
+    * Plan: one (source, lang) cell aggregate with window margins, a
+    * cell-bounded finish. One scan of documents.
+    */
+  val q314SourceLanguageMix = Q(
+    "q314_source_language_mix",
+    """WITH cell AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND lang IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT source, lang, o,
+      |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS r,
+      |    CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS c,
+      |    CAST(sum(o) OVER () AS BIGINT) AS nn,
+      |    CAST(count(DISTINCT lang) OVER () AS BIGINT) AS ncol
+      |  FROM cell
+      |),
+      |terms AS (
+      |  SELECT source, lang, o, r, c, nn, ncol,
+      |    CAST((CAST(nn AS DOUBLE) * CAST(o AS DOUBLE)
+      |        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |      * (CAST(nn AS DOUBLE) * CAST(o AS DOUBLE)
+      |        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |      / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE)
+      |        * CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS t
+      |  FROM m
+      |),
+      |chi AS (
+      |  SELECT CAST(sum(t) AS DOUBLE) AS chi2,
+      |    max(nn) AS nn, max(ncol) AS ncol,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS nrow
+      |  FROM terms
+      |)
+      |SELECT source, lang, o AS n_docs,
+      |  round(CAST(o AS DOUBLE) / CAST(r AS DOUBLE), 6)
+      |    AS source_share,
+      |  round(chi.chi2, 6) AS chi2,
+      |  round(sqrt(chi.chi2 / nullif(CAST(chi.nn AS DOUBLE)
+      |    * CAST(least(chi.nrow - 1, chi.ncol - 1) AS DOUBLE),
+      |    CAST(0 AS DOUBLE))), 6) AS cramers_v
+      |FROM terms CROSS JOIN chi
+      |ORDER BY source, lang""".stripMargin,
+  ) { (s, d) =>
+    val cell = Tables.documents(s, d)
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("o"))
+    val m = cell.select(col("source"), col("lang"), col("o"),
+      sum(col("o")).over(Window.partitionBy(col("source"))).cast("long")
+        .as("r"),
+      sum(col("o")).over(Window.partitionBy(col("lang"))).cast("long")
+        .as("c"),
+      sum(col("o")).over(Window.partitionBy()).cast("long").as("nn"),
+      size(collect_set(col("lang")).over(Window.partitionBy()))
+        .cast("long").as("ncol"))
+    val terms = m.withColumn("t", expr(
+      """CAST((CAST(nn AS DOUBLE) * CAST(o AS DOUBLE)
+        |    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |  * (CAST(nn AS DOUBLE) * CAST(o AS DOUBLE)
+        |    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+        |  / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE)
+        |    * CAST(c AS DOUBLE)) AS DECIMAL(18,9))""".stripMargin))
+      .localCheckpoint() // 2 consumers: the chi frame and the rows
+    val chi = terms.agg(
+      sum(col("t")).cast("double").as("chi2"),
+      max(col("nn")).as("c_nn"), max(col("ncol")).as("c_ncol"),
+      countDistinct(col("source")).cast("long").as("nrow"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("source"), col("lang"), col("o").as("n_docs"),
+        round(expr("CAST(o AS DOUBLE) / CAST(r AS DOUBLE)"), 6)
+          .as("source_share"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") /
+          nullif(col("c_nn").cast("double") *
+            least(col("nrow") - 1, col("c_ncol") - 1).cast("double"),
+            lit(0.0))),
+          6).as("cramers_v"))
+      .orderBy(col("source"), col("lang"))
   }
 }

@@ -1242,4 +1242,43 @@ class EdgeEventsSpec extends SparkSpec {
       spark, "/tmp/graft_edge_events_samesec").collect().isEmpty,
       "one type has no pair matrix")
   }
+
+  test("q312/q313 degenerate: a constant-size catalog NULLs r; a " +
+      "single-nation supply chain owns share exactly 1") {
+    import spark.implicits._
+    // two parts, SAME size, different prices → varx = 0 → NULL r/slope
+    val d = "/tmp/graft_edge_parts_constsize"
+    Seq((1L, "pa", "B", "T", 5, 10.0), (2L, "pb", "B", "T", 5, 20.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    val r = SparkEntry.queries("q312_size_price_corr")(spark, d)
+      .collect()
+    assert(r.length === 1 && r.head.getLong(0) === 2L)
+    assert(r.head.isNullAt(1) && r.head.isNullAt(2),
+      "zero size variance must NULL r and the slope")
+    // one supplier, one nation: the share is exactly 1 (ratio6 of
+    // equal exact integers)
+    val d2 = "/tmp/graft_edge_onenation"
+    def ts(days: Long) = new java.sql.Timestamp(days * 86400000L)
+    Seq((1L, "s1", 0L, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/supplier.parquet")
+    Seq((0L, "N0", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/nation.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 100.0, 0.1, 0.0, "N", "O", ts(3L)),
+      (2L, 2L, 1L, 1, 1.0, 250.0, 0.0, 0.0, "N", "O", ts(4L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$d2/lineitem.parquet")
+    val nr = SparkEntry.queries("q313_nation_revenue_share")(spark, d2)
+      .collect()
+    assert(nr.length === 1 && nr.head.getString(0) === "N0")
+    assert(math.abs(nr.head.getDouble(1) - 340.0) < 1e-9,
+      "90 + 250 discounted revenue")
+    assert(nr.head.getDouble(3) === 1.0, "a monopoly nation owns share 1")
+  }
 }

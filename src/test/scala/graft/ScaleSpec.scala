@@ -567,7 +567,10 @@ class ScaleSpec extends SparkSpec {
       "q308_norm_drift",
       // q309's rank rides the q142 bins (probe, not broadcast);
       // q311's pair join is strictly pos-keyed
-      "q309_wilcoxon_signed_rank", "q311_centroid_distances")) {
+      "q309_wilcoxon_signed_rank", "q311_centroid_distances",
+      // q312 is one moment aggregate; q313's dims are a designed
+      // broadcast equi join (the q143 shape)
+      "q312_size_price_corr", "q313_nation_revenue_share")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -606,8 +609,10 @@ class ScaleSpec extends SparkSpec {
       "q302_kendall_w",
       // q304's scalar total/top-k frames are the same 1-row shape (the
       // DESC two-level rank itself joins by bin, strictly equi-keyed);
-      // q310's 1-row day-bounds frame is the q302 scalar shape
-      "q304_customer_concentration", "q310_type_volume_spearman")) {
+      // q310's 1-row day-bounds frame is the q302 scalar shape; q314's
+      // 1-row chi frame is the q293 scalar shape
+      "q304_customer_concentration", "q310_type_volume_spearman",
+      "q314_source_language_mix")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

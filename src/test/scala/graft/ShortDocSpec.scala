@@ -501,4 +501,16 @@ class ShortDocSpec extends SparkSpec {
       .map { case (sz, g) => sz -> g.size.toLong }
     assert(replay === sp.map { case (k, v) => k -> v._1 })
   }
+
+  test("q314 degenerate: a single-source single-language corpus has " +
+      "chi2 exactly 0 and NULL V (min margin df = 0)") {
+    // the shared fixture: one source 'unit', one lang 'en' → both
+    // margins are 1 → every cell O = R = C = N → chi2 = 0, V guarded
+    val mx = SparkEntry.queries("q314_source_language_mix")(spark, dir)
+      .collect()
+    assert(mx.length === 1)
+    assert(mx.head.getDouble(4) === 0.0, "degenerate chi2 is 0")
+    assert(mx.head.isNullAt(5),
+      "min(r-1, c-1) = 0 must NULL V, never NaN")
+  }
 }

@@ -4160,4 +4160,93 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.size === labels.length * (labels.length - 1) / 2)
   }
+
+  test("q312 size-price correlation replays from a Scala moment walk; " +
+      "|r| <= 1") {
+    val r = Stats.q312SizePriceCorr.fn(spark, sf).collect().head
+    val v = Tables.part(spark, sf)
+      .filter(col("p_size").isNotNull && col("p_retailprice").isNotNull)
+      .select(col("p_size").cast("long"),
+        expr("CAST(round(100 * p_retailprice) AS BIGINT)")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val n = v.length.toLong
+    val sx = v.map(_._1).sum; val sy = v.map(_._2).sum
+    val sxy = v.map(p => p._1 * p._2).sum
+    val sxx = v.map(p => p._1 * p._1).sum
+    val syy = v.map(p => p._2 * p._2).sum
+    val rr = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+        math.sqrt((n * syy - sy * sy).toDouble))
+    assert(r.getLong(0) === n)
+    assert(math.abs(r.getDouble(1) - rr) < 1e-5, "r")
+    assert(math.abs(r.getDouble(1)) <= 1 + 1e-9, "|r| <= 1")
+    assert(math.abs(r.getDouble(2) -
+      (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx) / 100) < 1e-5,
+      "slope")
+  }
+
+  test("q313 nation revenue share replays from a Scala fixed-point " +
+      "walk; shares sum to 1") {
+    val got = Stats.q313NationRevenueShare.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val supNation = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_suppkey"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount")).collect()
+      .map(r => (supNation(r.getLong(0)),
+        math.round(r.getDouble(1) * (1.0 - r.getDouble(2)) * 1e4)))
+    val expect = li.groupBy(_._1).map { case (nn, g) =>
+      nn -> g.map(_._2).sum }
+    val totalD = expect.values.map(u => math.round(u.toDouble / 1e4))
+      .sum
+    for ((nn, units) <- expect) {
+      val (grev, _, gshare) = got(nn)
+      assert(math.abs(grev - units.toDouble / 1e4) < 1e-6 * (1 + grev),
+        s"$nn revenue")
+      val rd = math.round(units.toDouble / 1e4)
+      assert(math.abs(gshare - rd.toDouble / totalD) < 1e-5,
+        s"$nn share")
+    }
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4,
+      "shares sum to 1")
+    assert(got.keySet === expect.keySet)
+  }
+
+  test("q314 source-language mix replays from a Scala contingency " +
+      "walk; V in [0, 1]") {
+    val got = Stats.q314SourceLanguageMix.fn(spark, sf).collect()
+      .map { r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5))) }.toMap
+    val o = Tables.documents(spark, sf)
+      .filter(col("source").isNotNull && col("lang").isNotNull)
+      .select(col("source"), col("lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = o.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val rows = o.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cols = o.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val nn = o.length.toLong
+    val chi2 = cells.map { case ((src, lg), obs) =>
+      val e = rows(src).toDouble * cols(lg) / nn
+      (obs - e) * (obs - e) / e
+    }.sum
+    val dfm = math.min(rows.size - 1, cols.size - 1)
+    for (((src, lg), obs) <- cells) {
+      val (gobs, gchi, gv) = got((src, lg))
+      assert(gobs === obs, s"($src,$lg) cell")
+      assert(math.abs(gchi - chi2) < 1e-3 * (1 + chi2), "chi2")
+      if (dfm > 0) {
+        val v = math.sqrt(chi2 / (nn * dfm))
+        assert(math.abs(gv - v) < 1e-4, "V")
+        assert(gv >= 0 && gv <= 1 + 1e-9, "V range")
+      } else assert(gv.isNaN, "degenerate margins must NULL V")
+    }
+    assert(got.size === cells.size)
+  }
 }
