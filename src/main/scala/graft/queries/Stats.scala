@@ -47,7 +47,8 @@ object Stats {
     q301CronbachAlpha, q302KendallW, q303TheilIndex,
     q304CustomerConcentration, q306OrderDispersion,
     q309WilcoxonSignedRank, q310TypeVolumeSpearman,
-    q312SizePriceCorr, q313NationRevenueShare, q314SourceLanguageMix)
+    q312SizePriceCorr, q313NationRevenueShare, q314SourceLanguageMix,
+    q315UserActivityPercentiles, q317GapPercentiles)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -9892,5 +9893,189 @@ object Stats {
             lit(0.0))),
           6).as("cramers_v"))
       .orderBy(col("source"), col("lang"))
+  }
+
+  /** USER-ACTIVITY PERCENTILES — the exact p50/p90/p99 of events per
+    * user, SORT-FREE: per-user counts collapse into VALUE RUNS
+    * (distinct activity levels — hundreds of runs for millions of
+    * users), the cumulative walks the run table, and each k-th order
+    * statistic (k = ⌈q·n⌉, the q54 discrete convention) reads off the
+    * run interval that covers its rank. The "what does a normal user
+    * look like vs the p99 power user" panel — the distributional
+    * companion to q303's one-number Theil.
+    *
+    * Exactness: pure integer counting end to end; the run cumulative
+    * is a window over the RUN table (value-cardinality-bounded, never
+    * user-proportional — the q166 run discipline without even needing
+    * bins); k from the exact ⌈n·q⌉ integer form. Empty corpus →
+    * empty. The p99/p50 concentration ratio rides ratio6.
+    *
+    * Plan: one per-user aggregate, one run aggregate, one tiny run
+    * window, a conditional-min finish. No sort touches user rows.
+    */
+  val q315UserActivityPercentiles = Q(
+    "q315_user_activity_percentiles",
+    s"""WITH u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+      |),
+      |runs AS (
+      |  SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY 1
+      |),
+      |cum AS (
+      |  SELECT x, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+      |      AS BIGINT) AS s,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |  FROM runs
+      |),
+      |k AS (
+      |  SELECT x, cnt, s, n,
+      |    (n * 500000 + 999999) // 1000000 AS k50,
+      |    (n * 900000 + 999999) // 1000000 AS k90,
+      |    (n * 990000 + 999999) // 1000000 AS k99
+      |  FROM cum
+      |),
+      |f AS (
+      |  SELECT max(n) AS n,
+      |    min(CASE WHEN s < k50 AND k50 <= s + cnt THEN x END) AS p50,
+      |    min(CASE WHEN s < k90 AND k90 <= s + cnt THEN x END) AS p90,
+      |    min(CASE WHEN s < k99 AND k99 <= s + cnt THEN x END) AS p99
+      |  FROM k
+      |)
+      |SELECT n AS n_users, p50 AS p50_events, p90 AS p90_events,
+      |  p99 AS p99_events,
+      |  ${graft.functions.Exact.Sql.ratio6("p99", "p50")}
+      |    AS p99_to_p50
+      |FROM f WHERE n IS NOT NULL""".stripMargin,
+  ) { (s, d) =>
+    val runs = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("x"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = runs.select(col("x"), col("cnt"),
+      (sum(col("cnt")).over(Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, 0)) - col("cnt"))
+        .cast("long").as("s"),
+      sum(col("cnt")).over(Window.partitionBy()).cast("long").as("n"))
+    val k = cum.select(col("x"), col("cnt"), col("s"), col("n"),
+      expr("(n * 500000 + 999999) div 1000000").as("k50"),
+      expr("(n * 900000 + 999999) div 1000000").as("k90"),
+      expr("(n * 990000 + 999999) div 1000000").as("k99"))
+    k.agg(max(col("n")).as("n"),
+        min(when(col("s") < col("k50")
+          && col("k50") <= col("s") + col("cnt"), col("x"))).as("p50"),
+        min(when(col("s") < col("k90")
+          && col("k90") <= col("s") + col("cnt"), col("x"))).as("p90"),
+        min(when(col("s") < col("k99")
+          && col("k99") <= col("s") + col("cnt"), col("x"))).as("p99"))
+      .filter(col("n").isNotNull)
+      .select(col("n").as("n_users"), col("p50").as("p50_events"),
+        col("p90").as("p90_events"), col("p99").as("p99_events"),
+        graft.functions.Exact.ratio6("p99", "p50").as("p99_to_p50"))
+  }
+
+  /** INTER-EVENT GAP PERCENTILE PROFILE — the exact p50/p95/p99 of
+    * per-type gap seconds, the ORDER-STATISTICS companion to q296's
+    * moment-based burstiness (a heavy tail shows up as p99/p50
+    * exploding long before the mean moves — and unlike B, the
+    * percentiles say WHERE the mass sits for timeout tuning). Same
+    * sort-free run discipline as q315, partitioned per type.
+    *
+    * Exactness: gaps in whole seconds off the (us, event_id) order
+    * (q266's device); runs per (type, gap) exact int64; per-type run
+    * cumulatives are windows over run tables (gap-cardinality-
+    * bounded); k = ⌈q·m⌉ exact; the tail ratio rides ratio6 with
+    * nullif (an all-sub-second type has p50 = 0 → NULL ratio,
+    * stated). Types with no gaps emit nothing.
+    *
+    * Plan: one lag window (row-proportional scan — the gap
+    * computation itself), one run aggregate, tiny per-type windows,
+    * a conditional-min finish per type.
+    */
+  val q317GapPercentiles = Q(
+    "q317_gap_percentiles",
+    s"""WITH e AS (
+      |  SELECT event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |gaps AS (
+      |  SELECT event_type,
+      |    (us - lag(us) OVER (PARTITION BY event_type
+      |      ORDER BY us, event_id)) // 1000000 AS g
+      |  FROM e
+      |),
+      |runs AS (
+      |  SELECT event_type, g, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM gaps WHERE g IS NOT NULL GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT event_type, g, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY g
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+      |      AS BIGINT) AS s,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      |  FROM runs
+      |),
+      |k AS (
+      |  SELECT event_type, g, cnt, s, m,
+      |    (m * 500000 + 999999) // 1000000 AS k50,
+      |    (m * 950000 + 999999) // 1000000 AS k95,
+      |    (m * 990000 + 999999) // 1000000 AS k99
+      |  FROM cum
+      |),
+      |f AS (
+      |  SELECT event_type, max(m) AS m,
+      |    min(CASE WHEN s < k50 AND k50 <= s + cnt THEN g END) AS p50,
+      |    min(CASE WHEN s < k95 AND k95 <= s + cnt THEN g END) AS p95,
+      |    min(CASE WHEN s < k99 AND k99 <= s + cnt THEN g END) AS p99
+      |  FROM k GROUP BY 1
+      |)
+      |SELECT event_type, m AS n_gaps, p50 AS p50_s, p95 AS p95_s,
+      |  p99 AS p99_s,
+      |  ${graft.functions.Exact.Sql.ratio6("p99", "p50")}
+      |    AS p99_to_p50
+      |FROM f
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val gaps = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .select(col("event_type"),
+        expr("""(us - lag(us) OVER (PARTITION BY event_type
+          |  ORDER BY us, event_id)) div 1000000""".stripMargin).as("g"))
+      .filter(col("g").isNotNull)
+    val runs = gaps.groupBy(col("event_type"), col("g"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("g"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = runs.select(col("event_type"), col("g"), col("cnt"),
+      (sum(col("cnt")).over(wCum) - col("cnt")).cast("long").as("s"),
+      sum(col("cnt")).over(Window.partitionBy(col("event_type")))
+        .cast("long").as("m"))
+    val k = cum.select(col("event_type"), col("g"), col("cnt"),
+      col("s"), col("m"),
+      expr("(m * 500000 + 999999) div 1000000").as("k50"),
+      expr("(m * 950000 + 999999) div 1000000").as("k95"),
+      expr("(m * 990000 + 999999) div 1000000").as("k99"))
+    k.groupBy(col("event_type"))
+      .agg(max(col("m")).as("m"),
+        min(when(col("s") < col("k50")
+          && col("k50") <= col("s") + col("cnt"), col("g"))).as("p50"),
+        min(when(col("s") < col("k95")
+          && col("k95") <= col("s") + col("cnt"), col("g"))).as("p95"),
+        min(when(col("s") < col("k99")
+          && col("k99") <= col("s") + col("cnt"), col("g"))).as("p99"))
+      .select(col("event_type"), col("m").as("n_gaps"),
+        col("p50").as("p50_s"), col("p95").as("p95_s"),
+        col("p99").as("p99_s"),
+        graft.functions.Exact.ratio6("p99", "p50").as("p99_to_p50"))
+      .orderBy(col("event_type"))
   }
 }

@@ -20,7 +20,8 @@ object TextAnalysis {
       q194HeapsLaw, q199JsDivergence, q202RakeKeywords, q213PhraseSearch,
       q218ZipfSlope, q227CosineProfiles, q250OovRate, q276Flesch,
       q282Mattr, q283QueryLikelihood, q284VocabOverlap, q291VocabChurn,
-      q294YuleK, q295TokenBurstiness, q307CharEntropy)
+      q294YuleK, q295TokenBurstiness, q307CharEntropy,
+      q316DocLengthPercentiles)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -2445,6 +2446,83 @@ object TextAnalysis {
           |    AS DOUBLE) - slc / CAST(n AS DOUBLE))
           |  / CAST(CAST(ln(CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE)"""
           .stripMargin), 6).as("bits_per_char"))
+      .orderBy(col("source"))
+  }
+
+  /** DOCUMENT-LENGTH PERCENTILES — exact per-source p50/p95 of
+    * character lengths, SORT-FREE via the q315 value-run discipline
+    * partitioned by source: lengths collapse to (source, n_chars)
+    * runs, the per-source cumulative walks the run table, and each
+    * k = ⌈q·n⌉ order statistic reads off its covering run. The corpus
+    * intake panel (chunking and packing budgets key off p95, not the
+    * mean a few megadocs distort) beside q37's moments.
+    *
+    * Exactness: pure integer counting; run cumulatives are windows
+    * over run tables (length-cardinality-bounded, never
+    * doc-proportional); the p95/p50 spread ratio rides ratio6 with
+    * nullif (an all-empty source has p50 = 0 → NULL ratio, stated).
+    *
+    * Plan: one (source, length) aggregate, tiny per-source windows,
+    * a conditional-min finish. One scan.
+    */
+  val q316DocLengthPercentiles = Q(
+    "q316_doc_length_percentiles",
+    s"""WITH runs AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS len,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents
+      |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT source, len, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt
+      |      AS BIGINT) AS s,
+      |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM runs
+      |),
+      |k AS (
+      |  SELECT source, len, cnt, s, n,
+      |    (n * 500000 + 999999) // 1000000 AS k50,
+      |    (n * 950000 + 999999) // 1000000 AS k95
+      |  FROM cum
+      |),
+      |f AS (
+      |  SELECT source, max(n) AS n,
+      |    min(CASE WHEN s < k50 AND k50 <= s + cnt THEN len END) AS p50,
+      |    min(CASE WHEN s < k95 AND k95 <= s + cnt THEN len END) AS p95
+      |  FROM k GROUP BY 1
+      |)
+      |SELECT source, n AS n_docs, p50 AS p50_chars, p95 AS p95_chars,
+      |  ${graft.functions.Exact.Sql.ratio6("p95", "p50")}
+      |    AS p95_to_p50
+      |FROM f
+      |ORDER BY source""".stripMargin,
+  ) { (s, d) =>
+    val runs = Tables.documents(s, d)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .groupBy(col("source"), col("n_chars").cast("long").as("len"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = runs.select(col("source"), col("len"), col("cnt"),
+      (sum(col("cnt")).over(wCum) - col("cnt")).cast("long").as("s"),
+      sum(col("cnt")).over(Window.partitionBy(col("source")))
+        .cast("long").as("n"))
+    val k = cum.select(col("source"), col("len"), col("cnt"), col("s"),
+      col("n"),
+      expr("(n * 500000 + 999999) div 1000000").as("k50"),
+      expr("(n * 950000 + 999999) div 1000000").as("k95"))
+    k.groupBy(col("source"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("s") < col("k50")
+          && col("k50") <= col("s") + col("cnt"), col("len"))).as("p50"),
+        min(when(col("s") < col("k95")
+          && col("k95") <= col("s") + col("cnt"), col("len"))).as("p95"))
+      .select(col("source"), col("n").as("n_docs"),
+        col("p50").as("p50_chars"), col("p95").as("p95_chars"),
+        graft.functions.Exact.ratio6("p95", "p50").as("p95_to_p50"))
       .orderBy(col("source"))
   }
 }

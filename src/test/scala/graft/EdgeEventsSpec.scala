@@ -1281,4 +1281,27 @@ class EdgeEventsSpec extends SparkSpec {
       "90 + 250 discounted revenue")
     assert(nr.head.getDouble(3) === 1.0, "a monopoly nation owns share 1")
   }
+
+  test("q315/q317 degenerate: a one-user corpus collapses every " +
+      "percentile to its count; a metronome's gap spread is exactly 1; " +
+      "a zero-second median NULLs the tail ratio") {
+    // samesec fixture: one user with two events → p50 = p90 = p99 = 2
+    val d = "/tmp/graft_edge_events_samesec"
+    val ua = SparkEntry.queries("q315_user_activity_percentiles")(
+      spark, d).collect()
+    assert(ua.length === 1 && ua.head.getLong(0) === 1L)
+    assert(ua.head.getLong(1) === 2L && ua.head.getLong(3) === 2L)
+    assert(ua.head.getDouble(4) === 1.0, "degenerate spread is 1")
+    // metronome: 3 equal 3600s gaps → all percentiles 3600, ratio 1
+    val gp = SparkEntry.queries("q317_gap_percentiles")(
+      spark, "/tmp/graft_edge_events_metronome").collect()
+    assert(gp.length === 1)
+    assert(gp.head.getLong(2) === 3600L && gp.head.getLong(4) === 3600L)
+    assert(gp.head.getDouble(5) === 1.0, "equal gaps spread to 1")
+    // samesec: the single gap is 0 s → p50 = 0 → NULL ratio via nullif
+    val g0 = SparkEntry.queries("q317_gap_percentiles")(spark, d)
+      .collect()
+    assert(g0.length === 1 && g0.head.getLong(2) === 0L)
+    assert(g0.head.isNullAt(5), "zero median must NULL the tail ratio")
+  }
 }

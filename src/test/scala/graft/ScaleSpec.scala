@@ -569,8 +569,11 @@ class ScaleSpec extends SparkSpec {
       // q311's pair join is strictly pos-keyed
       "q309_wilcoxon_signed_rank", "q311_centroid_distances",
       // q312 is one moment aggregate; q313's dims are a designed
-      // broadcast equi join (the q143 shape)
-      "q312_size_price_corr", "q313_nation_revenue_share")) {
+      // broadcast equi join (the q143 shape); q315/q316/q317 are
+      // join-free run-decomposed percentiles (windows over run tables)
+      "q312_size_price_corr", "q313_nation_revenue_share",
+      "q315_user_activity_percentiles", "q316_doc_length_percentiles",
+      "q317_gap_percentiles")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

@@ -502,6 +502,15 @@ class ShortDocSpec extends SparkSpec {
     assert(replay === sp.map { case (k, v) => k -> v._1 })
   }
 
+  test("q316 degenerate: the shared fixture's length percentiles are " +
+      "hand-computable (sorted 0,2,11,43,43)") {
+    val lp = SparkEntry.queries("q316_doc_length_percentiles")(
+      spark, dir).collect()
+    assert(lp.length === 1 && lp.head.getLong(1) === 5L)
+    // k50 = ceil(2.5) = 3 → 11; k95 = ceil(4.75) = 5 → 43
+    assert(lp.head.getLong(2) === 11L && lp.head.getLong(3) === 43L)
+  }
+
   test("q314 degenerate: a single-source single-language corpus has " +
       "chi2 exactly 0 and NULL V (min margin df = 0)") {
     // the shared fixture: one source 'unit', one lang 'en' → both

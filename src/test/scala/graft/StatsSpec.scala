@@ -4249,4 +4249,58 @@ class StatsSpec extends SparkSpec {
     }
     assert(got.size === cells.size)
   }
+
+  test("q315/q316/q317 percentiles replay from Scala sorted walks; the " +
+      "run-decomposed k-th order statistics match literal sorting") {
+    // q315: user activity
+    val r315 = Stats.q315UserActivityPercentiles.fn(spark, sf)
+      .collect().head
+    val ucnt = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .select(col("user_id")).collect().map(_.getLong(0))
+      .groupBy(identity).values.map(_.length.toLong).toSeq.sorted
+    def kth(xs: Seq[Long], q: Long): Long =
+      xs(((xs.length * q + 999999L) / 1000000L).toInt - 1)
+    assert(r315.getLong(0) === ucnt.length.toLong)
+    assert(r315.getLong(1) === kth(ucnt, 500000L), "p50")
+    assert(r315.getLong(2) === kth(ucnt, 900000L), "p90")
+    assert(r315.getLong(3) === kth(ucnt, 990000L), "p99")
+    assert(r315.getLong(1) <= r315.getLong(2)
+      && r315.getLong(2) <= r315.getLong(3), "monotone")
+    // q316: doc lengths per source
+    val got316 = TextAnalysis.q316DocLengthPercentiles.fn(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val lens = Tables.documents(spark, sf)
+      .filter(col("source").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    for ((src, g) <- lens.groupBy(_._1)) {
+      val xs = g.map(_._2).sorted.toSeq
+      val (gn, g50, g95) = got316(src)
+      assert(gn === xs.length.toLong, s"$src n")
+      assert(g50 === kth(xs, 500000L) && g95 === kth(xs, 950000L),
+        s"$src percentiles")
+    }
+    // q317: per-type gaps
+    val got317 = Stats.q317GapPercentiles.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((t, g) <- ev.groupBy(_._1)) {
+      val gaps = g.sortBy(e => (e._3, e._2)).sliding(2).collect {
+        case Array(a, b) => java.lang.Math.floorDiv(b._3 - a._3, 1000000L)
+      }.toSeq.sorted
+      if (gaps.nonEmpty) {
+        val (gm, g50, g95, g99) = got317(t)
+        assert(gm === gaps.length.toLong, s"$t m")
+        assert(g50 === kth(gaps, 500000L), s"$t p50")
+        assert(g95 === kth(gaps, 950000L), s"$t p95")
+        assert(g99 === kth(gaps, 990000L), s"$t p99")
+      } else assert(!got317.contains(t))
+    }
+  }
 }
