@@ -6010,10 +6010,42 @@ object Stats {
     val mom = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("gp")).cast("long").as("sg"))
-    val rk = gaps.join(mom, "event_type")
-      .select(col("event_type"), col("n"), col("sg"),
-        row_number().over(Window.partitionBy(col("event_type"))
-          .orderBy(col("gp"))).cast("long").as("i"),
+    // two-level per-type rank (q142, ninth application — r15: this was
+    // the family's other 0.57 exponent beside q260's): global gap bins
+    // off a 2-scalar probe, per-(type, bin) in-bin ranks, per-type
+    // cross-bin prefix over the ≤types×4096 bin frame. Ties inside a
+    // bin stay arbitrary — W² is tie-invariant AS A SET (constant F̂
+    // over a tie run × the same rank set), the stated q257 invariance,
+    // so the decomposition is value-identical to the flat window.
+    val mmP = gaps.agg(min(col("gp")), max(col("gp"))).head
+    val ranked =
+      if (mmP.isNullAt(0))
+        gaps.select(col("event_type"), col("gp"), lit(0L).as("i"))
+      else {
+        val (lo, hi) = (mmP.getLong(0), mmP.getLong(1))
+        val bw = (hi - lo) / 4096 + 1
+        val binned = gaps
+          .withColumn("bin", expr(s"(gp - ${lo}L) div ${bw}L"))
+          .localCheckpoint() // 2 consumers: bin totals and in-bin ranks
+        val binBefore = binned
+          .groupBy(col("event_type").as("b_type"), col("bin").as("b_bin"))
+          .agg(count(lit(1)).cast("long").as("bc"))
+          .select(col("b_type"), col("b_bin"),
+            coalesce(sum(col("bc")).over(
+              Window.partitionBy(col("b_type")).orderBy(col("b_bin"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+              .as("before"))
+        binned.withColumn("inb",
+            row_number().over(Window.partitionBy(col("event_type"),
+              col("bin")).orderBy(col("gp"))).cast("long"))
+          .join(broadcast(binBefore),
+            col("b_type") === col("event_type")
+              && col("b_bin") === col("bin"))
+          .select(col("event_type"), col("gp"),
+            (col("before") + col("inb")).as("i"))
+      }
+    val rk = ranked.join(mom, "event_type")
+      .select(col("event_type"), col("n"), col("sg"), col("i"),
         expr("""CAST(1 AS DOUBLE)
           |  - CAST(exp(CAST(0 AS DOUBLE)
           |      - CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)
