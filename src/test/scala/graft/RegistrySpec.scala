@@ -58,8 +58,35 @@ class RegistrySpec extends SparkSpec {
       assert(cols.nonEmpty)
       assert(cols.distinct.length === cols.length, s"duplicate columns in $cols")
       assert(cols.forall(_.nonEmpty))
-      // materialize fully (not count(): count lets Catalyst prune columns)
-      df.write.format("noop").mode("overwrite").save()
+      // NULLABLE-BOOLEAN TRIPWIRE (§5.7): a NULL in a BOOLEAN output
+      // column breaks the driver compare (DuckDB .df() renders it NaN,
+      // Spark parquet None — the one asymmetric type, hit live by q287
+      // at sf0.1). The ADVICE-named instances ship strings now; the
+      // registry still carries ~a dozen boolean verdicts whose nullif-
+      // guarded inputs COULD go NULL on a degenerate future fixture —
+      // this fence fails loudly here before the oracle compare would
+      // silently mismatch. Necessary-not-sufficient (sf0.001 only; the
+      // three-scale oracle sweeps complete the fence), and automatic
+      // for every future operator.
+      import org.apache.spark.sql.functions.{col, sum, when}
+      import org.apache.spark.sql.types.BooleanType
+      val boolCols = df.schema.fields
+        .filter(_.dataType == BooleanType).map(_.name)
+      if (boolCols.isEmpty)
+        // materialize fully (not count(): count lets Catalyst prune)
+        df.write.format("noop").mode("overwrite").save()
+      else {
+        val nulls = df.select(boolCols.map(c =>
+          sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(c)).toSeq: _*)
+          .collect()
+        if (nulls.nonEmpty) {
+          val row = nulls.head
+          for ((c, i) <- boolCols.zipWithIndex if !row.isNullAt(i))
+            assert(row.getLong(i) === 0L,
+              s"${q.name}.$c: nullable BOOLEAN reached a NULL — ship " +
+                "it as a string (§5.7) before the driver compare breaks")
+        }
+      }
     }
   }
 }
