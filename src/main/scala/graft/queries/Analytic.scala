@@ -2090,7 +2090,9 @@ object Analytic {
       |  round(ewma, 6) AS ewma,
       |  round(mu + 3 * hw, 6) AS ucl,
       |  round(mu - 3 * hw, 6) AS lcl,
-      |  ewma > mu + 3 * hw OR ewma < mu - 3 * hw AS out_of_control
+      |  CASE ewma > mu + 3 * hw OR ewma < mu - 3 * hw
+      |    WHEN true THEN 'oob' WHEN false THEN 'in_control' END
+      |    AS out_of_control
       |FROM fin
       |ORDER BY event_type, hour""".stripMargin,
   ) { (s, d) => ewmaChartPlan(Tables.events(s, d), truncate = true) }
@@ -2187,14 +2189,20 @@ object Analytic {
           6).as("ewma"),
         round(mu + lit(3) * hw, 6).as("ucl"),
         round(mu - lit(3) * hw, 6).as("lcl"),
-        (expr(
-          """CAST(sd AS DOUBLE) + CAST(pow(0.8, t + 1) AS FLOAT)
-            |  * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))""".stripMargin)
-          > mu + lit(3) * hw
-          || expr(
-          """CAST(sd AS DOUBLE) + CAST(pow(0.8, t + 1) AS FLOAT)
-            |  * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))""".stripMargin)
-          < mu - lit(3) * hw).as("out_of_control"))
+        {
+          // §5.7 nullable-boolean rule (r16): string verdict — a single-
+          // hour series NULLs hw, so the band test must not stay boolean
+          val oob = expr(
+            """CAST(sd AS DOUBLE) + CAST(pow(0.8, t + 1) AS FLOAT)
+              |  * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))""".stripMargin)
+            .gt(mu + lit(3) * hw)
+            .or(expr(
+              """CAST(sd AS DOUBLE) + CAST(pow(0.8, t + 1) AS FLOAT)
+                |  * (CAST(s AS DOUBLE) / CAST(span AS DOUBLE))"""
+                .stripMargin).lt(mu - lit(3) * hw))
+          when(oob === true, lit("oob"))
+            .when(oob === false, lit("in_control")).as("out_of_control")
+        })
       .orderBy(col("event_type"), col("hour"))
   }
 
@@ -3088,11 +3096,13 @@ object Analytic {
       |  CAST(r.x AS BIGINT) AS n,
       |  CAST(round(r.mt, 6) AS DOUBLE) AS m_t,
       |  CAST(round(r.mt - r.mmin, 6) AS DOUBLE) AS ph_t,
-      |  CAST(r.mt - r.mmin AS DOUBLE) >
+      |  CASE CAST(r.mt - r.mmin AS DOUBLE) >
       |    CAST(3 AS DOUBLE) * sqrt(CAST(mm.span * mm.q - mm.s * mm.s
       |        AS DOUBLE)
       |      / nullif(CAST(mm.span * (mm.span - 1) AS DOUBLE),
-      |          CAST(0 AS DOUBLE))) AS alarm
+      |          CAST(0 AS DOUBLE)))
+      |    WHEN true THEN 'alarm' WHEN false THEN 'quiet' END
+      |    AS alarm
       |FROM run r JOIN mom mm ON mm.event_type = r.event_type
       |ORDER BY r.event_type, hour""".stripMargin,
   ) { (s, d) =>
@@ -3132,10 +3142,16 @@ object Analytic {
         col("x").cast("long").as("n"),
         round(col("mt"), 6).cast("double").as("m_t"),
         round(col("mt") - col("mmin"), 6).cast("double").as("ph_t"),
-        ((col("mt") - col("mmin")).cast("double") >
-          expr("""CAST(3 AS DOUBLE) * sqrt(CAST(span * q - s * s AS DOUBLE)
-            |  / nullif(CAST(span * (span - 1) AS DOUBLE),
-            |      CAST(0 AS DOUBLE)))""".stripMargin)).as("alarm"))
+        {
+          // §5.7 nullable-boolean rule (r16): string verdict — the
+          // single-hour series NULLs λ via nullif (documented path)
+          val breach = (col("mt") - col("mmin")).cast("double") >
+            expr("""CAST(3 AS DOUBLE) * sqrt(CAST(span * q - s * s AS DOUBLE)
+              |  / nullif(CAST(span * (span - 1) AS DOUBLE),
+              |      CAST(0 AS DOUBLE)))""".stripMargin)
+          when(breach === true, lit("alarm"))
+            .when(breach === false, lit("quiet")).as("alarm")
+        })
       .orderBy(col("event_type"), col("hour"))
   }
   /** ROLLING WINDOW CORRELATION — the time-LOCAL dependence monitor next

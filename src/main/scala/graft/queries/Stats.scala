@@ -111,9 +111,10 @@ object Stats {
       |  round(CAST(dnum * dnum AS DOUBLE) * CAST(nn AS DOUBLE)
       |    / nullif(CAST(n1 * n2 AS DOUBLE), 0)
       |    / nullif(CAST(xx * (nn - xx) AS DOUBLE), 0), 6) AS z2,
-      |  (CAST(dnum * dnum AS DOUBLE) * CAST(nn AS DOUBLE)
+      |  CASE (CAST(dnum * dnum AS DOUBLE) * CAST(nn AS DOUBLE)
       |    / nullif(CAST(n1 * n2 AS DOUBLE), 0)
       |    / nullif(CAST(xx * (nn - xx) AS DOUBLE), 0)) > 3.8415
+      |    WHEN true THEN 'significant' WHEN false THEN 'ns' END
       |    AS significant
       |FROM s
       |ORDER BY event_type NULLS FIRST""".stripMargin,
@@ -149,7 +150,10 @@ object Stats {
         Exact.ratio6("x1", "n1").as("rate1"),
         Exact.ratio6("x2", "n2").as("rate2"),
         round(z2, 6).as("z2"),
-        (z2 > 3.8415).as("significant"))
+        // §5.7 nullable-boolean rule (r16): verdict ships as a string —
+        // NULL z2 (degenerate arm) propagates through both whens to NULL.
+        when(z2 > 3.8415, lit("significant"))
+          .when(z2 <= 3.8415, lit("ns")).as("significant"))
       .orderBy(col("event_type"))
   }
 
@@ -1216,7 +1220,9 @@ object Stats {
       |SELECT CAST(day AS BIGINT) AS day,
       |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
       |  round(theta, 6) AS theta, round(p_av, 6) AS p_always_valid,
-      |  p_av < 0.05 AS rejected
+      |  CASE p_av < 0.05
+      |    WHEN true THEN 'reject' WHEN false THEN 'continue' END
+      |    AS rejected
       |FROM r
       |ORDER BY day NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -1274,7 +1280,10 @@ object Stats {
         col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
         round(col("theta"), 6).as("theta"),
         round(col("p_av"), 6).as("p_always_valid"),
-        (col("p_av") < 0.05).as("rejected"))
+        // §5.7 nullable-boolean rule (r16): string verdict — λ = 0 rows
+        // NULL p_av through nullif, so the flag must not be a bool
+        when(col("p_av") < 0.05, lit("reject"))
+          .when(col("p_av") >= 0.05, lit("continue")).as("rejected"))
       .orderBy(col("day"))
   }
 
@@ -1333,7 +1342,9 @@ object Stats {
       |  round(contrib, 6) AS chi2_term,
       |  round(CAST(sum(CAST(contrib AS DECIMAL(18,9))) OVER () AS DOUBLE), 6)
       |    AS chi2,
-      |  CAST(sum(CAST(contrib AS DECIMAL(18,9))) OVER () AS DOUBLE) > 20.090
+      |  CASE CAST(sum(CAST(contrib AS DECIMAL(18,9))) OVER () AS DOUBLE)
+      |      > 20.090
+      |    WHEN true THEN 'suspicious' WHEN false THEN 'clean' END
       |    AS suspicious
       |FROM t
       |ORDER BY digit""".stripMargin,
@@ -1365,8 +1376,12 @@ object Stats {
         round(col("contrib"), 6).as("chi2_term"),
         round(sum(expr("CAST(contrib AS DECIMAL(18,9))")).over(w)
           .cast("double"), 6).as("chi2"),
-        (sum(expr("CAST(contrib AS DECIMAL(18,9))")).over(w)
-          .cast("double") > 20.090).as("suspicious"))
+        // §5.7 nullable-boolean rule (r16): string verdict (empty-corpus
+        // window sum is NULL → NULL verdict, never a nullable bool).
+        when(sum(expr("CAST(contrib AS DECIMAL(18,9))")).over(w)
+          .cast("double") > 20.090, lit("suspicious"))
+          .when(sum(expr("CAST(contrib AS DECIMAL(18,9))")).over(w)
+            .cast("double") <= 20.090, lit("clean")).as("suspicious"))
       .orderBy(col("digit"))
   }
 
@@ -1930,14 +1945,16 @@ object Stats {
       |          - CAST(ties3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
       |        CAST(0 AS DOUBLE))
       |    ELSE NULL END, 6) AS z2,
-      |  (CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+      |  CASE (CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
       |    CAST(3 AS DOUBLE)
       |      * CAST((u2 - n1 * n2) * (u2 - n1 * n2) AS DOUBLE)
       |      / nullif(CAST(n1 * n2 AS DOUBLE)
       |        * (CAST(n + 1 AS DOUBLE)
       |          - CAST(ties3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
       |        CAST(0 AS DOUBLE))
-      |    ELSE NULL END) > 3.8415 AS significant
+      |    ELSE NULL END) > 3.8415
+      |    WHEN true THEN 'significant' WHEN false THEN 'ns' END
+      |    AS significant
       |FROM agg
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -1974,7 +1991,10 @@ object Stats {
       |      CAST(0 AS DOUBLE))
       |  ELSE NULL END""".stripMargin)
     agg.select(col("event_type"), col("n1"), col("n2"), col("u2"),
-        round(z2, 6).as("z2"), (z2 > 3.8415).as("significant"))
+        round(z2, 6).as("z2"),
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL z2 → NULL
+        when(z2 > 3.8415, lit("significant"))
+          .when(z2 <= 3.8415, lit("ns")).as("significant"))
       .orderBy(col("event_type"))
   }
   /** KENDALL τ-b — the rank-correlation second opinion next to q163's
@@ -2532,7 +2552,9 @@ object Stats {
       |  round(CAST(p_raw AS DOUBLE), 6) AS p_raw,
       |  CAST(rnk AS BIGINT) AS rnk,
       |  round(least(qv, CAST(1 AS DOUBLE)), 6) AS q_value,
-      |  least(qv, CAST(1 AS DOUBLE)) <= 0.05 AS reject
+      |  CASE least(qv, CAST(1 AS DOUBLE)) <= 0.05
+      |    WHEN true THEN 'reject' WHEN false THEN 'accept' END
+      |    AS reject
       |FROM bh
       |ORDER BY rnk""".stripMargin,
   ) { (s, d) =>
@@ -2599,7 +2621,10 @@ object Stats {
         round(col("p_raw").cast("double"), 6).as("p_raw"),
         col("rnk").cast("long").as("rnk"),
         round(least(col("qv"), lit(1.0)), 6).as("q_value"),
-        (least(col("qv"), lit(1.0)) <= 0.05).as("reject"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL q → NULL
+        when(least(col("qv"), lit(1.0)) <= 0.05, lit("reject"))
+          .when(least(col("qv"), lit(1.0)) > 0.05, lit("accept"))
+          .as("reject"))
       .orderBy(col("rnk"))
   }
   /** COCHRAN–MANTEL–HAENSZEL STRATIFIED TEST — the Simpson's-paradox
@@ -2667,9 +2692,10 @@ object Stats {
       |  round((CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
       |    * (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
       |    / nullif(CAST(sv AS DOUBLE), CAST(0 AS DOUBLE)), 6) AS cmh,
-      |  ((CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
+      |  CASE ((CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
       |    * (CAST(sa AS DOUBLE) - CAST(se AS DOUBLE))
       |    / nullif(CAST(sv AS DOUBLE), CAST(0 AS DOUBLE))) > 3.8415
+      |    WHEN true THEN 'significant' WHEN false THEN 'ns' END
       |    AS significant
       |FROM w
       |ORDER BY source""".stripMargin,
@@ -2708,7 +2734,9 @@ object Stats {
         round(col("ek"), 6).cast("double").as("expected_a"),
         round(col("vk"), 6).cast("double").as("var_a"),
         round(cmh, 6).as("cmh"),
-        (cmh > 3.8415).as("significant"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL cmh → NULL
+        when(cmh > 3.8415, lit("significant"))
+          .when(cmh <= 3.8415, lit("ns")).as("significant"))
       .orderBy(col("source"))
   }
   /** ACF + LJUNG–BOX WHITE-NOISE TEST — the serial-dependence profile of
@@ -2803,8 +2831,10 @@ object Stats {
       |  round(qlb, 6) AS lb_q,
       |  round(CAST(CAST(exp(CAST(0 AS DOUBLE) - qlb / CAST(2 AS DOUBLE))
       |    AS FLOAT) AS DOUBLE), 6) AS p_value,
-      |  CAST(CAST(exp(CAST(0 AS DOUBLE) - qlb / CAST(2 AS DOUBLE))
-      |    AS FLOAT) AS DOUBLE) > 0.05 AS white_noise
+      |  CASE CAST(CAST(exp(CAST(0 AS DOUBLE) - qlb / CAST(2 AS DOUBLE))
+      |    AS FLOAT) AS DOUBLE) > 0.05
+      |    WHEN true THEN 'white_noise' WHEN false THEN 'correlated' END
+      |    AS white_noise
       |FROM lb
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -2863,7 +2893,9 @@ object Stats {
         round(col("r2"), 6).as("acf2"),
         round(col("qlb"), 6).as("lb_q"),
         round(pexp, 6).as("p_value"),
-        (pexp > 0.05).as("white_noise"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL p → NULL
+        when(pexp > 0.05, lit("white_noise"))
+          .when(pexp <= 0.05, lit("correlated")).as("white_noise"))
       .orderBy(col("event_type"))
   }
   /** COCHRAN–ARMITAGE TREND TEST — the ORDERED-category member of the
@@ -2924,13 +2956,15 @@ object Stats {
       |        CAST(0 AS DOUBLE))
       |    / nullif(CAST(nn * snn - sn * sn AS DOUBLE),
       |        CAST(0 AS DOUBLE)), 6) AS ca_z2,
-      |  (CAST(nn AS DOUBLE)
+      |  CASE (CAST(nn AS DOUBLE)
       |    * CAST(nn * t - rr * sn AS DOUBLE)
       |    * CAST(nn * t - rr * sn AS DOUBLE)
       |    / nullif(CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE),
       |        CAST(0 AS DOUBLE))
       |    / nullif(CAST(nn * snn - sn * sn AS DOUBLE),
-      |        CAST(0 AS DOUBLE))) > 3.8415 AS significant
+      |        CAST(0 AS DOUBLE))) > 3.8415
+      |    WHEN true THEN 'significant' WHEN false THEN 'ns' END
+      |    AS significant
       |FROM m""".stripMargin,
   ) { (s, d) =>
     val doc = Tables.documents(s, d)
@@ -2964,7 +2998,9 @@ object Stats {
       col("n0"), col("r0"), col("n1"), col("r1"), col("n2"), col("r2"),
       expr("CAST(nn * t - rr * sn AS BIGINT)").as("trend_num"),
       round(z2, 6).as("ca_z2"),
-      (z2 > 3.8415).as("significant"))
+      // §5.7 nullable-boolean rule (r16): string verdict, NULL z2 → NULL
+      when(z2 > 3.8415, lit("significant"))
+        .when(z2 <= 3.8415, lit("ns")).as("significant"))
   }
 
   /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
@@ -3245,7 +3281,7 @@ object Stats {
       |      / CAST(n * n AS DOUBLE) / CAST(n - 1 AS DOUBLE),
       |      CAST(0 AS DOUBLE))
       |    ELSE NULL END, 6) AS z2,
-      |  (CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+      |  CASE (CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
       |    (CAST(r AS DOUBLE)
       |      - (CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)
       |        + CAST(1 AS DOUBLE)))
@@ -3256,7 +3292,9 @@ object Stats {
       |      * CAST(2 * n1 * n2 - n AS DOUBLE)
       |      / CAST(n * n AS DOUBLE) / CAST(n - 1 AS DOUBLE),
       |      CAST(0 AS DOUBLE))
-      |    ELSE NULL END) <= 3.8415 AS random_order
+      |    ELSE NULL END) <= 3.8415
+      |    WHEN true THEN 'random' WHEN false THEN 'patterned' END
+      |    AS random_order
       |FROM agg
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -3306,7 +3344,10 @@ object Stats {
       |  ELSE NULL END""".stripMargin)
     agg.select(col("event_type"), col("n1").as("n_above"),
         col("n2").as("n_below"), col("r").as("runs"),
-        round(z2, 6).as("z2"), (z2 <= 3.8415).as("random_order"))
+        round(z2, 6).as("z2"),
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL z2 → NULL
+        when(z2 <= 3.8415, lit("random"))
+          .when(z2 > 3.8415, lit("patterned")).as("random_order"))
       .orderBy(col("event_type"))
   }
   /** CLIFF'S DELTA EFFECT SIZE — the magnitude companion to q207's
@@ -3560,11 +3601,13 @@ object Stats {
       |    END, 6) AS z2,
       |  CASE WHEN s > 0 THEN 'increasing'
       |    WHEN s < 0 THEN 'decreasing' ELSE 'none' END AS direction,
-      |  (CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) ELSE
+      |  CASE (CASE WHEN s = 0 THEN CAST(0 AS DOUBLE) ELSE
       |    CAST((abs(s) - 1) * (abs(s) - 1) AS DOUBLE)
       |      * CAST(18 AS DOUBLE)
       |      / nullif(CAST(den18 AS DOUBLE), CAST(0 AS DOUBLE))
-      |    END) > 3.8415 AS significant
+      |    END) > 3.8415
+      |    WHEN true THEN 'significant' WHEN false THEN 'ns' END
+      |    AS significant
       |FROM fin
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -3614,7 +3657,9 @@ object Stats {
         expr("""CASE WHEN s > 0 THEN 'increasing'
           |  WHEN s < 0 THEN 'decreasing' ELSE 'none' END""".stripMargin)
           .as("direction"),
-        (z2 > 3.8415).as("significant"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL z2 → NULL
+        when(z2 > 3.8415, lit("significant"))
+          .when(z2 <= 3.8415, lit("ns")).as("significant"))
       .orderBy(col("event_type"))
   }
 
@@ -3888,7 +3933,8 @@ object Stats {
       |SELECT event_type, n AS n_gaps,
       |  ${Exact.Sql.ratio6("sg", "n * 1000")} AS mean_gap_ms,
       |  round(d, 6) AS ks_d,
-      |  d < CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+      |  CASE d < CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+      |    WHEN true THEN 'poisson_like' WHEN false THEN 'not_poisson' END
       |    AS poisson_like
       |FROM dd
       |ORDER BY event_type""".stripMargin,
@@ -3925,8 +3971,12 @@ object Stats {
     dd.select(col("event_type"), col("n").as("n_gaps"),
         Exact.ratio6("sg", "n * 1000").as("mean_gap_ms"),
         round(col("d"), 6).as("ks_d"),
-        (col("d") < expr("CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))"))
-          .as("poisson_like"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL d → NULL
+        when(col("d") < expr("CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))"),
+          lit("poisson_like"))
+          .when(col("d") >= expr(
+            "CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))"),
+            lit("not_poisson")).as("poisson_like"))
       .orderBy(col("event_type"))
   }
 
@@ -3987,13 +4037,14 @@ object Stats {
       |      / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
       |      - CAST(n - 1 AS DOUBLE))
       |    / (CAST(2 AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6) AS z2,
-      |  ((CAST(n * q - s * s AS DOUBLE)
+      |  CASE ((CAST(n * q - s * s AS DOUBLE)
       |      / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
       |      - CAST(n - 1 AS DOUBLE))
       |    * (CAST(n * q - s * s AS DOUBLE)
       |      / nullif(CAST(s AS DOUBLE), CAST(0 AS DOUBLE))
       |      - CAST(n - 1 AS DOUBLE))
       |    / (CAST(2 AS DOUBLE) * CAST(n - 1 AS DOUBLE))) > 3.8415
+      |    WHEN true THEN 'overdispersed' WHEN false THEN 'dispersion_ok' END
       |    AS overdispersed
       |FROM mom WHERE n > 1
       |ORDER BY event_type""".stripMargin,
@@ -4031,7 +4082,9 @@ object Stats {
           6).as("var_count"),
         round(dExp / expr("CAST(n - 1 AS DOUBLE)"), 6).as("fano"),
         round(z2, 6).as("z2"),
-        (z2 > 3.8415).as("overdispersed"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL z2 → NULL
+        when(z2 > 3.8415, lit("overdispersed"))
+          .when(z2 <= 3.8415, lit("dispersion_ok")).as("overdispersed"))
       .orderBy(col("event_type"))
   }
 
@@ -4448,9 +4501,11 @@ object Stats {
       |  ref.ref_lang,
       |  ${Exact.Sql.ratio6("g.k * ref.ref_n", "ref.ref_k * g.n")}
       |    AS impact_ratio,
-      |  (CAST(g.k * ref.ref_n AS DOUBLE)
+      |  CASE (CAST(g.k * ref.ref_n AS DOUBLE)
       |    / nullif(CAST(ref.ref_k * g.n AS DOUBLE), CAST(0 AS DOUBLE)))
-      |    < 0.8 AS four_fifths_violation
+      |    < 0.8
+      |    WHEN true THEN 'violation' WHEN false THEN 'ok' END
+      |    AS four_fifths_violation
       |FROM g CROSS JOIN ref
       |ORDER BY g.lang""".stripMargin,
   ) { (s, d) =>
@@ -4473,9 +4528,15 @@ object Stats {
         Exact.ratio6("k", "n").as("selection_rate"),
         col("ref_lang"),
         Exact.ratio6("k * ref_n", "ref_k * n").as("impact_ratio"),
-        (expr("""CAST(k * ref_n AS DOUBLE)
-          |  / nullif(CAST(ref_k * n AS DOUBLE), CAST(0 AS DOUBLE))"""
-          .stripMargin) < 0.8).as("four_fifths_violation"))
+        {
+          // §5.7 nullable-boolean rule (r16): string verdict — an all-
+          // zero-kept corpus NULLs the ratio through nullif
+          val ratio = expr("""CAST(k * ref_n AS DOUBLE)
+            |  / nullif(CAST(ref_k * n AS DOUBLE), CAST(0 AS DOUBLE))"""
+            .stripMargin)
+          when(ratio < 0.8, lit("violation"))
+            .when(ratio >= 0.8, lit("ok")).as("four_fifths_violation")
+        })
       .orderBy(col("lang"))
   }
   /** PYTHAGOREAN MEANS PROFILE — the aggregate family's missing two
@@ -4654,8 +4715,10 @@ object Stats {
       |  round(jbstat, 6) AS jb,
       |  round(CAST(CAST(exp(CAST(0 AS DOUBLE) - jbstat / CAST(2 AS DOUBLE))
       |    AS FLOAT) AS DOUBLE), 6) AS p_value,
-      |  CAST(CAST(exp(CAST(0 AS DOUBLE) - jbstat / CAST(2 AS DOUBLE))
-      |    AS FLOAT) AS DOUBLE) > 0.05 AS normalish
+      |  CASE CAST(CAST(exp(CAST(0 AS DOUBLE) - jbstat / CAST(2 AS DOUBLE))
+      |    AS FLOAT) AS DOUBLE) > 0.05
+      |    WHEN true THEN 'normalish' WHEN false THEN 'non_normal' END
+      |    AS normalish
       |FROM jb
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -4713,7 +4776,9 @@ object Stats {
           .stripMargin), 6).as("ex_kurtosis"),
         round(jbstat, 6).as("jb"),
         round(pv, 6).as("p_value"),
-        (pv > 0.05).as("normalish"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL p → NULL
+        when(pv > 0.05, lit("normalish"))
+          .when(pv <= 0.05, lit("non_normal")).as("normalish"))
       .orderBy(col("event_type"))
   }
 
@@ -4809,7 +4874,9 @@ object Stats {
       |  round(hstat, 6) AS h,
       |  round(CAST(CAST(exp(CAST(0 AS DOUBLE) - hstat / CAST(2 AS DOUBLE))
       |    AS FLOAT) AS DOUBLE), 6) AS p_value,
-      |  hstat > 5.9915 AS significant
+      |  CASE hstat > 5.9915
+      |    WHEN true THEN 'significant' WHEN false THEN 'ns' END
+      |    AS significant
       |FROM h
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -4864,7 +4931,9 @@ object Stats {
         round(expr(s"""CAST(CAST(exp(CAST(0 AS DOUBLE)
           |  - ($hSql) / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE)"""
           .stripMargin), 6).as("p_value"),
-        (hstat > 5.9915).as("significant"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL H → NULL
+        when(hstat > 5.9915, lit("significant"))
+          .when(hstat <= 5.9915, lit("ns")).as("significant"))
       .orderBy(col("event_type"))
   }
 
@@ -5026,10 +5095,12 @@ object Stats {
       |    (CAST(exc.num AS DOUBLE) / CAST(m.n * exc.k AS DOUBLE))
       |      / (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
       |    ELSE NULL END, 6) AS exp_index,
-      |  (CASE WHEN exc.k > 0 THEN
+      |  CASE (CASE WHEN exc.k > 0 THEN
       |    (CAST(exc.num AS DOUBLE) / CAST(m.n * exc.k AS DOUBLE))
       |      / (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
-      |    ELSE NULL END) > 1.0 AS heavy_tailed
+      |    ELSE NULL END) > 1.0
+      |    WHEN true THEN 'heavy' WHEN false THEN 'light' END
+      |    AS heavy_tailed
       |FROM m LEFT JOIN exc ON exc.event_type = m.event_type
       |ORDER BY m.event_type""".stripMargin,
   ) { (s, d) =>
@@ -5067,7 +5138,10 @@ object Stats {
           .stripMargin).as("exceed_rate"),
         round(expr(meSql), 6).as("mean_excess_cents"),
         round(expr(idxSql), 6).as("exp_index"),
-        (expr(idxSql) > 1.0).as("heavy_tailed"))
+        // §5.7 nullable-boolean rule (r16): string verdict — the zero-
+        // exceeder NULL path (the fenced class) now yields NULL string
+        when(expr(idxSql) > 1.0, lit("heavy"))
+          .when(expr(idxSql) <= 1.0, lit("light")).as("heavy_tailed"))
       .orderBy(col("event_type"))
   }
 
@@ -5414,9 +5488,10 @@ object Stats {
       |  round(CAST(CAST(exp(CAST(0 AS DOUBLE)
       |      - CAST(3 * t.oq - t.n * t.n AS DOUBLE) / CAST(t.n AS DOUBLE)
       |        / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE), 6) AS p_value,
-      |  CAST(CAST(exp(CAST(0 AS DOUBLE)
+      |  CASE CAST(CAST(exp(CAST(0 AS DOUBLE)
       |      - CAST(3 * t.oq - t.n * t.n AS DOUBLE) / CAST(t.n AS DOUBLE)
       |        / CAST(2 AS DOUBLE)) AS FLOAT) AS DOUBLE) < 0.001
+      |    WHEN true THEN 'srm' WHEN false THEN 'ok' END
       |    AS srm_flag
       |FROM a CROSS JOIN t
       |ORDER BY a.arm""".stripMargin,
@@ -5441,7 +5516,9 @@ object Stats {
         Exact.ratio6("o", "n").as("share"),
         round(q, 6).as("chi2"),
         round(p, 6).as("p_value"),
-        (p < 0.001).as("srm_flag"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL p → NULL
+        when(p < 0.001, lit("srm"))
+          .when(p >= 0.001, lit("ok")).as("srm_flag"))
       .orderBy(col("arm"))
   }
 
@@ -5992,8 +6069,10 @@ object Stats {
       |  ${Exact.Sql.ratio6("sg", "n * 1000")} AS mean_gap_ms,
       |  round(CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
       |    + CAST(w2sum AS DOUBLE), 6) AS cvm_w2,
-      |  (CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
-      |    + CAST(w2sum AS DOUBLE)) < 0.461 AS poisson_like
+      |  CASE (CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
+      |    + CAST(w2sum AS DOUBLE)) < 0.461
+      |    WHEN true THEN 'poisson_like' WHEN false THEN 'not_poisson' END
+      |    AS poisson_like
       |FROM w
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -6062,7 +6141,9 @@ object Stats {
     w.select(col("event_type"), col("n").as("n_gaps"),
         Exact.ratio6("sg", "n * 1000").as("mean_gap_ms"),
         round(w2, 6).as("cvm_w2"),
-        (w2 < 0.461).as("poisson_like"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL W² → NULL
+        when(w2 < 0.461, lit("poisson_like"))
+          .when(w2 >= 0.461, lit("not_poisson")).as("poisson_like"))
       .orderBy(col("event_type"))
   }
 
@@ -6285,9 +6366,11 @@ object Stats {
       |  ${Exact.Sql.ratio6("r2j", "2 * n")} AS mean_rank,
       |  round(q, 6) AS friedman_q,
       |  CAST(k - 1 AS BIGINT) AS df,
-      |  CASE WHEN k = 2 THEN q > 3.8415 WHEN k = 3 THEN q > 5.9915
+      |  CASE (CASE WHEN k = 2 THEN q > 3.8415 WHEN k = 3 THEN q > 5.9915
       |       WHEN k = 4 THEN q > 7.8147 WHEN k = 5 THEN q > 9.4877
-      |       WHEN k = 6 THEN q > 11.0705 ELSE NULL END AS signif_05
+      |       WHEN k = 6 THEN q > 11.0705 ELSE NULL END)
+      |    WHEN true THEN 'significant' WHEN false THEN 'ns' END
+      |    AS signif_05
       |FROM f
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -6326,12 +6409,18 @@ object Stats {
         Exact.ratio6("r2j", "2 * n").as("mean_rank"),
         round(q, 6).as("friedman_q"),
         (col("k") - 1).cast("long").as("df"),
-        when(col("k") === 2, q > 3.8415)
-          .when(col("k") === 3, q > 5.9915)
-          .when(col("k") === 4, q > 7.8147)
-          .when(col("k") === 5, q > 9.4877)
-          .when(col("k") === 6, q > 11.0705)
-          .otherwise(lit(null)).as("signif_05"))
+        {
+          // §5.7 nullable-boolean rule (r16): string verdict — k > 6 (no
+          // χ² literal) and the degenerate NULL q both yield NULL string
+          val flag = when(col("k") === 2, q > 3.8415)
+            .when(col("k") === 3, q > 5.9915)
+            .when(col("k") === 4, q > 7.8147)
+            .when(col("k") === 5, q > 9.4877)
+            .when(col("k") === 6, q > 11.0705)
+            .otherwise(lit(null))
+          when(flag === true, lit("significant"))
+            .when(flag === false, lit("ns")).as("signif_05")
+        })
       .orderBy(col("event_type"))
   }
 
@@ -7540,7 +7629,8 @@ object Stats {
       |  round(ll_par, 6) AS ll_pareto,
       |  round(ll_exp - ll_par, 6) AS llr,
       |  CASE WHEN ll_par IS NULL THEN NULL
-      |    ELSE ll_exp - ll_par < 0 END AS heavy_tailed
+      |    WHEN ll_exp - ll_par < 0 THEN 'heavy'
+      |    ELSE 'light' END AS heavy_tailed
       |FROM g
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -7583,8 +7673,11 @@ object Stats {
         round(col("ll_exp"), 6).as("ll_exponential"),
         round(col("ll_par"), 6).as("ll_pareto"),
         round(col("ll_exp") - col("ll_par"), 6).as("llr"),
+        // §5.7 nullable-boolean rule (r16): string verdict — the
+        // metronome NULL ll_par path (the fenced class) → NULL string
         when(col("ll_par").isNull, lit(null))
-          .otherwise(col("ll_exp") - col("ll_par") < 0)
+          .when(col("ll_exp") - col("ll_par") < 0, lit("heavy"))
+          .otherwise(lit("light"))
           .as("heavy_tailed"))
       .orderBy(col("event_type"))
   }
@@ -7647,9 +7740,11 @@ object Stats {
       |  round(CAST(10 * (3 * tp - 2 * (n - 2))
       |      * (3 * tp - 2 * (n - 2)) AS DOUBLE)
       |    / CAST(16 * n - 29 AS DOUBLE), 6) AS z2,
-      |  CAST(10 * (3 * tp - 2 * (n - 2))
+      |  CASE CAST(10 * (3 * tp - 2 * (n - 2))
       |      * (3 * tp - 2 * (n - 2)) AS DOUBLE)
-      |    / CAST(16 * n - 29 AS DOUBLE) > 3.8415 AS non_random
+      |    / CAST(16 * n - 29 AS DOUBLE) > 3.8415
+      |    WHEN true THEN 'non_random' WHEN false THEN 'random' END
+      |    AS non_random
       |FROM agg WHERE n >= 3
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
@@ -7686,7 +7781,9 @@ object Stats {
         round(expr("CAST(2 * (n - 2) AS DOUBLE) / CAST(3 AS DOUBLE)"), 6)
           .as("expected"),
         round(z2, 6).as("z2"),
-        (z2 > 3.8415).as("non_random"))
+        // §5.7 nullable-boolean rule (r16): string verdict, NULL z2 → NULL
+        when(z2 > 3.8415, lit("non_random"))
+          .when(z2 <= 3.8415, lit("random")).as("non_random"))
       .orderBy(col("event_type"))
   }
 

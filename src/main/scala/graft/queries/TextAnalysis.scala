@@ -409,8 +409,9 @@ object TextAnalysis {
     """SELECT doc_id, lang,
       |  CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
       |       WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS pred_lang,
-      |  (CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
-      |        WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS is_match
+      |  CASE (CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+      |        WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang
+      |    WHEN true THEN 'hit' WHEN false THEN 'miss' END AS is_match
       |FROM (
       |  SELECT doc_id, lang,
       |    len(list_filter(string_split(text, ' '),
@@ -436,7 +437,10 @@ object TextAnalysis {
         score(Seq("le", "la", "et", "de", "un")).as("s_fr"),
         score(Seq("der", "die", "und", "das", "ein")).as("s_de"))
       .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
-        (pred === col("lang")).as("is_match"))
+        // §5.7 nullable-boolean rule (r16): string verdict — a NULL lang
+        // (degenerate future fixture) yields NULL, never a nullable bool
+        when(pred === col("lang"), lit("hit"))
+          .when(pred =!= col("lang"), lit("miss")).as("is_match"))
       .orderBy(col("doc_id"))
   }
 
@@ -1139,7 +1143,9 @@ object TextAnalysis {
       |)
       |SELECT t.doc_id, t.lang, p.lang AS pred_lang,
       |  round(p.score, 6) AS score,
-      |  NOT t.is_train AS is_heldout, p.lang = t.lang AS correct
+      |  NOT t.is_train AS is_heldout,
+      |  CASE p.lang = t.lang
+      |    WHEN true THEN 'hit' WHEN false THEN 'miss' END AS correct
       |FROM pred p JOIN t ON p.doc_id = t.doc_id
       |WHERE p.rk = 1
       |ORDER BY t.doc_id NULLS FIRST""".stripMargin,
@@ -1198,7 +1204,12 @@ object TextAnalysis {
       .join(t.select(col("doc_id"), col("lang"), col("is_train")), "doc_id")
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("score"),
         (!col("is_train")).as("is_heldout"),
-        (col("pred_lang") === col("lang")).as("correct"))
+        // §5.7 nullable-boolean rule (r16): string verdict (NULL-lang
+        // proof); is_train/is_heldout stay boolean — md5 of the non-null
+        // PK can never evaluate NULL
+        when(col("pred_lang") === col("lang"), lit("hit"))
+          .when(col("pred_lang") =!= col("lang"), lit("miss"))
+          .as("correct"))
       .orderBy(col("doc_id"))
   }
 

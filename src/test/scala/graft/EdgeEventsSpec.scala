@@ -398,7 +398,7 @@ class EdgeEventsSpec extends SparkSpec {
     evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
     val got = SparkEntry.queries("q193_ewma_chart")(spark, d).collect()
-      .map(r => (r.getLong(2), r.getDouble(3), r.getBoolean(6)))
+      .map(r => (r.getLong(2), r.getDouble(3), r.getString(6) == "oob"))
     assert(got.length === 30)
     val xs = got.map(_._1.toDouble)
     val mu = xs.sum / xs.length
@@ -676,7 +676,7 @@ class EdgeEventsSpec extends SparkSpec {
     assert(srm.length === 1)
     assert(srm.head.getLong(1) === 1L && srm.head.getDouble(2) === 1.0)
     assert(srm.head.getDouble(3) === 2.0)
-    assert(!srm.head.getBoolean(5), "p = e^{-1} is not an SRM flag")
+    assert(srm.head.getString(5) === "ok", "p = e^{-1} is not an SRM flag")
     // one user → its stratum has a single arm → no contrast → NULL ATE
     val ate = SparkEntry.queries("q253_post_strat_ate")(spark, d).collect()
     assert(ate.length === 1)

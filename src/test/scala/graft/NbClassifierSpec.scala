@@ -24,7 +24,7 @@ class NbClassifierSpec extends SparkSpec {
       .nbClassify(rows.toDF("doc_id", "lang", "text"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))
+        r.getDouble(3), r.getBoolean(4), r.getString(5) == "hit"))
 
   /** Plain-Scala NB from the definition: per-class token Counters,
     * per-token log((c+1)/(cc+V)) summed in document order — a different

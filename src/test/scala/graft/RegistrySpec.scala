@@ -72,10 +72,12 @@ class RegistrySpec extends SparkSpec {
       import org.apache.spark.sql.types.BooleanType
       val boolCols = df.schema.fields
         .filter(_.dataType == BooleanType).map(_.name)
-      if (boolCols.isEmpty)
-        // materialize fully (not count(): count lets Catalyst prune)
-        df.write.format("noop").mode("overwrite").save()
-      else {
+      // Materialize fully FIRST, for every query (not count(): count lets
+      // Catalyst prune; and the null-scan aggregate below prunes every
+      // non-boolean output expression, so a runtime failure confined to a
+      // pruned column would slip past it — the r15 ADVICE regression).
+      df.write.format("noop").mode("overwrite").save()
+      if (boolCols.nonEmpty) {
         val nulls = df.select(boolCols.map(c =>
           sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(c)).toSeq: _*)
           .collect()

@@ -427,7 +427,7 @@ class StatsSpec extends SparkSpec {
     // p-value NEVER crosses α under no effect, at ANY look
     val real = Stats.q192Msprt.fn(spark, sf).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
-        r.getBoolean(5)))
+        r.getString(5) == "reject"))
     assert(real.nonEmpty)
     assert(real.forall(!_._3), "null corpus must never reject")
     val ps = real.flatMap(_._2)
@@ -455,7 +455,8 @@ class StatsSpec extends SparkSpec {
     rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
     val got = SparkEntry.queries("q192_msprt")(spark, d).collect()
-      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4),
+        r.getString(5) == "reject"))
     assert(got.last._4, s"planted 10-dollar effect must reject: ${got.toSeq}")
     assert(got.last._2 > 900, "theta must recover ~1000 cents")
     val ps2 = got.map(_._3)
@@ -892,7 +893,7 @@ class StatsSpec extends SparkSpec {
     val out = Stats.q216BhFdr.fn(spark, sf).collect().map { r =>
       ((r.getString(0), r.getLong(1)),
         (r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5),
-          r.getBoolean(6)))
+          r.getString(6) == "reject"))
     }
     val ev = Tables.events(spark, sf)
       .filter(col("ts").isNotNull && col("value").isNotNull)
@@ -937,7 +938,7 @@ class StatsSpec extends SparkSpec {
     val got = Analytic.q217PageHinkley.fn(spark, sf).collect().map { r =>
       (r.getString(0), r.getTimestamp(1).getTime) ->
         ((r.getLong(2), r.getDouble(3), r.getDouble(4),
-          if (r.isNullAt(5)) None else Some(r.getBoolean(5))))
+          if (r.isNullAt(5)) None else Some(r.getString(5) == "alarm")))
     }.toMap
     val ev = Tables.events(spark, sf)
       .filter(col("ts").isNotNull)
@@ -1071,7 +1072,7 @@ class StatsSpec extends SparkSpec {
       "white-noise flag follow") {
     val got = Stats.q221AcfLjungBox.fn(spark, sf).collect().map { r =>
       r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+        r.getDouble(4), r.getDouble(5), r.getString(6) == "white_noise"))
     }.toMap
     val ev = Tables.events(spark, sf)
       .filter(col("ts").isNotNull)
@@ -1153,7 +1154,7 @@ class StatsSpec extends SparkSpec {
       (rr.toDouble * (nn - rr).toDouble) /
       (nn * snn - sn * sn).toDouble
     assert(math.abs(r.getDouble(9) - z2) < 1e-6)
-    assert(r.getBoolean(10) === (z2 > 3.8415))
+    assert(r.getString(10) === (if (z2 > 3.8415) "significant" else "ns"))
   }
 
   test("q224 DiD replays from MessageDigest cells; the parallel-trends " +
@@ -1481,7 +1482,7 @@ class StatsSpec extends SparkSpec {
   test("q234 exponential-gap KS replays from a driver-side sorted scan") {
     val got = Stats.q234ExpGapKs.fn(spark, sf).collect().map { r =>
       r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getBoolean(4)))
+        r.getString(4) == "poisson_like"))
     }.toMap
     val ev = Tables.events(spark, sf)
       .filter(col("ts").isNotNull)
@@ -1516,7 +1517,7 @@ class StatsSpec extends SparkSpec {
       "integer moments") {
     val got = Stats.q235Overdispersion.fn(spark, sf).collect().map { r =>
       r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+        r.getDouble(4), r.getDouble(5), r.getString(6) == "overdispersed"))
     }.toMap
     val ev = Tables.events(spark, sf)
       .filter(col("ts").isNotNull)
@@ -1714,7 +1715,8 @@ class StatsSpec extends SparkSpec {
       val num = k * rn; val den = rk * n
       assert(r.getDouble(5) ===
         ((2 * num * 1000000L + den) / (2 * den)).toDouble / 1e6)
-      assert(r.getBoolean(6) === (num.toDouble / den < 0.8))
+      assert(r.getString(6) ===
+        (if (num.toDouble / den < 0.8) "violation" else "ok"))
       if (r.getString(0) == refLang) assert(r.getDouble(5) === 1.0)
     }
   }
@@ -1795,7 +1797,7 @@ class StatsSpec extends SparkSpec {
     val got = Stats.q245KruskalWallis.fn(spark, sf).collect().map { r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         if (r.isNullAt(4)) None else Some(r.getDouble(4)),
-        if (r.isNullAt(6)) None else Some(r.getBoolean(6))))
+        if (r.isNullAt(6)) None else Some(r.getString(6) == "significant")))
     }.toMap
     val md = java.security.MessageDigest.getInstance("MD5")
     def arm(uid: Long): Int = {
@@ -2101,7 +2103,7 @@ class StatsSpec extends SparkSpec {
       "(3*sum(O^2) - n^2)/n matches the direct three-term sum") {
     val got = Stats.q252SrmCheck.fn(spark, sf).collect().map { r =>
       r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getDouble(4),
-        r.getBoolean(5)))
+        r.getString(5) == "srm"))
     }.toMap
     val users = Tables.events(spark, sf)
       .filter(col("user_id").isNotNull)
@@ -2332,7 +2334,8 @@ class StatsSpec extends SparkSpec {
   test("q257 CvM replays from a Scala sorted-gap sum and never exceeds " +
       "the KS-implied square bound") {
     val got = Stats.q257CramerVonMises.fn(spark, sf).collect().map { r =>
-      r.getString(0) -> ((r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+      r.getString(0) -> ((r.getLong(1), r.getDouble(3),
+        r.getString(4) == "poisson_like"))
     }.toMap
     val ev = Tables.events(spark, sf)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
@@ -3143,7 +3146,7 @@ class StatsSpec extends SparkSpec {
     val got = Stats.q278GapModelLlr.fn(spark, sf).collect().map { r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
         if (r.isNullAt(4)) None else Some(r.getDouble(4)),
-        if (r.isNullAt(6)) None else Some(r.getBoolean(6))))
+        if (r.isNullAt(6)) None else Some(r.getString(6) == "heavy")))
     }.toMap
     val ev = Tables.events(spark, sf)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
@@ -3182,7 +3185,7 @@ class StatsSpec extends SparkSpec {
       "T is bounded by n-2") {
     val got = Stats.q279TurningPoints.fn(spark, sf).collect().map { r =>
       r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4),
-        r.getBoolean(5)))
+        r.getString(5) == "non_random"))
     }.toMap
     val raw = Tables.events(spark, sf)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
