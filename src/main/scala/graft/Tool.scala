@@ -181,9 +181,13 @@ object Tool {
         for (t <- Seq("nation", "region"))
           spark.read.parquet(s"$src/$t.parquet").coalesce(1)
             .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        // nOrd is the key STRIDE (max key + 1), not the row count — for a
+        // non-dense key space it overstates rows (r15 ADVICE): report the
+        // actual generated row count instead.
+        val ordRows = spark.read.parquet(s"$out/orders.parquet").count()
         println(s"GENSCALE out=$out factor=$factor docs=${nDocs * factor} " +
           s"events=${nEv * factor} vecs=${nVec * factor} " +
-          s"orders=${nOrd * factor} lineitem_src_rows_x$factor")
+          s"orders=$ordRows (key_stride=$nOrd) lineitem_src_rows_x$factor")
       case Some("genspan") =>
         // Deterministic CALENDAR-SPAN stretch for the q193/q203 crossover
         // measurement (`Tool ewmabench`): unlike genscale (density ×N,

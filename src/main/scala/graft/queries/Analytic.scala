@@ -1738,7 +1738,7 @@ object Analytic {
       |  count(*) AS n_users,
       |  CAST(min(r_days) AS BIGINT) AS min_r_days,
       |  ${graft.functions.Exact.Sql.ratio6("sum(f)", "count(*)")} AS avg_f,
-      |  ${graft.functions.Exact.Sql.ratio6("sum(m)", "100 * count(*)")}
+      |  ${graft.functions.Exact.Sql.ratio6Big("sum(m)", "100 * count(*)")}
       |    AS avg_m
       |FROM d
       |GROUP BY rq, fq, mq
@@ -1766,7 +1766,8 @@ object Analytic {
       .select(col("rq"), col("fq"), col("mq"), col("n_users"),
         col("min_r_days"),
         graft.functions.Exact.ratio6("sf", "n_users").as("avg_f"),
-        graft.functions.Exact.ratio6("sm", "100 * n_users").as("avg_m"))
+        graft.functions.Exact.ratio6Big("sm", "100 * n_users")
+          .as("avg_m")) // ratio6Big: monetary cent sum (r16 audit)
       .orderBy(col("rq"), col("fq"), col("mq"))
   }
 

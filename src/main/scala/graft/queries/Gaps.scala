@@ -1555,7 +1555,7 @@ object Gaps {
     */
   val q147ParetoGini = Q(
     "q147_pareto_gini",
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT user_id, count(*) AS c FROM events
       |  WHERE user_id IS NOT NULL GROUP BY user_id
       |),
@@ -1572,14 +1572,15 @@ object Gaps {
       |    FROM u) x, kk WHERE x.j <= kk.k
       |)
       |SELECT kk.n AS n_users, kk.s AS total_events, kk.k,
-      |  CAST(((2 * CAST(2 * sic - (kk.n + 1) * kk.s AS BIGINT) * 1000000
-      |      + CAST(kk.n * kk.s AS BIGINT))
-      |    // nullif(2 * CAST(kk.n * kk.s AS BIGINT), 0)) AS DOUBLE)
-      |    / 1000000.0 AS gini,
-      |  CAST(((2 * CAST(top.ts AS BIGINT) * 1000000 + CAST(kk.s AS BIGINT))
-      |    // nullif(2 * CAST(kk.s AS BIGINT), 0)) AS DOUBLE) / 1000000.0
+      |  ${graft.functions.Exact.Sql.ratio6Big(
+          "2 * sic - (kk.n + 1) * kk.s", "kk.n * kk.s")} AS gini,
+      |  ${graft.functions.Exact.Sql.ratio6Big("top.ts", "kk.s")}
       |    AS top_share
       |FROM kk, g, top""".stripMargin,
+      // ratio6Big (r16 audit): the Gini numerator is a RANK-WEIGHTED
+      // count sum (Σ i·cᵢ ≤ n·S — grows ∝ users·events, the fastest-
+      // growing numerator in the registry); the inline 2·num·10⁶ form
+      // would cross int64 around ×1000 of sf0.1. Identical value.
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val u = Tables.events(s, d)
@@ -1610,9 +1611,9 @@ object Gaps {
         + (col("k") - col("above")) * col("c")).as("ts"))
     broadcast(tot).crossJoin(broadcast(sic)).crossJoin(broadcast(ts))
       .select(col("n").as("n_users"), col("s").as("total_events"), col("k"),
-        graft.functions.Exact.ratio6("2 * sic - (n + 1) * s", "n * s")
+        graft.functions.Exact.ratio6Big("2 * sic - (n + 1) * s", "n * s")
           .as("gini"),
-        graft.functions.Exact.ratio6("ts", "s").as("top_share"))
+        graft.functions.Exact.ratio6Big("ts", "s").as("top_share"))
   }
 
   /** 2-D PARETO SKYLINE — the multi-criteria shortlist operator: parts

@@ -565,8 +565,8 @@ object Stats {
       |    AND a.variant = 0 AND b.variant = 1
       |)
       |SELECT event_type, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-      |  ${Exact.Sql.ratio6("sx1", "100 * n1")} AS mean1,
-      |  ${Exact.Sql.ratio6("sx2", "100 * n2")} AS mean2,
+      |  ${Exact.Sql.ratio6Big("sx1", "100 * n1")} AS mean1,
+      |  ${Exact.Sql.ratio6Big("sx2", "100 * n2")} AS mean2,
       |  round(
       |    (CAST(sx1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE)
       |      - CAST(sx2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE))
@@ -600,8 +600,10 @@ object Stats {
           col("sq").as("sq2")), "event_type")
     j.select(col("event_type"),
         col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
-        Exact.ratio6("sx1", "100 * n1").as("mean1"),
-        Exact.ratio6("sx2", "100 * n2").as("mean2"),
+        // ratio6Big (r16 audit): sx is a row-proportional CENT sum —
+        // the q166 class; the Big split retires the 4.6e12 line
+        Exact.ratio6Big("sx1", "100 * n1").as("mean1"),
+        Exact.ratio6Big("sx2", "100 * n2").as("mean2"),
         round(expr(
           """(CAST(sx1 AS DOUBLE) / CAST(n1 * 100 AS DOUBLE)
             |  - CAST(sx2 AS DOUBLE) / CAST(n2 * 100 AS DOUBLE))
@@ -774,7 +776,7 @@ object Stats {
       |),
       |est AS (
       |  SELECT event_type, count(*) AS n,
-      |    ${Exact.Sql.ratio6("sum(x)", "100 * count(*)")} AS est
+      |    ${Exact.Sql.ratio6Big("sum(x)", "100 * count(*)")} AS est
       |  FROM e GROUP BY event_type
       |),
       |dg AS (
@@ -799,7 +801,7 @@ object Stats {
       |),
       |rep AS (
       |  SELECT event_type, r,
-      |    ${Exact.Sql.ratio6("sum(w * x)", "100 * sum(w)")} AS mean_r
+      |    ${Exact.Sql.ratio6Big("sum(w * x)", "100 * sum(w)")} AS mean_r
       |  FROM w GROUP BY event_type, r
       |),
       |rk AS (
@@ -821,7 +823,7 @@ object Stats {
     val est = e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
       .select(col("event_type"), col("n").cast("long").as("n"),
-        Exact.ratio6("sx", "100 * n").as("est"))
+        Exact.ratio6Big("sx", "100 * n").as("est")) // ratio6Big: cent sum (r16 audit)
     val cdf = PoissonCdf16M
     val nDigs = (BootstrapR + 4) / 5
     // the 13 digests are an ARRAY built once per event, BEFORE the 64-way
@@ -844,7 +846,7 @@ object Stats {
       .groupBy(col("event_type"), col("r"))
       .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
       .select(col("event_type"), col("r"),
-        Exact.ratio6("swx", "100 * sw").as("mean_r"))
+        Exact.ratio6Big("swx", "100 * sw").as("mean_r")) // ratio6Big: weighted cent sum (r16 audit)
     // a near-empty type can draw Σw = 0 for some replicate → NULL mean_r;
     // EXPLICIT nulls-first ordering keeps the rank assignment identical
     // cross-engine (Spark ASC defaults to NULLS FIRST, DuckDB to NULLS
@@ -1053,7 +1055,7 @@ object Stats {
       |  FROM u GROUP BY variant
       |)
       |SELECT CAST(arm.variant AS BIGINT) AS variant, arm.n_arm,
-      |  ${Exact.Sql.ratio6("arm.ay", "arm.n_arm")} AS mean_y,
+      |  ${Exact.Sql.ratio6Big("arm.ay", "arm.n_arm")} AS mean_y,
       |  round(CAST(arm.ay AS DOUBLE) / CAST(arm.n_arm AS DOUBLE)
       |    - th.theta * (CAST(arm.ax AS DOUBLE) / CAST(arm.n_arm AS DOUBLE)
       |      - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)), 6)
@@ -1099,7 +1101,7 @@ object Stats {
         sum(col("x")).as("ax"), sum(col("y")).as("ay"))
     arm.crossJoin(broadcast(th))
       .select(col("variant").cast("long").as("variant"), col("n_arm"),
-        Exact.ratio6("ay", "n_arm").as("mean_y"),
+        Exact.ratio6Big("ay", "n_arm").as("mean_y"), // Big: cent sum (r16 audit),
         round(col("ay").cast("double") / col("n_arm").cast("double")
           - col("theta") * (col("ax").cast("double")
               / col("n_arm").cast("double")
@@ -3931,7 +3933,7 @@ object Stats {
       |  FROM rk GROUP BY 1, 2, 3
       |)
       |SELECT event_type, n AS n_gaps,
-      |  ${Exact.Sql.ratio6("sg", "n * 1000")} AS mean_gap_ms,
+      |  ${Exact.Sql.ratio6Big("sg", "n * 1000")} AS mean_gap_ms,
       |  round(d, 6) AS ks_d,
       |  CASE d < CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
       |    WHEN true THEN 'poisson_like' WHEN false THEN 'not_poisson' END
@@ -3969,7 +3971,7 @@ object Stats {
           |  ELSE ffit - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
           |  END""".stripMargin)).as("d"))
     dd.select(col("event_type"), col("n").as("n_gaps"),
-        Exact.ratio6("sg", "n * 1000").as("mean_gap_ms"),
+        Exact.ratio6Big("sg", "n * 1000").as("mean_gap_ms"), // Big: µs-gap sum ≈ span (r16 audit),
         round(col("d"), 6).as("ks_d"),
         // §5.7 nullable-boolean rule (r16): string verdict, NULL d → NULL
         when(col("d") < expr("CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))"),
@@ -4962,7 +4964,7 @@ object Stats {
     */
   val q246Burstiness = Q(
     "q246_burstiness",
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
       |  FROM events
@@ -4992,9 +4994,7 @@ object Stats {
       |  FROM agg
       |)
       |SELECT event_type, n AS n_gaps,
-      |  CAST(((2 * CAST(s AS BIGINT) * 1000000 + CAST(n AS BIGINT))
-      |    // nullif(2 * CAST(n AS BIGINT), 0)) AS DOUBLE) / 1000000.0
-      |    AS mean_gap_ms,
+      |  ${Exact.Sql.ratio6Big("s", "n")} AS mean_gap_ms,
       |  round(CASE WHEN n >= 2 AND s > 0 THEN sd / mu ELSE NULL END, 6)
       |    AS cv,
       |  round(CASE WHEN n >= 2 AND s > 0 THEN
@@ -5023,7 +5023,7 @@ object Stats {
         |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)),
         |  CAST(0 AS DOUBLE)))""".stripMargin).as("sd"))
     st.select(col("event_type"), col("n").as("n_gaps"),
-        Exact.ratio6("s", "n").as("mean_gap_ms"),
+        Exact.ratio6Big("s", "n").as("mean_gap_ms"), // Big: ms-gap sum ≈ span (r16 audit),
         round(expr(
           "CASE WHEN n >= 2 AND s > 0 THEN sd / mu ELSE NULL END"), 6)
           .as("cv"),
@@ -6066,7 +6066,7 @@ object Stats {
       |  FROM rk GROUP BY 1, 2, 3
       |)
       |SELECT event_type, n AS n_gaps,
-      |  ${Exact.Sql.ratio6("sg", "n * 1000")} AS mean_gap_ms,
+      |  ${Exact.Sql.ratio6Big("sg", "n * 1000")} AS mean_gap_ms,
       |  round(CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
       |    + CAST(w2sum AS DOUBLE), 6) AS cvm_w2,
       |  CASE (CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
@@ -6139,7 +6139,7 @@ object Stats {
     val w2 = expr("""CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
       |  + CAST(w2sum AS DOUBLE)""".stripMargin)
     w.select(col("event_type"), col("n").as("n_gaps"),
-        Exact.ratio6("sg", "n * 1000").as("mean_gap_ms"),
+        Exact.ratio6Big("sg", "n * 1000").as("mean_gap_ms"), // Big: µs-gap sum ≈ span (r16 audit),
         round(w2, 6).as("cvm_w2"),
         // §5.7 nullable-boolean rule (r16): string verdict, NULL W² → NULL
         when(w2 < 0.461, lit("poisson_like"))
@@ -8903,7 +8903,11 @@ object Stats {
       |        AS DOUBLE)
       |      / CAST(churned + activated AS DOUBLE) > 3.8415
       |      THEN 'shifted' ELSE 'stable' END AS verdict
-      |FROM c""".stripMargin,
+      |FROM c
+      |WHERE n > 0""".stripMargin,
+      // WHERE n > 0: empty corpus → EMPTY output on BOTH engines (the
+      // Spark side builds an explicit empty frame; without the guard the
+      // DuckDB ungrouped aggregate would emit one NULL row — r15 ADVICE)
   ) { (s, d) =>
     val e = Tables.events(s, d)
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
@@ -9252,7 +9256,10 @@ object Stats {
       |      AS DOUBLE)
       |    / nullif(CAST(m * m * k * (k * k - 1) AS DOUBLE),
       |      CAST(0 AS DOUBLE)), 6) AS friedman_chi2
-      |FROM f""".stripMargin,
+      |FROM f
+      |WHERE m IS NOT NULL""".stripMargin,
+      // WHERE m IS NOT NULL: mirrors the Spark .filter(m.isNotNull) so an
+      // empty corpus yields EMPTY output on BOTH engines (r15 ADVICE)
   ) { (s, d) =>
     val dc = Tables.events(s, d)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
@@ -9379,22 +9386,25 @@ object Stats {
     * dimension-bounded, not calendar-bounded.
     *
     * Exactness: per-customer revenue in WHOLE DOLLARS (round of a
-    * 2-decimal money double — never a half-dollar tie, §5.7; dollars
-    * keep every total inside ratio6's 4.6·10¹² line to ~×100 of the
-    * fixture axis, where cents would overflow it at ×10 — stated
-    * bound). Ranks descend (rev DESC, custkey) through value bins:
+    * 2-decimal money double — never a half-dollar tie, §5.7).
+    * Ranks descend (rev DESC, custkey) through value bins:
     * cross-bin prefix from the TOP over ≤4096 bin totals, in-bin
     * row_number partitioned by bin. k = ⌈n/10⌉; HHI rides per-customer
     * (10⁴·share²)-quantized DECIMAL(18,9) terms (scaled so 10⁻⁹ quanta
     * keep digits at 10⁵+ customers — the quantization is the spec);
-    * the decile share is ratio6 of exact dollar sums.
+    * the decile share is ratio6Big of exact dollar sums (r16: the
+    * q166 quotient/remainder split applied pre-emptively — the inline
+    * ratio6 form's 4.6·10¹² numerator line would expire around ×100
+    * of the fixture axis in whole dollars; the Big split holds to
+    * int64 itself, the r15-VERDICT bound retired before the axis
+    * could catch it).
     *
     * Plan: one per-customer aggregate, a 2-scalar probe, bin windows,
     * a 1-row finish. No customer-proportional single-partition sort.
     */
   val q304CustomerConcentration = Q(
     "q304_customer_concentration",
-    """WITH r AS (
+    s"""WITH r AS (
       |  SELECT o_custkey,
       |    CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
       |      AS rev
@@ -9426,10 +9436,17 @@ object Stats {
       |)
       |SELECT t.n AS n_customers, t.s AS total_rev_dollars,
       |  round(h.hhi, 6) AS hhi_points,
-      |  CAST(((2 * topk.top_rev * 1000000 + t.s)
-      |    // nullif(2 * t.s, 0)) AS DOUBLE) / 1000000.0
+      |  ${Exact.Sql.ratio6Big("topk.top_rev", "t.s")}
       |    AS top_decile_share
-      |FROM t CROSS JOIN topk CROSS JOIN h""".stripMargin,
+      |FROM t CROSS JOIN topk CROSS JOIN h
+      |WHERE t.n > 0""".stripMargin,
+      // WHERE t.n > 0: empty orders → EMPTY output on BOTH engines (the
+      // Spark side returns an explicit limit(0) frame — r15 ADVICE).
+      // ratio6Big (r16, the q166 precedent applied PRE-EMPTIVELY): the
+      // inline ratio6 form 2·top_rev·10⁶ overflows int64 once top_rev
+      // crosses 4.6·10¹² — whole dollars reach that around ×100 of
+      // sf0.1. The quotient/remainder split is bit-identical below the
+      // line and extends the envelope to num ≤ int64 max.
   ) { (s, d) =>
     val r = Tables.orders(s, d)
       .filter(col("o_totalprice").isNotNull)
@@ -9482,9 +9499,9 @@ object Stats {
         .select(col("n").as("n_customers"),
           col("s").as("total_rev_dollars"),
           round(col("hhi"), 6).as("hhi_points"),
-          expr("""CAST(((2 * top_rev * 1000000 + s)
-            |  div nullif(2 * s, 0)) AS DOUBLE) / 1000000.0"""
-            .stripMargin).as("top_decile_share"))
+          // ratio6Big (r16): see the oracle note — pre-empts the ×100
+          // whole-dollar overflow of the inline 2·num·10⁶ form
+          Exact.ratio6Big("top_rev", "s").as("top_decile_share"))
     }
   }
 
@@ -9632,7 +9649,14 @@ object Stats {
       |      / (CAST(2 AS DOUBLE) * CAST(n AS DOUBLE)
       |        * CAST(n + 1 AS DOUBLE) * CAST(2 * n + 1 AS DOUBLE))
       |      > 3.8415 THEN 'shifted' ELSE 'stable' END AS verdict
-      |FROM w""".stripMargin,
+      |FROM w
+      |WHERE EXISTS (SELECT 1 FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |    AND value IS NOT NULL)""".stripMargin,
+      // EXISTS guard = the Spark side's min/max probe: an EMPTY corpus
+      // yields EMPTY output on BOTH engines (r15 ADVICE), while the
+      // all-tied-pairs corpus (usable events but zero nonzero diffs)
+      // KEEPS its pinned n = 0 / NULL-verdict row (EdgeEventsSpec).
   ) { (s, d) =>
     val e = Tables.events(s, d)
       .filter(col("ts").isNotNull && col("user_id").isNotNull
@@ -9907,7 +9931,7 @@ object Stats {
       |  FROM r
       |)
       |SELECT n_name, revenue, n_lines,
-      |  ${graft.functions.Exact.Sql.ratio6("rd", "td")} AS rev_share
+      |  ${graft.functions.Exact.Sql.ratio6Big("rd", "td")} AS rev_share
       |FROM d
       |ORDER BY n_name NULLS FIRST""".stripMargin,
   ) { (s, d) =>
@@ -9926,7 +9950,8 @@ object Stats {
       .withColumn("td",
         sum(col("rd")).over(Window.partitionBy()).cast("long"))
     dd.select(col("n_name"), col("revenue"), col("n_lines"),
-        graft.functions.Exact.ratio6("rd", "td").as("rev_share"))
+        graft.functions.Exact.ratio6Big("rd", "td")
+          .as("rev_share")) // Big: whole-dollar revenue sums (r16 audit)
       .orderBy(col("n_name"))
   }
 

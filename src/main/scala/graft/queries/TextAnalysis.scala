@@ -2398,7 +2398,12 @@ object TextAnalysis {
     *
     * Exactness: character counts per (source, char) are exact int64
     * (Spark splits on the empty pattern, the twin enumerates
-    * substr(text, i, 1) over range — identical multisets); H rides
+    * substr(text, i, 1) over range — identical multisets,
+    * PRECONDITION BMP-only text: Spark's split("") cuts at UTF-16
+    * code-UNIT boundaries so a surrogate pair (emoji, rare CJK)
+    * becomes two "characters" while DuckDB's substr enumerates code
+    * POINTS — a non-BMP corpus diverges in alphabet/n_chars/
+    * bits_per_char; the fixtures are ASCII, §5.7 style); H rides
     * the q87 identity H = ln N − Σ c·ln c / N with ONE float-cast ln
     * per DISTINCT character (alphabet-bounded, not char-bounded),
     * each c·ln c term quantized to DECIMAL(18,9); bits divide by the
