@@ -2141,6 +2141,101 @@ object Similarity {
           .as("noise_rate"))
       .orderBy(col("label"))
 
+  /** ANN DIAL CALIBRATION — the nprobe SETTING as code (the r15 house
+    * rule: "a documented dial must have code and a proof, not prose").
+    * [[labelNoiseAnn]] has the dial; this picks it: given a target
+    * 1-NN recall and a validation slice, return the SMALLEST nprobe
+    * whose candidate sets contain the exact 1-NN for ≥ target share of
+    * slice vectors, plus the full recall ladder.
+    *
+    * ONE pass computes every nprobe's recall simultaneously — the probe
+    * sets are nested prefixes of one centroid ranking, so a vector
+    * contributes to recall(np) for every np ≥ the RANK of the cell that
+    * HOUSES its exact 1-NN: the K-point rank histogram IS the recall
+    * CDF. No per-nprobe re-run, no re-index.
+    *
+    * Candidate-containment recall EQUALS served-answer recall exactly:
+    * the ANN 1-NN is the argmin over a candidate SUBSET under the same
+    * (d2, nbr) total order as the exact audit — when the global argmin
+    * is in the subset, the subset argmin is the global argmin (no
+    * candidate can beat the global minimum, and the shared tiebreak
+    * settles equal distances identically). So recall(np) here is not a
+    * proxy bound; it is the exact share of slice vectors whose SERVED
+    * neighbor matches the audit's (KmeansSpec asserts this equality
+    * against measured labelNoiseAnnNn output).
+    *
+    * The exact-1-NN stage is deliberately quadratic IN THE SLICE
+    * (slice × corpus pairs through the codegen'd `graft_l2sq_i64`) —
+    * calibration runs once per index build on a bounded validation
+    * slice, not per query; at 10⁹ vectors a 10⁴-vector slice prices the
+    * whole dial for 10⁴·10⁹ scored pairs ≈ one q270 audit of a 3·10⁶
+    * corpus. The returned ladder is exact for the slice, an estimate
+    * for the corpus (standard IVF practice, stated).
+    *
+    * Always terminates: recall(K) = 1 by the nprobe = K ≡ exact
+    * identity (every cell probed ⇒ every neighbor housed), so any
+    * target ≤ 1 has a witness.
+    *
+    * Plan: the kmeans build + one bounded K-row broadcast ranking (the
+    * serving shapes, shared), the slice-quadratic scorer join, and a
+    * K-row driver collect of the rank histogram — the only collect is
+    * K-bounded (the §5.7 bounded-scalar-probe class).
+    */
+  private[graft] def annCalibrate(
+      emb: org.apache.spark.sql.DataFrame,
+      k: Int,
+      targetRecall: Double,
+      trainIter: Int = 10): (Int, Seq[(Int, Double)]) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1]: got $targetRecall")
+    val km = kmeans(emb, k, trainIter, requireConverged = false)
+    // the SERVING probe ranking (labelNoiseAnnNn's, verbatim): rank 1 is
+    // the home cluster, ranks 1..np the probe set — nested prefixes
+    val e = emb.select(col("vec_id").as("p_id"),
+      vec(col("embedding")).as("v"))
+    val probeW = Window.partitionBy(col("p_id"))
+      .orderBy(col("score").asc, col("cluster"))
+    val ranked = e.crossJoin(broadcast(km.centroids))
+      .select(col("p_id"), col("cluster"),
+        (col("cn2") - lit(2.0) * dot(col("v"), col("cv"))).as("score"))
+      .withColumn("rn", row_number().over(probeW))
+      .localCheckpoint() // 2 consumers: homes and the rank lookup
+    val homes = ranked.filter(col("rn") === 1)
+      .select(col("p_id").as("h_id"), col("cluster").as("h_cluster"))
+    // exact 1-NN of every slice vector under q270's (d2, nbr) order
+    val x = emb.select(col("vec_id"),
+      expr("""transform(embedding,
+        |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
+        .stripMargin).as("xk"))
+    val nn = x.select(col("vec_id").as("src"), col("xk").as("xa"))
+      .join(x.select(col("vec_id").as("nbr"), col("xk").as("xb")),
+        col("nbr") =!= col("src"))
+      .select(col("src"), col("nbr"),
+        dist2(col("xa"), col("xb")).as("d2"))
+      .select(col("src"), col("nbr"),
+        row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("d2"), col("nbr"))).as("rnk"))
+      .filter(col("rnk") === 1)
+      .select(col("src"), col("nbr"))
+    // rank, in src's probe ranking, of the cell HOUSING src's exact 1-NN
+    val need = nn
+      .join(homes, col("nbr") === col("h_id"))
+      .join(ranked,
+        col("src") === ranked("p_id")
+          && col("h_cluster") === ranked("cluster"))
+      .select(col("rn"))
+    val hist = need.groupBy(col("rn")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = hist.values.sum.toDouble
+    var cum = 0L
+    val ladder = (1 to k).map { np =>
+      cum += hist.getOrElse(np, 0L)
+      np -> cum / total
+    }
+    val chosen = ladder.find(_._2 >= targetRecall).map(_._1).getOrElse(k)
+    (chosen, ladder)
+  }
+
   /** CLASS-BALANCED WEIGHTS — Cui et al.'s "effective number of
     * samples": re-weighting by 1/n explodes on tiny classes and 1/1
     * ignores imbalance; the effective count Eₙ = (1 − βⁿ)/(1 − β)

@@ -351,4 +351,64 @@ class KmeansSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("annCalibrate: the one-pass ladder equals the MEASURED served " +
+      "recall at every nprobe; the returned setting meets the target " +
+      "and is minimal; target 1.0 lands on the exact end") {
+    val emb = Tables.embeddings(spark, sf)
+    // the same structurally-different brute-force exact 1-NN truth as
+    // the monotonicity test (quantized int64 space, (d2, nbr) order)
+    val raw = emb.select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        val xs = r.getSeq[Float](1)
+          .map(v => math.round(v.toDouble * 1000000L)).toArray
+        (r.getLong(0), xs)
+      }
+    val exactNn = raw.map { case (src, xa) =>
+      var bd = Long.MaxValue; var bn = Long.MaxValue
+      for ((nbr, xb) <- raw if nbr != src) {
+        var d = 0L; var i = 0
+        while (i < xa.length) {
+          val t = xa(i) - xb(i); d += t * t; i += 1
+        }
+        if (d < bd || (d == bd && nbr < bn)) { bd = d; bn = nbr }
+      }
+      src -> bn
+    }.toMap
+
+    val k = 5
+    val (np, ladder) = Similarity.annCalibrate(emb, k, targetRecall = 0.8)
+    assert(ladder.map(_._1) === (1 to k))
+    // nested prefixes ⇒ the ladder is monotone and ends at exactly 1.0
+    // (nprobe = K probes every cell — the exact end)
+    ladder.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a, s"ladder not monotone: $ladder")
+      case _         =>
+    }
+    assert(ladder.last._2 === 1.0, s"recall(K) must be exactly 1: $ladder")
+    // the ladder's claim is EQUALITY with served recall, not a bound:
+    // at every nprobe, the share of vectors whose labelNoiseAnnNn
+    // neighbor IS the exact 1-NN (dropped vectors count as misses)
+    for ((npp, rec) <- ladder) {
+      val served = Similarity.labelNoiseAnnNn(emb, k, npp)
+        .select(col("src"), col("nbr")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val measured = exactNn.count { case (s, n) =>
+        served.get(s).contains(n)
+      }.toDouble / exactNn.size
+      assert(math.abs(rec - measured) < 1e-12,
+        s"nprobe=$npp: ladder $rec vs measured $measured")
+    }
+    // the returned setting meets the target and is MINIMAL
+    val recAt = ladder.toMap
+    assert(recAt(np) >= 0.8, s"chosen nprobe=$np recall ${recAt(np)}")
+    if (np > 1)
+      assert(recAt(np - 1) < 0.8,
+        s"nprobe=${np - 1} already met the target — $np is not minimal")
+    // target 1.0 picks the first nprobe whose recall IS 1.0 (≤ K)
+    val (npAll, ladderAll) = Similarity.annCalibrate(emb, k,
+      targetRecall = 1.0)
+    assert(ladderAll.toMap.apply(npAll) === 1.0)
+    if (npAll > 1) assert(ladderAll.toMap.apply(npAll - 1) < 1.0)
+  }
 }
