@@ -319,13 +319,18 @@ object Tool {
             f().write.format("noop").mode("overwrite").save()
             println(f"$label run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
           }
-        for ((tag, d) <- Seq("x1" -> dirA, "x10" -> dirB)) {
+        // SPARK_GRAFT_ANN_EXACT=0 skips the exact-audit timing — needed at
+        // ×100 (200k vectors → 4·10¹⁰ exact pairs ≈ hours; the ANN route
+        // is the only side of the crossover measurable there, r16)
+        val runExact = sys.env.getOrElse("SPARK_GRAFT_ANN_EXACT", "1") != "0"
+        for ((tag, d) <- Seq("a" -> dirA, "b" -> dirB)) {
           val emb = Tables.embeddings(spark, d).localCheckpoint()
           val n = emb.count()
           val k = math.ceil(math.sqrt(n.toDouble)).toInt
-          println(s"CORPUS $tag n=$n k=$k")
-          time2(s"q270 exact $tag")(
-            () => SparkEntry.queries("q270_label_noise")(spark, d))
+          println(s"CORPUS $tag dir=$d n=$n k=$k")
+          if (runExact)
+            time2(s"q270 exact $tag")(
+              () => SparkEntry.queries("q270_label_noise")(spark, d))
           for (np <- nprobes)
             time2(s"ann k=$k nprobe=$np $tag")(
               () => Similarity.labelNoiseAnn(emb, k, np))

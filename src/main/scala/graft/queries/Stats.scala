@@ -24,6 +24,75 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** SCALE-PARALLEL PER-TYPE CONSECUTIVE GAPS — the shared gap stage of
+    * the seven gap-family operators (q234/q246/q257/q266/q278/q296/q317),
+    * rewritten round 16 after the ×100 genscale axis measured the
+    * per-type `lag` window going EXPONENT ~1.0 with 5-way parallelism:
+    * `Window.partitionBy(event_type)` puts each type's entire history in
+    * ONE task (2M rows/task at ×100, unbounded at 100 TB) — the classic
+    * low-cardinality-partition serialization, invisible at ×1/×10 where
+    * constants dominate.
+    *
+    * The rewrite is the house two-level 4096-bin rank (q142's device,
+    * tenth application) pointed at the TIME axis: bin every event by us
+    * range, per-(type, bin) counts roll into a per-type cross-bin prefix
+    * (a window over ≤ 4096 BIN rows per type, not event rows), in-bin
+    * row_number partitions by (type, bin) — thousands of tasks — and
+    * gap = us − us′ comes from an equi-self-join on (type, i) = (type,
+    * i′ + 1). Same (us, event_id) total order, bit-identical gaps; every
+    * stage is shuffle-parallel and AQE-splittable. Measured at ×100:
+    * q296 16.3 → 4.3 s (exponent 1.03 → 0.41), q317 16.2 → 5.6 s
+    * (1.01 → 0.29), q257 19.9 → 13.3 s (SCALE_r16 §2).
+    *
+    * Input must be (event_type, event_id, us) with non-null type/us
+    * (callers already filter). Output: (event_type, gp) — one row per
+    * consecutive pair, gp = us-difference ≥ 0, types with one event
+    * contribute nothing (exactly the lag-NOT-NULL semantics).
+    */
+  private[graft] def typeGapsPar(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mm = e.agg(min(col("us")), max(col("us"))).head // 2-scalar probe
+    if (mm.isNullAt(0)) {
+      e.sparkSession.emptyDataFrame
+        .selectExpr("CAST(NULL AS STRING) AS event_type",
+          "CAST(NULL AS BIGINT) AS gp")
+        .limit(0)
+    } else {
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val bw = (hi - lo) / 4096 + 1
+      val binned = e
+        .withColumn("bin", expr(s"(us - ${lo}L) div ${bw}L"))
+      val binBefore = binned
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).cast("long").as("bc"))
+        .select(col("event_type").as("b_type"), col("bin").as("b_bin"),
+          coalesce(
+            sum(col("bc")).over(Window.partitionBy(col("event_type"))
+              .orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("before"))
+      val ranked = binned
+        .withColumn("inb", row_number().over(
+          Window.partitionBy(col("event_type"), col("bin"))
+            .orderBy(col("us"), col("event_id"))).cast("long"))
+        .join(broadcast(binBefore),
+          col("event_type") === col("b_type")
+            && col("bin") === col("b_bin"))
+        .select(col("event_type"), col("us"),
+          (col("before") + col("inb")).as("i"))
+        // pinned: BOTH self-join sides consume the ranked frame — unpinned,
+        // the rank shuffle runs twice (measured +3 s on q257 at ×100);
+        // the upstream binned frame stays UNpinned (two cheap scans beat
+        // a 10M-row serialization, the §5.7 q32 lesson)
+        .localCheckpoint()
+      ranked
+        .join(ranked.select(col("event_type").as("p_type"),
+            col("us").as("p_us"), (col("i") + 1L).as("p_i")),
+          col("event_type") === col("p_type") && col("i") === col("p_i"))
+        .select(col("event_type"), (col("us") - col("p_us")).as("gp"))
+    }
+  }
+
   def all: Seq[Q] = Seq(q154AbTest, q155OlsNormalEq, q156Chi2Terms,
     q160Auc, q161LiftTable, q162WelchT, q163SpearmanCorr, q164BootstrapCi,
     q174CalibrationBrier, q177Cuped, q192Msprt, q197BenfordAudit,
@@ -3945,19 +4014,46 @@ object Stats {
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"))
-    val gaps = e.select(col("event_type"),
-        (col("us") - lag(col("us"), 1).over(
-          Window.partitionBy(col("event_type"))
-            .orderBy(col("us"), col("event_id")))).as("gp"))
-      .filter(col("gp").isNotNull)
+    // r16: scale-parallel gap stage (see typeGapsPar — the per-type lag
+    // window serialized on 5 type-sized partitions at the ×100 axis)
+    val gaps = typeGapsPar(e)
       .localCheckpoint() // 2 consumers: moments and the rank scan
     val mom = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("gp")).cast("long").as("sg"))
-    val rk = gaps.join(mom, "event_type")
-      .select(col("event_type"), col("gp"), col("n"), col("sg"),
-        row_number().over(Window.partitionBy(col("event_type"))
-          .orderBy(col("gp"))).as("i"),
+    // r16: two-level 4096-bin rank (q142 device, eleventh application) —
+    // the per-type orderBy(gp) window serialized on type-sized tasks at
+    // the ×100 axis. Ties within a bin stay arbitrary: the KS max is
+    // tie-invariant AS A SET (a tie run shares one ffit and receives the
+    // same rank set under any permutation — q257's invariance argument).
+    val mmR = gaps.agg(min(col("gp")), max(col("gp"))).head
+    val ranked =
+      if (mmR.isNullAt(0))
+        gaps.select(col("event_type"), col("gp"), lit(0L).as("i"))
+      else {
+        val (lo, hi) = (mmR.getLong(0), mmR.getLong(1))
+        val bw = (hi - lo) / 4096 + 1
+        val binned = gaps
+          .withColumn("bin", expr(s"(gp - ${lo}L) div ${bw}L"))
+        val binBefore = binned
+          .groupBy(col("event_type").as("b_type"), col("bin").as("b_bin"))
+          .agg(count(lit(1)).cast("long").as("bc"))
+          .select(col("b_type"), col("b_bin"),
+            coalesce(sum(col("bc")).over(
+              Window.partitionBy(col("b_type")).orderBy(col("b_bin"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+              .as("before"))
+        binned.withColumn("inb",
+            row_number().over(Window.partitionBy(col("event_type"),
+              col("bin")).orderBy(col("gp"))).cast("long"))
+          .join(broadcast(binBefore),
+            col("b_type") === col("event_type")
+              && col("b_bin") === col("bin"))
+          .select(col("event_type"), col("gp"),
+            (col("before") + col("inb")).as("i"))
+      }
+    val rk = ranked.join(mom, "event_type")
+      .select(col("event_type"), col("gp"), col("n"), col("sg"), col("i"),
         expr("""CAST(1 AS DOUBLE)
           |  - CAST(exp(CAST(0 AS DOUBLE)
           |      - CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)
@@ -5006,11 +5102,9 @@ object Stats {
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), expr("unix_micros(ts)").as("us"),
         col("event_id"))
-    val g = e.select(col("event_type"),
-        expr("us - lag(us) OVER (PARTITION BY event_type " +
-          "ORDER BY us, event_id)").as("gapus"))
-      .filter(col("gapus").isNotNull)
-      .select(col("event_type"), expr("gapus div 1000").as("gap"))
+    // r16: scale-parallel gap stage (see typeGapsPar)
+    val g = typeGapsPar(e)
+      .select(col("event_type"), expr("gp div 1000").as("gap"))
     val agg = g.groupBy(col("event_type"))
       .agg(count(col("gap")).cast("long").as("n"),
         sum(col("gap")).cast("long").as("s"),
@@ -6080,11 +6174,9 @@ object Stats {
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"))
-    val gaps = e.select(col("event_type"),
-        (col("us") - lag(col("us"), 1).over(
-          Window.partitionBy(col("event_type"))
-            .orderBy(col("us"), col("event_id")))).as("gp"))
-      .filter(col("gp").isNotNull)
+    // r16: scale-parallel gap stage (see typeGapsPar — the per-type lag
+    // window serialized on 5 type-sized partitions at the ×100 axis)
+    val gaps = typeGapsPar(e)
       .localCheckpoint() // 2 consumers: moments and the rank scan
     val mom = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
@@ -7407,10 +7499,9 @@ object Stats {
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"))
-    val gaps = e.select(col("event_type"),
-        expr("""(us - lag(us) OVER (PARTITION BY event_type
-          |  ORDER BY us, event_id)) div 1000000""".stripMargin).as("ds"))
-      .filter(col("ds").isNotNull)
+    // r16: scale-parallel gap stage (see typeGapsPar)
+    val gaps = typeGapsPar(e)
+      .select(col("event_type"), expr("gp div 1000000").as("ds"))
     val mom = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("m"),
         sum(col("ds")).cast("long").as("sd"),
@@ -7638,11 +7729,8 @@ object Stats {
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"))
-    val gg = e.select(col("event_type"),
-        (col("us") - lag(col("us"), 1).over(
-          Window.partitionBy(col("event_type"))
-            .orderBy(col("us"), col("event_id")))).as("gp"))
-      .filter(col("gp").isNotNull && col("gp") > 0)
+    // r16: scale-parallel gap stage (see typeGapsPar)
+    val gg = typeGapsPar(e).filter(col("gp") > 0)
     val mom = gg.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("gp")).cast("long").as("s"),
@@ -8711,10 +8799,9 @@ object Stats {
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"))
-    val gaps = e.select(col("event_type"),
-        expr("""(us - lag(us) OVER (PARTITION BY event_type
-          |  ORDER BY us, event_id)) div 1000000""".stripMargin).as("g"))
-      .filter(col("g").isNotNull)
+    // r16: scale-parallel gap stage (see typeGapsPar)
+    val gaps = typeGapsPar(e)
+      .select(col("event_type"), expr("gp div 1000000").as("g"))
     val m = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("m"),
         sum(col("g")).cast("long").as("s"),
@@ -10197,14 +10284,12 @@ object Stats {
       |FROM f
       |ORDER BY event_type""".stripMargin,
   ) { (s, d) =>
-    val gaps = Tables.events(s, d)
+    // r16: scale-parallel gap stage (see typeGapsPar)
+    val gaps = typeGapsPar(Tables.events(s, d)
       .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .select(col("event_type"), col("event_id"),
-        expr("unix_micros(ts)").as("us"))
-      .select(col("event_type"),
-        expr("""(us - lag(us) OVER (PARTITION BY event_type
-          |  ORDER BY us, event_id)) div 1000000""".stripMargin).as("g"))
-      .filter(col("g").isNotNull)
+        expr("unix_micros(ts)").as("us")))
+      .select(col("event_type"), expr("gp div 1000000").as("g"))
     val runs = gaps.groupBy(col("event_type"), col("g"))
       .agg(count(lit(1)).cast("long").as("cnt"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("g"))

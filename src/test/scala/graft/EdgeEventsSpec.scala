@@ -1282,6 +1282,99 @@ class EdgeEventsSpec extends SparkSpec {
     assert(nr.head.getDouble(3) === 1.0, "a monopoly nation owns share 1")
   }
 
+  test("q143/q144/q153/q165/q166/q304 degenerate: empty date slice, " +
+      "zero-share market, pair-free baskets, identical skyline points, " +
+      "constant prices, and a single/duopoly customer base") {
+    import spark.implicits._
+    def ts(days: Long) = new java.sql.Timestamp(days * 86400000L)
+    // one fixture family: 2 regions, 3 nations, identical parts, single-
+    // item orders dated OUTSIDE q143's 1997 window, no NATION_6 supplier
+    val d = "/tmp/graft_edge_tpch_degen"
+    Seq((0, "EUROPE"), (1, "AMERICA"))
+      .toDF("r_regionkey", "r_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/region.parquet")
+    Seq((0, "NATION_0", 0), (6, "NATION_6", 1), (7, "NATION_7", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/nation.parquet")
+    Seq((1L, "s1", 0, 0.0), (2L, "s2", 7, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/supplier.parquet")
+    Seq((1L, "c1", 0, 0.0, "BUILDING"), (2L, "c2", 7, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/customer.parquet")
+    // p1 and p2 are IDENTICAL on both skyline axes (price, size)
+    Seq((1L, "pa", "B", "PROMO", 5, 10.0), (2L, "pb", "B", "PROMO", 5, 10.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/part.parquet")
+    // 1995 dates: inside q144's group-by-year, OUTSIDE q143's 1997 slice
+    Seq((1L, 1L, "O", 10.0, ts(9282L), "1-URGENT"),
+      (2L, 2L, "O", 10.0, ts(9283L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, 1L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(9284L)),
+      (2L, 2L, 2L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts(9284L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+
+    // q143: the 1997 date slice is EMPTY → zero groups, zero rows (the
+    // stated exclusion — an empty slice is not a zero-revenue row)
+    assert(SparkEntry.queries("q143_local_supplier_revenue")(spark, d)
+      .collect().isEmpty, "an empty date slice yields no rows")
+
+    // q144: the AMERICA/PROMO market exists (c2 chain) but NO supplier
+    // is NATION_6 → nation_rev and share are exactly 0.0, never NULL
+    val ms = SparkEntry.queries("q144_market_share")(spark, d).collect()
+    assert(ms.length === 1 && ms.head.getLong(0) === 1995L)
+    assert(ms.head.getDouble(1) === 0.0, "no NATION_6 rows → zero rev")
+    assert(ms.head.getDouble(3) === 0.0, "zero share exactly, not NULL")
+
+    // q153: single-item baskets have no part pairs → empty lift table
+    assert(SparkEntry.queries("q153_basket_lift")(spark, d)
+      .collect().isEmpty, "no multi-item basket → no pairs")
+
+    // q165: identical points do not dominate each other (ties on both
+    // axes, strict on neither) → BOTH survive the skyline
+    val sky = SparkEntry.queries("q165_pareto_skyline")(spark, d)
+      .collect().map(_.getLong(0)).sorted
+    assert(sky.toSeq === Seq(1L, 2L),
+      "identical points must both survive the skyline")
+
+    // q166: a constant-price corpus reads p05 = p95 = winsor = trim
+    // exactly (no half-cent ambiguity — all runs are one value)
+    val wm = SparkEntry.queries("q166_winsorized_mean")(spark, d)
+      .collect()
+    assert(wm.length === 1 && wm.head.getLong(1) === 2L)
+    for (i <- 2 to 5)
+      assert(wm.head.getDouble(i) === 10.0,
+        s"constant prices: field $i must be exactly 10.0")
+
+    // q304 duopoly: two equal customers → HHI = 10⁴·(¼+¼) = 5000
+    // exactly; top decile k = ⌈2/10⌉ = 1 → share = 1/2 exactly
+    val duo = SparkEntry.queries("q304_customer_concentration")(spark, d)
+      .collect()
+    assert(duo.length === 1 && duo.head.getLong(0) === 2L)
+    assert(duo.head.getDouble(2) === 5000.0, "equal duopoly HHI")
+    assert(duo.head.getDouble(3) === 0.5, "top-1-of-2 share is 1/2")
+
+    // q304 monopoly: ONE customer owns everything → share 1, HHI 10⁴
+    val d2 = "/tmp/graft_edge_tpch_mono"
+    Seq((1L, 1L, "O", 10.0, ts(9282L), "1-URGENT"),
+      (2L, 1L, "O", 30.0, ts(9283L), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d2/orders.parquet")
+    val mono = SparkEntry.queries("q304_customer_concentration")(
+      spark, d2).collect()
+    assert(mono.length === 1 && mono.head.getLong(0) === 1L)
+    assert(mono.head.getDouble(2) === 10000.0, "monopoly HHI is 10^4")
+    assert(mono.head.getDouble(3) === 1.0, "monopoly share is 1")
+  }
+
   test("q315/q317 degenerate: a one-user corpus collapses every " +
       "percentile to its count; a metronome's gap spread is exactly 1; " +
       "a zero-second median NULLs the tail ratio") {
