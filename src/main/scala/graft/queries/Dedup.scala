@@ -55,7 +55,8 @@ object Dedup {
     q117DedupSurvivors, q132PrefixJaccardJoin, q138HammingJoin,
     q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval,
     q175NgramNovelty, q185ContainmentJoin, q187SubstringDup,
-    q191SubstringDecontaminate, q305DupClusterSpectrum)
+    q191SubstringDecontaminate, q305DupClusterSpectrum,
+    q318ChunkDupSpectrum, q319ChunkNeardup)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -2425,5 +2426,222 @@ object Dedup {
         graft.functions.Exact.ratio6("(sz - 1) * n_clusters", "docs")
           .as("redundant_share"))
       .orderBy(col("cluster_size"))
+  }
+
+  /** CHUNK-GRAIN DUP SPECTRUM — q305's readout at the grain a RAG corpus
+    * actually serves: q83's fixed 200-char/150-stride chunker feeds an
+    * exact-duplicate cluster spectrum PER SOURCE (boilerplate chunks —
+    * headers, footers, license blocks — recur across DISTINCT documents,
+    * so doc-level dedup (q31/q305) cannot see them; the retrieval index
+    * stores chunks, so chunk-grain redundancy is what the embedding
+    * budget pays for). Clusters are within-source BY DESIGN (stated): a
+    * chunk recurring in two sources counts once per source, because each
+    * source's redundant share is that source's own curation dial.
+    *
+    * Exactness: chunk identity via md5 of the exact substring (bit-equal
+    * both engines, q83's device); counts exact int64; shares are ratio6
+    * of counts. Empty docs chunk to nothing on both engines (q83's
+    * sequence guard).
+    *
+    * Plan: one explode (no shuffle), one (source, hash) hash aggregate,
+    * one (source, size) aggregate, a per-source window over the
+    * spectrum-sized frame. Nothing chunk-proportional after the first
+    * aggregate; no sort touches chunk rows.
+    */
+  val q318ChunkDupSpectrum = Q(
+    "q318_chunk_dup_spectrum",
+    s"""WITH ch AS (
+      |  SELECT z.source,
+      |    md5(substr(z.text, CAST(z.cs + 1 AS INTEGER), 200)) AS h
+      |  FROM (
+      |    SELECT source, text,
+      |      unnest(generate_series(0, length(text) - 1, 150)) AS cs
+      |    FROM documents
+      |    WHERE source IS NOT NULL AND length(text) > 0) z
+      |),
+      |cl AS (
+      |  SELECT source, h, CAST(count(*) AS BIGINT) AS sz
+      |  FROM ch GROUP BY 1, 2
+      |),
+      |sp AS (
+      |  SELECT source, sz, CAST(count(*) AS BIGINT) AS n_clusters
+      |  FROM cl GROUP BY 1, 2
+      |),
+      |t AS (
+      |  SELECT source, sz, n_clusters,
+      |    CAST(sum(sz * n_clusters) OVER (PARTITION BY source)
+      |      AS BIGINT) AS chunks
+      |  FROM sp
+      |)
+      |SELECT source, sz AS cluster_size, n_clusters,
+      |  sz * n_clusters AS n_chunks,
+      |  ${graft.functions.Exact.Sql.ratio6("sz * n_clusters", "chunks")}
+      |    AS chunk_share,
+      |  (sz - 1) * n_clusters AS redundant_chunks,
+      |  ${graft.functions.Exact.Sql.ratio6("(sz - 1) * n_clusters",
+           "chunks")} AS redundant_share
+      |FROM t
+      |ORDER BY source NULLS FIRST, cluster_size""".stripMargin,
+  ) { (s, d) =>
+    val ch = Tables.documentsWide(s, d)
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("cs"))
+      .select(col("source"),
+        md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"))
+    val cl = ch.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).cast("long").as("sz"))
+    val sp = cl.groupBy(col("source"), col("sz"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"))
+    val t = sp.select(col("source"), col("sz"), col("n_clusters"),
+      sum(col("sz") * col("n_clusters"))
+        .over(Window.partitionBy(col("source"))).cast("long").as("chunks"))
+    t.select(col("source"), col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_chunks"),
+        graft.functions.Exact.ratio6("sz * n_clusters", "chunks")
+          .as("chunk_share"),
+        ((col("sz") - 1) * col("n_clusters")).as("redundant_chunks"),
+        graft.functions.Exact.ratio6("(sz - 1) * n_clusters", "chunks")
+          .as("redundant_share"))
+      .orderBy(col("source"), col("cluster_size"))
+  }
+
+  /** CHUNK-GRAIN MINHASH NEAR-DUP — q32's banded pipeline pointed at the
+    * CHUNK grain (the r15 verdict's composition): q83's chunker → the
+    * flood-mitigation exact pre-collapse ([[collapseByText]]'s shape,
+    * here with provenance counts) → shingle/band/verify over DISTINCT
+    * chunk texts only → REP-level verified pairs with full provenance.
+    *
+    * The output stays at REPRESENTATIVE grain deliberately — the inverse
+    * of q32's expandPairs: boilerplate chunks recur thousands of times
+    * across documents, and expanding a verified near-dup pair of two
+    * 1000-copy chunks to 10⁶ member pairs is exactly the flood the
+    * pre-collapse exists to prevent. Each endpoint instead carries
+    * (copies, docs): how many chunk occurrences and how many DISTINCT
+    * documents that exact text stands for — the numbers a curation
+    * decision actually reads. Chunk ids encode provenance arithmetically:
+    * uid = doc_id·2²⁰ + chunk_id (chunk_id < 2²⁰ ⇔ docs < 157 MB at the
+    * 150 stride — stated bound), split back in the output.
+    *
+    * Exactness: q32's verbatim hashing layout (4 md5/shingle sliced into
+    * 15 of 16 32-bit components, B=5 × r=3), exact word-3-gram Jaccard
+    * ≥ 0.5 through ratio6 — every stage bit-identical cross-engine.
+    * Sub-3-word chunks shingle to nothing on both engines (Spark's
+    * size ≥ 3 filter; DuckDB's empty list_min → NULL signatures that
+    * cannot equi-join).
+    *
+    * Plan: explode (no shuffle) → one text-hash aggregate (the collapse)
+    * → the q32 bucket equi-joins — candidates bounded by distinct-text
+    * count per bucket regardless of duplication factor; no cartesian
+    * (ScaleSpec). At 100 TB the reps frame IS the persisted exact-dedup
+    * output, so the near-dup pass starts from stored state, not a rescan.
+    */
+  val q319ChunkNeardup = Q(
+    "q319_chunk_neardup",
+    s"""WITH ch AS (
+      |  SELECT z.doc_id * 1048576 + z.cs // 150 AS uid,
+      |    substr(z.text, CAST(z.cs + 1 AS INTEGER), 200) AS text
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(0, length(text) - 1, 150)) AS cs
+      |    FROM documents WHERE length(text) > 0) z
+      |),
+      |grp AS (
+      |  SELECT text, CAST(min(uid) AS BIGINT) AS rep_id,
+      |    CAST(count(*) AS BIGINT) AS copies,
+      |    CAST(count(DISTINCT uid // 1048576) AS BIGINT) AS docs
+      |  FROM ch GROUP BY 1
+      |),
+      |sh AS (
+      |  SELECT rep_id AS doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 2 + 1),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |        || ' ' || string_split(text,' ')[i+2])) AS shingles
+      |  FROM grp
+      |),
+      |dig AS (
+      |  SELECT doc_id,
+      |    list_transform(shingles, s ->
+      |      [md5('0|' || s), md5('1|' || s), md5('2|' || s), md5('3|' || s)]) AS digs
+      |  FROM sh
+      |),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    list_min(list_transform(digs, a ->
+      |      substr(a[(b*3 + 0) // 4 + 1], ((b*3 + 0) % 4) * 8 + 1, 8))) AS s0,
+      |    list_min(list_transform(digs, a ->
+      |      substr(a[(b*3 + 1) // 4 + 1], ((b*3 + 1) % 4) * 8 + 1, 8))) AS s1,
+      |    list_min(list_transform(digs, a ->
+      |      substr(a[(b*3 + 2) // 4 + 1], ((b*3 + 2) % 4) * 8 + 1, 8))) AS s2
+      |  FROM dig, (SELECT unnest(range(0,5)) AS b)
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      |  FROM bands a JOIN bands c ON a.b = c.b
+      |    AND a.s0 = c.s0 AND a.s1 = c.s1 AND a.s2 = c.s2
+      |    AND a.doc_id < c.doc_id
+      |)
+      |SELECT cand.doc_a // 1048576 AS doc_a,
+      |  cand.doc_a % 1048576 AS chunk_id_a,
+      |  cand.doc_b // 1048576 AS doc_b,
+      |  cand.doc_b % 1048576 AS chunk_id_b,
+      |  ${graft.functions.Exact.Sql.ratio6(
+           "len(list_intersect(x.shingles, y.shingles))",
+           "len(list_distinct(list_concat(x.shingles, y.shingles)))")}
+      |    AS jaccard,
+      |  ga.copies AS copies_a, ga.docs AS docs_a,
+      |  gb.copies AS copies_b, gb.docs AS docs_b
+      |FROM cand
+      |JOIN sh x ON cand.doc_a = x.doc_id
+      |JOIN sh y ON cand.doc_b = y.doc_id
+      |JOIN grp ga ON cand.doc_a = ga.rep_id
+      |JOIN grp gb ON cand.doc_b = gb.rep_id
+      |WHERE ${graft.functions.Exact.Sql.ratio6(
+           "len(list_intersect(x.shingles, y.shingles))",
+           "len(list_distinct(list_concat(x.shingles, y.shingles)))")} >= 0.5
+      |ORDER BY doc_a NULLS FIRST, chunk_id_a NULLS FIRST,
+      |  doc_b NULLS FIRST, chunk_id_b NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val chunks = Tables.documentsWide(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("cs"))
+      .select(
+        (col("doc_id") * 1048576L + expr("cs div 150")).as("uid"),
+        col("doc_id").as("src_doc"),
+        expr("substring(text, CAST(cs + 1 AS INT), 200)").as("text"))
+    // the flood-mitigation pre-collapse, with provenance counts: one
+    // rep (min uid) per distinct chunk text enters shingling/banding
+    val hashed = chunks
+      .select(col("uid"), col("src_doc"), col("text"),
+        sha2(col("text"), 256).as("th"))
+    val groups = hashed.groupBy(col("th"))
+      .agg(min(col("uid")).as("rep_id"),
+        count(lit(1)).cast("long").as("copies"),
+        countDistinct(col("src_doc")).cast("long").as("docs"))
+    val reps = hashed
+      .join(groups.select(col("rep_id")),
+        hashed("uid") === col("rep_id"))
+      .select(col("uid").as("doc_id"), col("text"))
+    val dsh = shingleRows(reps)
+    val pairs = verifyJaccard(candidatePairs(minhashBands(dsh)), dsh)
+    val prov = groups.select(col("rep_id"), col("copies"), col("docs"))
+    pairs
+      .join(prov.select(col("rep_id").as("doc_a"),
+        col("copies").as("copies_a"), col("docs").as("docs_a")), "doc_a")
+      .join(prov.select(col("rep_id").as("doc_b"),
+        col("copies").as("copies_b"), col("docs").as("docs_b")), "doc_b")
+      .select(
+        expr("doc_a div 1048576").as("da"),
+        expr("doc_a % 1048576").as("chunk_id_a"),
+        expr("doc_b div 1048576").as("db"),
+        expr("doc_b % 1048576").as("chunk_id_b"),
+        col("jaccard"),
+        col("copies_a"), col("docs_a"), col("copies_b"), col("docs_b"))
+      .withColumnRenamed("da", "doc_a").withColumnRenamed("db", "doc_b")
+      .orderBy(col("doc_a"), col("chunk_id_a"),
+        col("doc_b"), col("chunk_id_b"))
   }
 }

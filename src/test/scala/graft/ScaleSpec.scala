@@ -562,6 +562,11 @@ class ScaleSpec extends SparkSpec {
       // q303's moment join is type-bounded; q305 is two hash
       // aggregates plus a window over the tiny spectrum frame
       "q303_theil_index", "q305_dup_cluster_spectrum",
+      // q318 is q305's shape at chunk grain (explode → two hash
+      // aggregates → per-source spectrum window); q319 is q32's banded
+      // pipeline over pre-collapsed chunk reps — bucket equi-joins
+      // only, candidates bounded by distinct-text count per bucket
+      "q318_chunk_dup_spectrum", "q319_chunk_neardup",
       // q306 is one orderkey equi join; q307/q308 are join-free scans
       "q306_order_dispersion", "q307_char_entropy",
       "q308_norm_drift",

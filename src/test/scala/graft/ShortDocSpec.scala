@@ -511,6 +511,114 @@ class ShortDocSpec extends SparkSpec {
     assert(lp.head.getLong(2) === 11L && lp.head.getLong(3) === 43L)
   }
 
+  test("q318/q319 chunk grain: the spectrum replays from a Scala " +
+      "chunker; near-dup pairs stay at REP grain (the flood is never " +
+      "expanded) with exact provenance counts and jaccard") {
+    import spark.implicits._
+    val d = "/tmp/graft_chunkdedup"
+    // every text ≤ 200 chars → exactly ONE chunk per doc (chunk ≡ text),
+    // so chunk-grain semantics are hand-controllable:
+    //  - docs 1..3: identical text T (an exact-dup flood of 3)
+    //  - doc 4: T with ONLY the last word changed (40 2-char words →
+    //    38 shingles, 36 shared / 40 union → J = 0.9 exactly — inside
+    //    the banding certainty region at B=5, r=3)
+    //  - doc 5: unrelated text (no near-dup)
+    // texts stay ≤ 150 chars (the chunk STRIDE) so each doc is exactly
+    // ONE chunk — chunk semantics are then hand-controllable
+    val ws = (0 until 40).map(i =>
+      s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val tT = ws.mkString(" ")
+    val tV = (ws.dropRight(1) :+ "zz").mkString(" ")
+    require(tT.length <= 150 && tV.length <= 150)
+    Seq(
+      (1L, tT, "en", "s0", tT.length.toLong),
+      (2L, tT, "en", "s0", tT.length.toLong),
+      (3L, tT, "en", "s1", tT.length.toLong),
+      (4L, tV, "en", "s1", tV.length.toLong),
+      (5L, "completely different text body here", "en", "s1", 35L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    // q319: ONE rep-grain pair — (rep of the 3-copy T cluster, doc 4's
+    // variant) — never the 3 member pairs an expansion would emit
+    val pairs = SparkEntry.queries("q319_chunk_neardup")(spark, d)
+      .collect()
+    assert(pairs.length === 1, s"rep grain means ONE pair: ${pairs.toSeq}")
+    val p = pairs.head
+    assert(p.getLong(0) === 1L && p.getLong(1) === 0L, "rep = min uid")
+    assert(p.getLong(2) === 4L && p.getLong(3) === 0L)
+    // driver-side jaccard of the two texts (different algorithm: Scala
+    // Set intersection over word-3-grams)
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (ga, gb) = (grams(tT), grams(tV))
+    val jExact = ((2L * (ga & gb).size * 1000000L + (ga | gb).size) /
+      (2L * (ga | gb).size)).toDouble / 1e6
+    assert(p.getDouble(4) === jExact, s"jaccard ${p.getDouble(4)} vs $jExact")
+    assert(jExact >= 0.9, "fixture must sit in the certainty region")
+    // provenance: the T cluster has 3 copies across 3 docs; the variant 1
+    assert(p.getLong(5) === 3L && p.getLong(6) === 3L)
+    assert(p.getLong(7) === 1L && p.getLong(8) === 1L)
+
+    // q318: per-source spectrum replays from a Scala chunk count —
+    // s0 = {T, T} → one size-2 cluster; s1 = {T, V, other} → three
+    // size-1 clusters
+    val sp = SparkEntry.queries("q318_chunk_dup_spectrum")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    assert(sp.toSeq === Seq(
+      ("s0", 2L, 1L, 2L, 1L),
+      ("s1", 1L, 3L, 3L, 0L)), sp.toSeq.toString)
+  }
+
+  test("q319 replay net on the shared fixture: every reported pair's " +
+      "jaccard matches a Scala inverted-index brute force, and every " +
+      "distinct-chunk pair with J >= 0.9 is reported (certainty region)") {
+    // structurally different truth: chunk in Scala, dedup texts, build a
+    // shingle inverted index, compute exact jaccard for every co-shingled
+    // pair — no MinHash, no banding
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.flatMap { case (id, t) =>
+      (0 until math.max(t.length, 1) by 150).map { cs =>
+        (id * 1048576L + cs / 150, t.slice(cs, cs + 200))
+      }
+    }.filter(_._2.nonEmpty)
+    val reps = chunks.groupBy(_._2).map { case (t, g) =>
+      (g.map(_._1).min, t)
+    }.toSeq
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val gsets = reps.map { case (uid, t) => uid -> grams(t) }
+      .filter(_._2.nonEmpty).toMap
+    val inv = scala.collection.mutable.Map.empty[String,
+      List[Long]].withDefaultValue(Nil)
+    for ((uid, gs) <- gsets; g <- gs) inv(g) ::= uid
+    val coPairs = inv.values.flatMap { us =>
+      for (a <- us; b <- us if a < b) yield (a, b)
+    }.toSet
+    def j6(a: Long, b: Long): Double = {
+      val (ga, gb) = (gsets(a), gsets(b))
+      val ni = (ga & gb).size.toLong
+      val nu = (ga | gb).size.toLong
+      ((2L * ni * 1000000L + nu) / (2L * nu)).toDouble / 1e6
+    }
+    val got = SparkEntry.queries("q319_chunk_neardup")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0) * 1048576L + r.getLong(1),
+        r.getLong(2) * 1048576L + r.getLong(3)) -> r.getDouble(4)).toMap
+    for (((a, b), jv) <- got)
+      assert(jv === j6(a, b), s"pair ($a,$b): engine $jv vs driver")
+    for ((a, b) <- coPairs if j6(a, b) >= 0.9)
+      assert(got.contains((a, b)),
+        s"certainty-region pair ($a,$b) J=${j6(a, b)} missing")
+  }
+
   test("q314 degenerate: a single-source single-language corpus has " +
       "chi2 exactly 0 and NULL V (min margin df = 0)") {
     // the shared fixture: one source 'unit', one lang 'en' → both
