@@ -56,7 +56,8 @@ object Dedup {
     q141GoldenRecord, q145EditDistanceJoin, q170LshRecallEval,
     q175NgramNovelty, q185ContainmentJoin, q187SubstringDup,
     q191SubstringDecontaminate, q305DupClusterSpectrum,
-    q318ChunkDupSpectrum, q319ChunkNeardup)
+    q318ChunkDupSpectrum, q319ChunkNeardup,
+    q320SourceOverlap, q321BoilerplateChunks)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -2643,5 +2644,152 @@ object Dedup {
       .withColumnRenamed("da", "doc_a").withColumnRenamed("db", "doc_b")
       .orderBy(col("doc_a"), col("chunk_id_a"),
         col("doc_b"), col("chunk_id_b"))
+  }
+
+  /** CROSS-SOURCE CHUNK OVERLAP MATRIX — which sources share content:
+    * for every source pair with ≥ 1 shared chunk text, the exact
+    * intersection of their DISTINCT chunk-hash sets with containment
+    * both ways and Jaccard. q318 measures redundancy WITHIN a source;
+    * this is the BETWEEN-sources audit — mirror sites, syndicated
+    * boilerplate, and benchmark contamination all show up as one
+    * source's chunks being contained in another's (the q191
+    * decontamination question asked at corpus-composition grain).
+    * Zero-overlap pairs are ABSENT by design (join-generated; a dense
+    * pair grid would be sources² rows of zeros — stated).
+    *
+    * Exactness: chunk identity via md5 substrings (q83's device);
+    * within-source distinctness FIRST so a chunk recurring 1000× in
+    * one source counts once toward every intersection; all counts
+    * exact int64; ratios ratio6.
+    *
+    * Plan: explode → one (source, hash) distinct aggregate → a
+    * hash-keyed equi self-join (candidates bounded by per-hash source
+    * multiplicity, never row-proportional) → a sources²-bounded
+    * finish. No cartesian (ScaleSpec).
+    */
+  val q320SourceOverlap = Q(
+    "q320_source_overlap",
+    s"""WITH ch AS (
+      |  SELECT DISTINCT z.source,
+      |    md5(substr(z.text, CAST(z.cs + 1 AS INTEGER), 200)) AS h
+      |  FROM (
+      |    SELECT source, text,
+      |      unnest(generate_series(0, length(text) - 1, 150)) AS cs
+      |    FROM documents
+      |    WHERE source IS NOT NULL AND length(text) > 0) z
+      |),
+      |sz AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1
+      |),
+      |ov AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    CAST(count(*) AS BIGINT) AS inter
+      |  FROM ch a JOIN ch b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ov.source_a, ov.source_b, ov.inter,
+      |  na.n AS chunks_a, nb.n AS chunks_b,
+      |  ${graft.functions.Exact.Sql.ratio6("ov.inter", "na.n")}
+      |    AS contain_a,
+      |  ${graft.functions.Exact.Sql.ratio6("ov.inter", "nb.n")}
+      |    AS contain_b,
+      |  ${graft.functions.Exact.Sql.ratio6("ov.inter",
+           "na.n + nb.n - ov.inter")} AS jaccard
+      |FROM ov
+      |JOIN sz na ON ov.source_a = na.source
+      |JOIN sz nb ON ov.source_b = nb.source
+      |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ch = Tables.documentsWide(s, d)
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("cs"))
+      .select(col("source"),
+        md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"))
+      .distinct()
+    val sz = ch.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val ov = ch.select(col("source").as("source_a"), col("h"))
+      .join(ch.select(col("source").as("source_b"), col("h").as("h2")),
+        col("h") === col("h2") && col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).cast("long").as("inter"))
+    ov
+      .join(sz.select(col("source").as("source_a"), col("n").as("na")),
+        "source_a")
+      .join(sz.select(col("source").as("source_b"), col("n").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        col("na").as("chunks_a"), col("nb").as("chunks_b"),
+        graft.functions.Exact.ratio6("inter", "na").as("contain_a"),
+        graft.functions.Exact.ratio6("inter", "nb").as("contain_b"),
+        graft.functions.Exact.ratio6("inter", "na + nb - inter")
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** TOP BOILERPLATE CHUNKS PER SOURCE — the ACTIONABLE readout behind
+    * q318's spectrum: the k = 10 most-repeated chunk texts per source
+    * with occurrence and distinct-document counts — the list a curator
+    * actually strips (headers, footers, license blocks). Identity is
+    * the chunk md5 (not the text — hash parity with the oracle and no
+    * 200-char strings in the output).
+    *
+    * Exactness: counts exact int64; the per-source top-10 rides the
+    * deterministic (copies DESC, docs DESC, h) total order — md5 ties
+    * are impossible to order wrongly because the hash IS the tiebreak.
+    *
+    * Plan: explode → one (source, hash) count aggregate (map-side
+    * combined) → per-source rank over the DISTINCT-chunK frame. The
+    * rank window partitions by source over distinct-chunk rows — at
+    * 100 TB that is per-source-vocabulary-sized, not row-proportional
+    * (and the q142 two-level device applies if a source's distinct
+    * chunk count ever rivals its row count).
+    */
+  val q321BoilerplateChunks = Q(
+    "q321_boilerplate_chunks",
+    """WITH ch AS (
+      |  SELECT z.source, z.doc_id,
+      |    md5(substr(z.text, CAST(z.cs + 1 AS INTEGER), 200)) AS h
+      |  FROM (
+      |    SELECT source, doc_id, text,
+      |      unnest(generate_series(0, length(text) - 1, 150)) AS cs
+      |    FROM documents
+      |    WHERE source IS NOT NULL AND length(text) > 0) z
+      |),
+      |cl AS (
+      |  SELECT source, h, CAST(count(*) AS BIGINT) AS copies,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+      |  FROM ch GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT source, h, copies, docs,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY copies DESC, docs DESC, h) AS BIGINT) AS rnk
+      |  FROM cl
+      |)
+      |SELECT source, rnk, h AS chunk_md5, copies, docs
+      |FROM rk WHERE rnk <= 10
+      |ORDER BY source NULLS FIRST, rnk""".stripMargin,
+  ) { (s, d) =>
+    val ch = Tables.documentsWide(s, d)
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), col("doc_id"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("cs"))
+      .select(col("source"), col("doc_id"),
+        md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"))
+    val cl = ch.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).cast("long").as("copies"),
+        countDistinct(col("doc_id")).cast("long").as("docs"))
+    cl.select(col("source"), col("h"), col("copies"), col("docs"),
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("copies").desc, col("docs").desc, col("h")))
+          .cast("long").as("rnk"))
+      .filter(col("rnk") <= 10)
+      .select(col("source"), col("rnk"), col("h").as("chunk_md5"),
+        col("copies"), col("docs"))
+      .orderBy(col("source"), col("rnk"))
   }
 }

@@ -567,6 +567,10 @@ class ScaleSpec extends SparkSpec {
       // pipeline over pre-collapsed chunk reps — bucket equi-joins
       // only, candidates bounded by distinct-text count per bucket
       "q318_chunk_dup_spectrum", "q319_chunk_neardup",
+      // q320's self-join is hash-keyed (per-hash source multiplicity
+      // bounds candidates); q321 is one aggregate + a per-source rank
+      // over the distinct-chunk frame
+      "q320_source_overlap", "q321_boilerplate_chunks",
       // q306 is one orderkey equi join; q307/q308 are join-free scans
       "q306_order_dispersion", "q307_char_entropy",
       "q308_norm_drift",

@@ -619,6 +619,55 @@ class ShortDocSpec extends SparkSpec {
         s"certainty-region pair ($a,$b) J=${j6(a, b)} missing")
   }
 
+  test("q320/q321 chunk-composition readouts: hand-pinned on the " +
+      "one-chunk fixture; q320 replays from a MessageDigest Scala " +
+      "chunker on the shared corpus; a single-source corpus is empty") {
+    // the q318/q319 fixture: s0 = {T, T}, s1 = {T, V, other}
+    val d = "/tmp/graft_chunkdedup"
+    val ov = SparkEntry.queries("q320_source_overlap")(spark, d).collect()
+    assert(ov.length === 1)
+    val o = ov.head
+    assert(o.getString(0) === "s0" && o.getString(1) === "s1")
+    assert(o.getLong(2) === 1L, "T is the one shared chunk")
+    assert(o.getLong(3) === 1L && o.getLong(4) === 3L)
+    assert(o.getDouble(5) === 1.0, "s0 is fully contained in s1")
+    assert(o.getDouble(6) === 0.333333 && o.getDouble(7) === 0.333333)
+
+    val bp = SparkEntry.queries("q321_boilerplate_chunks")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4)))
+    assert(bp.count(_._1 == "s0") === 1, "s0 has one distinct chunk")
+    assert(bp.filter(_._1 == "s0").head === (("s0", 1L, 2L, 2L)),
+      "the 2-copy 2-doc flood ranks first")
+    assert(bp.count(_._1 == "s1") === 3)
+    assert(bp.filter(_._1 == "s1").forall(t => t._3 == 1L && t._4 == 1L))
+
+    // structurally different replay on the SHARED corpus: Scala chunker
+    // + MessageDigest md5 + Set algebra (no Spark expressions at all)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val bySource = docs.filter(_._2.nonEmpty).flatMap { case (src, t) =>
+      (0 until t.length by 150).map(cs => src -> md5hex(t.slice(cs, cs + 200)))
+    }.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._2).toSet }
+    val expected = (for {
+      (sa, ha) <- bySource; (sb, hb) <- bySource if sa < sb
+      inter = (ha & hb).size if inter > 0
+    } yield (sa, sb, inter.toLong)).toSet
+    val got = SparkEntry.queries("q320_source_overlap")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got === expected, s"engine $got vs driver $expected")
+    // the shared fixture is single-source → the matrix must be EMPTY
+    // (zero-overlap/absent-pair semantics pin: no dense zero grid)
+    assert(expected.isEmpty && got.isEmpty,
+      "a single-source corpus has no source pairs")
+  }
+
   test("q314 degenerate: a single-source single-language corpus has " +
       "chi2 exactly 0 and NULL V (min margin df = 0)") {
     // the shared fixture: one source 'unit', one lang 'en' → both
