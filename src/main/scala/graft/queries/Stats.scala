@@ -117,7 +117,8 @@ object Stats {
     q304CustomerConcentration, q306OrderDispersion,
     q309WilcoxonSignedRank, q310TypeVolumeSpearman,
     q312SizePriceCorr, q313NationRevenueShare, q314SourceLanguageMix,
-    q315UserActivityPercentiles, q317GapPercentiles)
+    q315UserActivityPercentiles, q317GapPercentiles,
+    q322ShippingDelay, q323RepeatIntervals)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -10316,5 +10317,210 @@ object Stats {
         col("p99").as("p99_s"),
         graft.functions.Exact.ratio6("p99", "p50").as("p99_to_p50"))
       .orderBy(col("event_type"))
+  }
+
+  /** SHIPPING-DELAY PERCENTILES PER PRIORITY — the fulfillment-SLA
+    * panel: exact p50/p95 of the order→ship lag in whole days per
+    * o_orderpriority, plus the exact mean. A priority class whose p95
+    * blows out while its p50 holds is queueing, not slow — the
+    * order-statistics readout q306's dispersion moment cannot localize,
+    * and the first orders⋈lineitem operator at the DELAY grain.
+    *
+    * Exactness: both dates are midnight TIMESTAMPs; delay = epoch-day
+    * difference (epoch_us div 86400000000, ts ≥ 1970 precondition —
+    * 1990s fixture dates, §5.7) in exact int64 whole days; percentiles
+    * ride the q315 value-run device partitioned by priority (runs over
+    * DISTINCT delay values — days are heavily tied, so the run table is
+    * tiny); the mean is ratio6Big of the exact day sum (row-proportional
+    * value sum — the r16 audit class, Big from birth).
+    *
+    * Plan: one orderkey equi join, one (priority, delay) hash
+    * aggregate, windows over the run-sized frame. Five priority
+    * classes; nothing row-proportional after the first aggregate.
+    */
+  val q322ShippingDelay = Q(
+    "q322_shipping_delay",
+    s"""WITH d AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+      |      - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+      |      AS delay
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+      |),
+      |runs AS (
+      |  SELECT priority, delay, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(delay) AS BIGINT) AS dsum
+      |  FROM d GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT priority, delay, cnt,
+      |    sum(cnt) OVER (PARTITION BY priority ORDER BY delay
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS s,
+      |    CAST(sum(cnt) OVER (PARTITION BY priority) AS BIGINT) AS n,
+      |    CAST(sum(dsum) OVER (PARTITION BY priority) AS BIGINT) AS tot
+      |  FROM runs
+      |),
+      |k AS (
+      |  SELECT priority, delay, cnt, s, n, tot,
+      |    (n * 500000 + 999999) // 1000000 AS k50,
+      |    (n * 950000 + 999999) // 1000000 AS k95
+      |  FROM cum
+      |)
+      |SELECT priority, max(n) AS n_lines,
+      |  min(CASE WHEN s < k50 AND k50 <= s + cnt THEN delay END)
+      |    AS p50_days,
+      |  min(CASE WHEN s < k95 AND k95 <= s + cnt THEN delay END)
+      |    AS p95_days,
+      |  ${Exact.Sql.ratio6Big("max(tot)", "max(n)")} AS mean_days
+      |FROM k GROUP BY priority
+      |ORDER BY priority NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val dd = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+          .as("sday"))
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            .as("oday")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("priority"), (col("sday") - col("oday")).as("delay"))
+    val runs = dd.groupBy(col("priority"), col("delay"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("delay")).cast("long").as("dsum"))
+    val wCum = Window.partitionBy(col("priority")).orderBy(col("delay"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("priority"))
+    val k = runs.select(col("priority"), col("delay"), col("cnt"),
+      (sum(col("cnt")).over(wCum) - col("cnt")).cast("long").as("s"),
+      sum(col("cnt")).over(wAll).cast("long").as("n"),
+      sum(col("dsum")).over(wAll).cast("long").as("tot"))
+      .select(col("priority"), col("delay"), col("cnt"), col("s"),
+        col("n"), col("tot"),
+        expr("(n * 500000 + 999999) div 1000000").as("k50"),
+        expr("(n * 950000 + 999999) div 1000000").as("k95"))
+    k.groupBy(col("priority"))
+      .agg(max(col("n")).as("n_lines"),
+        min(when(col("s") < col("k50")
+          && col("k50") <= col("s") + col("cnt"), col("delay")))
+          .as("p50_days"),
+        min(when(col("s") < col("k95")
+          && col("k95") <= col("s") + col("cnt"), col("delay")))
+          .as("p95_days"),
+        max(col("tot")).as("tot"))
+      .select(col("priority"), col("n_lines"), col("p50_days"),
+        col("p95_days"),
+        Exact.ratio6Big("tot", "n_lines").as("mean_days"))
+      .orderBy(col("priority"))
+  }
+
+  /** REPEAT-PURCHASE INTERVALS PER SEGMENT — customer-grain order
+    * cadence: exact p50/p95 and mean of the day gaps between a
+    * customer's consecutive orders, aggregated per c_mktsegment. The
+    * demand-side rhythm q262's Croston forecast consumes and the
+    * lifetime-value panel (q286) prices; segment-level cadence drift is
+    * the retention early-warning the per-order panels cannot see.
+    *
+    * The per-customer lag window partitions by o_custkey — CUSTOMER
+    * cardinality (millions of small partitions at 100 TB), the GOOD
+    * kind of window partitioning, unlike the 5-type gap family
+    * typeGapsPar exists for (stated contrast).
+    *
+    * Exactness: epoch-day gaps exact int64 over the (day, o_orderkey)
+    * per-customer total order; percentiles ride the q315 run device per
+    * segment; mean via ratio6Big (value-sum class). Single-order
+    * customers contribute no gaps (lag-NULL semantics, stated).
+    *
+    * Plan: one custkey equi join to the customer dim, customer-keyed
+    * lag windows, one (segment, gap) aggregate, run-sized windows.
+    */
+  val q323RepeatIntervals = Q(
+    "q323_repeat_intervals",
+    s"""WITH o AS (
+      |  SELECT o.o_custkey, c.c_mktsegment AS segment, o.o_orderkey,
+      |    epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000
+      |      AS day
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE o.o_orderdate IS NOT NULL AND c.c_mktsegment IS NOT NULL
+      |),
+      |g AS (
+      |  SELECT segment,
+      |    day - lag(day) OVER (PARTITION BY o_custkey
+      |      ORDER BY day, o_orderkey) AS gap
+      |  FROM o
+      |),
+      |runs AS (
+      |  SELECT segment, gap, CAST(count(*) AS BIGINT) AS cnt,
+      |    CAST(sum(gap) AS BIGINT) AS gsum
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT segment, gap, cnt,
+      |    sum(cnt) OVER (PARTITION BY segment ORDER BY gap
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS s,
+      |    CAST(sum(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n,
+      |    CAST(sum(gsum) OVER (PARTITION BY segment) AS BIGINT) AS tot
+      |  FROM runs
+      |),
+      |k AS (
+      |  SELECT segment, gap, cnt, s, n, tot,
+      |    (n * 500000 + 999999) // 1000000 AS k50,
+      |    (n * 950000 + 999999) // 1000000 AS k95
+      |  FROM cum
+      |)
+      |SELECT segment, max(n) AS n_gaps,
+      |  min(CASE WHEN s < k50 AND k50 <= s + cnt THEN gap END)
+      |    AS p50_days,
+      |  min(CASE WHEN s < k95 AND k95 <= s + cnt THEN gap END)
+      |    AS p95_days,
+      |  ${Exact.Sql.ratio6Big("max(tot)", "max(n)")} AS mean_days
+      |FROM k GROUP BY segment
+      |ORDER BY segment NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+          .as("day"))
+      .join(Tables.customer(s, d)
+        .filter(col("c_mktsegment").isNotNull)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+    val g = o.select(col("segment"),
+        (col("day") - lag(col("day"), 1).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("day"), col("o_orderkey")))).as("gap"))
+      .filter(col("gap").isNotNull)
+    val runs = g.groupBy(col("segment"), col("gap"))
+      .agg(count(lit(1)).cast("long").as("cnt"),
+        sum(col("gap")).cast("long").as("gsum"))
+    val wCum = Window.partitionBy(col("segment")).orderBy(col("gap"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("segment"))
+    val k = runs.select(col("segment"), col("gap"), col("cnt"),
+      (sum(col("cnt")).over(wCum) - col("cnt")).cast("long").as("s"),
+      sum(col("cnt")).over(wAll).cast("long").as("n"),
+      sum(col("gsum")).over(wAll).cast("long").as("tot"))
+      .select(col("segment"), col("gap"), col("cnt"), col("s"),
+        col("n"), col("tot"),
+        expr("(n * 500000 + 999999) div 1000000").as("k50"),
+        expr("(n * 950000 + 999999) div 1000000").as("k95"))
+    k.groupBy(col("segment"))
+      .agg(max(col("n")).as("n_gaps"),
+        min(when(col("s") < col("k50")
+          && col("k50") <= col("s") + col("cnt"), col("gap")))
+          .as("p50_days"),
+        min(when(col("s") < col("k95")
+          && col("k95") <= col("s") + col("cnt"), col("gap")))
+          .as("p95_days"),
+        max(col("tot")).as("tot"))
+      .select(col("segment"), col("n_gaps"), col("p50_days"),
+        col("p95_days"),
+        Exact.ratio6Big("tot", "n_gaps").as("mean_days"))
+      .orderBy(col("segment"))
   }
 }

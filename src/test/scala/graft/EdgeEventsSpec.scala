@@ -1373,6 +1373,19 @@ class EdgeEventsSpec extends SparkSpec {
     assert(mono.length === 1 && mono.head.getLong(0) === 1L)
     assert(mono.head.getDouble(2) === 10000.0, "monopoly HHI is 10^4")
     assert(mono.head.getDouble(3) === 1.0, "monopoly share is 1")
+
+    // q322 on the degen fixture: one line per order, delays 2 and 1
+    // days, one priority → n=2, p50 = 1 (k50 = 1), p95 = 2, mean 1.5
+    val sd = SparkEntry.queries("q322_shipping_delay")(spark, d).collect()
+    assert(sd.length === 1 && sd.head.getString(0) === "1-URGENT")
+    assert(sd.head.getLong(1) === 2L)
+    assert(sd.head.getLong(2) === 1L && sd.head.getLong(3) === 2L)
+    assert(sd.head.getDouble(4) === 1.5, "mean of {1,2} is exactly 1.5")
+
+    // q323 on the degen fixture: every customer has ONE order → zero
+    // gaps → EMPTY output (the lag-NULL semantics, stated)
+    assert(SparkEntry.queries("q323_repeat_intervals")(spark, d)
+      .collect().isEmpty, "single-order customers leave no intervals")
   }
 
   test("q315/q317 degenerate: a one-user corpus collapses every " +

@@ -571,6 +571,10 @@ class ScaleSpec extends SparkSpec {
       // bounds candidates); q321 is one aggregate + a per-source rank
       // over the distinct-chunk frame
       "q320_source_overlap", "q321_boilerplate_chunks",
+      // q322's orderkey join and q323's custkey join + customer-keyed
+      // lag windows are strictly equi/partition-keyed; percentiles ride
+      // run-sized windows (q315's device)
+      "q322_shipping_delay", "q323_repeat_intervals",
       // q306 is one orderkey equi join; q307/q308 are join-free scans
       "q306_order_dispersion", "q307_char_entropy",
       "q308_norm_drift",

@@ -4306,4 +4306,72 @@ class StatsSpec extends SparkSpec {
       } else assert(!got317.contains(t))
     }
   }
+
+  test("q322/q323 replay from Scala sorted walks: shipping delays per " +
+      "priority and repeat intervals per segment match literal sorts " +
+      "and BigInt-exact means") {
+    def kth(xs: Seq[Long], q: Long): Long =
+      xs(((xs.length * q + 999999L) / 1000000L).toInt - 1)
+    def mean6(tot: Long, n: Long): Double =
+      ((BigInt(tot) / n).toLong +
+        ((2 * (BigInt(tot) % n) * 1000000 + n) / (2 * n)).toDouble / 1e6)
+
+    // q322: delays from a driver-side join over collected rows
+    val odays = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val delays = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate").isNotNull)
+      .select(col("l_orderkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000"))
+      .collect().flatMap { r =>
+        odays.get(r.getLong(0)).map { case (p, od) =>
+          (p, r.getLong(1) - od)
+        }
+      }
+    val got322 = SparkEntry.queries("q322_shipping_delay")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    for ((p, g) <- delays.groupBy(_._1)) {
+      val ds = g.map(_._2).sorted.toSeq
+      val (n, p50, p95, m) = got322(p)
+      assert(n === ds.length.toLong, s"$p n")
+      assert(p50 === kth(ds, 500000L), s"$p p50")
+      assert(p95 === kth(ds, 950000L), s"$p p95")
+      assert(m === mean6(ds.sum, ds.length.toLong), s"$p mean")
+    }
+    assert(got322.keySet === delays.map(_._1).toSet)
+
+    // q323: per-customer consecutive order gaps, segment-aggregated
+    val seg = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment").isNotNull)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordRows = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ordRows.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      seg.get(ck).toSeq.flatMap { sg =>
+        val sorted = os.sortBy(o => (o._3, o._2))
+        sorted.zip(sorted.tail).map { case (a, b) => (sg, b._3 - a._3) }
+      }
+    }
+    val got323 = SparkEntry.queries("q323_repeat_intervals")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    for ((sg, g) <- gaps.groupBy(_._1)) {
+      val ds = g.map(_._2).sorted.toSeq
+      val (n, p50, p95, m) = got323(sg)
+      assert(n === ds.length.toLong, s"$sg n")
+      assert(p50 === kth(ds, 500000L), s"$sg p50")
+      assert(p95 === kth(ds, 950000L), s"$sg p95")
+      assert(m === mean6(ds.sum, ds.length.toLong), s"$sg mean")
+    }
+    assert(got323.keySet === gaps.map(_._1).toSet)
+  }
 }
