@@ -118,7 +118,8 @@ object Stats {
     q309WilcoxonSignedRank, q310TypeVolumeSpearman,
     q312SizePriceCorr, q313NationRevenueShare, q314SourceLanguageMix,
     q315UserActivityPercentiles, q317GapPercentiles,
-    q322ShippingDelay, q323RepeatIntervals)
+    q322ShippingDelay, q323RepeatIntervals, q325EffectiveSampleSize,
+    q326BrierDecomposition)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -10522,5 +10523,320 @@ object Stats {
         col("p95_days"),
         Exact.ratio6Big("tot", "n_gaps").as("mean_days"))
       .orderBy(col("segment"))
+  }
+
+  /** EFFECTIVE SAMPLE SIZE FROM AUTOCORRELATION — how many INDEPENDENT
+    * observations the hourly count series is actually worth: ESS =
+    * n / (1 + 2·Σ_{k=1..5} max(ρ_k, 0)) over the dense zero-filled
+    * hourly grid. Every "is this shift significant" test in the
+    * registry (q154's z, q192's mSPRT, q231's Mann–Kendall) quietly
+    * assumes independent samples; a ρ₁ ≈ 0.5 series has HALF the
+    * evidence its row count claims, and ESS is the correction factor a
+    * monitoring pipeline should divide by before quoting any n. The
+    * lag-1..5 window (clipped at 0, the standard initial-positive-
+    * sequence convention, stated) extends q221's 2-lag ACF to the
+    * depth daily-ish dependence needs.
+    *
+    * Exactness: centered terms cleared to int64 by multiplying through
+    * by n — xc_t = n·x_t − S exactly (|xc| ≤ n·max(x); Σxc·xc_k ≤
+    * span³·max² ≈ 4·10¹⁷ at ×100 genscale, inside int64 — stated bound,
+    * ×1000 would need re-clearing); each ρ_k is ONE fixed-order divide
+    * of exact int64s; the clip and the k-sum are explicit CASE + left-
+    * to-right double adds; ESS is one divide, rounded at 6. Lags with
+    * no pairs (span ≤ k) leave num_k NULL (sum over empty) → NULL ESS
+    * via explicit CASE on BOTH engines; a constant series (den = 0) →
+    * NULL ρ/ESS via nullif.
+    *
+    * Plan: the q221 dense grid (span-bounded, never row-proportional),
+    * five lag columns in ONE window pass per type, one moment
+    * aggregate. 5-type × span-sized partitions — bounded by calendar
+    * span, the acceptable window class (q193's family).
+    */
+  val q325EffectiveSampleSize = Q(
+    "q325_effective_sample_size",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |),
+      |mc AS (SELECT event_type, m, count(*) AS cnt FROM e GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(m) AS m0, max(m) AS m1
+      |      FROM mc GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.m0,
+      |    unnest(range(0, b.m1 - b.m0 + 1)) AS t
+      |  FROM b
+      |),
+      |x AS (
+      |  SELECT g.event_type, g.t,
+      |    CAST(COALESCE(mc.cnt, 0) AS BIGINT) AS x
+      |  FROM grid g LEFT JOIN mc
+      |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
+      |),
+      |tot AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx
+      |  FROM x GROUP BY 1
+      |),
+      |xc AS (
+      |  SELECT x.event_type, x.t, tot.n,
+      |    CAST(tot.n * x.x - tot.sx AS BIGINT) AS c
+      |  FROM x JOIN tot ON x.event_type = tot.event_type
+      |),
+      |lagd AS (
+      |  SELECT event_type, n, c,
+      |    lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+      |    lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4,
+      |    lag(c, 5) OVER w AS c5
+      |  FROM xc
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY t)
+      |),
+      |agg AS (
+      |  SELECT event_type, max(n) AS n,
+      |    CAST(sum(c * c) AS BIGINT) AS den,
+      |    CAST(sum(c * c1) AS BIGINT) AS n1,
+      |    CAST(sum(c * c2) AS BIGINT) AS n2,
+      |    CAST(sum(c * c3) AS BIGINT) AS n3,
+      |    CAST(sum(c * c4) AS BIGINT) AS n4,
+      |    CAST(sum(c * c5) AS BIGINT) AS n5
+      |  FROM lagd GROUP BY 1
+      |),
+      |r AS (
+      |  SELECT event_type, n, den,
+      |    CAST(n1 AS DOUBLE) / nullif(CAST(den AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) AS r1,
+      |    CAST(n2 AS DOUBLE) / nullif(CAST(den AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) AS r2,
+      |    CAST(n3 AS DOUBLE) / nullif(CAST(den AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) AS r3,
+      |    CAST(n4 AS DOUBLE) / nullif(CAST(den AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) AS r4,
+      |    CAST(n5 AS DOUBLE) / nullif(CAST(den AS DOUBLE),
+      |      CAST(0 AS DOUBLE)) AS r5
+      |  FROM agg
+      |)
+      |SELECT event_type, n AS span,
+      |  round(r1, 6) AS rho1, round(r2, 6) AS rho2, round(r3, 6) AS rho3,
+      |  round(r4, 6) AS rho4, round(r5, 6) AS rho5,
+      |  round(CASE WHEN r1 IS NULL OR r2 IS NULL OR r3 IS NULL
+      |      OR r4 IS NULL OR r5 IS NULL THEN NULL
+      |    ELSE CAST(n AS DOUBLE)
+      |      / (CAST(1 AS DOUBLE) + CAST(2 AS DOUBLE)
+      |        * ((((CASE WHEN r1 > 0 THEN r1 ELSE CAST(0 AS DOUBLE) END
+      |          + CASE WHEN r2 > 0 THEN r2 ELSE CAST(0 AS DOUBLE) END)
+      |          + CASE WHEN r3 > 0 THEN r3 ELSE CAST(0 AS DOUBLE) END)
+      |          + CASE WHEN r4 > 0 THEN r4 ELSE CAST(0 AS DOUBLE) END)
+      |          + CASE WHEN r5 > 0 THEN r5 ELSE CAST(0 AS DOUBLE) END))
+      |    END, 6) AS ess
+      |FROM r
+      |ORDER BY event_type""".stripMargin,
+  ) { (s, d) =>
+    val mc = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("m"))
+      .groupBy(col("event_type"), col("m")).agg(count(lit(1)).as("cnt"))
+    val grid = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+      .select(col("event_type").as("g_type"), col("m0"),
+        explode(sequence(lit(0L), col("m1") - col("m0"))).as("t"))
+    val x = grid.join(mc,
+        col("g_type") === mc("event_type")
+          && mc("m") === col("m0") + col("t"), "left")
+      .select(col("g_type").as("event_type"), col("t"),
+        coalesce(col("cnt"), lit(0L)).cast("long").as("x"))
+    val tot = x.groupBy(col("event_type").as("t_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"))
+    val xc = x.join(tot, col("event_type") === col("t_type"))
+      .select(col("event_type"), col("t"), col("n"),
+        (col("n") * col("x") - col("sx")).cast("long").as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+    val lagd = xc.select(col("event_type"), col("n"), col("c"),
+      lag(col("c"), 1).over(w).as("c1"), lag(col("c"), 2).over(w).as("c2"),
+      lag(col("c"), 3).over(w).as("c3"), lag(col("c"), 4).over(w).as("c4"),
+      lag(col("c"), 5).over(w).as("c5"))
+    val agg = lagd.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(col("c") * col("c")).cast("long").as("den"),
+        sum(col("c") * col("c1")).cast("long").as("n1"),
+        sum(col("c") * col("c2")).cast("long").as("n2"),
+        sum(col("c") * col("c3")).cast("long").as("n3"),
+        sum(col("c") * col("c4")).cast("long").as("n4"),
+        sum(col("c") * col("c5")).cast("long").as("n5"))
+    def rho(k: Int): Column =
+      col(s"n$k").cast("double") /
+        nullif(col("den").cast("double"), lit(0.0))
+    val r = agg.select(col("event_type"), col("n"),
+      rho(1).as("r1"), rho(2).as("r2"), rho(3).as("r3"),
+      rho(4).as("r4"), rho(5).as("r5"))
+    val ess = expr("""CASE WHEN r1 IS NULL OR r2 IS NULL OR r3 IS NULL
+      |    OR r4 IS NULL OR r5 IS NULL THEN NULL
+      |  ELSE CAST(n AS DOUBLE)
+      |    / (CAST(1 AS DOUBLE) + CAST(2 AS DOUBLE)
+      |      * ((((CASE WHEN r1 > 0 THEN r1 ELSE CAST(0 AS DOUBLE) END
+      |        + CASE WHEN r2 > 0 THEN r2 ELSE CAST(0 AS DOUBLE) END)
+      |        + CASE WHEN r3 > 0 THEN r3 ELSE CAST(0 AS DOUBLE) END)
+      |        + CASE WHEN r4 > 0 THEN r4 ELSE CAST(0 AS DOUBLE) END)
+      |        + CASE WHEN r5 > 0 THEN r5 ELSE CAST(0 AS DOUBLE) END))
+      |  END""".stripMargin)
+    r.select(col("event_type"), col("n").as("span"),
+        round(col("r1"), 6).as("rho1"), round(col("r2"), 6).as("rho2"),
+        round(col("r3"), 6).as("rho3"), round(col("r4"), 6).as("rho4"),
+        round(col("r5"), 6).as("rho5"),
+        round(ess, 6).as("ess"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MURPHY DECOMPOSITION OF THE BRIER SCORE — WHY a forecast scores
+    * what it scores: q174 reports the per-decile Brier; this splits the
+    * corpus-level score into Brier = REL − RES + UNC over the same
+    * decile forecasts — reliability (how far each decile's forecast
+    * sits from its realized rate — miscalibration, lower better),
+    * resolution (how much the deciles' outcomes SPREAD around the base
+    * rate — discrimination, higher better), and uncertainty (the base
+    * rate's intrinsic ō(1−ō), the no-skill floor). Two forecasters
+    * with equal Brier can be one well-calibrated-but-flat and one
+    * sharp-but-biased; this is the panel that tells them apart.
+    *
+    * Exactness: q174's construction verbatim through the decile table
+    * (integer micro-rate forecasts pµ). The TOTAL Brier numerator is
+    * pure int64: Σ_k (n_k·pµ² − 2·10⁶·pµ·x2 + 10¹²·x2), ONE divide.
+    * REL and RES terms clear to int64 differences (d = n·pµ − 10⁶·x2;
+    * d₂ = N·x2 − n·X2), squared PER-FACTOR in doubles (the n⁴
+    * discipline — d² would pass int64 at ×100) with each decile's term
+    * one fixed chain quantized DECIMAL(18,9) so the 10-term cross-
+    * decile sum is associative (the q248 device); UNC is one fixed
+    * chain of exact casts. The identity REL − RES + UNC = Brier is
+    * suite-asserted to 1e-9 (it re-associates floats, so bit equality
+    * is not claimed — stated).
+    *
+    * Plan: q174's two scans + a 10-row decomposition finish. 1-row
+    * output; the ntile window is user-bounded (q174's stated shape).
+    */
+  val q326BrierDecomposition = Q(
+    "q326_brier_decomposition",
+    s"""WITH b AS (
+      |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+      |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |),
+      |h AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |        THEN 1 ELSE 0 END) AS s1,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |          AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p1,
+      |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) > b.mid
+      |          AND event_type = 'purchase' THEN 1 ELSE 0 END) AS p2
+      |  FROM events, b
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |),
+      |d AS (
+      |  SELECT user_id,
+      |    ntile(10) OVER (ORDER BY s1 DESC, user_id) AS decile,
+      |    CASE WHEN p1 >= 8 THEN 1 ELSE 0 END AS c1,
+      |    CASE WHEN p2 >= 8 THEN 1 ELSE 0 END AS y
+      |  FROM h WHERE s1 > 0
+      |),
+      |g AS (
+      |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c1) AS BIGINT) AS x1, CAST(sum(y) AS BIGINT) AS x2
+      |  FROM d GROUP BY decile
+      |),
+      |p AS (
+      |  SELECT decile, n, x1, x2,
+      |    (2 * x1 * 1000000 + n) // (2 * n) AS pmu,
+      |    CAST(sum(n) OVER () AS BIGINT) AS nn,
+      |    CAST(sum(x2) OVER () AS BIGINT) AS xx
+      |  FROM g
+      |),
+      |terms AS (
+      |  SELECT nn, xx,
+      |    CAST(sum(n * pmu * pmu - 2 * 1000000 * pmu * x2
+      |      + 1000000000000 * x2) AS BIGINT) AS bnum,
+      |    CAST(sum(CAST(
+      |      CAST(n * pmu - 1000000 * x2 AS DOUBLE)
+      |        * CAST(n * pmu - 1000000 * x2 AS DOUBLE)
+      |        / CAST(n AS DOUBLE) / 1000000000000.0
+      |        / CAST(nn AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS rel,
+      |    CAST(sum(CAST(
+      |      CAST(nn * x2 - n * xx AS DOUBLE)
+      |        * CAST(nn * x2 - n * xx AS DOUBLE)
+      |        / CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+      |        / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS res
+      |  FROM p GROUP BY nn, xx
+      |)
+      |SELECT nn AS n_users, xx AS n_positive,
+      |  round(CAST(bnum AS DOUBLE) / 1000000000000.0
+      |    / CAST(nn AS DOUBLE), 6) AS brier,
+      |  round(rel, 6) AS reliability,
+      |  round(res, 6) AS resolution,
+      |  round(CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
+      |    / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS uncertainty
+      |FROM terms""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val b = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val h = ev.crossJoin(broadcast(b))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") <= col("mid"), 1).otherwise(0)).as("s1"),
+        sum(when(col("us") <= col("mid")
+          && col("event_type") === "purchase", 1).otherwise(0)).as("p1"),
+        sum(when(col("us") > col("mid")
+          && col("event_type") === "purchase", 1).otherwise(0)).as("p2"))
+      .filter(col("s1") > 0)
+    val ddf = h.select(col("user_id"),
+      ntile(10).over(Window.orderBy(col("s1").desc, col("user_id")))
+        .as("decile"),
+      when(col("p1") >= 8, 1).otherwise(0).as("c1"),
+      when(col("p2") >= 8, 1).otherwise(0).as("y"))
+    val g = ddf.groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("c1")).cast("long").as("x1"),
+        sum(col("y")).cast("long").as("x2"))
+    val p = g
+      .withColumn("pmu", expr("(2 * x1 * 1000000 + n) div (2 * n)"))
+      .withColumn("nn",
+        sum(col("n")).over(Window.partitionBy()).cast("long"))
+      .withColumn("xx",
+        sum(col("x2")).over(Window.partitionBy()).cast("long"))
+    val terms = p.groupBy(col("nn"), col("xx"))
+      .agg(
+        sum(expr("""n * pmu * pmu - 2 * 1000000 * pmu * x2
+          |  + 1000000000000 * x2""".stripMargin)).cast("long").as("bnum"),
+        // each quantized term is PRE-normalized by nn (rel) / nn³ (res)
+        // so it stays ≤ 1 at ANY corpus size — the raw d²/n form
+        // overflowed DECIMAL(18,9)'s 10⁹ integer headroom the moment
+        // the ×10 axis ran (caught before merge, the q166 pattern)
+        sum(expr("""CAST(
+          |  CAST(n * pmu - 1000000 * x2 AS DOUBLE)
+          |    * CAST(n * pmu - 1000000 * x2 AS DOUBLE)
+          |    / CAST(n AS DOUBLE) / 1000000000000.0
+          |    / CAST(nn AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).cast("double")
+          .as("rel"),
+        sum(expr("""CAST(
+          |  CAST(nn * x2 - n * xx AS DOUBLE)
+          |    * CAST(nn * x2 - n * xx AS DOUBLE)
+          |    / CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+          |    / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).cast("double")
+          .as("res"))
+    terms.select(col("nn").as("n_users"), col("xx").as("n_positive"),
+        round(expr("""CAST(bnum AS DOUBLE) / 1000000000000.0
+          |  / CAST(nn AS DOUBLE)""".stripMargin), 6).as("brier"),
+        round(col("rel"), 6).as("reliability"),
+        round(col("res"), 6).as("resolution"),
+        round(expr("""CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
+          |  / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)""".stripMargin), 6)
+          .as("uncertainty"))
   }
 }

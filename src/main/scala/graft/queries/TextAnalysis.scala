@@ -21,7 +21,7 @@ object TextAnalysis {
       q218ZipfSlope, q227CosineProfiles, q250OovRate, q276Flesch,
       q282Mattr, q283QueryLikelihood, q284VocabOverlap, q291VocabChurn,
       q294YuleK, q295TokenBurstiness, q307CharEntropy,
-      q316DocLengthPercentiles)
+      q316DocLengthPercentiles, q324TokenGini)
 
   /** Token-distribution Shannon entropy per document — the information-
     * density quality signal (low entropy = repetitive/templated text,
@@ -2539,6 +2539,74 @@ object TextAnalysis {
       .select(col("source"), col("n").as("n_docs"),
         col("p50").as("p50_chars"), col("p95").as("p95_chars"),
         graft.functions.Exact.ratio6("p95", "p50").as("p95_to_p50"))
+      .orderBy(col("source"))
+  }
+
+  /** TOKEN-FREQUENCY GINI PER SOURCE — vocabulary INEQUALITY where
+    * q294's Yule K measures repeat mass and q218's Zipf slope fits the
+    * tail shape: the Gini coefficient of the term-frequency
+    * distribution, 0 when every term is equally common, → 1 when a few
+    * templates own the token mass. The q147 device pointed at terms:
+    * G = (2·Σᵢ i·cᵢ − (V+1)·T) / (V·T) over counts ranked ASCENDING.
+    * Template-heavy sources read HIGH before any dedup runs — the
+    * one-number curation dial between "natural text" and "boilerplate
+    * mill".
+    *
+    * Exactness: exact int64 term counts; the rank is a per-source
+    * window over the DISTINCT-term frame under the (c, w) deterministic
+    * total order — vocabulary-sized partitions (≤ ~10⁶ at any corpus),
+    * never token-proportional (stated); Σ i·cᵢ ≤ V·T needs V·T ≤ 2⁶³
+    * (stated bound — 10⁶ vocab × 10¹² tokens sits at the line; per-
+    * source corpora stay far inside); the final ratio rides ratio6Big
+    * (its numerator IS the V·T class). Single-term sources read G = 0
+    * exactly ((2·1·T − 2T)/T = 0 — no guard needed, edge-pinned).
+    *
+    * Plan: explode → one (source, term) count aggregate (map-side
+    * combined) → a vocabulary-sized rank window → a per-source finish.
+    */
+  val q324TokenGini = Q(
+    "q324_token_gini",
+    s"""WITH tok AS (
+      |  SELECT source, u AS w, CAST(count(*) AS BIGINT) AS c
+      |  FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS u
+      |    FROM documents
+      |    WHERE source IS NOT NULL AND length(text) > 0) z
+      |  GROUP BY 1, 2
+      |),
+      |rk AS (
+      |  SELECT source, c,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY c, w)
+      |      AS BIGINT) AS i
+      |  FROM tok
+      |),
+      |agg AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS v,
+      |    CAST(sum(c) AS BIGINT) AS t,
+      |    CAST(sum(i * c) AS BIGINT) AS sic
+      |  FROM rk GROUP BY 1
+      |)
+      |SELECT source, v AS vocab, t AS tokens,
+      |  ${graft.functions.Exact.Sql.ratio6Big(
+           "2 * sic - (v + 1) * t", "v * t")} AS gini
+      |FROM agg
+      |ORDER BY source NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val tok = Tables.documentsWide(s, d)
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val rk = tok.select(col("source"), col("c"),
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("c"), col("w"))).cast("long").as("i"))
+    rk.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("v"),
+        sum(col("c")).cast("long").as("t"),
+        sum(col("i") * col("c")).cast("long").as("sic"))
+      .select(col("source"), col("v").as("vocab"), col("t").as("tokens"),
+        graft.functions.Exact.ratio6Big("2 * sic - (v + 1) * t", "v * t")
+          .as("gini"))
       .orderBy(col("source"))
   }
 }

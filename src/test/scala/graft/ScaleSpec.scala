@@ -575,6 +575,9 @@ class ScaleSpec extends SparkSpec {
       // lag windows are strictly equi/partition-keyed; percentiles ride
       // run-sized windows (q315's device)
       "q322_shipping_delay", "q323_repeat_intervals",
+      // q324's rank window is vocabulary-sized per source; q325 rides
+      // the q221 span-bounded dense grid
+      "q324_token_gini", "q325_effective_sample_size",
       // q306 is one orderkey equi join; q307/q308 are join-free scans
       "q306_order_dispersion", "q307_char_entropy",
       "q308_norm_drift",
@@ -628,7 +631,10 @@ class ScaleSpec extends SparkSpec {
       // q310's 1-row day-bounds frame is the q302 scalar shape; q314's
       // 1-row chi frame is the q293 scalar shape
       "q304_customer_concentration", "q310_type_volume_spearman",
-      "q314_source_language_mix")) {
+      "q314_source_language_mix",
+      // q326 carries q174's 1-row midpoint probe (the designed scalar
+      // broadcast); the decomposition itself is a 10-row finish
+      "q326_brier_decomposition")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

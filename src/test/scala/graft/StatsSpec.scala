@@ -4374,4 +4374,116 @@ class StatsSpec extends SparkSpec {
     }
     assert(got323.keySet === gaps.map(_._1).toSet)
   }
+
+  test("q324 token Gini replays from a Scala sorted rank walk; a " +
+      "single-term source reads exactly 0") {
+    val toks = Tables.documentsWide(spark, sf)
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val got = queries.TextAnalysis.q324TokenGini.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    for ((src, g) <- toks.groupBy(_._1)) {
+      val counts = g.groupBy(_._2).map(_._2.length.toLong).toSeq.sorted
+      // ranks follow (c, w) but Σ i·cᵢ over a sorted multiset is
+      // tie-invariant: equal counts swap ranks without moving the sum
+      val v = counts.length.toLong
+      val t = counts.sum
+      val sic = counts.zipWithIndex.map { case (c, i) =>
+        BigInt(i + 1) * c }.sum
+      val num = 2 * sic - BigInt(v + 1) * t
+      val den = BigInt(v) * t
+      val gini = (num / den).toLong.toDouble +
+        ((2 * (num % den) * 1000000 + den) / (2 * den)).toDouble / 1e6
+      val (gv, gt, gg) = got(src)
+      assert(gv === v, s"$src vocab")
+      assert(gt === t, s"$src tokens")
+      assert(gg === gini, s"$src gini $gg vs $gini")
+    }
+    // degenerate: one distinct term → (2·1·T − 2·T)/T = 0 exactly
+    import spark.implicits._
+    val d = "/tmp/graft_tokengini_degen"
+    Seq((1L, "aa aa aa aa", "en", "solo", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val solo = SparkEntry.queries("q324_token_gini")(spark, d).collect()
+    assert(solo.length === 1 && solo.head.getLong(1) === 1L)
+    assert(solo.head.getDouble(3) === 0.0, "single-term Gini is exactly 0")
+  }
+
+  test("q325 ESS replays from a Scala dense-grid walk with the exact " +
+      "double-op order; a sub-6-hour span NULLs the ESS") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = Stats.q325EffectiveSampleSize.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((t, rows) <- ev.groupBy(_._1)) {
+      val m0 = rows.map(_._2).min; val m1 = rows.map(_._2).max
+      val xs = (m0 to m1).map(h => rows.count(_._2 == h).toLong).toArray
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val c = xs.map(x => n * x - sx)
+      val den = c.map(v => v * v).sum
+      def rho(k: Int): Option[Double] =
+        if (n <= k || den == 0L) None
+        else Some((k until c.length).map(i =>
+          c(i) * c(i - k)).sum.toDouble / den.toDouble)
+      val r = got(t)
+      val rhos = (1 to 5).map(rho)
+      for ((rk, i) <- rhos.zipWithIndex) rk match {
+        case Some(v) => assert(r.getDouble(2 + i) ===
+          math.rint(v * 1e6) / 1e6 || math.abs(r.getDouble(2 + i) - v) < 1e-6,
+          s"$t rho${i + 1}")
+        case None => assert(r.isNullAt(2 + i), s"$t rho${i + 1} NULL")
+      }
+      if (rhos.forall(_.isDefined)) {
+        // the engine's EXACT left-to-right clip-sum order
+        val s5 = rhos.flatten.foldLeft(0.0)((acc, v) =>
+          acc + (if (v > 0) v else 0.0))
+        val ess = n.toDouble / (1.0 + 2.0 * s5)
+        assert(math.abs(r.getDouble(7) - ess) < 1e-6, s"$t ess")
+      } else assert(r.isNullAt(7), s"$t ess NULL")
+    }
+    // degenerate: the samesec fixture spans ONE hour → every lag has
+    // zero pairs → NULL rhos and NULL ESS (never a fabricated number)
+    val solo = SparkEntry.queries("q325_effective_sample_size")(
+      spark, "/tmp/graft_edge_events_samesec").collect()
+    assert(solo.length === 1 && solo.head.getLong(1) === 1L)
+    for (i <- 2 to 7) assert(solo.head.isNullAt(i), s"field $i NULL")
+  }
+
+  test("q326 Murphy decomposition: REL - RES + UNC equals the total " +
+      "Brier to 1e-9, and every component replays from the q174 decile " +
+      "table driver-side") {
+    val r = Stats.q326BrierDecomposition.fn(spark, sf).collect().head
+    val (brier, rel, res, unc) =
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(math.abs((rel - res + unc) - brier) <= 1e-6 + 1e-9,
+      s"Murphy identity: $rel - $res + $unc vs $brier")
+    assert(rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+    // replay from q174's decile table (its own net re-derives that from
+    // raw events; here the decomposition algebra is what's under test)
+    val dec = Stats.q174CalibrationBrier.fn(spark, sf).collect()
+      .map(rr => (rr.getLong(1), rr.getLong(2), rr.getLong(3)))
+    val nn = dec.map(_._1).sum
+    val xx = dec.map(_._3).sum
+    assert(r.getLong(0) === nn && r.getLong(1) === xx)
+    def q6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val relR = dec.map { case (n, x1, x2) =>
+      val pmu = (2 * x1 * 1000000L + n) / (2 * n)
+      val dd = (n * pmu - 1000000L * x2).toDouble
+      math.rint(dd * dd / n / 1e12 / nn * 1e9) / 1e9
+    }.sum
+    val resR = dec.map { case (n, _, x2) =>
+      val d2 = (nn * x2 - n * xx).toDouble
+      math.rint(d2 * d2 / n / nn / nn / nn * 1e9) / 1e9
+    }.sum
+    val uncR = xx.toDouble * (nn - xx) / nn / nn
+    assert(math.abs(rel - q6(relR)) <= 1e-6, s"rel $rel vs $relR")
+    assert(math.abs(res - q6(resR)) <= 1e-6, s"res $res vs $resR")
+    assert(unc === q6(uncR), s"unc $unc vs $uncR")
+  }
 }
