@@ -38,7 +38,7 @@ object Similarity {
     q167HardNegatives, q183ReciprocalNn, q184EmbeddingOutliers,
     q251Silhouette, q268Anisotropy, q269TwoNn, q270LabelNoise,
     q272ClassBalanced, q300ParticipationRatio, q308NormDrift,
-    q311CentroidDistances)
+    q311CentroidDistances, q328LabelSeparation)
 
   /** Iteration log of one [[kmeans]] run. `assignments` is (vec_id,
     * cluster, dist2); `wss` is the within-cluster sum of squares after each
@@ -2602,5 +2602,133 @@ object Similarity {
         col("na").as("n_a"), col("nb").as("n_b"),
         round(sqrt(col("d2")) / lit(1000.0), 6).as("centroid_dist"))
       .orderBy(col("label_a"), col("label_b"))
+  }
+
+  /** LABEL SEPARATION (Fisher-style) — is each class a CLUSTER or a
+    * cloud? Per label: the mean intra-label squared distance (computed
+    * WITHOUT pairs via the identity E‖x−y‖² = 2(n·m₂ − Σ_pos S_pos²)/
+    * (n(n−1)) — one scan of second moments, the q268 pair-free stance),
+    * the nearest OTHER label's squared centroid distance (q311's
+    * pos-keyed machinery), and their ratio. Separation ≫ intra spread
+    * means q270's noise and q188's confusions will concentrate
+    * elsewhere; a label whose nearest centroid sits INSIDE its own
+    * spread (ratio < 1) is where every classifier bleeds. The
+    * embedding-quality panel read before any label-conditional model
+    * is trained.
+    *
+    * Exactness: kilo-unit int64 coordinates (q311's device); m₂ and
+    * Σ_pos S² exact int64 (bounds: n·m₂ ≈ n²·10⁶ and S² ≈ n²·10⁶ per
+    * pos — inside int64 to n ≈ 2·10⁶ vectors per label, stated); the
+    * intra mean is ONE fixed-order double chain; centroid d² rides
+    * q311's DECIMAL(18,9)-quantized per-pos terms; the nearest-label
+    * pick is deterministic under (d2, label); the ratio is one divide
+    * of kilo²-unit doubles (units cancel), nullif-guarded for a
+    * zero-spread label (identical vectors) and NULL for n ≤ 1.
+    *
+    * Plan: one (label, pos) moment aggregate, one label-bounded k²·D
+    * pair join (q311's), a k-row finish. Nothing vector-pair-shaped.
+    */
+  val q328LabelSeparation = Q(
+    "q328_label_separation",
+    """WITH x AS (
+      |  SELECT label, vec_id,
+      |    list_transform(embedding,
+      |      v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS xk
+      |  FROM embeddings
+      |),
+      |p AS (
+      |  SELECT label, vec_id, i.i AS pos, xk[i.i] AS xi
+      |  FROM x, (SELECT unnest(range(1, 256)) AS i) i
+      |  WHERE i.i <= len(xk)
+      |),
+      |c AS (
+      |  SELECT label, pos, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xi) AS BIGINT) AS s,
+      |    CAST(sum(xi * xi) AS BIGINT) AS q
+      |  FROM p GROUP BY 1, 2
+      |),
+      |intra AS (
+      |  SELECT label, max(n) AS n,
+      |    CAST(sum(q) AS BIGINT) AS m2,
+      |    CAST(sum(s * s) AS BIGINT) AS ss
+      |  FROM c GROUP BY 1
+      |),
+      |pr AS (
+      |  SELECT a.label AS la, b.label AS lb,
+      |    CAST(sum(CAST(
+      |      (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |        - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+      |      * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |        - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS d2
+      |  FROM c a JOIN c b ON a.pos = b.pos AND a.label <> b.label
+      |  GROUP BY 1, 2
+      |),
+      |near AS (
+      |  SELECT la, lb, d2 FROM (
+      |    SELECT la, lb, d2,
+      |      row_number() OVER (PARTITION BY la ORDER BY d2, lb) AS rnk
+      |    FROM pr) z
+      |  WHERE rnk = 1
+      |)
+      |SELECT CAST(i.label AS INTEGER) AS label, i.n AS n_vecs,
+      |  round(CASE WHEN i.n > 1 THEN
+      |    CAST(2 AS DOUBLE) * CAST(i.n * i.m2 - i.ss AS DOUBLE)
+      |      / CAST(i.n * (i.n - 1) AS DOUBLE) / 1000000.0
+      |    ELSE NULL END, 6) AS intra_msd,
+      |  CAST(near.lb AS INTEGER) AS nearest_label,
+      |  round(near.d2 / 1000000.0, 6) AS nearest_centroid_d2,
+      |  round(CASE WHEN i.n > 1 THEN
+      |    near.d2 / nullif(
+      |      CAST(2 AS DOUBLE) * CAST(i.n * i.m2 - i.ss AS DOUBLE)
+      |        / CAST(i.n * (i.n - 1) AS DOUBLE),
+      |      CAST(0 AS DOUBLE))
+      |    ELSE NULL END, 6) AS separation
+      |FROM intra i JOIN near ON i.label = near.la
+      |ORDER BY label""".stripMargin,
+  ) { (s, d) =>
+    val c = Tables.embeddings(s, d)
+      .select(col("label"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000).cast("long")).as("xk"))
+      .filter(size(col("xk")) > 0)
+      .select(col("label"), posexplode(col("xk")).as(Seq("pos0", "xi")))
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("xi")).cast("long").as("s"),
+        sum(col("xi") * col("xi")).cast("long").as("q"))
+      .localCheckpoint() // 3 consumers: intra and both pair-join sides
+    val intra = c.groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        sum(col("q")).cast("long").as("m2"),
+        sum(col("s") * col("s")).cast("long").as("ss"))
+    val cb = c.select(col("label").as("lb"), col("pos").as("pos_b"),
+      col("n").as("nb"), col("s").as("sb"))
+    val pr = c.join(cb, col("pos") === col("pos_b")
+        && col("label") =!= col("lb"))
+      .groupBy(col("label").as("la"), col("lb"))
+      .agg(sum(expr("""CAST(
+        |  (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |  AS DECIMAL(18,9))""".stripMargin)).cast("double").as("d2"))
+    val near = pr.select(col("la"), col("lb"), col("d2"),
+        row_number().over(Window.partitionBy(col("la"))
+          .orderBy(col("d2"), col("lb"))).as("rnk"))
+      .filter(col("rnk") === 1)
+    val imsd = expr("""CAST(2 AS DOUBLE) * CAST(n * m2 - ss AS DOUBLE)
+      |  / CAST(n * (n - 1) AS DOUBLE)""".stripMargin)
+    intra.join(near, col("label") === col("la"))
+      .select(col("label").cast("int").as("label"),
+        col("n").as("n_vecs"),
+        round(when(col("n") > 1, imsd / 1000000.0)
+          .otherwise(lit(null)), 6).as("intra_msd"),
+        col("lb").cast("int").as("nearest_label"),
+        round(col("d2") / 1000000.0, 6).as("nearest_centroid_d2"),
+        round(when(col("n") > 1,
+          col("d2") / nullif(imsd, lit(0.0)))
+          .otherwise(lit(null)), 6).as("separation"))
+      .orderBy(col("label"))
   }
 }

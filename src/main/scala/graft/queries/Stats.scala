@@ -119,7 +119,7 @@ object Stats {
     q312SizePriceCorr, q313NationRevenueShare, q314SourceLanguageMix,
     q315UserActivityPercentiles, q317GapPercentiles,
     q322ShippingDelay, q323RepeatIntervals, q325EffectiveSampleSize,
-    q326BrierDecomposition)
+    q326BrierDecomposition, q327QqDrift)
 
   /** A/B TEST — two-proportion z-test per metric, the experiment-analysis
     * operator: users are deterministically bucketed into variants by a
@@ -10838,5 +10838,113 @@ object Stats {
         round(expr("""CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
           |  / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)""".stripMargin), 6)
           .as("uncertainty"))
+  }
+
+  /** QQ DECILE DRIFT — the quantile-level distribution-shift readout
+    * between the corpus's two time halves, per event type: the nine
+    * deciles of `value` cents in each half side by side with their
+    * ratio. q140's KS gives ONE number (the largest CDF gap) and q111's
+    * PSI bins coarsely; the QQ table says WHERE the distribution moved
+    * — a drifting p90 with a stable median is a tail regime change, the
+    * opposite is a price-floor move. The deploy-gate panel for any
+    * model scoring `value`.
+    *
+    * Exactness: exact cents; the global temporal midpoint is the q174
+    * 2-scalar probe; per-(type, half) deciles ride the q315 value-run
+    * device with k_j = ⌈j·n/10⌉ read off covering runs — the nine
+    * deciles come from ONE run table crossed with a 9-row literal grid
+    * (no re-scan per decile); the ratio is ratio6 with a zero-cent
+    * early-decile NULL guard (nullif). A type missing from one half
+    * drops its rows (inner join on type across halves — stated).
+    *
+    * Plan: one scan + midpoint probe, one (type, half, cents) run
+    * aggregate, run-sized windows, a 9-row bounded explode. Nothing
+    * row-proportional after the run table.
+    */
+  val q327QqDrift = Q(
+    "q327_qq_drift",
+    s"""WITH b AS (
+      |  SELECT (min(epoch_us(CAST(ts AS TIMESTAMP)))
+      |    + max(epoch_us(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+      |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |e AS (
+      |  SELECT event_type,
+      |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= b.mid
+      |      THEN 0 ELSE 1 END AS half,
+      |    CAST(round(100 * value) AS BIGINT) AS cents
+      |  FROM events, b
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |),
+      |runs AS (
+      |  SELECT event_type, half, cents, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM e GROUP BY 1, 2, 3
+      |),
+      |cum AS (
+      |  SELECT event_type, half, cents, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type, half ORDER BY cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS s,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type, half) AS BIGINT)
+      |      AS n
+      |  FROM runs
+      |),
+      |q AS (
+      |  SELECT c.event_type, c.half, j.j, max(c.n) AS n,
+      |    min(CASE WHEN c.s < (c.n * j.j + 9) // 10
+      |      AND (c.n * j.j + 9) // 10 <= c.s + c.cnt
+      |      THEN c.cents END) AS v
+      |  FROM cum c CROSS JOIN (SELECT unnest(range(1, 10)) AS j) j
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT a.event_type, CAST(a.j AS BIGINT) AS decile,
+      |  a.n AS n_first, h2.n AS n_second,
+      |  a.v AS cents_first, h2.v AS cents_second,
+      |  ${Exact.Sql.ratio6("h2.v", "a.v")} AS qq_ratio
+      |FROM q a JOIN q h2 ON a.event_type = h2.event_type
+      |  AND a.j = h2.j AND a.half = 0 AND h2.half = 1
+      |ORDER BY a.event_type NULLS FIRST, decile""".stripMargin,
+  ) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"),
+        expr("CAST(round(100 * value) AS BIGINT)").as("cents"))
+    val b = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val e = ev.crossJoin(broadcast(b))
+      .select(col("event_type"),
+        when(col("us") <= col("mid"), 0).otherwise(1).as("half"),
+        col("cents"))
+    val runs = e.groupBy(col("event_type"), col("half"), col("cents"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val wCum = Window.partitionBy(col("event_type"), col("half"))
+      .orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"), col("half"))
+    val cum = runs.select(col("event_type"), col("half"), col("cents"),
+      col("cnt"),
+      (sum(col("cnt")).over(wCum) - col("cnt")).cast("long").as("s"),
+      sum(col("cnt")).over(wAll).cast("long").as("n"))
+    val q = cum
+      .crossJoin(broadcast(
+        s.range(1, 10).select(col("id").as("j"))))
+      .groupBy(col("event_type"), col("half"), col("j"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("s") < expr("(n * j + 9) div 10")
+          && expr("(n * j + 9) div 10") <= col("s") + col("cnt"),
+          col("cents"))).as("v"))
+    q.filter(col("half") === 0)
+      .select(col("event_type"), col("j"), col("n").as("n_first"),
+        col("v").as("cents_first"))
+      .join(q.filter(col("half") === 1)
+        .select(col("event_type").as("t2"), col("j").as("j2"),
+          col("n").as("n_second"), col("v").as("cents_second")),
+        col("event_type") === col("t2") && col("j") === col("j2"))
+      .select(col("event_type"), col("j").cast("long").as("decile"),
+        col("n_first"), col("n_second"),
+        col("cents_first"), col("cents_second"),
+        Exact.ratio6("cents_second", "cents_first").as("qq_ratio"))
+      .orderBy(col("event_type"), col("decile"))
   }
 }

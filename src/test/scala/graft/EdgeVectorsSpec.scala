@@ -208,4 +208,46 @@ class EdgeVectorsSpec extends SparkSpec {
     assert(math.abs(cd.head.getDouble(4) - math.sqrt(8.0) * 5.1) < 1e-3,
       s"separated clusters read the planted gap: ${cd.head.getDouble(4)}")
   }
+
+  test("q328 label separation: intra spread replays from brute-force " +
+      "pairs; the separated fixture reads separation >> 1; a singleton " +
+      "label NULLs its spread") {
+    // brute-force intra mean squared distance on the shared corpus —
+    // a different algorithm (explicit pairs) than the engine's
+    // pair-free n·m2 − ΣS² identity
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)
+        .map(v => math.round(v.toDouble * 1000)).toArray))
+    val got = SparkEntry.queries("q328_label_separation")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    for ((lbl, g) <- raw.groupBy(_._1) if g.length > 1) {
+      var tot = 0.0; var cnt = 0L
+      for (i <- g.indices; j <- g.indices if i != j) {
+        var d2 = 0.0; var k = 0
+        while (k < g(i)._2.length) {
+          val t = (g(i)._2(k) - g(j)._2(k)).toDouble; d2 += t * t; k += 1
+        }
+        tot += d2; cnt += 1
+      }
+      val msd = tot / cnt / 1e6
+      val engine = got(lbl).getDouble(2)
+      assert(math.abs(engine - msd) < 1e-4,
+        s"label $lbl intra: engine $engine vs brute $msd")
+    }
+    // separated fixture: two tight clusters 5.1 apart per dim →
+    // separation = centroid d² / intra spread is LARGE (> 100)
+    val sep = SparkEntry.queries("q328_label_separation")(
+      spark, "/tmp/graft_edge_vectors_separated").collect()
+    assert(sep.length === 2)
+    for (r <- sep) {
+      assert(r.getDouble(4) > 100 * r.getDouble(2),
+        s"planted gap must dominate intra spread: $r")
+      assert(r.getDouble(5) > 100, s"separation ratio: ${r.getDouble(5)}")
+    }
+    // singleton-label corpus: ONE label → no pair matrix → no rows
+    assert(SparkEntry.queries("q328_label_separation")(
+      spark, "/tmp/graft_edge_vectors_singleton").collect().isEmpty,
+      "one label has no nearest-other row")
+  }
 }

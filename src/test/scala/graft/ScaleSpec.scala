@@ -578,6 +578,9 @@ class ScaleSpec extends SparkSpec {
       // q324's rank window is vocabulary-sized per source; q325 rides
       // the q221 span-bounded dense grid
       "q324_token_gini", "q325_effective_sample_size",
+      // q328's pair join is pos-keyed and label-bounded (the q311
+      // shape); its intra stage is one moment aggregate
+      "q328_label_separation",
       // q306 is one orderkey equi join; q307/q308 are join-free scans
       "q306_order_dispersion", "q307_char_entropy",
       "q308_norm_drift",
@@ -634,7 +637,10 @@ class ScaleSpec extends SparkSpec {
       "q314_source_language_mix",
       // q326 carries q174's 1-row midpoint probe (the designed scalar
       // broadcast); the decomposition itself is a 10-row finish
-      "q326_brier_decomposition")) {
+      "q326_brier_decomposition",
+      // q327 carries q174's 1-row midpoint probe + a 9-row literal
+      // decile grid (both designed bounded broadcasts)
+      "q327_qq_drift")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")

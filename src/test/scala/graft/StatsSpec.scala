@@ -4486,4 +4486,38 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(res - q6(resR)) <= 1e-6, s"res $res vs $resR")
     assert(unc === q6(uncR), s"unc $unc vs $uncR")
   }
+
+  test("q327 QQ drift replays from Scala sorted per-half deciles; the " +
+      "decile columns are monotone within each half") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull
+        && col("event_type").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts)"),
+        expr("CAST(round(100 * value) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = Math.floorDiv(ev.map(_._2).min + ev.map(_._2).max, 2L)
+    val got = Stats.q327QqDrift.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    for ((t, g) <- ev.groupBy(_._1)) {
+      val h0 = g.filter(_._2 <= mid).map(_._3).sorted
+      val h1 = g.filter(_._2 > mid).map(_._3).sorted
+      if (h0.nonEmpty && h1.nonEmpty) {
+        for (j <- 1 to 9) {
+          val (n0, n1, v0, v1) = got((t, j.toLong))
+          assert(n0 === h0.length.toLong && n1 === h1.length.toLong)
+          assert(v0 === h0(((h0.length.toLong * j + 9) / 10).toInt - 1),
+            s"$t d$j first")
+          assert(v1 === h1(((h1.length.toLong * j + 9) / 10).toInt - 1),
+            s"$t d$j second")
+        }
+        // monotone deciles within each half
+        val vs0 = (1 to 9).map(j => got((t, j.toLong))._3)
+        val vs1 = (1 to 9).map(j => got((t, j.toLong))._4)
+        assert(vs0 === vs0.sorted && vs1 === vs1.sorted)
+      } else assert(!(1 to 9).exists(j => got.contains((t, j.toLong))),
+        s"$t with an empty half must drop")
+    }
+  }
 }
