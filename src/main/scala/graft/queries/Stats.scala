@@ -42,21 +42,42 @@ object Stats {
     * i′ + 1). Same (us, event_id) total order, bit-identical gaps; every
     * stage is shuffle-parallel and AQE-splittable. Measured at ×100:
     * q296 16.3 → 4.3 s (exponent 1.03 → 0.41), q317 16.2 → 5.6 s
-    * (1.01 → 0.29), q257 19.9 → 13.3 s (SCALE_r16 §2).
+    * (1.01 → 0.29), q257 19.9 → 13.3 s (SCALE_r16 §2). Below the
+    * measured [[TypeGapsParThreshold]] the plain lag window runs
+    * instead — its fixed costs beat the parallel path's until the
+    * serial span dominates (the dial is code, both ends measured).
     *
     * Input must be (event_type, event_id, us) with non-null type/us
     * (callers already filter). Output: (event_type, gp) — one row per
     * consecutive pair, gp = us-difference ≥ 0, types with one event
     * contribute nothing (exactly the lag-NOT-NULL semantics).
     */
+  /** Below this row count the plain per-type lag window wins: the
+    * parallel path's fixed costs (bin probe, rank shuffle, pinned
+    * self-join) measured ~+1 s per query at sf0.1's 10⁵ rows while the
+    * window's serialization ceiling is still invisible (crossover
+    * measured between ×10's 10⁶ — a wash — and ×100's 10⁷ — 3–4× for
+    * the parallel path). Both paths produce BIT-IDENTICAL gaps, so the
+    * dispatch is a pure physical-plan choice, oracle-invisible. */
+  private val TypeGapsParThreshold = 2000000L
+
   private[graft] def typeGapsPar(
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val mm = e.agg(min(col("us")), max(col("us"))).head // 2-scalar probe
+    val mm = e.agg(min(col("us")), max(col("us")), count(lit(1)))
+      .head // 3-scalar probe (bounds + the dispatch row count)
     if (mm.isNullAt(0)) {
       e.sparkSession.emptyDataFrame
         .selectExpr("CAST(NULL AS STRING) AS event_type",
           "CAST(NULL AS BIGINT) AS gp")
         .limit(0)
+    } else if (mm.getLong(2) < TypeGapsParThreshold) {
+      // small-corpus path: the lag window (identical gaps, no fixed
+      // costs; the type-sized-partition ceiling needs ≳10⁷ rows to bite)
+      e.select(col("event_type"),
+          (col("us") - lag(col("us"), 1).over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("us"), col("event_id")))).as("gp"))
+        .filter(col("gp").isNotNull)
     } else {
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val bw = (hi - lo) / 4096 + 1
@@ -4028,10 +4049,17 @@ object Stats {
     // the ×100 axis. Ties within a bin stay arbitrary: the KS max is
     // tie-invariant AS A SET (a tie run shares one ffit and receives the
     // same rank set under any permutation — q257's invariance argument).
-    val mmR = gaps.agg(min(col("gp")), max(col("gp"))).head
+    val mmR = gaps.agg(min(col("gp")), max(col("gp")), count(lit(1))).head
     val ranked =
       if (mmR.isNullAt(0))
         gaps.select(col("event_type"), col("gp"), lit(0L).as("i"))
+      else if (mmR.getLong(2) < TypeGapsParThreshold)
+        // small-corpus path (the typeGapsPar dispatch): the flat window
+        // rank — identical ranks up to in-tie permutation, and the KS
+        // max is tie-invariant as a set (the invariance note below)
+        gaps.select(col("event_type"), col("gp"),
+          row_number().over(Window.partitionBy(col("event_type"))
+            .orderBy(col("gp"))).cast("long").as("i"))
       else {
         val (lo, hi) = (mmR.getLong(0), mmR.getLong(1))
         val bw = (hi - lo) / 4096 + 1
