@@ -57,7 +57,7 @@ object Dedup {
     q175NgramNovelty, q185ContainmentJoin, q187SubstringDup,
     q191SubstringDecontaminate, q305DupClusterSpectrum,
     q318ChunkDupSpectrum, q319ChunkNeardup,
-    q320SourceOverlap, q321BoilerplateChunks)
+    q320SourceOverlap, q321BoilerplateChunks, q329ChunkNovelty)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -2791,5 +2791,105 @@ object Dedup {
       .select(col("source"), col("rnk"), col("h").as("chunk_md5"),
         col("copies"), col("docs"))
       .orderBy(col("source"), col("rnk"))
+  }
+
+  /** CHUNK NOVELTY SATURATION CURVE — when does a source stop
+    * contributing NEW content? Per source, its documents split into ten
+    * doc_id-ordered deciles (the ingest-order proxy — doc ids are
+    * assigned at intake), and each decile is credited with the distinct
+    * chunk texts whose FIRST occurrence (min doc_id within the source)
+    * falls in it. A healthy source's cumulative-novelty curve keeps
+    * climbing; a template mill saturates in the first decile — the
+    * "stop crawling this" signal, and the ingestion-side complement to
+    * q318's static spectrum (q318 says HOW MUCH is duplicate; this
+    * says WHEN the duplication started paying nothing).
+    *
+    * Exactness: chunk identity via md5 substrings; first-occurrence is
+    * min(doc_id) — deterministic; ntile(10) over the unique doc_id
+    * order is deterministic on both engines; counts exact int64;
+    * cumulative share via ratio6. Sources with < 10 docs get short
+    * curves (ntile semantics, identical both engines — stated).
+    *
+    * Plan: explode → one (source, hash) min/any aggregate → a
+    * docs-per-source-bounded ntile window → one (source, decile)
+    * count + a 10-row-per-source cumulative window. Nothing
+    * chunk-proportional after the first aggregate.
+    */
+  val q329ChunkNovelty = Q(
+    "q329_chunk_novelty",
+    s"""WITH ch AS (
+      |  SELECT z.source, z.doc_id,
+      |    md5(substr(z.text, CAST(z.cs + 1 AS INTEGER), 200)) AS h
+      |  FROM (
+      |    SELECT source, doc_id, text,
+      |      unnest(generate_series(0, length(text) - 1, 150)) AS cs
+      |    FROM documents
+      |    WHERE source IS NOT NULL AND length(text) > 0) z
+      |),
+      |fo AS (
+      |  SELECT source, h, CAST(min(doc_id) AS BIGINT) AS fdoc
+      |  FROM ch GROUP BY 1, 2
+      |),
+      |docs AS (
+      |  SELECT source, doc_id,
+      |    CAST(ntile(10) OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS decile
+      |  FROM (SELECT DISTINCT source, doc_id FROM ch) u
+      |),
+      |per AS (
+      |  SELECT d.source, d.decile,
+      |    CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+      |    CAST(count(fo.h) AS BIGINT) AS new_chunks
+      |  FROM docs d LEFT JOIN fo
+      |    ON fo.source = d.source AND fo.fdoc = d.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT source, decile, n_docs, new_chunks,
+      |    CAST(sum(new_chunks) OVER (PARTITION BY source ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_new,
+      |    CAST(sum(new_chunks) OVER (PARTITION BY source) AS BIGINT)
+      |      AS total_new
+      |  FROM per
+      |)
+      |SELECT source, decile, n_docs, new_chunks, cum_new,
+      |  ${graft.functions.Exact.Sql.ratio6("cum_new", "total_new")}
+      |    AS cum_share
+      |FROM cum
+      |ORDER BY source NULLS FIRST, decile""".stripMargin,
+  ) { (s, d) =>
+    val ch = Tables.documentsWide(s, d)
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), col("doc_id"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("cs"))
+      .select(col("source"), col("doc_id"),
+        md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"))
+      .localCheckpoint() // 2 consumers: first-occurrence and doc deciles
+    val fo = ch.groupBy(col("source").as("f_source"), col("h"))
+      .agg(min(col("doc_id")).cast("long").as("fdoc"))
+    val docs = ch.select(col("source"), col("doc_id")).distinct()
+      .select(col("source"), col("doc_id"),
+        ntile(10).over(Window.partitionBy(col("source"))
+          .orderBy(col("doc_id"))).cast("long").as("decile"))
+    val per = docs.join(fo,
+        col("f_source") === col("source") && col("fdoc") === col("doc_id"),
+        "left")
+      .groupBy(col("source"), col("decile"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(col("h")).cast("long").as("new_chunks"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per.select(col("source"), col("decile"), col("n_docs"),
+        col("new_chunks"),
+        sum(col("new_chunks")).over(wCum).cast("long").as("cum_new"),
+        sum(col("new_chunks")).over(Window.partitionBy(col("source")))
+          .cast("long").as("total_new"))
+      .select(col("source"), col("decile"), col("n_docs"),
+        col("new_chunks"), col("cum_new"),
+        graft.functions.Exact.ratio6("cum_new", "total_new")
+          .as("cum_share"))
+      .orderBy(col("source"), col("decile"))
   }
 }

@@ -571,6 +571,9 @@ class ScaleSpec extends SparkSpec {
       // bounds candidates); q321 is one aggregate + a per-source rank
       // over the distinct-chunk frame
       "q320_source_overlap", "q321_boilerplate_chunks",
+      // q329's ntile window is docs-per-source-bounded; the novelty
+      // join is (source, doc) equi-keyed
+      "q329_chunk_novelty",
       // q322's orderkey join and q323's custkey join + customer-keyed
       // lag windows are strictly equi/partition-keyed; percentiles ride
       // run-sized windows (q315's device)

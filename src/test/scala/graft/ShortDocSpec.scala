@@ -668,6 +668,66 @@ class ShortDocSpec extends SparkSpec {
       "a single-source corpus has no source pairs")
   }
 
+  test("q329 chunk novelty: hand-pinned curves on the one-chunk " +
+      "fixture; replays from a MessageDigest Scala chunker with " +
+      "explicit ntile arithmetic on the shared corpus") {
+    // the q318/q319 fixture: s0 docs {1,2} both text T → decile 1
+    // contributes the ONE distinct chunk, decile 2 contributes nothing;
+    // s1 docs {3,4,5} each bring a new chunk → novelty 1/1/1
+    val d = "/tmp/graft_chunkdedup"
+    val nv = SparkEntry.queries("q329_chunk_novelty")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getDouble(5)))
+    assert(nv.filter(_._1 == "s0").toSeq ===
+      Seq(("s0", 1L, 1L, 1.0), ("s0", 2L, 0L, 1.0)),
+      nv.filter(_._1 == "s0").toSeq.toString)
+    assert(nv.filter(_._1 == "s1").map(_._3).toSeq === Seq(1L, 1L, 1L))
+    assert(nv.filter(_._1 == "s1").map(_._4).toSeq ===
+      Seq(0.333333, 0.666667, 1.0))
+
+    // replay on the shared corpus: Scala chunker + explicit ntile
+    // bucket arithmetic (first n%10 buckets get ⌈n/10⌉ docs)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .filter(t => t._1 != null && t._3.nonEmpty)
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val chunks = docs.flatMap { case (src, id, t) =>
+      (0 until t.length by 150).map(cs =>
+        (src, id, md5hex(t.slice(cs, cs + 200))))
+    }
+    val got = SparkEntry.queries("q329_chunk_novelty")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for ((src, g) <- chunks.groupBy(_._1)) {
+      val ids = g.map(_._2).distinct.sorted
+      val n = ids.length
+      val k = math.min(10, n)
+      val base = n / 10; val extra = n % 10
+      val decOf = ids.zipWithIndex.map { case (id, i) =>
+        // ntile(10): first `extra` buckets hold base+1 rows
+        val dec =
+          if (i < extra * (base + 1)) i / (base + 1) + 1
+          else (i - extra * (base + 1)) / math.max(base, 1) + extra + 1
+        id -> dec.toLong
+      }.toMap
+      val fdoc = g.groupBy(_._3).map(_._2.map(_._2).min)
+      val newPer = fdoc.toSeq.groupBy(decOf).map { case (dc, xs) =>
+        dc -> xs.length.toLong }
+      var cum = 0L
+      for (dc <- 1L to k.toLong) {
+        val (nd, nc, cm) = got((src, dc))
+        cum += newPer.getOrElse(dc, 0L)
+        assert(nc === newPer.getOrElse(dc, 0L), s"$src d$dc new")
+        assert(cm === cum, s"$src d$dc cum")
+        assert(nd === ids.count(id => decOf(id) == dc).toLong)
+      }
+    }
+  }
+
   test("q314 degenerate: a single-source single-language corpus has " +
       "chi2 exactly 0 and NULL V (min margin df = 0)") {
     // the shared fixture: one source 'unit', one lang 'en' → both
