@@ -2523,7 +2523,9 @@ object Dedup {
     * documents that exact text stands for — the numbers a curation
     * decision actually reads. Chunk ids encode provenance arithmetically:
     * uid = doc_id·2²⁰ + chunk_id (chunk_id < 2²⁰ ⇔ docs < 157 MB at the
-    * 150 stride — stated bound), split back in the output.
+    * 150 stride — the bound is ENFORCED by a raise_error guard on the
+    * chunk index (r17 ADVICE: an over-long doc fails loudly instead of
+    * silently mis-attributing provenance)), split back in the output.
     *
     * Exactness: q32's verbatim hashing layout (4 md5/shingle sliced into
     * 15 of 16 32-bit components, B=5 × r=3), exact word-3-gram Jaccard
@@ -2610,7 +2612,14 @@ object Dedup {
         explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
           lit(150L))).as("cs"))
       .select(
-        (col("doc_id") * 1048576L + expr("cs div 150")).as("uid"),
+        // loud guard (r17 ADVICE): the 2²⁰ chunk-id packing holds only
+        // for docs < ~157 MB at the 150 stride — an over-long doc must
+        // FAIL, not silently corrupt provenance ids downstream
+        (col("doc_id") * 1048576L
+          + when(expr("cs div 150 < 1048576"), expr("cs div 150"))
+            .otherwise(expr("raise_error(concat('q319: document ', " +
+              "CAST(doc_id AS STRING), ' exceeds the 2^20-chunk " +
+              "(~157 MB) uid-packing bound'))").cast("long"))).as("uid"),
         col("doc_id").as("src_doc"),
         expr("substring(text, CAST(cs + 1 AS INT), 200)").as("text"))
     // the flood-mitigation pre-collapse, with provenance counts: one

@@ -2227,6 +2227,12 @@ object Similarity {
     val hist = need.groupBy(col("rn")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = hist.values.sum.toDouble
+    // r17 ADVICE: < 2 vectors ⇒ no exact-1-NN pairs ⇒ every ladder
+    // entry would be 0/0 = NaN and the find() would silently fall back
+    // to nprobe = k — fail loudly instead
+    require(total > 0,
+      "annCalibrate: validation slice has no 1-NN pairs (fewer than 2 " +
+        "vectors) — cannot calibrate a recall ladder")
     var cum = 0L
     val ladder = (1 to k).map { np =>
       cum += hist.getOrElse(np, 0L)

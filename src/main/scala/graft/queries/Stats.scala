@@ -10729,8 +10729,15 @@ object Stats {
     * sharp-but-biased; this is the panel that tells them apart.
     *
     * Exactness: q174's construction verbatim through the decile table
-    * (integer micro-rate forecasts pµ). The TOTAL Brier numerator is
-    * pure int64: Σ_k (n_k·pµ² − 2·10⁶·pµ·x2 + 10¹²·x2), ONE divide.
+    * (integer micro-rate forecasts pµ). The TOTAL Brier rides the same
+    * pre-normalized quantized chain as REL/RES (r17, closing the r16
+    * ADVICE envelope): each decile's numerator n_k·pµ² − 2·10⁶·pµ·x2
+    * + 10¹²·x2 (= Σ_users (pµ − 10⁶y)² ≥ 0) is computed as a
+    * fixed-order DOUBLE product chain — the raw int64 form crossed 2⁶³
+    * near 4.6M users, the §5.7 pre-normalization rule's own audit
+    * class — divided by 10¹²·nn INSIDE the DECIMAL(18,9) quantization
+    * so each summand is ≤ n_k/nn ≤ 1 at ANY corpus size (cancellation
+    * error of the chain ≈ 10⁻¹⁶·n/nn, far under the 10⁻⁹ quantum).
     * REL and RES terms clear to int64 differences (d = n·pµ − 10⁶·x2;
     * d₂ = N·x2 − n·X2), squared PER-FACTOR in doubles (the n⁴
     * discipline — d² would pass int64 at ×100) with each decile's term
@@ -10783,8 +10790,12 @@ object Stats {
       |),
       |terms AS (
       |  SELECT nn, xx,
-      |    CAST(sum(n * pmu * pmu - 2 * 1000000 * pmu * x2
-      |      + 1000000000000 * x2) AS BIGINT) AS bnum,
+      |    CAST(sum(CAST(
+      |      (CAST(n AS DOUBLE) * CAST(pmu AS DOUBLE) * CAST(pmu AS DOUBLE)
+      |        - 2000000.0 * CAST(pmu AS DOUBLE) * CAST(x2 AS DOUBLE)
+      |        + 1000000000000.0 * CAST(x2 AS DOUBLE))
+      |        / 1000000000000.0 / CAST(nn AS DOUBLE)
+      |      AS DECIMAL(18,9))) AS DOUBLE) AS bq,
       |    CAST(sum(CAST(
       |      CAST(n * pmu - 1000000 * x2 AS DOUBLE)
       |        * CAST(n * pmu - 1000000 * x2 AS DOUBLE)
@@ -10800,8 +10811,7 @@ object Stats {
       |  FROM p GROUP BY nn, xx
       |)
       |SELECT nn AS n_users, xx AS n_positive,
-      |  round(CAST(bnum AS DOUBLE) / 1000000000000.0
-      |    / CAST(nn AS DOUBLE), 6) AS brier,
+      |  round(bq, 6) AS brier,
       |  round(rel, 6) AS reliability,
       |  round(res, 6) AS resolution,
       |  round(CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
@@ -10838,8 +10848,16 @@ object Stats {
         sum(col("x2")).over(Window.partitionBy()).cast("long"))
     val terms = p.groupBy(col("nn"), col("xx"))
       .agg(
-        sum(expr("""n * pmu * pmu - 2 * 1000000 * pmu * x2
-          |  + 1000000000000 * x2""".stripMargin)).cast("long").as("bnum"),
+        // per-decile Brier numerator pre-normalized ≤ 1 inside the
+        // quantization (the raw int64 sum crossed 2⁶³ near 4.6M users —
+        // the §5.7 audit class, r17); fixed-order double chain, exact
+        // cancellation bounded ~1e-16·n/nn per term
+        sum(expr("""CAST(
+          |  (CAST(n AS DOUBLE) * CAST(pmu AS DOUBLE) * CAST(pmu AS DOUBLE)
+          |    - 2000000.0 * CAST(pmu AS DOUBLE) * CAST(x2 AS DOUBLE)
+          |    + 1000000000000.0 * CAST(x2 AS DOUBLE))
+          |    / 1000000000000.0 / CAST(nn AS DOUBLE)
+          |  AS DECIMAL(18,9))""".stripMargin)).cast("double").as("bq"),
         // each quantized term is PRE-normalized by nn (rel) / nn³ (res)
         // so it stays ≤ 1 at ANY corpus size — the raw d²/n form
         // overflowed DECIMAL(18,9)'s 10⁹ integer headroom the moment
@@ -10859,8 +10877,7 @@ object Stats {
           |  AS DECIMAL(18,9))""".stripMargin)).cast("double")
           .as("res"))
     terms.select(col("nn").as("n_users"), col("xx").as("n_positive"),
-        round(expr("""CAST(bnum AS DOUBLE) / 1000000000000.0
-          |  / CAST(nn AS DOUBLE)""".stripMargin), 6).as("brier"),
+        round(col("bq"), 6).as("brier"),
         round(col("rel"), 6).as("reliability"),
         round(col("res"), 6).as("resolution"),
         round(expr("""CAST(xx AS DOUBLE) * CAST(nn - xx AS DOUBLE)
@@ -10882,7 +10899,14 @@ object Stats {
     * device with k_j = ⌈j·n/10⌉ read off covering runs — the nine
     * deciles come from ONE run table crossed with a 9-row literal grid
     * (no re-scan per decile); the ratio is ratio6 with a zero-cent
-    * early-decile NULL guard (nullif). A type missing from one half
+    * early-decile NULL guard (nullif). PRECONDITION (the q307/q247
+    * discipline, r17 ADVICE): qq_ratio assumes NON-NEGATIVE decile
+    * cents — ratio6's Spark `div` truncates toward zero while DuckDB's
+    * `//` floors, so a value distribution with negative cents in its
+    * lower deciles would round differently cross-engine (the §5.7 div
+    * row); the fixture's `value` is non-negative, and a signed corpus
+    * must route the ratio through the pmod floor idiom first. A type
+    * missing from one half
     * drops its rows (inner join on type across halves — stated).
     *
     * Plan: one scan + midpoint probe, one (type, half, cents) run
