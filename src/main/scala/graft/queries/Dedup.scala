@@ -2819,10 +2819,17 @@ object Dedup {
     * cumulative share via ratio6. Sources with < 10 docs get short
     * curves (ntile semantics, identical both engines — stated).
     *
-    * Plan: explode → one (source, hash) min/any aggregate → a
-    * docs-per-source-bounded ntile window → one (source, decile)
-    * count + a 10-row-per-source cumulative window. Nothing
-    * chunk-proportional after the first aggregate.
+    * Plan: explode → one (source, hash) min/any aggregate → the decile
+    * assignment — which is NOT a window at scale (r17, the round-16
+    * verdict's finding: docs-per-source is corpus-PROPORTIONAL, not a
+    * constant, so `ntile OVER (PARTITION BY source)` sorts a billion
+    * docs of one source in one task): over the DISTINCT doc_id order,
+    * ntile is a closed-form rank bucket, and the rank rides the house
+    * two-level 4096-bin device ([[graft.queries.Stats.partitionedNtile]],
+    * bit-identical tiles, plain window below the measured 2M-row
+    * dispatch) → one (source, decile) count + a 10-row-per-source
+    * cumulative window. Nothing chunk- or doc-proportional in any
+    * single task after the first aggregate.
     */
   val q329ChunkNovelty = Q(
     "q329_chunk_novelty",
@@ -2878,10 +2885,10 @@ object Dedup {
       .localCheckpoint() // 2 consumers: first-occurrence and doc deciles
     val fo = ch.groupBy(col("source").as("f_source"), col("h"))
       .agg(min(col("doc_id")).cast("long").as("fdoc"))
-    val docs = ch.select(col("source"), col("doc_id")).distinct()
-      .select(col("source"), col("doc_id"),
-        ntile(10).over(Window.partitionBy(col("source"))
-          .orderBy(col("doc_id"))).cast("long").as("decile"))
+    val docs = Stats.partitionedNtile(
+        ch.select(col("source"), col("doc_id")).distinct(),
+        "source", "doc_id", 10)
+      .withColumnRenamed("tile", "decile")
     val per = docs.join(fo,
         col("f_source") === col("source") && col("fdoc") === col("doc_id"),
         "left")

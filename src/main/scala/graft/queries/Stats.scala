@@ -62,21 +62,40 @@ object Stats {
   private val TypeGapsParThreshold = 2000000L
 
   private[graft] def typeGapsPar(
-      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    typeGapsCarry(e, Nil)
+
+  /** [[typeGapsPar]] generalized with START-ROW carry columns (r17, the
+    * q151/q152 rewrites): each output gap row additionally carries the
+    * named columns of the gap's EARLIER endpoint — q152 needs the gap's
+    * start timestamp for its argmax, q151 the start sample's value for
+    * the time-weighted area vc·Δ. Carry names must exist in `e` and not
+    * collide with (event_type, gp). Small path attributes via lead()
+    * (start-row frame); large path reads them off the self-join's
+    * previous-row side — same rows, same device, both ends measured.
+    */
+  private[graft] def typeGapsCarry(
+      e: org.apache.spark.sql.DataFrame,
+      carry: Seq[String],
+      // overridable ONLY so the suite can force each path on fixture-
+      // sized data and assert bit-equality; production callers use the
+      // measured default
+      threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
     val mm = e.agg(min(col("us")), max(col("us")), count(lit(1)))
       .head // 3-scalar probe (bounds + the dispatch row count)
     if (mm.isNullAt(0)) {
       e.sparkSession.emptyDataFrame
-        .selectExpr("CAST(NULL AS STRING) AS event_type",
-          "CAST(NULL AS BIGINT) AS gp")
+        .selectExpr(Seq("CAST(NULL AS STRING) AS event_type")
+          ++ carry.map(c => s"CAST(NULL AS BIGINT) AS $c")
+          ++ Seq("CAST(NULL AS BIGINT) AS gp"): _*)
         .limit(0)
-    } else if (mm.getLong(2) < TypeGapsParThreshold) {
-      // small-corpus path: the lag window (identical gaps, no fixed
+    } else if (mm.getLong(2) < threshold) {
+      // small-corpus path: one lead window (identical gaps, no fixed
       // costs; the type-sized-partition ceiling needs ≳10⁷ rows to bite)
-      e.select(col("event_type"),
-          (col("us") - lag(col("us"), 1).over(
+      e.select(col("event_type") +: carry.map(col) :+
+          (lead(col("us"), 1).over(
             Window.partitionBy(col("event_type"))
-              .orderBy(col("us"), col("event_id")))).as("gp"))
+              .orderBy(col("us"), col("event_id"))) - col("us")).as("gp"): _*)
         .filter(col("gp").isNotNull)
     } else {
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -99,18 +118,87 @@ object Stats {
         .join(broadcast(binBefore),
           col("event_type") === col("b_type")
             && col("bin") === col("b_bin"))
-        .select(col("event_type"), col("us"),
-          (col("before") + col("inb")).as("i"))
+        .select(col("event_type") +: col("us") +: carry.map(col) :+
+          (col("before") + col("inb")).as("i"): _*)
         // pinned: BOTH self-join sides consume the ranked frame — unpinned,
         // the rank shuffle runs twice (measured +3 s on q257 at ×100);
         // the upstream binned frame stays UNpinned (two cheap scans beat
         // a 10M-row serialization, the §5.7 q32 lesson)
         .localCheckpoint()
       ranked
-        .join(ranked.select(col("event_type").as("p_type"),
-            col("us").as("p_us"), (col("i") + 1L).as("p_i")),
+        // carry columns rename through a c_ prefix (p_ is taken by the
+        // join-side us/i — carrying "us" itself must not collide)
+        .join(ranked.select(col("event_type").as("p_type") +:
+            col("us").as("p_us") +:
+            carry.map(c => col(c).as(s"c_$c")) :+
+            (col("i") + 1L).as("p_i"): _*),
           col("event_type") === col("p_type") && col("i") === col("p_i"))
-        .select(col("event_type"), (col("us") - col("p_us")).as("gp"))
+        .select(col("event_type") +:
+          carry.map(c => col(s"c_$c").as(c)) :+
+          (col("us") - col("p_us")).as("gp"): _*)
+    }
+  }
+
+  /** SCALE-PARALLEL NTILE over a low-cardinality partition key (r17, the
+    * q329 rewrite — the round-16 verdict's fourth serialized-window
+    * site): `ntile(k) OVER (PARTITION BY part ORDER BY ord)` sorts each
+    * partition's entire frame in ONE task when `part` is low-cardinality
+    * and the frame row-proportional (10⁹ docs of one source in one
+    * sort). Over rows whose `ord` is UNIQUE within its partition, ntile
+    * is a closed-form function of (rank, n): with q = n div k,
+    * r = n mod k, the first r tiles take q+1 rows — so the rank from
+    * the house two-level 4096-bin device (bin by ord range, per-(part,
+    * bin) counts → cross-bin prefix over the ≤4096-row bin frame,
+    * in-bin row_number over thousands of tasks) plus two integer
+    * divides IS the tile, bit-identical to the window's assignment.
+    * Below [[TypeGapsParThreshold]] rows the plain window runs (same
+    * dispatch economics as typeGapsPar — both ends measured there).
+    * Output: the input columns plus `tile` (1-based, long).
+    */
+  private[graft] def partitionedNtile(
+      df: org.apache.spark.sql.DataFrame,
+      part: String, ord: String, k: Int,
+      // overridable ONLY for the suite's forced-path equality net
+      threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
+    val mm = df.agg(min(col(ord)), max(col(ord)), count(lit(1))).head
+    if (mm.isNullAt(0) || mm.getLong(2) < threshold) {
+      df.withColumn("tile", ntile(k).over(
+        Window.partitionBy(col(part)).orderBy(col(ord))).cast("long"))
+    } else {
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val bw = (hi - lo) / 4096 + 1
+      val binned = df.withColumn("bin", expr(s"($ord - ${lo}L) div ${bw}L"))
+      val binCounts = binned.groupBy(col(part), col("bin"))
+        .agg(count(lit(1)).cast("long").as("bc"))
+      val binBefore = binCounts
+        .select(col(part).as("b_part"), col("bin").as("b_bin"),
+          coalesce(
+            sum(col("bc")).over(Window.partitionBy(col(part))
+              .orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("before"))
+      val totals = binCounts.groupBy(col(part))
+        .agg(sum(col("bc")).cast("long").as("nd"))
+        .select(col(part).as("t_part"), col("nd"))
+      binned
+        .withColumn("inb", row_number().over(
+          Window.partitionBy(col(part), col("bin"))
+            .orderBy(col(ord))).cast("long"))
+        .join(broadcast(binBefore),
+          col(part) === col("b_part") && col("bin") === col("b_bin"))
+        .join(broadcast(totals), col(part) === col("t_part"))
+        .withColumn("i", col("before") + col("inb"))
+        // the ntile closed form: first (nd mod k) tiles hold (nd div k)+1
+        // rows each, the rest (nd div k) — nd < k degenerates to tile = i
+        // (q = 0 ⇒ every row is its own tile, the window's semantics)
+        .withColumn("tile", expr(
+          s"""CASE WHEN nd % $k = 0 THEN (i - 1) div (nd div $k) + 1
+             |  WHEN i <= (nd % $k) * (nd div $k + 1)
+             |    THEN (i - 1) div (nd div $k + 1) + 1
+             |  ELSE nd % $k
+             |    + (i - (nd % $k) * (nd div $k + 1) - 1) div (nd div $k)
+             |    + 1 END""".stripMargin).cast("long"))
+        .drop("bin", "b_part", "b_bin", "before", "inb", "t_part", "nd", "i")
     }
   }
 

@@ -236,14 +236,22 @@ class EdgeEventsSpec extends SparkSpec {
       (1L, ns(0), 1L, "sig", 10.0, "{}"),
       (2L, ns(10), 1L, "sig", 20.0, "{}"),
       (3L, ns(40), 1L, "sig", 99.0, "{}"),
+      // single-sample type: no gap exists — q151 reports (n=1, NULL
+      // span, NULL twa); q152 emits NO row (the oracle's inner-join
+      // semantics, matched exactly by the r17 rewrite — the old window
+      // plan emitted a NULL row the oracle dropped)
+      (4L, ns(5), 2L, "solo", 42.0, "{}"),
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
     val twa = SparkEntry.queries("q151_time_weighted_avg")(spark, d).collect()
-    assert(twa.length === 1)
-    assert((twa.head.getLong(1), twa.head.getLong(2),
-      twa.head.getDouble(3)) === ((3L, 40L * 60 * 1000000, 1750.0)))
+    assert(twa.length === 2)
+    val sig = twa.find(_.getString(0) == "sig").get
+    assert((sig.getLong(1), sig.getLong(2),
+      sig.getDouble(3)) === ((3L, 40L * 60 * 1000000, 1750.0)))
+    val solo = twa.find(_.getString(0) == "solo").get
+    assert(solo.getLong(1) === 1L && solo.isNullAt(2) && solo.isNullAt(3))
     val sil = SparkEntry.queries("q152_max_silence")(spark, d).collect()
-    assert(sil.length === 1)
+    assert(sil.length === 1 && sil.head.getString(0) === "sig")
     // the longest silence is the 30-minute gap starting at 08:10
     assert((sil.head.getLong(1), sil.head.getLong(2),
       sil.head.getTimestamp(3).toInstant.toString) ===

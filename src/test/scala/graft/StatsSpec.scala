@@ -4520,4 +4520,60 @@ class StatsSpec extends SparkSpec {
         s"$t with an empty half must drop")
     }
   }
+
+  test("typeGapsCarry: the forced two-level path equals the forced " +
+      "window path row for row, carry columns included (the r17 " +
+      "dispatch-equality net — production only ever switches plans, " +
+      "never answers)") {
+    val e = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
+    def dump(threshold: Long) =
+      Stats.typeGapsCarry(e, Seq("vc"), threshold).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val win = dump(Long.MaxValue) // always the lead window
+    val par = dump(0L)            // always the two-level self-join
+    assert(win.nonEmpty && win === par,
+      s"paths diverge: window ${win.length} rows vs parallel ${par.length}")
+    // and the no-carry wrapper agrees with itself across paths too
+    def gaps(threshold: Long) =
+      Stats.typeGapsCarry(e, Nil, threshold).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(gaps(Long.MaxValue) === gaps(0L))
+  }
+
+  test("partitionedNtile: the closed-form rank bucket equals ntile() " +
+      "exactly on every (source, doc_id), including a short source " +
+      "(n < k, each row its own tile)") {
+    val docs = Tables.documentsWide(spark, sf)
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), col("doc_id")).distinct()
+    def dump(threshold: Long) =
+      Stats.partitionedNtile(docs, "source", "doc_id", 10, threshold)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val win = dump(Long.MaxValue)
+    val par = dump(0L)
+    assert(win.nonEmpty && win === par)
+    // short-source edge: 7 docs into 10 tiles → tiles 1..7, one doc each
+    import spark.implicits._
+    val short = (1 to 7).map(i => ("s", i.toLong * 100))
+      .toDF("source", "doc_id")
+    val t = Stats.partitionedNtile(short, "source", "doc_id", 10, 0L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(t === (1 to 7).map(i => i.toLong * 100 -> i.toLong).toMap)
+    // and a 23-into-10 split: first 3 tiles take 3 rows, the rest 2 —
+    // the closed form must reproduce the window's exact boundaries
+    val s23 = (1 to 23).map(i => ("s", i.toLong)).toDF("source", "doc_id")
+    val t23f = Stats.partitionedNtile(s23, "source", "doc_id", 10, 0L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val t23w = Stats.partitionedNtile(s23, "source", "doc_id", 10,
+        Long.MaxValue)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(t23f === t23w)
+    assert(t23f(1L) === 1L && t23f(3L) === 1L && t23f(4L) === 2L
+      && t23f(9L) === 3L && t23f(10L) === 4L && t23f(23L) === 10L)
+  }
 }

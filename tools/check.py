@@ -86,8 +86,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Tool genscale/genskew
+        # corpora are Spark-written DIRECTORIES — glob those
+        src = f"{sf_dir}/{t}.parquet"
+        if Path(src).is_dir():
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     n_pass = n_fail = 0
     for name in sorted(oracle):
