@@ -1147,10 +1147,11 @@ object Analytic {
     *
     * Plan: the q75 shape — every stage table is user-count-sized and
     * keyed on user_id (one partitioning reused), the event scan is
-    * type-filter-pushed per stage. The final rank windows partition by
-    * STAGE over converting-user-sized rows: bounded by funnel yield, the
-    * same order-statistic-over-small-population trade q90's quartiles
-    * make; an unconverted-heavy corpus shrinks it further.
+    * type-filter-pushed per stage. The final ranks ride
+    * [[graft.queries.Stats.rankPar]] partitioned by stage (r17: funnel
+    * yield is conversion-PROPORTIONAL, so the old 3-partition window
+    * was the low-cardinality serialization class — above the measured
+    * dispatch the rank is two-level and no stage sorts in one task).
     */
   val q137FunnelLatency = Q(
     "q137_funnel_latency",
@@ -1222,10 +1223,14 @@ object Analytic {
     val lat = hop("view_click", v0, "t0", c1, "t1")
       .unionAll(hop("click_purchase", c1, "t1", p2, "t2"))
       .unionAll(hop("view_purchase", v0, "t0", p2, "t2"))
-    val byStage = Window.partitionBy(col("stage"))
-    val r = lat.select(col("stage"), col("lat_us"),
-      row_number().over(byStage.orderBy(col("lat_us"))).as("rn"),
-      count(lit(1)).over(byStage).as("n"))
+    // r17: scale-parallel per-stage rank (the stage partitions are 3-way
+    // with conversion-proportional frames — the low-cardinality window
+    // class; ties inside one lat value are rank-permutations of equal
+    // values, so the picked order statistic is unchanged)
+    val r = Stats.rankPar(lat.localCheckpoint(), "lat_us", desc = false,
+      Nil, Seq("stage"))
+      .select(col("stage"), col("lat_us"), col("i").as("rn"),
+        col("nd").as("n"))
     r.crossJoin(broadcast(
         s.range(1).select(explode(lit(Array(500000L, 900000L))).as("qm"))))
       .filter(col("rn") === expr("(n * qm + 999999) div 1000000"))
@@ -1834,10 +1839,20 @@ object Analytic {
     val sdf = u.crossJoin(broadcast(mx))
       .select(col("user_id"), col("f"), col("m"),
         expr("(mx_us - last_us) div 86400000000").as("r_days"))
-    val ddf = sdf.select(col("user_id"), col("r_days"), col("f"), col("m"),
-      ntile(5).over(Window.orderBy(col("r_days"), col("user_id"))).as("rq"),
-      ntile(5).over(Window.orderBy(col("f").desc, col("user_id"))).as("fq"),
-      ntile(5).over(Window.orderBy(col("m").desc, col("user_id"))).as("mq"))
+    // r17: three scale-parallel closed-form ntiles (each global
+    // Window.orderBy sorted every user in one task — the serialization
+    // class the r16 partitionBy grep could not see)
+    val quint = Seq(("r_days", false, "rq"), ("f", true, "fq"),
+      ("m", true, "mq"))
+    // pinned: three ntilePar calls each carry a dispatch-probe action —
+    // unpinned, the events scan + user aggregate would run 4x (§5.7)
+    val ddf = quint.foldLeft(
+        sdf.select(col("user_id"), col("r_days"), col("f"), col("m"))
+          .localCheckpoint()) {
+      case (acc, (key, desc, as)) =>
+        Stats.ntilePar(acc, 5, key, desc, Seq("user_id"))
+          .withColumnRenamed("tile", as)
+    }
     ddf.groupBy(col("rq"), col("fq"), col("mq"))
       .agg(count(lit(1)).as("n_users"),
         min(col("r_days")).cast("long").as("min_r_days"),

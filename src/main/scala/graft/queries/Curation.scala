@@ -820,11 +820,15 @@ object Curation {
     val docs = Tables.documents(s, d)
       .filter(col("n_chars").isNotNull)
       .select(col("doc_id"), col("source"), col("n_chars").as("score"))
-    val rk = docs.select(col("doc_id"), col("source"), col("score"),
-      row_number().over(Window.partitionBy(col("source"))
-        .orderBy(col("score"), col("doc_id"))).as("r"),
-      count(lit(1)).over(Window.partitionBy(col("source"))).as("ng"),
-      count(lit(1)).over(Window.partitionBy()).as("n"))
+    // r17: per-source rank via the scale-parallel two-level device
+    // (sources are low-cardinality with doc-proportional frames — the
+    // serialized-window class) and the global doc count as a broadcast
+    // 1-row aggregate instead of an all-to-one count window
+    val rk = graft.queries.Stats.rankPar(docs, "score", desc = false,
+        Seq("doc_id"), Seq("source"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(col("doc_id"), col("source"), col("score"),
+        col("i").as("r"), col("nd").as("ng"), col("n"))
     val cum = docs.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
       .select(col("score").as("pscore"), col("cnt"),
         (sum(col("cnt")).over(Window.orderBy(col("score"))
@@ -894,9 +898,13 @@ object Curation {
         size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
       .withColumn("quality_micro", expr("(nd * 1000000) div nt"))
     val b = t.agg(expr("sum(nt) div 10").as("budget"))
-    val w = Window.orderBy(col("quality_micro").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    t.withColumn("cum_tokens", sum(col("nt")).over(w))
+    // r17: the greedy prefix rides the scale-parallel two-level running
+    // sum (the global Window.orderBy summed every doc in one task)
+    graft.queries.Stats.prefixSumPar(
+        t.localCheckpoint(), // probe + main action (§5.7 pin rule)
+        "quality_micro", desc = true,
+        Seq("doc_id"), Seq("nt"))
+      .withColumnRenamed("cum_nt", "cum_tokens")
       .crossJoin(broadcast(b))
       .filter(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("nt").as("n_tokens"),

@@ -139,66 +139,167 @@ object Stats {
     }
   }
 
-  /** SCALE-PARALLEL NTILE over a low-cardinality partition key (r17, the
-    * q329 rewrite — the round-16 verdict's fourth serialized-window
-    * site): `ntile(k) OVER (PARTITION BY part ORDER BY ord)` sorts each
-    * partition's entire frame in ONE task when `part` is low-cardinality
-    * and the frame row-proportional (10⁹ docs of one source in one
-    * sort). Over rows whose `ord` is UNIQUE within its partition, ntile
-    * is a closed-form function of (rank, n): with q = n div k,
-    * r = n mod k, the first r tiles take q+1 rows — so the rank from
-    * the house two-level 4096-bin device (bin by ord range, per-(part,
-    * bin) counts → cross-bin prefix over the ≤4096-row bin frame,
-    * in-bin row_number over thousands of tasks) plus two integer
-    * divides IS the tile, bit-identical to the window's assignment.
-    * Below [[TypeGapsParThreshold]] rows the plain window runs (same
-    * dispatch economics as typeGapsPar — both ends measured there).
-    * Output: the input columns plus `tile` (1-based, long).
+  /** SCALE-PARALLEL RANK over an int64 sort key — the general form of
+    * the two-level 4096-bin device (r17, generalizing typeGapsPar's rank
+    * stage): `row_number() OVER ([PARTITION BY part] ORDER BY key
+    * [DESC], tie...)` sorts the whole frame (or a low-cardinality
+    * partition's whole frame) in ONE task when the frame is
+    * corpus-proportional — the round-16 ×100 lesson, and the shape of
+    * every global ntile/rank the r16 sweep's `Window.partitionBy` grep
+    * could not see (partitionless `Window.orderBy` sites: deciles over
+    * USERS, ranks over DOCS). The rewrite: bin by key range (DESC keys
+    * bin on hi − key so bin order follows sort order), per-(part, bin)
+    * counts roll into a cross-bin exclusive prefix over the ≤4096-row
+    * bin frame, in-bin row_number partitions by (part, bin) — thousands
+    * of tasks — and rank = prefix + in-bin position. Same total order
+    * (ties inside one key value land in one bin and follow `tie`), so
+    * ranks are bit-identical to the window's. Below the measured
+    * [[TypeGapsParThreshold]] the plain window runs (both ends of that
+    * dispatch measured at the gap-family rewrite).
+    *
+    * Output: the input columns plus `i` (1-based rank, long) and `nd`
+    * (partition row count, long — the ntile/percentile denominator).
     */
-  private[graft] def partitionedNtile(
+  private[graft] def rankPar(
       df: org.apache.spark.sql.DataFrame,
-      part: String, ord: String, k: Int,
+      key: String, desc: Boolean, tie: Seq[String],
+      part: Seq[String] = Nil,
       // overridable ONLY for the suite's forced-path equality net
       threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
-    val mm = df.agg(min(col(ord)), max(col(ord)), count(lit(1))).head
+    val mm = df.agg(min(col(key)), max(col(key)), count(lit(1))).head
+    val ordCols = (if (desc) col(key).desc else col(key).asc) +:
+      tie.map(col)
     if (mm.isNullAt(0) || mm.getLong(2) < threshold) {
-      df.withColumn("tile", ntile(k).over(
-        Window.partitionBy(col(part)).orderBy(col(ord))).cast("long"))
+      val w = Window.partitionBy(part.map(col): _*)
+      df.withColumn("i",
+          row_number().over(w.orderBy(ordCols: _*)).cast("long"))
+        .withColumn("nd", count(lit(1)).over(w).cast("long"))
     } else {
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val bw = (hi - lo) / 4096 + 1
-      val binned = df.withColumn("bin", expr(s"($ord - ${lo}L) div ${bw}L"))
-      val binCounts = binned.groupBy(col(part), col("bin"))
+      val binned = df.withColumn("bin",
+        if (desc) expr(s"(${hi}L - $key) div ${bw}L")
+        else expr(s"($key - ${lo}L) div ${bw}L"))
+      val binCounts = binned.groupBy((part :+ "bin").map(col): _*)
         .agg(count(lit(1)).cast("long").as("bc"))
       val binBefore = binCounts
-        .select(col(part).as("b_part"), col("bin").as("b_bin"),
-          coalesce(
-            sum(col("bc")).over(Window.partitionBy(col(part))
+        .select(part.map(c => col(c).as(s"b_$c"))
+          :+ col("bin").as("b_bin")
+          :+ coalesce(
+            sum(col("bc")).over(Window.partitionBy(part.map(col): _*)
               .orderBy(col("bin"))
               .rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)).as("before"))
-      val totals = binCounts.groupBy(col(part))
-        .agg(sum(col("bc")).cast("long").as("nd"))
-        .select(col(part).as("t_part"), col("nd"))
-      binned
+            lit(0L)).as("before"): _*)
+      val totals =
+        if (part.isEmpty)
+          binCounts.agg(sum(col("bc")).cast("long").as("nd"))
+        else binCounts.groupBy(part.map(col): _*)
+          .agg(sum(col("bc")).cast("long").as("nd"))
+          .select(part.map(c => col(c).as(s"t_$c")) :+ col("nd"): _*)
+      val ranked = binned
         .withColumn("inb", row_number().over(
-          Window.partitionBy(col(part), col("bin"))
-            .orderBy(col(ord))).cast("long"))
+          Window.partitionBy((part :+ "bin").map(col): _*)
+            .orderBy(ordCols: _*)).cast("long"))
         .join(broadcast(binBefore),
-          col(part) === col("b_part") && col("bin") === col("b_bin"))
-        .join(broadcast(totals), col(part) === col("t_part"))
+          part.map(c => col(c) === col(s"b_$c"))
+            .foldLeft(col("bin") === col("b_bin"))(_ && _))
+      val withN =
+        if (part.isEmpty) ranked.crossJoin(broadcast(totals))
+        else ranked.join(broadcast(totals),
+          part.map(c => col(c) === col(s"t_$c")).reduce(_ && _))
+      // stable output schema (input columns, i, nd) on BOTH paths —
+      // callers and the forced-path nets read positionally
+      withN
         .withColumn("i", col("before") + col("inb"))
-        // the ntile closed form: first (nd mod k) tiles hold (nd div k)+1
-        // rows each, the rest (nd div k) — nd < k degenerates to tile = i
-        // (q = 0 ⇒ every row is its own tile, the window's semantics)
-        .withColumn("tile", expr(
-          s"""CASE WHEN nd % $k = 0 THEN (i - 1) div (nd div $k) + 1
-             |  WHEN i <= (nd % $k) * (nd div $k + 1)
-             |    THEN (i - 1) div (nd div $k + 1) + 1
-             |  ELSE nd % $k
-             |    + (i - (nd % $k) * (nd div $k + 1) - 1) div (nd div $k)
-             |    + 1 END""".stripMargin).cast("long"))
-        .drop("bin", "b_part", "b_bin", "before", "inb", "t_part", "nd", "i")
+        .select(df.columns.map(col) :+ col("i") :+ col("nd"): _*)
+    }
+  }
+
+  /** SCALE-PARALLEL NTILE built on [[rankPar]]: over a deterministic
+    * total order, `ntile(k)` is a closed-form function of (rank, n) —
+    * with q = n div k, r = n mod k the first r tiles take q + 1 rows —
+    * so two integer divides replace the single-task sort, bit-identical
+    * to the window's assignment (n < k degenerates to tile = rank, the
+    * window's semantics). Output: the input columns plus `tile`
+    * (1-based, long).
+    */
+  private[graft] def ntilePar(
+      df: org.apache.spark.sql.DataFrame, k: Int,
+      key: String, desc: Boolean, tie: Seq[String],
+      part: Seq[String] = Nil,
+      threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame =
+    rankPar(df, key, desc, tie, part, threshold)
+      .withColumn("tile", expr(
+        s"""CASE WHEN nd % $k = 0 THEN (i - 1) div (nd div $k) + 1
+           |  WHEN i <= (nd % $k) * (nd div $k + 1)
+           |    THEN (i - 1) div (nd div $k + 1) + 1
+           |  ELSE nd % $k
+           |    + (i - (nd % $k) * (nd div $k + 1) - 1) div (nd div $k)
+           |    + 1 END""".stripMargin).cast("long"))
+      .drop("i", "nd")
+
+  /** [[rankPar]]'s wrapper for the q329 shape (single string partition
+    * column, unique ascending ord, no tiebreak) — kept as the named
+    * entry the scaladoc trail references. */
+  private[graft] def partitionedNtile(
+      df: org.apache.spark.sql.DataFrame,
+      part: String, ord: String, k: Int,
+      threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame =
+    ntilePar(df, k, ord, desc = false, Nil, Seq(part), threshold)
+
+  /** SCALE-PARALLEL RUNNING SUM over an int64 sort key — the prefix-sum
+    * member of the two-level family (r17; q133's inline collapsed-run
+    * form is the RANGE-frame variant): inclusive rows-frame cumulative
+    * sums of `values` under the deterministic ([key asc|desc] , tie...)
+    * total order, partitioned by `part` (empty = global — the q194/q195
+    * doc-proportional prefix shape the r16 sweep could not see). Bin
+    * partials → cross-bin exclusive prefix over the ≤4096-row bin frame
+    * → in-bin running sums; cum = prefix + in-bin. Bit-identical to the
+    * window (integer sums are associative). Adds `cum_<v>` per value
+    * column; plain window below the dispatch.
+    */
+  private[graft] def prefixSumPar(
+      df: org.apache.spark.sql.DataFrame,
+      key: String, desc: Boolean, tie: Seq[String],
+      values: Seq[String],
+      part: Seq[String] = Nil,
+      threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
+    val mm = df.agg(min(col(key)), max(col(key)), count(lit(1))).head
+    val ordCols = (if (desc) col(key).desc else col(key).asc) +:
+      tie.map(col)
+    if (mm.isNullAt(0) || mm.getLong(2) < threshold) {
+      val w = Window.partitionBy(part.map(col): _*).orderBy(ordCols: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      values.foldLeft(df)((acc, v) =>
+        acc.withColumn(s"cum_$v", sum(col(v)).over(w).cast("long")))
+    } else {
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val bw = (hi - lo) / 4096 + 1
+      val binned = df.withColumn("bin",
+        if (desc) expr(s"(${hi}L - $key) div ${bw}L")
+        else expr(s"($key - ${lo}L) div ${bw}L"))
+      val binSums = binned.groupBy((part :+ "bin").map(col): _*)
+        .agg(values.map(v => sum(col(v)).cast("long").as(s"bs_$v")).head,
+          values.map(v => sum(col(v)).cast("long").as(s"bs_$v")).tail: _*)
+      val binBefore = binSums
+        .select(part.map(c => col(c).as(s"b_$c"))
+          :+ col("bin").as("b_bin")
+          :++ values.map(v => coalesce(
+            sum(col(s"bs_$v")).over(Window.partitionBy(part.map(col): _*)
+              .orderBy(col("bin"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as(s"before_$v")): _*)
+      val inb = Window.partitionBy((part :+ "bin").map(col): _*)
+        .orderBy(ordCols: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      values.foldLeft(binned)((acc, v) =>
+          acc.withColumn(s"inb_$v", sum(col(v)).over(inb).cast("long")))
+        .join(broadcast(binBefore),
+          part.map(c => col(c) === col(s"b_$c"))
+            .foldLeft(col("bin") === col("b_bin"))(_ && _))
+        .select(df.columns.map(col)
+          ++ values.map(v =>
+            (col(s"before_$v") + col(s"inb_$v")).as(s"cum_$v")): _*)
     }
   }
 
@@ -691,10 +792,14 @@ object Stats {
     val sdf = Tables.events(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).as("score"),
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("np"))
-    val ddf = sdf.select(col("user_id"), col("score"),
-      when(col("np") >= 15, 1).otherwise(0).as("pos"),
-      ntile(10).over(
-        Window.orderBy(col("score").desc, col("user_id"))).as("decile"))
+    // decile via the scale-parallel closed-form ntile (r17 — the global
+    // Window.orderBy sorted every USER in one task, the serialization
+    // class the r16 partitionBy grep could not see)
+    val ddf = ntilePar(sdf.select(col("user_id"), col("score"),
+        when(col("np") >= 15, 1).otherwise(0).as("pos"))
+        .localCheckpoint(), // probe + main action (§5.7 pin rule)
+        10, "score", desc = true, Seq("user_id"))
+      .withColumnRenamed("tile", "decile")
     val g = ddf.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
     val t = g.agg(sum(col("n_users")).as("tu"), sum(col("n_pos")).as("tp"))
@@ -1131,10 +1236,13 @@ object Stats {
         sum(when(col("us") > col("mid")
           && col("event_type") === "purchase", 1).otherwise(0)).as("p2"))
       .filter(col("s1") > 0)
-    val ddf = h
-      .select(col("user_id"),
-        ntile(10).over(Window.orderBy(col("s1").desc, col("user_id")))
-          .as("decile"),
+      // pinned: the ntilePar dispatch probe is a SEPARATE action — without
+      // the pin the events scan + user aggregate runs twice (§5.7 pin rule)
+      .localCheckpoint()
+    // decile via the scale-parallel closed-form ntile (r17 — the global
+    // Window.orderBy sorted every user in one task)
+    val ddf = ntilePar(h, 10, "s1", desc = true, Seq("user_id"))
+      .select(col("user_id"), col("tile").as("decile"),
         when(col("p1") >= 8, 1).otherwise(0).as("c1"),
         when(col("p2") >= 8, 1).otherwise(0).as("y"))
     ddf.groupBy(col("decile"))
@@ -5823,10 +5931,10 @@ object Stats {
         sum(when(col("value").isNotNull,
           expr("CAST(round(100 * value) AS BIGINT)")).otherwise(0L))
           .cast("long").as("cents"))
-    val st = m
-      .select(col("arm"), col("cents"),
-        ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id")))
-          .as("stratum"))
+    // r17: scale-parallel closed-form ntile (was a global one-task sort)
+    val st = ntilePar(m.localCheckpoint(), 4, "n_events", desc = true,
+        Seq("user_id"))
+      .select(col("arm"), col("cents"), col("tile").as("stratum"))
       .groupBy(col("stratum"), col("arm"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("cents")).cast("long").as("sc"))
@@ -6056,11 +6164,10 @@ object Stats {
           && col("event_type") === "purchase", 1).otherwise(0))
           .cast("long").as("y"))
       .filter(col("s1") > 0)
-    val r = h.select(
-      row_number().over(Window.orderBy(col("s1").desc, col("user_id")))
-        .cast("long").as("rk"),
-      col("y"),
-      count(lit(1)).over(Window.partitionBy()).cast("long").as("n"))
+    // r17: scale-parallel rank (was a global one-task sort; the n count
+    // rides the same device's partition total, not an all-to-one window)
+    val r = rankPar(h.localCheckpoint(), "s1", desc = true, Seq("user_id"))
+      .select(col("i").as("rk"), col("y"), col("nd").as("n"))
     val sd = r
       .filter(col("rk") > expr("(n + 1) div 2 - n div 4")
         && col("rk") <= expr("(n + 1) div 2 + n div 4"))
@@ -6185,10 +6292,10 @@ object Stats {
             && col("event_type") === "purchase", 1).otherwise(0)) > 0, 1)
           .otherwise(0).as("conv"))
       .filter(col("s1") > 0)
-    val dd = h.select(
-      ntile(10).over(Window.orderBy(col("s1").desc, col("user_id")))
-        .as("decile"),
-      col("arm"), col("conv"))
+      .localCheckpoint() // probe + main action (§5.7 pin rule)
+    // r17: scale-parallel closed-form ntile (was a global one-task sort)
+    val dd = ntilePar(h, 10, "s1", desc = true, Seq("user_id"))
+      .select(col("tile").as("decile"), col("arm"), col("conv"))
     val cell = dd.groupBy(col("decile"))
       .agg(sum(when(col("arm") === 1, 1).otherwise(0)).cast("long")
           .as("nt"),
@@ -10919,11 +11026,12 @@ object Stats {
         sum(when(col("us") > col("mid")
           && col("event_type") === "purchase", 1).otherwise(0)).as("p2"))
       .filter(col("s1") > 0)
-    val ddf = h.select(col("user_id"),
-      ntile(10).over(Window.orderBy(col("s1").desc, col("user_id")))
-        .as("decile"),
-      when(col("p1") >= 8, 1).otherwise(0).as("c1"),
-      when(col("p2") >= 8, 1).otherwise(0).as("y"))
+      .localCheckpoint() // probe + main action (§5.7 pin rule)
+    // r17: scale-parallel closed-form ntile (was a global one-task sort)
+    val ddf = ntilePar(h, 10, "s1", desc = true, Seq("user_id"))
+      .select(col("user_id"), col("tile").as("decile"),
+        when(col("p1") >= 8, 1).otherwise(0).as("c1"),
+        when(col("p2") >= 8, 1).otherwise(0).as("y"))
     val g = ddf.groupBy(col("decile"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("c1")).cast("long").as("x1"),

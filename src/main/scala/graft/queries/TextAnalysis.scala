@@ -1016,14 +1016,16 @@ object TextAnalysis {
     val nt = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
     val fo = tok.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
       .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val pre = nt.join(fo, nt("doc_id") === fo("first_doc"), "left")
-      .select(nt("doc_id"), col("n_tok"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .select(col("doc_id"),
-        sum(col("n_tok")).over(w).as("t_d"),
-        sum(col("n_new")).over(w).as("v_d"))
+    // r17: both running sums ride the scale-parallel two-level prefix
+    // (the global Window.orderBy summed every doc in one task)
+    val pre = graft.queries.Stats.prefixSumPar(
+        nt.join(fo, nt("doc_id") === fo("first_doc"), "left")
+          .select(nt("doc_id"), col("n_tok"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+          .localCheckpoint(), // probe + main action (§5.7 pin rule)
+        "doc_id", desc = false, Nil, Seq("n_tok", "n_new"))
+      .select(col("doc_id"), col("cum_n_tok").as("t_d"),
+        col("cum_n_new").as("v_d"))
       .localCheckpoint() // 2 consumers: the fit sums and the totals
     val pts = pre.select(
       expr("CAST(ln(CAST(t_d AS DOUBLE)) AS FLOAT)").as("x"),

@@ -121,7 +121,8 @@ class MiningSpec extends SparkSpec {
 
   test("q169 RFM cells equal a driver-side ntile reimplementation") {
     val got = Analytic.q169RfmSegments.fn(spark, sf).collect()
-      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+      .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getLong(2).toInt),
         (r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
       .toMap
     val ev = Tables.events(spark, sf)
@@ -233,7 +234,7 @@ class MiningSpec extends SparkSpec {
       "the cell counts") {
     import queries.Stats
     val rows = Stats.q174CalibrationBrier.fn(spark, sf).collect()
-    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
     for (r <- rows) {
       val (n, x1, x2) = (r.getLong(1), r.getLong(2), r.getLong(3))
       val (pred, actual, brier) =
@@ -246,7 +247,7 @@ class MiningSpec extends SparkSpec {
         1000000000000L * x2
       val expect = BigDecimal(num.toDouble / 1e12 / n.toDouble)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(brier === expect, s"decile ${r.getInt(0)}")
+      assert(brier === expect, s"decile ${r.getLong(0)}")
       assert(brier >= 0.0 && brier <= 1.0)
     }
   }

@@ -205,7 +205,7 @@ class StatsSpec extends SparkSpec {
 
   test("q161 decile table partitions users and captures all converters") {
     val rows = Stats.q161LiftTable.fn(spark, sf).collect()
-    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
     val sizes = rows.map(_.getLong(1))
     assert(sizes.max - sizes.min <= 1, "ntile deciles differ by at most 1")
     val nUsers = Tables.events(spark, sf)
@@ -4575,5 +4575,54 @@ class StatsSpec extends SparkSpec {
     assert(t23f === t23w)
     assert(t23f(1L) === 1L && t23f(3L) === 1L && t23f(4L) === 2L
       && t23f(9L) === 3L && t23f(10L) === 4L && t23f(23L) === 10L)
+  }
+
+  test("rankPar/ntilePar/prefixSumPar: every forced two-level path " +
+      "equals its forced window path — global and partitioned, asc and " +
+      "desc keys, ties broken by the tie column (the r17 nets for the " +
+      "partitionless Window.orderBy serialization class)") {
+    // the q174/q326 shape: per-user first-half activity, desc key + tie
+    val h = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("s1"))
+    def rk(th: Long) = Stats.rankPar(h, "s1", desc = true,
+        Seq("user_id"), Nil, th).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (rw, rp) = (rk(Long.MaxValue), rk(0L))
+    assert(rw.nonEmpty && rw === rp)
+    // ntile closed form across both paths, k = 5 desc
+    def nt5(th: Long) = Stats.ntilePar(h, 5, "s1", desc = true,
+        Seq("user_id"), Nil, th).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nt5(Long.MaxValue) === nt5(0L))
+    // partitioned asc rank with value ties (the q137 stage shape): rank
+    // SETS per (part, key) must agree — equal keys are rank-permutations
+    val lat = Tables.events(spark, sf)
+      .filter(col("ts").isNotNull)
+      .select(col("event_type").as("stage"),
+        expr("CAST(floor(coalesce(value, 0) * 7) AS BIGINT)").as("lat_us"))
+    def pr(th: Long) = Stats.rankPar(lat, "lat_us", desc = false, Nil,
+        Seq("stage"), th).collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues(_.map(r => (r.getLong(2), r.getLong(3)))
+        .sorted.toVector)
+      .toMap
+    assert(pr(Long.MaxValue) === pr(0L))
+    // global two-value prefix sums over a unique asc key (q194's shape)
+    val docs = Tables.documentsWide(spark, sf)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("a"),
+        size(split(col("text"), " ")).cast("long").as("b"))
+    def ps(th: Long) = Stats.prefixSumPar(docs, "doc_id", desc = false,
+        Nil, Seq("a", "b"), Nil, th).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(ps(Long.MaxValue) === ps(0L))
+    // desc + tie prefix sum (q195's shape)
+    def psd(th: Long) = Stats.prefixSumPar(docs, "a", desc = true,
+        Seq("doc_id"), Seq("b"), Nil, th).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(psd(Long.MaxValue) === psd(0L))
   }
 }
