@@ -188,6 +188,53 @@ object Tool {
         println(s"GENSCALE out=$out factor=$factor docs=${nDocs * factor} " +
           s"events=${nEv * factor} vecs=${nVec * factor} " +
           s"orders=$ordRows (key_stride=$nOrd) lineitem_src_rows_x$factor")
+      case Some("genskew") =>
+        // Deterministic SKEW axis (r17 — the r16 verdict's Next #4):
+        // genscale multiplies uniformly, but real corpora are Zipfian —
+        // one event type holding ~90% of rows and one source holding
+        // ~90% of docs is exactly the regime where partition-parallel
+        // plans (typeGapsPar's per-(type, bin) stage, the chunk
+        // family's per-source frames, salted aggregates) grow straggler
+        // tasks that uniform ×N cannot show. Same corpus SIZE as the
+        // source dir, keys reweighted by pure event_id/doc_id
+        // arithmetic (no randomness — byte-reproducible):
+        //   events.event_type: rows with event_id % 10 != 0 → 'view'
+        //     (≈90% one type; the rest keep their type so every type
+        //     still exists)
+        //   events.user_id: rows with event_id % 100 < 30 → user 1
+        //     (a 30% hot user — the salted-agg straggler)
+        //   documents.source: docs with doc_id % 10 != 0 → 'web'
+        //     (≈90% one source)
+        // Everything else copies verbatim so the full oracle gate runs
+        // on the skewed corpus unchanged.
+        //   runMain graft.Tool genskew [srcDir] [outDir]
+        val srcK = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val outK = if (args.length > 2) args(2) else "/tmp/graft_skew"
+        spark.read.parquet(s"$srcK/events.parquet")
+          .select(col("event_id"), col("ts"),
+            when(col("event_id") % 100 < 30, lit(1L))
+              .otherwise(col("user_id")).as("user_id"),
+            when(col("event_id") % 10 =!= 0, lit("view"))
+              .otherwise(col("event_type")).as("event_type"),
+            col("value"), col("props"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outK/events.parquet")
+        spark.read.parquet(s"$srcK/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"),
+            when(col("doc_id") % 10 =!= 0, lit("web"))
+              .otherwise(col("source")).as("source"),
+            col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outK/documents.parquet")
+        for (t <- Seq("embeddings", "orders", "lineitem", "customer",
+            "part", "supplier", "nation", "region"))
+          spark.read.parquet(s"$srcK/$t.parquet").repartition(8)
+            .write.mode("overwrite").parquet(s"$outK/$t.parquet")
+        val hot = spark.read.parquet(s"$outK/events.parquet")
+          .filter(col("event_type") === "view").count()
+        val tot = spark.read.parquet(s"$outK/events.parquet").count()
+        println(s"GENSKEW out=$outK view_share=${hot.toDouble / tot} " +
+          s"rows=$tot")
       case Some("genspan") =>
         // Deterministic CALENDAR-SPAN stretch for the q193/q203 crossover
         // measurement (`Tool ewmabench`): unlike genscale (density ×N,

@@ -2408,10 +2408,15 @@ object Analytic {
       |)
       |SELECT user_id, CAST(sum(k) AS BIGINT) AS n_events,
       |  CAST(count(*) AS BIGINT) AS n_types,
+      |  -- + 0.0 AFTER the round: a single-type user's -eps rounds to
+      |  -- -0.0 in DuckDB (round keeps the sign) vs 0.0 in Spark — the
+      |  -- q150 sign-of-zero rule, hit live by the r17 skew axis; the
+      |  -- normalization must land on the ROUNDED value, a pre-round
+      |  -- + 0.0 leaves -eps negative
       |  round(CAST(CAST(ln(CAST(sum(k) AS DOUBLE)) AS FLOAT) AS DOUBLE)
       |    - CAST(sum(CAST(CAST(k AS DOUBLE) *
       |        CAST(ln(CAST(k AS DOUBLE)) AS FLOAT) AS DECIMAL(18,9)))
-      |      AS DOUBLE) / CAST(sum(k) AS BIGINT), 6) AS entropy,
+      |      AS DOUBLE) / CAST(sum(k) AS BIGINT), 6) + 0.0 AS entropy,
       |  2 * max(k) > sum(k) AS concentrated
       |FROM ut
       |GROUP BY user_id
@@ -2429,8 +2434,11 @@ object Analytic {
           .cast("double").as("sd"),
         max(col("k")).as("mk"))
       .select(col("user_id"), col("n_events"), col("n_types"),
-        round(expr("CAST(CAST(ln(CAST(n_events AS DOUBLE)) AS FLOAT) AS DOUBLE)")
-          - col("sd") / col("n_events"), 6).as("entropy"),
+        // + 0.0 AFTER the round kills the -0.0 a single-type user's
+        // -eps rounds to (the q150 sign-of-zero rule, hit live by the
+        // r17 skew axis; pre-round + 0.0 leaves -eps negative)
+        (round(expr("CAST(CAST(ln(CAST(n_events AS DOUBLE)) AS FLOAT) AS DOUBLE)")
+          - col("sd") / col("n_events"), 6) + lit(0.0)).as("entropy"),
         (lit(2) * col("mk") > col("n_events")).as("concentrated"))
       .orderBy(col("user_id"))
   }

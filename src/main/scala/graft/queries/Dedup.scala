@@ -57,7 +57,8 @@ object Dedup {
     q175NgramNovelty, q185ContainmentJoin, q187SubstringDup,
     q191SubstringDecontaminate, q305DupClusterSpectrum,
     q318ChunkDupSpectrum, q319ChunkNeardup,
-    q320SourceOverlap, q321BoilerplateChunks, q329ChunkNovelty)
+    q320SourceOverlap, q321BoilerplateChunks, q329ChunkNovelty,
+    q330DocBoilerplate)
 
   /** Candidate pairs for fuzzy linkage from CONTENT-DERIVED multi-key
     * blocking (no positional fixture knowledge): normalize the name
@@ -2907,5 +2908,113 @@ object Dedup {
         graft.functions.Exact.ratio6("cum_new", "total_new")
           .as("cum_share"))
       .orderBy(col("source"), col("decile"))
+  }
+
+  /** PER-DOCUMENT BOILERPLATE SHARE — the curator's KEEP/STRIP/DROP
+    * verdict, closing the r15/r16 chunk arc at the grain where the
+    * decision is actually EXECUTED (r16 verdict Next #6): q318's
+    * spectrum says how much of a SOURCE is duplicate and q321 names the
+    * strip-list texts; this joins q83's chunker back to that strip list
+    * and reports, per document, the fraction of its chunks that are
+    * corpus-boilerplate. A doc that is mostly header/footer/license
+    * template is DROPPED whole (share ≥ 0.8), a doc with a template
+    * wrapper around real content is STRIPPED (share ≥ 0.2), the rest
+    * KEEP — the three-way routing a curation pipeline runs per doc
+    * before near-dup work ever sees the text.
+    *
+    * Boilerplate = q321's strip-list grain verbatim: per source, the
+    * top-10 chunk texts by (copies DESC, docs DESC, h) with copies ≥ 2
+    * (the ≥ 2 floor keeps a fully-unique corpus's top-10 from marking
+    * unique docs — pinned: unique doc → share 0.0 'keep'; a doc of
+    * repeated template chunks → 1.0 'drop').
+    *
+    * Exactness: chunk identity via md5 substrings (q83's device,
+    * identical both engines); counts exact int64; share is ratio6; the
+    * verdict thresholds are INTEGER cross-multiplies (5·b ≥ 4·n,
+    * 5·b ≥ n) so no float boundary exists to diverge on; verdict ships
+    * as a STRING (the §5.7 nullable-boolean rule's sibling).
+    *
+    * Plan: ONE chunk explode pinned for its two consumers (the cluster
+    * frame and the per-doc count — the q329 precedent), one (source, h)
+    * aggregate, the q321 rank over the distinct-chunk frame (vocab-
+    * sized, §5.7 class C), and a BROADCAST of the ≤ 10-per-source strip
+    * list back onto chunks — the per-doc finish is one map-side-
+    * combined aggregate. Nothing chunk-proportional shuffles twice.
+    */
+  val q330DocBoilerplate = Q(
+    "q330_doc_boilerplate",
+    s"""WITH ch AS (
+      |  SELECT z.source, z.doc_id,
+      |    md5(substr(z.text, CAST(z.cs + 1 AS INTEGER), 200)) AS h
+      |  FROM (
+      |    SELECT source, doc_id, text,
+      |      unnest(generate_series(0, length(text) - 1, 150)) AS cs
+      |    FROM documents
+      |    WHERE source IS NOT NULL AND length(text) > 0) z
+      |),
+      |cl AS (
+      |  SELECT source, h, CAST(count(*) AS BIGINT) AS copies,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS docs
+      |  FROM ch GROUP BY 1, 2
+      |),
+      |strip AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h, copies,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY copies DESC, docs DESC, h) AS rnk
+      |    FROM cl) r
+      |  WHERE rnk <= 10 AND copies >= 2
+      |),
+      |per AS (
+      |  SELECT ch.doc_id, ch.source,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(CASE WHEN strip.h IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS boiler_chunks
+      |  FROM ch LEFT JOIN strip
+      |    ON ch.source = strip.source AND ch.h = strip.h
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, source, n_chunks, boiler_chunks,
+      |  ${graft.functions.Exact.Sql.ratio6("boiler_chunks", "n_chunks")}
+      |    AS boiler_share,
+      |  CASE WHEN 5 * boiler_chunks >= 4 * n_chunks THEN 'drop'
+      |    WHEN 5 * boiler_chunks >= n_chunks THEN 'strip'
+      |    ELSE 'keep' END AS verdict
+      |FROM per
+      |ORDER BY doc_id NULLS FIRST""".stripMargin,
+  ) { (s, d) =>
+    val ch = Tables.documentsWide(s, d)
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), col("doc_id"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("cs"))
+      .select(col("source"), col("doc_id"),
+        md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"))
+      .localCheckpoint() // 2 consumers: cluster frame and per-doc count
+    val cl = ch.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).cast("long").as("copies"),
+        countDistinct(col("doc_id")).cast("long").as("docs"))
+    val strip = cl
+      .select(col("source"), col("h"), col("copies"),
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("copies").desc, col("docs").desc, col("h")))
+          .as("rnk"))
+      .filter(col("rnk") <= 10 && col("copies") >= 2)
+      .select(col("source").as("s_source"), col("h").as("s_h"))
+    val per = ch.join(broadcast(strip),
+        col("source") === col("s_source") && col("h") === col("s_h"),
+        "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("s_h").isNotNull, 1).otherwise(0)).cast("long")
+          .as("boiler_chunks"))
+    per.select(col("doc_id"), col("source"), col("n_chunks"),
+        col("boiler_chunks"),
+        graft.functions.Exact.ratio6("boiler_chunks", "n_chunks")
+          .as("boiler_share"),
+        when(expr("5 * boiler_chunks >= 4 * n_chunks"), "drop")
+          .when(expr("5 * boiler_chunks >= n_chunks"), "strip")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
   }
 }

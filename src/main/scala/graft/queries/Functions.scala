@@ -114,7 +114,12 @@ object Functions {
       |  CAST(exp(l_discount) AS REAL) AS disc_exp
       |FROM lineitem
       |WHERE l_orderkey < 500
-      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+      |  qty_sqrt NULLS FIRST, disc_dev NULLS FIRST,
+      |  price_k_floor NULLS FIRST, price_k_ceil NULLS FIRST,
+      |  tax_pct NULLS FIRST, qty_sq NULLS FIRST, key_mod NULLS FIRST,
+      |  max_rate NULLS FIRST, min_rate NULLS FIRST,
+      |  rate_sign NULLS FIRST, qty_ln NULLS FIRST, disc_exp NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     Tables
       .lineitem(s, d)
@@ -142,7 +147,15 @@ object Functions {
         log(lit(1.0) + col("l_quantity")).cast("float").as("qty_ln"),
         exp(col("l_discount")).cast("float").as("disc_exp"),
       )
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // ALL output columns in the sort (r17, the q02 finding: duplicate
+      // (l_orderkey, l_linenumber) pairs make a two-column sort
+      // non-total — ties left in physical file order diverge the moment
+      // the files are rewritten; every column sorted = remaining ties
+      // are identical rows)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_sqrt"),
+        col("disc_dev"), col("price_k_floor"), col("price_k_ceil"),
+        col("tax_pct"), col("qty_sq"), col("key_mod"), col("max_rate"),
+        col("min_rate"), col("rate_sign"), col("qty_ln"), col("disc_exp"))
   }
 
   /** JSON extraction from `events.props` + exact integer aggregation. */

@@ -98,7 +98,8 @@ object Relational {
       |FROM lineitem
       |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
-      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+      |  disc_revenue NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     Tables
       .lineitem(s, d)
@@ -110,7 +111,12 @@ object Relational {
         col("l_linenumber"),
         (col("l_extendedprice") * col("l_discount")).as("disc_revenue"),
       )
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // ALL output columns in the sort (r17, found by the skew axis's
+      // repartition: the driver lineitem carries 118k duplicate
+      // (l_orderkey, l_linenumber) pairs — §5.7's total-keys row — so a
+      // two-column sort left tied rows in physical file order; sorting
+      // by every output column makes any remaining ties identical rows)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_revenue"))
   }
 
   /** 3-way join (fact-fact-dim) + aggregation. `customer` is NOT broadcast:

@@ -175,11 +175,25 @@ object Stats {
           row_number().over(w.orderBy(ordCols: _*)).cast("long"))
         .withColumn("nd", count(lit(1)).over(w).cast("long"))
     } else {
+      // LOG-SCALE bins (r17, found by the skew axis): any MONOTONE
+      // non-decreasing function of the key is a valid binning (the
+      // cross-bin prefix + in-bin order reconstruct the same total
+      // order — bin boundaries are pure plan, never answer), and linear
+      // range bins collapse on heavy-tailed keys: an exponential gap
+      // distribution puts ~99.99% of rows in bin 0 because the max gap
+      // is ln(n) means out (q234/q257 measured 1.4–1.7× under genskew
+      // and paid the same wall at uniform ×100). ln-space bins spread
+      // an exponential over ~256 bins per e-fold and cap a UNIFORM
+      // key's worst bin at ~L/4096 of the mass (L = ln range ≤ ~44) —
+      // strictly better on tails, never worse than ~0.4%/bin on flats.
+      // IEEE int64→double casts and ln are monotone, so ties share a
+      // bin and order is preserved bit-for-bit.
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val bw = (hi - lo) / 4096 + 1
-      val binned = df.withColumn("bin",
-        if (desc) expr(s"(${hi}L - $key) div ${bw}L")
-        else expr(s"($key - ${lo}L) div ${bw}L"))
+      val v = if (desc) s"(${hi}L - $key)" else s"($key - ${lo}L)"
+      val binned = df.withColumn("bin", expr(
+        s"""CAST(ln(CAST($v + 1 AS DOUBLE))
+           |  / ln(CAST(${hi - lo}L + 2 AS DOUBLE)) * 4096 AS BIGINT)"""
+          .stripMargin))
       val binCounts = binned.groupBy((part :+ "bin").map(col): _*)
         .agg(count(lit(1)).cast("long").as("bc"))
       val binBefore = binCounts
@@ -273,11 +287,14 @@ object Stats {
       values.foldLeft(df)((acc, v) =>
         acc.withColumn(s"cum_$v", sum(col(v)).over(w).cast("long")))
     } else {
+      // log-scale bins, as in rankPar (monotone binning is pure plan —
+      // see the rankPar note; same tail-proofing, same flat-key cap)
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val bw = (hi - lo) / 4096 + 1
-      val binned = df.withColumn("bin",
-        if (desc) expr(s"(${hi}L - $key) div ${bw}L")
-        else expr(s"($key - ${lo}L) div ${bw}L"))
+      val v = if (desc) s"(${hi}L - $key)" else s"($key - ${lo}L)"
+      val binned = df.withColumn("bin", expr(
+        s"""CAST(ln(CAST($v + 1 AS DOUBLE))
+           |  / ln(CAST(${hi - lo}L + 2 AS DOUBLE)) * 4096 AS BIGINT)"""
+          .stripMargin))
       val binSums = binned.groupBy((part :+ "bin").map(col): _*)
         .agg(values.map(v => sum(col(v)).cast("long").as(s"bs_$v")).head,
           values.map(v => sum(col(v)).cast("long").as(s"bs_$v")).tail: _*)
@@ -4245,38 +4262,16 @@ object Stats {
     // the ×100 axis. Ties within a bin stay arbitrary: the KS max is
     // tie-invariant AS A SET (a tie run shares one ffit and receives the
     // same rank set under any permutation — q257's invariance argument).
-    val mmR = gaps.agg(min(col("gp")), max(col("gp")), count(lit(1))).head
+    // r17: routed through rankPar, whose PER-TYPE bin bounds fix the
+    // skew-axis straggler (the global range let rare types' day-long
+    // gaps crush the hot type's µs gaps into bin 0 — 1.39× measured).
+    val mmR = gaps.agg(min(col("gp")), count(lit(1))).head
     val ranked =
       if (mmR.isNullAt(0))
         gaps.select(col("event_type"), col("gp"), lit(0L).as("i"))
-      else if (mmR.getLong(2) < TypeGapsParThreshold)
-        // small-corpus path (the typeGapsPar dispatch): the flat window
-        // rank — identical ranks up to in-tie permutation, and the KS
-        // max is tie-invariant as a set (the invariance note below)
-        gaps.select(col("event_type"), col("gp"),
-          row_number().over(Window.partitionBy(col("event_type"))
-            .orderBy(col("gp"))).cast("long").as("i"))
       else {
-        val (lo, hi) = (mmR.getLong(0), mmR.getLong(1))
-        val bw = (hi - lo) / 4096 + 1
-        val binned = gaps
-          .withColumn("bin", expr(s"(gp - ${lo}L) div ${bw}L"))
-        val binBefore = binned
-          .groupBy(col("event_type").as("b_type"), col("bin").as("b_bin"))
-          .agg(count(lit(1)).cast("long").as("bc"))
-          .select(col("b_type"), col("b_bin"),
-            coalesce(sum(col("bc")).over(
-              Window.partitionBy(col("b_type")).orderBy(col("b_bin"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-              .as("before"))
-        binned.withColumn("inb",
-            row_number().over(Window.partitionBy(col("event_type"),
-              col("bin")).orderBy(col("gp"))).cast("long"))
-          .join(broadcast(binBefore),
-            col("b_type") === col("event_type")
-              && col("b_bin") === col("bin"))
-          .select(col("event_type"), col("gp"),
-            (col("before") + col("inb")).as("i"))
+        rankPar(gaps, "gp", desc = false, Nil, Seq("event_type"))
+          .select(col("event_type"), col("gp"), col("i"))
       }
     val rk = ranked.join(mom, "event_type")
       .select(col("event_type"), col("gp"), col("n"), col("sg"), col("i"),
@@ -6407,39 +6402,20 @@ object Stats {
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("gp")).cast("long").as("sg"))
     // two-level per-type rank (q142, ninth application — r15: this was
-    // the family's other 0.57 exponent beside q260's): global gap bins
-    // off a 2-scalar probe, per-(type, bin) in-bin ranks, per-type
-    // cross-bin prefix over the ≤types×4096 bin frame. Ties inside a
+    // the family's other 0.57 exponent beside q260's). Ties inside a
     // bin stay arbitrary — W² is tie-invariant AS A SET (constant F̂
     // over a tie run × the same rank set), the stated q257 invariance,
     // so the decomposition is value-identical to the flat window.
-    val mmP = gaps.agg(min(col("gp")), max(col("gp"))).head
+    // r17: routed through rankPar, whose PER-TYPE bin bounds fix the
+    // skew-axis straggler (global range pollution — 1.57× measured; see
+    // the rankPar note).
+    val mmP = gaps.agg(min(col("gp"))).head
     val ranked =
       if (mmP.isNullAt(0))
         gaps.select(col("event_type"), col("gp"), lit(0L).as("i"))
-      else {
-        val (lo, hi) = (mmP.getLong(0), mmP.getLong(1))
-        val bw = (hi - lo) / 4096 + 1
-        val binned = gaps
-          .withColumn("bin", expr(s"(gp - ${lo}L) div ${bw}L"))
-          .localCheckpoint() // 2 consumers: bin totals and in-bin ranks
-        val binBefore = binned
-          .groupBy(col("event_type").as("b_type"), col("bin").as("b_bin"))
-          .agg(count(lit(1)).cast("long").as("bc"))
-          .select(col("b_type"), col("b_bin"),
-            coalesce(sum(col("bc")).over(
-              Window.partitionBy(col("b_type")).orderBy(col("b_bin"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-              .as("before"))
-        binned.withColumn("inb",
-            row_number().over(Window.partitionBy(col("event_type"),
-              col("bin")).orderBy(col("gp"))).cast("long"))
-          .join(broadcast(binBefore),
-            col("b_type") === col("event_type")
-              && col("b_bin") === col("bin"))
-          .select(col("event_type"), col("gp"),
-            (col("before") + col("inb")).as("i"))
-      }
+      else
+        rankPar(gaps, "gp", desc = false, Nil, Seq("event_type"))
+          .select(col("event_type"), col("gp"), col("i"))
     val rk = ranked.join(mom, "event_type")
       .select(col("event_type"), col("n"), col("sg"), col("i"),
         expr("""CAST(1 AS DOUBLE)

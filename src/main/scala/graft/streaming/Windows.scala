@@ -853,4 +853,61 @@ object Windows {
       .outputMode("append")
       .start()
   }
+
+  /** STREAMING CHUNK-NOVELTY CREDIT — q329's first-occurrence signal at
+    * INGESTION time, where it belongs (r16 verdict Next #7): every
+    * arriving document explodes into q83's 200-char/150-stride chunks,
+    * and one `flatMapGroupsWithState` keyed by (source, chunk-md5)
+    * emits a credit row for exactly the chunk's FIRST occurrence —
+    * (source, crediting doc_id, chunk_md5) — so the cumulative novelty
+    * curve (and the stop-crawling alarm q329 reads off it) is available
+    * per micro-batch instead of per batch re-scan.
+    *
+    * First-occurrence semantics: within the batch that first carries a
+    * chunk, the credit goes to the MINIMUM doc_id among that batch's
+    * occurrences — so when documents arrive in doc_id order (intake
+    * order, q329's stated proxy), streamed credits ≡ the batch
+    * `min(doc_id) GROUP BY source, h` frame exactly, at ANY batch
+    * boundary placement (StreamingSpec asserts both the 1-batch and
+    * the multi-batch split). Out-of-order intake shifts credit to the
+    * earliest ARRIVAL — the online definition, stated.
+    *
+    * State is one boolean per DISTINCT chunk — the persisted exact-
+    * dedup state every ingest pipeline already keeps (the q319 plan
+    * note's "reps frame IS the stored state"); no watermark and no
+    * eviction because novelty against ALL history is the query. Input
+    * is a streaming documents frame (source, doc_id, text).
+    */
+  def streamChunkNovelty(
+      docs: DataFrame, tableName: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("source").isNotNull && length(col("text")) > 0)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("cs"), col("text"))
+      .select(col("source"), col("doc_id"),
+        md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"))
+      .as[(String, Long, String)]
+      .groupByKey(e => (e._1, e._3))
+      .flatMapGroupsWithState[Boolean, (String, Long, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, String),
+         occurrences: Iterator[(String, Long, String)],
+         state: GroupState[Boolean]) =>
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            Iterator((key._1, occurrences.map(_._2).min, key._2))
+          }
+      }
+      .toDF("source", "doc_id", "chunk_md5")
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
 }

@@ -728,6 +728,60 @@ class ShortDocSpec extends SparkSpec {
     }
   }
 
+  test("q330 doc boilerplate share: hand-pinned edges on the one-chunk " +
+      "fixture (all-boilerplate doc → 1.0 'drop', unique doc → 0.0 " +
+      "'keep'); replays from a MessageDigest Scala chunker + strip-list " +
+      "reconstruction on the shared corpus") {
+    // the q318/q319 fixture: s0 = {T, T} (copies 2 ⇒ T is s0's strip
+    // list) and s1 = {T, V, other} (all singletons ⇒ s1's strip list is
+    // EMPTY — the copies ≥ 2 floor keeps a unique corpus unmarked)
+    val d = "/tmp/graft_chunkdedup"
+    val bp = SparkEntry.queries("q330_doc_boilerplate")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    assert(bp(1L) === ((1L, 1L, 1.0, "drop")), bp(1L).toString)
+    assert(bp(2L) === ((1L, 1L, 1.0, "drop")))
+    for (id <- 3L to 5L)
+      assert(bp(id) === ((1L, 0L, 0.0, "keep")), s"doc $id: ${bp(id)}")
+
+    // structurally different replay on the SHARED corpus: Scala chunker
+    // + MessageDigest md5 + per-source strip-list reconstruction
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .filter(t => t._1 != null && t._3.nonEmpty)
+    val chunks = docs.flatMap { case (src, id, t) =>
+      (0 until t.length by 150).map(cs =>
+        (src, id, md5hex(t.slice(cs, cs + 200))))
+    }
+    val strip = chunks.groupBy(c => (c._1, c._3)).map { case ((s0, h), g) =>
+      (s0, h, g.length.toLong, g.map(_._2).distinct.length.toLong)
+    }.toSeq.groupBy(_._1).flatMap { case (s0, cls) =>
+      cls.sortBy(c => (-c._3, -c._4, c._2)).take(10)
+        .filter(_._3 >= 2).map(c => (s0, c._2))
+    }.toSet
+    val got = SparkEntry.queries("q330_doc_boilerplate")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    for ((id, g) <- chunks.groupBy(_._2)) {
+      val n = g.length.toLong
+      val b = g.count(c => strip.contains((c._1, c._3))).toLong
+      val share = ((2L * b * 1000000L + n) / (2L * n)).toDouble / 1e6
+      val verdict =
+        if (5 * b >= 4 * n) "drop"
+        else if (5 * b >= n) "strip" else "keep"
+      assert(got(id) === ((n, b, share, verdict)),
+        s"doc $id: engine ${got(id)} vs driver ($n,$b,$share,$verdict)")
+    }
+    assert(got.keySet === chunks.map(_._2).toSet)
+  }
+
   test("q314 degenerate: a single-source single-language corpus has " +
       "chi2 exactly 0 and NULL V (min margin df = 0)") {
     // the shared fixture: one source 'unit', one lang 'en' → both

@@ -519,4 +519,62 @@ class StreamingSpec extends SparkSpec {
       assert(reg("t") === 3L && reg("u") === 0L && reg("z") === 0L)
     } finally q.stop()
   }
+
+  test("streaming chunk-novelty credits: streamed first-occurrence set " +
+      "equals the batch min(doc_id) frame under in-order intake at ANY " +
+      "batch split, and replays q329's per-decile new_chunks exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._2) // intake order = doc_id order, q329's stated proxy
+    // the batch truth: min(doc_id) per (source, chunk-md5)
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val batchFo = docs.filter(t => t._1 != null && t._3.nonEmpty)
+      .flatMap { case (src, id, t) =>
+        (0 until t.length by 150).map(cs =>
+          (src, md5hex(t.slice(cs, cs + 200))) -> id)
+      }
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).min }
+    for ((splits, name) <- Seq(Seq(docs) -> "one batch",
+        docs.grouped(math.max(1, docs.length / 3 + 1)).toSeq
+          -> "three batches")) {
+      val src = MemoryStream[(String, Long, String)]
+      val q = Windows.streamChunkNovelty(
+        src.toDF.toDF("source", "doc_id", "text"), s"chunk_novelty_mem")
+      try {
+        for (b <- splits) { src.addData(b.toSeq); q.processAllAvailable() }
+        val streamed = spark.table("chunk_novelty_mem").collect()
+          .map(r => (r.getString(0), r.getString(2)) -> r.getLong(1))
+          .toMap
+        assert(streamed === batchFo, s"$name: streamed credits diverge")
+      } finally q.stop()
+    }
+    // the streamed credits REPLAY q329's per-decile novelty: assign each
+    // credited doc its q329 decile (explicit ntile arithmetic over the
+    // closed doc universe) and compare new_chunks per (source, decile)
+    val got329 = SparkEntry.queries("q329_chunk_novelty")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    val byDoc = docs.filter(t => t._1 != null && t._3.nonEmpty)
+    for ((srcName, g) <- byDoc.groupBy(_._1)) {
+      val ids = g.map(_._2).distinct.sorted
+      val n = ids.length; val base = n / 10; val extra = n % 10
+      val decOf = ids.zipWithIndex.map { case (id, i) =>
+        id -> (if (i < extra * (base + 1)) i / (base + 1) + 1
+               else (i - extra * (base + 1)) / math.max(base, 1) + extra + 1)
+      }.toMap
+      val credits = batchFo.collect {
+        case ((s0, _), id) if s0 == srcName => decOf(id).toLong
+      }.groupBy(identity).map { case (dc, xs) => dc -> xs.size.toLong }
+      for (dc <- 1L to math.min(10, n).toLong)
+        assert(got329((srcName, dc)) === credits.getOrElse(dc, 0L),
+          s"$srcName decile $dc")
+    }
+  }
 }
