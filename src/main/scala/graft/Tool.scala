@@ -188,6 +188,21 @@ object Tool {
         println(s"GENSCALE out=$out factor=$factor docs=${nDocs * factor} " +
           s"events=${nEv * factor} vecs=${nVec * factor} " +
           s"orders=$ordRows (key_stride=$nOrd) lineitem_src_rows_x$factor")
+      case Some("genempty") =>
+        // EMPTY corpus with the real schemas (r17 — the r16 verdict's
+        // Next #5): every table present, zero rows — the fixture for
+        // the empty-corpus contract audit (DuckDB's ungrouped
+        // aggregates emit ONE row on empty input; every engine/oracle
+        // pair must state the same choice). Schemas come from the
+        // source dir so physical layout quirks (ts encodings) carry.
+        //   runMain graft.Tool genempty [srcDir] [outDir]
+        val srcE = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+        val outE = if (args.length > 2) args(2) else "/tmp/graft_empty"
+        for (t <- Seq("events", "documents", "embeddings", "orders",
+            "lineitem", "customer", "part", "supplier", "nation", "region"))
+          spark.read.parquet(s"$srcE/$t.parquet").limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(s"$outE/$t.parquet")
+        println(s"GENEMPTY out=$outE")
       case Some("genskew") =>
         // Deterministic SKEW axis (r17 — the r16 verdict's Next #4):
         // genscale multiplies uniformly, but real corpora are Zipfian —

@@ -897,8 +897,12 @@ object Analytic {
     // corpus (like DuckDB's `sel` CTE; floor(double*1e6) is the identical
     // IEEE op on both engines, so the derived edges match bit-for-bit)
     val mm = ev.agg(min(col("value")), max(col("value"))).head
-    val lo = math.floor(mm.getDouble(0) * 1e6).toLong
-    val hi = math.floor(mm.getDouble(1) * 1e6).toLong + 1
+    // empty corpus → degenerate bounds; the empty plan yields no rows
+    // (r17 empty-corpus audit)
+    val lo = if (mm.isNullAt(0)) 0L
+      else math.floor(mm.getDouble(0) * 1e6).toLong
+    val hi = if (mm.isNullAt(1)) 1L
+      else math.floor(mm.getDouble(1) * 1e6).toLong + 1
     val w = (hi - lo + 63) / 64
     val c = ev
       // NULL value/ts rows are dropped EXPLICITLY on both engines (the

@@ -822,6 +822,7 @@ object Gaps {
        |  count(*) AS n, ${Exact.Sql.dsum("o_totalprice")} AS sum_price
        |FROM orders
        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |HAVING count(*) > 0
        |ORDER BY st NULLS FIRST, pri NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     Tables.orders(s, d)
@@ -1250,7 +1251,8 @@ object Gaps {
       .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
     // bounded driver probe: two scalars fix the bin geometry (q124 shape)
     val mm = base.agg(min(col("c")), max(col("c"))).head
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = // empty corpus → degenerate bounds, plan yields empty
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val w = (hi - lo) / 4096 + 1
     val binned = base.select(col("c"),
       expr(s"(c - ${lo}L) div ${w}L").as("bin"))
@@ -1324,7 +1326,8 @@ object Gaps {
       .select(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"),
         expr("CAST(l_quantity AS BIGINT)").as("w"))
     val mm = base.agg(min(col("c")), max(col("c"))).head
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = // empty corpus → degenerate bounds, plan yields empty
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val bw = (hi - lo) / 4096 + 1
     val binned = base.select(col("c"), col("w"),
       expr(s"(c - ${lo}L) div ${bw}L").as("bin"))
@@ -1424,7 +1427,8 @@ object Gaps {
         sum(when(col("e") === 1, 1).otherwise(0)).as("b_cnt"))
     // two-level prefix sums: bin geometry from the 2-scalar probe
     val mm = g.agg(min(col("c")), max(col("c"))).head
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = // empty corpus → degenerate bounds, plan yields empty
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val w = (hi - lo) / 4096 + 1
     val binned = g.select(col("c"), col("a_cnt"), col("b_cnt"),
       expr(s"(c - ${lo}L) div ${w}L").as("bin"))
@@ -1511,7 +1515,8 @@ object Gaps {
         expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
     val g = rows.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
     val mm = g.agg(min(col("c")), max(col("c"))).head
-    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val (lo, hi) = // empty corpus → degenerate bounds, plan yields empty
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val w = (hi - lo) / 4096 + 1
     val binned = g.select(col("c"), col("cnt"),
       expr(s"(c - ${lo}L) div ${w}L").as("bin"))
@@ -1576,7 +1581,7 @@ object Gaps {
           "2 * sic - (kk.n + 1) * kk.s", "kk.n * kk.s")} AS gini,
       |  ${graft.functions.Exact.Sql.ratio6Big("top.ts", "kk.s")}
       |    AS top_share
-      |FROM kk, g, top""".stripMargin,
+      |FROM kk, g, top WHERE kk.n > 0""".stripMargin,
       // ratio6Big (r16 audit): the Gini numerator is a RANK-WEIGHTED
       // count sum (Σ i·cᵢ ≤ n·S — grows ∝ users·events, the fastest-
       // growing numerator in the registry); the inline 2·num·10⁶ form

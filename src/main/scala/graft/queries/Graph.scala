@@ -58,7 +58,12 @@ object GraphOps {
       .withColumnRenamed("src", "dnode")
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
     val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
+    // empty graph → empty ranks with the right schema (the oracle's
+    // recursive chain over an empty edge set is empty; the old require
+    // crashed the whole gate on a legitimately empty corpus — r17
+    // empty-corpus audit)
+    if (n == 0)
+      return nodes.select(col("node"), lit(0L).as("rank"))
     val jump = JumpNum / n
     var ranks = nodes.select(col("node"), lit(Mass / n).as("rank"))
     for (_ <- 1 to iters) {

@@ -61,8 +61,13 @@ object Pipeline {
        |ORDER BY file_lo NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val outDir = scratch("q28", d)
-    Export.exportTable(Tables.orders(s, d), ordersCfg, Seq("o_orderkey"), outDir)
-    s.read.parquet(outDir)
+    val src = Tables.orders(s, d)
+    Export.exportTable(src, ordersCfg, Seq("o_orderkey"), outDir)
+    // read back with the DECLARED schema (the engine's schema rule,
+    // SURVEY §1.2): an EMPTY export writes zero files and schema
+    // inference over no files throws — declared schemas make the empty
+    // round-trip a plain empty frame (r17 empty-corpus audit)
+    s.read.schema(src.schema).parquet(outDir)
       .withColumn("file_lo",
         regexp_extract(input_file_name(), "orders_(\\d+)_\\d+", 1).cast("long"))
       .groupBy(col("file_lo"))

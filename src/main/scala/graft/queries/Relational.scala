@@ -321,6 +321,7 @@ object Relational {
        |  ${Sql.dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
        |FROM lineitem
        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |HAVING count(*) > 0
        |ORDER BY rf NULLS FIRST, ls NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     Tables
@@ -344,6 +345,7 @@ object Relational {
        |  COUNT(*) AS n, ${Sql.dsum("o_totalprice", 2)} AS sum_price
        |FROM orders
        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |HAVING count(*) > 0
        |ORDER BY st NULLS FIRST, pri NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     Tables

@@ -51,17 +51,22 @@ object ScaleOps {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bloom = urgent.stat.bloomFilter(
-      "o_orderkey", math.max(urgent.count(), 1L), 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val nUrgent = urgent.count()
+    // empty build side → an empty bloom has no serialized bits (writeTo
+    // NPEs) and the semi join is empty by definition: constant-false
+    // pre-filter, same plan shape (r17 empty-corpus audit)
+    val pre: Column =
+      if (nUrgent == 0) lit(false)
+      else {
+        val bloom = urgent.stat.bloomFilter("o_orderkey", nUrgent, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        call_function("graft_bloom_might_contain",
+          lit(bos.toByteArray), col("l_orderkey"))
+      }
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
-      .filter(call_function("graft_bloom_might_contain",
-        lit(bytes), col("l_orderkey")))
+      .filter(pre)
       .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
@@ -158,9 +163,14 @@ object ScaleOps {
     val st = li.agg(
       min(col("l_extendedprice")), max(col("l_extendedprice")),
       min(col("l_quantity")), max(col("l_quantity"))).head
-    val z = zorderKey(
-      col("l_extendedprice"), st.getDouble(0), st.getDouble(1),
-      col("l_quantity"), st.getDouble(2), st.getDouble(3))
+    // empty corpus → degenerate bounds (r17 audit); no rows bucket anyway
+    val z =
+      if (st.isNullAt(0))
+        zorderKey(col("l_extendedprice"), 0.0, 1.0,
+          col("l_quantity"), 0.0, 1.0)
+      else zorderKey(
+        col("l_extendedprice"), st.getDouble(0), st.getDouble(1),
+        col("l_quantity"), st.getDouble(2), st.getDouble(3))
     li.select(col("l_returnflag"), z.as("zv"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"), min(col("zv")).as("min_z"),

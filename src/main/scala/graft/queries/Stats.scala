@@ -2014,9 +2014,11 @@ object Stats {
       |SELECT cell.a AS label_a, cell.b AS label_b,
       |  CAST(cell.cnt AS BIGINT) AS cnt,
       |  rm.r AS row_tot, cm.c AS col_tot,
-      |  round(CAST(nn.ag AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS po,
+      |  round(CAST(nn.ag AS DOUBLE)
+      |    / nullif(CAST(nn.n AS DOUBLE), 0.0), 6) AS po,
       |  round(CAST(pe.pe_num AS DOUBLE)
-      |    / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)), 6) AS pe,
+      |    / nullif(CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE), 0.0), 6)
+      |    AS pe,
       |  round(CAST(nn.n * nn.ag - pe.pe_num AS DOUBLE)
       |    / nullif(CAST(nn.n * nn.n - pe.pe_num AS DOUBLE), 0.0), 6)
       |    AS kappa
@@ -2052,10 +2054,15 @@ object Stats {
       .crossJoin(broadcast(nn)).crossJoin(broadcast(pe))
       .select(col("a").as("label_a"), col("b").as("label_b"),
         col("cnt"), col("r").as("row_tot"), col("c").as("col_tot"),
-        round(expr("CAST(ag AS DOUBLE) / CAST(n AS DOUBLE)"), 6).as("po"),
+        // empty corpus: n = 0 → po/pe NULL on BOTH engines (ANSI
+        // errors on a bare 0-divide; DuckDB would NaN — r17 audit)
+        round(expr(
+          "CAST(ag AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0D)"), 6)
+          .as("po"),
         round(expr(
           """CAST(pe_num AS DOUBLE)
-            |  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))""".stripMargin), 6)
+            |  / nullif(CAST(n AS DOUBLE) * CAST(n AS DOUBLE), 0.0D)"""
+            .stripMargin), 6)
           .as("pe"),
         round(expr(
           """CAST(n * ag - pe_num AS DOUBLE)
@@ -9833,17 +9840,17 @@ object Stats {
       |  FROM oc
       |)
       |SELECT n AS n_orders, s AS n_lineitems, mx AS max_items,
-      |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |  round(CAST(s AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0), 6)
       |    AS mean_items,
       |  round(CAST(n * q - s * s AS DOUBLE)
       |    / nullif(CAST((n - 1) * s AS DOUBLE), CAST(0 AS DOUBLE)),
       |    6) AS dispersion,
-      |  round((CAST(n * q - s * s AS DOUBLE)
-      |      / nullif(CAST((n - 1) * s AS DOUBLE), CAST(0 AS DOUBLE))
-      |      - CAST(1 AS DOUBLE))
-      |    / sqrt(CAST(2 AS DOUBLE)
-      |      / nullif(CAST(n - 1 AS DOUBLE), CAST(0 AS DOUBLE))), 6)
-      |    AS excess_sigmas
+      |  CASE WHEN n >= 2 THEN
+      |    round((CAST(n * q - s * s AS DOUBLE)
+      |        / nullif(CAST((n - 1) * s AS DOUBLE), CAST(0 AS DOUBLE))
+      |        - CAST(1 AS DOUBLE))
+      |      / sqrt(CAST(2 AS DOUBLE) / CAST(n - 1 AS DOUBLE)), 6)
+      |    END AS excess_sigmas
       |FROM m""".stripMargin,
   ) { (s, d) =>
     val lc = Tables.lineitem(s, d)
@@ -9859,14 +9866,18 @@ object Stats {
     val disp = expr("""CAST(n * q - s * s AS DOUBLE)
       |  / nullif(CAST((n - 1) * s AS DOUBLE), CAST(0 AS DOUBLE))"""
       .stripMargin)
+    // empty corpus (n = 0): NULL mean, NULL sigmas on BOTH engines —
+    // DuckDB ERRORS on sqrt(2/(n-1)) = sqrt(-2) and ANSI on the bare
+    // 0-divide; n >= 2 states the variance precondition (r17 audit)
     m.select(col("n").as("n_orders"), col("s").as("n_lineitems"),
       col("mx").as("max_items"),
-      round(expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"), 6)
-        .as("mean_items"),
+      round(expr("CAST(s AS DOUBLE) / nullif(CAST(n AS DOUBLE), 0.0D)"),
+        6).as("mean_items"),
       round(disp, 6).as("dispersion"),
-      round((disp - lit(1.0)) /
-        sqrt(lit(2.0) / nullif(expr("CAST(n - 1 AS DOUBLE)"),
-          lit(0.0))), 6).as("excess_sigmas"))
+      when(col("n") >= 2,
+        round((disp - lit(1.0)) /
+          sqrt(lit(2.0) / expr("CAST(n - 1 AS DOUBLE)")), 6))
+        .as("excess_sigmas"))
   }
 
   /** WILCOXON SIGNED-RANK — the PAIRED companion to q207's
