@@ -2887,7 +2887,11 @@ object Dedup {
     val fo = ch.groupBy(col("source").as("f_source"), col("h"))
       .agg(min(col("doc_id")).cast("long").as("fdoc"))
     val docs = Stats.partitionedNtile(
-        ch.select(col("source"), col("doc_id")).distinct(),
+        // pinned: the ntilePar dispatch probe is a separate ACTION —
+        // unpinned it re-runs the chunk-grain distinct (§5.7 pin rule;
+        // the frame is doc-count-sized, measured +0.5 s at sf0.1)
+        ch.select(col("source"), col("doc_id")).distinct()
+          .localCheckpoint(),
         "source", "doc_id", 10)
       .withColumnRenamed("tile", "decile")
     val per = docs.join(fo,
