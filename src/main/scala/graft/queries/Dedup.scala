@@ -2793,6 +2793,14 @@ object Dedup {
     val cl = ch.groupBy(col("source"), col("h"))
       .agg(count(lit(1)).cast("long").as("copies"),
         countDistinct(col("doc_id")).cast("long").as("docs"))
+    // rank-filter over the chunk-proportional distinct-(source, h)
+    // frame — NOT a serialized window: the adjacent `rnk <= 10` literal
+    // filter triggers Catalyst's InferWindowGroupLimit, which plants a
+    // two-phase WindowGroupLimit (Partial before the shuffle, Final
+    // after), so each map task pre-truncates to its local top-10 per
+    // source and the final per-source frame is ≤ 10 × map tasks —
+    // bounded at any corpus size (plan pinned by ShortDocSpec's
+    // WindowGroupLimit net; r18 — q330's strip list shares the shape)
     cl.select(col("source"), col("h"), col("copies"), col("docs"),
         row_number().over(Window.partitionBy(col("source"))
           .orderBy(col("copies").desc, col("docs").desc, col("h")))
@@ -2998,6 +3006,9 @@ object Dedup {
     val cl = ch.groupBy(col("source"), col("h"))
       .agg(count(lit(1)).cast("long").as("copies"),
         countDistinct(col("doc_id")).cast("long").as("docs"))
+    // bounded per-source top-10, not a serialized window: the rank-filter
+    // shape triggers InferWindowGroupLimit's two-phase pre-truncation —
+    // see the q321 note above; plan pinned by ShortDocSpec's net (r18)
     val strip = cl
       .select(col("source"), col("h"), col("copies"),
         row_number().over(Window.partitionBy(col("source"))

@@ -166,7 +166,22 @@ object Stats {
       part: Seq[String] = Nil,
       // overridable ONLY for the suite's forced-path equality net
       threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
-    val mm = df.agg(min(col(key)), max(col(key)), count(lit(1))).head
+    // r18 (ADVICE): probe bounds through CAST(key AS LONG) so any integral
+    // key type works — q176 feeds an INT32 (documents.n_chars) and
+    // Row.getLong on a boxed Integer throws ClassCastException exactly at
+    // the 2M-row dispatch this device exists for. The cast is lossless on
+    // the integral-key contract and the binning expr promotes to long
+    // anyway. The probe also counts non-null keys: NULL keys are a stated
+    // precondition (the large path's bin equi-join would silently drop
+    // them while the window path keeps them nulls-first — the two
+    // "bit-identical" paths would disagree), so the device refuses loudly
+    // instead.
+    val mm = df.agg(min(col(key).cast("long")), max(col(key).cast("long")),
+      count(lit(1)), count(col(key))).head
+    require(mm.getLong(2) == mm.getLong(3),
+      s"rankPar: key '$key' has ${mm.getLong(2) - mm.getLong(3)} NULL " +
+        "rows — callers must pre-filter (window and two-level paths " +
+        "disagree on NULL keys)")
     val ordCols = (if (desc) col(key).desc else col(key).asc) +:
       tie.map(col)
     if (mm.isNullAt(0) || mm.getLong(2) < threshold) {
@@ -278,7 +293,13 @@ object Stats {
       values: Seq[String],
       part: Seq[String] = Nil,
       threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
-    val mm = df.agg(min(col(key)), max(col(key)), count(lit(1))).head
+    // integral-key robustness + NULL-key refusal: see the rankPar note
+    val mm = df.agg(min(col(key).cast("long")), max(col(key).cast("long")),
+      count(lit(1)), count(col(key))).head
+    require(mm.getLong(2) == mm.getLong(3),
+      s"prefixSumPar: key '$key' has ${mm.getLong(2) - mm.getLong(3)} " +
+        "NULL rows — callers must pre-filter (window and two-level " +
+        "paths disagree on NULL keys)")
     val ordCols = (if (desc) col(key).desc else col(key).asc) +:
       tie.map(col)
     if (mm.isNullAt(0) || mm.getLong(2) < threshold) {
@@ -4269,9 +4290,10 @@ object Stats {
     // the ×100 axis. Ties within a bin stay arbitrary: the KS max is
     // tie-invariant AS A SET (a tie run shares one ffit and receives the
     // same rank set under any permutation — q257's invariance argument).
-    // r17: routed through rankPar, whose PER-TYPE bin bounds fix the
-    // skew-axis straggler (the global range let rare types' day-long
-    // gaps crush the hot type's µs gaps into bin 0 — 1.39× measured).
+    // r17: routed through rankPar, whose LOG-SCALE bins fix the
+    // skew-axis straggler (bounds are GLOBAL min/max; linear bins let
+    // rare types' day-long gaps crush the hot type's µs gaps into bin 0
+    // — 1.39× measured; ln-space spreads the tail ~256 bins/e-fold).
     val mmR = gaps.agg(min(col("gp")), count(lit(1))).head
     val ranked =
       if (mmR.isNullAt(0))
@@ -6413,9 +6435,10 @@ object Stats {
     // bin stay arbitrary — W² is tie-invariant AS A SET (constant F̂
     // over a tie run × the same rank set), the stated q257 invariance,
     // so the decomposition is value-identical to the flat window.
-    // r17: routed through rankPar, whose PER-TYPE bin bounds fix the
-    // skew-axis straggler (global range pollution — 1.57× measured; see
-    // the rankPar note).
+    // r17: routed through rankPar, whose LOG-SCALE bins fix the
+    // skew-axis straggler (bounds are GLOBAL min/max; linear bins put
+    // ~all rows in bin 0 under an exponential tail — 1.57× measured;
+    // see the rankPar note).
     val mmP = gaps.agg(min(col("gp"))).head
     val ranked =
       if (mmP.isNullAt(0))

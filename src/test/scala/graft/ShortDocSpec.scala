@@ -782,6 +782,21 @@ class ShortDocSpec extends SparkSpec {
     assert(got.keySet === chunks.map(_._2).toSet)
   }
 
+  test("q321/q330 strip-list ranking is a bounded per-partition top-k, " +
+      "not a serialized per-source window: the rnk <= 10 rank-filter " +
+      "must keep triggering InferWindowGroupLimit's two-phase " +
+      "pre-truncation (Partial before the shuffle caps each map task " +
+      "at 10 rows/source — the r18 ADVICE item)") {
+    for (q <- Seq("q321_boilerplate_chunks", "q330_doc_boilerplate")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q lost the WindowGroupLimit — a filter-shape change broke " +
+          "the rank-filter inference and the per-source window is " +
+          s"corpus-proportional again:\n$plan")
+    }
+  }
+
   test("q314 degenerate: a single-source single-language corpus has " +
       "chi2 exactly 0 and NULL V (min margin df = 0)") {
     // the shared fixture: one source 'unit', one lang 'en' → both

@@ -4625,4 +4625,49 @@ class StatsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(psd(Long.MaxValue) === psd(0L))
   }
+
+  test("rankPar/prefixSumPar on an INT32 key: the forced two-level path " +
+      "must not ClassCastException on the probe (the q176 shape — " +
+      "documents.n_chars is INT32, and Row.getLong on a boxed Integer " +
+      "threw exactly at the 2M-row dispatch this device targets) and " +
+      "must equal the forced window path") {
+    // cast INT explicitly: the driver testdata carries n_chars as int64
+    // but Tool genscale (Tool.scala:95) regenerates it as length(text) —
+    // INT32 — and the ×N corpus is the only regime where the 2M dispatch
+    // actually fires, so the net pins the INT32 key shape directly
+    val docs = Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("int").as("score"))
+    assert(docs.schema("score").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    def rk(th: Long) = Stats.rankPar(docs, "score", desc = false,
+        Seq("doc_id"), Seq("source"), th).collect()
+      .map(r => (r.getString(1), r.getLong(0)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val (w, p) = (rk(Long.MaxValue), rk(0L)) // 0L forces the large path
+    assert(w.nonEmpty && w === p)
+    // prefixSumPar, same INT32 key
+    def ps(th: Long) = Stats.prefixSumPar(docs, "score", desc = false,
+        Seq("doc_id"), Seq("score"), Nil, th).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ps(Long.MaxValue) === ps(0L))
+  }
+
+  test("rankPar/prefixSumPar refuse NULL keys loudly — the large path's " +
+      "bin equi-join would silently drop them while the window path " +
+      "keeps them nulls-first, so the contract is enforced, not assumed") {
+    import spark.implicits._
+    val d = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "k")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.rankPar(d, "k", desc = false, Seq("id"), Nil, 0L).collect()
+    }
+    assert(e1.getMessage.contains("NULL"))
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.prefixSumPar(d, "k", desc = false, Seq("id"), Seq("id"), Nil,
+        Long.MaxValue).collect()
+    }
+    assert(e2.getMessage.contains("NULL"))
+  }
 }
