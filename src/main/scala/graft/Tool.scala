@@ -222,34 +222,28 @@ object Tool {
         //     (≈90% one source)
         // Everything else copies verbatim so the full oracle gate runs
         // on the skewed corpus unchanged.
-        //   runMain graft.Tool genskew [srcDir] [outDir]
+        //
+        // r18 (the r17 verdict's Next #1): an optional third token
+        // `timeburst` ALSO moves the ts of the 90% hot rows into the
+        // FINAL hour of the span — the bursty-ingest shape (a crawl dump
+        // landing at once) that collapses any lo-anchored bin transform:
+        // linear bins put the hour in one bin, and ln-anchored-at-lo bins
+        // are widest exactly at hi. Offsets spread deterministically by
+        // event_id arithmetic (inner pmod bounds the product away from
+        // long overflow — byte-reproducible, no randomness). Bursted rows
+        // ride Tables.events' normalized TimestampType layout (the
+        // genspan precedent); null-ts rows copy through unburst.
+        //   runMain graft.Tool genskew [srcDir] [outDir] [timeburst]
         val srcK = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
         val outK = if (args.length > 2) args(2) else "/tmp/graft_skew"
-        spark.read.parquet(s"$srcK/events.parquet")
-          .select(col("event_id"), col("ts"),
-            when(col("event_id") % 100 < 30, lit(1L))
-              .otherwise(col("user_id")).as("user_id"),
-            when(col("event_id") % 10 =!= 0, lit("view"))
-              .otherwise(col("event_type")).as("event_type"),
-            col("value"), col("props"))
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$outK/events.parquet")
-        spark.read.parquet(s"$srcK/documents.parquet")
-          .select(col("doc_id"), col("text"), col("lang"),
-            when(col("doc_id") % 10 =!= 0, lit("web"))
-              .otherwise(col("source")).as("source"),
-            col("n_chars"))
-          .repartition(32)
-          .write.mode("overwrite").parquet(s"$outK/documents.parquet")
-        for (t <- Seq("embeddings", "orders", "lineitem", "customer",
-            "part", "supplier", "nation", "region"))
-          spark.read.parquet(s"$srcK/$t.parquet").repartition(8)
-            .write.mode("overwrite").parquet(s"$outK/$t.parquet")
+        val burstK = args.length > 3 && args(3) == "timeburst"
+        writeSkewCorpus(spark, srcK, outK, timeburst = burstK,
+          reverseLayout = false)
         val hot = spark.read.parquet(s"$outK/events.parquet")
           .filter(col("event_type") === "view").count()
         val tot = spark.read.parquet(s"$outK/events.parquet").count()
-        println(s"GENSKEW out=$outK view_share=${hot.toDouble / tot} " +
-          s"rows=$tot")
+        println(s"GENSKEW out=$outK timeburst=$burstK " +
+          s"view_share=${hot.toDouble / tot} rows=$tot")
       case Some("genspan") =>
         // Deterministic CALENDAR-SPAN stretch for the q193/q203 crossover
         // measurement (`Tool ewmabench`): unlike genscale (density ×N,
@@ -446,6 +440,41 @@ object Tool {
         println("ROWS=" + back.count() + " SCHEMA=" +
           back.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
         println("MIN_ID=" + back.agg(min(col("id").cast("long"))).head.getLong(0))
+      case Some("statebench") =>
+        // RocksDB state-growth curve for streamChunkNovelty (r18, the
+        // r17 verdict's Next #5): stage the corpus as N files, stream
+        // them one per micro-batch through the novelty operator on the
+        // DISK-backed provider, and print per-batch state size — rows
+        // (one per distinct chunk), RocksDB SST bytes, and memtable
+        // bytes — so the unbounded-by-design state's growth is a
+        // MEASURED curve, not a hope.
+        //   runMain graft.Tool statebench [srcDir] [nFiles]
+        val srcSB = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val nfSB = if (args.length > 2) args(2).toInt else 10
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        val staged = "/tmp/graft_statebench_src"
+        spark.read.parquet(s"$srcSB/documents.parquet")
+          .select(col("source"), col("doc_id"), col("text"))
+          .repartition(nfSB)
+          .write.mode("overwrite").parquet(staged)
+        val sch = spark.read.parquet(staged).schema
+        val qSB = graft.streaming.Windows.streamChunkNovelty(
+          spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1").parquet(staged),
+          "statebench", sink = "noop")
+        try {
+          qSB.processAllAvailable()
+          for (p <- qSB.recentProgress; so <- p.stateOperators.headOption) {
+            val cm = so.customMetrics
+            println(s"STATEBENCH batch=${p.batchId} in=${p.numInputRows} " +
+              s"stateRows=${so.numRowsTotal} " +
+              s"sst=${cm.get("rocksdbSstFileSize")} " +
+              s"mem=${cm.get("rocksdbTotalMemoryUsage")} " +
+              s"commitMs=${so.commitTimeMs}")
+          }
+        } finally qSB.stop()
       case _ =>
         val d = "/root/testdata/sf0.01"
         val prod = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -464,5 +493,63 @@ object Tool {
           .parquet("/tmp/dbg_prod")
     }
     spark.stop()
+  }
+
+  /** The deterministic SKEW corpus writer shared by `Tool genskew` and
+    * RegistrySpec's in-suite skew sweep (r18, the r17 verdict's Next #7:
+    * the empty-corpus contract got a permanent suite net; the skew axis
+    * gets the same). Zipfian key reweight (≈90% one event type, 30% one
+    * hot user, ≈90% one doc source — pure id arithmetic, byte-
+    * reproducible) plus, with `timeburst`, the bursty-ingest time axis:
+    * the hot 90% of events land inside the FINAL hour of the span.
+    *
+    * `reverseLayout` writes the SAME logical rows in a different physical
+    * order (descending-id sort, different partition counts) — the suite
+    * runs every query on both layouts and demands IDENTICAL ordered
+    * output, which is exactly the net the q02/q22 non-total-ORDER-BY bugs
+    * (caught by the r17 skew gate only via the oracle hash) needed
+    * in-suite: a query whose output order leans on physical input order
+    * diverges loudly here.
+    */
+  private[graft] def writeSkewCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, outDir: String,
+      timeburst: Boolean, reverseLayout: Boolean): Unit = {
+    def layout(df: org.apache.spark.sql.DataFrame, key: String,
+        parts: Int): org.apache.spark.sql.DataFrame =
+      if (reverseLayout)
+        df.orderBy(col(key).desc).coalesce(math.max(1, parts / 4))
+      else df.repartition(parts)
+    val ev0 = Tables.events(spark, srcDir)
+    val tsCol: org.apache.spark.sql.Column =
+      if (!timeburst) col("ts")
+      else {
+        val bk = ev0.filter(col("ts").isNotNull)
+          .agg(max(expr("unix_micros(ts)"))).head
+        val hiUs = if (bk.isNullAt(0)) 0L else bk.getLong(0)
+        when(col("ts").isNotNull && col("event_id") % 10 =!= 0,
+          expr(s"timestamp_micros(${hiUs}L - 3600000000L + " +
+            "pmod(pmod(event_id, 3600000000L) * 1000003L, 3600000000L))"))
+          .otherwise(col("ts"))
+      }
+    layout(ev0.select(col("event_id"), tsCol.as("ts"),
+        when(col("event_id") % 100 < 30, lit(1L))
+          .otherwise(col("user_id")).as("user_id"),
+        when(col("event_id") % 10 =!= 0, lit("view"))
+          .otherwise(col("event_type")).as("event_type"),
+        col("value"), col("props")), "event_id", 32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    layout(spark.read.parquet(s"$srcDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"),
+          when(col("doc_id") % 10 =!= 0, lit("web"))
+            .otherwise(col("source")).as("source"),
+          col("n_chars")), "doc_id", 32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    for (t <- Seq("embeddings", "orders", "lineitem", "customer",
+        "part", "supplier", "nation", "region")) {
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      layout(df, df.columns.head, 8)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
   }
 }

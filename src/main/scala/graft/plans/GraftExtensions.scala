@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.BinaryType
 
-import graft.functions.{BloomMightContainLong, CmsEstimateString, DotF64, NormF64, SortedIntersectI64, SqL2I64}
+import graft.functions.{BloomMightContainLong, BucketI64, CmsEstimateString, DotF64, NormF64, SortedIntersectI64, SqL2I64}
 
 /** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the native vector expressions so they are first-class SQL
@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // argument (a plan constant, like Spark's own BloomFilterMightContain):
     // the sketch is deserialized once per task via the codegen reference
     // array, never per row
+    ext.injectFunction((
+      FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[BucketI64].getName, "graft_bucket"),
+      (children: Seq[Expression]) =>
+        BucketI64(children(0), children(1), children(2))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName,

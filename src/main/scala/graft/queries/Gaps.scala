@@ -1892,18 +1892,26 @@ object Gaps {
         expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("c"))
     val runs = v.groupBy(col("flag"), col("c")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // feeds both passes and the fence aggregate
-    // q166's guarded 2-scalar probe fixes ONE bin width for both axes
+    // q166's guarded 2-scalar probe fixes ONE ln-normalizer for both axes
     val mm = runs.agg(min(col("c")), max(col("c"))).head
     val (lo, hi) =
       if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
-    val bw = (hi - lo) / 4096 + 1
     val nPerFlag = runs.groupBy(col("flag")).agg(sum(col("cnt")).as("n"))
     // sort-free disc-rank pick at k over (flag, value) runs: two-level
     // cumulative (bin prefix + within-bin prefix), shared by both passes
     def pickAt(valRuns: org.apache.spark.sql.DataFrame, valCol: String, origin: Long)
         : org.apache.spark.sql.DataFrame = {
-      val binned = valRuns.withColumn("bin",
-        expr(s"($valCol - ${origin}L) div ${bw}L"))
+      // r18 (the r17 verdict's Next #1): LOG-SCALE bins — the device's
+      // frames are (flag, value) RUNS, so bin load is run-count, and
+      // linear bins collapse runs onto bin 0 under an exponential value
+      // tail (the q234/q257 lesson). Any monotone transform is a valid
+      // binning (boundaries are plan, the picked rank is the answer);
+      // ln anchored at each pass's origin shares one normalizer, and the
+      // dev axis (|c − med| ≤ hi − lo) stays inside it.
+      val binned = valRuns.withColumn("bin", expr(
+        s"""CAST(ln(CAST(($valCol - ${origin}L) + 1 AS DOUBLE))
+           |  / ln(CAST(${hi - lo}L + 2 AS DOUBLE)) * 4096 AS BIGINT)"""
+          .stripMargin))
       val binBefore = binned.groupBy(col("flag"), col("bin"))
         .agg(sum(col("cnt")).as("bc"))
         .select(col("flag"), col("bin"),

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Exact
+import graft.operators.PlanStats
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -80,16 +81,9 @@ object Stats {
       // overridable ONLY so the suite can force each path on fixture-
       // sized data and assert bit-equality; production callers use the
       // measured default
-      threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
-    val mm = e.agg(min(col("us")), max(col("us")), count(lit(1)))
-      .head // 3-scalar probe (bounds + the dispatch row count)
-    if (mm.isNullAt(0)) {
-      e.sparkSession.emptyDataFrame
-        .selectExpr(Seq("CAST(NULL AS STRING) AS event_type")
-          ++ carry.map(c => s"CAST(NULL AS BIGINT) AS $c")
-          ++ Seq("CAST(NULL AS BIGINT) AS gp"): _*)
-        .limit(0)
-    } else if (mm.getLong(2) < threshold) {
+      threshold: Long = TypeGapsParThreshold,
+      edgesOverride: Option[Array[Long]] = None): org.apache.spark.sql.DataFrame = {
+    def windowPath = {
       // small-corpus path: one lead window (identical gaps, no fixed
       // costs; the type-sized-partition ceiling needs ≳10⁷ rows to bite)
       e.select(col("event_type") +: carry.map(col) :+
@@ -97,11 +91,31 @@ object Stats {
             Window.partitionBy(col("event_type"))
               .orderBy(col("us"), col("event_id"))) - col("us")).as("gp"): _*)
         .filter(col("gp").isNotNull)
+    }
+    // r18: zero-job dispatch off the logical plan + parquet footers (no
+    // probe at all when the frame is provably sub-threshold)
+    if (PlanStats.rowUpperBound(e).exists(_ < threshold)) return windowPath
+    val mm = e.agg(min(col("us")), count(lit(1)), edgeProbe("us")).head
+    if (mm.isNullAt(0)) {
+      e.sparkSession.emptyDataFrame
+        .selectExpr(Seq("CAST(NULL AS STRING) AS event_type")
+          ++ carry.map(c => s"CAST(NULL AS BIGINT) AS $c")
+          ++ Seq("CAST(NULL AS BIGINT) AS gp"): _*)
+        .limit(0)
+    } else if (mm.getLong(1) < threshold) {
+      windowPath
     } else {
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val bw = (hi - lo) / 4096 + 1
+      // r18: SAMPLED-QUANTILE time bins (the r17 verdict's perf-weak #1:
+      // the one remaining LINEAR bin — a bursty corpus with 90% of events
+      // inside one hour of a year span put ~90% of rows in one (type,
+      // bin) task and resurrected the serialized window inside the device
+      // built to kill it; Tool genskew's `timeburst` axis measures it).
+      // Quantile edges of `us` spread any burst — at either end of the
+      // span — across ~4096 mass-balanced bins; same monotone-binning
+      // bit-identity proof as rankPar's.
+      val edges = edgesOverride.getOrElse(edgesAt(mm, 2))
       val binned = e
-        .withColumn("bin", expr(s"(us - ${lo}L) div ${bw}L"))
+        .withColumn("bin", bucketCol("us", edges, desc = false))
       val binBefore = binned
         .groupBy(col("event_type"), col("bin"))
         .agg(count(lit(1)).cast("long").as("bc"))
@@ -139,6 +153,42 @@ object Stats {
     }
   }
 
+  /** Interior quantile fractions for the 4096-bin edge sample (r18):
+    * 4095 cuts at i/4096. */
+  private val EdgeFractions: Seq[Double] =
+    (1 to 4095).map(_.toDouble / 4096)
+
+  /** Edge-sample accuracy: percentile_approx's relative-rank error is
+    * ~1/accuracy, so 10⁴ puts each edge within ~0.4 bin-widths of its
+    * nominal mass cut — worst bins stay O(1/4096) of the mass. */
+  private val EdgeAccuracy = 10000
+
+  /** The probe's edge column: a one-pass mergeable quantile sketch over
+    * CAST(key AS LONG) (lossless on the integral-key contract). */
+  private def edgeProbe(key: String): Column =
+    percentile_approx(col(key).cast("long"),
+      typedLit(EdgeFractions), lit(EdgeAccuracy))
+
+  /** Sorted, deduplicated edges off a probe row (null-safe only for the
+    * caller-guaranteed non-empty case). */
+  private def edgesAt(row: org.apache.spark.sql.Row, idx: Int): Array[Long] =
+    row.getSeq[Long](idx).distinct.sorted.toArray
+
+  /** Per-row bucket: |{edges ≤ k}| asc, |{edges ≥ k}| desc — both
+    * monotone along the sort order (see [[graft.functions.BucketI64]]). */
+  private def bucketCol(key: String, edges: Array[Long], desc: Boolean): Column =
+    call_function("graft_bucket", col(key).cast("long"),
+      typedLit(edges.toSeq), lit(desc))
+
+  /** Loud NULL-key refusal for the ZERO-JOB window path (no probe ran, so
+    * no require could): a leading all-null assert sort key — evaluates
+    * per row, never reorders non-null rows (constant NULL prefix), and
+    * raises on the first NULL key. */
+  private def nullGuardKey(device: String, key: String): Column =
+    assert_true(col(key).isNotNull,
+      lit(s"$device: NULL key '$key' — callers must pre-filter (window " +
+        "and two-level paths disagree on NULL keys)")).cast("long")
+
   /** SCALE-PARALLEL RANK over an int64 sort key — the general form of
     * the two-level 4096-bin device (r17, generalizing typeGapsPar's rank
     * stage): `row_number() OVER ([PARTITION BY part] ORDER BY key
@@ -147,15 +197,33 @@ object Stats {
     * corpus-proportional — the round-16 ×100 lesson, and the shape of
     * every global ntile/rank the r16 sweep's `Window.partitionBy` grep
     * could not see (partitionless `Window.orderBy` sites: deciles over
-    * USERS, ranks over DOCS). The rewrite: bin by key range (DESC keys
-    * bin on hi − key so bin order follows sort order), per-(part, bin)
-    * counts roll into a cross-bin exclusive prefix over the ≤4096-row
-    * bin frame, in-bin row_number partitions by (part, bin) — thousands
-    * of tasks — and rank = prefix + in-bin position. Same total order
-    * (ties inside one key value land in one bin and follow `tie`), so
-    * ranks are bit-identical to the window's. Below the measured
-    * [[TypeGapsParThreshold]] the plain window runs (both ends of that
-    * dispatch measured at the gap-family rewrite).
+    * USERS, ranks over DOCS). The rewrite: bin by a monotone function of
+    * the key, per-(part, bin) counts roll into a cross-bin exclusive
+    * prefix over the ≤4096-row bin frame, in-bin row_number partitions
+    * by (part, bin) — thousands of tasks — and rank = prefix + in-bin
+    * position. Same total order (ties inside one key value land in one
+    * bin and follow `tie`), so ranks are bit-identical to the window's.
+    * Below the measured [[TypeGapsParThreshold]] the plain window runs
+    * (both ends of that dispatch measured at the gap-family rewrite).
+    *
+    * r18 (the r17 verdict's Next #2 + #3): bin boundaries are SAMPLED
+    * QUANTILES of the key, not a closed-form transform — r17's ln-space
+    * bins fixed the exponential right tail the skew axis caught, but any
+    * fixed transform has a blind spot (ln anchored at lo collapses on
+    * mass near hi; linear collapses on tails; symlog on offsets). The
+    * probe aggregate now carries `percentile_approx(key, 4095 fractions)`
+    * — one pass, a mergeable GK sketch riding the SAME job as the
+    * dispatch counts — and the edges are mass-balanced by construction
+    * on ANY shape (worst-bin mass ≈ max(hot-key mass, 1/4096 + sketch
+    * error); BucketsSpec pins exponential, reverse-exponential and
+    * lognormal fixtures). Edges are pure plan: any edge set yields
+    * bit-identical output (the adversarial-edges net), so sketch
+    * nondeterminism can never reach an answer. The per-row lookup is the
+    * codegen'd binary search [[graft.functions.BucketI64]]. And when
+    * [[graft.operators.PlanStats.rowUpperBound]] PROVES the frame is
+    * sub-threshold from the logical plan + parquet footers, the window
+    * path runs with ZERO probe jobs (the footer route; a NULL key then
+    * fails loudly via an assert sort key instead of the probe's require).
     *
     * Output: the input columns plus `i` (1-based rank, long) and `nd`
     * (partition row count, long — the ntile/percentile denominator).
@@ -165,50 +233,50 @@ object Stats {
       key: String, desc: Boolean, tie: Seq[String],
       part: Seq[String] = Nil,
       // overridable ONLY for the suite's forced-path equality net
-      threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
-    // r18 (ADVICE): probe bounds through CAST(key AS LONG) so any integral
-    // key type works — q176 feeds an INT32 (documents.n_chars) and
-    // Row.getLong on a boxed Integer throws ClassCastException exactly at
-    // the 2M-row dispatch this device exists for. The cast is lossless on
-    // the integral-key contract and the binning expr promotes to long
-    // anyway. The probe also counts non-null keys: NULL keys are a stated
-    // precondition (the large path's bin equi-join would silently drop
-    // them while the window path keeps them nulls-first — the two
-    // "bit-identical" paths would disagree), so the device refuses loudly
-    // instead.
-    val mm = df.agg(min(col(key).cast("long")), max(col(key).cast("long")),
-      count(lit(1)), count(col(key))).head
-    require(mm.getLong(2) == mm.getLong(3),
-      s"rankPar: key '$key' has ${mm.getLong(2) - mm.getLong(3)} NULL " +
-        "rows — callers must pre-filter (window and two-level paths " +
-        "disagree on NULL keys)")
+      threshold: Long = TypeGapsParThreshold,
+      // overridable ONLY for the suite's adversarial-edges net (edges are
+      // pure plan: ANY array here must yield bit-identical output)
+      edgesOverride: Option[Array[Long]] = None): org.apache.spark.sql.DataFrame = {
     val ordCols = (if (desc) col(key).desc else col(key).asc) +:
       tie.map(col)
-    if (mm.isNullAt(0) || mm.getLong(2) < threshold) {
+    def windowPath(guarded: Boolean) = {
       val w = Window.partitionBy(part.map(col): _*)
+      val ord = if (guarded) nullGuardKey("rankPar", key).asc +: ordCols
+        else ordCols
       df.withColumn("i",
-          row_number().over(w.orderBy(ordCols: _*)).cast("long"))
+          row_number().over(w.orderBy(ord: _*)).cast("long"))
         .withColumn("nd", count(lit(1)).over(w).cast("long"))
+    }
+    // r18: ZERO-JOB dispatch — when the logical plan + parquet footers
+    // PROVE the frame is sub-threshold, skip the probe entirely (the
+    // NULL-key refusal then rides the assert sort key instead)
+    if (PlanStats.rowUpperBound(df).exists(_ < threshold))
+      return windowPath(guarded = true)
+    // r18 (ADVICE): the probe reads counts only (no getLong on the key's
+    // own type — q176's INT32 n_chars threw ClassCastException on the old
+    // min/max read exactly at the 2M-row dispatch this device targets)
+    // and carries the quantile edge sketch in the SAME single pass. It
+    // also counts non-null keys: NULL keys are a stated precondition (the
+    // large path's bin equi-join would silently drop them while the
+    // window path keeps them nulls-first — the two "bit-identical" paths
+    // would disagree), so the device refuses loudly instead.
+    val mm = df.agg(count(lit(1)), count(col(key)), edgeProbe(key)).head
+    require(mm.getLong(0) == mm.getLong(1),
+      s"rankPar: key '$key' has ${mm.getLong(0) - mm.getLong(1)} NULL " +
+        "rows — callers must pre-filter (window and two-level paths " +
+        "disagree on NULL keys)")
+    if (mm.getLong(0) == 0L || mm.getLong(0) < threshold) {
+      windowPath(guarded = false)
     } else {
-      // LOG-SCALE bins (r17, found by the skew axis): any MONOTONE
-      // non-decreasing function of the key is a valid binning (the
-      // cross-bin prefix + in-bin order reconstruct the same total
-      // order — bin boundaries are pure plan, never answer), and linear
-      // range bins collapse on heavy-tailed keys: an exponential gap
-      // distribution puts ~99.99% of rows in bin 0 because the max gap
-      // is ln(n) means out (q234/q257 measured 1.4–1.7× under genskew
-      // and paid the same wall at uniform ×100). ln-space bins spread
-      // an exponential over ~256 bins per e-fold and cap a UNIFORM
-      // key's worst bin at ~L/4096 of the mass (L = ln range ≤ ~44) —
-      // strictly better on tails, never worse than ~0.4%/bin on flats.
-      // IEEE int64→double casts and ln are monotone, so ties share a
-      // bin and order is preserved bit-for-bit.
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val v = if (desc) s"(${hi}L - $key)" else s"($key - ${lo}L)"
-      val binned = df.withColumn("bin", expr(
-        s"""CAST(ln(CAST($v + 1 AS DOUBLE))
-           |  / ln(CAST(${hi - lo}L + 2 AS DOUBLE)) * 4096 AS BIGINT)"""
-          .stripMargin))
+      // SAMPLED-QUANTILE bins (r18; supersedes r17's ln-space bins): any
+      // MONOTONE function of the key is a valid binning (the cross-bin
+      // prefix + in-bin order reconstruct the same total order — bin
+      // boundaries are pure plan, never answer), and quantile edges are
+      // the shape-agnostic monotone function: mass-balanced on tails,
+      // reverse tails, lognormal bodies and bursty clumps alike, where
+      // every closed-form transform has a collapsing counterexample.
+      val edges = edgesOverride.getOrElse(edgesAt(mm, 2))
+      val binned = df.withColumn("bin", bucketCol(key, edges, desc))
       val binCounts = binned.groupBy((part :+ "bin").map(col): _*)
         .agg(count(lit(1)).cast("long").as("bc"))
       val binBefore = binCounts
@@ -292,30 +360,32 @@ object Stats {
       key: String, desc: Boolean, tie: Seq[String],
       values: Seq[String],
       part: Seq[String] = Nil,
-      threshold: Long = TypeGapsParThreshold): org.apache.spark.sql.DataFrame = {
-    // integral-key robustness + NULL-key refusal: see the rankPar note
-    val mm = df.agg(min(col(key).cast("long")), max(col(key).cast("long")),
-      count(lit(1)), count(col(key))).head
-    require(mm.getLong(2) == mm.getLong(3),
-      s"prefixSumPar: key '$key' has ${mm.getLong(2) - mm.getLong(3)} " +
-        "NULL rows — callers must pre-filter (window and two-level " +
-        "paths disagree on NULL keys)")
+      threshold: Long = TypeGapsParThreshold,
+      edgesOverride: Option[Array[Long]] = None): org.apache.spark.sql.DataFrame = {
     val ordCols = (if (desc) col(key).desc else col(key).asc) +:
       tie.map(col)
-    if (mm.isNullAt(0) || mm.getLong(2) < threshold) {
-      val w = Window.partitionBy(part.map(col): _*).orderBy(ordCols: _*)
+    def windowPath(guarded: Boolean) = {
+      val ord = if (guarded)
+        nullGuardKey("prefixSumPar", key).asc +: ordCols else ordCols
+      val w = Window.partitionBy(part.map(col): _*).orderBy(ord: _*)
         .rowsBetween(Window.unboundedPreceding, 0)
       values.foldLeft(df)((acc, v) =>
         acc.withColumn(s"cum_$v", sum(col(v)).over(w).cast("long")))
+    }
+    // zero-job dispatch + single-pass probe + NULL refusal + quantile
+    // edges: see the rankPar notes (r18)
+    if (PlanStats.rowUpperBound(df).exists(_ < threshold))
+      return windowPath(guarded = true)
+    val mm = df.agg(count(lit(1)), count(col(key)), edgeProbe(key)).head
+    require(mm.getLong(0) == mm.getLong(1),
+      s"prefixSumPar: key '$key' has ${mm.getLong(0) - mm.getLong(1)} " +
+        "NULL rows — callers must pre-filter (window and two-level " +
+        "paths disagree on NULL keys)")
+    if (mm.getLong(0) == 0L || mm.getLong(0) < threshold) {
+      windowPath(guarded = false)
     } else {
-      // log-scale bins, as in rankPar (monotone binning is pure plan —
-      // see the rankPar note; same tail-proofing, same flat-key cap)
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val v = if (desc) s"(${hi}L - $key)" else s"($key - ${lo}L)"
-      val binned = df.withColumn("bin", expr(
-        s"""CAST(ln(CAST($v + 1 AS DOUBLE))
-           |  / ln(CAST(${hi - lo}L + 2 AS DOUBLE)) * 4096 AS BIGINT)"""
-          .stripMargin))
+      val edges = edgesOverride.getOrElse(edgesAt(mm, 2))
+      val binned = df.withColumn("bin", bucketCol(key, edges, desc))
       val binSums = binned.groupBy((part :+ "bin").map(col): _*)
         .agg(values.map(v => sum(col(v)).cast("long").as(s"bs_$v")).head,
           values.map(v => sum(col(v)).cast("long").as(s"bs_$v")).tail: _*)
@@ -5012,16 +5082,16 @@ object Stats {
       |  FROM b
       |),
       |x AS (
-      |  SELECT g.event_type, COALESCE(mc.cnt, 0) AS x
+      |  SELECT g.event_type, CAST(COALESCE(mc.cnt, 0) AS HUGEINT) AS x
       |  FROM grid g LEFT JOIN mc
       |    ON mc.event_type = g.event_type AND mc.m = g.m0 + g.t
       |),
       |mom AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(x) AS BIGINT) AS s1,
-      |    CAST(sum(x * x) AS BIGINT) AS s2,
-      |    CAST(sum(x * x * x) AS BIGINT) AS s3,
-      |    CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      |    CAST(sum(x) AS HUGEINT) AS s1,
+      |    CAST(sum(x * x) AS HUGEINT) AS s2,
+      |    CAST(sum(x * x * x) AS HUGEINT) AS s3,
+      |    CAST(sum(x * x * x * x) AS HUGEINT) AS s4
       |  FROM x GROUP BY 1
       |),
       |c AS (
@@ -5084,13 +5154,18 @@ object Stats {
           && mc("m") === col("m0") + col("t"), "left")
       .select(col("g_type").as("event_type"),
         coalesce(col("cnt"), lit(0L)).as("x"))
+    // DECIMAL(38,0) power sums (r18): the timeburst axis put ~9e5
+    // events into ONE hour cell; x^4 = 6.5e23 overflows int64 (DuckDB
+    // sums in int128 and would diverge silently were Spark non-ANSI).
+    // Exact to 1e38 on both engines (HUGEINT twin), value-identical on
+    // uniform corpora, and the downstream CAST(s AS DOUBLE) rounds the
+    // same exact integer on both sides.
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("x")).cast("long").as("s1"),
-        sum(col("x") * col("x")).cast("long").as("s2"),
-        sum(col("x") * col("x") * col("x")).cast("long").as("s3"),
-        sum(col("x") * col("x") * col("x") * col("x")).cast("long")
-          .as("s4"))
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("s2"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("s3"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("s4"))
     val cm = mom.select(col("event_type"), col("n"),
         expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)").as("mu"),
         expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)").as("a2"),
@@ -6542,9 +6617,9 @@ object Stats {
       |),
       |agg AS (
       |  SELECT event_type, n, slope,
-      |    sum(CAST(ee * ee AS DECIMAL(18,9))) AS sse,
-      |    sum(CASE WHEN pe IS NULL THEN CAST(0 AS DECIMAL(18,9))
-      |      ELSE CAST((ee - pe) * (ee - pe) AS DECIMAL(18,9)) END)
+      |    sum(CAST(ee * ee AS DECIMAL(38,9))) AS sse,
+      |    sum(CASE WHEN pe IS NULL THEN CAST(0 AS DECIMAL(38,9))
+      |      ELSE CAST((ee - pe) * (ee - pe) AS DECIMAL(38,9)) END)
       |      AS ssd
       |  FROM res GROUP BY 1, 2, 3
       |)
@@ -6603,9 +6678,14 @@ object Stats {
         lag(ee, 1).over(Window.partitionBy(col("event_type"))
           .orderBy(col("t"))).as("pe"))
     val agg = res.groupBy(col("event_type"), col("n"), col("slope"))
-      .agg(sum(expr("CAST(ee * ee AS DECIMAL(18,9))")).as("sse"),
-        sum(expr("""CASE WHEN pe IS NULL THEN CAST(0 AS DECIMAL(18,9))
-          |ELSE CAST((ee - pe) * (ee - pe) AS DECIMAL(18,9)) END"""
+      // DECIMAL(38,9): the r18 timeburst axis measured ee^2 ~ 8e11 on a
+      // one-day burst (90% of events in one day -> residuals ~ the day
+      // count), overflowing (18,9)'s 1e9 integer range; same 9-digit
+      // quantization, wider headroom (1e29 -- a 100 TB day fits), value-
+      // identical where (18,9) didn't overflow, DuckDB twin widened too
+      .agg(sum(expr("CAST(ee * ee AS DECIMAL(38,9))")).as("sse"),
+        sum(expr("""CASE WHEN pe IS NULL THEN CAST(0 AS DECIMAL(38,9))
+          |ELSE CAST((ee - pe) * (ee - pe) AS DECIMAL(38,9)) END"""
           .stripMargin)).as("ssd"))
     val dw = expr("""CAST(ssd AS DOUBLE) / nullif(CAST(sse AS DOUBLE),
       |  CAST(0 AS DOUBLE))""".stripMargin)
@@ -8313,7 +8393,7 @@ object Stats {
       |),
       |sse AS (
       |  SELECT event_type,
-      |    CAST(sum(CAST(ee * ee AS DECIMAL(18,9))) AS DOUBLE) AS sse
+      |    CAST(sum(CAST(ee * ee AS DECIMAL(38,9))) AS DOUBLE) AS sse
       |  FROM res GROUP BY 1
       |),
       |dd AS (
@@ -8388,7 +8468,8 @@ object Stats {
           |        - CAST(1 AS DOUBLE)))""".stripMargin).as("h"))
       .localCheckpoint() // 2 consumers: SSE and the per-day D scan
     val sse = res.groupBy(col("event_type").as("s_type"))
-      .agg(sum(expr("CAST(ee * ee AS DECIMAL(18,9))")).cast("double")
+      // DECIMAL(38,9): r18 timeburst headroom -- see the q258 note
+      .agg(sum(expr("CAST(ee * ee AS DECIMAL(38,9))")).cast("double")
         .as("sse"))
     val cd = expr("""CASE WHEN sse > 0 THEN
       |  ee * ee * h
@@ -9337,7 +9418,7 @@ object Stats {
       |ssb AS (
       |  SELECT dw.event_type,
       |    CAST(sum(CAST(CAST(dw.sd AS DOUBLE) * CAST(dw.sd AS DOUBLE)
-      |      / CAST(dw.nd AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+      |      / CAST(dw.nd AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
       |      AS sb
       |  FROM dw GROUP BY 1
       |),
@@ -9392,8 +9473,9 @@ object Stats {
         sum(col("c")).cast("long").as("s"),
         sum(col("c") * col("c")).cast("long").as("q"))
     val ssb = dw.groupBy(col("w_type").as("s_type"))
+      // DECIMAL(38,9): r18 timeburst headroom -- see the q258 note
       .agg(sum(expr("""CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
-        |  / CAST(nd AS DOUBLE) AS DECIMAL(18,9))""".stripMargin))
+        |  / CAST(nd AS DOUBLE) AS DECIMAL(38,9))""".stripMargin))
         .cast("double").as("sb"))
     val pk = dw.select(col("w_type").as("p_type"), col("dow"),
         col("nd"), col("sd"),

@@ -879,7 +879,11 @@ object Windows {
     * is a streaming documents frame (source, doc_id, text).
     */
   def streamChunkNovelty(
-      docs: DataFrame, tableName: String): StreamingQuery = {
+      docs: DataFrame, tableName: String,
+      // "memory" for the suite's equality nets; "noop" for Tool
+      // statebench's state-growth measurement (a memory sink would
+      // accumulate every credit row on the driver at ×100)
+      sink: String = "memory"): StreamingQuery = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -905,7 +909,7 @@ object Windows {
       }
       .toDF("source", "doc_id", "chunk_md5")
       .writeStream
-      .format("memory")
+      .format(sink)
       .queryName(tableName)
       .outputMode("append")
       .start()

@@ -73,6 +73,44 @@ class RegistrySpec extends SparkSpec {
         failures.mkString("\n"))
   }
 
+  test("SKEW + ORDER-DETERMINISM CONTRACT: every registered query " +
+      "returns an IDENTICAL ordered row sequence on two physical " +
+      "layouts of the same Zipf+timeburst-skewed fixture (the r18 net " +
+      "for the q02/q22 class: a non-total ORDER BY passes any single " +
+      "layout and diverges across two; the r17 skew gate could only " +
+      "catch it through the round-cadence oracle hash)") {
+    val a = "/tmp/graft_skew_suite_a"
+    val b = "/tmp/graft_skew_suite_b"
+    Tool.writeSkewCorpus(spark, sf, a, timeburst = true,
+      reverseLayout = false)
+    Tool.writeSkewCorpus(spark, sf, b, timeburst = true,
+      reverseLayout = true)
+    // the 4 no_oracle sketch queries are excluded for the same reason the
+    // driver gate excludes them from the hash compare: a mergeable sketch
+    // (GK percentile, HLL register order) may legitimately vary with
+    // partition layout — SketchRollupSpec carries their error-bound nets
+    val failures = SparkEntry.registry.filter(_.oracle.isDefined).flatMap { q =>
+      try {
+        // Row.toString renders sign-of-zero (-0.0 vs 0.0) and NULLs —
+        // the full ordered sequence must match, not a sorted multiset
+        val ra = q.fn(spark, a).collect().map(_.toString)
+        val rb = q.fn(spark, b).collect().map(_.toString)
+        if (ra.toSeq == rb.toSeq) None
+        else {
+          val i = ra.zip(rb).indexWhere { case (x, y) => x != y }
+          Some(s"${q.name}: layouts diverge (${ra.length}/${rb.length} " +
+            s"rows; first diff at $i: " +
+            s"${ra.lift(i).getOrElse("-")} vs ${rb.lift(i).getOrElse("-")})")
+        }
+      } catch {
+        case e: Throwable => Some(s"${q.name}: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.length} queries are layout-sensitive on the skewed " +
+        s"fixture:\n${failures.mkString("\n")}")
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} runs on sf0.001 with distinct non-empty column names") {
       val df = q.fn(spark, sf)

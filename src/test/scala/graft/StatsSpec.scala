@@ -4664,9 +4664,12 @@ class StatsSpec extends SparkSpec {
       Stats.rankPar(d, "k", desc = false, Seq("id"), Nil, 0L).collect()
     }
     assert(e1.getMessage.contains("NULL"))
+    // threshold 0 forces the probe on both devices (a Long.MaxValue
+    // threshold would take the r18 ZERO-JOB stats dispatch, whose
+    // refusal is the execution-time assert sort key — BucketsSpec's net)
     val e2 = intercept[IllegalArgumentException] {
       Stats.prefixSumPar(d, "k", desc = false, Seq("id"), Seq("id"), Nil,
-        Long.MaxValue).collect()
+        0L).collect()
     }
     assert(e2.getMessage.contains("NULL"))
   }

@@ -577,4 +577,78 @@ class StreamingSpec extends SparkSpec {
           s"$srcName decile $dc")
     }
   }
+
+  test("RocksDB state store (r18, the r17 verdict's Next #5): the " +
+      "unbounded-state operators — chunk novelty's one-boolean-per-" +
+      "distinct-chunk and the sessionizer — run bit-identically on the " +
+      "DISK-backed RocksDB provider, the 100 TB answer to state that " +
+      "cannot fit an in-memory HashMap; the provider engagement is " +
+      "asserted off the query's own state-operator metrics, not assumed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("source"), col("doc_id"), col("text")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._2)
+      def md5hex(s: String): String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      val batchFo = docs.filter(t => t._1 != null && t._3.nonEmpty)
+        .flatMap { case (src, id, t) =>
+          (0 until t.length by 150).map(cs =>
+            (src, md5hex(t.slice(cs, cs + 200))) -> id)
+        }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).min }
+      val src = MemoryStream[(String, Long, String)]
+      val q = Windows.streamChunkNovelty(
+        src.toDF.toDF("source", "doc_id", "text"), "chunk_novelty_rocks")
+      try {
+        for (b <- docs.grouped(math.max(1, docs.length / 3 + 1)))
+          { src.addData(b.toSeq); q.processAllAvailable() }
+        val streamed = spark.table("chunk_novelty_rocks").collect()
+          .map(r => (r.getString(0), r.getString(2)) -> r.getLong(1))
+          .toMap
+        assert(streamed === batchFo,
+          "RocksDB-backed credits diverge from the batch truth")
+        // engagement proof: RocksDB's own custom metrics appear on the
+        // state operator (the HDFS/in-memory provider publishes none of
+        // these), and the state row count is the distinct chunk count
+        val so = q.lastProgress.stateOperators
+        assert(so.nonEmpty)
+        val metrics = so.head.customMetrics
+        assert(metrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+          s"no rocksdb* custom metrics — provider did not engage: " +
+            s"${metrics.keySet.asScala.mkString(",")}")
+        assert(so.head.numRowsTotal === batchFo.size.toLong)
+      } finally q.stop()
+      // the sessionizer (flatMapGroupsWithState, event-time timeout) on
+      // RocksDB: emitted sessions must equal the default provider's run
+      // over the same corpus, row for row
+      def sessionsWith(table: String): Set[String] = {
+        val sq = Windows.streamSessionize(spark, sf, table)
+        try {
+          sq.processAllAvailable()
+          spark.table(table).collect().map(_.toString).toSet
+        } finally sq.stop()
+      }
+      val rocks = sessionsWith("sessions_rocks")
+      spark.conf.unset(key) // default (HDFS-backed in-memory) provider
+      val mem = sessionsWith("sessions_mem_ctl")
+      assert(rocks.nonEmpty && rocks === mem,
+        s"RocksDB sessions diverge: ${rocks.size} vs ${mem.size}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
