@@ -440,6 +440,108 @@ object Tool {
         println("ROWS=" + back.count() + " SCHEMA=" +
           back.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
         println("MIN_ID=" + back.agg(min(col("id").cast("long"))).head.getLong(0))
+      case Some("qbench") =>
+        // Per-run task-metric receipts for a single registered query
+        // (r18, the r17 verdict's Next #4 — q191's 1.38–2.37× solo
+        // spread with a byte-identical plan needs a NAMED cause):
+        // wall, summed executor run/CPU time, JVM GC time inside tasks,
+        // shuffle memory/disk spill, and peak execution memory, per run.
+        //   runMain graft.Tool qbench <query> [sfDir] [runs]
+        val nameQ = args(1)
+        val dirQ = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        val runsQ = if (args.length > 3) args(3).toInt else 6
+        val run = new java.util.concurrent.atomic.AtomicLong(0)
+        val gc = new java.util.concurrent.atomic.AtomicLong(0)
+        val cpu = new java.util.concurrent.atomic.AtomicLong(0)
+        val spillM = new java.util.concurrent.atomic.AtomicLong(0)
+        val spillD = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              run.addAndGet(m.executorRunTime)
+              cpu.addAndGet(m.executorCpuTime / 1000000L)
+              gc.addAndGet(m.jvmGCTime)
+              spillM.addAndGet(m.memoryBytesSpilled)
+              spillD.addAndGet(m.diskBytesSpilled)
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        for (i <- 1 to runsQ) {
+          Seq(run, cpu, gc, spillM, spillD).foreach(_.set(0))
+          val t0 = System.nanoTime()
+          SparkEntry.queries(nameQ)(spark, dirQ)
+            .write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(300) // listener drain
+          println(f"QBENCH $nameQ run$i wall=$wall%.2f " +
+            f"taskRun=${run.get / 1000.0}%.1f cpu=${cpu.get / 1000.0}%.1f " +
+            f"gc=${gc.get / 1000.0}%.1f spillMem=${spillM.get} " +
+            f"spillDisk=${spillD.get}")
+        }
+      case Some("q133diag") =>
+        // stage-isolated timings for the q133 burst investigation (r18)
+        val dirD = if (args.length > 1) args(1) else "/tmp/graft_skewt100"
+        val iv = Tables.events(spark, dirD)
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            expr("unix_micros(ts)").as("s_us"),
+            expr("""unix_micros(ts)
+              + (60 + ((CAST(floor(value) AS BIGINT) % 3540) + 3540) % 3540)
+                * CAST(1000000 AS BIGINT)""").as("e_us"))
+        val deltas = iv.select(col("event_type"), explode(expr(
+            "array(struct(s_us AS t, 1 AS delta), struct(e_us AS t, -1 AS delta))"))
+            .as("x"))
+          .select(col("event_type"), col("x.t").as("t"),
+            col("x.delta").as("delta"))
+        def time(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          f
+          println(f"Q133DIAG $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        time("deltas_count") { deltas.write.format("noop").mode("overwrite").save() }
+        val runs = deltas
+          .groupBy(col("event_type"), col("t"), col("delta"))
+          .agg(count(lit(1)).cast("long").as("cnt"))
+          .withColumn("dd", col("delta") * col("cnt"))
+        time("runs_collapse") { runs.write.format("noop").mode("overwrite").save() }
+        time("probe_pctl") {
+          runs.agg(count(lit(1)), count(col("t")),
+            percentile_approx(col("t").cast("long"),
+              typedLit((1 to 4095).map(_.toDouble / 4096)),
+              lit(10000))).head
+        }
+        val ps = graft.queries.Stats.prefixSumPar(runs, "t",
+          desc = false, Seq("delta"), Seq("dd"), Seq("event_type"))
+        time("prefix_sum") { ps.write.format("noop").mode("overwrite").save() }
+        // inner stages: quantile edges by hand, then each two-level leg
+        val mmD = runs.agg(count(lit(1)), count(col("t")),
+          percentile_approx(col("t").cast("long"),
+            typedLit((1 to 4095).map(_.toDouble / 4096)), lit(10000))).head
+        val edgesD = mmD.getSeq[Long](2).distinct.sorted
+        println(s"Q133DIAG edges=${edgesD.length}")
+        val binnedD = runs.withColumn("bin",
+          call_function("graft_bucket", col("t").cast("long"),
+            typedLit(edgesD), lit(false)))
+        time("binned_only") {
+          binnedD.write.format("noop").mode("overwrite").save() }
+        time("bin_hist") {
+          val h = binnedD.groupBy(col("event_type"), col("bin"))
+            .agg(count(lit(1)).as("c")).agg(max(col("c"))).head
+          println(s"Q133DIAG worst_bin=${h.getLong(0)}")
+        }
+        val inbW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("bin"))
+          .orderBy(col("t").asc, col("delta"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        time("inbin_window") {
+          binnedD.withColumn("inb_dd", sum(col("dd")).over(inbW)
+              .cast("long"))
+            .write.format("noop").mode("overwrite").save()
+        }
       case Some("statebench") =>
         // RocksDB state-growth curve for streamChunkNovelty (r18, the
         // r17 verdict's Next #5): stage the corpus as N files, stream

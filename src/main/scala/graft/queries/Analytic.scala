@@ -1097,33 +1097,25 @@ object Analytic {
       } else {
         // two-level prefix sum over COLLAPSED (type, t, delta) runs: the
         // RANGE frame's peer rows share one run row, so a rows-frame
-        // running sum over runs is exactly the peer-inclusive cum
+        // running sum over runs is exactly the peer-inclusive cum.
+        // r18: the inline LINEAR time bin here was the one straggler the
+        // timeburst ×100 bench measured (6.8× — 90% of runs in one bin,
+        // the exact collapse class the r17 verdict predicted for linear
+        // time bins); routed through prefixSumPar, whose probe over the
+        // collapsed runs frame samples QUANTILE edges — mass-balanced
+        // under any burst placement, bit-identical cum by the monotone-
+        // binning argument (BucketsSpec's edge-invariance net).
         val runs = deltas
           .groupBy(col("event_type"), col("t"), col("delta"))
           .agg(count(lit(1)).cast("long").as("cnt"))
-        val (lo, bw) =
-          (mm.getLong(0), (mm.getLong(1) - mm.getLong(0)) / 4096 + 1)
-        val binned = runs
-          .withColumn("bin", expr(s"(t - ${lo}L) div ${bw}L"))
-        val binBefore = binned
-          .groupBy(col("event_type"), col("bin"))
-          .agg(sum(col("delta") * col("cnt")).cast("long").as("bs"))
-          .select(col("event_type").as("b_type"), col("bin").as("b_bin"),
-            coalesce(
-              sum(col("bs")).over(Window.partitionBy(col("event_type"))
-                .orderBy(col("bin"))
-                .rowsBetween(Window.unboundedPreceding, -1)),
-              lit(0L)).as("before"))
-        val inb = binned
-          .withColumn("inb",
-            sum(col("delta") * col("cnt")).over(
-              Window.partitionBy(col("event_type"), col("bin"))
-                .orderBy(col("t"), col("delta"))
-                .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
-          .join(broadcast(binBefore),
-            col("event_type") === col("b_type")
-              && col("bin") === col("b_bin"))
-          .withColumn("cum", col("before") + col("inb"))
+          .withColumn("dd", col("delta") * col("cnt"))
+        val inb = graft.queries.Stats.prefixSumPar(runs, "t",
+            desc = false, Seq("delta"), Seq("dd"), Seq("event_type"))
+          .withColumn("cum", col("cum_dd"))
+          // pinned: TWO consumers (the per-type max and the join) would
+          // otherwise run the whole two-level prefix pipeline twice —
+          // measured ~2× wall on the 18M-run burst corpus (r18)
+          .localCheckpoint()
         val mxs = inb.groupBy(col("event_type").as("m_type"))
           .agg(max(col("cum")).cast("long").as("mx"))
         inb.join(broadcast(mxs), col("event_type") === col("m_type"))
