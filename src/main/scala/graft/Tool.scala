@@ -455,6 +455,7 @@ object Tool {
         val cpu = new java.util.concurrent.atomic.AtomicLong(0)
         val spillM = new java.util.concurrent.atomic.AtomicLong(0)
         val spillD = new java.util.concurrent.atomic.AtomicLong(0)
+        val events = new java.util.concurrent.atomic.AtomicLong(0)
         val listener = new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(
               te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -466,16 +467,31 @@ object Tool {
               spillM.addAndGet(m.memoryBytesSpilled)
               spillD.addAndGet(m.diskBytesSpilled)
             }
+            events.incrementAndGet()
           }
         }
         spark.sparkContext.addSparkListener(listener)
+        // r18 ADVICE: the listener bus is asynchronous — a fixed sleep can
+        // misattribute late onTaskEnd events from run i to run i+1. All
+        // jobs are DONE when save() returns, so the queue only drains:
+        // poll the event counter until it is stable across two consecutive
+        // windows (bounded at 5 s) before reading or resetting counters.
+        def drainBus(): Unit = {
+          val deadline = System.nanoTime() + 5000000000L
+          var prev = -1L
+          while (prev != events.get && System.nanoTime() < deadline) {
+            prev = events.get
+            Thread.sleep(150)
+          }
+        }
         for (i <- 1 to runsQ) {
+          drainBus() // any stragglers from the previous run land BEFORE reset
           Seq(run, cpu, gc, spillM, spillD).foreach(_.set(0))
           val t0 = System.nanoTime()
           SparkEntry.queries(nameQ)(spark, dirQ)
             .write.format("noop").mode("overwrite").save()
           val wall = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(300) // listener drain
+          drainBus()
           println(f"QBENCH $nameQ run$i wall=$wall%.2f " +
             f"taskRun=${run.get / 1000.0}%.1f cpu=${cpu.get / 1000.0}%.1f " +
             f"gc=${gc.get / 1000.0}%.1f spillMem=${spillM.get} " +
@@ -562,21 +578,50 @@ object Tool {
           .repartition(nfSB)
           .write.mode("overwrite").parquet(staged)
         val sch = spark.read.parquet(staged).schema
+        // r18 ADVICE: recentProgress is capped at
+        // spark.sql.streaming.numRecentProgressUpdates (default 100) — with
+        // nFiles above the cap the earliest batches silently vanish and the
+        // printed curve starts mid-series. A StreamingQueryListener prints
+        // every progress AS IT ARRIVES, uncapped.
+        val doneSB = new java.util.concurrent.atomic.AtomicLong(0)
+        val lSB = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener
+                .QueryStartedEvent): Unit = ()
+          override def onQueryProgress(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener
+                .QueryProgressEvent): Unit = {
+            val p = e.progress
+            for (so <- p.stateOperators.headOption) {
+              val cm = so.customMetrics
+              println(s"STATEBENCH batch=${p.batchId} in=${p.numInputRows} " +
+                s"stateRows=${so.numRowsTotal} " +
+                s"sst=${cm.get("rocksdbSstFileSize")} " +
+                s"mem=${cm.get("rocksdbTotalMemoryUsage")} " +
+                s"commitMs=${so.commitTimeMs}")
+            }
+            doneSB.incrementAndGet()
+          }
+          override def onQueryTerminated(
+              e: org.apache.spark.sql.streaming.StreamingQueryListener
+                .QueryTerminatedEvent): Unit = ()
+        }
+        spark.streams.addListener(lSB)
         val qSB = graft.streaming.Windows.streamChunkNovelty(
           spark.readStream.schema(sch)
             .option("maxFilesPerTrigger", "1").parquet(staged),
           "statebench", sink = "noop")
         try {
           qSB.processAllAvailable()
-          for (p <- qSB.recentProgress; so <- p.stateOperators.headOption) {
-            val cm = so.customMetrics
-            println(s"STATEBENCH batch=${p.batchId} in=${p.numInputRows} " +
-              s"stateRows=${so.numRowsTotal} " +
-              s"sst=${cm.get("rocksdbSstFileSize")} " +
-              s"mem=${cm.get("rocksdbTotalMemoryUsage")} " +
-              s"commitMs=${so.commitTimeMs}")
+          // progress events are async too — give the stream-listener bus a
+          // bounded stability window before tearing down
+          val deadline = System.nanoTime() + 5000000000L
+          var prev = -1L
+          while (prev != doneSB.get && System.nanoTime() < deadline) {
+            prev = doneSB.get
+            Thread.sleep(200)
           }
-        } finally qSB.stop()
+        } finally { qSB.stop(); spark.streams.removeListener(lSB) }
       case _ =>
         val d = "/root/testdata/sf0.01"
         val prod = col("l_extendedprice") * (lit(1.0) - col("l_discount"))

@@ -75,10 +75,20 @@ object PlanStats {
       case pr: Project => walk(pr.child)
       case s: Sort => walk(s.child)
       case w: Window => walk(w.child)
-      case a: Aggregate => walk(a.child)
+      case a: Aggregate =>
+        // A GLOBAL aggregate (no grouping keys) over an empty child still
+        // emits exactly one row — walk(child)=0 would under-count and break
+        // the never-under-count contract (r18 ADVICE).
+        walk(a.child).map { n =>
+          if (a.groupingExpressions.isEmpty) math.max(n, 1L) else n
+        }
       case d: Distinct => walk(d.child)
       case d: Deduplicate => walk(d.child)
-      case s: Sample => walk(s.child)
+      // Sample WITH replacement is a Poisson sampler: it can emit MORE rows
+      // than its child (and fraction may exceed 1), so the child bound is
+      // not an upper bound there (r18 ADVICE). Without replacement the
+      // Bernoulli sampler emits a subset — child bound is sound.
+      case s: Sample if !s.withReplacement => walk(s.child)
       case r: RepartitionOperation => walk(r.child)
       case a: SubqueryAlias => walk(a.child)
       case g: GlobalLimit => boundedLimit(g.limitExpr, g.child)

@@ -83,19 +83,33 @@ object Stats {
       // measured default
       threshold: Long = TypeGapsParThreshold,
       edgesOverride: Option[Array[Long]] = None): org.apache.spark.sql.DataFrame = {
-    def windowPath = {
+    def windowPath(guarded: Boolean) = {
       // small-corpus path: one lead window (identical gaps, no fixed
-      // costs; the type-sized-partition ceiling needs ≳10⁷ rows to bite)
+      // costs; the type-sized-partition ceiling needs ≳10⁷ rows to bite).
+      // The guarded variant (zero-job dispatch, no probe ran) refuses
+      // NULL `us` loudly via the assert sort key — same contract as
+      // rankPar/prefixSumPar: the window path keeps NULL-us rows
+      // nulls-first (perturbing neighbors' gaps) while the two-level
+      // path drops them at the bin equi-join, so NULL `us` must never
+      // silently pick a meaning by path (r18 ADVICE).
+      val ord = (if (guarded) Seq(nullGuardKey("typeGapsCarry", "us").asc)
+        else Nil) ++ Seq(col("us").asc, col("event_id").asc)
       e.select(col("event_type") +: carry.map(col) :+
           (lead(col("us"), 1).over(
             Window.partitionBy(col("event_type"))
-              .orderBy(col("us"), col("event_id"))) - col("us")).as("gp"): _*)
+              .orderBy(ord: _*)) - col("us")).as("gp"): _*)
         .filter(col("gp").isNotNull)
     }
     // r18: zero-job dispatch off the logical plan + parquet footers (no
     // probe at all when the frame is provably sub-threshold)
-    if (PlanStats.rowUpperBound(e).exists(_ < threshold)) return windowPath
-    val mm = e.agg(min(col("us")), count(lit(1)), edgeProbe("us")).head
+    if (PlanStats.rowUpperBound(e).exists(_ < threshold))
+      return windowPath(guarded = true)
+    val mm = e.agg(min(col("us")), count(lit(1)), edgeProbe("us"),
+      count(col("us"))).head
+    require(mm.getLong(1) == mm.getLong(3),
+      s"typeGapsCarry: key 'us' has ${mm.getLong(1) - mm.getLong(3)} NULL " +
+        "rows — callers must pre-filter (window and two-level paths " +
+        "disagree on NULL keys)")
     if (mm.isNullAt(0)) {
       e.sparkSession.emptyDataFrame
         .selectExpr(Seq("CAST(NULL AS STRING) AS event_type")
@@ -103,7 +117,7 @@ object Stats {
           ++ Seq("CAST(NULL AS BIGINT) AS gp"): _*)
         .limit(0)
     } else if (mm.getLong(1) < threshold) {
-      windowPath
+      windowPath(guarded = false)
     } else {
       // r18: SAMPLED-QUANTILE time bins (the r17 verdict's perf-weak #1:
       // the one remaining LINEAR bin — a bursty corpus with 90% of events

@@ -166,6 +166,66 @@ class BucketsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("rowUpperBound soundness corners (r18 ADVICE): Poisson sample " +
+      "(withReplacement) can EMIT MORE ROWS than its child so the bound " +
+      "must refuse; a GLOBAL aggregate over an empty child still emits " +
+      "one row so the bound must be >= 1") {
+    import spark.implicits._
+    val d = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a", "b")
+    // without replacement: subset of child — child bound is sound
+    assert(PlanStats.rowUpperBound(
+      d.sample(withReplacement = false, 0.5)).contains(3L))
+    // with replacement: Poisson sampler, fraction may exceed 1 — any
+    // child-derived bound can under-count; unknown means probe
+    assert(PlanStats.rowUpperBound(
+      d.sample(withReplacement = true, 2.0)).isEmpty)
+    // global aggregate over a provably-empty child: 1 row, never 0
+    val empty = d.filter(col("a") > 100L)
+    val g = PlanStats.rowUpperBound(empty.agg(count(lit(1))))
+    assert(g.exists(_ >= 1L), s"global agg over empty child bound: $g")
+    // and it really is one row
+    assert(empty.agg(count(lit(1))).count() === 1L)
+    // grouped aggregate keeps the child bound — here the optimizer folds
+    // the filter into an EMPTY LocalRelation, so the bound is an exact 0
+    // (0 groups from 0 rows) and only the GLOBAL agg needs the floor of 1
+    val grouped = empty.groupBy(col("a")).agg(count(lit(1)))
+    assert(PlanStats.rowUpperBound(grouped).exists(_ >= grouped.count()))
+  }
+
+  test("typeGapsCarry refuses NULL `us` on BOTH dispatch routes (r18 " +
+      "ADVICE): the probe path via a loud require, the zero-job window " +
+      "path via the assert sort key — NULL keys must never silently pick " +
+      "a meaning by path") {
+    val dir = "/tmp/graft_bucketspec_tg_nulls"
+    spark.range(0, 10).selectExpr(
+        "CAST(id AS BIGINT) AS event_id",
+        "CASE WHEN id = 3 THEN CAST(NULL AS BIGINT) ELSE id * 1000000 END AS us",
+        "'view' AS event_type")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val e = spark.read.parquet(dir)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // zero-job route (footer-provable 10 rows < threshold): assert key
+    assert(PlanStats.rowUpperBound(e).contains(10L))
+    val exWin = intercept[Exception] {
+      Stats.typeGapsCarry(e, Nil).collect()
+    }
+    assert(messages(exWin).exists(_.contains("NULL key")),
+      s"window path: ${messages(exWin).mkString(" | ")}")
+    // probe route (forced by an unprovable plan: threshold 0 forces the
+    // probe only when the footer bound can't fire — join breaks the walk)
+    val unprovable = e.join(
+      e.select(col("event_id").as("j_id")).distinct(),
+      col("event_id") === col("j_id")).drop("j_id")
+    assert(PlanStats.rowUpperBound(unprovable).isEmpty)
+    val exProbe = intercept[IllegalArgumentException] {
+      Stats.typeGapsCarry(unprovable, Nil).collect()
+    }
+    assert(exProbe.getMessage.contains("NULL"),
+      s"probe path: ${exProbe.getMessage}")
+  }
+
   test("the zero-job window path still refuses NULL keys — loudly, at " +
       "execution (the assert sort key stands in for the probe's require)") {
     val dir = "/tmp/graft_bucketspec_nulls"
