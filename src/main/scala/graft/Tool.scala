@@ -20,6 +20,15 @@ object Tool {
       case Some("sql") =>
         // Ad-hoc SQL against the session (extensions loaded): Tool sql "<q>"
         spark.sql(args(1)).show(20, truncate = false)
+      case Some("sqlwrite") =>
+        // Corpus surgery: `Tool sqlwrite "<sql>" <outParquet> [nParts]` —
+        // write a query result as parquet (e.g. a single-table variant of
+        // a scale corpus, with the other tables symlinked).
+        val nP = if (args.length > 3) args(3).toInt else 32
+        spark.sql(args(1)).repartition(nP)
+          .write.mode("overwrite").parquet(args(2))
+        println(s"SQLWRITE out=${args(2)} rows=" +
+          spark.read.parquet(args(2)).count())
       case Some("timesql") =>
         // Hot-loop timing: `Tool timesql "<sql>"` — noop-writes the query
         // 3× and prints each wall time (first run includes codegen warmup).
@@ -233,17 +242,31 @@ object Tool {
         // long overflow — byte-reproducible, no randomness). Bursted rows
         // ride Tables.events' normalized TimestampType layout (the
         // genspan precedent); null-ts rows copy through unburst.
-        //   runMain graft.Tool genskew [srcDir] [outDir] [timeburst]
+        // r19 (the r18 verdict's Next #1): a `hotvalue` token makes 90%
+        // of rows share ONE VALUE on the RANKED columns — docs.n_chars
+        // (q176's rank key) and events.value (the score family's) — the
+        // axis that serializes equal-key rows into one in-bin task under
+        // ANY monotone key binning (no key skew is applied in this mode,
+        // so the measurement attributes cleanly to the hot value).
+        //   runMain graft.Tool genskew [srcDir] [outDir] [timeburst|hotvalue]
         val srcK = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
         val outK = if (args.length > 2) args(2) else "/tmp/graft_skew"
         val burstK = args.length > 3 && args(3) == "timeburst"
+        val hotvK = args.length > 3 && args(3) == "hotvalue"
         writeSkewCorpus(spark, srcK, outK, timeburst = burstK,
-          reverseLayout = false)
-        val hot = spark.read.parquet(s"$outK/events.parquet")
-          .filter(col("event_type") === "view").count()
-        val tot = spark.read.parquet(s"$outK/events.parquet").count()
-        println(s"GENSKEW out=$outK timeburst=$burstK " +
-          s"view_share=${hot.toDouble / tot} rows=$tot")
+          reverseLayout = false, hotvalue = hotvK)
+        if (hotvK) {
+          val docsK = spark.read.parquet(s"$outK/documents.parquet")
+          val hotDocs = docsK.filter(col("n_chars") === 2048).count()
+          println(s"GENSKEW out=$outK hotvalue=true " +
+            s"n_chars_share=${hotDocs.toDouble / docsK.count()}")
+        } else {
+          val hot = spark.read.parquet(s"$outK/events.parquet")
+            .filter(col("event_type") === "view").count()
+          val tot = spark.read.parquet(s"$outK/events.parquet").count()
+          println(s"GENSKEW out=$outK timeburst=$burstK " +
+            s"view_share=${hot.toDouble / tot} rows=$tot")
+        }
       case Some("genspan") =>
         // Deterministic CALENDAR-SPAN stretch for the q193/q203 crossover
         // measurement (`Tool ewmabench`): unlike genscale (density ×N,
@@ -566,17 +589,40 @@ object Tool {
         // (one per distinct chunk), RocksDB SST bytes, and memtable
         // bytes — so the unbounded-by-design state's growth is a
         // MEASURED curve, not a hope.
-        //   runMain graft.Tool statebench [srcDir] [nFiles]
+        // r19: an optional [ttlMs] runs the HORIZON-BOUNDED variant
+        // (streamChunkNoveltyTtl) instead — docs staged in doc_id order
+        // (contiguous ranges, ascending file mtimes = in-order intake)
+        // with ts = timestamp_millis(doc_id) as the ingest clock, so the
+        // printed curve shows the state PLATEAU the eviction buys.
+        //   runMain graft.Tool statebench [srcDir] [nFiles] [ttlMs]
         val srcSB = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
         val nfSB = if (args.length > 2) args(2).toInt else 10
+        val ttlMs = if (args.length > 3) Some(args(3).toLong) else None
         spark.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state." +
             "RocksDBStateStoreProvider")
         val staged = "/tmp/graft_statebench_src"
-        spark.read.parquet(s"$srcSB/documents.parquet")
+        val docsSB = spark.read.parquet(s"$srcSB/documents.parquet")
           .select(col("source"), col("doc_id"), col("text"))
-          .repartition(nfSB)
-          .write.mode("overwrite").parquet(staged)
+        if (ttlMs.isEmpty) {
+          docsSB.repartition(nfSB).write.mode("overwrite").parquet(staged)
+        } else {
+          // contiguous doc_id slices written sequentially: the file
+          // source replays them oldest-mtime-first = event-time order
+          val bSB = docsSB.agg(min(col("doc_id")), max(col("doc_id"))).head
+          val (loSB, hiSB) = (bSB.getLong(0), bSB.getLong(1))
+          val strideSB = math.max(1L, (hiSB - loSB + 1) / nfSB)
+          org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(staged), true)
+          for (i <- 0 until nfSB) {
+            val lo = loSB + i * strideSB
+            val hi = if (i == nfSB - 1) hiSB + 1 else loSB + (i + 1) * strideSB
+            docsSB.filter(col("doc_id") >= lo && col("doc_id") < hi)
+              .withColumn("ts", expr("timestamp_millis(doc_id)"))
+              .coalesce(1).write.mode("append").parquet(staged)
+          }
+        }
         val sch = spark.read.parquet(staged).schema
         // r18 ADVICE: recentProgress is capped at
         // spark.sql.streaming.numRecentProgressUpdates (default 100) — with
@@ -607,10 +653,14 @@ object Tool {
                 .QueryTerminatedEvent): Unit = ()
         }
         spark.streams.addListener(lSB)
-        val qSB = graft.streaming.Windows.streamChunkNovelty(
-          spark.readStream.schema(sch)
-            .option("maxFilesPerTrigger", "1").parquet(staged),
-          "statebench", sink = "noop")
+        val srcStream = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+        val qSB = ttlMs match {
+          case Some(h) => graft.streaming.Windows.streamChunkNoveltyTtl(
+            srcStream, "statebench", h, sink = "noop")
+          case None => graft.streaming.Windows.streamChunkNovelty(
+            srcStream, "statebench", sink = "noop")
+        }
         try {
           qSB.processAllAvailable()
           // progress events are async too — give the stream-listener bus a
@@ -661,7 +711,8 @@ object Tool {
   private[graft] def writeSkewCorpus(
       spark: org.apache.spark.sql.SparkSession,
       srcDir: String, outDir: String,
-      timeburst: Boolean, reverseLayout: Boolean): Unit = {
+      timeburst: Boolean, reverseLayout: Boolean,
+      hotvalue: Boolean = false): Unit = {
     def layout(df: org.apache.spark.sql.DataFrame, key: String,
         parts: Int): org.apache.spark.sql.DataFrame =
       if (reverseLayout)
@@ -679,18 +730,39 @@ object Tool {
             "pmod(pmod(event_id, 3600000000L) * 1000003L, 3600000000L))"))
           .otherwise(col("ts"))
       }
+    // hotvalue mode: RANKED-column point mass, keys untouched (clean
+    // attribution — see genskew); otherwise the Zipfian key reweight
+    val evTypeCol =
+      if (hotvalue) col("event_type")
+      else when(col("event_id") % 10 =!= 0, lit("view"))
+        .otherwise(col("event_type"))
+    val evUserCol =
+      if (hotvalue) col("user_id")
+      else when(col("event_id") % 100 < 30, lit(1L))
+        .otherwise(col("user_id"))
+    val evValueCol =
+      if (hotvalue)
+        when(col("value").isNotNull && col("event_id") % 10 =!= 0,
+          lit(13.0)).otherwise(col("value"))
+      else col("value")
     layout(ev0.select(col("event_id"), tsCol.as("ts"),
-        when(col("event_id") % 100 < 30, lit(1L))
-          .otherwise(col("user_id")).as("user_id"),
-        when(col("event_id") % 10 =!= 0, lit("view"))
-          .otherwise(col("event_type")).as("event_type"),
-        col("value"), col("props")), "event_id", 32)
+        evUserCol.as("user_id"),
+        evTypeCol.as("event_type"),
+        evValueCol.as("value"), col("props")), "event_id", 32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    val docSrcCol =
+      if (hotvalue) col("source")
+      else when(col("doc_id") % 10 =!= 0, lit("web"))
+        .otherwise(col("source")).as("source")
+    val docCharsCol =
+      if (hotvalue)
+        when(col("n_chars").isNotNull && col("doc_id") % 10 =!= 0,
+          lit(2048)).otherwise(col("n_chars"))
+      else col("n_chars")
     layout(spark.read.parquet(s"$srcDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang"),
-          when(col("doc_id") % 10 =!= 0, lit("web"))
-            .otherwise(col("source")).as("source"),
-          col("n_chars")), "doc_id", 32)
+          docSrcCol.as("source"),
+          docCharsCol.as("n_chars")), "doc_id", 32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     for (t <- Seq("embeddings", "orders", "lineitem", "customer",
         "part", "supplier", "nation", "region")) {

@@ -105,7 +105,7 @@ object Stats {
     if (PlanStats.rowUpperBound(e).exists(_ < threshold))
       return windowPath(guarded = true)
     val mm = e.agg(min(col("us")), count(lit(1)), edgeProbe("us"),
-      count(col("us"))).head
+      count(col("us")), tieProbe("event_id")).head
     require(mm.getLong(1) == mm.getLong(3),
       s"typeGapsCarry: key 'us' has ${mm.getLong(1) - mm.getLong(3)} NULL " +
         "rows — callers must pre-filter (window and two-level paths " +
@@ -128,24 +128,32 @@ object Stats {
       // span — across ~4096 mass-balanced bins; same monotone-binning
       // bit-identity proof as rankPar's.
       val edges = edgesOverride.getOrElse(edgesAt(mm, 2))
+      // r19: identical-timestamp clumps (second-granularity corpora,
+      // replicated fixtures) are the gap family's hot-key shape — the
+      // same tie sub-binning as rankPar's, tie = event_id
+      val (hot, tieEdges) = hotPlanOf(mm, 2, 4, Some("event_id"), edges,
+        edgesOverride.isDefined, None)
       val binned = e
         .withColumn("bin", bucketCol("us", edges, desc = false))
+        .withColumn("sbin", subbinCol("us", Some("event_id"), hot, tieEdges))
       val binBefore = binned
-        .groupBy(col("event_type"), col("bin"))
+        .groupBy(col("event_type"), col("bin"), col("sbin"))
         .agg(count(lit(1)).cast("long").as("bc"))
         .select(col("event_type").as("b_type"), col("bin").as("b_bin"),
+          col("sbin").as("b_sbin"),
           coalesce(
             sum(col("bc")).over(Window.partitionBy(col("event_type"))
-              .orderBy(col("bin"))
+              .orderBy(col("bin"), col("sbin"))
               .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)).as("before"))
       val ranked = binned
         .withColumn("inb", row_number().over(
-          Window.partitionBy(col("event_type"), col("bin"))
+          Window.partitionBy(col("event_type"), col("bin"), col("sbin"))
             .orderBy(col("us"), col("event_id"))).cast("long"))
         .join(broadcast(binBefore),
           col("event_type") === col("b_type")
-            && col("bin") === col("b_bin"))
+            && col("bin") === col("b_bin")
+            && col("sbin") === col("b_sbin"))
         .select(col("event_type") +: col("us") +: carry.map(col) :+
           (col("before") + col("inb")).as("i"): _*)
         // pinned: BOTH self-join sides consume the ranked frame — unpinned,
@@ -182,6 +190,127 @@ object Stats {
   private def edgeProbe(key: String): Column =
     percentile_approx(col(key).cast("long"),
       typedLit(EdgeFractions), lit(EdgeAccuracy))
+
+  // ---- hot-key tie sub-binning (r19, the r18 verdict's Next #1) -------
+  //
+  // Quantile edges are deduplicated, so ALL rows sharing one key value
+  // land in one bin by construction — no monotone binning of the key can
+  // split equal keys, and a rank key with a 30%-mass value (an integer
+  // score, a default/sentinel, replicated n_chars) serialized 30% of the
+  // corpus into ONE in-bin row_number task. The fix is the device's own
+  // trick applied once more, to the TIE: inside a bin whose smallest
+  // (asc; largest desc) value is a HOT key value, sub-bin that value's
+  // rows by a monotone function of the first tie column. Soundness:
+  //   - a hot value v (≥ HotMinRepeats raw sketch repeats ⇒ ≳0.2% mass)
+  //     is by construction a member of the deduplicated edge array, and
+  //     an edge value is always the asc-MINIMUM (desc-MAXIMUM) of its own
+  //     bin — so v's rows sort FIRST within the bin on either direction,
+  //     and every other (non-hot) value in that bin sorts after them;
+  //   - within v's rows the total order is tie order alone (key equal),
+  //     and bucket(tie) is monotone in tie — so (bin, sbin) lexicographic
+  //     blocks remain CONTIGUOUS runs of the total order, the cross-bin
+  //     exclusive prefix extends over (bin, sbin), and rank/prefix-sum
+  //     answers are bit-identical (the same argument that made key
+  //     binning pure plan applies verbatim to the tie);
+  //   - non-hot rows take a sentinel sub-bin AFTER every tie bucket, and
+  //     NULL ties (nulls-first under the ascending tie order) take -1,
+  //     BEFORE every bucket.
+  // Worst-task mass drops from max(hot-key mass, 1/4096 + ε) to
+  // ≈ max(HotMinRepeats/4096, hot-mass/256, 1/4096 + ε): a 90%-hot key
+  // now spreads over ~256 tie sub-bins instead of one task. Tie edges
+  // ride the SAME single probe pass (one more percentile_approx in the
+  // same HashAggregate). Sub-binning applies when the first tie column
+  // is integral (event_id/user_id/doc_id — every production consumer);
+  // a non-integral or absent tie keeps the r18 behavior, documented.
+  // A hot value whose TIE is also constant (fully duplicate rows) cannot
+  // be spread by any order-preserving device — that residue is the
+  // genuinely serialized content.
+
+  /** Tie-edge fractions: 255 interior cuts — 256 sub-bins per hot value
+    * bound the bin frame at 4096 + 512·257 ≈ 136k rows (still a
+    * broadcast-sized frame). */
+  private val TieFractions: Seq[Double] = (1 to 255).map(_.toDouble / 256)
+
+  /** Raw-sketch repeat threshold: a value occupying ≥ 8 of the 4095
+    * sampled cuts carries ≳ 8/4096 ≈ 0.2% of the mass — above that, one
+    * bin = one task is already 8× nominal. At most 4095/8 ≈ 511 values
+    * can qualify. */
+  private val HotMinRepeats = 8
+
+  /** Sentinel sub-bin for non-hot rows sharing a hot value's bin: they
+    * are > v (asc) / < v (desc), so they sort AFTER every tie bucket. */
+  private val SubbinOther = 1000000L
+
+  private def tieProbe(tie: String): Column =
+    percentile_approx(col(tie).cast("long"),
+      typedLit(TieFractions), lit(EdgeAccuracy))
+
+  /** The first tie column iff its type is integral (sub-binnable: the
+    * bucket lookup needs a lossless long cast). */
+  private def integralTie(df: org.apache.spark.sql.DataFrame,
+      tie: Seq[String]): Option[String] =
+    tie.headOption.filter { t =>
+      df.schema(t).dataType match {
+        case org.apache.spark.sql.types.ByteType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    }
+
+  /** Hot key values off the RAW (duplicate-preserving) probe sketch —
+    * every returned value is necessarily a member of the deduplicated
+    * edge array. */
+  private def hotValuesOf(raw: Seq[Long]): Array[Long] =
+    raw.groupBy(identity)
+      .collect { case (v, occ) if occ.size >= HotMinRepeats => v }
+      .toArray.sorted
+
+  /** The sub-bin column: tie buckets for hot-key rows (NULL tie → -1,
+    * nulls-first), the AFTER-sentinel for everything else; constant 0
+    * when sub-binning is off (absent/non-integral tie, or no hot keys). */
+  private def subbinCol(key: String, tieLong: Option[String],
+      hot: Array[Long], tieEdges: Array[Long]): Column =
+    tieLong match {
+      case Some(t) if hot.nonEmpty =>
+        when(col(key).cast("long").isin(hot.map(Long.box): _*),
+          coalesce(
+            call_function("graft_bucket", col(t).cast("long"),
+              typedLit(tieEdges.toSeq), lit(false)),
+            lit(-1L)))
+          .otherwise(lit(SubbinOther))
+      case _ => lit(0L)
+    }
+
+  /** Resolve (hot values, tie edges) for the large path: test overrides
+    * win (hot must be ⊆ edges — enforced), otherwise hot detection reads
+    * the raw key sketch and tie edges the tie sketch, both off the SAME
+    * probe row. Explicit key-edge overrides disable sampling-derived hot
+    * detection (the raw sketch no longer matches the edges in force). */
+  private def hotPlanOf(mm: org.apache.spark.sql.Row, rawIdx: Int,
+      tieIdx: Int, tieL: Option[String], edges: Array[Long],
+      edgesOverridden: Boolean,
+      subbinOverride: Option[(Array[Long], Array[Long])])
+      : (Array[Long], Array[Long]) = {
+    val plan = subbinOverride match {
+      case Some(p) => p
+      case None if tieL.isDefined && !edgesOverridden =>
+        val h = hotValuesOf(mm.getSeq[Long](rawIdx))
+        if (h.isEmpty) (Array.empty[Long], Array.empty[Long])
+        else {
+          val te = Option(mm.getSeq[Long](tieIdx))
+            .map(_.distinct.sorted.toArray).getOrElse(Array.empty[Long])
+          (h, te)
+        }
+      case _ => (Array.empty[Long], Array.empty[Long])
+    }
+    val edgeSet = edges.toSet
+    require(plan._1.forall(edgeSet.contains),
+      "hot sub-bin values must be members of the edge array (a hot value " +
+        "is only its bin's boundary row when it IS an edge)")
+    plan
+  }
 
   /** Sorted, deduplicated edges off a probe row (null-safe only for the
     * caller-guaranteed non-empty case). */
@@ -228,9 +357,14 @@ object Stats {
     * probe aggregate now carries `percentile_approx(key, 4095 fractions)`
     * — one pass, a mergeable GK sketch riding the SAME job as the
     * dispatch counts — and the edges are mass-balanced by construction
-    * on ANY shape (worst-bin mass ≈ max(hot-key mass, 1/4096 + sketch
-    * error); BucketsSpec pins exponential, reverse-exponential and
-    * lognormal fixtures). Edges are pure plan: any edge set yields
+    * on ANY shape (BucketsSpec pins exponential, reverse-exponential and
+    * lognormal fixtures). r19 closes the one mass the key edges cannot
+    * split — a HOT key value (equal keys land in one bin under any
+    * monotone key binning) — by sub-binning hot values' rows on TIE
+    * quantiles from the same probe pass, so worst-task mass is
+    * ≈ max(HotMinRepeats/4096, hot-mass/256, 1/4096 + sketch error)
+    * with no hot-key term (see the hot-key notes above hotValuesOf).
+    * Edges are pure plan: any edge set yields
     * bit-identical output (the adversarial-edges net), so sketch
     * nondeterminism can never reach an answer. The per-row lookup is the
     * codegen'd binary search [[graft.functions.BucketI64]]. And when
@@ -250,7 +384,12 @@ object Stats {
       threshold: Long = TypeGapsParThreshold,
       // overridable ONLY for the suite's adversarial-edges net (edges are
       // pure plan: ANY array here must yield bit-identical output)
-      edgesOverride: Option[Array[Long]] = None): org.apache.spark.sql.DataFrame = {
+      edgesOverride: Option[Array[Long]] = None,
+      // overridable ONLY for the suite's forced sub-bin nets: (hot key
+      // values — must be ⊆ the edges in force — , tie edges); sub-bins
+      // are pure plan too, any consistent pair must yield identical rows
+      subbinOverride: Option[(Array[Long], Array[Long])] = None)
+      : org.apache.spark.sql.DataFrame = {
     val ordCols = (if (desc) col(key).desc else col(key).asc) +:
       tie.map(col)
     def windowPath(guarded: Boolean) = {
@@ -274,7 +413,12 @@ object Stats {
     // large path's bin equi-join would silently drop them while the
     // window path keeps them nulls-first — the two "bit-identical" paths
     // would disagree), so the device refuses loudly instead.
-    val mm = df.agg(count(lit(1)), count(col(key)), edgeProbe(key)).head
+    // r19: the same pass also carries the TIE quantile sketch for hot-key
+    // sub-binning (see the hot-key notes above hotValuesOf).
+    val tieL = integralTie(df, tie)
+    val probeAggs = Seq(count(lit(1)), count(col(key)), edgeProbe(key)) ++
+      tieL.map(tieProbe)
+    val mm = df.agg(probeAggs.head, probeAggs.tail: _*).head
     require(mm.getLong(0) == mm.getLong(1),
       s"rankPar: key '$key' has ${mm.getLong(0) - mm.getLong(1)} NULL " +
         "rows — callers must pre-filter (window and two-level paths " +
@@ -289,16 +433,21 @@ object Stats {
       // the shape-agnostic monotone function: mass-balanced on tails,
       // reverse tails, lognormal bodies and bursty clumps alike, where
       // every closed-form transform has a collapsing counterexample.
+      // r19: hot key values additionally sub-bin by tie quantiles.
       val edges = edgesOverride.getOrElse(edgesAt(mm, 2))
+      val (hot, tieEdges) = hotPlanOf(mm, 2, 3, tieL, edges,
+        edgesOverride.isDefined, subbinOverride)
       val binned = df.withColumn("bin", bucketCol(key, edges, desc))
-      val binCounts = binned.groupBy((part :+ "bin").map(col): _*)
+        .withColumn("sbin", subbinCol(key, tieL, hot, tieEdges))
+      val binCounts = binned.groupBy((part :+ "bin" :+ "sbin").map(col): _*)
         .agg(count(lit(1)).cast("long").as("bc"))
       val binBefore = binCounts
         .select(part.map(c => col(c).as(s"b_$c"))
           :+ col("bin").as("b_bin")
+          :+ col("sbin").as("b_sbin")
           :+ coalesce(
             sum(col("bc")).over(Window.partitionBy(part.map(col): _*)
-              .orderBy(col("bin"))
+              .orderBy(col("bin"), col("sbin"))
               .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)).as("before"): _*)
       val totals =
@@ -309,11 +458,12 @@ object Stats {
           .select(part.map(c => col(c).as(s"t_$c")) :+ col("nd"): _*)
       val ranked = binned
         .withColumn("inb", row_number().over(
-          Window.partitionBy((part :+ "bin").map(col): _*)
+          Window.partitionBy((part :+ "bin" :+ "sbin").map(col): _*)
             .orderBy(ordCols: _*)).cast("long"))
         .join(broadcast(binBefore),
           part.map(c => col(c) === col(s"b_$c"))
-            .foldLeft(col("bin") === col("b_bin"))(_ && _))
+            .foldLeft(col("bin") === col("b_bin")
+              && col("sbin") === col("b_sbin"))(_ && _))
       val withN =
         if (part.isEmpty) ranked.crossJoin(broadcast(totals))
         else ranked.join(broadcast(totals),
@@ -375,7 +525,9 @@ object Stats {
       values: Seq[String],
       part: Seq[String] = Nil,
       threshold: Long = TypeGapsParThreshold,
-      edgesOverride: Option[Array[Long]] = None): org.apache.spark.sql.DataFrame = {
+      edgesOverride: Option[Array[Long]] = None,
+      subbinOverride: Option[(Array[Long], Array[Long])] = None)
+      : org.apache.spark.sql.DataFrame = {
     val ordCols = (if (desc) col(key).desc else col(key).asc) +:
       tie.map(col)
     def windowPath(guarded: Boolean) = {
@@ -387,10 +539,13 @@ object Stats {
         acc.withColumn(s"cum_$v", sum(col(v)).over(w).cast("long")))
     }
     // zero-job dispatch + single-pass probe + NULL refusal + quantile
-    // edges: see the rankPar notes (r18)
+    // edges: see the rankPar notes (r18); hot-key tie sub-bins (r19)
     if (PlanStats.rowUpperBound(df).exists(_ < threshold))
       return windowPath(guarded = true)
-    val mm = df.agg(count(lit(1)), count(col(key)), edgeProbe(key)).head
+    val tieL = integralTie(df, tie)
+    val probeAggs = Seq(count(lit(1)), count(col(key)), edgeProbe(key)) ++
+      tieL.map(tieProbe)
+    val mm = df.agg(probeAggs.head, probeAggs.tail: _*).head
     require(mm.getLong(0) == mm.getLong(1),
       s"prefixSumPar: key '$key' has ${mm.getLong(0) - mm.getLong(1)} " +
         "NULL rows — callers must pre-filter (window and two-level " +
@@ -399,26 +554,31 @@ object Stats {
       windowPath(guarded = false)
     } else {
       val edges = edgesOverride.getOrElse(edgesAt(mm, 2))
+      val (hot, tieEdges) = hotPlanOf(mm, 2, 3, tieL, edges,
+        edgesOverride.isDefined, subbinOverride)
       val binned = df.withColumn("bin", bucketCol(key, edges, desc))
-      val binSums = binned.groupBy((part :+ "bin").map(col): _*)
+        .withColumn("sbin", subbinCol(key, tieL, hot, tieEdges))
+      val binSums = binned.groupBy((part :+ "bin" :+ "sbin").map(col): _*)
         .agg(values.map(v => sum(col(v)).cast("long").as(s"bs_$v")).head,
           values.map(v => sum(col(v)).cast("long").as(s"bs_$v")).tail: _*)
       val binBefore = binSums
         .select(part.map(c => col(c).as(s"b_$c"))
           :+ col("bin").as("b_bin")
+          :+ col("sbin").as("b_sbin")
           :++ values.map(v => coalesce(
             sum(col(s"bs_$v")).over(Window.partitionBy(part.map(col): _*)
-              .orderBy(col("bin"))
+              .orderBy(col("bin"), col("sbin"))
               .rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)).as(s"before_$v")): _*)
-      val inb = Window.partitionBy((part :+ "bin").map(col): _*)
+      val inb = Window.partitionBy((part :+ "bin" :+ "sbin").map(col): _*)
         .orderBy(ordCols: _*)
         .rowsBetween(Window.unboundedPreceding, 0)
       values.foldLeft(binned)((acc, v) =>
           acc.withColumn(s"inb_$v", sum(col(v)).over(inb).cast("long")))
         .join(broadcast(binBefore),
           part.map(c => col(c) === col(s"b_$c"))
-            .foldLeft(col("bin") === col("b_bin"))(_ && _))
+            .foldLeft(col("bin") === col("b_bin")
+              && col("sbin") === col("b_sbin"))(_ && _))
         .select(df.columns.map(col)
           ++ values.map(v =>
             (col(s"before_$v") + col(s"inb_$v")).as(s"cum_$v")): _*)

@@ -914,4 +914,84 @@ object Windows {
       .outputMode("append")
       .start()
   }
+
+  /** HORIZON-BOUNDED chunk novelty (r19, the r18 verdict's Next #5):
+    * [[streamChunkNovelty]]'s per-distinct-chunk state is unbounded BY
+    * DESIGN (novelty against all history is that query); this variant
+    * bounds it — a chunk is credited on its first occurrence AND again
+    * after every silence gap longer than `horizonMs` of EVENT time, and
+    * state older than the horizon is EVICTED via event-time timeouts, so
+    * resident state is "chunks seen within the last horizon", a plateau
+    * instead of a line (`Tool statebench … ttl` measures the curve).
+    *
+    * Correctness does NOT lean on timeout timing: the credit decision
+    * compares each occurrence's event time against the stored last-seen
+    * time (one Long per live chunk) — a gap is a gap whether or not the
+    * evictor has run — and occurrences WITHIN a batch are walked in
+    * (ts, doc_id) order, so under in-order intake (the same stated
+    * precondition as the unbounded device) streamed credits ≡ the batch
+    * lag-window oracle `credit iff ts − lag(ts) > horizon` at ANY batch
+    * boundary placement (StreamingSpec asserts 1-batch vs 3-batch).
+    * The timeout only SAVES SPACE: it removes a chunk once the watermark
+    * passes lastSeen + horizon, and any later in-order occurrence is
+    * > horizon away, which re-credits under the oracle too.
+    *
+    * Input must carry an event-time `ts` column (the ingest clock);
+    * watermark delay 0 = the in-order contract made explicit.
+    */
+  def streamChunkNoveltyTtl(
+      docs: DataFrame, tableName: String, horizonMs: Long,
+      sink: String = "memory"): StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col("source").isNotNull && length(col("text")) > 0 &&
+        col("ts").isNotNull)
+      .withWatermark("ts", "0 seconds")
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(150L))).as("cs"), col("text"), col("ts"))
+      .select(col("source"), col("doc_id"),
+        md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"),
+        // the watermark-carrying ts column itself must reach the grouped
+        // Dataset — EventTimeTimeout refuses a frame whose watermark
+        // attribute was projected away
+        col("ts"))
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(e => (e._1, e._3))
+      .flatMapGroupsWithState[Long, (String, Long, String)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String),
+         occurrences: Iterator[(String, Long, String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon of silence: the space bound
+            Iterator.empty
+          } else {
+            val sorted = occurrences.toArray
+              .map(r => (r._1, r._2, r._3, r._4.getTime))
+              .sortBy(r => (r._4, r._2))
+            var last = state.getOption.getOrElse(Long.MinValue / 4)
+            val credits = Array.newBuilder[(String, Long, String)]
+            for (r <- sorted) {
+              if (r._4 - last > horizonMs)
+                credits += ((key._1, r._2, key._2))
+              last = math.max(last, r._4)
+            }
+            state.update(last)
+            // evict once the watermark passes last + horizon; must stay
+            // strictly above the current watermark (late-data floor)
+            state.setTimeoutTimestamp(math.max(last + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            credits.result().iterator
+          }
+      }
+      .toDF("source", "doc_id", "chunk_md5")
+      .writeStream
+      .format(sink)
+      .queryName(tableName)
+      .outputMode("append")
+      .start()
+  }
 }

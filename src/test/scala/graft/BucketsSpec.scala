@@ -166,6 +166,82 @@ class BucketsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("hot-key tie sub-binning (r19): a 90%-hot rank key returns rows " +
+      "bit-identical to the window path on the SAMPLED two-level path, " +
+      "the forced-override path, and ADVERSARIAL tie edges (empty, " +
+      "duplicate, extreme) — sub-bins are pure plan, never answer; " +
+      "NULL ties ride nulls-first; desc direction included; an override " +
+      "whose hot value is not an edge is refused loudly") {
+    // 200k rows, 90% share k=500 (the serialized-task shape), unique tie,
+    // 3 partitions; deterministic arithmetic only (resume-safe)
+    val d = spark.range(0, 200000, 1, 8).selectExpr(
+      "CASE WHEN id % 10 != 0 THEN 500L ELSE pmod(xxhash64(id), 1000L) END AS k",
+      "CASE WHEN id % 97 = 0 THEN CAST(NULL AS BIGINT) ELSE id END AS t",
+      "CAST(pmod(id, 3) AS STRING) AS p")
+    def rk(desc: Boolean, threshold: Long,
+        eov: Option[Array[Long]] = None,
+        sov: Option[(Array[Long], Array[Long])] = None): Seq[String] =
+      Stats.rankPar(d, "k", desc, Seq("t"), Seq("p"), threshold, eov, sov)
+        .collect().map(_.toString).sorted.toSeq
+    for (desc <- Seq(false, true)) {
+      val window = rk(desc, Long.MaxValue) // zero-job guarded window path
+      assert(window.nonEmpty)
+      // sampled path: the probe itself must detect the hot value and
+      // sub-bin it — same rows
+      assert(rk(desc, 0L) === window, s"sampled path diverged (desc=$desc)")
+      // forced override: hot value IS an edge; tie edges adversarial
+      val edges = Some(Array(100L, 500L, 900L))
+      for (te <- Seq(Array.empty[Long], Array(5L, 5L, 5L),
+          Array(Long.MinValue, 0L, 77777L, Long.MaxValue)))
+        assert(rk(desc, 0L, edges, Some((Array(500L), te))) === window,
+          s"override path diverged (desc=$desc, te=${te.toSeq})")
+    }
+    // hot value not a member of the edge array: loudly refused, never a
+    // silent wrong-order binning
+    val ex = intercept[IllegalArgumentException] {
+      rk(desc = false, 0L, Some(Array(100L)), Some((Array(500L), Array(7L))))
+    }
+    assert(ex.getMessage.contains("edge array"))
+  }
+
+  test("hot-key tie sub-binning: prefixSumPar on the same 90%-hot fixture " +
+      "— sampled and adversarial-override paths equal the window path") {
+    val d = spark.range(0, 200000, 1, 8).selectExpr(
+      "CASE WHEN id % 10 != 0 THEN 500L ELSE pmod(xxhash64(id), 1000L) END AS k",
+      "id AS t",
+      "CAST(pmod(id, 3) AS STRING) AS p",
+      "pmod(id, 7L) AS v")
+    def ps(threshold: Long,
+        eov: Option[Array[Long]] = None,
+        sov: Option[(Array[Long], Array[Long])] = None): Seq[String] =
+      Stats.prefixSumPar(d, "k", desc = false, Seq("t"), Seq("v"),
+          Seq("p"), threshold, eov, sov)
+        .collect().map(_.toString).sorted.toSeq
+    val window = ps(Long.MaxValue)
+    assert(window.nonEmpty)
+    assert(ps(0L) === window, "sampled sub-bin path diverged")
+    assert(ps(0L, Some(Array(500L)),
+      Some((Array(500L), Array(1000L, 100000L)))) === window,
+      "override sub-bin path diverged")
+  }
+
+  test("hot-key tie sub-binning: typeGapsCarry on identical-timestamp " +
+      "clumps (90% of events share one us) — forced two-level equals " +
+      "window, carry columns included") {
+    val e = spark.range(0, 150000, 1, 8).selectExpr(
+      "id AS event_id",
+      "CASE WHEN id % 10 != 0 THEN 1700000000000000L " +
+        "ELSE 1700000000000000L + id * 1000L END AS us",
+      "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
+      "pmod(id, 11L) AS vc")
+    def tg(threshold: Long): Seq[String] =
+      Stats.typeGapsCarry(e, Seq("vc"), threshold)
+        .collect().map(_.toString).sorted.toSeq
+    val window = tg(Long.MaxValue)
+    assert(window.nonEmpty)
+    assert(tg(0L) === window, "hot-us two-level path diverged")
+  }
+
   test("rowUpperBound soundness corners (r18 ADVICE): Poisson sample " +
       "(withReplacement) can EMIT MORE ROWS than its child so the bound " +
       "must refuse; a GLOBAL aggregate over an empty child still emits " +
