@@ -4529,37 +4529,47 @@ object Stats {
     val mom = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("gp")).cast("long").as("sg"))
-    // r16: two-level 4096-bin rank (q142 device, eleventh application) —
-    // the per-type orderBy(gp) window serialized on type-sized tasks at
-    // the ×100 axis. Ties within a bin stay arbitrary: the KS max is
-    // tie-invariant AS A SET (a tie run shares one ffit and receives the
-    // same rank set under any permutation — q257's invariance argument).
-    // r17: routed through rankPar, whose LOG-SCALE bins fix the
-    // skew-axis straggler (bounds are GLOBAL min/max; linear bins let
-    // rare types' day-long gaps crush the hot type's µs gaps into bin 0
-    // — 1.39× measured; ln-space spreads the tail ~256 bins/e-fold).
-    val mmR = gaps.agg(min(col("gp")), count(lit(1))).head
-    val ranked =
-      if (mmR.isNullAt(0))
-        gaps.select(col("event_type"), col("gp"), lit(0L).as("i"))
-      else {
-        rankPar(gaps, "gp", desc = false, Nil, Seq("event_type"))
-          .select(col("event_type"), col("gp"), col("i"))
-      }
+    // r16→r18 this ranked EVERY gap row (rankPar, quantile bins). r19:
+    // RUN-COLLAPSE instead — a replicated corpus ties 99.9% of gaps at
+    // one value (measured ×1000: 99.9M of 100M rows share gp = 0, only
+    // ~100k distinct (type, gp) runs), equal keys land in ONE bin under
+    // ANY monotone key binning (the rankPar hot-key note), and this
+    // tie-less rank has no tie column to sub-bin by. But the KS row term
+    // v(i) = max(i/n − F̂, F̂ − (i−1)/n) is the max of an INCREASING and
+    // a DECREASING function of i, so over a tie run [lo, hi] (one gp ⇒
+    // one F̂) its maximum sits at an endpoint: max over the run =
+    // max(v(lo), v(hi)) — the SAME double expressions evaluated at
+    // i = lo and i = hi, bit-identical to the row-grain max. Collapse to
+    // value runs, rank run ENDPOINTS off a cumulative run count
+    // (prefixSumPar at run grain: distinct gp per type — no ties, and
+    // the ~distinct-gap-sized frame rides the plain window), evaluate v
+    // at both ends. The row-grain oracle SQL is unchanged — same maxima.
+    val runs = gaps.groupBy(col("event_type"), col("gp"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint() // 2 consumers (prefixSumPar probe + main scan):
+      // unpinned, each recomputes the 100M-row groupBy (§5.7 pin rule);
+      // the pin is run-table-sized (~distinct gaps), trivially cheap
+    val ranked = prefixSumPar(runs, "gp", desc = false, Nil, Seq("cnt"),
+        Seq("event_type"))
+      .select(col("event_type"), col("gp"), col("cnt"),
+        (col("cum_cnt") - col("cnt") + 1L).as("lo"),
+        col("cum_cnt").as("hi"))
+    def ksAt(i: String): String =
+      s"""CASE WHEN CAST($i AS DOUBLE) / CAST(n AS DOUBLE) - ffit
+         |    > ffit - CAST($i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+         |  THEN CAST($i AS DOUBLE) / CAST(n AS DOUBLE) - ffit
+         |  ELSE ffit - CAST($i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
+         |  END""".stripMargin
     val rk = ranked.join(mom, "event_type")
-      .select(col("event_type"), col("gp"), col("n"), col("sg"), col("i"),
+      .select(col("event_type"), col("gp"), col("n"), col("sg"),
+        col("lo"), col("hi"),
         expr("""CAST(1 AS DOUBLE)
           |  - CAST(exp(CAST(0 AS DOUBLE)
           |      - CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)
           |        * CAST(gp AS DOUBLE)) AS FLOAT)""".stripMargin)
           .as("ffit"))
     val dd = rk.groupBy(col("event_type"), col("n"), col("sg"))
-      .agg(max(expr(
-        """CASE WHEN CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - ffit
-          |    > ffit - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
-          |  THEN CAST(i AS DOUBLE) / CAST(n AS DOUBLE) - ffit
-          |  ELSE ffit - CAST(i - 1 AS DOUBLE) / CAST(n AS DOUBLE)
-          |  END""".stripMargin)).as("d"))
+      .agg(max(greatest(expr(ksAt("hi")), expr(ksAt("lo")))).as("d"))
     dd.select(col("event_type"), col("n").as("n_gaps"),
         Exact.ratio6Big("sg", "n * 1000").as("mean_gap_ms"), // Big: µs-gap sum ≈ span (r16 audit),
         round(col("d"), 6).as("ks_d"),
@@ -6607,17 +6617,20 @@ object Stats {
     * gaps.
     *
     * Exactness: F̂ is the q234 float-cast-exp term (bit-identical
-    * cross-engine); (2i−1)/(2n) is ONE double divide of exact int64s;
-    * each squared term is a fixed-order chain cast DECIMAL(18,9) so the
-    * n-term sum is associative. TIE-INVARIANT as a SET: within a gp tie
-    * run F̂ is constant and the run occupies the same rank set {i} under
-    * any permutation, so Σ over the run cannot move — the same argument
-    * q234's max carries, now for a sum (the single-key ORDER BY states
-    * it). n = 0 types never reach the output (no gaps, no test).
+    * cross-engine). r19: the sum is taken at VALUE-RUN grain — over a
+    * tie run [lo, hi] the Σ(F̂ − (2i−1)/(2n))² closed form rides two
+    * exact integers (Σ(2i−1) and 3·Σ(2i−1)², DECIMAL(38,0)/HUGEINT, no
+    * division) into one fixed-order double chain per run, quantized
+    * DECIMAL(18,9) and summed associatively — the same formula text on
+    * both engines, so the hash contract is unchanged while the rank
+    * stage drops from row grain to distinct-gap grain (see the body
+    * note: 99.9% of gaps tie on a replicated corpus). TIE-INVARIANCE is
+    * now algebra, not argument: the run IS the unit. n = 0 types never
+    * reach the output (no gaps, no test).
     *
-    * Plan: q234's — one lag window, a per-type moment broadcast, one
-    * ranked scan into a map-side-combined decimal aggregate, 5-row
-    * finish.
+    * Plan: q234's — one lag window, a per-type moment broadcast, a
+    * run-grain cumulative count into a map-side-combined decimal
+    * aggregate, 5-row finish.
     */
   val q257CramerVonMises = Q(
     "q257_cramer_von_mises",
@@ -6639,21 +6652,37 @@ object Stats {
       |    CAST(sum(gp) AS BIGINT) AS sg
       |  FROM gg GROUP BY 1
       |),
+      |runs AS (
+      |  SELECT event_type, gp, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM gg GROUP BY 1, 2
+      |),
+      |rr AS (
+      |  SELECT event_type, gp, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type
+      |      ORDER BY gp) AS BIGINT) AS hi
+      |  FROM runs
+      |),
       |rk AS (
-      |  SELECT g.event_type, m.n, m.sg,
-      |    CAST(row_number() OVER (PARTITION BY g.event_type
-      |      ORDER BY g.gp) AS BIGINT) AS i,
+      |  SELECT r.event_type, m.n, m.sg, r.cnt, r.hi,
+      |    r.hi - r.cnt + 1 AS lo,
       |    CAST(1 AS DOUBLE)
       |      - CAST(exp(CAST(0 AS DOUBLE)
       |          - CAST(m.n AS DOUBLE) / CAST(m.sg AS DOUBLE)
-      |            * CAST(g.gp AS DOUBLE)) AS FLOAT) AS ffit
-      |  FROM gg g JOIN mom m ON m.event_type = g.event_type
+      |            * CAST(r.gp AS DOUBLE)) AS FLOAT) AS ffit
+      |  FROM rr r JOIN mom m ON m.event_type = r.event_type
       |),
       |w AS (
       |  SELECT event_type, n, sg,
       |    sum(CAST(
-      |      (ffit - CAST(2 * i - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
-      |      * (ffit - CAST(2 * i - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
+      |      CAST(cnt AS DOUBLE) * ffit * ffit
+      |      - ffit * (CAST(CAST(hi AS HUGEINT) * hi
+      |          - CAST(lo - 1 AS HUGEINT) * (lo - 1) AS DOUBLE)
+      |        / CAST(n AS DOUBLE))
+      |      + CAST(CAST(hi AS HUGEINT) * (2 * hi - 1) * (2 * hi + 1)
+      |          - CAST(lo - 1 AS HUGEINT) * (2 * lo - 3) * (2 * lo - 1)
+      |          AS DOUBLE)
+      |        / (CAST(12 AS DOUBLE) * CAST(n AS DOUBLE)
+      |           * CAST(n AS DOUBLE))
       |      AS DECIMAL(18,9))) AS w2sum
       |  FROM rk GROUP BY 1, 2, 3
       |)
@@ -6679,24 +6708,34 @@ object Stats {
     val mom = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("gp")).cast("long").as("sg"))
-    // two-level per-type rank (q142, ninth application — r15: this was
-    // the family's other 0.57 exponent beside q260's). Ties inside a
-    // bin stay arbitrary — W² is tie-invariant AS A SET (constant F̂
-    // over a tie run × the same rank set), the stated q257 invariance,
-    // so the decomposition is value-identical to the flat window.
-    // r17: routed through rankPar, whose LOG-SCALE bins fix the
-    // skew-axis straggler (bounds are GLOBAL min/max; linear bins put
-    // ~all rows in bin 0 under an exponential tail — 1.57× measured;
-    // see the rankPar note).
-    val mmP = gaps.agg(min(col("gp"))).head
-    val ranked =
-      if (mmP.isNullAt(0))
-        gaps.select(col("event_type"), col("gp"), lit(0L).as("i"))
-      else
-        rankPar(gaps, "gp", desc = false, Nil, Seq("event_type"))
-          .select(col("event_type"), col("gp"), col("i"))
+    // r16→r18 this ranked EVERY gap row. r19: RUN-COLLAPSE (the q234
+    // move) — 99.9% of gaps tie at one value on a replicated corpus and
+    // a tie-less rank cannot sub-bin, so the row-grain rank serialized
+    // ~all rows into one task at ×1000. W² is tie-invariant as a SET
+    // (constant F̂ over a run × the same rank set), and over a run
+    // [lo, hi] the sum Σ(F̂ − (2i−1)/(2n))² has an EXACT-INTEGER closed
+    // form: Σ(2i−1) = hi² − (lo−1)², and 3·Σ(2i−1)² =
+    // hi(2hi−1)(2hi+1) − (lo−1)(2lo−3)(2lo−1) — no division anywhere,
+    // carried in DECIMAL(38,0)/HUGEINT (exact to n ≤ ~10¹², stated),
+    // converted to DOUBLE once, then the SAME fixed-order double chain
+    // on BOTH engines and the same per-run DECIMAL(18,9) quantization
+    // (per-RUN quantization replaces r18's per-ROW — both engines moved
+    // together, so the cross-engine hash contract is unchanged; the
+    // statistic shifts only at double-rounding order, ≪ the 1e-4 suite
+    // tolerance and the round(6) readout). Per-run magnitude ≤ cnt < n
+    // — inside DECIMAL(18,9) headroom to n < 10⁹ runs of mass 1 each
+    // (the sum caps at n·max-term ≤ n, same bound as r18's row grain).
+    val runs = gaps.groupBy(col("event_type"), col("gp"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint() // §5.7 pin: probe + main scan (see q234)
+    val ranked = prefixSumPar(runs, "gp", desc = false, Nil, Seq("cnt"),
+        Seq("event_type"))
+      .select(col("event_type"), col("gp"), col("cnt"),
+        (col("cum_cnt") - col("cnt") + 1L).as("lo"),
+        col("cum_cnt").as("hi"))
     val rk = ranked.join(mom, "event_type")
-      .select(col("event_type"), col("n"), col("sg"), col("i"),
+      .select(col("event_type"), col("n"), col("sg"), col("cnt"),
+        col("lo"), col("hi"),
         expr("""CAST(1 AS DOUBLE)
           |  - CAST(exp(CAST(0 AS DOUBLE)
           |      - CAST(n AS DOUBLE) / CAST(sg AS DOUBLE)
@@ -6705,8 +6744,15 @@ object Stats {
     val w = rk.groupBy(col("event_type"), col("n"), col("sg"))
       .agg(sum(expr(
         """CAST(
-          |  (ffit - CAST(2 * i - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
-          |  * (ffit - CAST(2 * i - 1 AS DOUBLE) / CAST(2 * n AS DOUBLE))
+          |  CAST(cnt AS DOUBLE) * ffit * ffit
+          |  - ffit * (CAST(CAST(hi AS DECIMAL(38,0)) * hi
+          |      - CAST(lo - 1 AS DECIMAL(38,0)) * (lo - 1) AS DOUBLE)
+          |    / CAST(n AS DOUBLE))
+          |  + CAST(CAST(hi AS DECIMAL(38,0)) * (2 * hi - 1) * (2 * hi + 1)
+          |      - CAST(lo - 1 AS DECIMAL(38,0)) * (2 * lo - 3) * (2 * lo - 1)
+          |      AS DOUBLE)
+          |    / (CAST(12 AS DOUBLE) * CAST(n AS DOUBLE)
+          |       * CAST(n AS DOUBLE))
           |  AS DECIMAL(18,9))""".stripMargin)).as("w2sum"))
     val w2 = expr("""CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
       |  + CAST(w2sum AS DOUBLE)""".stripMargin)
