@@ -612,15 +612,28 @@ object Tool {
           val bSB = docsSB.agg(min(col("doc_id")), max(col("doc_id"))).head
           val (loSB, hiSB) = (bSB.getLong(0), bSB.getLong(1))
           val strideSB = math.max(1L, (hiSB - loSB + 1) / nfSB)
-          org.apache.hadoop.fs.FileSystem.get(
+          val fsSB = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
-            .delete(new org.apache.hadoop.fs.Path(staged), true)
+          fsSB.delete(new org.apache.hadoop.fs.Path(staged), true)
+          // r20 (r19 ADVICE): the in-order-intake contract rides the file
+          // source's oldest-mtime-first replay, and sequential writes can
+          // land within one filesystem timestamp tick — stamp every part
+          // file of slice i with an EXPLICIT, strictly increasing mtime so
+          // replay order is deterministic, not granularity-dependent
+          val stampedSB = scala.collection.mutable.Set[String]()
           for (i <- 0 until nfSB) {
             val lo = loSB + i * strideSB
             val hi = if (i == nfSB - 1) hiSB + 1 else loSB + (i + 1) * strideSB
             docsSB.filter(col("doc_id") >= lo && col("doc_id") < hi)
               .withColumn("ts", expr("timestamp_millis(doc_id)"))
               .coalesce(1).write.mode("append").parquet(staged)
+            fsSB.listStatus(new org.apache.hadoop.fs.Path(staged))
+              .filter(f => f.getPath.getName.startsWith("part-")
+                && !stampedSB.contains(f.getPath.getName))
+              .foreach { f =>
+                fsSB.setTimes(f.getPath, 1700000000000L + i * 60000L, -1)
+                stampedSB += f.getPath.getName
+              }
           }
         }
         val sch = spark.read.parquet(staged).schema

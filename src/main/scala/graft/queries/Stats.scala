@@ -52,6 +52,14 @@ object Stats {
     * (callers already filter). Output: (event_type, gp) — one row per
     * consecutive pair, gp = us-difference ≥ 0, types with one event
     * contribute nothing (exactly the lag-NOT-NULL semantics).
+    *
+    * r20: above the threshold the DEFAULT large path is now
+    * [[rangeGapPath]] — one range shuffle + streaming per-slice lag +
+    * boundary window — A/B-measured against the two-level device at
+    * ×100/×1000 (receipts: SCALE_r20 §2); the two-level rank+self-join
+    * path stays
+    * fully wired (suite bit-identity nets force all three paths) and
+    * re-forceable via SPARK_GRAFT_GAPS=twolevel.
     */
   /** Below this row count the plain per-type lag window wins: the
     * parallel path's fixed costs (bin probe, rank shuffle, pinned
@@ -65,6 +73,117 @@ object Stats {
   private[graft] def typeGapsPar(
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     typeGapsCarry(e, Nil)
+
+  /** r20 — the RANGE-SHUFFLE gap stage (the r19 verdict's Next #1): the
+    * two-level device computes gaps via probe(+sketches) → 4096-bin rank
+    * → (type, i)=(type, i′+1) equi-self-join — ~three shuffles of the
+    * full event frame for what is semantically ONE global sort plus a
+    * per-partition lag. This path does exactly that:
+    *
+    *   repartitionByRange(P, us, event_id)          — the ONE shuffle
+    *   → sortWithinPartitions(event_type, us, event_id)
+    *   → one streaming mapPartitions pass           — O(1) memory
+    *   → a ≤ P·T-row boundary window               — broadcast-sized
+    *
+    * Sorting each range slice by (type, us, event_id) groups every
+    * type's slice-local rows into ONE contiguous run (all of a type's
+    * rows in slice p are exactly its events with (us, event_id) in
+    * range p), so the pass emits within-run gaps with a single
+    * previous-row register — no per-type map, no memory proportional to
+    * type cardinality — and, at each run edge, one BOUNDARY summary
+    * (pid, type, first_us, last_us, carry-of-last). Cross-partition
+    * gaps are a lead() over the boundary frame partitioned by type:
+    * each type has ≤ P boundary rows, so that window is trivially
+    * parallel at ANY type cardinality. Every global consecutive pair is
+    * either slice-local (the pass) or spans slices (the boundary lead),
+    * never both — same (us, event_id) total order, identical gap rows.
+    *
+    * Skew-proof for free: RangePartitioner keys on the (us, event_id)
+    * TUPLE, so identical-timestamp clumps and tie-less hot gaps — the
+    * two classes that needed sub-binning and run-collapse in the rank
+    * device — split across slices by event_id with no hot detection at
+    * all. The tagged output is pinned (two consumers; an unpinned union
+    * would re-execute the range exchange with independently SAMPLED
+    * boundaries — a nondeterministic-partitioning hazard, not just a
+    * perf one). NULL `us` is refused loudly in the pass itself, so the
+    * forced-strategy route keeps the same contract as the probe's
+    * require. Measured A/B vs the two-level path: SCALE_r20 §2;
+    * `SPARK_GRAFT_GAPS=twolevel` re-forces the old device for
+    * re-measurement.
+    */
+  private def rangeGapPath(
+      e: org.apache.spark.sql.DataFrame,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val s = e.sparkSession
+    val p = s.sessionState.conf.numShufflePartitions
+    val baseCols = Seq("event_type", "us", "event_id") ++
+      carry.distinct.filterNot(Set("event_type", "us", "event_id"))
+    val sorted = e.select(baseCols.map(col): _*)
+      .repartitionByRange(p, col("us"), col("event_id"))
+      .sortWithinPartitions(col("event_type"), col("us"), col("event_id"))
+    val sch = sorted.schema
+    val tIdx = sch.fieldIndex("event_type")
+    val usIdx = sch.fieldIndex("us")
+    val carryIdx = carry.map(sch.fieldIndex).toArray
+    val taggedSchema = StructType(
+      Seq(StructField("tag", IntegerType, nullable = false),
+        StructField("pid", IntegerType, nullable = false),
+        sch(tIdx),
+        StructField("gp", LongType),
+        StructField("f_us", LongType),
+        StructField("l_us", LongType)) ++
+      carry.zipWithIndex.map { case (c, j) =>
+        StructField(s"c_$j", sch(c).dataType) })
+    val tagged = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      // single previous-row register — the type-grouped slice sort makes
+      // every type's rows contiguous, so one register replaces a
+      // per-type map (memory O(1) at any type cardinality)
+      var hasPrev = false
+      var prevT: Any = null
+      var prevUs = 0L
+      var firstUs = 0L
+      var prevCarry: Array[Any] = null
+      def boundaryRow(): Row = Row.fromSeq(
+        Seq(1, pid, prevT, null, firstUs, prevUs) ++ prevCarry)
+      it.flatMap { r =>
+        if (r.isNullAt(usIdx))
+          throw new IllegalArgumentException(
+            "typeGapsCarry: NULL key 'us' — callers must pre-filter " +
+              "(window and two-level paths disagree on NULL keys)")
+        val t = r.get(tIdx)
+        val us = r.getLong(usIdx)
+        val cv = Array.tabulate[Any](carryIdx.length)(j => r.get(carryIdx(j)))
+        val out: Iterator[Row] =
+          if (!hasPrev) { hasPrev = true; firstUs = us; Iterator.empty }
+          else if (prevT == t) Iterator.single(Row.fromSeq(
+            Seq(0, -1, t, us - prevUs, null, null) ++ prevCarry))
+          else {
+            val b = boundaryRow() // prev run just ended
+            firstUs = us // and a new run starts at this row
+            Iterator.single(b)
+          }
+        prevT = t; prevUs = us; prevCarry = cv
+        out
+      } ++ (if (hasPrev) Iterator.single(boundaryRow()) else Iterator.empty)
+    }(org.apache.spark.sql.Encoders.row(taggedSchema))
+      // PIN (§5.7): two consumers below; unpinned, the union re-executes
+      // the range exchange with independently sampled boundaries
+      .localCheckpoint()
+    val outCols = col("event_type") +:
+      carry.zipWithIndex.map { case (c, j) => col(s"c_$j").as(c) } :+
+      col("gp")
+    val within = tagged.filter(col("tag") === 0).select(outCols: _*)
+    val bw = Window.partitionBy(col("event_type")).orderBy(col("pid"))
+    val cross = tagged.filter(col("tag") === 1)
+      .withColumn("nf", lead(col("f_us"), 1).over(bw))
+      .filter(col("nf").isNotNull)
+      .withColumn("gp", col("nf") - col("l_us"))
+      .select(outCols: _*)
+    within.union(cross)
+  }
 
   /** [[typeGapsPar]] generalized with START-ROW carry columns (r17, the
     * q151/q152 rewrites): each output gap row additionally carries the
@@ -82,7 +201,20 @@ object Stats {
       // sized data and assert bit-equality; production callers use the
       // measured default
       threshold: Long = TypeGapsParThreshold,
-      edgesOverride: Option[Array[Long]] = None): org.apache.spark.sql.DataFrame = {
+      edgesOverride: Option[Array[Long]] = None,
+      // large-path strategy: "auto" resolves to the range-shuffle path
+      // (the r20 A/B winner — [[rangeGapPath]]), overridable to
+      // "twolevel"/"range" by the suite's bit-identity nets and by
+      // SPARK_GRAFT_GAPS for A/B re-measurement; an edgesOverride is the
+      // two-level path's own knob and implies it
+      strategy: String = "auto"): org.apache.spark.sql.DataFrame = {
+    val large =
+      if (edgesOverride.isDefined) "twolevel"
+      else if (strategy == "auto")
+        sys.env.getOrElse("SPARK_GRAFT_GAPS", "range")
+      else strategy
+    require(large == "range" || large == "twolevel",
+      s"typeGapsCarry: unknown strategy '$large'")
     def windowPath(guarded: Boolean) = {
       // small-corpus path: one lead window (identical gaps, no fixed
       // costs; the type-sized-partition ceiling needs ≳10⁷ rows to bite).
@@ -104,11 +236,19 @@ object Stats {
     // probe at all when the frame is provably sub-threshold)
     if (PlanStats.rowUpperBound(e).exists(_ < threshold))
       return windowPath(guarded = true)
-    val mm = e.agg(min(col("us")), count(lit(1)), edgeProbe("us"),
-      count(col("us")), tieProbe("event_id")).head
-    require(mm.getLong(1) == mm.getLong(3),
-      s"typeGapsCarry: key 'us' has ${mm.getLong(1) - mm.getLong(3)} NULL " +
-        "rows — callers must pre-filter (window and two-level paths " +
+    // r20: the range path needs no quantile/tie sketches — its probe is
+    // min/count only (threshold + loud-NULL dispatch); the two-level
+    // path keeps the single sketch-bearing probe it always had, so the
+    // A/B legs each run exactly one probe pass
+    val mm =
+      if (large == "range")
+        e.agg(min(col("us")), count(lit(1)), count(col("us"))).head
+      else e.agg(min(col("us")), count(lit(1)), edgeProbe("us"),
+        count(col("us")), tieProbe("event_id")).head
+    val nonNullIdx = if (large == "range") 2 else 3
+    require(mm.getLong(1) == mm.getLong(nonNullIdx),
+      s"typeGapsCarry: key 'us' has ${mm.getLong(1) - mm.getLong(nonNullIdx)}" +
+        " NULL rows — callers must pre-filter (window and two-level paths " +
         "disagree on NULL keys)")
     if (mm.isNullAt(0)) {
       e.sparkSession.emptyDataFrame
@@ -118,6 +258,8 @@ object Stats {
         .limit(0)
     } else if (mm.getLong(1) < threshold) {
       windowPath(guarded = false)
+    } else if (large == "range") {
+      rangeGapPath(e, carry)
     } else {
       // r18: SAMPLED-QUANTILE time bins (the r17 verdict's perf-weak #1:
       // the one remaining LINEAR bin — a bursty corpus with 90% of events
@@ -6621,7 +6763,7 @@ object Stats {
     * tie run [lo, hi] the Σ(F̂ − (2i−1)/(2n))² closed form rides two
     * exact integers (Σ(2i−1) and 3·Σ(2i−1)², DECIMAL(38,0)/HUGEINT, no
     * division) into one fixed-order double chain per run, quantized
-    * DECIMAL(18,9) and summed associatively — the same formula text on
+    * DECIMAL(28,9) and summed associatively — the same formula text on
     * both engines, so the hash contract is unchanged while the rank
     * stage drops from row grain to distinct-gap grain (see the body
     * note: 99.9% of gaps tie on a replicated corpus). TIE-INVARIANCE is
@@ -6683,7 +6825,7 @@ object Stats {
       |          AS DOUBLE)
       |        / (CAST(12 AS DOUBLE) * CAST(n AS DOUBLE)
       |           * CAST(n AS DOUBLE))
-      |      AS DECIMAL(18,9))) AS w2sum
+      |      AS DECIMAL(28,9))) AS w2sum
       |  FROM rk GROUP BY 1, 2, 3
       |)
       |SELECT event_type, n AS n_gaps,
@@ -6722,9 +6864,14 @@ object Stats {
     // (per-RUN quantization replaces r18's per-ROW — both engines moved
     // together, so the cross-engine hash contract is unchanged; the
     // statistic shifts only at double-rounding order, ≪ the 1e-4 suite
-    // tolerance and the round(6) readout). Per-run magnitude ≤ cnt < n
-    // — inside DECIMAL(18,9) headroom to n < 10⁹ runs of mass 1 each
-    // (the sum caps at n·max-term ≤ n, same bound as r18's row grain).
+    // tolerance and the round(6) readout). r20 (r19 ADVICE): the
+    // per-run term is bounded by ~cnt (a 99.9%-tie run reaches ~n/3),
+    // NOT ≤ 1 like r18's per-row terms — DECIMAL(18,9) overflowed past
+    // n ≈ 3·10⁹ gaps (silently to NULL on non-ANSI Spark while DuckDB
+    // errors: a cross-engine divergence). DECIMAL(28,9) holds to
+    // n < 10¹⁹ per-run and the SUM promotes to DECIMAL(38,9) in both
+    // engines (safe to ~10²⁹ total, far past the 10¹² the exact-integer
+    // endpoint algebra itself is stated for).
     val runs = gaps.groupBy(col("event_type"), col("gp"))
       .agg(count(lit(1)).cast("long").as("cnt"))
       .localCheckpoint() // §5.7 pin: probe + main scan (see q234)
@@ -6753,7 +6900,7 @@ object Stats {
           |      AS DOUBLE)
           |    / (CAST(12 AS DOUBLE) * CAST(n AS DOUBLE)
           |       * CAST(n AS DOUBLE))
-          |  AS DECIMAL(18,9))""".stripMargin)).as("w2sum"))
+          |  AS DECIMAL(28,9))""".stripMargin)).as("w2sum"))
     val w2 = expr("""CAST(1 AS DOUBLE) / CAST(12 * n AS DOUBLE)
       |  + CAST(w2sum AS DOUBLE)""".stripMargin)
     w.select(col("event_type"), col("n").as("n_gaps"),

@@ -233,7 +233,12 @@ object PgWire {
       }
     }
 
-    override def close(): Unit = {
+    // idempotent: the executor scan closes BOTH eagerly (iterator
+    // exhaustion) and unconditionally (task-completion listener) — the
+    // second call must be a no-op, never a double-Terminate
+    private var closed = false
+    override def close(): Unit = if (!closed) {
+      closed = true
       try {
         out.writeByte('X'); out.writeInt(4); out.flush() // Terminate
       } catch { case _: Throwable => () }
@@ -281,13 +286,30 @@ object PgWire {
           case 'v' => sb.append('\u000b'); i += 2
           case '\\' => sb.append('\\'); i += 2
           case d if d >= '0' && d <= '7' =>
-            var j = i + 1
-            var code = 0
-            while (j < v.length && j < i + 4 &&
-                v.charAt(j) >= '0' && v.charAt(j) <= '7') {
-              code = code * 8 + (v.charAt(j) - '0'); j += 1
+            // r20 (r19 ADVICE): each \ddd escape is one BYTE, and a
+            // multi-byte UTF-8 character arrives as CONSECUTIVE octal
+            // escapes — collect the whole run of \ddd bytes and decode
+            // them as one UTF-8 sequence (code.toChar would have treated
+            // each byte as a UTF-16 code unit: mojibake). COPY TO text
+            // never emits octal itself, but COPY-format content is the
+            // decoder's contract, not one producer's habit.
+            val bytes = new java.io.ByteArrayOutputStream(8)
+            var k = i
+            var run = true
+            while (run && k + 1 < v.length && v.charAt(k) == '\\' &&
+                v.charAt(k + 1) >= '0' && v.charAt(k + 1) <= '7') {
+              var j = k + 1
+              var code = 0
+              while (j < v.length && j < k + 4 &&
+                  v.charAt(j) >= '0' && v.charAt(j) <= '7') {
+                code = code * 8 + (v.charAt(j) - '0'); j += 1
+              }
+              bytes.write(code)
+              k = j
+              run = k + 1 < v.length && v.charAt(k) == '\\' &&
+                v.charAt(k + 1) >= '0' && v.charAt(k + 1) <= '7'
             }
-            sb.append(code.toChar); i = j
+            sb.append(new String(bytes.toByteArray, UTF_8)); i = k
           case other => sb.append(other); i += 2
         }
       } else { sb.append(c); i += 1 }
@@ -374,8 +396,14 @@ object PgWire {
       .mapPartitions { it =>
         it.flatMap { sql =>
           val conn = new Conn(host, port, db, dbUser)
-          // the COPY iterator drains the connection; close after the last
-          // row via a wrapping iterator (mapPartitions is pull-based)
+          // r20 (r19 ADVICE): full-consumption close alone leaks the
+          // socket when Spark stops pulling early (limit/take, task kill,
+          // a parse exception mid-stream) — a task-completion listener
+          // closes unconditionally on success, failure, AND interruption;
+          // the eager close below still releases the socket at exhaustion
+          // without waiting for task end (close is idempotent)
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => conn.close()))
           val rows = conn.copyOut(sql)
           new Iterator[Row] {
             def hasNext: Boolean = {

@@ -78,7 +78,7 @@ class BucketsSpec extends SparkSpec {
           Seq("s1"), Nil, 0L, ov)
         .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
     def tg(ov: Option[Array[Long]]) =
-      Stats.typeGapsCarry(e, Nil, 0L, ov)
+      Stats.typeGapsCarry(e, Nil, 0L, ov, strategy = "twolevel")
         .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     val (rk0, ps0, tg0) = (rk(overrides.head), ps(overrides.head),
       tg(overrides.head))
@@ -88,6 +88,11 @@ class BucketsSpec extends SparkSpec {
       assert(ps(ov) === ps0, s"prefixSumPar diverged on ${ov.map(_.toSeq)}")
       assert(tg(ov) === tg0, s"typeGapsCarry diverged on ${ov.map(_.toSeq)}")
     }
+    // r20: the range-shuffle large path must return the SAME rows as the
+    // two-level family above (the third strategy in the dispatch)
+    val tgRange = Stats.typeGapsCarry(e, Nil, 0L, None, strategy = "range")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(tgRange === tg0, "range-shuffle path diverged from two-level")
   }
 
   test("shape-agnostic worst-bin mass: sampled-quantile edges keep the " +
@@ -234,12 +239,16 @@ class BucketsSpec extends SparkSpec {
         "ELSE 1700000000000000L + id * 1000L END AS us",
       "CASE WHEN id % 2 = 0 THEN 'click' ELSE 'view' END AS event_type",
       "pmod(id, 11L) AS vc")
-    def tg(threshold: Long): Seq[String] =
-      Stats.typeGapsCarry(e, Seq("vc"), threshold)
+    def tg(threshold: Long, strategy: String = "twolevel"): Seq[String] =
+      Stats.typeGapsCarry(e, Seq("vc"), threshold, strategy = strategy)
         .collect().map(_.toString).sorted.toSeq
     val window = tg(Long.MaxValue)
     assert(window.nonEmpty)
     assert(tg(0L) === window, "hot-us two-level path diverged")
+    // r20: the range path keys its ONE shuffle on the (us, event_id)
+    // tuple, so the 90%-identical-us clump splits by event_id with no
+    // hot detection — same rows required
+    assert(tg(0L, "range") === window, "hot-us range path diverged")
   }
 
   test("rowUpperBound soundness corners (r18 ADVICE): Poisson sample " +
@@ -300,6 +309,15 @@ class BucketsSpec extends SparkSpec {
     }
     assert(exProbe.getMessage.contains("NULL"),
       s"probe path: ${exProbe.getMessage}")
+    // r20: the range path's own per-row guard (forced strategy, forced
+    // threshold — the probe's require is bypassed only if the execution
+    // route itself refuses; it must, loudly)
+    val exRange = intercept[Exception] {
+      Stats.typeGapsCarry(unprovable, Nil, 0L, None, strategy = "range")
+        .collect()
+    }
+    assert(messages(exRange).exists(_.contains("NULL")),
+      s"range path: ${messages(exRange).mkString(" | ")}")
   }
 
   test("the zero-job window path still refuses NULL keys — loudly, at " +

@@ -67,6 +67,11 @@ class PgSpec extends SparkSpec with BeforeAndAfterAll {
     assert(PgWire.unescapeCopy("a\\nb\\rc\\\\d") === "a\nb\rc\\d")
     assert(PgWire.unescapeCopy("\\\\N") === "\\N") // content, not SQL NULL
     assert(PgWire.unescapeCopy("\\101\\12") === "A\n") // octal
+    // r20: octal escapes are BYTES — a multi-byte UTF-8 char arriving as
+    // consecutive \ddd escapes must decode as one sequence (é = C3 A9;
+    // the per-escape toChar route produced mojibake Ã©)
+    assert(PgWire.unescapeCopy("\\303\\251") === "é")
+    assert(PgWire.unescapeCopy("a\\303\\251b\\tc") === "aéb\tc")
     assert(PgWire.parseValue("t", BooleanType) === true)
     assert(PgWire.parseValue("f", BooleanType) === false)
     assert(PgWire.parseValue("-42", IntegerType) === -42)

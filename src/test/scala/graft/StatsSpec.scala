@@ -4530,18 +4530,34 @@ class StatsSpec extends SparkSpec {
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"),
         expr("CAST(floor(value * 100) AS BIGINT)").as("vc"))
-    def dump(threshold: Long) =
-      Stats.typeGapsCarry(e, Seq("vc"), threshold).collect()
+    def dump(threshold: Long, strategy: String = "twolevel") =
+      Stats.typeGapsCarry(e, Seq("vc"), threshold, strategy = strategy)
+        .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
     val win = dump(Long.MaxValue) // always the lead window
     val par = dump(0L)            // always the two-level self-join
     assert(win.nonEmpty && win === par,
       s"paths diverge: window ${win.length} rows vs parallel ${par.length}")
+    // r20: the range-shuffle path, carry columns included — the third
+    // strategy must match row for row too
+    val rng = dump(0L, "range")
+    assert(rng === win,
+      s"range path diverges: ${rng.length} rows vs window ${win.length}")
     // and the no-carry wrapper agrees with itself across paths too
-    def gaps(threshold: Long) =
-      Stats.typeGapsCarry(e, Nil, threshold).collect()
+    def gaps(threshold: Long, strategy: String = "twolevel") =
+      Stats.typeGapsCarry(e, Nil, threshold, strategy = strategy).collect()
         .map(r => (r.getString(0), r.getLong(1))).sorted
     assert(gaps(Long.MaxValue) === gaps(0L))
+    assert(gaps(Long.MaxValue) === gaps(0L, "range"))
+    // carrying the sort key ITSELF ("us", the q152 shape) — the c_
+    // rename must not collide with the join/sort columns on any path
+    def dumpUs(threshold: Long, strategy: String = "twolevel") =
+      Stats.typeGapsCarry(e, Seq("us"), threshold, strategy = strategy)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val winUs = dumpUs(Long.MaxValue)
+    assert(winUs.nonEmpty && winUs === dumpUs(0L))
+    assert(winUs === dumpUs(0L, "range"))
   }
 
   test("partitionedNtile: the closed-form rank bucket equals ntile() " +
