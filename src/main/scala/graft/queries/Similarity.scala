@@ -601,6 +601,137 @@ object Similarity {
   private def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     round(try_divide(try_divide(dot(a, b), na), nb), 6)
 
+  // ---- r20: triangle-blocked label self-join (guide §2.5) --------------
+  //
+  // The label-blocked pair generators (q34/q102/q183/q269) equi-join the
+  // embedding frame to itself on `label` — ~10 distinct keys on every
+  // corpus this engine has seen. Hash partitioning cannot spread ONE key's
+  // rows across tasks, so at ×100 the family's 2·10⁸ within-label pairs
+  // run on ≤10 of 32 cores and at ×1000 each label is a 2·10¹⁰-pair
+  // SINGLE task — the too-few-keys variant of the guide's giant-key skew.
+  // AQE's skew-join split does not fire here: the label partitions are
+  // mutually even (no 5× median outlier) and each SIDE is only ~100 MB at
+  // ×1000 — the quadratic blowup is in the pair PRODUCT, which AQE's
+  // byte-based trigger never sees.
+  //
+  // Fix: the classic triangle grid. Bucket each row by a deterministic
+  // hash of vec_id into B buckets; an unordered pair {x, y} with buckets
+  // (min, max) = (i, j) is scored in exactly ONE block (i, j); each row
+  // lands in B+1 blocks (its row + column of the upper triangle), so the
+  // join key (label, i, j) has label·B(B+1)/2 distinct values — thousands
+  // of parallel units at any scale — while total pair work is UNCHANGED
+  // and every emitted pair is identical to the plain join's. Block
+  // membership is pure plan (bucket = pmod(xxhash64(vec_id), B)): any
+  // B ≥ 1 yields the same rows, asserted by BlockedPairsSpec's forced-B
+  // equality nets. B derives from a per-label count probe (scale-adaptive,
+  // never a constant tuned to the local core count); below a provable
+  // row bound the plain join runs with ZERO extra jobs (the PlanStats
+  // dispatch discipline), so fixture- and sf-scale plans are unchanged.
+
+  /** Block side target: ~8192 rows per bucket ⇒ ≤ ~6.7·10⁷ dot folds per
+    * block (~1–2 s of one core) — small enough to parallelize, large
+    * enough that the B+1-fold row replication stays a minor shuffle cost
+    * next to the quadratic pair work it spreads. */
+  private val BlockSideTarget = 8192L
+
+  /** Replication cap: B ≤ 64 bounds the grid shuffle at 65× the vector
+    * frame even when a label block reaches ~5·10⁵ rows (past that, blocks
+    * grow past the side target again — work per task rises but the task
+    * count, 64·65/2 per label, already saturates any executor fleet this
+    * engine meets). */
+  private val BlockMaxB = 64L
+
+  /** Below this PROVABLE row bound (parquet footers, zero jobs) the plain
+    * label join runs unchanged: ≤ 10⁵ rows ⇒ ≤ ~5·10⁸ worst-case pairs
+    * over ~10 labels, where the 10-task ceiling costs less than the
+    * probe + replication overhead (sf0.1 measured: blocked-forced vs
+    * plain is a wash at 2·10³ rows; receipts in OPTIMIZATION_r20.md §4). */
+  private val BlockedPairThreshold = 100000L
+
+  /** Self-join of `e` on `label` restricted to vec_id-distinct pairs,
+    * returned as a_<col>/b_<col> pair rows — bit-identical to
+    * {{{ e.as("a").join(e.as("b"), label === label && idCond) }}} with
+    * idCond = `a.vec_id < b.vec_id` (ordered = one row per unordered
+    * pair, the lower id in the `a` role) or `a.vec_id =!= b.vec_id`
+    * (directed = both orientations). `e` must carry `label` and `vec_id`;
+    * NULL labels and NULL vec_ids pair with nothing (plain-join
+    * semantics, enforced explicitly because mixed blocks skip idCond).
+    * `bOverride` exists for the suite's forced-B equality nets.
+    */
+  private[graft] def blockedSelfPairs(
+      e: org.apache.spark.sql.DataFrame,
+      directed: Boolean,
+      bOverride: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val cols = e.columns.toSeq
+    require(cols.contains("label") && cols.contains("vec_id"),
+      s"blockedSelfPairs: need label + vec_id, got ${cols.mkString(",")}")
+    val aCols = cols.map(c => col(c).as(s"a_$c"))
+    val bCols = cols.map(c => col(c).as(s"b_$c"))
+    def idCond =
+      if (directed) col("a_vec_id") =!= col("b_vec_id")
+      else col("a_vec_id") < col("b_vec_id")
+    def plain = e.select(aCols: _*).join(e.select(bCols: _*),
+      col("a_label") === col("b_label") && idCond)
+    val b: Long = bOverride.getOrElse {
+      // SPARK_GRAFT_SIMJOIN=plain re-forces the r19 single-key join for
+      // A/B re-measurement (the SPARK_GRAFT_GAPS convention; results are
+      // bit-identical either way — BlockedPairsSpec)
+      if (sys.env.get("SPARK_GRAFT_SIMJOIN").contains("plain")) 1L
+      else if (graft.operators.PlanStats.rowUpperBound(e)
+          .exists(_ < BlockedPairThreshold)) 1L
+      else {
+        // one bounded probe (label-count maximum) sizes the grid; it runs
+        // only when the corpus is provably past the threshold, where the
+        // quadratic join it parallelizes dwarfs one count aggregate
+        val mm = e.groupBy(col("label")).agg(count(lit(1)).as("c"))
+          .agg(max(col("c"))).head
+        if (mm.isNullAt(0)) 1L
+        else math.max(1L, math.min(BlockMaxB,
+          (mm.getLong(0) + BlockSideTarget - 1) / BlockSideTarget))
+      }
+    }
+    if (b <= 1L) return plain
+    val bkt = pmod(xxhash64(col("vec_id")), lit(b))
+    // row (bucket br) joins as LEFT in blocks (br, j ≥ br) and as RIGHT in
+    // blocks (i ≤ br, br): pair {x, y} with distinct buckets meets exactly
+    // once (x-left ∩ y-right xor y-left ∩ x-right); same-bucket pairs meet
+    // in the diagonal block in BOTH orientations, where idCond applies —
+    // exactly the plain join's emission set
+    val left = e.withColumn("_bi", bkt)
+      .withColumn("_bj", explode(sequence(col("_bi"), lit(b - 1))))
+      .select(col("_bi") +: col("_bj") +: aCols: _*)
+    val right = e.withColumn("_rj", bkt)
+      .withColumn("_ri", explode(sequence(lit(0L), col("_rj"))))
+      .select(col("_ri") +: col("_rj") +: bCols: _*)
+    val diag = col("_bi") === col("_bj")
+    val joined = left.join(right,
+      col("_bi") === col("_ri") && col("_bj") === col("_rj") &&
+        col("a_label") === col("b_label") &&
+        col("a_vec_id").isNotNull && col("b_vec_id").isNotNull &&
+        when(diag, idCond).otherwise(lit(true)))
+    if (directed) {
+      // mixed blocks carry each unordered pair once — explode it into both
+      // orientations; diagonal blocks already joined both ways
+      val fwd = struct(cols.map(c => col(s"a_$c").as(s"a_$c")) ++
+        cols.map(c => col(s"b_$c").as(s"b_$c")): _*)
+      val rev = struct(cols.map(c => col(s"b_$c").as(s"a_$c")) ++
+        cols.map(c => col(s"a_$c").as(s"b_$c")): _*)
+      joined
+        .select(explode(when(diag, array(fwd)).otherwise(array(fwd, rev)))
+          .as("_p"))
+        .select(col("_p.*"))
+    } else {
+      // mixed blocks join in bucket order, not id order — normalize so the
+      // lower vec_id is the `a` role, as the plain ordered join emits
+      val lower = col("a_vec_id") < col("b_vec_id")
+      joined.select(
+        cols.map(c => when(lower, col(s"a_$c")).otherwise(col(s"b_$c"))
+          .as(s"a_$c")) ++
+        cols.map(c => when(lower, col(s"b_$c")).otherwise(col(s"a_$c"))
+          .as(s"b_$c")): _*)
+    }
+  }
+
   /** DuckDB CTE body: vectors as doubles + precomputed norm. */
   private val duckE =
     """e AS (
@@ -633,13 +764,13 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    // r20: triangle-blocked pair generator (see blockedSelfPairs) — same
+    // pair set, label·B(B+1)/2 parallel units instead of ~10
+    blockedSelfPairs(e, directed = false)
       .select(
-        col("a.vec_id").as("vec_a"),
-        col("b.vec_id").as("vec_b"),
-        cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+        col("a_vec_id").as("vec_a"),
+        col("b_vec_id").as("vec_b"),
+        cosine(col("a_v"), col("b_v"), col("a_nrm"), col("b_nrm")).as("cos"))
       .filter(col("cos") >= 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -1110,11 +1241,12 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val dropped = e.as("a")
-      .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .filter(cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")) >= 0.35)
-      .select(col("b.vec_id").as("vec_id"))
+    // r20: triangle-blocked pair generator (see blockedSelfPairs) — the
+    // ordered form's `b` role is the HIGHER vec_id, exactly the dominance
+    // direction the prune drops
+    val dropped = blockedSelfPairs(e, directed = false)
+      .filter(cosine(col("a_v"), col("b_v"), col("a_nrm"), col("b_nrm")) >= 0.35)
+      .select(col("b_vec_id").as("vec_id"))
       .distinct()
     e.join(dropped, Seq("vec_id"), "left_anti")
       .withColumn("n_kept_in_label",
@@ -1536,12 +1668,13 @@ object Similarity {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), vec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val sc = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label")
-          && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"),
-        col("a.label").as("label"),
-        cosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+    // r20: triangle-blocked pair generator (see blockedSelfPairs); each
+    // directed row computes its own cosine, so the src-side division
+    // order matches the plain join's bit-for-bit
+    val sc = blockedSelfPairs(e, directed = true)
+      .select(col("a_vec_id").as("src"), col("b_vec_id").as("nbr"),
+        col("a_label").as("label"),
+        cosine(col("a_v"), col("b_v"), col("a_nrm"), col("b_nrm")).as("cos"))
       .filter(col("cos").isNotNull)
     val t = sc.withColumn("rk", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))))
@@ -1919,14 +2052,12 @@ object Similarity {
       expr("""transform(embedding,
         |  v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))"""
         .stripMargin).as("xk"))
-    val a = x.select(col("label"), col("vec_id").as("src"),
-      col("xk").as("xa"))
-    val bdf = x.select(col("label").as("b_label"),
-      col("vec_id").as("nbr"), col("xk").as("xb"))
-    val pr = a.join(bdf,
-        col("b_label") === col("label") && col("nbr") =!= col("src"))
-      .select(col("label"), col("src"), col("nbr"),
-        dist2(col("xa"), col("xb")).as("d2"))
+    // r20: triangle-blocked pair generator (see blockedSelfPairs); the
+    // integer d2 is direction-symmetric, both orientations emitted
+    val pr = blockedSelfPairs(x, directed = true)
+      .select(col("a_label").as("label"), col("a_vec_id").as("src"),
+        col("b_vec_id").as("nbr"),
+        dist2(col("a_xk"), col("b_xk")).as("d2"))
     val rk = pr.select(col("label"), col("src"), col("d2"),
       row_number().over(Window.partitionBy(col("label"), col("src"))
         .orderBy(col("d2"), col("nbr"))).as("rnk"))
