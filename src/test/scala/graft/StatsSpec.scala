@@ -4448,9 +4448,18 @@ class StatsSpec extends SparkSpec {
       } else assert(r.isNullAt(7), s"$t ess NULL")
     }
     // degenerate: the samesec fixture spans ONE hour → every lag has
-    // zero pairs → NULL rhos and NULL ESS (never a fabricated number)
+    // zero pairs → NULL rhos and NULL ESS (never a fabricated number).
+    // Written here (idempotent, same rows as EdgeEventsSpec's) so this
+    // spec stays runnable in isolation — /tmp fixtures don't survive
+    // between sessions and a testOnly run must not depend on suite order.
+    import spark.implicits._
+    val samesec = "/tmp/graft_edge_events_samesec"
+    Seq((1L, 1000000000L, 1L, "s", 1.0, "{}"),
+      (2L, 1500000000L, 1L, "s", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$samesec/events.parquet")
     val solo = SparkEntry.queries("q325_effective_sample_size")(
-      spark, "/tmp/graft_edge_events_samesec").collect()
+      spark, samesec).collect()
     assert(solo.length === 1 && solo.head.getLong(1) === 1L)
     for (i <- 2 to 7) assert(solo.head.isNullAt(i), s"field $i NULL")
   }
