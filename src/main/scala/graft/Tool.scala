@@ -90,7 +90,19 @@ object Tool {
               s"genscale: factor must be an integer, got '${args(3)}'"))
           else 10
         require(factor >= 1, s"genscale: factor must be >= 1, got $factor")
+        // Optional 4th arg: comma-separated table subset (r20). A big
+        // decade corpus is often needed for ONE family (gap → events;
+        // similarity → embeddings) and generating 600M lineitem rows to
+        // get a 100M-event corpus wastes an hour of measurement window —
+        // r19 already worked off a hand-built "3-table ×1000" for this
+        // reason. Default: every table (byte-identical to the r19 law).
+        val wantTables: Set[String] =
+          if (args.length > 4) args(4).split(',').map(_.trim).toSet
+          else Set("documents", "events", "embeddings", "orders",
+            "lineitem", "customer", "part", "supplier", "nation", "region")
+        def want(t: String): Boolean = wantTables.contains(t)
         val gens = spark.range(0, factor).select(col("id").as("g"))
+        if (want("documents")) {
         val docs = spark.read.parquet(s"$src/documents.parquet")
         val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
         docs.crossJoin(broadcast(gens))
@@ -104,6 +116,8 @@ object Tool {
           .withColumn("n_chars", length(col("text")))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        }
+        if (want("events")) {
         val ev = spark.read.parquet(s"$src/events.parquet")
         val nEv = ev.agg(max(col("event_id"))).head.getLong(0) + 1
         val nUsr = ev.agg(max(col("user_id"))).head.getLong(0) + 1
@@ -113,6 +127,8 @@ object Tool {
             col("event_type"), col("value"), col("props"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/events.parquet")
+        }
+        if (want("embeddings")) {
         val emb = spark.read.parquet(s"$src/embeddings.parquet")
         val nVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
         val dim = emb.select(size(col("embedding"))).head.getInt(0)
@@ -127,6 +143,7 @@ object Tool {
             col("label"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        }
         // TPC-H side (added r15 — the r14 judge's Next #2: q293 and the
         // q143/q144/q153/q165/q166 family previously had no growth
         // axis). The driver's own law sf0.01 → sf0.1 is every relation
@@ -137,6 +154,8 @@ object Tool {
         // preserved; nation/region copy verbatim (fixed in TPC-H too).
         def keyMax(df: org.apache.spark.sql.DataFrame, k: String): Long =
           df.agg(max(col(k))).head.getLong(0) + 1
+        if (Seq("orders", "lineitem", "customer", "part", "supplier")
+            .exists(want)) {
         val ord = spark.read.parquet(s"$src/orders.parquet")
         val li = spark.read.parquet(s"$src/lineitem.parquet")
         val cust = spark.read.parquet(s"$src/customer.parquet")
@@ -146,14 +165,14 @@ object Tool {
           keyMax(cust, "c_custkey"))
         val (nPart, nSupp) = (keyMax(prt, "p_partkey"),
           keyMax(supp, "s_suppkey"))
-        ord.crossJoin(broadcast(gens))
+        if (want("orders")) ord.crossJoin(broadcast(gens))
           .select((col("o_orderkey") + col("g") * nOrd).as("o_orderkey"),
             (col("o_custkey") + col("g") * nCust).as("o_custkey"),
             col("o_orderstatus"), col("o_totalprice"),
             col("o_orderdate"), col("o_orderpriority"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/orders.parquet")
-        li.crossJoin(broadcast(gens))
+        if (want("lineitem")) li.crossJoin(broadcast(gens))
           .select((col("l_orderkey") + col("g") * nOrd).as("l_orderkey"),
             (col("l_partkey") + col("g") * nPart).as("l_partkey"),
             (col("l_suppkey") + col("g") * nSupp).as("l_suppkey"),
@@ -162,7 +181,7 @@ object Tool {
             col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-        cust.crossJoin(broadcast(gens))
+        if (want("customer")) cust.crossJoin(broadcast(gens))
           .select((col("c_custkey") + col("g") * nCust).as("c_custkey"),
             when(col("g") === 0, col("c_name"))
               .otherwise(concat(lit("g"), col("g").cast("string"),
@@ -170,7 +189,7 @@ object Tool {
             col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/customer.parquet")
-        prt.crossJoin(broadcast(gens))
+        if (want("part")) prt.crossJoin(broadcast(gens))
           .select((col("p_partkey") + col("g") * nPart).as("p_partkey"),
             when(col("g") === 0, col("p_name"))
               .otherwise(concat(lit("g"), col("g").cast("string"),
@@ -179,7 +198,7 @@ object Tool {
             col("p_retailprice"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/part.parquet")
-        supp.crossJoin(broadcast(gens))
+        if (want("supplier")) supp.crossJoin(broadcast(gens))
           .select((col("s_suppkey") + col("g") * nSupp).as("s_suppkey"),
             when(col("g") === 0, col("s_name"))
               .otherwise(concat(lit("g"), col("g").cast("string"),
@@ -187,16 +206,21 @@ object Tool {
             col("s_nationkey"), col("s_acctbal"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/supplier.parquet")
-        for (t <- Seq("nation", "region"))
+        }
+        for (t <- Seq("nation", "region") if want(t))
           spark.read.parquet(s"$src/$t.parquet").coalesce(1)
             .write.mode("overwrite").parquet(s"$out/$t.parquet")
         // nOrd is the key STRIDE (max key + 1), not the row count — for a
-        // non-dense key space it overstates rows (r15 ADVICE): report the
-        // actual generated row count instead.
-        val ordRows = spark.read.parquet(s"$out/orders.parquet").count()
-        println(s"GENSCALE out=$out factor=$factor docs=${nDocs * factor} " +
-          s"events=${nEv * factor} vecs=${nVec * factor} " +
-          s"orders=$ordRows (key_stride=$nOrd) lineitem_src_rows_x$factor")
+        // non-dense key space it overstates rows (r15 ADVICE): report
+        // actual generated row counts, read from the OUTPUT so the line
+        // is honest under any table subset.
+        val counts = Seq("documents", "events", "embeddings", "orders")
+          .filter(want)
+          .map(t => s"$t=" +
+            spark.read.parquet(s"$out/$t.parquet").count())
+          .mkString(" ")
+        println(s"GENSCALE out=$out factor=$factor $counts " +
+          s"tables=${wantTables.toSeq.sorted.mkString(",")}")
       case Some("genempty") =>
         // EMPTY corpus with the real schemas (r17 — the r16 verdict's
         // Next #5): every table present, zero rows — the fixture for

@@ -145,7 +145,8 @@ object Export {
       .drop("__gidx")
       // metrics collected PRE-shuffle so the node can't perturb the
       // write-side partitioning/ordering
-      .observe(obs, max(col("__bucket")).as("max_bucket"))
+      .observe(obs, max(col("__bucket")).as("max_bucket"),
+        count(lit(1)).as("n_rows"))
       .repartition(col("__bucket")) // all rows of a bucket → one task → one file
       .sortWithinPartitions(("__bucket" +: orderBy).map(col): _*)
       .write.mode("overwrite")
@@ -187,11 +188,19 @@ object Export {
       fileNo -> name
     }
     fs.delete(new Path(staging), true)
-    // Tail-file row count from its parquet footer (metadata-only job on one
-    // file); every earlier file holds exactly rowsPerFile rows by law.
-    val lastRows = renamed.lastOption.map { case (_, name) =>
-      spark.read.parquet(s"$outDir/$name").count()
-    }.getOrElse(0L)
+    // Tail-file row count from the SAME observation that counted buckets —
+    // total rows minus the rowsPerFile law for every non-tail file. r20:
+    // this was previously a separate read-back job on the tail file
+    // (metadata-only, but one more sequential driver round trip per table
+    // — q29 runs three exports, so three extra jobs); the write job
+    // already knows the total for free.
+    val totalRows = obs.get.getOrElse("n_rows", null) match {
+      case n: java.lang.Long => n.longValue
+      case _                 => 0L
+    }
+    val lastRows =
+      if (expectedBuckets == 0) 0L
+      else totalRows - (expectedBuckets - 1) * rpf
     renamed.map { case (fileNo, name) =>
       val rows = if (fileNo == renamed.last._1) lastRows else rpf
       ExportedFile(cfg.name, fileNo, name, s"${cfg.name}/$name", rows,
