@@ -105,7 +105,7 @@ object Tool {
         if (want("documents")) {
         val docs = spark.read.parquet(s"$src/documents.parquet")
         val nDocs = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-        docs.crossJoin(broadcast(gens))
+        docs.repartition(32).crossJoin(broadcast(gens))
           .select((col("doc_id") + col("g") * nDocs).as("doc_id"),
             when(col("g") === 0, col("text")).otherwise(
               concat_ws(" ", expr(
@@ -114,25 +114,23 @@ object Tool {
                   .stripMargin))).as("text"),
             col("lang"), col("source"))
           .withColumn("n_chars", length(col("text")))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$out/documents.parquet")
         }
         if (want("events")) {
         val ev = spark.read.parquet(s"$src/events.parquet")
         val nEv = ev.agg(max(col("event_id"))).head.getLong(0) + 1
         val nUsr = ev.agg(max(col("user_id"))).head.getLong(0) + 1
-        ev.crossJoin(broadcast(gens))
+        ev.repartition(32).crossJoin(broadcast(gens))
           .select((col("event_id") + col("g") * nEv).as("event_id"),
             col("ts"), (col("user_id") + col("g") * nUsr).as("user_id"),
             col("event_type"), col("value"), col("props"))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$out/events.parquet")
         }
         if (want("embeddings")) {
         val emb = spark.read.parquet(s"$src/embeddings.parquet")
         val nVec = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
         val dim = emb.select(size(col("embedding"))).head.getInt(0)
-        emb.crossJoin(broadcast(gens))
+        emb.repartition(32).crossJoin(broadcast(gens))
           .select((col("vec_id") + col("g") * nVec).as("vec_id"),
             // generation g rotates coordinates by g — isotropy and norms
             // preserved, vectors distinct across generations
@@ -141,7 +139,6 @@ object Tool {
               |    CAST((i + g) % $dim AS INT) + 1))""".stripMargin)
               .as("embedding"),
             col("label"))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
         }
         // TPC-H side (added r15 — the r14 judge's Next #2: q293 and the
@@ -165,46 +162,41 @@ object Tool {
           keyMax(cust, "c_custkey"))
         val (nPart, nSupp) = (keyMax(prt, "p_partkey"),
           keyMax(supp, "s_suppkey"))
-        if (want("orders")) ord.crossJoin(broadcast(gens))
+        if (want("orders")) ord.repartition(32).crossJoin(broadcast(gens))
           .select((col("o_orderkey") + col("g") * nOrd).as("o_orderkey"),
             (col("o_custkey") + col("g") * nCust).as("o_custkey"),
             col("o_orderstatus"), col("o_totalprice"),
             col("o_orderdate"), col("o_orderpriority"))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$out/orders.parquet")
-        if (want("lineitem")) li.crossJoin(broadcast(gens))
+        if (want("lineitem")) li.repartition(32).crossJoin(broadcast(gens))
           .select((col("l_orderkey") + col("g") * nOrd).as("l_orderkey"),
             (col("l_partkey") + col("g") * nPart).as("l_partkey"),
             (col("l_suppkey") + col("g") * nSupp).as("l_suppkey"),
             col("l_linenumber"), col("l_quantity"),
             col("l_extendedprice"), col("l_discount"), col("l_tax"),
             col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-        if (want("customer")) cust.crossJoin(broadcast(gens))
+        if (want("customer")) cust.repartition(32).crossJoin(broadcast(gens))
           .select((col("c_custkey") + col("g") * nCust).as("c_custkey"),
             when(col("g") === 0, col("c_name"))
               .otherwise(concat(lit("g"), col("g").cast("string"),
                 lit("x"), col("c_name"))).as("c_name"),
             col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$out/customer.parquet")
-        if (want("part")) prt.crossJoin(broadcast(gens))
+        if (want("part")) prt.repartition(32).crossJoin(broadcast(gens))
           .select((col("p_partkey") + col("g") * nPart).as("p_partkey"),
             when(col("g") === 0, col("p_name"))
               .otherwise(concat(lit("g"), col("g").cast("string"),
                 lit("x"), col("p_name"))).as("p_name"),
             col("p_brand"), col("p_type"), col("p_size"),
             col("p_retailprice"))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$out/part.parquet")
-        if (want("supplier")) supp.crossJoin(broadcast(gens))
+        if (want("supplier")) supp.repartition(32).crossJoin(broadcast(gens))
           .select((col("s_suppkey") + col("g") * nSupp).as("s_suppkey"),
             when(col("g") === 0, col("s_name"))
               .otherwise(concat(lit("g"), col("g").cast("string"),
                 lit("x"), col("s_name"))).as("s_name"),
             col("s_nationkey"), col("s_acctbal"))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$out/supplier.parquet")
         }
         for (t <- Seq("nation", "region") if want(t))
@@ -327,7 +319,6 @@ object Tool {
             expr(s"timestamp_micros(unix_micros(ts) + g * ${spanUs}L)")
               .as("ts"),
             col("user_id"), col("event_type"), col("value"), col("props"))
-          .repartition(32)
           .write.mode("overwrite").parquet(s"$outS/events.parquet")
         println(s"GENSPAN out=$outS factor=$factorS spanHours=" +
           s"${spanUs / 3600000000L * factorS}")

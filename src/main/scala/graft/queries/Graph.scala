@@ -53,10 +53,10 @@ object GraphOps {
     // round-fresh ranks — the edge table (the big side at scale) shuffles
     // ONCE for the whole run instead of once per iteration
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).transform(graft.operators.Iter.pin)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .withColumnRenamed("src", "dnode")
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct().transform(graft.operators.Iter.pin)
     val n = nodes.count()
     // empty graph → empty ranks with the right schema (the oracle's
     // recursive chain over an empty edge set is empty; the old require
@@ -77,7 +77,7 @@ object GraphOps {
           (lit(jump)
             + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100"))
             .as("rank"))
-        .localCheckpoint()
+        .transform(graft.operators.Iter.pin)
     }
     ranks
   }
@@ -271,7 +271,7 @@ object GraphOps {
       .select(col("pa"), col("pb"))
     val edges = pp.union(pp.select(col("pb").as("pa"), col("pa").as("pb")))
       .toDF("src", "dst")
-      .repartition(col("src")).localCheckpoint()
+      .repartition(col("src")).transform(graft.operators.Iter.pin)
     var dist = Tables.part(s, d).filter(col("p_size") === 1)
       .select(col("p_partkey").as("node"), lit(0L).as("dist"))
     for (_ <- 1 to BfsHops) {
@@ -279,7 +279,7 @@ object GraphOps {
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.union(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .transform(graft.operators.Iter.pin)
     }
     dist.select(col("node").as("part"), col("dist").cast("long").as("dist"))
       .orderBy(col("part"))
@@ -471,7 +471,7 @@ object GraphOps {
     val e0 = band("hp").union(band("hs")).distinct()
     var g = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst")
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
     var surv = g.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= KCoreK)
     for (_ <- 1 to KCoreRounds) {
@@ -481,7 +481,7 @@ object GraphOps {
       val keepB = surv.select(col("node").as("kb"))
       g = g.join(keepA, col("src") === col("ka"), "left_semi")
         .join(keepB, col("dst") === col("kb"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.operators.Iter.pin)
       surv = g.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= KCoreK)
     }
@@ -573,10 +573,10 @@ object GraphOps {
   private[graft] def labelPropagation(
       edges: DataFrame, rounds: Int): DataFrame = {
     val g = edges.select(col("src"), col("dst"))
-      .repartition(col("dst")).localCheckpoint()
+      .repartition(col("dst")).transform(graft.operators.Iter.pin)
     var labels = g.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
     val argmax = Window.partitionBy(col("node"))
       .orderBy(col("c").desc, col("label"))
     for (_ <- 1 to rounds) {
@@ -586,7 +586,7 @@ object GraphOps {
         .withColumn("rk", row_number().over(argmax))
         .filter(col("rk") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint()
+        .transform(graft.operators.Iter.pin)
     }
     val sz = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("community_size"))
@@ -682,7 +682,7 @@ object GraphOps {
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("cc"))
       .filter(col("cc") >= MinPairCount)
-      .localCheckpoint() // consumers: degrees, margins, capped pair sides
+      .transform(graft.operators.Iter.pin) // consumers: degrees, margins, capped pair sides
     val deg = incAll.groupBy(col("user_id"))
       .agg(count(lit(1)).cast("long").as("du"))
     val tdeg = incAll.groupBy(col("event_type"))

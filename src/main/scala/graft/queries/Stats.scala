@@ -54,12 +54,13 @@ object Stats {
     * contribute nothing (exactly the lag-NOT-NULL semantics).
     *
     * r20: above the threshold the DEFAULT large path is now
-    * [[rangeGapPath]] — one range shuffle + streaming per-slice lag +
-    * boundary window — A/B-measured against the two-level device at
-    * ×100/×1000 (receipts: SCALE_r20 §2); the two-level rank+self-join
-    * path stays
-    * fully wired (suite bit-identity nets force all three paths) and
-    * re-forceable via SPARK_GRAFT_GAPS=twolevel.
+    * [[binLagGapPath]] — ONE hash shuffle on the deterministic
+    * (type, bin, sbin) blocks + a lead window + a map-side-aggregated
+    * boundary frame — A/B-measured against the two-level device at
+    * ×100/×1000 (receipts: OPTIMIZATION_r20.md §2); the two-level
+    * rank+self-join path stays fully wired (suite bit-identity nets
+    * force all three paths) and re-forceable via
+    * SPARK_GRAFT_GAPS=twolevel.
     */
   /** Below this row count the plain per-type lag window wins: the
     * parallel path's fixed costs (bin probe, rank shuffle, pinned
@@ -74,114 +75,74 @@ object Stats {
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     typeGapsCarry(e, Nil)
 
-  /** r20 — the RANGE-SHUFFLE gap stage (the r19 verdict's Next #1): the
-    * two-level device computes gaps via probe(+sketches) → 4096-bin rank
-    * → (type, i)=(type, i′+1) equi-self-join — ~three shuffles of the
-    * full event frame for what is semantically ONE global sort plus a
-    * per-partition lag. This path does exactly that:
+  /** r20 — the ONE-SHUFFLE gap stage (the r19 verdict's Next #1,
+    * strategy name "range" kept for the env/suite knob): the two-level
+    * device computes gaps via probe(+sketches) → 4096-bin rank →
+    * (type, i)=(type, i′+1) equi-self-join — ~three shuffles of the full
+    * event frame for what is semantically one sort + lag. This path is
+    * the lag formulation over the SAME deterministic bins:
     *
-    *   repartitionByRange(P, us, event_id)          — the ONE shuffle
-    *   → sortWithinPartitions(event_type, us, event_id)
-    *   → one streaming mapPartitions pass           — O(1) memory
-    *   → a ≤ P·T-row boundary window               — broadcast-sized
+    *   bin = quantile bucket of us (+ tie sub-bin for hot values)
+    *   → ONE hash exchange on (type, bin, sbin)
+    *   → lead(us) window inside each block         — the within gaps
+    *   ∪ per-block (min us, max (us, event_id, carry)) aggregate
+    *     (map-side combined, KB-sized) → lead over blocks per type
+    *                                               — the cross gaps
     *
-    * Sorting each range slice by (type, us, event_id) groups every
-    * type's slice-local rows into ONE contiguous run (all of a type's
-    * rows in slice p are exactly its events with (us, event_id) in
-    * range p), so the pass emits within-run gaps with a single
-    * previous-row register — no per-type map, no memory proportional to
-    * type cardinality — and, at each run edge, one BOUNDARY summary
-    * (pid, type, first_us, last_us, carry-of-last). Cross-partition
-    * gaps are a lead() over the boundary frame partitioned by type:
-    * each type has ≤ P boundary rows, so that window is trivially
-    * parallel at ANY type cardinality. Every global consecutive pair is
-    * either slice-local (the pass) or spans slices (the boundary lead),
-    * never both — same (us, event_id) total order, identical gap rows.
+    * Block order (bin asc, sbin asc) refines the global (us, event_id)
+    * order (bucketCol/subbinCol are monotone — the rank device's own
+    * soundness argument), so every consecutive pair is either inside a
+    * block (the window) or spans two adjacent non-empty blocks (the
+    * boundary lead), never both. Identical-timestamp clumps — the gap
+    * family's hot-key shape — split across tie sub-bins exactly as in
+    * the rank device, so no block serializes a hot value's mass.
     *
-    * Skew-proof for free: RangePartitioner keys on the (us, event_id)
-    * TUPLE, so identical-timestamp clumps and tie-less hot gaps — the
-    * two classes that needed sub-binning and run-collapse in the rank
-    * device — split across slices by event_id with no hot detection at
-    * all. The tagged output is pinned (two consumers; an unpinned union
-    * would re-execute the range exchange with independently SAMPLED
-    * boundaries — a nondeterministic-partitioning hazard, not just a
-    * perf one). NULL `us` is refused loudly in the pass itself, so the
-    * forced-strategy route keeps the same contract as the probe's
-    * require. Measured A/B vs the two-level path: SCALE_r20 §2;
-    * `SPARK_GRAFT_GAPS=twolevel` re-forces the old device for
-    * re-measurement.
+    * Why not the r20-draft mapPartitions range-shuffle version: measured
+    * at ×1000 it spent >12 min in per-row Seq-concat + external-Row
+    * encoding + an event-scale localCheckpoint that unrolled 100M rows
+    * into the heap (old gen 84%, BlockManager PartiallyUnrolledIterator
+    * in every hot stack — guide §4/§5). This formulation is whole-stage
+    * codegen end to end, pins NOTHING event-sized (the only reused
+    * frames are deterministic plans, so the union's two subtrees can
+    * re-derive them consistently; the boundary subtree rides its own
+    * map-side-combined aggregate instead of the window's output), and
+    * keeps the one full exchange. A/B receipts: OPTIMIZATION_r20.md §2;
+    * `SPARK_GRAFT_GAPS=twolevel` re-forces the old device.
     */
-  private def rangeGapPath(
+  private def binLagGapPath(
       e: org.apache.spark.sql.DataFrame,
-      carry: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.Row
-    val s = e.sparkSession
-    val p = s.sessionState.conf.numShufflePartitions
-    val baseCols = Seq("event_type", "us", "event_id") ++
-      carry.distinct.filterNot(Set("event_type", "us", "event_id"))
-    val sorted = e.select(baseCols.map(col): _*)
-      .repartitionByRange(p, col("us"), col("event_id"))
-      .sortWithinPartitions(col("event_type"), col("us"), col("event_id"))
-    val sch = sorted.schema
-    val tIdx = sch.fieldIndex("event_type")
-    val usIdx = sch.fieldIndex("us")
-    val carryIdx = carry.map(sch.fieldIndex).toArray
-    val taggedSchema = StructType(
-      Seq(StructField("tag", IntegerType, nullable = false),
-        StructField("pid", IntegerType, nullable = false),
-        sch(tIdx),
-        StructField("gp", LongType),
-        StructField("f_us", LongType),
-        StructField("l_us", LongType)) ++
-      carry.zipWithIndex.map { case (c, j) =>
-        StructField(s"c_$j", sch(c).dataType) })
-    val tagged = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      // single previous-row register — the type-grouped slice sort makes
-      // every type's rows contiguous, so one register replaces a
-      // per-type map (memory O(1) at any type cardinality)
-      var hasPrev = false
-      var prevT: Any = null
-      var prevUs = 0L
-      var firstUs = 0L
-      var prevCarry: Array[Any] = null
-      def boundaryRow(): Row = Row.fromSeq(
-        Seq(1, pid, prevT, null, firstUs, prevUs) ++ prevCarry)
-      it.flatMap { r =>
-        if (r.isNullAt(usIdx))
-          throw new IllegalArgumentException(
-            "typeGapsCarry: NULL key 'us' — callers must pre-filter " +
-              "(window and two-level paths disagree on NULL keys)")
-        val t = r.get(tIdx)
-        val us = r.getLong(usIdx)
-        val cv = Array.tabulate[Any](carryIdx.length)(j => r.get(carryIdx(j)))
-        val out: Iterator[Row] =
-          if (!hasPrev) { hasPrev = true; firstUs = us; Iterator.empty }
-          else if (prevT == t) Iterator.single(Row.fromSeq(
-            Seq(0, -1, t, us - prevUs, null, null) ++ prevCarry))
-          else {
-            val b = boundaryRow() // prev run just ended
-            firstUs = us // and a new run starts at this row
-            Iterator.single(b)
-          }
-        prevT = t; prevUs = us; prevCarry = cv
-        out
-      } ++ (if (hasPrev) Iterator.single(boundaryRow()) else Iterator.empty)
-    }(org.apache.spark.sql.Encoders.row(taggedSchema))
-      // PIN (§5.7): two consumers below; unpinned, the union re-executes
-      // the range exchange with independently sampled boundaries
-      .localCheckpoint()
-    val outCols = col("event_type") +:
-      carry.zipWithIndex.map { case (c, j) => col(s"c_$j").as(c) } :+
-      col("gp")
-    val within = tagged.filter(col("tag") === 0).select(outCols: _*)
-    val bw = Window.partitionBy(col("event_type")).orderBy(col("pid"))
-    val cross = tagged.filter(col("tag") === 1)
+      carry: Seq[String],
+      edges: Array[Long],
+      hot: Array[Long],
+      tieEdges: Array[Long]): org.apache.spark.sql.DataFrame = {
+    val binned = e
+      .withColumn("bin", bucketCol("us", edges, desc = false))
+      .withColumn("sbin", subbinCol("us", Some("event_id"), hot, tieEdges))
+    val w = Window
+      .partitionBy(col("event_type"), col("bin"), col("sbin"))
+      .orderBy(col("us"), col("event_id"))
+    val within = binned
+      .select(col("event_type") +: carry.map(col) :+
+        (lead(col("us"), 1).over(w) - col("us")).as("gp"): _*)
+      .filter(col("gp").isNotNull)
+    // carry fields ride the struct under c_ aliases so carrying the sort
+    // key itself ("us", the q152 shape) cannot collide; (us, event_id) is
+    // a unique prefix, so the struct max IS the block's last row and its
+    // carry values are never part of the comparison
+    val lastStruct = struct(
+      col("us").as("s_us") +: col("event_id").as("s_eid") +:
+        carry.zipWithIndex.map { case (c, j) => col(c).as(s"c_$j") }: _*)
+    val b = binned
+      .groupBy(col("event_type"), col("bin"), col("sbin"))
+      .agg(min(col("us")).as("f_us"), max(lastStruct).as("l"))
+    val bw = Window.partitionBy(col("event_type"))
+      .orderBy(col("bin"), col("sbin"))
+    val cross = b
       .withColumn("nf", lead(col("f_us"), 1).over(bw))
       .filter(col("nf").isNotNull)
-      .withColumn("gp", col("nf") - col("l_us"))
-      .select(outCols: _*)
+      .select(col("event_type") +:
+        carry.zipWithIndex.map { case (c, j) => col(s"l.c_$j").as(c) } :+
+        (col("nf") - col("l.s_us")).as("gp"): _*)
     within.union(cross)
   }
 
@@ -202,8 +163,8 @@ object Stats {
       // measured default
       threshold: Long = TypeGapsParThreshold,
       edgesOverride: Option[Array[Long]] = None,
-      // large-path strategy: "auto" resolves to the range-shuffle path
-      // (the r20 A/B winner — [[rangeGapPath]]), overridable to
+      // large-path strategy: "auto" resolves to the one-shuffle bin-lag path
+      // (the r20 A/B winner — [[binLagGapPath]]), overridable to
       // "twolevel"/"range" by the suite's bit-identity nets and by
       // SPARK_GRAFT_GAPS for A/B re-measurement; an edgesOverride is the
       // two-level path's own knob and implies it
@@ -236,16 +197,12 @@ object Stats {
     // probe at all when the frame is provably sub-threshold)
     if (PlanStats.rowUpperBound(e).exists(_ < threshold))
       return windowPath(guarded = true)
-    // r20: the range path needs no quantile/tie sketches — its probe is
-    // min/count only (threshold + loud-NULL dispatch); the two-level
-    // path keeps the single sketch-bearing probe it always had, so the
-    // A/B legs each run exactly one probe pass
-    val mm =
-      if (large == "range")
-        e.agg(min(col("us")), count(lit(1)), count(col("us"))).head
-      else e.agg(min(col("us")), count(lit(1)), edgeProbe("us"),
-        count(col("us")), tieProbe("event_id")).head
-    val nonNullIdx = if (large == "range") 2 else 3
+    // one sketch-bearing probe pass, shared by both large paths (the
+    // bin-lag path reuses the two-level device's quantile bins and hot
+    // tie sub-bins verbatim — same edges, same hot plan)
+    val mm = e.agg(min(col("us")), count(lit(1)), edgeProbe("us"),
+      count(col("us")), tieProbe("event_id")).head
+    val nonNullIdx = 3
     require(mm.getLong(1) == mm.getLong(nonNullIdx),
       s"typeGapsCarry: key 'us' has ${mm.getLong(1) - mm.getLong(nonNullIdx)}" +
         " NULL rows — callers must pre-filter (window and two-level paths " +
@@ -259,7 +216,10 @@ object Stats {
     } else if (mm.getLong(1) < threshold) {
       windowPath(guarded = false)
     } else if (large == "range") {
-      rangeGapPath(e, carry)
+      val edges = edgesAt(mm, 2)
+      val (hot, tieEdges) = hotPlanOf(mm, 2, 4, Some("event_id"), edges,
+        edgesOverridden = false, None)
+      binLagGapPath(e, carry, edges, hot, tieEdges)
     } else {
       // r18: SAMPLED-QUANTILE time bins (the r17 verdict's perf-weak #1:
       // the one remaining LINEAR bin — a bursty corpus with 90% of events
