@@ -11,6 +11,30 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r21 (VERDICT_r20 Next #2): the driver snapshots only the last ~2 kB of
+// `sbt "runMain graft.Bench"` stdout and JSON-parses it; with sbt's default
+// LoggedOutput every forked line gets an "[info] " prefix and a
+// "[success] Total time: ..." line trails the run, so the parse failed
+// every round (BENCH_r*.json "parsed": null). StdoutOutput inherits the
+// forked process's stdout/stderr directly (no prefixes, Spark's stderr
+// logs stay on stderr) and showSuccess drops the trailing [success] line,
+// so Bench's compact JSON really is the last stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by another setting —
+// the lintUnused warning is a false positive and its 6 [warn] lines land
+// in the same stdout tail the driver parses
+Global / excludeLintKeys += showSuccess
+// r21 (VERDICT_r20 Next #3): the full suite outgrew the driver's
+// verification window (1h40m at the r20 HEAD). Tests tagged graft.Slow —
+// the scale curves and forced-×N-path nets whose value is per-release, not
+// per-commit — are excluded from plain `sbt test` and run via
+// SPARK_GRAFT_SLOW=1 (documented in OPTIMIZATION_r21.md; they were run
+// green this round before tagging).
+Test / testOptions ++= {
+  if (sys.env.get("SPARK_GRAFT_SLOW").contains("1")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow"))
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

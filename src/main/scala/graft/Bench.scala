@@ -47,13 +47,22 @@ object Bench {
           false
       }
 
-    // warmup (untimed): JIT, codegen caches, parquet footer caches
-    queries.foreach { case (name, fn) => runOne(name, fn) }
+    // r21 (VERDICT_r20 Next #2): the driver's window must fit warmup +
+    // timed passes ≈ 3 full sweeps; when it cannot, these knobs cut the
+    // sweep count WITHOUT changing the default methodology (warmup + 2
+    // timed passes, min per query — unchanged since r17, so numbers stay
+    // comparable when the knobs are not set).
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
+    val doWarmup = !sys.env.get("SPARK_GRAFT_BENCH_WARMUP").contains("0")
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
 
-    // Two timed passes, min per query: single-shot numbers swing wildly
-    // (q01 measured 1.2s ↔ 15.5s run-to-run) depending on where G1 mixed
-    // cycles happen to land — min-of-2 reports the steady-state cost a
-    // pause didn't land on. Explicit System.gc() barriers were tried and
+    // warmup (untimed): JIT, codegen caches, parquet footer caches
+    if (doWarmup) queries.foreach { case (name, fn) => runOne(name, fn) }
+
+    // Timed passes (default 2), min per query: single-shot numbers swing
+    // wildly (q01 measured 1.2s ↔ 15.5s run-to-run) depending on where G1
+    // mixed cycles happen to land — min-of-N reports the steady-state cost
+    // a pause didn't land on. Explicit System.gc() barriers were tried and
     // are WORSE: a full GC tears down JIT state for the Janino-generated
     // codegen classes, and codegen-heavy queries then rerun cold (q32
     // measured 5s → 48s with a gc() before each query).
@@ -63,9 +72,11 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       (name, if (ok) sec else -1.0, ok)
     }
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.zip(p2).map { case ((n, s1, ok1), (_, s2, ok2)) =>
-      (n, if (ok1 && ok2) math.min(s1, s2) else -1.0, ok1 && ok2)
+    val allPasses = (1 to passes).map(_ => timedPass())
+    val results = allPasses.transpose.map { perQuery =>
+      val name = perQuery.head._1
+      val ok = perQuery.forall(_._3)
+      (name, if (ok) perQuery.map(_._2).min else -1.0, ok)
     }
     val failed = results.collect { case (n, _, false) => n }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
@@ -81,20 +92,24 @@ object Bench {
     // plus the run geometry
     Files.writeString(Paths.get("bench_last.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"cpus":"$cpus","sf":"$sfDir","queries":$qs,"failed":$failedJson}""" + "\n")
+    spark.stop()
     // The harness that snapshots this output keeps only the LAST ~2000
     // characters of stdout; the full per-query line above is ~3.5k chars,
     // so its head — metric/value — has been truncated away every round and
     // the snapshot's JSON parse failed (BENCH_r*.json all carry
-    // "parsed": null). Emit a SECOND, compact line last: same schema,
-    // "queries" restricted to the 20 slowest (the only ones a perf reader
-    // acts on), small enough (<1 kB) that the whole object always
-    // survives the tail window. Full detail still lives in
-    // bench_last.json and the big line.
+    // "parsed": null). Emit a SECOND, compact line as the ABSOLUTE LAST
+    // output of the program (after spark.stop(), so no Spark shutdown
+    // line can trail it; build.sbt additionally unwraps forked stdout
+    // from sbt's [info] logger and suppresses the trailing [success]
+    // line): same schema, "queries" restricted to the 20 slowest (the
+    // only ones a perf reader acts on), small enough (<1 kB) that the
+    // whole object always survives the tail window. Full detail still
+    // lives in bench_last.json and the big line.
     val slowest = results.filter(_._3).sortBy(-_._2).take(20)
       .map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 }

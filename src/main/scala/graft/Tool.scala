@@ -96,10 +96,17 @@ object Tool {
         // get a 100M-event corpus wastes an hour of measurement window —
         // r19 already worked off a hand-built "3-table ×1000" for this
         // reason. Default: every table (byte-identical to the r19 law).
+        val knownTables = Set("documents", "events", "embeddings", "orders",
+          "lineitem", "customer", "part", "supplier", "nation", "region")
         val wantTables: Set[String] =
           if (args.length > 4) args(4).split(',').map(_.trim).toSet
-          else Set("documents", "events", "embeddings", "orders",
-            "lineitem", "customer", "part", "supplier", "nation", "region")
+          else knownTables
+        // r20 ADVICE: a typo'd table name ("embedings") used to be silently
+        // ignored — an exit-0 run that generated NOTHING for that table and
+        // poisoned every measurement pointed at the corpus.
+        require(wantTables.subsetOf(knownTables),
+          s"genscale: unknown table(s) ${(wantTables -- knownTables).toSeq.sorted
+            .mkString(", ")} — known: ${knownTables.toSeq.sorted.mkString(", ")}")
         def want(t: String): Boolean = wantTables.contains(t)
         val gens = spark.range(0, factor).select(col("id").as("g"))
         if (want("documents")) {
@@ -206,7 +213,10 @@ object Tool {
         // non-dense key space it overstates rows (r15 ADVICE): report
         // actual generated row counts, read from the OUTPUT so the line
         // is honest under any table subset.
-        val counts = Seq("documents", "events", "embeddings", "orders")
+        // r20 ADVICE: count every generated table (the TPC-H side was
+        // omitted even when generated), so the line names what exists.
+        val counts = Seq("documents", "events", "embeddings", "orders",
+            "lineitem", "customer", "part", "supplier")
           .filter(want)
           .map(t => s"$t=" +
             spark.read.parquet(s"$out/$t.parquet").count())

@@ -1115,7 +1115,7 @@ object Analytic {
           // pinned: TWO consumers (the per-type max and the join) would
           // otherwise run the whole two-level prefix pipeline twice —
           // measured ~2× wall on the 18M-run burst corpus (r18)
-          .localCheckpoint()
+          .transform(graft.operators.Iter.pin)
         val mxs = inb.groupBy(col("event_type").as("m_type"))
           .agg(max(col("cum")).cast("long").as("mx"))
         inb.join(broadcast(mxs), col("event_type") === col("m_type"))
@@ -1223,7 +1223,7 @@ object Analytic {
     // with conversion-proportional frames — the low-cardinality window
     // class; ties inside one lat value are rank-permutations of equal
     // values, so the picked order statistic is unchanged)
-    val r = Stats.rankPar(lat.localCheckpoint(), "lat_us", desc = false,
+    val r = Stats.rankPar(lat.transform(graft.operators.Iter.pin), "lat_us", desc = false,
       Nil, Seq("stage"))
       .select(col("stage"), col("lat_us"), col("i").as("rn"),
         col("nd").as("n"))
@@ -1844,7 +1844,7 @@ object Analytic {
     // unpinned, the events scan + user aggregate would run 4x (§5.7)
     val ddf = quint.foldLeft(
         sdf.select(col("user_id"), col("r_days"), col("f"), col("m"))
-          .localCheckpoint()) {
+          .transform(graft.operators.Iter.pin)) {
       case (acc, (key, desc, as)) =>
         Stats.ntilePar(acc, 5, key, desc, Seq("user_id"))
           .withColumnRenamed("tile", as)
@@ -2234,7 +2234,7 @@ object Analytic {
           && mc("m") === col("m0") + col("t"), "left")
       .select(col("g_type").as("event_type"), col("m0"), col("t"),
         coalesce(col("cnt"), lit(0L)).as("x"))
-      .localCheckpoint() // 3 consumers: moments, contributions, finish
+      .transform(graft.operators.Iter.pin) // 3 consumers: moments, contributions, finish
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("span"),
         sum(col("x")).cast("long").as("s"),
@@ -2899,7 +2899,7 @@ object Analytic {
           && mc("m") === col("m0") + col("t"), "left")
       .select(col("g_type").as("event_type"), col("m0"), col("t"),
         coalesce(col("cnt"), lit(0L)).as("x"))
-      .localCheckpoint() // 3 consumers: moments, contributions, finish
+      .transform(graft.operators.Iter.pin) // 3 consumers: moments, contributions, finish
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("span"),
         sum(col("x")).cast("long").as("s"),
@@ -3095,7 +3095,7 @@ object Analytic {
       .select(col("user_id"),
         expr("unix_micros(ts) div 86400000000").as("day"))
       .distinct()
-      .localCheckpoint() // 3 consumers: bounds, dau, the 7-day band join
+      .transform(graft.operators.Iter.pin) // 3 consumers: bounds, dau, the 7-day band join
     val b = du.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val grid = b.select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val dau = du.groupBy(col("day")).agg(count(lit(1)).cast("long").as("dau"))
@@ -3219,7 +3219,7 @@ object Analytic {
           && mc("m") === col("m0") + col("t"), "left")
       .select(col("g_type").as("event_type"), col("m0"), col("t"),
         coalesce(col("cnt"), lit(0L)).as("x"))
-      .localCheckpoint() // 2 consumers: moments and the window chain
+      .transform(graft.operators.Iter.pin) // 2 consumers: moments and the window chain
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("span"),
         sum(col("x")).cast("long").as("s"),
@@ -3413,7 +3413,7 @@ object Analytic {
           .orderBy(col("cnt").desc, col("user_id").asc)).as("rn"))
       .filter(col("rn") <= 20)
       .select(col("day"), col("user_id"))
-      .localCheckpoint() // 3 consumers: sizes and both sides of the pair
+      .transform(graft.operators.Iter.pin) // 3 consumers: sizes and both sides of the pair
     val ksz = top.groupBy(col("day")).agg(count(lit(1)).cast("long").as("k"))
     val inter = top.select(col("day").as("a_day"), col("user_id"))
       .join(top.select(col("day").as("b_day"),
@@ -3545,8 +3545,8 @@ object Analytic {
           .cast("long").as("d"))
       .filter(col("np") === 2)
       .select(col("event_type"), col("lt").as("t"), col("a"), col("d"))
-    val l1 = level(x0).localCheckpoint() // feeds both energy and l2
-    val l2 = level(l1).localCheckpoint()
+    val l1 = level(x0).transform(graft.operators.Iter.pin) // feeds both energy and l2
+    val l2 = level(l1).transform(graft.operators.Iter.pin)
     val l3 = level(l2)
     def energy(src: org.apache.spark.sql.DataFrame, lv: Int) = src
       .groupBy(col("event_type"))
@@ -3644,7 +3644,7 @@ object Analytic {
         row_number().over(Window.partitionBy(col("day"))
           .orderBy(col("cnt").desc, col("user_id").asc)).as("rn"))
       .filter(col("rn") <= 20)
-      .localCheckpoint() // 3 consumers: day pairs and both join sides
+      .transform(graft.operators.Iter.pin) // 3 consumers: day pairs and both join sides
     val days = top.select(col("day").as("a_day"))
       .join(top.select((col("day") + 1).as("b_day")),
         col("b_day") === col("a_day"))
@@ -3656,7 +3656,7 @@ object Analytic {
         col("p_user") === col("user_id") && col("p_day") === col("day"))
       .select(col("day"), col("user_id"),
         greatest(col("ra"), col("rb")).as("m"))
-      .localCheckpoint() // 2 consumers: the depth explode and counts
+      .transform(graft.operators.Iter.pin) // 2 consumers: the depth explode and counts
     val terms = matched
       .select(col("day"),
         explode(expr("sequence(m, 20)")).as("d"))
@@ -3756,7 +3756,7 @@ object Analytic {
     val du = base.crossJoin(broadcast(d0))
       .select(col("user_id"), expr("(day - d0) div 7").as("wk"))
       .distinct()
-      .localCheckpoint() // 4 consumers: first-week, cur, prev, churn
+      .transform(graft.operators.Iter.pin) // 4 consumers: first-week, cur, prev, churn
     val fw = du.groupBy(col("user_id"))
       .agg(min(col("wk")).cast("long").as("f"))
     val prev = du.select(col("user_id").as("p_user"),
@@ -3914,13 +3914,13 @@ object Analytic {
     val prof = x.groupBy(col("event_type"), col("hod"))
       .agg(sum(col("x")).cast("long").as("sh"),
         count(lit(1)).cast("long").as("nh"))
-      .localCheckpoint() // 2 consumers: residuals and the forecast hour
+      .transform(graft.operators.Iter.pin) // 2 consumers: residuals and the forecast hour
     val xd = x.join(prof, Seq("event_type", "hod"))
       .select(col("event_type"), col("m0"), col("t"), col("x"),
         expr("CAST(x * nh - sh AS DOUBLE) / CAST(nh AS DOUBLE)")
           .as("dval"),
         expr("CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE)").as("seas"))
-      .localCheckpoint() // 3 consumers: moments, contributions, finish
+      .transform(graft.operators.Iter.pin) // 3 consumers: moments, contributions, finish
     val mom = xd.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("span"),
         max(abs(col("dval"))).as("dmax"))
@@ -4069,7 +4069,7 @@ object Analytic {
       .join(vc, col("mask") === col("g_mask"), "left")
       .select(col("g_mask").as("mask"), col("sz"),
         coalesce(col("v"), lit(0L)).as("v"))
-      .localCheckpoint() // 2 consumers: the S side and the S∪{i} side
+      .transform(graft.operators.Iter.pin) // 2 consumers: the S side and the S∪{i} side
     val ch = Seq(("view", 1L), ("click", 2L), ("signup", 4L))
       .toDF("channel", "bit")
     val contrib = broadcast(ch)
@@ -4152,7 +4152,7 @@ object Analytic {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"))
-      .localCheckpoint() // 3 consumers: views, clicks, purchases
+      .transform(graft.operators.Iter.pin) // 3 consumers: views, clicks, purchases
     val v = e.filter(col("event_type") === "view")
       .select(col("user_id"), col("us").as("v_us"))
     val c = e.filter(col("event_type") === "click")
@@ -4257,7 +4257,7 @@ object Analytic {
     val pu = g.groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("dup")).cast("long").as("dups"))
-      .localCheckpoint() // 2 consumers: type totals and the argmax
+      .transform(graft.operators.Iter.pin) // 2 consumers: type totals and the argmax
     val pt = pu.groupBy(col("event_type"))
       .agg(sum(col("n")).cast("long").as("n"),
         sum(col("dups")).cast("long").as("dups"))
@@ -4348,7 +4348,7 @@ object Analytic {
     val e = base.crossJoin(broadcast(d0))
       .select(col("user_id"), expr("(day - d0) div 7").as("wk"),
         col("cents"))
-      .localCheckpoint() // 3 consumers: first-week, spend, max week
+      .transform(graft.operators.Iter.pin) // 3 consumers: first-week, spend, max week
     val fw = e.groupBy(col("user_id").as("f_user"))
       .agg(min(col("wk")).cast("long").as("cohort"))
     val cs = fw.groupBy(col("cohort"))

@@ -618,10 +618,10 @@ object Dedup {
     // pin costs a blink while bounding the re-shingling of the new batch
     // to exactly once — the corpus-sized trade nearDups measured (its
     // rejection note) does not apply at batch scale.
-    val newReps = newReps0.localCheckpoint(true)
-    val newMembers = newMembers0.localCheckpoint(true)
+    val newReps = newReps0.transform(graft.operators.Iter.pin)
+    val newMembers = newMembers0.transform(graft.operators.Iter.pin)
     val dshNew = shingleRows(newReps)
-    val newBands = minhashBands(dshNew).localCheckpoint(true)
+    val newBands = minhashBands(dshNew).transform(graft.operators.Iter.pin)
     val allBands = storedBands.select(
         col("doc_id"), col("ns"), col("b"), col("s0"), col("s1"), col("s2"))
       .unionByName(newBands)
@@ -861,10 +861,10 @@ object Dedup {
     // modest here because the 47-edge fixture graph makes the per-round
     // driver/job overhead, not the edge recompute, the floor; the recompute
     // saved is corpus-scale where edges come from a blocking self-join).
-    val e = edges.localCheckpoint(true)
+    val e = edges.transform(graft.operators.Iter.pin)
     var labels = e.select(col("a").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Iter.pin)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -885,7 +885,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("component"),
             coalesce(col("c_comp"), col("component"))).as("component"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iter.pin)
       converged = updated.as("u")
         .join(labels.as("l"), "doc_id")
         .filter(col("u.component") =!= col("l.component"))
@@ -1188,7 +1188,7 @@ object Dedup {
   private[graft] def internedSorted(tokRows: DataFrame): DataFrame = {
     val freq = tokRows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("tid", monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
     tokRows.join(freq, "tok")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok"),
@@ -1196,7 +1196,7 @@ object Dedup {
       .select(col("doc_id"), col("sz"),
         expr("transform(st, x -> x.tid)").as("tids"),
         expr("sort_array(transform(st, x -> x.tid))").as("stids"))
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
   }
 
   /** The lossless prefix-filter similarity join over ANY per-doc distinct
@@ -1473,7 +1473,7 @@ object Dedup {
     tokRows
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .withColumn("tid", monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
 
   /** The per-doc half of the index: canonical-order and numeric-order
     * token-id arrays under a FROZEN dictionary (what q132 derives inline;
@@ -1494,7 +1494,7 @@ object Dedup {
       .join(dict.select(col("tok")), Seq("tok"), "left_anti")
       .withColumn("df", lit(0L))
       .withColumn("tid", lit(-1L) - monotonically_increasing_id())
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
     toks.join(dict.unionByName(newToks), "tok")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok"),
@@ -1532,7 +1532,7 @@ object Dedup {
     */
   def incrementalPrefixPairs(
       newDocs: DataFrame, dict: DataFrame, index: DataFrame): DataFrame = {
-    val newIndex = prefixDocIndex(newDocs, dict).localCheckpoint()
+    val newIndex = prefixDocIndex(newDocs, dict).transform(graft.operators.Iter.pin)
     val newPrefix = prefixRowsOf(newIndex)
     val allPrefix = prefixRowsOf(index).unionByName(newPrefix)
     val cand = newPrefix.as("a").join(allPrefix.as("b"),
@@ -1600,7 +1600,7 @@ object Dedup {
       .select(col("f"),
         coalesce(col("n_old"), lit(0L)).as("o"),
         coalesce(col("n_new"), lit(0L)).as("nw"))
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
     val same = merged.filter(col("nw") >= 1)
       .select(col("f").as("f_a"), col("f").as("f_b"), lit(0L).as("hamming"),
         (col("o") + col("nw")).as("n_a"), (col("o") + col("nw")).as("n_b"),
@@ -2059,7 +2059,7 @@ object Dedup {
     */
   def incrementalContainmentPairs(
       newDocs: DataFrame, dict: DataFrame, index: DataFrame): DataFrame = {
-    val newIndex = containmentDocIndex(newDocs, dict).localCheckpoint()
+    val newIndex = containmentDocIndex(newDocs, dict).transform(graft.operators.Iter.pin)
     val newPrefix = containPrefixRowsOf(newIndex)
     val newFull = newIndex.select(col("doc_id"), col("sz"),
       explode(col("tids")).as("tid"))
@@ -2244,7 +2244,7 @@ object Dedup {
   /** q187's operator body over any (doc_id, text) frame (suite entry). */
   private[graft] def substringDupPairs(docs: DataFrame): DataFrame = {
     val t = substringTokens(docs)
-      .localCheckpoint() // 4 consumers: grid, slide, verify arrays, windows
+      .transform(graft.operators.Iter.pin) // 4 consumers: grid, slide, verify arrays, windows
     val grid = substringGridRows(t)
       .select(col("doc_id").as("doc_a"), col("p").as("i"), col("h8"))
     val slide = substringSlideRows(t)
@@ -2306,7 +2306,7 @@ object Dedup {
   /** q191's operator body over any (doc_id, text) frame (suite entry). */
   private[graft] def substringContamination(docs: DataFrame): DataFrame = {
     val w = 25
-    val t = substringTokens(docs, w).localCheckpoint()
+    val t = substringTokens(docs, w).transform(graft.operators.Iter.pin)
     val corpus = t.filter(col("doc_id") % 7 =!= 0)
     val eval = t.filter(col("doc_id") % 7 === 0)
     val grid = substringGridRows(corpus, k = w - SubG + 1)
@@ -2350,7 +2350,7 @@ object Dedup {
   def incrementalSubstringPairs(
       newDocs: DataFrame, storedToks: DataFrame,
       storedSlide: DataFrame): DataFrame = {
-    val newToks = substringTokens(newDocs).localCheckpoint()
+    val newToks = substringTokens(newDocs).transform(graft.operators.Iter.pin)
     val newGrid = substringGridRows(newToks)
       .select(col("doc_id").as("doc_a"), col("p").as("i"), col("h8"))
     val allSlide = storedSlide.unionByName(substringSlideRows(newToks))
@@ -2891,7 +2891,7 @@ object Dedup {
           lit(150L))).as("cs"))
       .select(col("source"), col("doc_id"),
         md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"))
-      .localCheckpoint() // 2 consumers: first-occurrence and doc deciles
+      .transform(graft.operators.Iter.pin) // 2 consumers: first-occurrence and doc deciles
     val fo = ch.groupBy(col("source").as("f_source"), col("h"))
       .agg(min(col("doc_id")).cast("long").as("fdoc"))
     val docs = Stats.partitionedNtile(
@@ -2899,7 +2899,7 @@ object Dedup {
         // unpinned it re-runs the chunk-grain distinct (§5.7 pin rule;
         // the frame is doc-count-sized, measured +0.5 s at sf0.1)
         ch.select(col("source"), col("doc_id")).distinct()
-          .localCheckpoint(),
+          .transform(graft.operators.Iter.pin),
         "source", "doc_id", 10)
       .withColumnRenamed("tile", "decile")
     val per = docs.join(fo,
@@ -3002,7 +3002,7 @@ object Dedup {
           lit(150L))).as("cs"))
       .select(col("source"), col("doc_id"),
         md5(expr("substring(text, CAST(cs + 1 AS INT), 200)")).as("h"))
-      .localCheckpoint() // 2 consumers: cluster frame and per-doc count
+      .transform(graft.operators.Iter.pin) // 2 consumers: cluster frame and per-doc count
     val cl = ch.groupBy(col("source"), col("h"))
       .agg(count(lit(1)).cast("long").as("copies"),
         countDistinct(col("doc_id")).cast("long").as("docs"))

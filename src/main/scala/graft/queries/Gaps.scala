@@ -1786,7 +1786,7 @@ object Gaps {
         (col("before") + col("inb")).as("s"), col("n"),
         expr("(5 * n + 99) div 100").as("k05"),
         expr("(95 * n + 99) div 100").as("k95"))
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
     val q = k.groupBy(col("flag")).agg(
       min(when(col("s") < col("k05") && col("k05") <= col("s") + col("cnt"),
         col("c"))).as("p05"),
@@ -1891,7 +1891,7 @@ object Gaps {
       .select(col("l_returnflag").as("flag"),
         expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("c"))
     val runs = v.groupBy(col("flag"), col("c")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds both passes and the fence aggregate
+      .transform(graft.operators.Iter.pin) // feeds both passes and the fence aggregate
     // q166's guarded 2-scalar probe fixes ONE ln-normalizer for both axes
     val mm = runs.agg(min(col("c")), max(col("c"))).head
     val (lo, hi) =
@@ -2039,7 +2039,7 @@ object Gaps {
         ntile(10).over(Window.orderBy(
           expr("CAST(round(100 * value) AS BIGINT)"), col("event_id")))
           .as("dec"))
-      .localCheckpoint() // 3 consumers: group cells, group sizes, bins
+      .transform(graft.operators.Iter.pin) // 3 consumers: group cells, group sizes, bins
     val gc = v.groupBy(col("event_type").as("c_type"),
         col("hod").as("c_hod"), col("dec"))
       .agg(count(lit(1)).cast("long").as("cg"))

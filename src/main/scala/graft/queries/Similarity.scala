@@ -97,7 +97,7 @@ object Similarity {
     val vecs = emb
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
-      .localCheckpoint(true) // scanned every round: pin it once
+      .transform(graft.operators.Iter.pin) // scanned every round: pin it once
     val seeds: DataFrame = init match {
       case "first" => vecs.orderBy(col("vec_id")).limit(k)
       case "maxmin" =>
@@ -109,7 +109,7 @@ object Similarity {
         // seeding round
         var newest = vecs.orderBy(col("vec_id")).limit(1)
           .select(col("vec_id"), col("v"), col("n2"))
-          .localCheckpoint(true)
+          .transform(graft.operators.Iter.pin)
         var chosen = newest
         var pool = vecs.select(col("vec_id"), col("v"), col("n2"),
           lit(Double.PositiveInfinity).as("mind2"))
@@ -121,13 +121,13 @@ object Similarity {
               least(col("mind2"),
                 col("n2") - lit(2.0) * dot(col("v"), col("sv")) + col("sn2"))
                 .as("mind2"))
-            .localCheckpoint(true)
+            .transform(graft.operators.Iter.pin)
           newest = pool
             .agg(max(struct(col("mind2"), (-col("vec_id")).as("nid"),
               col("v"), col("n2"))).as("m"))
             .select((-col("m.nid")).as("vec_id"), col("m.v").as("v"),
               col("m.n2").as("n2"))
-            .localCheckpoint(true)
+            .transform(graft.operators.Iter.pin)
           chosen = chosen.unionByName(newest)
         }
         chosen
@@ -139,7 +139,7 @@ object Similarity {
       .withColumn("cluster",
         row_number().over(Window.orderBy(col("cluster0"))) - 1)
       .select(col("cluster"), col("cv"), dot(col("cv"), col("cv")).as("cn2"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Iter.pin)
     var assigned: DataFrame = null
     var wss = List.empty[Double]
     var converged = false
@@ -153,7 +153,7 @@ object Similarity {
         .agg(min(struct(col("dist2"), col("cluster"))).as("m"))
         .select(col("vec_id"), col("m.cluster").as("cluster"),
           col("m.dist2").as("dist2"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iter.pin)
       wss ::= newAssigned.agg(sum(col("dist2"))).head.getDouble(0)
       val recomputed = newAssigned
         .join(vecs, "vec_id")
@@ -168,7 +168,7 @@ object Similarity {
       cent = cent.join(recomputed, Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("ncv"), col("cv")).as("cv"))
         .withColumn("cn2", dot(col("cv"), col("cv")))
-        .localCheckpoint(true)
+        .transform(graft.operators.Iter.pin)
       converged = assigned != null && newAssigned.as("n")
         .join(assigned.as("p"), "vec_id")
         .filter(col("n.cluster") =!= col("p.cluster"))
@@ -306,7 +306,7 @@ object Similarity {
       Seq("vec_id", "cluster"))
     val cb = rsv.filter(col("vec_id") < PqCodes)
       .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
-      .localCheckpoint(true) // bounded build artifact, reused on both sides
+      .transform(graft.operators.Iter.pin) // bounded build artifact, reused on both sides
     val codes = rsv.join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("cluster"), col("sub"), col("code_id"),
         dist2(col("sv"), col("cv")).as("d2"))
@@ -1846,7 +1846,7 @@ object Similarity {
         posexplode(col("embedding")).as(Seq("pos0", "v")))
       .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
         round(col("v").cast("double") * 1e6).cast("long").as("xq"))
-      .localCheckpoint() // 2 consumers: centroids and the distance fan
+      .transform(graft.operators.Iter.pin) // 2 consumers: centroids and the distance fan
     val c = x.groupBy(col("label").as("clabel"), col("pos"))
       .agg(sum(col("xq")).cast("long").as("sq"),
         count(lit(1)).cast("long").as("n"))
@@ -2229,7 +2229,7 @@ object Similarity {
       .select(col("p_id"), col("cluster"),
         (col("cn2") - lit(2.0) * dot(col("v"), col("cv"))).as("score"))
       .withColumn("rn", row_number().over(probeW))
-      .localCheckpoint() // 2 consumers: probe sets and home clusters
+      .transform(graft.operators.Iter.pin) // 2 consumers: probe sets and home clusters
     val probes = ranked.filter(col("rn") <= nprobe)
       .select(col("p_id"), col("cluster"))
     val homes = ranked.filter(col("rn") === 1)
@@ -2353,7 +2353,7 @@ object Similarity {
       .select(col("p_id"), col("cluster"),
         (col("cn2") - lit(2.0) * dot(col("v"), col("cv"))).as("score"))
       .withColumn("rn", row_number().over(probeW))
-      .localCheckpoint() // 2 consumers: homes and the rank lookup
+      .transform(graft.operators.Iter.pin) // 2 consumers: homes and the rank lookup
     // home cells of EVERY corpus vector (the neighbor side needs them;
     // an argmin aggregate, corpus-linear — never the K-deep ranking)
     val homes = emb.select(col("vec_id").as("h_id"),
@@ -2758,7 +2758,7 @@ object Similarity {
       .groupBy(col("label"), (col("pos0") + 1).as("pos"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("xi")).cast("long").as("s"))
-      .localCheckpoint() // 2 consumers: both sides of the pair join
+      .transform(graft.operators.Iter.pin) // 2 consumers: both sides of the pair join
     val cb = c.select(col("label").as("label_b"), col("pos").as("pos_b"),
       col("n").as("nb"), col("s").as("sb"))
     c.join(cb, col("pos") === col("pos_b")
@@ -2871,7 +2871,7 @@ object Similarity {
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("xi")).cast("long").as("s"),
         sum(col("xi") * col("xi")).cast("long").as("q"))
-      .localCheckpoint() // 3 consumers: intra and both pair-join sides
+      .transform(graft.operators.Iter.pin) // 3 consumers: intra and both pair-join sides
     val intra = c.groupBy(col("label"))
       .agg(max(col("n")).as("n"),
         sum(col("q")).cast("long").as("m2"),

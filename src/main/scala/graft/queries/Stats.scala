@@ -262,7 +262,7 @@ object Stats {
         // the rank shuffle runs twice (measured +3 s on q257 at ×100);
         // the upstream binned frame stays UNpinned (two cheap scans beat
         // a 10M-row serialization, the §5.7 q32 lesson)
-        .localCheckpoint()
+        .transform(graft.operators.Iter.pin)
       ranked
         // carry columns rename through a c_ prefix (p_ is taken by the
         // join-side us/i — carrying "us" itself must not collide)
@@ -1181,7 +1181,7 @@ object Stats {
     // class the r16 partitionBy grep could not see)
     val ddf = ntilePar(sdf.select(col("user_id"), col("score"),
         when(col("np") >= 15, 1).otherwise(0).as("pos"))
-        .localCheckpoint(), // probe + main action (§5.7 pin rule)
+        .transform(graft.operators.Iter.pin), // probe + main action (§5.7 pin rule)
         10, "score", desc = true, Seq("user_id"))
       .withColumnRenamed("tile", "decile")
     val g = ddf.groupBy(col("decile"))
@@ -1622,7 +1622,7 @@ object Stats {
       .filter(col("s1") > 0)
       // pinned: the ntilePar dispatch probe is a SEPARATE action — without
       // the pin the events scan + user aggregate runs twice (§5.7 pin rule)
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
     // decile via the scale-parallel closed-form ntile (r17 — the global
     // Window.orderBy sorted every user in one task)
     val ddf = ntilePar(h, 10, "s1", desc = true, Seq("user_id"))
@@ -2177,7 +2177,7 @@ object Stats {
         |    * CAST(ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
         |        / CAST(r AS DOUBLE) / CAST(c AS DOUBLE)) AS FLOAT)
         |  ELSE CAST(0 AS DOUBLE) END""".stripMargin).as("mit"))
-      .localCheckpoint() // 2 consumers: totals and the per-cell output
+      .transform(graft.operators.Iter.pin) // 2 consumers: totals and the per-cell output
     val tot = t.agg(
       sum(expr("CAST(chi2t AS DECIMAL(18,9))")).cast("double").as("chi2"),
       sum(expr("CAST(mit AS DECIMAL(18,9))")).cast("double").as("mi"))
@@ -2303,7 +2303,7 @@ object Stats {
       .select(col("g_type").as("event_type"), col("t"),
         ((col("m0") + col("t")) % 24).as("hod"),
         coalesce(col("cnt"), lit(0L)).as("x"))
-      .localCheckpoint() // 2 consumers: the hod profile and the lag pass
+      .transform(graft.operators.Iter.pin) // 2 consumers: the hod profile and the lag pass
     val hod = x.groupBy(col("event_type"), col("hod"))
       .agg(sum(col("x")).cast("long").as("hs"),
         count(lit(1)).cast("long").as("hc"))
@@ -2409,7 +2409,7 @@ object Stats {
       .crossJoin(lab.select(col("l").as("b")))
       .join(cellc, Seq("a", "b"), "left")
       .select(col("a"), col("b"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .localCheckpoint() // 9 rows, 4 consumers (margins, totals, output)
+      .transform(graft.operators.Iter.pin) // 9 rows, 4 consumers (margins, totals, output)
     val rm = cell.groupBy(col("a")).agg(sum(col("cnt")).cast("long").as("r"))
     val cm = cell.groupBy(col("b")).agg(sum(col("cnt")).cast("long").as("c"))
     val nn = cell.agg(sum(col("cnt")).cast("long").as("n"),
@@ -2526,7 +2526,7 @@ object Stats {
         row_number().over(wOrd).as("i"),
         sum(col("s")).over(wOrd).cast("long").as("ps"),
         sum(col("c")).over(wOrd).cast("long").as("pc"))
-      .localCheckpoint() // 2 consumers: the pair join (twice) and output
+      .transform(graft.operators.Iter.pin) // 2 consumers: the pair join (twice) and output
     val a = idx.select(col("event_type").as("a_type"), col("i").as("j"),
       col("s").as("a_s"), col("c").as("a_c"),
       col("ps").as("a_ps"), col("pc").as("a_pc"))
@@ -2905,7 +2905,7 @@ object Stats {
           && dc("day") === col("d0") + col("t"), "left")
       .select(col("g_type").as("event_type"), col("t"),
         coalesce(col("cnt"), lit(0L)).as("c"))
-      .localCheckpoint() // 2 consumers: moments and the pair explode
+      .transform(graft.operators.Iter.pin) // 2 consumers: moments and the pair explode
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("m"),
         sum(col("t")).cast("long").as("st"),
@@ -3247,7 +3247,7 @@ object Stats {
         expr("""CASE WHEN round(100 * value) < 2000 THEN 0
           |     WHEN round(100 * value) < 8000 THEN 1 ELSE 2 END"""
           .stripMargin).as("band"))
-      .localCheckpoint() // 4 consumers: cells and the three margins
+      .transform(graft.operators.Iter.pin) // 4 consumers: cells and the three margins
     val cell = e.groupBy(col("event_type"), col("hod"), col("band"))
       .agg(count(lit(1)).cast("long").as("o"))
     val tb = e.groupBy(col("event_type"), col("band"))
@@ -3856,7 +3856,7 @@ object Stats {
       .select(col("user_id"),
         expr("(day - d0) div 7").as("wk"))
       .distinct()
-      .localCheckpoint() // 4 consumers: sizes, both join sides, union
+      .transform(graft.operators.Iter.pin) // 4 consumers: sizes, both join sides, union
     val ws = du.groupBy(col("wk")).agg(count(lit(1)).cast("long").as("n"))
     val ov = du.select(col("wk").as("a_wk"), col("user_id"))
       .join(du.select(col("wk").as("b_wk"),
@@ -3993,7 +3993,7 @@ object Stats {
           && mc("m") === col("m0") + col("t"), "left")
       .select(col("g_type").as("event_type"), col("t"),
         coalesce(col("cnt"), lit(0L)).as("x"))
-      .localCheckpoint() // 2 consumers: moments and the side sequence
+      .transform(graft.operators.Iter.pin) // 2 consumers: moments and the side sequence
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("span"),
         sum(col("x")).cast("long").as("s"))
@@ -4307,7 +4307,7 @@ object Stats {
           && dc("day") === col("d0") + col("t"), "left")
       .select(col("g_type").as("event_type"), col("t"),
         coalesce(col("cnt"), lit(0L)).as("c"))
-      .localCheckpoint() // 3 consumers: the pair join (twice) and ties
+      .transform(graft.operators.Iter.pin) // 3 consumers: the pair join (twice) and ties
     val a1 = x.select(col("event_type").as("e1"), col("t").as("t1"),
       col("c").as("c1"))
     val a2 = x.select(col("event_type").as("e2"), col("t").as("t2"),
@@ -4431,7 +4431,7 @@ object Stats {
     val g = doc.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("ng"),
         sum(col("x")).cast("long").as("xg"))
-      .localCheckpoint() // 3 consumers: totals, terms join, the finish
+      .transform(graft.operators.Iter.pin) // 3 consumers: totals, terms join, the finish
     val tot = g.agg(sum(col("ng")).cast("long").as("n"),
       sum(col("xg")).cast("long").as("xx"))
     val tg = doc.join(g, "source")
@@ -4627,7 +4627,7 @@ object Stats {
     // r16: scale-parallel gap stage (see typeGapsPar — the per-type lag
     // window serialized on 5 type-sized partitions at the ×100 axis)
     val gaps = typeGapsPar(e)
-      .localCheckpoint() // 2 consumers: moments and the rank scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: moments and the rank scan
     val mom = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("gp")).cast("long").as("sg"))
@@ -4648,7 +4648,7 @@ object Stats {
     // at both ends. The row-grain oracle SQL is unchanged — same maxima.
     val runs = gaps.groupBy(col("event_type"), col("gp"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-      .localCheckpoint() // 2 consumers (prefixSumPar probe + main scan):
+      .transform(graft.operators.Iter.pin) // 2 consumers (prefixSumPar probe + main scan):
       // unpinned, each recomputes the 100M-row groupBy (§5.7 pin rule);
       // the pin is run-table-sized (~distinct gaps), trivially cheap
     val ranked = prefixSumPar(runs, "gp", desc = false, Nil, Seq("cnt"),
@@ -4967,7 +4967,7 @@ object Stats {
     val t = seq0.groupBy(col("prev_type"),
         col("event_type").as("next_type"))
       .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint() // 3 consumers: rows, cols, the term sums
+      .transform(graft.operators.Iter.pin) // 3 consumers: rows, cols, the term sums
     val rows = t.groupBy(col("prev_type"))
       .agg(sum(col("c")).cast("long").as("rn"))
     val tot = t.agg(sum(col("c")).cast("long").as("n"))
@@ -5220,7 +5220,7 @@ object Stats {
     val g = doc.groupBy(col("lang"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("kept")).cast("long").as("k"))
-      .localCheckpoint() // 2 consumers: the reference rank and the rows
+      .transform(graft.operators.Iter.pin) // 2 consumers: the reference rank and the rows
     val ref = g.orderBy(
         expr("CAST(k AS DOUBLE) / CAST(n AS DOUBLE)").desc,
         col("lang").asc)
@@ -5952,7 +5952,7 @@ object Stats {
       .select(col("g_type").as("event_type"),
         ((col("m0") + col("t")) % 24).as("hod"),
         coalesce(col("cnt"), lit(0L)).as("x"))
-      .localCheckpoint() // 2 consumers: the cell profile and the totals
+      .transform(graft.operators.Iter.pin) // 2 consumers: the cell profile and the totals
     val prof = x.groupBy(col("event_type"), col("hod"))
       .agg(sum(col("x")).cast("long").as("sh"),
         count(lit(1)).cast("long").as("nh"))
@@ -6317,7 +6317,7 @@ object Stats {
           expr("CAST(round(100 * value) AS BIGINT)")).otherwise(0L))
           .cast("long").as("cents"))
     // r17: scale-parallel closed-form ntile (was a global one-task sort)
-    val st = ntilePar(m.localCheckpoint(), 4, "n_events", desc = true,
+    val st = ntilePar(m.transform(graft.operators.Iter.pin), 4, "n_events", desc = true,
         Seq("user_id"))
       .select(col("arm"), col("cents"), col("tile").as("stratum"))
       .groupBy(col("stratum"), col("arm"))
@@ -6551,7 +6551,7 @@ object Stats {
       .filter(col("s1") > 0)
     // r17: scale-parallel rank (was a global one-task sort; the n count
     // rides the same device's partition total, not an all-to-one window)
-    val r = rankPar(h.localCheckpoint(), "s1", desc = true, Seq("user_id"))
+    val r = rankPar(h.transform(graft.operators.Iter.pin), "s1", desc = true, Seq("user_id"))
       .select(col("i").as("rk"), col("y"), col("nd").as("n"))
     val sd = r
       .filter(col("rk") > expr("(n + 1) div 2 - n div 4")
@@ -6677,7 +6677,7 @@ object Stats {
             && col("event_type") === "purchase", 1).otherwise(0)) > 0, 1)
           .otherwise(0).as("conv"))
       .filter(col("s1") > 0)
-      .localCheckpoint() // probe + main action (§5.7 pin rule)
+      .transform(graft.operators.Iter.pin) // probe + main action (§5.7 pin rule)
     // r17: scale-parallel closed-form ntile (was a global one-task sort)
     val dd = ntilePar(h, 10, "s1", desc = true, Seq("user_id"))
       .select(col("tile").as("decile"), col("arm"), col("conv"))
@@ -6806,7 +6806,7 @@ object Stats {
     // r16: scale-parallel gap stage (see typeGapsPar — the per-type lag
     // window serialized on 5 type-sized partitions at the ×100 axis)
     val gaps = typeGapsPar(e)
-      .localCheckpoint() // 2 consumers: moments and the rank scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: moments and the rank scan
     val mom = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("gp")).cast("long").as("sg"))
@@ -6834,7 +6834,7 @@ object Stats {
     // endpoint algebra itself is stated for).
     val runs = gaps.groupBy(col("event_type"), col("gp"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-      .localCheckpoint() // §5.7 pin: probe + main scan (see q234)
+      .transform(graft.operators.Iter.pin) // §5.7 pin: probe + main scan (see q234)
     val ranked = prefixSumPar(runs, "gp", desc = false, Nil, Seq("cnt"),
         Seq("event_type"))
       .select(col("event_type"), col("gp"), col("cnt"),
@@ -6979,7 +6979,7 @@ object Stats {
           && dc("day") === col("d0") + col("t"), "left")
       .select(col("g_type").as("event_type"), col("t"),
         coalesce(col("cnt"), lit(0L)).as("c"))
-      .localCheckpoint() // 2 consumers: moments and the residual scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: moments and the residual scan
     val mom = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("t")).cast("long").as("st"),
@@ -7258,7 +7258,7 @@ object Stats {
       if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     val bw = (hi - lo) / 4096 + 1
     val binned = v.withColumn("bin", expr(s"(cents - ${lo}L) div ${bw}L"))
-      .localCheckpoint() // 2 consumers: bin totals and the in-bin rank
+      .transform(graft.operators.Iter.pin) // 2 consumers: bin totals and the in-bin rank
     val binTotals = binned.groupBy(col("bin"))
       .agg(count(lit(1)).cast("long").as("bc"))
     // before + nn both ride the ≤4096-row bin frame (windows over bin
@@ -7443,7 +7443,7 @@ object Stats {
         "left")
       .select(col("g_type").as("event_type"), col("t"),
         coalesce(col("cnt"), lit(0L)).cast("long").as("x"))
-      .localCheckpoint() // 2 consumers: span counts and the block scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: span counts and the block scan
     val sp = x.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("span"))
       .withColumnRenamed("event_type", "s_type")
@@ -7458,7 +7458,7 @@ object Stats {
         sum(col("x")).over(Window
           .partitionBy(col("event_type"), col("bm"), col("bid"))
           .orderBy(col("t"))).cast("long"))
-      .localCheckpoint() // 2 consumers: block totals and the dev scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: block totals and the dev scan
     val tot = blk.groupBy(col("event_type").as("t_type"),
         col("bm").as("t_bm"), col("bid").as("t_bid"))
       .agg(sum(col("x")).cast("long").as("s"),
@@ -7727,7 +7727,7 @@ object Stats {
           .orderBy(col("c"))).cast("long").as("i"),
         count(lit(1)).over(Window.partitionBy(col("event_type")))
           .cast("long").as("n"))
-      .localCheckpoint() // 2 consumers: the median probe and the devs
+      .transform(graft.operators.Iter.pin) // 2 consumers: the median probe and the devs
     val med = rk.groupBy(col("event_type").as("m_type"))
       .agg(max(col("n")).as("n_med"),
         expr("""CAST(CASE WHEN max(n) % 2 = 0 THEN
@@ -8042,7 +8042,7 @@ object Stats {
         "left")
       .select(col("g_type").as("event_type"), grid("day"),
         coalesce(col("cnt"), lit(0L)).as("c"))
-      .localCheckpoint() // 2 consumers: moments and the argmax scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: moments and the argmax scan
     val mom = x.groupBy(col("event_type").as("m_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("c")).cast("long").as("s"),
@@ -8266,7 +8266,7 @@ object Stats {
     val sdf = r.select(col("event_type"), col("day"), col("rising"),
         col("rec"),
         sum(lit(1) - col("rising")).over(w).cast("long").as("sid"))
-      .localCheckpoint() // 2 consumers: island lengths and record counts
+      .transform(graft.operators.Iter.pin) // 2 consumers: island lengths and record counts
     val agg = sdf.groupBy(col("event_type").as("a_type"), col("sid"))
       .agg(sum(col("rising")).cast("long").as("len"))
       .groupBy(col("a_type"))
@@ -8765,7 +8765,7 @@ object Stats {
           && dc("day") === col("d0") + col("t"), "left")
       .select(col("g_type").as("event_type"), col("t"), col("d0"),
         coalesce(col("cnt"), lit(0L)).as("c"))
-      .localCheckpoint() // 2 consumers: moments and the residual scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: moments and the residual scan
     val mom = x.groupBy(col("event_type").as("m_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("t")).cast("long").as("st"),
@@ -8793,7 +8793,7 @@ object Stats {
           |    / (CAST(n AS DOUBLE)
           |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
           |        - CAST(1 AS DOUBLE)))""".stripMargin).as("h"))
-      .localCheckpoint() // 2 consumers: SSE and the per-day D scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: SSE and the per-day D scan
     val sse = res.groupBy(col("event_type").as("s_type"))
       // DECIMAL(38,9): r18 timeburst headroom -- see the q258 note
       .agg(sum(expr("CAST(ee * ee AS DECIMAL(38,9))")).cast("double")
@@ -9015,7 +9015,7 @@ object Stats {
       .filter(col("p2").isNotNull)
     val t3 = seq0.groupBy(col("p2"), col("p1"), col("nx"))
       .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint() // 3 consumers: pre2, the t2 collapse, terms
+      .transform(graft.operators.Iter.pin) // 3 consumers: pre2, the t2 collapse, terms
     val pre2 = t3.groupBy(col("p2").as("r_p2"), col("p1").as("r_p1"))
       .agg(sum(col("c")).cast("long").as("rn"))
     val t2 = t3.groupBy(col("p1"), col("nx"))
@@ -9143,7 +9143,7 @@ object Stats {
         expr("(m0 + t) % 24").as("hod"),
         expr("(m0 + t) div 24").as("day"),
         coalesce(col("cnt"), lit(0L)).cast("long").as("x"))
-      .localCheckpoint() // 3 consumers: both pair sides and the seasons
+      .transform(graft.operators.Iter.pin) // 3 consumers: both pair sides and the seasons
     val pr = x.join(x.select(col("event_type").as("b_type"),
           col("hod").as("b_hod"), col("day").as("b_day"),
           col("x").as("b_x")),
@@ -9361,7 +9361,7 @@ object Stats {
         |    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
         |  / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE)
         |    * CAST(c AS DOUBLE)) AS DECIMAL(18,9))""".stripMargin))
-      .localCheckpoint() // 2 consumers: the chi frame and the rows
+      .transform(graft.operators.Iter.pin) // 2 consumers: the chi frame and the rows
     val chi = terms.agg(
       sum(col("t")).cast("double").as("chi2"),
       max(col("nn")).as("c_nn"), max(col("ncol")).as("c_ncol"),
@@ -9639,7 +9639,7 @@ object Stats {
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"))
-      .localCheckpoint() // 2 consumers: the 2-scalar probe and the walk
+      .transform(graft.operators.Iter.pin) // 2 consumers: the 2-scalar probe and the walk
     val mm = e.agg(min(col("us")), max(col("us"))).head
     if (mm.isNullAt(0)) {
       // empty corpus: zero-row frame with the output schema
@@ -9790,11 +9790,11 @@ object Stats {
         "left")
       .select(col("g_type").as("event_type"), (grid("day") % 7).as("dow"),
         coalesce(col("cnt"), lit(0L)).as("c"))
-      .localCheckpoint() // 2 consumers: dow cells and type moments
+      .transform(graft.operators.Iter.pin) // 2 consumers: dow cells and type moments
     val dw = z.groupBy(col("event_type").as("w_type"), col("dow"))
       .agg(count(lit(1)).cast("long").as("nd"),
         sum(col("c")).cast("long").as("sd"))
-      .localCheckpoint() // 2 consumers: the SSB total and the peak
+      .transform(graft.operators.Iter.pin) // 2 consumers: the SSB total and the peak
     val t = z.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(col("c")).cast("long").as("s"),
@@ -9888,7 +9888,7 @@ object Stats {
       .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).cast("long").as("x"))
-      .localCheckpoint() // 3 consumers: item moments, user totals, n/k
+      .transform(graft.operators.Iter.pin) // 3 consumers: item moments, user totals, n/k
     val nn = ut.agg(countDistinct(col("user_id")).cast("long").as("n"))
     val ti = ut.agg(countDistinct(col("event_type")).cast("long").as("k"),
       sum(col("x") * col("x")).cast("long").as("sxx"))
@@ -9994,7 +9994,7 @@ object Stats {
         expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-      .localCheckpoint() // 3 consumers: bounds, the type list, the join
+      .transform(graft.operators.Iter.pin) // 3 consumers: bounds, the type list, the join
     val b = dc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val types = dc.select(col("event_type").as("g_type")).distinct()
     val grid = types.crossJoin(broadcast(b))
@@ -10180,7 +10180,7 @@ object Stats {
       .groupBy(col("o_custkey"))
       .agg(sum(expr("CAST(round(o_totalprice) AS BIGINT)")).cast("long")
         .as("rev"))
-      .localCheckpoint() // 3 consumers: probe, rank, HHI
+      .transform(graft.operators.Iter.pin) // 3 consumers: probe, rank, HHI
     // two-level DESC rank (q142, seventh application): bins off a
     // 2-scalar probe; empty input flows to a zero-row result
     val mm = r.agg(min(col("rev")), max(col("rev"))).head
@@ -10196,7 +10196,7 @@ object Stats {
       val bw = (hi - lo) / 4096 + 1
       val binned = r
         .withColumn("bin", expr(s"(rev - ${lo}L) div ${bw}L"))
-        .localCheckpoint() // 2 consumers: bin totals and in-bin ranks
+        .transform(graft.operators.Iter.pin) // 2 consumers: bin totals and in-bin ranks
       val binTotals = binned.groupBy(col("bin"))
         .agg(count(lit(1)).cast("long").as("bc"))
       val binBefore = binTotals.select(col("bin"),
@@ -10395,7 +10395,7 @@ object Stats {
       .select(col("user_id"),
         expr("CAST(round(100 * value) AS BIGINT)").as("cents"),
         expr("unix_micros(ts)").as("us"))
-      .localCheckpoint() // 2 consumers: the 2-scalar probe and the walk
+      .transform(graft.operators.Iter.pin) // 2 consumers: the 2-scalar probe and the walk
     val mm = e.agg(min(col("us")), max(col("us"))).head
     if (mm.isNullAt(0)) {
       e.sparkSession.emptyDataFrame
@@ -10421,7 +10421,7 @@ object Stats {
           val bw = (hi - lo) / 4096 + 1
           val binned = nz
             .withColumn("bin", expr(s"(ad - ${lo}L) div ${bw}L"))
-            .localCheckpoint()
+            .transform(graft.operators.Iter.pin)
           val binBefore = binned.groupBy(col("bin"))
             .agg(count(lit(1)).cast("long").as("bc"))
             .select(col("bin"),
@@ -10520,7 +10520,7 @@ object Stats {
         expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).cast("long").as("cnt"))
-      .localCheckpoint() // 3 consumers: bounds, types, the grid join
+      .transform(graft.operators.Iter.pin) // 3 consumers: bounds, types, the grid join
     val b = dc.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val types = dc.select(col("event_type").as("g_type")).distinct()
     val grid = types.crossJoin(broadcast(b))
@@ -10535,7 +10535,7 @@ object Stats {
     val rk = z.select(col("event_type"), col("day"),
         row_number().over(Window.partitionBy(col("event_type"))
           .orderBy(col("c"), col("day"))).cast("long").as("r"))
-      .localCheckpoint() // 2 consumers: both sides of the pair join
+      .transform(graft.operators.Iter.pin) // 2 consumers: both sides of the pair join
     val rkb = rk.select(col("event_type").as("type_b"),
       col("day").as("day_b"), col("r").as("rb"))
     rk.join(rkb, col("day") === col("day_b")
@@ -10762,7 +10762,7 @@ object Stats {
         |    - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
         |  / (CAST(nn AS DOUBLE) * CAST(r AS DOUBLE)
         |    * CAST(c AS DOUBLE)) AS DECIMAL(18,9))""".stripMargin))
-      .localCheckpoint() // 2 consumers: the chi frame and the rows
+      .transform(graft.operators.Iter.pin) // 2 consumers: the chi frame and the rows
     val chi = terms.agg(
       sum(col("t")).cast("double").as("chi2"),
       max(col("nn")).as("c_nn"), max(col("ncol")).as("c_ncol"),
@@ -11445,7 +11445,7 @@ object Stats {
         sum(when(col("us") > col("mid")
           && col("event_type") === "purchase", 1).otherwise(0)).as("p2"))
       .filter(col("s1") > 0)
-      .localCheckpoint() // probe + main action (§5.7 pin rule)
+      .transform(graft.operators.Iter.pin) // probe + main action (§5.7 pin rule)
     // r17: scale-parallel closed-form ntile (was a global one-task sort)
     val ddf = ntilePar(h, 10, "s1", desc = true, Seq("user_id"))
       .select(col("user_id"), col("tile").as("decile"),

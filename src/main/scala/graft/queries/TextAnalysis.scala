@@ -763,7 +763,7 @@ object TextAnalysis {
       .select(concat(lit(" "),
           trim(regexp_replace(col("w"), "(.)", "$1 ")), lit(" ")).as("sym"),
         col("freq"))
-      .localCheckpoint()
+      .transform(graft.operators.Iter.pin)
     def topPair(words: org.apache.spark.sql.DataFrame) = words
       .select(split(trim(col("sym")), " ").as("t"), col("freq"))
       .filter(size(col("t")) >= 2)
@@ -1022,11 +1022,11 @@ object TextAnalysis {
         nt.join(fo, nt("doc_id") === fo("first_doc"), "left")
           .select(nt("doc_id"), col("n_tok"),
             coalesce(col("n_new"), lit(0L)).as("n_new"))
-          .localCheckpoint(), // probe + main action (§5.7 pin rule)
+          .transform(graft.operators.Iter.pin), // probe + main action (§5.7 pin rule)
         "doc_id", desc = false, Nil, Seq("n_tok", "n_new"))
       .select(col("doc_id"), col("cum_n_tok").as("t_d"),
         col("cum_n_new").as("v_d"))
-      .localCheckpoint() // 2 consumers: the fit sums and the totals
+      .transform(graft.operators.Iter.pin) // 2 consumers: the fit sums and the totals
     val pts = pre.select(
       expr("CAST(ln(CAST(t_d AS DOUBLE)) AS FLOAT)").as("x"),
       expr("CAST(ln(CAST(v_d AS DOUBLE)) AS FLOAT)").as("y"))
@@ -1165,17 +1165,17 @@ object TextAnalysis {
       (substring(md5(concat(lit("split|"), col("doc_id").cast("string"))),
         1, 2) >= "14").as("is_train"),
       split(col("text"), " ").as("toks"))
-      .localCheckpoint() // 4 consumers: dtok, model labels, priors, output
+      .transform(graft.operators.Iter.pin) // 4 consumers: dtok, model labels, priors, output
     val dtok = t.select(col("doc_id"), explode(col("toks")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("k"))
-      .localCheckpoint() // feeds model, dlen, and the scoring join
+      .transform(graft.operators.Iter.pin) // feeds model, dlen, and the scoring join
     val dlen = dtok.groupBy(col("doc_id"))
       .agg(sum(col("k")).cast("long").as("nd"))
     val model = dtok
       .join(t.filter(col("is_train")).select(col("doc_id"), col("lang")),
         "doc_id")
       .groupBy(col("lang"), col("w")).agg(sum(col("k")).cast("long").as("cct"))
-      .localCheckpoint() // the persistable build artifact; 3 consumers
+      .transform(graft.operators.Iter.pin) // the persistable build artifact; 3 consumers
     val pri = t.filter(col("is_train")).groupBy(col("lang"))
       .agg(count(lit(1)).as("ndocs"))
     val cls = model.groupBy(col("lang")).agg(sum(col("cct")).cast("long")
@@ -1287,7 +1287,7 @@ object TextAnalysis {
       .select(col("source"), explode(split(col("text"), " ")).as("t"))
     val st = tok.groupBy(col("source"), col("t"))
       .agg(count(lit(1)).cast("long").as("a"))
-      .localCheckpoint() // 3 consumers: both margins and the grid
+      .transform(graft.operators.Iter.pin) // 3 consumers: both margins and the grid
     val stot = st.groupBy(col("source")).agg(sum(col("a")).cast("long")
       .as("sa"))
     val ct = st.groupBy(col("t")).agg(sum(col("a")).cast("long").as("b"))
@@ -1408,7 +1408,7 @@ object TextAnalysis {
           .rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("stop") === 0)
       .select(col("doc_id"), col("pos"), col("t"), col("run"))
-      .localCheckpoint() // 2 consumers: candidates and the word join
+      .transform(graft.operators.Iter.pin) // 2 consumers: candidates and the word join
     val cand = runs.groupBy(col("doc_id"), col("run"))
       .agg(count(lit(1)).as("plen"),
         array_join(expr(
@@ -1418,7 +1418,7 @@ object TextAnalysis {
     val cw = runs.join(cand, Seq("doc_id", "run"))
       .select(col("doc_id"), col("run"), col("t"), col("plen"),
         col("phrase"))
-      .localCheckpoint() // 2 consumers: word stats and the phrase rollup
+      .transform(graft.operators.Iter.pin) // 2 consumers: word stats and the phrase rollup
     val ws = cw.groupBy(col("t"))
       .agg(count(lit(1)).cast("long").as("freq"),
         sum(col("plen")).cast("long").as("deg"))
@@ -1661,7 +1661,7 @@ object TextAnalysis {
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).cast("long").as("c"))
-      .localCheckpoint() // 3 consumers: norms and both pair-join sides
+      .transform(graft.operators.Iter.pin) // 3 consumers: norms and both pair-join sides
     val nrm = tc.groupBy(col("source"))
       .agg(sum(col("c") * col("c")).cast("long").as("n2"))
     val dot = tc.select(col("source").as("src_a"), col("w"),
@@ -1933,7 +1933,7 @@ object TextAnalysis {
           .as(Seq("p0", "tok")))
       .select(col("doc_id"), col("source"), col("tok"),
         (col("p0") + 1).as("p"))
-      .localCheckpoint() // 2 consumers: doc lengths and the window join
+      .transform(graft.operators.Iter.pin) // 2 consumers: doc lengths and the window join
     val dl = tok.groupBy(col("doc_id").as("d_id"),
         col("source").as("d_src"))
       .agg(count(lit(1)).cast("long").as("len"),
@@ -2053,7 +2053,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         explode(expr("filter(split(text, ' '), x -> x != '')"))
           .as("tok"))
-      .localCheckpoint() // 2 consumers: collection stats and doc stats
+      .transform(graft.operators.Iter.pin) // 2 consumers: collection stats and doc stats
     def cf(t: String): Column =
       sum(when(col("tok") === t, 1).otherwise(0)).cast("long")
     val coll = tok.agg(count(lit(1)).cast("long").as("ctot"),
@@ -2134,7 +2134,7 @@ object TextAnalysis {
         explode(expr("filter(split(text, ' '), x -> x != '')"))
           .as("tok"))
       .distinct()
-      .localCheckpoint() // 3 consumers: sizes and both join sides
+      .transform(graft.operators.Iter.pin) // 3 consumers: sizes and both join sides
     val sz = st.groupBy(col("source"))
       .agg(count(lit(1)).cast("long").as("v"))
     val ix = st.select(col("source").as("s1"), col("tok"))
@@ -2214,7 +2214,7 @@ object TextAnalysis {
         explode(expr("filter(split(text, ' '), x -> x != '')"))
           .as("tok"))
       .distinct()
-      .localCheckpoint() // 3 consumers: both halves and the join
+      .transform(graft.operators.Iter.pin) // 3 consumers: both halves and the join
     val v0 = v.filter(col("half") === 0).select(col("tok"))
     val v1 = v.filter(col("half") === 1)
       .select(col("tok").as("tok1"))
@@ -2364,7 +2364,7 @@ object TextAnalysis {
       |ORDER BY rank""".stripMargin,
   ) { (s, d) =>
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-      .localCheckpoint() // 2 consumers: the D count and the token scan
+      .transform(graft.operators.Iter.pin) // 2 consumers: the D count and the token scan
     val dd = docs.agg(count(lit(1)).cast("long").as("d"))
     val dc = docs
       .select(col("doc_id"),

@@ -201,6 +201,17 @@ object Export {
     val lastRows =
       if (expectedBuckets == 0) 0L
       else totalRows - (expectedBuckets - 1) * rpf
+    // r20 ADVICE: observe() accumulates in the map stage, and accumulators
+    // in transformations are not exactly-once under map-task retries or
+    // speculation — a double-counted n_rows would silently inflate the
+    // manifest's tail row count (max_bucket is retry-idempotent; count is
+    // not). Bound it against the rows-per-file law so an over-count fails
+    // loudly here instead of shipping a wrong manifest row.
+    require(expectedBuckets == 0 || (lastRows >= 1 && lastRows <= rpf),
+      s"${cfg.name}: tail rows $lastRows outside (0, $rpf] for " +
+        s"$expectedBuckets buckets × $rpf rows/file and $totalRows observed " +
+        "rows — map-stage retry double-count? (observe() is not " +
+        "exactly-once in transformations)")
     renamed.map { case (fileNo, name) =>
       val rows = if (fileNo == renamed.last._1) lastRows else rpf
       ExportedFile(cfg.name, fileNo, name, s"${cfg.name}/$name", rows,
