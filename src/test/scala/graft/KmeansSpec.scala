@@ -272,7 +272,7 @@ class KmeansSpec extends SparkSpec {
 
   test("ANN label noise: neighbor recall monotone in nprobe vs a Scala " +
       "brute-force exact 1-NN; nprobe = K is bit-identical to exact " +
-      "q270; candidate plan strictly equi-keyed") {
+      "q270; candidate plan strictly equi-keyed", Slow) {
     val emb = Tables.embeddings(spark, sf)
     // structurally different exact truth: a driver-side brute-force
     // 1-NN walk over the SAME quantized int64 space and (d2, nbr) order

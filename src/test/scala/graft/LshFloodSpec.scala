@@ -85,7 +85,7 @@ class LshFloodSpec extends SparkSpec {
     assert(j.getDouble(0) === 1.0 && j.getDouble(1) === 1.0)
   }
 
-  test("collapse equivalence holds on randomized duplicate-heavy corpora (property)") {
+  test("collapse equivalence holds on randomized duplicate-heavy corpora (property)", Slow) {
     // deterministic seeded property loop (the ExactSpec idiom): random
     // corpora engineered to hit every structural case at once — exact-dup
     // groups of random multiplicity, near-dups via append/substitute
@@ -126,7 +126,7 @@ class LshFloodSpec extends SparkSpec {
     }
   }
 
-  test("incremental ingest of a flood batch collapses and still matches full recompute") {
+  test("incremental ingest of a flood batch collapses and still matches full recompute", Slow) {
     val k = 500
     val old = docs(Seq(
       9001L -> "november oscar papa quebec romeo sierra tango uniform victor",

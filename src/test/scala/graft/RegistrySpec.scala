@@ -54,7 +54,7 @@ class RegistrySpec extends SparkSpec {
   test("EMPTY-CORPUS CONTRACT: every registered query materializes on a " +
       "zero-row corpus — no probe NPEs, no ANSI zero-divides, no loud " +
       "requires (the r17 audit: the full DuckDB gate passed 325/325 on " +
-      "this fixture; this sweep pins the Spark side forever)") {
+      "this fixture; this sweep pins the Spark side forever)", Slow) {
     val emptyDir = "/tmp/graft_empty_suite"
     for (t <- Seq("events", "documents", "embeddings", "orders",
         "lineitem", "customer", "part", "supplier", "nation", "region"))
@@ -78,7 +78,7 @@ class RegistrySpec extends SparkSpec {
       "layouts of the same Zipf+timeburst-skewed fixture (the r18 net " +
       "for the q02/q22 class: a non-total ORDER BY passes any single " +
       "layout and diverges across two; the r17 skew gate could only " +
-      "catch it through the round-cadence oracle hash)") {
+      "catch it through the round-cadence oracle hash)", Slow) {
     val a = "/tmp/graft_skew_suite_a"
     val b = "/tmp/graft_skew_suite_b"
     Tool.writeSkewCorpus(spark, sf, a, timeburst = true,
