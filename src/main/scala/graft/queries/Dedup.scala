@@ -185,7 +185,9 @@ object Dedup {
       |ORDER BY g.doc_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     val n = 8
-    val base = Tables.documentsWide(s, d)
+    // r21: 8-gram assembly + md5 per gram fuse into the scan stage — fan
+    // the doc rows first (Fan.scala)
+    val base = graft.operators.Fan.fan(Tables.documentsWide(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= n)
     val grams = base
@@ -305,7 +307,11 @@ object Dedup {
     */
   private[graft] def shingleRows(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    docs
+    // r21: when `docs` is a bare scan (q32/q132/q170 shapes) the shingle
+    // explode + the 4-md5 budget fuse into the single-split scan stage —
+    // one core. Fan the doc rows first (zero-job dispatch; a join-rooted
+    // input — q319's reps — passes through untouched, already parallel).
+    graft.operators.Fan.fan(docs)
       // the filter both excludes sub-window docs (DuckDB's range() yields
       // no shingles for them) and keeps sequence() ascending — Spark's
       // sequence(1, n) DESCENDS for n < 1 and would fabricate indices
@@ -746,7 +752,8 @@ object Dedup {
     def hashed(prefix: String): Column =
       conv(substring(md5(concat(lit(prefix), col("g"))), 1, 15), 16, 10)
         .cast("long")
-    val dg = docs
+    val dg = graft.operators.Fan.fan(docs) // r21: 10M-gram explode fuses
+      // into the single-split scan stage otherwise (Fan.scala)
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"),
         explode(array_distinct(transform(
@@ -1164,7 +1171,10 @@ object Dedup {
 
   /** q132's operator body over any (doc_id, text) frame (suite entry). */
   def prefixJaccardPairs(docs: DataFrame): DataFrame =
-    prefixPairsOver(docs
+    // r21: fan before the token explode — the explode plus the df-count
+    // partial aggregate above it otherwise run inside the single-split
+    // scan stage (Fan.scala)
+    prefixPairsOver(graft.operators.Fan.fan(docs)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok")))
 
@@ -1705,7 +1715,9 @@ object Dedup {
 
   /** The 48-bit multiset SimHash per doc (suite entry). */
   private[graft] def simhash48(docs: DataFrame): DataFrame = {
-    val toks = docs
+    // r21: token explode + 48 nibble extractions fuse into the scan stage
+    // — fan first (Fan.scala; no-op on multi-split sources)
+    val toks = graft.operators.Fan.fan(docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val nib = toks.select(
       col("doc_id") +: hammingNibbles.map(expr): _*)
@@ -2485,7 +2497,7 @@ object Dedup {
       |FROM t
       |ORDER BY source NULLS FIRST, cluster_size""".stripMargin,
   ) { (s, d) =>
-    val ch = Tables.documentsWide(s, d)
+    val ch = graft.operators.Fan.fan(Tables.documentsWide(s, d))
       .filter(col("source").isNotNull && length(col("text")) > 0)
       .select(col("source"), col("text"),
         explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
@@ -2607,7 +2619,7 @@ object Dedup {
       |ORDER BY doc_a NULLS FIRST, chunk_id_a NULLS FIRST,
       |  doc_b NULLS FIRST, chunk_id_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val chunks = Tables.documentsWide(s, d)
+    val chunks = graft.operators.Fan.fan(Tables.documentsWide(s, d))
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
@@ -2710,7 +2722,7 @@ object Dedup {
       |JOIN sz nb ON ov.source_b = nb.source
       |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val ch = Tables.documentsWide(s, d)
+    val ch = graft.operators.Fan.fan(Tables.documentsWide(s, d))
       .filter(col("source").isNotNull && length(col("text")) > 0)
       .select(col("source"), col("text"),
         explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
@@ -2783,7 +2795,7 @@ object Dedup {
       |FROM rk WHERE rnk <= 10
       |ORDER BY source NULLS FIRST, rnk""".stripMargin,
   ) { (s, d) =>
-    val ch = Tables.documentsWide(s, d)
+    val ch = graft.operators.Fan.fan(Tables.documentsWide(s, d))
       .filter(col("source").isNotNull && length(col("text")) > 0)
       .select(col("source"), col("doc_id"), col("text"),
         explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
@@ -2884,7 +2896,7 @@ object Dedup {
       |FROM cum
       |ORDER BY source NULLS FIRST, decile""".stripMargin,
   ) { (s, d) =>
-    val ch = Tables.documentsWide(s, d)
+    val ch = graft.operators.Fan.fan(Tables.documentsWide(s, d))
       .filter(col("source").isNotNull && length(col("text")) > 0)
       .select(col("source"), col("doc_id"), col("text"),
         explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
@@ -2995,7 +3007,7 @@ object Dedup {
       |FROM per
       |ORDER BY doc_id NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val ch = Tables.documentsWide(s, d)
+    val ch = graft.operators.Fan.fan(Tables.documentsWide(s, d))
       .filter(col("source").isNotNull && length(col("text")) > 0)
       .select(col("source"), col("doc_id"), col("text"),
         explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),

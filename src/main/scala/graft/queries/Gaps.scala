@@ -1509,7 +1509,7 @@ object Gaps {
       |  value_cents NULLS FIRST""".stripMargin,
   ) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val rows = Tables.lineitem(s, d)
+    val rows = graft.operators.Fan.fan(Tables.lineitem(s, d)) // r21: see q166
       .filter(col("l_extendedprice").isNotNull)
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
@@ -1747,7 +1747,10 @@ object Gaps {
       |FROM agg
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val v = Tables.lineitem(s, d)
+    // r21: fan the scan (Fan.scala) — the (flag, c) partial aggregate over
+    // ~590k near-unique cent runs otherwise runs inside the single-split
+    // scan stage on one core
+    val v = graft.operators.Fan.fan(Tables.lineitem(s, d))
       .filter(col("l_extendedprice").isNotNull)
       .select(col("l_returnflag").as("flag"),
         expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("c"))
@@ -1886,7 +1889,7 @@ object Gaps {
       |GROUP BY d.flag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
   ) { (s, d) =>
-    val v = Tables.lineitem(s, d)
+    val v = graft.operators.Fan.fan(Tables.lineitem(s, d)) // r21: see q166
       .filter(col("l_extendedprice").isNotNull)
       .select(col("l_returnflag").as("flag"),
         expr("CAST(round(100 * l_extendedprice) AS BIGINT)").as("c"))

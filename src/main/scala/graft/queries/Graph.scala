@@ -374,9 +374,17 @@ object GraphOps {
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 2)
       .select(col("pa"), col("pb"))
+      // r21: pp's subtree (distinct + basket self-join + support agg) is
+      // instantiated FOUR times in the final plan (the union's two
+      // branches × the deg subtree and the edge-decoration joins);
+      // physical exchange reuse deduplicates it only when AQE happens to
+      // keep the subplans byte-identical. Pin it once — same discipline
+      // as the iterative operators (guide §2.4: share one exchange).
+      .transform(graft.operators.Iter.pin)
     val e = pp.union(pp.select(col("pb").as("pa"), col("pa").as("pb")))
       .toDF("src", "dst")
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .transform(graft.operators.Iter.pin) // 3 consumers: count + x/y joins
     val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
     val m = e
       .join(deg.select(col("node"), col("d").as("x")),

@@ -94,7 +94,10 @@ object Similarity {
       requireConverged: Boolean = true)
     : KmeansResult = {
     import org.apache.spark.sql.DataFrame
-    val vecs = emb
+    // r21: fan BEFORE the pin — the pinned corpus frame otherwise keeps
+    // the single-split scan layout and every round's assignment crossJoin
+    // + argmin aggregate runs on one core (Fan.scala)
+    val vecs = graft.operators.Fan.fan(emb)
       .select(col("vec_id"), vec(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
       .transform(graft.operators.Iter.pin) // scanned every round: pin it once
@@ -1840,7 +1843,9 @@ object Similarity {
       |GROUP BY label
       |ORDER BY label""".stripMargin,
   ) { (s, d) =>
-    val x = Tables.embeddings(s, d)
+    // r21: fan before the explode+pin — the ×k distance fan downstream
+    // otherwise inherits the single-split scan layout (Fan.scala)
+    val x = graft.operators.Fan.fan(Tables.embeddings(s, d))
       .filter(col("label").isNotNull)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos0", "v")))

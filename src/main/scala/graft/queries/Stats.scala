@@ -1502,7 +1502,11 @@ object Stats {
     val u = conv(expr(
       "substr(element_at(digs, CAST(r div 5 AS INT) + 1), " +
         "CAST((r % 5) * 6 + 1 AS INT), 6)"), 16, 10).cast("long")
-    val rep = e
+    // r21: the 13-digest md5 + 64-way explode + weight chain all fuse into
+    // the SCAN stage (single-split input → ONE core; q164 measured the
+    // same 4.4 s at 8 and 32 cores). Fan the 600k narrow base rows once —
+    // cheap exchange, 32-way resampling (guide §2.6/§6; Fan.scala).
+    val rep = graft.operators.Fan.fan(e)
       .select(col("event_type"), col("x"),
         array((0 until nDigs).map(g => md5(concat(lit(s"bs|$g|"),
           col("event_id").cast("string")))): _*).as("digs"))

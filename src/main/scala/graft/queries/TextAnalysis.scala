@@ -1161,7 +1161,10 @@ object TextAnalysis {
   private[graft] def nbClassify(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col("doc_id"), col("lang"),
+    // r21: fan BEFORE the pin — a pinned scan-rooted frame inherits the
+    // single-split scan layout, so every consumer (the token explode, the
+    // per-doc count aggregate) would run one-core otherwise (Fan.scala)
+    val t = graft.operators.Fan.fan(docs).select(col("doc_id"), col("lang"),
       (substring(md5(concat(lit("split|"), col("doc_id").cast("string"))),
         1, 2) >= "14").as("is_train"),
       split(col("text"), " ").as("toks"))
